@@ -1,0 +1,77 @@
+"""Expression shims reproducing MySQL semantics the reference relies on.
+
+These are composite Column expressions (pure Catalyst — no UDFs), each
+reproducing one MySQL behavior identified in SURVEY.md §2.8/§7.3:
+
+  * ``mysql_group_concat`` — GROUP_CONCAT(DISTINCT x ORDER BY w SEPARATOR s)
+    (reference concept_csv_export.py:348-349). DISTINCT applies to the value
+    while ordering is by a different column; the canonical rule here is
+    min-weight-wins per distinct value, ties broken by the value itself —
+    deterministic where MySQL is underspecified.
+  * ``mysql_cast_unsigned`` — CAST(expr AS UNSIGNED)
+    (reference concept_csv_export.py:304-306). MySQL parses the longest
+    leading digit prefix and yields 0 for non-numeric strings; Spark's cast
+    yields NULL. The shim extracts leading digits and coalesces to 0.
+  * ``strip_newlines`` — REPLACE(REPLACE(x,'\\r',''),'\\n','')
+    (reference concept_csv_export.py:318).
+  * ``pack_kv`` — CONCAT(name, ':', value) attribute packing
+    (reference location_csv_export.py:114).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+import pyspark.sql.functions as F
+
+
+def mysql_group_concat(
+    value: Column | str,
+    order_by: Column | str | None = None,
+    sep: str = ";",
+) -> Column:
+    """Aggregate: distinct ``value``s joined by ``sep``, ordered by the
+    minimum ``order_by`` seen for each distinct value (value as tiebreak).
+
+    Runs as a single hash-aggregate: collect (weight, value) structs, then
+    array ops (all JVM-side codegen) do the distinct/order/join. For groups of
+    unbounded cardinality prefer a two-level pre-aggregation
+    (groupBy(key, value).agg(min(weight))) before calling this; at the
+    reference's metadata scale the single-pass form is optimal.
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    if order_by is None:
+        # GROUP_CONCAT(DISTINCT x) — MySQL implicitly sorts distinct values.
+        return F.array_join(F.array_sort(F.collect_set(v)), sep)
+    w = F.col(order_by) if isinstance(order_by, str) else order_by
+    pairs = F.collect_list(F.struct(w.alias("w"), v.alias("v")))
+    # min-weight per distinct value: sort (w, v) pairs, keep first occurrence
+    # of each v in that order → equivalent to ordering distinct v by (min_w, v).
+    sorted_pairs = F.array_sort(pairs)
+    dedup = F.aggregate(
+        sorted_pairs,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            F.array_contains(acc, x["v"]) | x["v"].isNull(), acc
+        ).otherwise(F.concat(acc, F.array(x["v"]))),
+    )
+    return F.array_join(dedup, sep)
+
+
+def mysql_cast_unsigned(col: Column | str) -> Column:
+    """MySQL ``CAST(x AS UNSIGNED)``: longest leading digit run, else 0."""
+    c = F.col(col) if isinstance(col, str) else col
+    digits = F.regexp_extract(c.cast("string"), r"^(\d+)", 1)
+    return F.coalesce(
+        F.when(digits == "", F.lit(0)).otherwise(digits.cast("long")), F.lit(0)
+    )
+
+
+def strip_newlines(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, "[\\r\\n]", "")
+
+
+def pack_kv(name: Column | str, value: Column | str) -> Column:
+    n = F.col(name) if isinstance(name, str) else name
+    v = F.col(value) if isinstance(value, str) else value
+    return F.concat_ws(":", n, v)

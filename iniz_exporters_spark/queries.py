@@ -1,0 +1,693 @@
+"""Query registry: every implemented operator as a (Spark fn, oracle SQL) pair.
+
+This is the engine's correctness surface. Each entry demonstrates one operator
+family from SURVEY.md §2 (or the §7 extension surface) as an idiomatic Spark
+DataFrame plan, paired with ANSI SQL that DuckDB runs on the same parquet
+tables. The driver hash-compares both at sf0.01.
+
+Conventions that make cross-engine hash-equality deterministic:
+  * Every computed column is aliased identically in Spark and SQL.
+  * Double aggregations go through exact DECIMAL sums (order-independent),
+    then one final ROUND(CAST(.. AS DOUBLE), n) — fp-addition-order noise
+    can never reach the compared value.
+  * LIMIT queries order by a unique tiebreaker so the row *set* is stable.
+  * Timestamps are UTC in both engines (session.py pins the session tz).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from iniz_exporters_spark.catalog import Catalog
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    headline: bool = False  # include in bench.py
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, headline: bool = False):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, headline=headline)
+        return fn
+
+    return deco
+
+
+def _dec(col, prec=18, scale=4):
+    """Exact decimal view of a double column (order-independent summation)."""
+    return col.cast(f"decimal({prec},{scale})")
+
+
+def _money(col):
+    """Final presentation of an exact decimal aggregate: double, 2 dp."""
+    return F.round(col.cast("double"), 2)
+
+
+# ---------------------------------------------------------------------------
+# A1/A2/P2/O1 — flagship: TPC-H Q1-style pricing summary.
+# Scale notes: single scan of lineitem, filter pushed to parquet, map-side
+# partial agg on (returnflag, linestatus) — 6 groups — so the shuffle moves
+# only partial aggregates. This plan survives any SF.
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE), 2) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(8,4)))
+                          * (1 + CAST(l_tax AS DECIMAL(8,4)))) AS DOUBLE), 2) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    disc_price = _dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"), 8, 4))
+    charge = disc_price * (1 + _dec(F.col("l_tax"), 8, 4))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money(F.sum(_dec(F.col("l_quantity")))).alias("sum_qty"),
+            _money(F.sum(_dec(F.col("l_extendedprice")))).alias("sum_base_price"),
+            _money(F.sum(disc_price)).alias("sum_disc_price"),
+            _money(F.sum(charge)).alias("sum_charge"),
+            F.round(
+                F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count("*"), 4
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(_dec(F.col("l_discount"), 8, 4)).cast("double") / F.count("*"), 4
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1 — projection with alias + computed column (reference
+# concept_csv_export.py:316-350 aliases every output column).
+# ---------------------------------------------------------------------------
+@register(
+    "proj_alias",
+    """
+    SELECT p_partkey AS part_id,
+           p_name AS "Part name",
+           p_brand AS "Brand",
+           ROUND(CAST(CAST(p_retailprice AS DECIMAL(18,4))
+                      * CAST(1.1 AS DECIMAL(8,4)) AS DOUBLE), 2) AS marked_up
+    FROM part
+    """,
+)
+def proj_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Catalog(spark, sf_dir).part
+    return p.select(
+        F.col("p_partkey").alias("part_id"),
+        F.col("p_name").alias("Part name"),
+        F.col("p_brand").alias("Brand"),
+        F.round(
+            (_dec(F.col("p_retailprice")) * F.lit(1.1).cast("decimal(8,4)")).cast(
+                "double"
+            ),
+            2,
+        ).alias("marked_up"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2 — equality filter (reference concept_csv_export.py:380 `retired = 0`).
+# ---------------------------------------------------------------------------
+@register(
+    "filter_eq",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    return o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4 — LIKE predicate (reference stop-character audit,
+# concept_csv_export.py:203,223 `LIKE '%;%'`).
+# ---------------------------------------------------------------------------
+@register(
+    "filter_like",
+    """
+    SELECT p_partkey, p_type
+    FROM part
+    WHERE p_type LIKE '%AND%'
+    """,
+)
+def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Catalog(spark, sf_dir).part
+    return p.filter(F.col("p_type").like("%AND%")).select("p_partkey", "p_type")
+
+
+# ---------------------------------------------------------------------------
+# P6/J7/E1 — anti-join exclusion (reference exclude(),
+# concept_csv_export.py:452-454): customers with no orders.
+# Scale notes: left_anti shuffles both sides on the key once; no fan-out.
+# ---------------------------------------------------------------------------
+@register(
+    "anti_join_exclude",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    )
+    """,
+)
+def anti_join_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o, li = cat.orders, cat.lineitem
+    returned = li.filter(F.col("l_returnflag") == "R")
+    return o.join(
+        returned, o.o_orderkey == returned.l_orderkey, "left_anti"
+    ).select("o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# J1 — inner equi-join against a dimension, broadcast (reference
+# concept_csv_export.py:354-355 concept ⋈ concept_class).
+# Scale notes: part is dimension-scale → explicit broadcast removes the
+# shuffle entirely; the agg shuffles only (brand) partials.
+# ---------------------------------------------------------------------------
+@register(
+    "join_dim_broadcast",
+    """
+    SELECT p_brand,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE), 2)
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    headline=True,
+)
+def join_dim_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    disc_price = _dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"), 8, 4))
+    return (
+        cat.lineitem.join(
+            F.broadcast(cat.part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .groupBy("p_brand")
+        .agg(
+            _money(F.sum(disc_price)).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — left join with constant conjuncts in the ON clause (reference
+# concept_csv_export.py:276-284: name joins carry locale/voided predicates).
+# ---------------------------------------------------------------------------
+@register(
+    "left_join_const_conjunct",
+    """
+    SELECT o.o_orderkey,
+           o.o_orderstatus,
+           COUNT(l.l_orderkey) AS n_returned_items
+    FROM orders o
+    LEFT JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey AND l.l_returnflag = 'R'
+    GROUP BY o.o_orderkey, o.o_orderstatus
+    """,
+)
+def left_join_const_conjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o, li = cat.orders, cat.lineitem
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_returnflag == "R"),
+            "left",
+        )
+        .groupBy(o.o_orderkey, o.o_orderstatus)
+        .agg(F.count(li.l_orderkey).alias("n_returned_items"))
+        .select(
+            F.col("o_orderkey"),
+            F.col("o_orderstatus"),
+            F.col("n_returned_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — chained left joins with filter-through (reference
+# concept_csv_export.py:365-376: concept_set → concept → concept_name).
+# region → nation → customer → orders, keeping region even when empty.
+# ---------------------------------------------------------------------------
+@register(
+    "chain_join",
+    """
+    SELECT r.r_name AS region_name,
+           COUNT(o.o_orderkey) AS n_orders,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS total_spend
+    FROM region r
+    LEFT JOIN nation n ON r.r_regionkey = n.n_regionkey
+    LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY r.r_name
+    """,
+)
+def chain_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    r, n, c, o = cat.region, cat.nation, cat.customer, cat.orders
+    return (
+        r.join(F.broadcast(n), r.r_regionkey == n.n_regionkey, "left")
+        .join(c, n.n_nationkey == c.c_nationkey, "left")
+        .join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(r.r_name.alias("region_name"))
+        .agg(
+            F.count(o.o_orderkey).alias("n_orders"),
+            _money(F.sum(_dec(o.o_totalprice))).alias("total_spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — self-join (reference location parent lookup,
+# location_csv_export.py:116; sql/ordertypes.sql:7-8): nation pairs that
+# share a region, each pair once.
+# ---------------------------------------------------------------------------
+@register(
+    "self_join_pairs",
+    """
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b, a.n_regionkey AS regionkey
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+)
+def self_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = Catalog(spark, sf_dir).nation
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+            & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+        )
+        .select(
+            F.col("a.n_name").alias("nation_a"),
+            F.col("b.n_name").alias("nation_b"),
+            F.col("a.n_regionkey").alias("regionkey"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6/A1/A2 — multi-way join fan-out collapsed by group-by + MAX dedup
+# (reference location_csv_export.py:116-121 and the MAX() wrap at
+# concept_csv_export.py:318-320).
+# ---------------------------------------------------------------------------
+@register(
+    "fanout_regroup",
+    """
+    SELECT c.c_custkey,
+           MAX(c.c_name) AS customer_name,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders,
+           COUNT(l.l_orderkey) AS n_items
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_custkey
+    """,
+)
+def fanout_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    c, o, li = cat.customer, cat.orders, cat.lineitem
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(c.c_custkey)
+        .agg(
+            F.max(c.c_name).alias("customer_name"),
+            F.countDistinct(o.o_orderkey).alias("n_orders"),
+            F.count(li.l_orderkey).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1/O2 — global sort + limit with unique tiebreaker (reference
+# concept_csv_export.py:382-384 ORDER BY + LIMIT).
+# ---------------------------------------------------------------------------
+@register(
+    "order_limit",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# E2/E3 — union of edge lists + distinct (reference members+answers union,
+# concept_csv_export.py:434; exclude-set dedup 443-449).
+# ---------------------------------------------------------------------------
+@register(
+    "union_distinct",
+    """
+    SELECT DISTINCT nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    ) t
+    """,
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.customer.select(F.col("c_nationkey").alias("nationkey"))
+        .unionByName(cat.supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 distinct-count per group (§2.4 extension: exact distinct aggregation).
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_count",
+    """
+    SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 2 — MySQL-semantics aggregates, pivots, windows, rollup, audits.
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.functions.mysql import (
+    mysql_group_concat,
+    mysql_cast_unsigned,
+    strip_newlines,
+    pack_kv,
+)
+
+
+# A3 — GROUP_CONCAT(DISTINCT name ORDER BY weight SEPARATOR ';') (reference
+# concept_csv_export.py:348-349 Members/Answers). Canonical rule:
+# min-weight-wins per distinct value, value as tiebreak (SURVEY §7.3 item 1).
+@register(
+    "group_concat_ordered",
+    """
+    WITH pairs AS (
+        SELECT l_orderkey, p_name, MIN(l_linenumber) AS w
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY l_orderkey, p_name
+    )
+    SELECT l_orderkey,
+           string_agg(p_name, ';' ORDER BY w, p_name) AS part_names
+    FROM pairs GROUP BY l_orderkey
+    """,
+    headline=True,
+)
+def group_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.lineitem.join(
+            F.broadcast(cat.part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            mysql_group_concat("p_name", "l_linenumber", ";").alias("part_names")
+        )
+    )
+
+
+# A4 — unordered distinct list-agg, implicitly sorted (reference
+# location_csv_export.py:113-114 Tags/Attributes group_concat).
+@register(
+    "group_concat_distinct",
+    """
+    SELECT n.n_name AS nation_name,
+           string_agg(DISTINCT c.c_mktsegment, ',' ORDER BY c.c_mktsegment)
+               AS segments
+    FROM nation n JOIN customer c ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def group_concat_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    n, c = cat.nation, cat.customer
+    return (
+        n.join(c, n.n_nationkey == c.c_nationkey)
+        .groupBy(n.n_name.alias("nation_name"))
+        .agg(mysql_group_concat(c.c_mktsegment, sep=",").alias("segments"))
+    )
+
+
+# P5/F3 — MySQL CAST(x AS UNSIGNED) discriminator (reference
+# concept_csv_export.py:299-306): leading digits parsed, non-numeric → 0.
+@register(
+    "cast_discriminator",
+    """
+    SELECT COALESCE(TRY_CAST(regexp_extract(o_orderpriority, '^([0-9]+)', 1)
+                             AS BIGINT), 0) AS prio_num,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def cast_discriminator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.select(mysql_cast_unsigned("o_orderpriority").alias("prio_num"))
+        .groupBy("prio_num")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# F1/F2/F5/F9 — scalar-function chain: newline strip, k:v pack, split+first
+# (reference concept_csv_export.py:318,395; location_csv_export.py:114).
+@register(
+    "scalar_funcs",
+    """
+    SELECT doc_id,
+           string_split(regexp_replace(text, '[\r\n]', '', 'g'), ' ')[1]
+               AS first_word,
+           length(regexp_replace(text, '[\r\n]', '', 'g')) AS n_clean_chars,
+           concat(lang, ':', source) AS lang_source
+    FROM documents
+    """,
+)
+def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    clean = strip_newlines(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.split(clean, " ").getItem(0).alias("first_word"),
+        F.length(clean).alias("n_clean_chars"),
+        pack_kv("lang", "source").alias("lang_source"),
+    )
+
+
+# R1/J3 — static pivot with declared values (reference's 45 mapping-join
+# restructure, concept_csv_export.py:292-314 → one groupBy().pivot()). The
+# declared value list keeps columns deterministic even when a value is absent.
+@register(
+    "pivot_static",
+    """
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# §2.5 extension — ranking window: top-3 orders per customer.
+@register(
+    "window_topk",
+    """
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) t WHERE rn <= 3
+    """,
+    headline=True,
+)
+def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# §2.5 extension — sliding frame aggregate (decimal-exact running sums).
+@register(
+    "window_moving_avg",
+    """
+    SELECT event_id, user_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                 4) AS mavg
+    FROM events
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(_dec(F.col("value"))).over(w).cast("double")
+            / F.count("*").over(w),
+            4,
+        ).alias("mavg"),
+    )
+
+
+# §2.4 extension — ROLLUP subtotals (grouping-sets family).
+@register(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _money(F.sum(_dec(F.col("l_quantity")))).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+# §2.5 near-miss — positional sequence rank (reference
+# concept_set_csv_creator.py:72-74 Sort Weight = file position).
+@register(
+    "seq_rank",
+    """
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY doc_id) AS sort_weight
+    FROM documents
+    """,
+)
+def seq_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    w = Window.orderBy("doc_id")
+    return d.select("doc_id", F.row_number().over(w).alias("sort_weight"))
+
+
+# A6/P8 — per-column any-non-empty flags feeding the dynamic column pruner
+# (reference get_columns, concept_csv_export.py:607-629).
+@register(
+    "any_nonempty_cols",
+    """
+    SELECT MAX(CASE WHEN text IS NOT NULL AND text <> '' THEN 1 ELSE 0 END)
+               AS has_text,
+           MAX(CASE WHEN lang IS NOT NULL AND lang <> '' THEN 1 ELSE 0 END)
+               AS has_lang,
+           MAX(CASE WHEN source IS NOT NULL AND source <> '' THEN 1 ELSE 0 END)
+               AS has_source
+    FROM documents
+    """,
+)
+def any_nonempty_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    def flag(c):
+        return F.max(
+            F.when(F.col(c).isNotNull() & (F.col(c) != ""), 1).otherwise(0)
+        ).alias(f"has_{c}")
+    return d.agg(flag("text"), flag("lang"), flag("source"))
+
+
+# A7 — stop-character audit count (reference
+# concept_csv_export.py:193-235 WARNING queries).
+@register(
+    "audit_stopchar",
+    """
+    SELECT COUNT(*) AS n_offending
+    FROM part
+    WHERE p_name LIKE '% %'
+    """,
+)
+def audit_stopchar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Catalog(spark, sf_dir).part
+    return p.filter(F.col("p_name").like("% %")).agg(
+        F.count("*").alias("n_offending")
+    )

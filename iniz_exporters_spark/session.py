@@ -1,0 +1,68 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The defaults below are chosen for the 100 TB design point and merely sized
+down by env vars for local testing:
+
+  * AQE on — runtime re-planning (skew-join splitting, partition coalescing,
+    broadcast-join demotion/promotion) replaces hand-tuned plans.
+  * ``spark.sql.shuffle.partitions`` — env-tunable; on a real cluster this is
+    set to ~2-3× total cores (or left to AQE coalescing with a high initial
+    value); locally 32 matches local[32].
+  * Arrow enabled — every pandas interchange (mapInPandas / applyInPandas in
+    the multimodal path) is Arrow-batched, never row-at-a-time pickled.
+  * Session timezone pinned to UTC so timestamp semantics are engine-stable
+    (and match the DuckDB oracle, which uses naive/UTC timestamps).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(app_name: str = "iniz-exporters-spark") -> SparkSession:
+    """Build (or get) a SparkSession with the engine's defaults.
+
+    Local parallelism comes from ``$SPARK_GRAFT_CPUS`` (default ``*``);
+    shuffle width from ``$SPARK_GRAFT_SHUFFLE_PARTITIONS`` (default 32).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    shuffle = os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def tune_for_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally-built session.
+
+    The driver hands us a SparkSession it built itself; only conf keys that
+    are runtime-mutable can be set here (AQE + timezone are; master/memory
+    are not).
+    """
+    for k, v in (
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this session — fine, it's an optimization
+    return spark
