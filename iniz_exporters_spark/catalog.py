@@ -67,18 +67,19 @@ class Catalog:
 
         path = os.path.join(self.base, f"{name}.parquet")
         try:
-            return self.spark.read.parquet(path)
+            df = self.spark.read.parquet(path)
         except Exception:
             self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = self.spark.read.parquet(path)
-            for field_name, dtype in df.dtypes:
-                # nanosAsLong leaves ns-epoch longs; restore timestamp type
-                if dtype == "bigint" and field_name in ("ts",):
-                    df = df.withColumn(
-                        field_name,
-                        F.timestamp_micros(F.expr(f"{field_name} div 1000")),
-                    )
-            return df
+        # nanosAsLong (set here or earlier in the session) leaves ns-epoch
+        # longs; restore timestamp type for known event-time columns
+        for field_name, dtype in df.dtypes:
+            if dtype == "bigint" and field_name in ("ts",):
+                df = df.withColumn(
+                    field_name,
+                    F.timestamp_micros(F.expr(f"{field_name} div 1000")),
+                )
+        return df
 
     def __getattr__(self, name: str) -> DataFrame:
         if name.startswith("_"):

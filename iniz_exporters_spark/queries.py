@@ -691,3 +691,218 @@ def audit_stopchar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.filter(F.col("p_name").like("% %")).agg(
         F.count("*").alias("n_offending")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 3 — graph fixpoints, as-of join, streaming-window family.
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.operators.asof import asof_join
+from iniz_exporters_spark.plans.graph import (
+    distributed_reachable,
+    distributed_topo_levels,
+)
+
+_EDGES_ORACLE = """
+    edges AS (
+        SELECT 'c:' || o_custkey AS src, 'o:' || o_orderkey AS dst FROM orders
+        UNION ALL
+        SELECT DISTINCT 'o:' || l_orderkey, 'p:' || l_partkey FROM lineitem
+    )
+"""
+
+
+def _derived_edges(cat: Catalog) -> DataFrame:
+    """A 3-layer DAG derived from the star schema: customer → order → part.
+
+    Stand-in for the reference's concept graph (Members∪Answers edges,
+    concept_csv_export.py:407-530) at data scale.
+    """
+    c2o = cat.orders.select(
+        F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("o:"), F.col("o_orderkey")).alias("dst"),
+    )
+    o2p = (
+        cat.lineitem.select(
+            F.concat(F.lit("o:"), F.col("l_orderkey")).alias("src"),
+            F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return c2o.unionByName(o2p)
+
+
+# G1 — BFS transitive closure from a root, distributed fixpoint
+# (reference get_all_concepts_in_tree, concept_csv_export.py:407-438).
+@register(
+    "graph_reachability",
+    f"""
+    WITH RECURSIVE {_EDGES_ORACLE},
+    reach AS (
+        SELECT 'c:1' AS node
+        UNION
+        SELECT e.dst FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node FROM reach
+    """,
+)
+def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    roots = spark.createDataFrame([("c:1",)], ["node"])
+    return distributed_reachable(_derived_edges(cat), roots)
+
+
+# G3 — longest-path topological levels, distributed fixpoint
+# (reference move_referring_concepts_down, concept_csv_export.py:499-530).
+@register(
+    "graph_topo_levels",
+    f"""
+    WITH RECURSIVE {_EDGES_ORACLE},
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    walk AS (
+        SELECT node, 0 AS lvl FROM nodes
+        WHERE node NOT IN (SELECT dst FROM edges)
+        UNION ALL
+        SELECT e.dst, w.lvl + 1 FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node, MAX(lvl) AS lvl FROM walk GROUP BY node
+    """,
+)
+def graph_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return distributed_topo_levels(_derived_edges(cat))
+
+
+# §7 extension — as-of join (backward, inclusive): each purchase matched to
+# the user's most recent click at or before it. Implemented with the
+# union + ordered-window carry-forward pattern: ONE shuffle on the key, no
+# range explosion — the scalable shape for event-time alignment at 100 TB.
+@register(
+    "asof_join",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    headline=True,
+)
+def asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click")
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_cols={"event_id": "click_id", "ts": "click_ts"},
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "click_id",
+        "click_ts",
+    )
+
+
+# §2.11 extension — tumbling event-time window (batch-first; identical
+# expression runs under Structured Streaming, see streaming/windows.py).
+@register(
+    "tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _money(F.sum(_dec(F.col("value")))).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# §2.11 extension — sliding window (2h length, 1h slide): each event lands
+# in two windows; the oracle replays the assignment with a 2-row union.
+@register(
+    "sliding_window",
+    """
+    WITH assigned AS (
+        SELECT date_trunc('hour', ts) AS win_start, value FROM events
+        UNION ALL
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, value FROM events
+    )
+    SELECT win_start, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS sum_value
+    FROM assigned GROUP BY win_start
+    """,
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _money(F.sum(_dec(F.col("value")))).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_events", "sum_value")
+    )
+
+
+# §2.11 extension — session window (30 min gap) per user; oracle replays the
+# merge with gaps-and-islands. New session iff gap >= 30 min (Spark's session
+# window is half-open [first, last+gap)).
+@register(
+    "session_window",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    headline=True,
+)
+def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _money(F.sum(_dec(F.col("value")))).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,105 @@
+"""Ported reference graph-operator contracts
+(reference concepts/src/test_concept_csv_export.py:33-103) plus the
+distributed fixpoint variants.
+"""
+
+import pytest
+
+from iniz_exporters_spark.plans.graph import (
+    CycleError,
+    detect_cycles_rows,
+    distributed_reachable,
+    distributed_topo_levels,
+    exclude,
+    get_all_concepts_in_tree,
+    move_referring_concepts_down,
+    topo_order,
+)
+
+KEY = "Fully specified name:en"
+
+
+def rows(*triples):
+    return [
+        {KEY: k, "Answers": a, "Members": m} for k, a, m in triples
+    ]
+
+
+DAG = rows(
+    ("a", "", "b;c"),
+    ("b", "", "d;e"),
+    ("c", "d;e", ""),
+    ("d", "", ""),
+    ("e", "", ""),
+)
+
+
+def test_move_referring_concepts_down():
+    # reference test_concept_csv_export.py:33-50 — partial-order contract
+    res = [c[KEY] for c in move_referring_concepts_down(DAG, KEY)]
+    assert res.index("a") > res.index("b")
+    assert res.index("a") > res.index("c")
+    assert res.index("b") > res.index("d")
+    assert res.index("b") > res.index("e")
+    assert res.index("c") > res.index("d")
+    assert res.index("c") > res.index("e")
+
+
+def test_get_all_concepts_in_tree():
+    # reference test_concept_csv_export.py:53-69 — reachability set-equality
+    assert {c[KEY] for c in get_all_concepts_in_tree(DAG, "a", KEY)} == {
+        "a", "b", "c", "d", "e",
+    }
+    assert {c[KEY] for c in get_all_concepts_in_tree(DAG, "b", KEY)} == {
+        "b", "d", "e",
+    }
+    assert {c[KEY] for c in get_all_concepts_in_tree(DAG, "d", KEY)} == {"d"}
+
+
+def test_detect_cycles():
+    # reference test_concept_csv_export.py:72-87 — message + line-count
+    cyclic = rows(
+        ("a", "", "b;c"),
+        ("b", "", ""),
+        ("c", "d;e", ""),
+        ("d", "e;f", ""),
+        ("e", "", ""),
+        ("f", "c;e", ""),
+    )
+    with pytest.raises(CycleError) as exc:
+        detect_cycles_rows(cyclic, KEY)
+    assert "c --> d --> f --> c" in str(exc.value)
+    assert str(exc.value).count("\n\t") == 1  # only one cycle printed
+
+
+def test_integration():
+    # reference test_concept_csv_export.py:90-103 — exact output order
+    concepts = rows(
+        ("a", "", "b"),
+        ("b", "c", ""),
+        ("c", "", ""),
+        ("d", "", ""),
+    )
+    concepts = get_all_concepts_in_tree(concepts, "a", KEY)
+    detect_cycles_rows(concepts, KEY)
+    concepts = move_referring_concepts_down(concepts, KEY)
+    concepts = exclude(concepts, ["b"], key=KEY)
+    assert [c[KEY] for c in concepts] == ["c", "a"]
+
+
+def test_topo_order_cycle_guard():
+    with pytest.raises(CycleError):
+        topo_order(["a", "b"], {"a": ["b"], "b": ["a"]})
+
+
+def test_distributed_variants(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"), ("x", "y")],
+        ["src", "dst"],
+    )
+    roots = spark.createDataFrame([("a",)], ["node"])
+    got = {r.node for r in distributed_reachable(edges, roots).collect()}
+    assert got == {"a", "b", "c", "d", "e"}
+
+    lv = {r.node: r.lvl for r in distributed_topo_levels(edges).collect()}
+    assert lv == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3, "x": 0, "y": 1}
