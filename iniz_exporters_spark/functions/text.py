@@ -62,3 +62,88 @@ def char_shingles(col: Column | str, k: int = 5) -> Column:
     return F.transform(
         F.sequence(F.lit(1), n), lambda i: F.substring(c, i, k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (language-ID heuristic, quality scoring, fingerprinting)
+# ---------------------------------------------------------------------------
+
+#: Tiny per-language stopword lists for the n-gram/stopword language
+#: heuristic. Deliberately small and fixed so the DuckDB oracle can replay
+#: the identical scoring.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "un"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "fr": ("le", "la", "de", "et", "est", "les", "des", "une"),
+}
+
+
+def stopword_hits(col: Column | str, words: tuple[str, ...]) -> Column:
+    """How many tokens of the text are in ``words``."""
+    return F.size(
+        F.filter(
+            tokens(col),
+            lambda t: t.isin(*words),
+        )
+    )
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    return {
+        lang: stopword_hits(col, words) for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def predict_lang(col: Column | str) -> Column:
+    """Argmax of stopword hits with fixed priority order en>es>de>fr on
+    ties; 'und' (undetermined) when no list scores a hit."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    result = F.lit("und")
+    # build the CASE chain in reverse priority so earlier langs win ties
+    for lang in reversed(list(LANG_STOPWORDS)):
+        result = F.when(
+            (scores[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(result)
+    return result
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Share of characters that are not alphanumeric/space (0 for empty)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    stripped = F.regexp_replace(F.lower(c), "[a-z0-9 ]", "")
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.length(stripped).cast("double") / n
+    )
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    """Share of tokens that are English stopwords (0 for token-less text)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        stopword_hits(col, LANG_STOPWORDS["en"]).cast("double") / n
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality heuristic in [0,1]: rewards low punctuation noise,
+    some stopword presence (fluent text), and reasonable length."""
+    c = F.col(col) if isinstance(col, str) else col
+    length_term = F.least(F.length(c).cast("double") / 500, F.lit(1.0))
+    return F.round(
+        0.4 * (1 - punct_ratio(c))
+        + 0.3 * F.least(stopword_ratio(c) * 5, F.lit(1.0))
+        + 0.3 * length_term,
+        4,
+    )
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: polynomial hash of the
+    whitespace-normalized, lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return poly_hash(normalized)

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (SURVEY §7 phase 5).
+
+  * ``cosine`` — pure array-expression cosine (zip_with dot product +
+    sequential aggregate): JVM-side, deterministic summation order.
+  * ``knn_bruteforce`` — exact top-k: broadcast the (small) query set against
+    the corpus; cost O(|corpus|·|queries|) with NO shuffle of the corpus —
+    the canonical exact baseline at any corpus size as long as the query set
+    broadcasts.
+  * ``sign_bucket`` / ``ann_bucketed`` — LSH-style approximate path: bucket
+    vectors by the sign pattern of their leading dimensions (axis-aligned
+    random-hyperplane LSH with fixed planes, so it is deterministic and
+    oracle-checkable), then search within buckets only. The bucket join
+    shuffles on the bucket id; each bucket's pairwise work is 1/2^bits of
+    the naive cross product in expectation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _as_double(a), _as_double(b)
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_k: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, neighbor_id, cos, rn).
+
+    Ranking uses the ROUNDED cosine with neighbor id as tiebreak so results
+    are stable across engines/architectures.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos", F.round(cosine(F.col("__qv"), F.col("__cv")), round_to)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )
+
+
+def sign_bucket(vec: Column, bits: int = 4) -> Column:
+    """Deterministic LSH bucket: bit d = sign of dimension d (fixed
+    axis-aligned hyperplanes)."""
+    v = _as_double(vec)
+    return (
+        F.aggregate(
+            F.zip_with(
+                F.slice(v, 1, bits),
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                # 2^d via pow (exact in double for d < 53); pyspark's
+                # shiftleft wrapper would demand a literal shift amount
+                lambda x, d: F.when(x >= 0, F.pow(F.lit(2.0), d)).otherwise(
+                    F.lit(0.0)
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        .cast("long")
+    )
+
+
+def ann_bucketed(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 4,
+    top_k: int = 3,
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate top-k within each vector's sign bucket:
+    (query_id, neighbor_id, cos, rn). Recall trades off with ``bits``."""
+    b = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sign_bucket(F.col(vec_col), bits).alias("__bucket"),
+    )
+    l = b.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        "__bucket",
+    )
+    r = b.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        "__bucket",
+    )
+    scored = (
+        l.join(r, on="__bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos", F.round(cosine(F.col("__qv"), F.col("__cv")), round_to)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )

@@ -906,3 +906,292 @@ def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 4 — training-data pipeline operators: dedup, similarity, text.
+# The DuckDB oracles replay the exact polynomial-hash pipelines (the hash is
+# a plain arithmetic fold precisely so the oracle can mirror it).
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.functions.text import (
+    doc_fingerprint,
+    predict_lang,
+    quality_score,
+    whitespace_token_count,
+)
+from iniz_exporters_spark.operators.dedup import (
+    dedup_exact,
+    minhash_signatures,
+    neardup_pairs,
+    simhash_signatures,
+)
+from iniz_exporters_spark.operators.similarity import ann_bucketed, knn_bruteforce
+
+# shared DuckDB fragments mirroring functions/text.py
+_SQL_TOKENS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+)
+_SQL_POLY = (
+    "list_reduce(list_transform(string_split({s}, ''), c -> ascii(c)::BIGINT),"
+    " (a, b) -> (a * 31 + b) % 1000000007)"
+)
+_SQL_SHINGLE_SET = (
+    "list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),"
+    " i -> " + _SQL_POLY.format(s="substr(text, i, 5)") + "))"
+)
+_SQL_MINHASH_SIGS = f"""
+    sh AS (SELECT doc_id, {_SQL_SHINGLE_SET} AS hs FROM documents),
+    sig AS (
+        SELECT doc_id, j,
+               list_min(list_transform(hs,
+                   h -> ((1000003 * j + 1) * h + (7919 * j + 12345))
+                        % 1000000007)) AS minhash
+        FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS j) perms
+    )
+"""
+
+
+# Exact dedup — hash-groupBy keep-first (one shuffle on the dedup key).
+@register(
+    "dedup_exact",
+    """
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    headline=True,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("doc_id", "n_copies")
+
+
+# MinHash signatures — 8 permutations over 5-char shingle sets, computed as
+# per-row array expressions (zero shuffles).
+@register(
+    "minhash_signatures",
+    f"WITH {_SQL_MINHASH_SIGS} SELECT doc_id, j, minhash FROM sig",
+    headline=True,
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return minhash_signatures(d, "doc_id", "text", num_perm=8, k=5)
+
+
+# MinHash-LSH near-duplicate pairs — banded bucket join + exact Jaccard on
+# candidates only (cost ∝ near-dup pairs, not n²).
+@register(
+    "neardup_pairs",
+    f"""
+    WITH {_SQL_MINHASH_SIGS},
+    bands AS (
+        SELECT doc_id, j // 2 AS band,
+               list_reduce(list(minhash ORDER BY j),
+                           (a, b) -> (a * 31 + b) % 1000000007) AS bucket
+        FROM sig GROUP BY doc_id, j // 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+               ROUND(len(list_intersect(ha.hs, hb.hs))::DOUBLE
+                     / (len(ha.hs) + len(hb.hs)
+                        - len(list_intersect(ha.hs, hb.hs))), 4) AS jaccard
+        FROM cand
+        JOIN sh ha ON ha.doc_id = id_a
+        JOIN sh hb ON hb.doc_id = id_b
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.7
+    """,
+)
+def neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return neardup_pairs(
+        d, "doc_id", "text", threshold=0.7, num_perm=8, rows_per_band=2, k=5
+    )
+
+
+# SimHash — 32-bit signature from token-hash bit votes.
+@register(
+    "simhash",
+    f"""
+    WITH th AS (
+        SELECT doc_id,
+               list_transform({_SQL_TOKENS}, t -> {_SQL_POLY.format(s="t")})
+                   AS hs
+        FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(list_transform(range(0, 32), b ->
+               CASE WHEN list_reduce(list_transform(hs,
+                              h -> CASE WHEN (h >> b) & 1 = 1
+                                        THEN 1 ELSE -1 END),
+                          (x, y) -> x + y) > 0
+                    THEN (1::BIGINT << b) ELSE 0 END),
+               (x, y) -> x + y) AS simhash
+    FROM th
+    """,
+)
+def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return simhash_signatures(d, "doc_id", "text", bits=32)
+
+
+# Document fingerprint — polynomial hash of normalized text.
+_SQL_NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SQL_FINGERPRINT = _SQL_POLY.format(s=_SQL_NORM_TEXT)
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id, {_SQL_FINGERPRINT} AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+# Token counting — whitespace tokens + characters.
+@register(
+    "token_count",
+    """
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '')) AS n_tokens,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        whitespace_token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+# Quality scoring — punctuation / stopword / length composite.
+@register(
+    "quality_score",
+    f"""
+    WITH t AS (
+        SELECT doc_id, length(text) AS n,
+               length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                   AS n_punct,
+               {_SQL_TOKENS} AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           ROUND(
+             0.4::DOUBLE * (1 - CASE WHEN n = 0 THEN 0::DOUBLE
+                                     ELSE n_punct::DOUBLE / n END)
+           + 0.3::DOUBLE * least(
+                 (CASE WHEN len(toks) = 0 THEN 0::DOUBLE
+                       ELSE len(list_filter(toks, x -> x IN
+                            ('the','a','and','of','to','in','is','it')))::DOUBLE
+                            / len(toks) END) * 5, 1.0::DOUBLE)
+           + 0.3::DOUBLE * least(n::DOUBLE / 500, 1.0::DOUBLE), 4) AS quality
+    FROM t
+    """,
+)
+def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+# Language-ID heuristic — stopword-hit argmax, en>es>de>fr tie priority.
+@register(
+    "lang_id",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    s AS (
+        SELECT doc_id,
+               len(list_filter(toks, x -> x IN
+                   ('the','a','and','of','to','in','is','it'))) AS c_en,
+               len(list_filter(toks, x -> x IN
+                   ('el','la','de','que','y','los','en','un'))) AS c_es,
+               len(list_filter(toks, x -> x IN
+                   ('der','die','das','und','ist','ein','nicht','mit'))) AS c_de,
+               len(list_filter(toks, x -> x IN
+                   ('le','la','de','et','est','les','des','une'))) AS c_fr
+        FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(c_en, c_es, c_de, c_fr) = 0 THEN 'und'
+                WHEN c_en = greatest(c_en, c_es, c_de, c_fr) THEN 'en'
+                WHEN c_es = greatest(c_en, c_es, c_de, c_fr) THEN 'es'
+                WHEN c_de = greatest(c_en, c_es, c_de, c_fr) THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return d.select("doc_id", predict_lang("text").alias("lang_pred"))
+
+
+# Exact k-NN — brute-force cosine top-5 for the first 10 query vectors;
+# broadcast queries × corpus, ranked by rounded cosine (stable tiebreak).
+@register(
+    "knn_bruteforce",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(q.v, c.v), 4) AS cos
+        FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, cos, rn FROM (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored
+    ) t WHERE rn <= 5
+    """,
+    headline=True,
+)
+def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    return knn_bruteforce(
+        corpus=e, queries=e.filter(F.col("vec_id") < 10), top_k=5
+    )
+
+
+# Approximate NN — sign-bucket LSH: search only within each vector's
+# 4-bit sign bucket (deterministic fixed hyperplanes → oracle-checkable).
+@register(
+    "ann_bucketed",
+    """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_reduce(list_transform(range(0, 4), d ->
+                   CASE WHEN embedding[d + 1] >= 0
+                        THEN power(2, d)::BIGINT ELSE 0::BIGINT END),
+                   (x, y) -> x + y) AS bucket
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(q.v, c.v), 4) AS cos
+        FROM e q JOIN e c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos, rn FROM (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored
+    ) t WHERE rn <= 3
+    """,
+)
+def ann_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    return ann_bucketed(e, bits=4, top_k=3)
