@@ -1,0 +1,121 @@
+"""Multimodal columns — image/audio/video as opaque binary + typed metadata.
+
+Design (SURVEY §7 phase 5): media payloads travel as ``BinaryType`` columns
+with a sibling metadata struct; per-item decode/feature work runs in
+``mapInPandas`` so each Arrow batch crosses the JVM↔Python boundary once
+(never row-at-a-time pickling). Partitioning guidance at 100 TB: media rows
+are large — size ``spark.sql.files.maxPartitionBytes`` down (e.g. 32 MB) so
+a partition's batch of decoded frames fits executor memory, and keep the
+metadata-only projections (which Catalyst prunes to, because the decode is
+isolated in its own select) on the fast path.
+
+The actual codec work (Pillow/ffmpeg/torchaudio) is NOT available in this
+container, so ``decode_images``/``extract_frames`` run a clearly-marked
+deterministic fake when the libraries are missing — the Spark-side plumbing
+(schema, batch iteration, UDF signature) is real and tested either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+IMAGE_META_SCHEMA = (
+    "width int, height int, format string, byte_len long, checksum bigint"
+)
+
+
+def binary_metadata(df: DataFrame, binary_col: str) -> DataFrame:
+    """Cheap JVM-side metadata: byte length + polynomial checksum of the
+    first 64 bytes (no Python at all — stays in codegen)."""
+    b = F.col(binary_col)
+    head = F.expr(
+        f"aggregate(transform(sequence(1, least(octet_length({binary_col}), 64)),"
+        f" i -> ascii(substring(cast({binary_col} as string), i, 1))),"
+        " 0L, (acc, c) -> (acc * 31 + c) % 1000000007)"
+    )
+    return df.withColumn("byte_len", F.octet_length(b)).withColumn(
+        "bin_checksum", head
+    )
+
+
+def _try_import_pil():
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except Exception:
+        return None
+
+
+def decode_images(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """(id, width, height, format, byte_len, checksum) via mapInPandas.
+
+    With Pillow installed the real decoder runs; otherwise a deterministic
+    fake derives plausible metadata from the byte content (clearly marked —
+    do NOT ship the fake to production).
+    """
+    pil = _try_import_pil()
+
+    def batches(it: Iterator) -> Iterator:
+        import io
+
+        import pandas as pd
+
+        for pdf in it:
+            ids, ws, hs, fmts, lens, sums = [], [], [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[binary_col]):
+                data = bytes(payload) if payload is not None else b""
+                ids.append(i)
+                lens.append(len(data))
+                csum = 0
+                for b in data[:64]:
+                    csum = (csum * 31 + b) % 1_000_000_007
+                sums.append(csum)
+                if pil is not None and data:
+                    try:
+                        img = pil.open(io.BytesIO(data))
+                        ws.append(img.width)
+                        hs.append(img.height)
+                        fmts.append(img.format or "UNKNOWN")
+                        continue
+                    except Exception:
+                        pass
+                # DETERMINISTIC FAKE (no codec libs in this environment):
+                # metadata derived from byte stats so tests are stable.
+                ws.append((csum % 64) + 1)
+                hs.append((csum % 48) + 1)
+                fmts.append("FAKE")
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "width": ws,
+                    "height": hs,
+                    "format": fmts,
+                    "byte_len": lens,
+                    "checksum": sums,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        batches, schema=f"{id_col} long, {IMAGE_META_SCHEMA}"
+    )
+
+
+def extract_frames(
+    df: DataFrame, binary_col: str, id_col: str, every_n: int = 10
+) -> DataFrame:
+    """Frame sampling for video payloads — STUB.
+
+    Real implementation requires ffmpeg bindings, absent here. The function
+    exists so the API surface (signature + output schema:
+    (id, frame_idx, frame binary)) is fixed and documented.
+    """
+    raise NotImplementedError(
+        "video frame extraction needs ffmpeg bindings not present in this "
+        "environment; plumbing contract: mapInPandas over "
+        f"({id_col}, {binary_col}) → ({id_col} long, frame_idx int, "
+        "frame binary)"
+    )

@@ -1,0 +1,54 @@
+"""Multimodal plumbing: binary columns + Arrow-batched decode path.
+
+Codec libraries are absent in this environment, so decode_images runs its
+clearly-marked deterministic fake — the schema, mapInPandas batching, and
+checksum/byte-length logic are what is under test.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from iniz_exporters_spark.multimodal.binary import (
+    binary_metadata,
+    decode_images,
+    extract_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (1, b"PNG-fake-payload-AAAA"),
+        (2, b"JPEG-fake-payload-BBBBBBBB"),
+        (3, b""),
+    ]
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def test_binary_metadata(media_df):
+    got = {r["media_id"]: r for r in binary_metadata(media_df, "payload").collect()}
+    assert got[1]["byte_len"] == 21
+    assert got[2]["byte_len"] == 26
+    assert got[3]["byte_len"] == 0
+    assert got[1]["bin_checksum"] != got[2]["bin_checksum"]
+
+
+def test_decode_images_fake_path(media_df):
+    out = decode_images(media_df, "payload", "media_id")
+    assert out.schema.simpleString() == (
+        "struct<media_id:bigint,width:int,height:int,format:string,"
+        "byte_len:bigint,checksum:bigint>"
+    )
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert rows[1]["format"] == "FAKE"  # no Pillow in this container
+    assert rows[1]["byte_len"] == 21
+    assert 1 <= rows[1]["width"] <= 64
+    # determinism: same payload → same fake metadata
+    again = {r["media_id"]: r for r in decode_images(media_df, "payload", "media_id").collect()}
+    assert rows[1]["checksum"] == again[1]["checksum"]
+    assert rows[1]["width"] == again[1]["width"]
+
+
+def test_extract_frames_is_declared_stub(media_df):
+    with pytest.raises(NotImplementedError):
+        extract_frames(media_df, "payload", "media_id")

@@ -1,0 +1,158 @@
+"""Operator unit tests: MySQL shims, as-of join, dedup detection on
+synthetic near-duplicates, pruning, CSV sink.
+"""
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from iniz_exporters_spark.functions.mysql import (
+    mysql_cast_unsigned,
+    mysql_group_concat,
+    strip_newlines,
+)
+from iniz_exporters_spark.operators.asof import asof_join
+from iniz_exporters_spark.operators.dedup import (
+    dedup_exact,
+    neardup_pairs,
+    simhash_signatures,
+)
+from iniz_exporters_spark.operators.pruning import drop_all_empty_columns
+from iniz_exporters_spark.operators.similarity import knn_bruteforce
+from iniz_exporters_spark.sources.csv_sink import write_single_csv
+
+
+def test_mysql_group_concat_distinct_order(spark):
+    # DISTINCT on value, ORDER BY weight: min-weight-wins, value tiebreak
+    df = spark.createDataFrame(
+        [(1, "b", 3.0), (1, "a", 2.0), (1, "b", 1.0), (1, "c", 2.0), (1, None, 0.5)],
+        "g long, v string, w double",
+    )
+    got = df.groupBy("g").agg(
+        mysql_group_concat("v", "w", ";").alias("x")
+    ).first()["x"]
+    # b has min weight 1.0; a and c tie at 2.0 → value order a<c
+    assert got == "b;a;c"
+
+
+def test_mysql_group_concat_unordered_sorts(spark):
+    df = spark.createDataFrame([(1, "z"), (1, "a"), (1, "z")], "g long, v string")
+    got = df.groupBy("g").agg(mysql_group_concat("v", sep=",").alias("x")).first()["x"]
+    assert got == "a,z"
+
+
+def test_mysql_cast_unsigned(spark):
+    df = spark.createDataFrame(
+        [("123",), ("12ab",), ("abc",), ("",), (None,)], "s string"
+    )
+    got = [r["n"] for r in df.select(mysql_cast_unsigned("s").alias("n")).collect()]
+    assert got == [123, 12, 0, 0, 0]  # MySQL leading-digit semantics
+
+
+def test_strip_newlines(spark):
+    df = spark.createDataFrame([("a\r\nb\nc",)], "s string")
+    assert df.select(strip_newlines("s").alias("x")).first()["x"] == "abc"
+
+
+def test_asof_forward_and_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "L1"), (1, 25, "L2"), (2, 5, "L3")],
+        "k long, t long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, "R8"), (1, 20, "R20"), (1, 30, "R30")],
+        "k long, t long, rv string",
+    )
+    back = {
+        r["lv"]: r["rv"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="t",
+            right_cols={"rv": "rv"},
+        ).collect()
+    }
+    assert back == {"L1": "R8", "L2": "R20", "L3": None}
+    fwd = {
+        r["lv"]: r["rv"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="t",
+            right_cols={"rv": "rv"}, direction="forward",
+        ).collect()
+    }
+    assert fwd == {"L1": "R20", "L2": "R30", "L3": None}
+
+
+def test_neardup_detects_planted_duplicates(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the spark engine "
+        "shuffles partitions across the cluster with adaptive execution"
+    )
+    near = base.replace("lazy", "sleepy")  # one-word edit → high jaccard
+    other = (
+        "completely different content about databases indexes transactions "
+        "and write ahead logging in storage engines everywhere tonight"
+    )
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other), (4, base)],  # 4 = exact dup of 1
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in neardup_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    deduped = dedup_exact(df, ["text"], "doc_id")
+    assert sorted(r["doc_id"] for r in deduped.collect()) == [1, 2, 3]
+
+
+def test_simhash_similar_texts_close(spark):
+    a = "spark adaptive query execution rewrites plans at runtime"
+    b = "spark adaptive query execution rewrites plans at midnight"
+    c = "bananas oranges apples pears grapes melons kiwis"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    sig = {r["doc_id"]: r["simhash"] for r in
+           simhash_signatures(df, "doc_id", "text").collect()}
+    ham_ab = bin(sig[1] ^ sig[2]).count("1")
+    ham_ac = bin(sig[1] ^ sig[3]).count("1")
+    assert ham_ab < ham_ac
+
+
+def test_knn_self_consistent(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = knn_bruteforce(df, df.filter(F.col("vec_id") == 1), top_k=3)
+    ordered = [r["neighbor_id"] for r in got.orderBy("rn").collect()]
+    assert ordered == [2, 3, 4]  # by descending cosine to [1,0,0,0]
+
+
+def test_drop_all_empty_columns(spark):
+    df = spark.createDataFrame(
+        [("u1", None, "x", ""), ("u2", None, "", "")],
+        "uuid string, `Void/Retire` string, a string, b string",
+    )
+    out = drop_all_empty_columns(df, prefix_order=("uuid", "Void/Retire"))
+    assert out.columns == ["uuid", "Void/Retire", "a"]
+
+
+def test_write_single_csv(spark):
+    df = spark.createDataFrame(
+        [("u1", None, "x"), ("u2", "y", None)], "id string, a string, b string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "out.csv")
+        write_single_csv(df.orderBy("id"), path, columns=["id", "b", "a"])
+        with open(path) as f:
+            lines = f.read().splitlines()
+    assert lines[0] == "id,b,a"
+    assert lines[1:] == ["u1,x,", "u2,,y"]
