@@ -939,14 +939,15 @@ _SQL_SHINGLE_SET = (
     "list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),"
     " i -> " + _SQL_POLY.format(s="substr(text, i, 5)") + "))"
 )
-_SQL_MINHASH_SIGS = f"""
+def _sql_minhash_sigs(num_perm: int) -> str:
+    return f"""
     sh AS (SELECT doc_id, {_SQL_SHINGLE_SET} AS hs FROM documents),
     sig AS (
         SELECT doc_id, j,
                list_min(list_transform(hs,
                    h -> ((1000003 * j + 1) * h + (7919 * j + 12345))
                         % 1000000007)) AS minhash
-        FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS j) perms
+        FROM sh CROSS JOIN (SELECT unnest(range(0, {num_perm})) AS j) perms
     )
 """
 
@@ -971,7 +972,7 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-row array expressions (zero shuffles).
 @register(
     "minhash_signatures",
-    f"WITH {_SQL_MINHASH_SIGS} SELECT doc_id, j, minhash FROM sig",
+    f"WITH {_sql_minhash_sigs(8)} SELECT doc_id, j, minhash FROM sig",
     headline=True,
 )
 def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -984,12 +985,12 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "neardup_pairs",
     f"""
-    WITH {_SQL_MINHASH_SIGS},
+    WITH {_sql_minhash_sigs(16)},
     bands AS (
-        SELECT doc_id, j // 2 AS band,
+        SELECT doc_id, j // 4 AS band,
                list_reduce(list(minhash ORDER BY j),
                            (a, b) -> (a * 31 + b) % 1000000007) AS bucket
-        FROM sig GROUP BY doc_id, j // 2
+        FROM sig GROUP BY doc_id, j // 4
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1011,7 +1012,7 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     return neardup_pairs(
-        d, "doc_id", "text", threshold=0.7, num_perm=8, rows_per_band=2, k=5
+        d, "doc_id", "text", threshold=0.7, num_perm=16, rows_per_band=4, k=5
     )
 
 

@@ -41,6 +41,10 @@ def get_spark(app_name: str = "iniz-exporters-spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet carries timestamp[ns]; Spark has no nanos type, so
+        # read as long up front (Catalog restores microsecond timestamps) —
+        # avoids a failed-and-retried first read job
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

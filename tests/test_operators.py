@@ -16,6 +16,7 @@ from iniz_exporters_spark.functions.mysql import (
 from iniz_exporters_spark.operators.asof import asof_join
 from iniz_exporters_spark.operators.dedup import (
     dedup_exact,
+    minhash_signatures,
     neardup_pairs,
     simhash_signatures,
 )
@@ -156,3 +157,28 @@ def test_write_single_csv(spark):
             lines = f.read().splitlines()
     assert lines[0] == "id,b,a"
     assert lines[1:] == ["u1,x,", "u2,,y"]
+
+
+def test_arrow_kernels_match_catalyst_spec(spark):
+    """The Arrow/numpy dedup kernels must produce bit-identical values to the
+    pure-Catalyst expression builders (the executable spec), including the
+    empty / shorter-than-k / non-ASCII edge cases."""
+    from iniz_exporters_spark.operators.dedup import (
+        minhash_signatures_expr,
+        simhash_signatures_expr,
+    )
+
+    rows = [
+        (1, ""),
+        (2, "ab"),
+        (3, "hello world hello"),
+        (4, "Café né 北京 test"),
+        (5, "xxxxyz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert sorted(minhash_signatures(df, "doc_id", "text").collect()) == sorted(
+        minhash_signatures_expr(df, "doc_id", "text").collect()
+    )
+    assert sorted(simhash_signatures(df, "doc_id", "text").collect()) == sorted(
+        simhash_signatures_expr(df, "doc_id", "text").collect()
+    )
