@@ -25,15 +25,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     headline = {n: s for n, s in REGISTRY.items() if s.headline}
+
+    def run(spec, d):
+        # noop sink: full distributed evaluation of every output column,
+        # no driver-side row materialization — measures the engine, not
+        # py4j deserialization of the result set
+        spec.fn(spark, d).write.format("noop").mode("overwrite").save()
+
     # JVM/codegen warmup on the smallest SF so per-query times measure the
     # plan, not first-call compilation
     for spec in headline.values():
-        spec.fn(spark, "/root/testdata/sf0.001").collect()
+        run(spec, "/root/testdata/sf0.001")
 
     times: dict[str, float] = {}
     for name, spec in headline.items():
         t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).collect()
+        run(spec, sf_dir)
         times[name] = round(time.perf_counter() - t0, 3)
 
     print(

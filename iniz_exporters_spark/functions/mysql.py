@@ -28,15 +28,17 @@ def mysql_group_concat(
     value: Column | str,
     order_by: Column | str | None = None,
     sep: str = ";",
+    assume_distinct: bool = False,
 ) -> Column:
     """Aggregate: distinct ``value``s joined by ``sep``, ordered by the
     minimum ``order_by`` seen for each distinct value (value as tiebreak).
 
     Runs as a single hash-aggregate: collect (weight, value) structs, then
-    array ops (all JVM-side codegen) do the distinct/order/join. For groups of
-    unbounded cardinality prefer a two-level pre-aggregation
-    (groupBy(key, value).agg(min(weight))) before calling this; at the
-    reference's metadata scale the single-pass form is optimal.
+    array ops (all JVM-side) do the distinct/order/join. The in-group dedup
+    fold is O(n²) per group, so for groups of unbounded cardinality use
+    ``group_concat_two_phase`` instead — it pushes DISTINCT into a
+    pre-aggregation (map-side combine shrinks the shuffle) and sets
+    ``assume_distinct=True`` here to skip the fold entirely.
     """
     v = F.col(value) if isinstance(value, str) else value
     if order_by is None:
@@ -47,6 +49,9 @@ def mysql_group_concat(
     # min-weight per distinct value: sort (w, v) pairs, keep first occurrence
     # of each v in that order → equivalent to ordering distinct v by (min_w, v).
     sorted_pairs = F.array_sort(pairs)
+    if assume_distinct:
+        ordered = F.transform(sorted_pairs, lambda x: x["v"])
+        return F.array_join(F.filter(ordered, lambda x: x.isNotNull()), sep)
     dedup = F.aggregate(
         sorted_pairs,
         F.array().cast("array<string>"),
@@ -55,6 +60,25 @@ def mysql_group_concat(
         ).otherwise(F.concat(acc, F.array(x["v"]))),
     )
     return F.array_join(dedup, sep)
+
+
+def group_concat_two_phase(df, keys, value: str, order_by: str, sep: str = ";",
+                           alias: str | None = None):
+    """GROUP_CONCAT(DISTINCT value ORDER BY min(order_by), value) as a
+    two-phase plan: ``groupBy(keys + value).agg(min(order_by))`` collapses
+    duplicates with map-side partial aggregation (the shuffle carries one
+    row per distinct (key, value) instead of one per input row), then the
+    final group assembles the ordered string over already-distinct values —
+    no per-group O(n²) dedup fold. This is the 100 TB shape of the
+    reference's GROUP_CONCAT (concept_csv_export.py:348-349).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    pre = df.groupBy(*keys, value).agg(F.min(order_by).alias("__w"))
+    return pre.groupBy(*keys).agg(
+        mysql_group_concat(value, "__w", sep, assume_distinct=True).alias(
+            alias or value
+        )
+    )
 
 
 def mysql_cast_unsigned(col: Column | str) -> Column:

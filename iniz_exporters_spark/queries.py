@@ -429,6 +429,7 @@ def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Batch 2 — MySQL-semantics aggregates, pivots, windows, rollup, audits.
 # ---------------------------------------------------------------------------
 from iniz_exporters_spark.functions.mysql import (
+    group_concat_two_phase,
     mysql_group_concat,
     mysql_cast_unsigned,
     strip_newlines,
@@ -455,14 +456,11 @@ from iniz_exporters_spark.functions.mysql import (
 )
 def group_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
-    return (
-        cat.lineitem.join(
-            F.broadcast(cat.part), F.col("l_partkey") == F.col("p_partkey")
-        )
-        .groupBy("l_orderkey")
-        .agg(
-            mysql_group_concat("p_name", "l_linenumber", ";").alias("part_names")
-        )
+    joined = cat.lineitem.join(
+        F.broadcast(cat.part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    return group_concat_two_phase(
+        joined, "l_orderkey", "p_name", "l_linenumber", ";", alias="part_names"
     )
 
 
