@@ -158,3 +158,51 @@ def ann_bucketed(
         sign_bucket(F.col(vec_col), bits).alias("__bucket"),
     )
     return b.groupBy("__bucket").applyInPandas(kernel, out_schema)
+
+
+def cosine_neardup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 4,
+    threshold: float = 0.95,
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos) with
+    rounded cosine ≥ ``threshold``, candidates restricted to each vector's
+    sign bucket (same deterministic LSH as ``ann_bucketed``).
+
+    Same scale shape as ``ann_bucketed``: one shuffle on the bucket id,
+    per-bucket pairwise scoring vectorized in-task, upper-triangle only —
+    pair rows never carry embedding payloads through a shuffle."""
+    import pandas as pd
+
+    id_type = dict(corpus.dtypes)[id_col]
+    out_schema = f"id_a {id_type}, id_b {id_type}, cos double"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"cos": "float64"}
+            )
+        # order by id so emitted pairs are (smaller, larger)
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].values
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.sqrt((V * V).sum(axis=1))
+        sims = np.round((V @ V.T) / np.outer(norms, norms), round_to)
+        iu, ju = np.triu_indices(n, k=1)
+        keep = sims[iu, ju] >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "cos": sims[iu[keep], ju[keep]]}
+        )
+
+    b = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sign_bucket(F.col(vec_col), bits).alias("__bucket"),
+    )
+    return b.groupBy("__bucket").applyInPandas(kernel, out_schema)

@@ -1194,3 +1194,227 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).embeddings
     return ann_bucketed(e, bits=4, top_k=3)
+
+
+# ---------------------------------------------------------------------------
+# Extension surface, round-1 widening: embedding-cosine near-dup, grouping
+# sets, approx-distinct (error-bound-checked), exact percentiles, and two
+# TPC-H-style multi-join headline queries (join-order / broadcast showcase).
+# ---------------------------------------------------------------------------
+
+from iniz_exporters_spark.operators.similarity import cosine_neardup
+
+
+# Embedding-cosine near-duplicate pairs — the embedding-space member of the
+# dedup family (SURVEY §7 phase 5): sign-bucket LSH candidates, rounded
+# cosine ≥ 0.8, id_a < id_b.
+@register(
+    "embedding_cosine_neardup",
+    """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_reduce(list_transform(range(0, 4), d ->
+                   CASE WHEN embedding[d + 1] >= 0
+                        THEN power(2, d)::BIGINT ELSE 0::BIGINT END),
+                   (x, y) -> x + y) AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.5
+    """,
+)
+def embedding_cosine_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    return cosine_neardup(e, bits=4, threshold=0.5)
+
+
+# GROUPING SETS / cube — multi-granularity aggregate in one pass
+# (§2.4 extension; partial aggregation applies per grouping set).
+@register(
+    "cube_agg",
+    """
+    SELECT COALESCE(l_returnflag, '<all>') AS rf,
+           COALESCE(l_linestatus, '<all>') AS ls,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            _money(F.sum(_dec(F.col("l_quantity")))).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("ls"),
+            "gid",
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+# Approximate distinct-count (HyperLogLog++) checked against the exact
+# count inside the query: the oracle-comparable output is the exact count
+# plus a within-5% flag, so the approx machinery is exercised while the
+# comparison stays deterministic across engines.
+@register(
+    "approx_distinct_check",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_nd,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("exact_nd"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("__approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_nd",
+            (
+                F.abs(F.col("__approx") - F.col("exact_nd"))
+                <= 0.05 * F.col("exact_nd")
+            ).alias("approx_ok"),
+        )
+    )
+
+
+# Exact interpolated percentiles per group (§2.4 extension).
+@register(
+    "percentile_agg",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90"),
+    )
+
+
+# TPC-H Q3 (shipping priority): customer ⋈ orders ⋈ lineitem with
+# selective filters on both sides, agg, global top-10. Scale notes: both
+# date filters push to the parquet scans; customer (filtered) broadcasts;
+# the orders⋈lineitem join shuffles on orderkey; top-10 is a
+# TakeOrderedAndProject (no global sort materialization).
+@register(
+    "tpch_q3",
+    """
+    SELECT l_orderkey,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE), 2)
+               AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    headline=True,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    revenue = F.sum(
+        _dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"), 8, 4))
+    )
+    return (
+        cat.customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(
+            cat.orders.filter(
+                F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            cat.lineitem.filter(
+                F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_money(revenue).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# TPC-H Q5 (local supplier volume): 6-table join; region/nation broadcast,
+# the fact-side joins shuffle on their keys; one hash agg on n_name.
+@register(
+    "tpch_q5",
+    """
+    SELECT n_name,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE), 2)
+               AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    headline=True,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    revenue = F.sum(
+        _dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"), 8, 4))
+    )
+    return (
+        cat.customer.join(
+            cat.orders.filter(
+                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(cat.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            cat.supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(cat.nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(cat.region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(_money(revenue).alias("revenue"))
+    )
