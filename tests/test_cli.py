@@ -1,0 +1,111 @@
+"""CLI parity tests: drive the argparse entry points end-to-end over
+parquet fixture tables (reference CLIs: concept_csv_export.py:640-740,
+location_csv_export.py:233-280, concept_set_csv_creator.py:80-97)."""
+
+import csv
+import os
+import tempfile
+
+import pytest
+
+from iniz_exporters_spark.cli import (
+    concepts_main,
+    locations_main,
+    set_creator_main,
+)
+
+# importing the fixtures registers them with this module for pytest
+from test_exporters import concept_tables, location_tables  # noqa: F401
+
+
+def _to_parquet(tables: dict, d: str) -> None:
+    for name, df in tables.items():
+        df.write.mode("overwrite").parquet(os.path.join(d, f"{name}.parquet"))
+
+
+def test_concepts_cli(spark, concept_tables):  # noqa: F811
+    with tempfile.TemporaryDirectory() as d:
+        _to_parquet(concept_tables, d)
+        out = os.path.join(d, "concepts.csv")
+        concepts_main(
+            [
+                "testdb",
+                "--tables-dir", d,
+                "-o", out,
+                "-l", "en,es",
+                "-s", "PIH|Name,PIH|Number,CIEL",
+            ]
+        )
+        with open(out) as f:
+            rows = list(csv.DictReader(f))
+    names = [r["Fully specified name:en"] for r in rows]
+    # retired concept dropped; referents precede referrers (topo order)
+    assert "Retired thing" not in names
+    assert names.index("Vitals") > names.index("Weight")
+    assert names.index("Vitals") > names.index("Height")
+    weight = next(r for r in rows if r["Fully specified name:en"] == "Weight")
+    assert weight["uuid"] == "uuid-weight"
+
+
+def test_concepts_cli_set_and_exclude(spark, concept_tables):  # noqa: F811
+    with tempfile.TemporaryDirectory() as d:
+        _to_parquet(concept_tables, d)
+        # exclude file keyed by the concept key column
+        excl = os.path.join(d, "excl.csv")
+        with open(excl, "w", newline="") as f:
+            w = csv.DictWriter(f, ["Fully specified name:en"])
+            w.writeheader()
+            w.writerow({"Fully specified name:en": "Height"})
+        out = os.path.join(d, "set.csv")
+        concepts_main(
+            [
+                "testdb",
+                "--tables-dir", d,
+                "-o", out,
+                "-c", "Vitals",
+                "-e", excl,
+                "-s", "PIH|Name,PIH|Number,CIEL",
+            ]
+        )
+        with open(out) as f:
+            rows = list(csv.DictReader(f))
+    names = [r["Fully specified name:en"] for r in rows]
+    assert "Height" not in names          # excluded
+    assert "Weight" in names and "Vitals" in names
+    assert "Yes" not in names             # not in the Vitals tree
+
+
+def test_locations_cli(spark, location_tables):  # noqa: F811
+    with tempfile.TemporaryDirectory() as d:
+        _to_parquet(location_tables, d)
+        out = os.path.join(d, "locations.csv")
+        locations_main(["testdb", "--tables-dir", d, "-o", out])
+        with open(out) as f:
+            rows = list(csv.DictReader(f))
+    assert rows, "locations CSV is empty"
+    assert "Name" in rows[0] and "Parent" in rows[0]
+
+
+def test_set_creator_cli(tmp_path):
+    infile = tmp_path / "concepts.csv"
+    with open(infile, "w", newline="") as f:
+        w = csv.DictWriter(
+            f, ["uuid", "Fully specified name:en", "Void/Retire"]
+        )
+        w.writeheader()
+        w.writerow({"uuid": "set-uuid", "Fully specified name:en": "My set"})
+        w.writerow({"uuid": "m1", "Fully specified name:en": "Member one"})
+        w.writerow({"uuid": "m2", "Fully specified name:en": "Member two"})
+    out = set_creator_main([str(infile), "-o", str(tmp_path / "out.csv")])
+    with open(out) as f:
+        rows = list(csv.DictReader(f))
+    assert [r["Member"] for r in rows] == ["m1", "m2"]
+    assert all(r["Concept"] == "set-uuid" for r in rows)
+    assert [r["Sort Weight"] for r in rows] == ["1", "2"]
+
+
+def test_cli_rejects_unknown_command():
+    from iniz_exporters_spark.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["frobnicate"])
