@@ -1,0 +1,121 @@
+"""Custom stateful streaming operators (``applyInPandasWithState``).
+
+The reference has no streaming surface (SURVEY §2.11); these are the
+engine-extension operators a training-data ingest pipeline needs when the
+corpus arrives as a stream:
+
+  * ``streaming_dedup_first`` — keep the first-seen row per key ACROSS
+    micro-batches. Same declared semantics as batch ``dedup_exact``
+    (operators/dedup.py) restricted to arrival order; unlike
+    ``dropDuplicates`` on a stream, the keyed state and its eviction are
+    explicit (processing-time timeout), so state size is operator-controlled
+    rather than unbounded.
+  * ``running_stats`` — per-key cumulative count/sum emitted every
+    micro-batch (update-mode running aggregates with explicit state).
+
+Scale: state lives in the state store, hash-partitioned by key — the same
+shuffle key as the groupBy, so one exchange per micro-batch; per-group
+compute is Arrow-batched pandas.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_dedup_first(
+    df: DataFrame,
+    key_cols: list[str],
+    state_timeout_ms: int | None = None,
+) -> DataFrame:
+    """First-seen row per ``key_cols`` across micro-batches.
+
+    Emits a row the first time a key is seen; subsequent occurrences (same
+    or later micro-batch) emit nothing. With ``state_timeout_ms`` set,
+    a key's state is evicted after that much processing-time idleness —
+    bounding the store for long streams at the cost of re-admitting a key
+    seen again after the window (the standard TTL trade-off).
+
+    Operational note (observed): combine the TTL ONLY with continuous
+    triggers. Under ``trigger(availableNow=True)`` a ProcessingTimeTimeout
+    keeps the query scheduling empty micro-batches to fire pending
+    timeouts — it will not self-terminate after draining the source. For
+    bounded/batch-style runs leave ``state_timeout_ms=None``; dedup state
+    then persists for the query's lifetime and recovers from the
+    checkpoint on restart.
+    """
+    out_schema = df.schema
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = state.exists
+        if not seen:
+            for pdf in pdfs:
+                if len(pdf):
+                    state.update((True,))
+                    if state_timeout_ms:
+                        state.setTimeoutDuration(state_timeout_ms)
+                    yield pdf.head(1)
+                    return
+        else:
+            for _ in pdfs:  # drain; key already emitted
+                pass
+            if state_timeout_ms:
+                state.setTimeoutDuration(state_timeout_ms)
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def running_stats(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key cumulative (n, total) re-emitted each micro-batch the key
+    appears in — an update-mode running aggregate with explicit state."""
+    key_type = dict(df.dtypes)[key_col]
+    out_schema = f"{key_col} {key_type}, n long, total double"
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame({key_col: [key[0]], "n": [n], "total": [total]})
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -80,3 +80,82 @@ def test_session_gap_semantics(spark):
         (1, "2024-01-01 01:00:00"): 1,
         (2, "2024-01-01 00:00:00"): 1,
     }
+
+
+def test_streaming_dedup_first_across_batches(spark, tmp_path):
+    """Keys repeated across micro-batches are emitted exactly once (state
+    carries across batches; maxFilesPerTrigger=1 forces multiple batches)."""
+    import os
+
+    from iniz_exporters_spark.streaming.stateful import streaming_dedup_first
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "k long, ts long, payload string"
+    # batch 1: keys 1,2 ; batch 2: keys 2,3 (2 is a cross-batch duplicate)
+    spark.createDataFrame([(1, 10, "a"), (2, 20, "b")], schema).coalesce(
+        1
+    ).write.parquet(src + "/f1")
+    spark.createDataFrame([(2, 30, "B"), (3, 40, "c")], schema).coalesce(
+        1
+    ).write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        streaming_dedup_first(stream, ["k"])
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["k"]: r["payload"]
+        for r in spark.sql("select * from dedup_stream").collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] == "a" and rows[3] == "c"
+    assert rows[2] in ("b", "B")  # exactly one of the duplicates
+
+
+def test_running_stats_updates(spark, tmp_path):
+    import os
+
+    from iniz_exporters_spark.streaming.stateful import running_stats
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "user long, value double"
+    spark.createDataFrame([(1, 1.0), (1, 2.0), (2, 5.0)], schema).coalesce(
+        1
+    ).write.parquet(src + "/f1")
+    spark.createDataFrame([(1, 3.0)], schema).coalesce(1).write.parquet(
+        src + "/f2"
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        running_stats(stream, "user", "value")
+        .writeStream.format("memory")
+        .queryName("stats_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from stats_stream").collect()
+    # final cumulative state per user must appear among the updates
+    latest = {}
+    for r in rows:
+        latest[r["user"]] = (r["n"], r["total"])
+    assert latest[1] == (3, 6.0)
+    assert latest[2] == (1, 5.0)
