@@ -211,7 +211,10 @@ def exclude(rows: list[dict], excludes, key: str = "uuid") -> list[dict]:
 # ---------------------------------------------------------------------------
 
 def distributed_reachable(
-    edges: DataFrame, roots: DataFrame, max_iters: int = 100
+    edges: DataFrame,
+    roots: DataFrame,
+    max_iters: int = 100,
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
     """G1 at scale: closure of ``roots`` (col ``node``) over ``edges``
     (cols ``src``, ``dst``) via iterative semi-joins.
@@ -220,17 +223,25 @@ def distributed_reachable(
     (``localCheckpoint``) before the loop — an iterative fixpoint that
     recomputes its edge lineage every round re-runs the upstream scan +
     shuffle per iteration, which dominated the wall clock 5:1 in profiling.
-    With edges pinned, each round shuffles only the (small) frontier to the
-    edges' existing partitioning, anti-joins the seen set, and
-    ``localCheckpoint``s the new frontier to truncate lineage. Terminates
-    when the frontier is empty.
+    With ``broadcast_frontier=True`` (default — right for BFS from a small
+    root set, where frontiers stay a tiny fraction of the graph) each round
+    broadcast-joins the frontier against the pinned edges, so the edge
+    table is never shuffled at all — only scanned. Set it False for
+    closure-of-everything workloads whose frontiers are graph-sized; the
+    loop then shuffles the frontier to the edges' fixed partitioning
+    instead. Either way the new frontier is ``localCheckpoint``ed to
+    truncate lineage, and the loop terminates when it is empty.
     """
-    edges = edges.repartition("src").localCheckpoint()
+    if broadcast_frontier:
+        edges = edges.localCheckpoint()
+    else:
+        edges = edges.repartition("src").localCheckpoint()
     seen = roots.select("node").distinct().localCheckpoint()
     frontier = seen
     for _ in range(max_iters):
+        probe = F.broadcast(frontier) if broadcast_frontier else frontier
         nxt = (
-            frontier.join(edges, frontier.node == edges.src)
+            probe.join(edges, frontier.node == edges.src)
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(seen, on="node", how="left_anti")
