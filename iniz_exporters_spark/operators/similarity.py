@@ -206,3 +206,98 @@ def cosine_neardup(
         sign_bucket(F.col(vec_col), bits).alias("__bucket"),
     )
     return b.groupBy("__bucket").applyInPandas(kernel, out_schema)
+
+
+def ivf_flat_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    top_k: int = 3,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate top-k: assign every vector to its nearest
+    centroid (cosine), then search only within each centroid's cell
+    (nprobe=1): (query_id, neighbor_id, cos, rn).
+
+    Centroids here are the ``n_centroids`` lowest-id corpus vectors — a
+    deterministic, oracle-checkable stand-in for k-means training (swap in
+    real centroids without touching the dataflow). Scale shape: the
+    centroid set broadcasts (it is tiny by construction); assignment is
+    per-row compute; the only shuffle is the groupBy(cell); per-cell
+    pairwise top-k is the same vectorized kernel as ``ann_bucketed``.
+    ``n_centroids`` is the inverse-list fan-out knob — at 100 TB you grow
+    it so ~|corpus|/n_centroids rows land per cell/task.
+    """
+    import pandas as pd
+
+    cents = sorted(
+        corpus.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .collect(),
+        key=lambda r: r[0],
+    )
+
+    id_type = dict(corpus.dtypes)[id_col]
+
+    def assign(batches):
+        import numpy as np
+
+        C = np.stack([np.asarray(r[1], dtype=np.float64) for r in cents])
+        Cn = C / np.sqrt((C * C).sum(axis=1, keepdims=True))
+        for pdf in batches:
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            Vn = V / np.sqrt((V * V).sum(axis=1, keepdims=True))
+            # rounded so engines with different fp summation order make the
+            # same assignment at near-ties; ties -> lowest centroid index
+            # (argmax picks the first maximum, matching the oracle's
+            # ORDER BY cos DESC, idx)
+            sims = np.round(Vn @ Cn.T, round_to)
+            cell = sims.argmax(axis=1).astype("int32")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    vec_col: pdf[vec_col].values,
+                    "cell": cell,
+                }
+            )
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} {id_type}, {vec_col} array<float>, cell int"
+    )
+
+    out_schema = (
+        f"query_id {id_type}, neighbor_id {id_type}, cos double, rn int"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cos": [], "rn": []}
+            ).astype({"cos": "float64", "rn": "int32"})
+        ids = pdf[id_col].values
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.sqrt((V * V).sum(axis=1))
+        sims = np.round((V @ V.T) / np.outer(norms, norms), round_to)
+        np.fill_diagonal(sims, -np.inf)
+        k = min(top_k, n - 1)
+        order = np.lexsort((np.broadcast_to(ids, sims.shape), -sims), axis=1)
+        top = order[:, :k]
+        rows = np.repeat(np.arange(n), k)
+        cols = top.ravel()
+        return pd.DataFrame(
+            {
+                "query_id": ids[rows],
+                "neighbor_id": ids[cols],
+                "cos": sims[rows, cols],
+                "rn": np.tile(np.arange(1, k + 1, dtype=np.int32), n),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(kernel, out_schema)

@@ -1418,3 +1418,73 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(_money(revenue).alias("revenue"))
     )
+
+
+# IVF-flat ANN — the inverse-file scale path for similarity search:
+# deterministic centroids (lowest-id vectors), nearest-centroid cells,
+# in-cell exact top-k (nprobe=1).
+from iniz_exporters_spark.operators.similarity import ivf_flat_topk
+
+
+@register(
+    "ivf_flat_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v
+        FROM e ORDER BY vec_id LIMIT 8
+    ),
+    assigned AS (
+        SELECT vec_id, v, cidx AS cell FROM (
+            SELECT e.vec_id, e.v, c.cidx,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(e.v, c.v), 4)
+                                DESC, c.cidx
+                   ) AS rnk
+            FROM e CROSS JOIN cents c
+        ) t WHERE rnk = 1
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(q.v, c.v), 4) AS cos
+        FROM assigned q JOIN assigned c
+          ON q.cell = c.cell AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos, rn FROM (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored
+    ) t WHERE rn <= 3
+    """,
+)
+def ivf_flat_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    return ivf_flat_topk(e, n_centroids=8, top_k=3)
+
+
+# Token counting, BPE-ish: the GPT-2-style pre-tokenizer split (contraction
+# suffixes | space-prefixed letter runs | digit runs | punctuation runs)
+# counted per document alongside the whitespace count.
+BPE_ISH = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+@register(
+    "bpe_token_count",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{BPE_ISH.replace("'", "''")}'))
+               AS n_bpe_tokens,
+           len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '')) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(BPE_ISH)).alias("n_bpe_tokens"),
+        whitespace_token_count("text").alias("n_ws_tokens"),
+    )
