@@ -1488,3 +1488,40 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(BPE_ISH)).alias("n_bpe_tokens"),
         whitespace_token_count("text").alias("n_ws_tokens"),
     )
+
+
+# Salted skew join — semantics-preserving hot-key spreading; the oracle is
+# the plain join, proving salting changes the plan, not the result.
+from iniz_exporters_spark.operators.skew import salted_join
+
+
+@register(
+    "salted_skew_join",
+    """
+    SELECT l_orderkey, l_partkey,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(8,4))), 2)
+                AS DOUBLE) AS net,
+           o_orderpriority
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'O'
+    """,
+)
+def salted_skew_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.select(
+        "l_orderkey",
+        "l_partkey",
+        # round in exact decimal space BEFORE the double cast: Spark's
+        # round(double) goes through the shortest decimal repr while
+        # DuckDB rounds the binary value, so per-row .xx5 products would
+        # disagree by one cent (aggregate-then-round paths don't hit this)
+        F.round(
+            _dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"), 8, 4)),
+            2,
+        ).cast("double").alias("net"),
+    )
+    o = cat.orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return salted_join(li, o, on="l_orderkey", buckets=8, how="inner")

@@ -182,3 +182,24 @@ def test_arrow_kernels_match_catalyst_spec(spark):
     assert sorted(simhash_signatures(df, "doc_id", "text").collect()) == sorted(
         simhash_signatures_expr(df, "doc_id", "text").collect()
     )
+
+
+def test_salted_join_matches_plain_join(spark):
+    from iniz_exporters_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k long, lv string"
+    )
+    right = spark.createDataFrame([(1, "X"), (2, "Y")], "k long, rv string")
+    plain = sorted(
+        (r.k, r.lv, r.rv) for r in left.join(right, "k", "left").collect()
+    )
+    salted = sorted(
+        (r.k, r.lv, r.rv)
+        for r in salted_join(left, right, "k", buckets=4, how="left").collect()
+    )
+    assert salted == plain
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(left, right, "k", how="full")
