@@ -147,3 +147,70 @@ def doc_fingerprint(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
     return poly_hash(normalized)
+
+
+def text_stats(df, id_col: str, text_col: str):
+    """(id, quality_raw double, lang_pred string, n_tokens int) in ONE
+    Arrow-batched pass — the vectorized fast path for the scoring HOFs
+    above (``quality_score``/``predict_lang``/``whitespace_token_count``).
+
+    ``quality_raw`` is the UNROUNDED composite; callers apply ``F.round``
+    so the rounding semantics stay Spark's own (oracle-identical to the
+    expression path — each arithmetic step is the same IEEE op in the same
+    order, pinned by a parity test).
+    """
+    import re
+    from typing import Iterator
+
+    import pandas as pd
+
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = (
+        f"{id_col} {id_type}, quality_raw double, lang_pred string, "
+        "n_tokens int"
+    )
+    token_re = re.compile(TOKEN_RE)
+    punct_re = re.compile("[a-z0-9 ]")
+    ws_re = re.compile(r"\s+")
+    stop = {lang: set(ws) for lang, ws in LANG_STOPWORDS.items()}
+    prio = list(LANG_STOPWORDS)  # en > es > de > fr on ties
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, quals, langs, ntoks = [], [], [], []
+            for i, t in zip(pdf[id_col].values, pdf[text_col].values):
+                t = t or ""
+                low = t.lower()
+                n = len(t)
+                toks = [x for x in token_re.split(low) if x]
+                n_punct = n - len(punct_re.findall(low))
+                punct = (n_punct / n) if n else 0.0
+                hits = {
+                    lang: sum(1 for x in toks if x in ws)
+                    for lang, ws in stop.items()
+                }
+                sr = (hits["en"] / len(toks)) if toks else 0.0
+                q = (
+                    0.4 * (1 - punct)
+                    + 0.3 * min(sr * 5, 1.0)
+                    + 0.3 * min(n / 500, 1.0)
+                )
+                best = max(hits.values())
+                lang = "und"
+                if best > 0:
+                    lang = next(l for l in prio if hits[l] == best)
+                trimmed = t.strip()
+                ids.append(i)
+                quals.append(q)
+                langs.append(lang)
+                ntoks.append(len(ws_re.split(trimmed)) if trimmed else 0)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "quality_raw": quals,
+                    "lang_pred": langs,
+                    "n_tokens": ntoks,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)

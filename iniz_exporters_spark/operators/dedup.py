@@ -200,20 +200,18 @@ def minhash_signatures(
     return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
 
 
-def lsh_buckets(
-    df: DataFrame,
+def buckets_from_shingle_sets(
+    hs_df: DataFrame,
     id_col: str,
-    text_col: str,
     num_perm: int = 16,
     rows_per_band: int = 4,
-    k: int = 5,
 ) -> DataFrame:
-    """(id, band, bucket) — one row per band; bucket is the polynomial fold
-    of the band's signature values in j-order. Docs sharing any
-    (band, bucket) are near-duplicate candidates. Zero shuffles."""
+    """(id, band, bucket) from an (id, hs) shingle-set DataFrame — lets the
+    caller reuse one materialized hashing pass across LSH bucketing and
+    exact verification."""
     import pandas as pd
 
-    id_type = dict(df.dtypes)[id_col]
+    id_type = dict(hs_df.dtypes)[id_col]
     n_bands = num_perm // rows_per_band
     out_schema = f"{id_col} {id_type}, band int, bucket long"
 
@@ -222,8 +220,8 @@ def lsh_buckets(
 
         for pdf in batches:
             ids, bands, buckets = [], [], []
-            for i, t in zip(pdf[id_col].values, pdf[text_col].values):
-                m = _perm_mins(_np_shingle_hashes(t or "", k), num_perm)
+            for i, hs in zip(pdf[id_col].values, pdf["hs"].values):
+                m = _perm_mins(np.asarray(hs, dtype=np.int64), num_perm)
                 for band in range(n_bands):
                     acc = 0
                     for v in m[band * rows_per_band : (band + 1) * rows_per_band]:
@@ -239,7 +237,23 @@ def lsh_buckets(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+    return hs_df.select(id_col, "hs").mapInPandas(kernel, out_schema)
+
+
+def lsh_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    rows_per_band: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """(id, band, bucket) — one row per band; bucket is the polynomial fold
+    of the band's signature values in j-order. Docs sharing any
+    (band, bucket) are near-duplicate candidates. Zero shuffles."""
+    return buckets_from_shingle_sets(
+        shingle_sets(df, id_col, text_col, k), id_col, num_perm, rows_per_band
+    )
 
 
 def candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
@@ -299,10 +313,14 @@ def neardup_pairs(
     sits on the default 0.7 threshold — high recall at-threshold without the
     bucket-collision blowup loose bands (r=2) cause on template-heavy
     corpora (measured 2.16M → 19k candidate pairs on the sf0.1 documents
-    table, identical surviving pairs)."""
-    hs = shingle_sets(df, id_col, text_col, k)
+    table, identical surviving pairs).
+
+    The shingle-set pass is computed once and ``localCheckpoint``ed (lazily)
+    — bucketing and both verify-join sides read the pinned copy instead of
+    re-hashing the corpus three times."""
+    hs = shingle_sets(df, id_col, text_col, k).localCheckpoint(eager=False)
     pairs = candidate_pairs(
-        lsh_buckets(df, id_col, text_col, num_perm, rows_per_band, k), id_col
+        buckets_from_shingle_sets(hs, id_col, num_perm, rows_per_band), id_col
     )
     ha = hs.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
     hb = hs.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))

@@ -937,9 +937,9 @@ _SQL_SHINGLE_SET = (
     "list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),"
     " i -> " + _SQL_POLY.format(s="substr(text, i, 5)") + "))"
 )
-def _sql_minhash_sigs(num_perm: int) -> str:
+def _sql_minhash_sigs(num_perm: int, table: str = "documents") -> str:
     return f"""
-    sh AS (SELECT doc_id, {_SQL_SHINGLE_SET} AS hs FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLE_SET} AS hs FROM {table}),
     sig AS (
         SELECT doc_id, j,
                list_min(list_transform(hs,
@@ -1525,3 +1525,117 @@ def salted_skew_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
     return salted_join(li, o, on="l_orderkey", buckets=8, how="inner")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-data cleaning pipeline: language filter → quality
+# filter → exact dedup → near-dup removal → per-doc stats. One composed
+# DataFrame plan (each stage is the already-oracle-checked operator), with
+# the whole composition replayed in oracle CTEs — the "switch your corpus
+# pipeline to this engine" demonstration.
+# ---------------------------------------------------------------------------
+@register(
+    "pipeline_clean_corpus",
+    f"""
+    WITH t0 AS (
+        SELECT doc_id, text, length(text) AS n,
+               length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                   AS n_punct,
+               {_SQL_TOKENS} AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, text,
+               ROUND(
+                 0.4::DOUBLE * (1 - CASE WHEN n = 0 THEN 0::DOUBLE
+                                         ELSE n_punct::DOUBLE / n END)
+               + 0.3::DOUBLE * least(
+                     (CASE WHEN len(toks) = 0 THEN 0::DOUBLE
+                           ELSE len(list_filter(toks, x -> x IN
+                                ('the','a','and','of','to','in','is','it')))::DOUBLE
+                                / len(toks) END) * 5, 1.0::DOUBLE)
+               + 0.3::DOUBLE * least(n::DOUBLE / 500, 1.0::DOUBLE), 4)
+                   AS quality,
+               len(list_filter(toks, x -> x IN
+                   ('the','a','and','of','to','in','is','it'))) AS c_en,
+               len(list_filter(toks, x -> x IN
+                   ('el','la','de','que','y','los','en','un'))) AS c_es,
+               len(list_filter(toks, x -> x IN
+                   ('der','die','das','und','ist','ein','nicht','mit'))) AS c_de,
+               len(list_filter(toks, x -> x IN
+                   ('le','la','de','et','est','les','des','une'))) AS c_fr
+        FROM t0
+    ),
+    filtered AS (
+        SELECT doc_id, text, quality FROM scored
+        WHERE quality >= 0.5
+          AND greatest(c_en, c_es, c_de, c_fr) > 0
+          AND c_en = greatest(c_en, c_es, c_de, c_fr)
+    ),
+    exact AS (
+        SELECT f.doc_id, f.text, f.quality
+        FROM filtered f
+        JOIN (SELECT text, MIN(doc_id) AS keep FROM filtered GROUP BY text) k
+          ON f.text = k.text AND f.doc_id = k.keep
+    ),
+    {_sql_minhash_sigs(16, table="exact")},
+    bands AS (
+        SELECT doc_id, j // 4 AS band,
+               list_reduce(list(minhash ORDER BY j),
+                           (a, b) -> (a * 31 + b) % 1000000007) AS bucket
+        FROM sig GROUP BY doc_id, j // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    dropped AS (
+        SELECT DISTINCT id_b FROM cand
+        JOIN sh ha ON ha.doc_id = id_a
+        JOIN sh hb ON hb.doc_id = id_b
+        WHERE ROUND(len(list_intersect(ha.hs, hb.hs))::DOUBLE
+                    / (len(ha.hs) + len(hb.hs)
+                       - len(list_intersect(ha.hs, hb.hs))), 4) >= 0.7
+    )
+    SELECT e.doc_id, e.quality,
+           len(list_filter(regexp_split_to_array(trim(e.text), '\\s+'),
+                           x -> x <> '')) AS n_tokens
+    FROM exact e LEFT JOIN dropped d ON e.doc_id = d.id_b
+    WHERE d.id_b IS NULL
+    """,
+    headline=True,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iniz_exporters_spark.functions.text import text_stats
+
+    d = Catalog(spark, sf_dir).documents
+    # one Arrow pass for quality + language (bit-identical to the HOF
+    # expression path — see text_stats parity test); round is applied
+    # Spark-side so rounding semantics match the single-op queries
+    stats = text_stats(d, "doc_id", "text").select(
+        "doc_id",
+        F.round("quality_raw", 4).alias("quality"),
+        "lang_pred",
+    )
+    scored = d.select("doc_id", "text").join(stats, "doc_id")
+    filtered = scored.filter(
+        (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
+    ).select("doc_id", "text", "quality")
+    # materialize the scored+deduped set ONCE: the near-dup stage reads it
+    # from three branches (buckets + both verify-join sides) and the final
+    # anti-join from a fourth — without pinning, Spark recomputes the
+    # interpreted scoring expressions 4×. At cluster scale this is a
+    # .persist(DISK_AND_MEMORY); localCheckpoint is its local[*] analogue.
+    exact = dedup_exact(filtered, ["text"], "doc_id").localCheckpoint()
+    dropped = (
+        neardup_pairs(exact, "doc_id", "text", threshold=0.7,
+                      num_perm=16, rows_per_band=4)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return exact.join(dropped, on="doc_id", how="left_anti").select(
+        "doc_id",
+        "quality",
+        whitespace_token_count("text").alias("n_tokens"),
+    )

@@ -203,3 +203,42 @@ def test_salted_join_matches_plain_join(spark):
 
     with _pytest.raises(ValueError):
         salted_join(left, right, "k", how="full")
+
+
+def test_text_stats_matches_expression_path(spark):
+    """The one-pass Arrow kernel (text_stats) must be bit-identical to the
+    pure-Catalyst scoring expressions it vectorizes, including empty /
+    punctuation-only / non-English / tie-on-zero edge cases."""
+    from iniz_exporters_spark.functions.text import (
+        predict_lang,
+        quality_score,
+        text_stats,
+        whitespace_token_count,
+    )
+
+    rows = [
+        (1, ""),
+        (2, "   "),
+        (3, "!!! ??? ;;;"),
+        (4, "the cat sat on the mat and it is a good mat"),
+        (5, "el perro y la casa de los niños en un parque"),
+        (6, "zzz qqq www"),
+        (7, "la de " * 50),  # es/fr tie -> es by priority
+        (8, "x" * 600),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = df.select(
+        "doc_id",
+        quality_score("text").alias("quality"),
+        predict_lang("text").alias("lang_pred"),
+        whitespace_token_count("text").alias("n_tokens"),
+    )
+    fast = text_stats(df, "doc_id", "text").select(
+        "doc_id",
+        F.round("quality_raw", 4).alias("quality"),
+        "lang_pred",
+        "n_tokens",
+    )
+    assert sorted(map(tuple, expr.collect())) == sorted(
+        map(tuple, fast.collect())
+    )
