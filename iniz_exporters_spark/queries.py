@@ -1639,3 +1639,393 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         whitespace_token_count("text").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H relational breadth (adapted to the driver's reduced schemas: no
+# partsupp/commitdate/shipmode, so Q2/Q4/Q12 take the documented stand-ins).
+# Scale notes per query in the function docstrings.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q6",
+    """
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                           * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE), 2)
+               AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure scan+filter+agg — all three predicates push to the parquet
+    scan, a single partial-agg per split, one 1-row exchange. O(scan)."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        _money(
+            F.sum(_dec(F.col("l_extendedprice")) * _dec(F.col("l_discount"), 8, 4))
+        ).alias("revenue")
+    )
+
+
+@register(
+    "tpch_q7",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE), 2)
+               AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 volume-shipping shape: fact joins two *roles* of the same
+    dimension chain. supplier/nation broadcast (tiny); the disjunctive
+    nation filter runs post-broadcast-join so only orders⋈lineitem and
+    orders⋈customer shuffle. Year extraction stays in codegen."""
+    cat = Catalog(spark, sf_dir)
+    n1 = cat.nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = cat.nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.sum(
+        _dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"), 8, 4))
+    )
+    return (
+        cat.lineitem.join(
+            F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cat.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_money(revenue).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q10",
+    """
+    SELECT c_custkey, c_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE)
+               AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 returned-items: both filters (quarter, returnflag) push below
+    their joins, nation broadcasts, and the top-20 runs as TakeOrdered
+    (per-partition heap + driver merge — no global sort). Tiebreak on
+    c_custkey keeps the LIMIT row-set deterministic."""
+    cat = Catalog(spark, sf_dir)
+    # round the exact decimal sum BEFORE the double cast (see salted_skew_join
+    # note): customer-level sums land on .xx5 boundaries at sf0.01.
+    revenue = F.round(
+        F.sum(_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"), 8, 4))),
+        2,
+    ).cast("double")
+    return (
+        cat.customer.join(
+            cat.orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            cat.lineitem.filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(revenue.alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q14",
+    """
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l_discount AS DECIMAL(8,4)))
+                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                           * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE), 4)
+               AS promo_revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 promo share: month filter pushes to the lineitem scan (cuts the
+    join probe ~70×), part broadcasts, both conditional sums ride one
+    partial agg. Division happens once on exact decimal sums."""
+    cat = Catalog(spark, sf_dir)
+    disc_price = _dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"), 8, 4))
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+            F.lit(0).cast("decimal(18,4)")
+        )
+    )
+    return (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .join(F.broadcast(cat.part), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0) * promo.cast("double") / F.sum(disc_price).cast("double"),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q18",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS sum_qty
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    headline=True,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 large-volume customers: the HAVING subquery is a lineitem-wide
+    partial agg whose survivors (~0.3% of orders) LEFT-SEMI into orders
+    *before* the customer join — the expensive joins see only qualifying
+    rows. At 100 TB the semi-join side is small enough to broadcast; AQE
+    converts it at runtime."""
+    cat = Catalog(spark, sf_dir)
+    big = (
+        cat.lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select(F.col("l_orderkey").alias("_big_ok"))
+    )
+    return (
+        cat.orders.join(
+            F.broadcast(big), F.col("o_orderkey") == F.col("_big_ok"), "left_semi"
+        )
+        .join(cat.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(cat.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_money(F.sum(_dec(F.col("l_quantity")))).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q19",
+    """
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE), 2)
+               AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 disjunctive-predicate join: the OR spans both sides so it can't
+    fully push down, but Catalyst still pushes the derived single-side
+    envelopes (quantity ≤ 30, the brand IN-list) below the broadcast-hash
+    join; the full disjunction evaluates in codegen post-join."""
+    cat = Catalog(spark, sf_dir)
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#34") & s.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        cat.lineitem.join(F.broadcast(cat.part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            _money(
+                F.sum(_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"), 8, 4)))
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q4_exists_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_exists_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape on the reduced schema (ships-late EXISTS instead of
+    commit/receipt dates): EXISTS becomes a LEFT-SEMI hash join — lineitem
+    never duplicates orders rows, and the quarter filter shrinks the probe
+    side before the shuffle."""
+    cat = Catalog(spark, sf_dir)
+    o = cat.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = cat.lineitem
+    cond = (li["l_orderkey"] == o["o_orderkey"]) & (
+        li["l_shipdate"] >= o["o_orderdate"] + F.expr("INTERVAL 60 DAY")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range / interval joins (operators/rangejoin.py): band predicates rewritten
+# to equi-join shape so Spark picks hash joins instead of
+# BroadcastNestedLoop / cartesian. The oracles use the naive inequality join
+# (DuckDB handles that fine at sf0.01) — same declared semantics.
+# ---------------------------------------------------------------------------
+@register(
+    "interval_join_events",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 6 HOUR
+     AND c.ts < p.ts
+    """,
+)
+def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-style interval join: each purchase paired with the same
+    user's clicks in the preceding 6 h. interval_join buckets time into
+    band-width granules so the plan is a shuffled HASH join on
+    (user_id, bucket) — each side shuffles once (left ×2 rows), per-task
+    probe work bounded by the micro-group, vs. the O(|P|·|C|)-per-user
+    nested loop the raw inequality condition would plan. Survives 100 TB:
+    shuffle is linear in input, AQE splits hot (user, bucket) groups."""
+    from iniz_exporters_spark.operators.rangejoin import interval_join
+
+    # two Catalog instances → independent scans (no self-join ambiguity)
+    purchases = (
+        Catalog(spark, sf_dir)
+        .events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            "user_id",
+        )
+    )
+    clicks = (
+        Catalog(spark, sf_dir)
+        .events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+            "user_id",
+        )
+    )
+    return interval_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_time="p_ts",
+        right_time="c_ts",
+        lower_seconds=6 * 3600,
+    ).select("purchase_id", "click_id")
+
+
+@register(
+    "band_lookup_prices",
+    """
+    SELECT band, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS sum_qty
+    FROM lineitem
+    JOIN (VALUES ('budget', 0.0, 20000.0),
+                 ('mid', 20000.0, 60000.0),
+                 ('premium', 60000.0, 110000.0)) b(band, lo, hi)
+      ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY band
+    """,
+)
+def band_lookup_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding a fact column against a keyless [lo, hi) dimension.
+    band_lookup_join explodes each band into fixed-width granules and
+    broadcast-HASH-joins the fact's granule key — the lineitem side streams
+    through whole-stage codegen once, vs. BroadcastNestedLoopJoin re-testing
+    every band per row. Granule count stays metadata-sized at any SF."""
+    from iniz_exporters_spark.operators.rangejoin import band_lookup_join
+
+    li = Catalog(spark, sf_dir).lineitem
+    banded = band_lookup_join(
+        li,
+        "l_extendedprice",
+        [("budget", 0.0, 20000.0), ("mid", 20000.0, 60000.0),
+         ("premium", 60000.0, 110000.0)],
+    )
+    return banded.groupBy("band").agg(
+        F.count("*").alias("n"),
+        _money(F.sum(_dec(F.col("l_quantity")))).alias("sum_qty"),
+    )

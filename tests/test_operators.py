@@ -242,3 +242,71 @@ def test_text_stats_matches_expression_path(spark):
     assert sorted(map(tuple, expr.collect())) == sorted(
         map(tuple, fast.collect())
     )
+
+
+def test_interval_join_matches_naive(spark):
+    """Bucketed interval join must equal the naive inequality join,
+    including both band edges and cross-bucket pairs."""
+    from datetime import datetime as dt
+
+    from iniz_exporters_spark.operators.rangejoin import interval_join
+
+    t0 = dt(2024, 1, 1, 12, 0, 0)
+
+    def at(sec):
+        return dt(2024, 1, 1, 12, 0, 0).fromtimestamp(t0.timestamp() + sec)
+
+    left = spark.createDataFrame(
+        [(1, 10, at(1000)), (2, 10, at(100)), (3, 20, at(1000))],
+        "lid long, k long, lt timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (101, 10, at(400)),   # exactly l - lower for lid=1 → included
+            (102, 10, at(999)),   # just before l → included
+            (103, 10, at(1000)),  # == l → excluded (strict upper)
+            (104, 10, at(399)),   # just outside band → excluded
+            (105, 20, at(500)),   # matches lid=3 only (key isolation)
+            (106, 99, at(900)),   # no key match
+        ],
+        "rid long, k long, rt timestamp",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_join(
+            left, right, keys=["k"], left_time="lt", right_time="rt",
+            lower_seconds=600,
+        ).collect()
+    )
+    naive = sorted(
+        (r.lid, r.rid)
+        for r in left.join(
+            right,
+            (left.k == right.k)
+            & (right.rt >= left.lt - F.expr("INTERVAL 600 SECOND"))
+            & (right.rt < left.lt),
+        ).collect()
+    )
+    assert got == naive
+    assert (1, 101) in got and (1, 102) in got and (3, 105) in got
+    assert (1, 103) not in got and (1, 104) not in got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        interval_join(left, right, ["k"], "lt", "rt", 10, upper_seconds=10)
+
+
+def test_band_lookup_join_edges(spark):
+    from iniz_exporters_spark.operators.rangejoin import band_lookup_join
+
+    fact = spark.createDataFrame(
+        [(1, 0.0), (2, 9.99), (3, 10.0), (4, 25.0), (5, 50.0), (6, -1.0)],
+        "fid long, v double",
+    )
+    bands = [("low", 0.0, 10.0), ("high", 10.0, 50.0)]
+    got = {
+        r.fid: r.band
+        for r in band_lookup_join(fact, "v", bands).collect()
+    }
+    # lo inclusive, hi exclusive; out-of-band rows dropped
+    assert got == {1: "low", 2: "low", 3: "high", 4: "high"}
