@@ -2029,3 +2029,243 @@ def band_lookup_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         _money(F.sum(_dec(F.col("l_quantity")))).alias("sum_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-subquery / correlated-aggregate / outer-join-distribution family
+# (TPC-H Q13/Q15/Q17/Q22 shapes on the reduced schema). Correlated
+# comparisons against an AVG are multiplied through by the group COUNT so
+# both engines compare exact decimals — a double AVG at a boundary value
+# could flip a row in one engine only.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q13",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 order-count distribution: the priority predicate lives in the
+    outer-join ON clause (customers keep their row when every order is
+    filtered away — COUNT(o_orderkey) then counts zero non-nulls). Two
+    cascading aggs: the first shuffles on c_custkey, the second sees only
+    |distinct counts| rows. At 100 TB, AQE coalesces the tiny second
+    exchange."""
+    cat = Catalog(spark, sf_dir)
+    o = cat.orders
+    per_cust = (
+        cat.customer.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "tpch_q15",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                   * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name,
+           CAST(ROUND(total_rev, 2) AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 top supplier: per-supplier quarterly revenue, then keep rows
+    equal to the global max. The 1-row max side broadcasts; revenue is
+    compared as an exact decimal (ties keep every winner) and only
+    presentation rounds. Revenue agg shuffles once on l_suppkey."""
+    cat = Catalog(spark, sf_dir)
+    rev = (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                _dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"), 8, 4))
+            ).alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_rev") == F.col("_mx"))
+        .join(F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev"), 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q17",
+    """
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS pk,
+                 SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sq,
+                 COUNT(*) AS cnt
+          FROM lineitem GROUP BY l_partkey) pa
+      ON pa.pk = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND 5 * CAST(l_quantity AS DECIMAL(18,4)) * cnt < sq
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 small-quantity revenue: the correlated `l_quantity <
+    0.2*AVG(l_quantity per part)` is computed as one per-part aggregate
+    joined back to lineitem, with the comparison multiplied through by the
+    count (5·q·cnt < sum) so it stays in exact decimals. The per-part agg
+    and the probe share the l_partkey shuffle key; the Brand filter
+    broadcasts."""
+    cat = Catalog(spark, sf_dir)
+    per_part = cat.lineitem.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_dec(F.col("l_quantity"))).alias("sq"),
+        F.count("*").alias("cnt"),
+    )
+    return (
+        cat.lineitem.join(
+            F.broadcast(cat.part.filter(F.col("p_brand") == "Brand#23")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(per_part, F.col("pk") == F.col("l_partkey"))
+        .filter(F.lit(5) * _dec(F.col("l_quantity")) * F.col("cnt") < F.col("sq"))
+        .agg(
+            F.round(
+                F.sum(_dec(F.col("l_extendedprice"))).cast("double") / 7.0, 2
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q22",
+    """
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS totacctbal
+    FROM customer
+    JOIN (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS s, COUNT(*) AS n
+          FROM customer WHERE c_acctbal > 0.0) g
+      ON CAST(c_acctbal AS DECIMAL(18,4)) * n > s
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 global-customer shape (nationkey stands in for the phone
+    country code): rich customers = above-average balance (exact decimal,
+    multiplied through by the count) with no URGENT orders (LEFT-ANTI
+    against the filtered orders side — plain no-orders is vacuous on this
+    dataset where every customer orders). The 1-row global aggregate
+    broadcasts; the anti-join shuffles on custkey only."""
+    cat = Catalog(spark, sf_dir)
+    g = cat.customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(_dec(F.col("c_acctbal"))).alias("s"), F.count("*").alias("n")
+    )
+    return (
+        cat.customer.join(
+            F.broadcast(g), _dec(F.col("c_acctbal")) * F.col("n") > F.col("s")
+        )
+        .join(
+            cat.orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+                F.col("o_custkey").alias("c_custkey")
+            ),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(_dec(F.col("c_acctbal"))), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "grouping_sets_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than cube/rollup): Spark expands the
+    sets into one pass over the scan — a single Expand node feeding one
+    hash agg, not three scans. Decimal sums keep every grouping level
+    order-independent."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(_dec(F.col("l_quantity"))), 2).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "window_lag_gaps",
+    """
+    SELECT event_id, user_id,
+           epoch_us(ts) - epoch_us(lag(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+    FROM events
+    """,
+)
+def window_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap via LAG — the sessionization primitive.
+    One shuffle on user_id, in-partition sort (ts, event_id tiebreak makes
+    equal timestamps deterministic); the gap is an exact microsecond
+    integer in both engines (no per-engine epoch truncation)."""
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+    )
