@@ -2269,3 +2269,209 @@ def window_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_us"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conditional-share, multi-role-join, and only-one-qualifier shapes
+# (TPC-H Q8/Q9/Q21 on the reduced schema) + JSON extraction over
+# events.props.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q8",
+    """
+    SELECT year(o_orderdate) AS o_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_1'
+                               THEN vol ELSE CAST(0 AS DECIMAL(18,4)) END)
+                      AS DOUBLE)
+                 / CAST(SUM(vol) AS DOUBLE), 4) AS mkt_share
+    FROM (SELECT o_orderdate, n1.n_name AS supp_nation,
+                 CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l_discount AS DECIMAL(8,4))) AS vol
+          FROM lineitem
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation n1 ON n1.n_nationkey = s_nationkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n2 ON n2.n_nationkey = c_nationkey
+          JOIN region ON r_regionkey = n2.n_regionkey
+          WHERE r_name = 'ASIA') t
+    GROUP BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 market share: NATION_1 suppliers' slice of revenue to ASIA
+    customers, per year. Both nation roles + region broadcast; the
+    numerator rides the same partial agg as the denominator (one shuffle
+    on o_year, 6 groups). Share divides the two exact-decimal sums once,
+    in double, at presentation."""
+    cat = Catalog(spark, sf_dir)
+    n_s = cat.nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    asia_nk = (
+        cat.nation.join(
+            F.broadcast(cat.region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("c_nk"))
+    )
+    vol = _dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"), 8, 4))
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        cat.lineitem.join(
+            F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("s_nk"))
+        .join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cat.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(asia_nk), F.col("c_nationkey") == F.col("c_nk"), "left_semi")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(zero))
+                .cast("double")
+                / F.sum(vol).cast("double"),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q9",
+    """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(8,4)))), 2)
+                AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY n_name, year(o_orderdate)
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 profit by supplier nation × order year (no ps_supplycost in the
+    reduced schema, so profit = discounted revenue on '%red%' parts). The
+    part LIKE filter broadcasts and prunes lineitem BEFORE the orders
+    join — the one big shuffle probes only matching rows."""
+    cat = Catalog(spark, sf_dir)
+    red = cat.part.filter(F.col("p_name").like("%red%")).select("p_partkey")
+    return (
+        cat.lineitem.join(
+            F.broadcast(red), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .join(F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    _dec(F.col("l_extendedprice"))
+                    * (1 - _dec(F.col("l_discount"), 8, 4))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("profit")
+        )
+        .orderBy("nation", "o_year")
+    )
+
+
+@register(
+    "tpch_q21",
+    """
+    WITH lo AS (
+        SELECT l_orderkey, l_suppkey,
+               MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 100 DAY
+                        THEN 1 ELSE 0 END) AS is_late
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey AND o_orderstatus = 'F'
+        GROUP BY l_orderkey, l_suppkey),
+    per_order AS (
+        SELECT l_orderkey, COUNT(*) AS n_supp, SUM(is_late) AS n_late
+        FROM lo GROUP BY l_orderkey)
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lo
+    JOIN per_order USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE lo.is_late = 1 AND per_order.n_supp > 1 AND per_order.n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 waiting-supplier shape: suppliers who were the ONLY late
+    shipper in a multi-supplier finished order ("late" = shipped >100 days
+    after ordering; the reduced schema has no commit/receipt dates). The
+    classic EXISTS + NOT-EXISTS pair is restructured as one
+    (orderkey, suppkey) aggregate reused by a per-order rollup — two
+    shuffles total on the same key family, no correlated re-scans of
+    lineitem. The rollup side re-uses the first agg's partitioning."""
+    cat = Catalog(spark, sf_dir)
+    lo = (
+        cat.lineitem.join(
+            cat.orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 100 DAY"),
+                    1,
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    return (
+        lo.join(per_order, "l_orderkey")
+        .filter(
+            (F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: events.props holds a JSON object; pull
+    an integer field and aggregate. get_json_object evaluates JVM-side
+    inside codegen (no Python). At 100 TB, prefer from_json with an
+    explicit schema once the shape is known — single parse, columnar
+    output — but path extraction is the schemaless fallback shown here."""
+    ev = Catalog(spark, sf_dir).events
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
