@@ -2475,3 +2475,336 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape — min-cost supplier (reference has no TPC-H; this is §7
+# extension breadth: correlated-MIN turned into one window over the
+# candidate set). The testdata schema has no partsupp, so the
+# part↔supplier cost relation is derived from lineitem: a pair's unit
+# cost is its cheapest observed price-per-unit. Scale notes: the
+# (part,supplier) agg and the per-part window MIN share the l_partkey
+# key family, so AQE keeps it to two shuffles; supplier⨝nation⨝region
+# is a broadcast chain (dims are tiny); the final TakeOrderedAndProject
+# never materializes a global sort.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q2",
+    """
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(CAST(l_extendedprice AS DOUBLE)
+                   / CAST(l_quantity AS DOUBLE)) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eligible AS (
+        SELECT p_partkey, p_brand, s_suppkey, s_acctbal, s_name, n_name,
+               unit_cost,
+               MIN(unit_cost) OVER (PARTITION BY p_partkey) AS best_cost
+        FROM ps
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE p_type = 'STANDARD' AND p_size < 15 AND r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           ROUND(unit_cost, 4) AS unit_cost
+    FROM eligible
+    WHERE unit_cost = best_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 min-cost-supplier shape over the reduced schema (partsupp is
+    derived from lineitem).  The correlated scalar subquery of the
+    canonical Q2 is restructured as MIN() OVER (PARTITION BY part) on the
+    already-filtered candidate set — one extra exchange instead of a
+    second correlated scan of lineitem."""
+    cat = Catalog(spark, sf_dir)
+    ps = cat.lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.col("l_extendedprice").cast("double")
+            / F.col("l_quantity").cast("double")
+        ).alias("unit_cost")
+    )
+    eligible = (
+        ps.join(
+            F.broadcast(
+                cat.part.filter(
+                    (F.col("p_type") == "STANDARD") & (F.col("p_size") < 15)
+                )
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(cat.nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(cat.region.filter(F.col("r_name") == "EUROPE")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .withColumn(
+            "best_cost", F.min("unit_cost").over(Window.partitionBy("p_partkey"))
+        )
+    )
+    return (
+        eligible.filter(F.col("unit_cost") == F.col("best_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape — important-part value: global scalar subquery in
+# HAVING. Scale notes: both the per-part agg and the grand total come
+# from ONE filtered join (Spark reuses the cached filtered frame; the
+# total is a 1-row broadcast), so lineitem is scanned once per agg with
+# the nation filter pushed through the broadcast-join.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q11",
+    """
+    WITH filtered AS (
+        SELECT l_partkey,
+               CAST(l_extendedprice AS DECIMAL(18,4))
+                   * (1 - CAST(l_discount AS DECIMAL(8,4))) AS val
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name IN ('NATION_3', 'NATION_8')
+    ),
+    grouped AS (
+        SELECT l_partkey, SUM(val) AS value_dec FROM filtered GROUP BY l_partkey
+    ),
+    total AS (SELECT SUM(value_dec) AS total_dec FROM grouped)
+    SELECT l_partkey,
+           ROUND(CAST(value_dec AS DOUBLE), 2) AS part_value
+    FROM grouped, total
+    WHERE CAST(value_dec AS DOUBLE) > CAST(total_dec AS DOUBLE) * 0.002
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important-value shape: per-part value filtered against a
+    fraction of the grand total (HAVING with a global scalar subquery).
+    The threshold comparison happens in exact-decimal space cast to
+    double, so Spark and the oracle compare bit-identical numbers."""
+    cat = Catalog(spark, sf_dir)
+    val = _dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"), 8, 4))
+    filtered = (
+        cat.lineitem.join(
+            F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("l_suppkey")
+        )
+        .join(
+            F.broadcast(cat.nation.filter(F.col("n_name").isin("NATION_3", "NATION_8"))),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("l_partkey", val.alias("val"))
+    )
+    grouped = filtered.groupBy("l_partkey").agg(F.sum("val").alias("value_dec"))
+    total = grouped.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double")
+            > F.col("total_dec").cast("double") * 0.002
+        )
+        .select(
+            "l_partkey", F.round(F.col("value_dec").cast("double"), 2).alias("part_value")
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape — late-shipment priority split. The reduced schema
+# has no l_shipmode/commitdate/receiptdate, so "mode" is the return
+# flag and "late" is shipped >60 days after ordering. Exercises the
+# Q12 operator essence: join + CASE-bucketed conditional counts.
+# Scale notes: orders is the bigger side here only at tiny SF; the
+# o_orderkey equi-join is the one shuffle (AQE picks broadcast at small
+# SF), and both CASE sums fold into a single map-side partial agg over
+# 3 groups.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q12",
+    """
+    SELECT l_returnflag AS ship_class,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 priority-split shape (no shipmode column → returnflag buckets,
+    no receipt/commit dates → late = shipped >60 days after ordering).
+    CASE-bucketed counts aggregate map-side; the date range pushes to the
+    lineitem scan."""
+    cat = Catalog(spark, sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape — suppliers per part profile: COUNT(DISTINCT) plus a
+# NOT-IN exclusion subquery. Scale notes: the exclusion list (suppliers
+# with negative balance) is dim-sized → broadcast LEFT ANTI, never a
+# shuffle; count-distinct over (brand,type,size) runs as a two-phase
+# partial-distinct agg (Spark expands to partial dedup then count),
+# shuffling only the distinct (group, suppkey) pairs.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q16",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 supplier-count shape: NOT IN over a non-nullable key becomes a
+    broadcast left-anti join; COUNT(DISTINCT) stays a built-in two-phase
+    agg (no collect, no UDF)."""
+    cat = Catalog(spark, sf_dir)
+    bad = cat.supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        cat.lineitem.join(
+            F.broadcast(
+                cat.part.filter(
+                    (F.col("p_brand") != "Brand#13")
+                    & (F.col("p_type") != "PROMO")
+                    & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+                )
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape — heavy suppliers of promo parts: nested correlated
+# aggregate (pair quantity vs part total) driving a semi-join back to
+# supplier. Scale notes: the pair agg and the per-part window total
+# share the l_partkey shuffle key; the surviving supplier-key set is
+# tiny → broadcast semi-join against supplier⨝nation, so the dimension
+# row never rides a shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q20",
+    """
+    WITH promo AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,4))) AS pair_qty
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'PROMO'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1999-01-01'
+        GROUP BY l_partkey, l_suppkey
+    ),
+    with_total AS (
+        SELECT l_suppkey, CAST(pair_qty AS DOUBLE) AS pair_qty,
+               CAST(SUM(pair_qty) OVER (PARTITION BY l_partkey) AS DOUBLE)
+                   AS part_qty
+        FROM promo
+    ),
+    heavy AS (
+        SELECT DISTINCT l_suppkey FROM with_total
+        WHERE pair_qty > 0.3 * part_qty
+    )
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+    ORDER BY s_name
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 excess-quantity shape (no partsupp.availqty → a pair is
+    "heavy" when it shipped >30% of its part's promo volume). The
+    canonical nested correlated subqueries become one agg + one window
+    over the same key, then a LEFT SEMI join back to the dimension."""
+    cat = Catalog(spark, sf_dir)
+    promo = (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(cat.part.filter(F.col("p_type") == "PROMO")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("pair_qty_dec"))
+    )
+    with_total = promo.select(
+        "l_suppkey",
+        F.col("pair_qty_dec").cast("double").alias("pair_qty"),
+        F.sum("pair_qty_dec")
+        .over(Window.partitionBy("l_partkey"))
+        .cast("double")
+        .alias("part_qty"),
+    )
+    heavy = (
+        with_total.filter(F.col("pair_qty") > 0.3 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        cat.supplier.join(
+            F.broadcast(cat.nation), F.col("n_nationkey") == F.col("s_nationkey")
+        )
+        .join(
+            F.broadcast(heavy),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
