@@ -376,3 +376,116 @@ def dedup_exact(df: DataFrame, cols: list[str], order_col: str) -> DataFrame:
         df.groupBy(*cols).agg(F.min(order_col).alias(order_col))
     )
     return df.join(keep, on=[*cols, order_col], how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Word n-gram Jaccard with AllPairs prefix filtering (exact recall).
+#
+# Unlike the MinHash-LSH path above (probabilistic recall), prefix
+# filtering (Chaudhuri/Bayardo AllPairs) guarantees EVERY pair with
+# Jaccard >= t is produced: order each doc's distinct n-gram hashes by a
+# global total order (ascending value); any qualifying pair must share an
+# element within the first |S| - ceil(t·|S|) + 1 elements of both sets, so
+# an equi-join on prefix elements is a complete candidate generator.
+# ---------------------------------------------------------------------------
+
+#: Horner factor folding token hashes into an n-gram hash
+#: g = ((h1·P + h2) mod MOD · P + h3) mod MOD — matches the DuckDB oracle.
+NGRAM_P = 1000003
+
+
+def ngram_hash_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, gs: array<long>, sz: int) — sorted distinct word-n-gram hashes
+    per doc. Docs with fewer than ``n`` tokens have no n-grams and are
+    dropped (Jaccard over an empty set is undefined).
+
+    Arrow kernel: token poly-hashes (same math as
+    ``transform(tokens(c), poly_hash)``) folded n-at-a-time with vectorized
+    shifted ops; ``np.unique`` both dedups and yields the ascending order
+    the prefix filter needs. Per-row compute, zero shuffles."""
+    import pandas as pd
+
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, gs array<long>, sz int"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, sets, sizes = [], [], []
+            for i, t in zip(pdf[id_col].values, pdf[text_col].values):
+                th = _np_token_hashes(t or "")
+                m = len(th) - n + 1
+                if m < 1:
+                    continue
+                acc = th[0:m].copy()
+                for j in range(1, n):
+                    acc = (acc * NGRAM_P + th[j : j + m]) % MOD
+                gs = np.unique(acc)
+                ids.append(i)
+                sets.append(gs.tolist())
+                sizes.append(len(gs))
+            if ids:  # empty frame would lose the list<long> column dtype
+                yield pd.DataFrame(
+                    {id_col: ids, "gs": sets, "sz": np.array(sizes, dtype=np.int32)}
+                )
+
+    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) — every doc pair whose word-n-gram-set Jaccard
+    is >= threshold. Exact (no probabilistic misses), via prefix filtering.
+
+    ceil(t·|S|) is computed in integer arithmetic from the threshold's
+    exact fraction so Spark and the oracle derive identical prefix lengths
+    (float ceil is representation-sensitive: ceil(0.6·5) is 3 in decimal
+    math but 4 in binary-double math).
+
+    Scale shape: the prefix explode emits only (id, hash) pairs — set
+    payloads never ride the candidate shuffle; each side's gs array joins
+    back once per surviving candidate. Candidate count is bounded by
+    prefix-element collisions (O(qualifying pairs) on real corpora, the
+    AllPairs result), never O(n²). The n-gram pass is localCheckpoint-ed
+    so candidate generation and both verify sides reuse one hashing pass."""
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10_000)
+    num, den = frac.numerator, frac.denominator
+
+    gs = ngram_hash_sets(df, id_col, text_col, n).localCheckpoint(eager=False)
+    # prefix length |S| - ceil(t·|S|) + 1, ceil done in exact integer math
+    pref_cnt = F.col("sz") - F.floor((num * F.col("sz") + den - 1) / den).cast(
+        "int"
+    ) + 1
+    pref = gs.select(
+        F.col(id_col), F.explode(F.slice("gs", F.lit(1), pref_cnt)).alias("ph")
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "ph")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    ga = gs.select(F.col(id_col).alias("id_a"), F.col("gs").alias("gs_a"))
+    gb = gs.select(F.col(id_col).alias("id_b"), F.col("gs").alias("gs_b"))
+    inter = F.size(F.array_intersect("gs_a", "gs_b"))
+    union = F.size("gs_a") + F.size("gs_b") - inter
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jacc_raw", inter.cast("double") / union)
+        .filter(F.col("jacc_raw") >= threshold)
+        .select("id_a", "id_b", F.round("jacc_raw", 4).alias("jaccard"))
+    )

@@ -921,6 +921,7 @@ from iniz_exporters_spark.operators.dedup import (
     dedup_exact,
     minhash_signatures,
     neardup_pairs,
+    ngram_jaccard_pairs,
     simhash_signatures,
 )
 from iniz_exporters_spark.operators.similarity import ann_bucketed, knn_bruteforce
@@ -2808,3 +2809,50 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup with AllPairs prefix filtering — the exact-recall
+# counterpart to the probabilistic MinHash-LSH `neardup_pairs`. See
+# operators/dedup.py::ngram_jaccard_pairs for the scale analysis.
+# ---------------------------------------------------------------------------
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH th AS (
+        SELECT doc_id,
+               list_transform({_SQL_TOKENS}, t -> {_SQL_POLY.format(s="t")}) AS th
+        FROM documents
+    ),
+    gs AS (
+        SELECT doc_id,
+               list_sort(list_distinct(list_transform(range(1, len(th) - 1),
+                   i -> ((th[i] * 1000003 + th[i+1]) % 1000000007 * 1000003
+                         + th[i+2]) % 1000000007))) AS gs
+        FROM th WHERE len(th) >= 3
+    ),
+    pref AS (
+        SELECT doc_id,
+               unnest(gs[1 : len(gs) - ((3 * len(gs) + 4) // 5) + 1]) AS ph
+        FROM gs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pref a JOIN pref b ON a.ph = b.ph AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+               len(list_intersect(ga.gs, gb.gs)) AS inter,
+               len(ga.gs) + len(gb.gs)
+                   - len(list_intersect(ga.gs, gb.gs)) AS uni
+        FROM cand
+        JOIN gs ga ON ga.doc_id = id_a
+        JOIN gs gb ON gb.doc_id = id_b
+    )
+    SELECT id_a, id_b, ROUND(inter::DOUBLE / uni, 4) AS jaccard
+    FROM scored WHERE inter::DOUBLE / uni >= 0.6
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)

@@ -310,3 +310,76 @@ def test_band_lookup_join_edges(spark):
     }
     # lo inclusive, hi exclusive; out-of-band rows dropped
     assert got == {1: "low", 2: "low", 3: "high", 4: "high"}
+
+
+def test_ngram_jaccard_exact_recall_vs_bruteforce(spark):
+    """Prefix filtering must find EVERY pair with Jaccard >= t (the
+    AllPairs guarantee) — verified against an O(n²) brute force over the
+    first 60 sf0.001 documents."""
+    import itertools
+    import re
+
+    from conftest import SF_SMALL
+    from iniz_exporters_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .filter("doc_id < 60")
+        .select("doc_id", "text")
+    )
+    rows = docs.collect()
+
+    def gset(text, n=3):
+        toks = [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+        hs = []
+        for t in toks:
+            h = 0
+            for c in t:
+                h = (h * 31 + ord(c)) % 1000000007
+            hs.append(h)
+        out = set()
+        for i in range(len(hs) - n + 1):
+            g = 0
+            for h in hs[i : i + n]:
+                g = (g * 1000003 + h) % 1000000007
+            out.add(g)
+        return out
+
+    sets = {r["doc_id"]: gset(r["text"]) for r in rows}
+    expected = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.6:
+            expected[(a, b)] = round(j, 4)
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.6).collect()
+    }
+    assert got == expected
+    assert expected, "sample must contain at least one qualifying pair"
+
+
+def test_ngram_jaccard_planted(spark):
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    near = base.replace("theta", "thorn")
+    other = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other), (4, base), (5, "too short")],
+        "doc_id long, text string",
+    )
+    from iniz_exporters_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0
+    assert not any(3 in p or 5 in p for p in pairs)
