@@ -2856,3 +2856,45 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+
+
+# ---------------------------------------------------------------------------
+# Window-function breadth: rank-family (NTILE / PERCENT_RANK / CUME_DIST)
+# and frame-bounded FIRST/LAST over one shared partition spec. Scale
+# notes: all five functions share a single (c_mktsegment ORDER BY
+# c_acctbal) sort — Catalyst computes them in ONE Window exec after ONE
+# exchange on the partition key; per-partition state is O(1) for the
+# rank family and the running frame.
+# ---------------------------------------------------------------------------
+@register(
+    "window_rank_family",
+    """
+    SELECT c_custkey, c_mktsegment,
+           NTILE(4) OVER w AS acct_quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           FIRST_VALUE(c_custkey) OVER w AS poorest_cust,
+           LAST_VALUE(c_custkey) OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS richest_cust
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family windows; ORDER BY includes c_custkey so ties rank
+    identically in both engines. LAST_VALUE needs the explicit unbounded
+    frame (the default frame stops at CURRENT ROW)."""
+    c = Catalog(spark, sf_dir).customer
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("acct_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("c_custkey").over(w).alias("poorest_cust"),
+        F.last("c_custkey").over(w_full).alias("richest_cust"),
+    )
