@@ -2898,3 +2898,252 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_custkey").over(w).alias("poorest_cust"),
         F.last("c_custkey").over(w_full).alias("richest_cust"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregate family: corr / covar / stddev / variance / median.
+# All are one-pass partial-aggregatable (sum, sum-of-squares, cross-sum
+# moments combine associatively), so Spark computes them map-side partial +
+# one shuffle on the group key — same plan shape as any hash agg. Values
+# normalized ([-1,1] corr, small-magnitude inputs) and rounded to 6 dp so
+# fp summation-order noise (~1e-13) can never reach the compared value.
+# ---------------------------------------------------------------------------
+@register(
+    "stats_agg_family",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_discount), 8) AS covar_qty_disc,
+           ROUND(stddev_samp(l_quantity), 6) AS stddev_qty,
+           ROUND(var_samp(l_discount), 8) AS var_disc,
+           median(l_quantity) AS median_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def stats_agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 8).alias("covar_qty_disc"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("stddev_qty"),
+        F.round(F.var_samp("l_discount"), 8).alias("var_disc"),
+        F.median("l_quantity").alias("median_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation (FILTER-clause semantics): per-priority order
+# counts and money split by status in ONE grouped pass — no self-join, no
+# second scan. Spark expresses FILTER as when()-guarded aggregates, which
+# Catalyst folds into the same hash-agg buffers.
+# ---------------------------------------------------------------------------
+@register(
+    "conditional_agg",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           CAST(ROUND(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                      FILTER (WHERE o_orderstatus = 'F'), 2) AS DOUBLE)
+               AS finished_value
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    is_f = F.col("o_orderstatus") == "F"
+    is_o = F.col("o_orderstatus") == "O"
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(is_f, 1)).alias("n_finished"),
+        F.count(F.when(is_o, 1)).alias("n_open"),
+        F.round(
+            F.sum(F.when(is_f, _dec(F.col("o_totalprice")))).cast("double"), 2
+        ).alias("finished_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E-family set operators: INTERSECT / EXCEPT (distinct semantics) between
+# two yearly customer cohorts, tagged and unioned into one result. Each set
+# op is a distinct-aggregate shuffle on the full row; at scale both cohorts
+# hash-partition on c_custkey so the op is a co-partitioned merge.
+# ---------------------------------------------------------------------------
+@register(
+    "intersect_except_custs",
+    """
+    SELECT 'both' AS cohort, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    )
+    UNION ALL
+    SELECT 'only_1996' AS cohort, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    )
+    """,
+)
+def intersect_except_custs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    both = y96.intersect(y97).select(F.lit("both").alias("cohort"), "o_custkey")
+    # subtract == EXCEPT DISTINCT; exceptAll is bag semantics and would leave
+    # surviving duplicates of keys that also appear on the right.
+    only = y96.subtract(y97).select(
+        F.lit("only_1996").alias("cohort"), "o_custkey"
+    )
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# String-distance join: Levenshtein over nation-name pairs. The dimension
+# is tiny so the self-join broadcasts; the distance function is JVM
+# codegen'd (no UDF). The < tiebreak keeps each unordered pair once.
+# ---------------------------------------------------------------------------
+@register(
+    "levenshtein_nations",
+    """
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           levenshtein(a.n_name, b.n_name) AS dist
+    FROM nation a JOIN nation b ON a.n_name < b.n_name
+    WHERE levenshtein(a.n_name, b.n_name) <= 6
+    """,
+)
+def levenshtein_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = Catalog(spark, sf_dir).nation
+    a = n.select(F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_name").alias("name_b"))
+    return (
+        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 6)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Value-range window frame: 30-day trailing spend per customer. RANGE
+# frames bound the frame by ORDER-BY value, not row count — Spark needs a
+# numeric ordering column, so the date goes through epoch seconds. One
+# exchange on o_custkey + one sort; the frame sum is maintained
+# incrementally (O(1) per row) in decimal space on both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "window_range_frame",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(ROUND(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+           ), 2) AS DOUBLE) AS trailing_30d_spend
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2592000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(
+            F.sum(_dec(F.col("o_totalprice"))).over(w).cast("double"), 2
+        ).alias("trailing_30d_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R-family reshape: UNPIVOT (wide → long melt). Narrow transform, no
+# shuffle at all — each input row emits k metric rows in place, so the
+# plan is scan → generate, fully pipelined.
+# ---------------------------------------------------------------------------
+@register(
+    "unpivot_part_metrics",
+    """
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val
+    FROM part
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Catalog(spark, sf_dir).part
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").alias("p_retailprice"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date/time function breadth over the events stream: truncation, field
+# extraction, day arithmetic. All JVM intrinsics; the group-by key is
+# derived (year, month) so partial aggregation still applies.
+# ---------------------------------------------------------------------------
+@register(
+    "datetime_breadth",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           year(ts) AS yr, quarter(ts) AS qtr, month(ts) AS mon,
+           day(ts) AS dom,
+           count(*) AS n_events,
+           min(hour(ts)) AS first_hour,
+           max(hour(ts)) AS last_hour,
+           CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS sum_value
+    FROM events
+    GROUP BY ALL
+    """,
+)
+def datetime_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    return e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day_start"),
+        F.year("ts").alias("yr"),
+        F.quarter("ts").alias("qtr"),
+        F.month("ts").alias("mon"),
+        F.dayofmonth("ts").alias("dom"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.hour("ts")).alias("first_hour"),
+        F.max(F.hour("ts")).alias("last_hour"),
+        F.round(F.sum(_dec(F.col("value"))).cast("double"), 2).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regex extraction over document text: leading-word histogram. The
+# extraction is a codegen'd JVM regex (no Python); both engines return ''
+# on no-match so empty texts land in one deterministic bucket.
+# ---------------------------------------------------------------------------
+@register(
+    "regexp_first_word",
+    """
+    SELECT lower(regexp_extract(text, '^([A-Za-z]+)', 1)) AS first_word,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM documents
+    GROUP BY lower(regexp_extract(text, '^([A-Za-z]+)', 1))
+    """,
+)
+def regexp_first_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return d.groupBy(
+        F.lower(F.regexp_extract("text", r"^([A-Za-z]+)", 1)).alias("first_word")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
