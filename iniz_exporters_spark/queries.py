@@ -3147,3 +3147,239 @@ def regexp_first_word(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+from iniz_exporters_spark.functions.text import poly_hash  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# MIN_BY / MAX_BY aggregates: per-nation richest/poorest customer in ONE
+# grouped pass — no window, no self-join, no sort. The comparator packs
+# (acctbal, custkey) into one exact DECIMAL so ties break identically in
+# both engines (DuckDB's arg_max cannot order by a struct). At scale this
+# is a plain partial-aggregatable hash agg: each map task keeps one
+# candidate per group, only candidates shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "minmax_by_agg",
+    """
+    SELECT n.n_name AS nation,
+           arg_max(c.c_name,
+                   CAST(c.c_acctbal AS DECIMAL(18,2)) * 10000000 + c.c_custkey)
+               AS richest_cust,
+           arg_min(c.c_name,
+                   CAST(c.c_acctbal AS DECIMAL(18,2)) * 10000000 + c.c_custkey)
+               AS poorest_cust,
+           max(c.c_acctbal) AS max_bal,
+           min(c.c_acctbal) AS min_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def minmax_by_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    packed = _dec(F.col("c_acctbal"), 18, 2) * 10000000 + F.col("c_custkey")
+    return (
+        cat.customer.join(
+            F.broadcast(cat.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max_by("c_name", packed).alias("richest_cust"),
+            F.min_by("c_name", packed).alias("poorest_cust"),
+            F.max("c_acctbal").alias("max_bal"),
+            F.min("c_acctbal").alias("min_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-handling scalar family: NULLIF / COALESCE / GREATEST / LEAST.
+# Row-level, zero-shuffle, fully codegen'd; values pass through unchanged
+# (no arithmetic) so cross-engine equality is exact.
+# ---------------------------------------------------------------------------
+@register(
+    "null_handling_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           nullif(l_discount, 0.0) AS disc_nn,
+           coalesce(nullif(l_discount, 0.0), -1.0) AS disc_filled,
+           greatest(l_discount, l_tax) AS hi_rate,
+           least(l_discount, l_tax) AS lo_rate,
+           CASE WHEN l_discount > l_tax THEN 'disc' ELSE 'tax' END AS winner
+    FROM lineitem
+    """,
+)
+def null_handling_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    disc_nn = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_nn.alias("disc_nn"),
+        F.coalesce(disc_nn, F.lit(-1.0)).alias("disc_filled"),
+        F.greatest("l_discount", "l_tax").alias("hi_rate"),
+        F.least("l_discount", "l_tax").alias("lo_rate"),
+        F.when(F.col("l_discount") > F.col("l_tax"), "disc")
+        .otherwise("tax")
+        .alias("winner"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# String-function breadth: SPLIT_PART / LPAD / REVERSE / TRANSLATE /
+# SUBSTR / INITCAP-equivalent casing. Same ANSI names on both engines;
+# row-level codegen, no shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "string_funcs_breadth",
+    """
+    SELECT p_partkey,
+           split_part(p_type, ' ', 1) AS type_head,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           reverse(p_brand) AS brand_rev,
+           translate(p_name, 'aeiou', 'AEIOU') AS name_vowels,
+           substr(p_name, 1, 8) AS name_prefix,
+           upper(p_brand) AS brand_upper,
+           length(p_name) AS name_len
+    FROM part
+    """,
+)
+def string_funcs_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Catalog(spark, sf_dir).part
+    return p.select(
+        "p_partkey",
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.translate(F.col("p_name"), "aeiou", "AEIOU").alias("name_vowels"),
+        F.substring(F.col("p_name"), 1, 8).alias("name_prefix"),
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.length(F.col("p_name")).alias("name_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram binning: bucket = floor(x / width), capped to a
+# top bucket. Both engines evaluate the same IEEE-double division, so
+# bucket assignment is bit-identical. One partial-aggregatable group-by;
+# the bucket count is bounded, so the reduce side is tiny at any scale.
+# ---------------------------------------------------------------------------
+@register(
+    "histogram_bins",
+    """
+    SELECT least(CAST(floor(o_totalprice / 25000.0) AS BIGINT), 19) AS bucket,
+           count(*) AS n_orders,
+           CAST(ROUND(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS bucket_value
+    FROM orders
+    GROUP BY least(CAST(floor(o_totalprice / 25000.0) AS BIGINT), 19)
+    """,
+)
+def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 25000.0).cast("long"), F.lit(19)
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(_dec(F.col("o_totalprice"))).cast("double"), 2).alias(
+            "bucket_value"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling: keep rows whose poly_hash(key) mod 20 == 0
+# (a reproducible ~5% Bernoulli sample keyed on content, not RNG state).
+# This is how a 100 TB pipeline takes a stable sample across reruns and
+# engines: the predicate pushes to the scan, no shuffle until the
+# aggregate, and the same rows are chosen on every cluster size.
+# ---------------------------------------------------------------------------
+@register(
+    "sample_poly_hash",
+    f"""
+    SELECT c_nationkey,
+           count(*) AS n_sampled,
+           CAST(ROUND(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS sampled_bal
+    FROM customer
+    WHERE {_SQL_POLY.format(s="c_name")} % 20 = 0
+    GROUP BY c_nationkey
+    """,
+)
+def sample_poly_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    return (
+        c.filter(poly_hash("c_name") % 20 == 0)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum(_dec(F.col("c_acctbal"))).cast("double"), 2).alias(
+                "sampled_bal"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic pivot (R2/R3 at registry scale): languages discovered from data
+# become columns. Spark runs a distinct-collection job first (the
+# "discover the schema from the data" step the locations exporter needs),
+# then one pivot agg. The oracle pins the same columns statically.
+# ---------------------------------------------------------------------------
+@register(
+    "pivot_dynamic_langs",
+    """
+    SELECT source,
+           count(*) FILTER (WHERE lang = 'de') AS de,
+           count(*) FILTER (WHERE lang = 'en') AS en,
+           count(*) FILTER (WHERE lang = 'es') AS es,
+           count(*) FILTER (WHERE lang = 'fr') AS fr,
+           count(*) FILTER (WHERE lang = 'zh') AS zh
+    FROM documents
+    GROUP BY source
+    """,
+)
+def pivot_dynamic_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    # no value list → Spark discovers pivot columns from the data
+    out = d.groupBy("source").pivot("lang").agg(F.count(F.lit(1)))
+    return out.fillna(0, subset=[c for c in out.columns if c != "source"])
+
+
+# ---------------------------------------------------------------------------
+# Array-function breadth over embeddings: length, elementwise square, a
+# sequential fold for the L2 norm, array min/max. Elements are cast to
+# double BEFORE any arithmetic (float math rounds differently per engine)
+# and both engines fold left-to-right, so the sum is order-identical;
+# ROUND(.,4) absorbs the last-bit difference of sqrt.
+# ---------------------------------------------------------------------------
+@register(
+    "array_norm_embeddings",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(sqrt(list_reduce(
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (a, b) -> a + b)), 4) AS l2_norm,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS max_elem,
+           ROUND(CAST(list_min(embedding) AS DOUBLE), 4) AS min_elem
+    FROM embeddings
+    """,
+)
+def array_norm_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    sq = F.transform(
+        F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)), 4
+        ).alias("l2_norm"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("max_elem"),
+        F.round(F.array_min("embedding").cast("double"), 4).alias("min_elem"),
+    )
