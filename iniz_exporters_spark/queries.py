@@ -3383,3 +3383,124 @@ def array_norm_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max("embedding").cast("double"), 4).alias("max_elem"),
         F.round(F.array_min("embedding").cast("double"), 4).alias("min_elem"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Changelog compaction: keep only the LATEST record per key (the upsert /
+# SCD-1 pattern every ingest pipeline needs). row_number over a
+# (key DESC-ts) sort with a unique tiebreaker, filtered to 1 — Spark plans
+# one exchange on user_id + per-partition sort; with AQE the filter
+# collapses to a top-1-per-key aggregation shape. At 100 TB the same plan
+# holds: state per key is O(1), no driver involvement.
+# ---------------------------------------------------------------------------
+@register(
+    "latest_per_key",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           value AS last_value
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit LEFT SEMI join: customers that placed at least one high-value
+# order. Semi joins ship only the probe side's keys — no payload from the
+# right relation crosses the shuffle, and the output never duplicates.
+# ---------------------------------------------------------------------------
+@register(
+    "semi_join_customers",
+    """
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer
+    WHERE c_custkey IN (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+    )
+    """,
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    big = cat.orders.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return cat.customer.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name", "c_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# POSEXPLODE: array → (row, position, element) unnest with ordinality.
+# Narrow generate, no shuffle; the oracle replays it with a correlated
+# range() lateral join. Elements cast to double before rounding.
+# ---------------------------------------------------------------------------
+@register(
+    "posexplode_embeddings",
+    """
+    SELECT vec_id,
+           unnest(range(len(embedding))) AS pos,
+           ROUND(CAST(unnest(embedding) AS DOUBLE), 4) AS elem
+    FROM embeddings
+    WHERE vec_id < 50
+    """,
+)
+def posexplode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    return (
+        e.filter(F.col("vec_id") < 50)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "raw"))
+        .select(
+            "vec_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.round(F.col("raw").cast("double"), 4).alias("elem"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Running DISTINCT count over a window: how many distinct event types each
+# user has produced up to each point in time. Spark has no
+# COUNT(DISTINCT) OVER — the idiomatic equivalent is size(collect_set()
+# OVER w), which keeps a per-frame hash set. Default RANGE frame includes
+# ts-tied peers on both engines, so ties are deterministic by
+# construction. Scale note: state is O(|distinct types|) per key — bounded
+# here; for unbounded domains use the approx sketch variant.
+# ---------------------------------------------------------------------------
+@register(
+    "window_distinct_running",
+    """
+    SELECT event_id, user_id,
+           count(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY ts
+           ) AS types_so_far
+    FROM events
+    WHERE user_id < 100
+    """,
+)
+def window_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return e.filter(F.col("user_id") < 100).select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).cast("long").alias(
+            "types_so_far"
+        ),
+    )
