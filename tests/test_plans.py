@@ -1,0 +1,88 @@
+"""Physical-plan audits: the plan properties that matter at 100 TB.
+
+Correctness says an operator computes the right rows; these tests pin the
+*shape* of the plan Catalyst picks — broadcasts for dimension joins, filter
+and column pushdown into the parquet scan, map-side partial aggregation,
+whole-stage codegen, and shuffle counts. A regression here is a silent
+100×-scale performance bug even when every oracle check stays green.
+"""
+
+from iniz_exporters_spark.queries import REGISTRY
+
+from conftest import SF_SMALL
+
+
+def physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def with_scans(df) -> str:
+    # full queryExecution dump includes FileScan lines (PushedFilters,
+    # ReadSchema), which executedPlan's tree string may elide
+    return df._jdf.queryExecution().toString()
+
+
+def run(name, spark):
+    return REGISTRY[name].fn(spark, SF_SMALL)
+
+
+def test_dim_join_broadcasts(spark):
+    plan = physical(run("join_dim_broadcast", spark))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_minmax_by_nation_broadcasts(spark):
+    plan = physical(run("minmax_by_agg", spark))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_equality_filter_pushed_to_scan(spark):
+    plan = with_scans(run("filter_eq", spark))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    assert any("PushedFilters: []" not in ln for ln in pushed), pushed
+
+
+def test_scan_prunes_unused_columns(spark):
+    plan = with_scans(run("q1_pricing_summary", spark))
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schemas, plan
+    # q1 touches 7 of lineitem's 11 columns; the join keys must not be read
+    assert all("l_partkey" not in ln and "l_suppkey" not in ln for ln in schemas), schemas
+
+
+def test_aggregation_is_partial_then_final(spark):
+    plan = physical(run("q1_pricing_summary", spark))
+    assert "partial_sum" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_whole_stage_codegen_active(spark):
+    # codegen spans (starred nodes) only materialize in the AQE final plan,
+    # so execute first
+    df = run("q1_pricing_summary", spark)
+    df.collect()
+    plan = physical(df)
+    assert "isFinalPlan=true" in plan, plan
+    assert "*(" in plan, plan  # codegen'd spans are starred
+
+
+def test_semi_join_stays_semi(spark):
+    plan = physical(run("semi_join_customers", spark))
+    assert "LeftSemi" in plan, plan
+
+
+def test_latest_per_key_single_shuffle(spark):
+    plan = physical(run("latest_per_key", spark))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_window_family_single_exchange(spark):
+    # five window functions over one shared spec must share one exchange
+    plan = physical(run("window_rank_family", spark))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_exact_dedup_single_shuffle(spark):
+    plan = physical(run("dedup_exact", spark))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
