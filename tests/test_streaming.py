@@ -9,6 +9,7 @@ import shutil
 import tempfile
 
 import pytest
+import pyspark.sql.functions as F
 
 from iniz_exporters_spark.catalog import Catalog
 from iniz_exporters_spark.streaming.windows import (
@@ -159,3 +160,44 @@ def test_running_stats_updates(spark, tmp_path):
         latest[r["user"]] = (r["n"], r["total"])
     assert latest[1] == (3, 6.0)
     assert latest[2] == (1, 5.0)
+
+
+def test_stream_static_enrich_parity(spark, events_dir):
+    """Stream-static broadcast join: per-batch enrichment must equal the
+    batch join, and the streaming side must not require state/watermark."""
+    from iniz_exporters_spark.streaming.enrich import enrich_stream
+
+    dim = (
+        Catalog(spark, SF)
+        .customer.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_nationkey").alias("nation"),
+        )
+    )
+    e_static = spark.read.parquet(events_dir)
+    batch = (
+        enrich_stream(e_static, dim, on=["user_id"])
+        .groupBy("nation")
+        .count()
+    )
+    stream = (
+        enrich_stream(
+            stream_events(spark, events_dir, schema=e_static.schema),
+            dim,
+            on=["user_id"],
+        )
+        .groupBy("nation")
+        .count()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from enrich_test")
+    keys = ["nation", "count"]
+    assert _rows(got, keys) == _rows(batch, keys)
+    assert len(_rows(got, keys)) > 0
