@@ -3504,3 +3504,75 @@ def window_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             "types_so_far"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward fill (gap filling): LAST_VALUE ... IGNORE NULLS over an ordered
+# per-key window — the standard repair for sparse sensor/metric streams.
+# NULLs are synthesized deterministically ('error' events lose their
+# value), then each row carries the most recent non-null reading. One
+# exchange + sort per key; running state is O(1). The ts ordering adds
+# event_id so rows within a tied timestamp fill identically either side.
+# ---------------------------------------------------------------------------
+@register(
+    "window_fill_forward",
+    """
+    SELECT event_id, user_id,
+           v AS raw_value,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        FROM events
+    )
+    WHERE user_id < 100
+    """,
+)
+def window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    v = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.filter(F.col("user_id") < 100)
+        .withColumn("raw_value", v)
+        .select(
+            "event_id",
+            "user_id",
+            "raw_value",
+            F.last("raw_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANK vs DENSE_RANK tie semantics: both depend only on the ORDER-BY
+# *values*, so ties produce identical ranks on any engine with no
+# tiebreaker needed; o_orderkey identifies rows. Shares one window spec →
+# one exchange + one sort.
+# ---------------------------------------------------------------------------
+@register(
+    "rank_dense_rank",
+    """
+    SELECT o_orderkey, o_custkey,
+           rank() OVER w AS price_rank,
+           dense_rank() OVER w AS price_dense_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+    """,
+)
+def rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )
