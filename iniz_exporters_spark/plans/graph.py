@@ -289,3 +289,82 @@ def distributed_topo_levels(edges: DataFrame, max_iters: int = 100) -> DataFrame
         levels = levels.unionByName(nxt)
         frontier = nxt
     return levels.groupBy("node").agg(F.max("lvl").alias("lvl"))
+
+
+def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Weakly-connected components via min-label propagation (cols ``src``,
+    ``dst`` in; ``node``, ``component`` out, component = min node id).
+
+    The dedup-clustering step: near-duplicate PAIRS (MinHash/SimHash/cosine
+    output) become GROUPS by computing components over the pair graph, then
+    keeping one canonical row per component. Large-star/small-star contraction
+    halves the iteration count on pathological chains; plain propagation is
+    used here because near-dup graphs are overwhelmingly small dense
+    cliques (diameter ≤ ~3), so rounds ≈ 3. Each round is one shuffle of
+    the label frame to the pinned edge partitioning; labels only decrease,
+    and the loop stops when no label changed. Undirected closure is forced
+    by mirroring the edge list once up front.
+    """
+    und = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    und = und.repartition("src").localCheckpoint()
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            labels.join(und, labels.node == und.src)
+            .select(F.col("dst").alias("node"), "component")
+            .groupBy("node")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.component") != F.col("o.component"))
+        )
+        stable = changed.isEmpty()
+        labels = new_labels
+        if stable:
+            break
+    return labels
+
+
+def canonical_per_component(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collapse near-dup pairs into keep/drop decisions: every id in
+    ``all_ids`` mapped to its cluster representative (min id of its
+    component; singletons represent themselves). Output cols: ``id_col``,
+    ``canonical_id``, ``is_canonical``."""
+    comps = connected_components(
+        pairs.select(
+            F.col(pairs.columns[0]).alias("src"),
+            F.col(pairs.columns[1]).alias("dst"),
+        )
+    )
+    return (
+        all_ids.select(id_col)
+        .join(comps, all_ids[id_col] == comps.node, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("canonical_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))
+    )

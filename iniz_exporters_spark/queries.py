@@ -3576,3 +3576,41 @@ def rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).alias("price_rank"),
         F.dense_rank().over(w).alias("price_dense_rank"),
     )
+
+
+from iniz_exporters_spark.plans.graph import connected_components  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# Weakly-connected components (the dedup-clustering primitive: near-dup
+# PAIRS → groups → one canonical row each). Min-label propagation over
+# pinned undirected edges; one shuffle per round, rounds ≈ graph diameter.
+# Demonstrated on the nation–region bipartite graph (nodes = nationkey and
+# 1000+regionkey) so the oracle can replay the fixpoint as a recursive CTE
+# — components come out as one cluster per region, labeled by its minimum
+# nation key.
+# ---------------------------------------------------------------------------
+@register(
+    "connected_components_q",
+    """
+    WITH RECURSIVE e AS (
+        SELECT n_nationkey AS src, 1000 + n_regionkey AS dst FROM nation
+    ),
+    und AS (
+        SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+    ),
+    reach(node, r) AS (
+        SELECT src, src FROM und
+        UNION
+        SELECT u.dst, reach.r FROM reach JOIN und u ON reach.node = u.src
+    )
+    SELECT node, min(r) AS component FROM reach GROUP BY node
+    """,
+)
+def connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = Catalog(spark, sf_dir).nation
+    edges = n.select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        (F.lit(1000) + F.col("n_regionkey")).cast("long").alias("dst"),
+    )
+    return connected_components(edges)

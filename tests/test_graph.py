@@ -103,3 +103,33 @@ def test_distributed_variants(spark):
 
     lv = {r.node: r.lvl for r in distributed_topo_levels(edges).collect()}
     assert lv == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3, "x": 0, "y": 1}
+
+
+def test_connected_components_two_islands(spark):
+    from iniz_exporters_spark.plans.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)], "src long, dst long"
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)}
+
+
+def test_canonical_per_component_with_singletons(spark):
+    from iniz_exporters_spark.plans.graph import canonical_per_component
+
+    pairs = spark.createDataFrame([(5, 9), (9, 7)], "a long, b long")
+    ids = spark.createDataFrame([(5,), (7,), (9,), (42,)], "doc_id long")
+    got = {
+        (r["doc_id"], r["canonical_id"], r["is_canonical"])
+        for r in canonical_per_component(pairs, ids).collect()
+    }
+    assert got == {
+        (5, 5, True),
+        (7, 5, False),
+        (9, 5, False),
+        (42, 42, True),
+    }
