@@ -3614,3 +3614,41 @@ def connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1000) + F.col("n_regionkey")).cast("long").alias("dst"),
     )
     return connected_components(edges)
+
+
+# ---------------------------------------------------------------------------
+# Array set operations: intersect / union / except between per-row token
+# arrays (the primitive under n-gram Jaccard and vocabulary diffing).
+# Element order out of set ops is engine-specific, so results are
+# canonicalized with array_sort before comparison; all ops are row-local
+# (no shuffle).
+# ---------------------------------------------------------------------------
+@register(
+    "array_set_ops",
+    """
+    SELECT p_partkey,
+           list_sort(list_distinct(list_intersect(nw, tw))) AS common_words,
+           list_sort(list_distinct(list_concat(nw, tw))) AS all_words,
+           list_sort(list_distinct(
+               list_filter(nw, x -> NOT list_contains(tw, x))))
+               AS name_only_words,
+           len(list_distinct(nw)) AS n_name_words
+    FROM (
+        SELECT p_partkey,
+               string_split(p_name, ' ') AS nw,
+               string_split(lower(p_type), ' ') AS tw
+        FROM part
+    )
+    """,
+)
+def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Catalog(spark, sf_dir).part
+    nw = F.split(F.col("p_name"), " ")
+    tw = F.split(F.lower(F.col("p_type")), " ")
+    return p.select(
+        "p_partkey",
+        F.array_sort(F.array_intersect(nw, tw)).alias("common_words"),
+        F.array_sort(F.array_distinct(F.array_union(nw, tw))).alias("all_words"),
+        F.array_sort(F.array_except(nw, tw)).alias("name_only_words"),
+        F.size(F.array_distinct(nw)).cast("long").alias("n_name_words"),
+    )
