@@ -201,3 +201,50 @@ def test_stream_static_enrich_parity(spark, events_dir):
     keys = ["nation", "count"]
     assert _rows(got, keys) == _rows(batch, keys)
     assert len(_rows(got, keys)) > 0
+
+
+def test_stream_stream_interval_join_parity(spark, events_dir):
+    """Funnel attribution: purchases within 24h of the same user's signup.
+    Stream-stream inner join with watermarks on both sides must equal the
+    static interval join."""
+    from iniz_exporters_spark.streaming.joins import interval_join_streams
+
+    schema = spark.read.parquet(events_dir).schema
+
+    def side(reader, typ, prefix):
+        return reader.filter(F.col("event_type") == typ).select(
+            F.col("user_id").alias(f"{prefix}_user_id"),
+            F.col("ts").alias(f"{prefix}_ts"),
+            F.col("event_id").alias(f"{prefix}_event_id"),
+        )
+
+    static = spark.read.parquet(events_dir)
+    batch = interval_join_streams(
+        side(static, "signup", "l"),
+        side(static, "purchase", "r"),
+        key="user_id",
+        within="24 hours",
+    )
+
+    def stream_side(typ, prefix):
+        s = spark.readStream.schema(schema).format("parquet").load(events_dir)
+        return side(s, typ, prefix).withWatermark(f"{prefix}_ts", "1 hour")
+
+    stream = interval_join_streams(
+        stream_side("signup", "l"),
+        stream_side("purchase", "r"),
+        key="user_id",
+        within="24 hours",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from ssj_test")
+    keys = ["l_event_id", "r_event_id"]
+    assert _rows(got, keys) == _rows(batch, keys)
+    assert len(_rows(got, keys)) > 0
