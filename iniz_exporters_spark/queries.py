@@ -538,19 +538,30 @@ def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_static",
     """
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
     FROM orders
     GROUP BY o_orderpriority
     """,
 )
 def pivot_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Type-pinned both sides: DuckDB COUNT(*) FILTER is BIGINT (SUM(CASE...)
+    # would be HUGEINT and can hash-diverge under the driver's normalizer),
+    # and an absent pivot cell is coalesced to 0 on both engines so sparse
+    # scale factors can never produce a NULL-vs-0 disagreement.
     o = Catalog(spark, sf_dir).orders
-    return (
+    p = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(f"`{c}`"), F.lit(0)).cast("long").alias(c)
+            for c in ("F", "O", "P")
+        ],
     )
 
 
@@ -2452,7 +2463,8 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events
     GROUP BY event_type
@@ -2640,10 +2652,10 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12",
     """
     SELECT l_returnflag AS ship_class,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+               AS high_line_count,
+           COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+               AS low_line_count
     FROM lineitem
     JOIN orders ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
@@ -3134,7 +3146,7 @@ def datetime_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lower(regexp_extract(text, '^([A-Za-z]+)', 1)) AS first_word,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY lower(regexp_extract(text, '^([A-Za-z]+)', 1))
     """,
