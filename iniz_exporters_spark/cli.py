@@ -266,7 +266,8 @@ def set_creator_main(argv: list[str] | None = None) -> str:
     from iniz_exporters_spark.exporters.set_creator import concept_set_csv
 
     a = set_creator_parser().parse_args(argv)
-    outfile = a.outfile or os.path.splitext(a.infile)[0] + "-set.csv"
+    # reference concept_set_csv_creator.py:38 defaults to "output.csv".
+    outfile = a.outfile or "output.csv"
     concept_set_csv(a.infile, outfile)
     return outfile
 

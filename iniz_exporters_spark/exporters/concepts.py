@@ -323,10 +323,15 @@ def _finalize_columns(cfg: ConceptExportConfig, rows: list[dict]) -> list[str]:
         and k not in ("concept_id", "is_set")
     ]
     all_keys = initial + other
+    # Only None/'' count as empty (matching operators/pruning.nonempty_flags):
+    # the reference sees TSV strings where '0' is truthy, so a column whose
+    # only populated values are numeric zero (e.g. 'Absolute low' 0.0) must
+    # survive pruning here too.
     return [
         k
         for k in all_keys
-        if k == "Void/Retire" or any(r.get(k) for r in rows)
+        if k == "Void/Retire"
+        or any(r.get(k) not in (None, "") for r in rows)
     ]
 
 

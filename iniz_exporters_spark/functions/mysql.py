@@ -82,9 +82,16 @@ def group_concat_two_phase(df, keys, value: str, order_by: str, sep: str = ";",
 
 
 def mysql_cast_unsigned(col: Column | str) -> Column:
-    """MySQL ``CAST(x AS UNSIGNED)``: longest leading digit run, else 0."""
+    """MySQL ``CAST(x AS UNSIGNED)``: longest leading digit run, else 0.
+
+    MySQL also tolerates leading whitespace and an optional '+' sign
+    (' 123' → 123, '+12' → 12), which matters for the PIH|Number vs
+    PIH|Name discriminator on reference-term codes; a leading '-' yields
+    MySQL's unsigned wraparound, which we pin to 0 explicitly (no caller
+    feeds negative codes, and wraparound would be a trap to reproduce).
+    """
     c = F.col(col) if isinstance(col, str) else col
-    digits = F.regexp_extract(c.cast("string"), r"^(\d+)", 1)
+    digits = F.regexp_extract(c.cast("string"), r"^\s*\+?(\d+)", 1)
     return F.coalesce(
         F.when(digits == "", F.lit(0)).otherwise(digits.cast("long")), F.lit(0)
     )

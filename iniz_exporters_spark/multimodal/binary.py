@@ -31,10 +31,16 @@ def binary_metadata(df: DataFrame, binary_col: str) -> DataFrame:
     """Cheap JVM-side metadata: byte length + polynomial checksum of the
     first 64 bytes (no Python at all — stays in codegen)."""
     b = F.col(binary_col)
+    # Fold over the ACTUAL bytes: hex() the 64-byte prefix and parse two hex
+    # chars per byte with conv(). Casting binary→string would UTF-8-decode
+    # the payload (invalid bytes → U+FFFD, multi-byte sequences collapse) and
+    # diverge from decode_images' Python byte checksum on real media.
     head = F.expr(
+        f"CASE WHEN octet_length({binary_col}) = 0 THEN 0L ELSE "
         f"aggregate(transform(sequence(1, least(octet_length({binary_col}), 64)),"
-        f" i -> ascii(substring(cast({binary_col} as string), i, 1))),"
-        " 0L, (acc, c) -> (acc * 31 + c) % 1000000007)"
+        f" i -> cast(conv(substring(hex(substring({binary_col}, 1, 64)),"
+        " 2*i - 1, 2), 16, 10) as int)),"
+        " 0L, (acc, c) -> (acc * 31 + c) % 1000000007) END"
     )
     return df.withColumn("byte_len", F.octet_length(b)).withColumn(
         "bin_checksum", head

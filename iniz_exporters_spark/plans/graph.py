@@ -251,6 +251,12 @@ def distributed_reachable(
             break
         seen = seen.unionByName(nxt).localCheckpoint()
         frontier = nxt
+    else:
+        raise RuntimeError(
+            f"distributed_reachable did not converge in {max_iters} "
+            "iterations (frontier still non-empty); raise max_iters for "
+            "graphs deeper than the iteration budget"
+        )
     return seen
 
 
@@ -288,6 +294,13 @@ def distributed_topo_levels(edges: DataFrame, max_iters: int = 100) -> DataFrame
             break
         levels = levels.unionByName(nxt)
         frontier = nxt
+    else:
+        raise RuntimeError(
+            f"distributed_topo_levels did not converge in {max_iters} "
+            "iterations — the graph is deeper than the budget or cyclic "
+            "(a cycle propagates levels forever); raise max_iters or run "
+            "cycle detection first"
+        )
     return levels.groupBy("node").agg(F.max("lvl").alias("lvl"))
 
 
@@ -341,6 +354,12 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
         labels = new_labels
         if stable:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "iterations (labels still changing); the component diameter "
+            "exceeds the budget — raise max_iters"
+        )
     return labels
 
 

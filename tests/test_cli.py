@@ -104,6 +104,23 @@ def test_set_creator_cli(tmp_path):
     assert [r["Sort Weight"] for r in rows] == ["1", "2"]
 
 
+def test_set_creator_default_outfile(tmp_path, monkeypatch):
+    """Without -o the output lands in ./output.csv, matching the reference
+    (concept_set_csv_creator.py:38)."""
+    infile = tmp_path / "concepts.csv"
+    with open(infile, "w", newline="") as f:
+        w = csv.DictWriter(f, ["uuid", "Fully specified name:en", "Void/Retire"])
+        w.writeheader()
+        w.writerow({"uuid": "set-uuid", "Fully specified name:en": "My set"})
+        w.writerow({"uuid": "m1", "Fully specified name:en": "Member one"})
+    monkeypatch.chdir(tmp_path)
+    out = set_creator_main([str(infile)])
+    assert out == "output.csv"
+    with open(tmp_path / "output.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert [r["Member"] for r in rows] == ["m1"]
+
+
 def test_cli_rejects_unknown_command():
     from iniz_exporters_spark.cli import main
 

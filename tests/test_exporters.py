@@ -155,6 +155,12 @@ def test_concepts_export_values(spark, concept_tables):
     assert "Critical high" not in cols  # empty everywhere → pruned
     assert all(r["Void/Retire"] is None for r in rows)
     assert "Mappings|SAME-AS|CIEL" in cols
+    # numeric zero is DATA, not emptiness: 'Absolute low' is 0.0 on its only
+    # populated row and must survive pruning (reference sees the TSV string
+    # '0', which is truthy — Python truthiness over native values would drop
+    # the column and silently lose it from the export)
+    assert "Absolute low" in cols
+    assert w["Absolute low"] == 0.0
 
 
 def test_concepts_tree_filter_and_exclude(spark, concept_tables):

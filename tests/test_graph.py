@@ -118,6 +118,27 @@ def test_connected_components_two_islands(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)}
 
 
+def test_fixpoint_nonconvergence_raises(spark):
+    """Exhausting max_iters before convergence must raise, not silently
+    return wrong labels/levels (a chain of length 6 cannot converge in 2
+    propagation rounds)."""
+    from iniz_exporters_spark.plans.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=2)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        distributed_topo_levels(chain, max_iters=2)
+    roots = spark.createDataFrame([(0,)], "node long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        distributed_reachable(chain, roots, max_iters=2)
+    # and a budget that fits converges to the right answer
+    got = {r["component"] for r in connected_components(chain, max_iters=10).collect()}
+    assert got == {0}
+
+
 def test_canonical_per_component_with_singletons(spark):
     from iniz_exporters_spark.plans.graph import canonical_per_component
 

@@ -30,7 +30,25 @@ def test_binary_metadata(media_df):
     assert got[1]["byte_len"] == 21
     assert got[2]["byte_len"] == 26
     assert got[3]["byte_len"] == 0
+    assert got[3]["bin_checksum"] == 0
     assert got[1]["bin_checksum"] != got[2]["bin_checksum"]
+
+
+def test_binary_metadata_checksum_is_byte_based(spark):
+    """The JVM checksum must fold actual bytes (not a UTF-8 decode) and
+    therefore agree with decode_images' Python byte checksum on payloads
+    containing invalid-UTF-8 and multi-byte sequences."""
+    rows = [
+        (1, bytes([0xFF, 0xFE, 0x00, 0x89, 0x50, 0x4E, 0x47])),  # invalid UTF-8
+        (2, "héllo🙂".encode("utf-8")),  # multi-byte sequences
+        (3, bytes(range(200)) * 2),  # > 64 bytes, high bytes
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    jvm = {r["media_id"]: r["bin_checksum"]
+           for r in binary_metadata(df, "payload").collect()}
+    py = {r["media_id"]: r["checksum"]
+          for r in decode_images(df, "payload", "media_id").collect()}
+    assert jvm == py
 
 
 def test_decode_images_fake_path(media_df):

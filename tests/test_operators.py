@@ -46,10 +46,14 @@ def test_mysql_group_concat_unordered_sorts(spark):
 
 def test_mysql_cast_unsigned(spark):
     df = spark.createDataFrame(
-        [("123",), ("12ab",), ("abc",), ("",), (None,)], "s string"
+        [("123",), ("12ab",), ("abc",), ("",), (None,),
+         (" 123",), ("+12",), ("\t 7x",), ("-5",)],
+        "s string",
     )
     got = [r["n"] for r in df.select(mysql_cast_unsigned("s").alias("n")).collect()]
-    assert got == [123, 12, 0, 0, 0]  # MySQL leading-digit semantics
+    # MySQL leading-digit semantics incl. leading whitespace and '+';
+    # leading '-' pinned to 0 (not MySQL's unsigned wraparound).
+    assert got == [123, 12, 0, 0, 0, 123, 12, 7, 0]
 
 
 def test_strip_newlines(spark):
