@@ -77,6 +77,98 @@ def knn_bruteforce(
     )
 
 
+# ---------------------------------------------------------------------------
+# Bounded-memory per-bucket kernels
+#
+# A bucket/cell is processed by ONE applyInPandas task. The naive kernel
+# materialized the full n×n similarity matrix (V @ V.T) — at 100× corpus
+# growth with a fixed bucket count that matrix grows quadratically and OOMs
+# the task (a 25k-vector bucket is already a 5 GB float64 matrix). Both
+# kernels below therefore score a CHUNK of query rows at a time against all
+# n columns: peak score memory is chunk_cells doubles (default 4M ≈ 32 MB)
+# regardless of bucket size, and the chunk shrinks automatically as n grows.
+# The n×d vector block itself is the applyInPandas input and is linear in n;
+# max_rows is the loud guard for buckets so hot that even that is a risk —
+# the fix at that point is more bits/centroids, and silence would hide it.
+# ---------------------------------------------------------------------------
+
+DEFAULT_CHUNK_CELLS = 4_000_000  # 32 MB of float64 similarity scores
+DEFAULT_MAX_BUCKET_ROWS = 1_000_000
+
+
+def _bucket_guard(n: int, max_rows: int | None, what: str) -> None:
+    if max_rows is not None and n > max_rows:
+        raise RuntimeError(
+            f"{what}: bucket holds {n} vectors (> max_rows={max_rows}); "
+            "the per-task vector block no longer fits comfortably in "
+            "executor memory — increase bits/n_centroids so buckets shrink, "
+            "or raise max_rows explicitly if the executors are sized for it"
+        )
+
+
+def _topk_in_block(ids, V, top_k: int, round_to: int, chunk_cells: int):
+    """Exact per-row top-k over one bucket, scored in row chunks.
+
+    Ranking is identical to the unchunked kernel (and the SQL window spec):
+    order by (-rounded_cos, neighbor_id), self excluded, k = min(top_k, n-1).
+    Cosines are computed dot-then-divide exactly like the original kernel so
+    rounded values cannot drift from the oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n = len(ids)
+    norms = np.sqrt((V * V).sum(axis=1))
+    k = min(top_k, n - 1)
+    chunk = max(1, chunk_cells // n)
+    qs, ns, cs, rs = [], [], [], []
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        sims = np.round((V[s:e] @ V.T) / np.outer(norms[s:e], norms), round_to)
+        local = np.arange(e - s)
+        sims[local, np.arange(s, e)] = -np.inf  # mask self
+        order = np.lexsort((np.broadcast_to(ids, sims.shape), -sims), axis=1)
+        top = order[:, :k]
+        qs.append(ids[np.repeat(np.arange(s, e), k)])
+        ns.append(ids[top.ravel()])
+        cs.append(sims[np.repeat(local, k), top.ravel()])
+        rs.append(np.tile(np.arange(1, k + 1, dtype=np.int32), e - s))
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(qs),
+            "neighbor_id": np.concatenate(ns),
+            "cos": np.concatenate(cs),
+            "rn": np.concatenate(rs),
+        }
+    )
+
+
+def _make_topk_kernel(
+    id_col: str,
+    vec_col: str,
+    top_k: int,
+    round_to: int,
+    chunk_cells: int,
+    max_rows: int | None,
+    what: str,
+):
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cos": [], "rn": []}
+            ).astype({"cos": "float64", "rn": "int32"})
+        _bucket_guard(n, max_rows, what)
+        ids = pdf[id_col].values
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        return _topk_in_block(ids, V, top_k, round_to, chunk_cells)
+
+    return kernel
+
+
 def sign_bucket(vec: Column, bits: int = 4) -> Column:
     """Deterministic LSH bucket: bit d = sign of dimension d (fixed
     axis-aligned hyperplanes)."""
@@ -106,6 +198,8 @@ def ann_bucketed(
     bits: int = 4,
     top_k: int = 3,
     round_to: int = 4,
+    chunk_cells: int = DEFAULT_CHUNK_CELLS,
+    max_rows: int | None = DEFAULT_MAX_BUCKET_ROWS,
 ) -> DataFrame:
     """Approximate top-k within each vector's sign bucket:
     (query_id, neighbor_id, cos, rn). Recall trades off with ``bits``.
@@ -114,43 +208,17 @@ def ann_bucketed(
     top-k runs as a vectorized numpy kernel inside ``applyInPandas`` — the
     candidate pair rows (and their two embedding payloads each) never hit
     the shuffle, which is what made the naive self-join-then-score plan 5×
-    slower. Bucket fan-in is bounded by design (2^bits buckets, so tune
-    ``bits`` to keep ~|corpus|/2^bits vectors per task)."""
-    import pandas as pd
-
+    slower. Score memory is bounded at ``chunk_cells`` doubles per task
+    (row-chunked matmul, never the full n×n matrix), and a bucket larger
+    than ``max_rows`` fails loudly instead of OOMing — grow ``bits`` so
+    ~|corpus|/2^bits vectors land per bucket."""
     id_type = dict(corpus.dtypes)[id_col]
     out_schema = (
         f"query_id {id_type}, neighbor_id {id_type}, cos double, rn int"
     )
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame(
-                {"query_id": [], "neighbor_id": [], "cos": [], "rn": []}
-            ).astype({"cos": "float64", "rn": "int32"})
-        ids = pdf[id_col].values
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-        norms = np.sqrt((V * V).sum(axis=1))
-        sims = np.round((V @ V.T) / np.outer(norms, norms), round_to)
-        np.fill_diagonal(sims, -np.inf)
-        # per row: order by (-cos, neighbor_id); ids within a bucket are
-        # unique so lexsort gives the same total order as the SQL window
-        k = min(top_k, n - 1)
-        order = np.lexsort((np.broadcast_to(ids, sims.shape), -sims), axis=1)
-        top = order[:, :k]
-        rows = np.repeat(np.arange(n), k)
-        cols = top.ravel()
-        return pd.DataFrame(
-            {
-                "query_id": ids[rows],
-                "neighbor_id": ids[cols],
-                "cos": sims[rows, cols],
-                "rn": np.tile(np.arange(1, k + 1, dtype=np.int32), n),
-            }
-        )
+    kernel = _make_topk_kernel(
+        id_col, vec_col, top_k, round_to, chunk_cells, max_rows, "ann_bucketed"
+    )
 
     b = corpus.select(
         F.col(id_col),
@@ -167,6 +235,8 @@ def cosine_neardup(
     bits: int = 4,
     threshold: float = 0.95,
     round_to: int = 4,
+    chunk_cells: int = DEFAULT_CHUNK_CELLS,
+    max_rows: int | None = DEFAULT_MAX_BUCKET_ROWS,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos) with
     rounded cosine ≥ ``threshold``, candidates restricted to each vector's
@@ -174,7 +244,9 @@ def cosine_neardup(
 
     Same scale shape as ``ann_bucketed``: one shuffle on the bucket id,
     per-bucket pairwise scoring vectorized in-task, upper-triangle only —
-    pair rows never carry embedding payloads through a shuffle."""
+    pair rows never carry embedding payloads through a shuffle. Scoring is
+    row-chunked (peak ``chunk_cells`` doubles), with the same loud
+    ``max_rows`` guard."""
     import pandas as pd
 
     id_type = dict(corpus.dtypes)[id_col]
@@ -188,17 +260,33 @@ def cosine_neardup(
             return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
                 {"cos": "float64"}
             )
+        _bucket_guard(n, max_rows, "cosine_neardup")
         # order by id so emitted pairs are (smaller, larger)
         pdf = pdf.sort_values(id_col)
         ids = pdf[id_col].values
         V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
         norms = np.sqrt((V * V).sum(axis=1))
-        sims = np.round((V @ V.T) / np.outer(norms, norms), round_to)
-        iu, ju = np.triu_indices(n, k=1)
-        keep = sims[iu, ju] >= threshold
-        return pd.DataFrame(
-            {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "cos": sims[iu[keep], ju[keep]]}
-        )
+        chunk = max(1, chunk_cells // n)
+        outs = []
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            sims = np.round(
+                (V[s:e] @ V.T) / np.outer(norms[s:e], norms), round_to
+            )
+            # strict upper triangle in GLOBAL indices: j > i
+            local_i, global_j = np.nonzero(sims >= threshold)
+            keep = global_j > (local_i + s)
+            li, gj = local_i[keep], global_j[keep]
+            outs.append(
+                pd.DataFrame(
+                    {"id_a": ids[li + s], "id_b": ids[gj], "cos": sims[li, gj]}
+                )
+            )
+        if not outs:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"cos": "float64"}
+            )
+        return pd.concat(outs, ignore_index=True)
 
     b = corpus.select(
         F.col(id_col),
@@ -215,6 +303,8 @@ def ivf_flat_topk(
     n_centroids: int = 8,
     top_k: int = 3,
     round_to: int = 4,
+    chunk_cells: int = DEFAULT_CHUNK_CELLS,
+    max_rows: int | None = DEFAULT_MAX_BUCKET_ROWS,
 ) -> DataFrame:
     """IVF-flat approximate top-k: assign every vector to its nearest
     centroid (cosine), then search only within each centroid's cell
@@ -272,32 +362,7 @@ def ivf_flat_topk(
     out_schema = (
         f"query_id {id_type}, neighbor_id {id_type}, cos double, rn int"
     )
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame(
-                {"query_id": [], "neighbor_id": [], "cos": [], "rn": []}
-            ).astype({"cos": "float64", "rn": "int32"})
-        ids = pdf[id_col].values
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-        norms = np.sqrt((V * V).sum(axis=1))
-        sims = np.round((V @ V.T) / np.outer(norms, norms), round_to)
-        np.fill_diagonal(sims, -np.inf)
-        k = min(top_k, n - 1)
-        order = np.lexsort((np.broadcast_to(ids, sims.shape), -sims), axis=1)
-        top = order[:, :k]
-        rows = np.repeat(np.arange(n), k)
-        cols = top.ravel()
-        return pd.DataFrame(
-            {
-                "query_id": ids[rows],
-                "neighbor_id": ids[cols],
-                "cos": sims[rows, cols],
-                "rn": np.tile(np.arange(1, k + 1, dtype=np.int32), n),
-            }
-        )
-
+    kernel = _make_topk_kernel(
+        id_col, vec_col, top_k, round_to, chunk_cells, max_rows, "ivf_flat_topk"
+    )
     return assigned.groupBy("cell").applyInPandas(kernel, out_schema)

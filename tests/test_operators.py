@@ -141,6 +141,50 @@ def test_knn_self_consistent(spark):
     assert ordered == [2, 3, 4]  # by descending cosine to [1,0,0,0]
 
 
+def test_ann_chunked_kernel_matches_single_block(spark):
+    """A hot bucket processed in many tiny chunks must emit exactly what the
+    single-block path emits (the 100-TB memory bound cannot change results)."""
+    import random
+
+    from iniz_exporters_spark.operators.similarity import (
+        ann_bucketed,
+        cosine_neardup,
+        ivf_flat_topk,
+    )
+
+    rng = random.Random(7)
+    # all-positive leading dims → every vector lands in ONE sign bucket
+    rows = [
+        (i, [rng.uniform(0.1, 1.0) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def canon(res):
+        return sorted(tuple(r) for r in res.collect())
+
+    # chunk_cells=100 with n=60 → chunk of 1 row: 60 blocks vs 1 block
+    assert canon(ann_bucketed(df, chunk_cells=100)) == canon(
+        ann_bucketed(df, chunk_cells=10**9)
+    )
+    assert canon(cosine_neardup(df, threshold=0.9, chunk_cells=100)) == canon(
+        cosine_neardup(df, threshold=0.9, chunk_cells=10**9)
+    )
+    assert canon(ivf_flat_topk(df, n_centroids=2, chunk_cells=100)) == canon(
+        ivf_flat_topk(df, n_centroids=2, chunk_cells=10**9)
+    )
+
+
+def test_ann_hot_bucket_guard_raises(spark):
+    from pyspark.errors import PySparkException
+
+    from iniz_exporters_spark.operators.similarity import ann_bucketed
+
+    rows = [(i, [0.5, 0.5, 0.5, 0.5]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(PySparkException, match="max_rows"):
+        ann_bucketed(df, max_rows=5).collect()
+
+
 def test_drop_all_empty_columns(spark):
     df = spark.createDataFrame(
         [("u1", None, "x", ""), ("u2", None, "", "")],
