@@ -3664,3 +3664,47 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.array_except(nw, tw)).alias("name_only_words"),
         F.size(F.array_distinct(nw)).cast("long").alias("n_name_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal frame-extraction E2E: documents.text encoded to a binary payload,
+# run through the REAL extract_frames mapInPandas kernel (fake codec: 16-byte
+# windows, every_n sampling), then aggregated per doc. The oracle replicates
+# the frame arithmetic independently in SQL — window count, last sampled
+# index, and sampled byte total — so the row-expanding kernel is checked
+# end-to-end, not rows-only.
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.multimodal.binary import extract_frames  # noqa: E402
+
+_MM_EVERY_N = 4
+_MM_FB = 16  # fake-codec frame size in bytes
+
+
+@register(
+    "multimodal_frame_stats",
+    f"""
+    SELECT doc_id,
+           CAST((nf - 1) // {_MM_EVERY_N} + 1 AS BIGINT) AS n_frames,
+           CAST(((nf - 1) // {_MM_EVERY_N}) * {_MM_EVERY_N} AS INT) AS max_idx,
+           CAST(((nf - 1) // {_MM_EVERY_N}) * {_MM_FB}
+                + CASE WHEN ((nf - 1) // {_MM_EVERY_N}) * {_MM_EVERY_N} = nf - 1
+                       THEN nb - (nf - 1) * {_MM_FB}
+                       ELSE {_MM_FB} END AS BIGINT) AS frame_bytes
+    FROM (
+        SELECT doc_id,
+               octet_length(encode(text)) AS nb,
+               (octet_length(encode(text)) + {_MM_FB - 1}) // {_MM_FB} AS nf
+        FROM documents
+    )
+    WHERE nb > 0
+    """,
+)
+def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    media = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    fr = extract_frames(media, "payload", "doc_id", every_n=_MM_EVERY_N)
+    return fr.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.max("frame_idx").cast("int").alias("max_idx"),
+        F.sum(F.octet_length("frame")).cast("long").alias("frame_bytes"),
+    )

@@ -67,9 +67,36 @@ def test_decode_images_fake_path(media_df):
     assert rows[1]["width"] == again[1]["width"]
 
 
-def test_extract_frames_is_declared_stub(media_df):
-    with pytest.raises(NotImplementedError):
-        extract_frames(media_df, "payload", "media_id")
+def test_extract_frames_row_expansion(media_df, spark):
+    """Fake-codec path: payload bytes are windowed into 16-byte 'frames',
+    every_n sampling applies, empty payloads yield no rows, and the
+    mapInPandas row expansion produces the declared schema."""
+    out = extract_frames(media_df, "payload", "media_id", every_n=1)
+    assert out.schema.simpleString() == (
+        "struct<media_id:bigint,frame_idx:int,frame:binary>"
+    )
+    rows = out.collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # 21 bytes → 2 fake frames (16 + 5); 26 bytes → 2 (16 + 10); empty → 0
+    assert len(by_id[1]) == 2 and len(by_id[2]) == 2
+    assert 3 not in by_id
+    f0, f1 = sorted(by_id[1], key=lambda r: r["frame_idx"])
+    assert (f0["frame_idx"], f1["frame_idx"]) == (0, 1)
+    assert bytes(f0["frame"]) + bytes(f1["frame"]) == b"PNG-fake-payload-AAAA"
+    # sampling: every_n=2 keeps only frame 0 of a 2-frame payload
+    sampled = extract_frames(media_df, "payload", "media_id", every_n=2)
+    got = [(r["media_id"], r["frame_idx"]) for r in sampled.collect()]
+    assert sorted(got) == [(1, 0), (2, 0)]
+    # determinism
+    again = sorted(
+        (r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in
+        extract_frames(media_df, "payload", "media_id", every_n=1).collect()
+    )
+    assert again == sorted(
+        (r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in rows
+    )
 
 
 def test_resize_images_plumbing(media_df):
