@@ -130,15 +130,23 @@ def stopword_ratio(col: Column | str) -> Column:
 
 def quality_score(col: Column | str) -> Column:
     """Composite quality heuristic in [0,1]: rewards low punctuation noise,
-    some stopword presence (fluent text), and reasonable length."""
+    some stopword presence (fluent text), and reasonable length.
+
+    Rounding happens in DECIMAL space (cast to decimal(28,12) first): the
+    raw score is a sum of small rationals, and engines whose doubles differ
+    by one ulp at an exact .xxxx5 boundary would otherwise round to
+    different 4-dp values (observed at sf0.001/sf0.1). The decimal cast
+    absorbs the ulp before the half-up round, and terminating score
+    rationals terminate well before 12 digits, so both engines round the
+    identical decimal."""
     c = F.col(col) if isinstance(col, str) else col
     length_term = F.least(F.length(c).cast("double") / 500, F.lit(1.0))
-    return F.round(
+    raw = (
         0.4 * (1 - punct_ratio(c))
         + 0.3 * F.least(stopword_ratio(c) * 5, F.lit(1.0))
-        + 0.3 * length_term,
-        4,
+        + 0.3 * length_term
     )
+    return F.round(raw.cast("decimal(28,12)"), 4).cast("double")
 
 
 def doc_fingerprint(col: Column | str) -> Column:

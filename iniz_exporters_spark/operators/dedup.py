@@ -489,3 +489,45 @@ def ngram_jaccard_pairs(
         .filter(F.col("jacc_raw") >= threshold)
         .select("id_a", "id_b", F.round("jacc_raw", 4).alias("jaccard"))
     )
+
+
+def ngram_overlap_pairs(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_shared: int = 25,
+    broadcast_test: bool = True,
+) -> DataFrame:
+    """Train/test contamination detection: (train_id, test_id, n_shared)
+    pairs sharing at least ``min_shared`` DISTINCT k-char shingle hashes.
+
+    The standard decontamination shape for training-data pipelines: shingle
+    both sides (distinct hashes per doc, same Arrow kernel as the
+    MinHash/Jaccard family), join on the hash, count matches per pair.
+
+    Scale shape: with ``broadcast_test=True`` (the normal case — benchmark/
+    test sets are tiny next to a 100 TB corpus) the exploded test shingles
+    broadcast, so the train corpus is scanned once and NEVER shuffled on
+    the shingle hash; the only shuffle is the matched-pair aggregation,
+    whose volume is bounded by true near-matches plus stopword-shingle
+    noise. For adversarially common shingles, pre-filter the test side
+    (drop hashes that occur in a large share of a train sample) before
+    calling — the join itself stays candidate-bound.
+    """
+    tr = shingle_sets(train, id_col, text_col, k).select(
+        F.col(id_col).alias("train_id"), F.explode("hs").alias("__h")
+    )
+    te = shingle_sets(test, id_col, text_col, k).select(
+        F.col(id_col).alias("test_id"), F.explode("hs").alias("__h")
+    )
+    if broadcast_test:
+        te = F.broadcast(te)
+    return (
+        tr.join(te, "__h")
+        .filter(F.col("train_id") != F.col("test_id"))
+        .groupBy("train_id", "test_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

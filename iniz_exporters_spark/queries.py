@@ -1101,7 +1101,7 @@ def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id,
-           ROUND(
+           ROUND(CAST(
              0.4::DOUBLE * (1 - CASE WHEN n = 0 THEN 0::DOUBLE
                                      ELSE n_punct::DOUBLE / n END)
            + 0.3::DOUBLE * least(
@@ -1109,7 +1109,8 @@ def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ELSE len(list_filter(toks, x -> x IN
                             ('the','a','and','of','to','in','is','it')))::DOUBLE
                             / len(toks) END) * 5, 1.0::DOUBLE)
-           + 0.3::DOUBLE * least(n::DOUBLE / 500, 1.0::DOUBLE), 4) AS quality
+           + 0.3::DOUBLE * least(n::DOUBLE / 500, 1.0::DOUBLE)
+           AS DECIMAL(28,12)), 4)::DOUBLE AS quality
     FROM t
     """,
 )
@@ -1313,16 +1314,32 @@ def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentile_agg",
     """
     SELECT l_returnflag,
-           ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-           ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90
+           ROUND(CAST(quantile_cont(l_extendedprice, 0.5)
+                      AS DECIMAL(28,3)), 2)::DOUBLE AS p50,
+           ROUND(CAST(quantile_cont(l_extendedprice, 0.9)
+                      AS DECIMAL(28,3)), 2)::DOUBLE AS p90
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated percentiles are a + f*(b - a) of 2-dp prices, so the
+    true value is a multiple of 0.001 — but the two engines associate the
+    interpolation differently, and a one-ulp difference at an exact .xx5
+    cent boundary flips ROUND(..., 2) (observed at sf0.001). Casting to
+    decimal(28,3) first recovers the exact 3-dp value on both engines, so
+    the half-up round to cents is deterministic."""
     li = Catalog(spark, sf_dir).lineitem
     return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90"),
+        F.round(
+            F.expr("percentile(l_extendedprice, 0.5)").cast("decimal(28,3)"), 2
+        )
+        .cast("double")
+        .alias("p50"),
+        F.round(
+            F.expr("percentile(l_extendedprice, 0.9)").cast("decimal(28,3)"), 2
+        )
+        .cast("double")
+        .alias("p90"),
     )
 
 
@@ -1558,7 +1575,7 @@ def salted_skew_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT doc_id, text,
-               ROUND(
+               ROUND(CAST(
                  0.4::DOUBLE * (1 - CASE WHEN n = 0 THEN 0::DOUBLE
                                          ELSE n_punct::DOUBLE / n END)
                + 0.3::DOUBLE * least(
@@ -1566,7 +1583,8 @@ def salted_skew_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ELSE len(list_filter(toks, x -> x IN
                                 ('the','a','and','of','to','in','is','it')))::DOUBLE
                                 / len(toks) END) * 5, 1.0::DOUBLE)
-               + 0.3::DOUBLE * least(n::DOUBLE / 500, 1.0::DOUBLE), 4)
+               + 0.3::DOUBLE * least(n::DOUBLE / 500, 1.0::DOUBLE)
+               AS DECIMAL(28,12)), 4)::DOUBLE
                    AS quality,
                len(list_filter(toks, x -> x IN
                    ('the','a','and','of','to','in','is','it'))) AS c_en,
@@ -1627,7 +1645,11 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark-side so rounding semantics match the single-op queries
     stats = text_stats(d, "doc_id", "text").select(
         "doc_id",
-        F.round("quality_raw", 4).alias("quality"),
+        # decimal-space round (see functions/text.quality_score): absorbs
+        # cross-engine ulp noise at exact .xxxx5 boundaries before half-up
+        F.round(F.col("quality_raw").cast("decimal(28,12)"), 4)
+        .cast("double")
+        .alias("quality"),
         "lang_pred",
     )
     scored = d.select("doc_id", "text").join(stats, "doc_id")
@@ -2363,6 +2385,7 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n_name, year(o_orderdate)
     ORDER BY n_name, year(o_orderdate)
     """,
+    headline=True,
 )
 def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 profit by supplier nation × order year (no ps_supplycost in the
@@ -2864,6 +2887,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id_a, id_b, ROUND(inter::DOUBLE / uni, 4) AS jaccard
     FROM scored WHERE inter::DOUBLE / uni >= 0.6
     """,
+    headline=True,
 )
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
@@ -3618,6 +3642,7 @@ from iniz_exporters_spark.plans.graph import connected_components  # noqa: E402
     )
     SELECT node, min(r) AS component FROM reach GROUP BY node
     """,
+    headline=True,
 )
 def connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = Catalog(spark, sf_dir).nation
@@ -3707,4 +3732,90 @@ def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_frames"),
         F.max("frame_idx").cast("int").alias("max_idx"),
         F.sum(F.octet_length("frame")).cast("long").alias("frame_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline text breadth: repetition quality signal, vocabulary
+# building, and train/test contamination detection.
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.functions.text import tokens as _tokens  # noqa: E402
+from iniz_exporters_spark.operators.dedup import (  # noqa: E402
+    ngram_overlap_pairs,
+)
+
+
+@register(
+    "repetition_ratio",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
+    c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok)
+    SELECT doc_id,
+           ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+               AS top_ratio,
+           CAST(SUM(c) AS BIGINT) AS n_tokens
+    FROM c GROUP BY doc_id
+    """,
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal: share of a doc's tokens taken by its most
+    frequent token (near 1.0 = degenerate/boilerplate text). Scale shape:
+    explode → two map-side-combining aggregations; token rows carry only
+    (doc_id, token), never the document payload."""
+    d = Catalog(spark, sf_dir).documents
+    t = d.select("doc_id", F.explode(_tokens("text")).alias("tok"))
+    c = t.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    return c.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_ratio"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+
+
+@register(
+    "vocab_topk",
+    f"""
+    WITH t AS (SELECT unnest({_SQL_TOKENS}) AS tok FROM documents)
+    SELECT tok, CAST(count(*) AS BIGINT) AS freq
+    FROM t GROUP BY tok
+    ORDER BY freq DESC, tok
+    LIMIT 20
+    """,
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: global top-20 tokens by frequency with a
+    deterministic (freq desc, token asc) tiebreak. Scale shape: partial
+    count per partition, one shuffle over distinct tokens (vocabulary-sized,
+    not corpus-sized), TakeOrderedAndProject for the top-k."""
+    d = Catalog(spark, sf_dir).documents
+    t = d.select(F.explode(_tokens("text")).alias("tok"))
+    return (
+        t.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+@register(
+    "contamination_overlap",
+    f"""
+    WITH sh AS (SELECT doc_id, unnest({_SQL_SHINGLE_SET}) AS h
+                FROM documents),
+    te AS (SELECT doc_id AS test_id, h FROM sh WHERE doc_id % 50 = 0),
+    tr AS (SELECT doc_id AS train_id, h FROM sh)
+    SELECT train_id, test_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM tr JOIN te USING (h)
+    WHERE train_id <> test_id
+    GROUP BY train_id, test_id
+    HAVING count(*) >= 25
+    """,
+)
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination: every 50th doc plays the benchmark set;
+    pairs sharing ≥25 distinct 5-char shingle hashes are flagged. The test
+    side broadcasts, so the train corpus is never shuffled on the hash."""
+    d = Catalog(spark, sf_dir).documents
+    test = d.filter(F.col("doc_id") % 50 == 0)
+    return ngram_overlap_pairs(
+        d, test, "doc_id", "text", k=5, min_shared=25, broadcast_test=True
     )
