@@ -86,3 +86,33 @@ def test_window_family_single_exchange(spark):
 def test_exact_dedup_single_shuffle(spark):
     plan = physical(run("dedup_exact", spark))
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_contamination_broadcasts_test_side(spark):
+    """The train corpus must never shuffle on the shingle hash: the test
+    side broadcasts, and the only hash exchange is the pair aggregation."""
+    df = run("contamination_overlap", spark)
+    plan = physical(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # exchanges: pair-count agg (groupBy train_id,test_id) only — the join
+    # itself must not hash-partition the exploded train shingles
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_vocab_topk_partial_agg_and_topk(spark):
+    """Token counting must combine map-side (vocabulary-sized shuffle, not
+    corpus-sized) and the global top-k must be TakeOrderedAndProject, not a
+    full sort materialization."""
+    plan = physical(run("vocab_topk", spark))
+    assert "partial_count" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_repetition_ratio_two_shuffles_max(spark):
+    """(doc, token) count then per-doc ratio: two hash exchanges, and the
+    token explosion must carry only doc_id + token (no payload columns)."""
+    df = run("repetition_ratio", spark)
+    plan = physical(df)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
