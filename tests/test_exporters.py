@@ -248,18 +248,34 @@ def test_locations_export(location_tables):
 def test_hierarchy_export(spark):
     ot = spark.createDataFrame(
         [
-            (1, "Drug Order", "An order for a medication", "uuid-1", None, 0),
-            (2, "Test Order", "An order for a test", "uuid-2", None, 0),
-            (3, "Lab Order", "Lab test order", "uuid-3", 2, 0),
+            (1, "Drug Order", "An order for a medication", "uuid-1", None, 0,
+             "org.openmrs.DrugOrder"),
+            (2, "Test Order", "An order for a test", "uuid-2", None, 0,
+             "org.openmrs.TestOrder"),
+            (3, "Lab Order", "Lab test order", "uuid-3", 2, 0,
+             "org.openmrs.TestOrder"),
         ],
-        ["order_type_id", "name", "description", "uuid", "parent", "retired"],
+        ["order_type_id", "name", "description", "uuid", "parent", "retired",
+         "java_class_name"],
     )
-    rows = hierarchy_export(
-        ot, id_col="order_type_id", parent_fk="parent"
-    ).collect()
+    out = hierarchy_export(ot, id_col="order_type_id", parent_fk="parent")
+    rows = out.collect()
+    # column order + spellings match sql/ordertypes.sql ('Uuid', Parent last)
+    assert out.columns == ["Uuid", "Void/Retire", "Name", "Description",
+                           "Parent"]
     assert [r["Name"] for r in rows] == ["Drug Order", "Test Order", "Lab Order"]
     assert rows[2]["Parent"] == "uuid-2"
     assert rows[0]["Parent"] is None
+
+    from iniz_exporters_spark.exporters.hierarchy import ordertypes_sql_export
+
+    full = ordertypes_sql_export(ot)
+    assert full.columns == ["Uuid", "Void/Retire", "Name", "Description",
+                            "Java class name", "Parent"]
+    assert [r["Java class name"] for r in full.collect()] == [
+        "org.openmrs.DrugOrder", "org.openmrs.TestOrder",
+        "org.openmrs.TestOrder",
+    ]
 
 
 def test_concept_set_rows():
