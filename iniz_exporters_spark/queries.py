@@ -3819,3 +3819,94 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_overlap_pairs(
         d, test, "doc_id", "text", k=5, min_shared=25, broadcast_test=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative training: 2 rounds of Lloyd's k-means, oracle-replayed round by
+# round (chained CTEs). Deterministic init (k lowest-id vectors), rounded
+# argmin assignment, decimal-space-rounded centroid means — see
+# operators/clustering.py for the cross-engine determinism scheme.
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.operators.clustering import kmeans_lloyd  # noqa: E402
+
+_KM_DIST = (
+    "ROUND(list_reduce(list_transform(range(1, len(e.v)+1),"
+    " i -> (e.v[i]-c.v[i])*(e.v[i]-c.v[i])), (x,y)->x+y), 6)"
+)
+
+
+@register(
+    "kmeans_assignments",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+           FROM e ORDER BY vec_id LIMIT 4),
+    a0 AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_KM_DIST}, c.cid) AS rn
+            FROM e CROSS JOIN c0 c
+        ) WHERE rn = 1
+    ),
+    m0 AS (
+        SELECT cid, i, ROUND(CAST(avg(val) AS DECIMAL(28,12)), 6)::DOUBLE AS m
+        FROM (SELECT cid, i, v[i] AS val
+              FROM a0, unnest(range(1, len(v)+1)) AS t(i))
+        GROUP BY cid, i
+    ),
+    c1 AS (SELECT cid, list(m ORDER BY i) AS v FROM m0 GROUP BY cid),
+    a1 AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_KM_DIST}, c.cid) AS rn
+            FROM e CROSS JOIN c1 c
+        ) WHERE rn = 1
+    )
+    SELECT vec_id, CAST(cid AS INT) AS cluster FROM a1
+    """,
+)
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    return kmeans_lloyd(emb, "vec_id", "embedding", k=4, iters=2)
+
+
+# Built-in linear-regression aggregates (slope/intercept/r2) per group —
+# both engines implement the same closed-form moments; decimal-space round
+# absorbs summation-order ulps.
+@register(
+    "regression_per_group",
+    """
+    SELECT n_nationkey AS nation,
+           ROUND(CAST(regr_slope(c_acctbal, c_custkey)
+                      AS DECIMAL(28,8)), 4)::DOUBLE AS slope,
+           ROUND(CAST(regr_intercept(c_acctbal, c_custkey)
+                      AS DECIMAL(28,8)), 4)::DOUBLE AS intercept,
+           CAST(regr_count(c_acctbal, c_custkey) AS BIGINT) AS n
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def regression_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    j = cat.customer.join(
+        F.broadcast(cat.nation),
+        F.col("n_nationkey") == F.col("c_nationkey"),
+    )
+    return j.groupBy(F.col("n_nationkey").alias("nation")).agg(
+        F.round(
+            F.expr("regr_slope(c_acctbal, c_custkey)").cast("decimal(28,8)"), 4
+        )
+        .cast("double")
+        .alias("slope"),
+        F.round(
+            F.expr("regr_intercept(c_acctbal, c_custkey)").cast(
+                "decimal(28,8)"
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("intercept"),
+        F.expr("regr_count(c_acctbal, c_custkey)").cast("long").alias("n"),
+    )

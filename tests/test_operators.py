@@ -431,3 +431,28 @@ def test_ngram_jaccard_planted(spark):
     assert pairs[(1, 4)] == 1.0
     assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0
     assert not any(3 in p or 5 in p for p in pairs)
+
+
+def test_kmeans_lloyd_separable_blobs(spark):
+    """Three well-separated blobs must cluster together after 2 rounds,
+    whatever the (deterministic) cluster labels are; k > distinct points
+    that can fill clusters raises loudly instead of silently degenerating."""
+    from iniz_exporters_spark.operators.clustering import kmeans_lloyd
+
+    # ids interleaved across blobs so the deterministic k-lowest-id init
+    # (ids 0,1,2) seeds one centroid per blob
+    blobs = []
+    for b, center in enumerate([0.0, 10.0, 20.0]):
+        for i in range(5):
+            blobs.append((b + 3 * i, [center + 0.1 * i, center - 0.1 * i]))
+    df = spark.createDataFrame(blobs, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["cluster"] for r in
+           kmeans_lloyd(df, k=3, iters=3).collect()}
+    labels = [{got[b + 3 * i] for i in range(5)} for b in range(3)]
+    assert all(len(s) == 1 for s in labels)  # each blob single-labeled
+    assert len(set().union(*labels)) == 3  # blobs in distinct clusters
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="fewer than k"):
+        kmeans_lloyd(df.limit(2), k=3)
