@@ -119,3 +119,28 @@ def running_stats(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup_within_watermark(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Built-in event-time-bounded dedup: first row per key wins, and a
+    key's state is dropped once the watermark passes its event time plus
+    ``delay`` (``dropDuplicatesWithinWatermark``).
+
+    The idiomatic counterpart to ``streaming_dedup_first``: state eviction
+    rides the EVENT-TIME watermark instead of a processing-time timeout, so
+    it composes with ``trigger(availableNow=True)`` (the query drains and
+    terminates — no pending-timeout rescheduling, see the operational note
+    on ``streaming_dedup_first``) and state size is bounded by the stream's
+    key arrival rate within the watermark horizon rather than by query
+    lifetime. Use this when duplicates cluster in time (retries, at-least-
+    once sources); use the explicit-state variant when dedup must span
+    arbitrary wall-clock gaps.
+    """
+    return df.withWatermark(time_col, delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )

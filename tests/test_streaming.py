@@ -248,3 +248,55 @@ def test_stream_stream_interval_join_parity(spark, events_dir):
     keys = ["l_event_id", "r_event_id"]
     assert _rows(got, keys) == _rows(batch, keys)
     assert len(_rows(got, keys)) > 0
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Built-in event-time-bounded dedup: in-horizon duplicates collapse to
+    the first row, and the query self-terminates under availableNow (unlike
+    a ProcessingTimeTimeout TTL)."""
+    import os
+
+    from iniz_exporters_spark.streaming.stateful import (
+        streaming_dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "k long, ts timestamp, payload string"
+
+    def mk(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            src + "/" + name
+        )
+
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(mins):
+        return datetime(2024, 1, 1, 0, mins, 0)
+
+    mk([(1, t0, "a"), (2, ts(1), "b")], "f1")
+    mk([(2, ts(2), "DUP"), (3, ts(3), "c")], "f2")  # k=2 dup within horizon
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        streaming_dedup_within_watermark(stream, ["k"], "ts", "10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_wm_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["k"]: r["payload"]
+        for r in spark.sql("select * from dedup_wm_stream").collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] == "a" and rows[3] == "c"
+    assert rows[2] in ("b", "DUP")  # exactly one survivor for the dup key
