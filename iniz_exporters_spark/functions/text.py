@@ -222,3 +222,33 @@ def text_stats(df, id_col: str, text_col: str):
             )
 
     return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+
+
+def chunk_tokens(df, id_col: str, text_col: str, size: int = 32, overlap: int = 8):
+    """(id, chunk_idx, chunk, n_chunk_tokens) — overlapping token windows
+    (RAG/embedding chunking): windows of ``size`` tokens every
+    ``size - overlap`` tokens, last window truncated; token-less text yields
+    one empty chunk.
+
+    Pure Catalyst (sequence → transform → slice → posexplode): per-row
+    compute, zero shuffles, codegen-friendly — chunking a 100 TB corpus
+    costs one scan. Deterministic chunk_idx derives from the window start,
+    so the DuckDB oracle replays it exactly.
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    step = size - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(step)
+    )
+    chunks = F.transform(starts, lambda s: F.slice(toks, s, size))
+    return df.select(
+        id_col, F.posexplode(chunks).alias("chunk_idx", "__ctoks")
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("int"),
+        F.array_join("__ctoks", " ").alias("chunk"),
+        F.size("__ctoks").cast("int").alias("n_chunk_tokens"),
+    )

@@ -3910,3 +3910,29 @@ def regression_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("intercept"),
         F.expr("regr_count(c_acctbal, c_custkey)").cast("long").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG-style token chunking: overlapping 32-token windows every 24 tokens.
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.functions.text import chunk_tokens  # noqa: E402
+
+
+@register(
+    "chunk_tokens_q",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    s AS (SELECT doc_id, toks,
+                 unnest(range(1, greatest(len(toks) - 8, 1) + 1, 24)) AS st
+          FROM t)
+    SELECT doc_id,
+           CAST((st - 1) // 24 AS INT) AS chunk_idx,
+           array_to_string(toks[st : st + 31], ' ') AS chunk,
+           CAST(greatest(least(st + 31, len(toks)) - st + 1, 0) AS INT)
+               AS n_chunk_tokens
+    FROM s
+    """,
+)
+def chunk_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return chunk_tokens(d, "doc_id", "text", size=32, overlap=8)

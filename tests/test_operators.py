@@ -456,3 +456,32 @@ def test_kmeans_lloyd_separable_blobs(spark):
 
     with _pytest.raises(RuntimeError, match="fewer than k"):
         kmeans_lloyd(df.limit(2), k=3)
+
+
+def test_chunk_tokens_windows(spark):
+    from iniz_exporters_spark.functions.text import chunk_tokens
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "only three tokens"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk"], r["n_chunk_tokens"])
+        for r in chunk_tokens(df, "doc_id", "text", size=4, overlap=1).collect()
+    )
+    # doc 1: 10 tokens, windows of 4 every 3: starts 1,4,7 (<= n-overlap=9)
+    doc1 = [r for r in rows if r[0] == 1]
+    assert [r[1] for r in doc1] == [0, 1, 2]
+    assert doc1[0][2] == "w0 w1 w2 w3" and doc1[2][2] == "w6 w7 w8 w9"
+    assert [r[3] for r in doc1] == [4, 4, 4]
+    # doc 2: 3 tokens <= size → single truncated window
+    doc2 = [r for r in rows if r[0] == 2]
+    assert doc2 == [(2, 0, "only three tokens", 3)]
+    # doc 3: token-less text → one empty chunk (documented contract)
+    assert [r for r in rows if r[0] == 3] == [(3, 0, "", 0)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_tokens(df, "doc_id", "text", size=4, overlap=4)
