@@ -3936,3 +3936,35 @@ from iniz_exporters_spark.functions.text import chunk_tokens  # noqa: E402
 def chunk_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     return chunk_tokens(d, "doc_id", "text", size=32, overlap=8)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 interval build: changelog events → per-user validity ranges (the
+# warehouse-side "snapshot from changelog" op; the open interval is the
+# current state). One shuffle on the partition key, one sort.
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_intervals",
+    """
+    SELECT user_id, event_id,
+           event_type AS state,
+           ts AS effective_from,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS effective_to,
+           (LEAD(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) IS NULL) AS is_current
+    FROM events
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("effective_from"),
+        nxt.alias("effective_to"),
+        nxt.isNull().alias("is_current"),
+    )

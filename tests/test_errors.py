@@ -1,0 +1,54 @@
+"""Error contracts: wrong inputs fail fast with actionable messages.
+
+A 100 TB job that limps along on a missing table or a half-typed path burns
+cluster-hours before anyone notices; these pin the failure mode instead.
+"""
+
+import pytest
+from pyspark.errors import AnalysisException
+
+
+def test_catalog_missing_sf_dir_raises_path_not_found(spark):
+    from iniz_exporters_spark.catalog import Catalog
+
+    cat = Catalog(spark, "/root/testdata/sf-does-not-exist")
+    with pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
+        cat.table("lineitem").count()
+
+
+def test_catalog_trailing_slash_ok(spark):
+    from iniz_exporters_spark.catalog import Catalog
+
+    cat = Catalog(spark, "/root/testdata/sf0.001/")
+    assert cat.table("region").count() == 5
+
+
+def test_load_tables_bad_tables_dir(spark):
+    from iniz_exporters_spark.cli import LOCATION_TABLES, load_tables
+
+    with pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
+        tables = load_tables(
+            spark, LOCATION_TABLES, "db", tables_dir="/nonexistent-dir",
+            jdbc_url=None, user=None, password=None, props_path=None,
+        )
+        tables["location"].count()
+
+
+def test_missing_runtime_properties_raises(spark):
+    """No credentials anywhere (flags or properties file) must fail at
+    config-read time, not with a dangling JDBC connect."""
+    from iniz_exporters_spark.cli import load_tables
+
+    with pytest.raises(FileNotFoundError):
+        load_tables(
+            spark, ("location",), "nosuchdb", tables_dir=None,
+            jdbc_url="jdbc:mysql://localhost/nosuchdb",
+            user=None, password=None,
+            props_path="/nonexistent/openmrs-runtime.properties",
+        )
+
+
+def test_unknown_query_name():
+    from iniz_exporters_spark.queries import REGISTRY
+
+    assert "no_such_query" not in REGISTRY
