@@ -3968,3 +3968,42 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("effective_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM scoring: train token frequencies over the corpus itself, then
+# score each doc by average negative log-probability (the poor man's
+# perplexity filter — high score = tokens rare in the corpus). Scale shape:
+# one explode pass feeds both the vocabulary count (vocab-sized shuffle,
+# map-side combined) and the scoring join; the vocab and the scalar total
+# broadcast, so the token stream is never shuffled for the join; per-doc
+# aggregation is the only corpus-sized exchange.
+# ---------------------------------------------------------------------------
+@register(
+    "unigram_logprob",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
+    freq AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+    total AS (SELECT sum(c)::DOUBLE AS n FROM freq)
+    SELECT doc_id,
+           ROUND(CAST(avg(-ln(c / n)) AS DECIMAL(28,12)), 6)::DOUBLE
+               AS avg_neg_logp,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM t JOIN freq USING (tok) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    t = d.select("doc_id", F.explode(_tokens("text")).alias("tok"))
+    freq = t.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("n"))
+    scored = t.join(F.broadcast(freq), "tok").crossJoin(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.round(
+            F.avg(-F.log(F.col("c") / F.col("n"))).cast("decimal(28,12)"), 6
+        )
+        .cast("double")
+        .alias("avg_neg_logp"),
+        F.count("*").cast("long").alias("n_tokens"),
+    )
