@@ -3996,7 +3996,9 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     t = d.select("doc_id", F.explode(_tokens("text")).alias("tok"))
-    freq = t.groupBy("tok").agg(F.count("*").alias("c"))
+    # materialize the vocab ONCE (it feeds both the broadcast join and the
+    # scalar total — without pinning, the corpus-wide count runs twice)
+    freq = t.groupBy("tok").agg(F.count("*").alias("c")).localCheckpoint()
     total = freq.agg(F.sum("c").cast("double").alias("n"))
     scored = t.join(F.broadcast(freq), "tok").crossJoin(F.broadcast(total))
     return scored.groupBy("doc_id").agg(

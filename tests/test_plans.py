@@ -116,3 +116,15 @@ def test_repetition_ratio_two_shuffles_max(spark):
     plan = physical(df)
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_unigram_scoring_broadcasts_vocab(spark):
+    """The vocab-count and scalar-total joins must broadcast: the token
+    stream is shuffled once for the vocab count and once for the per-doc
+    agg, never for the scoring join."""
+    plan = physical(run("unigram_logprob", spark))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # vocab agg lives behind the localCheckpoint; the only hash exchange in
+    # the final plan is the per-doc aggregation
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
