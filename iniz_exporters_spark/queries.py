@@ -4009,3 +4009,50 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("avg_neg_logp"),
         F.count("*").cast("long").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel / sequence analysis: per-user ordered event stream matched against
+# the view → click → purchase subsequence. One shuffle (groupBy user); the
+# per-user ordered sequence is a bounded collect (events-per-user scale) —
+# for power-law users, switch to the two-pass min-timestamp-per-step form.
+# ---------------------------------------------------------------------------
+@register(
+    "funnel_stages",
+    """
+    WITH s AS (
+        SELECT user_id,
+               array_to_string(list(event_type ORDER BY ts, event_id), '>')
+                   AS seq,
+               count(*) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CASE WHEN regexp_matches(seq, 'view.*click.*purchase') THEN 3
+                WHEN regexp_matches(seq, 'view.*click') THEN 2
+                WHEN regexp_matches(seq, 'view') THEN 1
+                ELSE 0 END AS funnel_stage,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM s
+    """,
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    ordered = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    seq = F.array_join(
+        F.transform(ordered, lambda x: x["event_type"]), ">"
+    )
+    agg = e.groupBy("user_id").agg(
+        seq.alias("seq"), F.count("*").cast("long").alias("n_events")
+    )
+    stage = (
+        F.when(F.col("seq").rlike("view.*click.*purchase"), 3)
+        .when(F.col("seq").rlike("view.*click"), 2)
+        .when(F.col("seq").rlike("view"), 1)
+        .otherwise(0)
+    )
+    return agg.select(
+        "user_id", stage.cast("int").alias("funnel_stage"), "n_events"
+    )
