@@ -305,22 +305,28 @@ def ivf_flat_topk(
     round_to: int = 4,
     chunk_cells: int = DEFAULT_CHUNK_CELLS,
     max_rows: int | None = DEFAULT_MAX_BUCKET_ROWS,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-flat approximate top-k: assign every vector to its nearest
-    centroid (cosine), then search only within each centroid's cell
-    (nprobe=1): (query_id, neighbor_id, cos, rn).
+    centroid's cell (cosine), probe each query's ``nprobe`` nearest cells,
+    search members of probed cells only: (query_id, neighbor_id, cos, rn).
 
     Centroids here are the ``n_centroids`` lowest-id corpus vectors — a
     deterministic, oracle-checkable stand-in for k-means training (swap in
-    real centroids without touching the dataflow). Scale shape: the
-    centroid set broadcasts (it is tiny by construction); assignment is
-    per-row compute; the only shuffle is the groupBy(cell); per-cell
-    pairwise top-k is the same vectorized kernel as ``ann_bucketed``.
-    ``n_centroids`` is the inverse-list fan-out knob — at 100 TB you grow
-    it so ~|corpus|/n_centroids rows land per cell/task.
+    real centroids without touching the dataflow; ``kmeans_lloyd`` in
+    operators/clustering.py trains real ones). Scale shape: the centroid
+    set broadcasts (tiny by construction); assignment is per-row compute;
+    the shuffles are the groupBy(cell) (probe rows multiply shuffled
+    volume by ~nprobe) and the cross-cell re-rank over per-cell top-k
+    candidates (≤ nprobe·top_k rows per query). ``n_centroids`` is the
+    inverse-list fan-out knob — at 100 TB you grow it so
+    ~|corpus|/n_centroids rows land per cell/task — and ``nprobe`` trades
+    extra scan work for recall near cell boundaries.
     """
     import pandas as pd
 
+    if not 1 <= nprobe <= n_centroids:
+        raise ValueError(f"nprobe ({nprobe}) must be in [1, {n_centroids}]")
     cents = sorted(
         corpus.select(id_col, vec_col)
         .orderBy(F.col(id_col).asc())
@@ -336,6 +342,7 @@ def ivf_flat_topk(
 
         C = np.stack([np.asarray(r[1], dtype=np.float64) for r in cents])
         Cn = C / np.sqrt((C * C).sum(axis=1, keepdims=True))
+        n_cents = len(C)
         for pdf in batches:
             V = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
@@ -343,26 +350,98 @@ def ivf_flat_topk(
             Vn = V / np.sqrt((V * V).sum(axis=1, keepdims=True))
             # rounded so engines with different fp summation order make the
             # same assignment at near-ties; ties -> lowest centroid index
-            # (argmax picks the first maximum, matching the oracle's
-            # ORDER BY cos DESC, idx)
+            # (lexsort matches the oracle's ORDER BY cos DESC, idx)
             sims = np.round(Vn @ Cn.T, round_to)
-            cell = sims.argmax(axis=1).astype("int32")
+            order = np.lexsort(
+                (np.broadcast_to(np.arange(n_cents), sims.shape), -sims),
+                axis=1,
+            )
+            n = len(pdf)
+            ids, vecs, cells, member = [], [], [], []
+            for p in range(nprobe):
+                ids.append(pdf[id_col].values)
+                vecs.append(pdf[vec_col].values)
+                cells.append(order[:, p].astype("int32"))
+                # the nearest cell is where the vector LIVES (member + its
+                # own probe); farther probed cells are searched only
+                member.append(np.full(n, p == 0))
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col].values,
-                    vec_col: pdf[vec_col].values,
-                    "cell": cell,
+                    id_col: np.concatenate(ids),
+                    vec_col: np.concatenate(vecs),
+                    "cell": np.concatenate(cells),
+                    "is_member": np.concatenate(member),
                 }
             )
 
     assigned = corpus.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"{id_col} {id_type}, {vec_col} array<float>, cell int"
+        assign,
+        schema=(
+            f"{id_col} {id_type}, {vec_col} array<float>, cell int, "
+            "is_member boolean"
+        ),
     )
 
-    out_schema = (
-        f"query_id {id_type}, neighbor_id {id_type}, cos double, rn int"
+    cand_schema = f"query_id {id_type}, neighbor_id {id_type}, cos double"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cos": []}
+        ).astype({"cos": "float64"})
+        members = pdf[pdf["is_member"].values]
+        m = len(members)
+        if m == 0:
+            return empty
+        _bucket_guard(len(pdf), max_rows, "ivf_flat_topk")
+        m_ids = members[id_col].values
+        M = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in members[vec_col]]
+        )
+        m_norm = np.sqrt((M * M).sum(axis=1))
+        q_ids = pdf[id_col].values
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        q_norm = np.sqrt((Q * Q).sum(axis=1))
+        n = len(pdf)
+        chunk = max(1, chunk_cells // m)
+        qs, ns, cs = [], [], []
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            sims = np.round(
+                (Q[s:e] @ M.T) / np.outer(q_norm[s:e], m_norm), round_to
+            )
+            sims[q_ids[s:e, None] == m_ids[None, :]] = -np.inf  # self
+            k = min(top_k, m)
+            order = np.lexsort(
+                (np.broadcast_to(m_ids, sims.shape), -sims), axis=1
+            )
+            top = order[:, :k]
+            rows = np.repeat(np.arange(e - s), k)
+            cols = top.ravel()
+            vals = sims[rows, cols]
+            keep = vals > -np.inf  # drop self-only or too-small cells
+            qs.append(q_ids[rows[keep] + s])
+            ns.append(m_ids[cols[keep]])
+            cs.append(vals[keep])
+        if not qs:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(qs),
+                "neighbor_id": np.concatenate(ns),
+                "cos": np.concatenate(cs),
+            }
+        )
+
+    cand = assigned.groupBy("cell").applyInPandas(kernel, cand_schema)
+    # cross-cell re-rank: ≤ nprobe·top_k candidates per query (a neighbor
+    # is a member of exactly one cell, so no duplicate pairs)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
     )
-    kernel = _make_topk_kernel(
-        id_col, vec_col, top_k, round_to, chunk_cells, max_rows, "ivf_flat_topk"
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select("query_id", "neighbor_id", "cos", "rn")
     )
-    return assigned.groupBy("cell").applyInPandas(kernel, out_schema)

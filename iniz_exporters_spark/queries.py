@@ -4056,3 +4056,52 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "user_id", stage.cast("int").alias("funnel_stage"), "n_events"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF multi-probe: each query searches its 2 nearest cells (recall lever
+# near cell boundaries); oracle replays rank-2 probes + cross-cell re-rank.
+# ---------------------------------------------------------------------------
+@register(
+    "ivf_multiprobe_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v
+        FROM e ORDER BY vec_id LIMIT 8
+    ),
+    ranked AS (
+        SELECT e.vec_id, e.v, c.cidx,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(e.v, c.v), 4)
+                            DESC, c.cidx
+               ) AS rnk
+        FROM e CROSS JOIN cents c
+    ),
+    member AS (SELECT vec_id, v, cidx AS cell FROM ranked WHERE rnk = 1),
+    probes AS (SELECT vec_id, v, cidx AS cell FROM ranked WHERE rnk <= 2),
+    cell_topk AS (
+        SELECT query_id, neighbor_id, cos FROM (
+            SELECT p.vec_id AS query_id, m.vec_id AS neighbor_id,
+                   ROUND(list_cosine_similarity(p.v, m.v), 4) AS cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.vec_id, p.cell
+                       ORDER BY ROUND(list_cosine_similarity(p.v, m.v), 4)
+                                DESC, m.vec_id
+                   ) AS crn
+            FROM probes p JOIN member m
+              ON m.cell = p.cell AND m.vec_id <> p.vec_id
+        ) t WHERE crn <= 3
+    )
+    SELECT query_id, neighbor_id, cos, rn FROM (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rn
+        FROM cell_topk
+    ) t WHERE rn <= 3
+    """,
+)
+def ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    return ivf_flat_topk(e, n_centroids=8, top_k=3, nprobe=2)
