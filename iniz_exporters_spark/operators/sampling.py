@@ -1,0 +1,56 @@
+"""Deterministic mixture sampling — per-stratum rates for training-data
+mixing (up-/down-weighting sources or languages to hit a target
+distribution).
+
+Content-keyed gating (poly_hash of a stable key, not RNG) means the SAME
+rows are kept on every rerun, at any cluster size, on any engine — so a
+mixture is reproducible and its complement is addressable (the dropped
+rows are exactly the other hash residues). The gate is a pure Catalyst
+predicate: it pushes into the scan where the source format allows and
+never shuffles; thresholds are integerized Python-side so no float
+arithmetic reaches the comparison.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from iniz_exporters_spark.functions.text import poly_hash
+
+
+def mixture_gate(
+    strata_col: str,
+    key: Column,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    denom: int = 10_000,
+) -> Column:
+    """Boolean keep-gate: hash(key) % denom < round(rate(stratum)·denom)."""
+    thresholds = {s: round(r * denom) for s, r in rates.items()}
+    thr: Column = F.lit(round(default_rate * denom))
+    for s in sorted(thresholds):
+        thr = F.when(F.col(strata_col) == s, F.lit(thresholds[s])).otherwise(
+            thr
+        )
+    return (poly_hash(key) % denom) < thr
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    denom: int = 10_000,
+) -> DataFrame:
+    """Rows surviving the per-stratum deterministic gate."""
+    return df.filter(
+        mixture_gate(
+            strata_col,
+            F.col(key_col).cast("string"),
+            rates,
+            default_rate,
+            denom,
+        )
+    )

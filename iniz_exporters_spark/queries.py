@@ -4105,3 +4105,39 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).embeddings
     return ivf_flat_topk(e, n_centroids=8, top_k=3, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture control: per-language deterministic sampling rates
+# (en 100%, de 50%, es 25%, fr 10%, everything else 5%).
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.operators.sampling import mixture_sample  # noqa: E402
+
+_MIX_RATES = {"en": 1.0, "de": 0.5, "es": 0.25, "fr": 0.1}
+
+
+@register(
+    "mixture_sample_q",
+    f"""
+    WITH kept AS (
+        SELECT lang, doc_id, n_chars
+        FROM documents
+        WHERE {_SQL_POLY.format(s="doc_id::VARCHAR")} % 10000 <
+              CASE lang WHEN 'de' THEN 5000 WHEN 'en' THEN 10000
+                        WHEN 'es' THEN 2500 WHEN 'fr' THEN 1000
+                        ELSE 500 END
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM kept GROUP BY lang
+    """,
+)
+def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    kept = mixture_sample(
+        d, "lang", "doc_id", _MIX_RATES, default_rate=0.05
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
