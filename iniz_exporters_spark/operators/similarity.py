@@ -169,14 +169,14 @@ def _make_topk_kernel(
     return kernel
 
 
-def sign_bucket(vec: Column, bits: int = 4) -> Column:
-    """Deterministic LSH bucket: bit d = sign of dimension d (fixed
-    axis-aligned hyperplanes)."""
+def sign_bucket(vec: Column, bits: int = 4, offset: int = 0) -> Column:
+    """Deterministic LSH bucket: bit d = sign of dimension ``offset + d``
+    (fixed axis-aligned hyperplanes)."""
     v = _as_double(vec)
     return (
         F.aggregate(
             F.zip_with(
-                F.slice(v, 1, bits),
+                F.slice(v, offset + 1, bits),
                 F.sequence(F.lit(0), F.lit(bits - 1)),
                 # 2^d via pow (exact in double for d < 53); pyspark's
                 # shiftleft wrapper would demand a literal shift amount
@@ -200,6 +200,7 @@ def ann_bucketed(
     round_to: int = 4,
     chunk_cells: int = DEFAULT_CHUNK_CELLS,
     max_rows: int | None = DEFAULT_MAX_BUCKET_ROWS,
+    auto_split_bits: int = 0,
 ) -> DataFrame:
     """Approximate top-k within each vector's sign bucket:
     (query_id, neighbor_id, cos, rn). Recall trades off with ``bits``.
@@ -211,7 +212,17 @@ def ann_bucketed(
     slower. Score memory is bounded at ``chunk_cells`` doubles per task
     (row-chunked matmul, never the full n×n matrix), and a bucket larger
     than ``max_rows`` fails loudly instead of OOMing — grow ``bits`` so
-    ~|corpus|/2^bits vectors land per bucket."""
+    ~|corpus|/2^bits vectors land per bucket.
+
+    ``auto_split_bits`` > 0 enables two-level re-bucketing: a cheap size
+    pre-pass (one count agg, broadcast back) finds buckets over
+    ``max_rows`` and re-buckets ONLY those by ``auto_split_bits`` further
+    sign dimensions — hot buckets split ~2^auto_split_bits-ways while cold
+    buckets keep full recall. Candidates in split buckets are a subset of
+    the unsplit candidates (sign-prefix refinement), so recall degrades
+    only inside the buckets that would otherwise have blown memory. Rows
+    still identical in all split dimensions keep the loud guard as the
+    final backstop."""
     id_type = dict(corpus.dtypes)[id_col]
     out_schema = (
         f"query_id {id_type}, neighbor_id {id_type}, cos double, rn int"
@@ -225,6 +236,25 @@ def ann_bucketed(
         F.col(vec_col),
         sign_bucket(F.col(vec_col), bits).alias("__bucket"),
     )
+    if auto_split_bits > 0 and max_rows is not None:
+        hot = (
+            b.groupBy("__bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_rows)
+            .select("__bucket", F.lit(True).alias("__hot"))
+        )
+        sub = sign_bucket(F.col(vec_col), auto_split_bits, offset=bits)
+        b = (
+            b.join(F.broadcast(hot), "__bucket", "left")
+            .withColumn(
+                "__bucket",
+                F.when(
+                    F.col("__hot"),
+                    F.col("__bucket") * (2 ** auto_split_bits) + sub,
+                ).otherwise(F.col("__bucket")),
+            )
+            .drop("__hot")
+        )
     return b.groupBy("__bucket").applyInPandas(kernel, out_schema)
 
 

@@ -520,3 +520,41 @@ def test_ivf_multiprobe_improves_recall(spark):
 
     with _pytest.raises(ValueError, match="nprobe"):
         ivf_flat_topk(emb, n_centroids=4, nprobe=5)
+
+
+def test_ann_auto_split_rebuckets_hot_buckets(spark):
+    """With auto_split_bits, a bucket over max_rows is re-bucketed by
+    further sign dims instead of raising; results are a subset of the
+    unsplit candidates and cold buckets are untouched."""
+    import random
+
+    from iniz_exporters_spark.operators.similarity import ann_bucketed
+
+    rng = random.Random(3)
+    # dims 0-3 all positive → one hot bucket of 40; sign of dims 4-5 varies
+    rows = [
+        (i, [rng.uniform(0.1, 1.0)] * 4
+         + [rng.uniform(-1.0, 1.0), rng.uniform(-1.0, 1.0)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def canon(res):
+        return sorted(tuple(r) for r in res.collect())
+
+    # every vector is in ONE hot bucket, so splitting it by 2 further sign
+    # dims is exactly a bits=6 bucketing — results must match it, and the
+    # guard must NOT fire (it would without the split)
+    split = canon(ann_bucketed(df, bits=4, max_rows=20, auto_split_bits=2))
+    assert split == canon(ann_bucketed(df, bits=6))
+    assert split
+
+    # identical vectors cannot be split further → guard still fires
+    from pyspark.errors import PySparkException
+
+    same = spark.createDataFrame(
+        [(i, [0.5] * 6) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(PySparkException, match="max_rows"):
+        ann_bucketed(same, bits=4, max_rows=5, auto_split_bits=2).collect()
