@@ -1,0 +1,34 @@
+"""bench.py contract: the driver parses its single JSON line per round —
+a silent format break would lose the BENCH_r{N} artifact."""
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_emits_one_json_line_with_all_headline_queries():
+    from iniz_exporters_spark.queries import REGISTRY
+
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    json_lines = [
+        ln for ln in out.stdout.splitlines() if ln.startswith("{")
+    ]
+    assert len(json_lines) == 1, out.stdout[-2000:]
+    payload = json.loads(json_lines[0])
+    assert payload["metric"] == "headline_query_wall_seconds"
+    assert payload["unit"] == "sec"
+    assert payload["sf"] == 0.001
+    headline = {n for n, s in REGISTRY.items() if s.headline}
+    assert set(payload["queries"]) == headline
+    assert payload["value"] > 0
+    assert abs(sum(payload["queries"].values()) - payload["value"]) < 0.01
