@@ -1,0 +1,91 @@
+"""Time-series regularization: resample an irregular event stream onto a
+fixed grid with linear interpolation of gaps.
+
+The hypertable-rollup / gap-fill operation every metrics pipeline needs:
+events arrive at irregular timestamps; downstream consumers want one row
+per (key, hour) with values interpolated across silent periods.
+
+Scale shape: the observed aggregate is one map-side-combined groupBy on
+(key, bucket). The grid is generated per key from that key's own min/max
+bucket via ``sequence()`` + ``explode`` — grid size is (span / step) per
+key, no cross join against a global calendar. The interpolation pass is two
+window functions over the same (key, bucket) partitioning the aggregate
+already produced, so the whole operator costs ONE shuffle. Values are
+interpolated between the previous and next observed buckets; leading /
+trailing cells (before the first / after the last observation) stay NULL.
+
+Cross-engine determinism: observed per-bucket means and the interpolated
+values are rounded in decimal space (see queries.py conventions).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def resample_interpolate(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regular (key, bucket) grid with linearly interpolated values.
+
+    Returns ``(key, bucket, observed, value)`` where ``observed`` is the
+    rounded per-bucket mean (NULL on gap buckets) and ``value`` is observed
+    when present else the linear interpolation between the neighbouring
+    observed buckets (NULL outside the observed range).
+    """
+    unit = step.split()[1].rstrip("s")  # "1 hour" -> "hour"
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    obs = (
+        events.groupBy(F.col(key_col).alias("key"), bucket.alias("bucket"))
+        .agg(
+            F.round(F.avg(F.col(value_col)).cast("decimal(28,12)"), 6)
+            .cast("double")
+            .alias("observed")
+        )
+    )
+    grid = (
+        obs.groupBy("key")
+        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+        .select(
+            "key",
+            F.explode(
+                F.sequence("b0", "b1", F.expr(f"interval {step}"))
+            ).alias("bucket"),
+        )
+    )
+    g = grid.join(obs, ["key", "bucket"], "left")
+
+    w_prev = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("observed").isNotNull(), F.col("bucket"))
+    prev_v = F.last("observed", ignorenulls=True).over(w_prev)
+    prev_t = F.last(obs_ts, ignorenulls=True).over(w_prev)
+    next_v = F.first("observed", ignorenulls=True).over(w_next)
+    next_t = F.first(obs_ts, ignorenulls=True).over(w_next)
+
+    span = F.unix_timestamp(next_t) - F.unix_timestamp(prev_t)
+    frac = (F.unix_timestamp("bucket") - F.unix_timestamp(prev_t)) / span
+    interp = F.when(F.col("observed").isNotNull(), F.col("observed")).otherwise(
+        F.round(
+            (prev_v + (next_v - prev_v) * frac).cast("decimal(28,12)"), 6
+        ).cast("double")
+    )
+    return g.select(
+        "key",
+        "bucket",
+        "observed",
+        interp.alias("value"),
+    )

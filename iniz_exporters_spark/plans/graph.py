@@ -387,3 +387,61 @@ def canonical_per_component(
         )
         .withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 2,
+    damping: float = 0.85,
+    round_dp: int = 8,
+) -> DataFrame:
+    """Distributed PageRank over an edge list (cols ``src``, ``dst`` in;
+    ``node``, ``rank`` out) — the "importance over the concept graph"
+    analysis the reference's in-memory graph walk can't do at data scale.
+
+    Simple (non-dangling-redistributing) formulation: every node starts at
+    1.0; each iteration a node's rank becomes
+    ``(1 - d) + d * Σ rank(u)/outdeg(u)`` over incoming edges. Scale shape:
+    the edge list with attached out-degree is computed ONCE, repartitioned
+    on src, and pinned; each iteration shuffles only the (node, rank) frame
+    — one hash join against the pinned edges plus one map-side-combined
+    groupBy(dst). Iterations are a fixed count (PageRank convergence is
+    geometric; callers pick the budget), so the plan depth is bounded.
+
+    Ranks are rounded in decimal space each iteration so results are
+    reproducible across engines and partitionings (summation order never
+    reaches the compared value).
+    """
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ed = edges.join(deg, "src").repartition("src").localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(iters):
+        contrib = (
+            ranks.join(ed, ranks.node == ed.src)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum(F.col("c").cast("decimal(28,12)")).alias("in_sum"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            F.round(
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("in_sum").cast("double"), F.lit(0.0))
+                ).cast("decimal(28,12)"),
+                round_dp,
+            )
+            .cast("double")
+            .alias("rank"),
+        )
+    return ranks

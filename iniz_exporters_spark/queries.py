@@ -4141,3 +4141,223 @@ def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval / term-weighting family (operators/ranking.py): TF-IDF top
+# terms, BM25 scoring, posting-list build, token PMI. Token rows carry only
+# (doc_id, tok); vocab-sized frames broadcast; one corpus-sized shuffle each.
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.operators.ranking import (  # noqa: E402
+    bm25_scores,
+    inverted_index,
+    tfidf_top_terms,
+    token_pmi,
+)
+
+_SQL_TOK_ROWS = f"SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents"
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH t AS ({_SQL_TOK_ROWS}),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM tf),
+    s AS (SELECT doc_id, tok,
+                 ROUND(CAST(tf * ln(n_docs / df) AS DECIMAL(28,12)), 6)::DOUBLE
+                     AS tfidf
+          FROM tf JOIN df USING (tok) CROSS JOIN n)
+    SELECT doc_id, tok, CAST(rn AS INT) AS term_rank, tfidf
+    FROM (SELECT doc_id, tok, tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, tok) AS rn
+          FROM s)
+    WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return tfidf_top_terms(d, "doc_id", "text", top_n=3)
+
+
+_BM25_TERMS = ("hash", "join", "filter")
+
+
+@register(
+    "bm25_score",
+    f"""
+    WITH t AS ({_SQL_TOK_ROWS}),
+    dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+    a AS (SELECT avg(dl) AS avgdl FROM dl),
+    n AS (SELECT count(*)::DOUBLE AS n_docs FROM dl),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+           WHERE tok IN ('hash', 'join', 'filter') GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok)
+    SELECT doc_id,
+           ROUND(SUM(CAST(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2)
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+               AS DECIMAL(28,12))), 6)::DOUBLE AS bm25,
+           CAST(count(*) AS BIGINT) AS n_hits
+    FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+    CROSS JOIN a CROSS JOIN n
+    GROUP BY doc_id
+    """,
+)
+def bm25_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return bm25_scores(d, list(_BM25_TERMS), "doc_id", "text", k1=1.2, b=0.75)
+
+
+@register(
+    "inverted_index_q",
+    f"""
+    WITH p AS (SELECT DISTINCT doc_id, tok FROM ({_SQL_TOK_ROWS})),
+    df AS (SELECT tok, count(*)::BIGINT AS df FROM p GROUP BY tok),
+    capped AS (SELECT tok, doc_id,
+                      ROW_NUMBER() OVER (PARTITION BY tok
+                                         ORDER BY doc_id) AS rn
+               FROM p),
+    post AS (SELECT tok,
+                    array_to_string(list(doc_id ORDER BY doc_id), ',')
+                        AS postings
+             FROM capped WHERE rn <= 100 GROUP BY tok)
+    SELECT tok, df, postings
+    FROM df JOIN post USING (tok)
+    WHERE df >= 50
+    """,
+)
+def inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return inverted_index(d, "doc_id", "text", min_df=50, max_postings=100)
+
+
+@register(
+    "token_pmi_q",
+    f"""
+    WITH p AS (SELECT DISTINCT doc_id, tok FROM ({_SQL_TOK_ROWS})),
+    v AS (SELECT tok, count(*) AS df FROM p GROUP BY tok
+          ORDER BY df DESC, tok LIMIT 50),
+    pv AS (SELECT p.doc_id, p.tok FROM p JOIN v USING (tok)),
+    n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM p),
+    co AS (SELECT a.tok AS tok_a, b.tok AS tok_b,
+                  count(*)::BIGINT AS pair_count
+           FROM pv a JOIN pv b
+             ON a.doc_id = b.doc_id AND a.tok < b.tok
+           GROUP BY a.tok, b.tok
+           HAVING count(*) >= 10)
+    SELECT tok_a, tok_b, pair_count,
+           ROUND(CAST(ln(pair_count * n_docs / (va.df * vb.df))
+                      AS DECIMAL(28,12)), 6)::DOUBLE AS pmi
+    FROM co
+    JOIN v va ON va.tok = co.tok_a
+    JOIN v vb ON vb.tok = co.tok_b
+    CROSS JOIN n
+    """,
+)
+def token_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return token_pmi(d, "doc_id", "text", vocab_size=50, min_pair_count=10)
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the derived star-schema DAG (plans/graph.py:pagerank) —
+# fixed 2-iteration budget, oracle replays each iteration as a chained CTE.
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.plans.graph import pagerank  # noqa: E402
+
+_PR_STEP = """
+    c{i} AS (SELECT e.dst AS node,
+                    SUM(CAST(r.rank / d.outdeg AS DECIMAL(28,12))) AS in_sum
+             FROM r{p} r
+             JOIN edges e ON r.node = e.src
+             JOIN deg d ON d.src = e.src
+             GROUP BY e.dst),
+    r{i} AS (SELECT n.node,
+                    ROUND(CAST((CAST(1.0 AS DOUBLE) - 0.85)
+                               + CAST(0.85 AS DOUBLE)
+                                 * COALESCE(c{i}.in_sum::DOUBLE, 0.0)
+                               AS DECIMAL(28,12)), 8)::DOUBLE AS rank
+             FROM nodes n LEFT JOIN c{i} ON c{i}.node = n.node)
+"""
+
+
+@register(
+    "pagerank_top",
+    f"""
+    WITH {_EDGES_ORACLE},
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    nodes AS (SELECT src AS node FROM edges
+              UNION
+              SELECT dst FROM edges),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+    {_PR_STEP.format(i=1, p=0)},
+    {_PR_STEP.format(i=2, p=1)}
+    SELECT node, rank FROM r2
+    """,
+)
+def pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return pagerank(_derived_edges(cat), iters=2, damping=0.85)
+
+
+# ---------------------------------------------------------------------------
+# Time-series resample + linear interpolation (operators/timeseries.py).
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.operators.timeseries import (  # noqa: E402
+    resample_interpolate,
+)
+
+
+@register(
+    "resample_interpolate_q",
+    """
+    WITH obs AS (
+        SELECT user_id AS key, date_trunc('hour', ts) AS bucket,
+               ROUND(CAST(avg(value) AS DECIMAL(28,12)), 6)::DOUBLE
+                   AS observed
+        FROM events WHERE user_id < 30 GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT key,
+               unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        FROM (SELECT key, min(bucket) AS b0, max(bucket) AS b1
+              FROM obs GROUP BY key)
+    ),
+    g AS (
+        SELECT grid.key, grid.bucket, obs.observed
+        FROM grid LEFT JOIN obs
+          ON obs.key = grid.key AND obs.bucket = grid.bucket
+    ),
+    w AS (
+        SELECT key, bucket, observed,
+               last_value(observed IGNORE NULLS) OVER pw AS pv,
+               last_value(CASE WHEN observed IS NOT NULL THEN bucket END
+                          IGNORE NULLS) OVER pw AS pt,
+               first_value(observed IGNORE NULLS) OVER nw AS nv,
+               first_value(CASE WHEN observed IS NOT NULL THEN bucket END
+                           IGNORE NULLS) OVER nw AS nt
+        FROM g
+        WINDOW pw AS (PARTITION BY key ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               nw AS (PARTITION BY key ORDER BY bucket
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT key, bucket, observed,
+           CASE WHEN observed IS NOT NULL THEN observed
+                ELSE ROUND(CAST(
+                    pv + (nv - pv) * ((epoch(bucket) - epoch(pt))
+                                      / (epoch(nt) - epoch(pt)))
+                    AS DECIMAL(28,12)), 6)::DOUBLE
+           END AS value
+    FROM w
+    """,
+)
+def resample_interpolate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events.filter(F.col("user_id") < 30)
+    return resample_interpolate(
+        e, key_col="user_id", ts_col="ts", value_col="value", step="1 hour"
+    )

@@ -558,3 +558,72 @@ def test_ann_auto_split_rebuckets_hot_buckets(spark):
     )
     with pytest.raises(PySparkException, match="max_rows"):
         ann_bucketed(same, bits=4, max_rows=5, auto_split_bits=2).collect()
+
+
+def test_pagerank_tiny_graph(spark):
+    # star: a -> b, a -> c, b -> c ; c dangles.
+    # iter1: r(a)=0.15; r(b)=0.15+0.85*(1/2)=0.575; r(c)=0.15+0.85*(1/2+1/1)=1.425
+    # iter2: r(a)=0.15; r(b)=0.15+0.85*(0.15/2)=0.21375
+    #        r(c)=0.15+0.85*(0.15/2 + 0.575)=0.70250
+    from iniz_exporters_spark.plans.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], ["src", "dst"]
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iters=2).collect()}
+    assert got == {"a": 0.15, "b": 0.21375, "c": 0.7025}
+
+
+def test_pagerank_mass_conservation_on_cycle(spark):
+    # on a pure cycle every node keeps rank exactly 1.0 at every iteration
+    from iniz_exporters_spark.plans.graph import pagerank
+
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(cyc, iters=3).collect()}
+    assert got == {"a": 1.0, "b": 1.0, "c": 1.0}
+
+
+def test_resample_interpolate_fills_gap_linearly(spark):
+    from iniz_exporters_spark.operators.timeseries import resample_interpolate
+
+    rows = [
+        (1, "2024-01-01 00:10:00", 10.0),
+        (1, "2024-01-01 00:50:00", 20.0),  # hour 0 observed mean = 15.0
+        (1, "2024-01-01 03:00:00", 45.0),  # hours 1,2 are gaps
+        (2, "2024-01-01 05:00:00", 7.0),   # single-bucket key: no gaps
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {
+        (r["key"], str(r["bucket"])): (r["observed"], r["value"])
+        for r in resample_interpolate(df).collect()
+    }
+    assert out[(1, "2024-01-01 00:00:00")] == (15.0, 15.0)
+    # linear ramp 15 -> 45 over 3 hours: 25 at +1h, 35 at +2h
+    assert out[(1, "2024-01-01 01:00:00")] == (None, 25.0)
+    assert out[(1, "2024-01-01 02:00:00")] == (None, 35.0)
+    assert out[(1, "2024-01-01 03:00:00")] == (45.0, 45.0)
+    assert out[(2, "2024-01-01 05:00:00")] == (7.0, 7.0)
+    assert len(out) == 5
+
+
+def test_bm25_ranks_rarer_term_higher(spark):
+    from iniz_exporters_spark.operators.ranking import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common common filler words here"),
+            (2, "common filler words again and again"),
+            (3, "common words more filler text body"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in bm25_scores(docs, ["rare", "common"]).collect()}
+    assert set(got) == {1, 2, 3}
+    # doc 1 holds the only 'rare' hit -> strictly top score
+    assert got[1]["bm25"] > got[2]["bm25"]
+    assert got[1]["bm25"] > got[3]["bm25"]
+    assert got[1]["n_hits"] == 2  # matched both query terms

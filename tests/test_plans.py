@@ -128,3 +128,49 @@ def test_unigram_scoring_broadcasts_vocab(spark):
     # vocab agg lives behind the localCheckpoint; the only hash exchange in
     # the final plan is the per-doc aggregation
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_tfidf_broadcasts_df_and_scalar(spark):
+    """df (vocab-sized) and N (scalar) must broadcast onto the tf rows; the
+    corpus-sized frame shuffles only for the tf groupBy + ranking window."""
+    plan = physical(run("tfidf_top_terms", spark))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 5, plan
+
+
+def test_bm25_no_vocabulary_scale_shuffle(spark):
+    """Query-term filter comes before every aggregate; df/avgdl/N broadcast
+    so the only exchanges are doc-keyed aggregations."""
+    plan = physical(run("bm25_score", spark))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 7, plan
+
+
+def test_inverted_index_caps_postings_before_collect(spark):
+    """The row_number cap must run BEFORE collect_list so no unbounded
+    posting-list state exists (window, then filter, then aggregate)."""
+    df = run("inverted_index_q", spark)
+    plan = physical(df)
+    assert "RunningWindowFunction" in plan or "Window" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+    rows = df.collect()
+    assert all(len(r["postings"].split(",")) <= 100 for r in rows), (
+        "posting list exceeded the cap"
+    )
+
+
+def test_token_pmi_prunes_vocab_before_pairing(spark):
+    """The top-50 vocab must broadcast into the pair join — the doc×token
+    frame is never paired against the full vocabulary."""
+    plan = physical(run("token_pmi_q", spark))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_resample_single_partitioning_for_windows(spark):
+    """Both interpolation windows share the (key, bucket-order) sort: one
+    exchange for the grid/obs alignment, one for the windows at most."""
+    plan = physical(run("resample_interpolate_q", spark))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "SortMergeJoin" not in plan, plan
