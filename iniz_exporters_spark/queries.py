@@ -4361,3 +4361,96 @@ def resample_interpolate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_interpolate(
         e, key_col="user_id", ts_col="ts", value_col="value", step="1 hour"
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-stream behavioral analytics (operators/cohorts.py): gap-based
+# sessionization, weekly cohort retention, signup->purchase conversion lag.
+# All pure Catalyst; the user key is the only shuffle key in each.
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.operators.cohorts import (  # noqa: E402
+    cohort_retention,
+    sessionize,
+    time_to_convert,
+)
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH t AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS INT) AS session_seq
+        FROM t
+    )
+    SELECT user_id, session_seq,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    return sessionize(e, gap_minutes=30)
+
+
+@register(
+    "cohort_retention_q",
+    """
+    WITH f AS (
+        SELECT user_id, min(date_trunc('week', ts)::DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    a AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS active_week
+        FROM events
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, active_week) / 7 AS INT)
+               AS week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    return cohort_retention(e)
+
+
+@register(
+    "time_to_convert_q",
+    """
+    WITH u AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS start_ts
+        FROM events GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS conv_ts
+        FROM events e JOIN u ON e.user_id = u.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= u.start_ts
+        GROUP BY e.user_id
+    )
+    SELECT u.user_id, u.start_ts,
+           CAST(date_diff('second', u.start_ts, c.conv_ts) AS BIGINT)
+               AS convert_secs
+    FROM u LEFT JOIN c ON c.user_id = u.user_id
+    WHERE u.start_ts IS NOT NULL
+    """,
+)
+def time_to_convert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    return time_to_convert(e)

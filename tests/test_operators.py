@@ -627,3 +627,74 @@ def test_bm25_ranks_rarer_term_higher(spark):
     assert got[1]["bm25"] > got[2]["bm25"]
     assert got[1]["bm25"] > got[3]["bm25"]
     assert got[1]["n_hits"] == 2  # matched both query terms
+
+
+def test_sessionize_splits_on_gap(spark):
+    from iniz_exporters_spark.operators.cohorts import sessionize
+
+    rows = [
+        (1, 101, "2024-01-01 00:00:00"),
+        (1, 102, "2024-01-01 00:10:00"),   # same session (10 min gap)
+        (1, 103, "2024-01-01 01:00:00"),   # new session (50 min gap)
+        (2, 201, "2024-01-01 00:00:00"),   # other user: own session
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            str(r["session_start"]),
+            str(r["session_end"]),
+            r["n_events"],
+        )
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    assert got == {
+        (1, 1): ("2024-01-01 00:00:00", "2024-01-01 00:10:00", 2),
+        (1, 2): ("2024-01-01 01:00:00", "2024-01-01 01:00:00", 1),
+        (2, 1): ("2024-01-01 00:00:00", "2024-01-01 00:00:00", 1),
+    }
+
+
+def test_cohort_retention_offsets(spark):
+    from iniz_exporters_spark.operators.cohorts import cohort_retention
+
+    rows = [
+        (1, "2024-01-01 12:00:00"),  # Mon wk0
+        (1, "2024-01-09 12:00:00"),  # wk1
+        (2, "2024-01-02 12:00:00"),  # wk0 cohort, only wk0 activity
+        (3, "2024-01-10 12:00:00"),  # wk1 cohort
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {
+        (str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+        for r in cohort_retention(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
+def test_time_to_convert_first_purchase_after_signup(spark):
+    from iniz_exporters_spark.operators.cohorts import time_to_convert
+
+    rows = [
+        (1, "signup", "2024-01-01 00:00:00"),
+        (1, "purchase", "2023-12-31 00:00:00"),  # before signup: ignored
+        (1, "purchase", "2024-01-01 00:30:00"),  # first valid: 1800s
+        (1, "purchase", "2024-01-02 00:00:00"),
+        (2, "signup", "2024-01-01 00:00:00"),    # never converts -> NULL
+        (3, "purchase", "2024-01-01 00:00:00"),  # never signs up -> dropped
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {
+        r["user_id"]: r["convert_secs"]
+        for r in time_to_convert(df).collect()
+    }
+    assert got == {1: 1800, 2: None}

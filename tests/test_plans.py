@@ -174,3 +174,25 @@ def test_resample_single_partitioning_for_windows(spark):
     plan = physical(run("resample_interpolate_q", spark))
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_sessionize_single_shuffle_for_both_windows(spark):
+    """The lag pass, the running-sum pass, and the rollup all key on
+    user_id — one hash exchange total, and both windows share one sort."""
+    plan = physical(run("sessionize_events", spark))
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_cohort_retention_copartitioned_join(spark):
+    """first-event agg and activity dedup both hash on user_id; the join
+    reuses that partitioning instead of adding a third corpus shuffle."""
+    plan = physical(run("cohort_retention_q", spark))
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def test_time_to_convert_single_pass_no_self_join(spark):
+    """One aggregation over events — no events-to-events join."""
+    plan = physical(run("time_to_convert_q", spark))
+    assert "Join" not in plan or "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
