@@ -54,3 +54,34 @@ def mixture_sample(
             denom,
         )
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    denom: int = 100,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test-style split on a stable key.
+
+    Assigns each row a split label by hash residue: with fractions
+    {train: .8, val: .1, test: .1} the key's ``poly_hash % denom`` lands in
+    [0,80) → train, [80,90) → val, [90,100) → test. Content-keyed like
+    ``mixture_gate``: the same row lands in the same split on any engine,
+    any partitioning, any rerun — and adding data never moves existing rows
+    between splits. Pure Catalyst predicate; no shuffle, no RNG.
+
+    ``fractions`` are assigned in sorted-label order for determinism; they
+    must sum to ≤ 1 (any remainder falls into the LAST sorted label).
+    """
+    labels = sorted(fractions)
+    bucket = poly_hash(F.col(key_col).cast("string")) % denom
+    hi = 0
+    expr = None
+    for lab in labels:
+        hi += round(fractions[lab] * denom)
+        cond = bucket < hi
+        expr = F.when(cond, lab) if expr is None else expr.when(cond, lab)
+    expr = expr.otherwise(labels[-1])
+    return df.withColumn(split_col, expr)

@@ -4454,3 +4454,117 @@ def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def time_to_convert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).events
     return time_to_convert(e)
+
+
+# ---------------------------------------------------------------------------
+# Training-data assembly ops: deterministic split assignment, concat-then-
+# chunk sequence packing, and daily-count anomaly screening.
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.operators.sampling import hash_split  # noqa: E402
+
+
+@register(
+    "train_test_split",
+    f"""
+    SELECT doc_id, lang,
+           CASE WHEN {_SQL_POLY.format(s="doc_id::VARCHAR")} % 100 < 80
+                THEN 'test'
+                WHEN {_SQL_POLY.format(s="doc_id::VARCHAR")} % 100 < 90
+                THEN 'train'
+                ELSE 'val' END AS split
+    FROM documents
+    """,
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 deterministic split; sorted-label order is
+    (test, train, val) so the first 80 residues map to the first sorted
+    label — the oracle mirrors that ordering."""
+    d = Catalog(spark, sf_dir).documents
+    return hash_split(
+        d, "doc_id", {"test": 0.8, "train": 0.1, "val": 0.1}
+    ).select("doc_id", "lang", "split")
+
+
+@register(
+    "pack_sequences_q",
+    f"""
+    WITH t AS (
+        SELECT source, doc_id, len({_SQL_TOKENS}) AS n_tok FROM documents
+    ),
+    o AS (
+        SELECT source, doc_id, n_tok,
+               COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS off
+        FROM t
+    )
+    SELECT source, CAST(off // 256 AS BIGINT) AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS chunk_tokens
+    FROM o GROUP BY source, chunk_id
+    """,
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (the standard LLM pretraining
+    data layout): within each source shard, docs are laid out in doc_id
+    order and cut into 256-token chunks by starting offset. One window
+    pass + one map-side-combined groupBy, both keyed on the shard — at
+    cluster scale the shard key IS the partition key, so the running
+    offset never needs a global sort."""
+    d = Catalog(spark, sf_dir).documents
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = d.select(
+        "source",
+        "doc_id",
+        F.size(_tokens("text")).cast("long").alias("n_tok"),
+    ).withColumn("off", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    return (
+        t.withColumn("chunk_id", (F.col("off") / F.lit(256)).cast("long"))
+        .groupBy("source", "chunk_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("chunk_tokens"),
+        )
+    )
+
+
+@register(
+    "anomaly_zscore",
+    """
+    WITH d AS (
+        SELECT event_type, date_trunc('day', ts)::DATE AS day,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
+           ROUND(CAST(
+               (n_events - avg(n_events) OVER w)
+               / stddev_samp(n_events) OVER w
+               AS DECIMAL(28,12)), 6)::DOUBLE AS zscore
+    FROM d
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-count z-score per event type: one groupBy to day granularity
+    (map-side combined), then a per-type window over the tiny
+    (type × day) frame. The corpus-sized table is touched once."""
+    e = Catalog(spark, sf_dir).events
+    d = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    w = Window.partitionBy("event_type")
+    z = (F.col("n_events") - F.avg("n_events").over(w)) / F.stddev_samp(
+        "n_events"
+    ).over(w)
+    return d.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round(z.cast("decimal(28,12)"), 6).cast("double").alias("zscore"),
+    )

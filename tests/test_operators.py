@@ -698,3 +698,21 @@ def test_time_to_convert_first_purchase_after_signup(spark):
         for r in time_to_convert(df).collect()
     }
     assert got == {1: 1800, 2: None}
+
+
+def test_hash_split_deterministic_and_stable_under_append(spark):
+    from iniz_exporters_spark.operators.sampling import hash_split
+
+    base = spark.range(0, 200).withColumnRenamed("id", "k")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["k"]: r["split"] for r in hash_split(base, "k", fr).collect()}
+    # same rows -> same labels on rerun
+    b = {r["k"]: r["split"] for r in hash_split(base, "k", fr).collect()}
+    assert a == b
+    # appending data never moves an existing row's split
+    bigger = spark.range(0, 400).withColumnRenamed("id", "k")
+    c = {r["k"]: r["split"] for r in hash_split(bigger, "k", fr).collect()}
+    assert all(c[k] == v for k, v in a.items())
+    # rough proportions hold
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 120 <= n_train <= 190

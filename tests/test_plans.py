@@ -196,3 +196,25 @@ def test_time_to_convert_single_pass_no_self_join(spark):
     plan = physical(run("time_to_convert_q", spark))
     assert "Join" not in plan or "SortMergeJoin" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_train_test_split_no_shuffle(spark):
+    """Split assignment is a pure per-row expression — zero exchanges."""
+    plan = physical(run("train_test_split", spark))
+    assert "Exchange" not in plan, plan
+
+
+def test_pack_sequences_shard_keyed(spark):
+    """Window and rollup both key on the shard (source) — no global sort,
+    at most the one hash exchange for the shard partitioning."""
+    plan = physical(run("pack_sequences_q", spark))
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_anomaly_zscore_single_corpus_pass(spark):
+    """events is aggregated to (type, day) before the window — the window
+    runs over the tiny aggregate, so only the day-rollup exchange plus the
+    window's type-keyed exchange appear."""
+    plan = physical(run("anomaly_zscore", spark))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
