@@ -4568,3 +4568,84 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(z.cast("decimal(28,12)"), 6).cast("double").alias("zscore"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply-changes (operators/cdc.py): keyed changelog -> new snapshot.
+# The changelog is synthesized deterministically from orders so the oracle
+# can replay it: keys %5==0 get an update (seq 1); keys %10==0 additionally
+# get a delete (seq 2) that wins; keys offset by 10^7 arrive as inserts.
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.operators.cdc import apply_changes  # noqa: E402
+
+
+@register(
+    "cdc_apply_changes",
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    changes AS (
+        SELECT o_orderkey, o_orderstatus,
+               ROUND(o_totalprice * 2, 2) AS o_totalprice,
+               'U' AS op, 1 AS seq
+        FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 'D' AS op, 2 AS seq
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'N' AS o_orderstatus,
+               o_totalprice, 'I' AS op, 1 AS seq
+        FROM orders WHERE o_orderkey % 1000 = 1
+    ),
+    latest AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_orderkey
+                ORDER BY seq DESC, (op = 'D') DESC, op DESC
+            ) AS rn FROM changes
+        ) WHERE rn = 1
+    )
+    SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice
+    FROM base b LEFT JOIN latest l ON b.o_orderkey = l.o_orderkey
+    WHERE l.o_orderkey IS NULL
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM latest WHERE op <> 'D'
+    """,
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    updates = (
+        o.filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 2, 2).alias("o_totalprice"),
+            F.lit("U").alias("op"),
+            F.lit(1).alias("seq"),
+        )
+    )
+    deletes = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.lit("D").alias("op"),
+            F.lit(2).alias("seq"),
+        )
+    )
+    inserts = (
+        o.filter(F.col("o_orderkey") % 1000 == 1)
+        .select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            "o_totalprice",
+            F.lit("I").alias("op"),
+            F.lit(1).alias("seq"),
+        )
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    return apply_changes(base, changes, ["o_orderkey"])

@@ -716,3 +716,33 @@ def test_hash_split_deterministic_and_stable_under_append(spark):
     # rough proportions hold
     n_train = sum(1 for v in a.values() if v == "train")
     assert 120 <= n_train <= 190
+
+
+def test_apply_changes_upsert_delete_insert(spark):
+    from iniz_exporters_spark.operators.cdc import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", "U", 1),
+            (2, "ignored", "U", 0),   # older seq loses
+            (3, "c", "D", 1),          # delete
+            (4, "d", "I", 1),          # insert
+        ],
+        ["k", "v", "op", "seq"],
+    )
+    got = {r["k"]: r["v"] for r in apply_changes(base, changes, ["k"]).collect()}
+    assert got == {1: "a", 2: "b2", 4: "d"}
+
+
+def test_apply_changes_same_seq_delete_wins(spark):
+    from iniz_exporters_spark.operators.cdc import apply_changes
+
+    base = spark.createDataFrame([(1, "a")], ["k", "v"])
+    changes = spark.createDataFrame(
+        [(1, "a2", "U", 5), (1, "a2", "D", 5)], ["k", "v", "op", "seq"]
+    )
+    got = apply_changes(base, changes, ["k"]).collect()
+    assert got == []

@@ -218,3 +218,13 @@ def test_anomaly_zscore_single_corpus_pass(spark):
     window's type-keyed exchange appear."""
     plan = physical(run("anomaly_zscore", spark))
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_cdc_changelog_collapse_then_single_antijoin(spark):
+    """The base snapshot passes through one anti-join (broadcast at this
+    changelog size) and never through a window; the only hash exchanges
+    are the changelog-collapse windows (one per union branch — the
+    changelog is tiny relative to base, so the double-compute is free)."""
+    plan = physical(run("cdc_apply_changes", spark))
+    assert "LeftAnti" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan

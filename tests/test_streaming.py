@@ -300,3 +300,45 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert set(rows) == {1, 2, 3}
     assert rows[1] == "a" and rows[3] == "c"
     assert rows[2] in ("b", "DUP")  # exactly one survivor for the dup key
+
+
+def test_upsert_sink_keyed_snapshot_across_batches(spark, tmp_path):
+    """Two availableNow runs over growing input: the snapshot holds the
+    latest row per key, survives version advancement, and replaying the
+    same input produces no duplicates."""
+    import shutil
+
+    from iniz_exporters_spark.streaming.sinks import read_snapshot, upsert_sink
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    schema = "k BIGINT, v STRING, seq BIGINT"
+
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (2, "b2", 2)], ["k", "v", "seq"]
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = upsert_sink(stream, out, ck, ["k"], "seq")
+    q.awaitTermination(120)
+    snap = {r["k"]: r["v"] for r in read_snapshot(spark, out).collect()}
+    assert snap == {1: "a", 2: "b2"}
+
+    # batch 2: update k=1, insert k=3
+    spark.createDataFrame(
+        [(1, "a9", 3), (3, "c", 1)], ["k", "v", "seq"]
+    ).write.mode("append").parquet(src)
+    q = upsert_sink(stream, out, ck, ["k"], "seq")
+    q.awaitTermination(120)
+    snap = {r["k"]: r["v"] for r in read_snapshot(spark, out).collect()}
+    assert snap == {1: "a9", 2: "b2", 3: "c"}
+
+    # replay from scratch checkpoint over the same input: same snapshot,
+    # no key duplicated
+    shutil.rmtree(ck)
+    q = upsert_sink(stream, out, ck, ["k"], "seq")
+    q.awaitTermination(120)
+    df = read_snapshot(spark, out)
+    assert df.count() == df.select("k").distinct().count() == 3
+    snap = {r["k"]: r["v"] for r in df.collect()}
+    assert snap == {1: "a9", 2: "b2", 3: "c"}
