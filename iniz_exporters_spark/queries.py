@@ -4649,3 +4649,124 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = updates.unionByName(deletes).unionByName(inserts)
     return apply_changes(base, changes, ["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# Join/function breadth batch 3: full-outer reconciliation, null-safe
+# equality join, map-type construction/extraction.
+# ---------------------------------------------------------------------------
+@register(
+    "full_outer_reconcile",
+    """
+    WITH a AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey
+    ),
+    b AS (
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT COALESCE(a.o_custkey, b.c_custkey) AS custkey,
+           a.n_orders, b.c_acctbal,
+           CASE WHEN a.o_custkey IS NULL THEN 'segment_only'
+                WHEN b.c_custkey IS NULL THEN 'orders_only'
+                ELSE 'both' END AS presence
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.c_custkey
+    """,
+)
+def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation report between two derived sides — the full-outer
+    keeps rows unique to either. Both sides pre-aggregate/filter before
+    the join, so the join runs at key cardinality, not fact cardinality."""
+    cat = Catalog(spark, sf_dir)
+    a = cat.orders.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    b = cat.customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_acctbal"
+    )
+    j = a.join(b, a.o_custkey == b.c_custkey, "full_outer")
+    presence = (
+        F.when(F.col("o_custkey").isNull(), "segment_only")
+        .when(F.col("c_custkey").isNull(), "orders_only")
+        .otherwise("both")
+    )
+    return j.select(
+        F.coalesce("o_custkey", "c_custkey").alias("custkey"),
+        "n_orders",
+        "c_acctbal",
+        presence.alias("presence"),
+    )
+
+
+@register(
+    "nullsafe_join_nations",
+    """
+    WITH n AS (
+        SELECT n_nationkey, n_name,
+               CASE WHEN n_regionkey = 0 THEN NULL ELSE n_regionkey END AS rk
+        FROM nation
+    )
+    SELECT a.n_name AS name_a, b.n_name AS name_b, a.rk
+    FROM n a JOIN n b
+      ON a.rk IS NOT DISTINCT FROM b.rk
+     AND a.n_nationkey < b.n_nationkey
+    """,
+)
+def nullsafe_join_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=>): NULL keys match each other — the MySQL
+    spaceship the reference's generated SQL relies on for nullable
+    mapping columns. Catalyst plans <=> as a hash join key (EqualNullSafe
+    is a valid equi-join expression), not a cross product."""
+    nt = Catalog(spark, sf_dir).nation.select(
+        "n_nationkey",
+        "n_name",
+        F.when(F.col("n_regionkey") == 0, None)
+        .otherwise(F.col("n_regionkey"))
+        .alias("rk"),
+    )
+    a, b = nt.alias("a"), nt.alias("b")
+    return (
+        a.join(
+            b,
+            F.col("a.rk").eqNullSafe(F.col("b.rk"))
+            & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+        )
+        .select(
+            F.col("a.n_name").alias("name_a"),
+            F.col("b.n_name").alias("name_b"),
+            F.col("a.rk"),
+        )
+    )
+
+
+@register(
+    "map_funcs",
+    """
+    WITH m AS (
+        SELECT p_partkey,
+               MAP(['brand', 'type'], [p_brand, p_type]) AS attrs
+        FROM part
+    )
+    SELECT p_partkey,
+           (attrs['brand'])[1] AS brand,
+           CAST(cardinality(attrs) AS INT) AS n_keys,
+           array_to_string(list_sort(map_keys(attrs)), ',') AS keys_csv
+    FROM m
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + extraction + key introspection (F5's list/map
+    cell model as first-class types). The map never reaches the compared
+    output — only extracted scalars, so engine map-rendering differences
+    can't affect the hash."""
+    p = Catalog(spark, sf_dir).part
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return p.select(
+        "p_partkey",
+        m.getItem("brand").alias("brand"),
+        F.size(m).cast("int").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+    )

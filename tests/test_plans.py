@@ -228,3 +228,22 @@ def test_cdc_changelog_collapse_then_single_antijoin(spark):
     plan = physical(run("cdc_apply_changes", spark))
     assert "LeftAnti" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def test_nullsafe_join_is_hash_join_not_nlj(spark):
+    """EqualNullSafe must plan as an equi-join key — a nested-loop/cartesian
+    over nation² is wrong even at 25 rows."""
+    plan = physical(run("nullsafe_join_nations", spark))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_full_outer_preaggregates_both_sides(spark):
+    """Both sides reduce to key cardinality BEFORE the full-outer join —
+    the fact table never passes through the join."""
+    plan = physical(run("full_outer_reconcile", spark))
+    assert "FullOuter" in plan.replace(" ", ""), plan
+    idx_join = plan.find("SortMergeJoin")
+    if idx_join == -1:
+        idx_join = plan.find("ShuffledHashJoin")
+    assert "HashAggregate" in plan[idx_join:], plan
