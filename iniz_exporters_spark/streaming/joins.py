@@ -25,16 +25,25 @@ def interval_join_streams(
     left_ts: str = "l_ts",
     right_ts: str = "r_ts",
     within: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Join rows of ``right`` occurring in [left_ts, left_ts + within].
 
     ``left``/``right`` must already carry distinct column names (alias
     upstream) and, for streaming inputs, watermarks on their event-time
     columns. The range conjunct below is the state-eviction contract.
+
+    ``how='left_outer'`` adds never-matched left rows with a NULL right
+    side. Streaming semantics: an unmatched left row emits only once the
+    watermark passes ``left_ts + within`` (before that, a match could
+    still arrive) — so at end-of-input, unmatched rows younger than
+    (max event time − watermark delay − within) are still held in state
+    and are NOT emitted. Batch runs have no watermark and emit them all;
+    the parity test pins exactly that split.
     """
     cond = (
         (F.col(f"l_{key}") == F.col(f"r_{key}"))
         & (F.col(right_ts) >= F.col(left_ts))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
     )
-    return left.join(right, cond, "inner")
+    return left.join(right, cond, how)

@@ -342,3 +342,88 @@ def test_upsert_sink_keyed_snapshot_across_batches(spark, tmp_path):
     assert df.count() == df.select("k").distinct().count() == 3
     snap = {r["k"]: r["v"] for r in df.collect()}
     assert snap == {1: "a9", 2: "b2", 3: "c"}
+
+
+def test_stream_stream_left_outer_interval_join(spark, events_dir):
+    """Left-outer stream-stream join: every inner match emits, plus
+    unmatched signups whose match window closed before the final
+    watermark. Unmatched rows whose window was still open when input
+    ended stay in state (could yet match) — the batch/stream split is
+    exactly the watermark cutoff."""
+    from iniz_exporters_spark.streaming.joins import interval_join_streams
+
+    schema = spark.read.parquet(events_dir).schema
+
+    def side(reader, typ, prefix):
+        return reader.filter(F.col("event_type") == typ).select(
+            F.col("user_id").alias(f"{prefix}_user_id"),
+            F.col("ts").alias(f"{prefix}_ts"),
+            F.col("event_id").alias(f"{prefix}_event_id"),
+        )
+
+    static = spark.read.parquet(events_dir)
+    batch = interval_join_streams(
+        side(static, "signup", "l"),
+        side(static, "purchase", "r"),
+        key="user_id",
+        within="24 hours",
+        how="left_outer",
+    )
+
+    def stream_side(typ, prefix):
+        s = spark.readStream.schema(schema).format("parquet").load(events_dir)
+        return side(s, typ, prefix).withWatermark(f"{prefix}_ts", "1 hour")
+
+    stream = interval_join_streams(
+        stream_side("signup", "l"),
+        stream_side("purchase", "r"),
+        key="user_id",
+        within="24 hours",
+        how="left_outer",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ssj_outer_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from ssj_outer_test")
+
+    keys = ["l_event_id", "r_event_id"]
+    got_matched = _rows(got.filter(F.col("r_event_id").isNotNull()), keys)
+    batch_matched = _rows(batch.filter(F.col("r_event_id").isNotNull()), keys)
+    assert got_matched == batch_matched
+    assert len(got_matched) > 0
+
+    # outer rows: streaming emits exactly the batch-unmatched lefts whose
+    # match window closed before the final watermark
+    # the global watermark is min over BOTH sides' (max event time - delay)
+    max_l = static.filter(F.col("event_type") == "signup").agg(
+        F.max("ts")
+    ).collect()[0][0]
+    max_r = static.filter(F.col("event_type") == "purchase").agg(
+        F.max("ts")
+    ).collect()[0][0]
+    import datetime
+
+    cutoff = min(max_l, max_r) - datetime.timedelta(hours=25)  # window+delay
+    band = datetime.timedelta(minutes=1)  # engine boundary strictness
+    got_null = set(
+        _rows(got.filter(F.col("r_event_id").isNull()), ["l_event_id"])
+    )
+    unmatched = batch.filter(F.col("r_event_id").isNull())
+    closed = set(
+        _rows(unmatched.filter(F.col("l_ts") <= F.lit(cutoff - band)),
+              ["l_event_id"])
+    )
+    still_open = set(
+        _rows(unmatched.filter(F.col("l_ts") > F.lit(cutoff + band)),
+              ["l_event_id"])
+    )
+    all_unmatched = set(_rows(unmatched, ["l_event_id"]))
+    assert got_null <= all_unmatched
+    assert closed <= got_null  # window definitely closed -> emitted
+    assert not (still_open & got_null)  # window definitely open -> held
+    assert len(got_null) > 0
