@@ -4770,3 +4770,96 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(m).cast("int").alias("n_keys"),
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equal-frequency binning (feature engineering counterpart of the
+# equal-width histogram_bins): NTILE deciles over account balances, then
+# per-bin ranges/counts. The window orders by (value, key) so ties land
+# deterministically in the same bin on both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "quantile_bins",
+    """
+    WITH t AS (
+        SELECT c_acctbal,
+               NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS bin
+        FROM customer
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           min(c_acctbal) AS lo,
+           max(c_acctbal) AS hi
+    FROM t GROUP BY bin
+    """,
+)
+def quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global NTILE needs a single ordered partition — fine for the
+    decile-boundary computation itself on a sampled/aggregated frame, but
+    at corpus scale you'd compute boundaries with approx quantiles and
+    bucket by range join instead; this query IS the exact-boundary
+    reference for that path."""
+    c = Catalog(spark, sf_dir).customer
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    t = c.select("c_acctbal", F.ntile(10).over(w).alias("bin"))
+    return t.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("c_acctbal").alias("lo"),
+        F.max("c_acctbal").alias("hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key: bit-interleave two join/filter dimensions so a range
+# partition on the z-value co-locates rows close in BOTH dimensions — the
+# multi-dimensional clustering trick behind OPTIMIZE ZORDER, as a pure
+# Catalyst expression. 16 bits per dimension here; the query returns the
+# layout key plus its per-z-range row counts so the oracle pins the full
+# interleave arithmetic.
+# ---------------------------------------------------------------------------
+def _zorder16(a, b):
+    """Interleave the low 16 bits of integer columns a (even positions)
+    and b (odd positions) into one 32-bit z-value, JVM-side."""
+    z = F.lit(0).cast("long")
+    # disjoint bit positions, so + is the bitwise OR (Column | is boolean OR)
+    for i in range(16):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a, i) % 2, 2 * i).cast("long")
+            + F.shiftleft(F.shiftright(b, i) % 2, 2 * i + 1).cast("long")
+        )
+    return z
+
+
+@register(
+    "zorder_layout",
+    """
+    WITH z AS (
+        SELECT o_orderkey, o_custkey,
+               (SELECT SUM(
+                   ((o_orderkey // (1 << i)) % 2) * (1 << (2 * i))
+                   + ((o_custkey // (1 << i)) % 2) * (1 << (2 * i + 1))
+               ) FROM range(16) r(i)) AS zval
+        FROM orders
+    )
+    SELECT CAST(zval // 65536 AS BIGINT) AS z_range,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(zval) AS BIGINT) AS z_lo,
+           CAST(max(zval) AS BIGINT) AS z_hi
+    FROM z GROUP BY 1
+    """,
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    z = o.select(
+        _zorder16(F.col("o_orderkey"), F.col("o_custkey")).alias("zval")
+    )
+    return (
+        z.withColumn("z_range", (F.col("zval") / 65536).cast("long"))
+        .groupBy("z_range")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("zval").cast("long").alias("z_lo"),
+            F.max("zval").cast("long").alias("z_hi"),
+        )
+    )

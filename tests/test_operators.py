@@ -746,3 +746,26 @@ def test_apply_changes_same_seq_delete_wins(spark):
     )
     got = apply_changes(base, changes, ["k"]).collect()
     assert got == []
+
+
+def test_zorder_interleave_arithmetic(spark):
+    """z(1,0)=1 (bit 0), z(0,1)=2 (bit 1), z(3,3)=15, z(2^15,2^15) tops out
+    at bits 30+31 — the full 16-bit interleave is exercised end to end."""
+    from iniz_exporters_spark.queries import _zorder16
+
+    df = spark.createDataFrame(
+        [(1, 0), (0, 1), (3, 3), (1 << 15, 1 << 15), (0, 0)], ["a", "b"]
+    )
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", _zorder16(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    }
+    assert got == {
+        (1, 0): 1,
+        (0, 1): 2,
+        (3, 3): 15,
+        (1 << 15, 1 << 15): (1 << 30) + (1 << 31),
+        (0, 0): 0,
+    }
