@@ -4863,3 +4863,170 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zval").cast("long").alias("z_hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style column statistics (the CBO inputs: count / ndv / nulls /
+# min / max per column). Catalyst rewrites the multi-column distinct
+# aggregate into one column-pruned scan per distinct column — on columnar
+# storage that is the same IO as a single wide scan, and each scan carries
+# its own map-side partial aggregation (plan-pinned).
+# ---------------------------------------------------------------------------
+@register(
+    "analyze_table_stats",
+    """
+    WITH a AS (
+        SELECT count(*) AS n,
+               count(DISTINCT l_quantity) AS ndv_q,
+               count(l_quantity) AS nn_q,
+               min(l_quantity) AS mn_q, max(l_quantity) AS mx_q,
+               count(DISTINCT l_discount) AS ndv_d,
+               count(l_discount) AS nn_d,
+               min(l_discount) AS mn_d, max(l_discount) AS mx_d,
+               count(DISTINCT l_tax) AS ndv_t,
+               count(l_tax) AS nn_t,
+               min(l_tax) AS mn_t, max(l_tax) AS mx_t
+        FROM lineitem
+    )
+    SELECT 'l_quantity' AS col_name, CAST(n AS BIGINT) AS n_rows,
+           CAST(ndv_q AS BIGINT) AS ndv,
+           CAST(n - nn_q AS BIGINT) AS n_nulls,
+           CAST(mn_q AS DOUBLE) AS min_v, CAST(mx_q AS DOUBLE) AS max_v
+    FROM a
+    UNION ALL
+    SELECT 'l_discount', CAST(n AS BIGINT), CAST(ndv_d AS BIGINT),
+           CAST(n - nn_d AS BIGINT), CAST(mn_d AS DOUBLE), CAST(mx_d AS DOUBLE)
+    FROM a
+    UNION ALL
+    SELECT 'l_tax', CAST(n AS BIGINT), CAST(ndv_t AS BIGINT),
+           CAST(n - nn_t AS BIGINT), CAST(mn_t AS DOUBLE), CAST(mx_t AS DOUBLE)
+    FROM a
+    """,
+)
+def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    aggs = [F.count("*").alias("n")]
+    for c in cols:
+        aggs += [
+            F.countDistinct(c).alias(f"ndv_{c}"),
+            F.count(c).alias(f"nn_{c}"),
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+        ]
+    a = li.agg(*aggs)
+    parts = [
+        a.select(
+            F.lit(c).alias("col_name"),
+            F.col("n").cast("long").alias("n_rows"),
+            F.col(f"ndv_{c}").cast("long").alias("ndv"),
+            (F.col("n") - F.col(f"nn_{c}")).cast("long").alias("n_nulls"),
+            F.col(f"mn_{c}").cast("double").alias("min_v"),
+            F.col(f"mx_{c}").cast("double").alias("max_v"),
+        )
+        for c in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance: keep a per-customer order count current by
+# merging changelog DELTAS into the existing aggregate — the full recompute
+# over the applied snapshot is the oracle, so this query PROVES
+# delta-merge == recompute. At 100 TB the delta path touches only changed
+# keys (changelog-sized work) instead of rescanning the fact table.
+# ---------------------------------------------------------------------------
+@register(
+    "ivm_merge_counts",
+    """
+    WITH changes AS (
+        SELECT o_orderkey, o_custkey, 'U' AS op, 1 AS seq
+        FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'D' AS op, 2 AS seq
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'I' AS op, 1 AS seq
+        FROM orders WHERE o_orderkey % 1000 = 1
+    ),
+    latest AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_orderkey
+                ORDER BY seq DESC, (op = 'D') DESC, op DESC
+            ) AS rn FROM changes
+        ) WHERE rn = 1
+    ),
+    applied AS (
+        SELECT b.o_custkey
+        FROM orders b LEFT JOIN latest l ON b.o_orderkey = l.o_orderkey
+        WHERE l.o_orderkey IS NULL
+        UNION ALL
+        SELECT o_custkey FROM latest WHERE op <> 'D'
+    )
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+    FROM applied GROUP BY o_custkey
+    """,
+)
+def ivm_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark side takes the INCREMENTAL path the oracle does not:
+    old aggregate + per-key deltas from the collapsed changelog. Matching
+    the oracle's full recompute is the IVM correctness proof."""
+    o = Catalog(spark, sf_dir).orders
+    base = o.select("o_orderkey", "o_custkey")
+    changes = (
+        o.filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            "o_orderkey", "o_custkey", F.lit("U").alias("op"),
+            F.lit(1).alias("seq"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 10 == 0).select(
+                "o_orderkey", "o_custkey", F.lit("D").alias("op"),
+                F.lit(2).alias("seq"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 1000 == 1).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_custkey", F.lit("I").alias("op"), F.lit(1).alias("seq"),
+            )
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("seq").desc(),
+        (F.col("op") == "D").desc(),
+        F.col("op").desc(),
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # per-key delta: -1 for a delete of an existing key, +1 for an
+    # upsert of a new key, 0 otherwise (update-in-place)
+    in_base = base.select("o_orderkey").withColumn("_inb", F.lit(1))
+    delta_rows = latest.join(in_base, "o_orderkey", "left").select(
+        "o_custkey",
+        F.when((F.col("op") == "D") & F.col("_inb").isNotNull(), -1)
+        .when((F.col("op") != "D") & F.col("_inb").isNull(), 1)
+        .otherwise(0)
+        .alias("delta"),
+    )
+    deltas = delta_rows.groupBy("o_custkey").agg(
+        F.sum("delta").alias("d")
+    )
+    old = base.groupBy("o_custkey").agg(F.count("*").alias("n0"))
+    merged = old.join(deltas, "o_custkey", "full_outer").select(
+        "o_custkey",
+        (
+            F.coalesce(F.col("n0"), F.lit(0))
+            + F.coalesce(F.col("d"), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_orders"),
+    )
+    return merged.filter(F.col("n_orders") > 0)

@@ -247,3 +247,26 @@ def test_full_outer_preaggregates_both_sides(spark):
     if idx_join == -1:
         idx_join = plan.find("ShuffledHashJoin")
     assert "HashAggregate" in plan[idx_join:], plan
+
+
+def test_analyze_stats_scans_are_column_pruned(spark):
+    """Catalyst rewrites the multi-column distinct aggregate into one
+    pruned scan PER distinct column (columnar IO equivalent to one wide
+    scan). The property that matters: every scan reads exactly its one
+    stats column — no scan ever reads the full 11-column row."""
+    ph = physical(run("analyze_table_stats", spark))
+    scans = [ln for ln in ph.splitlines() if "Scan parquet" in ln]
+    assert 1 <= len(scans) <= 4, ph
+    for ln in scans:
+        cols = ln.split("[", 1)[1].split("]")[0]
+        assert len(cols.split(",")) == 1, ln
+
+
+def test_ivm_delta_side_is_changelog_scale(spark):
+    """The delta path's window runs over the changelog, and the final
+    merge joins two key-cardinality aggregates — the fact table passes
+    through exactly one count aggregation."""
+    plan = physical(run("ivm_merge_counts", spark))
+    win_ops = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert len(win_ops) <= 1, plan  # changelog collapse only
+    assert "partial_count" in plan or "partial_sum" in plan, plan
