@@ -5030,3 +5030,54 @@ def ivm_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_orders"),
     )
     return merged.filter(F.col("n_orders") > 0)
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations (operators/quality.py): all observables in one
+# aggregation pass, report unpivoted to rule rows.
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.operators.quality import (  # noqa: E402
+    Expectation,
+    check_expectations,
+    distinct_count,
+    null_rate,
+)
+
+
+@register(
+    "dq_expectations",
+    """
+    WITH a AS (
+        SELECT CAST((count(*) - count(c_acctbal)) AS DOUBLE) / count(*)
+                   AS acctbal_null_rate,
+               CAST(count(DISTINCT c_mktsegment) AS DOUBLE) AS n_segments,
+               CAST(min(c_acctbal) AS DOUBLE) AS min_acctbal,
+               CAST(count(*) AS DOUBLE) AS n_rows
+        FROM customer
+    )
+    SELECT 'acctbal_null_rate' AS rule, acctbal_null_rate AS observed,
+           0.0::DOUBLE AS lo, 0.01::DOUBLE AS hi,
+           acctbal_null_rate BETWEEN 0.0 AND 0.01 AS passed FROM a
+    UNION ALL
+    SELECT 'n_segments', n_segments, 5.0::DOUBLE, 5.0::DOUBLE,
+           n_segments BETWEEN 5.0 AND 5.0 FROM a
+    UNION ALL
+    SELECT 'min_acctbal', min_acctbal, -1000.0::DOUBLE, 0.0::DOUBLE,
+           min_acctbal BETWEEN -1000.0 AND 0.0 FROM a
+    UNION ALL
+    SELECT 'n_rows', n_rows, 1.0::DOUBLE, 1e12::DOUBLE,
+           n_rows BETWEEN 1.0 AND 1e12 FROM a
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four rules over customer — one intentionally failing (min_acctbal
+    bound excludes the real minimum) so the report exercises both
+    verdicts."""
+    c = Catalog(spark, sf_dir).customer
+    rules = [
+        Expectation("acctbal_null_rate", null_rate("c_acctbal"), 0.0, 0.01),
+        Expectation("n_segments", distinct_count("c_mktsegment"), 5.0, 5.0),
+        Expectation("min_acctbal", F.min("c_acctbal"), -1000.0, 0.0),
+        Expectation("n_rows", F.count(F.lit(1)), 1.0, 1e12),
+    ]
+    return check_expectations(c, rules)

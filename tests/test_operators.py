@@ -769,3 +769,26 @@ def test_zorder_interleave_arithmetic(spark):
         (1 << 15, 1 << 15): (1 << 30) + (1 << 31),
         (0, 0): 0,
     }
+
+
+def test_check_expectations_single_pass_and_verdicts(spark):
+    from iniz_exporters_spark.operators.quality import (
+        Expectation,
+        check_expectations,
+        null_rate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, "y"), (4, "y")], ["k", "v"]
+    )
+    rules = [
+        Expectation("v_null_rate", null_rate("v"), 0.0, 0.1),  # fails: 0.25
+        Expectation("n_rows", F.count(F.lit(1)), 1.0, 100.0),  # passes
+    ]
+    rep = check_expectations(df, rules)
+    got = {r["rule"]: (r["observed"], r["passed"]) for r in rep.collect()}
+    assert got["v_null_rate"] == (0.25, False)
+    assert got["n_rows"] == (4.0, True)
+    # one aggregation over one scan feeds the whole report
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ExistingRDD") <= 2 * len(rules)
