@@ -85,3 +85,32 @@ def hash_split(
         expr = F.when(cond, lab) if expr is None else expr.when(cond, lab)
     expr = expr.otherwise(labels[-1])
     return df.withColumn(split_col, expr)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each row draws u ∈ (0,1] from the HASH of its key (not
+    an RNG) and gets priority ln(u)/w; the k LARGEST priorities win, so
+    inclusion probability scales with weight yet every engine/partitioning
+    draws the same sample. Priorities are rounded in decimal space with a
+    key tiebreak, so the top-k frontier is engine-stable.
+
+    Plan shape: per-row expression + global top-k — Catalyst plans the
+    ordered limit as TakeOrderedAndProject (per-partition heaps, no global
+    sort materialization).
+    """
+    u = (poly_hash(F.col(key_col).cast("string")) % 999983 + 1) / 999984.0
+    prio = F.round(
+        (F.log(u) / F.col(weight_col)).cast("decimal(28,12)"), round_dp
+    ).cast("double")
+    return (
+        df.withColumn("priority", prio)
+        .orderBy(F.col("priority").desc(), F.col(key_col))
+        .limit(k)
+    )

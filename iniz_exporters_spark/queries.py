@@ -5081,3 +5081,34 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         Expectation("n_rows", F.count(F.lit(1)), 1.0, 1e12),
     ]
     return check_expectations(c, rules)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (A-ES priority sampling, hash-derived
+# draws) — inclusion scales with doc length, reproducible on any engine.
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.operators.sampling import (  # noqa: E402
+    weighted_sample_topk,
+)
+
+
+@register(
+    "weighted_sample_q",
+    f"""
+    WITH p AS (
+        SELECT doc_id, n_chars,
+               ROUND(CAST(
+                   ln(({_SQL_POLY.format(s="doc_id::VARCHAR")} % 999983 + 1)
+                      / 999984.0) / n_chars
+                   AS DECIMAL(28,12)), 6)::DOUBLE AS priority
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, priority
+    FROM p ORDER BY priority DESC, doc_id LIMIT 20
+    """,
+)
+def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    return weighted_sample_topk(d, "doc_id", "n_chars", k=20)

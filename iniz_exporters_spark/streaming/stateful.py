@@ -144,3 +144,95 @@ def streaming_dedup_within_watermark(
     return df.withWatermark(time_col, delay).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def streaming_sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom-state gap sessionization — the streaming counterpart of
+    ``operators/cohorts.sessionize`` with identical session semantics.
+
+    Keeps ONE open session per user in explicit state (start, end, count —
+    constant-size, never the events themselves). Each micro-batch folds its
+    (sorted) arrivals into the open session: a gap > ``gap_minutes`` closes
+    it (emitted immediately) and opens a new one. The open session closes
+    through an EVENT-TIME timeout at ``end + gap``: when the watermark
+    passes that point no earlier-timestamped event can arrive (that's the
+    watermark contract), so the session is provably complete. Sessions
+    still open at end-of-input stay in state — exactly the batch/stream
+    split the left-outer interval join has, and the parity test pins it.
+
+    Within a micro-batch arrivals are sorted by event time, so in-batch
+    disorder is handled exactly; ACROSS batches an event later than the
+    watermark allows is dropped by the upstream ``withWatermark`` (standard
+    lateness semantics).
+    """
+    gap_us = gap_minutes * 60_000_000
+    out_schema = (
+        f"{user_col} bigint, session_start timestamp, "
+        "session_end timestamp, n_events long"
+    )
+
+    def emit(key, sessions):
+        return pd.DataFrame(
+            {
+                user_col: [key] * len(sessions),
+                "session_start": [
+                    pd.to_datetime(s, unit="us") for s, _, _ in sessions
+                ],
+                "session_end": [
+                    pd.to_datetime(e, unit="us") for _, e, _ in sessions
+                ],
+                "n_events": [n for _, _, n in sessions],
+            }
+        )
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n = state.get
+                state.remove()
+                yield emit(key[0], [(s, e, n)])
+            else:
+                state.remove()
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        ts_us = (
+            rows[ts_col].astype("datetime64[us]").astype("int64").sort_values()
+        )
+        cur = list(state.get) if state.exists else None
+        closed = []
+        for t in ts_us:
+            if cur is None:
+                cur = [t, t, 1]
+            elif t - cur[1] > gap_us:
+                closed.append(tuple(cur))
+                cur = [t, t, 1]
+            else:
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+        state.update(tuple(cur))
+        # close the open session once the watermark passes end + gap
+        state.setTimeoutTimestamp(cur[1] // 1000 + gap_minutes * 60_000)
+        if closed:
+            yield emit(key[0], closed)
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType="start_us long, end_us long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

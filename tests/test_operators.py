@@ -792,3 +792,16 @@ def test_check_expectations_single_pass_and_verdicts(spark):
     # one aggregation over one scan feeds the whole report
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ExistingRDD") <= 2 * len(rules)
+
+
+def test_weighted_sample_favors_heavy_rows_deterministically(spark):
+    from iniz_exporters_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, 1 + (i % 7) * 1000) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "w"])
+    a = [r["k"] for r in weighted_sample_topk(df, "k", "w", 25).collect()]
+    b = [r["k"] for r in weighted_sample_topk(df, "k", "w", 25).collect()]
+    assert a == b  # hash-derived draws: no RNG, stable across runs
+    # heavy rows (w>=1001) should dominate the sample over w=1 rows
+    heavy = sum(1 for k in a if k % 7 != 0)
+    assert heavy >= 20

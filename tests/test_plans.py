@@ -270,3 +270,11 @@ def test_ivm_delta_side_is_changelog_scale(spark):
     win_ops = [ln for ln in plan.splitlines() if "Window [" in ln]
     assert len(win_ops) <= 1, plan  # changelog collapse only
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """A-ES top-k must plan as TakeOrderedAndProject (per-partition heaps),
+    never a global sort materialization."""
+    plan = physical(run("weighted_sample_q", spark))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan

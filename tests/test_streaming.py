@@ -427,3 +427,56 @@ def test_stream_stream_left_outer_interval_join(spark, events_dir):
     assert closed <= got_null  # window definitely closed -> emitted
     assert not (still_open & got_null)  # window definitely open -> held
     assert len(got_null) > 0
+
+
+def test_streaming_sessionize_parity_with_batch(spark, events_dir):
+    """Custom-state gap sessionization: emitted sessions must be exactly
+    the batch sessions whose close is proven by the final watermark
+    (end + gap < max_ts - delay); still-open ones stay in state."""
+    import datetime
+
+    from iniz_exporters_spark.operators.cohorts import sessionize
+    from iniz_exporters_spark.streaming.stateful import streaming_sessionize
+
+    static = spark.read.parquet(events_dir)
+    batch = sessionize(static, gap_minutes=30)
+
+    schema = static.schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    q = (
+        streaming_sessionize(stream, gap_minutes=30, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from sess_stream")
+
+    def keyset(df):
+        return set(
+            (r["user_id"], str(r["session_start"]), str(r["session_end"]),
+             r["n_events"])
+            for r in df.collect()
+        )
+
+    got_s = keyset(got)
+    all_s = keyset(batch.drop("session_seq"))
+    assert got_s <= all_s  # every emitted session is a true batch session
+
+    max_ts = static.agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - datetime.timedelta(hours=1)
+    band = datetime.timedelta(minutes=1)
+    gap = datetime.timedelta(minutes=30)
+    closed = keyset(
+        batch.filter(F.col("session_end") + F.lit(gap) < F.lit(wm - band))
+        .drop("session_seq")
+    )
+    still_open = keyset(
+        batch.filter(F.col("session_end") + F.lit(gap) > F.lit(wm + band))
+        .drop("session_seq")
+    )
+    assert closed <= got_s
+    assert not (still_open & got_s)
+    assert len(got_s) > 0
