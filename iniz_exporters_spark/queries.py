@@ -5112,3 +5112,64 @@ def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("n_chars").cast("long").alias("n_chars")
     )
     return weighted_sample_topk(d, "doc_id", "n_chars", k=20)
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU / stickiness: rolling 7-day distinct users per day. The
+# corpus-sized event table reduces to the (day, user) distinct frame FIRST
+# (bounded by users×days), so the 7-day range join explodes only that
+# small frame against the broadcast day grid.
+# ---------------------------------------------------------------------------
+@register(
+    "dau_wau_stickiness",
+    """
+    WITH du AS (
+        SELECT DISTINCT date_trunc('day', ts)::DATE AS day, user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+    wau AS (
+        SELECT d.day, count(DISTINCT du.user_id) AS wau
+        FROM days d JOIN du
+          ON du.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        GROUP BY d.day
+    )
+    SELECT d.day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+           ROUND(CAST(dau AS DECIMAL(28,12)) / wau, 6)::DOUBLE AS stickiness
+    FROM dau d JOIN wau w ON d.day = w.day
+    """,
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    du = e.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct().localCheckpoint()
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    # each (day, user) contributes to the 7 window-end days [day, day+6]:
+    # a map-side explode + equi semi-join beats a nested-loop range join
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("wday"),
+        "user_id",
+    )
+    wau = (
+        contrib.join(
+            F.broadcast(days.withColumnRenamed("day", "wday")),
+            "wday",
+            "left_semi",
+        )
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .withColumnRenamed("wday", "day")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        F.col("dau").cast("long").alias("dau"),
+        F.col("wau").cast("long").alias("wau"),
+        F.round(F.col("dau").cast("decimal(28,12)") / F.col("wau"), 6)
+        .cast("double")
+        .alias("stickiness"),
+    )

@@ -278,3 +278,11 @@ def test_weighted_sample_is_take_ordered(spark):
     plan = physical(run("weighted_sample_q", spark))
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_dau_wau_no_nested_loop_join(spark):
+    """The 7-day window must come from the map-side explode + equi
+    semi-join — never a nested-loop range join over the activity frame."""
+    plan = physical(run("dau_wau_stickiness", spark))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftSemi" in plan, plan

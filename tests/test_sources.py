@@ -14,3 +14,41 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(df.columns) == {"k", "v", "score"}
     got = {r["k"]: r["score"] for r in df.collect()}
     assert got == {1: None, 2: 9.5}
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitionBy layout: a filter on the partition column must
+    become a PartitionFilter (directories skipped at planning), not a data
+    filter over every file — the core 100 TB layout contract."""
+    import pyspark.sql.functions as F
+
+    from iniz_exporters_spark.catalog import Catalog
+
+    p = str(tmp_path / "docs_by_lang")
+    Catalog(spark, "/root/testdata/sf0.001").documents.write.partitionBy(
+        "lang"
+    ).parquet(p)
+    df = spark.read.parquet(p).filter(F.col("lang") == "en")
+    plan = df._jdf.queryExecution().toString()
+    part = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part and any("lang" in ln for ln in part), plan
+    assert df.count() > 0
+
+
+def test_dynamic_partition_overwrite_preserves_others(spark, tmp_path):
+    """partitionOverwriteMode=dynamic rewrites ONLY the partitions present
+    in the incoming frame; static mode would truncate the whole table."""
+    p = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [("en", 1), ("fr", 2), ("de", 3)], ["lang", "v"]
+    )
+    base.write.partitionBy("lang").parquet(p)
+    patch = spark.createDataFrame([("fr", 99)], ["lang", "v"])
+    (
+        patch.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang")
+        .parquet(p)
+    )
+    got = {r["lang"]: r["v"] for r in spark.read.parquet(p).collect()}
+    assert got == {"en": 1, "fr": 99, "de": 3}
