@@ -52,7 +52,16 @@ def upsert_sink(
     snapshot at ``out_dir``. Within a batch the highest ``seq_col`` row per
     key wins; across batches the batch beats the previous snapshot.
     Returns the started StreamingQuery (caller awaits termination).
+
+    Version ids are allocated as max(existing)+1 — NOT the micro-batch id,
+    which restarts at 0 under a fresh checkpoint and would overwrite the
+    very version the pointer still serves. A recovery replay that already
+    committed writes one extra (identical) version — harmless, and
+    ``vacuum_snapshots`` reclaims it; the pointer swap stays the single
+    atomic commit point either way.
     """
+    import re
+
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -69,11 +78,21 @@ def upsert_sink(
             dedup = prev.join(
                 dedup.select(*key_cols), on=key_cols, how="left_anti"
             ).unionByName(dedup)
-        vdir = os.path.join(out_dir, f"v{batch_id}")
+        existing = (
+            [
+                int(d[1:])
+                for d in os.listdir(out_dir)
+                if re.fullmatch(r"v\d+", d)
+            ]
+            if os.path.isdir(out_dir)
+            else []
+        )
+        ver = max(existing, default=-1) + 1
+        vdir = os.path.join(out_dir, f"v{ver}")
         dedup.write.mode("overwrite").parquet(vdir)
-        tmp = os.path.join(out_dir, f"._LATEST.{batch_id}")
+        tmp = os.path.join(out_dir, f"._LATEST.{ver}")
         with open(tmp, "w") as f:
-            f.write(f"v{batch_id}")
+            f.write(f"v{ver}")
         os.replace(tmp, os.path.join(out_dir, _POINTER))
 
     return (
@@ -82,3 +101,32 @@ def upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def vacuum_snapshots(out_dir: str, keep: int = 2) -> list[str]:
+    """Delete all but the newest ``keep`` snapshot versions (never the one
+    the pointer names). Returns the removed version names. Safe order:
+    readers resolve the pointer first, and the pointer's target is always
+    retained, so a concurrent read of a retained version never breaks.
+    """
+    import re
+    import shutil
+
+    current = _latest_version(out_dir)
+    versions = sorted(
+        (
+            d
+            for d in os.listdir(out_dir)
+            if re.fullmatch(r"v\d+", d)
+            and os.path.isdir(os.path.join(out_dir, d))
+        ),
+        key=lambda d: int(d[1:]),
+    )
+    protect = {os.path.basename(current)} if current else set()
+    protect.update(versions[-keep:])
+    removed = []
+    for d in versions:
+        if d not in protect:
+            shutil.rmtree(os.path.join(out_dir, d))
+            removed.append(d)
+    return removed

@@ -52,3 +52,46 @@ def test_dynamic_partition_overwrite_preserves_others(spark, tmp_path):
     )
     got = {r["lang"]: r["v"] for r in spark.read.parquet(p).collect()}
     assert got == {"en": 1, "fr": 99, "de": 3}
+
+
+def test_compact_parquet_dir_reduces_files_preserves_rows(spark, tmp_path):
+    import glob
+
+    from iniz_exporters_spark.sources.compact import compact_parquet_dir
+
+    p = str(tmp_path / "frag")
+    # 32 tiny files
+    spark.range(0, 1000).repartition(32).write.parquet(p)
+    before = len(glob.glob(p + "/*.parquet"))
+    assert before >= 16
+    rows_before = sorted(r["id"] for r in spark.read.parquet(p).collect())
+
+    n = compact_parquet_dir(spark, p, target_file_bytes=1 << 30)
+    after = len(glob.glob(p + "/*.parquet"))
+    assert n == 1 and after == 1
+    rows_after = sorted(r["id"] for r in spark.read.parquet(p).collect())
+    assert rows_after == rows_before
+
+
+def test_vacuum_snapshots_keeps_pointer_target(spark, tmp_path):
+    from iniz_exporters_spark.streaming.sinks import (
+        read_snapshot,
+        upsert_sink,
+        vacuum_snapshots,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    # three batches -> three versions
+    for i, rows in enumerate([[(1, "a", 1)], [(2, "b", 1)], [(3, "c", 1)]]):
+        spark.createDataFrame(rows, ["k", "v", "seq"]).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema("k BIGINT, v STRING, seq BIGINT").parquet(src)
+        q = upsert_sink(stream, out, str(tmp_path / f"ck{i}"), ["k"], "seq")
+        q.awaitTermination(120)
+
+    removed = vacuum_snapshots(out, keep=1)
+    assert removed  # old versions actually deleted
+    snap = {r["k"]: r["v"] for r in read_snapshot(spark, out).collect()}
+    assert snap == {1: "a", 2: "b", 3: "c"}  # pointer target intact
