@@ -110,3 +110,35 @@ def kmeans_lloyd(
             )
         cents = [by_cluster[j] for j in range(k)]
     return assigned.select(id_col, "cluster")
+
+
+def pq_encode(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    subdim: int = 16,
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Product-quantization codes: split each vector into ``m`` contiguous
+    ``subdim``-wide subvectors and run an independent deterministic Lloyd
+    clustering (``kmeans_lloyd``) per subspace; a vector's code is its
+    centroid index in each subspace. Output: (id, code_0 … code_{m-1}).
+
+    PQ is the memory side of billion-scale ANN: m·log2(k) bits replace
+    subdim·m floats per vector. Scale shape: each subspace clustering is
+    the k-means plan (corpus scans + k×subdim metadata aggregates); the
+    final code table assembles with id-keyed joins that co-partition on
+    the id. Compression here is 64 floats -> 4 codes.
+    """
+    out = None
+    for j in range(m):
+        sub = corpus.select(
+            id_col, F.slice(F.col(vec_col), j * subdim + 1, subdim).alias(vec_col)
+        )
+        codes = kmeans_lloyd(
+            sub, id_col, vec_col, k=k, iters=iters
+        ).withColumnRenamed("cluster", f"code_{j}")
+        out = codes if out is None else out.join(codes, id_col)
+    return out

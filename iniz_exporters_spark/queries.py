@@ -5173,3 +5173,63 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("stickiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (operators/clustering.pq_encode): 4 subspaces x 16
+# dims, each an independent 2-round deterministic Lloyd clustering. The
+# oracle replays every subspace's rounds with the same CTE chain as
+# kmeans_assignments, generated per subspace.
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.operators.clustering import pq_encode  # noqa: E402
+
+
+def _pq_subspace_sql(j: int, subdim: int = 16, k: int = 4) -> str:
+    a, b = j * subdim + 1, (j + 1) * subdim
+    return f"""
+    e{j} AS (SELECT vec_id, (embedding::DOUBLE[])[{a}:{b}] AS v
+             FROM embeddings),
+    c0{j} AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+              FROM e{j} ORDER BY vec_id LIMIT {k}),
+    a0{j} AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_KM_DIST}, c.cid) AS rn
+            FROM e{j} e CROSS JOIN c0{j} c
+        ) WHERE rn = 1
+    ),
+    m0{j} AS (
+        SELECT cid, i, ROUND(CAST(avg(val) AS DECIMAL(28,12)), 6)::DOUBLE AS m
+        FROM (SELECT cid, i, v[i] AS val
+              FROM a0{j}, unnest(range(1, len(v)+1)) AS t(i))
+        GROUP BY cid, i
+    ),
+    c1{j} AS (SELECT cid, list(m ORDER BY i) AS v FROM m0{j} GROUP BY cid),
+    a1{j} AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_KM_DIST}, c.cid) AS rn
+            FROM e{j} e CROSS JOIN c1{j} c
+        ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "pq_codes",
+    "WITH "
+    + ",".join(_pq_subspace_sql(j) for j in range(4))
+    + """
+    SELECT a10.vec_id,
+           CAST(a10.cid AS INT) AS code_0,
+           CAST(a11.cid AS INT) AS code_1,
+           CAST(a12.cid AS INT) AS code_2,
+           CAST(a13.cid AS INT) AS code_3
+    FROM a10 JOIN a11 USING (vec_id) JOIN a12 USING (vec_id)
+    JOIN a13 USING (vec_id)
+    """,
+)
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    return pq_encode(emb, "vec_id", "embedding", m=4, subdim=16, k=4, iters=2)
