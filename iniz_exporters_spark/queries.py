@@ -5233,3 +5233,55 @@ def _pq_subspace_sql(j: int, subdim: int = 16, k: int = 4) -> str:
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).embeddings
     return pq_encode(emb, "vec_id", "embedding", m=4, subdim=16, k=4, iters=2)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical rollup reuse (continuous-aggregate pattern): daily stats
+# answered FROM the hourly rollup — sums/counts/mins/maxes compose, avg is
+# re-derived as sum/count. The oracle aggregates the raw events directly,
+# so a green row proves the two-level rollup is lossless. At 100 TB the
+# hourly layer is what makes dashboard-latency dailies possible: the raw
+# table is touched once per hour, not once per query.
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_reuse_daily",
+    """
+    SELECT event_type, date_trunc('day', ts)::DATE AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(CAST(sum(value) AS DECIMAL(28,12)), 4)::DOUBLE AS total,
+           ROUND(CAST(sum(value) AS DECIMAL(28,12))
+                 / count(*), 6)::DOUBLE AS mean,
+           min(value) AS lo, max(value) AS hi
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_reuse_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,12)")).alias("s"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    return hourly.groupBy(
+        "event_type", F.to_date("hour").alias("day")
+    ).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.round(F.sum("s").cast("decimal(28,12)"), 4)
+        .cast("double")
+        .alias("total"),
+        (
+            F.round(
+                (F.sum("s").cast("decimal(28,12)") / F.sum("n")).cast(
+                    "decimal(28,12)"
+                ),
+                6,
+            )
+        )
+        .cast("double")
+        .alias("mean"),
+        F.min("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+    ).select("event_type", "day", "n", "total", "mean", "lo", "hi")

@@ -286,3 +286,11 @@ def test_dau_wau_no_nested_loop_join(spark):
     plan = physical(run("dau_wau_stickiness", spark))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "LeftSemi" in plan, plan
+
+
+def test_rollup_reuse_two_level_partial_aggregation(spark):
+    """Both rollup levels must combine map-side: the raw table shuffles
+    once to hour grain, the hourly frame (tiny) once to day grain."""
+    plan = physical(run("rollup_reuse_daily", spark))
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
