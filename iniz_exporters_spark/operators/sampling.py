@@ -75,6 +75,12 @@ def hash_split(
     ``fractions`` are assigned in sorted-label order for determinism; they
     must sum to ≤ 1 (any remainder falls into the LAST sorted label).
     """
+    total = sum(fractions.values())
+    if not fractions or total > 1 + 1e-9:
+        raise ValueError(
+            f"hash_split fractions must be non-empty and sum to <= 1, "
+            f"got {total}"
+        )
     labels = sorted(fractions)
     bucket = poly_hash(F.col(key_col).cast("string")) % denom
     hi = 0

@@ -52,3 +52,36 @@ def test_unknown_query_name():
     from iniz_exporters_spark.queries import REGISTRY
 
     assert "no_such_query" not in REGISTRY
+
+
+def test_hash_split_overfull_fractions_rejected(spark):
+    """Fractions summing past 1 would silently starve later labels —
+    must fail loudly at call time."""
+    from iniz_exporters_spark.operators.sampling import hash_split
+
+    df = spark.range(5).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="fractions"):
+        hash_split(df, "k", {"a": 0.8, "b": 0.4})
+
+
+def test_apply_changes_missing_op_column(spark):
+    """A changelog without the op column is a caller bug — surfaced as the
+    standard unresolved-column analysis error, not a wrong result."""
+    from pyspark.errors import AnalysisException
+
+    from iniz_exporters_spark.operators.cdc import apply_changes
+
+    base = spark.createDataFrame([(1, "a")], ["k", "v"])
+    changes = spark.createDataFrame([(1, "b", 1)], ["k", "v", "seq"])
+    with pytest.raises(AnalysisException):
+        apply_changes(base, changes, ["k"]).collect()
+
+
+def test_kmeans_fewer_rows_than_k(spark):
+    from iniz_exporters_spark.operators.clustering import kmeans_lloyd
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], ["vec_id", "embedding"]
+    )
+    with pytest.raises(RuntimeError, match="fewer than k"):
+        kmeans_lloyd(df, k=5)

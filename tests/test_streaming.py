@@ -480,3 +480,65 @@ def test_streaming_sessionize_parity_with_batch(spark, events_dir):
     assert closed <= got_s
     assert not (still_open & got_s)
     assert len(got_s) > 0
+
+
+def test_streaming_pipeline_dedup_enrich_window_parity(spark, tmp_path):
+    """Operator composition under streaming: event-time dedup → broadcast
+    dim enrichment → tumbling window counts, fed DUPLICATED input (every
+    event arrives twice). Must equal the batch composition on the
+    deduplicated frame — exercising that the three streaming ops chain in
+    one query."""
+    from iniz_exporters_spark.streaming.enrich import enrich_stream
+    from iniz_exporters_spark.streaming.stateful import (
+        streaming_dedup_within_watermark,
+    )
+    from iniz_exporters_spark.streaming.windows import tumbling_agg
+
+    e = Catalog(spark, SF).events
+    src = str(tmp_path / "dup_src")
+    e.write.parquet(src + "/copy1")
+    e.write.parquet(src + "/copy2")
+
+    dim = Catalog(spark, SF).customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_nationkey").alias("nation"),
+    )
+
+    def compose(df):
+        deduped = streaming_dedup_within_watermark(
+            df, ["event_id"], "ts", delay="2 hours"
+        )
+        enriched = enrich_stream(deduped, dim, on=["user_id"])
+        return tumbling_agg(
+            enriched.withColumnRenamed("event_type", "_et").withColumn(
+                "event_type", F.col("nation").cast("string")
+            )
+        )
+
+    batch_frame = spark.read.parquet(src + "/*").dropDuplicates(["event_id"])
+    batch = tumbling_agg(
+        batch_frame.join(dim, "user_id").withColumn(
+            "event_type", F.col("nation").cast("string")
+        )
+    )
+
+    schema = e.schema
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    q = (
+        compose(stream)
+        .writeStream.format("memory")
+        .queryName("pipe_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from pipe_test")
+
+    keys = ["win_start", "event_type", "n_events"]
+    got_rows = set(_rows(got, keys))
+    batch_rows = set(_rows(batch, keys))
+    # append mode emits only watermark-closed windows; every emitted window
+    # must match the batch result exactly, and most windows must close
+    assert got_rows <= batch_rows
+    assert len(got_rows) >= len(batch_rows) * 0.8
