@@ -79,6 +79,17 @@ class Catalog:
                     field_name,
                     F.timestamp_micros(F.expr(f"{field_name} div 1000")),
                 )
+        # Files written with isAdjustedToUTC=false read as TIMESTAMP_NTZ,
+        # which strict consumers (unix_micros, withWatermark) reject.
+        # The session timezone is pinned to UTC (session.py), so casting to
+        # TIMESTAMP is value-transparent — every instant keeps the same
+        # wall-clock reading — and the engine presents one timestamp type
+        # regardless of how the parquet writer flagged the column.
+        for field_name, dtype in df.dtypes:
+            if dtype == "timestamp_ntz":
+                df = df.withColumn(
+                    field_name, F.col(field_name).cast("timestamp")
+                )
         return df
 
     def __getattr__(self, name: str) -> DataFrame:

@@ -141,8 +141,12 @@ def streaming_dedup_within_watermark(
     once sources); use the explicit-state variant when dedup must span
     arbitrary wall-clock gaps.
     """
-    return df.withWatermark(time_col, delay).dropDuplicatesWithinWatermark(
-        key_cols
+    from iniz_exporters_spark.streaming.windows import ensure_event_time
+
+    return (
+        ensure_event_time(df, time_col)
+        .withWatermark(time_col, delay)
+        .dropDuplicatesWithinWatermark(key_cols)
     )
 
 
@@ -225,8 +229,11 @@ def streaming_sessionize(
         if closed:
             yield emit(key[0], closed)
 
+    from iniz_exporters_spark.streaming.windows import ensure_event_time
+
     return (
-        df.withWatermark(ts_col, watermark)
+        ensure_event_time(df, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(user_col)
         .applyInPandasWithState(
             fn,

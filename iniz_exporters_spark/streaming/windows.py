@@ -20,6 +20,18 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
+def ensure_event_time(df: DataFrame, ts: str) -> DataFrame:
+    """Coerce an event-time column to TIMESTAMP if it arrived as
+    TIMESTAMP_NTZ (parquet written with isAdjustedToUTC=false).
+
+    ``withWatermark`` and ``unix_micros`` accept only TIMESTAMP; with the
+    session timezone pinned to UTC (session.py) the cast is
+    value-transparent. No-op for columns already typed TIMESTAMP."""
+    if dict(df.dtypes).get(ts) == "timestamp_ntz":
+        return df.withColumn(ts, F.col(ts).cast("timestamp"))
+    return df
+
+
 def tumbling_agg(df: DataFrame, ts: str = "ts", size: str = "1 hour",
                  keys: tuple[str, ...] = ("event_type",)) -> DataFrame:
     return (
@@ -71,9 +83,5 @@ def stream_events(
     wiring. The watermark bounds state: windows older than (max event time −
     watermark) are finalized and evicted.
     """
-    return (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .load(source_dir)
-        .withWatermark(ts, watermark)
-    )
+    stream = spark.readStream.schema(schema).format("parquet").load(source_dir)
+    return ensure_event_time(stream, ts).withWatermark(ts, watermark)
