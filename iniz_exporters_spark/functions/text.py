@@ -224,6 +224,102 @@ def text_stats(df, id_col: str, text_col: str):
     return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
 
 
+def normalize_text(df, id_col: str, text_col: str):
+    """(id, norm_text, n_chars_before int, n_chars_after int) — canonical
+    text normalization: collapse whitespace runs to one space, trim,
+    lowercase, then Unicode NFC composition.
+
+    NFC matters for dedup/fingerprinting: 'cafe'+COMBINING ACUTE and the
+    precomposed 'café' are byte-different but the same text; hashing
+    without composing first splits what should be one dedup key. Spark has
+    no NFC builtin, so this is an Arrow-batched ``mapInPandas`` kernel
+    (per-row, zero shuffles — one scan at any corpus size); the DuckDB
+    oracle replays it with ``nfc_normalize(lower(trim(regexp_replace(...))))``
+    in the identical step order.
+    """
+    import re
+    import unicodedata
+    from typing import Iterator
+
+    import pandas as pd
+
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = (
+        f"{id_col} {id_type}, norm_text string, n_chars_before int, "
+        "n_chars_after int"
+    )
+    ws_re = re.compile(r"\s+")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, norms, before, after = [], [], [], []
+            for i, t in zip(pdf[id_col].values, pdf[text_col].values):
+                t = t or ""
+                norm = unicodedata.normalize(
+                    "NFC", ws_re.sub(" ", t).strip().lower()
+                )
+                ids.append(i)
+                norms.append(norm)
+                before.append(len(t))
+                after.append(len(norm))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "norm_text": norms,
+                    "n_chars_before": before,
+                    "n_chars_after": after,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+
+
+def char_entropy(df, id_col: str, text_col: str):
+    """(id, n_chars int, char_entropy double) — Shannon entropy (base 2) of
+    each row's character distribution.
+
+    A cheap gibberish/repetition detector: natural English sits ~4 bits,
+    'aaaa…' at 0, random base64 near 6 — filter tails on both ends before
+    training. Vectorized numpy bincount per row inside ``mapInPandas``
+    (per-row, zero shuffles). The value is left UNROUNDED; query sites
+    round in decimal space so the DuckDB ``entropy()`` aggregate (same
+    base-2 definition) hash-matches.
+
+    Rows with empty text are emitted with entropy 0.0 and n_chars 0.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, n_chars int, char_entropy double"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, lens, ents = [], [], []
+            for i, t in zip(pdf[id_col].values, pdf[text_col].values):
+                t = t or ""
+                n = len(t)
+                if n == 0:
+                    ent = 0.0
+                else:
+                    codes = np.frombuffer(
+                        t.encode("utf-32-le"), dtype=np.uint32
+                    )
+                    counts = np.unique(codes, return_counts=True)[1]
+                    p = counts / n
+                    ent = float(-(p * np.log2(p)).sum())
+                ids.append(i)
+                lens.append(n)
+                ents.append(ent)
+            yield pd.DataFrame(
+                {id_col: ids, "n_chars": lens, "char_entropy": ents}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+
+
 def chunk_tokens(df, id_col: str, text_col: str, size: int = 32, overlap: int = 8):
     """(id, chunk_idx, chunk, n_chunk_tokens) — overlapping token windows
     (RAG/embedding chunking): windows of ``size`` tokens every

@@ -1,0 +1,100 @@
+"""Distributed dense indexing and deterministic negative sampling.
+
+``global_index`` solves the classic scale trap behind ``ROW_NUMBER() OVER
+(ORDER BY …)``: a single global window collapses the whole table into ONE
+task. Instead we range-partition on the order key, number rows within each
+partition in parallel, and add per-partition offsets computed from a
+partition-count pass (driver-side, one row per partition — metadata
+scale). The range boundaries Spark samples are not themselves
+deterministic, but the OUTPUT is: rank of a row = its position in the
+total order of a unique key, independent of where the boundaries fell.
+
+``negative_sample_pairs`` builds contrastive-training negatives on top:
+every anchor row draws k pseudo-random partners from the rest of the
+corpus via a hash of (rank, draw, seed) — content-keyed like
+operators/sampling.py, so the same pairs come out on any engine, any
+partitioning, any rerun, and the DuckDB oracle can replay them exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from iniz_exporters_spark.functions.text import poly_hash
+
+
+def global_index(
+    df: DataFrame, order_col: str, idx_col: str = "idx"
+) -> DataFrame:
+    """Add a 1-based dense index in ``order_col`` order without a
+    single-partition window.
+
+    ``order_col`` must be unique (the total order must be well-defined).
+    Three jobs: materialize the range-partitioned frame (localCheckpoint
+    pins the partitioning so the count pass and the output pass see the
+    SAME layout), collect per-partition counts (one row per partition),
+    then number within partitions in parallel and add broadcast offsets.
+    """
+    pinned = (
+        df.repartitionByRange(F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in pinned.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "__pid int, __offset long")
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    return (
+        pinned.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            idx_col, (F.row_number().over(w) + F.col("__offset")).cast("long")
+        )
+        .drop("__pid", "__offset")
+    )
+
+
+def negative_sample_pairs(
+    df: DataFrame,
+    id_col: str,
+    k: int = 2,
+    seed: int = 1,
+) -> DataFrame:
+    """(anchor_id, j, negative_id) — k deterministic uniform negatives per
+    row, never pairing a row with itself.
+
+    Draw j for the anchor at rank r picks partner rank
+    ``((r - 1 + 1 + hash(r:j:seed) % (n-1)) % n) + 1`` — the offset lives
+    in [1, n-1], so the partner is uniform over the OTHER n-1 rows. The
+    rank→id resolution is one equi-join on the rank column (shuffle-
+    partitioned by rank; no broadcast needed at any corpus size).
+    """
+    ids = global_index(df.select(id_col), id_col)
+    n = ids.count()
+    if n < 2:
+        raise ValueError(f"negative sampling needs >= 2 rows, got {n}")
+    draw_key = F.concat_ws(
+        ":", F.col("idx"), F.col("j"), F.lit(str(seed))
+    )
+    offset = (poly_hash(draw_key) % (n - 1)) + 1
+    pairs = (
+        ids.select(F.col(id_col).alias("anchor_id"), "idx")
+        .withColumn("j", F.explode(F.sequence(F.lit(1), F.lit(k))))
+        .withColumn(
+            "__pidx", ((F.col("idx") - 1 + offset) % n + 1).cast("long")
+        )
+    )
+    partners = ids.select(
+        F.col(id_col).alias("negative_id"), F.col("idx").alias("__pidx")
+    )
+    return pairs.join(partners, "__pidx").select(
+        "anchor_id", F.col("j").cast("int"), "negative_id"
+    )

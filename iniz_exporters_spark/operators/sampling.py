@@ -14,7 +14,7 @@ arithmetic reaches the comparison.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from iniz_exporters_spark.functions.text import poly_hash
 
@@ -91,6 +91,30 @@ def hash_split(
         expr = F.when(cond, lab) if expr is None else expr.when(cond, lab)
     expr = expr.otherwise(labels[-1])
     return df.withColumn(split_col, expr)
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+    rn_col: str = "rn",
+) -> DataFrame:
+    """Exactly min(k, group size) rows per group, drawn uniformly and
+    deterministically: rank rows within each group by (poly_hash(key), key)
+    and keep the k smallest.
+
+    The hash order is a uniform random permutation of each group keyed by
+    content — the distributed stand-in for a per-group reservoir, with the
+    reservoir's sequential state replaced by one window shuffle on the
+    group key. Groups parallelize across partitions; a skewed group costs
+    one partition's sort of its own rows, never a global sort.
+    """
+    h = poly_hash(F.col(key_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return df.withColumn(rn_col, F.row_number().over(w)).filter(
+        F.col(rn_col) <= k
+    )
 
 
 def weighted_sample_topk(

@@ -77,6 +77,51 @@ def knn_bruteforce(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lo: float = 0.2,
+    hi: float = 0.8,
+    top_k: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the top-k
+    most-similar corpus rows whose cosine lies in [lo, hi) — close enough
+    to be informative negatives, below the near-duplicate band that would
+    make them false negatives.
+
+    Same plan shape as ``knn_bruteforce`` (broadcast queries over a single
+    corpus scan — the corpus never shuffles, valid at any corpus size while
+    the query set broadcasts); the band filter prunes before the per-query
+    ranking window. Ranking is on the ROUNDED cosine with id tiebreak, so
+    results are engine-stable.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos", F.round(cosine(F.col("__qv"), F.col("__cv")), round_to)
+        )
+        .filter((F.col("cos") >= lo) & (F.col("cos") < hi))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bounded-memory per-bucket kernels
 #

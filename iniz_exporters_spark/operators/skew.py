@@ -20,7 +20,7 @@ exactly one of the right replicas).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def salted_join(
@@ -47,3 +47,46 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )
     return salted_l.join(salted_r, on=[on, "__salt"], how=how).drop("__salt")
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Heavy-hitter diagnostic: the ``top_n`` most frequent keys with their
+    share of all rows and their size ratio to the mean group — the numbers
+    that decide whether a join on this key needs salting/AQE skew handling
+    before it runs at scale.
+
+    One groupBy shuffle over the key (map-side partial counts), then the
+    1-row total joins back via broadcast (the q11 scalar-subquery shape)
+    and the ordered limit plans as TakeOrderedAndProject. Output:
+    (key aliased as ``key``, cnt, share, skew_ratio, rn).
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("__total"), F.count(F.lit(1)).alias("__n_keys")
+    )
+    share = F.col("cnt").cast("double") / F.col("__total")
+    ratio = F.col("cnt").cast("double") * F.col("__n_keys") / F.col("__total")
+    ranked = (
+        counts.crossJoin(F.broadcast(totals))
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    return ranked.select(
+        "key",
+        "cnt",
+        F.round(share.cast("decimal(28,12)"), round_to)
+        .cast("double")
+        .alias("share"),
+        F.round(ratio.cast("decimal(28,12)"), round_to)
+        .cast("double")
+        .alias("skew_ratio"),
+        F.row_number().over(w).alias("rn"),
+    )

@@ -5285,3 +5285,255 @@ def rollup_reuse_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lo").alias("lo"),
         F.max("hi").alias("hi"),
     ).select("event_type", "day", "n", "total", "mean", "lo", "hi")
+
+
+# ---------------------------------------------------------------------------
+# Round-2 widening: PII redaction, Unicode normalization, char-entropy
+# quality, contrastive negative sampling, per-group reservoir sampling,
+# hard-negative mining, and key-skew diagnostics.
+# ---------------------------------------------------------------------------
+
+from iniz_exporters_spark.functions.text import char_entropy, normalize_text
+from iniz_exporters_spark.operators.indexing import negative_sample_pairs
+from iniz_exporters_spark.operators.privacy import (
+    PII_PATTERNS,
+    pii_counts,
+    redact_pii,
+)
+from iniz_exporters_spark.operators.sampling import reservoir_per_group
+from iniz_exporters_spark.operators.similarity import hard_negatives
+from iniz_exporters_spark.operators.skew import key_skew_profile
+
+
+# The synthetic corpus carries no real PII, so the query SPIKES each doc
+# with deterministic doc_id-derived PII of every kind, then redacts and
+# counts — exercising all four patterns on every row in both engines.
+_PII_SPIKE_SQL = (
+    "text || ' contact user' || doc_id || '@example.com from 10.' || "
+    "(doc_id % 200) || '.0.1 call 555-' || "
+    "lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' || "
+    "lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' ssn 123-45-6789'"
+)
+
+
+def _pii_redact_sql() -> str:
+    redacted = "t"
+    for _, pattern, token in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pattern}', '{token}', 'g')"
+    count_cols = ",\n           ".join(
+        f"length(regexp_extract_all(t, '{pattern}'))::INT AS n_{kind}"
+        for kind, pattern, _ in PII_PATTERNS
+    )
+    return f"""
+    WITH spiked AS (SELECT doc_id, {_PII_SPIKE_SQL} AS t FROM documents)
+    SELECT doc_id,
+           {count_cols},
+           {redacted} AS redacted
+    FROM spiked
+    """
+
+
+@register("pii_redact", _pii_redact_sql())
+def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: per-kind counts + redacted text.
+
+    Pure Catalyst regexp chain — per-row inside whole-stage codegen, zero
+    shuffles; scrubbing cost is one corpus scan at any scale."""
+    d = Catalog(spark, sf_dir).documents
+    spiked = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0.1 call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-6789"),
+    )
+    t = d.select("doc_id", spiked.alias("t"))
+    counts = pii_counts("t")
+    return t.select(
+        "doc_id",
+        *[counts[kind].cast("int").alias(f"n_{kind}") for kind, _, _ in PII_PATTERNS],
+        redact_pii("t").alias("redacted"),
+    )
+
+
+# Whitespace class is pinned to the ASCII set so Java regex (Spark) and
+# RE2 (DuckDB) agree; Python's \s would also eat U+00A0 etc., RE2's won't.
+_WS_CLASS = r"[ \t\n\r\f\v]+"
+
+
+@register(
+    "normalize_nfc",
+    f"""
+    WITH spiked AS (
+        SELECT doc_id,
+               text || '  cafe' || chr(769) || '   nai' || chr(776) || 've'
+                    || chr(9) || 'end' AS t
+        FROM documents)
+    SELECT doc_id,
+           nfc_normalize(lower(trim(
+               regexp_replace(t, '{_WS_CLASS}', ' ', 'g')))) AS norm_text,
+           length(t)::INT AS n_chars_before,
+           length(nfc_normalize(lower(trim(
+               regexp_replace(t, '{_WS_CLASS}', ' ', 'g')))))::INT
+               AS n_chars_after
+    FROM spiked
+    """,
+)
+def normalize_nfc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC + whitespace/case canonicalization (the dedup-key
+    pre-pass). The spike appends decomposed accents + whitespace runs so
+    composition and collapsing are exercised on every row. Arrow-batched
+    mapInPandas kernel (Spark has no NFC builtin) — per-row, zero
+    shuffles."""
+    d = Catalog(spark, sf_dir).documents
+    spiked = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("  café   naïve\tend")
+        ).alias("t"),
+    )
+    return normalize_text(spiked, "doc_id", "t")
+
+
+@register(
+    "char_entropy_q",
+    """
+    SELECT d.doc_id, length(d.text)::INT AS n_chars,
+           CAST(ROUND(CAST(e.ent AS DECIMAL(28,12)), 6) AS DOUBLE)
+               AS char_entropy
+    FROM documents d
+    JOIN (SELECT doc_id, entropy(c) AS ent
+          FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+                FROM documents WHERE length(text) > 0) chars
+          GROUP BY doc_id) e USING (doc_id)
+    WHERE length(d.text) > 0
+    """,
+)
+def char_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per doc (gibberish/repetition
+    filter). Vectorized numpy kernel over Arrow batches; rounded in
+    decimal space so DuckDB's entropy() aggregate hash-matches."""
+    d = Catalog(spark, sf_dir).documents.filter(F.length("text") > 0)
+    ent = char_entropy(d, "doc_id", "text")
+    return ent.select(
+        "doc_id",
+        "n_chars",
+        F.round(F.col("char_entropy").cast("decimal(28,12)"), 6)
+        .cast("double")
+        .alias("char_entropy"),
+    )
+
+
+def _negative_samples_sql(k: int, seed: int) -> str:
+    poly = _SQL_POLY.format(s="(d.idx || ':' || d.j || ':' || " f"'{seed}')")
+    return f"""
+    WITH r AS (SELECT doc_id,
+                      ROW_NUMBER() OVER (ORDER BY doc_id) AS idx
+               FROM documents),
+    n AS (SELECT COUNT(*)::BIGINT AS c FROM documents),
+    draws AS (SELECT idx, doc_id, unnest(range(1, {k + 1})) AS j FROM r),
+    pairs AS (
+        SELECT d.doc_id AS anchor_id, d.j::INT AS j,
+               ((d.idx - 1 + 1 + ({poly} % (n.c - 1))) % n.c) + 1 AS pidx
+        FROM draws d CROSS JOIN n)
+    SELECT p.anchor_id, p.j, r2.doc_id AS negative_id
+    FROM pairs p JOIN r r2 ON p.pidx = r2.idx
+    """
+
+
+@register("negative_samples", _negative_samples_sql(k=2, seed=1))
+def negative_samples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negatives: 2 deterministic uniform non-self
+    partners per doc. Distributed dense ranking (range partition +
+    per-partition numbering + offsets — no single-partition window), then
+    one rank-keyed equi-join resolves partner ids."""
+    d = Catalog(spark, sf_dir).documents
+    return negative_sample_pairs(d.select("doc_id"), "doc_id", k=2, seed=1)
+
+
+@register(
+    "reservoir_per_group_q",
+    f"""
+    SELECT o_orderpriority, o_orderkey, rn FROM (
+        SELECT o_orderpriority, o_orderkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY {_SQL_POLY.format(s="o_orderkey::VARCHAR")} ASC,
+                            o_orderkey ASC) AS rn
+        FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def reservoir_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k uniform sample per group, content-keyed (hash-order rank) so
+    every engine draws the same rows. One window shuffle on the group
+    key."""
+    o = Catalog(spark, sf_dir).orders
+    return reservoir_per_group(
+        o.select("o_orderpriority", "o_orderkey"),
+        "o_orderpriority",
+        "o_orderkey",
+        k=3,
+    ).select("o_orderpriority", "o_orderkey", "rn")
+
+
+@register(
+    "hard_negatives_q",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(q.v, c.v), 4) AS cos
+        FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, cos, rn FROM (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored WHERE cos >= 0.2 AND cos < 0.8
+    ) t WHERE rn <= 5
+    """,
+)
+def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: nearest neighbors inside the [0.2, 0.8)
+    cosine band — informative negatives below the near-dup threshold.
+    Broadcast-queries plan; the corpus never shuffles."""
+    e = Catalog(spark, sf_dir).embeddings
+    return hard_negatives(
+        corpus=e,
+        queries=e.filter(F.col("vec_id") < 10),
+        lo=0.2,
+        hi=0.8,
+        top_k=5,
+    )
+
+
+@register(
+    "skew_profile",
+    """
+    WITH c AS (SELECT l_suppkey AS key, COUNT(*) AS cnt
+               FROM lineitem GROUP BY l_suppkey),
+    t AS (SELECT SUM(cnt)::BIGINT AS total, COUNT(*)::BIGINT AS n_keys
+          FROM c),
+    top AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key ASC LIMIT 5)
+    SELECT key, cnt,
+           CAST(ROUND(CAST(cnt::DOUBLE / total AS DECIMAL(28,12)), 4)
+                AS DOUBLE) AS share,
+           CAST(ROUND(CAST(cnt::DOUBLE * n_keys / total AS DECIMAL(28,12)),
+                      4) AS DOUBLE) AS skew_ratio,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC) AS rn
+    FROM top CROSS JOIN t
+    """,
+)
+def skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter diagnostic on the lineitem supplier key: top-5 keys
+    with row share and ratio-to-mean-group — the pre-flight check that
+    decides whether a join needs salting/AQE skew handling."""
+    li = Catalog(spark, sf_dir).lineitem
+    return key_skew_profile(li, "l_suppkey", top_n=5)

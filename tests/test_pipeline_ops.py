@@ -1,0 +1,144 @@
+"""Unit contracts for the round-2 training-pipeline operators: PII
+redaction, Unicode normalization, char entropy, distributed dense index,
+negative sampling, per-group reservoir, hard negatives, skew profile."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from iniz_exporters_spark.functions.text import char_entropy, normalize_text
+from iniz_exporters_spark.operators.indexing import (
+    global_index,
+    negative_sample_pairs,
+)
+from iniz_exporters_spark.operators.privacy import pii_counts, redact_pii
+from iniz_exporters_spark.operators.sampling import reservoir_per_group
+from iniz_exporters_spark.operators.similarity import hard_negatives
+from iniz_exporters_spark.operators.skew import key_skew_profile
+
+
+def test_redact_pii_all_kinds(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@foo.io or call 555-123-4567 from 10.0.0.1"),
+            (2, "ssn 123-45-6789 plain text"),
+            (3, "nothing sensitive here"),
+        ],
+        "id long, t string",
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            redact_pii("t").alias("red"),
+            *[c.alias(k) for k, c in pii_counts("t").items()],
+        ).collect()
+    }
+    assert out[1]["red"] == "mail <EMAIL> or call <PHONE> from <IP>"
+    assert out[1]["email"] == 1 and out[1]["phone"] == 1 and out[1]["ipv4"] == 1
+    assert out[2]["red"] == "ssn <SSN> plain text"
+    assert out[2]["ssn"] == 1 and out[2]["email"] == 0
+    assert out[3]["red"] == "nothing sensitive here"
+
+
+def test_redact_pii_ssn_not_phone(spark):
+    # 3-2-4 digit groups are SSN-shaped, not phone-shaped
+    df = spark.createDataFrame([(1, "id 987-65-4321")], "id long, t string")
+    r = df.select(redact_pii("t").alias("red")).first()
+    assert r["red"] == "id <SSN>"
+
+
+def test_normalize_text_nfc_and_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello\t\tWORLD  café  "), (2, "")],
+        "id long, t string",
+    )
+    rows = {r["id"]: r for r in normalize_text(df, "id", "t").collect()}
+    assert rows[1]["norm_text"] == "hello world café"
+    assert rows[1]["n_chars_after"] == len("hello world café")
+    assert rows[2]["norm_text"] == "" and rows[2]["n_chars_after"] == 0
+
+
+def test_char_entropy_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aabb"), (3, "abcd"), (4, "")],
+        "id long, t string",
+    )
+    rows = {r["id"]: r for r in char_entropy(df, "id", "t").collect()}
+    assert rows[1]["char_entropy"] == 0.0
+    assert math.isclose(rows[2]["char_entropy"], 1.0)
+    assert math.isclose(rows[3]["char_entropy"], 2.0)
+    assert rows[4]["char_entropy"] == 0.0 and rows[4]["n_chars"] == 0
+
+
+def test_global_index_is_dense_rank(spark):
+    ids = [9, 3, 27, 1, 100, 42, 7]
+    df = spark.createDataFrame([(i,) for i in ids], "k long").repartition(4)
+    got = {
+        r["k"]: r["idx"] for r in global_index(df, "k").collect()
+    }
+    expected = {k: i + 1 for i, k in enumerate(sorted(ids))}
+    assert got == expected
+
+
+def test_negative_samples_never_self_and_exact_k(spark):
+    df = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    out = negative_sample_pairs(df, "doc_id", k=3, seed=7).collect()
+    assert len(out) == 60
+    for r in out:
+        assert r["negative_id"] != r["anchor_id"]
+        assert 0 <= r["negative_id"] < 20
+    # deterministic across reruns
+    again = negative_sample_pairs(df, "doc_id", k=3, seed=7).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_negative_samples_rejects_tiny_input(spark):
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="needs >= 2 rows"):
+        negative_sample_pairs(df, "doc_id")
+
+
+def test_reservoir_per_group_exact_k(spark):
+    rows = [(g, g * 100 + i) for g in range(3) for i in range(10)]
+    rows += [(9, 901)]  # group smaller than k
+    df = spark.createDataFrame(rows, "g int, k long")
+    out = reservoir_per_group(df, "g", "k", k=4).collect()
+    sizes = {}
+    for r in out:
+        sizes[r["g"]] = sizes.get(r["g"], 0) + 1
+        assert r["rn"] <= 4
+    assert sizes == {0: 4, 1: 4, 2: 4, 9: 1}
+
+
+def test_hard_negatives_band_and_k(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.02]),  # cos ~0.9998 → above band, excluded
+            (2, [1.0, 1.0]),  # cos ~0.7071 → in band
+            (3, [0.0, 1.0]),  # cos 0 → below band
+            (4, [1.0, 2.0]),  # cos ~0.4472 → in band
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = hard_negatives(
+        df, df.filter(F.col("vec_id") == 0), lo=0.2, hi=0.9, top_k=5
+    ).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in out}
+    assert got == {(0, 2), (0, 4)}
+    for r in out:
+        assert 0.2 <= r["cos"] < 0.9
+
+
+def test_key_skew_profile_orders_and_share(spark):
+    rows = [("hot", i) for i in range(8)] + [("a", 0), ("b", 0), ("c", 0)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    out = key_skew_profile(df, "k", top_n=2).collect()
+    assert [r["key"] for r in out] == ["hot", "a"]
+    top = out[0]
+    assert top["cnt"] == 8 and top["rn"] == 1
+    assert math.isclose(top["share"], round(8 / 11, 4))
+    # 4 distinct keys, mean group size 11/4 → ratio 8/(11/4)
+    assert math.isclose(top["skew_ratio"], round(8 * 4 / 11, 4))
