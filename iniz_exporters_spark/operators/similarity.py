@@ -19,6 +19,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from iniz_exporters_spark.functions.text import poly_hash
+
 
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -75,6 +77,47 @@ def knn_bruteforce(
         .filter(F.col("rn") <= top_k)
         .select("query_id", "neighbor_id", "cos", "rn")
     )
+
+
+def jl_project(
+    vec: Column,
+    dim: int,
+    out_dims: int = 4,
+    round_to: int = 4,
+) -> list[Column]:
+    """Deterministic sparse Johnson-Lindenstrauss projection: ``out_dims``
+    columns, each the ±1-signed sum over the input vector, signs derived
+    from poly_hash(d:j) parity — content-free, engine-replayable, no
+    stored projection matrix.
+
+    The scale path for embedding ops: project 100 TB of wide vectors down
+    to a handful of dims in one codegen'd scan (distance-preserving in
+    expectation per JL), then bucket/cluster the projections instead of
+    the raw vectors. Left-fold summation keeps the double result identical
+    across engines (DuckDB list_reduce replays the same order).
+    """
+    v = _as_double(vec)
+
+    def proj(j: int) -> Column:
+        def step(acc: Column, d: Column) -> Column:
+            sign = F.when(
+                poly_hash(F.concat_ws(":", d.cast("string"), F.lit(str(j))))
+                % 2
+                == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+            return acc + F.element_at(v, d) * sign
+
+        raw = F.aggregate(
+            F.sequence(F.lit(1), F.lit(dim)), F.lit(0.0), step
+        )
+        return (
+            F.round(raw.cast("decimal(28,10)"), round_to)
+            .cast("double")
+            .alias(f"p{j}")
+        )
+
+    return [proj(j) for j in range(out_dims)]
 
 
 def hard_negatives(

@@ -5537,3 +5537,183 @@ def skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     decides whether a join needs salting/AQE skew handling."""
     li = Catalog(spark, sf_dir).lineitem
     return key_skew_profile(li, "l_suppkey", top_n=5)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 widening, batch B: bigram LM scoring, repeated-span detection,
+# BPE merge-pair statistics, JL random projection, winsorized aggregation.
+# ---------------------------------------------------------------------------
+
+from iniz_exporters_spark.operators.lm import (
+    bigram_logprob,
+    duplicate_spans,
+    merge_pair_counts,
+)
+from iniz_exporters_spark.operators.similarity import jl_project
+
+
+@register(
+    "bigram_logprob_q",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    idx AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+            FROM toks WHERE len(t) >= 2),
+    pairs AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM idx),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w) AS V
+          FROM (SELECT unnest(t) AS w FROM toks) u)
+    SELECT p.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(ROUND(CAST(SUM(CAST(
+               log2((c12.c12 + 1)::DOUBLE / (c1.c1 + v.V))
+               AS DECIMAL(28,12))) AS DECIMAL(28,12)), 6) AS DOUBLE)
+               AS logprob
+    FROM pairs p
+    JOIN c12 ON p.w1 = c12.w1 AND p.w2 = c12.w2
+    JOIN c1 ON p.w1 = c1.w1
+    CROSS JOIN v
+    GROUP BY p.doc_id
+    """,
+)
+def bigram_logprob_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc log2-likelihood under an add-1 bigram LM fit on the corpus
+    itself — the perplexity-style fluency filter, one level up from
+    unigram_logprob. Token extraction is per-row Catalyst; statistics are
+    two count aggs; scoring is a vocab-keyed join (AQE absorbs Zipf
+    skew)."""
+    d = Catalog(spark, sf_dir).documents
+    return bigram_logprob(d, "doc_id", "text")
+
+
+@register(
+    "dup_spans",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+            FROM toks WHERE len(t) >= 5),
+    hashed AS (SELECT doc_id,
+                      {_SQL_POLY.format(s="array_to_string(t[i:i+4], ' ')")}
+                          AS span_hash
+               FROM idx)
+    SELECT span_hash, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM hashed GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated 5-token spans across documents (span-level dedup
+    candidates, after Lee et al.). Span hashes are computed per-row in
+    nested higher-order functions; only (id, hash) rows reach the
+    shuffle."""
+    d = Catalog(spark, sf_dir).documents
+    return duplicate_spans(d, "doc_id", "text", span=5, min_docs=2)
+
+
+@register(
+    "bpe_merge_pairs",
+    f"""
+    SELECT pair, cnt, rn FROM (
+        SELECT pair, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair ASC) AS rn
+        FROM (SELECT substr(w, i, 2) AS pair
+              FROM (SELECT w, unnest(range(1, length(w))) AS i
+                    FROM (SELECT unnest({_SQL_TOKENS}) AS w FROM documents) t0
+                    WHERE length(w) >= 2) t1) t2
+        GROUP BY pair) t3
+    WHERE rn <= 20
+    """,
+)
+def bpe_merge_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent character pairs inside tokens — the BPE trainer's
+    next-merge statistic. Explode + count with map-side partials; ordered
+    limit plans as TakeOrderedAndProject."""
+    d = Catalog(spark, sf_dir).documents
+    return merge_pair_counts(d, "text", top_n=20)
+
+
+def _jl_sql(dim: int, out_dims: int) -> str:
+    projs = []
+    for j in range(out_dims):
+        poly = _SQL_POLY.format(s=f"(d || ':{j}')")
+        projs.append(
+            f"CAST(ROUND(CAST(list_reduce(list_transform(range(1, {dim + 1}),"
+            f" d -> v[d] * (CASE WHEN {poly} % 2 = 0 THEN 1.0 ELSE -1.0 END)),"
+            f" (a, b) -> a + b) AS DECIMAL(28,10)), 4) AS DOUBLE) AS p{j}"
+        )
+    cols = ",\n           ".join(projs)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id,
+           {cols}
+    FROM e
+    """
+
+
+@register("jl_project_q", _jl_sql(dim=64, out_dims=4))
+def jl_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ±1 Johnson-Lindenstrauss projection of the 64-dim
+    embeddings to 4 dims — one codegen'd scan, zero shuffles; the scale
+    path that makes downstream bucketing/clustering width-independent."""
+    e = Catalog(spark, sf_dir).embeddings
+    return e.select("vec_id", *jl_project(F.col("embedding"), dim=64))
+
+
+@register(
+    "winsorize_prices",
+    """
+    WITH q AS (SELECT l_returnflag,
+                      CAST(quantile_cont(l_extendedprice, 0.05)
+                           AS DECIMAL(18,4)) AS lo,
+                      CAST(quantile_cont(l_extendedprice, 0.95)
+                           AS DECIMAL(18,4)) AS hi
+               FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           COUNT(*) AS n,
+           CAST(q.lo AS DOUBLE) AS lo,
+           CAST(q.hi AS DOUBLE) AS hi,
+           ROUND(CAST(SUM(least(greatest(
+                   CAST(l_extendedprice AS DECIMAL(18,4)), q.lo), q.hi))
+                 AS DOUBLE) / COUNT(*), 2) AS mean_winsorized
+    FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+    GROUP BY l.l_returnflag, q.lo, q.hi
+    """,
+)
+def winsorize_prices_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group: clamp to the exact [p05, p95] band then
+    average — the robust-statistics pre-pass for noisy numeric features.
+    Percentiles go through the decimal(18,4) pin (interpolation of 2-dp
+    money is exact at 3 dp, see percentile_agg) so both engines clamp at
+    identical cut points; the clamped sum is an exact decimal aggregate.
+    Plan: one percentile agg (3 groups) broadcast back onto the scan, then
+    one partial-agg'd groupBy — two passes over lineitem, no wide
+    shuffle."""
+    li = Catalog(spark, sf_dir).lineitem
+    q = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)")
+        .cast("decimal(18,4)")
+        .alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.95)")
+        .cast("decimal(18,4)")
+        .alias("hi"),
+    )
+    clamped = F.least(
+        F.greatest(_dec(F.col("l_extendedprice")), F.col("lo")), F.col("hi")
+    )
+    return (
+        li.join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(clamped).cast("double") / F.count(F.lit(1)), 2
+            ).alias("mean_winsorized"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            F.col("lo").cast("double").alias("lo"),
+            F.col("hi").cast("double").alias("hi"),
+            "mean_winsorized",
+        )
+    )
