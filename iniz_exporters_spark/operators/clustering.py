@@ -71,11 +71,14 @@ def kmeans_lloyd(
     k: int = 4,
     iters: int = 2,
     round_to: int = 6,
+    keep_vector: bool = False,
 ) -> DataFrame:
     """Final assignments (id, cluster) after ``iters`` Lloyd rounds from the
     deterministic k-lowest-id init. Raises if a cluster empties (the oracle
     cannot represent carry-forward centroids, and silence would hide a
-    degenerate clustering)."""
+    degenerate clustering). ``keep_vector=True`` keeps the vector column in
+    the output (id, vec, cluster) so downstream per-cluster kernels (e.g.
+    semantic dedup) avoid a corpus-sized re-join."""
     init = (
         corpus.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
     )
@@ -109,6 +112,8 @@ def kmeans_lloyd(
                 f"{it}; re-seed with a different k or init"
             )
         cents = [by_cluster[j] for j in range(k)]
+    if keep_vector:
+        return assigned
     return assigned.select(id_col, "cluster")
 
 

@@ -144,3 +144,30 @@ def weighted_sample_topk(
         .orderBy(F.col("priority").desc(), F.col(key_col))
         .limit(k)
     )
+
+
+def shuffle_key(id_col: Column | str, seed: str = "42") -> Column:
+    """Deterministic global-shuffle key: md5(seed || "-" || id).
+
+    Training-data pipelines need the corpus in a pseudo-random order that is
+    reproducible across reruns, cluster sizes, and engines — RNG-seeded
+    ``ORDER BY random()`` is partition-layout-dependent, a content-keyed
+    hash is not. At 100 TB the full shuffle is
+    ``repartitionByRange(shuffle_key).sortWithinPartitions(shuffle_key)``:
+    a range exchange plus partition-local sorts, never a single global sort
+    task; changing ``seed`` reshuffles without touching the data.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(F.concat_ws("-", F.lit(seed), c.cast("string")))
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, seed: str = "42", partitions: int | None = None
+) -> DataFrame:
+    """The corpus in reproducible pseudo-random order: range-partitioned and
+    locally sorted by ``shuffle_key`` (scale shape documented there)."""
+    keyed = df.withColumn("__skey", shuffle_key(id_col, seed))
+    parts = keyed.repartitionByRange(
+        *( [partitions, "__skey"] if partitions else ["__skey"] )
+    )
+    return parts.sortWithinPartitions("__skey").drop("__skey")

@@ -5717,3 +5717,123 @@ def winsorize_prices_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_winsorized",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023): k-means the embeddings, then
+# drop within-cluster near-duplicates keeping the lowest id. The oracle
+# replays the 2 Lloyd rounds (same CTE chain as kmeans_assignments, but a1
+# keeps the vector) and recomputes the max prior-id rounded cosine per row.
+# tau=0.4 sits at ~p90 of this corpus's within-cluster cosine, so the kept
+# flag genuinely bisects the data.
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.operators.semdedup import semdedup  # noqa: E402
+
+
+@register(
+    "semdedup_keep",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+           FROM e ORDER BY vec_id LIMIT 4),
+    a0 AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_KM_DIST}, c.cid) AS rn
+            FROM e CROSS JOIN c0 c
+        ) WHERE rn = 1
+    ),
+    m0 AS (
+        SELECT cid, i, ROUND(CAST(avg(val) AS DECIMAL(28,12)), 6)::DOUBLE AS m
+        FROM (SELECT cid, i, v[i] AS val
+              FROM a0, unnest(range(1, len(v)+1)) AS t(i))
+        GROUP BY cid, i
+    ),
+    c1 AS (SELECT cid, list(m ORDER BY i) AS v FROM m0 GROUP BY cid),
+    a1 AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_KM_DIST}, c.cid) AS rn
+            FROM e CROSS JOIN c1 c
+        ) WHERE rn = 1
+    ),
+    p AS (SELECT a.vec_id,
+                 MAX(ROUND(list_cosine_similarity(a.v, b.v), 4)) AS mx
+          FROM a1 a JOIN a1 b ON a.cid = b.cid AND b.vec_id < a.vec_id
+          GROUP BY a.vec_id)
+    SELECT a.vec_id, CAST(a.cid AS INT) AS cluster, p.mx AS max_prior_cos,
+           (p.mx IS NULL OR p.mx < 0.4) AS kept
+    FROM a1 a LEFT JOIN p USING (vec_id)
+    """,
+)
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    return semdedup(emb, "vec_id", "embedding", k=4, iters=2, tau=0.4)
+
+
+# ---------------------------------------------------------------------------
+# fastText-style linear quality classifier: hashed bag-of-words dotted with
+# a deterministic weight vector, sigmoid-squashed. Pure Catalyst scan.
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.operators.quality import (  # noqa: E402
+    linear_quality_score,
+)
+
+_SQL_QW = (
+    "((((" + _SQL_POLY.format(s="t") + ") % 64) * 37 + 11) % 21 - 10) / 10.0"
+)
+
+
+@register(
+    "quality_classifier",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    r AS (SELECT doc_id,
+                 CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE list_reduce(list_transform(toks, t -> {_SQL_QW}),
+                                       (a, b) -> a + b)
+                 END AS raw
+          FROM t)
+    SELECT doc_id,
+           ROUND(CAST(1.0 / (1.0 + exp(-raw / 8.0)) AS DECIMAL(28,12)),
+                 4)::DOUBLE AS quality_prob,
+           ROUND(CAST(1.0 / (1.0 + exp(-raw / 8.0)) AS DECIMAL(28,12)),
+                 4)::DOUBLE >= 0.5 AS keep
+    FROM r
+    """,
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    prob = linear_quality_score(F.col("text"), dim=64, scale=8.0, round_to=4)
+    return d.select(
+        "doc_id",
+        prob.alias("quality_prob"),
+        (prob >= 0.5).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle for training order: content-keyed md5 sort
+# key — reproducible across engines/reruns/cluster sizes. The query takes
+# the top-100 (TakeOrderedAndProject); the full-corpus path is
+# deterministic_shuffle's repartitionByRange + local sorts.
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.operators.sampling import shuffle_key  # noqa: E402
+
+
+@register(
+    "shuffle_order_topk",
+    """
+    SELECT doc_id, md5('42-' || doc_id::VARCHAR) AS skey
+    FROM documents ORDER BY skey, doc_id LIMIT 100
+    """,
+)
+def shuffle_order_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return (
+        d.select("doc_id", shuffle_key("doc_id", "42").alias("skey"))
+        .orderBy("skey", "doc_id")
+        .limit(100)
+    )

@@ -142,3 +142,79 @@ def test_key_skew_profile_orders_and_share(spark):
     assert math.isclose(top["share"], round(8 / 11, 4))
     # 4 distinct keys, mean group size 11/4 → ratio 8/(11/4)
     assert math.isclose(top["skew_ratio"], round(8 * 4 / 11, 4))
+
+
+# --- semdedup / quality classifier / deterministic shuffle ------------------
+
+
+def test_semdedup_keeps_lowest_id_and_flags_dropped(spark):
+    from iniz_exporters_spark.operators.semdedup import semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = semdedup(emb, "vec_id", "embedding", k=4, iters=2, tau=0.4)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    assert len(by_cluster) == 4
+    for members in by_cluster.values():
+        lowest = min(members, key=lambda r: r["vec_id"])
+        # a cluster's lowest id has no prior rows: always kept, NULL cos
+        assert lowest["kept"] and lowest["max_prior_cos"] is None
+        for r in members:
+            if r["vec_id"] != lowest["vec_id"]:
+                assert r["max_prior_cos"] is not None
+            assert r["kept"] == (
+                r["max_prior_cos"] is None or r["max_prior_cos"] < 0.4
+            )
+    # tau at ~p90 of within-cluster cosine: both classes non-empty
+    kept = [r for r in rows if r["kept"]]
+    assert 0 < len(kept) < len(rows)
+
+
+def test_semdedup_chunked_matches_unchunked(spark):
+    from iniz_exporters_spark.operators.semdedup import semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    big = semdedup(emb, k=2, iters=1, tau=0.4)
+    tiny = semdedup(emb, k=2, iters=1, tau=0.4, chunk_cells=7)
+    assert sorted(map(tuple, big.collect())) == sorted(
+        map(tuple, tiny.collect())
+    )
+
+
+def test_linear_quality_score_empty_text_is_half(spark):
+    from iniz_exporters_spark.operators.quality import linear_quality_score
+
+    df = spark.createDataFrame([("",), ("...",), ("hello world",)], ["text"])
+    got = df.select(linear_quality_score("text").alias("p")).collect()
+    assert got[0]["p"] == 0.5  # no tokens -> raw 0 -> sigmoid(0)
+    assert got[1]["p"] == 0.5  # punctuation-only tokenizes to nothing
+    assert 0.0 <= got[2]["p"] <= 1.0
+
+
+def test_deterministic_shuffle_is_layout_independent(spark):
+    from iniz_exporters_spark.operators.sampling import (
+        deterministic_shuffle,
+        shuffle_key,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = deterministic_shuffle(d, "doc_id", seed="s1", partitions=4)
+    b = deterministic_shuffle(d.repartition(13), "doc_id", seed="s1", partitions=4)
+    ids_a = [r["doc_id"] for r in a.select("doc_id").toLocalIterator()]
+    ids_b = [r["doc_id"] for r in b.select("doc_id").toLocalIterator()]
+    assert ids_a == ids_b  # same order regardless of input layout
+    # and it matches the key's global sort order
+    want = [
+        r["doc_id"]
+        for r in d.select("doc_id", shuffle_key("doc_id", "s1").alias("k"))
+        .orderBy("k", "doc_id")
+        .collect()
+    ]
+    # rows with equal keys can't exist (md5 of distinct ids); strict equality
+    assert ids_a == want
+    # different seed -> different order
+    c = deterministic_shuffle(d, "doc_id", seed="s2", partitions=4)
+    assert [r["doc_id"] for r in c.select("doc_id").toLocalIterator()] != want
