@@ -70,3 +70,35 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
         except Exception:
             pass  # immutable in this session — fine, it's an optimization
     return spark
+
+
+def enable_runtime_bloom_filters(
+    spark: SparkSession,
+    creation_side_max: str = "500MB",
+    application_side_min: str = "1KB",
+) -> SparkSession:
+    """Turn on Catalyst's runtime row-level Bloom-filter injection.
+
+    For a shuffle join where one side carries a selective filter, the
+    optimizer aggregates a Bloom filter of the small side's join keys
+    (``bloom_filter_agg``) and injects ``might_contain`` into the BIG
+    side's scan — rows that cannot join are dropped before the shuffle.
+    At 100 TB this is the difference between shuffling the whole fact
+    table and shuffling only the ~matching fraction.
+
+    Spark's defaults only trigger on cluster-scale inputs (application
+    side ≥ 10GB); the thresholds are parameters so tests can exercise the
+    injection locally. Broadcast joins don't need it — the broadcast side
+    already prunes via DPP/hash lookup.
+    """
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        creation_side_max,
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        application_side_min,
+    )
+    return spark

@@ -294,3 +294,47 @@ def test_rollup_reuse_two_level_partial_aggregation(spark):
     plan = physical(run("rollup_reuse_daily", spark))
     assert "partial_sum" in plan or "partial_count" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime row-level Bloom filter: the selective dim side builds a
+    bloom_filter_agg and the fact side's scan gains might_contain — the
+    shuffle-join pruning lever when the fact side is too big to broadcast
+    (thresholds lowered here; at 100 TB the 10GB default does the gating).
+    """
+    import pyspark.sql.functions as F
+
+    from iniz_exporters_spark.session import enable_runtime_bloom_filters
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        enable_runtime_bloom_filters(spark)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_SMALL}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = with_scans(j)
+        assert "bloom_filter_agg" in plan  # dim side: filter creation
+        assert "might_contain" in plan  # fact side: injected pruning
+        # and the filter is an optimization, not a semantics change
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        want = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        assert sorted(map(tuple, j.collect())) == sorted(map(tuple, want))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
