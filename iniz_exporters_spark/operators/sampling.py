@@ -156,9 +156,13 @@ def shuffle_key(id_col: Column | str, seed: str = "42") -> Column:
     ``repartitionByRange(shuffle_key).sortWithinPartitions(shuffle_key)``:
     a range exchange plus partition-local sorts, never a single global sort
     task; changing ``seed`` reshuffles without touching the data.
+
+    NULL-propagating like the DuckDB equivalent ``md5(seed || '-' || id)``:
+    a NULL id yields a NULL key rather than collapsing all NULL-id rows
+    onto md5(seed).
     """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return F.md5(F.concat_ws("-", F.lit(seed), c.cast("string")))
+    return F.md5(F.concat(F.lit(seed), F.lit("-"), c.cast("string")))
 
 
 def deterministic_shuffle(
@@ -166,6 +170,11 @@ def deterministic_shuffle(
 ) -> DataFrame:
     """The corpus in reproducible pseudo-random order: range-partitioned and
     locally sorted by ``shuffle_key`` (scale shape documented there)."""
+    if "__skey" in df.columns:
+        raise ValueError(
+            "deterministic_shuffle: input already has a '__skey' column; "
+            "rename it before shuffling"
+        )
     keyed = df.withColumn("__skey", shuffle_key(id_col, seed))
     parts = keyed.repartitionByRange(
         *( [partitions, "__skey"] if partitions else ["__skey"] )

@@ -93,11 +93,9 @@ def cms_heavy_hitters(
     Returns the JVM ``org.apache.spark.util.sketch.CountMinSketch``
     exposing ``estimateCount(value)`` / ``totalCount()`` / ``mergeInPlace``.
     """
-    import io
-
     (raw,) = df.agg(
         cms_sketch_col(value_col, eps, confidence, seed).alias("s")
     ).first()
     jvm = df.sparkSession._jvm
-    jbytes = io.BytesIO(bytes(raw)).read()  # py4j converts to byte[]
+    jbytes = bytes(raw)  # py4j converts bytes to byte[]
     return jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(jbytes)

@@ -306,7 +306,16 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
 
     from iniz_exporters_spark.session import enable_runtime_bloom_filters
 
-    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    bloom_confs = [
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+    ]
+    old = {
+        c: spark.conf.get(c, None)
+        for c in ["spark.sql.autoBroadcastJoinThreshold", *bloom_confs]
+    }
     try:
         enable_runtime_bloom_filters(spark)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -322,7 +331,9 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
         plan = with_scans(j)
         assert "bloom_filter_agg" in plan  # dim side: filter creation
         assert "might_contain" in plan  # fact side: injected pruning
-        # and the filter is an optimization, not a semantics change
+        # and the filter is an optimization, not a semantics change:
+        # collect WITH the bloom filter enabled, then again without it
+        got = j.collect()
         spark.conf.set(
             "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
         )
@@ -332,9 +343,10 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        assert sorted(map(tuple, j.collect())) == sorted(map(tuple, want))
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
-        spark.conf.set(
-            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
-        )
+        for conf, val in old.items():
+            if val is None:
+                spark.conf.unset(conf)
+            else:
+                spark.conf.set(conf, val)
