@@ -22,12 +22,14 @@ id, so the kept set is engine- and partitioning-independent.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from iniz_exporters_spark.operators.clustering import kmeans_lloyd
 from iniz_exporters_spark.operators.similarity import (
     DEFAULT_CHUNK_CELLS,
     DEFAULT_MAX_BUCKET_ROWS,
+    _auto_split,
     _bucket_guard,
 )
 
@@ -42,6 +44,7 @@ def semdedup(
     round_to: int = 4,
     chunk_cells: int = DEFAULT_CHUNK_CELLS,
     max_rows: int | None = DEFAULT_MAX_BUCKET_ROWS,
+    auto_split_bits: int = 0,
 ) -> DataFrame:
     """(id, cluster, max_prior_cos, kept): for every vector, the max rounded
     cosine to any SMALLER-id vector in its k-means cluster (NULL if none),
@@ -50,6 +53,12 @@ def semdedup(
     Keeping the lowest id per duplicate group (rather than one arbitrary
     survivor) is what makes the output independent of partition layout and
     engine — the same convention as dedup_exact's min-order survivor.
+
+    ``auto_split_bits`` > 0 sub-divides clusters over ``max_rows`` by that
+    many sign dimensions (similarity._auto_split) instead of raising: prior
+    neighbors are then sought within the sub-cluster only, so dedup recall
+    degrades gracefully inside pathologically hot clusters while the
+    reported ``cluster`` stays the original k-means id.
     """
     import pandas as pd
 
@@ -96,4 +105,8 @@ def semdedup(
             }
         )
 
-    return assigned.groupBy("cluster").applyInPandas(kernel, out_schema)
+    grouped = assigned.withColumn("__grp", F.col("cluster").cast("long"))
+    grouped = _auto_split(
+        grouped, "__grp", vec_col, max_rows, auto_split_bits, offset=0
+    )
+    return grouped.groupBy("__grp").applyInPandas(kernel, out_schema)

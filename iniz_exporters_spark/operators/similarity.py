@@ -279,6 +279,45 @@ def sign_bucket(vec: Column, bits: int = 4, offset: int = 0) -> Column:
     )
 
 
+def _auto_split(
+    b: DataFrame,
+    bucket_col: str,
+    vec_col: str,
+    max_rows: int | None,
+    split_bits: int,
+    offset: int,
+) -> DataFrame:
+    """Two-level re-bucketing shared by the similarity family: a cheap size
+    pre-pass (one count agg, broadcast back) finds buckets over ``max_rows``
+    and re-buckets ONLY those by ``split_bits`` further sign dimensions —
+    hot buckets split ~2^split_bits-ways while cold buckets keep full
+    recall. Candidates in split buckets are a subset of the unsplit
+    candidates (sign-prefix refinement), so recall degrades only inside the
+    buckets that would otherwise have blown task memory; rows identical in
+    all split dimensions still hit the loud ``max_rows`` guard as the final
+    backstop."""
+    if split_bits <= 0 or max_rows is None:
+        return b
+    hot = (
+        b.groupBy(bucket_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_rows)
+        .select(bucket_col, F.lit(True).alias("__hot"))
+    )
+    sub = sign_bucket(F.col(vec_col), split_bits, offset=offset)
+    return (
+        b.join(F.broadcast(hot), bucket_col, "left")
+        .withColumn(
+            bucket_col,
+            F.when(
+                F.col("__hot"),
+                F.col(bucket_col) * (2 ** split_bits) + sub,
+            ).otherwise(F.col(bucket_col)),
+        )
+        .drop("__hot")
+    )
+
+
 def ann_bucketed(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -324,25 +363,7 @@ def ann_bucketed(
         F.col(vec_col),
         sign_bucket(F.col(vec_col), bits).alias("__bucket"),
     )
-    if auto_split_bits > 0 and max_rows is not None:
-        hot = (
-            b.groupBy("__bucket")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > max_rows)
-            .select("__bucket", F.lit(True).alias("__hot"))
-        )
-        sub = sign_bucket(F.col(vec_col), auto_split_bits, offset=bits)
-        b = (
-            b.join(F.broadcast(hot), "__bucket", "left")
-            .withColumn(
-                "__bucket",
-                F.when(
-                    F.col("__hot"),
-                    F.col("__bucket") * (2 ** auto_split_bits) + sub,
-                ).otherwise(F.col("__bucket")),
-            )
-            .drop("__hot")
-        )
+    b = _auto_split(b, "__bucket", vec_col, max_rows, auto_split_bits, bits)
     return b.groupBy("__bucket").applyInPandas(kernel, out_schema)
 
 
@@ -355,6 +376,7 @@ def cosine_neardup(
     round_to: int = 4,
     chunk_cells: int = DEFAULT_CHUNK_CELLS,
     max_rows: int | None = DEFAULT_MAX_BUCKET_ROWS,
+    auto_split_bits: int = 0,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos) with
     rounded cosine ≥ ``threshold``, candidates restricted to each vector's
@@ -364,7 +386,8 @@ def cosine_neardup(
     per-bucket pairwise scoring vectorized in-task, upper-triangle only —
     pair rows never carry embedding payloads through a shuffle. Scoring is
     row-chunked (peak ``chunk_cells`` doubles), with the same loud
-    ``max_rows`` guard."""
+    ``max_rows`` guard; ``auto_split_bits`` > 0 re-buckets hot buckets by
+    further sign dims instead of failing (see ``_auto_split``)."""
     import pandas as pd
 
     id_type = dict(corpus.dtypes)[id_col]
@@ -411,6 +434,7 @@ def cosine_neardup(
         F.col(vec_col),
         sign_bucket(F.col(vec_col), bits).alias("__bucket"),
     )
+    b = _auto_split(b, "__bucket", vec_col, max_rows, auto_split_bits, bits)
     return b.groupBy("__bucket").applyInPandas(kernel, out_schema)
 
 

@@ -560,6 +560,83 @@ def test_ann_auto_split_rebuckets_hot_buckets(spark):
         ann_bucketed(same, bits=4, max_rows=5, auto_split_bits=2).collect()
 
 
+def test_cosine_neardup_auto_split_rebuckets_hot_buckets(spark):
+    """auto_split_bits on cosine_neardup: hot buckets re-bucket by further
+    sign dims instead of raising; result equals the finer bucketing, and
+    identical vectors (unsplittable) still hit the loud guard."""
+    import random
+
+    from iniz_exporters_spark.operators.similarity import cosine_neardup
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(0.1, 1.0)] * 4
+         + [rng.uniform(-1.0, 1.0), rng.uniform(-1.0, 1.0)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def canon(res):
+        return sorted(tuple(r) for r in res.collect())
+
+    split = canon(
+        cosine_neardup(
+            df, bits=4, threshold=0.5, max_rows=20, auto_split_bits=2
+        )
+    )
+    assert split == canon(cosine_neardup(df, bits=6, threshold=0.5))
+    assert split
+
+    from pyspark.errors import PySparkException
+
+    same = spark.createDataFrame(
+        [(i, [0.5] * 6) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(PySparkException, match="max_rows"):
+        cosine_neardup(same, bits=4, max_rows=5, auto_split_bits=2).collect()
+
+
+def test_semdedup_auto_split_degrades_gracefully(spark):
+    """auto_split_bits on semdedup: a cluster over max_rows is sub-divided
+    by sign dims instead of raising. Priors are then sought within the
+    sub-cluster only, so the kept set can only GROW vs the unsplit run,
+    and the reported cluster id stays the original k-means id."""
+    import random
+
+    from iniz_exporters_spark.operators.semdedup import semdedup
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(6)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    full = {r["vec_id"]: r for r in semdedup(df, k=2, tau=0.5).collect()}
+    # k=2 over 30 rows → at least one cluster exceeds max_rows=10
+    split = {
+        r["vec_id"]: r
+        for r in semdedup(
+            df, k=2, tau=0.5, max_rows=10, auto_split_bits=2
+        ).collect()
+    }
+    assert set(split) == set(full)
+    kept_full = {i for i, r in full.items() if r["kept"]}
+    kept_split = {i for i, r in split.items() if r["kept"]}
+    assert kept_full <= kept_split
+    # cluster ids survive the sub-division
+    assert all(split[i]["cluster"] == full[i]["cluster"] for i in split)
+
+    from pyspark.errors import PySparkException
+
+    same = spark.createDataFrame(
+        [(i, [0.5] * 6) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(PySparkException, match="max_rows"):
+        semdedup(same, k=1, max_rows=5, auto_split_bits=2).collect()
+
+
 def test_pagerank_tiny_graph(spark):
     # star: a -> b, a -> c, b -> c ; c dangles.
     # iter1: r(a)=0.15; r(b)=0.15+0.85*(1/2)=0.575; r(c)=0.15+0.85*(1/2+1/1)=1.425
