@@ -11,9 +11,11 @@ sketches WITHOUT rescanning the data (same reuse idea as
 rollup_reuse_daily, but for distinct counts, which plain sums can't
 compose).
 
-No DuckDB oracle: sketch estimates are implementation-defined (DataSketches
-vs DuckDB's HLL differ), so the contracts are pytest-pinned instead —
-estimate-vs-exact relative error bounds and union-equals-whole composition.
+Sketch ESTIMATES are implementation-defined (DataSketches vs DuckDB's HLL
+differ), so raw estimates carry no DuckDB oracle; the engine-stable facts —
+estimate-vs-exact error bound and union-composition staying inside it — are
+driver-checked as booleans by the `hll_error_check` registry query, plus
+pytest contracts here.
 """
 
 from __future__ import annotations

@@ -5837,3 +5837,59 @@ def shuffle_order_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("skey", "doc_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch layer, driver-checkable: DataSketches estimates are
+# implementation-defined (no DuckDB equivalent), but their ERROR BOUND and
+# union-composition law are engine-stable facts — so emit those as the
+# compared values. hll_ok pins |estimate − exact| ≤ 5%·exact (lgk=12 →
+# rse ≈ 1.6%, 3σ ≈ 4.9%); union_ok pins that unioning per-partition
+# sketches (the incremental 100 TB pattern — persist sketches per ingest
+# day, answer rollups without rescanning) stays inside the same bound.
+# (Union and direct estimates are NOT bit-identical — DataSketches
+# sparse→dense promotion differs under union — so the bound, not equality,
+# is the stable contract.)
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.operators.sketches import (  # noqa: E402
+    hll_partition_sketches,
+    hll_rollup,
+)
+
+
+@register(
+    "hll_error_check",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_nd,
+           TRUE AS hll_ok,
+           TRUE AS union_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def hll_error_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    direct = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_nd"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("l_partkey"), F.lit(12))
+        ).alias("__direct_est"),
+    )
+    union_est = hll_rollup(
+        hll_partition_sketches(
+            li, "l_linestatus", "l_returnflag", "l_partkey", lgk=12
+        ),
+        "l_returnflag",
+    ).withColumnRenamed("n_distinct_est", "__union_est")
+    return direct.join(union_est, "l_returnflag").select(
+        "l_returnflag",
+        "exact_nd",
+        (
+            F.abs(F.col("__direct_est") - F.col("exact_nd"))
+            <= 0.05 * F.col("exact_nd")
+        ).alias("hll_ok"),
+        (
+            F.abs(F.col("__union_est") - F.col("exact_nd"))
+            <= 0.05 * F.col("exact_nd")
+        ).alias("union_ok"),
+    )
