@@ -231,6 +231,146 @@ def resize_images(
     )
 
 
+PHASH_GRID = 8  # 8×8 grayscale → 64-bit aHash, emitted as 4×16-bit bands
+
+
+def image_phash(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint per image payload:
+    ``(id, b0..b3, phash)`` — 64 bits as four 16-bit bands plus the hex
+    string. Bit p is 1 iff grayscale pixel p exceeds the image mean; the
+    compare is integer-exact (``64·pixel > sum``) so no float reaches a bit
+    decision on either path.
+
+    With Pillow present the real decode runs (grayscale ``convert('L')``,
+    ``PHASH_GRID``² resize). Without it (this container) the DETERMINISTIC
+    FAKE takes pixel p = byte (p mod n) of the payload — SQL-replayable, so
+    the whole hash is oracle-checkable; do NOT ship the fake to production.
+
+    The banded layout is the LSH handle: two images within Hamming
+    distance 3 must share a band (pigeonhole over 4 bands), which is what
+    ``phash_neardup`` buckets on — same shape as MinHash-LSH band-joins.
+    """
+    pil = _try_import_pil()
+
+    def batches(it: Iterator) -> Iterator:
+        import io
+
+        import numpy as np
+        import pandas as pd
+
+        g2 = PHASH_GRID * PHASH_GRID
+        for pdf in it:
+            ids, b0, b1, b2, b3, hexes = [], [], [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[binary_col]):
+                data = bytes(payload) if payload is not None else b""
+                if not data:
+                    continue
+                px = None
+                if pil is not None:
+                    try:
+                        img = (
+                            pil.open(io.BytesIO(data))
+                            .convert("L")
+                            .resize((PHASH_GRID, PHASH_GRID))
+                        )
+                        px = np.asarray(img, dtype=np.int64).ravel()
+                    except Exception:
+                        px = None
+                if px is None:
+                    # DETERMINISTIC FAKE (no codec libs): repeat the payload
+                    # bytes to fill the grid.
+                    arr = np.frombuffer(data, np.uint8).astype(np.int64)
+                    px = arr[np.arange(g2) % len(arr)]
+                total = int(px.sum())
+                bits = (g2 * px > total).astype(np.int64)
+                bs = [
+                    int((bits[16 * j:16 * j + 16] << np.arange(16)).sum())
+                    for j in range(4)
+                ]
+                ids.append(i)
+                b0.append(bs[0])
+                b1.append(bs[1])
+                b2.append(bs[2])
+                b3.append(bs[3])
+                hexes.append("%04x%04x%04x%04x" % tuple(bs))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "b0": b0,
+                    "b1": b1,
+                    "b2": b2,
+                    "b3": b3,
+                    "phash": hexes,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        batches,
+        schema=f"{id_col} long, b0 int, b1 int, b2 int, b3 int, phash string",
+    )
+
+
+def phash_neardup(
+    hashes: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate image pairs from an ``image_phash`` frame:
+    ``(id_a < id_b, hamming)`` with popcount Hamming distance ≤
+    ``max_hamming``, candidates restricted to pairs sharing at least one
+    16-bit band (banded LSH, exactly the MinHash-LSH shape in
+    operators/dedup.py).
+
+    Recall contract: ``max_hamming`` ≤ 3 is EXACT by pigeonhole (≤ 3
+    differing bits cannot touch all 4 bands); larger radii are best-effort
+    like any LSH. Scale shape: only (id, band_idx, band_value, 4 band ints)
+    rows shuffle — never payloads; each band-value bucket joins within
+    itself, and the verify step is a codegen'd popcount, not Python.
+    """
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"), F.col(f"b{j}").alias("v")
+            )
+            for j in range(4)
+        ]
+    )
+    exploded = hashes.select(
+        F.col(id_col).alias("id"),
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.explode(bands).alias("band"),
+    ).select(
+        "id", "b0", "b1", "b2", "b3",
+        F.col("band.j").alias("j"), F.col("band.v").alias("v"),
+    )
+    left = exploded.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"b{j}").alias(f"a{j}") for j in range(4)],
+        "j", "v",
+    )
+    right = exploded.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"b{j}").alias(f"c{j}") for j in range(4)],
+        "j", "v",
+    )
+    cand = (
+        left.join(right, ["j", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .drop("j", "v")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"c{j}")))
+        for j in range(4)
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 AUDIO_FEATURE_DIM = 8
 
 

@@ -3736,6 +3736,86 @@ def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Image perceptual hash (aHash) + banded near-dup — closes the loop between
+# the multimodal surface and the dedup family. The REAL mapInPandas kernel
+# runs on documents.text encoded as a binary payload (fake codec: pixel p =
+# byte p mod n); the oracle replays every bit decision in SQL via hex-string
+# byte extraction, so the whole 64-bit hash is value-checked, not rows-only.
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.multimodal.binary import (  # noqa: E402
+    image_phash,
+    phash_neardup,
+)
+
+
+def _phash_band_sql(j: int) -> str:
+    lo = 16 * j
+    return (
+        f"CAST(list_sum(list_transform(range({lo}, {lo + 16}), "
+        f"k -> CASE WHEN 64 * px[k + 1] > total "
+        f"THEN 1 << (k - {lo}) ELSE 0 END)) AS INT) AS b{j}"
+    )
+
+
+_PHASH_BANDS_CTE = f"""
+    e AS (SELECT doc_id, hex(encode(text)) AS h,
+                 octet_length(encode(text)) AS n
+          FROM documents WHERE octet_length(encode(text)) > 0),
+    p AS (SELECT doc_id,
+                 list_transform(range(0, 64),
+                     q -> ('0x' || substring(h, 2 * (q % n) + 1, 2))::BIGINT
+                 ) AS px
+          FROM e),
+    s AS (SELECT doc_id, px, CAST(list_sum(px) AS BIGINT) AS total FROM p),
+    b AS (SELECT doc_id, {_phash_band_sql(0)}, {_phash_band_sql(1)},
+                 {_phash_band_sql(2)}, {_phash_band_sql(3)}
+          FROM s)
+"""
+
+
+@register(
+    "image_phash_q",
+    f"""
+    WITH {_PHASH_BANDS_CTE}
+    SELECT doc_id, b0, b1, b2, b3,
+           printf('%04x%04x%04x%04x', b0, b1, b2, b3) AS phash
+    FROM b
+    """,
+)
+def image_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    media = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return image_phash(media, "payload", "doc_id")
+
+
+@register(
+    "phash_neardup",
+    f"""
+    WITH {_PHASH_BANDS_CTE},
+    pairs AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+               x.b0 AS a0, x.b1 AS a1, x.b2 AS a2, x.b3 AS a3,
+               y.b0 AS c0, y.b1 AS c1, y.b2 AS c2, y.b3 AS c3
+        FROM b x JOIN b y
+          ON x.doc_id < y.doc_id
+         AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+    )
+    SELECT id_a, id_b, hamming FROM (
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+                  + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3))
+                 AS INT) AS hamming
+        FROM pairs
+    ) WHERE hamming <= 3
+    """,
+)
+def phash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    media = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return phash_neardup(image_phash(media, "payload", "doc_id"), "doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Training-pipeline text breadth: repetition quality signal, vocabulary
 # building, and train/test contamination detection.
 # ---------------------------------------------------------------------------

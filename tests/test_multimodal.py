@@ -125,3 +125,48 @@ def test_audio_features_fixed_dim_deterministic(media_df):
     assert all(len(v) == AUDIO_FEATURE_DIM for v in a.values())
     assert a == b  # deterministic
     assert a[3] == [0.0] * AUDIO_FEATURE_DIM  # empty payload
+
+
+def test_image_phash_pinned_and_stable(spark):
+    """The fake-codec aHash is deterministic and pinned: same payload →
+    same 64-bit hash regardless of batching/partitioning; empty payloads
+    are skipped."""
+    from iniz_exporters_spark.multimodal.binary import image_phash
+
+    rows = [(1, b"hello world"), (2, b"hello world"), (3, b"")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in
+           image_phash(df, "payload", "media_id").collect()}
+    assert set(got) == {1, 2}  # empty payload dropped
+    assert got[1]["phash"] == "ebddf75ed7baeebd"
+    assert [got[1][f"b{j}"] for j in range(4)] == [60381, 63326, 55226, 61117]
+    assert got[1]["phash"] == got[2]["phash"]
+    # partition layout must not change hashes
+    re = {r["media_id"]: r["phash"] for r in
+          image_phash(df.repartition(7), "payload", "media_id").collect()}
+    assert re == {i: got[i]["phash"] for i in got}
+
+
+def test_phash_neardup_banded_pairs(spark):
+    """Identical payloads pair at hamming 0; a far payload (hamming 22,
+    no shared band) never becomes a candidate; max_hamming widens the
+    verify radius but candidates still require a shared band."""
+    from iniz_exporters_spark.multimodal.binary import (
+        image_phash,
+        phash_neardup,
+    )
+
+    rows = [
+        (1, b"hello world"),
+        (2, b"hello world"),
+        (3, b"HELLO WORLD ENTIRELY DIFFERENT PAYLOAD 123456"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    h = image_phash(df, "payload", "media_id")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in phash_neardup(h, "media_id").collect()}
+    assert pairs == {(1, 2): 0}
+    # widening the radius cannot invent pairs without a shared band
+    wide = {(r["id_a"], r["id_b"]): r["hamming"]
+            for r in phash_neardup(h, "media_id", max_hamming=64).collect()}
+    assert (1, 3) not in wide and (2, 3) not in wide
