@@ -117,6 +117,100 @@ def duplicate_spans(
     )
 
 
+def _apply_merge(arr: F.Column, a: str, b: str) -> F.Column:
+    """One exhaustive left-to-right pass of BPE merge rule (a, b) → a+b over
+    a symbol array, as a Catalyst fold. A single pass IS exhaustive for one
+    rule: merging consumes both symbols and the merged symbol a+b can never
+    reform the pair (a, b) with a neighbor (symbols are non-empty, so
+    a+b ≠ a). try_element_at keeps the empty-accumulator probe NULL-safe
+    under ANSI mode."""
+    merged = a + b
+    return F.aggregate(
+        arr,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_apply_symbols(word_col: F.Column, merges: list[tuple[str, str]]):
+    """A word re-tokenized by a BPE merge table: split to characters, then
+    apply each merge rule exhaustively IN RANK ORDER. Rank-order sequential
+    application equals the priority-queue apply of a real tokenizer: a
+    rule's output symbol can only appear in rules learned after it, so once
+    rule r is exhausted no earlier rule can become applicable again.
+
+    Serving shape for 100 TB: the merge table is a static artifact (what a
+    tokenizer.json ships), the whole chain is one codegen'd expression per
+    row — no Python, no shuffle; segment the DISTINCT vocabulary and
+    broadcast-join back to the token stream so the fold runs per distinct
+    word, not per occurrence (see the bpe_apply_q registry entry).
+    """
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length(word_col)),
+        lambda i: F.substring(word_col, i, 1),
+    )
+    for a, b in merges:
+        syms = _apply_merge(syms, a, b)
+    return syms
+
+
+def bpe_learn(
+    df: DataFrame, text_col: str, k: int = 4
+) -> list[tuple[str, str]]:
+    """Train ``k`` BPE merges on the corpus: each round counts adjacent
+    symbol pairs across the (distinct-word, occurrence-weighted) vocabulary
+    and takes the most frequent (count desc, pair asc tiebreak — the
+    deterministic convention), then applies it before the next round.
+
+    Driver loop with ONE single-row collect per round (metadata-scale);
+    the pair counting is a groupBy over exploded (symbol, next) rows from
+    the distinct vocabulary weighted by word frequency — vocabulary-sized,
+    not corpus-sized, work per round.
+    """
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms_col = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.substring(F.col("w"), i, 1),
+    )
+    cur = vocab.select("w", "freq", syms_col.alias("syms")).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for _ in range(k):
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("syms"), i).alias("a"),
+                F.element_at(F.col("syms"), i + 1).alias("b"),
+            ),
+        )
+        top = (
+            cur.filter(F.size("syms") >= 2)
+            .select("freq", F.explode(pairs).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        cur = cur.withColumn(
+            "syms", _apply_merge(F.col("syms"), a, b)
+        ).localCheckpoint()
+    return merges
+
+
 def merge_pair_counts(
     df: DataFrame, text_col: str, top_n: int = 20
 ) -> DataFrame:

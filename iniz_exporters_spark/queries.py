@@ -5712,6 +5712,74 @@ def bpe_merge_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_pair_counts(d, "text", top_n=20)
 
 
+# ---------------------------------------------------------------------------
+# BPE merge-table APPLY: re-tokenize every word through a static merge table
+# (the serving shape — a tokenizer ships as a fixed artifact), applied
+# iteratively in rank order; rule 2 consumes rule 1's output symbol, so the
+# iterative semantics are genuinely exercised. Spark side: the fold chain
+# runs once per DISTINCT word (vocabulary-sized work) and broadcast-joins
+# back to the token stream. Oracle side: each merge is replayed as a
+# fixpoint recursive CTE of space-delimited replaces (leftmost-greedy
+# replace iterated to fixpoint equals the fold — one pass of a rule can
+# only miss occurrences split across a replaced boundary, which the next
+# iteration catches).
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.operators.lm import bpe_apply_symbols  # noqa: E402
+
+_BPE_MERGES = [("t", "h"), ("th", "e"), ("i", "n"), ("e", "r")]
+
+
+def _bpe_apply_sql(merges: list[tuple[str, str]]) -> str:
+    ctes = [
+        "f0 AS (SELECT w, ' ' || array_to_string(string_split(w, ''), ' ')"
+        " || ' ' AS s FROM (SELECT DISTINCT unnest("
+        + _SQL_TOKENS
+        + ") AS w FROM documents))"
+    ]
+    for i, (a, b) in enumerate(merges, start=1):
+        pat, rep = f"' {a} {b} '", f"' {a}{b} '"
+        ctes.append(
+            f"m{i} AS (SELECT w, s FROM f{i - 1} UNION ALL "
+            f"SELECT w, replace(s, {pat}, {rep}) FROM m{i} "
+            f"WHERE s <> replace(s, {pat}, {rep}))"
+        )
+        ctes.append(
+            f"f{i} AS (SELECT w, s FROM m{i} "
+            f"WHERE s = replace(s, {pat}, {rep}))"
+        )
+    n = len(merges)
+    return f"""
+    WITH RECURSIVE {", ".join(ctes)},
+    seg AS (SELECT w, len(string_split(trim(s), ' ')) AS n_sym FROM f{n}),
+    toks AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS w FROM documents)
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+    FROM toks JOIN seg USING (w)
+    GROUP BY doc_id
+    """
+
+
+@register("bpe_apply_q", _bpe_apply_sql(_BPE_MERGES))
+def bpe_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("doc_id", F.explode(_tokens("text")).alias("w"))
+    vocab = (
+        toks.select("w")
+        .distinct()
+        .select(
+            "w",
+            F.size(bpe_apply_symbols(F.col("w"), _BPE_MERGES)).alias(
+                "n_sym"
+            ),
+        )
+    )
+    return toks.join(F.broadcast(vocab), "w").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def _jl_sql(dim: int, out_dims: int) -> str:
     projs = []
     for j in range(out_dims):

@@ -906,3 +906,56 @@ def test_pq_encode_reconstruction_beats_random_codes(spark):
         for r in pq_encode(df, m=2, subdim=4, k=3, iters=2).collect()
     }
     assert again == by_id
+
+
+def test_bpe_apply_symbols_iterative_merges(spark):
+    """Rank-order application with a rule consuming an earlier rule's
+    output: 'theater' under [(t,h), (th,e)] → [the, a, t, e, r]."""
+    import pyspark.sql.functions as F
+
+    from iniz_exporters_spark.operators.lm import bpe_apply_symbols
+
+    df = spark.createDataFrame([("theater",), ("nothing",)], ["w"])
+    got = {
+        r["w"]: r["syms"]
+        for r in df.select(
+            "w",
+            bpe_apply_symbols(
+                F.col("w"), [("t", "h"), ("th", "e")]
+            ).alias("syms"),
+        ).collect()
+    }
+    assert got["theater"] == ["the", "a", "t", "e", "r"]
+    assert got["nothing"] == ["n", "o", "th", "i", "n", "g"]
+    # adjacent same-pair runs merge leftmost-first: 'hhh' + (h,h) → [hh, h]
+    run = spark.createDataFrame([("hhh",)], ["w"]).select(
+        bpe_apply_symbols(F.col("w"), [("h", "h")]).alias("s")
+    )
+    assert run.first()["s"] == ["hh", "h"]
+
+
+def test_bpe_learn_trains_expected_merges(spark):
+    """Hand-computed: corpus 'the then the' → vocab the(2), then(1).
+    Round 1: (h,e) and (t,h) tie at 3, pair-asc tiebreak picks (h,e);
+    round 2: (t,he)=3; round 3: (the,n)=1; round 4: no pairs left."""
+    from iniz_exporters_spark.operators.lm import (
+        bpe_apply_symbols,
+        bpe_learn,
+    )
+
+    df = spark.createDataFrame([("the then the",)], ["text"])
+    merges = bpe_learn(df, "text", k=4)
+    assert merges == [("h", "e"), ("t", "he"), ("the", "n")]
+
+    # applying the learned table re-derives whole-word tokens
+    import pyspark.sql.functions as F
+
+    words = spark.createDataFrame([("then",), ("the",)], ["w"])
+    got = {
+        r["w"]: r["s"]
+        for r in words.select(
+            "w", bpe_apply_symbols(F.col("w"), merges).alias("s")
+        ).collect()
+    }
+    assert got["then"] == ["then"]
+    assert got["the"] == ["the"]
