@@ -132,3 +132,32 @@ def test_catalog_jdbc_branch(spark, derby_db):
     loc = cat.table("location")
     got = {r["name"] for r in loc.select("name").collect()}
     assert got == {"HQ", "Clinic", "Old site"}
+
+
+def test_jdbc_filter_and_column_pushdown(spark, derby_db):
+    """At 100 TB the JDBC source's pushdown decides whether the database
+    ships rows or whole tables: an equality filter must reach the scan as a
+    PushedFilters entry (Derby evaluates it server-side) and the projection
+    must prune the scan to the referenced columns only."""
+    import pyspark.sql.functions as F
+
+    from iniz_exporters_spark.catalog import Catalog
+
+    cat = Catalog(
+        spark, jdbc_url=derby_db, jdbc_props={"user": "app", "password": "app"}
+    )
+    q = (
+        cat.table("location")
+        .filter(F.col("retired") == 0)
+        .select("name")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        ln for ln in plan.splitlines() if "JDBCRelation" in ln
+    )
+    assert "PushedFilters" in scan, plan
+    assert "EqualTo(RETIRED,0)" in scan.replace(" ", ""), scan
+    assert "IsNotNull(RETIRED)" in scan.replace(" ", ""), scan
+    # column pruning: the scan reads name + the filter column, nothing else
+    assert "NAME" in scan and "DESCRIPTION" not in scan, scan
+    assert sorted(r["name"] for r in q.collect()) == ["Clinic", "HQ"]
