@@ -1,0 +1,82 @@
+"""Host/URL-level web-corpus curation (CCNet-style).
+
+The standard web-corpus lever: no single host may dominate the training
+mix. Three pieces, all deterministic and shuffle-lean:
+
+  * ``url_host`` / ``apex_domain`` — pure Catalyst URL parsing
+    (``parse_url``), one codegen'd scan, no Python.
+  * ``host_cap`` — at most ``cap`` docs per host, drawn uniformly and
+    reproducibly (content-keyed hash rank — the per-group reservoir shape
+    from operators/sampling.py); one window shuffle on the host key.
+  * ``host_rate_sample`` — per-host adaptive downsampling to ~``target``
+    rows/host: keep iff ``poly_hash(id) % host_n < target``. Exact in
+    expectation, content-keyed (rerun/engine/partitioning-stable), and the
+    host-size frame it joins is host-count-sized metadata, not corpus rows.
+
+At 100 TB: host counts are a ~millions-row aggregate (broadcastable); the
+cap window parallelizes per host and a mega-host costs one partition's
+sort of its own rows, never a global sort. Skewed hosts are exactly the
+rows this operator deletes, so the skew self-heals downstream.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from iniz_exporters_spark.functions.text import poly_hash
+from iniz_exporters_spark.operators.sampling import reservoir_per_group
+
+
+def url_host(url: Column | str) -> Column:
+    """Hostname of a URL (port excluded), JVM-side via ``parse_url``."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.parse_url(c, F.lit("HOST"))
+
+
+def apex_domain(host: Column | str) -> Column:
+    """Registrable-domain stand-in: the last two dot-labels
+    ('www.news.example.com' → 'example.com'); single-label hosts pass
+    through. A production deployment swaps in the public-suffix list —
+    two-label apex is the deterministic approximation (documented
+    limitation: co.uk-style suffixes collapse to the suffix).
+    """
+    c = F.col(host) if isinstance(host, str) else host
+    parts = F.split(c, r"\.")
+    return F.when(
+        F.size(parts) >= 2,
+        F.concat_ws(
+            ".", F.element_at(parts, -2), F.element_at(parts, -1)
+        ),
+    ).otherwise(c)
+
+
+def host_cap(
+    df: DataFrame,
+    host_col: str,
+    id_col: str,
+    cap: int,
+    rn_col: str = "rn",
+) -> DataFrame:
+    """At most ``cap`` rows per host, chosen uniformly & deterministically
+    (hash-rank reservoir — see reservoir_per_group for the scale shape)."""
+    return reservoir_per_group(df, host_col, id_col, cap, rn_col=rn_col)
+
+
+def host_rate_sample(
+    df: DataFrame,
+    host_col: str,
+    id_col: str,
+    target: int,
+) -> DataFrame:
+    """Rows surviving per-host downsampling to ~``target`` rows/host:
+    keep iff ``poly_hash(id) % host_n < target`` — hosts at or under
+    ``target`` keep everything, larger hosts keep a uniform ~target-sized
+    deterministic subset."""
+    counts = df.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("__host_n")
+    )
+    gate = (
+        poly_hash(F.col(id_col).cast("string")) % F.col("__host_n")
+    ) < F.lit(target)
+    return df.join(counts, host_col).filter(gate).drop("__host_n")

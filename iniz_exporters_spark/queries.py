@@ -5780,6 +5780,122 @@ def bpe_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Host/URL-level web-corpus curation (CCNet-style): the documents table has
+# no URL column, so each query synthesizes a deterministic URL from
+# (source, doc_id, lang) and then runs the REAL operators — parse_url
+# extraction, per-host reservoir caps, per-host adaptive rate sampling.
+# The oracle rebuilds the same URL and replays the string/window/gate
+# arithmetic, so Spark's parse_url is checked against constructed truth.
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.operators.webcorpus import (  # noqa: E402
+    apex_domain,
+    host_cap,
+    host_rate_sample,
+    url_host,
+)
+
+
+def _synth_url() -> F.Column:
+    return F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".example.com:8443/d/"),
+        F.col("doc_id"),
+        F.lit("?ref="),
+        F.col("lang"),
+    )
+
+
+@register(
+    "url_parts_q",
+    """
+    SELECT doc_id,
+           'www.' || source || '.example.com' AS host,
+           'example.com' AS apex,
+           '/d/' || doc_id AS path,
+           lang AS ref
+    FROM documents
+    """,
+)
+def url_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    url = _synth_url()
+    host = url_host(url)
+    return d.select(
+        "doc_id",
+        host.alias("host"),
+        apex_domain(host).alias("apex"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref"),
+    )
+
+
+@register(
+    "host_cap_sample",
+    f"""
+    WITH u AS (SELECT doc_id, source || '.example.com' AS host
+               FROM documents)
+    SELECT host, doc_id, rn FROM (
+        SELECT host, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY host
+                   ORDER BY {_SQL_POLY.format(s="doc_id::VARCHAR")} ASC,
+                            doc_id ASC) AS rn
+        FROM u) t
+    WHERE rn <= 7
+    """,
+)
+def host_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    hosts = d.select(
+        "doc_id",
+        url_host(
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.com/d/"),
+                F.col("doc_id"),
+            )
+        ).alias("host"),
+    )
+    return host_cap(hosts, "host", "doc_id", cap=7).select(
+        "host", "doc_id", "rn"
+    )
+
+
+@register(
+    "host_rate_sample_q",
+    f"""
+    WITH u AS (SELECT doc_id, source || '.example.com' AS host
+               FROM documents),
+    c AS (SELECT host, COUNT(*) AS n FROM u GROUP BY host)
+    SELECT host, COUNT(*) AS n_kept
+    FROM u JOIN c USING (host)
+    WHERE ({_SQL_POLY.format(s="doc_id::VARCHAR")}) % n < 5
+    GROUP BY host
+    """,
+)
+def host_rate_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    hosts = d.select(
+        "doc_id",
+        url_host(
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.com/d/"),
+                F.col("doc_id"),
+            )
+        ).alias("host"),
+    )
+    return (
+        host_rate_sample(hosts, "host", "doc_id", target=5)
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
 def _jl_sql(dim: int, out_dims: int) -> str:
     projs = []
     for j in range(out_dims):

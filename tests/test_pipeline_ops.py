@@ -218,3 +218,41 @@ def test_deterministic_shuffle_is_layout_independent(spark):
     # different seed -> different order
     c = deterministic_shuffle(d, "doc_id", seed="s2", partitions=4)
     assert [r["doc_id"] for r in c.select("doc_id").toLocalIterator()] != want
+
+
+def test_apex_domain_edges(spark):
+    import pyspark.sql.functions as F
+
+    from iniz_exporters_spark.operators.webcorpus import apex_domain
+
+    df = spark.createDataFrame(
+        [("www.news.example.com",), ("example.com",), ("localhost",)],
+        ["h"],
+    )
+    got = [r["a"] for r in
+           df.select(apex_domain(F.col("h")).alias("a")).collect()]
+    assert got == ["example.com", "example.com", "localhost"]
+
+
+def test_host_rate_sample_keeps_small_hosts_whole(spark):
+    """Hosts at or under the target keep every row; big hosts shrink to a
+    deterministic ~target subset, identical across reruns/partitionings."""
+    from iniz_exporters_spark.operators.webcorpus import host_rate_sample
+
+    rows = [(i, "big.com") for i in range(200)] + [
+        (1000 + i, "small.com") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    kept = host_rate_sample(df, "host", "doc_id", target=5)
+    by_host = {
+        r["host"]: r["n"]
+        for r in kept.groupBy("host").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert by_host["small.com"] == 3  # under target → untouched
+    assert 0 < by_host.get("big.com", 0) < 25  # ~5 expected, bounded
+    again = host_rate_sample(df.repartition(13), "host", "doc_id", target=5)
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
