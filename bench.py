@@ -2,13 +2,19 @@
 """Benchmark: run the engine's headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: median_sec}, "runs": {name: [sec, ...]}, "sf": ...}.
+
+Per-query times are the MEDIAN of $SPARK_GRAFT_BENCH_RUNS (default 3)
+interleaved passes — single-run times at sf0.1 carry ±2× JIT/GC noise
+(PERFORMANCE.md), so round-over-round comparisons need the median, and the
+raw runs are emitted alongside for spread inspection.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -37,12 +43,17 @@ def main() -> None:
     for spec in headline.values():
         run(spec, "/root/testdata/sf0.001")
 
-    times: dict[str, float] = {}
-    for name, spec in headline.items():
-        t0 = time.perf_counter()
-        run(spec, sf_dir)
-        times[name] = round(time.perf_counter() - t0, 3)
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    runs: dict[str, list[float]] = {name: [] for name in headline}
+    # full interleaved passes (not per-query back-to-back) so a transient
+    # GC/load spike lands on one pass, not one query's entire sample
+    for _ in range(n_runs):
+        for name, spec in headline.items():
+            t0 = time.perf_counter()
+            run(spec, sf_dir)
+            runs[name].append(round(time.perf_counter() - t0, 3))
 
+    times = {n: round(statistics.median(r), 3) for n, r in runs.items()}
     print(
         json.dumps(
             {
@@ -50,6 +61,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -10,7 +10,11 @@ import sys
 def test_bench_emits_one_json_line_with_all_headline_queries():
     from iniz_exporters_spark.queries import REGISTRY
 
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_RUNS="2",
+    )
     out = subprocess.run(
         [sys.executable, "bench.py"],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -32,3 +36,11 @@ def test_bench_emits_one_json_line_with_all_headline_queries():
     assert set(payload["queries"]) == headline
     assert payload["value"] > 0
     assert abs(sum(payload["queries"].values()) - payload["value"]) < 0.01
+    # medians-of-N contract: raw runs emitted per query, median is the
+    # reported time
+    import statistics
+
+    assert set(payload["runs"]) == headline
+    for name, rs in payload["runs"].items():
+        assert len(rs) == 2
+        assert payload["queries"][name] == round(statistics.median(rs), 3)
