@@ -1395,6 +1395,47 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q4",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1995-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4's EXISTS is a LEFT SEMI join: the lineitem side is key+date
+    projected before the shuffle, the semi join never duplicates order
+    rows, and the priority agg combines map-side. Completes the TPC-H
+    suite (q1 appears as q1_pricing_summary). The synthetic lineitem has
+    no commit/receipt dates, so "late line item" is l_shipdate more than
+    60 days after the order date — same correlated-EXISTS shape."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        cat.orders.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
 # TPC-H Q5 (local supplier volume): 6-table join; region/nation broadcast,
 # the fact-side joins shuffle on their keys; one hash agg on n_name.
 @register(
