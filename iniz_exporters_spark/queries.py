@@ -5937,6 +5937,82 @@ def host_rate_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules + tokenizer OOV coverage — the two
+# standard curation dials beside the classifier/heuristic scores already in
+# the registry. Both pure Catalyst; the OOV vocabulary is a top-K frame
+# that broadcasts.
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.operators.curation import (  # noqa: E402
+    GOPHER_STOPWORDS,
+    gopher_quality,
+    oov_rate,
+    top_k_vocab,
+)
+
+_GOPHER_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS) + "]"
+
+
+@register(
+    "gopher_filter_q",
+    rf"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> '') AS ws
+        FROM documents),
+    m AS (
+        SELECT doc_id,
+               len(ws) AS n_words,
+               ROUND(CAST(CAST(list_sum(list_transform(ws, x -> length(x)))
+                               AS DOUBLE) / len(ws)
+                          AS DECIMAL(28,6)), 4)::DOUBLE AS mean_word_len,
+               ROUND(CAST(CAST(len(list_filter(ws,
+                                   x -> regexp_matches(x, '[a-zA-Z]')))
+                               AS DOUBLE) / len(ws)
+                          AS DECIMAL(28,6)), 4)::DOUBLE AS frac_alpha_words,
+               len(list_intersect(list_distinct(ws), {_GOPHER_STOP_SQL}))
+                   AS n_stopwords
+        FROM w WHERE len(ws) > 0)
+    SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stopwords,
+           (n_words BETWEEN 10 AND 100000)
+           AND (mean_word_len BETWEEN 2.0 AND 12.0)
+           AND frac_alpha_words >= 0.8
+           AND n_stopwords >= 1 AS keep
+    FROM m
+    """,
+)
+def gopher_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return d.select("doc_id", *gopher_quality(F.col("text"))).filter(
+        F.col("n_words") > 0
+    )
+
+
+@register(
+    "oov_rate_q",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
+    v AS (SELECT tok FROM (
+              SELECT tok,
+                     ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC)
+                         AS rn
+              FROM t GROUP BY tok) WHERE rn <= 100)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(CAST(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                           AS DOUBLE) / COUNT(*)
+                      AS DECIMAL(28,6)), 4)::DOUBLE AS oov_rate
+    FROM t LEFT JOIN v ON t.tok = v.tok
+    GROUP BY doc_id
+    """,
+)
+def oov_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("doc_id", F.explode(_tokens("text")).alias("tok"))
+    vocab = top_k_vocab(toks, "tok", 100)
+    return oov_rate(toks, "doc_id", "tok", vocab)
+
+
 def _jl_sql(dim: int, out_dims: int) -> str:
     projs = []
     for j in range(out_dims):

@@ -256,3 +256,50 @@ def test_host_rate_sample_keeps_small_hosts_whole(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_gopher_quality_rules(spark):
+    import pyspark.sql.functions as F
+
+    from iniz_exporters_spark.operators.curation import gopher_quality
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and then naps"),
+        (2, "1 2 3 4 5 6 7 8 9 10 11 12"),  # no alpha words, no stopwords
+        (3, "to be"),  # under min_words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *gopher_quality(F.col("text"))
+        ).collect()
+    }
+    assert got[1]["keep"] is True
+    assert got[1]["n_stopwords"] == 2  # 'the', 'and'
+    assert got[2]["keep"] is False  # frac_alpha 0.0, no stopwords
+    assert got[2]["frac_alpha_words"] == 0.0
+    assert got[3]["keep"] is False  # 2 words < min 10
+    assert got[3]["n_words"] == 2
+
+
+def test_oov_rate_against_vocab(spark):
+    import pyspark.sql.functions as F
+
+    from iniz_exporters_spark.operators.curation import (
+        oov_rate,
+        top_k_vocab,
+    )
+
+    toks = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "x"), (1, "y"), (2, "a"), (2, "b")],
+        "doc_id long, tok string",
+    )
+    vocab = top_k_vocab(toks, "tok", 2)  # 'a'(3) and 'b'(1) — b beats x,y
+    assert sorted(r["tok"] for r in vocab.collect()) == ["a", "b"]
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["oov_rate"])
+        for r in oov_rate(toks, "doc_id", "tok", vocab).collect()
+    }
+    assert got[1] == (4, 0.5)  # x, y of 4 are OOV
+    assert got[2] == (2, 0.0)
