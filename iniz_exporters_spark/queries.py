@@ -5765,7 +5765,10 @@ def bpe_merge_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only miss occurrences split across a replaced boundary, which the next
 # iteration catches).
 # ---------------------------------------------------------------------------
-from iniz_exporters_spark.operators.lm import bpe_apply_symbols  # noqa: E402
+from iniz_exporters_spark.operators.lm import (  # noqa: E402
+    bpe_apply_symbols,
+    bpe_learn,
+)
 
 _BPE_MERGES = [("t", "h"), ("th", "e"), ("i", "n"), ("e", "r")]
 
@@ -5799,6 +5802,57 @@ def _bpe_apply_sql(merges: list[tuple[str, str]]) -> str:
     FROM toks JOIN seg USING (w)
     GROUP BY doc_id
     """
+
+
+def _bpe_learn_sql(k: int) -> str:
+    """DuckDB replay of ``bpe_learn``: per round, the weighted top pair
+    (count desc, pair asc) via a scalar-subquery'd ordered LIMIT 1, then a
+    fixpoint recursive-CTE replace (same machinery as _bpe_apply_sql) to
+    re-segment the vocabulary before the next round. Assumes every round
+    finds at least one pair (true on any non-degenerate corpus; the Spark
+    side breaks out early on a dry round)."""
+    syms = "string_split(trim(s), ' ')"
+    ctes = [
+        "f0 AS (SELECT w, freq, ' ' || array_to_string(string_split(w, ''),"
+        " ' ') || ' ' AS s FROM (SELECT w, COUNT(*) AS freq FROM ("
+        f"SELECT unnest({_SQL_TOKENS}) AS w FROM documents) GROUP BY w))"
+    ]
+    for r in range(1, k + 1):
+        pat = f"(SELECT ' '||a||' '||b||' ' FROM t{r})"
+        rep = f"(SELECT ' '||a||b||' ' FROM t{r})"
+        ctes.append(
+            f"t{r} AS (SELECT syms[i] AS a, syms[i+1] AS b FROM ("
+            f"SELECT {syms} AS syms, freq, "
+            f"unnest(range(1, len({syms}))) AS i FROM f{r - 1}) "
+            "GROUP BY a, b ORDER BY SUM(freq) DESC, a ASC, b ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"m{r} AS (SELECT w, freq, s FROM f{r - 1} UNION ALL "
+            f"SELECT w, freq, replace(s, {pat}, {rep}) FROM m{r} "
+            f"WHERE s <> replace(s, {pat}, {rep}))"
+        )
+        ctes.append(
+            f"f{r} AS (SELECT w, freq, s FROM m{r} "
+            f"WHERE s = replace(s, {pat}, {rep}))"
+        )
+    ranks = " UNION ALL ".join(
+        f"SELECT {r} AS rank, a, b FROM t{r}" for r in range(1, k + 1)
+    )
+    return f"WITH RECURSIVE {', '.join(ctes)} {ranks}"
+
+
+@register("bpe_learn_q", _bpe_learn_sql(3))
+def bpe_learn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training itself, driver-checked: 3 merge rounds learned on the
+    corpus vocabulary (weighted by word frequency), emitted as
+    (rank, a, b). The Spark side is the bpe_learn driver loop — one
+    single-row collect per round; the oracle replays every round in SQL."""
+    d = Catalog(spark, sf_dir).documents
+    merges = bpe_learn(d, "text", k=3)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string",
+    )
 
 
 @register("bpe_apply_q", _bpe_apply_sql(_BPE_MERGES))
