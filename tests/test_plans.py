@@ -350,3 +350,54 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(conf)
             else:
                 spark.conf.set(conf, val)
+
+
+def test_bpe_apply_vocab_broadcasts(spark):
+    """The BPE fold chain must run per DISTINCT word and broadcast-join
+    back to the token stream — segmenting per occurrence would redo the
+    fold corpus-size times at 100 TB."""
+    plan = physical(run("bpe_apply_q", spark))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_oov_vocab_broadcasts(spark):
+    """The top-K vocabulary side of the OOV join is bounded by K — it must
+    broadcast; shuffling the token stream against it would be a
+    corpus-sized exchange for a metadata-sized lookup."""
+    plan = physical(run("oov_rate_q", spark))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_phash_neardup_band_join_carries_no_payload(spark):
+    """The banded LSH self-join moves (id, band, value, 4 band ints) rows
+    only — binary payloads are consumed by the hash kernel and must not
+    appear in any join/exchange/aggregate/generate node's row schema."""
+    plan = physical(run("phash_neardup", spark))
+    for ln in plan.splitlines():
+        if any(
+            op in ln
+            for op in (
+                "Exchange",
+                "HashAggregate",
+                "BroadcastHashJoin",
+                "SortMergeJoin",
+                "Generate",
+            )
+        ):
+            assert "payload" not in ln, ln
+
+
+def test_hll_error_check_sketch_partials(spark):
+    """Both HLL paths must partial-aggregate map-side: the shuffle carries
+    fixed-size sketch state, never distinct values."""
+    plan = physical(run("hll_error_check", spark))
+    assert "partial_hll_sketch_agg" in plan or "hll_sketch_agg" in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_host_cap_single_window_shuffle(spark):
+    """The per-host reservoir cap is one hash-partition window on the host
+    key — no global sort, no extra exchanges."""
+    plan = physical(run("host_cap_sample", spark))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange rangepartitioning" not in plan, plan
