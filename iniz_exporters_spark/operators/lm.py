@@ -117,6 +117,81 @@ def duplicate_spans(
     )
 
 
+def span_dedup_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """APPLY span-level dedup (the step after ``duplicate_spans`` flags
+    cross-document spans): per document, count the token positions covered
+    by any flagged span — (id, n_tokens, n_covered, n_kept) where
+    n_kept = tokens surviving removal of every flagged window.
+
+    Fully relational (Lee et al.'s removal accounting without per-row
+    Python): span hashes explode to (id, pos, hash) rows, flagged hashes
+    come from one groupBy, coverage is a ``sequence(pos, pos+span-1)``
+    explode deduplicated per doc. Only (id, pos, hash) rows ever shuffle —
+    never text — and the flagged-hash frame is duplicate-count-sized.
+    """
+    toks = df.select(
+        id_col, tokens(text_col).alias("__t")
+    )
+    spans = (
+        toks.filter(F.size("__t") >= span)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - (span - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        poly_hash(
+                            F.array_join(F.slice(F.col("__t"), i, span), " ")
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("__s"),
+        )
+        .select(id_col, F.col("__s.pos").alias("pos"), F.col("__s.h").alias("h"))
+    )
+    flagged = (
+        spans.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("h")
+    )
+    covered = (
+        spans.join(flagged, "h")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (span - 1))
+            ).alias("cpos"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__ncov"))
+    )
+    return (
+        toks.select(id_col, F.size("__t").alias("n_tokens"))
+        .join(covered, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("__ncov"), F.lit(0))
+            .cast("long")
+            .alias("n_covered"),
+            (
+                F.col("n_tokens") - F.coalesce(F.col("__ncov"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+
+
 def _apply_merge(arr: F.Column, a: str, b: str) -> F.Column:
     """One exhaustive left-to-right pass of BPE merge rule (a, b) → a+b over
     a symbol array, as a Catalyst fold. A single pass IS exhaustive for one

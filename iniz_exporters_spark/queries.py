@@ -5732,6 +5732,39 @@ def dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "span_dedup_trim",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    spans AS (SELECT doc_id, i,
+                     {_SQL_POLY.format(s="array_to_string(t[i:i+4], ' ')")}
+                         AS h
+              FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+                    FROM toks WHERE len(t) >= 5)),
+    flagged AS (SELECT h FROM spans
+                GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    covered AS (SELECT doc_id, COUNT(*) AS ncov FROM (
+        SELECT DISTINCT s.doc_id, s.i + u.d AS pos
+        FROM spans s JOIN flagged f ON s.h = f.h, range(0, 5) u(d))
+        GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.ncov, 0) AS BIGINT) AS n_covered,
+           CAST(len(t.t) - COALESCE(c.ncov, 0) AS BIGINT) AS n_kept
+    FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id
+    """,
+)
+def span_dedup_trim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup APPLIED (the removal accounting after dup_spans
+    flags repeated windows): per doc, how many token positions fall inside
+    any cross-document 5-token span, and how many tokens survive the trim.
+    Fully relational — see operators/lm.span_dedup_counts."""
+    from iniz_exporters_spark.operators.lm import span_dedup_counts
+
+    d = Catalog(spark, sf_dir).documents
+    return span_dedup_counts(d, "doc_id", "text", span=5, min_docs=2)
+
+
+@register(
     "bpe_merge_pairs",
     f"""
     SELECT pair, cnt, rn FROM (
