@@ -6100,6 +6100,95 @@ def oov_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oov_rate(toks, "doc_id", "tok", vocab)
 
 
+# ---------------------------------------------------------------------------
+# Per-dimension embedding statistics — the feature-standardization audit
+# (mean/std per dim feeds z-scoring, whitening, and drift monitors).
+# Cross-row sums go through exact DECIMAL (order-independent) so the
+# per-dim mean/std hash-match across engines; per-element squares are
+# deterministic double ops.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_dim_stats",
+    """
+    WITH ex AS (SELECT unnest(range(len(embedding))) AS pos,
+                       unnest(embedding) AS v
+                FROM embeddings)
+    SELECT pos, COUNT(*) AS n,
+           ROUND(CAST(CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE)
+                      / COUNT(*) AS DECIMAL(28,8)), 4)::DOUBLE AS mean,
+           ROUND(CAST(sqrt(
+                 CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                               AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)
+                 - pow(CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE)
+                       / COUNT(*), 2)) AS DECIMAL(28,8)), 4)::DOUBLE AS std
+    FROM ex GROUP BY pos
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    ex = e.select(F.posexplode("embedding").alias("pos", "v"))
+    s = F.sum(F.col("v").cast("decimal(18,8)")).cast("double")
+    ssq = F.sum(
+        (F.col("v").cast("double") * F.col("v").cast("double")).cast(
+            "decimal(28,10)"
+        )
+    ).cast("double")
+    n = F.count(F.lit(1))
+    return ex.groupBy(F.col("pos").cast("long").alias("pos")).agg(
+        n.alias("n"),
+        F.round((s / n).cast("decimal(28,8)"), 4)
+        .cast("double")
+        .alias("mean"),
+        F.round(
+            F.sqrt(ssq / n - F.pow(s / n, F.lit(2))).cast("decimal(28,8)"),
+            4,
+        )
+        .cast("double")
+        .alias("std"),
+    )
+
+
+# Bounded-error contract for the approx-quantile family (the
+# approx_distinct_check pattern): the estimate itself is
+# implementation-defined, its error bound is engine-stable.
+@register(
+    "approx_quantile_check",
+    """
+    SELECT l_returnflag,
+           ROUND(CAST(quantile_cont(l_extendedprice, 0.5)
+                      AS DECIMAL(28,3)), 2)::DOUBLE AS exact_p50,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.expr(
+                    "percentile(l_extendedprice, 0.5)"
+                ).cast("decimal(28,3)"),
+                2,
+            )
+            .cast("double")
+            .alias("exact_p50"),
+            F.expr(
+                "approx_percentile(l_extendedprice, 0.5, 10000)"
+            ).alias("__approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_p50",
+            (
+                F.abs(F.col("__approx") - F.col("exact_p50"))
+                <= 0.02 * F.col("exact_p50")
+            ).alias("approx_ok"),
+        )
+    )
+
+
 def _jl_sql(dim: int, out_dims: int) -> str:
     projs = []
     for j in range(out_dims):
