@@ -6148,6 +6148,83 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Whitening applied: each vector z-scored per dimension against the
+# corpus stats above, reported as the whitened L2 norm (the Mahalanobis-
+# with-diagonal-covariance distance from the corpus mean — the outlier
+# score feeding embedding-space pruning). The 64-row stats frame is a
+# metadata-scale collect (the IVF-centroid convention); the z-transform
+# itself is one codegen'd fold per row, no joins, no shuffle beyond the
+# stats agg.
+@register(
+    "whitened_norm_q",
+    """
+    WITH ex AS (SELECT unnest(range(len(embedding))) AS pos,
+                       unnest(embedding) AS v
+                FROM embeddings),
+    st AS (SELECT pos,
+                  CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE)
+                      / COUNT(*) AS mean,
+                  sqrt(CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                                     AS DECIMAL(28,10))) AS DOUBLE)
+                       / COUNT(*)
+                       - pow(CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE)
+                             / COUNT(*), 2)) AS std
+           FROM ex GROUP BY pos),
+    arr AS (SELECT list(mean ORDER BY pos) AS means,
+                   list(std ORDER BY pos) AS stds FROM st)
+    SELECT vec_id,
+           ROUND(CAST(sqrt(list_reduce(
+               list_transform(range(1, len(embedding) + 1),
+                   i -> pow((CAST(embedding[i] AS DOUBLE) - means[i])
+                            / stds[i], 2)),
+               (a, b) -> a + b)) AS DECIMAL(28,8)), 4)::DOUBLE
+               AS whitened_norm
+    FROM embeddings, arr
+    """,
+)
+def whitened_norm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    ex = e.select(F.posexplode("embedding").alias("pos", "v"))
+    s = F.sum(F.col("v").cast("decimal(18,8)")).cast("double")
+    ssq = F.sum(
+        (F.col("v").cast("double") * F.col("v").cast("double")).cast(
+            "decimal(28,10)"
+        )
+    ).cast("double")
+    n = F.count(F.lit(1))
+    stats = (
+        ex.groupBy("pos")
+        .agg(
+            (s / n).alias("mean"),
+            F.sqrt(ssq / n - F.pow(s / n, F.lit(2))).alias("std"),
+        )
+        .orderBy("pos")
+        .collect()  # metadata-scale: one row per embedding dimension
+    )
+    means = F.array(*[F.lit(r["mean"]) for r in stats])
+    stds = F.array(*[F.lit(r["std"]) for r in stats])
+    z2 = F.transform(
+        F.sequence(F.lit(1), F.size("embedding")),
+        lambda i: F.pow(
+            (F.element_at("embedding", i).cast("double")
+             - F.element_at(means, i))
+            / F.element_at(stds, i),
+            F.lit(2),
+        ),
+    )
+    return e.select(
+        "vec_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(z2, F.lit(0.0), lambda a, x: a + x)
+            ).cast("decimal(28,8)"),
+            4,
+        )
+        .cast("double")
+        .alias("whitened_norm"),
+    )
+
+
 # Bounded-error contract for the approx-quantile family (the
 # approx_distinct_check pattern): the estimate itself is
 # implementation-defined, its error bound is engine-stable.
