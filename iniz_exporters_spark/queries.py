@@ -6491,6 +6491,82 @@ from iniz_exporters_spark.operators.sketches import (  # noqa: E402
 )
 
 
+# Deterministic train/val/test assignment applied to the corpus: stable
+# content-keyed buckets (sorted-label ranges over poly_hash % 100) so the
+# oracle replays the exact residue arithmetic. Counts per (split, lang)
+# prove both the range allocation and that appending data never moves rows.
+from iniz_exporters_spark.operators.sampling import hash_split  # noqa: E402
+
+
+@register(
+    "hash_split_q",
+    f"""
+    WITH b AS (SELECT lang,
+                      ({_SQL_POLY.format(s="doc_id::VARCHAR")}) % 100 AS bk
+               FROM documents)
+    SELECT CASE WHEN bk < 10 THEN 'test'
+                WHEN bk < 90 THEN 'train'
+                ELSE 'val' END AS split,
+           lang, COUNT(*) AS n
+    FROM b GROUP BY split, lang
+    """,
+)
+def hash_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    split = hash_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# Count-Min Sketch layer, driver-checkable (the hll_error_check pattern):
+# CMS point estimates never undercount and overcount by ≤ eps·N with the
+# configured confidence — both facts are engine-stable booleans even
+# though the raw estimate is implementation-defined. The sketch merge is
+# counter addition (order-independent), so the checked values are
+# partitioning-proof.
+@register(
+    "cms_error_check",
+    f"""
+    WITH t AS (SELECT unnest({_SQL_TOKENS}) AS tok FROM documents),
+    v AS (SELECT tok FROM (
+              SELECT tok,
+                     ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC)
+                         AS rn
+              FROM t GROUP BY tok) WHERE rn <= 10)
+    SELECT tok, COUNT(*) AS exact_cnt, TRUE AS cms_ok
+    FROM t JOIN v USING (tok)
+    GROUP BY tok
+    """,
+)
+def cms_error_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iniz_exporters_spark.operators.sketches import cms_heavy_hitters
+
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select(F.explode(_tokens("text")).alias("tok"))
+    top = [r["tok"] for r in top_k_vocab(toks, "tok", 10).collect()]
+    eps = 0.001
+    sketch = cms_heavy_hitters(toks, "tok", eps=eps, seed=42)
+    total = sketch.totalCount()
+    est = spark.createDataFrame(
+        [(t, int(sketch.estimateCount(t))) for t in top],
+        "tok string, est long",
+    )
+    exact = toks.filter(F.col("tok").isin(top)).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    return exact.join(F.broadcast(est), "tok").select(
+        "tok",
+        "exact_cnt",
+        (
+            (F.col("est") >= F.col("exact_cnt"))
+            & (F.col("est") <= F.col("exact_cnt") + int(eps * total) + 1)
+        ).alias("cms_ok"),
+    )
+
+
 @register(
     "hll_error_check",
     """
