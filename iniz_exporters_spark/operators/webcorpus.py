@@ -51,6 +51,32 @@ def apex_domain(host: Column | str) -> Column:
     ).otherwise(c)
 
 
+def canonicalize_url(url: Column | str, drop_param_prefix: str = "utm_") -> Column:
+    """Canonical form of a URL for dedup/grouping: https scheme, lowercased
+    host (default port dropped by HOST extraction), trailing slashes
+    stripped from the path, tracking parameters (``utm_*`` by default)
+    removed from the query string. Pure Catalyst — parse_url + a
+    filter/join over the split query — one codegen'd scan."""
+    c = F.col(url) if isinstance(url, str) else url
+    host = F.lower(F.parse_url(c, F.lit("HOST")))
+    path = F.regexp_replace(
+        F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit("")), "/+$", ""
+    )
+    q = F.array_join(
+        F.filter(
+            F.split(F.coalesce(F.parse_url(c, F.lit("QUERY")), F.lit("")), "&"),
+            lambda p: (~p.rlike(f"^{drop_param_prefix}")) & (p != F.lit("")),
+        ),
+        "&",
+    )
+    return F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+
+
 def host_cap(
     df: DataFrame,
     host_col: str,

@@ -5918,6 +5918,7 @@ def bpe_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 from iniz_exporters_spark.operators.webcorpus import (  # noqa: E402
     apex_domain,
+    canonicalize_url,
     host_cap,
     host_rate_sample,
     url_host,
@@ -6021,6 +6022,76 @@ def host_rate_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         host_rate_sample(hosts, "host", "doc_id", target=5)
         .groupBy("host")
         .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+# URL canonicalization — the dedup key for web documents: the Spark side
+# parses a deliberately MESSY synthesized URL (uppercase host, default
+# port, tracking params, trailing slash) with real parse_url machinery;
+# the oracle constructs the clean truth directly from the source columns.
+@register(
+    "url_canonicalize_q",
+    """
+    SELECT doc_id,
+           'https://www.' || source || '.example.com/d/' || doc_id
+               || '?ref=' || lang AS canon_url
+    FROM documents
+    """,
+)
+def url_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    messy = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper(F.col("source")),
+        F.lit(".Example.COM:443/d/"),
+        F.col("doc_id"),
+        F.lit("/?utm_source=x&ref="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id", canonicalize_url(messy).alias("canon_url")
+    )
+
+
+# Int8 embedding quantization contract: the per-vector scale is exact
+# arithmetic (max |v| / 127) and the reconstruction error of symmetric
+# round-to-nearest quantization is ≤ scale/2 by construction — emitted as
+# a boolean, so the check is stable regardless of either engine's rounding
+# tie convention.
+@register(
+    "int8_quantize_check",
+    """
+    SELECT vec_id,
+           ROUND(CAST(list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) / 127
+                 AS DECIMAL(28,8)), 6)::DOUBLE AS scale_r,
+           TRUE AS q_ok
+    FROM embeddings
+    """,
+)
+def int8_quantize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    absv = F.transform(
+        F.col("embedding"), lambda x: F.abs(x.cast("double"))
+    )
+    scale = F.array_max(absv) / 127
+    err = F.array_max(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.abs(
+                x.cast("double")
+                - F.round(x.cast("double") / scale) * scale
+            ),
+        )
+    )
+    return e.select(
+        "vec_id",
+        F.round(scale.cast("decimal(28,8)"), 6)
+        .cast("double")
+        .alias("scale_r"),
+        F.when(scale == 0, F.lit(True))
+        .otherwise(err <= scale * 0.5 + F.lit(1e-12))
+        .alias("q_ok"),
     )
 
 
