@@ -3829,6 +3829,70 @@ def image_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_phash(media, "payload", "doc_id")
 
 
+# Canonical selection per near-dup cluster with a QUALITY criterion: the
+# full dedup-apply pipeline — perceptual-hash pairs → weakly-connected
+# components → keep the LONGEST doc per cluster (most-informative-survivor
+# convention; ties break to the lowest id). Composes three oracle-checked
+# layers; the oracle replays hashing, banding, components (recursive CTE),
+# and the argmax window end-to-end.
+@register(
+    "canonical_longest_q",
+    f"""
+    WITH RECURSIVE {_PHASH_BANDS_CTE},
+    cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+               x.b0 AS a0, x.b1 AS a1, x.b2 AS a2, x.b3 AS a3,
+               y.b0 AS c0, y.b1 AS c1, y.b2 AS c2, y.b3 AS c3
+        FROM b x JOIN b y
+          ON x.doc_id < y.doc_id
+         AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+    ),
+    pp AS (SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+               + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS hd
+        FROM cand) WHERE hd <= 3),
+    und AS (SELECT id_a AS src, id_b AS dst FROM pp
+            UNION ALL SELECT id_b, id_a FROM pp),
+    reach(node, r) AS (
+        SELECT src, src FROM und
+        UNION
+        SELECT u.dst, reach.r FROM reach JOIN und u ON reach.node = u.src
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+    SELECT c.node AS doc_id, c.component, d.n_chars,
+           ROW_NUMBER() OVER (PARTITION BY c.component
+                              ORDER BY d.n_chars DESC, c.node ASC) = 1
+               AS is_canonical
+    FROM comp c JOIN documents d ON c.node = d.doc_id
+    """,
+)
+def canonical_longest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iniz_exporters_spark.plans.graph import connected_components
+
+    d = Catalog(spark, sf_dir).documents
+    media = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    pairs = phash_neardup(image_phash(media, "payload", "doc_id"), "doc_id")
+    comps = connected_components(
+        pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+    )
+    j = comps.join(
+        d.select("doc_id", "n_chars"),
+        comps["node"] == F.col("doc_id"),
+    ).select("doc_id", "component", "n_chars")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return j.select(
+        "doc_id",
+        "component",
+        "n_chars",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )
+
+
 @register(
     "phash_neardup",
     f"""
