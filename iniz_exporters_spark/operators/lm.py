@@ -155,6 +155,10 @@ def span_dedup_counts(
             ).alias("__s"),
         )
         .select(id_col, F.col("__s.pos").alias("pos"), F.col("__s.h").alias("h"))
+        # pinned once: both the flagged-hash aggregation and the coverage
+        # join read this frame — without the checkpoint the token explode
+        # and hash fold run twice (the unigram_logprob vocab pattern)
+        .localCheckpoint()
     )
     flagged = (
         spans.groupBy("h")
