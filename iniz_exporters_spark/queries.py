@@ -3866,6 +3866,7 @@ def image_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS is_canonical
     FROM comp c JOIN documents d ON c.node = d.doc_id
     """,
+    headline=True,
 )
 def canonical_longest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iniz_exporters_spark.plans.graph import connected_components
@@ -3913,6 +3914,7 @@ def canonical_longest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs
     ) WHERE hamming <= 3
     """,
+    headline=True,
 )
 def phash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
@@ -5816,6 +5818,7 @@ def dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(t.t) - COALESCE(c.ncov, 0) AS BIGINT) AS n_kept
     FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id
     """,
+    headline=True,
 )
 def span_dedup_trim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level dedup APPLIED (the removal accounting after dup_spans
@@ -5952,7 +5955,7 @@ def bpe_learn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bpe_apply_q", _bpe_apply_sql(_BPE_MERGES))
+@register("bpe_apply_q", _bpe_apply_sql(_BPE_MERGES), headline=True)
 def bpe_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     toks = d.select("doc_id", F.explode(_tokens("text")).alias("w"))
