@@ -6162,6 +6162,54 @@ def int8_quantize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus snapshot diff — dataset-versioning accounting between two corpus
+# versions (here: v2 synthesized from v1 — every 7th doc edited, every
+# 10th doc removed): full-outer join on the doc key comparing content
+# hashes, one status row per doc. At 100 TB both sides reduce to
+# (id, md5) before the join — text never shuffles.
+@register(
+    "corpus_diff_q",
+    """
+    WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),
+    b AS (SELECT doc_id,
+                 md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                          ELSE text END) AS h
+          FROM documents WHERE doc_id % 10 <> 0)
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN a.h = b.h THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    """,
+)
+def corpus_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    a = d.select("doc_id", F.md5("text").alias("h"))
+    b = (
+        d.filter(F.col("doc_id") % 10 != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.col("text"), F.lit(" v2")),
+                ).otherwise(F.col("text"))
+            ).alias("h"),
+        )
+    )
+    a2 = a.select(F.col("doc_id").alias("a_id"), F.col("h").alias("a_h"))
+    b2 = b.select(F.col("doc_id").alias("b_id"), F.col("h").alias("b_h"))
+    return a2.join(
+        b2, a2["a_id"] == b2["b_id"], "full_outer"
+    ).select(
+        F.coalesce(F.col("a_id"), F.col("b_id")).alias("doc_id"),
+        F.when(F.col("b_id").isNull(), "removed")
+        .when(F.col("a_h") == F.col("b_h"), "unchanged")
+        .otherwise("changed")
+        .alias("status"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style document quality rules + tokenizer OOV coverage — the two
 # standard curation dials beside the classifier/heuristic scores already in
