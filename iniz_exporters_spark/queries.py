@@ -6707,6 +6707,83 @@ def hash_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Decontaminated train split — the standard eval-hygiene step: any train
+# doc that is a NEAR-DUPLICATE (perceptual-hash pair) of a test doc is
+# dropped before training. Composes three oracle-checked layers (hash
+# split, phash banding, Hamming verify) plus an anti-join; only id rows
+# move in the decontamination step.
+@register(
+    "decontaminated_split_q",
+    f"""
+    WITH {_PHASH_BANDS_CTE},
+    cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+               x.b0 AS a0, x.b1 AS a1, x.b2 AS a2, x.b3 AS a3,
+               y.b0 AS c0, y.b1 AS c1, y.b2 AS c2, y.b3 AS c3
+        FROM b x JOIN b y
+          ON x.doc_id < y.doc_id
+         AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+    ),
+    pp AS (SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+               + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS hd
+        FROM cand) WHERE hd <= 3),
+    sp AS (SELECT doc_id,
+                  CASE WHEN bk < 10 THEN 'test'
+                       WHEN bk < 90 THEN 'train'
+                       ELSE 'val' END AS split
+           FROM (SELECT doc_id,
+                        ({_SQL_POLY.format(s="doc_id::VARCHAR")}) % 100
+                            AS bk
+                 FROM documents)),
+    test_ids AS (SELECT doc_id FROM sp WHERE split = 'test'),
+    contam AS (
+        SELECT p.id_a AS doc_id FROM pp p
+        JOIN test_ids t ON p.id_b = t.doc_id
+        UNION
+        SELECT p.id_b FROM pp p JOIN test_ids t ON p.id_a = t.doc_id
+    )
+    SELECT split, COUNT(*) AS n_before,
+           COUNT(*) FILTER (WHERE NOT (split = 'train'
+                                       AND doc_id IN (SELECT doc_id
+                                                      FROM contam)))
+               AS n_after
+    FROM sp GROUP BY split
+    """,
+)
+def decontaminated_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    sp = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    media = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    pairs = phash_neardup(image_phash(media, "payload", "doc_id"), "doc_id")
+    test_ids = sp.filter(F.col("split") == "test").select("doc_id")
+    contam = (
+        pairs.join(
+            test_ids.withColumnRenamed("doc_id", "id_b"), "id_b"
+        ).select(F.col("id_a").alias("doc_id"))
+        .union(
+            pairs.join(
+                test_ids.withColumnRenamed("doc_id", "id_a"), "id_a"
+            ).select(F.col("id_b").alias("doc_id"))
+        )
+        .distinct()
+        .withColumn("__contam", F.lit(True))
+    )
+    marked = sp.join(contam, "doc_id", "left")
+    return marked.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.sum(
+            F.when(
+                (F.col("split") == "train") & F.col("__contam").isNotNull(),
+                0,
+            ).otherwise(1)
+        )
+        .cast("long")
+        .alias("n_after"),
+    )
+
+
 # Count-Min Sketch layer, driver-checkable (the hll_error_check pattern):
 # CMS point estimates never undercount and overcount by ≤ eps·N with the
 # configured confidence — both facts are engine-stable booleans even
