@@ -303,3 +303,33 @@ def test_oov_rate_against_vocab(spark):
     }
     assert got[1] == (4, 0.5)  # x, y of 4 are OOV
     assert got[2] == (2, 0.0)
+
+
+def test_deterministic_shuffle_rejects_skey_collision(spark):
+    import pytest as _pytest
+
+    from iniz_exporters_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, __skey string")
+    with _pytest.raises(ValueError, match="__skey"):
+        deterministic_shuffle(df, "doc_id")
+
+
+def test_canonicalize_url_edges(spark):
+    import pyspark.sql.functions as F
+
+    from iniz_exporters_spark.operators.webcorpus import canonicalize_url
+
+    rows = [
+        ("HTTPS://WWW.Ex.COM:443/a/b/?utm_source=x&ref=1",),
+        ("http://ex.com/",),              # trailing slash, no query
+        ("https://ex.com/p?utm_a=1&utm_b=2",),  # all params dropped
+    ]
+    df = spark.createDataFrame(rows, ["u"])
+    got = [r["c"] for r in
+           df.select(canonicalize_url(F.col("u")).alias("c")).collect()]
+    assert got == [
+        "https://www.ex.com/a/b?ref=1",
+        "https://ex.com",
+        "https://ex.com/p",
+    ]
