@@ -6162,6 +6162,62 @@ def int8_quantize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Robust per-source length outliers: median/MAD (not mean/std — robust to
+# the very outliers being hunted) over integer doc lengths, so every
+# statistic is a median of integers or half-integers: exactly
+# representable, no rounding hazard. The flagged count per source is the
+# drift/corruption screen a corpus ingest runs per shard.
+@register(
+    "mad_outliers_q",
+    """
+    WITH m AS (
+        SELECT source,
+               CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS med
+        FROM documents GROUP BY source),
+    d AS (
+        SELECT doc_id, documents.source, n_chars, med,
+               abs(n_chars - med) AS dev
+        FROM documents JOIN m ON documents.source = m.source),
+    s AS (
+        SELECT source, med,
+               CAST(quantile_cont(dev, 0.5) AS DOUBLE) AS mad
+        FROM d GROUP BY source, med)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           s.med, s.mad,
+           CAST(COUNT(*) FILTER (WHERE d.dev > 3 * s.mad) AS BIGINT)
+               AS n_outliers
+    FROM d JOIN s ON d.source = s.source
+    GROUP BY d.source, s.med, s.mad
+    """,
+)
+def mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    med = d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med")
+    )
+    dev = d.join(med, "source").select(
+        "source", "med", F.abs(F.col("n_chars") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("source", "med").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(mad.select("source", "mad"), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
 # Corpus snapshot diff — dataset-versioning accounting between two corpus
 # versions (here: v2 synthesized from v1 — every 7th doc edited, every
 # 10th doc removed): full-outer join on the doc key comparing content
