@@ -542,3 +542,47 @@ def test_streaming_pipeline_dedup_enrich_window_parity(spark, tmp_path):
     # must match the batch result exactly, and most windows must close
     assert got_rows <= batch_rows
     assert len(got_rows) >= len(batch_rows) * 0.8
+
+
+def test_streaming_quality_gated_ingest_parity(spark, tmp_path):
+    """Corpus ingest as a stream: gopher quality gate + canonical URL key,
+    applied per micro-batch (stateless Catalyst expressions compose with
+    the streaming engine unchanged) — results must equal the batch run."""
+    import pyspark.sql.functions as F
+
+    from iniz_exporters_spark.operators.curation import gopher_quality
+    from iniz_exporters_spark.operators.webcorpus import canonicalize_url
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and then naps",
+         "HTTPS://A.Ex.COM:443/x/?utm_s=1&p=2"),
+        (2, "1 2 3 4 5 6 7 8 9 10 11 12", "http://b.ex.com/"),
+        (3, "to be", "https://c.ex.com/y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    src = str(tmp_path / "docs")
+    df.write.parquet(src)
+
+    def gate(frame):
+        return frame.select(
+            "doc_id",
+            canonicalize_url(F.col("url")).alias("canon_url"),
+            *gopher_quality(F.col("text")),
+        ).filter(F.col("keep"))
+
+    batch = sorted(tuple(r) for r in gate(df).collect())
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        gate(stream)
+        .writeStream.format("memory")
+        .queryName("quality_ingest")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM quality_ingest").collect()
+    )
+    assert got == batch
+    assert len(got) == 1 and got[0][0] == 1  # only doc 1 survives the gate
