@@ -959,3 +959,34 @@ def test_bpe_learn_trains_expected_merges(spark):
     }
     assert got["then"] == ["then"]
     assert got["the"] == ["the"]
+
+
+def test_write_merged_csv_matches_coalesce_bytes(spark):
+    """The streamed part-merge scale path must produce byte-identical
+    output to the coalesce(1) path for a total ordering, at any partition
+    count — including partitions that end up empty."""
+    import os
+    import tempfile
+
+    from iniz_exporters_spark.sources.csv_sink import (
+        write_merged_csv,
+        write_single_csv,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"name{i % 7}", None if i % 5 == 0 else f"v{i}")
+         for i in range(200)],
+        "id long, name string, val string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        a, b = os.path.join(d, "a.csv"), os.path.join(d, "b.csv")
+        write_single_csv(df.orderBy("id"), a)
+        write_merged_csv(df, b, order_by=["id"], partitions=8)
+        with open(a, "rb") as fa, open(b, "rb") as fb:
+            assert fa.read() == fb.read()
+        # more partitions than rows → empty parts must not corrupt output
+        c = os.path.join(d, "c.csv")
+        write_merged_csv(df.limit(3).orderBy("id"), c,
+                         order_by=["id"], partitions=16)
+        with open(c) as f:
+            assert len(f.read().splitlines()) == 4  # header + 3 rows
