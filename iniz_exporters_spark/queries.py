@@ -6162,6 +6162,63 @@ def int8_quantize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus-mix audit: per-source language distribution — the dashboard
+# number a mixture_sample run is tuned against. One groupBy, fractions in
+# decimal space.
+@register(
+    "lang_mix_by_source",
+    """
+    SELECT source, lang, COUNT(*) AS n,
+           ROUND(CAST(CAST(COUNT(*) AS DOUBLE)
+                      / SUM(COUNT(*)) OVER (PARTITION BY source)
+                 AS DECIMAL(28,6)), 4)::DOUBLE AS frac
+    FROM documents GROUP BY source, lang
+    """,
+)
+def lang_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    counts = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("source")
+    return counts.select(
+        "source",
+        "lang",
+        "n",
+        F.round(
+            (F.col("n").cast("double") / F.sum("n").over(w)).cast(
+                "decimal(28,6)"
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("frac"),
+    )
+
+
+# Exact-duplicate rate per source — the first number a dedup pass reports.
+@register(
+    "dedup_rate_by_source",
+    """
+    WITH g AS (SELECT source, md5(text) AS h, COUNT(*) AS c
+               FROM documents GROUP BY source, md5(text))
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dup_docs
+    FROM g GROUP BY source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    g = d.groupBy("source", F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return g.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        (F.sum("c") - F.count(F.lit(1))).cast("long").alias("n_dup_docs"),
+    )
+
+
 # Robust per-source length outliers: median/MAD (not mean/std — robust to
 # the very outliers being hunted) over integer doc lengths, so every
 # statistic is a median of integers or half-integers: exactly
