@@ -44,3 +44,35 @@ def test_bench_emits_one_json_line_with_all_headline_queries():
     for name, rs in payload["runs"].items():
         assert len(rs) == 2
         assert payload["queries"][name] == round(statistics.median(rs), 3)
+
+
+def test_every_oracle_parses_with_no_hugeint_columns():
+    """Fast regression guard (DuckDB only, no Spark): every registered
+    oracle must DESCRIBE cleanly against the test tables, and no output
+    column may be HUGEINT — DuckDB widens integer SUMs to int128 while
+    Spark stays BIGINT, and the driver's normalizer hash-diverges on that
+    (the r01 pivot_static failure class)."""
+    import duckdb
+
+    from iniz_exporters_spark.catalog import TESTDATA_TABLES
+    from iniz_exporters_spark.queries import REGISTRY
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    problems = []
+    for name, spec in sorted(REGISTRY.items()):
+        if spec.oracle is None:
+            continue
+        try:
+            desc = con.execute(f"DESCRIBE {spec.oracle}").fetchall()
+        except Exception as e:  # noqa: BLE001
+            problems.append(f"{name}: DESCRIBE failed: {e}")
+            continue
+        for col, ty, *_ in desc:
+            if "HUGEINT" in ty.upper():
+                problems.append(f"{name}: {col} is {ty}")
+    assert not problems, problems
