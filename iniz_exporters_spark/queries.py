@@ -1026,30 +1026,72 @@ def neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# SimHash — 32-bit signature from token-hash bit votes.
-@register(
-    "simhash",
-    f"""
-    WITH th AS (
+# SimHash — 32-bit signature from token-hash bit votes (CTE shared with
+# simhash_neardup's oracle).
+_SQL_SIMHASH_CTE = f"""
+    th AS (
         SELECT doc_id,
                list_transform({_SQL_TOKENS}, t -> {_SQL_POLY.format(s="t")})
                    AS hs
         FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_reduce(list_transform(range(0, 32), b ->
+                   CASE WHEN list_reduce(list_transform(hs,
+                                  h -> CASE WHEN (h >> b) & 1 = 1
+                                            THEN 1 ELSE -1 END),
+                              (x, y) -> x + y) > 0
+                        THEN (1::BIGINT << b) ELSE 0 END),
+                   (x, y) -> x + y) AS simhash
+        FROM th
     )
-    SELECT doc_id,
-           list_reduce(list_transform(range(0, 32), b ->
-               CASE WHEN list_reduce(list_transform(hs,
-                              h -> CASE WHEN (h >> b) & 1 = 1
-                                        THEN 1 ELSE -1 END),
-                          (x, y) -> x + y) > 0
-                    THEN (1::BIGINT << b) ELSE 0 END),
-               (x, y) -> x + y) AS simhash
-    FROM th
+"""
+
+
+@register(
+    "simhash",
+    f"""
+    WITH {_SQL_SIMHASH_CTE}
+    SELECT doc_id, simhash FROM sig
     """,
 )
 def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     return simhash_signatures(d, "doc_id", "text", bits=32)
+
+
+# Banded-Hamming near-dup over SimHash (Manku et al. 2007): candidates
+# share one of four 8-bit signature bands (pigeonhole → exact recall at
+# Hamming ≤ 3), verified by popcount. The text-side twin of phash_neardup.
+@register(
+    "simhash_neardup_q",
+    f"""
+    WITH {_SQL_SIMHASH_CTE},
+    b AS (SELECT doc_id, simhash,
+                 CAST((simhash >> 0) & 255 AS INT) AS b0,
+                 CAST((simhash >> 8) & 255 AS INT) AS b1,
+                 CAST((simhash >> 16) & 255 AS INT) AS b2,
+                 CAST((simhash >> 24) & 255 AS INT) AS b3
+          FROM sig),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+               x.simhash AS sa, y.simhash AS sb
+        FROM b x JOIN b y
+          ON x.doc_id < y.doc_id
+         AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+    )
+    SELECT id_a, id_b, hamming FROM (
+        SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM cand
+    ) WHERE hamming <= 3
+    """,
+)
+def simhash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iniz_exporters_spark.operators.dedup import simhash_neardup
+
+    d = Catalog(spark, sf_dir).documents
+    return simhash_neardup(d, "doc_id", "text", bits=32, n_bands=4)
 
 
 # Document fingerprint — polynomial hash of normalized text.
