@@ -1026,6 +1026,93 @@ def neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MinHash estimator quality, fully value-checked (not just bounded): for
+# every LSH candidate pair, the signature-agreement estimate
+# (#matching perms / 16) next to the exact shingle-set Jaccard — the
+# estimator is deterministic (fixed permutations), so BOTH columns
+# hash-match the oracle exactly. This is the measurement a pipeline uses
+# to tune band geometry before trusting LSH at 100 TB.
+@register(
+    "minhash_estimate_q",
+    f"""
+    WITH {_sql_minhash_sigs(16)},
+    bands AS (
+        SELECT doc_id, j // 4 AS band,
+               list_reduce(list(minhash ORDER BY j),
+                           (a, b) -> (a * 31 + b) % 1000000007) AS bucket
+        FROM sig GROUP BY doc_id, j // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    m AS (
+        SELECT c.id_a, c.id_b,
+               CAST(SUM(CASE WHEN x.minhash = y.minhash THEN 1 ELSE 0 END)
+                    AS INT) AS n_match
+        FROM cand c
+        JOIN sig x ON x.doc_id = c.id_a
+        JOIN sig y ON y.doc_id = c.id_b AND y.j = x.j
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT m.id_a, m.id_b, m.n_match,
+           ROUND(m.n_match / 16.0, 4) AS est_jaccard,
+           ROUND(len(list_intersect(ha.hs, hb.hs))::DOUBLE
+                 / (len(ha.hs) + len(hb.hs)
+                    - len(list_intersect(ha.hs, hb.hs))), 4) AS exact_jaccard
+    FROM m
+    JOIN sh ha ON ha.doc_id = m.id_a
+    JOIN sh hb ON hb.doc_id = m.id_b
+    """,
+)
+def minhash_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iniz_exporters_spark.operators.dedup import (
+        buckets_from_shingle_sets,
+        candidate_pairs,
+        minhash_signatures as mh_sigs,
+        shingle_sets,
+    )
+
+    d = Catalog(spark, sf_dir).documents
+    hs = shingle_sets(d, "doc_id", "text", 5).localCheckpoint(eager=False)
+    pairs = candidate_pairs(
+        buckets_from_shingle_sets(hs, "doc_id", 16, 4), "doc_id"
+    )
+    sigs = mh_sigs(d, "doc_id", "text", num_perm=16, k=5)
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"), "j", F.col("minhash").alias("m_a")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"), "j", F.col("minhash").alias("m_b")
+    )
+    est = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "j"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                F.when(F.col("m_a") == F.col("m_b"), 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("n_match")
+        )
+        .withColumn("est_jaccard", F.round(F.col("n_match") / 16.0, 4))
+    )
+    ha = hs.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
+    hb = hs.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    return (
+        est.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn(
+            "exact_jaccard", F.round(inter.cast("double") / union, 4)
+        )
+        .select("id_a", "id_b", "n_match", "est_jaccard", "exact_jaccard")
+    )
+
+
 # SimHash — 32-bit signature from token-hash bit votes (CTE shared with
 # simhash_neardup's oracle).
 _SQL_SIMHASH_CTE = f"""
