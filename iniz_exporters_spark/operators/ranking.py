@@ -125,6 +125,70 @@ def bm25_scores(
     )
 
 
+def bm25_multi_topk(
+    docs: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Batch BM25 search: ``(query_id, doc_id, bm25, rn)`` — top-``top_k``
+    docs per query over a literal query table. The serving shape of
+    ``bm25_scores``: ONE pass over the token stream serves every query —
+    the (query_id, term) table broadcasts, per-(doc, term) tf and global
+    df/dl/avgdl are shared across queries, and the per-query ranking is a
+    window over ≤ |queries|·|matching docs| rows. Ranking is on the
+    ROUNDED decimal-summed score with doc-id tiebreak, so the top-k
+    frontier is engine-stable."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in terms],
+        "query_id string, tok string",
+    )
+    all_terms = sorted({t for _, terms in queries for t in terms})
+
+    t = _token_rows(docs, id_col, text_col)
+    dl = t.groupBy(id_col).agg(F.count("*").alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    n_docs = dl.agg(F.count("*").cast("double").alias("n_docs"))
+
+    hits = t.filter(F.col("tok").isin(all_terms))
+    tf = hits.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
+
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    scored = (
+        tf.join(F.broadcast(qt), "tok")
+        .join(F.broadcast(df_), "tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.round(F.sum(contrib.cast("decimal(28,12)")), round_to)
+            .cast("double")
+            .alias("bm25")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select("query_id", id_col, "bm25", "rn")
+    )
+
+
 def inverted_index(
     docs: DataFrame,
     id_col: str = "doc_id",

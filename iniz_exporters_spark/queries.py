@@ -4528,6 +4528,61 @@ def bm25_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(d, list(_BM25_TERMS), "doc_id", "text", k1=1.2, b=0.75)
 
 
+# Batch BM25 SEARCH (the serving shape): three literal queries answered in
+# one token-stream pass — shared tf/df/dl statistics, broadcast query-term
+# table, per-query windowed top-5 on the rounded decimal-summed score.
+_BM25_QUERIES = [
+    ("q_scan", ["table", "scan"]),
+    ("q_join", ["query", "join", "fast"]),
+    ("q_stream", ["stream", "window"]),
+]
+_BM25_Q_VALUES = ", ".join(
+    f"('{qid}', '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+)
+_BM25_ALL_TERMS = ", ".join(
+    f"'{t}'" for t in sorted({t for _, ts in _BM25_QUERIES for t in ts})
+)
+
+
+@register(
+    "bm25_search_topk",
+    f"""
+    WITH t AS ({_SQL_TOK_ROWS}),
+    qt(query_id, tok) AS (VALUES {_BM25_Q_VALUES}),
+    dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+    a AS (SELECT avg(dl) AS avgdl FROM dl),
+    n AS (SELECT count(*)::DOUBLE AS n_docs FROM dl),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+           WHERE tok IN ({_BM25_ALL_TERMS}) GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+    scored AS (
+        SELECT qt.query_id, tf.doc_id,
+               ROUND(SUM(CAST(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                   AS DECIMAL(28,12))), 6)::DOUBLE AS bm25
+        FROM tf JOIN qt USING (tok) JOIN df USING (tok)
+        JOIN dl USING (doc_id)
+        CROSS JOIN a CROSS JOIN n
+        GROUP BY qt.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, bm25, rn FROM (
+        SELECT query_id, doc_id, bm25,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY bm25 DESC, doc_id ASC) AS rn
+        FROM scored) WHERE rn <= 5
+    """,
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iniz_exporters_spark.operators.ranking import bm25_multi_topk
+
+    d = Catalog(spark, sf_dir).documents
+    return bm25_multi_topk(
+        d, _BM25_QUERIES, "doc_id", "text", top_k=5
+    )
+
+
 @register(
     "inverted_index_q",
     f"""
