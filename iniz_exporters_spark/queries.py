@@ -4583,6 +4583,72 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Reciprocal-rank fusion (Cormack et al. 2009) — the hybrid-search
+# combiner: fuse the BM25 relevance ranking with a recency ranking
+# (doc_id desc as ingest-order proxy) via 1/(60+rank) sums. Rank
+# arithmetic only — engine-stable by construction; the window runs over
+# ≤ top_k rows per query.
+@register(
+    "rrf_fuse_q",
+    f"""
+    WITH t AS ({_SQL_TOK_ROWS}),
+    qt(query_id, tok) AS (VALUES {_BM25_Q_VALUES}),
+    dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+    a AS (SELECT avg(dl) AS avgdl FROM dl),
+    n AS (SELECT count(*)::DOUBLE AS n_docs FROM dl),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+           WHERE tok IN ({_BM25_ALL_TERMS}) GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+    scored AS (
+        SELECT qt.query_id, tf.doc_id,
+               ROUND(SUM(CAST(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                   AS DECIMAL(28,12))), 6)::DOUBLE AS bm25
+        FROM tf JOIN qt USING (tok) JOIN df USING (tok)
+        JOIN dl USING (doc_id)
+        CROSS JOIN a CROSS JOIN n
+        GROUP BY qt.query_id, tf.doc_id
+    ),
+    topk AS (SELECT query_id, doc_id, rn FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY bm25 DESC, doc_id ASC) AS rn
+        FROM scored) WHERE rn <= 5),
+    fused AS (
+        SELECT query_id, doc_id, rn,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY doc_id DESC) AS rrank
+        FROM topk)
+    SELECT query_id, doc_id,
+           ROUND(1.0 / (60 + rn) + 1.0 / (60 + rrank), 6) AS rrf,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY 1.0 / (60 + rn) + 1.0 / (60 + rrank) DESC,
+                        doc_id ASC) AS INT) AS rn_fused
+    FROM fused
+    """,
+)
+def rrf_fuse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iniz_exporters_spark.operators.ranking import bm25_multi_topk
+
+    d = Catalog(spark, sf_dir).documents
+    topk = bm25_multi_topk(d, _BM25_QUERIES, "doc_id", "text", top_k=5)
+    w_rec = Window.partitionBy("query_id").orderBy(F.col("doc_id").desc())
+    fused = topk.withColumn("rrank", F.row_number().over(w_rec))
+    rrf = 1.0 / (60 + F.col("rn")) + 1.0 / (60 + F.col("rrank"))
+    w_f = Window.partitionBy("query_id").orderBy(
+        rrf.desc(), F.col("doc_id").asc()
+    )
+    return fused.select(
+        "query_id",
+        "doc_id",
+        F.round(rrf, 6).alias("rrf"),
+        F.row_number().over(w_f).cast("int").alias("rn_fused"),
+    )
+
+
 @register(
     "inverted_index_q",
     f"""
