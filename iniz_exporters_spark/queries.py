@@ -6412,6 +6412,79 @@ def int8_quantize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Distribution drift between corpus slices: per-token PSI contributions
+# (population stability index) over the top-50 vocabulary, comparing the
+# even-numbered sources against the odd ones. THE monitoring number for
+# "did the ingest mix shift" — decimal-summed probabilities, add-one
+# smoothing so no log sees zero.
+@register(
+    "token_psi_q",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok, source
+               FROM documents),
+    v AS (SELECT tok FROM (
+              SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
+                                             tok ASC) AS rn
+              FROM t GROUP BY tok) WHERE rn <= 50),
+    c AS (SELECT tok,
+                 SUM(CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                          THEN 1 ELSE 0 END) AS ca,
+                 SUM(CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 1
+                          THEN 1 ELSE 0 END) AS cb
+          FROM t JOIN v USING (tok) GROUP BY tok),
+    tot AS (SELECT CAST(SUM(ca) AS DOUBLE) AS ta,
+                   CAST(SUM(cb) AS DOUBLE) AS tb,
+                   CAST(COUNT(*) AS DOUBLE) AS nv
+            FROM c)
+    SELECT tok,
+           CAST(ca AS BIGINT) AS n_a, CAST(cb AS BIGINT) AS n_b,
+           ROUND(CAST(((ca + 1) / (ta + nv) - (cb + 1) / (tb + nv))
+                      * ln(((ca + 1) / (ta + nv))
+                           / ((cb + 1) / (tb + nv)))
+                 AS DECIMAL(28,12)), 8)::DOUBLE AS psi_contrib
+    FROM c CROSS JOIN tot
+    """,
+)
+def token_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    t = d.select(
+        F.explode(_tokens("text")).alias("tok"),
+        (F.substring("source", 4, 10).cast("int") % 2).alias("half"),
+    )
+    vocab = (
+        t.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col("tok").asc())
+        .limit(50)
+        .select("tok")
+    )
+    c = (
+        t.join(F.broadcast(vocab), "tok")
+        .groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    tot = c.agg(
+        F.sum("ca").cast("double").alias("ta"),
+        F.sum("cb").cast("double").alias("tb"),
+        F.count(F.lit(1)).cast("double").alias("nv"),
+    )
+    pa = (F.col("ca") + 1) / (F.col("ta") + F.col("nv"))
+    pb = (F.col("cb") + 1) / (F.col("tb") + F.col("nv"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.col("ca").cast("long").alias("n_a"),
+        F.col("cb").cast("long").alias("n_b"),
+        F.round(
+            ((pa - pb) * F.log(pa / pb)).cast("decimal(28,12)"), 8
+        )
+        .cast("double")
+        .alias("psi_contrib"),
+    )
+
+
 # Corpus-mix audit: per-source language distribution — the dashboard
 # number a mixture_sample run is tuned against. One groupBy, fractions in
 # decimal space.
