@@ -6081,6 +6081,67 @@ def span_dedup_trim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup_counts(d, "doc_id", "text", span=5, min_docs=2)
 
 
+# Per-doc n-gram novelty — the memorization-risk inverse of span dedup:
+# what fraction of a doc's 5-token windows appear in NO other document.
+# Low novelty = template/boilerplate; the per-doc number drives
+# sampling-weight decisions where whole-doc dropping is too blunt.
+@register(
+    "span_novelty_q",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    spans AS (SELECT doc_id,
+                     {_SQL_POLY.format(s="array_to_string(t[i:i+4], ' ')")}
+                         AS h
+              FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+                    FROM toks WHERE len(t) >= 5)),
+    df AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY h)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(*) FILTER (WHERE nd = 1) AS BIGINT) AS n_novel,
+           ROUND(CAST(CAST(COUNT(*) FILTER (WHERE nd = 1) AS DOUBLE)
+                      / COUNT(*) AS DECIMAL(28,6)), 4)::DOUBLE AS novelty
+    FROM spans JOIN df USING (h)
+    GROUP BY doc_id
+    """,
+)
+def span_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("doc_id", _tokens("text").alias("__t")).filter(
+        F.size("__t") >= 5
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size("__t") - 4),
+        lambda i: poly_hash(F.array_join(F.slice(F.col("__t"), i, 5), " ")),
+    )
+    spans = toks.select(
+        "doc_id", F.explode(hashes).alias("h")
+    ).localCheckpoint(eager=False)
+    df_ = spans.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    return (
+        spans.join(df_, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("nd") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+            F.round(
+                (
+                    F.sum(
+                        F.when(F.col("nd") == 1, 1).otherwise(0)
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                ).cast("decimal(28,6)"),
+                4,
+            )
+            .cast("double")
+            .alias("novelty"),
+        )
+    )
+
+
 @register(
     "bpe_merge_pairs",
     f"""
