@@ -7131,6 +7131,56 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Classifier calibration table: fixed 0.1-wide probability buckets (a
+# groupBy on floor(prob·10) — scale-safe, no global NTILE) with count and
+# decimal-exact mean doc length per bucket. The table a pipeline reads
+# before choosing its keep-threshold.
+@register(
+    "quality_calibration_q",
+    f"""
+    WITH t AS (SELECT doc_id, n_chars, {_SQL_TOKENS} AS toks
+               FROM documents),
+    r AS (SELECT doc_id, n_chars,
+                 CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE list_reduce(list_transform(toks, t -> {_SQL_QW}),
+                                       (a, b) -> a + b)
+                 END AS raw
+          FROM t),
+    p AS (SELECT doc_id, n_chars,
+                 ROUND(CAST(1.0 / (1.0 + exp(-raw / 8.0))
+                       AS DECIMAL(28,12)), 4)::DOUBLE AS prob
+          FROM r)
+    SELECT LEAST(CAST(floor(prob * 10) AS INT), 9) AS bucket,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)
+                 AS DECIMAL(28,6)), 2)::DOUBLE AS mean_len
+    FROM p GROUP BY bucket
+    """,
+)
+def quality_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    prob = linear_quality_score(F.col("text"), dim=64, scale=8.0, round_to=4)
+    return (
+        d.select("n_chars", prob.alias("prob"))
+        .groupBy(
+            F.least(
+                F.floor(F.col("prob") * 10).cast("int"), F.lit(9)
+            ).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                (
+                    F.sum("n_chars").cast("double") / F.count(F.lit(1))
+                ).cast("decimal(28,6)"),
+                2,
+            )
+            .cast("double")
+            .alias("mean_len"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic global shuffle for training order: content-keyed md5 sort
 # key — reproducible across engines/reruns/cluster sizes. The query takes
