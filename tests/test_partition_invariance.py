@@ -73,3 +73,23 @@ def test_sensitive_list_names_exist():
     # weighted_sample_topk may be registered under a different name —
     # keep the list honest either way
     assert len(missing) <= 1, missing
+
+
+def test_results_invariant_to_shuffle_partition_count(spark):
+    """spark.sql.shuffle.partitions is a tuning knob, never a semantics
+    knob: a sample of kernel/window/sampling queries must produce
+    identical canonical output at 32 and 5 shuffle partitions."""
+    sample = [
+        "semdedup_keep",
+        "minhash_estimate_q",
+        "reservoir_per_group_q",
+        "group_concat_ordered",
+    ]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    base = {n: canon(REGISTRY[n].fn(spark, SF_SMALL)) for n in sample}
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        for n in sample:
+            assert canon(REGISTRY[n].fn(spark, SF_SMALL)) == base[n], n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
