@@ -401,3 +401,18 @@ def test_host_cap_single_window_shuffle(spark):
     plan = physical(run("host_cap_sample", spark))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_bm25_search_broadcasts_all_small_frames(spark):
+    """Batch BM25 search must broadcast the query-term table and the df
+    statistics — shuffling the token stream against query-count-sized
+    frames would be corpus-scale exchanges for metadata lookups."""
+    plan = physical(run("bm25_search_topk", spark))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_token_psi_vocab_broadcasts(spark):
+    plan = physical(run("token_psi_q", spark))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
