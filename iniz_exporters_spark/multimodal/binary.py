@@ -56,12 +56,143 @@ def _try_import_pil():
         return None
 
 
+def decode_image_numpy(data: bytes):
+    """Dependency-free REAL decoder for three public image formats —
+    binary PPM (``P6``), binary PGM (``P5``), and uncompressed 24-bit BMP
+    (``BITMAPINFOHEADER``, BI_RGB) — so the real-codec branch executes
+    even without Pillow in the environment.
+
+    Returns ``(width, height, fmt, pixels)`` where ``pixels`` is an
+    ``(h, w, 3)`` uint8 RGB array (P6/BMP) or ``(h, w)`` grayscale (P5),
+    or ``None`` when ``data`` is not one of these formats (caller falls
+    through to Pillow / the marked fake). Format specs: Netpbm (public
+    domain), Windows BMP v3 (publicly documented).
+    """
+    import numpy as np
+
+    if len(data) < 2:
+        return None
+    magic = data[:2]
+    if magic in (b"P5", b"P6"):
+        # Netpbm header: magic, width, height, maxval as whitespace-
+        # separated ASCII tokens; '#' comments run to end-of-line; exactly
+        # one whitespace byte separates the maxval from the raster.
+        pos, tokens = 2, []
+        while len(tokens) < 3 and pos < len(data):
+            c = data[pos : pos + 1]
+            if c.isspace():
+                pos += 1
+            elif c == b"#":
+                nl = data.find(b"\n", pos)
+                if nl < 0:
+                    return None
+                pos = nl + 1
+            else:
+                end = pos
+                while end < len(data) and not data[end : end + 1].isspace():
+                    end += 1
+                tokens.append(data[pos:end])
+                pos = end
+        if len(tokens) < 3:
+            return None
+        try:
+            w, h, maxval = (int(t) for t in tokens)
+        except ValueError:
+            return None
+        if w <= 0 or h <= 0 or not 0 < maxval < 256:
+            return None
+        pos += 1  # the single whitespace byte after maxval
+        ch = 3 if magic == b"P6" else 1
+        if len(data) - pos < w * h * ch:
+            return None  # truncated raster
+        raster = np.frombuffer(data, np.uint8, count=w * h * ch, offset=pos)
+        if ch == 1:
+            return w, h, "PGM", raster.reshape(h, w)
+        return w, h, "PPM", raster.reshape(h, w, 3)
+    if magic == b"BM" and len(data) >= 54:
+        off = int.from_bytes(data[10:14], "little")
+        hdr = int.from_bytes(data[14:18], "little")
+        w = int.from_bytes(data[18:22], "little", signed=True)
+        h = int.from_bytes(data[22:26], "little", signed=True)
+        bpp = int.from_bytes(data[28:30], "little")
+        comp = int.from_bytes(data[30:34], "little")
+        if hdr < 40 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            return None  # only uncompressed 24-bit BI_RGB
+        bottom_up, ah = h > 0, abs(h)
+        stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+        if off + stride * ah > len(data):
+            return None
+        rows = np.frombuffer(
+            data, np.uint8, count=stride * ah, offset=off
+        ).reshape(ah, stride)
+        px = rows[:, : w * 3].reshape(ah, w, 3)[:, :, ::-1]  # BGR → RGB
+        if bottom_up:
+            px = px[::-1]
+        return w, ah, "BMP", np.ascontiguousarray(px)
+    return None
+
+
+def encode_ppm(px) -> bytes:
+    """Binary PPM (P6) / PGM (P5) encoder for uint8 pixel arrays —
+    the round-trip partner of ``decode_image_numpy``."""
+    import numpy as np
+
+    a = np.asarray(px, np.uint8)
+    if a.ndim == 2:
+        h, w = a.shape
+        return b"P5\n%d %d\n255\n" % (w, h) + a.tobytes()
+    h, w, _ = a.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def _gray_f64(px):
+    """ITU-R BT.601 integer luma for RGB arrays; identity for grayscale."""
+    import numpy as np
+
+    a = np.asarray(px, np.int64)
+    if a.ndim == 2:
+        return a.astype(np.float64)
+    return (
+        (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+    ).astype(np.float64)
+
+
+def _block_mean(gray, gh: int, gw: int):
+    """Area-average a 2-D array down to (gh, gw) — the resize used by the
+    real phash path (deterministic, library-free)."""
+    import numpy as np
+
+    h, w = gray.shape
+    ys = (np.arange(gh + 1) * h) // gh
+    xs = (np.arange(gw + 1) * w) // gw
+    col = np.add.reduceat(gray, ys[:-1], axis=0)
+    cell = np.add.reduceat(col, xs[:-1], axis=1)
+    area = np.outer(np.diff(ys), np.diff(xs)).astype(np.float64)
+    return cell / area
+
+
+def _resize_nearest(px, width: int, height: int):
+    """Nearest-neighbor resample (center-of-pixel mapping)."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    ys = np.minimum(((np.arange(height) + 0.5) * h / height), h - 1).astype(
+        np.int64
+    )
+    xs = np.minimum(((np.arange(width) + 0.5) * w / width), w - 1).astype(
+        np.int64
+    )
+    return px[ys][:, xs]
+
+
 def decode_images(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
     """(id, width, height, format, byte_len, checksum) via mapInPandas.
 
-    With Pillow installed the real decoder runs; otherwise a deterministic
-    fake derives plausible metadata from the byte content (clearly marked —
-    do NOT ship the fake to production).
+    Decode order: the dependency-free real codec (PPM/PGM/BMP,
+    ``decode_image_numpy``) first — so those formats decode identically in
+    every environment — then Pillow for everything else if installed, then
+    a deterministic fake that derives plausible metadata from the byte
+    content (clearly marked — do NOT ship the fake to production).
     """
     pil = _try_import_pil()
 
@@ -80,6 +211,13 @@ def decode_images(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
                 for b in data[:64]:
                     csum = (csum * 31 + b) % 1_000_000_007
                 sums.append(csum)
+                dec = decode_image_numpy(data) if data else None
+                if dec is not None:
+                    w, h, fmt, _ = dec
+                    ws.append(w)
+                    hs.append(h)
+                    fmts.append(fmt)
+                    continue
                 if pil is not None and data:
                     try:
                         img = pil.open(io.BytesIO(data))
@@ -191,10 +329,13 @@ def resize_images(
 ) -> DataFrame:
     """(id, resized binary, width, height) via mapInPandas.
 
-    With Pillow present, a real re-encode runs; otherwise the deterministic
-    fake passes the payload through and tags the target dims — the Arrow
-    batch shape, output schema, and partition behavior are identical either
-    way, which is what the pipeline plumbing tests pin down.
+    PPM/PGM/BMP payloads take the dependency-free real path: numpy decode,
+    nearest-neighbor resample, P6/P5 re-encode (``decode_image_numpy`` /
+    ``encode_ppm``). Other formats re-encode via Pillow when present;
+    otherwise the deterministic fake passes the payload through and tags
+    the target dims — the Arrow batch shape, output schema, and partition
+    behavior are identical either way, which is what the pipeline plumbing
+    tests pin down.
     """
     pil = _try_import_pil()
 
@@ -207,7 +348,10 @@ def resize_images(
             ids, payloads = [], []
             for i, payload in zip(pdf[id_col], pdf[binary_col]):
                 data = bytes(payload) if payload is not None else b""
-                if pil is not None and data:
+                dec = decode_image_numpy(data) if data else None
+                if dec is not None:
+                    data = encode_ppm(_resize_nearest(dec[3], width, height))
+                elif pil is not None and data:
                     try:
                         img = pil.open(io.BytesIO(data)).resize((width, height))
                         buf = io.BytesIO()
@@ -241,10 +385,15 @@ def image_phash(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
     compare is integer-exact (``64·pixel > sum``) so no float reaches a bit
     decision on either path.
 
-    With Pillow present the real decode runs (grayscale ``convert('L')``,
-    ``PHASH_GRID``² resize). Without it (this container) the DETERMINISTIC
-    FAKE takes pixel p = byte (p mod n) of the payload — SQL-replayable, so
-    the whole hash is oracle-checkable; do NOT ship the fake to production.
+    Real-pixel path: PPM/PGM/BMP payloads decode via the dependency-free
+    numpy codec (``decode_image_numpy``) — BT.601 integer luma, area-mean
+    downsample to the ``PHASH_GRID``² grid — in ANY environment; other
+    formats decode via Pillow when present (grayscale ``convert('L')``,
+    resize). Payloads that are neither take the DETERMINISTIC FAKE: pixel
+    p = byte (p mod n) of the payload — SQL-replayable, so the whole hash
+    is oracle-checkable; do NOT ship the fake to production. (The registry
+    queries feeding synthetic text payloads prefix them with '#' so they
+    provably never parse as an image — see queries._phash_payload.)
 
     The banded layout is the LSH handle: two images within Hamming
     distance 3 must share a band (pigeonhole over 4 bands), which is what
@@ -266,7 +415,12 @@ def image_phash(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
                 if not data:
                     continue
                 px = None
-                if pil is not None:
+                dec = decode_image_numpy(data)
+                if dec is not None:
+                    px = _block_mean(
+                        _gray_f64(dec[3]), PHASH_GRID, PHASH_GRID
+                    ).ravel()
+                elif pil is not None:
                     try:
                         img = (
                             pil.open(io.BytesIO(data))
@@ -281,7 +435,10 @@ def image_phash(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
                     # bytes to fill the grid.
                     arr = np.frombuffer(data, np.uint8).astype(np.int64)
                     px = arr[np.arange(g2) % len(arr)]
-                total = int(px.sum())
+                # px is int64 on the fake/PIL paths, float64 block means on
+                # the numpy real path; the compare is deterministic either
+                # way (no rounding applied before the bit decision).
+                total = px.sum()
                 bits = (g2 * px > total).astype(np.int64)
                 bs = [
                     int((bits[16 * j:16 * j + 16] << np.arange(16)).sum())

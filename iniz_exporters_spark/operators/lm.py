@@ -240,7 +240,7 @@ def bpe_apply_symbols(word_col: F.Column, merges: list[tuple[str, str]]):
 
 
 def bpe_learn(
-    df: DataFrame, text_col: str, k: int = 4
+    df: DataFrame, text_col: str, k: int = 4, checkpoint_every: int = 1
 ) -> list[tuple[str, str]]:
     """Train ``k`` BPE merges on the corpus: each round counts adjacent
     symbol pairs across the (distinct-word, occurrence-weighted) vocabulary
@@ -250,8 +250,19 @@ def bpe_learn(
     Driver loop with ONE single-row collect per round (metadata-scale);
     the pair counting is a groupBy over exploded (symbol, next) rows from
     the distinct vocabulary weighted by word frequency — vocabulary-sized,
-    not corpus-sized, work per round.
+    not corpus-sized, work per round. BPE is inherently sequential (merge
+    r changes the pair counts merge r+1 sees), so rounds cannot fuse; what
+    CAN be tuned at tokenizer scale (k in the hundreds) is the checkpoint
+    cadence: ``checkpoint_every=c`` materializes the re-segmented
+    vocabulary every c-th round and lets the in-between rounds stack their
+    merge folds as lineage on the last snapshot — c-1 rounds of
+    plan-only work traded against one materialization. The corpus-sized
+    scan happens ONCE (building the weighted vocab); every training round
+    after that touches vocabulary-sized data only, which is what keeps a
+    100 TB corpus trainable: the loop cost is independent of corpus size.
     """
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1: {checkpoint_every}")
     vocab = (
         df.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
@@ -263,7 +274,7 @@ def bpe_learn(
     )
     cur = vocab.select("w", "freq", syms_col.alias("syms")).localCheckpoint()
     merges: list[tuple[str, str]] = []
-    for _ in range(k):
+    for r in range(k):
         pairs = F.transform(
             F.sequence(F.lit(1), F.size("syms") - 1),
             lambda i: F.struct(
@@ -284,9 +295,9 @@ def bpe_learn(
             break
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
-        cur = cur.withColumn(
-            "syms", _apply_merge(F.col("syms"), a, b)
-        ).localCheckpoint()
+        cur = cur.withColumn("syms", _apply_merge(F.col("syms"), a, b))
+        if (r + 1) % checkpoint_every == 0:
+            cur = cur.localCheckpoint()
     return merges
 
 

@@ -21,6 +21,8 @@ rows this operator deletes, so the skew self-heals downstream.
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -65,7 +67,10 @@ def canonicalize_url(url: Column | str, drop_param_prefix: str = "utm_") -> Colu
     q = F.array_join(
         F.filter(
             F.split(F.coalesce(F.parse_url(c, F.lit("QUERY")), F.lit("")), "&"),
-            lambda p: (~p.rlike(f"^{drop_param_prefix}")) & (p != F.lit("")),
+            # re.escape: a prefix like "x." or "a+" must match literally,
+            # not as a regex metacharacter.
+            lambda p: (~p.rlike(f"^{re.escape(drop_param_prefix)}"))
+            & (p != F.lit("")),
         ),
         "&",
     )

@@ -3928,8 +3928,8 @@ def _phash_band_sql(j: int) -> str:
 
 
 _PHASH_BANDS_CTE = f"""
-    e AS (SELECT doc_id, hex(encode(text)) AS h,
-                 octet_length(encode(text)) AS n
+    e AS (SELECT doc_id, hex(encode('#' || text)) AS h,
+                 octet_length(encode('#' || text)) AS n
           FROM documents WHERE octet_length(encode(text)) > 0),
     p AS (SELECT doc_id,
                  list_transform(range(0, 64),
@@ -3943,6 +3943,21 @@ _PHASH_BANDS_CTE = f"""
 """
 
 
+def _phash_payload(d: DataFrame) -> DataFrame:
+    """Synthetic image payloads from document text, prefixed with '#'
+    (0x23): no PPM/PGM/BMP magic can start with it, so the operator's
+    real-codec branch (``decode_image_numpy``) provably never intercepts
+    these fake payloads and the oracle's replay of the FAKE pixel path
+    stays bit-exact — regardless of what a future testdata regeneration
+    puts in ``text``."""
+    return d.select(
+        "doc_id",
+        F.encode(F.concat(F.lit("#"), F.col("text")), "UTF-8").alias(
+            "payload"
+        ),
+    )
+
+
 @register(
     "image_phash_q",
     f"""
@@ -3954,7 +3969,7 @@ _PHASH_BANDS_CTE = f"""
 )
 def image_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
-    media = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    media = _phash_payload(d)
     return image_phash(media, "payload", "doc_id")
 
 
@@ -4001,7 +4016,7 @@ def canonical_longest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iniz_exporters_spark.plans.graph import connected_components
 
     d = Catalog(spark, sf_dir).documents
-    media = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    media = _phash_payload(d)
     pairs = phash_neardup(image_phash(media, "payload", "doc_id"), "doc_id")
     comps = connected_components(
         pairs.select(
@@ -4047,7 +4062,7 @@ def canonical_longest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def phash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
-    media = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    media = _phash_payload(d)
     return phash_neardup(image_phash(media, "payload", "doc_id"), "doc_id")
 
 
@@ -6221,10 +6236,19 @@ def _bpe_learn_sql(k: int) -> str:
     fixpoint recursive-CTE replace (same machinery as _bpe_apply_sql) to
     re-segment the vocabulary before the next round. Assumes every round
     finds at least one pair (true on any non-degenerate corpus; the Spark
-    side breaks out early on a dry round)."""
+    side breaks out early on a dry round).
+
+    The non-recursive members (f*, t*) are MATERIALIZED: each round
+    references its predecessor several times (pattern + replacement scalar
+    subqueries, fixpoint guard), so inlined CTEs expand the predecessor
+    multiplicatively per round — beyond ~5 rounds the expansion re-opens
+    the parquet file exponentially many times and dies on fd limits.
+    Materialization makes replay depth linear (64 rounds ≈ 1.4 s at
+    sf0.01)."""
     syms = "string_split(trim(s), ' ')"
     ctes = [
-        "f0 AS (SELECT w, freq, ' ' || array_to_string(string_split(w, ''),"
+        "f0 AS MATERIALIZED (SELECT w, freq, ' ' || "
+        "array_to_string(string_split(w, ''),"
         " ' ') || ' ' AS s FROM (SELECT w, COUNT(*) AS freq FROM ("
         f"SELECT unnest({_SQL_TOKENS}) AS w FROM documents) GROUP BY w))"
     ]
@@ -6232,8 +6256,8 @@ def _bpe_learn_sql(k: int) -> str:
         pat = f"(SELECT ' '||a||' '||b||' ' FROM t{r})"
         rep = f"(SELECT ' '||a||b||' ' FROM t{r})"
         ctes.append(
-            f"t{r} AS (SELECT syms[i] AS a, syms[i+1] AS b FROM ("
-            f"SELECT {syms} AS syms, freq, "
+            f"t{r} AS MATERIALIZED (SELECT syms[i] AS a, syms[i+1] AS b "
+            f"FROM (SELECT {syms} AS syms, freq, "
             f"unnest(range(1, len({syms}))) AS i FROM f{r - 1}) "
             "GROUP BY a, b ORDER BY SUM(freq) DESC, a ASC, b ASC LIMIT 1)"
         )
@@ -6243,7 +6267,7 @@ def _bpe_learn_sql(k: int) -> str:
             f"WHERE s <> replace(s, {pat}, {rep}))"
         )
         ctes.append(
-            f"f{r} AS (SELECT w, freq, s FROM m{r} "
+            f"f{r} AS MATERIALIZED (SELECT w, freq, s FROM m{r} "
             f"WHERE s = replace(s, {pat}, {rep}))"
         )
     ranks = " UNION ALL ".join(
@@ -6260,6 +6284,24 @@ def bpe_learn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-row collect per round; the oracle replays every round in SQL."""
     d = Catalog(spark, sf_dir).documents
     merges = bpe_learn(d, "text", k=3)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string",
+    )
+
+
+@register("bpe_learn64", _bpe_learn_sql(64), headline=True)
+def bpe_learn64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-scale BPE training: 64 merge rounds, checkpoint cadence 8
+    (seven rounds stack their merge folds as lineage on the last snapshot,
+    the eighth materializes — round-trip cost amortized 8×). The corpus
+    scan happens once (weighted vocab build); all 64 rounds run on
+    vocabulary-sized data, so the loop cost is corpus-size-independent —
+    the actual 100 TB question for SQL-replayed training, benchmarked
+    here as a headline query. Oracle: the full 64-round recursive-CTE
+    replay (MATERIALIZED members keep it linear in depth)."""
+    d = Catalog(spark, sf_dir).documents
+    merges = bpe_learn(d, "text", k=64, checkpoint_every=8)
     return spark.createDataFrame(
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, a string, b string",
@@ -7302,7 +7344,7 @@ def hash_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decontaminated_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     sp = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
-    media = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    media = _phash_payload(d)
     pairs = phash_neardup(image_phash(media, "payload", "doc_id"), "doc_id")
     test_ids = sp.filter(F.col("split") == "test").select("doc_id")
     contam = (
@@ -7412,4 +7454,145 @@ def hll_error_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("__union_est") - F.col("exact_nd"))
             <= 0.05 * F.col("exact_nd")
         ).alias("union_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 — ANN recall contract. ann_bucketed / ivf_flat_topk have had
+# value-checked rows since round 1, but nothing measured their RECALL vs
+# the exact kNN baseline: a bucketing regression that silently drops
+# neighbors would keep hashing green (the approximate result is its own
+# spec). This query pins recall@5 against knn_bruteforce for the first 10
+# query vectors. The hit counts are exact integers (deterministic ranking
+# by (rounded cos DESC, neighbor_id) in both engines), so the oracle
+# re-derives them independently in SQL — a Spark-side recall regression
+# shows up as a hit-count hash mismatch AND flips the bound boolean.
+# Bounds use integer arithmetic (hits*10 >= pct*total) so no float
+# boundary can flip them. Measured floor across sf0.001/0.01/0.1:
+# ann 19/50, ivf 40/50 → bounds 30% / 70% leave ≥4-hit margins.
+# Scale shape: exact side is queries-broadcast × corpus (corpus never
+# shuffles); ANN/IVF sides are the production bucketed plans; the joins
+# that count hits carry (query_id, neighbor_id) pairs only.
+# ---------------------------------------------------------------------------
+@register(
+    "ann_recall_check",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 10),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 4)
+                                DESC, c.vec_id) AS rn
+            FROM q JOIN e c ON c.vec_id <> q.vec_id
+        ) WHERE rn <= 5
+    ),
+    b AS (
+        SELECT vec_id, v,
+               list_reduce(list_transform(range(0, 2), d ->
+                   CASE WHEN v[d + 1] >= 0 THEN power(2, d)::BIGINT
+                        ELSE 0::BIGINT END), (x, y) -> x + y) AS bucket
+        FROM e
+    ),
+    ann AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY qb.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(qb.v, cb.v), 4)
+                                DESC, cb.vec_id) AS rn
+            FROM b qb JOIN b cb
+              ON qb.bucket = cb.bucket AND cb.vec_id <> qb.vec_id
+            WHERE qb.vec_id < 10
+        ) WHERE rn <= 5
+    ),
+    cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v
+        FROM e ORDER BY vec_id LIMIT 8
+    ),
+    ranked AS (
+        SELECT e.vec_id, e.v, c.cidx,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(e.v, c.v), 4)
+                            DESC, c.cidx) AS rnk
+        FROM e CROSS JOIN cents c
+    ),
+    member AS (SELECT vec_id, v, cidx AS cell FROM ranked WHERE rnk = 1),
+    probes AS (SELECT vec_id, v, cidx AS cell FROM ranked
+               WHERE rnk <= 2 AND vec_id < 10),
+    cell_topk AS (
+        SELECT query_id, neighbor_id, cos FROM (
+            SELECT p.vec_id AS query_id, m.vec_id AS neighbor_id,
+                   ROUND(list_cosine_similarity(p.v, m.v), 4) AS cos,
+                   ROW_NUMBER() OVER (PARTITION BY p.vec_id, p.cell
+                       ORDER BY ROUND(list_cosine_similarity(p.v, m.v), 4)
+                                DESC, m.vec_id) AS crn
+            FROM probes p JOIN member m
+              ON m.cell = p.cell AND m.vec_id <> p.vec_id
+        ) t WHERE crn <= 5
+    ),
+    ivf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rn
+            FROM cell_topk
+        ) t WHERE rn <= 5
+    ),
+    counts AS (
+        SELECT
+            (SELECT COUNT(*) FROM q) AS n_queries,
+            (SELECT COUNT(*) FROM exact) AS exact_total,
+            (SELECT COUNT(*) FROM exact JOIN ann
+                USING (query_id, neighbor_id)) AS ann_hits,
+            (SELECT COUNT(*) FROM exact JOIN ivf
+                USING (query_id, neighbor_id)) AS ivf_hits
+    )
+    SELECT n_queries, exact_total, ann_hits, ivf_hits,
+           ann_hits * 10 >= 3 * exact_total AS ann_recall_ok,
+           ivf_hits * 10 >= 7 * exact_total AS ivf_recall_ok
+    FROM counts
+    """,
+)
+def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    q = e.filter(F.col("vec_id") < 10)
+    exact = knn_bruteforce(corpus=e, queries=q, top_k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ann = (
+        ann_bucketed(e, bits=2, top_k=5)
+        .filter(F.col("query_id") < 10)
+        .select("query_id", "neighbor_id")
+    )
+    ivf = (
+        ivf_flat_topk(e, n_centroids=8, top_k=5, nprobe=2)
+        .filter(F.col("query_id") < 10)
+        .select("query_id", "neighbor_id")
+    )
+    totals = exact.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("exact_total"),
+    )
+    ann_hits = exact.join(ann, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("ann_hits")
+    )
+    ivf_hits = exact.join(ivf, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("ivf_hits")
+    )
+    return (
+        totals.crossJoin(F.broadcast(ann_hits))
+        .crossJoin(F.broadcast(ivf_hits))
+        .select(
+            "n_queries",
+            "exact_total",
+            "ann_hits",
+            "ivf_hits",
+            (F.col("ann_hits") * 10 >= 3 * F.col("exact_total")).alias(
+                "ann_recall_ok"
+            ),
+            (F.col("ivf_hits") * 10 >= 7 * F.col("exact_total")).alias(
+                "ivf_recall_ok"
+            ),
+        )
     )

@@ -86,7 +86,13 @@ def write_merged_csv(
         keyed.write.option("header", False).option("nullValue", "").option(
             "emptyValue", ""
         ).mode("overwrite").csv(tmp)
-        parts = sorted(glob.glob(os.path.join(tmp, "part-*.csv")))
+        # Numeric sort on the part index: %05d overflows to 6 digits past
+        # 99,999 partitions, where "part-100000" sorts lexicographically
+        # before "part-99999" and would break the merged global order.
+        parts = sorted(
+            glob.glob(os.path.join(tmp, "part-*.csv")),
+            key=lambda p: int(os.path.basename(p).split("-")[1]),
+        )
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         buf = io.StringIO()
         _csv.writer(buf, lineterminator="\n").writerow(df.columns)

@@ -1,0 +1,171 @@
+"""Real-codec branch of the multimodal surface — no Pillow required.
+
+``decode_image_numpy`` is a dependency-free decoder for three public
+formats (binary PPM/PGM, uncompressed 24-bit BMP), so the REAL pixel
+paths of decode_images / image_phash / resize_images execute in this
+container instead of the deterministic fake. Expected pixel values are
+crafted by hand (struct-packed headers), never by the code under test.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from iniz_exporters_spark.multimodal.binary import (
+    decode_image_numpy,
+    decode_images,
+    encode_ppm,
+    image_phash,
+    resize_images,
+)
+
+
+def make_bmp(px: np.ndarray, bottom_up: bool = True) -> bytes:
+    """Independent 24-bit BI_RGB BMP writer (BITMAPINFOHEADER)."""
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    order = range(h - 1, -1, -1) if bottom_up else range(h)
+    for y in order:
+        row = px[y][:, ::-1].tobytes()  # RGB → BGR
+        rows.append(row + b"\x00" * (stride - len(row)))
+    raster = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h if bottom_up else -h, 1, 24, 0, len(raster), 2835, 2835, 0, 0,
+    )
+    head = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    return head + info + raster
+
+
+GRAD8 = np.arange(64, dtype=np.uint8).reshape(8, 8)  # mean 31.5 → bits = p>=32
+
+
+def test_decode_ppm_p6_roundtrip():
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    got = decode_image_numpy(encode_ppm(px))
+    assert got is not None
+    w, h, fmt, out = got
+    assert (w, h, fmt) == (3, 2, "PPM")
+    np.testing.assert_array_equal(out, px)
+
+
+def test_decode_pgm_p5_with_comments():
+    data = b"P5 # comment\n# another comment\n 8\n8 # trailing\n255\n" + (
+        GRAD8.tobytes()
+    )
+    got = decode_image_numpy(data)
+    assert got is not None
+    w, h, fmt, out = got
+    assert (w, h, fmt) == (8, 8, "PGM")
+    np.testing.assert_array_equal(out, GRAD8)
+
+
+def test_decode_bmp_both_orientations():
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    for bottom_up in (True, False):
+        got = decode_image_numpy(make_bmp(px, bottom_up=bottom_up))
+        assert got is not None
+        w, h, fmt, out = got
+        assert (w, h, fmt) == (2, 2, "BMP")
+        np.testing.assert_array_equal(out, px)
+
+
+@pytest.mark.parametrize(
+    "junk",
+    [
+        b"",
+        b"#P6 3 2 255 not an image",  # the _phash_payload guard prefix
+        b"hello world this is text",
+        b"P6 3 2 255",  # truncated raster
+        b"P6 0 0 255 ",  # degenerate dims
+        b"BM" + b"\x00" * 60,  # BMP magic, garbage header
+        b"P5 2 2 65535 " + b"\x00" * 8,  # 16-bit maxval unsupported
+    ],
+)
+def test_decoder_rejects_non_images(junk):
+    assert decode_image_numpy(junk) is None
+
+
+def test_decode_images_real_branch(spark):
+    rows = [
+        (1, encode_ppm(np.zeros((4, 6, 3), dtype=np.uint8))),
+        (2, make_bmp(np.zeros((2, 2, 3), dtype=np.uint8))),
+        (3, b"#P6 not an image"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in
+           decode_images(df, "payload", "media_id").collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["format"]) == (6, 4, "PPM")
+    assert (got[2]["width"], got[2]["height"], got[2]["format"]) == (2, 2, "BMP")
+    assert got[3]["format"] == "FAKE"  # guard prefix keeps fakes fake
+
+
+def test_image_phash_real_pixels_exact(spark):
+    """aHash of a real grayscale gradient, expected bits derived by hand:
+    8×8 values 0..63 → bit p set iff pixel ≥ 32 (rows 4-7), so bands are
+    (0, 0, 0xffff, 0xffff). A 16×16 image of constant 2×2 blocks with the
+    same block values must produce the identical hash through the
+    area-mean downsample."""
+    grad16 = np.kron(GRAD8, np.ones((2, 2), dtype=np.uint8))
+    rows = [
+        (1, b"P5 8 8 255 " + GRAD8.tobytes()),
+        (2, b"P5 16 16 255 " + grad16.tobytes()),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in
+           image_phash(df, "payload", "media_id").collect()}
+    for i in (1, 2):
+        assert [got[i][f"b{j}"] for j in range(4)] == [0, 0, 0xFFFF, 0xFFFF]
+        assert got[i]["phash"] == "00000000ffffffff"
+
+
+def test_image_phash_rgb_luma(spark):
+    """BT.601 luma ordering on a real color image: green rows read brighter
+    than the mean, blue rows darker (587 vs 114 weights)."""
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    px[:4, :, 2] = 200  # top: blue (luma 22)
+    px[4:, :, 1] = 200  # bottom: green (luma 117)
+    df = spark.createDataFrame(
+        [(1, encode_ppm(px))], "media_id long, payload binary"
+    )
+    got = image_phash(df, "payload", "media_id").collect()[0]
+    assert [got[f"b{j}"] for j in range(4)] == [0, 0, 0xFFFF, 0xFFFF]
+
+
+def test_resize_images_real_roundtrip(spark):
+    """Real path: decode → nearest-neighbor resample → P6 re-encode. The
+    output payload is a decodable PPM with the target dims and the exact
+    center-sample pixels."""
+    px = np.array(
+        [[[10, 10, 10], [20, 20, 20], [30, 30, 30], [40, 40, 40]],
+         [[50, 50, 50], [60, 60, 60], [70, 70, 70], [80, 80, 80]]],
+        dtype=np.uint8,
+    )
+    df = spark.createDataFrame(
+        [(1, encode_ppm(px))], "media_id long, payload binary"
+    )
+    out = resize_images(df, "payload", "media_id", width=2, height=1).collect()
+    dec = decode_image_numpy(bytes(out[0]["resized"]))
+    assert dec is not None
+    w, h, fmt, arr = dec
+    assert (w, h, fmt) == (2, 1, "PPM")
+    # center-of-pixel mapping: x centers 0.5,1.5 of 4 → cols 1,3; y → row 0|1
+    np.testing.assert_array_equal(arr, px[1:2, [1, 3]])
+
+
+def test_phash_partition_invariance_real(spark):
+    imgs = [
+        (i, encode_ppm((np.arange(64, dtype=np.uint8).reshape(8, 8) + i)))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(imgs, "media_id long, payload binary")
+    a = {r["media_id"]: r["phash"] for r in
+         image_phash(df, "payload", "media_id").collect()}
+    b = {r["media_id"]: r["phash"] for r in
+         image_phash(df.repartition(5), "payload", "media_id").collect()}
+    assert a == b and len(a) == 6

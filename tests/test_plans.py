@@ -416,3 +416,52 @@ def test_token_psi_vocab_broadcasts(spark):
     plan = physical(run("token_psi_q", spark))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """Proof that the session's AQE skew-join handling actually engages:
+    a synthetic fact table with a 50%-mass hot key, shuffle-joined against
+    a dim too big to broadcast, must show the skew split in the FINAL
+    adaptive plan — `SortMergeJoin(skew=true)` plus an `AQEShuffleRead`
+    marked skewed. Thresholds are lowered to make test-scale partitions
+    qualify; at 100 TB the defaults (256 MB / factor 5) do the gating.
+    The invariance suites prove determinism UNDER adversarial
+    partitioning; this pins that the runtime mitigation itself fires."""
+    import pyspark.sql.functions as F
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    old = {c: spark.conf.get(c, None) for c in tuned}
+    try:
+        for c, v in tuned.items():
+            spark.conf.set(c, v)
+        # 50% of fact rows land on key 0; the pad column must survive the
+        # join (column pruning would shrink the hot partition below any
+        # threshold — the aggregate reads it, so bytes stay realistic).
+        fact = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        dim = spark.range(0, 100_000).select(
+            F.col("id").alias("k"), F.lit("d").alias("dv")
+        )
+        j = fact.join(dim, "k").agg(F.sum(F.length("pad")).alias("n"))
+        rows = j.collect()
+        # semantics: 100k odd ids match nothing above 100k; 100k hot-key
+        # rows each meet dim key 0 once; evens<200k contribute via key 0.
+        assert rows[0]["n"] == 100_000 * 64 + 50_000 * 64
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead" in plan and "skewed" in plan, plan
+    finally:
+        for conf, val in old.items():
+            if val is None:
+                spark.conf.unset(conf)
+            else:
+                spark.conf.set(conf, val)
