@@ -8,6 +8,15 @@ Per-query times are the MEDIAN of $SPARK_GRAFT_BENCH_RUNS (default 3)
 interleaved passes — single-run times at sf0.1 carry ±2× JIT/GC noise
 (PERFORMANCE.md), so round-over-round comparisons need the median, and the
 raw runs are emitted alongside for spread inspection.
+
+Cross-scale slope: unless $SPARK_GRAFT_BENCH_SLOPE=0, each query also runs
+at the 10×-smaller scale and the JSON carries
+{"slope": {name: {"sf_small": sec, "sf_big": sec, "ratio": big/small}}}.
+The ratio is the scaling diagnostic no single-scale run can give: a query
+whose time grows far beyond ~10× across a 10× data step has a superlinear
+term (usually candidate-pair or state growth) that a local plan audit
+won't catch. Ratios well under 10 mean fixed overheads (job scheduling,
+JVM) still dominate at this scale — fine; ratios ≫10 are the red flag.
 """
 
 from __future__ import annotations
@@ -54,18 +63,38 @@ def main() -> None:
             runs[name].append(round(time.perf_counter() - t0, 3))
 
     times = {n: round(statistics.median(r), 3) for n, r in runs.items()}
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "runs": runs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    out = {
+        "metric": "headline_query_wall_seconds",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "runs": runs,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # Cross-scale slope: one timed pass at the 10×-smaller SF (it exists
+    # for every driver scale except the smallest probe scale).
+    small_dir = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SLOPE", "1") != "0":
+        try:
+            cand = f"{os.path.dirname(sf_dir.rstrip('/'))}/sf{float(sf) / 10:g}"
+            small_dir = cand if os.path.isdir(cand) else None
+        except ValueError:
+            small_dir = None
+    if small_dir:
+        slope: dict[str, dict[str, float]] = {}
+        for name, spec in headline.items():
+            t0 = time.perf_counter()
+            run(spec, small_dir)
+            t_small = round(time.perf_counter() - t0, 3)
+            slope[name] = {
+                "sf_small": t_small,
+                "sf_big": times[name],
+                "ratio": round(times[name] / max(t_small, 1e-3), 2),
             }
-        )
-    )
+        out["slope"] = slope
+        out["slope_sf_small"] = float(small_dir.rsplit("sf", 1)[-1])
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -7596,3 +7596,308 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 — retrieval EVALUATION metrics (NDCG@5 / MRR / P@5) over the BM25
+# batch ranking. Deterministic graded relevance: a candidate's gain is the
+# number of DISTINCT query terms it contains, so the whole evaluation is
+# derivable from the token stream in both engines (no human qrels). The
+# ideal ranking (IDCG) takes the 5 best gains over the ENTIRE corpus, not
+# just the retrieved set — so NDCG genuinely measures the ranker.
+# Scale shape: one token-stream pass restricted to the query vocabulary
+# (terms IN (...) pushed to the scan), gains are (query, doc) aggregates,
+# every per-metric frame after that is ≤ |queries|·5 rows; the DCG sums go
+# through exact decimals so 5-term float addition order can never flip a
+# hash. MRR uses MAX(1/rank) (order-independent).
+# ---------------------------------------------------------------------------
+@register(
+    "retrieval_eval_q",
+    f"""
+    WITH t AS ({_SQL_TOK_ROWS}),
+    qt(query_id, tok) AS (VALUES {_BM25_Q_VALUES}),
+    nq AS (SELECT query_id, COUNT(*) AS n_terms FROM qt GROUP BY query_id),
+    dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+    a AS (SELECT avg(dl) AS avgdl FROM dl),
+    n AS (SELECT count(*)::DOUBLE AS n_docs FROM dl),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+           WHERE tok IN ({_BM25_ALL_TERMS}) GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+    scored AS (
+        SELECT qt.query_id, tf.doc_id,
+               ROUND(SUM(CAST(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                   AS DECIMAL(28,12))), 6)::DOUBLE AS bm25
+        FROM tf JOIN qt USING (tok) JOIN df USING (tok)
+        JOIN dl USING (doc_id)
+        CROSS JOIN a CROSS JOIN n
+        GROUP BY qt.query_id, tf.doc_id
+    ),
+    topk AS (SELECT query_id, doc_id, rn FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY bm25 DESC, doc_id ASC) AS rn
+        FROM scored) WHERE rn <= 5),
+    gains AS (
+        SELECT qt.query_id, t2.doc_id,
+               COUNT(DISTINCT t2.tok) AS gain
+        FROM (SELECT DISTINCT doc_id, tok FROM tf) t2
+        JOIN qt ON t2.tok = qt.tok
+        GROUP BY qt.query_id, t2.doc_id
+    ),
+    ideal AS (
+        SELECT query_id,
+               SUM(CAST(gain / log2(irn + 1.0) AS DECIMAL(28,12))) AS idcg
+        FROM (SELECT query_id, gain,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY gain DESC, doc_id ASC)
+                         AS irn
+              FROM gains) WHERE irn <= 5
+        GROUP BY query_id
+    ),
+    got AS (
+        SELECT tk.query_id,
+               SUM(CAST(g.gain / log2(tk.rn + 1.0) AS DECIMAL(28,12)))
+                   AS dcg,
+               MAX(CASE WHEN g.gain = nq.n_terms
+                        THEN ROUND(1.0 / tk.rn, 6) ELSE 0.0 END) AS mrr,
+               ROUND(SUM(CASE WHEN g.gain = nq.n_terms THEN 1 ELSE 0 END)
+                     / 5.0, 6) AS p_at_5
+        FROM topk tk
+        JOIN gains g USING (query_id, doc_id)
+        JOIN nq USING (query_id)
+        GROUP BY tk.query_id
+    )
+    SELECT got.query_id,
+           ROUND(CAST(got.dcg / ideal.idcg AS DOUBLE), 6) AS ndcg_at_5,
+           mrr, p_at_5
+    FROM got JOIN ideal USING (query_id)
+    """,
+)
+def retrieval_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iniz_exporters_spark.operators.ranking import bm25_multi_topk
+
+    d = Catalog(spark, sf_dir).documents
+    topk = bm25_multi_topk(d, _BM25_QUERIES, "doc_id", "text", top_k=5)
+
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in _BM25_QUERIES for t in ts],
+        "query_id string, tok string",
+    )
+    all_terms = sorted({t for _, ts in _BM25_QUERIES for t in ts})
+    nq = qterms.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+
+    # graded gain = distinct query terms present in the doc; the token
+    # scan is pruned to the query vocabulary before the shuffle
+    doc_terms = (
+        d.select("doc_id", F.explode(_tokens("text")).alias("tok"))
+        .filter(F.col("tok").isin(all_terms))
+        .distinct()
+    )
+    gains = (
+        doc_terms.join(F.broadcast(qterms), "tok")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("tok").alias("gain"))
+    )
+
+    dec = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    w_ideal = Window.partitionBy("query_id").orderBy(
+        F.col("gain").desc(), F.col("doc_id").asc()
+    )
+    ideal = (
+        gains.withColumn("irn", F.row_number().over(w_ideal))
+        .filter(F.col("irn") <= 5)
+        .groupBy("query_id")
+        .agg(F.sum(dec(F.col("gain") / F.log2(F.col("irn") + 1.0))).alias("idcg"))
+    )
+    got = (
+        topk.join(gains, ["query_id", "doc_id"])
+        .join(F.broadcast(nq), "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.sum(dec(F.col("gain") / F.log2(F.col("rn") + 1.0))).alias("dcg"),
+            F.max(
+                F.when(
+                    F.col("gain") == F.col("n_terms"),
+                    F.round(1.0 / F.col("rn"), 6),
+                ).otherwise(0.0)
+            ).alias("mrr"),
+            F.round(
+                F.sum(
+                    F.when(F.col("gain") == F.col("n_terms"), 1).otherwise(0)
+                )
+                / 5.0,
+                6,
+            ).alias("p_at_5"),
+        )
+    )
+    return got.join(F.broadcast(ideal), "query_id").select(
+        "query_id",
+        F.round((F.col("dcg") / F.col("idcg")).cast("double"), 6).alias(
+            "ndcg_at_5"
+        ),
+        "mrr",
+        "p_at_5",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 — training-mix temperature rebalancing (the multilingual-corpus
+# lever: raw language shares p_l are flattened to w_l ∝ p_l^alpha, alpha
+# 0.5, so low-resource languages are upsampled without letting any one
+# dominate — the standard temperature-sampling scheme in multilingual LM
+# training). Emits, per language: raw share, rebalanced weight, expected
+# docs under the reweighted mix, and the implied epoch multiplier (how
+# many passes over that language's data one reweighted epoch costs).
+# Scale shape: one count aggregate (map-side partials) to language-count
+# rows; everything after is arithmetic on that metadata frame — the
+# 1-row total and the 1-row weight normalizer join back via broadcast.
+# ---------------------------------------------------------------------------
+@register(
+    "mix_temperature_q",
+    """
+    WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS total FROM c),
+    w AS (SELECT lang, n_docs, n_docs / total AS p,
+                 pow(n_docs / total, 0.5) AS pw
+          FROM c CROSS JOIN tot),
+    z AS (SELECT SUM(CAST(pw AS DECIMAL(28,12))) AS zsum FROM w)
+    SELECT lang, n_docs,
+           ROUND(p, 6) AS p,
+           ROUND(CAST(pw / zsum AS DOUBLE), 6) AS weight,
+           ROUND(CAST(pw / zsum AS DOUBLE) * total, 2) AS expected_docs,
+           ROUND(CAST(pw / zsum AS DOUBLE) * total / n_docs, 4) AS epochs
+    FROM w CROSS JOIN z CROSS JOIN tot
+    """,
+)
+def mix_temperature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = c.agg(F.sum("n_docs").cast("double").alias("total"))
+    w = c.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        (F.col("n_docs") / F.col("total")).alias("p"),
+        F.pow(F.col("n_docs") / F.col("total"), 0.5).alias("pw"),
+        "total",
+    )
+    z = w.agg(F.sum(F.col("pw").cast("decimal(28,12)")).alias("zsum"))
+    weight = (F.col("pw") / F.col("zsum")).cast("double")
+    return w.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        F.round("p", 6).alias("p"),
+        F.round(weight, 6).alias("weight"),
+        F.round(weight * F.col("total"), 2).alias("expected_docs"),
+        F.round(weight * F.col("total") / F.col("n_docs"), 4).alias("epochs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 — embedding centroid drift between corpus halves (vec_id median
+# split = ingest-order proxy, the same convention as corpus_diff_q /
+# token_psi_q): per-half per-dimension means via exact DECIMAL sums
+# (order-independent → hash-stable at any partitioning), then centroid
+# cosine and L2 distance computed on the d-row dimension frame. The drift
+# statistic a retrieval/embedding pipeline alerts on when the upstream
+# encoder or corpus shifts. Scale shape: one posexplode pass (rows = n·d,
+# but only (half, dim, value) triples — no vectors shuffle whole), one
+# groupBy(half, dim) with map-side partials down to 2·d rows, then all
+# metric arithmetic happens on that metadata frame.
+# ---------------------------------------------------------------------------
+@register(
+    "centroid_drift_q",
+    """
+    WITH med AS (
+        -- FLOOR, not a bare BIGINT cast: DuckDB's double→BIGINT cast
+        -- rounds while Spark's truncates, and a .5 midpoint would shift
+        -- one vector across the half boundary
+        SELECT CAST(FLOOR(SUM(vec_id)::DOUBLE / COUNT(*)) AS BIGINT) AS mid
+        FROM embeddings
+    ),
+    ex AS (
+        SELECT CASE WHEN vec_id < mid THEN 0 ELSE 1 END AS half,
+               i AS dim, embedding[i + 1]::DOUBLE AS v
+        FROM embeddings CROSS JOIN med
+        CROSS JOIN (SELECT unnest(range(0, 64)) AS i) d
+    ),
+    m AS (
+        SELECT half, dim,
+               CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*) AS mu
+        FROM ex GROUP BY half, dim
+    ),
+    p AS (
+        SELECT a.dim, a.mu AS mu0, b.mu AS mu1
+        FROM (SELECT dim, mu FROM m WHERE half = 0) a
+        JOIN (SELECT dim, mu FROM m WHERE half = 1) b USING (dim)
+    ),
+    agg AS (
+        SELECT COUNT(*) AS n_dims,
+               CAST(SUM(CAST(mu0 * mu1 AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+               CAST(SUM(CAST(mu0 * mu0 AS DECIMAL(38,18))) AS DOUBLE) AS n0,
+               CAST(SUM(CAST(mu1 * mu1 AS DECIMAL(38,18))) AS DOUBLE) AS n1,
+               CAST(SUM(CAST((mu0 - mu1) * (mu0 - mu1) AS DECIMAL(38,18)))
+                    AS DOUBLE) AS sq
+        FROM p
+    )
+    SELECT CAST(n_dims AS BIGINT) AS n_dims,
+           ROUND(dot / (sqrt(n0) * sqrt(n1)), 6) AS centroid_cos,
+           ROUND(sqrt(sq), 6) AS centroid_l2
+    FROM agg
+    """,
+)
+def centroid_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    mid = e.agg(
+        F.floor(
+            F.sum("vec_id").cast("double") / F.count(F.lit(1))
+        )
+        .cast("bigint")
+        .alias("mid")
+    )
+    ex = (
+        e.crossJoin(F.broadcast(mid))
+        .select(
+            F.when(F.col("vec_id") < F.col("mid"), 0)
+            .otherwise(1)
+            .alias("half"),
+            F.posexplode("embedding").alias("dim", "v"),
+        )
+        .select("half", "dim", F.col("v").cast("double").alias("v"))
+    )
+    m = ex.groupBy("half", "dim").agg(
+        (
+            F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    p = (
+        m.filter(F.col("half") == 0)
+        .select("dim", F.col("mu").alias("mu0"))
+        .join(
+            m.filter(F.col("half") == 1).select(
+                "dim", F.col("mu").alias("mu1")
+            ),
+            "dim",
+        )
+    )
+    dec38 = lambda c: c.cast("decimal(38,18)")  # noqa: E731
+    agg = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+        F.sum(dec38(F.col("mu0") * F.col("mu1"))).cast("double").alias("dot"),
+        F.sum(dec38(F.col("mu0") * F.col("mu0"))).cast("double").alias("n0"),
+        F.sum(dec38(F.col("mu1") * F.col("mu1"))).cast("double").alias("n1"),
+        F.sum(dec38((F.col("mu0") - F.col("mu1")) * (F.col("mu0") - F.col("mu1"))))
+        .cast("double")
+        .alias("sq"),
+    )
+    return agg.select(
+        "n_dims",
+        F.round(
+            F.col("dot") / (F.sqrt(F.col("n0")) * F.sqrt(F.col("n1"))), 6
+        ).alias("centroid_cos"),
+        F.round(F.sqrt(F.col("sq")), 6).alias("centroid_l2"),
+    )
