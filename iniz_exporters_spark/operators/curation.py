@@ -129,3 +129,72 @@ def oov_rate(
         .cast("double")
         .alias("oov_rate"),
     )
+
+
+def dsir_weights(
+    pool: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    tokens_col_fn,
+    round_to: int = 6,
+) -> DataFrame:
+    """(id, avg_logratio, n_tokens) — importance weights for Data Selection
+    via Importance Resampling (DSIR, Xie et al. 2023 §3, arXiv:2302.03169):
+    score each raw-pool doc by the average unigram log-likelihood ratio
+    ln(p_target(tok) / p_pool(tok)), add-1 smoothed over the joint vocab.
+    High scores = pool docs that look like the target domain; a pipeline
+    then samples the pool proportionally to exp(weight) or keeps top-k.
+
+    ``tokens_col_fn(text_col_name) -> Column`` supplies the tokenizer so
+    the caller controls the unigram feature space.
+
+    Scale shape: two vocab aggregations (map-side combined, vocab-sized
+    results) -> one broadcast join onto the pool's token stream -> one
+    groupBy(doc). The pool corpus shuffles once, on the doc id, carrying
+    (id, logratio) only; both unigram tables broadcast. The avg goes
+    through the engine's decimal-round scheme so weights are stable under
+    any partitioning.
+    """
+    pool_toks = pool.select(
+        F.col(id_col), F.explode(tokens_col_fn("text")).alias("tok")
+    )
+    tgt_toks = target.select(F.explode(tokens_col_fn("text")).alias("tok"))
+
+    pool_freq = (
+        pool_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_pool"))
+    ).localCheckpoint(eager=False)
+    tgt_freq = tgt_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_tgt"))
+
+    # joint vocab with add-1 smoothing: tokens unseen on one side get c=0
+    vocab = (
+        pool_freq.join(tgt_freq, "tok", "full_outer")
+        .select(
+            "tok",
+            F.coalesce("c_pool", F.lit(0)).alias("c_pool"),
+            F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"),
+        )
+    ).localCheckpoint(eager=False)
+    totals = vocab.agg(
+        F.sum("c_pool").cast("double").alias("n_pool"),
+        F.sum("c_tgt").cast("double").alias("n_tgt"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    ratio = vocab.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        (
+            F.log((F.col("c_tgt") + 1) / (F.col("n_tgt") + F.col("v")))
+            - F.log((F.col("c_pool") + 1) / (F.col("n_pool") + F.col("v")))
+        ).alias("logratio"),
+    )
+    return (
+        pool_toks.join(F.broadcast(ratio), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.avg("logratio").cast("decimal(28,12)"), round_to
+            )
+            .cast("double")
+            .alias("avg_logratio"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )

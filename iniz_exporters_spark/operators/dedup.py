@@ -589,3 +589,67 @@ def ngram_overlap_pairs(
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def incremental_neardup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_perm: int = 16,
+    rows_per_band: int = 4,
+    k: int = 5,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Incremental dedup: (batch_id, corpus_id, jaccard) near-dup links from
+    an incoming batch into an existing corpus — the continual-training shape
+    where each crawl/snapshot increment is deduped AGAINST the corpus
+    without re-running the corpus self-join.
+
+    Same MinHash-LSH band geometry as ``neardup_pairs`` (so a pair flagged
+    here is exactly a pair the full self-join would flag), but the join is
+    asymmetric: the batch's (band, bucket) rows BROADCAST, so the 100 TB
+    corpus side is scanned once and never shuffled — per-increment cost is
+    O(corpus scan + candidates), not O((corpus+batch)^2 bucketing). With
+    ``broadcast_batch=False`` both sides shuffle on (band, bucket) for the
+    rare batch too large to broadcast.
+
+    At steady state the corpus' shingle sets and buckets are write-once
+    artifacts: persist ``shingle_sets(corpus)`` / its buckets under the
+    corpus snapshot and only the batch side is recomputed per increment —
+    this function recomputes both so its contract is self-contained.
+    """
+    hs_old = shingle_sets(corpus, id_col, text_col, k).localCheckpoint(
+        eager=False
+    )
+    hs_new = shingle_sets(batch, id_col, text_col, k).localCheckpoint(
+        eager=False
+    )
+    b_old = buckets_from_shingle_sets(
+        hs_old, id_col, num_perm, rows_per_band
+    ).select(F.col(id_col).alias("corpus_id"), "band", "bucket")
+    b_new = buckets_from_shingle_sets(
+        hs_new, id_col, num_perm, rows_per_band
+    ).select(F.col(id_col).alias("batch_id"), "band", "bucket")
+    if broadcast_batch:
+        b_new = F.broadcast(b_new)
+    cand = (
+        b_old.join(b_new, ["band", "bucket"])
+        .filter(F.col("batch_id") != F.col("corpus_id"))
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    ha = hs_new.select(F.col(id_col).alias("batch_id"), F.col("hs").alias("hs_a"))
+    if broadcast_batch:
+        ha = F.broadcast(ha)
+    hb = hs_old.select(F.col(id_col).alias("corpus_id"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    return (
+        cand.join(ha, "batch_id")
+        .join(hb, "corpus_id")
+        .withColumn("jaccard", F.round(inter.cast("double") / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "jaccard")
+    )

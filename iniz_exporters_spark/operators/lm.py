@@ -324,3 +324,58 @@ def merge_pair_counts(
     )
     w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
     return counted.withColumn("rn", F.row_number().over(w))
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    batch_size: int = 8,
+    granularity: int = 64,
+) -> DataFrame:
+    """Per-batch layout for length-bucketed training batches:
+    (bucket, batch_id, n_docs, max_len, sum_len, padded_tokens, pad_waste).
+
+    The standard padding-efficiency layout for variable-length training:
+    docs are grouped into length buckets (lengths rounded UP to the
+    ``granularity`` that the kernel pads to anyway), ordered longest-first
+    within the bucket, and cut into fixed-size batches; each batch pads to
+    its own max. ``pad_waste`` = padded_tokens - sum_len is the metric a
+    pipeline tracks — naive random batching pays the corpus p99 length on
+    every batch, this layout pays the per-bucket max.
+
+    Scale shape: one shuffle, keyed on the bucket; the per-bucket window
+    is the parallel unit (tens of buckets x millions of docs each — for a
+    bucket too hot, raise ``granularity`` or sub-salt the bucket by a hash
+    prefix, which only splits batches, never mixes lengths). The groupBy
+    re-uses the same partitioning, so batch stats are map-side combined.
+    """
+    bucket = (
+        F.ceil(F.col(len_col).cast("double") / F.lit(granularity))
+        .cast("long")
+        .alias("bucket")
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.col(len_col).desc(), F.col(id_col).asc()
+    )
+    laid = (
+        df.select(F.col(id_col), F.col(len_col), bucket)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "batch_id", ((F.col("rn") - 1) / F.lit(batch_size)).cast("long")
+        )
+    )
+    return (
+        laid.groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max(len_col).cast("long").alias("max_len"),
+            F.sum(len_col).cast("long").alias("sum_len"),
+        )
+        .withColumn(
+            "padded_tokens", (F.col("n_docs") * F.col("max_len")).cast("long")
+        )
+        .withColumn(
+            "pad_waste", (F.col("padded_tokens") - F.col("sum_len")).cast("long")
+        )
+    )

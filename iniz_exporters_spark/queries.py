@@ -7901,3 +7901,250 @@ def centroid_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid_cos"),
         F.round(F.sqrt(F.col("sq")), 6).alias("centroid_l2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (continued) — data-dependent dimensionality reduction. PCA
+# complements the data-oblivious jl_project: one metadata-scale covariance
+# aggregation buys the variance-optimal subspace (IVF coarse quantizers,
+# drift monitoring). Covariance is fully value-checked; the eigen layer is
+# pinned by sign-invariant contracts (projection variance == eigenvalue)
+# because no SQL engine replays eigh.
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.operators.pca import (  # noqa: E402
+    PcaModel,
+    covariance_pairs,
+    pca_fit,
+    projection_variances,
+)
+
+_COV_SQL_EX = """
+    ex AS (
+        SELECT vec_id, i AS dim, embedding[i + 1]::DOUBLE AS v
+        FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS i) d
+    ),
+    mm AS (
+        SELECT dim, CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+                    / COUNT(*) AS mu
+        FROM ex GROUP BY dim
+    ),
+    cv AS (
+        SELECT a.dim AS i, b.dim AS j,
+               ROUND(CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,18))) AS DOUBLE)
+                     / COUNT(*) - mi.mu * mj.mu, 6) AS cov
+        FROM ex a
+        JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        JOIN mm mi ON mi.dim = a.dim
+        JOIN mm mj ON mj.dim = b.dim
+        GROUP BY a.dim, b.dim, mi.mu, mj.mu
+    )
+"""
+
+
+@register(
+    "embedding_covariance_q",
+    f"""
+    WITH {_COV_SQL_EX}
+    SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j, cov FROM cv
+    """,
+)
+def embedding_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle population covariance of the first 8 embedding dims.
+    One corpus scan; the per-row triangle explode pipelines into a map-side
+    partial aggregate, so only (partitions x 36) decimal partials shuffle —
+    the distributed-covariance shape that holds at any corpus size."""
+    e = Catalog(spark, sf_dir).embeddings
+    return covariance_pairs(e, "embedding", dims=8)
+
+
+@register(
+    "pca_project_check",
+    f"""
+    WITH {_COV_SQL_EX},
+    tr AS (SELECT ROUND(SUM(cov), 6) AS trace_r FROM cv WHERE i = j)
+    SELECT CAST(k AS INTEGER) AS comp, tr.trace_r,
+           TRUE AS ordered_ok, TRUE AS var_ok, TRUE AS eigsum_ok
+    FROM (SELECT unnest(range(0, 4)) AS k) CROSS JOIN tr
+    """,
+)
+def pca_project_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA eigen-layer contract, sign-invariant so it is engine-checkable:
+    (a) eigenvalues descend, (b) the population variance of each projected
+    component equals its eigenvalue (the defining property of PCA — a wrong
+    mean, covariance, eigvec, or projection all break it), (c) the eigvals
+    sum to the covariance trace. The oracle re-derives the exact trace from
+    decimal sums and pins the booleans TRUE. Eigh runs driver-side on the
+    8x8 metadata matrix; the variance check is one distributed scan."""
+    e = Catalog(spark, sf_dir).embeddings
+    full = pca_fit(e, "embedding", dims=8, top_k=8)
+    model = PcaModel(
+        dims=8,
+        mean=full.mean,
+        eigvals=full.eigvals[:4],
+        components=full.components[:4],
+        trace=full.trace,
+    )
+    pvars = projection_variances(e, "embedding", model)
+    tol = 1e-3 * max(1.0, abs(full.eigvals[0]))
+    trace_r = round(full.trace, 6)
+    eigsum_ok = abs(sum(full.eigvals) - full.trace) <= tol
+    rows = []
+    for k in range(4):
+        rows.append(
+            (
+                k,
+                trace_r,
+                full.eigvals[k] <= full.eigvals[k - 1] + 1e-9 if k else True,
+                abs(pvars[k] - full.eigvals[k]) <= tol,
+                eigsum_ok,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "comp int, trace_r double, ordered_ok boolean, var_ok boolean,"
+        " eigsum_ok boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (batch-vs-corpus) near-dup: the continual-training shape —
+# each crawl increment is deduped against the standing corpus with the
+# batch side broadcast, so the corpus is scanned once and never shuffled.
+# Same band geometry as neardup_pairs, so the oracle replays candidate
+# generation exactly and the flagged links hash-match.
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.operators.dedup import incremental_neardup  # noqa: E402
+
+
+@register(
+    "incremental_neardup_q",
+    f"""
+    WITH {_sql_minhash_sigs(16)},
+    bands AS (
+        SELECT doc_id, j // 4 AS band,
+               list_reduce(list(minhash ORDER BY j),
+                           (a, b) -> (a * 31 + b) % 1000000007) AS bucket
+        FROM sig GROUP BY doc_id, j // 4
+    ),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS batch_id, o.doc_id AS corpus_id
+        FROM bands o JOIN bands n
+          ON o.band = n.band AND o.bucket = n.bucket
+        WHERE n.doc_id % 20 = 7 AND o.doc_id % 20 <> 7
+    ),
+    scored AS (
+        SELECT batch_id, corpus_id,
+               ROUND(len(list_intersect(ha.hs, hb.hs))::DOUBLE
+                     / (len(ha.hs) + len(hb.hs)
+                        - len(list_intersect(ha.hs, hb.hs))), 4) AS jaccard
+        FROM cand
+        JOIN sh ha ON ha.doc_id = batch_id
+        JOIN sh hb ON hb.doc_id = corpus_id
+    )
+    SELECT batch_id, corpus_id, jaccard FROM scored WHERE jaccard >= 0.6
+    """,
+)
+def incremental_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    batch = d.filter(F.col("doc_id") % 20 == 7)
+    corpus = d.filter(F.col("doc_id") % 20 != 7)
+    return incremental_neardup(
+        corpus, batch, "doc_id", "text", threshold=0.6, num_perm=16,
+        rows_per_band=4, k=5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed training batches: padding-efficiency layout (docs bucketed
+# by granularity-rounded length, longest-first batches of 8, per-batch pad
+# waste). One shuffle keyed on the bucket.
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.operators.lm import length_bucketed_batches  # noqa: E402
+
+
+@register(
+    "length_batches_q",
+    f"""
+    WITH t AS (
+        SELECT doc_id, len({_SQL_TOKENS}) AS n_tok FROM documents
+    ),
+    b AS (
+        SELECT doc_id, n_tok,
+               CAST(CEIL(n_tok::DOUBLE / 64) AS BIGINT) AS bucket
+        FROM t
+    ),
+    o AS (
+        SELECT bucket, n_tok,
+               ROW_NUMBER() OVER (
+                   PARTITION BY bucket ORDER BY n_tok DESC, doc_id ASC
+               ) AS rn
+        FROM b
+    )
+    SELECT bucket, CAST((rn - 1) // 8 AS BIGINT) AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n_tok) AS BIGINT) AS max_len,
+           CAST(sum(n_tok) AS BIGINT) AS sum_len,
+           CAST(count(*) * max(n_tok) AS BIGINT) AS padded_tokens,
+           CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_waste
+    FROM o GROUP BY bucket, (rn - 1) // 8
+    """,
+)
+def length_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    t = d.select(
+        "doc_id", F.size(_tokens("text")).cast("long").alias("n_tok")
+    )
+    return length_bucketed_batches(
+        t, "doc_id", "n_tok", batch_size=8, granularity=64
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023): unigram log-likelihood ratio of
+# target domain vs raw pool, add-1 smoothed — the principled "make the pool
+# look like the target" selection signal. Both unigram tables broadcast; the
+# pool shuffles once on doc_id.
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.operators.curation import dsir_weights  # noqa: E402
+
+
+@register(
+    "dsir_weights_q",
+    f"""
+    WITH pt AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS tok
+        FROM documents WHERE source NOT IN ('src0', 'src1', 'src2')
+    ),
+    tt AS (
+        SELECT unnest({_SQL_TOKENS}) AS tok
+        FROM documents WHERE source IN ('src0', 'src1', 'src2')
+    ),
+    pf AS (SELECT tok, count(*) AS c_pool FROM pt GROUP BY tok),
+    tf AS (SELECT tok, count(*) AS c_tgt FROM tt GROUP BY tok),
+    v AS (
+        SELECT tok, COALESCE(c_pool, 0) AS c_pool, COALESCE(c_tgt, 0) AS c_tgt
+        FROM pf FULL OUTER JOIN tf USING (tok)
+    ),
+    tot AS (
+        SELECT sum(c_pool)::DOUBLE AS n_pool, sum(c_tgt)::DOUBLE AS n_tgt,
+               count(*)::DOUBLE AS vv
+        FROM v
+    ),
+    r AS (
+        SELECT tok, ln((c_tgt + 1) / (n_tgt + vv))
+                    - ln((c_pool + 1) / (n_pool + vv)) AS logratio
+        FROM v CROSS JOIN tot
+    )
+    SELECT doc_id,
+           ROUND(CAST(avg(logratio) AS DECIMAL(28,12)), 6)::DOUBLE
+               AS avg_logratio,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM pt JOIN r USING (tok) GROUP BY doc_id
+    """,
+)
+def dsir_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    tgt_src = F.col("source").isin("src0", "src1", "src2")
+    return dsir_weights(
+        d.filter(~tgt_src), d.filter(tgt_src), "doc_id", _tokens
+    )
