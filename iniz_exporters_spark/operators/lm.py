@@ -239,8 +239,71 @@ def bpe_apply_symbols(word_col: F.Column, merges: list[tuple[str, str]]):
     return syms
 
 
+def _merge_word_syms(syms: list[str], a: str, b: str) -> list[str]:
+    """Driver-side replica of ``_apply_merge``'s left-to-right fold."""
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+def _bpe_learn_driver(
+    rows: list[tuple[str, int]], k: int
+) -> list[tuple[str, str]]:
+    """In-memory BPE trainer over a collected (word, freq) vocabulary with
+    incremental pair-count maintenance — identical merge sequence to the
+    distributed loop (same counts, same (cnt desc, a asc, b asc) pick,
+    same exhaustive left-to-right apply), at Python-loop cost proportional
+    to initial vocab size + touched words, not k * vocab."""
+    words = [list(w) for w, _ in rows]
+    freqs = [f for _, f in rows]
+    cnt: dict[tuple[str, str], int] = {}
+    occ: dict[tuple[str, str], set[int]] = {}
+    for idx, syms in enumerate(words):
+        f = freqs[idx]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            cnt[p] = cnt.get(p, 0) + f
+            occ.setdefault(p, set()).add(idx)
+    merges: list[tuple[str, str]] = []
+    for _ in range(k):
+        best = None
+        for p, c in cnt.items():
+            if c <= 0:
+                continue
+            key = (-c, p[0], p[1])
+            if best is None or key < best[0]:
+                best = (key, p)
+        if best is None:
+            break
+        a, b = best[1]
+        merges.append((a, b))
+        # occ may hold stale indexes (word changed since); the subtract /
+        # re-add pair arithmetic is a net no-op for those, so correctness
+        # never depends on eager cleanup
+        for idx in occ.pop((a, b), ()):
+            syms, f = words[idx], freqs[idx]
+            for i in range(len(syms) - 1):
+                cnt[(syms[i], syms[i + 1])] -= f
+            syms = _merge_word_syms(syms, a, b)
+            words[idx] = syms
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                cnt[p] = cnt.get(p, 0) + f
+                occ.setdefault(p, set()).add(idx)
+        cnt.pop((a, b), None)
+    return merges
+
+
 def bpe_learn(
-    df: DataFrame, text_col: str, k: int = 4, checkpoint_every: int = 1
+    df: DataFrame,
+    text_col: str,
+    k: int = 4,
+    checkpoint_every: int = 1,
+    driver_vocab_max: int | None = 200_000,
 ) -> list[tuple[str, str]]:
     """Train ``k`` BPE merges on the corpus: each round counts adjacent
     symbol pairs across the (distinct-word, occurrence-weighted) vocabulary
@@ -260,6 +323,16 @@ def bpe_learn(
     scan happens ONCE (building the weighted vocab); every training round
     after that touches vocabulary-sized data only, which is what keeps a
     100 TB corpus trainable: the loop cost is independent of corpus size.
+
+    Hybrid execution: the weighted vocab is metadata next to the corpus,
+    and when it has at most ``driver_vocab_max`` distinct words it is
+    collected ONCE and the merge loop runs in-driver with incremental
+    pair-count maintenance (``_bpe_learn_driver``) — the same sequential
+    algorithm minus k * 2 Spark job roundtrips, which dominate wall time
+    when k is tokenizer-scale. The distributed loop remains the fallback
+    for vocabularies too large to collect (set ``driver_vocab_max=None``
+    or 0 to force it); both paths produce the identical merge list
+    (pinned by tests/test_round4_ops.py).
     """
     if checkpoint_every < 1:
         raise ValueError(f"checkpoint_every must be >= 1: {checkpoint_every}")
@@ -268,6 +341,12 @@ def bpe_learn(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    if driver_vocab_max:
+        head = vocab.limit(driver_vocab_max + 1).collect()
+        if len(head) <= driver_vocab_max:
+            return _bpe_learn_driver(
+                [(r["w"], r["freq"]) for r in head], k
+            )
     syms_col = F.transform(
         F.sequence(F.lit(1), F.length("w")),
         lambda i: F.substring(F.col("w"), i, 1),

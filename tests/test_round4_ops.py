@@ -217,3 +217,20 @@ def test_dsir_weights_partition_invariant(spark):
         )
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# BPE hybrid trainer
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_driver_and_distributed_paths_identical(spark):
+    from iniz_exporters_spark.operators.lm import bpe_learn
+
+    d = _docs(spark)
+    fast = bpe_learn(d, "text", k=12, driver_vocab_max=200_000)
+    slow = bpe_learn(
+        d, "text", k=12, checkpoint_every=4, driver_vocab_max=None
+    )
+    assert fast == slow
+    assert len(fast) == 12
