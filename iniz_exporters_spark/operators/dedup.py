@@ -525,12 +525,21 @@ def ngram_jaccard_pairs(
         "int"
     ) + 1
     pref = gs.select(
-        F.col(id_col), F.explode(F.slice("gs", F.lit(1), pref_cnt)).alias("ph")
+        F.col(id_col),
+        F.col("sz"),
+        F.explode(F.slice("gs", F.lit(1), pref_cnt)).alias("ph"),
     )
+    # AllPairs size filter: jaccard >= t forces t·|A| <= |B| <= |A|/t, so
+    # size-incompatible bucket collisions are dropped BEFORE the distinct
+    # and the payload-carrying verify joins (integer math, same fraction)
     cand = (
         pref.alias("a")
         .join(pref.alias("b"), "ph")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(
+            (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("b.sz") * den >= F.col("a.sz") * num)
+            & (F.col("a.sz") * den >= F.col("b.sz") * num)
+        )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
