@@ -17,6 +17,7 @@ deterministic fake when the libraries are missing — the Spark-side plumbing
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pyspark.sql.functions as F
@@ -531,14 +532,94 @@ def phash_neardup(
 AUDIO_FEATURE_DIM = 8
 
 
+def decode_wav_numpy(data: bytes):
+    """Dependency-free REAL decoder for RIFF/WAVE PCM audio (the public
+    Microsoft/IBM WAVE spec): linear PCM, 8-bit unsigned or 16-bit signed
+    little-endian, any channel count.
+
+    Returns ``(sample_rate, n_channels, samples)`` where ``samples`` is a
+    float64 array of channel-averaged samples normalized to [-1, 1], or
+    ``None`` when ``data`` is not a PCM WAV this decoder handles (caller
+    falls through to the marked fake). Chunk-walks the RIFF container, so
+    extra chunks (LIST, fact, ...) between fmt and data are fine.
+    """
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        csz = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + csz]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = (
+                int.from_bytes(body[0:2], "little"),  # audio format
+                int.from_bytes(body[2:4], "little"),  # channels
+                int.from_bytes(body[4:8], "little"),  # sample rate
+                int.from_bytes(body[14:16], "little"),  # bits per sample
+            )
+        elif cid == b"data":
+            if fmt is None:
+                return None
+            afmt, ch, rate, bits = fmt
+            if afmt != 1 or ch < 1 or rate < 1 or bits not in (8, 16):
+                return None
+            if bits == 16:
+                n = len(body) // (2 * ch) * ch
+                if n == 0:
+                    return rate, ch, np.zeros(0)
+                raw = np.frombuffer(body, "<i2", count=n).astype(np.float64)
+                x = raw.reshape(-1, ch).mean(axis=1) / 32768.0
+            else:
+                n = len(body) // ch * ch
+                if n == 0:
+                    return rate, ch, np.zeros(0)
+                raw = np.frombuffer(body, np.uint8, count=n).astype(np.float64)
+                x = (raw.reshape(-1, ch).mean(axis=1) - 128.0) / 128.0
+            return rate, ch, x
+        pos += 8 + csz + (csz & 1)  # RIFF chunks pad to even offsets
+    return None
+
+
+def _wav_feature_vector(rate: int, ch: int, x) -> list:
+    """8-dim signal descriptor from real samples: duration, rate, channels,
+    RMS, mean |x|, peak |x|, zero-crossing rate, high-band energy ratio
+    (first-difference energy over signal energy — a library-free spectral
+    tilt proxy). Deterministic float64 math."""
+    import numpy as np
+
+    n = len(x)
+    if n == 0:
+        return [0.0, float(rate), float(ch), 0.0, 0.0, 0.0, 0.0, 0.0]
+    energy = float(np.sum(x * x))
+    zc = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    diff = np.diff(x)
+    return [
+        n / rate,
+        float(rate),
+        float(ch),
+        math.sqrt(energy / n),
+        float(np.mean(np.abs(x))),
+        float(np.max(np.abs(x))),
+        zc / n,
+        float(np.sum(diff * diff)) / energy if energy > 0 else 0.0,
+    ]
+
+
 def audio_features(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
     """(id, features array<double>) — fixed-dim feature vector per audio
     payload via mapInPandas.
 
-    Real implementation needs an audio codec (torchaudio/librosa), absent
-    here; the DETERMINISTIC FAKE derives an 8-dim vector from byte-window
-    means so downstream similarity/dedup operators (which only see an
-    ``array<double>`` column) are exercised with stable inputs.
+    Decode order mirrors ``decode_images``: the dependency-free real codec
+    first (RIFF/WAVE PCM, ``decode_wav_numpy`` — real signal features from
+    real samples), then for everything else a DETERMINISTIC FAKE that
+    derives an 8-dim vector from byte-window means so downstream
+    similarity/dedup operators (which only see an ``array<double>``
+    column) are exercised with stable inputs (clearly marked — do NOT
+    ship the fake to production; swap in torchaudio/librosa for
+    compressed formats).
     """
 
     def batches(it: Iterator) -> Iterator:
@@ -548,9 +629,14 @@ def audio_features(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
         for pdf in it:
             ids, feats = [], []
             for i, payload in zip(pdf[id_col], pdf[binary_col]):
-                data = np.frombuffer(
-                    bytes(payload) if payload is not None else b"", np.uint8
-                )
+                raw = bytes(payload) if payload is not None else b""
+                ids.append(i)
+                dec = decode_wav_numpy(raw)
+                if dec is not None:
+                    feats.append(_wav_feature_vector(*dec))
+                    continue
+                # DETERMINISTIC FAKE (no codec libs in this environment)
+                data = np.frombuffer(raw, np.uint8)
                 if len(data) == 0:
                     feats.append([0.0] * AUDIO_FEATURE_DIM)
                 else:
@@ -560,7 +646,6 @@ def audio_features(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
                     feats.append(
                         [float(c.mean()) if len(c) else 0.0 for c in chunks]
                     )
-                ids.append(i)
             yield pd.DataFrame({id_col: ids, "features": feats})
 
     return df.select(id_col, binary_col).mapInPandas(

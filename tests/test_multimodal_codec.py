@@ -169,3 +169,125 @@ def test_phash_partition_invariance_real(spark):
     b = {r["media_id"]: r["phash"] for r in
          image_phash(df.repartition(5), "payload", "media_id").collect()}
     assert a == b and len(a) == 6
+
+
+# ---------------------------------------------------------------------------
+# RIFF/WAVE PCM real codec
+# ---------------------------------------------------------------------------
+
+
+def _make_wav(
+    samples, rate=8000, bits=16, channels=1, extra_chunk=False
+) -> bytes:
+    """Hand-rolled PCM WAV encoder (test-side ground truth)."""
+    import struct
+
+    if bits == 16:
+        body = b"".join(
+            struct.pack("<h", max(-32768, min(32767, int(round(s * 32767)))))
+            for s in samples
+            for _ in range(1)
+        )
+        if channels == 2:
+            body = b"".join(
+                struct.pack("<hh", v, v)
+                for v in struct.unpack(f"<{len(samples)}h", body)
+            )
+    else:
+        body = bytes(
+            max(0, min(255, int(round(s * 127)) + 128)) for s in samples
+        )
+        if channels == 2:
+            body = bytes(b for v in body for b in (v, v))
+    block = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * block, block, bits
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:  # a LIST chunk between fmt and data must be skipped
+        chunks += b"LIST" + struct.pack("<I", 4) + b"INFO"
+    chunks += b"data" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_decode_sine_features():
+    import math as m
+
+    import numpy as np
+
+    from iniz_exporters_spark.multimodal.binary import (
+        _wav_feature_vector,
+        decode_wav_numpy,
+    )
+
+    rate, freq, dur = 8000, 440, 0.5
+    n = int(rate * dur)
+    sine = [m.sin(2 * m.pi * freq * i / rate) for i in range(n)]
+    dec = decode_wav_numpy(_make_wav(sine, rate=rate))
+    assert dec is not None
+    got_rate, got_ch, x = dec
+    assert (got_rate, got_ch, len(x)) == (rate, 1, n)
+    assert np.max(np.abs(x - np.array(sine))) < 1e-3  # 16-bit quantization
+    f = _wav_feature_vector(got_rate, got_ch, x)
+    assert abs(f[0] - dur) < 1e-9  # duration
+    assert f[1] == rate and f[2] == 1
+    assert abs(f[3] - 1 / m.sqrt(2)) < 1e-2  # sine RMS = A/sqrt(2)
+    # zero-crossing rate of a sine = 2*freq/rate
+    assert abs(f[6] - 2 * freq / rate) < 1e-2
+
+
+def test_wav_decode_8bit_stereo_and_chunk_walk():
+    dec = None
+    from iniz_exporters_spark.multimodal.binary import decode_wav_numpy
+
+    wav = _make_wav(
+        [0.0, 0.5, -0.5, 1.0], rate=4000, bits=8, channels=2,
+        extra_chunk=True,
+    )
+    dec = decode_wav_numpy(wav)
+    assert dec is not None
+    rate, ch, x = dec
+    assert (rate, ch, len(x)) == (4000, 2, 4)
+    assert abs(x[1] - 0.5) < 0.02 and abs(x[2] + 0.5) < 0.02
+
+
+def test_wav_decode_rejects_non_wav():
+    from iniz_exporters_spark.multimodal.binary import decode_wav_numpy
+
+    assert decode_wav_numpy(b"") is None
+    assert decode_wav_numpy(b"#not audio at all") is None
+    assert decode_wav_numpy(b"RIFF\x00\x00\x00\x00AVI ") is None
+    # fmt chunk but float PCM (format 3) -> unsupported, clean None
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    bad = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    assert decode_wav_numpy(bad) is None
+
+
+def test_audio_features_real_branch_in_spark(spark):
+    import math as m
+
+    from iniz_exporters_spark.multimodal.binary import audio_features
+
+    rate = 8000
+    sine = [m.sin(2 * m.pi * 100 * i / rate) for i in range(800)]
+    rows = [
+        (1, bytearray(_make_wav(sine, rate=rate))),
+        (2, bytearray(b"not a wav, hits the marked fake")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {
+        r["id"]: r["features"]
+        for r in audio_features(df, "payload", "id").collect()
+    }
+    assert abs(out[1][0] - 0.1) < 1e-9  # real branch: 800/8000 s
+    assert out[1][1] == rate
+    assert abs(out[1][3] - 1 / m.sqrt(2)) < 1e-2
+    assert len(out[2]) == 8 and out[2][0] > 1.0  # fake branch: byte means
+    assert out[3] == [0.0] * 8
