@@ -586,3 +586,55 @@ def test_streaming_quality_gated_ingest_parity(spark, tmp_path):
     )
     assert got == batch
     assert len(got) == 1 and got[0][0] == 1  # only doc 1 survives the gate
+
+
+def test_streaming_corpus_neardup_parity_with_batch(spark, tmp_path):
+    """Docs streamed in two micro-batches, flagged against a static corpus;
+    the union of per-batch flags must equal the batch-path links."""
+    from iniz_exporters_spark.operators.dedup import incremental_neardup
+    from iniz_exporters_spark.streaming.neardup import (
+        corpus_neardup_artifacts,
+        streaming_corpus_neardup,
+    )
+
+    d = Catalog(spark, SF).documents
+    corpus = d.filter(F.col("doc_id") % 10 != 3)
+    batch_docs = d.filter(F.col("doc_id") % 10 == 3)
+
+    # two files -> maxFilesPerTrigger=1 forces two micro-batches
+    src = str(tmp_path / "incoming")
+    batch_docs.filter(F.col("doc_id") % 20 == 3).write.parquet(f"{src}/p1")
+    batch_docs.filter(F.col("doc_id") % 20 == 13).write.parquet(f"{src}/p2")
+    schema = batch_docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    assert stream.isStreaming
+
+    buckets, hs = corpus_neardup_artifacts(corpus)
+    flags = streaming_corpus_neardup(
+        stream, buckets, hs, threshold=0.5
+    )
+    q = (
+        flags.writeStream.format("memory")
+        .queryName("corpus_neardup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["batch_id"], r["corpus_id"], r["jaccard"])
+        for r in spark.sql("select * from corpus_neardup_test").collect()
+    )
+    want = sorted(
+        (r["batch_id"], r["corpus_id"], r["jaccard"])
+        for r in incremental_neardup(
+            corpus, batch_docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    )
+    assert got == want
+    assert want, "fixture has no cross-split near-dups; parity is vacuous"
