@@ -7947,6 +7947,7 @@ _COV_SQL_EX = """
     WITH {_COV_SQL_EX}
     SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j, cov FROM cv
     """,
+    headline=True,
 )
 def embedding_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle population covariance of the first 8 embedding dims.
@@ -8043,6 +8044,7 @@ from iniz_exporters_spark.operators.dedup import incremental_neardup  # noqa: E4
     )
     SELECT batch_id, corpus_id, jaccard FROM scored WHERE jaccard >= 0.6
     """,
+    headline=True,
 )
 def incremental_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
@@ -8141,6 +8143,7 @@ from iniz_exporters_spark.operators.curation import dsir_weights  # noqa: E402
            CAST(count(*) AS BIGINT) AS n_tokens
     FROM pt JOIN r USING (tok) GROUP BY doc_id
     """,
+    headline=True,
 )
 def dsir_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents

@@ -1,0 +1,143 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels: codec
+round-trips and the BPE driver trainer vs a brute-force reference. These
+run without a SparkSession, so they shrink fast and cover input space the
+example tests can't."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from iniz_exporters_spark.multimodal.binary import (
+    decode_image_numpy,
+    decode_wav_numpy,
+    encode_ppm,
+)
+from iniz_exporters_spark.operators.lm import (
+    _bpe_learn_driver,
+    _merge_word_syms,
+)
+
+# ---------------------------------------------------------------------------
+# Image codec round-trip
+# ---------------------------------------------------------------------------
+
+
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    gray=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_ppm_roundtrip_any_shape(w, h, gray, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w) if gray else (h, w, 3), dtype=np.uint8)
+    dec = decode_image_numpy(encode_ppm(px))
+    assert dec is not None
+    gw, gh, fmt, got = dec
+    assert (gw, gh) == (w, h)
+    assert fmt == ("PGM" if gray else "PPM")
+    assert np.array_equal(got, px)
+
+
+@given(data=st.binary(max_size=256))
+@settings(max_examples=100, deadline=None)
+def test_image_decoder_never_raises_on_garbage(data):
+    # arbitrary bytes: either a clean decode or a clean None, never a throw
+    dec = decode_image_numpy(data)
+    if dec is not None:
+        w, h, fmt, px = dec
+        assert w > 0 and h > 0
+
+
+# ---------------------------------------------------------------------------
+# WAV codec round-trip
+# ---------------------------------------------------------------------------
+
+
+def _pcm16_wav(samples_i16: np.ndarray, rate: int, ch: int) -> bytes:
+    import struct
+
+    body = samples_i16.astype("<i2").tobytes()
+    block = ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 28 + len(body))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(body))
+        + body
+    )
+
+
+@given(
+    n=st.integers(0, 200),
+    rate=st.integers(1, 48000),
+    ch=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_pcm16(n, rate, ch, seed):
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(-32768, 32768, (n, ch), dtype=np.int64)
+    dec = decode_wav_numpy(_pcm16_wav(frames.reshape(-1), rate, ch))
+    assert dec is not None
+    got_rate, got_ch, x = dec
+    assert (got_rate, got_ch, len(x)) == (rate, ch, n)
+    want = frames.astype(np.float64).mean(axis=1) / 32768.0
+    assert np.allclose(x, want, atol=0)
+
+
+@given(data=st.binary(max_size=256))
+@settings(max_examples=100, deadline=None)
+def test_wav_decoder_never_raises_on_garbage(data):
+    dec = decode_wav_numpy(data)
+    if dec is not None:
+        rate, ch, x = dec
+        assert rate >= 1 and ch >= 1
+
+
+# ---------------------------------------------------------------------------
+# BPE driver trainer vs brute-force recount reference
+# ---------------------------------------------------------------------------
+
+
+def _bpe_reference(rows, k):
+    """Recount-from-scratch reference: the distributed loop's semantics in
+    plain Python (pair counts over the whole vocab each round, pick by
+    (cnt desc, a asc, b asc), exhaustive left-to-right apply)."""
+    words = [(list(w), f) for w, f in rows]
+    merges = []
+    for _ in range(k):
+        cnt = {}
+        for syms, f in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                cnt[p] = cnt.get(p, 0) + f
+        if not cnt:
+            break
+        a, b = min(cnt, key=lambda p: (-cnt[p], p[0], p[1]))
+        merges.append((a, b))
+        words = [(_merge_word_syms(s, a, b), f) for s, f in words]
+    return merges
+
+
+@given(
+    vocab=st.lists(
+        st.tuples(
+            st.text(alphabet="abc", min_size=1, max_size=8),
+            st.integers(1, 9),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(1, 12),
+)
+@settings(max_examples=200, deadline=None)
+def test_bpe_incremental_matches_recount_reference(vocab, k):
+    assert _bpe_learn_driver(list(vocab), k) == _bpe_reference(vocab, k)
