@@ -662,3 +662,63 @@ def incremental_neardup(
         .filter(F.col("jaccard") >= threshold)
         .select("batch_id", "corpus_id", "jaccard")
     )
+
+
+def containment_pairs(
+    corpus: DataFrame,
+    probe: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.8,
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """(probe_id, host_id, containment) — pairs where at least ``threshold``
+    of the probe doc's distinct k-shingle set appears in the host doc:
+    asymmetric CONTAINMENT |A∩B| / |A|, the quote/inclusion detector.
+
+    Symmetric Jaccard misses near-supersets (a paragraph quoted inside a
+    10x longer page scores J ≈ 0.1 but containment ≈ 1.0) — exactly the
+    pairs that matter for benchmark-answer contamination and boilerplate
+    inclusion. Thresholding is exact integer math on the threshold's
+    fraction, so no float boundary decides a pair.
+
+    Scale shape: same as ``ngram_overlap_pairs`` — the (small) probe
+    side's exploded shingles broadcast, the host corpus is scanned once
+    and never shuffled on the shingle hash; the intersection size comes
+    straight out of the matched-pair count aggregation (map-side
+    combined), no set payloads ever cross the wire.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10_000)
+    num, den = frac.numerator, frac.denominator
+    pr = shingle_sets(probe, id_col, text_col, k).select(
+        F.col(id_col).alias("probe_id"),
+        F.size("hs").alias("sz"),
+        F.explode("hs").alias("__h"),
+    )
+    if broadcast_probe:
+        pr = F.broadcast(pr)
+    tr = shingle_sets(corpus, id_col, text_col, k).select(
+        F.col(id_col).alias("host_id"), F.explode("hs").alias("__h")
+    )
+    j = (
+        tr.join(pr, "__h")
+        .filter(F.col("probe_id") != F.col("host_id"))
+        .groupBy("probe_id", "host_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.min("sz").alias("sz"),
+        )
+    )
+    return (
+        j.filter(F.col("n_shared") * den >= num * F.col("sz"))
+        .select(
+            "probe_id",
+            "host_id",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("sz"), 4
+            ).alias("containment"),
+        )
+    )

@@ -8151,3 +8151,45 @@ def dsir_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(
         d.filter(~tgt_src), d.filter(tgt_src), "doc_id", _tokens
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment dedup: |A∩B| / |A| over distinct 5-char shingle
+# sets — the quote/inclusion detector symmetric Jaccard misses (a paragraph
+# quoted inside a 10× longer page scores J≈0.1 but containment≈1.0). The
+# probe side broadcasts; the host corpus is scanned once and never shuffled
+# on the shingle hash; the intersection size IS the matched-pair count.
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.operators.dedup import containment_pairs  # noqa: E402
+
+
+@register(
+    "containment_pairs_q",
+    f"""
+    WITH sh AS (SELECT doc_id, {_SQL_SHINGLE_SET} AS hs FROM documents),
+    pr AS (
+        SELECT doc_id AS probe_id, len(hs) AS sz, unnest(hs) AS h
+        FROM sh WHERE doc_id % 25 = 11
+    ),
+    tr AS (
+        SELECT doc_id AS host_id, unnest(hs) AS h
+        FROM sh WHERE doc_id % 25 <> 11
+    ),
+    j AS (
+        SELECT probe_id, host_id,
+               CAST(count(*) AS BIGINT) AS n_shared, min(sz) AS sz
+        FROM tr JOIN pr USING (h)
+        GROUP BY probe_id, host_id
+    )
+    SELECT probe_id, host_id,
+           ROUND(n_shared::DOUBLE / sz, 4) AS containment
+    FROM j WHERE n_shared * 5 >= 4 * sz
+    """,
+    headline=True,
+)
+def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    pb = F.col("doc_id") % 25 == 11
+    return containment_pairs(
+        d.filter(~pb), d.filter(pb), "doc_id", "text", k=5, threshold=0.8
+    )

@@ -234,3 +234,55 @@ def test_bpe_driver_and_distributed_paths_identical(spark):
     )
     assert fast == slow
     assert len(fast) == 12
+
+
+# ---------------------------------------------------------------------------
+# Containment
+# ---------------------------------------------------------------------------
+
+
+def test_containment_flags_embedded_quote_jaccard_misses(spark):
+    from iniz_exporters_spark.operators.dedup import (
+        containment_pairs,
+        neardup_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog again and again"
+    host_text = ("unrelated preamble text here. " * 10) + quote + (
+        " trailing content of the host document. " * 10
+    )
+    probe = spark.createDataFrame(
+        [(1, quote)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(2, host_text), (3, "совершенно другой текст " * 20)],
+        "doc_id long, text string",
+    )
+    got = containment_pairs(corpus, probe, threshold=0.8).collect()
+    assert [(r["probe_id"], r["host_id"]) for r in got] == [(1, 2)]
+    assert got[0]["containment"] >= 0.99
+    # symmetric Jaccard on the same pair is far below any dedup threshold
+    both = probe.union(corpus)
+    jacc = neardup_pairs(both, "doc_id", "text", threshold=0.3).collect()
+    assert not [r for r in jacc if {r["id_a"], r["id_b"]} == {1, 2}]
+
+
+def test_containment_threshold_integer_math(spark):
+    from iniz_exporters_spark.operators.dedup import containment_pairs
+
+    # probe with 10 distinct shingles, host shares exactly 8 -> 0.8 kept;
+    # a second probe sharing 7 -> 0.7 dropped at threshold 0.8
+    import string
+
+    # build texts from disjoint 5-char blocks so shingle sets are controlled
+    blocks = ["".join(c * 5 for c in pair) for pair in string.ascii_lowercase]
+    probe_text = " ".join(blocks[:2])  # shingles from 2 blocks
+    host_text = probe_text  # full containment
+    probe = spark.createDataFrame(
+        [(1, probe_text)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(2, host_text)], "doc_id long, text string"
+    )
+    got = containment_pairs(corpus, probe, threshold=0.8).collect()
+    assert len(got) == 1 and got[0]["containment"] == 1.0

@@ -95,3 +95,31 @@ def test_vacuum_snapshots_keeps_pointer_target(spark, tmp_path):
     assert removed  # old versions actually deleted
     snap = {r["k"]: r["v"] for r in read_snapshot(spark, out).collect()}
     assert snap == {1: "a", 2: "b", 3: "c"}  # pointer target intact
+
+
+def test_json_orc_csv_roundtrip_matches_parquet(spark, tmp_path):
+    """The documents table written and re-read through every bundled
+    columnar/text format must produce identical rows — the format layer
+    is swappable without touching any operator."""
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = sorted(map(tuple, src.collect()))
+
+    j = str(tmp_path / "docs_json")
+    src.write.mode("overwrite").json(j)
+    got_json = spark.read.schema(src.schema).json(j)
+    assert sorted(map(tuple, got_json.collect())) == want
+
+    o = str(tmp_path / "docs_orc")
+    src.write.mode("overwrite").orc(o)
+    assert sorted(map(tuple, spark.read.orc(o).collect())) == want
+
+    # CSV needs quoting/escaping for embedded newlines + an explicit
+    # schema (CSV carries no types); multiLine handles quoted newlines
+    c = str(tmp_path / "docs_csv")
+    src.write.mode("overwrite").option("header", True).option(
+        "escape", '"'
+    ).csv(c)
+    got_csv = spark.read.schema(src.schema).option("header", True).option(
+        "escape", '"'
+    ).option("multiLine", True).csv(c)
+    assert sorted(map(tuple, got_csv.collect())) == want
