@@ -21,7 +21,7 @@ Cross-engine determinism (the DuckDB oracle replays every round):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def _assign(
@@ -64,34 +64,30 @@ def _assign(
     return corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
 
 
-def kmeans_lloyd(
+def lloyd_train(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 4,
     iters: int = 2,
     round_to: int = 6,
-    keep_vector: bool = False,
-) -> DataFrame:
-    """Final assignments (id, cluster) after ``iters`` Lloyd rounds from the
-    deterministic k-lowest-id init. Raises if a cluster empties (the oracle
-    cannot represent carry-forward centroids, and silence would hide a
-    degenerate clustering). ``keep_vector=True`` keeps the vector column in
-    the output (id, vec, cluster) so downstream per-cluster kernels (e.g.
-    semantic dedup) avoid a corpus-sized re-join."""
+) -> list[list[float]]:
+    """The centroids the FINAL assignment round uses: deterministic
+    k-lowest-id init, then ``iters - 1`` assign→recompute rounds (the
+    final ``_assign`` belongs to the caller). Raises if a cluster empties
+    (the oracle cannot represent carry-forward centroids, and silence
+    would hide a degenerate clustering). Each round costs one corpus scan
+    plus a k×d metadata aggregate; the returned model is k×d floats."""
     init = (
         corpus.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
     )
     if len(init) < k:
-        raise RuntimeError(f"kmeans_lloyd: corpus has fewer than k={k} rows")
+        raise RuntimeError(f"lloyd_train: corpus has fewer than k={k} rows")
     cents = [list(map(float, r[1])) for r in init]
     dim = len(cents[0])
 
-    assigned = None
-    for it in range(iters):
+    for it in range(iters - 1):
         assigned = _assign(corpus, cents, id_col, vec_col, round_to)
-        if it == iters - 1:
-            break
         mean_rows = (
             assigned.select("cluster", F.posexplode(vec_col).alias("pos", "val"))
             .groupBy("cluster", "pos")
@@ -108,10 +104,28 @@ def kmeans_lloyd(
         if len(by_cluster) < k:
             missing = sorted(set(range(k)) - set(by_cluster))
             raise RuntimeError(
-                f"kmeans_lloyd: cluster(s) {missing} emptied at iteration "
+                f"lloyd_train: cluster(s) {missing} emptied at iteration "
                 f"{it}; re-seed with a different k or init"
             )
         cents = [by_cluster[j] for j in range(k)]
+    return cents
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+    round_to: int = 6,
+    keep_vector: bool = False,
+) -> DataFrame:
+    """Final assignments (id, cluster) after ``iters`` Lloyd rounds.
+    ``keep_vector=True`` keeps the vector column in the output
+    (id, vec, cluster) so downstream per-cluster kernels (e.g. semantic
+    dedup) avoid a corpus-sized re-join."""
+    cents = lloyd_train(corpus, id_col, vec_col, k, iters, round_to)
+    assigned = _assign(corpus, cents, id_col, vec_col, round_to)
     if keep_vector:
         return assigned
     return assigned.select(id_col, "cluster")
@@ -137,13 +151,112 @@ def pq_encode(
     final code table assembles with id-keyed joins that co-partition on
     the id. Compression here is 64 floats -> 4 codes.
     """
+    return pq_model(corpus, id_col, vec_col, m, subdim, k, iters)[0]
+
+
+def pq_model(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    subdim: int = 16,
+    k: int = 4,
+    iters: int = 2,
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """(codes, codebooks): the code table of ``pq_encode`` plus the trained
+    per-subspace centroid lists (m × k × subdim floats — the serving
+    artifact an ADC search needs)."""
+    books: list[list[list[float]]] = []
     out = None
     for j in range(m):
         sub = corpus.select(
             id_col, F.slice(F.col(vec_col), j * subdim + 1, subdim).alias(vec_col)
         )
-        codes = kmeans_lloyd(
-            sub, id_col, vec_col, k=k, iters=iters
-        ).withColumnRenamed("cluster", f"code_{j}")
+        cents = lloyd_train(sub, id_col, vec_col, k=k, iters=iters)
+        books.append(cents)
+        codes = (
+            _assign(sub, cents, id_col, vec_col, round_to=6)
+            .select(id_col, "cluster")
+            .withColumnRenamed("cluster", f"code_{j}")
+        )
         out = codes if out is None else out.join(codes, id_col)
-    return out
+    return out, books
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: list[tuple],
+    id_col: str = "vec_id",
+    subdim: int = 16,
+    top_k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """(query_id, neighbor_id, adc_dist, rn) — asymmetric-distance top-k
+    over a PQ-coded corpus: the FAISS-IVFPQ scoring core.
+
+    Each query builds an m × k lookup table of exact subvector→centroid
+    squared distances (driver-side: m·k·subdim flops, metadata); a corpus
+    vector's approximate distance is then m table lookups + m-1 adds over
+    its CODES — the full-precision corpus is never touched at query time,
+    which is the entire point of PQ at 100 TB: the scan reads m small ints
+    per vector instead of d floats.
+
+    Plan shape: the per-query LUT rows broadcast; scoring is codegen'd
+    ``element_at`` lookups; the only shuffle is the per-query top-k
+    window. Ranking is (rounded adc asc, id asc) so results replay
+    cross-engine. At scale, compose with IVF: score ADC only inside the
+    probed cells instead of ranking the whole corpus per query.
+
+    ``queries``: list of (query_id, full_vector) pairs (metadata-scale,
+    same contract as the kNN query broadcast).
+    """
+    from functools import reduce
+
+    m = len(codebooks)
+    lut_rows = []
+    for qid, qv in queries:
+        luts = []
+        for j in range(m):
+            sub = [float(x) for x in qv[j * subdim : (j + 1) * subdim]]
+            lut = []
+            for cent in codebooks[j]:
+                # left-fold sum, same order the SQL replay uses
+                lut.append(
+                    reduce(
+                        lambda a, b: a + b,
+                        (
+                            (sub[i] - cent[i]) * (sub[i] - cent[i])
+                            for i in range(subdim)
+                        ),
+                    )
+                )
+            luts.append(lut)
+        lut_rows.append((qid, *luts))
+    spark = codes.sparkSession
+    luts_df = spark.createDataFrame(
+        lut_rows,
+        "query_id long, "
+        + ", ".join(f"lut_{j} array<double>" for j in range(m)),
+    )
+    scored = codes.crossJoin(F.broadcast(luts_df)).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    adc = reduce(
+        lambda a, b: a + b,
+        [
+            F.element_at(F.col(f"lut_{j}"), F.col(f"code_{j}") + 1)
+            for j in range(m)
+        ],
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("adc_dist", F.round(adc, round_to))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), "adc_dist", "rn"
+        )
+    )

@@ -8193,3 +8193,74 @@ def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         d.filter(~pb), d.filter(pb), "doc_id", "text", k=5, threshold=0.8
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance search (the FAISS-IVFPQ scoring core): per-query
+# m×k lookup tables of exact subvector→centroid distances, corpus scored
+# via code lookups only — the full-precision corpus is never read at query
+# time. The oracle replays the whole stack: every subspace's Lloyd rounds
+# (same CTE chain as pq_codes), the LUT arithmetic (identical left-fold
+# order), and the (rounded adc asc, id asc) ranking.
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.operators.clustering import (  # noqa: E402
+    pq_adc_topk,
+    pq_model,
+)
+
+
+def _pq_lut_sql(j: int, subdim: int = 16) -> str:
+    a = j * subdim  # 0-based offset; qv is 1-based in DuckDB
+    return f"""
+    lut{j} AS (
+        SELECT q.query_id, c.cid,
+               list_reduce(list_transform(range(1, {subdim + 1}),
+                   i -> (q.qv[{a} + i] - c.v[i]) * (q.qv[{a} + i] - c.v[i])),
+                   (x, y) -> x + y) AS d
+        FROM q CROSS JOIN c1{j} c
+    )"""
+
+
+@register(
+    "pq_adc_topk",
+    "WITH "
+    + ",".join(_pq_subspace_sql(j) for j in range(4))
+    + ",\n    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv"
+    + " FROM embeddings WHERE vec_id < 3),"
+    + ",".join(_pq_lut_sql(j) for j in range(4))
+    + """,
+    codes AS (
+        SELECT a10.vec_id, a10.cid AS k0, a11.cid AS k1,
+               a12.cid AS k2, a13.cid AS k3
+        FROM a10 JOIN a11 USING (vec_id) JOIN a12 USING (vec_id)
+        JOIN a13 USING (vec_id)
+    ),
+    adc AS (
+        SELECT q.query_id, codes.vec_id,
+               ROUND(l0.d + l1.d + l2.d + l3.d, 6) AS adc_dist
+        FROM codes CROSS JOIN q
+        JOIN lut0 l0 ON l0.query_id = q.query_id AND l0.cid = codes.k0
+        JOIN lut1 l1 ON l1.query_id = q.query_id AND l1.cid = codes.k1
+        JOIN lut2 l2 ON l2.query_id = q.query_id AND l2.cid = codes.k2
+        JOIN lut3 l3 ON l3.query_id = q.query_id AND l3.cid = codes.k3
+        WHERE codes.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, adc_dist, CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC
+        ) AS rn
+        FROM adc
+    ) WHERE rn <= 5
+    """,
+    headline=True,
+)
+def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    codes, books = pq_model(e, "vec_id", "embedding", m=4, subdim=16, k=4, iters=2)
+    qs = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in e.filter(F.col("vec_id") < 3).collect()
+    ]
+    out = pq_adc_topk(codes, books, qs, "vec_id", subdim=16, top_k=5)
+    return out.withColumn("rn", F.col("rn").cast("long"))

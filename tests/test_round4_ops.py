@@ -286,3 +286,65 @@ def test_containment_threshold_integer_math(spark):
     )
     got = containment_pairs(corpus, probe, threshold=0.8).collect()
     assert len(got) == 1 and got[0]["containment"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# PQ-ADC search
+# ---------------------------------------------------------------------------
+
+
+def test_pq_adc_matches_numpy_reference(spark):
+    import numpy as np
+
+    from iniz_exporters_spark.operators.clustering import (
+        pq_adc_topk,
+        pq_model,
+    )
+
+    e = _embs(spark)
+    codes_df, books = pq_model(e, "vec_id", "embedding", 4, 16, 4, 2)
+    codes = {
+        r["vec_id"]: [r[f"code_{j}"] for j in range(4)]
+        for r in codes_df.collect()
+    }
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in e.collect()
+    }
+    qs = [(i, vecs[i].tolist()) for i in sorted(vecs)[:2]]
+    got = pq_adc_topk(codes_df, books, qs, top_k=3).collect()
+    assert {r["query_id"] for r in got} == {qs[0][0], qs[1][0]}
+    # numpy re-derivation of every returned adc distance
+    B = [np.array(b, dtype=np.float64) for b in books]  # m arrays (k, 16)
+    for r in got:
+        q = vecs[r["query_id"]]
+        want = sum(
+            float(((q[j * 16 : (j + 1) * 16] - B[j][codes[r["neighbor_id"]][j]]) ** 2).sum())
+            for j in range(4)
+        )
+        assert abs(r["adc_dist"] - round(want, 6)) < 1e-9
+    # ranking is by adc ascending within each query
+    for qid in {r["query_id"] for r in got}:
+        ds = [r["adc_dist"] for r in sorted(
+            (x for x in got if x["query_id"] == qid), key=lambda x: x["rn"]
+        )]
+        assert ds == sorted(ds)
+
+
+def test_pq_adc_scoring_reads_codes_not_vectors(spark):
+    from iniz_exporters_spark.operators.clustering import (
+        pq_adc_topk,
+        pq_model,
+    )
+
+    e = _embs(spark)
+    codes_df, books = pq_model(e, "vec_id", "embedding", 4, 16, 4, 2)
+    qs = [(0, [0.0] * 64)]
+    plan = (
+        pq_adc_topk(codes_df, books, qs, top_k=2)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the scoring side of the plan must not touch the embedding column
+    assert "embedding" not in plan.split("MapInPandas")[0]
