@@ -348,3 +348,21 @@ def chunk_tokens(df, id_col: str, text_col: str, size: int = 32, overlap: int = 
         F.array_join("__ctoks", " ").alias("chunk"),
         F.size("__ctoks").cast("int").alias("n_chunk_tokens"),
     )
+
+
+def feature_hash_vector(col: Column | str, dim: int = 64) -> Column:
+    """Hashing-trick bag-of-words vector (Weinberger et al. 2009): each
+    token is poly-hashed into one of `dim` buckets and the per-row dense
+    count vector is built entirely with higher-order array functions —
+    zero shuffles, zero Python, the whole featurization rides inside
+    whole-stage codegen next to the scan.
+
+    Collisions are the accepted trade-off of the hashing trick (no vocab
+    pass, no dictionary state, bounded width at any corpus size); the
+    deterministic poly hash keeps the DuckDB oracle replayable.
+    """
+    hashed = F.transform(tokens(col), lambda t: poly_hash(t) % dim)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda b: F.size(F.filter(hashed, lambda h: h == b)),
+    )

@@ -98,3 +98,48 @@ def negative_sample_pairs(
     return pairs.join(partners, "__pidx").select(
         "anchor_id", F.col("j").cast("int"), "negative_id"
     )
+
+
+def bloom_candidates(
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    m: int = 4096,
+) -> DataFrame:
+    """Bloom-style runtime filter: prune `fact` down to rows whose key
+    *might* be in `dim`, before any shuffle touches the fact table.
+
+    Two deterministic hash positions per key (the poly hash and an
+    affine-remixed second hash) are set by the dim side; a fact row
+    survives only if BOTH its positions are set. False positives pass
+    (the caller's exact join removes them); false negatives cannot occur.
+    This is the semi-join reduction every warehouse engine applies to
+    selective dim filters (Spark's own runtime row-level filtering does
+    the same with an internal bloom agg) — expressed portably so the
+    DuckDB oracle replays the identical candidate set.
+
+    Scale: the position set is ≤ 2·|dim| integers — metadata, collected
+    once and folded into the plan as a literal (the moral equivalent of
+    broadcasting the bit array). The fact table is filtered at the scan,
+    never shuffled; the whole filter runs inside codegen. The contract is
+    the same as any broadcast: `dim` must be the filter-small side.
+    """
+    ks = F.col(dim_key).cast("string")
+    h = poly_hash(ks)
+    p1 = (h % m).cast("long")
+    p2 = (((h * 1000003 + 12345) % 1000000007) % m).cast("long")
+    pos = sorted(
+        r["p"]
+        for r in dim.select(
+            F.explode(F.array(p1, p2)).alias("p")
+        ).distinct().collect()
+    )
+    lit_pos = F.lit(pos)
+    fks = F.col(fact_key).cast("string")
+    fh = poly_hash(fks)
+    fp1 = (fh % m).cast("long")
+    fp2 = (((fh * 1000003 + 12345) % 1000000007) % m).cast("long")
+    return fact.filter(
+        F.array_contains(lit_pos, fp1) & F.array_contains(lit_pos, fp2)
+    )

@@ -458,3 +458,79 @@ def length_bucketed_batches(
             "pad_waste", (F.col("padded_tokens") - F.col("sum_len")).cast("long")
         )
     )
+
+
+def interpolated_perplexity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str = "lang",
+    lam: float = 0.7,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """(id, lang, n_bigrams, ppl, bucket) — per-doc perplexity under a
+    Jelinek-Mercer-interpolated bigram/unigram LM fit on the corpus
+    itself, then a per-language head/middle/tail NTILE split.
+
+    This is the CCNet recipe (Wenzek et al. 2020): score every document
+    with an in-domain LM, split each language's distribution into
+    perplexity terciles, and let downstream sampling prefer the "head".
+    P(w2|w1) = lam * (c(w1,w2)+1)/(c(w1)+V) + (1-lam) * (c(w2)+1)/(N+V)
+    — BOTH components add-1 smoothed: with a corpus-self-fit model an
+    unsmoothed MLE bigram assigns probability 1.0 to every singleton
+    bigram (c12 = c1 = 1), scoring gibberish as maximally fluent;
+    ppl = 2^(-sum(log2 P)/n_bigrams), rounded to 2 dp before the NTILE
+    ordering so the bucket assignment is cross-engine deterministic
+    (ties broken by doc id).
+
+    Scale: two token-count aggregations (map-side partials) + one
+    vocab-keyed scoring join (Zipf skew absorbed by AQE); the NTILE is a
+    per-language window over doc-level rows (one row per doc, not per
+    token). No stage holds more than (vocab + docs) state.
+    """
+    pairs = doc_bigrams(df, id_col, text_col)
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    uni = df.select(F.explode(tokens(text_col)).alias("w"))
+    cu = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    totals = uni.agg(
+        F.count(F.lit(1)).alias("N"), F.count_distinct("w").alias("V")
+    )
+    p_bi = (F.col("c12") + 1).cast("double") / (
+        F.col("c1") + F.col("V")
+    ).cast("double")
+    p_uni = (F.col("cu") + 1).cast("double") / (F.col("N") + F.col("V")).cast(
+        "double"
+    )
+    logp = F.log2(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni)
+    scored = (
+        pairs.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(cu.withColumnRenamed("w", "w2"), "w2")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(logp.cast("decimal(28,12)")).cast("decimal(28,12)"), 6
+            )
+            .cast("double")
+            .alias("_logprob"),
+        )
+        .withColumn(
+            "ppl",
+            F.round(
+                F.pow(
+                    F.lit(2.0),
+                    -F.col("_logprob") / F.col("n_bigrams").cast("double"),
+                ),
+                2,
+            ),
+        )
+    )
+    w = Window.partitionBy(lang_col).orderBy(F.col("ppl").asc(), F.col(id_col).asc())
+    return (
+        scored.join(df.select(id_col, lang_col), id_col)
+        .withColumn("bucket", F.ntile(n_buckets).over(w).cast("long"))
+        .select(id_col, lang_col, "n_bigrams", "ppl", "bucket")
+    )

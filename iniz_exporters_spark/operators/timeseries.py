@@ -89,3 +89,55 @@ def resample_interpolate(
         "observed",
         interp.alias("value"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    alpha: float = 0.3,
+    depth: int = 8,
+    round_to: int | None = None,
+) -> DataFrame:
+    """(key, ts, id, value, ewma) — exponentially weighted moving average
+    per key over event order, truncated to the last `depth` observations.
+
+    The recursion ewma_i = (1-alpha)*ewma_{i-1} + alpha*x_i is not a
+    window aggregate, but truncating it at `depth` terms (weights beyond
+    that are (1-alpha)^depth ≈ negligible) makes it one: collect the
+    frame's last `depth` values with a ROWS window, then left-fold the
+    recursion inside a higher-order `aggregate`, seeded 0. The fold order
+    is identical in Spark and DuckDB (list_reduce with a prepended seed),
+    so doubles match bit-for-bit before the final round.
+
+    Scale: one shuffle on the key (window partition); the frame carries
+    `depth` doubles per row — constant state, no unbounded running
+    aggregate. Ordering ties broken by the event id for determinism.
+
+    `round_to` defaults to None (emit the raw fold): the fold is
+    bit-identical across engines, but an explicit ROUND diverges on
+    .5-representation ties (engines disagree on round(x*10^k + 0.5) vs
+    decimal-repr rounding) — the correctness gate's own 9-dp float
+    normalization is the right comparison layer for raw doubles.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(-(depth - 1), 0)
+    )
+    frame = F.collect_list(F.col(value_col).cast("double")).over(w)
+    folded = F.aggregate(
+        frame,
+        F.lit(0.0),
+        lambda acc, x: acc * (1.0 - alpha) + x * alpha,
+    )
+    out = folded if round_to is None else F.round(folded, round_to)
+    return df.select(
+        key_col,
+        ts_col,
+        id_col,
+        F.col(value_col).cast("double").alias("value"),
+        out.alias("ewma"),
+    )

@@ -445,3 +445,80 @@ def pagerank(
             .alias("rank"),
         )
     return ranks
+
+
+def triangle_stats(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """One-row (n_nodes, n_edges, n_wedges, n_triangles, clustering) over
+    an undirected simple edge list (a < b, deduplicated).
+
+    Degree-oriented counting (Chiba-Nishizeki; the MapReduce formulation
+    is Suri & Vassilvitskii 2011): every edge is oriented from its
+    lower-(degree, id) endpoint to the higher one, making the graph a DAG
+    in which each triangle appears exactly once — as a wedge at its
+    lowest-ranked vertex plus one closing edge. Out-degrees under this
+    orientation are bounded by O(sqrt(|E|)) for any graph, so the wedge
+    join (the quadratic step of any triangle count) is skew-proof by
+    construction: a celebrity node of degree millions contributes wedges
+    only through its low-degree neighbors. No global rank is computed —
+    endpoints compare lexicographically on (degree, id), which avoids a
+    full-graph sort at billion-node scale.
+
+    Shuffles: degree agg (key-only), two joins on node keys. Payloads are
+    (node, node, degree) triples throughout.
+    """
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
+    )
+    o1 = oriented.select("src", F.col("dst").alias("v"), F.col("dd").alias("dv"))
+    o2 = oriented.select("src", F.col("dst").alias("w"), F.col("dd").alias("dw"))
+    wedges = o1.join(o2, "src").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"], "left_semi")
+    counts = (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(
+            deg.agg(
+                F.count(F.lit(1)).alias("n_nodes"),
+                # undirected wedge count sum(d*(d-1)/2) — the clustering
+                # coefficient's denominator (NOT the oriented candidate
+                # count, which deliberately sees each triangle once)
+                F.sum(F.col("d") * (F.col("d") - 1) / 2)
+                .cast("long")
+                .alias("n_wedges"),
+            )
+        )
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )
+    return counts.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(
+            F.when(F.col("n_wedges") > 0,
+                   3.0 * F.col("n_triangles") / F.col("n_wedges"))
+            .otherwise(F.lit(0.0)),
+            4,
+        ).alias("clustering"),
+    )

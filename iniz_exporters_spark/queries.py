@@ -8264,3 +8264,344 @@ def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = pq_adc_topk(codes, books, qs, "vec_id", subdim=16, top_k=5)
     return out.withColumn("rn", F.col("rn").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch C: entity resolution, CCNet perplexity buckets, the hashing
+# trick, degree-oriented triangle counting, truncated EWMA, Pareto
+# frontier, bloom-pruned semi-join.
+# ---------------------------------------------------------------------------
+
+from iniz_exporters_spark.operators.linkage import record_linkage_pairs
+from iniz_exporters_spark.operators.lm import interpolated_perplexity
+from iniz_exporters_spark.operators.timeseries import ewma
+from iniz_exporters_spark.operators.indexing import bloom_candidates
+from iniz_exporters_spark.plans.graph import triangle_stats
+from iniz_exporters_spark.functions.text import feature_hash_vector
+from iniz_exporters_spark.functions.text import tokens as _hf_tokens
+
+
+# Entity resolution: blocked candidate generation (block = noun token +
+# adjective initial) + Levenshtein verify. The self-join shuffles on the
+# blocking key only; a broadcast size-filter drops over-populated blocks
+# (the under-discriminating-key failure mode) before any pair forms.
+@register(
+    "record_linkage_q",
+    """
+    WITH blocked AS (
+        SELECT p_partkey, p_name,
+               string_split(p_name, ' ')[2] || '|' || substr(p_name, 1, 1)
+                   AS bk
+        FROM part
+    )
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev,
+           ROUND(1.0 - levenshtein(a.p_name, b.p_name)::DOUBLE
+                     / greatest(length(a.p_name), length(b.p_name)),
+                 4) AS sim
+    FROM blocked a JOIN blocked b
+      ON a.bk = b.bk AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+      AND 1.0 - levenshtein(a.p_name, b.p_name)::DOUBLE
+              / greatest(length(a.p_name), length(b.p_name)) >= 0.5
+    """,
+)
+def record_linkage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Catalog(spark, sf_dir).part
+    bk = F.concat(
+        F.element_at(F.split("p_name", " "), 2),
+        F.lit("|"),
+        F.substring("p_name", 1, 1),
+    )
+    return record_linkage_pairs(
+        p, "p_partkey", "p_name", bk, max_lev=4, min_sim=0.5
+    )
+
+
+# CCNet-style perplexity filter (Wenzek et al. 2020): score every doc with
+# an interpolated bigram/unigram LM fit on the corpus, then split each
+# language into head/middle/tail perplexity terciles.
+@register(
+    "lm_perplexity_q",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, {_SQL_TOKENS} AS t FROM documents),
+    idx AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+            FROM toks WHERE len(t) >= 2),
+    pairs AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM idx),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    cu AS (SELECT w, COUNT(*) AS cu FROM uni GROUP BY w),
+    tot AS (SELECT COUNT(*) AS N, COUNT(DISTINCT w) AS V FROM uni),
+    scored AS (
+        SELECT p.doc_id,
+               COUNT(*) AS n_bigrams,
+               CAST(ROUND(CAST(SUM(CAST(
+                   log2(0.7 * ((c12.c12 + 1)::DOUBLE
+                               / (c1.c1 + tot.V)::DOUBLE)
+                        + 0.3 * ((cu.cu + 1)::DOUBLE
+                                 / (tot.N + tot.V)::DOUBLE))
+                   AS DECIMAL(28,12))) AS DECIMAL(28,12)), 6) AS DOUBLE)
+                   AS lp
+        FROM pairs p
+        JOIN c12 ON p.w1 = c12.w1 AND p.w2 = c12.w2
+        JOIN c1 ON p.w1 = c1.w1
+        JOIN cu ON p.w2 = cu.w
+        CROSS JOIN tot
+        GROUP BY p.doc_id
+    ),
+    ppl AS (
+        SELECT s.doc_id, d.lang, s.n_bigrams,
+               ROUND(pow(2.0, -s.lp / s.n_bigrams), 2) AS ppl
+        FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, n_bigrams, ppl,
+           CAST(NTILE(3) OVER (PARTITION BY lang
+                               ORDER BY ppl ASC, doc_id ASC) AS BIGINT)
+               AS bucket
+    FROM ppl
+    """,
+)
+def lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return interpolated_perplexity(d, "doc_id", "text", lam=0.7, n_buckets=3)
+
+
+# Hashing trick (Weinberger et al. 2009): fixed-width bag-of-words vector
+# per doc, built entirely per-row in codegen — no vocabulary pass, no
+# dictionary state, zero shuffles at any corpus size.
+@register(
+    "feature_hash_q",
+    f"""
+    WITH h AS (
+        SELECT doc_id,
+               list_transform({_SQL_TOKENS},
+                   t -> {_SQL_POLY.format(s="t")} % 64) AS th
+        FROM documents
+    )
+    SELECT doc_id,
+           list_transform(range(0, 64),
+               b -> len(list_filter(th, x -> x = b))) AS vec,
+           len(list_filter(
+               list_transform(range(0, 64),
+                   b -> len(list_filter(th, x -> x = b))),
+               c -> c > 0)) AS nnz,
+           CAST(len(th) AS BIGINT) AS n_tokens
+    FROM h
+    """,
+)
+def feature_hash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    vec = feature_hash_vector("text", dim=64)
+    return d.select(
+        "doc_id",
+        vec.alias("vec"),
+        F.size(F.filter(vec, lambda c: c > 0)).alias("nnz"),
+        F.size(_hf_tokens("text")).cast("long").alias("n_tokens"),
+    )
+
+
+# Degree-oriented triangle counting (Suri & Vassilvitskii 2011) over the
+# co-purchase graph (parts sharing an order). Orientation by (degree, id)
+# bounds every out-degree by O(sqrt(E)), so the wedge join is skew-proof:
+# a celebrity part contributes wedges only through low-degree neighbors.
+@register(
+    "triangle_count_q",
+    """
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT n, COUNT(*) AS d FROM (
+            SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+        GROUP BY n
+    ),
+    ed AS (
+        SELECT e.a, e.b, da.d AS da, db.d AS db
+        FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n
+    ),
+    oriented AS (
+        SELECT CASE WHEN (da, a) < (db, b) THEN a ELSE b END AS src,
+               CASE WHEN (da, a) < (db, b) THEN b ELSE a END AS dst,
+               CASE WHEN (da, a) < (db, b) THEN db ELSE da END AS dd
+        FROM ed
+    ),
+    wedges AS (
+        SELECT o1.dst AS v, o2.dst AS w
+        FROM oriented o1 JOIN oriented o2 ON o1.src = o2.src
+        WHERE (o1.dd, o1.dst) < (o2.dd, o2.dst)
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM wedges WHERE EXISTS (
+            SELECT 1 FROM oriented c
+            WHERE c.src = wedges.v AND c.dst = wedges.w)
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg)
+               AS n_wedges,
+           tri.n_triangles,
+           ROUND(CASE WHEN (SELECT SUM(d * (d - 1) / 2) FROM deg) > 0
+                      THEN 3.0 * tri.n_triangles
+                           / (SELECT SUM(d * (d - 1) / 2) FROM deg)
+                      ELSE 0.0 END, 4) AS clustering
+    FROM tri
+    """,
+)
+def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return triangle_stats(edges)
+
+
+# Truncated-recursion EWMA as a window fold: the classic "not expressible
+# as a window aggregate" smoother, made one by bounding the horizon (8
+# observations ≈ weight floor 0.7^8 < 6%) and left-folding the recursion
+# over the frame's collected values — identical fold order both engines.
+@register(
+    "ewma_q",
+    """
+    WITH framed AS (
+        SELECT user_id, ts, event_id, value,
+               list(value) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS frame
+        FROM events
+    )
+    SELECT user_id, ts, event_id,
+           CAST(value AS DOUBLE) AS value,
+           list_reduce(list_prepend(0.0, frame),
+                       (acc, x) -> acc * 0.7 + x * 0.3) AS ewma
+    FROM framed
+    """,
+)
+def ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    # raw fold, no explicit round: bit-identical across engines; the
+    # gate's 9-dp float normalization absorbs repr ties (see operators/
+    # timeseries.ewma docstring)
+    return ewma(
+        e, "user_id", "ts", "value", "event_id", alpha=0.3, depth=8
+    ).select("user_id", "ts", "event_id", "value", "ewma")
+
+
+# 2-D Pareto frontier (skyline) of daily best order price: a day is on
+# the frontier iff its max price strictly beats every earlier day's. One
+# per-day agg + one running-max window — the O(n log n) sort-based
+# skyline, not the quadratic dominance anti-join.
+@register(
+    "pareto_frontier_q",
+    """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+               max(o_totalprice) AS day_max
+        FROM orders GROUP BY day
+    ),
+    runn AS (
+        SELECT day, day_max,
+               max(day_max) OVER (
+                   ORDER BY day ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max
+        FROM daily
+    )
+    SELECT day, ROUND(day_max, 2) AS day_max
+    FROM runn WHERE prev_max IS NULL OR day_max > prev_max
+    """,
+)
+def pareto_frontier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.max("o_totalprice").alias("day_max"))
+    )
+    # global (unpartitioned) window — deliberate: it runs over the
+    # per-DAY aggregate, which is calendar-bounded metadata (~36.5k rows
+    # per century) regardless of corpus size; the fact-scale work happened
+    # in the groupBy above
+    w = Window.orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    runn = daily.withColumn("prev_max", F.max("day_max").over(w))
+    return runn.filter(
+        F.col("prev_max").isNull() | (F.col("day_max") > F.col("prev_max"))
+    ).select("day", F.round("day_max", 2).alias("day_max"))
+
+
+# Bloom-pruned semi-join: the dim side's (tiny) position set prunes the
+# fact scan before any shuffle — Spark's runtime row-level filtering,
+# expressed portably so the oracle replays the identical candidate set.
+# n_candidates (bloom survivors incl. false positives) is itself a
+# checked value: a hashing regression would flip it.
+@register(
+    "bloom_prune_join_q",
+    f"""
+    WITH dimk AS (
+        SELECT s_suppkey, s_suppkey::VARCHAR AS ks
+        FROM supplier WHERE s_nationkey = 3
+    ),
+    pos AS (
+        SELECT DISTINCT p FROM (
+            SELECT {_SQL_POLY.format(s="ks")} % 4096 AS p FROM dimk
+            UNION ALL
+            SELECT (({_SQL_POLY.format(s="ks")} * 1000003 + 12345)
+                    % 1000000007) % 4096 AS p FROM dimk)
+    ),
+    parr AS (SELECT list(p ORDER BY p) AS ps FROM pos),
+    fact AS (
+        SELECT l_suppkey, l_extendedprice,
+               {_SQL_POLY.format(s="l_suppkey::VARCHAR")} AS h
+        FROM lineitem
+    ),
+    cand AS (
+        SELECT f.l_suppkey, f.l_extendedprice
+        FROM fact f CROSS JOIN parr
+        WHERE list_contains(ps, h % 4096)
+          AND list_contains(ps, ((h * 1000003 + 12345) % 1000000007) % 4096)
+    ),
+    matched AS (
+        SELECT c.* FROM cand c
+        WHERE EXISTS (SELECT 1 FROM dimk d WHERE d.s_suppkey = c.l_suppkey)
+    )
+    SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM matched) AS n_matched,
+           CAST(ROUND((SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                       FROM matched), 2) AS DOUBLE) AS revenue
+    """,
+)
+def bloom_prune_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    dim = cat.supplier.filter(F.col("s_nationkey") == 3).select("s_suppkey")
+    cand = bloom_candidates(
+        cat.lineitem.select("l_suppkey", "l_extendedprice"),
+        "l_suppkey",
+        dim,
+        "s_suppkey",
+        m=4096,
+    )
+    matched = cand.join(
+        F.broadcast(dim),
+        cand["l_suppkey"] == dim["s_suppkey"],
+        "left_semi",
+    )
+    return (
+        cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(
+            matched.agg(
+                F.count(F.lit(1)).alias("n_matched"),
+                F.round(F.sum(_dec(F.col("l_extendedprice"))), 2)
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+    )
