@@ -260,3 +260,58 @@ def pq_adc_topk(
             "query_id", F.col(id_col).alias("neighbor_id"), "adc_dist", "rn"
         )
     )
+
+
+def grid_density(
+    points: DataFrame,
+    id_col: str,
+    x,
+    y,
+    h: float = 0.1,
+    min_pts: int = 8,
+) -> DataFrame:
+    """(id, cx, cy, nbr_count, is_core) — grid-bucketed density estimation,
+    the scalable core-point step of DBSCAN (Ester et al. 1996; the grid
+    formulation is the standard distributed adaptation): bucket every
+    point into an h×h cell, count per cell, then sum each cell's 3×3
+    neighborhood so a point's `nbr_count` bounds its eps-neighborhood
+    (eps = h) from above. Points in neighborhoods under `min_pts` are
+    density outliers (noise candidates); cores seed clusters.
+
+    Scale: one point→cell count aggregation (key-only shuffle); the 3×3
+    neighborhood sum runs on the CELL table (occupied-cell scale, ≪
+    points) via a 9-way offset explode + re-agg; points get their
+    neighborhood count back through a broadcastable cell-keyed join. No
+    point-to-point distance is ever computed — the O(n²) neighborhood
+    problem becomes O(cells·9).
+    """
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        F.floor(x / F.lit(h)).cast("long").alias("cx"),
+        F.floor(y / F.lit(h)).cast("long").alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("c"))
+    offs = F.expr(
+        "explode(flatten(transform(sequence(-1,1), "
+        "dx -> transform(sequence(-1,1), dy -> struct(dx, dy)))))"
+    )
+    nbr = (
+        cells.select("cx", "cy", "c", offs.alias("o"))
+        .select(
+            (F.col("cx") + F.col("o.dx")).alias("cx"),
+            (F.col("cy") + F.col("o.dy")).alias("cy"),
+            "c",
+        )
+        .groupBy("cx", "cy")
+        .agg(F.sum("c").alias("nbr_count"))
+    )
+    return (
+        pts.join(nbr, ["cx", "cy"])
+        .select(
+            F.col("id").alias(id_col),
+            "cx",
+            "cy",
+            "nbr_count",
+            (F.col("nbr_count") >= min_pts).alias("is_core"),
+        )
+    )

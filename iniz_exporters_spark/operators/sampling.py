@@ -180,3 +180,71 @@ def deterministic_shuffle(
         *( [partitions, "__skey"] if partitions else ["__skey"] )
     )
     return parts.sortWithinPartitions("__skey").drop("__skey")
+
+
+def stratified_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    n_total: int,
+) -> DataFrame:
+    """(stratum, n_stratum, n_alloc) — exact proportional sample
+    allocation by the largest-remainder (Hamilton) method, in pure
+    integer arithmetic: base_s = (n·N_s) // N, and the n - Σbase leftover
+    seats go to the strata with the largest remainders (n·N_s) mod N
+    (ties broken by stratum name). No floating point anywhere, so the
+    allocation is bit-stable across engines, partitionings, and reruns —
+    the property a reproducible train/eval split needs.
+
+    Scale: one count aggregation over the data; everything after runs on
+    the STRATUM table (cardinality of the stratification key — metadata).
+    The window that ranks remainders is over that metadata table only.
+    """
+    counts = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_stratum")
+    )
+    tot = counts.agg(F.sum("n_stratum").alias("N"))
+    based = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("_prod", F.lit(n_total) * F.col("n_stratum"))
+        # `div` = exact long division (no float detour at any magnitude)
+        .withColumn("base", F.expr("_prod div N"))
+        .withColumn("rem", F.col("_prod") % F.col("N"))
+    )
+    w = Window.orderBy(F.col("rem").desc(), F.col("stratum").asc())
+    wsum = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        based.withColumn("rk", F.row_number().over(w))
+        .withColumn("extras", F.lit(n_total) - F.sum("base").over(wsum))
+        .select(
+            "stratum",
+            "n_stratum",
+            (F.col("base") + (F.col("rk") <= F.col("extras")).cast("long")).alias(
+                "n_alloc"
+            ),
+        )
+    )
+
+
+def stratified_take(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    n_total: int,
+) -> DataFrame:
+    """The allocated sample itself: within each stratum, rows ranked by
+    (poly_hash(key), key) — content-keyed, layout-independent — and the
+    first n_alloc taken. Returns the sampled rows plus their stratum."""
+    alloc = stratified_allocation(df, stratum_col, key_col, n_total)
+    w = Window.partitionBy(stratum_col).orderBy(
+        poly_hash(F.col(key_col).cast("string")).asc(), F.col(key_col).asc()
+    )
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.join(
+            F.broadcast(alloc),
+            ranked[stratum_col] == alloc["stratum"],
+        )
+        .filter(F.col("_rn") <= F.col("n_alloc"))
+        .drop("_rn", "stratum")
+    )

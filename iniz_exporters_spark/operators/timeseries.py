@@ -141,3 +141,51 @@ def ewma(
         F.col(value_col).cast("double").alias("value"),
         out.alias("ewma"),
     )
+
+
+def rolling_autocorr(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    window_rows: int = 16,
+) -> DataFrame:
+    """(key, ts, id, corr) — trailing lag-1 autocorrelation per key: the
+    Pearson correlation of (x_t, x_{t-1}) over the last `window_rows`
+    adjacent pairs. High |corr| flags trending/oscillating series;
+    near-zero flags noise — the cheap online signal for anomaly gating.
+
+    Determinism recipe: the five windowed sums (Σx, Σy, Σx², Σy², Σxy)
+    accumulate DECIMAL(18,4)-cast values, so every sum is exact and
+    order-independent; only the final closed-form correlation runs in
+    double (identical expression both engines; emitted raw for the
+    gate's 9-dp float normalization). Rows with an undefined denominator
+    (constant series, < 3 pairs) emit NULL.
+
+    Scale: one shuffle on the key; frames carry `window_rows` decimals —
+    bounded state per row, like any trailing-window aggregate.
+    """
+    x = F.col(value_col).cast("decimal(18,4)")
+    ord_w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    lagged = df.withColumn("_y", F.lag(x).over(ord_w)).withColumn("_x", x)
+    fr = ord_w.rowsBetween(-(window_rows - 1), 0)
+    pairs_only = F.when(F.col("_y").isNotNull(), F.lit(1))
+    n = F.sum(pairs_only).over(fr).cast("double")
+    def s(col):
+        return F.sum(F.when(F.col("_y").isNotNull(), col)).over(fr)
+    sx = s(F.col("_x")).cast("double")
+    sy = s(F.col("_y")).cast("double")
+    sxx = s(F.col("_x") * F.col("_x")).cast("double")
+    syy = s(F.col("_y") * F.col("_y")).cast("double")
+    sxy = s(F.col("_x") * F.col("_y")).cast("double")
+    den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    corr = F.when(
+        (n >= 3) & (den > 0),
+        (n * sxy - sx * sy) / F.sqrt(den),
+    )
+    return lagged.select(
+        key_col, ts_col, id_col, corr.alias("corr")
+    )

@@ -36,21 +36,46 @@ def url_host(url: Column | str) -> Column:
     return F.parse_url(c, F.lit("HOST"))
 
 
+#: Multi-label public suffixes the apex heuristic must not collapse.
+#: A deliberately small embedded subset of the Mozilla Public Suffix List
+#: (publicsuffix.org, MPL-2.0 data) covering the highest-traffic ccTLD
+#: second-level registries; a production deployment swaps in the full
+#: list (same shape — a literal membership array the filter broadcasts).
+MULTI_LABEL_SUFFIXES: tuple[str, ...] = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn",
+    "co.in", "net.in", "org.in",
+    "co.kr", "or.kr", "com.mx", "com.ar", "com.tr",
+    "co.za", "org.za", "com.sg", "com.hk", "co.nz", "org.nz",
+)
+
+
 def apex_domain(host: Column | str) -> Column:
-    """Registrable-domain stand-in: the last two dot-labels
-    ('www.news.example.com' → 'example.com'); single-label hosts pass
-    through. A production deployment swaps in the public-suffix list —
-    two-label apex is the deterministic approximation (documented
-    limitation: co.uk-style suffixes collapse to the suffix).
-    """
+    """Registrable domain: the last two dot-labels, or the last THREE when
+    the final two form a multi-label public suffix ('shop.example.co.uk'
+    → 'example.co.uk', 'www.news.example.com' → 'example.com');
+    single-label hosts pass through. Suffix membership is a literal
+    array test — pure codegen, no lookup join — against the embedded
+    PSL subset above."""
     c = F.col(host) if isinstance(host, str) else host
     parts = F.split(c, r"\.")
-    return F.when(
-        F.size(parts) >= 2,
-        F.concat_ws(
-            ".", F.element_at(parts, -2), F.element_at(parts, -1)
-        ),
-    ).otherwise(c)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2),
+        F.element_at(parts, -1),
+    )
+    return (
+        F.when(
+            (F.size(parts) >= 3)
+            & F.array_contains(F.lit(list(MULTI_LABEL_SUFFIXES)), last2),
+            last3,
+        )
+        .when(F.size(parts) >= 2, last2)
+        .otherwise(c)
+    )
 
 
 def canonicalize_url(url: Column | str, drop_param_prefix: str = "utm_") -> Column:

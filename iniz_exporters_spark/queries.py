@@ -8605,3 +8605,210 @@ def bloom_prune_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch D: grid-density outliers (DBSCAN core step), Benford
+# digit audit, largest-remainder stratified sampling, rolling lag-1
+# autocorrelation.
+# ---------------------------------------------------------------------------
+
+from iniz_exporters_spark.operators.clustering import grid_density
+from iniz_exporters_spark.operators.sampling import (
+    stratified_allocation,
+    stratified_take,
+)
+from iniz_exporters_spark.operators.timeseries import rolling_autocorr
+
+
+# Grid-bucketed density: the scalable DBSCAN core-point step — no
+# point-to-point distances, the O(n²) neighborhood problem becomes
+# O(occupied_cells · 9).
+@register(
+    "grid_density_q",
+    """
+    WITH pts AS (
+        SELECT vec_id,
+               CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.1) AS BIGINT)
+                   AS cx,
+               CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.1) AS BIGINT)
+                   AS cy
+        FROM embeddings
+    ),
+    cells AS (SELECT cx, cy, COUNT(*) AS c FROM pts GROUP BY cx, cy),
+    nbr AS (
+        SELECT cells.cx + dx.d AS cx, cells.cy + dy.d AS cy,
+               SUM(c) AS nbr_count
+        FROM cells
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+        GROUP BY 1, 2
+    )
+    SELECT p.vec_id, p.cx, p.cy, n.nbr_count,
+           n.nbr_count >= 8 AS is_core
+    FROM pts p JOIN nbr n USING (cx, cy)
+    """,
+)
+def grid_density_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    return grid_density(
+        e,
+        "vec_id",
+        F.col("embedding").getItem(0).cast("double"),
+        F.col("embedding").getItem(1).cast("double"),
+        h=0.1,
+        min_pts=8,
+    )
+
+
+# Benford first-digit audit: a data-quality screen for fabricated or
+# truncated numeric columns — natural multiplicative data follows
+# log10(1 + 1/d); a uniform or spiked digit histogram is the red flag.
+@register(
+    "benford_audit_q",
+    """
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n) AS total FROM c)
+    SELECT digit, n,
+           n::DOUBLE / total AS frac,
+           log10(1 + 1.0 / digit) AS benford
+    FROM c CROSS JOIN t
+    """,
+)
+def benford_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    digit = (
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    c = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .select(digit)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    # raw doubles (frac, benford): identical expressions both engines;
+    # the gate's 9-dp normalization absorbs libm log10 last-bit skew
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("frac"),
+        F.log10(1 + 1.0 / F.col("digit")).alias("benford"),
+    )
+
+
+# Largest-remainder (Hamilton) stratified allocation + the content-keyed
+# sample it admits — pure integer arithmetic end to end, so the split is
+# bit-stable across engines, partitionings, and reruns.
+@register(
+    "stratified_alloc_q",
+    f"""
+    WITH c AS (SELECT c_mktsegment AS stratum, COUNT(*) AS n_stratum
+               FROM customer GROUP BY 1),
+    t AS (SELECT SUM(n_stratum) AS N FROM c),
+    b AS (SELECT stratum, n_stratum,
+                 (300 * n_stratum) // N AS base,
+                 (300 * n_stratum) % N AS rem
+          FROM c CROSS JOIN t),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, stratum ASC)
+                        AS rk,
+                 300 - SUM(base) OVER () AS extras
+          FROM b),
+    a AS (SELECT stratum, n_stratum,
+                 base + CASE WHEN rk <= extras THEN 1 ELSE 0 END AS n_alloc
+          FROM r),
+    ranked AS (
+        SELECT c_mktsegment AS stratum, c_custkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY {_SQL_POLY.format(s="c_custkey::VARCHAR")} ASC,
+                            c_custkey ASC) AS rn
+        FROM customer
+    ),
+    tk AS (SELECT ranked.stratum, COUNT(*) AS n_taken,
+                  SUM(c_custkey) AS key_sum
+           FROM ranked JOIN a USING (stratum)
+           WHERE rn <= n_alloc GROUP BY 1)
+    SELECT a.stratum, a.n_stratum, a.n_alloc,
+           COALESCE(tk.n_taken, 0) AS n_taken,
+           COALESCE(tk.key_sum, 0) AS key_sum
+    FROM a LEFT JOIN tk USING (stratum)
+    """,
+)
+def stratified_alloc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = Catalog(spark, sf_dir).customer
+    alloc = stratified_allocation(cust, "c_mktsegment", "c_custkey", 300)
+    taken = (
+        stratified_take(cust, "c_mktsegment", "c_custkey", 300)
+        .groupBy(F.col("c_mktsegment").alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).alias("n_taken"),
+            F.sum("c_custkey").alias("key_sum"),
+        )
+    )
+    return (
+        alloc.join(taken, "stratum", "left")
+        .select(
+            "stratum",
+            "n_stratum",
+            "n_alloc",
+            F.coalesce("n_taken", F.lit(0)).alias("n_taken"),
+            F.coalesce("key_sum", F.lit(0)).alias("key_sum"),
+        )
+    )
+
+
+# Trailing lag-1 autocorrelation per key: exact decimal windowed sums,
+# closed-form Pearson in double, emitted raw (see operators/timeseries).
+@register(
+    "rolling_autocorr_q",
+    """
+    WITH lagged AS (
+        SELECT user_id, ts, event_id,
+               CAST(value AS DECIMAL(18,4)) AS x,
+               LAG(CAST(value AS DECIMAL(18,4))) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                   AS y
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, event_id,
+               CAST(SUM(CASE WHEN y IS NOT NULL THEN 1 END) OVER fr
+                    AS DOUBLE) AS n,
+               CAST(SUM(CASE WHEN y IS NOT NULL THEN x END) OVER fr
+                    AS DOUBLE) AS sx,
+               CAST(SUM(CASE WHEN y IS NOT NULL THEN y END) OVER fr
+                    AS DOUBLE) AS sy,
+               CAST(SUM(CASE WHEN y IS NOT NULL THEN x * x END) OVER fr
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CASE WHEN y IS NOT NULL THEN y * y END) OVER fr
+                    AS DOUBLE) AS syy,
+               CAST(SUM(CASE WHEN y IS NOT NULL THEN x * y END) OVER fr
+                    AS DOUBLE) AS sxy
+        FROM lagged
+        WINDOW fr AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, ts, event_id,
+           CASE WHEN n >= 3
+                 AND (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                THEN (n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+           END AS corr
+    FROM s
+    """,
+)
+def rolling_autocorr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    return rolling_autocorr(
+        e, "user_id", "ts", "value", "event_id", window_rows=16
+    )

@@ -245,3 +245,84 @@ def test_bloom_filter_runs_at_scan_no_exchange(spark):
     cand = bloom_candidates(fact, "l_suppkey", dim, "s_suppkey")
     plan = cand._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure scan-side filter
+
+
+# ---------------------------------------------------------------------------
+# Batch D: grid density, stratified allocation, rolling autocorrelation
+# ---------------------------------------------------------------------------
+
+
+def test_grid_density_matches_bruteforce_neighborhoods(spark):
+    from iniz_exporters_spark.operators.clustering import grid_density
+
+    pts = [(i, (i % 5) * 0.05, (i // 5) * 0.05) for i in range(25)]
+    df = spark.createDataFrame(pts, ["id", "x", "y"])
+    out = grid_density(df, "id", F.col("x"), F.col("y"), h=0.1, min_pts=4)
+    cells = {p[0]: (int(p[1] // 0.1), int(p[2] // 0.1)) for p in pts}
+    for r in out.collect():
+        cx, cy = cells[r["id"]]
+        want = sum(
+            1
+            for c in cells.values()
+            if abs(c[0] - cx) <= 1 and abs(c[1] - cy) <= 1
+        )
+        assert r["nbr_count"] == want
+        assert r["is_core"] == (want >= 4)
+
+
+def test_grid_density_isolated_point_is_outlier(spark):
+    pts = [(i, 0.01 * i, 0.01 * i) for i in range(20)] + [(99, 5.0, 5.0)]
+    df = spark.createDataFrame(pts, ["id", "x", "y"])
+    from iniz_exporters_spark.operators.clustering import grid_density
+
+    out = {r["id"]: r for r in grid_density(
+        df, "id", F.col("x"), F.col("y"), h=0.1, min_pts=5
+    ).collect()}
+    assert not out[99]["is_core"]
+    assert out[0]["is_core"]
+
+
+def test_stratified_allocation_exact_total_and_quota_bound(spark):
+    from iniz_exporters_spark.operators.sampling import stratified_allocation
+
+    df = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    out = stratified_allocation(df, "c_mktsegment", "c_custkey", 100).collect()
+    assert sum(r["n_alloc"] for r in out) == 100
+    total = sum(r["n_stratum"] for r in out)
+    for r in out:
+        quota = 100 * r["n_stratum"] / total
+        # Hamilton: every stratum gets floor(quota) or floor(quota)+1
+        assert int(quota) <= r["n_alloc"] <= int(quota) + 1
+
+
+def test_stratified_take_is_partition_invariant(spark):
+    from iniz_exporters_spark.operators.sampling import stratified_take
+
+    df = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    a = sorted(
+        r["c_custkey"]
+        for r in stratified_take(df, "c_mktsegment", "c_custkey", 60).collect()
+    )
+    b = sorted(
+        r["c_custkey"]
+        for r in stratified_take(
+            df.repartition(7), "c_mktsegment", "c_custkey", 60
+        ).collect()
+    )
+    assert a == b and len(a) == 60
+
+
+def test_rolling_autocorr_trend_and_alternation(spark):
+    from iniz_exporters_spark.operators.timeseries import rolling_autocorr
+
+    rows = [(1, i, float(i)) for i in range(20)]  # pure trend -> corr 1
+    rows += [(2, i, float(i % 2)) for i in range(20)]  # alternating -> -1
+    rows += [(3, i, 7.0) for i in range(20)]  # constant -> NULL
+    df = spark.createDataFrame(rows, ["k", "i", "v"]).withColumn(
+        "ts", F.col("i").cast("timestamp")
+    )
+    out = rolling_autocorr(df, "k", "ts", "v", "i", window_rows=16).collect()
+    last = {(r["k"], r["i"]): r["corr"] for r in out}
+    assert abs(last[(1, 19)] - 1.0) < 1e-9
+    assert abs(last[(2, 19)] + 1.0) < 1e-9
+    assert last[(3, 19)] is None

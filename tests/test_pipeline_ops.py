@@ -226,12 +226,22 @@ def test_apex_domain_edges(spark):
     from iniz_exporters_spark.operators.webcorpus import apex_domain
 
     df = spark.createDataFrame(
-        [("www.news.example.com",), ("example.com",), ("localhost",)],
+        [
+            ("www.news.example.com",),
+            ("example.com",),
+            ("localhost",),
+            ("shop.example.co.uk",),   # PSL multi-label suffix
+            ("example.co.uk",),
+            ("co.uk",),                # bare suffix: only 2 labels, passes
+        ],
         ["h"],
     )
     got = [r["a"] for r in
            df.select(apex_domain(F.col("h")).alias("a")).collect()]
-    assert got == ["example.com", "example.com", "localhost"]
+    assert got == [
+        "example.com", "example.com", "localhost",
+        "example.co.uk", "example.co.uk", "co.uk",
+    ]
 
 
 def test_host_rate_sample_keeps_small_hosts_whole(spark):
