@@ -8644,7 +8644,8 @@ from iniz_exporters_spark.operators.timeseries import rolling_autocorr
         CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
         GROUP BY 1, 2
     )
-    SELECT p.vec_id, p.cx, p.cy, n.nbr_count,
+    SELECT p.vec_id, p.cx, p.cy,
+           CAST(n.nbr_count AS BIGINT) AS nbr_count,
            n.nbr_count >= 8 AS is_core
     FROM pts p JOIN nbr n USING (cx, cy)
     """,
@@ -8738,9 +8739,9 @@ def benford_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                   SUM(c_custkey) AS key_sum
            FROM ranked JOIN a USING (stratum)
            WHERE rn <= n_alloc GROUP BY 1)
-    SELECT a.stratum, a.n_stratum, a.n_alloc,
+    SELECT a.stratum, a.n_stratum, CAST(a.n_alloc AS BIGINT) AS n_alloc,
            COALESCE(tk.n_taken, 0) AS n_taken,
-           COALESCE(tk.key_sum, 0) AS key_sum
+           CAST(COALESCE(tk.key_sum, 0) AS BIGINT) AS key_sum
     FROM a LEFT JOIN tk USING (stratum)
     """,
 )
