@@ -488,10 +488,13 @@ def interpolated_perplexity(
     per-language window over doc-level rows (one row per doc, not per
     token). No stage holds more than (vocab + docs) state.
     """
-    pairs = doc_bigrams(df, id_col, text_col)
+    # pairs feeds THREE consumers (c12, c1, the scoring join) and the
+    # token stream two (cu, totals) — pin each once so the corpus is
+    # tokenized once, not five times (same pattern as span_dedup_counts)
+    pairs = doc_bigrams(df, id_col, text_col).localCheckpoint()
     c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    uni = df.select(F.explode(tokens(text_col)).alias("w"))
+    uni = df.select(F.explode(tokens(text_col)).alias("w")).localCheckpoint()
     cu = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
     totals = uni.agg(
         F.count(F.lit(1)).alias("N"), F.count_distinct("w").alias("V")
