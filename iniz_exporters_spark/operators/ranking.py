@@ -302,3 +302,90 @@ def token_pmi(
             F.round(pmi.cast("decimal(28,12)"), 6).cast("double").alias("pmi"),
         )
     )
+
+
+#: Fixed embedded stopword list for RAKE phrase splitting — deliberately
+#: small and frozen so the DuckDB oracle replays identical candidate
+#: boundaries (same policy as text.LANG_STOPWORDS).
+RAKE_STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on",
+    "for", "with", "as", "at", "by", "be", "are", "was", "this", "that",
+    "from",
+)
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n: int = 3,
+) -> DataFrame:
+    """(id, phrase, score, rank) — RAKE keyword extraction (Rose et al.
+    2010): candidate phrases are maximal stopword-free token runs; each
+    word scores deg(w)/freq(w) within the document (deg = summed length
+    of phrases containing w), and a phrase scores the sum of its words'
+    scores. Top `top_n` phrases per doc (ties broken by phrase text).
+
+    Determinism: per-word scores are exact rationals evaluated in double
+    (identical both engines); the phrase-score sum is decimal(28,12)-cast
+    per term so addition order cannot matter; final round to 6 dp.
+
+    Scale: tokenization is per-row; the phrase grouping and word
+    statistics shuffle (id, position/hash)-shaped rows keyed by doc —
+    never full texts; the per-doc window for ranking rides the same
+    doc-keyed partitioning. Everything is corpus-parallel because RAKE
+    statistics are document-local.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    stop = F.col("tok").isin(*RAKE_STOPWORDS)
+    w_ord = Window.partitionBy("id").orderBy("pos")
+    grouped = toks.withColumn(
+        "grp", F.sum(stop.cast("int")).over(w_ord)
+    ).filter(~stop)
+    phrases = grouped.groupBy("id", "grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    wordstats = (
+        grouped.join(phrases.select("id", "grp", "plen"), ["id", "grp"])
+        .groupBy("id", "tok")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("deg"),
+        )
+    )
+    scored = (
+        grouped.join(wordstats, ["id", "tok"])
+        .groupBy("id", "grp")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("deg").cast("double") / F.col("freq"))
+                    .cast("decimal(28,12)")
+                ).cast("decimal(28,12)"),
+                6,
+            )
+            .cast("double")
+            .alias("score"),
+        )
+        .join(phrases, ["id", "grp"])
+        .groupBy("id", "phrase")
+        .agg(F.max("score").alias("score"))
+    )
+    w_rank = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("phrase").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= top_n)
+        .select(F.col("id").alias(id_col), "phrase", "score", "rank")
+    )

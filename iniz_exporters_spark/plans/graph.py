@@ -524,3 +524,59 @@ def triangle_stats(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
             4,
         ).alias("clustering"),
     )
+
+
+def kcore_membership(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 6,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """(node, degree) — nodes surviving `rounds` of k-core peeling
+    (iteratively delete nodes of degree < k; Seidman 1983) over an
+    undirected simple edge list, with the degree in the surviving
+    subgraph.
+
+    BOUNDED-ROUND contract: exactly `rounds` peels run, deterministically
+    — the operator's result is defined as the round-R peel state, which
+    equals the true k-core whenever peeling has converged by then (each
+    round only removes nodes, so state is monotone; tests assert
+    convergence on the shipped datasets, and production raises `rounds`).
+    The bound is what lets a non-recursive SQL engine replay the operator
+    exactly, CTE-per-round — same trade as the Lloyd-rounds contract in
+    ``pq_model``.
+
+    Scale: per round, one degree aggregation over surviving edges
+    (key-only shuffle of (node, 1) pairs) and two semi-joins to drop
+    edges with a deleted endpoint. Surviving-edge frames are
+    localCheckpointed per round — the fixpoint pattern of
+    ``connected_components`` — so lineage stays flat.
+    """
+    und = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionAll(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    n_edges = und.count()
+    for _ in range(rounds):
+        deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        alive = deg.filter(F.col("degree") >= k).select("src")
+        und = (
+            und.join(alive, "src", "left_semi")
+            .join(alive.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint()
+        )
+        nxt = und.count()
+        if nxt == n_edges:
+            # fixpoint: the remaining rounds are no-ops, so the early
+            # exit returns exactly the bounded-round (= oracle) state
+            break
+        n_edges = nxt
+    return (
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= k)
+    )

@@ -8813,3 +8813,144 @@ def rolling_autocorr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_autocorr(
         e, "user_id", "ts", "value", "event_id", window_rows=16
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch E: k-core peeling, RAKE keyword extraction, Markov
+# transition matrices.
+# ---------------------------------------------------------------------------
+
+from iniz_exporters_spark.plans.graph import kcore_membership
+from iniz_exporters_spark.operators.ranking import rake_keywords
+
+
+# Bounded-round k-core peeling (Seidman 1983) over the co-purchase
+# graph: 6 deterministic peels (converges in <=5 on every shipped scale,
+# pinned in tests), CTE-per-round in the oracle — the Lloyd-rounds trade.
+@register(
+    "kcore_q",
+    """
+    WITH ed AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed
+           UNION ALL SELECT b AS src, a AS dst FROM ed),
+    a1 AS MATERIALIZED (SELECT src FROM e0 GROUP BY src HAVING COUNT(*) >= 80),
+    e1 AS MATERIALIZED (SELECT e.src, e.dst FROM e0 e
+             JOIN a1 x ON e.src = x.src
+             JOIN a1 y ON e.dst = y.src),
+    a2 AS MATERIALIZED (SELECT src FROM e1 GROUP BY src HAVING COUNT(*) >= 80),
+    e2 AS MATERIALIZED (SELECT e.src, e.dst FROM e1 e
+             JOIN a2 x ON e.src = x.src
+             JOIN a2 y ON e.dst = y.src),
+    a3 AS MATERIALIZED (SELECT src FROM e2 GROUP BY src HAVING COUNT(*) >= 80),
+    e3 AS MATERIALIZED (SELECT e.src, e.dst FROM e2 e
+             JOIN a3 x ON e.src = x.src
+             JOIN a3 y ON e.dst = y.src),
+    a4 AS MATERIALIZED (SELECT src FROM e3 GROUP BY src HAVING COUNT(*) >= 80),
+    e4 AS MATERIALIZED (SELECT e.src, e.dst FROM e3 e
+             JOIN a4 x ON e.src = x.src
+             JOIN a4 y ON e.dst = y.src),
+    a5 AS MATERIALIZED (SELECT src FROM e4 GROUP BY src HAVING COUNT(*) >= 80),
+    e5 AS MATERIALIZED (SELECT e.src, e.dst FROM e4 e
+             JOIN a5 x ON e.src = x.src
+             JOIN a5 y ON e.dst = y.src),
+    a6 AS MATERIALIZED (SELECT src FROM e5 GROUP BY src HAVING COUNT(*) >= 80),
+    e6 AS MATERIALIZED (SELECT e.src, e.dst FROM e5 e
+             JOIN a6 x ON e.src = x.src
+             JOIN a6 y ON e.dst = y.src)
+    SELECT src AS node, COUNT(*) AS degree
+    FROM e6 GROUP BY src HAVING COUNT(*) >= 80
+    """,
+)
+def kcore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b"))
+    edges = (
+        a.join(b, "k").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )
+    return kcore_membership(edges, k=80, rounds=6)
+
+
+# RAKE keyword extraction (Rose et al. 2010): document-local statistics,
+# so the whole operator is corpus-parallel by construction.
+@register(
+    "rake_keywords_q",
+    """
+    WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
+    tk AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t FROM toks),
+    g AS (SELECT doc_id, i, t[i] AS tok,
+                 SUM(CASE WHEN t[i] IN ('the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','be','are','was','this','that','from') THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY i) AS grp,
+                 t[i] IN ('the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','be','are','was','this','that','from') AS is_stop
+          FROM tk),
+    wd AS (SELECT doc_id, i, tok, grp FROM g WHERE NOT is_stop),
+    ph AS (SELECT doc_id, grp,
+                  string_agg(tok, ' ' ORDER BY i) AS phrase,
+                  COUNT(*) AS plen
+           FROM wd GROUP BY doc_id, grp),
+    ws AS (SELECT wd.doc_id, wd.tok, COUNT(*) AS freq,
+                  SUM(ph.plen) AS deg
+           FROM wd JOIN ph USING (doc_id, grp)
+           GROUP BY wd.doc_id, wd.tok),
+    sc AS (SELECT wd.doc_id, wd.grp,
+                  CAST(ROUND(CAST(SUM(CAST(ws.deg::DOUBLE / ws.freq
+                      AS DECIMAL(28,12))) AS DECIMAL(28,12)), 6) AS DOUBLE)
+                      AS score
+           FROM wd JOIN ws ON wd.doc_id = ws.doc_id AND wd.tok = ws.tok
+           GROUP BY wd.doc_id, wd.grp),
+    ded AS (SELECT sc.doc_id, ph.phrase, MAX(sc.score) AS score
+            FROM sc JOIN ph USING (doc_id, grp)
+            GROUP BY sc.doc_id, ph.phrase)
+    SELECT doc_id, phrase, score, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY doc_id ORDER BY score DESC, phrase ASC) AS rn
+          FROM ded)
+    WHERE rn <= 3
+    """,
+)
+def rake_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return rake_keywords(d, "doc_id", "text", top_n=3)
+
+
+# First-order Markov transition matrix over per-user event sequences:
+# the behavioral-analytics summary funnels/sessionization build on.
+# One LEAD window + one count agg; probabilities are raw double count
+# ratios (identical division both engines).
+@register(
+    "markov_transitions_q",
+    """
+    WITH seq AS (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                   AS dst
+        FROM events
+    )
+    SELECT src, dst, COUNT(*) AS n,
+           COUNT(*)::DOUBLE / SUM(COUNT(*)) OVER (PARTITION BY src)
+               AS prob
+    FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    """,
+)
+def markov_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counts = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    wsrc = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wsrc)).alias("prob"),
+    )

@@ -326,3 +326,96 @@ def test_rolling_autocorr_trend_and_alternation(spark):
     assert abs(last[(1, 19)] - 1.0) < 1e-9
     assert abs(last[(2, 19)] + 1.0) < 1e-9
     assert last[(3, 19)] is None
+
+
+# ---------------------------------------------------------------------------
+# Batch E: k-core, RAKE, Markov transitions
+# ---------------------------------------------------------------------------
+
+
+def _brute_kcore(edges, k):
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive
+                if sum(1 for m in adj[n] if m in alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    return {
+        n: sum(1 for m in adj[n] if m in alive) for n in alive
+    }
+
+
+def test_kcore_matches_bruteforce(spark):
+    import random
+
+    from iniz_exporters_spark.plans.graph import kcore_membership
+
+    rng = random.Random(11)
+    edges = sorted(
+        {tuple(sorted(rng.sample(range(30), 2))) for _ in range(120)}
+    )
+    df = spark.createDataFrame(edges, ["a", "b"])
+    for k in (3, 5, 7):
+        got = {
+            r["node"]: r["degree"]
+            for r in kcore_membership(df, k=k, rounds=30).collect()
+        }
+        assert got == _brute_kcore(edges, k)
+
+
+def test_kcore_converges_on_copurchase_graph_within_bound(spark):
+    """The shipped kcore_q contract: 6 bounded rounds reach the true
+    fixpoint on the co-purchase graph at the smallest scale."""
+    from iniz_exporters_spark.plans.graph import kcore_membership
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b"))
+    edges = (
+        a.join(b, "k").filter(F.col("a") < F.col("b")).select("a", "b")
+        .distinct()
+    )
+    bounded = {
+        (r["node"], r["degree"])
+        for r in kcore_membership(edges, k=80, rounds=6).collect()
+    }
+    converged = {
+        (r["node"], r["degree"])
+        for r in kcore_membership(edges, k=80, rounds=50).collect()
+    }
+    assert bounded == converged
+
+
+def test_rake_scores_multiword_phrase_highest(spark):
+    from iniz_exporters_spark.operators.ranking import rake_keywords
+
+    # classic RAKE behavior: multi-word content phrases outrank single
+    # frequent words because deg accumulates phrase length
+    df = spark.createDataFrame(
+        [(1, "deep learning models and the deep learning pipeline for data")],
+        ["doc_id", "text"],
+    )
+    out = rake_keywords(df, "doc_id", "text", top_n=2).collect()
+    top = [r["phrase"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert top[0] in ("deep learning models", "deep learning pipeline")
+    assert all(" " in p or p == "data" for p in top)
+
+
+def test_markov_probs_sum_to_one_per_src(spark):
+    from iniz_exporters_spark.queries import REGISTRY
+
+    out = REGISTRY["markov_transitions_q"].fn(spark, SF_SMALL).collect()
+    import collections
+
+    by_src = collections.defaultdict(float)
+    for r in out:
+        by_src[r["src"]] += r["prob"]
+    for src, tot in by_src.items():
+        assert abs(tot - 1.0) < 1e-9
