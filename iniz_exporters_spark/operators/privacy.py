@@ -17,7 +17,7 @@ no backreferences, no lookaround — so the oracle replays them verbatim.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 
 #: (kind, pattern, replacement) in APPLICATION ORDER. Order matters:
 #: IPv4 must run before PHONE (dotted digit runs), and SSN before PHONE
@@ -51,3 +51,39 @@ def pii_counts(col: Column | str) -> dict[str, Column]:
         kind: F.regexp_count(c, F.lit(pattern))
         for kind, pattern, _ in PII_PATTERNS
     }
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """(quasi..., group_size, n_distinct_sensitive, k_violation,
+    l_diversity) — the re-identification audit: every quasi-identifier
+    combination's equivalence-class size (k-anonymity; Sweeney 2002) and
+    its count of distinct sensitive values (l-diversity; Machanavelli et
+    al. 2007). Rows with group_size < k are releasable only after
+    generalization/suppression; groups with l = 1 leak the sensitive
+    attribute exactly even when k holds.
+
+    Scale: one groupBy on the quasi columns (map-side partial count +
+    distinct-aggregate); output is equivalence-class scale, not row
+    scale. No row payloads survive the aggregate.
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.count_distinct(F.col(sensitive_col)).alias(
+                "n_distinct_sensitive"
+            ),
+        )
+        .select(
+            *quasi_cols,
+            "group_size",
+            "n_distinct_sensitive",
+            (F.col("group_size") < k).alias("k_violation"),
+            (F.col("n_distinct_sensitive") <= 1).alias("l1_leak"),
+        )
+    )

@@ -8954,3 +8954,141 @@ def markov_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(wsrc)).alias("prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch F: privacy audit, lakehouse compaction planning, sentence
+# statistics, streaming EWMA (pytest-pinned; the batch twin is ewma_q).
+# ---------------------------------------------------------------------------
+
+from iniz_exporters_spark.operators.privacy import k_anonymity_report
+
+
+# k-anonymity / l-diversity audit over (nation, segment) quasi-identifiers
+# with account balance sign as the sensitive attribute.
+@register(
+    "k_anonymity_q",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           COUNT(*) AS group_size,
+           COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+                               ELSE 'nonneg' END) AS n_distinct_sensitive,
+           COUNT(*) < 25 AS k_violation,
+           COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+                               ELSE 'nonneg' END) <= 1 AS l1_leak
+    FROM (SELECT c_nationkey, c_mktsegment, c_acctbal FROM customer) t
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def k_anonymity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer.withColumn(
+        "bal_sign",
+        F.when(F.col("c_acctbal") < 0, F.lit("neg")).otherwise("nonneg"),
+    )
+    return k_anonymity_report(
+        c, ["c_nationkey", "c_mktsegment"], "bal_sign", k=25
+    )
+
+
+# Lakehouse compaction planning: order files largest-first, pack by
+# cumulative size into target-sized output bins (the deterministic
+# streaming analogue of first-fit-decreasing), and report each bin's
+# fill. Runs entirely on the FILE-METADATA table — never touches data.
+@register(
+    "compaction_plan_q",
+    """
+    WITH files AS (
+        SELECT 'part-' || LPAD(o_orderkey::VARCHAR, 9, '0') AS file,
+               CAST(floor(o_totalprice * 100) AS BIGINT) % 134217728
+                   AS bytes
+        FROM orders WHERE o_orderkey % 7 = 3
+    ),
+    ordered AS (
+        SELECT file, bytes,
+               SUM(bytes) OVER (ORDER BY bytes DESC, file ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+        FROM files
+    ),
+    binned AS (
+        SELECT file, bytes, (cum - 1) // 268435456 AS bin FROM ordered
+    )
+    SELECT bin, COUNT(*) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+           MIN(file) AS first_file
+    FROM binned GROUP BY bin
+    """,
+)
+def compaction_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    files = o.filter(F.col("o_orderkey") % 7 == 3).select(
+        F.concat(
+            F.lit("part-"), F.lpad(F.col("o_orderkey").cast("string"), 9, "0")
+        ).alias("file"),
+        (F.floor(F.col("o_totalprice") * 100).cast("long") % 134217728).alias(
+            "bytes"
+        ),
+    )
+    # global running sum over file METADATA (not data) — same deliberate
+    # single-partition window as pareto_frontier_q
+    w = Window.orderBy(F.col("bytes").desc(), F.col("file").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    binned = files.withColumn(
+        "bin", F.expr(f"(sum(bytes) OVER (ORDER BY bytes DESC, file ASC "
+                      f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                      f" - 1) div {256 * 1024 * 1024}")
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").alias("bin_bytes"),
+        F.min("file").alias("first_file"),
+    )
+
+
+# Sentence-level statistics: segmentation on terminal punctuation, pure
+# per-row array expressions — the doc-structure signal quality filters
+# (Gopher's "mean words per sentence") consume.
+@register(
+    "sentence_stats_q",
+    """
+    WITH s AS (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(
+                       regexp_split_to_array(text, '[.!?]+'),
+                       x -> trim(x)),
+                   x -> x <> '') AS sents
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(sents) AS BIGINT) AS n_sentences,
+           CAST(COALESCE(list_max(list_transform(sents, x -> length(x))), 0)
+                AS BIGINT) AS max_sentence_chars,
+           CAST(ROUND(CAST(COALESCE(
+               list_sum(list_transform(sents, x -> length(x))), 0) AS DOUBLE)
+               / greatest(len(sents), 1), 4) AS DOUBLE)
+               AS mean_sentence_chars
+    FROM s
+    """,
+)
+def sentence_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    sents = F.filter(
+        F.transform(F.split("text", r"[.!?]+"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    lens = F.transform(sents, lambda x: F.length(x))
+    return d.select(
+        "doc_id",
+        F.size(sents).cast("long").alias("n_sentences"),
+        F.coalesce(F.array_max(lens), F.lit(0))
+        .cast("long")
+        .alias("max_sentence_chars"),
+        F.round(
+            F.coalesce(F.aggregate(lens, F.lit(0), lambda a, b: a + b), F.lit(0))
+            .cast("double")
+            / F.greatest(F.size(sents), F.lit(1)),
+            4,
+        ).alias("mean_sentence_chars"),
+    )

@@ -243,3 +243,63 @@ def streaming_sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-event EWMA over a stream with O(1) state per key: the exact
+    recursion ewma = (1-alpha)*prev + alpha*x, seeded 0 — the streaming
+    twin of ``operators/timeseries.ewma`` (whose window fold truncates at
+    `depth`; with depth ≥ the series length the two are bit-identical,
+    which the parity test pins).
+
+    Rows inside a micro-batch are folded in (ts, id) order; state carries
+    ONE double across batches — the watermark-free running aggregate
+    shape, same as ``running_stats``. Emits one row per input event
+    (append mode) with the post-update smoothed value.
+    """
+    key_type = dict(df.dtypes)[key_col]
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = (
+        f"{key_col} {key_type}, {id_col} {id_type}, ewma double"
+    )
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (acc,) = state.get if state.exists else (0.0,)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values([ts_col, id_col])
+            out = []
+            for x in pdf[value_col].astype(float).values:
+                acc = acc * (1.0 - alpha) + x * alpha
+                out.append(acc)
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].values,
+                    id_col: pdf[id_col].values,
+                    "ewma": out,
+                }
+            )
+        state.update((acc,))
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="acc double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

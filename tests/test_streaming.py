@@ -638,3 +638,45 @@ def test_streaming_corpus_neardup_parity_with_batch(spark, tmp_path):
     )
     assert got == want
     assert want, "fixture has no cross-split near-dups; parity is vacuous"
+
+
+def test_streaming_ewma_matches_batch_fold(spark, events_dir):
+    """The O(1)-state streaming EWMA equals the batch window fold when
+    the batch depth covers the whole series (exact recursion both ways),
+    across a real two-micro-batch availableNow run."""
+    from iniz_exporters_spark.operators.timeseries import ewma
+    from iniz_exporters_spark.streaming.stateful import streaming_ewma
+    from iniz_exporters_spark.streaming.windows import stream_events
+
+    batch_df = spark.read.parquet(events_dir)
+    max_len = (
+        batch_df.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+    )
+    want = {
+        r["event_id"]: r["ewma"]
+        for r in ewma(
+            batch_df, "user_id", "ts", "value", "event_id",
+            alpha=0.3, depth=int(max_len),
+        ).collect()
+    }
+
+    schema = batch_df.schema
+    stream = streaming_ewma(
+        stream_events(spark, events_dir, schema=schema, watermark="1 hour"),
+        "user_id", "ts", "value", "event_id", alpha=0.3,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ewma_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in spark.sql("SELECT * FROM ewma_stream_test").collect()
+    }
+    assert len(got) == batch_df.count()
+    for eid, v in got.items():
+        assert abs(v - want[eid]) < 1e-9
