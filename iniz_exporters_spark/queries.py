@@ -9011,7 +9011,9 @@ def k_anonymity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM files
     ),
     binned AS (
-        SELECT file, bytes, (cum - 1) // 268435456 AS bin FROM ordered
+        SELECT file, bytes,
+               CAST((cum - 1) // 268435456 AS BIGINT) AS bin
+        FROM ordered
     )
     SELECT bin, COUNT(*) AS n_files,
            CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
