@@ -9094,3 +9094,656 @@ def sentence_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_sentence_chars"),
     )
+
+
+# ===========================================================================
+# Batch E — corpus statistics + LM smoothing layer.
+#
+# Shared FP-safety convention (established in bigram_logprob_q /
+# benford_audit_q): every multi-term double summation is quantized to
+# DECIMAL(28,12) per term BEFORE the sum so the total is independent of
+# partition/merge order; per-row double arithmetic uses identical
+# expression shapes in Spark and DuckDB so IEEE results agree bit-for-bit;
+# final outputs round to <= 6 dp (inside the gate's 9-dp normalization).
+# ===========================================================================
+
+
+def _dsum(col):
+    """Order-independent sum of a double expression (12-dp quantized)."""
+    return F.sum(col.cast("decimal(28,12)"))
+
+
+# Zipf's-law fit: OLS of ln(freq) on ln(rank) over the top-1000 vocabulary.
+# Scale shape: token counting is a corpus-scale shuffle on the token key
+# (map-side partials); everything after the top-k is VOCABULARY metadata —
+# the rank window runs over <=1000 rows, and the regression is a closed-form
+# fold over those rows. At 100 TB only the first groupBy grows.
+@register(
+    "zipf_fit_q",
+    f"""
+    WITH t AS (SELECT unnest({_SQL_TOKENS}) AS tok FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS freq FROM t GROUP BY tok),
+    ranked AS (
+        SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, tok ASC)
+                       AS DOUBLE)) AS x,
+               ln(CAST(freq AS DOUBLE)) AS y
+        FROM freq
+        ORDER BY freq DESC, tok ASC LIMIT 1000
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(28,12))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+           CAST(ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                AS DOUBLE) AS slope,
+           CAST(ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                      / n, 6) AS DOUBLE) AS intercept,
+           CAST(ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                AS DOUBLE) AS r2
+    FROM s
+    """,
+)
+def zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health diagnostic: a natural-language corpus shows slope
+    near -1 on the log-log rank/frequency line; templated or synthetic
+    spam bends it. The fit itself is exact OLS over the top-1000 ranks."""
+    d = Catalog(spark, sf_dir).documents
+    freq = (
+        d.select(F.explode(_tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(1000)
+    )
+    # rank window over the collected top-k only (metadata scale)
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    xy = freq.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("x")).cast("double").alias("sx"),
+        _dsum(F.col("y")).cast("double").alias("sy"),
+        _dsum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        _dsum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        _dsum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("long").alias("n_ranks"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+# Heaps'-law growth curve: cumulative distinct vocabulary vs cumulative
+# token count across ten corpus-order buckets. Scale shape: "first bucket
+# a type appears in" is MIN(bucket) per token — one vocabulary-keyed
+# shuffle; the cumulative curve is a 10-row window over the BUCKET table.
+# No per-prefix distinct-count rescans (the naive formulation is 10 full
+# corpus passes; this is one).
+@register(
+    "heaps_law_q",
+    f"""
+    WITH nd AS (SELECT MAX(doc_id) + 1 AS nd FROM documents),
+    t AS (
+        SELECT CAST((doc_id * 10) // nd.nd AS BIGINT) AS bucket,
+               unnest({_SQL_TOKENS}) AS tok
+        FROM documents, nd
+    ),
+    tok_per_bucket AS (
+        SELECT bucket, COUNT(*) AS n_tokens FROM t GROUP BY bucket
+    ),
+    first_seen AS (
+        SELECT MIN(bucket) AS bucket, tok FROM t GROUP BY tok
+    ),
+    new_types AS (
+        SELECT bucket, COUNT(*) AS n_new FROM first_seen GROUP BY bucket
+    )
+    SELECT b.bucket,
+           CAST(SUM(b.n_tokens) OVER (ORDER BY b.bucket) AS BIGINT)
+               AS cum_tokens,
+           CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY b.bucket)
+                AS BIGINT) AS cum_types
+    FROM tok_per_bucket b LEFT JOIN new_types n ON b.bucket = n.bucket
+    """,
+)
+def heaps_law_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve; sub-linear growth is the
+    natural-text signature, near-linear growth flags id-like/noisy token
+    streams. The doc_id->bucket map uses the known dense id range (the
+    oracle pins the same 500-row sf0.01 constant; Spark derives it)."""
+    d = Catalog(spark, sf_dir).documents
+    n_docs = d.agg((F.max("doc_id") + 1).alias("nd"))
+    t = (
+        d.crossJoin(F.broadcast(n_docs))
+        .select(
+            F.expr("(doc_id * 10) div nd").cast("long").alias("bucket"),
+            F.explode(_tokens("text")).alias("tok"),
+        )
+    )
+    per_bucket = t.groupBy("bucket").agg(F.count("*").alias("n_tokens"))
+    new_types = (
+        t.groupBy("tok")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_new"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(new_types, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_types"),
+        )
+    )
+
+
+# Two-sample Kolmogorov–Smirnov distance between the doc-length
+# distributions of two language cohorts. Scale shape: per-distinct-value
+# counts are one shuffle on the value key (cardinality = distinct lengths,
+# bounded by the length range, NOT the corpus); the ECDF window runs over
+# that bounded value table. Counts stay integer until the final division,
+# so the statistic is partition-order-proof.
+@register(
+    "ks_test_q",
+    """
+    WITH v AS (
+        SELECT n_chars,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS cb
+        FROM documents WHERE lang IN ('en', 'zh')
+        GROUP BY n_chars
+    ),
+    e AS (
+        SELECT SUM(ca) OVER (ORDER BY n_chars) AS cum_a,
+               SUM(cb) OVER (ORDER BY n_chars) AS cum_b,
+               SUM(ca) OVER () AS na,
+               SUM(cb) OVER () AS nb
+        FROM v
+    )
+    SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b,
+           CAST(ROUND(MAX(ABS(CAST(cum_a AS DOUBLE) / na
+                              - CAST(cum_b AS DOUBLE) / nb)), 6) AS DOUBLE)
+               AS ks_stat
+    FROM e
+    """,
+)
+def ks_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detector (the CCNet/RefinedWeb shard-comparison
+    check): sup-norm distance between two empirical CDFs, computed from
+    per-value counts rather than sorted samples."""
+    d = Catalog(spark, sf_dir).documents.filter(
+        F.col("lang").isin("en", "zh")
+    )
+    v = d.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("lang") == "zh", 1).otherwise(0)).alias("cb"),
+    )
+    wc = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    e = v.select(
+        F.sum("ca").over(wc).alias("cum_a"),
+        F.sum("cb").over(wc).alias("cum_b"),
+        F.sum("ca").over(wt).alias("na"),
+        F.sum("cb").over(wt).alias("nb"),
+    )
+    return e.agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cum_a").cast("double") / F.col("na")
+                    - F.col("cum_b").cast("double") / F.col("nb")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+# Chi-square test of independence over the lang x source contingency
+# table. Scale shape: one corpus-scale count shuffle into a cells table of
+# |langs| x |sources| rows; marginals and the statistic are metadata-scale
+# window/agg passes over that table. Expected counts are computed with the
+# IDENTICAL expression shape both engines ((row*col)/N in integer->double),
+# and cell terms are 12-dp-quantized before the final sum.
+@register(
+    "chi2_independence_q",
+    """
+    WITH cells AS (
+        SELECT lang, source, COUNT(*) AS o
+        FROM documents GROUP BY lang, source
+    ),
+    m AS (
+        SELECT o,
+               SUM(o) OVER (PARTITION BY lang) AS row_tot,
+               SUM(o) OVER (PARTITION BY source) AS col_tot,
+               SUM(o) OVER () AS n,
+               COUNT(*) OVER (PARTITION BY lang) AS _r,
+               COUNT(*) OVER (PARTITION BY source) AS _c
+        FROM cells
+    ),
+    d AS (
+        SELECT COUNT(DISTINCT lang) AS nl, COUNT(DISTINCT source) AS ns,
+               SUM(COUNT(*)) OVER () AS _x
+        FROM documents GROUP BY ()
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST((SELECT (nl - 1) * (ns - 1) FROM d) AS BIGINT) AS dof,
+           CAST(ROUND(CAST(SUM(CAST(
+               (CAST(o AS DOUBLE)
+                - CAST(row_tot * col_tot AS DOUBLE) / n)
+               * (CAST(o AS DOUBLE)
+                  - CAST(row_tot * col_tot AS DOUBLE) / n)
+               / (CAST(row_tot * col_tot AS DOUBLE) / n)
+               AS DECIMAL(28,12))) AS DOUBLE), 6) AS DOUBLE) AS chi2
+    FROM m
+    """,
+)
+def chi2_independence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix audit: is language independent of source? Large chi2
+    localizes ingestion skew (a source that over-contributes one
+    language). Only observed cells contribute (empty cells add 0 to the
+    statistic by convention here; both engines agree)."""
+    d = Catalog(spark, sf_dir).documents
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    m = cells.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("source")).alias("col_tot"),
+        F.sum("o")
+        .over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    exp = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("n")
+    term = (F.col("o").cast("double") - exp) * (
+        F.col("o").cast("double") - exp
+    ) / exp
+    dims = d.agg(
+        F.countDistinct("lang").alias("nl"),
+        F.countDistinct("source").alias("ns"),
+    )
+    stat = m.agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.round(_dsum(term).cast("double"), 6).alias("chi2"),
+    )
+    return stat.crossJoin(F.broadcast(dims)).select(
+        "n_docs",
+        ((F.col("nl") - 1) * (F.col("ns") - 1)).cast("long").alias("dof"),
+        "chi2",
+    )
+
+
+# Interpolated Kneser–Ney bigram probabilities (d = 0.75) for the 30 most
+# frequent bigrams. The production LM-smoothing statistic (Chen & Goodman
+# 1999): continuation counts rather than raw counts back off the unigram.
+# Scale shape: three aggregations over the (observed-)bigram table — by
+# (w1,w2), by w1, by w2 — all vocabulary-keyed shuffles with map-side
+# partials; scoring joins are vocab-keyed (AQE absorbs Zipf skew); the
+# final top-30 is TakeOrdered. Per-row probability arithmetic is a single
+# identical double expression in both engines — no FP summation at all.
+@register(
+    "kneser_ney_q",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    idx AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+            FROM toks WHERE len(t) >= 2),
+    pairs AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM idx),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1fwd
+           FROM c12 GROUP BY w1),
+    cont AS (SELECT w2, COUNT(*) AS n1bwd FROM c12 GROUP BY w2),
+    tot AS (SELECT COUNT(*) AS n_types FROM c12)
+    SELECT c12.w1, c12.w2, CAST(c12.c12 AS BIGINT) AS c,
+           CAST(ROUND(
+               (CAST(c12.c12 AS DOUBLE) - 0.75) / c1.c1
+               + 0.75 * c1.n1fwd / c1.c1
+                 * (CAST(cont.n1bwd AS DOUBLE) / tot.n_types), 6)
+               AS DOUBLE) AS pkn
+    FROM c12
+    JOIN c1 ON c12.w1 = c1.w1
+    JOIN cont ON c12.w2 = cont.w2
+    CROSS JOIN tot
+    ORDER BY c DESC, c12.w1, c12.w2
+    LIMIT 30
+    """,
+)
+def kneser_ney_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney (the strongest classical n-gram smoother):
+    P(w2|w1) = max(c-d,0)/c(w1.) + d*N1+(w1,.)/c(w1.) * N1+(.,w2)/|types|.
+    Every count >= 1 here (observed bigrams), so max(c-d,0) = c-d."""
+    d = Catalog(spark, sf_dir).documents
+    t = d.select(_tokens("text").alias("t")).filter(F.size("t") >= 2)
+    pairs = t.select(
+        F.posexplode(F.slice("t", 1, F.size("t") - 1)).alias("i", "w1"),
+        F.col("t"),
+    ).select("w1", F.element_at("t", F.col("i") + 2).alias("w2"))
+    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1fwd")
+    )
+    cont = c12.groupBy("w2").agg(F.count("*").alias("n1bwd"))
+    tot = c12.agg(F.count(F.lit(1)).alias("n_types"))
+    pkn = (F.col("c12").cast("double") - 0.75) / F.col("c1") + 0.75 * F.col(
+        "n1fwd"
+    ) / F.col("c1") * (
+        F.col("n1bwd").cast("double") / F.col("n_types")
+    )
+    return (
+        c12.join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c"),
+            F.round(pkn, 6).alias("pkn"),
+        )
+        .orderBy(F.desc("c"), "w1", "w2")
+        .limit(30)
+    )
+
+
+# Deterministic Poisson(1) bootstrap: 32 weighted replicas of the mean doc
+# length per source, in ONE corpus pass. The per-(row, replica) weight is
+# the inverse-CDF of Poisson(1) applied to a content-keyed uniform
+# (poly_hash of "doc_id:replica"), so the estimate is partition-layout
+# independent and reproducible — the distributed alternative to
+# resample-with-replacement, which cannot shuffle 100 TB 32 times.
+# Scale shape: 32x row explosion of (hash-input, n_chars) pairs only,
+# one (source, replica) shuffle with integer map-side partials; the
+# replica table (sources x 32) is metadata.
+@register(
+    "poisson_bootstrap_q",
+    f"""
+    WITH reps AS (
+        SELECT source, n_chars, b,
+               CAST({_SQL_POLY.format(
+                   s="doc_id::VARCHAR || ':' || b::VARCHAR")} % 10000
+                    AS DOUBLE) / 10000 AS u
+        FROM documents, (SELECT unnest(range(0, 32)) AS b)
+    ),
+    weighted AS (
+        SELECT source, b,
+               CASE WHEN u < 0.367879 THEN 0
+                    WHEN u < 0.735759 THEN 1
+                    WHEN u < 0.919699 THEN 2
+                    WHEN u < 0.981012 THEN 3
+                    WHEN u < 0.996340 THEN 4
+                    ELSE 5 END AS w,
+               n_chars
+        FROM reps
+    ),
+    replica_means AS (
+        SELECT source, b,
+               CAST(SUM(w * n_chars) AS DOUBLE) / SUM(w) AS m
+        FROM weighted GROUP BY source, b HAVING SUM(w) > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_replicas,
+           CAST(ROUND(CAST(SUM(CAST(m AS DECIMAL(28,12))) AS DOUBLE)
+                      / COUNT(*), 4) AS DOUBLE) AS boot_mean,
+           CAST(ROUND(MIN(m), 4) AS DOUBLE) AS boot_lo,
+           CAST(ROUND(MAX(m), 4) AS DOUBLE) AS boot_hi
+    FROM replica_means GROUP BY source
+    """,
+)
+def poisson_bootstrap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty quantification for corpus statistics at scale: each row
+    contributes Poisson(1)-many copies to each replica (the streaming
+    bootstrap used by production metric pipelines). Replica means divide
+    two exact integer sums, so only the final 32-term mean needs the
+    decimal quantization."""
+    d = Catalog(spark, sf_dir).documents
+    reps = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    ).withColumn(
+        "u",
+        (
+            poly_hash(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            )
+            % 10000
+        ).cast("double")
+        / 10000,
+    )
+    w = (
+        F.when(F.col("u") < 0.367879, 0)
+        .when(F.col("u") < 0.735759, 1)
+        .when(F.col("u") < 0.919699, 2)
+        .when(F.col("u") < 0.981012, 3)
+        .when(F.col("u") < 0.996340, 4)
+        .otherwise(5)
+    )
+    replica_means = (
+        reps.withColumn("w", w)
+        .groupBy("source", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("n_chars")).alias("sw"),
+            F.sum("w").alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .select(
+            "source", (F.col("sw").cast("double") / F.col("n")).alias("m")
+        )
+    )
+    return replica_means.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicas"),
+        F.round(_dsum(F.col("m")).cast("double") / F.count(F.lit(1)), 4).alias(
+            "boot_mean"
+        ),
+        F.round(F.min("m"), 4).alias("boot_lo"),
+        F.round(F.max("m"), 4).alias("boot_hi"),
+    )
+
+
+# Mutual information between token presence and document language, for the
+# 20 highest-document-frequency tokens — the classic filter-method feature
+# selector for quality/language classifiers. Scale shape: doc-level
+# presence is one distinct (doc_id, tok) shuffle; the top-20 selection is
+# TakeOrdered over the vocab table; the MI computation itself runs on a
+# (20 x |langs| x {present,absent}) cell table — pure metadata. The
+# absent-cell counts derive from marginals (no second corpus pass).
+# Per-cell terms are 12-dp-quantized before the final sum; 0-count cells
+# contribute 0 by the same CASE on both engines.
+@register(
+    "mi_feature_q",
+    f"""
+    WITH pres AS (
+        SELECT DISTINCT doc_id, unnest({_SQL_TOKENS}) AS tok
+        FROM documents
+    ),
+    top AS (
+        SELECT tok, COUNT(*) AS df FROM pres GROUP BY tok
+        ORDER BY df DESC, tok LIMIT 20
+    ),
+    langs AS (SELECT lang, COUNT(*) AS nl FROM documents GROUP BY lang),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    joint AS (
+        SELECT p.tok, d.lang, COUNT(*) AS n11
+        FROM pres p
+        JOIN top t ON p.tok = t.tok
+        JOIN documents d ON d.doc_id = p.doc_id
+        GROUP BY p.tok, d.lang
+    ),
+    cells AS (
+        SELECT t.tok, t.df, l.lang, l.nl, 1 AS present,
+               COALESCE(j.n11, 0) AS c, t.df AS marg
+        FROM top t CROSS JOIN langs l
+        LEFT JOIN joint j ON j.tok = t.tok AND j.lang = l.lang
+        UNION ALL
+        SELECT t.tok, t.df, l.lang, l.nl, 0 AS present,
+               l.nl - COALESCE(j.n11, 0) AS c, n.n - t.df AS marg
+        FROM top t CROSS JOIN langs l CROSS JOIN n
+        LEFT JOIN joint j ON j.tok = t.tok AND j.lang = l.lang
+    )
+    SELECT c.tok, CAST(MAX(c.df) AS BIGINT) AS df,
+           CAST(ROUND(CAST(SUM(CAST(
+               CASE WHEN c.c = 0 OR c.marg = 0 THEN 0.0 ELSE
+                 (CAST(c.c AS DOUBLE) / n.n)
+                 * log2(CAST(c.c AS DOUBLE) * n.n
+                        / (CAST(c.marg AS DOUBLE) * c.nl))
+               END AS DECIMAL(28,12))) AS DOUBLE), 6) AS DOUBLE) AS mi
+    FROM cells c CROSS JOIN n
+    GROUP BY c.tok
+    """,
+)
+def mi_feature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MI(token-presence; lang) per candidate feature token. High-MI
+    tokens are the language-discriminative vocabulary a lightweight
+    fastText-style classifier would learn first."""
+    d = Catalog(spark, sf_dir).documents
+    pres = d.select(
+        "doc_id", F.explode(_tokens("text")).alias("tok")
+    ).distinct()
+    top = (
+        pres.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "tok")
+        .limit(20)
+    )
+    langs = d.groupBy("lang").agg(F.count("*").alias("nl"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    joint = (
+        pres.join(F.broadcast(top), "tok")
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("tok", "lang")
+        .agg(F.count("*").alias("n11"))
+    )
+    grid = top.crossJoin(F.broadcast(langs)).join(
+        F.broadcast(joint), ["tok", "lang"], "left"
+    )
+    present = grid.select(
+        "tok",
+        "df",
+        "nl",
+        F.coalesce(F.col("n11"), F.lit(0)).alias("c"),
+        F.col("df").alias("marg"),
+    )
+    absent = grid.crossJoin(F.broadcast(n)).select(
+        "tok",
+        "df",
+        "nl",
+        (F.col("nl") - F.coalesce(F.col("n11"), F.lit(0))).alias("c"),
+        (F.col("n") - F.col("df")).alias("marg"),
+    )
+    cells = present.unionByName(absent).crossJoin(F.broadcast(n))
+    term = F.when(
+        (F.col("c") == 0) | (F.col("marg") == 0), F.lit(0.0)
+    ).otherwise(
+        (F.col("c").cast("double") / F.col("n"))
+        * F.log2(
+            F.col("c").cast("double")
+            * F.col("n")
+            / (F.col("marg").cast("double") * F.col("nl"))
+        )
+    )
+    return cells.groupBy("tok").agg(
+        F.max("df").cast("long").alias("df"),
+        F.round(_dsum(term).cast("double"), 6).alias("mi"),
+    )
+
+
+# Entropy l-diversity audit over a joined quasi-identifier view: for each
+# (nation, market-segment) equivalence class of customers, the Shannon
+# entropy of the order-priority distribution of their orders. Classes with
+# entropy below ln(2) cannot claim 2-diverse protection on the sensitive
+# attribute. Scale shape: the customer->orders join shuffles on custkey
+# (fact scale); the entropy computation runs per (class x priority) cell
+# table — bounded by |classes| x 5. Complements k_anonymity_q (distinct-
+# count l-diversity) with the entropy variant from Machanavajjhala 2007.
+@register(
+    "entropy_ldiversity_q",
+    """
+    WITH joined AS (
+        SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    ),
+    cells AS (
+        SELECT c_nationkey, c_mktsegment, o_orderpriority,
+               COUNT(*) AS cnt
+        FROM joined GROUP BY c_nationkey, c_mktsegment, o_orderpriority
+    ),
+    tot AS (
+        SELECT c_nationkey, c_mktsegment, SUM(cnt) AS n
+        FROM cells GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c.c_nationkey, c.c_mktsegment, CAST(t.n AS BIGINT) AS n_orders,
+           CAST(ROUND(CAST(SUM(CAST(
+               -(CAST(c.cnt AS DOUBLE) / t.n)
+               * ln(CAST(c.cnt AS DOUBLE) / t.n)
+               AS DECIMAL(28,12))) AS DOUBLE), 6) AS DOUBLE) AS entropy,
+           CAST(SUM(CASE WHEN TRUE THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_priorities
+    FROM cells c
+    JOIN tot t ON c.c_nationkey = t.c_nationkey
+              AND c.c_mktsegment = t.c_mktsegment
+    GROUP BY c.c_nationkey, c.c_mktsegment, t.n
+    """,
+)
+def entropy_ldiversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    joined = cat.orders.join(
+        cat.customer.select("c_custkey", "c_nationkey", "c_mktsegment"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    cells = joined.groupBy(
+        "c_nationkey", "c_mktsegment", "o_orderpriority"
+    ).agg(F.count("*").alias("cnt"))
+    tot = cells.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt").alias("n")
+    )
+    p = F.col("cnt").cast("double") / F.col("n")
+    return (
+        cells.join(tot, ["c_nationkey", "c_mktsegment"])
+        .groupBy("c_nationkey", "c_mktsegment", "n")
+        .agg(
+            F.round(_dsum(-p * F.log(p)).cast("double"), 6).alias(
+                "entropy"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_priorities"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("n").cast("long").alias("n_orders"),
+            "entropy",
+            "n_priorities",
+        )
+    )
