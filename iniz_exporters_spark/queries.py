@@ -9231,12 +9231,15 @@ def heaps_law_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle pins the same 500-row sf0.01 constant; Spark derives it)."""
     d = Catalog(spark, sf_dir).documents
     n_docs = d.agg((F.max("doc_id") + 1).alias("nd"))
+    # the (bucket, tok) frame feeds two aggregations — pin it once so the
+    # corpus-scale explode is not recomputed per consumer
     t = (
         d.crossJoin(F.broadcast(n_docs))
         .select(
             F.expr("(doc_id * 10) div nd").cast("long").alias("bucket"),
             F.explode(_tokens("text")).alias("tok"),
         )
+        .localCheckpoint()
     )
     per_bucket = t.groupBy("bucket").agg(F.count("*").alias("n_tokens"))
     new_types = (
@@ -9343,15 +9346,12 @@ def ks_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o,
                SUM(o) OVER (PARTITION BY lang) AS row_tot,
                SUM(o) OVER (PARTITION BY source) AS col_tot,
-               SUM(o) OVER () AS n,
-               COUNT(*) OVER (PARTITION BY lang) AS _r,
-               COUNT(*) OVER (PARTITION BY source) AS _c
+               SUM(o) OVER () AS n
         FROM cells
     ),
     d AS (
-        SELECT COUNT(DISTINCT lang) AS nl, COUNT(DISTINCT source) AS ns,
-               SUM(COUNT(*)) OVER () AS _x
-        FROM documents GROUP BY ()
+        SELECT COUNT(DISTINCT lang) AS nl, COUNT(DISTINCT source) AS ns
+        FROM documents
     )
     SELECT CAST(MAX(n) AS BIGINT) AS n_docs,
            CAST((SELECT (nl - 1) * (ns - 1) FROM d) AS BIGINT) AS dof,
@@ -9629,9 +9629,14 @@ def mi_feature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens are the language-discriminative vocabulary a lightweight
     fastText-style classifier would learn first."""
     d = Catalog(spark, sf_dir).documents
-    pres = d.select(
-        "doc_id", F.explode(_tokens("text")).alias("tok")
-    ).distinct()
+    # presence frame feeds both the top-k selection and the joint counts —
+    # pin it once (distinct over the corpus-scale explode is the expensive
+    # step; everything downstream is bounded by it)
+    pres = (
+        d.select("doc_id", F.explode(_tokens("text")).alias("tok"))
+        .distinct()
+        .localCheckpoint()
+    )
     top = (
         pres.groupBy("tok")
         .agg(F.count("*").alias("df"))
