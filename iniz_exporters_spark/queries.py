@@ -9752,3 +9752,624 @@ def entropy_ldiversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_priorities",
         )
     )
+
+
+# ===========================================================================
+# Batch F — graph analytics, model-eval, and time-series decomposition.
+# ===========================================================================
+
+
+# Adamic–Adar link prediction over the co-purchase bipartite projection:
+# parts are linked through shared orders, and each shared order z
+# contributes 1/ln(|z|). Scale shape: the pair generator is the SAME
+# bounded wedge join as triangle_count_q — keyed by orderkey whose fanout
+# is the lineitems-per-order bound (<= ~15 by data contract), so pair
+# count is O(rows * fanout), never O(n^2). Scores sum 12-dp-quantized
+# terms, so the top-30 ordering is engine-identical.
+@register(
+    "adamic_adar_q",
+    """
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    osize AS (
+        SELECT o, COUNT(*) AS n FROM op GROUP BY o HAVING COUNT(*) >= 2
+    ),
+    pairs AS (
+        SELECT a.p AS pa, b.p AS pb,
+               CAST(1.0 / ln(CAST(s.n AS DOUBLE)) AS DECIMAL(28,12)) AS w
+        FROM op a
+        JOIN op b ON a.o = b.o AND a.p < b.p
+        JOIN osize s ON s.o = a.o
+    )
+    SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST(ROUND(CAST(SUM(w) AS DOUBLE), 6) AS DOUBLE) AS aa_score
+    FROM pairs GROUP BY pa, pb
+    ORDER BY SUM(w) DESC, pa, pb LIMIT 30
+    """,
+)
+def adamic_adar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 predicted part-part links by Adamic–Adar: pairs that share
+    many small (informative) orders outrank pairs sharing few large
+    (generic) ones. The common neighbor is always the ORDER node, whose
+    degree is the order's distinct-part count."""
+    li = Catalog(spark, sf_dir).lineitem
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    osize = op.groupBy("o").agg(F.count("*").alias("n")).filter("n >= 2")
+    a = op.select("o", F.col("p").alias("pa"))
+    b = op.select("o", F.col("p").alias("pb"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .join(osize, "o")
+        .select(
+            "pa",
+            "pb",
+            (F.lit(1.0) / F.log(F.col("n").cast("double")))
+            .cast("decimal(28,12)")
+            .alias("w"),
+        )
+    )
+    return (
+        pairs.groupBy("pa", "pb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("w").alias("_aa"),
+        )
+        .orderBy(F.desc("_aa"), "pa", "pb")
+        .limit(30)
+        .select(
+            "pa",
+            "pb",
+            "n_common",
+            F.round(F.col("_aa").cast("double"), 6).alias("aa_score"),
+        )
+    )
+
+
+# Per-node local clustering coefficient over the co-purchase graph:
+# 2*T(v) / (d(v)*(d(v)-1)). Reuses the degree-oriented triangle
+# enumeration (skew-proof wedge join, out-degree <= O(sqrt E)), but keeps
+# the triangle's three corners and explodes them — one extra
+# vocabulary-scale shuffle to count per-node triangles. Everything is
+# integer until the final coefficient.
+@register(
+    "clustering_coeff_q",
+    """
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT n, COUNT(*) AS d FROM (
+            SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+        GROUP BY n
+    ),
+    ed AS (
+        SELECT e.a, e.b, da.d AS da, db.d AS db
+        FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n
+    ),
+    oriented AS (
+        SELECT CASE WHEN (da, a) < (db, b) THEN a ELSE b END AS src,
+               CASE WHEN (da, a) < (db, b) THEN b ELSE a END AS dst,
+               CASE WHEN (da, a) < (db, b) THEN db ELSE da END AS dd
+        FROM ed
+    ),
+    tri AS (
+        SELECT o1.src AS x, o1.dst AS y, o2.dst AS z
+        FROM oriented o1
+        JOIN oriented o2 ON o1.src = o2.src
+                        AND (o1.dd, o1.dst) < (o2.dd, o2.dst)
+        JOIN oriented c
+          ON c.src = LEAST(o1.dst, o2.dst)
+         AND c.dst = GREATEST(o1.dst, o2.dst)
+    ),
+    pernode AS (
+        SELECT n, COUNT(*) AS t FROM (
+            SELECT x AS n FROM tri UNION ALL
+            SELECT y AS n FROM tri UNION ALL
+            SELECT z AS n FROM tri) u
+        GROUP BY n
+    )
+    SELECT d.n AS node, CAST(d.d AS BIGINT) AS degree,
+           CAST(COALESCE(p.t, 0) AS BIGINT) AS n_triangles,
+           CAST(ROUND(CASE WHEN d.d >= 2 THEN
+                    2.0 * COALESCE(p.t, 0) / (d.d * (d.d - 1))
+                    ELSE 0.0 END, 6) AS DOUBLE) AS coeff
+    FROM deg d LEFT JOIN pernode p ON p.n = d.n
+    ORDER BY COALESCE(p.t, 0) DESC, d.n LIMIT 30
+    """,
+)
+def clustering_coeff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b"))
+    # edge list feeds degree + orientation — pin once
+    e = (
+        a.join(b, "k")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint()
+    )
+    ed = e.join(
+        deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    lt = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(lt, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lt, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(lt, F.col("db")).otherwise(F.col("da")).alias("dd"),
+    ).localCheckpoint()
+    o1 = oriented.select(
+        "src", F.col("dst").alias("y"), F.col("dd").alias("dy")
+    )
+    o2 = oriented.select(
+        "src", F.col("dst").alias("z"), F.col("dd").alias("dz")
+    )
+    wedges = o1.join(o2, "src").filter(
+        (F.col("dy") < F.col("dz"))
+        | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+    )
+    closure = oriented.select(
+        F.col("src").alias("cs"), F.col("dst").alias("cd")
+    )
+    tri = wedges.join(
+        closure,
+        (F.col("cs") == F.least("y", "z"))
+        & (F.col("cd") == F.greatest("y", "z")),
+    ).select("src", "y", "z")
+    pernode = (
+        tri.select(F.explode(F.array("src", "y", "z")).alias("n"))
+        .groupBy("n")
+        .agg(F.count("*").alias("t"))
+    )
+    t = F.coalesce(F.col("t"), F.lit(0))
+    return (
+        deg.join(pernode, "n", "left")
+        .select(
+            F.col("n").alias("node"),
+            F.col("d").cast("long").alias("degree"),
+            t.cast("long").alias("n_triangles"),
+            F.round(
+                F.when(
+                    F.col("d") >= 2,
+                    2.0 * t / (F.col("d") * (F.col("d") - 1)),
+                ).otherwise(0.0),
+                6,
+            ).alias("coeff"),
+        )
+        .orderBy(F.desc("n_triangles"), "node")
+        .limit(30)
+    )
+
+
+# Gini coefficient of document length per source — the corpus-inequality
+# audit (a source whose token mass concentrates in a few giant docs skews
+# sampling weights). Scale shape: one rank window PER SOURCE partition
+# (parallel across sources), then integer aggregates: G =
+# 2*sum(i*x_i)/(n*sum x) - (n+1)/n stays in exact integer arithmetic
+# until the final division.
+@register(
+    "gini_q",
+    """
+    WITH ranked AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS i
+        FROM documents
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(ROUND(2.0 * SUM(i * n_chars)
+                      / (COUNT(*) * SUM(n_chars))
+                      - (COUNT(*) + 1.0) / COUNT(*), 6) AS DOUBLE)
+               AS gini
+    FROM ranked GROUP BY source
+    """,
+)
+def gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "source", "n_chars", F.row_number().over(w).alias("i")
+    )
+    n = F.count(F.lit(1))
+    return ranked.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(
+            2.0
+            * F.sum(F.col("i") * F.col("n_chars"))
+            / (n * F.sum("n_chars"))
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+# ROC-AUC of a deterministic quality score (mean token length) against the
+# lang='en' label, computed from per-distinct-score counts — the
+# rank-free Mann–Whitney formulation that never sorts the corpus:
+# AUC = sum_s [P(s) * (cumN(<s) + N(s)/2)] / (P_tot * N_tot).
+# Scale shape: one shuffle keyed by the (4-dp-rounded) score value —
+# bounded cardinality — then a window over that score table. Counts stay
+# integer; N(s)/2 is exact in binary.
+@register(
+    "roc_auc_q",
+    f"""
+    WITH scored AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               ROUND(CAST(list_sum(list_transform(t, x -> length(x)))
+                          AS DOUBLE) / len(t), 4) AS s
+        FROM (SELECT lang, {_SQL_TOKENS} AS t FROM documents)
+        WHERE len(t) > 0
+    ),
+    per_score AS (
+        SELECT s, SUM(y) AS np, SUM(1 - y) AS nn
+        FROM scored GROUP BY s
+    ),
+    c AS (
+        SELECT np, nn,
+               SUM(nn) OVER (ORDER BY s) - nn AS cum_nn_below,
+               SUM(np) OVER () AS p_tot, SUM(nn) OVER () AS n_tot
+        FROM per_score
+    )
+    SELECT CAST(MAX(p_tot) AS BIGINT) AS n_pos,
+           CAST(MAX(n_tot) AS BIGINT) AS n_neg,
+           CAST(ROUND(CAST(SUM(CAST(
+               np * (cum_nn_below + nn / 2.0)
+               AS DECIMAL(28,12))) AS DOUBLE)
+               / (MAX(p_tot) * MAX(n_tot)), 6) AS DOUBLE) AS auc
+    FROM c
+    """,
+)
+def roc_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-free evaluation of a per-doc score as an 'is English'
+    classifier. AUC from grouped counts: ties handled by the standard
+    half-credit term, no global sort of documents."""
+    d = Catalog(spark, sf_dir).documents
+    t = _tokens("text")
+    scored = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.round(
+            F.aggregate(
+                t, F.lit(0), lambda a, x: a + F.length(x)
+            ).cast("double")
+            / F.size(t),
+            4,
+        ).alias("s"),
+    ).filter(F.size(t) > 0)
+    per_score = scored.groupBy("s").agg(
+        F.sum("y").alias("np"), F.sum(1 - F.col("y")).alias("nn")
+    )
+    wc = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = per_score.select(
+        "np",
+        "nn",
+        (F.sum("nn").over(wc) - F.col("nn")).alias("cum_nn_below"),
+        F.sum("np").over(wt).alias("p_tot"),
+        F.sum("nn").over(wt).alias("n_tot"),
+    )
+    return c.agg(
+        F.max("p_tot").cast("long").alias("n_pos"),
+        F.max("n_tot").cast("long").alias("n_neg"),
+        F.round(
+            _dsum(
+                F.col("np") * (F.col("cum_nn_below") + F.col("nn") / 2.0)
+            ).cast("double")
+            / (F.max("p_tot") * F.max("n_tot")),
+            6,
+        ).alias("auc"),
+    )
+
+
+# Weekly seasonal decomposition of the daily event-value series (STL-lite:
+# trend = centered 7-day moving average, seasonal = mean detrended value
+# per day-of-week, residual = remainder). Scale shape: the corpus-scale
+# work is one (day) aggregation with map-side partials; all three window
+# passes run over the DAILY table (calendar-bounded metadata — 30 rows
+# here, ~36.5k rows for a century). Daily means are quantized to
+# DECIMAL(18,6) before the sliding sum so the moving average is
+# partition- and tree-order-proof on both engines.
+@register(
+    "stl_decompose_q",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+                   AS dow,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*) AS DECIMAL(18,6)) AS m
+        FROM events WHERE event_type = 'view'
+        GROUP BY CAST(ts AS DATE),
+                 date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+    ),
+    trended AS (
+        SELECT day, dow, m,
+               CAST(CAST(SUM(m) OVER (ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                    AS DOUBLE)
+                    / COUNT(*) OVER (ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                    AS DECIMAL(18,6)) AS trend
+        FROM daily
+    ),
+    seasoned AS (
+        SELECT day, dow, m, trend,
+               CAST(CAST(SUM(m - trend) OVER (PARTITION BY dow)
+                    AS DOUBLE) / COUNT(*) OVER (PARTITION BY dow)
+                    AS DECIMAL(18,6)) AS seasonal
+        FROM trended
+    )
+    SELECT day,
+           CAST(ROUND(CAST(m AS DOUBLE), 4) AS DOUBLE) AS daily_mean,
+           CAST(ROUND(CAST(trend AS DOUBLE), 4) AS DOUBLE) AS trend,
+           CAST(ROUND(CAST(seasonal AS DOUBLE), 4) AS DOUBLE) AS seasonal,
+           CAST(ROUND(CAST(m - trend - seasonal AS DOUBLE), 4) AS DOUBLE)
+               AS residual
+    FROM seasoned
+    """,
+)
+def stl_decompose_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition on the daily aggregate —
+    the observability layer's anomaly-vs-seasonality separator. Exact
+    decimal arithmetic end-to-end: every intermediate (daily mean, trend,
+    seasonal) re-quantizes to DECIMAL(18,6)."""
+    e = Catalog(spark, sf_dir).events.filter(F.col("event_type") == "view")
+    daily = (
+        e.groupBy(
+            F.to_date("ts").alias("day"),
+            (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) % 7
+             ).alias("dow"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            )
+            .cast("decimal(18,6)")
+            .alias("m")
+        )
+    )
+    wma = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "dow",
+        "m",
+        (F.sum("m").over(wma).cast("double") / F.count("*").over(wma))
+        .cast("decimal(18,6)")
+        .alias("trend"),
+    )
+    wd = Window.partitionBy("dow").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    seasoned = trended.select(
+        "day",
+        "m",
+        "trend",
+        (
+            F.sum(F.col("m") - F.col("trend")).over(wd).cast("double")
+            / F.count("*").over(wd)
+        )
+        .cast("decimal(18,6)")
+        .alias("seasonal"),
+    )
+    return seasoned.select(
+        "day",
+        F.round(F.col("m").cast("double"), 4).alias("daily_mean"),
+        F.round(F.col("trend").cast("double"), 4).alias("trend"),
+        F.round(F.col("seasonal").cast("double"), 4).alias("seasonal"),
+        F.round(
+            (F.col("m") - F.col("trend") - F.col("seasonal")).cast("double"),
+            4,
+        ).alias("residual"),
+    )
+
+
+# CUSUM change-point curve over the daily error-rate series: cumulative
+# sum of (daily mean - global mean), with the argmax |CUSUM| day flagged.
+# Scale shape: identical to stl_decompose_q — one corpus-scale day
+# aggregation, then windows over the calendar-bounded daily table. All
+# sums run in exact decimal, so the flagged change point cannot flap
+# across engines or partition layouts.
+@register(
+    "cusum_changepoint_q",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*) AS DECIMAL(18,6)) AS m
+        FROM events WHERE event_type = 'error'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    mu AS (
+        SELECT day, m,
+               CAST(CAST(SUM(m) OVER () AS DOUBLE) / COUNT(*) OVER ()
+                    AS DECIMAL(18,6)) AS mu
+        FROM daily
+    ),
+    c AS (
+        SELECT day, m, SUM(m - mu) OVER (ORDER BY day) AS cusum
+        FROM mu
+    )
+    SELECT day, CAST(ROUND(CAST(m AS DOUBLE), 4) AS DOUBLE) AS daily_mean,
+           CAST(ROUND(CAST(cusum AS DOUBLE), 4) AS DOUBLE) AS cusum,
+           ABS(cusum) = MAX(ABS(cusum)) OVER () AS is_changepoint
+    FROM c
+    """,
+)
+def cusum_changepoint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events.filter(F.col("event_type") == "error")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        )
+        .cast("decimal(18,6)")
+        .alias("m")
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mu = daily.select(
+        "day",
+        "m",
+        (F.sum("m").over(wt).cast("double") / F.count("*").over(wt))
+        .cast("decimal(18,6)")
+        .alias("mu"),
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = mu.select(
+        "day", "m", F.sum(F.col("m") - F.col("mu")).over(wc).alias("cusum")
+    )
+    return c.select(
+        "day",
+        F.round(F.col("m").cast("double"), 4).alias("daily_mean"),
+        F.round(F.col("cusum").cast("double"), 4).alias("cusum"),
+        (F.abs("cusum") == F.max(F.abs("cusum")).over(wt)).alias(
+            "is_changepoint"
+        ),
+    )
+
+
+# Last-touch attribution: each purchase is credited to the user's most
+# recent non-purchase event within the preceding 7 days. Scale shape: one
+# window pass per user partition (running max of a (ts, id, type) struct
+# over preceding rows) — no self-join of the event stream; the fact table
+# shuffles once on user_id. The oracle states the same semantics as a
+# bounded join + arg_max, which is equivalent because "most recent within
+# 7d" = "most recent overall, if within 7d".
+@register(
+    "attribution_q",
+    """
+    SELECT event_id, user_id, src_event_id, src_type, us_before FROM (
+        SELECT p.event_id, p.user_id,
+               e.event_id AS src_event_id, e.event_type AS src_type,
+               epoch_us(p.ts) - epoch_us(e.ts) AS us_before,
+               ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                  ORDER BY e.ts DESC, e.event_id DESC)
+                   AS rn
+        FROM events p
+        LEFT JOIN events e
+          ON e.user_id = p.user_id AND e.event_type <> 'purchase'
+         AND e.ts < p.ts AND e.ts >= p.ts - INTERVAL 7 DAY
+        WHERE p.event_type = 'purchase'
+    ) t WHERE rn = 1
+    """,
+)
+def attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attr = F.max(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct(
+                F.col("ts").alias("ts"),
+                F.col("event_id").alias("event_id"),
+                F.col("event_type").alias("event_type"),
+            ),
+        )
+    ).over(w)
+    flagged = ev.select(
+        "event_id", "user_id", "event_type", "ts", attr.alias("a")
+    ).filter(F.col("event_type") == "purchase")
+    within = F.col("a").isNotNull() & (
+        F.col("a.ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.when(within, F.col("a.event_id")).alias("src_event_id"),
+        F.when(within, F.col("a.event_type")).alias("src_type"),
+        F.when(
+            within, F.unix_micros("ts") - F.unix_micros("a.ts")
+        ).alias("us_before"),
+    )
+
+
+# ColBERT-style late-interaction (MaxSim) retrieval: passages are groups
+# of 10 vectors; score(q, d) = sum over query tokens of the best cosine
+# against any doc token. Scale shape: the 20 query-token vectors
+# BROADCAST against the corpus token table (corpus never shuffles for
+# scoring); the max-per-(query-token, passage) and the final sum shuffle
+# only (qid, did, score) rows — passage-scale, not token-pair-scale.
+# Cosines round to 4 dp before max (ties break identically), and the
+# 10-term MaxSim sum is 12-dp-quantized.
+@register(
+    "maxsim_q",
+    """
+    WITH e AS (SELECT vec_id, vec_id // 10 AS pid,
+                      embedding::DOUBLE[] AS v
+               FROM embeddings),
+    q AS (SELECT pid AS qid, vec_id AS qtok, v AS qv FROM e WHERE pid < 2),
+    c AS (SELECT pid AS did, v FROM e WHERE pid >= 2),
+    cos AS (
+        SELECT q.qid, c.did, q.qtok,
+               MAX(ROUND(list_cosine_similarity(q.qv, c.v), 4)) AS best
+        FROM q JOIN c ON TRUE
+        GROUP BY q.qid, c.did, q.qtok
+    ),
+    scored AS (
+        SELECT qid, did,
+               CAST(ROUND(CAST(SUM(CAST(best AS DECIMAL(28,12)))
+                    AS DOUBLE), 4) AS DOUBLE) AS maxsim
+        FROM cos GROUP BY qid, did
+    )
+    SELECT qid, did, maxsim, rn FROM (
+        SELECT qid, did, maxsim,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY maxsim DESC, did) AS rn
+        FROM scored
+    ) t WHERE rn <= 5
+    """,
+)
+def maxsim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iniz_exporters_spark.operators.similarity import cosine
+
+    e = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id",
+        (F.col("vec_id") / 10).cast("long").alias("pid"),
+        F.col("embedding").alias("v"),
+    )
+    q = e.filter(F.col("pid") < 2).select(
+        F.col("pid").alias("qid"),
+        F.col("vec_id").alias("qtok"),
+        F.col("v").alias("qv"),
+    )
+    c = e.filter(F.col("pid") >= 2).select(F.col("pid").alias("did"), "v")
+    cos = (
+        c.crossJoin(F.broadcast(q))
+        .groupBy("qid", "did", "qtok")
+        .agg(
+            F.max(F.round(cosine(F.col("qv"), F.col("v")), 4)).alias("best")
+        )
+    )
+    scored = cos.groupBy("qid", "did").agg(
+        F.round(_dsum(F.col("best")).cast("double"), 4).alias("maxsim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("maxsim"), "did")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "did", "maxsim", "rn")
+    )
