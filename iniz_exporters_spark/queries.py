@@ -9787,6 +9787,7 @@ def entropy_ldiversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pairs GROUP BY pa, pb
     ORDER BY SUM(w) DESC, pa, pb LIMIT 30
     """,
+    headline=True,
 )
 def adamic_adar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-30 predicted part-part links by Adamic–Adar: pairs that share
@@ -10342,6 +10343,7 @@ def attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM scored
     ) t WHERE rn <= 5
     """,
+    headline=True,
 )
 def maxsim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iniz_exporters_spark.operators.similarity import cosine
@@ -10372,4 +10374,215 @@ def maxsim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("qid", "did", "maxsim", "rn")
+    )
+
+
+# Sweep-line interval concurrency: how many order lines are simultaneously
+# in fulfillment (order date .. ship date inclusive), reported as the
+# per-month peak. Scale shape: the classic O(n^2) interval-overlap join is
+# replaced by +1/-1 boundary events aggregated per DAY (one corpus-scale
+# shuffle onto a calendar-bounded key), a running sum over the bounded
+# date table, and a month rollup. Integers throughout.
+@register(
+    "interval_concurrency_q",
+    """
+    WITH iv AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS s,
+               CAST(l.l_shipdate AS DATE) AS e
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    bounds AS (
+        SELECT s AS day, 1 AS delta FROM iv
+        UNION ALL
+        SELECT e + 1 AS day, -1 FROM iv
+    ),
+    daily AS (
+        SELECT day, SUM(delta) AS delta FROM bounds GROUP BY day
+    ),
+    open_count AS (
+        SELECT day, SUM(delta) OVER (ORDER BY day) AS n_open
+        FROM daily
+    )
+    SELECT CAST(EXTRACT(YEAR FROM day) * 100 + EXTRACT(MONTH FROM day)
+                AS BIGINT) AS ym,
+           CAST(MAX(n_open) AS BIGINT) AS peak_open,
+           CAST(COUNT(*) AS BIGINT) AS n_boundary_days
+    FROM open_count GROUP BY 1
+    """,
+)
+def interval_concurrency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    iv = cat.lineitem.select("l_orderkey", "l_shipdate").join(
+        cat.orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    starts = iv.select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.lit(1).alias("delta"),
+    )
+    ends = iv.select(
+        F.date_add(F.col("l_shipdate").cast("date"), 1).alias("day"),
+        F.lit(-1).alias("delta"),
+    )
+    daily = (
+        starts.unionAll(ends).groupBy("day").agg(F.sum("delta").alias("delta"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    open_count = daily.select(
+        "day", F.sum("delta").over(w).alias("n_open")
+    )
+    return open_count.groupBy(
+        (F.year("day") * 100 + F.month("day")).cast("long").alias("ym")
+    ).agg(
+        F.max("n_open").cast("long").alias("peak_open"),
+        F.count(F.lit(1)).cast("long").alias("n_boundary_days"),
+    )
+
+
+# Boilerplate/template detection: documents sharing an identical 8-token
+# prefix hash. Scale shape: the prefix hash is per-row Catalyst (poly_hash
+# over the joined prefix tokens); only (prefix_hash, doc_id, source) rows
+# shuffle — text never moves; groups are template-cluster scale.
+@register(
+    "template_prefix_q",
+    f"""
+    WITH p AS (
+        SELECT doc_id, source,
+               {_SQL_POLY.format(
+                   s="array_to_string(list_slice(" + _SQL_TOKENS + ", 1, 8), ' ')")}
+                   AS prefix_hash
+        FROM documents
+        WHERE len({_SQL_TOKENS}) >= 8
+    )
+    SELECT prefix_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(doc_id) AS BIGINT) AS sample_doc
+    FROM p GROUP BY prefix_hash HAVING COUNT(*) >= 2
+    """,
+)
+def template_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs opening with the same 8 tokens are template/boilerplate
+    candidates (the pre-filter for CCNet-style boilerplate removal).
+    Cross-source groups are the strongest signal (mirrors, syndication)."""
+    d = Catalog(spark, sf_dir).documents
+    t = _tokens("text")
+    p = d.filter(F.size(t) >= 8).select(
+        "doc_id",
+        "source",
+        poly_hash(F.array_join(F.slice(t, 1, 8), " ")).alias("prefix_hash"),
+    )
+    return (
+        p.groupBy("prefix_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").cast("long").alias("sample_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# Power-law (Pareto) tail fit of the co-purchase degree distribution via
+# the Hill MLE: alpha = 1 + n / sum(ln(d / dmin)) over degrees >= dmin.
+# Scale shape: degrees come from one edge aggregation (vocab-scale); the
+# estimator is a single fold over the degree table with 12-dp-quantized
+# log terms. Companion to zipf_fit_q (token side) for graph data.
+@register(
+    "degree_powerlaw_q",
+    """
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT n, COUNT(*) AS d FROM (
+            SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+        GROUP BY n
+    ),
+    tail AS (SELECT d FROM deg WHERE d >= 2)
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST(COUNT(*) AS BIGINT) AS n_tail,
+           CAST(MAX(d) AS BIGINT) AS d_max,
+           CAST(ROUND(1.0 + COUNT(*) / CAST(SUM(CAST(
+               ln(CAST(d AS DOUBLE) / 2.0)
+               AS DECIMAL(28,12))) AS DOUBLE), 6) AS DOUBLE) AS alpha_hill
+    FROM tail
+    """,
+)
+def degree_powerlaw_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b"))
+    e = (
+        a.join(b, "k")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint()
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    tail = deg.filter(F.col("d") >= 2)
+    stats = tail.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.max("d").cast("long").alias("d_max"),
+        F.round(
+            1.0
+            + F.count(F.lit(1))
+            / _dsum(F.log(F.col("d").cast("double") / 2.0)).cast("double"),
+            6,
+        ).alias("alpha_hill"),
+    )
+    return n_nodes.crossJoin(F.broadcast(stats)).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        "n_tail",
+        "d_max",
+        "alpha_hill",
+    )
+
+
+# Sequential pattern mining: the 20 most common length-3 event-type paths
+# per user stream (the next-event-prediction training signal). Scale
+# shape: two LEAD windows per user partition (parallel across users, no
+# self-join of the stream), then a path-keyed count — path vocabulary is
+# |types|^3 bounded.
+@register(
+    "event_paths_q",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS e2,
+               LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS e3
+        FROM events
+    )
+    SELECT event_type AS e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ordered WHERE e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, e1, e2, e3 LIMIT 20
+    """,
+)
+def event_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        ordered.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(20)
     )
