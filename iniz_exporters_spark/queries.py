@@ -10586,3 +10586,333 @@ def event_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "e1", "e2", "e3")
         .limit(20)
     )
+
+
+# ===========================================================================
+# Batch H — clustering-quality evaluation (internal + external indices).
+# All three reuse the deterministic 2-round Lloyd model: the oracle
+# replays init -> assign -> recompute -> assign in SQL exactly as
+# kmeans_assignments does; Spark gets the same k x d centroid table from
+# lloyd_train (metadata collect) and evaluates per-row with broadcast
+# centroid literals. Distances round to 6 dp (the model's contract), so
+# assignment and index arithmetic are engine-identical.
+# ===========================================================================
+
+from iniz_exporters_spark.operators.clustering import lloyd_train  # noqa: E402
+
+
+_KM_PRELUDE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+           FROM e ORDER BY vec_id LIMIT 4),
+    a0 AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_KM_DIST}, c.cid) AS rn
+            FROM e CROSS JOIN c0 c
+        ) WHERE rn = 1
+    ),
+    m0 AS (
+        SELECT cid, i, ROUND(CAST(avg(val) AS DECIMAL(28,12)), 6)::DOUBLE AS m
+        FROM (SELECT cid, i, v[i] AS val
+              FROM a0, unnest(range(1, len(v)+1)) AS t(i))
+        GROUP BY cid, i
+    ),
+    c1 AS (SELECT cid, list(m ORDER BY i) AS v FROM m0 GROUP BY cid),
+    dists AS (
+        SELECT e.vec_id, e.v, c.cid, {_KM_DIST} AS d2,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_KM_DIST}, c.cid) AS rn
+        FROM e CROSS JOIN c1 c
+    )
+"""
+
+
+def _km_eval_frame(spark: SparkSession, sf_dir: str):
+    """((vec_id, label, v, cluster, d2_own, d2_other) frame, centroids)
+    under the shared 2-round Lloyd model — centroids broadcast as
+    literals, all distance arithmetic in the same fold shape as the SQL
+    replay."""
+    emb = Catalog(spark, sf_dir).embeddings
+    cents = lloyd_train(emb, "vec_id", "embedding", k=4, iters=2)
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dcols = []
+    for i, c in enumerate(cents):
+        cent = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"), cent, lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+            6,
+        )
+        dcols.append(F.struct(d2.alias("d"), F.lit(i).alias("cid")))
+    arr = F.array(*dcols)
+    best = F.array_min(arr)
+    frame = e.select(
+        "vec_id",
+        "label",
+        "v",
+        best["cid"].alias("cluster"),
+        best["d"].alias("d2_own"),
+        F.array_min(
+            F.filter(arr, lambda s: s["cid"] != best["cid"])
+        )["d"].alias("d2_other"),
+    )
+    return frame, cents
+
+
+# Simplified (centroid-based) silhouette per cluster: s = (b - a) /
+# max(a, b) with a = distance to own centroid, b = nearest other
+# centroid. Scale shape: O(n*k) per-row arithmetic against broadcast
+# centroids — no pairwise point distances (the textbook silhouette is
+# O(n^2) and cannot run at corpus scale); one k-row aggregation.
+@register(
+    "silhouette_q",
+    _KM_PRELUDE
+    + """
+    , pts AS (
+        SELECT vec_id,
+               MAX(CASE WHEN rn = 1 THEN cid END) AS cluster,
+               sqrt(MAX(CASE WHEN rn = 1 THEN d2 END)) AS da,
+               sqrt(MIN(CASE WHEN rn > 1 THEN d2 END)) AS db
+        FROM dists GROUP BY vec_id
+    )
+    SELECT CAST(cluster AS INT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(CAST(SUM(CAST(
+               CASE WHEN greatest(da, db) > 0
+                    THEN (db - da) / greatest(da, db) ELSE 0.0 END
+               AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+               AS mean_silhouette
+    FROM pts GROUP BY cluster
+    """,
+)
+def silhouette_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f, _ = _km_eval_frame(spark, sf_dir)
+    da, db = F.sqrt("d2_own"), F.sqrt("d2_other")
+    s = F.when(
+        F.greatest(da, db) > 0, (db - da) / F.greatest(da, db)
+    ).otherwise(0.0)
+    return f.groupBy(F.col("cluster").cast("int").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(_dsum(s).cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_silhouette"
+        ),
+    )
+
+
+# Calinski–Harabasz index: between-cluster dispersion over within-cluster
+# dispersion, (B/(k-1)) / (W/(n-k)). Scale shape: W is the sum of the
+# per-point own-centroid distances already computed; B needs only the
+# k x d centroid table and the global mean (metadata arithmetic). One
+# corpus aggregation total.
+@register(
+    "calinski_harabasz_q",
+    _KM_PRELUDE
+    + """
+    , own AS (
+        SELECT vec_id, v, cid, d2 FROM dists WHERE rn = 1
+    ),
+    w AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(d2 AS DECIMAL(28,12))) AS DOUBLE) AS wss
+        FROM own
+    ),
+    sizes AS (SELECT cid, COUNT(*) AS nj FROM own GROUP BY cid),
+    gmean AS (
+        SELECT i, ROUND(CAST(avg(val) AS DECIMAL(28,12)), 6)::DOUBLE AS g
+        FROM (SELECT i, v[i] AS val
+              FROM e, unnest(range(1, len(v)+1)) AS t(i))
+        GROUP BY i
+    ),
+    b AS (
+        SELECT CAST(SUM(CAST(s.nj * ROUND(
+                   list_reduce(
+                       list_transform(range(1, len(c.v)+1),
+                           i -> (c.v[i] - g.gv[i]) * (c.v[i] - g.gv[i])),
+                       (x, y) -> x + y), 6)
+               AS DECIMAL(28,12))) AS DOUBLE) AS bss
+        FROM c1 c JOIN sizes s ON c.cid = s.cid
+        CROSS JOIN (SELECT list(g ORDER BY i) AS gv FROM gmean) g
+    )
+    SELECT CAST(w.n AS BIGINT) AS n,
+           CAST(ROUND(w.wss, 4) AS DOUBLE) AS wss,
+           CAST(ROUND(b.bss, 4) AS DOUBLE) AS bss,
+           CAST(ROUND((b.bss / 3) / (w.wss / (w.n - 4)), 6) AS DOUBLE)
+               AS ch_index
+    FROM w CROSS JOIN b
+    """,
+)
+def calinski_harabasz_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    f, cents = _km_eval_frame(spark, sf_dir)
+    f = f.localCheckpoint()
+    w = f.agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("d2_own")).cast("double").alias("wss"),
+    )
+    sizes = f.groupBy("cluster").agg(F.count("*").alias("nj"))
+    gmean_rows = (
+        emb.select(F.posexplode("embedding").alias("i", "val"))
+        .groupBy("i")
+        .agg(
+            F.round(F.avg(F.col("val").cast("double")).cast("decimal(28,12)"), 6)
+            .cast("double")
+            .alias("g")
+        )
+        .collect()  # d rows — metadata
+    )
+    g = [0.0] * len(gmean_rows)
+    for r in gmean_rows:
+        g[r["i"]] = r["g"]
+    bss_terms = []
+    for i, c in enumerate(cents):
+        d2 = round(sum((a - b) * (a - b) for a, b in zip(c, g)), 6)
+        bss_terms.append((i, d2))
+    bt = spark.createDataFrame(bss_terms, "cid int, d2 double")
+    b = (
+        sizes.join(F.broadcast(bt), sizes.cluster == bt.cid)
+        .agg(
+            _dsum(F.col("nj") * F.col("d2")).cast("double").alias("bss")
+        )
+    )
+    return w.crossJoin(F.broadcast(b)).select(
+        F.col("n").cast("long").alias("n"),
+        F.round("wss", 4).alias("wss"),
+        F.round("bss", 4).alias("bss"),
+        F.round(
+            (F.col("bss") / 3) / (F.col("wss") / (F.col("n") - 4)), 6
+        ).alias("ch_index"),
+    )
+
+
+# External cluster validation: normalized mutual information and purity
+# between the k-means clusters and the ground-truth label column. Scale
+# shape: the contingency table is one (cluster, label) count shuffle —
+# k x |labels| cells — and every entropy/MI term is metadata arithmetic
+# over that table, 12-dp-quantized.
+@register(
+    "cluster_nmi_q",
+    _KM_PRELUDE
+    + """
+    , a1 AS (
+        SELECT d.vec_id, d.cid, emb.label
+        FROM dists d JOIN embeddings emb ON emb.vec_id = d.vec_id
+        WHERE d.rn = 1
+    ),
+    cells AS (SELECT cid, label, COUNT(*) AS c FROM a1 GROUP BY cid, label),
+    n AS (SELECT COUNT(*) AS n FROM a1),
+    mc AS (SELECT cid, SUM(c) AS nc FROM cells GROUP BY cid),
+    ml AS (SELECT label, SUM(c) AS nl FROM cells GROUP BY label),
+    mi AS (
+        SELECT CAST(SUM(CAST(
+            (CAST(c.c AS DOUBLE) / n.n)
+            * ln(CAST(c.c AS DOUBLE) * n.n
+                 / (CAST(mc.nc AS DOUBLE) * ml.nl))
+            AS DECIMAL(28,12))) AS DOUBLE) AS mi
+        FROM cells c JOIN mc ON c.cid = mc.cid
+        JOIN ml ON c.label = ml.label CROSS JOIN n
+    ),
+    hc AS (
+        SELECT CAST(SUM(CAST(
+            -(CAST(nc AS DOUBLE) / n.n) * ln(CAST(nc AS DOUBLE) / n.n)
+            AS DECIMAL(28,12))) AS DOUBLE) AS h
+        FROM mc CROSS JOIN n
+    ),
+    hl AS (
+        SELECT CAST(SUM(CAST(
+            -(CAST(nl AS DOUBLE) / n.n) * ln(CAST(nl AS DOUBLE) / n.n)
+            AS DECIMAL(28,12))) AS DOUBLE) AS h
+        FROM ml CROSS JOIN n
+    ),
+    pur AS (
+        SELECT CAST(SUM(mx) AS BIGINT) AS agree FROM (
+            SELECT cid, MAX(c) AS mx FROM cells GROUP BY cid)
+    )
+    SELECT CAST(n.n AS BIGINT) AS n,
+           CAST(ROUND(mi.mi / sqrt(hc.h * hl.h), 6) AS DOUBLE) AS nmi,
+           CAST(ROUND(CAST(pur.agree AS DOUBLE) / n.n, 6) AS DOUBLE)
+               AS purity
+    FROM mi CROSS JOIN hc CROSS JOIN hl CROSS JOIN pur CROSS JOIN n
+    """,
+)
+def cluster_nmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f, _ = _km_eval_frame(spark, sf_dir)
+    # contingency table is the only corpus-scale aggregation; everything
+    # below works on its k x |labels| cells (no re-reads of the frame)
+    cells = f.groupBy("cluster", "label").agg(
+        F.count("*").alias("c")
+    ).localCheckpoint()
+    n_tot = cells.agg(F.sum("c").alias("n"))
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    m = cells.select(
+        "c",
+        "cluster",
+        "label",
+        F.sum("c").over(Window.partitionBy("cluster")).alias("nc"),
+        F.sum("c").over(Window.partitionBy("label")).alias("nl"),
+        F.sum("c").over(wt).alias("n"),
+    )
+    mi_term = (F.col("c").cast("double") / F.col("n")) * F.log(
+        F.col("c").cast("double")
+        * F.col("n")
+        / (F.col("nc").cast("double") * F.col("nl"))
+    )
+    stats = m.agg(
+        F.max("n").alias("n"),
+        _dsum(mi_term).cast("double").alias("mi"),
+    )
+    hc = (
+        cells.groupBy("cluster")
+        .agg(F.sum("c").alias("nc"))
+        .crossJoin(F.broadcast(n_tot))
+        .agg(
+            _dsum(
+                -(F.col("nc").cast("double") / F.col("n"))
+                * F.log(F.col("nc").cast("double") / F.col("n"))
+            )
+            .cast("double")
+            .alias("hc")
+        )
+    )
+    hl = (
+        cells.groupBy("label")
+        .agg(F.sum("c").alias("nl"))
+        .crossJoin(F.broadcast(n_tot))
+        .agg(
+            _dsum(
+                -(F.col("nl").cast("double") / F.col("n"))
+                * F.log(F.col("nl").cast("double") / F.col("n"))
+            )
+            .cast("double")
+            .alias("hl")
+        )
+    )
+    pur = cells.groupBy("cluster").agg(F.max("c").alias("mx")).agg(
+        F.sum("mx").cast("long").alias("agree")
+    )
+    return (
+        stats.crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(pur))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.col("mi") / F.sqrt(F.col("hc") * F.col("hl")), 6
+            ).alias("nmi"),
+            F.round(
+                F.col("agree").cast("double") / F.col("n"), 6
+            ).alias("purity"),
+        )
+    )
