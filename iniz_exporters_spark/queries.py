@@ -10916,3 +10916,175 @@ def cluster_nmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("purity"),
         )
     )
+
+
+# ===========================================================================
+# Batch I — ML feature-engineering layer.
+# ===========================================================================
+
+
+# Weight-of-evidence / information-value binning: the credit-scoring
+# feature diagnostic. Account balance is cut into 8 fixed-width bins;
+# WOE(bin) = ln(pct_pos / pct_neg) against the returned-flag label, and
+# IV sums (pct_pos - pct_neg) * WOE. Scale shape: one corpus-scale count
+# shuffle onto the 8-bin key; WOE/IV arithmetic is metadata over the bin
+# table. Counts stay integer; per-bin terms are 12-dp-quantized.
+@register(
+    "woe_iv_q",
+    """
+    WITH base AS (
+        SELECT CAST(LEAST(GREATEST(CAST(floor((c_acctbal + 1000) / 875)
+                    AS BIGINT), 0), 7) AS BIGINT) AS bin,
+               CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS y
+        FROM customer
+    ),
+    bins AS (
+        SELECT bin, SUM(y) AS pos, SUM(1 - y) AS neg FROM base GROUP BY bin
+    ),
+    tot AS (SELECT SUM(pos) AS p, SUM(neg) AS n FROM bins)
+    SELECT bin, CAST(pos AS BIGINT) AS n_pos, CAST(neg AS BIGINT) AS n_neg,
+           CAST(ROUND(CASE WHEN pos > 0 AND neg > 0 THEN
+               ln((CAST(pos AS DOUBLE) / t.p) / (CAST(neg AS DOUBLE) / t.n))
+               ELSE 0.0 END, 6) AS DOUBLE) AS woe,
+           CAST(ROUND(CASE WHEN pos > 0 AND neg > 0 THEN
+               (CAST(pos AS DOUBLE) / t.p - CAST(neg AS DOUBLE) / t.n)
+               * ln((CAST(pos AS DOUBLE) / t.p)
+                    / (CAST(neg AS DOUBLE) / t.n))
+               ELSE 0.0 END, 6) AS DOUBLE) AS iv_term
+    FROM bins CROSS JOIN tot t
+    """,
+)
+def woe_iv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    base = c.select(
+        F.least(
+            F.greatest(
+                F.floor((F.col("c_acctbal") + 1000) / 875).cast("long"),
+                F.lit(0),
+            ),
+            F.lit(7),
+        )
+        .cast("long")
+        .alias("bin"),
+        F.when(F.col("c_acctbal") < 0, 1).otherwise(0).alias("y"),
+    )
+    bins = base.groupBy("bin").agg(
+        F.sum("y").alias("pos"), F.sum(1 - F.col("y")).alias("neg")
+    )
+    tot = bins.agg(F.sum("pos").alias("p"), F.sum("neg").alias("n"))
+    ok = (F.col("pos") > 0) & (F.col("neg") > 0)
+    pp = F.col("pos").cast("double") / F.col("p")
+    pn = F.col("neg").cast("double") / F.col("n")
+    woe = F.log(pp / pn)
+    return bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.col("pos").cast("long").alias("n_pos"),
+        F.col("neg").cast("long").alias("n_neg"),
+        F.round(F.when(ok, woe).otherwise(0.0), 6).alias("woe"),
+        F.round(F.when(ok, (pp - pn) * woe).otherwise(0.0), 6).alias(
+            "iv_term"
+        ),
+    )
+
+
+# Leave-one-out target encoding: each customer's nation is encoded as the
+# mean account balance of OTHER customers in that nation — the leakage-
+# free categorical encoding for gradient-boosted models. Scale shape: one
+# per-category aggregate (broadcastable metadata), then per-row
+# arithmetic: loo = (sum_cat - own) / (n_cat - 1). Exact decimal sums, so
+# the encoding is identical across engines and layouts.
+@register(
+    "target_encode_loo_q",
+    """
+    WITH agg AS (
+        SELECT c_nationkey,
+               SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS s,
+               COUNT(*) AS n
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT c.c_custkey, c.c_nationkey,
+           CAST(ROUND(CAST(CASE WHEN a.n > 1 THEN
+               CAST(a.s - CAST(c.c_acctbal AS DECIMAL(18,4)) AS DOUBLE)
+               / (a.n - 1)
+               ELSE 0.0 END AS DECIMAL(28,8)), 4) AS DOUBLE)
+               AS nation_loo_mean
+    FROM customer c JOIN agg a ON c.c_nationkey = a.c_nationkey
+    """,
+)
+def target_encode_loo_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    agg = c.groupBy("c_nationkey").agg(
+        F.sum(_dec(F.col("c_acctbal"))).alias("s"),
+        F.count("*").alias("n"),
+    )
+    return c.join(F.broadcast(agg), "c_nationkey").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(
+            F.when(
+                F.col("n") > 1,
+                (F.col("s") - _dec(F.col("c_acctbal"))).cast("double")
+                / (F.col("n") - 1),
+            )
+            .otherwise(0.0)
+            .cast("decimal(28,8)"),
+            4,
+        )
+        .cast("double")
+        .alias("nation_loo_mean"),
+    )
+
+
+# Temporal-split leakage audit: split the event stream at a cutoff and
+# measure entity overlap — users appearing on both sides leak future
+# signal into training features. Scale shape: one user-keyed aggregate
+# computing each user's min/max timestamp, then metadata counts. No
+# self-join of the stream.
+@register(
+    "leakage_check_q",
+    """
+    WITH spans AS (
+        SELECT user_id,
+               MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+               COUNT(*) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN last_ts < TIMESTAMP '2024-01-16'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS train_only,
+           CAST(SUM(CASE WHEN first_ts >= TIMESTAMP '2024-01-16'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS test_only,
+           CAST(SUM(CASE WHEN first_ts < TIMESTAMP '2024-01-16'
+                          AND last_ts >= TIMESTAMP '2024-01-16'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS spanning,
+           CAST(ROUND(CAST(SUM(CASE WHEN first_ts < TIMESTAMP '2024-01-16'
+                          AND last_ts >= TIMESTAMP '2024-01-16'
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+                AS DOUBLE) AS leak_rate
+    FROM spans
+    """,
+)
+def leakage_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    cut = F.lit("2024-01-16").cast("timestamp")
+    spans = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    spanning = F.sum(
+        F.when(
+            (F.col("first_ts") < cut) & (F.col("last_ts") >= cut), 1
+        ).otherwise(0)
+    )
+    return spans.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("last_ts") < cut, 1).otherwise(0))
+        .cast("long")
+        .alias("train_only"),
+        F.sum(F.when(F.col("first_ts") >= cut, 1).otherwise(0))
+        .cast("long")
+        .alias("test_only"),
+        spanning.cast("long").alias("spanning"),
+        F.round(
+            spanning.cast("double") / F.count(F.lit(1)), 6
+        ).alias("leak_rate"),
+    )
