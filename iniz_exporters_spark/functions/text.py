@@ -12,6 +12,8 @@ oracle can reproduce it exactly with list_reduce — every downstream operator
 from __future__ import annotations
 
 from pyspark.sql import Column
+
+from iniz_exporters_spark.session import spread_for_kernel
 import pyspark.sql.functions as F
 
 MOD = 1_000_000_007
@@ -221,7 +223,9 @@ def text_stats(df, id_col: str, text_col: str):
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+    return spread_for_kernel(df.select(id_col, text_col)).mapInPandas(
+        kernel, out_schema
+    )
 
 
 def normalize_text(df, id_col: str, text_col: str):
@@ -271,7 +275,9 @@ def normalize_text(df, id_col: str, text_col: str):
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+    return spread_for_kernel(df.select(id_col, text_col)).mapInPandas(
+        kernel, out_schema
+    )
 
 
 def char_entropy(df, id_col: str, text_col: str):
@@ -317,7 +323,9 @@ def char_entropy(df, id_col: str, text_col: str):
                 {id_col: ids, "n_chars": lens, "char_entropy": ents}
             )
 
-    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+    return spread_for_kernel(df.select(id_col, text_col)).mapInPandas(
+        kernel, out_schema
+    )
 
 
 def chunk_tokens(df, id_col: str, text_col: str, size: int = 32, overlap: int = 8):

@@ -23,6 +23,8 @@ from collections.abc import Iterator
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from iniz_exporters_spark.session import spread_for_kernel
+
 IMAGE_META_SCHEMA = (
     "width int, height int, format string, byte_len long, checksum bigint"
 )
@@ -244,7 +246,7 @@ def decode_images(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(id_col, binary_col).mapInPandas(
+    return spread_for_kernel(df.select(id_col, binary_col)).mapInPandas(
         batches, schema=f"{id_col} long, {IMAGE_META_SCHEMA}"
     )
 
@@ -316,7 +318,7 @@ def extract_frames(
                 {id_col: ids, "frame_idx": idxs, "frame": frames}
             )
 
-    return df.select(id_col, binary_col).mapInPandas(
+    return spread_for_kernel(df.select(id_col, binary_col)).mapInPandas(
         batches, schema=f"{id_col} long, frame_idx int, frame binary"
     )
 
@@ -371,7 +373,7 @@ def resize_images(
                 }
             )
 
-    return df.select(id_col, binary_col).mapInPandas(
+    return spread_for_kernel(df.select(id_col, binary_col)).mapInPandas(
         batches, schema=f"{id_col} long, resized binary, width int, height int"
     )
 
@@ -462,7 +464,7 @@ def image_phash(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(id_col, binary_col).mapInPandas(
+    return spread_for_kernel(df.select(id_col, binary_col)).mapInPandas(
         batches,
         schema=f"{id_col} long, b0 int, b1 int, b2 int, b3 int, phash string",
     )
@@ -648,6 +650,6 @@ def audio_features(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
                     )
             yield pd.DataFrame({id_col: ids, "features": feats})
 
-    return df.select(id_col, binary_col).mapInPandas(
+    return spread_for_kernel(df.select(id_col, binary_col)).mapInPandas(
         batches, schema=f"{id_col} long, features array<double>"
     )

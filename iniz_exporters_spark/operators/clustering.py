@@ -23,6 +23,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from iniz_exporters_spark.session import spread_for_kernel
+
 
 def _assign(
     corpus: DataFrame,
@@ -61,7 +63,9 @@ def _assign(
                 }
             )
 
-    return corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+    return spread_for_kernel(corpus.select(id_col, vec_col)).mapInPandas(
+        kernel, out_schema
+    )
 
 
 def lloyd_train(

@@ -29,6 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from iniz_exporters_spark.functions.text import MOD, char_shingles, poly_hash
+from iniz_exporters_spark.session import spread_for_kernel
 
 #: MinHash permutation parameters h_j(x) = (A_j·x + B_j) mod MOD with
 #: A_j = 1000003·j + 1 (nonzero mod the prime), B_j = 7919·j + 12345.
@@ -197,7 +198,9 @@ def minhash_signatures(
                 {id_col: ids, "j": np.array(js, dtype=np.int32), "minhash": mins}
             )
 
-    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+    return spread_for_kernel(df.select(id_col, text_col)).mapInPandas(
+        kernel, out_schema
+    )
 
 
 def buckets_from_shingle_sets(
@@ -237,7 +240,9 @@ def buckets_from_shingle_sets(
                 }
             )
 
-    return hs_df.select(id_col, "hs").mapInPandas(kernel, out_schema)
+    return spread_for_kernel(hs_df.select(id_col, "hs")).mapInPandas(
+        kernel, out_schema
+    )
 
 
 def lsh_buckets(
@@ -292,7 +297,9 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataF
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+    return spread_for_kernel(df.select(id_col, text_col)).mapInPandas(
+        kernel, out_schema
+    )
 
 
 def neardup_pairs(
@@ -363,7 +370,9 @@ def simhash_signatures(
                 sigs.append(int(weights[votes > 0].sum()))
             yield pd.DataFrame({id_col: pdf[id_col].values, "simhash": sigs})
 
-    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+    return spread_for_kernel(df.select(id_col, text_col)).mapInPandas(
+        kernel, out_schema
+    )
 
 
 def simhash_neardup(
@@ -490,7 +499,9 @@ def ngram_hash_sets(
                     {id_col: ids, "gs": sets, "sz": np.array(sizes, dtype=np.int32)}
                 )
 
-    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+    return spread_for_kernel(df.select(id_col, text_col)).mapInPandas(
+        kernel, out_schema
+    )
 
 
 def ngram_jaccard_pairs(
@@ -689,18 +700,38 @@ def containment_pairs(
     straight out of the matched-pair count aggregation (map-side
     combined), no set payloads ever cross the wire.
     """
+    return containment_pairs_sets(
+        shingle_sets(corpus, id_col, text_col, k),
+        shingle_sets(probe, id_col, text_col, k),
+        id_col=id_col,
+        threshold=threshold,
+        broadcast_probe=broadcast_probe,
+    )
+
+
+def containment_pairs_sets(
+    corpus_sets: DataFrame,
+    probe_sets: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """``containment_pairs`` over PRE-SHINGLED (id, hs) frames — the entry
+    point when probe and corpus derive from the same table: shingle the
+    table once (localCheckpoint it) and split, instead of running the
+    Arrow shingle kernel twice over overlapping scans."""
     from fractions import Fraction
 
     frac = Fraction(threshold).limit_denominator(10_000)
     num, den = frac.numerator, frac.denominator
-    pr = shingle_sets(probe, id_col, text_col, k).select(
+    pr = probe_sets.select(
         F.col(id_col).alias("probe_id"),
         F.size("hs").alias("sz"),
         F.explode("hs").alias("__h"),
     )
     if broadcast_probe:
         pr = F.broadcast(pr)
-    tr = shingle_sets(corpus, id_col, text_col, k).select(
+    tr = corpus_sets.select(
         F.col(id_col).alias("host_id"), F.explode("hs").alias("__h")
     )
     j = (

@@ -19,6 +19,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from iniz_exporters_spark.session import spread_for_kernel
+
 from iniz_exporters_spark.functions.text import poly_hash
 
 
@@ -516,7 +518,7 @@ def ivf_flat_topk(
                 }
             )
 
-    assigned = corpus.select(id_col, vec_col).mapInPandas(
+    assigned = spread_for_kernel(corpus.select(id_col, vec_col)).mapInPandas(
         assign,
         schema=(
             f"{id_col} {id_type}, {vec_col} array<float>, cell int, "

@@ -8188,10 +8188,18 @@ from iniz_exporters_spark.operators.dedup import containment_pairs  # noqa: E402
     headline=True,
 )
 def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iniz_exporters_spark.operators.dedup import (
+        containment_pairs_sets,
+        shingle_sets,
+    )
+
     d = Catalog(spark, sf_dir).documents
     pb = F.col("doc_id") % 25 == 11
-    return containment_pairs(
-        d.filter(~pb), d.filter(pb), "doc_id", "text", k=5, threshold=0.8
+    # both sides come from the same table: run the Arrow shingle kernel
+    # ONCE, pin the sets, and split — halves the dominant cost
+    sets = shingle_sets(d, "doc_id", "text", k=5).localCheckpoint()
+    return containment_pairs_sets(
+        sets.filter(~pb), sets.filter(pb), "doc_id", threshold=0.8
     )
 
 

@@ -102,3 +102,22 @@ def enable_runtime_bloom_filters(
         application_side_min,
     )
     return spark
+
+
+def spread_for_kernel(df, min_factor: int = 1):
+    """Ensure an expensive Python/Arrow kernel gets at least the session's
+    core count of input partitions.
+
+    A small single-file parquet input plans as ONE scan split (scan cost is
+    trivial either way), which would serialize the per-row kernel work onto
+    one core — the dominant cost for shingling/hashing kernels. Inputs that
+    already carry >= cores partitions (any production-scale table) pass
+    through UNTOUCHED, so no shuffle is added at scale; the round-robin
+    repartition only triggers exactly when the input is small enough that
+    the shuffle is trivial.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * min_factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
