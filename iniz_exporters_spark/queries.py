@@ -11096,3 +11096,310 @@ def leakage_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             spanning.cast("double") / F.count(F.lit(1)), 6
         ).alias("leak_rate"),
     )
+
+
+# ===========================================================================
+# Batch J — recsys prep, customer analytics, and multivariate statistics.
+# ===========================================================================
+
+
+# Association rules over co-purchased parts: support / confidence / lift
+# for directed rules a -> b. Scale shape: the SAME bounded wedge join as
+# adamic_adar_q generates ordered pairs (orderkey fanout-bounded, so
+# O(rows * fanout) pairs); antecedent counts come from the part-order
+# table (vocab-keyed); every statistic is a ratio of exact integer counts
+# evaluated with the identical expression both engines.
+@register(
+    "association_rules_q",
+    """
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM op),
+    cnt AS (SELECT p, COUNT(*) AS c FROM op GROUP BY p),
+    pairs AS (
+        SELECT a.p AS pa, b.p AS pb, COUNT(*) AS cab
+        FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p
+        GROUP BY a.p, b.p
+    )
+    SELECT pa, pb, CAST(cab AS BIGINT) AS n_both,
+           CAST(ROUND(CAST(cab AS DOUBLE) / n.n_orders, 6) AS DOUBLE)
+               AS support,
+           CAST(ROUND(CAST(cab AS DOUBLE) / ca.c, 6) AS DOUBLE)
+               AS confidence,
+           CAST(ROUND((CAST(cab AS DOUBLE) / ca.c)
+                      / (CAST(cb.c AS DOUBLE) / n.n_orders), 6) AS DOUBLE)
+               AS lift
+    FROM pairs
+    JOIN cnt ca ON ca.p = pa JOIN cnt cb ON cb.p = pb CROSS JOIN n
+    WHERE cab >= 3
+    ORDER BY (CAST(cab AS DOUBLE) / ca.c)
+             / (CAST(cb.c AS DOUBLE) / n.n_orders) DESC, pa, pb
+    LIMIT 30
+    """,
+)
+def association_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct().localCheckpoint()
+    n = op.agg(F.countDistinct("o").alias("n_orders"))
+    cnt = op.groupBy("p").agg(F.count("*").alias("c"))
+    a = op.select("o", F.col("p").alias("pa"))
+    b = op.select("o", F.col("p").alias("pb"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("cab"))
+        .filter(F.col("cab") >= 3)
+    )
+    conf = F.col("cab").cast("double") / F.col("ca")
+    lift = conf / (F.col("cb").cast("double") / F.col("n_orders"))
+    return (
+        pairs.join(
+            cnt.select(F.col("p").alias("pa"), F.col("c").alias("ca")), "pa"
+        )
+        .join(
+            cnt.select(F.col("p").alias("pb"), F.col("c").alias("cb")), "pb"
+        )
+        .crossJoin(F.broadcast(n))
+        .orderBy(F.desc(lift), "pa", "pb")
+        .limit(30)
+        .select(
+            "pa",
+            "pb",
+            F.col("cab").cast("long").alias("n_both"),
+            F.round(
+                F.col("cab").cast("double") / F.col("n_orders"), 6
+            ).alias("support"),
+            F.round(conf, 6).alias("confidence"),
+            F.round(lift, 6).alias("lift"),
+        )
+    )
+
+
+# RFM (recency / frequency / monetary) customer segmentation with NTILE
+# quartile scores. Scale shape: one orders aggregation per customer
+# (fact-scale shuffle on custkey), then three NTILE windows over the
+# CUSTOMER-dimension table — dimension-scale, parallel-safe to the extent
+# the dimension fits a window (documented; boundaries-by-percentile with
+# a broadcast join is the swap-in at extreme customer counts). Ties break
+# on custkey, so quartile membership is engine-identical.
+@register(
+    "rfm_segment_q",
+    """
+    WITH maxd AS (SELECT MAX(o_orderdate) AS d FROM orders),
+    rfm AS (
+        SELECT o_custkey AS custkey,
+               date_diff('day', MAX(o_orderdate), maxd.d) AS recency_days,
+               COUNT(*) AS frequency,
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS monetary
+        FROM orders, maxd GROUP BY o_custkey, maxd.d
+    )
+    SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency,
+           CAST(ROUND(CAST(monetary AS DOUBLE), 2) AS DOUBLE) AS monetary,
+           CAST(NTILE(4) OVER (ORDER BY recency_days, custkey) AS BIGINT)
+               AS r_score,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC, custkey)
+                AS BIGINT) AS f_score,
+           CAST(NTILE(4) OVER (ORDER BY monetary DESC, custkey) AS BIGINT)
+               AS m_score
+    FROM rfm
+    """,
+)
+def rfm_segment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    maxd = o.agg(F.max("o_orderdate").alias("d"))
+    rfm = (
+        o.crossJoin(F.broadcast(maxd))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(F.max("d"), F.max("o_orderdate")).alias(
+                "recency_days"
+            ),
+            F.count("*").alias("frequency"),
+            F.sum(_dec(F.col("o_totalprice"))).alias("monetary"),
+        )
+    )
+    return rfm.select(
+        "custkey",
+        F.col("recency_days").cast("long").alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        F.round(F.col("monetary").cast("double"), 2).alias("monetary"),
+        F.ntile(4)
+        .over(Window.orderBy("recency_days", "custkey"))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), "custkey"))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), "custkey"))
+        .cast("long")
+        .alias("m_score"),
+    )
+
+
+# Pearson correlation matrix of the lineitem numeric measures from exact
+# decimal moments: one single-pass aggregation collects n, sums, squares
+# and cross-products (all DECIMAL — the inputs carry fixed decimal
+# precision, so every moment is EXACT and partition-order-proof); the six
+# correlations are then identical double arithmetic. The built-in corr()
+# is avoided deliberately: its streaming-update summation is
+# engine-order-dependent.
+@register(
+    "correlation_matrix_q",
+    """
+    WITH m AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(38,8))) AS sq,
+               SUM(CAST(l_extendedprice AS DECIMAL(38,8))) AS sp,
+               SUM(CAST(l_discount AS DECIMAL(38,8))) AS sd,
+               SUM(CAST(l_quantity AS DECIMAL(38,8))
+                   * CAST(l_quantity AS DECIMAL(38,8))) AS sqq,
+               SUM(CAST(l_extendedprice AS DECIMAL(38,8))
+                   * CAST(l_extendedprice AS DECIMAL(38,8))) AS spp,
+               SUM(CAST(l_discount AS DECIMAL(38,8))
+                   * CAST(l_discount AS DECIMAL(38,8))) AS sdd,
+               SUM(CAST(l_quantity AS DECIMAL(38,8))
+                   * CAST(l_extendedprice AS DECIMAL(38,8))) AS sqp,
+               SUM(CAST(l_quantity AS DECIMAL(38,8))
+                   * CAST(l_discount AS DECIMAL(38,8))) AS sqd,
+               SUM(CAST(l_extendedprice AS DECIMAL(38,8))
+                   * CAST(l_discount AS DECIMAL(38,8))) AS spd
+        FROM lineitem
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(ROUND((n * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+                / sqrt((n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                     * (n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 6)
+                AS DOUBLE) AS corr_qty_price,
+           CAST(ROUND((n * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+                / sqrt((n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                     * (n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6)
+                AS DOUBLE) AS corr_qty_disc,
+           CAST(ROUND((n * CAST(spd AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE))
+                / sqrt((n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+                     * (n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6)
+                AS DOUBLE) AS corr_price_disc
+    FROM m
+    """,
+)
+def correlation_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    d38 = lambda c: F.col(c).cast("decimal(38,8)")  # noqa: E731
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38("l_quantity")).alias("sq"),
+        F.sum(d38("l_extendedprice")).alias("sp"),
+        F.sum(d38("l_discount")).alias("sd"),
+        F.sum(d38("l_quantity") * d38("l_quantity")).alias("sqq"),
+        F.sum(d38("l_extendedprice") * d38("l_extendedprice")).alias("spp"),
+        F.sum(d38("l_discount") * d38("l_discount")).alias("sdd"),
+        F.sum(d38("l_quantity") * d38("l_extendedprice")).alias("sqp"),
+        F.sum(d38("l_quantity") * d38("l_discount")).alias("sqd"),
+        F.sum(d38("l_extendedprice") * d38("l_discount")).alias("spd"),
+    )
+
+    def corr(sxy, sx, sy, sxx, syy):
+        n = F.col("n")
+        num = n * F.col(sxy).cast("double") - F.col(sx).cast(
+            "double"
+        ) * F.col(sy).cast("double")
+        vx = n * F.col(sxx).cast("double") - F.col(sx).cast(
+            "double"
+        ) * F.col(sx).cast("double")
+        vy = n * F.col(syy).cast("double") - F.col(sy).cast(
+            "double"
+        ) * F.col(sy).cast("double")
+        return F.round(num / F.sqrt(vx * vy), 6)
+
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        corr("sqp", "sq", "sp", "sqq", "spp").alias("corr_qty_price"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
+        corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_disc"),
+    )
+
+
+# HITS (hubs & authorities), two synchronous iterations over the
+# supplier->part bipartite supply graph, scores L1-normalized in exact
+# decimal each round. Scale shape: each iteration is two edge-keyed
+# aggregations (authority from hub sum, hub from authority sum) — the
+# same shuffle pattern as one PageRank round; normalization constants are
+# single-row decimal aggregates. Top-20 authorities reported.
+@register(
+    "hits_q",
+    """
+    WITH e AS (
+        SELECT DISTINCT l_suppkey AS h, l_partkey AS a FROM lineitem
+    ),
+    a1r AS (SELECT a, COUNT(*) AS s FROM e GROUP BY a),
+    a1n AS (SELECT SUM(s) AS z FROM a1r),
+    a1 AS (SELECT a, CAST(s AS DOUBLE) / a1n.z AS sc
+           FROM a1r CROSS JOIN a1n),
+    h1r AS (
+        SELECT e.h, CAST(SUM(CAST(a1.sc AS DECIMAL(28,12)))
+                        AS DECIMAL(28,12)) AS s
+        FROM e JOIN a1 ON e.a = a1.a GROUP BY e.h
+    ),
+    h1n AS (SELECT SUM(s) AS z FROM h1r),
+    h1 AS (SELECT h, CAST(s AS DOUBLE) / CAST(h1n.z AS DOUBLE) AS sc
+           FROM h1r CROSS JOIN h1n),
+    a2r AS (
+        SELECT e.a, CAST(SUM(CAST(h1.sc AS DECIMAL(28,12)))
+                        AS DECIMAL(28,12)) AS s
+        FROM e JOIN h1 ON e.h = h1.h GROUP BY e.a
+    ),
+    a2n AS (SELECT SUM(s) AS z FROM a2r)
+    SELECT a AS part, CAST(ROUND(CAST(s AS DOUBLE) / CAST(a2n.z AS DOUBLE),
+                                 8) AS DOUBLE) AS authority
+    FROM a2r CROSS JOIN a2n
+    ORDER BY CAST(s AS DOUBLE) / CAST(a2n.z AS DOUBLE) DESC, a
+    LIMIT 20
+    """,
+)
+def hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    e = li.select(
+        F.col("l_suppkey").alias("h"), F.col("l_partkey").alias("a")
+    ).distinct().localCheckpoint()
+    a1r = e.groupBy("a").agg(F.count("*").alias("s"))
+    a1n = a1r.agg(F.sum("s").alias("z"))
+    a1 = a1r.crossJoin(F.broadcast(a1n)).select(
+        "a", (F.col("s").cast("double") / F.col("z")).alias("sc")
+    )
+    h1r = (
+        e.join(a1, "a")
+        .groupBy("h")
+        .agg(
+            F.sum(F.col("sc").cast("decimal(28,12)"))
+            .cast("decimal(28,12)")
+            .alias("s")
+        )
+    )
+    h1n = h1r.agg(F.sum("s").alias("z"))
+    h1 = h1r.crossJoin(F.broadcast(h1n)).select(
+        "h",
+        (F.col("s").cast("double") / F.col("z").cast("double")).alias("sc"),
+    )
+    a2r = (
+        e.join(h1, "h")
+        .groupBy("a")
+        .agg(
+            F.sum(F.col("sc").cast("decimal(28,12)"))
+            .cast("decimal(28,12)")
+            .alias("s")
+        )
+    )
+    a2n = a2r.agg(F.sum("s").alias("z"))
+    auth = F.col("s").cast("double") / F.col("z").cast("double")
+    return (
+        a2r.crossJoin(F.broadcast(a2n))
+        .orderBy(F.desc(auth), "a")
+        .limit(20)
+        .select(F.col("a").alias("part"), F.round(auth, 8).alias("authority"))
+    )
