@@ -11403,3 +11403,174 @@ def hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.col("a").alias("part"), F.round(auth, 8).alias("authority"))
     )
+
+
+# Seasonal-naive forecast backtest: predict each day's mean value by the
+# same weekday one week earlier, then score MAE / MAPE / SMAPE over the
+# evaluation days. Scale shape: one corpus-scale day aggregation; the
+# LAG(7) forecast and the error aggregation run on the calendar-bounded
+# daily table. Daily means quantize to DECIMAL(18,6) (identical on both
+# engines), so errors are identical doubles and error sums are
+# 12-dp-quantized.
+@register(
+    "forecast_eval_q",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*) AS DECIMAL(18,6)) AS m
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    f AS (
+        SELECT day, m,
+               LAG(m, 7) OVER (ORDER BY day) AS yhat
+        FROM daily
+    ),
+    e AS (
+        SELECT CAST(m AS DOUBLE) AS y, CAST(yhat AS DOUBLE) AS yh
+        FROM f WHERE yhat IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_eval_days,
+           CAST(ROUND(CAST(SUM(CAST(ABS(y - yh) AS DECIMAL(28,12)))
+                AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS mae,
+           CAST(ROUND(CAST(SUM(CAST(ABS(y - yh) / y AS DECIMAL(28,12)))
+                AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS mape,
+           CAST(ROUND(CAST(SUM(CAST(
+                2 * ABS(y - yh) / (ABS(y) + ABS(yh))
+                AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+               AS smape
+    FROM e
+    """,
+)
+def forecast_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        )
+        .cast("decimal(18,6)")
+        .alias("m")
+    )
+    f = daily.select(
+        F.col("m").cast("double").alias("y"),
+        F.lag(F.col("m"), 7)
+        .over(Window.orderBy("day"))
+        .cast("double")
+        .alias("yh"),
+    ).filter(F.col("yh").isNotNull())
+    y, yh = F.col("y"), F.col("yh")
+    n = F.count(F.lit(1))
+    return f.agg(
+        n.cast("long").alias("n_eval_days"),
+        F.round(_dsum(F.abs(y - yh)).cast("double") / n, 6).alias("mae"),
+        F.round(_dsum(F.abs(y - yh) / y).cast("double") / n, 6).alias(
+            "mape"
+        ),
+        F.round(
+            _dsum(2 * F.abs(y - yh) / (F.abs(y) + F.abs(yh))).cast("double")
+            / n,
+            6,
+        ).alias("smape"),
+    )
+
+
+# CUPED variance reduction for A/B experiments: per-user post-period
+# metric adjusted by the pre-period covariate, theta = cov(x,y)/var(x)
+# from exact decimal moments. Scale shape: one user-keyed aggregation
+# builds (x, y) per user; moments are a single-row decimal aggregate;
+# the adjusted per-arm means reuse the same user table. The textbook
+# sequence (fit theta, re-score, re-aggregate) stays two corpus-free
+# passes over the USER table.
+@register(
+    "cuped_q",
+    """
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS arm,
+               SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                        THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS x,
+               SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                        THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS y
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM u
+    ),
+    th AS (
+        SELECT (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   AS theta,
+               CAST(sx AS DOUBLE) / n AS mx
+        FROM m
+    )
+    SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(ROUND(CAST(SUM(CAST(CAST(y AS DOUBLE)
+                AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+               AS raw_mean,
+           CAST(ROUND(CAST(SUM(CAST(
+                CAST(y AS DOUBLE) - th.theta * (CAST(x AS DOUBLE) - th.mx)
+                AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+               AS cuped_mean
+    FROM u CROSS JOIN th
+    GROUP BY arm, th.theta, th.mx
+    """,
+)
+def cuped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al. 2013): the standard production experimentation
+    variance-reduction adjustment. Hash-arm assignment stands in for the
+    real randomization unit."""
+    ev = Catalog(spark, sf_dir).events
+    cut = F.lit("2024-01-16").cast("timestamp")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts") < cut, F.col("value").cast("decimal(18,6)"))
+            .otherwise(F.lit(0).cast("decimal(18,6)"))
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("ts") >= cut, F.col("value").cast("decimal(18,6)"))
+            .otherwise(F.lit(0).cast("decimal(18,6)"))
+        ).alias("y"),
+    ).select(
+        (F.col("user_id") % 2).alias("arm"), "x", "y"
+    ).localCheckpoint()
+    m = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    th = m.select(
+        (
+            (
+                F.col("n") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+            / (
+                F.col("n") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            )
+        ).alias("theta"),
+        (F.col("sx").cast("double") / F.col("n")).alias("mx"),
+    )
+    adj = F.col("y").cast("double") - F.col("theta") * (
+        F.col("x").cast("double") - F.col("mx")
+    )
+    n = F.count(F.lit(1))
+    return (
+        u.crossJoin(F.broadcast(th))
+        .groupBy("arm")
+        .agg(
+            n.cast("long").alias("n_users"),
+            F.round(
+                _dsum(F.col("y").cast("double")).cast("double") / n, 6
+            ).alias("raw_mean"),
+            F.round(_dsum(adj).cast("double") / n, 6).alias("cuped_mean"),
+        )
+    )
