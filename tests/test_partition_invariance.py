@@ -32,6 +32,15 @@ SENSITIVE = [
     "canonical_longest_q",    # phash → components → argmax
     "hash_split_q",           # content-keyed residue split
     "bpe_learn_q",            # driver-loop training w/ tiebreaks
+    # round-4 batches E-K
+    "poisson_bootstrap_q",    # content-keyed Poisson replica weights
+    "zipf_fit_q",             # decimal-summed OLS over ranked vocab
+    "silhouette_q",           # Lloyd train + rounded-distance argmin
+    "rfm_segment_q",          # NTILE quartiles w/ custkey tiebreak
+    "stl_decompose_q",        # sliding decimal means over daily table
+    "association_rules_q",    # double-ordered top-k w/ pa/pb tiebreak
+    "maxsim_q",               # rounded-cosine max + decimal sum
+    "cuped_q",                # theta from cross-row decimal moments
 ]
 
 
