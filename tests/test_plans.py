@@ -465,3 +465,69 @@ def test_aqe_skew_join_split_fires(spark):
                 spark.conf.unset(conf)
             else:
                 spark.conf.set(conf, val)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch E-K plan shapes.
+# ---------------------------------------------------------------------------
+
+
+def test_maxsim_broadcasts_query_tokens(spark):
+    """MaxSim must broadcast the (bounded) query-token side so the corpus
+    token table never shuffles for scoring."""
+    plan = physical(run("maxsim_q", spark))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_adamic_adar_no_cartesian(spark):
+    """Pair generation must stay keyed by orderkey (bounded fanout) — a
+    CartesianProduct here means the all-pairs failure mode."""
+    plan = physical(run("adamic_adar_q", spark))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_association_rules_no_cartesian(spark):
+    plan = physical(run("association_rules_q", spark))
+    # the single-row totals frame broadcasts; part-part pair generation
+    # must not
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_target_encode_broadcasts_category_stats(spark):
+    """LOO encoding joins the 25-row per-nation aggregate back to the
+    customer table — that side must broadcast."""
+    plan = physical(run("target_encode_loo_q", spark))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_feature_hash_like_zipf_single_corpus_shuffle(spark):
+    """Zipf fit: one corpus-scale token shuffle; regression work happens
+    post-top-k (TakeOrdered), never a second corpus exchange."""
+    plan = physical(run("zipf_fit_q", spark))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_poisson_bootstrap_single_shuffle(spark):
+    """The 32-replica bootstrap is ONE corpus pass: explode + one
+    (source, replica)-keyed exchange + one metadata re-agg — no join,
+    no window over the corpus."""
+    plan = physical(run("poisson_bootstrap_q", spark))
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_interval_concurrency_no_self_join(spark):
+    """Sweep-line concurrency must not self-join lineitem on date
+    overlap; the only join allowed is the lineitem-orders key join."""
+    plan = physical(run("interval_concurrency_q", spark))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_attribution_no_stream_self_join(spark):
+    """Last-touch attribution is a window pass per user — the event
+    stream must not join against itself (the oracle does; the engine
+    must not)."""
+    plan = physical(run("attribution_q", spark))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
