@@ -11574,3 +11574,345 @@ def cuped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_dsum(adj).cast("double") / n, 6).alias("cuped_mean"),
         )
     )
+
+
+# ===========================================================================
+# Batch L — graph structure metrics and lexical/manifold diagnostics.
+# ===========================================================================
+
+
+# Newman modularity of the co-purchase graph under the part-brand
+# partition: Q = sum_c [ e_c/m - (d_c/2m)^2 ]. Scale shape: edges from
+# the bounded wedge join; intra-community edge counts and community
+# degree sums are two vocab-keyed aggregations joined to the broadcast
+# part-brand dim; the Q fold runs over the |brands|-row table. Integer
+# counts to the last division.
+@register(
+    "modularity_q",
+    """
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    lab AS (SELECT p_partkey, p_brand FROM part),
+    el AS (
+        SELECT la.p_brand AS ca, lb.p_brand AS cb
+        FROM e JOIN lab la ON e.a = la.p_partkey
+               JOIN lab lb ON e.b = lb.p_partkey
+    ),
+    m AS (SELECT COUNT(*) AS m FROM el),
+    intra AS (
+        SELECT ca AS c, COUNT(*) AS ec FROM el WHERE ca = cb GROUP BY ca
+    ),
+    degs AS (
+        SELECT c, SUM(d) AS dc FROM (
+            SELECT ca AS c, COUNT(*) AS d FROM el GROUP BY ca
+            UNION ALL
+            SELECT cb AS c, COUNT(*) AS d FROM el GROUP BY cb) u
+        GROUP BY c
+    )
+    SELECT CAST(m.m AS BIGINT) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_communities,
+           CAST(ROUND(CAST(SUM(CAST(
+               CAST(COALESCE(i.ec, 0) AS DOUBLE) / m.m
+               - (CAST(d.dc AS DOUBLE) / (2 * m.m))
+                 * (CAST(d.dc AS DOUBLE) / (2 * m.m))
+               AS DECIMAL(28,12))) AS DOUBLE), 6) AS DOUBLE) AS modularity
+    FROM degs d LEFT JOIN intra i ON d.c = i.c CROSS JOIN m
+    GROUP BY m.m
+    """,
+)
+def modularity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b"))
+    e = (
+        a.join(b, "k")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    lab = cat.part.select("p_partkey", "p_brand")
+    el = (
+        e.join(
+            F.broadcast(lab.select(F.col("p_partkey").alias("a"),
+                                   F.col("p_brand").alias("ca"))), "a"
+        )
+        .join(
+            F.broadcast(lab.select(F.col("p_partkey").alias("b"),
+                                   F.col("p_brand").alias("cb"))), "b"
+        )
+        .select("ca", "cb")
+        .localCheckpoint()
+    )
+    m = el.agg(F.count(F.lit(1)).alias("m"))
+    intra = (
+        el.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count("*").alias("ec"))
+    )
+    degs = (
+        el.select(F.col("ca").alias("c"))
+        .unionAll(el.select(F.col("cb").alias("c")))
+        .groupBy("c")
+        .agg(F.count("*").alias("dc"))
+    )
+    term = (
+        F.coalesce(F.col("ec"), F.lit(0)).cast("double") / F.col("m")
+        - (F.col("dc").cast("double") / (2 * F.col("m")))
+        * (F.col("dc").cast("double") / (2 * F.col("m")))
+    )
+    return (
+        degs.join(intra, "c", "left")
+        .crossJoin(F.broadcast(m))
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.round(_dsum(term).cast("double"), 6).alias("modularity"),
+        )
+        .select(
+            F.col("m").cast("long").alias("n_edges"),
+            "n_communities",
+            "modularity",
+        )
+    )
+
+
+# Degree assortativity: the Pearson correlation of endpoint degrees over
+# edges (Newman 2002) — positive means hubs link hubs. Scale shape:
+# reuses the exact-decimal-moments correlation pattern over the
+# (symmetrized) edge-endpoint degree pairs; degrees come from one
+# vocab-keyed aggregation. No windows, no sorts.
+@register(
+    "assortativity_q",
+    """
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT n, COUNT(*) AS d FROM (
+            SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+        GROUP BY n
+    ),
+    pairs AS (
+        SELECT da.d AS x, db.d AS y
+        FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n
+        UNION ALL
+        SELECT db.d AS x, da.d AS y
+        FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(x AS DECIMAL(38,4))) AS sx,
+               SUM(CAST(y AS DECIMAL(38,4))) AS sy,
+               SUM(CAST(x AS DECIMAL(38,4)) * CAST(x AS DECIMAL(38,4)))
+                   AS sxx,
+               SUM(CAST(y AS DECIMAL(38,4)) * CAST(y AS DECIMAL(38,4)))
+                   AS syy,
+               SUM(CAST(x AS DECIMAL(38,4)) * CAST(y AS DECIMAL(38,4)))
+                   AS sxy
+        FROM pairs
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           CAST(ROUND((n * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / sqrt((n * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (n * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                AS DOUBLE) AS assortativity
+    FROM m
+    """,
+)
+def assortativity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b"))
+    e = (
+        a.join(b, "k")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    ed = e.join(
+        deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    pairs = ed.select(
+        F.col("da").alias("x"), F.col("db").alias("y")
+    ).unionAll(ed.select(F.col("db").alias("x"), F.col("da").alias("y")))
+    d38 = lambda c: F.col(c).cast("decimal(38,4)")  # noqa: E731
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38("x")).alias("sx"),
+        F.sum(d38("y")).alias("sy"),
+        F.sum(d38("x") * d38("x")).alias("sxx"),
+        F.sum(d38("y") * d38("y")).alias("syy"),
+        F.sum(d38("x") * d38("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    vx = n * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    vy = n * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    return m.select(
+        (n / 2).cast("long").alias("n_edges"),
+        F.round(num / F.sqrt(vx * vy), 6).alias("assortativity"),
+    )
+
+
+# Per-source lexical health: hapax-legomena ratio (types seen once /
+# types) and mean burstiness (collection frequency / document frequency
+# of the source's tokens). Scale shape: one (source, token) aggregation
+# carrying two counts; ratios fold over the per-source vocab table.
+@register(
+    "lexical_stats_q",
+    f"""
+    WITH t AS (
+        SELECT source, doc_id, unnest({_SQL_TOKENS}) AS tok
+        FROM documents
+    ),
+    v AS (
+        SELECT source, tok, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df
+        FROM t GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(cf) AS BIGINT) AS n_tokens,
+           CAST(ROUND(CAST(SUM(CASE WHEN cf = 1 THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS hapax_ratio,
+           CAST(ROUND(CAST(SUM(CAST(CAST(cf AS DOUBLE) / df
+                AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+               AS mean_burstiness
+    FROM v GROUP BY source
+    """,
+)
+def lexical_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High hapax ratio flags noisy/OCR text; burstiness >> 1 flags
+    templated repetition (Church & Gale: real words are bursty, function
+    words are not)."""
+    d = Catalog(spark, sf_dir).documents
+    t = d.select(
+        "source", "doc_id", F.explode(_tokens("text")).alias("tok")
+    )
+    v = t.groupBy("source", "tok").agg(
+        F.count("*").alias("cf"), F.countDistinct("doc_id").alias("df")
+    )
+    n = F.count(F.lit(1))
+    return v.groupBy("source").agg(
+        n.cast("long").alias("n_types"),
+        F.sum("cf").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(F.when(F.col("cf") == 1, 1).otherwise(0)).cast("double")
+            / n,
+            6,
+        ).alias("hapax_ratio"),
+        F.round(
+            _dsum(F.col("cf").cast("double") / F.col("df")).cast("double")
+            / n,
+            6,
+        ).alias("mean_burstiness"),
+    )
+
+
+# TwoNN intrinsic-dimension estimate (Facco et al. 2017) from a 50-point
+# probe sample: id = n / sum(ln(r2/r1)) over each probe's two nearest
+# neighbors. Scale shape: probes BROADCAST against the corpus (the
+# knn_bruteforce contract — corpus never shuffles); per-probe top-2 via
+# one window over |probes| x |corpus| scored rows; the estimator folds
+# over 50 rows. Distances round to 6 dp for engine-identical ranking.
+@register(
+    "twonn_dim_q",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 50),
+    scored AS (
+        SELECT q.qid, c.vec_id,
+               ROUND(list_reduce(
+                   list_transform(range(1, len(c.v)+1),
+                       i -> (c.v[i] - q.qv[i]) * (c.v[i] - q.qv[i])),
+                   (x, y) -> x + y), 6) AS d2,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY ROUND(list_reduce(
+                       list_transform(range(1, len(c.v)+1),
+                           i -> (c.v[i] - q.qv[i]) * (c.v[i] - q.qv[i])),
+                       (x, y) -> x + y), 6), c.vec_id) AS rn
+        FROM e c CROSS JOIN q WHERE c.vec_id <> q.qid
+    ),
+    nn AS (
+        SELECT qid,
+               MAX(CASE WHEN rn = 1 THEN d2 END) AS d1,
+               MAX(CASE WHEN rn = 2 THEN d2 END) AS d2_
+        FROM scored WHERE rn <= 2 GROUP BY qid
+    ),
+    ratios AS (
+        SELECT qid, 0.5 * ln(d2_ / d1) AS lr
+        FROM nn WHERE d1 > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(ROUND(COUNT(*) / CAST(SUM(CAST(lr AS DECIMAL(28,12)))
+                AS DOUBLE), 4) AS DOUBLE) AS intrinsic_dim
+    FROM ratios
+    """,
+)
+def twonn_dim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifold diagnostics for the embedding corpus: the TwoNN MLE needs
+    only each probe's two nearest neighbors, so a bounded probe sample
+    estimates the dimension without any pairwise corpus work."""
+    e = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        6,
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", d2.alias("d2"))
+    )
+    w = Window.partitionBy("qid").orderBy("d2", "vec_id")
+    nn = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("qid")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("d2"))).alias("d1"),
+            F.max(F.when(F.col("rn") == 2, F.col("d2"))).alias("d2_"),
+        )
+    )
+    ratios = nn.filter(F.col("d1") > 0).select(
+        (0.5 * F.log(F.col("d2_") / F.col("d1"))).alias("lr")
+    )
+    n = F.count(F.lit(1))
+    return ratios.agg(
+        n.cast("long").alias("n_probes"),
+        F.round(n / _dsum(F.col("lr")).cast("double"), 4).alias(
+            "intrinsic_dim"
+        ),
+    )
