@@ -11916,3 +11916,260 @@ def twonn_dim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intrinsic_dim"
         ),
     )
+
+
+# ===========================================================================
+# Batch M — privacy release, robust trend, corpus organization.
+# ===========================================================================
+
+
+# Differentially-private-style count release with DETERMINISTIC discrete
+# Laplace noise: the inverse-CDF of Geometric-difference noise applied to
+# a content-keyed uniform (poly_hash of the group key), epsilon = 1,
+# sensitivity 1. A production DP pipeline swaps the hash-uniform for a
+# secure RNG — everything else (per-group noise draw, post-processing
+# clamp at 0, the epsilon bookkeeping column) is the real release shape,
+# and the deterministic stand-in keeps the query oracle-checkable and
+# partition-invariant. Scale shape: one count shuffle; noise is per-GROUP
+# (metadata-scale) arithmetic.
+@register(
+    "dp_counts_q",
+    f"""
+    WITH g AS (
+        SELECT c_mktsegment AS seg, COUNT(*) AS true_count
+        FROM customer GROUP BY c_mktsegment
+    ),
+    u AS (
+        SELECT seg, true_count,
+               (CAST({_SQL_POLY.format(s="'dp:' || seg")} % 999983
+                     AS DOUBLE) + 0.5) / 999983 AS uu
+        FROM g
+    ),
+    nz AS (
+        SELECT seg, true_count,
+               CASE WHEN uu < 0.5
+                    THEN CAST(floor(ln(2 * uu) / ln(exp(-1.0))) AS BIGINT)
+                    ELSE -CAST(floor(ln(2 * (1 - uu)) / ln(exp(-1.0)))
+                               AS BIGINT)
+               END AS noise
+        FROM u
+    )
+    SELECT seg, CAST(true_count AS BIGINT) AS true_count,
+           CAST(noise AS BIGINT) AS noise,
+           CAST(GREATEST(true_count + noise, 0) AS BIGINT)
+               AS released_count,
+           CAST(1.0 AS DOUBLE) AS epsilon
+    FROM nz
+    """,
+)
+def dp_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    g = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count("*").alias("true_count")
+    )
+    uu = (
+        (
+            poly_hash(F.concat(F.lit("dp:"), F.col("seg"))) % 999983
+        ).cast("double")
+        + 0.5
+    ) / 999983
+    lam = F.log(F.exp(F.lit(-1.0)))  # ln(e^-eps), eps = 1
+    noise = F.when(
+        uu < 0.5, F.floor(F.log(2 * uu) / lam).cast("long")
+    ).otherwise(-F.floor(F.log(2 * (1 - uu)) / lam).cast("long"))
+    return g.select(
+        "seg",
+        F.col("true_count").cast("long").alias("true_count"),
+        noise.alias("noise"),
+        F.greatest(
+            F.col("true_count") + noise, F.lit(0).cast("long")
+        ).alias("released_count"),
+        F.lit(1.0).alias("epsilon"),
+    )
+
+
+# Theil–Sen robust trend over the daily event-value series: the median of
+# all pairwise slopes. Scale shape: the corpus collapses to the
+# calendar-bounded daily table FIRST (one shuffle); the O(days^2) slope
+# set and its median-by-row_number run on that bounded table only —
+# at a century of days that is ~666k pairs, still metadata. Daily means
+# quantize to DECIMAL(18,6), so slopes are identical doubles and the
+# median element is engine-identical.
+@register(
+    "theil_sen_q",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*) AS DECIMAL(18,6)) AS m
+        FROM events WHERE event_type = 'click'
+        GROUP BY CAST(ts AS DATE),
+                 date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+    ),
+    slopes AS (
+        SELECT a.x AS xa, b.x AS xb,
+               CAST(b.m - a.m AS DOUBLE) / (b.x - a.x) AS s
+        FROM daily a JOIN daily b ON b.x > a.x
+    ),
+    ranked AS (
+        SELECT s, ROW_NUMBER() OVER (ORDER BY s, xa, xb) AS rn,
+               COUNT(*) OVER () AS n
+        FROM slopes
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+           CAST(ROUND(CAST(SUM(CASE WHEN rn * 2 IN (n, n + 1, n + 2)
+                          THEN CAST(s AS DECIMAL(28,12)) ELSE 0 END)
+                AS DOUBLE)
+                / SUM(CASE WHEN rn * 2 IN (n, n + 1, n + 2)
+                      THEN 1 ELSE 0 END), 6) AS DOUBLE) AS theil_sen_slope
+    FROM ranked
+    """,
+)
+def theil_sen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-slopes trend: immune to the outlier days that pull OLS.
+    Median = mean of the middle one (odd n) or two (even n) ranked
+    slopes, with (xa, xb) tiebreaks so the picked rows are deterministic."""
+    e = Catalog(spark, sf_dir).events.filter(F.col("event_type") == "click")
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "x"
+        ),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        )
+        .cast("decimal(18,6)")
+        .alias("m")
+    )
+    a = daily.select(F.col("x").alias("xa"), F.col("m").alias("ma"))
+    b = daily.select(F.col("x").alias("xb"), F.col("m").alias("mb"))
+    slopes = (
+        a.join(b, F.col("xb") > F.col("xa"))
+        .select(
+            "xa",
+            "xb",
+            (
+                (F.col("mb") - F.col("ma")).cast("double")
+                / (F.col("xb") - F.col("xa"))
+            ).alias("s"),
+        )
+    )
+    w = Window.orderBy("s", "xa", "xb")
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = slopes.select(
+        "s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    mid = (
+        (F.col("rn") * 2 == F.col("n"))
+        | (F.col("rn") * 2 == F.col("n") + 1)
+        | (F.col("rn") * 2 == F.col("n") + 2)
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(
+                F.when(mid, F.col("s").cast("decimal(28,12)")).otherwise(
+                    F.lit(0).cast("decimal(28,12)")
+                )
+            ).cast("double")
+            / F.sum(F.when(mid, 1).otherwise(0)),
+            6,
+        ).alias("theil_sen_slope"),
+    )
+
+
+# Source-similarity matrix: cosine between source token-count profiles
+# restricted to the global top-200 vocabulary. Scale shape: the profile
+# table is |sources| x 200 after one corpus-scale count shuffle; the
+# pairwise cosine runs on that bounded profile table (sources are
+# organizational metadata, never corpus-scale). Exact integer dot
+# products; one final double division.
+@register(
+    "source_similarity_q",
+    f"""
+    WITH t AS (
+        SELECT source, unnest({_SQL_TOKENS}) AS tok FROM documents
+    ),
+    top AS (
+        SELECT tok, COUNT(*) AS tot FROM t GROUP BY tok
+        ORDER BY tot DESC, tok LIMIT 200
+    ),
+    prof AS (
+        SELECT t.source, t.tok, COUNT(*) AS c
+        FROM t JOIN top ON t.tok = top.tok
+        GROUP BY t.source, t.tok
+    ),
+    norms AS (
+        SELECT source, SUM(c * c) AS nn FROM prof GROUP BY source
+    ),
+    dots AS (
+        SELECT a.source AS sa, b.source AS sb, SUM(a.c * b.c) AS dot
+        FROM prof a JOIN prof b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT sa, sb,
+           CAST(ROUND(CAST(dot AS DOUBLE)
+                / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)), 6)
+                AS DOUBLE) AS cosine
+    FROM dots JOIN norms na ON sa = na.source
+              JOIN norms nb ON sb = nb.source
+    ORDER BY cosine DESC, sa, sb LIMIT 30
+    """,
+)
+def source_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources publish near-identical vocabularies (mirror feeds,
+    syndication networks) — the corpus-organization signal behind source-
+    level dedup decisions."""
+    d = Catalog(spark, sf_dir).documents
+    t = d.select("source", F.explode(_tokens("text")).alias("tok"))
+    t = t.localCheckpoint()
+    top = (
+        t.groupBy("tok")
+        .agg(F.count("*").alias("tot"))
+        .orderBy(F.desc("tot"), "tok")
+        .limit(200)
+    )
+    prof = (
+        t.join(F.broadcast(top.select("tok")), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    norms = prof.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("c")).alias("nn")
+    )
+    a = prof.select(
+        F.col("source").alias("sa"), "tok", F.col("c").alias("ca")
+    )
+    b = prof.select(
+        F.col("source").alias("sb"), "tok", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    return (
+        dots.join(
+            norms.select(F.col("source").alias("sa"), F.col("nn").alias("na")),
+            "sa",
+        )
+        .join(
+            norms.select(F.col("source").alias("sb"), F.col("nn").alias("nb")),
+            "sb",
+        )
+        .orderBy(F.desc(cos), "sa", "sb")
+        .limit(30)
+        .select("sa", "sb", F.round(cos, 6).alias("cosine"))
+    )
