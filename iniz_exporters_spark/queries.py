@@ -12173,3 +12173,88 @@ def source_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(30)
         .select("sa", "sb", F.round(cos, 6).alias("cosine"))
     )
+
+
+# Exact median without a global sort: the two-pass selection algorithm.
+# Pass 1 histograms values into 1024 bins (one map-side-combined count
+# shuffle; the bin table is metadata and is collected to pick the target
+# bin and within-bin offset for each middle rank). Pass 2 ranks ONLY the
+# rows of the target bin(s) — expected n/1024 rows — with a deterministic
+# tiebreak. This is how an exact order statistic survives 100 TB: the
+# oracle's ROW_NUMBER-over-everything formulation is the semantics, not
+# the plan. Values stay DECIMAL(18,4) end-to-end (exact), so the picked
+# elements are engine-identical.
+@register(
+    "exact_median_q",
+    """
+    WITH r AS (
+        SELECT CAST(l_extendedprice AS DECIMAL(18,4)) AS v,
+               ROW_NUMBER() OVER (ORDER BY CAST(l_extendedprice
+                   AS DECIMAL(18,4)), l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER () AS n
+        FROM lineitem
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS DOUBLE)
+               AS median_lo,
+           CAST(MAX(CASE WHEN rn = (n + 2) // 2 THEN v END) AS DOUBLE)
+               AS median_hi
+    FROM r
+    """,
+)
+def exact_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem.select(
+        _dec(F.col("l_extendedprice")).alias("v"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    st = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    ).collect()[0]
+    n, lo, hi = st["n"], float(st["lo"]), float(st["hi"])
+    # middle ranks: lower median and (even n) upper median
+    ks = sorted({(n + 1) // 2, n // 2 + 1})
+    width = max((hi - lo) / 1024.0, 1e-9)
+    binned = li.select(
+        "v",
+        "l_orderkey",
+        "l_linenumber",
+        F.least(
+            F.floor((F.col("v").cast("double") - lo) / width).cast("int"),
+            F.lit(1023),
+        ).alias("bin"),
+    )
+    hist = {
+        r["bin"]: r["c"]
+        for r in binned.groupBy("bin").agg(F.count("*").alias("c")).collect()
+    }  # <= 1024 rows — metadata
+    picked = []
+    for k in ks:
+        cum = 0
+        for b in range(1024):
+            c = hist.get(b, 0)
+            if cum + c >= k:
+                picked.append((k, b, k - cum))
+                break
+            cum += c
+    vals = []
+    for _, b, j in picked:
+        w = Window.orderBy("v", "l_orderkey", "l_linenumber")
+        row = (
+            binned.filter(F.col("bin") == b)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == j)
+            .select("v")
+            .collect()
+        )
+        vals.append(float(row[0]["v"]))
+    # lower/upper medians reported EXACTLY (4-dp decimals cast to double)
+    # — averaging them would reintroduce a .5-at-5th-dp rounding boundary
+    lo_med = vals[0]
+    hi_med = vals[-1]
+    return spark.createDataFrame(
+        [(int(n), lo_med, hi_med)],
+        "n long, median_lo double, median_hi double",
+    )
