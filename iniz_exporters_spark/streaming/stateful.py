@@ -303,3 +303,76 @@ def streaming_ewma(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_misra_gries(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Bounded-state streaming frequent items (Misra–Gries summary) per
+    key: at most ``k`` (item, count) counters survive in state no matter
+    how many distinct items stream through — the deterministic guarantee
+    is that any item with true frequency > N/(k+1) is present, and each
+    kept counter undercounts by at most N/(k+1).
+
+    This is the state-bounded answer to "top items per key" on an
+    unbounded stream, where a groupBy count would grow state with the
+    vocabulary. Emits the surviving counters (update mode) each
+    micro-batch with the per-key processed total so consumers can apply
+    the error bound. State: two parallel arrays, <= k entries.
+    """
+    key_type = dict(df.dtypes)[key_col]
+    out_schema = (
+        f"{key_col} {key_type}, item string, min_count long, n_total long"
+    )
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            items, counts, total = state.get
+            summary = dict(zip(list(items), list(counts)))
+            total = int(total)
+        else:
+            summary, total = {}, 0
+        for pdf in pdfs:
+            for it in pdf[item_col].astype(str).values:
+                total += 1
+                if it in summary:
+                    summary[it] += 1
+                elif len(summary) < k:
+                    summary[it] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    summary = {
+                        i: c - 1 for i, c in summary.items() if c > 1
+                    }
+        state.update(
+            (list(summary.keys()), [int(c) for c in summary.values()], total)
+        )
+        ks = sorted(summary.items(), key=lambda ic: (-ic[1], ic[0]))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(ks),
+                "item": [i for i, _ in ks],
+                "min_count": [int(c) for _, c in ks],
+                "n_total": [total] * len(ks),
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=(
+            "items array<string>, counts array<long>, total long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -680,3 +680,62 @@ def test_streaming_ewma_matches_batch_fold(spark, events_dir):
     assert len(got) == batch_df.count()
     for eid, v in got.items():
         assert abs(v - want[eid]) < 1e-9
+
+
+def test_streaming_misra_gries_guarantees(spark, events_dir):
+    """Misra-Gries over a real availableNow stream must satisfy its
+    deterministic guarantees against exact batch counts: every item with
+    freq > N/(k+1) survives, and kept counts lie in
+    [true - N/(k+1), true]. With k=8 >= |event types|, no decrement can
+    drop a counter permanently below the bound."""
+    from iniz_exporters_spark.streaming.stateful import streaming_misra_gries
+    from iniz_exporters_spark.streaming.windows import stream_events
+
+    batch_df = spark.read.parquet(events_dir)
+    exact = {
+        (r["user_id"], r["event_type"]): r["c"]
+        for r in batch_df.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    totals = {
+        r["user_id"]: r["c"]
+        for r in batch_df.groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+
+    schema = batch_df.schema
+    stream = streaming_misra_gries(
+        stream_events(spark, events_dir, schema=schema, watermark="1 hour"),
+        "user_id",
+        "event_type",
+        k=8,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("mg_stream_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode re-emits per batch: keep the final (max n_total) rows
+    rows = spark.sql("SELECT * FROM mg_stream_test").collect()
+    final = {}
+    for r in rows:
+        cur = final.setdefault(r["user_id"], {})
+        if not cur or r["n_total"] >= max(x["n_total"] for x in cur.values()):
+            cur[r["item"]] = r
+    for uid, items in final.items():
+        n = totals[uid]
+        top = max(items.values(), key=lambda r: r["n_total"])
+        bound = n / 9.0  # N/(k+1), k=8
+        for (u, et), c in exact.items():
+            if u != uid:
+                continue
+            got = items.get(et)
+            if c > bound:
+                assert got is not None, (uid, et, c, n)
+            if got is not None and got["n_total"] == n:
+                assert c - bound <= got["min_count"] <= c, (uid, et, c, got)
