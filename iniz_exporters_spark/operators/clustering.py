@@ -23,8 +23,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from iniz_exporters_spark.session import spread_for_kernel
-
 
 def _assign(
     corpus: DataFrame,
@@ -63,9 +61,10 @@ def _assign(
                 }
             )
 
-    return spread_for_kernel(corpus.select(id_col, vec_col)).mapInPandas(
-        kernel, out_schema
-    )
+    # NOT spread_for_kernel: the vector kernel is numpy-matmul cheap and
+    # callers (PQ, Lloyd) invoke it once per subspace x iteration — a
+    # repartition per call would add m*iters shuffles for no kernel win
+    return corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
 
 
 def lloyd_train(

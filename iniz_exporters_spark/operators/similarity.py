@@ -19,8 +19,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from iniz_exporters_spark.session import spread_for_kernel
-
 from iniz_exporters_spark.functions.text import poly_hash
 
 
@@ -518,7 +516,7 @@ def ivf_flat_topk(
                 }
             )
 
-    assigned = spread_for_kernel(corpus.select(id_col, vec_col)).mapInPandas(
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
         assign,
         schema=(
             f"{id_col} {id_type}, {vec_col} array<float>, cell int, "

@@ -11137,6 +11137,7 @@ def leakage_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (CAST(cb.c AS DOUBLE) / n.n_orders) DESC, pa, pb
     LIMIT 30
     """,
+    headline=True,
 )
 def association_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).lineitem
