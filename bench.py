@@ -46,6 +46,15 @@ def main() -> None:
         # no driver-side row materialization — measures the engine, not
         # py4j deserialization of the result set
         spec.fn(spark, d).write.format("noop").mode("overwrite").save()
+        # drop localCheckpoint/cache RDDs the query pinned: in production
+        # each query is its own job; in this single-JVM loop leftover
+        # blocks otherwise accumulate GC pressure that bleeds into later
+        # queries' timings
+        for jrdd in list(
+            spark.sparkContext._jsc.getPersistentRDDs().values()
+        ):
+            jrdd.unpersist()
+        spark.catalog.clearCache()
 
     # JVM/codegen warmup on the smallest SF so per-query times measure the
     # plan, not first-call compilation
