@@ -12259,3 +12259,71 @@ def exact_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(n), lo_med, hi_med)],
         "n long, median_lo double, median_hi double",
     )
+
+
+# Event-driven cumulative sum with resets: per-user running value total
+# that restarts at every 'signup' event — the islands are defined by the
+# DATA (reset markers), not by time gaps (which sessionize_events
+# covers). Scale shape: two stacked windows per user partition (a running
+# reset-count forms the island id, then a running decimal sum within the
+# island); no self-joins, parallel across users. Value sums stay in
+# exact decimal.
+@register(
+    "running_balance_resets_q",
+    """
+    WITH marked AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS island
+        FROM events
+    ),
+    summed AS (
+        SELECT user_id, event_id, island,
+               SUM(CASE WHEN event_type <> 'signup'
+                        THEN CAST(value AS DECIMAL(18,6))
+                        ELSE CAST(0 AS DECIMAL(18,6)) END)
+                   OVER (PARTITION BY user_id, island
+                         ORDER BY ts, event_id) AS bal
+        FROM marked
+    )
+    SELECT user_id, CAST(COUNT(DISTINCT island) AS BIGINT) AS n_islands,
+           CAST(ROUND(CAST(MAX(bal) AS DOUBLE), 4) AS DOUBLE)
+               AS max_balance,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM summed GROUP BY user_id
+    """,
+)
+def running_balance_resets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.sum(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        )
+        .over(wu)
+        .alias("island"),
+    )
+    wi = Window.partitionBy("user_id", "island").orderBy("ts", "event_id")
+    summed = marked.select(
+        "user_id",
+        "island",
+        F.sum(
+            F.when(
+                F.col("event_type") != "signup",
+                F.col("value").cast("decimal(18,6)"),
+            ).otherwise(F.lit(0).cast("decimal(18,6)"))
+        )
+        .over(wi)
+        .alias("bal"),
+    )
+    return summed.groupBy("user_id").agg(
+        F.countDistinct("island").cast("long").alias("n_islands"),
+        F.round(F.max("bal").cast("double"), 4).alias("max_balance"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
