@@ -12327,3 +12327,255 @@ def running_balance_resets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("bal").cast("double"), 4).alias("max_balance"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+# ===========================================================================
+# Batch N — graph ML, readability, and supervised embedding eval.
+# ===========================================================================
+
+
+# Two synchronous rounds of label propagation over the co-purchase graph,
+# seeded with node ids: each round every node takes the most frequent
+# neighbor label (ties -> smallest label). Bounded-round LP is the
+# shuffle-friendly community sketch (vs the fixpoint components, which
+# plans/graph.py covers); two rounds = two neighbor-label aggregations,
+# each one vocab-keyed shuffle. All tie-breaks are total orders, so the
+# labels are engine-identical.
+@register(
+    "label_propagation_q",
+    """
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    ud AS (
+        SELECT a AS n, b AS m FROM e UNION ALL SELECT b AS n, a AS m FROM e
+    ),
+    l1 AS (
+        SELECT n, lab FROM (
+            SELECT n, lab, ROW_NUMBER() OVER (PARTITION BY n
+                       ORDER BY c DESC, lab) AS rn
+            FROM (SELECT n, m AS lab, COUNT(*) AS c FROM ud GROUP BY n, m)
+        ) WHERE rn = 1
+    ),
+    l2 AS (
+        SELECT n, lab FROM (
+            SELECT u.n, l1.lab,
+                   ROW_NUMBER() OVER (PARTITION BY u.n
+                       ORDER BY COUNT(*) DESC, l1.lab) AS rn
+            FROM ud u JOIN l1 ON u.m = l1.n
+            GROUP BY u.n, l1.lab
+        ) WHERE rn = 1
+    )
+    SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l2 GROUP BY lab
+    ORDER BY n_members DESC, community LIMIT 25
+    """,
+)
+def label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b"))
+    e = (
+        a.join(b, "k")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    ud = (
+        e.select(F.col("a").alias("n"), F.col("b").alias("m"))
+        .unionAll(e.select(F.col("b").alias("n"), F.col("a").alias("m")))
+        .localCheckpoint()
+    )
+
+    def top_label(labeled):
+        w = Window.partitionBy("n").orderBy(F.desc("c"), "lab")
+        return (
+            labeled.groupBy("n", "lab")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("n", "lab")
+        )
+
+    l1 = top_label(ud.select("n", F.col("m").alias("lab")))
+    l2 = top_label(
+        ud.join(l1.select(F.col("n").alias("m"), "lab"), "m").select(
+            "n", "lab"
+        )
+    )
+    return (
+        l2.groupBy(F.col("lab").alias("community"))
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(25)
+    )
+
+
+# Per-doc readability: Flesch-style reading ease and LIX from sentence
+# count, word count, and long-word/vowel-group proxies — the quality-
+# filter family's doc-structure signal, pure per-row Catalyst (no
+# shuffles at all until the per-source rollup).
+@register(
+    "readability_q",
+    f"""
+    WITH s AS (
+        SELECT doc_id, source,
+               greatest(len(list_filter(
+                   list_transform(regexp_split_to_array(text, '[.!?]+'),
+                       x -> trim(x)), x -> x <> '')), 1) AS n_sents,
+               {_SQL_TOKENS} AS t
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, source, n_sents,
+               greatest(len(t), 1) AS n_words,
+               len(list_filter(t, x -> length(x) > 6)) AS n_long,
+               greatest(list_sum(list_transform(t,
+                   x -> len(regexp_extract_all(x, '[aeiouy]+')))), 1)
+                   AS n_syll
+        FROM s
+    )
+    SELECT doc_id, source,
+           CAST(ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4) AS DOUBLE)
+               AS flesch,
+           CAST(ROUND(CAST(n_words AS DOUBLE) / n_sents
+                + 100.0 * n_long / n_words, 4) AS DOUBLE) AS lix
+    FROM w
+    """,
+)
+def readability_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease (vowel-group syllable proxy) and LIX. Both are
+    per-row arithmetic over counts the sentence/token expressions already
+    produce — the canonical cheap quality signals before any model-based
+    scorer runs."""
+    d = Catalog(spark, sf_dir).documents
+    sents = F.filter(
+        F.transform(F.split("text", r"[.!?]+"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    t = _tokens("text")
+    n_sents = F.greatest(F.size(sents), F.lit(1))
+    n_words = F.greatest(F.size(t), F.lit(1))
+    n_long = F.size(F.filter(t, lambda x: F.length(x) > 6))
+    n_syll = F.greatest(
+        F.aggregate(
+            F.transform(
+                t,
+                lambda x: F.size(
+                    F.regexp_extract_all(x, F.lit("[aeiouy]+"), 0)
+                ),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ),
+        F.lit(1),
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.round(
+            206.835
+            - 1.015 * (n_words.cast("double") / n_sents)
+            - 84.6 * (n_syll.cast("double") / n_words),
+            4,
+        ).alias("flesch"),
+        F.round(
+            n_words.cast("double") / n_sents + 100.0 * n_long / n_words, 4
+        ).alias("lix"),
+    )
+
+
+# Nearest-centroid classifier over the labeled embeddings: centroids fit
+# on even vec_ids (exact decimal per-dimension means), evaluated on odd
+# vec_ids. Scale shape: the model is |labels| x d metadata broadcast as
+# literals; scoring is per-row arithmetic; accuracy is one count
+# aggregation. The supervised complement to cluster_nmi_q.
+@register(
+    "nc_classifier_q",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    cent AS (
+        SELECT label, i,
+               ROUND(CAST(avg(val) AS DECIMAL(28,12)), 6)::DOUBLE AS m
+        FROM (SELECT label, i, v[i] AS val
+              FROM e, unnest(range(1, len(v)+1)) AS t(i)
+              WHERE vec_id % 2 = 0)
+        GROUP BY label, i
+    ),
+    cv AS (SELECT label, list(m ORDER BY i) AS cvec FROM cent GROUP BY label),
+    scored AS (
+        SELECT t.vec_id, t.label AS true_label, c.label AS pred,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+                   ROUND(list_reduce(
+                       list_transform(range(1, len(t.v)+1),
+                           i -> (t.v[i] - c.cvec[i]) * (t.v[i] - c.cvec[i])),
+                       (x, y) -> x + y), 6), c.label) AS rn
+        FROM e t CROSS JOIN cv c WHERE t.vec_id % 2 = 1
+    )
+    SELECT true_label,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN pred = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(ROUND(CAST(SUM(CASE WHEN pred = true_label
+                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+                AS DOUBLE) AS accuracy
+    FROM scored WHERE rn = 1
+    GROUP BY true_label
+    """,
+)
+def nc_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    train = emb.filter(F.col("vec_id") % 2 == 0)
+    cents = (
+        train.select("label", F.posexplode("embedding").alias("i", "val"))
+        .groupBy("label", "i")
+        .agg(
+            F.round(
+                F.avg(F.col("val").cast("double")).cast("decimal(28,12)"), 6
+            )
+            .cast("double")
+            .alias("m")
+        )
+        .collect()  # |labels| x d — metadata
+    )
+    by_label: dict[int, list[float]] = {}
+    for r in cents:
+        by_label.setdefault(r["label"], [0.0] * 64)[r["i"]] = r["m"]
+    test = emb.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dcols = []
+    for lab in sorted(by_label):
+        cent = F.array(*[F.lit(float(x)) for x in by_label[lab]])
+        d2 = F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"), cent, lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, t2: acc + t2,
+            ),
+            6,
+        )
+        dcols.append(F.struct(d2.alias("d"), F.lit(lab).alias("lab")))
+    pred = F.array_min(F.array(*dcols))["lab"]
+    scored = test.select("true_label", pred.alias("pred"))
+    return scored.groupBy("true_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(F.when(F.col("pred") == F.col("true_label"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        F.round(
+            F.sum(
+                F.when(F.col("pred") == F.col("true_label"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
+    )
