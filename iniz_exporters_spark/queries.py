@@ -12579,3 +12579,211 @@ def nc_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("accuracy"),
     )
+
+
+# Skip-gram (center, context) pair generation with frequency
+# subsampling — the word2vec training-data builder. Window = +/-2;
+# frequent centers are dropped with the Mikolov keep-probability
+# evaluated against a content-keyed uniform, so the sample is
+# deterministic and partition-invariant. Scale shape: pair explosion is
+# per-row (positions x 4); the only shuffles are the frequency count and
+# the final pair count, both vocab-keyed.
+@register(
+    "skipgram_pairs_q",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    n AS (SELECT SUM(len(t)) AS n_tokens FROM toks),
+    freq AS (
+        SELECT tok, COUNT(*) AS c
+        FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+    ),
+    pos AS (
+        SELECT doc_id, t, i, t[i] AS center
+        FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+    ),
+    kept AS (
+        SELECT p.doc_id, p.t, p.i, p.center
+        FROM pos p JOIN freq f ON p.center = f.tok CROSS JOIN n
+        WHERE (CAST({_SQL_POLY.format(
+                  s="p.doc_id::VARCHAR || ':' || p.i::VARCHAR")} % 100000
+               AS DOUBLE)) / 100000
+              < least(1.0, sqrt(0.001 * n.n_tokens / f.c))
+    ),
+    pairs AS (
+        SELECT center, t[i + o] AS context
+        FROM kept, unnest([-2, -1, 1, 2]) AS w(o)
+        WHERE i + o >= 1 AND i + o <= len(t)
+    )
+    SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY center, context
+    ORDER BY n_pairs DESC, center, context LIMIT 30
+    """,
+)
+def skipgram_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mikolov subsampled skip-gram pairs: keep-prob sqrt(1e-3 * N / f)
+    per CENTER occurrence, uniform from poly_hash(doc:pos) — the
+    deterministic stand-in for the trainer's RNG."""
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("doc_id", _tokens("text").alias("t")).localCheckpoint()
+    n = toks.agg(F.sum(F.size("t")).alias("n_tokens"))
+    freq = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    pos = toks.select(
+        "doc_id",
+        "t",
+        F.posexplode("t").alias("i0", "center"),
+    ).select(
+        "doc_id", "t", (F.col("i0") + 1).alias("i"), "center"
+    )
+    u = (
+        poly_hash(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("i").cast("string"),
+            )
+        )
+        % 100000
+    ).cast("double") / 100000
+    keep = u < F.least(
+        F.lit(1.0),
+        F.sqrt(0.001 * F.col("n_tokens") / F.col("c")),
+    )
+    kept = (
+        pos.join(freq, pos.center == freq.tok)
+        .crossJoin(F.broadcast(n))
+        .filter(keep)
+        .select("doc_id", "t", "i", "center")
+    )
+    pairs = kept.select(
+        "center",
+        F.explode(F.array(F.lit(-2), F.lit(-1), F.lit(1), F.lit(2))).alias(
+            "o"
+        ),
+        "t",
+        "i",
+    ).filter(
+        (F.col("i") + F.col("o") >= 1)
+        & (F.col("i") + F.col("o") <= F.size("t"))
+    ).select(
+        "center",
+        F.element_at("t", F.col("i") + F.col("o")).alias("context"),
+    )
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "center", "context")
+        .limit(30)
+    )
+
+
+# Sparse TF-IDF document similarity: top-20 doc pairs by cosine over
+# tf-idf vectors, with candidates generated ONLY through rare tokens
+# (df <= 10% of docs) — the standard sparse-similarity-join trick: stopword-ish
+# high-df tokens generate no candidates (they dominate neither the
+# cosine nor, now, the join), so the token-keyed pair join stays
+# df-bounded instead of exploding quadratically on common words. The
+# full cosine over ALL shared tokens is then computed for just those
+# candidate pairs via one more vocab-keyed join.
+@register(
+    "doc_cosine_sparse_q",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    nd AS (SELECT COUNT(*) AS nd FROM toks),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    w AS (
+        SELECT tf.doc_id, tf.tok,
+               tf.tf * ln(CAST(nd.nd AS DOUBLE) / df.df) AS w
+        FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN nd
+    ),
+    norms AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE) AS nn
+        FROM w GROUP BY doc_id
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        JOIN df ON a.tok = df.tok CROSS JOIN nd
+        WHERE df.df * 10 <= nd.nd
+    ),
+    dots AS (
+        SELECT c.da, c.db,
+               CAST(SUM(CAST(wa.w * wb.w AS DECIMAL(28,12))) AS DOUBLE)
+                   AS dot
+        FROM cand c
+        JOIN w wa ON wa.doc_id = c.da
+        JOIN w wb ON wb.doc_id = c.db AND wa.tok = wb.tok
+        GROUP BY c.da, c.db
+    )
+    SELECT da, db,
+           CAST(ROUND(dot / sqrt(na.nn * nb.nn), 6) AS DOUBLE) AS cosine
+    FROM dots JOIN norms na ON da = na.doc_id
+              JOIN norms nb ON db = nb.doc_id
+    ORDER BY dot / sqrt(na.nn * nb.nn) DESC, da, db LIMIT 20
+    """,
+)
+def doc_cosine_sparse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    tf = (
+        d.select("doc_id", F.explode(_tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
+    nd = tf.select("doc_id").distinct().count()
+    df = tf.groupBy("tok").agg(F.count("*").alias("df")).localCheckpoint()
+    w = (
+        tf.join(df, "tok")
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.col("tf")
+                * F.log(F.lit(float(nd)) / F.col("df"))
+            ).alias("w"),
+        )
+        .localCheckpoint()
+    )
+    norms = w.groupBy("doc_id").agg(
+        _dsum(F.col("w") * F.col("w")).cast("double").alias("nn")
+    )
+    rare = df.filter(F.col("df") * 10 <= F.lit(int(nd))).select("tok")
+    ta = tf.join(rare, "tok").select("tok", F.col("doc_id").alias("da"))
+    tb = tf.join(rare, "tok").select("tok", F.col("doc_id").alias("db"))
+    cand = (
+        ta.join(tb, "tok")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    wa = w.select(F.col("doc_id").alias("da"), "tok", F.col("w").alias("wa"))
+    wb = w.select(F.col("doc_id").alias("db"), "tok", F.col("w").alias("wb"))
+    dots = (
+        cand.join(wa, "da")
+        .join(wb, ["db", "tok"])
+        .groupBy("da", "db")
+        .agg(_dsum(F.col("wa") * F.col("wb")).cast("double").alias("dot"))
+    )
+    cos = F.col("dot") / F.sqrt(F.col("na") * F.col("nb"))
+    return (
+        dots.join(
+            norms.select(F.col("doc_id").alias("da"), F.col("nn").alias("na")),
+            "da",
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("db"), F.col("nn").alias("nb")),
+            "db",
+        )
+        .orderBy(F.desc(cos), "da", "db")
+        .limit(20)
+        .select("da", "db", F.round(cos, 6).alias("cosine"))
+    )
