@@ -160,3 +160,99 @@ def test_leakage_partition(spark):
         r["train_only"] + r["test_only"] + r["spanning"] == r["n_users"]
     ), r
     assert 0.0 <= r["leak_rate"] <= 1.0, r
+
+
+# ---------------------------------------------------------------------------
+# Batches L-O invariants.
+# ---------------------------------------------------------------------------
+
+
+def test_modularity_bounds(spark):
+    (r,) = rows("modularity_q", spark)
+    assert -0.5 <= r["modularity"] <= 1.0, r
+    assert r["n_edges"] > 0 and r["n_communities"] > 0
+
+
+def test_assortativity_bounds(spark):
+    (r,) = rows("assortativity_q", spark)
+    assert -1.0 - 1e-9 <= r["assortativity"] <= 1.0 + 1e-9, r
+
+
+def test_lexical_ratios(spark):
+    for r in rows("lexical_stats_q", spark):
+        assert 0.0 <= r["hapax_ratio"] <= 1.0, r
+        # burstiness cf/df >= 1 for every type, so the mean is too
+        assert r["mean_burstiness"] >= 1.0, r
+        assert r["n_types"] <= r["n_tokens"], r
+
+
+def test_twonn_dim_positive(spark):
+    (r,) = rows("twonn_dim_q", spark)
+    assert r["intrinsic_dim"] > 0, r
+    assert r["n_probes"] > 0
+
+
+def test_dp_release_nonnegative(spark):
+    got = rows("dp_counts_q", spark)
+    assert got
+    for r in got:
+        assert r["released_count"] >= 0, r
+        assert r["released_count"] == max(r["true_count"] + r["noise"], 0), r
+
+
+def test_theil_sen_finite(spark):
+    (r,) = rows("theil_sen_q", spark)
+    assert math.isfinite(r["theil_sen_slope"]), r
+    assert r["n_pairs"] > 0
+
+
+def test_source_similarity_bounds(spark):
+    got = rows("source_similarity_q", spark)
+    assert got
+    for r in got:
+        assert 0.0 <= r["cosine"] <= 1.0 + 1e-9, r  # counts are nonneg
+
+
+def test_exact_median_ordering(spark):
+    (r,) = rows("exact_median_q", spark)
+    assert r["median_lo"] <= r["median_hi"], r
+    assert r["n"] > 0
+
+
+def test_label_propagation_conservation(spark):
+    got = rows("label_propagation_q", spark)
+    assert got
+    assert all(r["n_members"] > 0 for r in got)
+
+
+def test_nc_classifier_accuracy_bounds(spark):
+    got = rows("nc_classifier_q", spark)
+    assert got
+    for r in got:
+        assert 0.0 <= r["accuracy"] <= 1.0, r
+        assert r["n_correct"] <= r["n_eval"], r
+
+
+def test_skipgram_pairs_positive(spark):
+    got = rows("skipgram_pairs_q", spark)
+    assert got
+    assert all(r["n_pairs"] > 0 for r in got)
+
+
+def test_doc_cosine_sparse_bounds(spark):
+    got = rows("doc_cosine_sparse_q", spark)
+    assert got, "candidate generation found no pairs at test SF"
+    # tf-idf weights are nonnegative (df <= nd), so cosine in [0, 1]
+    for r in got:
+        assert -1e-9 <= r["cosine"] <= 1.0 + 1e-9, r
+
+
+def test_running_balance_islands(spark):
+    for r in rows("running_balance_resets_q", spark):
+        assert 1 <= r["n_islands"] <= r["n_events"] + 1, r
+
+
+def test_readability_finite(spark):
+    for r in rows("readability_q", spark):
+        assert math.isfinite(r["flesch"]) and math.isfinite(r["lix"]), r
+        assert r["lix"] > 0, r
