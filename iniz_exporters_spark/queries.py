@@ -12787,3 +12787,148 @@ def doc_cosine_sparse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("da", "db", F.round(cos, 6).alias("cosine"))
     )
+
+
+# Calendar feature generation: the standard time-feature block (day
+# index, day-of-week, week, month, month-end flag, cyclical sin/cos
+# encodings) materialized per distinct event day. Scale shape: one
+# corpus-scale distinct-day shuffle; everything else is per-row codegen
+# over the calendar-bounded table. Trig outputs round to 6 dp (libm skew
+# absorbed, as in benford_audit_q).
+@register(
+    "calendar_features_q",
+    """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    f AS (
+        SELECT day,
+               date_diff('day', DATE '2024-01-01', day) AS day_idx,
+               date_diff('day', DATE '2024-01-01', day) % 7 AS dow,
+               date_diff('day', DATE '2024-01-01', day) // 7 AS week,
+               EXTRACT(MONTH FROM day) AS month,
+               day = last_day(day) AS is_month_end
+        FROM days
+    )
+    SELECT day, CAST(day_idx AS BIGINT) AS day_idx,
+           CAST(dow AS BIGINT) AS dow,
+           CAST(week AS BIGINT) AS week,
+           CAST(month AS BIGINT) AS month,
+           is_month_end,
+           CAST(ROUND(sin(2 * pi() * dow / 7), 6) AS DOUBLE) AS dow_sin,
+           CAST(ROUND(cos(2 * pi() * dow / 7), 6) AS DOUBLE) AS dow_cos
+    FROM f
+    """,
+)
+def calendar_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    day_idx = F.datediff(
+        F.col("day"), F.lit("2024-01-01").cast("date")
+    )
+    dow = day_idx % 7
+    pi = 3.141592653589793
+    return days.select(
+        "day",
+        day_idx.cast("long").alias("day_idx"),
+        dow.cast("long").alias("dow"),
+        F.expr(
+            "datediff(day, date'2024-01-01') div 7"
+        ).cast("long").alias("week"),
+        F.month("day").cast("long").alias("month"),
+        (F.col("day") == F.last_day("day")).alias("is_month_end"),
+        F.round(F.sin(2 * pi * dow / 7), 6).alias("dow_sin"),
+        F.round(F.cos(2 * pi * dow / 7), 6).alias("dow_cos"),
+    )
+
+
+# Exact interpolated percentile bands (p10/p50/p90) of the event value
+# per day — the SLO/telemetry band chart. Exercises the exact percentile
+# aggregate's cross-engine parity (Spark `percentile` and DuckDB
+# `quantile_cont` share the linear-interpolation definition; inputs are
+# the same exact doubles, so the interpolation arithmetic is identical).
+# Scale shape: one day-keyed shuffle; each group's percentile is exact
+# within the day partition.
+@register(
+    "daily_bands_q",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(quantile_cont(value, 0.1), 6) AS DOUBLE) AS p10,
+           CAST(ROUND(quantile_cont(value, 0.5), 6) AS DOUBLE) AS p50,
+           CAST(ROUND(quantile_cont(value, 0.9), 6) AS DOUBLE) AS p90
+    FROM events WHERE event_type = 'view'
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def daily_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events.filter(F.col("event_type") == "view")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.expr("percentile(value, 0.1)"), 6).alias("p10"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+
+
+# Jensen–Shannon divergence between the token distributions of the two
+# corpus source halves — the bounded (0..ln 2), symmetric drift metric
+# complementing token_psi_q (which is unbounded and asymmetric in its
+# bucketing). Scale shape: one vocab-keyed count aggregation carrying
+# both halves' counts; the JS fold runs over the vocab table with
+# 12-dp-quantized terms; zero-count sides contribute their KL term as 0
+# by the same CASE on both engines.
+@register(
+    "js_divergence_q",
+    f"""
+    WITH t AS (
+        SELECT CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                    THEN 0 ELSE 1 END AS half,
+               unnest({_SQL_TOKENS}) AS tok
+        FROM documents
+    ),
+    v AS (
+        SELECT tok,
+               SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cb
+        FROM t GROUP BY tok
+    ),
+    tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM v),
+    terms AS (
+        SELECT CAST(ca AS DOUBLE) / na AS pa,
+               CAST(cb AS DOUBLE) / nb AS pb
+        FROM v CROSS JOIN tot
+    )
+    SELECT CAST(ROUND(CAST(SUM(CAST(
+               0.5 * (CASE WHEN pa > 0
+                      THEN pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END)
+               + 0.5 * (CASE WHEN pb > 0
+                        THEN pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END)
+               AS DECIMAL(28,12))) AS DOUBLE), 6) AS DOUBLE) AS js_div,
+           CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM terms
+    """,
+)
+def js_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    half = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, 0
+    ).otherwise(1)
+    t = d.select(half.alias("half"), F.explode(_tokens("text")).alias("tok"))
+    v = t.groupBy("tok").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    tot = v.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    terms = v.crossJoin(F.broadcast(tot)).select(
+        (F.col("ca").cast("double") / F.col("na")).alias("pa"),
+        (F.col("cb").cast("double") / F.col("nb")).alias("pb"),
+    )
+    mid = (F.col("pa") + F.col("pb")) / 2
+    term = 0.5 * F.when(
+        F.col("pa") > 0, F.col("pa") * F.log(F.col("pa") / mid)
+    ).otherwise(0.0) + 0.5 * F.when(
+        F.col("pb") > 0, F.col("pb") * F.log(F.col("pb") / mid)
+    ).otherwise(0.0)
+    return terms.agg(
+        F.round(_dsum(term).cast("double"), 6).alias("js_div"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
