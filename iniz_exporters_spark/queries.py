@@ -12932,3 +12932,101 @@ def js_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_dsum(term).cast("double"), 6).alias("js_div"),
         F.count(F.lit(1)).cast("long").alias("n_types"),
     )
+
+
+# Error-safe ingest parsing: TRY_CAST-based extraction with per-column
+# failure accounting — the ETL quarantine counter. Mixed-format inputs
+# are synthesized deterministically from real columns (every 7th props
+# payload corrupted by a suffix) so the failure paths actually execute.
+# Scale shape: pure per-row codegen plus one global count aggregation.
+@register(
+    "try_parse_q",
+    """
+    WITH raw AS (
+        SELECT event_id,
+               CASE WHEN event_id % 7 = 3
+                    THEN json_extract_string(props, '$.k') || 'x'
+                    ELSE json_extract_string(props, '$.k') END AS k_raw,
+               CASE WHEN event_id % 11 = 5 THEN 'not-a-date'
+                    ELSE strftime(ts, '%Y-%m-%d') END AS d_raw
+        FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN TRY_CAST(k_raw AS BIGINT) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bad_ints,
+           CAST(SUM(CASE WHEN TRY_CAST(d_raw AS DATE) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bad_dates,
+           CAST(SUM(TRY_CAST(k_raw AS BIGINT)) AS BIGINT) AS k_sum
+    FROM raw
+    """,
+)
+def try_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    k_raw = F.when(
+        F.col("event_id") % 7 == 3,
+        F.concat(F.get_json_object("props", "$.k"), F.lit("x")),
+    ).otherwise(F.get_json_object("props", "$.k"))
+    d_raw = F.when(F.col("event_id") % 11 == 5, F.lit("not-a-date")).otherwise(
+        F.date_format("ts", "yyyy-MM-dd")
+    )
+    raw = ev.select(k_raw.alias("k_raw"), d_raw.alias("d_raw"))
+    return raw.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.when(F.expr("try_cast(k_raw AS BIGINT)").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("bad_ints"),
+        F.sum(
+            F.when(F.expr("try_cast(d_raw AS DATE)").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("bad_dates"),
+        F.sum(F.expr("try_cast(k_raw AS BIGINT)")).cast("long").alias("k_sum"),
+    )
+
+
+# Bitwise flag rollup: event types encoded as bit flags, OR/AND-merged
+# per user — the compact "which behaviors has this user ever / always
+# shown" profile (bitsets replace per-type boolean columns at scale).
+# Scale shape: per-row bit mapping, one user-keyed aggregation with
+# map-side-combinable BIT_OR/BIT_AND partials.
+@register(
+    "flags_rollup_q",
+    """
+    WITH f AS (
+        SELECT user_id,
+               CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                    WHEN 'signup' THEN 4 WHEN 'purchase' THEN 8
+                    ELSE 16 END AS flag
+        FROM events
+    )
+    SELECT user_id,
+           CAST(BIT_OR(flag) AS BIGINT) AS ever_mask,
+           CAST(BIT_AND(flag) AS BIGINT) AS always_mask,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           BIT_OR(flag) & 8 = 8 AS has_purchased
+    FROM f GROUP BY user_id
+    """,
+)
+def flags_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    flag = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "purchase", 8)
+        .otherwise(16)
+    )
+    return (
+        ev.select("user_id", flag.alias("flag"))
+        .groupBy("user_id")
+        .agg(
+            F.expr("bit_or(flag)").cast("long").alias("ever_mask"),
+            F.expr("bit_and(flag)").cast("long").alias("always_mask"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.expr("bit_or(flag)").bitwiseAND(8) == 8).alias(
+                "has_purchased"
+            ),
+        )
+    )
