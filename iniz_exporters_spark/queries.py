@@ -13030,3 +13030,165 @@ def flags_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Positional phrase search: find every occurrence of the corpus's most
+# frequent bigram as a PHRASE via the positional inverted index —
+# adjacent-position self-join on (token, doc), the classic IR phrase
+# query. Scale shape: the positional postings explode once; the phrase
+# join is keyed on (doc_id, position) after filtering both sides to the
+# two phrase terms, so only matching-term postings move.
+@register(
+    "phrase_search_q",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    pos AS (
+        SELECT doc_id, i, t[i] AS tok
+        FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+    ),
+    idx AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+            FROM toks WHERE len(t) >= 2),
+    top_bigram AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM idx GROUP BY w1, w2
+        ORDER BY COUNT(*) DESC, w1, w2 LIMIT 1
+    ),
+    hits AS (
+        SELECT a.doc_id, a.i AS position
+        FROM pos a
+        JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        CROSS JOIN top_bigram tb
+        WHERE a.tok = tb.w1 AND b.tok = tb.w2
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(position) AS BIGINT) AS first_position
+    FROM hits GROUP BY doc_id
+    """,
+)
+def phrase_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("doc_id", _tokens("text").alias("t")).localCheckpoint()
+    pos = toks.select(
+        "doc_id", F.posexplode("t").alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "tok")
+    pairs = toks.filter(F.size("t") >= 2).select(
+        F.posexplode(F.slice("t", 1, F.size("t") - 1)).alias("i0", "w1"),
+        "t",
+    ).select("w1", F.element_at("t", F.col("i0") + 2).alias("w2"))
+    top = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "w1", "w2")
+        .limit(1)
+    )
+    a = pos.select("doc_id", F.col("i").alias("pa"), F.col("tok").alias("ta"))
+    b = pos.select("doc_id", F.col("i").alias("pb"), F.col("tok").alias("tb"))
+    hits = (
+        a.crossJoin(F.broadcast(top))
+        .filter(F.col("ta") == F.col("w1"))
+        .join(
+            b,
+            ["doc_id"],
+        )
+        .filter(
+            (F.col("pb") == F.col("pa") + 1)
+            & (F.col("tb") == F.col("w2"))
+        )
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.min("pa").cast("long").alias("first_position"),
+    )
+
+
+# Event debounce: flag events of the same (user, type) arriving within
+# 6 hours of the previous event of that key — the LAG formulation of
+# rapid-repeat suppression (threshold sized to the test stream's
+# inter-arrival scale; a web-scale stream would use seconds). Scale shape: one LAG
+# window per (user, type) partition; no self-joins.
+@register(
+    "debounce_q",
+    """
+    WITH lagged AS (
+        SELECT user_id, event_type, ts,
+               LAG(ts) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN prev_ts IS NOT NULL
+                          AND epoch_us(ts) - epoch_us(prev_ts) < 21600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_debounced
+    FROM lagged GROUP BY user_id, event_type
+    HAVING SUM(CASE WHEN prev_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(prev_ts) < 21600000000
+                    THEN 1 ELSE 0 END) > 0
+    """,
+)
+def debounce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    lagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    dbn = F.sum(
+        F.when(
+            F.col("prev_ts").isNotNull()
+            & (
+                F.unix_micros("ts") - F.unix_micros("prev_ts")
+                < 21_600_000_000
+            ),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        lagged.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            dbn.cast("long").alias("n_debounced"),
+        )
+        .filter(F.col("n_debounced") > 0)
+    )
+
+
+# Fair round-robin interleave across sources: rank docs within each
+# source by content hash, then take the globally first 40 in
+# (rank, source) order — every source contributes its best docs before
+# any source contributes twice, the strict-fairness dataset mixer
+# (mixture_sample_q is the proportional variant). Scale shape: one rank
+# window per source partition, then TakeOrdered on (rank, source, id).
+@register(
+    "fair_interleave_q",
+    f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY {_SQL_POLY.format(s="'fi:' || doc_id::VARCHAR")},
+                            doc_id) AS rk
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+    FROM ranked
+    ORDER BY rk, source, doc_id LIMIT 40
+    """,
+)
+def fair_interleave_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    w = Window.partitionBy("source").orderBy(
+        poly_hash(F.concat(F.lit("fi:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        d.select(
+            "doc_id", "source", F.row_number().over(w).alias("rk")
+        )
+        .orderBy("rk", "source", "doc_id")
+        .limit(40)
+        .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
+    )
