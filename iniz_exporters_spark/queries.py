@@ -13192,3 +13192,138 @@ def fair_interleave_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(40)
         .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
     )
+
+
+# Percent-of-parent revenue shares down the region -> nation hierarchy:
+# each nation's share of its region and each region's share of total.
+# Scale shape: revenue aggregates to the NATION grain first (one
+# fact-scale shuffle onto 25 keys); all share windows run over the
+# 25-row nation table. Exact decimal revenue; shares are identical
+# double divisions.
+@register(
+    "parent_share_q",
+    """
+    WITH rev AS (
+        SELECT n.n_regionkey AS region, c.c_nationkey AS nation,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_regionkey, c.c_nationkey
+    )
+    SELECT region, nation,
+           CAST(ROUND(CAST(rev AS DOUBLE), 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(CAST(rev AS DOUBLE)
+                / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE), 6)
+                AS DOUBLE) AS share_of_region,
+           CAST(ROUND(CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE)
+                / CAST(SUM(rev) OVER () AS DOUBLE), 6) AS DOUBLE)
+               AS region_share_of_total
+    FROM rev
+    """,
+)
+def parent_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    rev = (
+        cat.orders.join(
+            cat.customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(cat.nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_regionkey").alias("region"),
+            F.col("c_nationkey").alias("nation"),
+        )
+        .agg(F.sum(_dec(F.col("o_totalprice"))).alias("rev"))
+    )
+    wr = Window.partitionBy("region")
+    wt = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(wr).cast("double"),
+            6,
+        ).alias("share_of_region"),
+        F.round(
+            F.sum("rev").over(wr).cast("double")
+            / F.sum("rev").over(wt).cast("double"),
+            6,
+        ).alias("region_share_of_total"),
+    )
+
+
+# ID-sequence gap detection WITHOUT a global window: keys bucket by
+# id div 1000; within-bucket gaps come from a per-bucket LAG window
+# (parallel across buckets), and cross-bucket gaps from the bucket
+# boundary table (min/max per bucket — metadata scale). The global-LAG
+# formulation the oracle uses would single-thread 100 TB of keys; this
+# plan never materializes a corpus-wide ordering.
+@register(
+    "id_gaps_q",
+    """
+    WITH k AS (SELECT DISTINCT o_orderkey AS id FROM orders
+               WHERE o_orderkey % 97 <> 13),
+    lagged AS (
+        SELECT id, LAG(id) OVER (ORDER BY id) AS prev
+        FROM k
+    )
+    SELECT CAST(prev + 1 AS BIGINT) AS gap_start,
+           CAST(id - 1 AS BIGINT) AS gap_end,
+           CAST(id - prev - 1 AS BIGINT) AS gap_len
+    FROM lagged WHERE prev IS NOT NULL AND id - prev > 1
+    ORDER BY gap_start LIMIT 50
+    """,
+)
+def id_gaps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # synthetic deletions (every 97th key) so the detector's output is a
+    # value-checked non-empty gap list at every scale
+    o = (
+        Catalog(spark, sf_dir)
+        .orders.filter(F.col("o_orderkey") % 97 != 13)
+        .select(F.col("o_orderkey").alias("id"))
+        .distinct()
+    )
+    b = o.withColumn("bucket", F.expr("id div 1000"))
+    wb = Window.partitionBy("bucket").orderBy("id")
+    within = (
+        b.withColumn("prev", F.lag("id").over(wb))
+        .filter(F.col("prev").isNotNull() & (F.col("id") - F.col("prev") > 1))
+        .select(
+            (F.col("prev") + 1).alias("gap_start"),
+            (F.col("id") - 1).alias("gap_end"),
+        )
+    )
+    # cross-bucket gaps from the per-bucket boundary table (metadata)
+    bounds = b.groupBy("bucket").agg(
+        F.min("id").alias("lo"), F.max("id").alias("hi")
+    )
+    wseq = Window.orderBy("bucket")
+    across = (
+        bounds.withColumn("prev_hi", F.lag("hi").over(wseq))
+        .filter(
+            F.col("prev_hi").isNotNull()
+            & (F.col("lo") - F.col("prev_hi") > 1)
+        )
+        .select(
+            (F.col("prev_hi") + 1).alias("gap_start"),
+            (F.col("lo") - 1).alias("gap_end"),
+        )
+    )
+    return (
+        within.unionByName(across)
+        .select(
+            F.col("gap_start").cast("long"),
+            F.col("gap_end").cast("long"),
+            (F.col("gap_end") - F.col("gap_start") + 1)
+            .cast("long")
+            .alias("gap_len"),
+        )
+        .orderBy("gap_start")
+        .limit(50)
+    )
