@@ -13327,3 +13327,305 @@ def id_gaps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("gap_start")
         .limit(50)
     )
+
+
+# ===========================================================================
+# Batch T — linkage alternatives, experiment statistics, count models.
+# ===========================================================================
+
+
+# Sorted-neighborhood record linkage: sort candidates by a key inside
+# coarse blocks, pair each record with its <=2 following neighbors, keep
+# pairs within edit distance 2 — the sliding-window alternative to
+# hash blocking (record_linkage_q) that catches near-misses hash blocks
+# split. Scale shape: ranks are per-block windows (parallel across
+# blocks); the neighbor join is rank-banded inside each block, so pair
+# count is O(n * window), never O(n^2).
+@register(
+    "sorted_neighborhood_q",
+    """
+    WITH ranked AS (
+        SELECT c_custkey, c_name, substr(c_name, 10, 6) AS blk,
+               ROW_NUMBER() OVER (PARTITION BY substr(c_name, 10, 6)
+                                  ORDER BY c_name, c_custkey) AS rk
+        FROM customer
+    ),
+    pairs AS (
+        SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+               levenshtein(a.c_name, b.c_name) AS lev
+        FROM ranked a
+        JOIN ranked b ON a.blk = b.blk
+                     AND b.rk > a.rk AND b.rk <= a.rk + 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN lev <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matches,
+           CAST(MIN(lev) AS BIGINT) AS min_lev,
+           CAST(MAX(lev) AS BIGINT) AS max_lev
+    FROM pairs
+    """,
+)
+def sorted_neighborhood_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    blk = F.substring("c_name", 10, 6)
+    w = Window.partitionBy("blk").orderBy("c_name", "c_custkey")
+    ranked = c.select(
+        "c_custkey", "c_name", blk.alias("blk")
+    ).withColumn("rk", F.row_number().over(w)).localCheckpoint()
+    a = ranked.select(
+        "blk",
+        F.col("c_custkey").alias("ka"),
+        F.col("c_name").alias("na"),
+        F.col("rk").alias("ra"),
+    )
+    b = ranked.select(
+        "blk",
+        F.col("c_custkey").alias("kb"),
+        F.col("c_name").alias("nb"),
+        F.col("rk").alias("rb"),
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(
+            (F.col("rb") > F.col("ra")) & (F.col("rb") <= F.col("ra") + 2)
+        )
+        .select(F.levenshtein("na", "nb").alias("lev"))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum(F.when(F.col("lev") <= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_matches"),
+        F.min("lev").cast("long").alias("min_lev"),
+        F.max("lev").cast("long").alias("max_lev"),
+    )
+
+
+# Wilson-score confidence intervals for per-step funnel conversion
+# rates: the experimentation-grade proportion interval (never escapes
+# [0,1], sane at small n, unlike the normal approximation). Scale shape:
+# conversion counts are one user-keyed aggregation; the interval math is
+# identical per-row double arithmetic over the steps table.
+@register(
+    "wilson_ci_q",
+    """
+    WITH u AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s2,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS s3
+        FROM events GROUP BY user_id
+    ),
+    steps AS (
+        SELECT 'view->click' AS step, SUM(s1) AS n, SUM(s1 * s2) AS k
+        FROM u
+        UNION ALL
+        SELECT 'click->purchase', SUM(s2), SUM(s2 * s3) FROM u
+    )
+    SELECT step, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           CAST(ROUND(CAST(k AS DOUBLE) / n, 6) AS DOUBLE) AS rate,
+           CAST(ROUND((CAST(k AS DOUBLE) / n + 1.9208 / n
+                - 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                              * (1 - CAST(k AS DOUBLE) / n) / n
+                              + 0.9604 / (n * n)))
+                / (1 + 3.8416 / n), 6) AS DOUBLE) AS wilson_lo,
+           CAST(ROUND((CAST(k AS DOUBLE) / n + 1.9208 / n
+                + 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                              * (1 - CAST(k AS DOUBLE) / n) / n
+                              + 0.9604 / (n * n)))
+                / (1 + 3.8416 / n), 6) AS DOUBLE) AS wilson_hi
+    FROM steps
+    """,
+)
+def wilson_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "s1"
+        ),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "s2"
+        ),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("s3"),
+    )
+    steps = u.agg(
+        F.sum("s1").alias("n1"),
+        F.sum(F.col("s1") * F.col("s2")).alias("k1"),
+        F.sum("s2").alias("n2"),
+        F.sum(F.col("s2") * F.col("s3")).alias("k2"),
+    )
+    rows = []
+    for step, ncol, kcol in (
+        ("view->click", "n1", "k1"),
+        ("click->purchase", "n2", "k2"),
+    ):
+        rows.append(
+            steps.select(
+                F.lit(step).alias("step"),
+                F.col(ncol).alias("n"),
+                F.col(kcol).alias("k"),
+            )
+        )
+    s = rows[0].unionByName(rows[1])
+    p = F.col("k").cast("double") / F.col("n")
+    n = F.col("n")
+    root = F.sqrt(p * (1 - p) / n + 0.9604 / (n * n))
+    return s.select(
+        "step",
+        n.cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(p, 6).alias("rate"),
+        F.round((p + 1.9208 / n - 1.96 * root) / (1 + 3.8416 / n), 6).alias(
+            "wilson_lo"
+        ),
+        F.round((p + 1.9208 / n + 1.96 * root) / (1 + 3.8416 / n), 6).alias(
+            "wilson_hi"
+        ),
+    )
+
+
+# Negative-binomial fit of the order basket-size distribution by the
+# method of moments: r = mean^2/(var-mean), p = mean/var — the standard
+# overdispersed count model for "items per basket". Scale shape: basket
+# sizes are one orderkey aggregation; moments are exact integer sums;
+# the fit is one row of double arithmetic.
+@register(
+    "basket_nb_fit_q",
+    """
+    WITH b AS (
+        SELECT l_orderkey, COUNT(*) AS sz FROM lineitem GROUP BY l_orderkey
+    ),
+    m AS (
+        SELECT COUNT(*) AS n, SUM(sz) AS s1, SUM(sz * sz) AS s2 FROM b
+    )
+    SELECT CAST(n AS BIGINT) AS n_baskets,
+           CAST(ROUND(CAST(s1 AS DOUBLE) / n, 6) AS DOUBLE) AS mean_size,
+           CAST(ROUND((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                       * CAST(s1 AS DOUBLE) / n) / (n - 1), 6) AS DOUBLE)
+               AS var_size,
+           CAST(ROUND(CASE WHEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                            * CAST(s1 AS DOUBLE) / n) / (n - 1)
+                           > CAST(s1 AS DOUBLE) / n
+               THEN (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    / ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                        * CAST(s1 AS DOUBLE) / n) / (n - 1)
+                       - CAST(s1 AS DOUBLE) / n)
+               ELSE 0.0 END, 6) AS DOUBLE) AS nb_r
+    FROM m
+    """,
+)
+def basket_nb_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    b = li.groupBy("l_orderkey").agg(F.count("*").alias("sz"))
+    m = b.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sz").alias("s1"),
+        F.sum(F.col("sz") * F.col("sz")).alias("s2"),
+    )
+    n = F.col("n")
+    mean = F.col("s1").cast("double") / n
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / n
+    ) / (n - 1)
+    return m.select(
+        n.cast("long").alias("n_baskets"),
+        F.round(mean, 6).alias("mean_size"),
+        F.round(var, 6).alias("var_size"),
+        F.round(
+            F.when(var > mean, mean * mean / (var - mean)).otherwise(0.0), 6
+        ).alias("nb_r"),
+    )
+
+
+# Rich-club coefficient phi(k) for k in {2, 4, 8}: the density of the
+# subgraph induced by nodes of degree > k — do hubs preferentially
+# interconnect? Scale shape: degrees from one vocab-keyed aggregation;
+# per-k edge counts are broadcast-filtered joins over the (bounded)
+# high-degree node set; density is integer arithmetic.
+@register(
+    "rich_club_q",
+    """
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT n, COUNT(*) AS d FROM (
+            SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+        GROUP BY n
+    ),
+    ks AS (SELECT unnest([2, 4, 8]) AS k),
+    club AS (
+        SELECT ks.k, deg.n FROM ks JOIN deg ON deg.d > ks.k
+    ),
+    cnt AS (SELECT k, COUNT(*) AS nk FROM club GROUP BY k),
+    ce AS (
+        SELECT ca.k, COUNT(*) AS ek
+        FROM e JOIN club ca ON e.a = ca.n
+               JOIN club cb ON e.b = cb.n AND ca.k = cb.k
+        GROUP BY ca.k
+    )
+    SELECT cnt.k, CAST(cnt.nk AS BIGINT) AS n_club,
+           CAST(COALESCE(ce.ek, 0) AS BIGINT) AS club_edges,
+           CAST(ROUND(CASE WHEN cnt.nk >= 2
+               THEN 2.0 * COALESCE(ce.ek, 0) / (cnt.nk * (cnt.nk - 1))
+               ELSE 0.0 END, 6) AS DOUBLE) AS phi
+    FROM cnt LEFT JOIN ce ON cnt.k = ce.k
+    """,
+)
+def rich_club_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("b"))
+    e = (
+        a.join(b, "kk")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    ks = Catalog(spark, sf_dir).region.sparkSession.createDataFrame(
+        [(2,), (4,), (8,)], "k int"
+    )
+    club = ks.crossJoin(deg).filter(F.col("d") > F.col("k")).select(
+        "k", "n"
+    ).localCheckpoint()
+    cnt = club.groupBy("k").agg(F.count("*").alias("nk"))
+    ca = club.select(F.col("k"), F.col("n").alias("a"))
+    cb = club.select(F.col("k").alias("k2"), F.col("n").alias("b2"))
+    ce = (
+        e.join(ca, "a")
+        .join(
+            cb,
+            (F.col("b") == F.col("b2")) & (F.col("k") == F.col("k2")),
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("ek"))
+    )
+    ek = F.coalesce(F.col("ek"), F.lit(0))
+    return (
+        cnt.join(ce, "k", "left")
+        .select(
+            "k",
+            F.col("nk").cast("long").alias("n_club"),
+            ek.cast("long").alias("club_edges"),
+            F.round(
+                F.when(
+                    F.col("nk") >= 2,
+                    2.0 * ek / (F.col("nk") * (F.col("nk") - 1)),
+                ).otherwise(0.0),
+                6,
+            ).alias("phi"),
+        )
+    )
