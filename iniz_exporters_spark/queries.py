@@ -13629,3 +13629,123 @@ def rich_club_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("phi"),
         )
     )
+
+
+# Time-weighted average of the event value per user: each reading holds
+# until the next one (step interpolation), weighted by its holding
+# interval — the telemetry/billing aggregate where arithmetic means lie
+# under irregular sampling. Scale shape: one LEAD window per user
+# partition for the holding interval, then a user-keyed weighted
+# aggregation; weights are exact integer microseconds and values
+# quantize to decimal before the weighted sum.
+@register(
+    "twa_q",
+    """
+    WITH iv AS (
+        SELECT user_id,
+               CAST(value AS DECIMAL(18,6)) AS v,
+               epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))
+               - epoch_us(ts) AS hold_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(hold_us) AS BIGINT) AS span_us,
+           CAST(ROUND(CAST(SUM(v * hold_us) AS DOUBLE)
+                / CAST(SUM(hold_us) AS DOUBLE), 6) AS DOUBLE) AS twa
+    FROM iv WHERE hold_us IS NOT NULL AND hold_us > 0
+    GROUP BY user_id
+    """,
+)
+def twa_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("hold_us"),
+    ).filter(F.col("hold_us").isNotNull() & (F.col("hold_us") > 0))
+    return iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("hold_us").cast("long").alias("span_us"),
+        F.round(
+            F.sum(F.col("v") * F.col("hold_us")).cast("double")
+            / F.sum("hold_us").cast("double"),
+            6,
+        ).alias("twa"),
+    )
+
+
+# Sketch algebra: intersection cardinality by inclusion–exclusion over
+# HyperLogLog estimates, |A∩B| ≈ hll(A) + hll(B) − hll(A∪B), with the
+# exact intersection and the triple-error bound as the CHECKED values
+# (estimates themselves have no cross-engine oracle; the bound does —
+# same contract pattern as hll_error_check). A = users who viewed,
+# B = users who purchased. Scale shape: three approx-distinct
+# aggregations (fixed-size sketch state, map-side mergeable) plus one
+# exact distinct for the audit.
+@register(
+    "hll_intersect_q",
+    """
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'view'),
+    b AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase'),
+    x AS (SELECT COUNT(*) AS exact_inter
+          FROM a JOIN b USING (user_id)),
+    sz AS (SELECT (SELECT COUNT(*) FROM a) AS na,
+                  (SELECT COUNT(*) FROM b) AS nb)
+    SELECT CAST(sz.na AS BIGINT) AS n_a, CAST(sz.nb AS BIGINT) AS n_b,
+           CAST(x.exact_inter AS BIGINT) AS exact_inter,
+           TRUE AS est_within_bound
+    FROM x CROSS JOIN sz
+    """,
+)
+def hll_intersect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The estimate uses Spark's approx_count_distinct (rsd 2%); the
+    inclusion-exclusion error compounds across three sketches, so the
+    checked bound is 3 * rsd * max(|A|,|B|,|A∪B|) + 3 — wide enough to
+    be deterministic, tight enough that a broken sketch or a broken
+    union fails it."""
+    ev = Catalog(spark, sf_dir).events
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    u = a.unionAll(b)
+    est = (
+        a.agg(F.approx_count_distinct("user_id", 0.02).alias("ea"))
+        .crossJoin(
+            F.broadcast(
+                b.agg(F.approx_count_distinct("user_id", 0.02).alias("eb"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                u.agg(F.approx_count_distinct("user_id", 0.02).alias("eu"))
+            )
+        )
+    )
+    exact = (
+        a.distinct()
+        .join(b.distinct(), "user_id")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    sizes = a.distinct().agg(F.count(F.lit(1)).alias("n_a")).crossJoin(
+        F.broadcast(b.distinct().agg(F.count(F.lit(1)).alias("n_b")))
+    )
+    est_inter = F.col("ea") + F.col("eb") - F.col("eu")
+    bound = 0.06 * F.greatest("ea", "eb", "eu") + 3
+    return (
+        sizes.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(est))
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("exact_inter").cast("long").alias("exact_inter"),
+            (
+                F.abs(est_inter - F.col("exact_inter")) <= bound
+            ).alias("est_within_bound"),
+        )
+    )
