@@ -256,3 +256,117 @@ def test_readability_finite(spark):
     for r in rows("readability_q", spark):
         assert math.isfinite(r["flesch"]) and math.isfinite(r["lix"]), r
         assert r["lix"] > 0, r
+
+
+# ---------------------------------------------------------------------------
+# Batches P-U invariants.
+# ---------------------------------------------------------------------------
+
+
+def test_js_divergence_bounds(spark):
+    (r,) = rows("js_divergence_q", spark)
+    assert 0.0 <= r["js_div"] <= math.log(2) + 1e-9, r
+
+
+def test_daily_bands_ordering(spark):
+    for r in rows("daily_bands_q", spark):
+        assert r["p10"] <= r["p50"] <= r["p90"], r
+
+
+def test_calendar_features_ranges(spark):
+    for r in rows("calendar_features_q", spark):
+        assert 0 <= r["dow"] <= 6, r
+        assert abs(r["dow_sin"] ** 2 + r["dow_cos"] ** 2 - 1.0) < 1e-5, r
+
+
+def test_try_parse_counts(spark):
+    (r,) = rows("try_parse_q", spark)
+    # every 7th event corrupts the int, every 11th the date — counts
+    # must be within one of n/7 and n/11
+    assert abs(r["bad_ints"] - r["n_rows"] / 7) <= 1, r
+    assert abs(r["bad_dates"] - r["n_rows"] / 11) <= 1, r
+
+
+def test_flags_rollup_masks(spark):
+    for r in rows("flags_rollup_q", spark):
+        # AND-mask can only keep bits the OR-mask has
+        assert r["always_mask"] & r["ever_mask"] == r["always_mask"], r
+        assert r["has_purchased"] == bool(r["ever_mask"] & 8), r
+
+
+def test_phrase_search_positive(spark):
+    got = rows("phrase_search_q", spark)
+    assert got and all(r["n_occurrences"] > 0 for r in got)
+
+
+def test_debounce_counts(spark):
+    for r in rows("debounce_q", spark):
+        assert 0 < r["n_debounced"] < r["n_events"], r
+
+
+def test_fair_interleave_fairness(spark):
+    got = rows("fair_interleave_q", spark)
+    assert len(got) == 40
+    # strict fairness: with 20 sources, the first 20 picks are all rank-1
+    ranks = sorted(r["rk"] for r in got)
+    assert ranks[0] == 1 and ranks[-1] <= 3, ranks
+
+
+def test_parent_share_sums(spark):
+    got = rows("parent_share_q", spark)
+    by_region = {}
+    total = 0.0
+    seen_regions = set()
+    for r in got:
+        by_region.setdefault(r["region"], 0.0)
+        by_region[r["region"]] += r["share_of_region"]
+        if r["region"] not in seen_regions:
+            seen_regions.add(r["region"])
+            total += r["region_share_of_total"]
+    for reg, s in by_region.items():
+        assert abs(s - 1.0) < 1e-4, (reg, s)
+    assert abs(total - 1.0) < 1e-4, total
+
+
+def test_id_gaps_match_synthesized_deletions(spark):
+    got = rows("id_gaps_q", spark)
+    assert got
+    for r in got:
+        # all synthesized gaps are single deleted keys with id % 97 == 13
+        assert r["gap_len"] == 1 and r["gap_start"] % 97 == 13, r
+
+
+def test_wilson_interval_brackets_rate(spark):
+    for r in rows("wilson_ci_q", spark):
+        assert 0.0 <= r["wilson_lo"] <= r["rate"] <= r["wilson_hi"] <= 1.0, r
+
+
+def test_nb_fit_overdispersion(spark):
+    (r,) = rows("basket_nb_fit_q", spark)
+    assert r["mean_size"] > 0 and r["var_size"] > 0, r
+    if r["var_size"] > r["mean_size"]:
+        assert r["nb_r"] > 0, r
+
+
+def test_rich_club_density_bounds(spark):
+    for r in rows("rich_club_q", spark):
+        assert 0.0 <= r["phi"] <= 1.0, r
+
+
+def test_sorted_neighborhood_counts(spark):
+    (r,) = rows("sorted_neighborhood_q", spark)
+    assert r["n_matches"] <= r["n_candidates"], r
+    assert r["min_lev"] >= 1, r  # no exact duplicate names
+
+
+def test_twa_within_value_range(spark):
+    got = rows("twa_q", spark)
+    assert got
+    for r in got:
+        assert r["span_us"] > 0 and r["n_intervals"] > 0, r
+
+
+def test_hll_intersect_bound_holds(spark):
+    (r,) = rows("hll_intersect_q", spark)
+    assert r["est_within_bound"] is True, r
+    assert r["exact_inter"] <= min(r["n_a"], r["n_b"]), r
