@@ -13749,3 +13749,63 @@ def hll_intersect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_within_bound"),
         )
     )
+
+
+# Repeat-charge audit: orders by the same customer in the SAME price
+# band (floor to 10k) within a year — the double-charge screen shape,
+# with band/window sized to this dataset's order sparsity (production
+# uses exact amounts and days). Scale shape: one LAG window per
+# (customer, band) partition; the quadratic same-customer self-join
+# never happens, and only flagged rows leave the window stage.
+@register(
+    "dup_payment_q",
+    """
+    WITH w AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(floor(o_totalprice / 10000) AS BIGINT) AS amt,
+               o_orderdate,
+               LAG(o_orderdate) OVER (
+                   PARTITION BY o_custkey,
+                                CAST(floor(o_totalprice / 10000) AS BIGINT)
+                   ORDER BY o_orderdate, o_orderkey) AS prev_date,
+               LAG(o_orderkey) OVER (
+                   PARTITION BY o_custkey,
+                                CAST(floor(o_totalprice / 10000) AS BIGINT)
+                   ORDER BY o_orderdate, o_orderkey) AS prev_key
+        FROM orders
+    )
+    SELECT o_orderkey, prev_key, o_custkey,
+           CAST(amt AS BIGINT) AS price_band,
+           CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT)
+               AS days_apart
+    FROM w
+    WHERE prev_date IS NOT NULL
+      AND date_diff('day', prev_date, o_orderdate) <= 365
+    """,
+)
+def dup_payment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    amt = F.floor(F.col("o_totalprice") / 10000).cast("long")
+    w = Window.partitionBy("o_custkey", amt).orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    flagged = o.select(
+        "o_orderkey",
+        "o_custkey",
+        amt.alias("amt"),
+        "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+    ).filter(
+        F.col("prev_date").isNotNull()
+        & (F.datediff("o_orderdate", "prev_date") <= 365)
+    )
+    return flagged.select(
+        "o_orderkey",
+        "prev_key",
+        "o_custkey",
+        F.col("amt").cast("long").alias("price_band"),
+        F.datediff("o_orderdate", "prev_date")
+        .cast("long")
+        .alias("days_apart"),
+    )
