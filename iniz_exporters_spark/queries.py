@@ -9868,13 +9868,17 @@ def adamic_adar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ed
     ),
     tri AS (
+        -- the wedge orders (o1.dd,o1.dst) < (o2.dd,o2.dst), and oriented
+        -- stores every edge with src = the degree-lower endpoint, so the
+        -- closing edge y--z is stored exactly as (src=y, dst=z): probe
+        -- with the degree-ordered key (id-ordered LEAST/GREATEST would
+        -- miss triangles where deg(y)<deg(z) but y>z numerically)
         SELECT o1.src AS x, o1.dst AS y, o2.dst AS z
         FROM oriented o1
         JOIN oriented o2 ON o1.src = o2.src
                         AND (o1.dd, o1.dst) < (o2.dd, o2.dst)
         JOIN oriented c
-          ON c.src = LEAST(o1.dst, o2.dst)
-         AND c.dst = GREATEST(o1.dst, o2.dst)
+          ON c.src = o1.dst AND c.dst = o2.dst
     ),
     pernode AS (
         SELECT n, COUNT(*) AS t FROM (
@@ -9935,10 +9939,14 @@ def clustering_coeff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure = oriented.select(
         F.col("src").alias("cs"), F.col("dst").alias("cd")
     )
+    # wedge filter guarantees (dy,y) < (dz,z) in DEGREE order, and every
+    # edge in `oriented` is stored with src = its degree-lower endpoint —
+    # so the closing edge y--z sits at exactly (src=y, dst=z). Probing
+    # with id-ordered least/greatest keys would drop triangles where
+    # deg(y) < deg(z) but y > z numerically.
     tri = wedges.join(
         closure,
-        (F.col("cs") == F.least("y", "z"))
-        & (F.col("cd") == F.greatest("y", "z")),
+        (F.col("cs") == F.col("y")) & (F.col("cd") == F.col("z")),
     ).select("src", "y", "z")
     pernode = (
         tri.select(F.explode(F.array("src", "y", "z")).alias("n"))
@@ -10284,10 +10292,14 @@ def cusum_changepoint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).events
+    # RANGE frame on microseconds ending at -1: strictly-earlier events
+    # only. A ROWS frame ordered by (ts, event_id) would also admit a
+    # same-timestamp source event with a smaller event_id, which the
+    # oracle's e.ts < p.ts excludes — the two diverge on per-user ts ties.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
     attr = F.max(
         F.when(
@@ -10513,9 +10525,14 @@ def template_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
            CAST(COUNT(*) AS BIGINT) AS n_tail,
            CAST(MAX(d) AS BIGINT) AS d_max,
-           CAST(ROUND(1.0 + COUNT(*) / CAST(SUM(CAST(
-               ln(CAST(d AS DOUBLE) / 2.0)
-               AS DECIMAL(28,12))) AS DOUBLE), 6) AS DOUBLE) AS alpha_hill
+           -- degenerate tail (every degree == dmin) => log-sum is 0:
+           -- the Hill estimator is undefined, return NULL (both engines)
+           CAST(CASE WHEN CAST(SUM(CAST(ln(CAST(d AS DOUBLE) / 2.0)
+                    AS DECIMAL(28,12))) AS DOUBLE) > 0 THEN
+               ROUND(1.0 + COUNT(*) / CAST(SUM(CAST(
+                   ln(CAST(d AS DOUBLE) / 2.0)
+                   AS DECIMAL(28,12))) AS DOUBLE), 6)
+           END AS DOUBLE) AS alpha_hill
     FROM tail
     """,
 )
@@ -10539,14 +10556,15 @@ def degree_powerlaw_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     tail = deg.filter(F.col("d") >= 2)
+    # degenerate tail (every degree == dmin=2): log-sum is 0 and the Hill
+    # estimator is undefined — return NULL, matching the oracle's CASE
+    logsum = _dsum(F.log(F.col("d").cast("double") / 2.0)).cast("double")
     stats = tail.agg(
         F.count(F.lit(1)).cast("long").alias("n_tail"),
         F.max("d").cast("long").alias("d_max"),
-        F.round(
-            1.0
-            + F.count(F.lit(1))
-            / _dsum(F.log(F.col("d").cast("double") / 2.0)).cast("double"),
-            6,
+        F.when(
+            logsum > 0,
+            F.round(1.0 + F.count(F.lit(1)) / logsum, 6),
         ).alias("alpha_hill"),
     )
     return n_nodes.crossJoin(F.broadcast(stats)).select(

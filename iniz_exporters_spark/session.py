@@ -104,6 +104,56 @@ def enable_runtime_bloom_filters(
     return spark
 
 
+def _estimated_scan_splits(df, target: int):
+    """Estimate the file-scan split count from analysis-time metadata only.
+
+    Replays Spark's file bin-packing formula (FilePartition: maxSplitBytes
+    = min(maxPartitionBytes, max(openCostInBytes, total/parallelism));
+    splits ~= ceil(sum(size_i + openCost) / maxSplitBytes)) over
+    ``df.inputFiles()`` — no physical planning, unlike
+    ``df.rdd.getNumPartitions()`` which forces the full logical->RDD
+    conversion on every call. Returns None when the input is not a plain
+    local file scan (in-memory relations, non-file URIs) so the caller can
+    fall back to the cached physical count.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    # production layout shortcut: at >= 4x target files the packed split
+    # count can only fall below target under a pathological all-tiny-file
+    # layout — skip the per-file stat calls
+    if len(files) >= 4 * target:
+        return len(files)
+    from urllib.parse import unquote, urlparse
+
+    sizes = []
+    for uri in files:
+        p = urlparse(uri)
+        if p.scheme not in ("", "file"):
+            return None
+        try:
+            sizes.append(os.path.getsize(unquote(p.path)))
+        except OSError:
+            return None
+    spark = df.sparkSession
+    jvm_utils = spark.sparkContext._jvm.org.apache.spark.network.util.JavaUtils
+    max_part = jvm_utils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+    )
+    open_cost = jvm_utils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4MB")
+    )
+    total = sum(sizes) + open_cost * len(sizes)
+    max_split = min(max_part, max(open_cost, total // max(target, 1) or 1))
+    return max(1, -(-total // max(max_split, 1)))
+
+
+_SPREAD_CACHE: dict = {}
+
+
 def spread_for_kernel(df, min_factor: int = 1):
     """Ensure an expensive Python/Arrow kernel gets at least the session's
     core count of input partitions.
@@ -115,9 +165,29 @@ def spread_for_kernel(df, min_factor: int = 1):
     through UNTOUCHED, so no shuffle is added at scale; the round-robin
     repartition only triggers exactly when the input is small enough that
     the shuffle is trivial.
+
+    The split count comes from the relation's file-scan metadata
+    (``_estimated_scan_splits``) — NOT ``df.rdd.getNumPartitions()``,
+    which would force a full logical-to-RDD physical plan conversion per
+    call on hot kernel paths. Non-file inputs fall back to one physical
+    count per distinct plan, memoized by ``semanticHash``.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * min_factor
-    if df.rdd.getNumPartitions() < target:
+    n = _estimated_scan_splits(df, target)
+    if n is None:
+        try:
+            key = (df.semanticHash(), target)
+        except Exception:
+            key = None
+        if key is not None and key in _SPREAD_CACHE:
+            n = _SPREAD_CACHE[key]
+        else:
+            n = df.rdd.getNumPartitions()
+            if key is not None:
+                _SPREAD_CACHE[key] = n
+                if len(_SPREAD_CACHE) > 512:
+                    _SPREAD_CACHE.clear()
+    if n < target:
         return df.repartition(target)
     return df

@@ -177,6 +177,52 @@ def test_triangle_stats_matches_bruteforce_random(spark):
     assert r["n_edges"] == len(edges)
 
 
+def test_clustering_coeff_q_matches_bruteforce(spark):
+    """Per-node triangle counts of clustering_coeff_q vs an independent
+    brute-force over the same co-purchase graph.
+
+    Guards the wedge-closure key: the closing edge is stored in the
+    degree-oriented edge list as (src=y, dst=z) in DEGREE order; an
+    id-ordered least/greatest probe silently drops every triangle where
+    deg(y) < deg(z) but y > z numerically — and the oracle replicated
+    that bug, so only a third, brute-force implementation catches it.
+    """
+    import duckdb
+
+    from iniz_exporters_spark.queries import REGISTRY
+
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""
+        SELECT DISTINCT a.l_partkey, b.l_partkey
+        FROM read_parquet('{SF_SMALL}/lineitem.parquet') a
+        JOIN read_parquet('{SF_SMALL}/lineitem.parquet') b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        """
+    ).fetchall()
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {
+        n: sum(
+            1
+            for x, y in itertools.combinations(sorted(nbrs), 2)
+            if y in adj[x]
+        )
+        for n, nbrs in adj.items()
+    }
+    expect = sorted(
+        ((n, len(adj[n]), t) for n, t in tri.items()),
+        key=lambda r: (-r[2], r[0]),
+    )[:30]
+    got = [
+        (r["node"], r["degree"], r["n_triangles"])
+        for r in REGISTRY["clustering_coeff_q"].fn(spark, SF_SMALL).collect()
+    ]
+    assert got == expect
+
+
 # ---------------------------------------------------------------------------
 # EWMA
 # ---------------------------------------------------------------------------
