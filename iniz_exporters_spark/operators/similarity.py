@@ -43,6 +43,33 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+DEFAULT_MAX_BROADCAST_QUERIES = 100_000
+
+
+def _broadcast_guard(
+    queries: DataFrame, max_queries: int | None, what: str
+) -> None:
+    """Loud guard on the broadcast side of brute-force scoring.
+
+    The plan is scale-safe only WHILE the query set broadcasts; a
+    million-row query set would OOM executors with an opaque broadcast
+    error deep in the shuffle layer. Mirrors ``_bucket_guard``: fail
+    before the job with the actionable fix. Costs one count() job over
+    the (small by contract) query side at plan-build time.
+    """
+    if max_queries is None:
+        return
+    n = queries.limit(max_queries + 1).count()
+    if n > max_queries:
+        raise RuntimeError(
+            f"{what}: query set holds more than {max_queries} rows; a "
+            "broadcast side this large would OOM executors — use the "
+            "bucketed ANN paths (ann_bucketed / ivf_topk) for large query "
+            "sets, or raise max_queries explicitly if the executors are "
+            "sized for the broadcast"
+        )
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -50,12 +77,14 @@ def knn_bruteforce(
     vec_col: str = "embedding",
     top_k: int = 5,
     round_to: int = 4,
+    max_queries: int | None = DEFAULT_MAX_BROADCAST_QUERIES,
 ) -> DataFrame:
     """Exact top-k neighbors per query: (query_id, neighbor_id, cos, rn).
 
     Ranking uses the ROUNDED cosine with neighbor id as tiebreak so results
     are stable across engines/architectures.
     """
+    _broadcast_guard(queries, max_queries, "knn_bruteforce")
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
@@ -129,6 +158,7 @@ def hard_negatives(
     hi: float = 0.8,
     top_k: int = 5,
     round_to: int = 4,
+    max_queries: int | None = DEFAULT_MAX_BROADCAST_QUERIES,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: per query, the top-k
     most-similar corpus rows whose cosine lies in [lo, hi) — close enough
@@ -141,6 +171,7 @@ def hard_negatives(
     ranking window. Ranking is on the ROUNDED cosine with id tiebreak, so
     results are engine-stable.
     """
+    _broadcast_guard(queries, max_queries, "hard_negatives")
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )

@@ -304,20 +304,38 @@ def distributed_topo_levels(edges: DataFrame, max_iters: int = 100) -> DataFrame
     return levels.groupBy("node").agg(F.max("lvl").alias("lvl"))
 
 
-def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
-    """Weakly-connected components via min-label propagation (cols ``src``,
-    ``dst`` in; ``node``, ``component`` out, component = min node id).
+def connected_components(
+    edges: DataFrame, max_iters: int = 50, method: str = "propagation"
+) -> DataFrame:
+    """Weakly-connected components (cols ``src``, ``dst`` in; ``node``,
+    ``component`` out, component = min node id of the component).
 
-    The dedup-clustering step: near-duplicate PAIRS (MinHash/SimHash/cosine
-    output) become GROUPS by computing components over the pair graph, then
-    keeping one canonical row per component. Large-star/small-star contraction
-    halves the iteration count on pathological chains; plain propagation is
-    used here because near-dup graphs are overwhelmingly small dense
-    cliques (diameter ≤ ~3), so rounds ≈ 3. Each round is one shuffle of
-    the label frame to the pinned edge partitioning; labels only decrease,
-    and the loop stops when no label changed. Undirected closure is forced
-    by mirroring the edge list once up front.
+    Two methods, chosen by graph shape:
+
+    * ``"propagation"`` (default) — min-label propagation: rounds ≈ graph
+      DIAMETER, one label shuffle per round. The right call for near-dup
+      clustering, where pair graphs are overwhelmingly small dense cliques
+      (diameter ≤ ~3, so rounds ≈ 3) and each round is cheaper than a
+      contraction round.
+    * ``"star"`` — alternating large-star/small-star contraction (Kiveris
+      et al., "Connected Components in MapReduce and Beyond"): rounds =
+      O(log n) regardless of diameter. The 100 TB path for HIGH-DIAMETER
+      graphs (web-crawl link graphs, road networks, long chains) where
+      propagation's diameter-many shuffles would blow the round budget —
+      a 10k-node path converges in ~13 star rounds vs 10k propagation
+      rounds.
+
+    Both converge to identical labels (pytest pins equivalence on random
+    graphs); ``canonical_per_component`` keeps the propagation default.
     """
+    if method == "star":
+        return _star_components(edges, max_iters)
+    if method != "propagation":
+        raise ValueError(
+            f"unknown connected_components method {method!r}; "
+            "use 'propagation' (low-diameter cliques) or 'star' "
+            "(high-diameter graphs, O(log n) rounds)"
+        )
     und = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -358,9 +376,88 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} "
             "iterations (labels still changing); the component diameter "
-            "exceeds the budget — raise max_iters"
+            "exceeds the budget — use method='star' (O(log n) rounds on "
+            "high-diameter graphs) or raise max_iters"
         )
     return labels
+
+
+def _star_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Large-star/small-star contraction (Kiveris et al. 2014).
+
+    Each round: (1) large-star — every node links its strictly-larger
+    neighbors to the minimum of its closed neighborhood; (2) small-star —
+    edges oriented big→small, every node links all its (smaller) neighbors
+    and itself to its minimum neighbor. Component trees halve in height
+    every round, so the star forest (every edge = node→component-min)
+    emerges in O(log n) rounds — independent of diameter, unlike
+    propagation. Each round shuffles only the canonical (u, v) edge list;
+    payload rows never enter the loop.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        if e.isEmpty():
+            break
+        # large-star: over the symmetric neighborhood of each u, link
+        # every neighbor v > u to m = min(closed neighborhood of u)
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        e2 = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: edges already oriented u > v; link every smaller
+        # neighbor v (and u itself) to m = min neighbor of u
+        mins2 = e2.groupBy("u").agg(F.min("v").alias("m"))
+        new_e = (
+            e2.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        same_size = new_e.count() == e.count()
+        converged = same_size and new_e.exceptAll(e).isEmpty()
+        e = new_e
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components(method='star') did not converge in "
+            f"{max_iters} rounds — at O(log n) rounds this graph would "
+            "need > 2^max_iters nodes; raise max_iters"
+        )
+    labels = e.groupBy(F.col("u").alias("node")).agg(
+        F.min("v").alias("component")
+    )
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
 
 
 def canonical_per_component(

@@ -3,6 +3,7 @@
 distributed fixpoint variants.
 """
 
+import pyspark.sql.functions as F
 import pytest
 
 from iniz_exporters_spark.plans.graph import (
@@ -137,6 +138,55 @@ def test_fixpoint_nonconvergence_raises(spark):
     # and a budget that fits converges to the right answer
     got = {r["component"] for r in connected_components(chain, max_iters=10).collect()}
     assert got == {0}
+
+
+def test_star_components_matches_propagation_random(spark):
+    """Star contraction and min-label propagation must produce identical
+    labels on arbitrary graphs (mixed cliques + chains + singleton edge)."""
+    import random
+
+    from iniz_exporters_spark.plans.graph import connected_components
+
+    rng = random.Random(11)
+    pairs = {tuple(sorted(rng.sample(range(60), 2))) for _ in range(70)}
+    pairs |= {(100, 101)}  # isolated island
+    edges = spark.createDataFrame(sorted(pairs), "src long, dst long")
+    prop = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, method="propagation").collect()
+    }
+    star = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, method="star").collect()
+    }
+    assert star == prop
+
+
+def test_star_components_path_graph_olog_rounds(spark):
+    """A 10k-node path has diameter 10k: propagation needs ~10k rounds,
+    star contraction must converge within an O(log n) budget (30 rounds —
+    log2(10000) ~ 13.3 plus slack) and label every node with the min."""
+    from iniz_exporters_spark.plans.graph import connected_components
+
+    n = 10_000
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    got = connected_components(chain, max_iters=30, method="star")
+    agg = got.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("component").alias("c"),
+        F.min("component").alias("m"),
+    ).collect()[0]
+    assert (agg["n"], agg["c"], agg["m"]) == (n, 1, 0)
+
+
+def test_star_components_unknown_method_raises(spark):
+    from iniz_exporters_spark.plans.graph import connected_components
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="propagation"):
+        connected_components(edges, method="bogus")
 
 
 def test_canonical_per_component_with_singletons(spark):

@@ -185,6 +185,22 @@ def test_ann_hot_bucket_guard_raises(spark):
         ann_bucketed(df, max_rows=5).collect()
 
 
+def test_knn_broadcast_query_guard_raises(spark):
+    """The brute-force paths are scale-safe only while the query set
+    broadcasts — an oversized query side must fail loudly at plan-build
+    time (naming the bucketed-ANN fix), not as an opaque executor OOM."""
+    from iniz_exporters_spark.operators.similarity import hard_negatives
+
+    rows = [(i, [0.5, 0.5, 0.5, 0.5]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(RuntimeError, match="max_queries"):
+        knn_bruteforce(df, df, max_queries=5)
+    with pytest.raises(RuntimeError, match="ann_bucketed"):
+        hard_negatives(df, df, max_queries=5)
+    # at or under the bound the guard passes through
+    assert knn_bruteforce(df, df, top_k=1, max_queries=10).count() > 0
+
+
 def test_drop_all_empty_columns(spark):
     df = spark.createDataFrame(
         [("u1", None, "x", ""), ("u2", None, "", "")],
