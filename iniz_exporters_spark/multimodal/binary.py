@@ -59,20 +59,152 @@ def _try_import_pil():
         return None
 
 
-def decode_image_numpy(data: bytes):
-    """Dependency-free REAL decoder for three public image formats —
-    binary PPM (``P6``), binary PGM (``P5``), and uncompressed 24-bit BMP
-    (``BITMAPINFOHEADER``, BI_RGB) — so the real-codec branch executes
-    even without Pillow in the environment.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-    Returns ``(width, height, fmt, pixels)`` where ``pixels`` is an
-    ``(h, w, 3)`` uint8 RGB array (P6/BMP) or ``(h, w)`` grayscale (P5),
-    or ``None`` when ``data`` is not one of these formats (caller falls
-    through to Pillow / the marked fake). Format specs: Netpbm (public
-    domain), Windows BMP v3 (publicly documented).
+
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
+    """Reverse PNG per-scanline filtering (types 0-4, RFC 2083 §6).
+
+    Sub is a per-channel-lane prefix sum mod 256 (vectorized); None/Up are
+    pure numpy; Average and Paeth carry a left-pixel dependency so they
+    fall back to a per-byte loop — fine for the test/utility scale this
+    stdlib path serves (production images with heavy Paeth filtering
+    should go through the Pillow branch).
     """
     import numpy as np
 
+    stride = w * ch
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint16)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        row = np.frombuffer(raw, np.uint8, count=stride, offset=pos + 1)
+        pos += 1 + stride
+        if f == 0:
+            rec = row.copy()
+        elif f == 1:  # Sub: recon[i] = raw[i] + recon[i-ch]
+            rec = (
+                row.reshape(w, ch).cumsum(0, dtype=np.uint64) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up
+            rec = ((row + prev) % 256).astype(np.uint8)
+        elif f in (3, 4):  # Average / Paeth: sequential left dependency
+            rec = np.empty(stride, np.uint8)
+            for i in range(stride):
+                a = int(rec[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                if f == 3:
+                    rec[i] = (row[i] + (a + b) // 2) % 256
+                else:
+                    c = int(prev[i - ch]) if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                    rec[i] = (row[i] + pred) % 256
+        else:
+            return None
+        out[y] = rec
+        prev = rec.astype(np.uint16)
+    return out
+
+
+def _decode_png(data: bytes):
+    """Pure-stdlib PNG decoder: 8-bit non-interlaced grayscale / RGB /
+    RGBA (color types 0, 2, 6). DEFLATE via ``zlib``; chunk walk and
+    scanline unfiltering per the public PNG spec (RFC 2083). Returns
+    ``(w, h, "PNG", pixels)`` or None for any other PNG flavor (caller
+    falls through to Pillow / the marked fake)."""
+    import zlib
+
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        if pos + 12 + ln > len(data):
+            return None
+        if typ == b"IHDR":
+            ihdr = data[pos + 8 : pos + 8 + ln]
+        elif typ == b"IDAT":
+            idat += data[pos + 8 : pos + 8 + ln]
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8:13]
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        return None
+    if ctype not in (0, 2, 6) or w <= 0 or h <= 0:
+        return None
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    if len(raw) != h * (1 + w * ch):
+        return None
+    px = _png_unfilter(raw, h, w, ch)
+    if px is None:
+        return None
+    return w, h, "PNG", px.reshape(h, w) if ch == 1 else px.reshape(h, w, ch)
+
+
+def encode_png(px) -> bytes:
+    """Minimal PNG encoder (filter 0, one IDAT) for uint8 gray/RGB/RGBA
+    arrays — the round-trip partner of ``_decode_png``."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(px, np.uint8)
+    if a.ndim == 2:
+        h, w, ch, ctype = a.shape[0], a.shape[1], 1, 0
+    else:
+        h, w, ch = a.shape
+        ctype = {1: 0, 3: 2, 4: 6}[ch]
+    body = b"".join(
+        b"\x00" + a.reshape(h, w * ch)[y].tobytes() for y in range(h)
+    )
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(body))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image_numpy(data: bytes):
+    """Dependency-free REAL decoder for four public image formats —
+    binary PPM (``P6``), binary PGM (``P5``), uncompressed 24-bit BMP
+    (``BITMAPINFOHEADER``, BI_RGB), and 8-bit non-interlaced PNG
+    (gray/RGB/RGBA, DEFLATE via the Python stdlib ``zlib``) — so the
+    real-codec branch executes even without Pillow in the environment.
+
+    Returns ``(width, height, fmt, pixels)`` where ``pixels`` is an
+    ``(h, w, 3)`` uint8 RGB array (P6/BMP), ``(h, w, 3|4)`` for PNG
+    color types 2/6, or ``(h, w)`` grayscale (P5 / PNG type 0), or
+    ``None`` when ``data`` is not one of these formats (caller falls
+    through to Pillow / the marked fake). Format specs: Netpbm (public
+    domain), Windows BMP v3, PNG RFC 2083 — all public.
+    """
+    import numpy as np
+
+    if len(data) >= 8 and data[:8] == _PNG_SIG:
+        return _decode_png(data)
     if len(data) < 2:
         return None
     magic = data[:2]
