@@ -36,35 +36,38 @@ from iniz_exporters_spark.session import tune_for_session
 # window. Queries displaced from the window stay covered by the local gate.
 #
 # Rotation plan (tracked in PERFORMANCE.md §driver-window):
-#   r4: TPC-H suite, window family, round-3 pipeline layer   (this list)
-#   r5: next 49 never-driver-checked names in registry order
-#   r6: remainder, at which point all queries have had a driver row
+#   r4: TPC-H suite, window family, round-3 pipeline layer      (done, 49)
+#   r5: end-to-end exporter pipeline + next 48 never-checked    (this list)
+#   r6/r7/r8: remainder per the canonical ledger in PERFORMANCE.md
 # ---------------------------------------------------------------------------
-_R4_WINDOW = [
-    # TPC-H breadth (never driver-checked; q3/q4/q5 already green r01-r03)
-    "tpch_q2", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
-    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
-    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    "q4_exists_priority",
-    # window-function family
-    "window_lag_gaps", "window_rank_family", "window_range_frame",
-    "window_distinct_running", "window_fill_forward", "rank_dense_rank",
-    # round-3 LLM-pipeline layer
-    "bpe_learn_q", "bpe_apply_q", "span_dedup_trim", "dup_spans",
-    "span_novelty_q", "canonical_longest_q", "decontaminated_split_q",
-    "hll_error_check", "cms_error_check", "gopher_filter_q", "oov_rate_q",
-    "url_canonicalize_q", "host_cap_sample", "token_psi_q", "corpus_diff_q",
-    "quality_classifier", "semdedup_keep", "jl_project_q",
-    "int8_quantize_check", "bm25_search_topk", "rrf_fuse_q",
-    "ngram_jaccard_pairs",
-    # round-4 additions (registered this round, first driver look)
-    "ann_recall_check", "bpe_learn64",
+_R5_WINDOW = [
+    # round-5 addition: the reference's flagship pipeline end-to-end over
+    # the committed fixture (wide query → graph passes → prune), oracle =
+    # recursive-CTE replay in DuckDB
+    "concepts_export_q",
+    # next 48 never-driver-checked names in registry order (precomputed at
+    # r4 close, PERFORMANCE.md §driver-window; swept at sf0.001/0.01/0.1)
+    "interval_join_events", "band_lookup_prices", "grouping_sets_agg",
+    "json_extract_props", "stats_agg_family", "conditional_agg",
+    "intersect_except_custs", "levenshtein_nations", "unpivot_part_metrics",
+    "datetime_breadth", "regexp_first_word", "minmax_by_agg",
+    "null_handling_funcs", "string_funcs_breadth", "histogram_bins",
+    "sample_poly_hash", "pivot_dynamic_langs", "array_norm_embeddings",
+    "latest_per_key", "semi_join_customers", "posexplode_embeddings",
+    "connected_components_q", "array_set_ops", "multimodal_frame_stats",
+    "image_phash_q", "phash_neardup", "repetition_ratio", "vocab_topk",
+    "contamination_overlap", "kmeans_assignments", "regression_per_group",
+    "chunk_tokens_q", "scd2_intervals", "unigram_logprob", "funnel_stages",
+    "ivf_multiprobe_topk", "mixture_sample_q", "tfidf_top_terms",
+    "bm25_score", "inverted_index_q", "token_pmi_q", "pagerank_top",
+    "resample_interpolate_q", "sessionize_events", "cohort_retention_q",
+    "time_to_convert_q", "train_test_split", "pack_sequences_q",
 ]
 
 
 def _ordered_names() -> list[str]:
     """Registry names with the current rotation window first."""
-    window = ["q1_pricing_summary"] + [n for n in _R4_WINDOW if n in REGISTRY]
+    window = ["q1_pricing_summary"] + [n for n in _R5_WINDOW if n in REGISTRY]
     seen = set(window)
     return window + [n for n in REGISTRY if n not in seen]
 

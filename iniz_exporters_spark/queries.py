@@ -20,6 +20,7 @@ from collections.abc import Callable
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from iniz_exporters_spark.catalog import Catalog
@@ -13827,3 +13828,258 @@ def dup_payment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("days_apart"),
     )
+
+
+# ===========================================================================
+# End-to-end exporter pipeline as a driver-checkable query (round-5 task).
+# The reference's flagship entry point (concept_csv_export.py:124-190:
+# wide query → tree/cycle passes → topo order → exclude → column prune) has
+# been golden-tested piecewise; this registers the WHOLE composition over a
+# committed OpenMRS-subset fixture (fixtures/concepts/, generated by
+# tools/make_concept_fixtures.py) with a DuckDB oracle replaying the same
+# semantics relationally — names/mappings pivots, GROUP_CONCAT member
+# roll-ups, the PIH Number/Name cast discriminator, voided/retired filters,
+# newline-strip, exclusion, and topo depth via a recursive CTE. The exact
+# row ORDER of the export (stable Kahn) is pinned by pytest goldens; the
+# hash-checked column here is topo_level (= longest referent chain), which
+# both engines derive independently. Reads the fixture dir regardless of
+# sf_dir: the pipeline is metadata-scale by design (reference header,
+# concept_csv_export.py:3-5).
+# ===========================================================================
+
+_CONCEPT_FIXTURE_DIR = "/root/repo/fixtures/concepts"
+
+_CONCEPT_FIXTURE_TABLES = [
+    "concept", "concept_class", "concept_datatype", "concept_name",
+    "concept_description", "concept_reference_map", "concept_map_type",
+    "concept_reference_term", "concept_reference_source", "concept_numeric",
+    "concept_complex", "concept_set", "concept_answer",
+]
+
+_CE = _CONCEPT_FIXTURE_DIR  # brevity inside the oracle string
+
+
+@register(
+    "concepts_export_q",
+    f"""
+    WITH RECURSIVE
+    concept AS (SELECT * FROM read_parquet('{_CE}/concept.parquet')),
+    cclass AS (SELECT * FROM read_parquet('{_CE}/concept_class.parquet')),
+    cdt AS (SELECT * FROM read_parquet('{_CE}/concept_datatype.parquet')),
+    cname AS (SELECT * FROM read_parquet('{_CE}/concept_name.parquet')),
+    cdesc AS (SELECT * FROM read_parquet('{_CE}/concept_description.parquet')),
+    crm AS (SELECT * FROM read_parquet('{_CE}/concept_reference_map.parquet')),
+    cmt AS (SELECT * FROM read_parquet('{_CE}/concept_map_type.parquet')),
+    crt AS (SELECT * FROM read_parquet('{_CE}/concept_reference_term.parquet')),
+    crs AS (SELECT * FROM read_parquet('{_CE}/concept_reference_source.parquet')),
+    cnum AS (SELECT * FROM read_parquet('{_CE}/concept_numeric.parquet')),
+    ccx AS (SELECT * FROM read_parquet('{_CE}/concept_complex.parquet')),
+    cset AS (SELECT * FROM read_parquet('{_CE}/concept_set.parquet')),
+    cans AS (SELECT * FROM read_parquet('{_CE}/concept_answer.parquet')),
+    fsn AS (
+        SELECT concept_id, MAX(name) AS name FROM cname
+        WHERE voided = 0 AND locale = 'en'
+          AND concept_name_type = 'FULLY_SPECIFIED'
+        GROUP BY concept_id
+    ),
+    names AS (
+        SELECT concept_id,
+               MAX(CASE WHEN locale='en' AND concept_name_type='FULLY_SPECIFIED'
+                        THEN name END) AS fsn_en,
+               MAX(CASE WHEN locale='en' AND concept_name_type='SHORT'
+                        THEN name END) AS short_en,
+               MAX(CASE WHEN locale='es' AND concept_name_type='FULLY_SPECIFIED'
+                        THEN name END) AS fsn_es
+        FROM cname WHERE voided = 0 GROUP BY concept_id
+    ),
+    descr AS (
+        SELECT concept_id,
+               MAX(replace(replace(description, chr(13), ''), chr(10), ''))
+                   AS desc_en
+        FROM cdesc WHERE locale = 'en' GROUP BY concept_id
+    ),
+    mapped AS (
+        SELECT crm.concept_id, cmt.name AS map_type, crs.name AS src_name,
+               crt.code,
+               COALESCE(TRY_CAST(regexp_extract(crt.code,
+                   '^\\s*\\+?([0-9]+)', 1) AS BIGINT), 0) <> 0 AS is_num
+        FROM crm
+        JOIN cmt ON crm.concept_map_type_id = cmt.concept_map_type_id
+        JOIN crt ON crm.concept_reference_term_id = crt.concept_reference_term_id
+               AND crt.retired = 0
+        JOIN crs ON crt.concept_source_id = crs.concept_source_id
+        WHERE cmt.name IN ('SAME-AS', 'NARROWER-THAN')
+    ),
+    mapcols AS (
+        SELECT concept_id,
+               string_agg(DISTINCT CASE WHEN map_type='SAME-AS'
+                   AND src_name='PIH' AND NOT is_num THEN code END,
+                   ';' ORDER BY CASE WHEN map_type='SAME-AS'
+                   AND src_name='PIH' AND NOT is_num THEN code END)
+                   AS same_pih_name,
+               string_agg(DISTINCT CASE WHEN map_type='SAME-AS'
+                   AND src_name='PIH' AND is_num THEN code END,
+                   ';' ORDER BY CASE WHEN map_type='SAME-AS'
+                   AND src_name='PIH' AND is_num THEN code END)
+                   AS same_pih_num,
+               string_agg(DISTINCT CASE WHEN map_type='SAME-AS'
+                   AND src_name='CIEL' THEN code END,
+                   ';' ORDER BY CASE WHEN map_type='SAME-AS'
+                   AND src_name='CIEL' THEN code END) AS same_ciel,
+               string_agg(DISTINCT CASE WHEN map_type='NARROWER-THAN'
+                   AND src_name='CIEL' THEN code END,
+                   ';' ORDER BY CASE WHEN map_type='NARROWER-THAN'
+                   AND src_name='CIEL' THEN code END) AS narrower_ciel
+        FROM mapped GROUP BY concept_id
+    ),
+    member_pairs AS (
+        SELECT cset.concept_set AS concept_id, fsn.name,
+               MIN(cset.sort_weight) AS w
+        FROM cset
+        JOIN concept ch ON cset.concept_id = ch.concept_id AND ch.retired = 0
+        JOIN fsn ON ch.concept_id = fsn.concept_id
+        GROUP BY cset.concept_set, fsn.name
+    ),
+    members AS (
+        SELECT concept_id, string_agg(name, ';' ORDER BY w, name) AS members
+        FROM member_pairs GROUP BY concept_id
+    ),
+    answer_pairs AS (
+        SELECT cans.concept_id, fsn.name, MIN(cans.sort_weight) AS w
+        FROM cans
+        JOIN concept ch ON cans.answer_concept = ch.concept_id
+                       AND ch.retired = 0
+        JOIN fsn ON ch.concept_id = fsn.concept_id
+        GROUP BY cans.concept_id, fsn.name
+    ),
+    answers AS (
+        SELECT concept_id, string_agg(name, ';' ORDER BY w, name) AS answers
+        FROM answer_pairs GROUP BY concept_id
+    ),
+    final AS (
+        SELECT c.concept_id, c.uuid, n.fsn_en AS key,
+               n.short_en, n.fsn_es, d.desc_en,
+               cl.name AS class_name, dt.name AS dt_name,
+               a.answers, m.members,
+               mc.same_pih_name, mc.same_pih_num, mc.same_ciel,
+               mc.narrower_ciel,
+               num.hi_absolute, num.low_absolute, num.units,
+               num.display_precision, num.allow_decimal,
+               cx.handler
+        FROM concept c
+        JOIN cclass cl ON c.class_id = cl.concept_class_id
+        JOIN cdt dt ON c.datatype_id = dt.concept_datatype_id
+        JOIN names n ON c.concept_id = n.concept_id
+        LEFT JOIN descr d ON c.concept_id = d.concept_id
+        LEFT JOIN mapcols mc ON c.concept_id = mc.concept_id
+        LEFT JOIN members m ON c.concept_id = m.concept_id
+        LEFT JOIN answers a ON c.concept_id = a.concept_id
+        LEFT JOIN cnum num ON c.concept_id = num.concept_id
+        LEFT JOIN ccx cx ON c.concept_id = cx.concept_id
+        WHERE c.retired = 0 AND n.fsn_en <> 'Orphan'
+    ),
+    edges AS (
+        SELECT p.key AS parent_key, f.key AS child_key
+        FROM cset e
+        JOIN final p ON e.concept_set = p.concept_id
+        JOIN final f ON e.concept_id = f.concept_id
+        UNION
+        SELECT p.key, f.key
+        FROM cans e
+        JOIN final p ON e.concept_id = p.concept_id
+        JOIN final f ON e.answer_concept = f.concept_id
+    ),
+    depth AS (
+        SELECT key, 0 AS l FROM final
+        UNION ALL
+        SELECT e.parent_key, d.l + 1
+        FROM edges e JOIN depth d ON d.key = e.child_key
+    ),
+    lvl AS (SELECT key, MAX(l) AS topo_level FROM depth GROUP BY key)
+    SELECT f.uuid,
+           CAST(NULL AS VARCHAR) AS "Void/Retire",
+           f.key AS "Fully specified name:en",
+           COALESCE(f.short_en, '') AS "Short name:en",
+           COALESCE(f.fsn_es, '') AS "Fully specified name:es",
+           COALESCE(f.desc_en, '') AS "Description:en",
+           f.class_name AS "Data class",
+           f.dt_name AS "Data type",
+           COALESCE(f.answers, '') AS "Answers",
+           COALESCE(f.members, '') AS "Members",
+           COALESCE(f.same_pih_name, '') AS "Mappings|SAME-AS|PIH|Name",
+           COALESCE(f.same_pih_num, '') AS "Mappings|SAME-AS|PIH|Number",
+           COALESCE(f.same_ciel, '') AS "Mappings|SAME-AS|CIEL",
+           COALESCE(f.narrower_ciel, '') AS "Mappings|NARROWER-THAN|CIEL",
+           f.hi_absolute AS "Absolute high",
+           f.low_absolute AS "Absolute low",
+           COALESCE(f.units, '') AS "Units",
+           CAST(f.display_precision AS BIGINT) AS "Display precision",
+           CAST(f.allow_decimal AS BIGINT) AS "Allow decimals",
+           COALESCE(f.handler, '') AS "Complex data handler",
+           CAST(lvl.topo_level AS BIGINT) AS topo_level
+    FROM final f JOIN lvl ON f.key = lvl.key
+    """,
+)
+def concepts_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship pipeline end-to-end
+    (concept_csv_export.py:124-190) on the committed fixture, plus a
+    ``topo_level`` column (longest referent chain) derived from the final
+    rows — the oracle recomputes it with a recursive CTE, so a silent
+    break anywhere in the composition flips this driver row."""
+    from iniz_exporters_spark.exporters.concepts import (
+        ConceptExportConfig,
+        export_concepts,
+    )
+    from iniz_exporters_spark.plans.graph import edges_from_rows
+
+    tables = {
+        n: spark.read.parquet(f"{_CONCEPT_FIXTURE_DIR}/{n}.parquet")
+        for n in _CONCEPT_FIXTURE_TABLES
+    }
+    cfg = ConceptExportConfig(
+        locales=["en", "es"],
+        concept_sources=["PIH|Name", "PIH|Number", "CIEL"],
+        mapping_types=["SAME-AS", "NARROWER-THAN"],
+        exclude_keys=["Orphan"],
+    )
+    cols, rows = export_concepts(spark, tables, cfg)
+
+    key = cfg.key
+    edges = edges_from_rows(rows, key)
+    present = {r[key] for r in rows}
+    levels: dict[str, int] = {}
+
+    def level(n: str) -> int:
+        if n not in levels:
+            kids = [c for c in edges.get(n, ()) if c in present and c != n]
+            levels[n] = 0 if not kids else 1 + max(level(c) for c in kids)
+        return levels[n]
+
+    double_cols = {"Absolute high", "Absolute low"}
+    long_cols = {"Display precision", "Allow decimals"}
+    out_rows = []
+    for r in rows:
+        rec = {}
+        for c in cols:
+            v = r.get(c)
+            if c in double_cols:
+                rec[c] = float(v) if v not in (None, "") else None
+            elif c in long_cols:
+                rec[c] = int(v) if v not in (None, "") else None
+            else:
+                rec[c] = v
+        rec["topo_level"] = level(r[key])
+        out_rows.append(rec)
+
+    fields = []
+    for c in cols:
+        t = (
+            T.DoubleType()
+            if c in double_cols
+            else T.LongType()
+            if c in long_cols
+            else T.StringType()
+        )
+        fields.append(T.StructField(c, t, True))
+    fields.append(T.StructField("topo_level", T.LongType(), False))
+    return spark.createDataFrame(out_rows, T.StructType(fields))

@@ -26,7 +26,7 @@ def test_window_head_is_flagship():
 def test_window_names_all_registered_with_oracles():
     from iniz_exporters_spark.queries import REGISTRY
 
-    missing = [n for n in ENTRY._R4_WINDOW if n not in REGISTRY]
+    missing = [n for n in ENTRY._R5_WINDOW if n not in REGISTRY]
     assert missing == [], f"window names not in REGISTRY: {missing}"
     osql = ENTRY.oracle_sql()
     window = list(ENTRY.queries())[:50]
@@ -37,11 +37,14 @@ def test_window_names_all_registered_with_oracles():
 
 def test_window_targets_never_driver_checked_queries():
     """Rotation only helps if the window actually reaches queries with no
-    prior driver row — pin against the recorded r03 correctness file."""
-    path = "/root/repo/CORRECTNESS_r03.json"
-    if not os.path.exists(path):
+    prior driver row — pin against every recorded correctness file."""
+    prev: set = set()
+    for r in range(1, 5):
+        path = f"/root/repo/CORRECTNESS_r0{r}.json"
+        if os.path.exists(path):
+            prev |= set(json.load(open(path)))
+    if not prev:
         return
-    prev = set(json.load(open(path)))
     window = list(ENTRY.queries())[1:50]
     already = [n for n in window if n in prev]
     assert already == [], f"window wastes slots on driver-checked: {already}"

@@ -298,3 +298,36 @@ def test_concept_set_rows():
          "#Fully specified name:en": "Beta", "Member Type": "CONCEPT-SET",
          "Sort Weight": 2, "Void/Retire": None},
     ]
+
+
+def test_concepts_export_q_fixture_contract(spark):
+    """The registry's end-to-end pipeline query over the committed fixture:
+    pins the nested-set topo levels, the ordering contract (referents
+    before referrers in the export order implies level-consistency), and
+    spot values through every pipeline stage — so the driver row and this
+    local contract fail together, not silently apart."""
+    from iniz_exporters_spark.queries import REGISTRY
+
+    rows = {
+        r["Fully specified name:en"]: r
+        for r in REGISTRY["concepts_export_q"].fn(spark, "unused").collect()
+    }
+    assert set(rows) == {
+        "Weight", "Height", "Vitals", "Labs", "Yes", "No", "Colour",
+        "Hemoglobin",
+    }  # retired dropped, Orphan excluded
+    levels = {k: r["topo_level"] for k, r in rows.items()}
+    assert levels == {
+        "Weight": 0, "Height": 0, "Yes": 0, "No": 0, "Hemoglobin": 0,
+        "Colour": 1, "Vitals": 1, "Labs": 2,
+    }
+    w = rows["Weight"]
+    assert w["Description:en"] == "Bodyweight"  # newline stripped
+    assert w["Mappings|SAME-AS|PIH|Name"] == "WEIGHT"
+    assert w["Mappings|SAME-AS|PIH|Number"] == "123"
+    assert w["Absolute low"] == 0.0  # numeric zero survives pruning
+    assert rows["Height"]["Mappings|SAME-AS|CIEL"] == "1342;5090"
+    assert rows["Vitals"]["Members"] == "Height;Weight"  # sort_weight order
+    assert rows["Labs"]["Members"] == "Hemoglobin;Vitals"
+    assert rows["Colour"]["Answers"] == "Yes;No"
+    assert rows["Hemoglobin"]["Mappings|SAME-AS|CIEL"] == "21"  # retired term out
