@@ -14083,3 +14083,367 @@ def concepts_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         fields.append(T.StructField(c, t, True))
     fields.append(T.StructField("topo_level", T.LongType(), False))
     return spark.createDataFrame(out_rows, T.StructType(fields))
+
+
+# ===========================================================================
+# Batch V — round-5 additions: star-contraction components on a
+# high-diameter graph, CCNet-style perplexity buckets, margin-based
+# bitext mining, a grouping-sets dataset card, and near-dup cluster
+# observability. Each entry: Spark plan + DuckDB oracle + pytest
+# contract (tests/test_round5_ops.py).
+# ===========================================================================
+
+
+# Connected components via large-star/small-star contraction on a graph
+# whose components are CHAINS (consecutive orders per customer) — the
+# high-diameter shape where plain propagation needs diameter-many rounds
+# and star contraction needs O(log n). Scale shape: edges from one LAG
+# window per customer partition (no self-join), then each contraction
+# round shuffles only the canonical (u, v) edge list; converged star
+# forest = one shuffle-free final label projection. The oracle replays
+# components as recursive min-reachability.
+@register(
+    "star_components_q",
+    """
+    WITH RECURSIVE e AS (
+        SELECT prev AS src, o_orderkey AS dst FROM (
+            SELECT o_orderkey,
+                   LAG(o_orderkey) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey)
+                       AS prev
+            FROM orders WHERE o_custkey % 100 = 0
+        ) WHERE prev IS NOT NULL
+    ),
+    und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    reach(node, r) AS (
+        SELECT src, src FROM und
+        UNION
+        SELECT u.dst, reach.r FROM reach JOIN und u ON reach.node = u.src
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT component, CAST(COUNT(*) AS BIGINT) AS chain_len
+    FROM comp GROUP BY component
+    """,
+)
+def star_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders.filter(F.col("o_custkey") % 100 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    edges = (
+        o.select(
+            F.col("o_orderkey").alias("dst"),
+            F.lag("o_orderkey").over(w).alias("src"),
+        )
+        .filter(F.col("src").isNotNull())
+        .select("src", "dst")
+    )
+    comps = connected_components(edges, method="star")
+    return comps.groupBy("component").agg(
+        F.count("*").cast("long").alias("chain_len")
+    )
+
+
+# CCNet-style perplexity bucketing (Wenzek et al. 2020): score each doc
+# with a self-trained unigram LM, then split each source into
+# head/middle/tail perplexity tertiles — the standard quality-stratified
+# sampling input. Scale shape: the unigram model is one vocab-scale agg
+# broadcast back as a join (token table never collected); per-doc scoring
+# is one explode + join + sum; the tertile is one NTILE window per source
+# partition. Cross-log determinism: logprobs are 12-dp-quantized decimals
+# before summation, perplexity rounds to 6 dp with doc_id tiebreaks.
+@register(
+    "ccnet_bucket_q",
+    """
+    WITH tok AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text <> ''
+    ),
+    vocab AS (
+        SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+    ),
+    tot AS (SELECT SUM(c) AS n FROM vocab),
+    lp AS (
+        SELECT w, CAST(ROUND(ln(c / CAST(n AS DOUBLE)), 12)
+                       AS DECIMAL(28,12)) AS logp
+        FROM vocab, tot
+    ),
+    doc AS (
+        SELECT t.doc_id, t.source,
+               COUNT(*) AS n_tok,
+               CAST(ROUND(exp(-CAST(SUM(lp.logp) AS DOUBLE) / COUNT(*)), 6)
+                    AS DOUBLE) AS ppl
+        FROM tok t JOIN lp ON t.w = lp.w
+        GROUP BY t.doc_id, t.source
+    ),
+    bucketed AS (
+        SELECT source, ppl,
+               NTILE(3) OVER (PARTITION BY source
+                              ORDER BY ppl, doc_id) AS tertile
+        FROM doc
+    )
+    SELECT source,
+           CASE tertile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(ROUND(CAST(SUM(CAST(ppl AS DECIMAL(28,12)))
+                AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS mean_ppl
+    FROM bucketed GROUP BY source, tertile
+    """,
+)
+def ccnet_bucket_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents.filter(F.col("text") != "")
+    tok = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("n"))
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.round(F.log(F.col("c") / F.col("n").cast("double")), 12)
+        .cast("decimal(28,12)")
+        .alias("logp"),
+    )
+    doc = (
+        tok.join(lp, "w")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.round(
+                F.exp(-F.sum("logp").cast("double") / F.count("*")), 6
+            ).alias("ppl"),
+        )
+    )
+    wb = Window.partitionBy("source").orderBy("ppl", "doc_id")
+    bucketed = doc.select(
+        "source", "ppl", F.ntile(3).over(wb).alias("tertile")
+    )
+    bucket = (
+        F.when(F.col("tertile") == 1, "head")
+        .when(F.col("tertile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return bucketed.groupBy("source", bucket.alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(
+            F.sum(F.col("ppl").cast("decimal(28,12)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_ppl"),
+    )
+
+
+# Margin-based bitext/pair mining (Artetxe & Schwenk 2019 ratio margin):
+# candidate pair score = cos(x, y) / (0.5 * (avg top-k cos of x + avg
+# top-k cos of y)); pairs whose margin > 1 are "closer than their
+# neighborhoods" — the standard parallel-pair mining criterion, reused
+# here for hard-positive mining between two label groups. Scale shape:
+# the SOURCE side is a sampled query set that BROADCASTS against one scan
+# of the target group (the corpus never shuffles for scoring); top-k
+# neighborhood means are rank windows over the scored pair table keyed by
+# either endpoint. Cosines round to 4 dp (the established cross-engine
+# contract), margins to 6 dp.
+@register(
+    "margin_ratio_pairs_q",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    src AS (SELECT vec_id AS x, v FROM e
+            WHERE label = 0 AND vec_id % 3 = 0),
+    tgt AS (SELECT vec_id AS y, v FROM e WHERE label = 1),
+    pairs AS (
+        SELECT src.x, tgt.y,
+               ROUND(list_cosine_similarity(src.v, tgt.v), 4) AS cos
+        FROM src CROSS JOIN tgt
+    ),
+    rx AS (
+        SELECT x, y, cos,
+               ROW_NUMBER() OVER (PARTITION BY x
+                                  ORDER BY cos DESC, y) AS rnx
+        FROM pairs
+    ),
+    ax AS (
+        SELECT x, CAST(ROUND(CAST(SUM(CAST(cos AS DECIMAL(28,12)))
+                 AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS avgk_x
+        FROM rx WHERE rnx <= 4 GROUP BY x
+    ),
+    ry AS (
+        SELECT x, y, cos,
+               ROW_NUMBER() OVER (PARTITION BY y
+                                  ORDER BY cos DESC, x) AS rny
+        FROM pairs
+    ),
+    ay AS (
+        SELECT y, CAST(ROUND(CAST(SUM(CAST(cos AS DECIMAL(28,12)))
+                 AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS avgk_y
+        FROM ry WHERE rny <= 4 GROUP BY y
+    ),
+    scored AS (
+        SELECT p.x, p.y, p.cos,
+               ROUND(p.cos / (0.5 * (ax.avgk_x + ay.avgk_y)), 6) AS margin
+        FROM pairs p JOIN ax ON p.x = ax.x JOIN ay ON p.y = ay.y
+    )
+    SELECT x AS src_id, y AS tgt_id, cos, margin FROM (
+        SELECT x, y, cos, margin,
+               ROW_NUMBER() OVER (PARTITION BY x
+                                  ORDER BY margin DESC, y) AS rn
+        FROM scored
+    ) t WHERE rn = 1 AND margin > 1.0
+    """,
+)
+def margin_ratio_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iniz_exporters_spark.operators.similarity import cosine
+
+    e = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+    src = e.filter((F.col("label") == 0) & (F.col("vec_id") % 3 == 0)).select(
+        F.col("vec_id").alias("x"), F.col("v").alias("xv")
+    )
+    tgt = e.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("y"), F.col("v").alias("yv")
+    )
+    pairs = tgt.crossJoin(F.broadcast(src)).select(
+        "x", "y", F.round(cosine(F.col("xv"), F.col("yv")), 4).alias("cos")
+    )
+    wx = Window.partitionBy("x").orderBy(F.desc("cos"), "y")
+    ax = (
+        pairs.withColumn("rnx", F.row_number().over(wx))
+        .filter(F.col("rnx") <= 4)
+        .groupBy("x")
+        .agg(
+            F.round(
+                F.sum(F.col("cos").cast("decimal(28,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avgk_x")
+        )
+    )
+    wy = Window.partitionBy("y").orderBy(F.desc("cos"), "x")
+    ay = (
+        pairs.withColumn("rny", F.row_number().over(wy))
+        .filter(F.col("rny") <= 4)
+        .groupBy("y")
+        .agg(
+            F.round(
+                F.sum(F.col("cos").cast("decimal(28,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avgk_y")
+        )
+    )
+    scored = (
+        pairs.join(F.broadcast(ax), "x")
+        .join(F.broadcast(ay), "y")
+        .select(
+            "x",
+            "y",
+            "cos",
+            F.round(
+                F.col("cos") / (0.5 * (F.col("avgk_x") + F.col("avgk_y"))), 6
+            ).alias("margin"),
+        )
+    )
+    wbest = Window.partitionBy("x").orderBy(F.desc("margin"), "y")
+    return (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .filter((F.col("rn") == 1) & (F.col("margin") > 1.0))
+        .select(
+            F.col("x").alias("src_id"),
+            F.col("y").alias("tgt_id"),
+            "cos",
+            "margin",
+        )
+    )
+
+
+# Per-source dataset card: the one-pass observability summary a corpus
+# curator reads before mixing (docs, chars, token mass, language mix,
+# exact-dup rate, length quantiles) at three grains via ROLLUP
+# ((source, lang), (source), ()) — Catalyst expands the grouping sets in
+# ONE shuffle instead of three unioned aggregations. Exact-dup rate uses
+# the cross-engine poly_hash of the text; quantiles interpolate type-7 in
+# both engines (Spark percentile == DuckDB quantile_cont).
+@register(
+    "dataset_card_q",
+    f"""
+    WITH d AS (
+        SELECT source, lang, n_chars,
+               len(string_split(text, ' ')) AS n_tok,
+               {_SQL_POLY.format(s="text")} AS th
+        FROM documents
+    )
+    SELECT COALESCE(source, '<all>') AS source,
+           COALESCE(lang, '<all>') AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT th) AS BIGINT) AS n_distinct_texts,
+           CAST(ROUND(1.0 - COUNT(DISTINCT th) / CAST(COUNT(*) AS DOUBLE),
+                6) AS DOUBLE) AS dup_rate,
+           CAST(ROUND(quantile_cont(n_chars, 0.5), 6) AS DOUBLE) AS p50_chars,
+           CAST(ROUND(quantile_cont(n_chars, 0.9), 6) AS DOUBLE) AS p90_chars
+    FROM d GROUP BY ROLLUP (source, lang)
+    """,
+)
+def dataset_card_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        poly_hash("text").alias("th"),
+    )
+    return d.rollup("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.countDistinct("th").cast("long").alias("n_distinct_texts"),
+        F.round(
+            1.0 - F.countDistinct("th") / F.count("*").cast("double"), 6
+        ).alias("dup_rate"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 6).alias("p90_chars"),
+    ).select(
+        F.coalesce("source", F.lit("<all>")).alias("source"),
+        F.coalesce("lang", F.lit("<all>")).alias("lang"),
+        "n_docs", "total_chars", "total_tokens", "n_distinct_texts",
+        "dup_rate", "p50_chars", "p90_chars",
+    )
+
+
+# Near-dup cluster observability: cluster docs by their opening-8-token
+# template hash (the boilerplate pre-filter), then report the cluster
+# SIZE DISTRIBUTION — how many clusters of each size, the mass trapped in
+# clusters >= 2, and the dedup rate if each cluster kept one canonical
+# row. The histogram a dedup run is tuned by. Scale shape: two
+# vocabulary-scale aggregations (hash -> size, size -> histogram); doc
+# payloads never shuffle.
+@register(
+    "dedup_cluster_stats_q",
+    f"""
+    WITH p AS (
+        SELECT doc_id,
+               {_SQL_POLY.format(
+                   s="array_to_string(list_slice(" + _SQL_TOKENS
+                   + ", 1, 8), ' ')")} AS h
+        FROM documents WHERE len({_SQL_TOKENS}) >= 8
+    ),
+    cl AS (SELECT h, COUNT(*) AS sz FROM p GROUP BY h)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz - 1) AS BIGINT) AS n_dropped_if_deduped
+    FROM cl GROUP BY sz
+    """,
+)
+def dedup_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    t = _tokens("text")
+    p = d.filter(F.size(t) >= 8).select(
+        poly_hash(F.array_join(F.slice(t, 1, 8), " ")).alias("h")
+    )
+    cl = p.groupBy("h").agg(F.count("*").alias("sz"))
+    return cl.groupBy(F.col("sz").cast("long").alias("cluster_size")).agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.sum(F.col("sz") - 1).cast("long").alias("n_dropped_if_deduped"),
+    )

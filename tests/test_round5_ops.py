@@ -1,0 +1,123 @@
+"""Invariant/bound contracts for the round-5 batch-V registry queries
+(star components, CCNet perplexity buckets, margin pair mining, dataset
+card, dedup cluster stats) — every registry entry lands with a local
+contract in addition to its oracle row (round-4 convention)."""
+
+import pyspark.sql.functions as F
+
+from iniz_exporters_spark.queries import REGISTRY
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_star_components_q_matches_propagation(spark):
+    """The registered star-contraction query must label the chain graph
+    identically to min-label propagation over the same edges."""
+    from iniz_exporters_spark.catalog import Catalog
+    from iniz_exporters_spark.plans.graph import connected_components
+    from pyspark.sql import Window
+
+    o = Catalog(spark, SF_SMALL).orders.filter(F.col("o_custkey") % 100 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    edges = (
+        o.select(
+            F.col("o_orderkey").alias("dst"),
+            F.lag("o_orderkey").over(w).alias("src"),
+        )
+        .filter(F.col("src").isNotNull())
+        .select("src", "dst")
+    )
+    prop = {
+        (r["component"], r["chain_len"])
+        for r in connected_components(edges, method="propagation")
+        .groupBy("component")
+        .agg(F.count("*").alias("chain_len"))
+        .collect()
+    }
+    got = {
+        (r["component"], r["chain_len"])
+        for r in REGISTRY["star_components_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == prop
+    # every chain is one component per customer: sizes are >= 2 (an edge
+    # exists) and total node count equals the sum of chain lengths
+    assert all(n >= 2 for _, n in got)
+
+
+def test_ccnet_bucket_q_partitions_and_orders(spark):
+    """Tertiles partition each source and mean perplexity must be
+    monotone head <= middle <= tail (the bucketing's entire point)."""
+    from iniz_exporters_spark.catalog import Catalog
+
+    rows = REGISTRY["ccnet_bucket_q"].fn(spark, SF_SMALL).collect()
+    per_source: dict = {}
+    for r in rows:
+        per_source.setdefault(r["source"], {})[r["bucket"]] = r
+    n_docs = (
+        Catalog(spark, SF_SMALL)
+        .documents.filter(F.col("text") != "")
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    expected = {r["source"]: r["count"] for r in n_docs}
+    for src, buckets in per_source.items():
+        assert set(buckets) == {"head", "middle", "tail"}
+        assert sum(b["n_docs"] for b in buckets.values()) == expected[src]
+        assert (
+            buckets["head"]["mean_ppl"]
+            <= buckets["middle"]["mean_ppl"]
+            <= buckets["tail"]["mean_ppl"]
+        )
+
+
+def test_margin_ratio_pairs_q_contract(spark):
+    """One best pair per source vector, margin strictly > 1 (the ratio
+    criterion), cosine within [-1, 1]."""
+    rows = REGISTRY["margin_ratio_pairs_q"].fn(spark, SF_SMALL).collect()
+    assert rows, "sampled source set must mine at least one pair"
+    srcs = [r["src_id"] for r in rows]
+    assert len(srcs) == len(set(srcs))
+    for r in rows:
+        assert r["margin"] > 1.0
+        assert -1.0 <= r["cos"] <= 1.0
+
+
+def test_dataset_card_q_rollup_consistency(spark):
+    """The <all> grand-total row must equal the sum of per-source rows,
+    and each per-source row the sum of its (source, lang) rows; dup_rate
+    stays in [0, 1) and quantiles are ordered p50 <= p90."""
+    rows = REGISTRY["dataset_card_q"].fn(spark, SF_SMALL).collect()
+    grand = [r for r in rows if r["source"] == "<all>" and r["lang"] == "<all>"]
+    assert len(grand) == 1
+    per_source = [
+        r for r in rows if r["source"] != "<all>" and r["lang"] == "<all>"
+    ]
+    leaves = [
+        r for r in rows if r["source"] != "<all>" and r["lang"] != "<all>"
+    ]
+    assert grand[0]["n_docs"] == sum(r["n_docs"] for r in per_source)
+    assert grand[0]["total_tokens"] == sum(r["total_tokens"] for r in per_source)
+    for s in per_source:
+        mine = [r for r in leaves if r["source"] == s["source"]]
+        assert s["n_docs"] == sum(r["n_docs"] for r in mine)
+        assert s["total_chars"] == sum(r["total_chars"] for r in mine)
+    for r in rows:
+        assert 0.0 <= r["dup_rate"] < 1.0
+        assert r["p50_chars"] <= r["p90_chars"]
+        assert r["n_distinct_texts"] <= r["n_docs"]
+
+
+def test_dedup_cluster_stats_q_mass_conservation(spark):
+    """Cluster histogram must conserve document mass: sum over rows of
+    n_docs equals the number of docs with >= 8 tokens, and per row
+    n_docs = cluster_size * n_clusters, dropped = n_docs - n_clusters."""
+    from iniz_exporters_spark.catalog import Catalog
+
+    rows = REGISTRY["dedup_cluster_stats_q"].fn(spark, SF_SMALL).collect()
+    d = Catalog(spark, SF_SMALL).documents
+    eligible = d.filter(F.size(F.split("text", " ")) >= 8).count()
+    assert sum(r["n_docs"] for r in rows) == eligible
+    for r in rows:
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+        assert r["n_dropped_if_deduped"] == r["n_docs"] - r["n_clusters"]
