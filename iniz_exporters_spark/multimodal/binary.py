@@ -205,6 +205,10 @@ def decode_image_numpy(data: bytes):
 
     if len(data) >= 8 and data[:8] == _PNG_SIG:
         return _decode_png(data)
+    if len(data) >= 4 and data[:2] == b"\xff\xd8":
+        from iniz_exporters_spark.multimodal.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     if len(data) < 2:
         return None
     magic = data[:2]

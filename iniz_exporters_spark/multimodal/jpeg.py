@@ -1,0 +1,567 @@
+"""Dependency-free baseline JPEG codec (numpy only).
+
+Clean-room implementation from the public ITU-T T.81 spec + JFIF notes:
+baseline sequential DCT, 8-bit precision, grayscale or YCbCr, arbitrary
+sampling factors up to 2x2, restart markers. Progressive, arithmetic,
+12-bit and hierarchical modes return ``None`` (the caller falls through
+to Pillow or the marked fake). The matching minimal encoder exists so
+tests can round-trip real compressed payloads without any imaging
+library in the container.
+
+Used by ``multimodal.binary.decode_image_numpy`` for payloads starting
+with the SOI marker. Like the PNG path, this serves the in-container
+real-codec branch; production piles of photographic JPEG should still
+prefer the Pillow branch when that library is present (its SIMD decode
+is faster and implements fancy upsampling).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Zig-zag scan order (T.81 figure A.6 — public spec constant).
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# Example quantization tables, T.81 Annex K.1 (public spec constants).
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# Typical Huffman tables, T.81 Annex K.3 (public spec constants):
+# (BITS counts per code length 1..16, HUFFVAL symbol list).
+HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """8x8 DCT-II basis C with C[u, x] = c(u)/2 * cos((2x+1)u*pi/16);
+    FDCT(f) = C @ f @ C.T, IDCT(F) = C.T @ F @ C."""
+    C = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            C[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return C
+
+
+_C = _dct_matrix()
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict:
+    """(length, code) -> symbol map from a T.81 (BITS, HUFFVAL) spec."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _encode_codes(bits: list[int], vals: list[int]) -> dict:
+    """symbol -> (code, length) map for the encoder."""
+    return {
+        sym: (code, length)
+        for (length, code), sym in _canonical_codes(bits, vals).items()
+    }
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    byte-unstuffing; stops at (and reports) RST/other markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> bool:
+        if self.pos >= len(self.data):
+            return False
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                self.marker = nxt
+                return False  # real marker: stop feeding bits
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.nbits += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self.nbits == 0 and not self._fill():
+            raise EOFError("entropy stream exhausted")
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_skip_rst(self) -> None:
+        """Byte-align and consume an expected RSTn marker."""
+        self.bitbuf = 0
+        self.nbits = 0
+        if (
+            self.marker is None
+            and self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.marker = self.data[self.pos + 1]
+        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+            self.pos += 2  # consume FF Dn
+            self.marker = None
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map a t-bit magnitude to its signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _huff_decode(br: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def decode_jpeg(data: bytes):
+    """Decode a baseline JPEG. Returns ``(w, h, "JPEG", pixels)`` with
+    pixels ``(h, w)`` uint8 for grayscale or ``(h, w, 3)`` RGB, or
+    ``None`` for any non-baseline flavor or parse failure."""
+    try:
+        return _decode_jpeg_strict(data)
+    except Exception:
+        return None
+
+
+def _decode_jpeg_strict(data: bytes):
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    frame = None  # (h, w, comps) with comps = [(cid, hsamp, vsamp, tq)]
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            return None  # reached EOI before a scan
+        seg_len = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        seg = data[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                prec, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if prec == 0:
+                    qt = np.frombuffer(seg, np.uint8, 64, i).astype(np.int32)
+                    i += 64
+                else:
+                    qt = np.frombuffer(seg, ">u2", 64, i).astype(np.int32)
+                    i += 128
+                qts[tq] = qt
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                i += 17 + n
+                tbl = _canonical_codes(bits, vals)
+                (dc_tables if tc == 0 else ac_tables)[th] = tbl
+        elif marker == 0xC0:  # SOF0 baseline
+            if seg[0] != 8:
+                return None  # only 8-bit precision
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            comps = []
+            for ci in range(nc):
+                cid = seg[6 + 3 * ci]
+                hv = seg[7 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 15, seg[8 + 3 * ci]))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # extended/progressive/arithmetic: not baseline
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                return None
+            ns = seg[0]
+            scan = []
+            for si in range(ns):
+                cs = seg[1 + 2 * si]
+                tda = seg[2 + 2 * si]
+                scan.append((cs, tda >> 4, tda & 15))
+            return _decode_scan(
+                data, pos + 2 + seg_len, frame, scan, qts,
+                dc_tables, ac_tables, restart_interval,
+            )
+        pos += 2 + seg_len
+    return None
+
+
+def _decode_scan(data, pos, frame, scan, qts, dc_tables, ac_tables, dri):
+    h, w, comps = frame
+    if h <= 0 or w <= 0 or len(comps) not in (1, 3):
+        return None
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax not in (1, 2) or vmax not in (1, 2):
+        return None
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    by_id = {cs: (td, ta) for cs, td, ta in scan}
+
+    planes = []
+    for cid, hs, vs, tq in comps:
+        planes.append(np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), np.float64))
+
+    br = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    mcu_index = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if dri and mcu_index and mcu_index % dri == 0:
+                br.align_and_skip_rst()
+                preds = [0] * len(comps)
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                td, ta = by_id[cid]
+                dct, act = dc_tables[td], ac_tables[ta]
+                qt = qts[tq]
+                for by in range(vs):
+                    for bx in range(hs):
+                        coeffs = np.zeros(64, np.int32)
+                        t = _huff_decode(br, dct)
+                        diff = _extend(br.receive(t), t)
+                        preds[ci] += diff
+                        coeffs[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(br, act)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            coeffs[k] = _extend(br.receive(s), s)
+                            k += 1
+                        blk = np.zeros(64, np.float64)
+                        blk[ZIGZAG] = coeffs * qt
+                        px = _C.T @ blk.reshape(8, 8) @ _C + 128.0
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_index += 1
+
+    # upsample each component to full resolution (sample replication)
+    full = []
+    for (cid, hs, vs, tq), plane in zip(comps, planes):
+        up = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(up[:h, :w])
+    if len(comps) == 1:
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return w, h, "JPEG", out
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255)
+    return w, h, "JPEG", rgb.astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Minimal encoder (tests' round-trip partner): baseline, standard Annex K
+# tables, 4:4:4 or 4:2:0, optional restart interval.
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size t, t-bit code) for a signed DCT value (T.81 F.1.2.1)."""
+    t = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    code = v if v >= 0 else v + (1 << t) - 1
+    return t, code
+
+
+def _encode_block(bw, block, qt, dc_codes, ac_codes, pred):
+    coeffs = np.round((_C @ (block - 128.0) @ _C.T) / qt.reshape(8, 8))
+    zz = coeffs.reshape(64)[ZIGZAG].astype(np.int64)
+    diff = int(zz[0]) - pred
+    t, code = _magnitude(diff) if diff else (0, 0)
+    c, ln = dc_codes[t]
+    bw.write(c, ln)
+    if t:
+        bw.write(code, t)
+    run = 0
+    last = 63
+    while last > 0 and zz[last] == 0:
+        last -= 1
+    for k in range(1, last + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL
+            bw.write(c, ln)
+            run -= 16
+        t, code = _magnitude(int(zz[k]))
+        c, ln = ac_codes[(run << 4) | t]
+        bw.write(c, ln)
+        bw.write(code, t)
+        run = 0
+    if last < 63:
+        c, ln = ac_codes[0x00]  # EOB
+        bw.write(c, ln)
+    return int(zz[0])
+
+
+def encode_jpeg(px, subsample: bool = False, restart_interval: int = 0) -> bytes:
+    """Baseline JPEG encoder for uint8 grayscale ``(h, w)`` or RGB
+    ``(h, w, 3)`` arrays: standard Annex K quant + Huffman tables,
+    4:4:4 by default or 4:2:0 with ``subsample=True``, optional restart
+    markers. The decoder's round-trip partner for tests."""
+    a = np.asarray(px, np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    if gray:
+        planes = [a.astype(np.float64)]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        rgb = a.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            # pad to even dims, then 2x2 box average
+            ph, pw = (h + 1) & ~1, (w + 1) & ~1
+            def pad(p):
+                out = np.empty((ph, pw))
+                out[:h, :w] = p
+                out[h:, :w] = p[h - 1 :, :]
+                out[:, w:] = out[:, w - 1 : w]
+                return out
+            cbp, crp = pad(cb), pad(cr)
+            cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qsel = [0, 1, 1]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    padded = []
+    for (hs, vs), p in zip(samp, planes):
+        th, tw = mcus_y * vs * 8, mcus_x * hs * 8
+        q = np.empty((th, tw))
+        ph, pw = p.shape
+        q[:ph, :pw] = p
+        if ph < th:
+            q[ph:, :pw] = p[ph - 1 :, :]
+        if pw < tw:
+            q[:, pw:] = q[:, pw - 1 : pw]
+        padded.append(q)
+
+    qts = [QT_LUMA, QT_CHROMA]
+    dc_specs = [HUFF_DC_LUMA, HUFF_DC_CHROMA]
+    ac_specs = [HUFF_AC_LUMA, HUFF_AC_CHROMA]
+    dc_codes = [_encode_codes(*s) for s in dc_specs]
+    ac_codes = [_encode_codes(*s) for s in ac_specs]
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_index = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                preds = [0] * len(planes)
+            for ci, ((hs, vs), p) in enumerate(zip(samp, padded)):
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        preds[ci] = _encode_block(
+                            bw,
+                            p[y0 : y0 + 8, x0 : x0 + 8],
+                            qts[qsel[ci]].astype(np.float64),
+                            dc_codes[qsel[ci]],
+                            ac_codes[qsel[ci]],
+                            preds[ci],
+                        )
+            mcu_index += 1
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")
+    for tq, qt in enumerate(qts[: 1 if gray else 2]):
+        out += seg(0xDB, bytes([tq]) + bytes(qt[ZIGZAG].astype(np.uint8)))
+    nc = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qsel[ci]])
+    out += seg(0xC0, sof)
+    for tc, specs in ((0, dc_specs), (1, ac_specs)):
+        for th, (bits, vals) in enumerate(specs[: 1 if gray else 2]):
+            out += seg(
+                0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+            )
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, (qsel[ci] << 4) | qsel[ci]])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

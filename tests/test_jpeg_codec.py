@@ -1,0 +1,104 @@
+"""Baseline JPEG codec contracts (pure numpy/stdlib, no Pillow):
+round-trips through the real entropy-coded path, subsampling, restart
+markers, rejection of non-baseline flavors, and the Spark mapInPandas
+real-codec branch over JPEG payloads."""
+
+import numpy as np
+import pytest
+
+from iniz_exporters_spark.multimodal.binary import decode_image_numpy
+from iniz_exporters_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+
+def test_gray_flat_roundtrip_exact():
+    """A flat field quantizes to a pure DC block — decode must be exact."""
+    px = np.full((16, 24), 128, np.uint8)
+    got = decode_jpeg(encode_jpeg(px))
+    assert got is not None
+    w, h, fmt, out = got
+    assert (w, h, fmt) == (24, 16, "JPEG")
+    np.testing.assert_array_equal(out, px)
+
+
+def test_gray_gradient_low_error():
+    px = np.linspace(0, 255, 17 * 23).reshape(17, 23).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(px))
+    assert got is not None
+    out = got[3]
+    assert out.shape == px.shape
+    rmse = float(np.sqrt(((out.astype(float) - px) ** 2).mean()))
+    assert rmse < 3.0  # lossy, but must track the signal
+
+
+def test_color_roundtrip_and_subsampling():
+    # the color boundary sits at row 16 — an MCU boundary even for 4:2:0
+    # (16x16 MCUs), so no block straddles the edge and both halves must
+    # survive within quantization error
+    px = np.zeros((32, 16, 3), np.uint8)
+    px[:16] = [200, 30, 40]
+    px[16:] = [10, 180, 90]
+    for subsample in (False, True):
+        got = decode_jpeg(encode_jpeg(px, subsample=subsample))
+        assert got is not None
+        w, h, fmt, out = got
+        assert (w, h, out.shape) == (16, 32, (32, 16, 3))
+        err_top = np.abs(out[:16].astype(int) - px[:16].astype(int)).max()
+        err_bot = np.abs(out[16:].astype(int) - px[16:].astype(int)).max()
+        assert err_top <= 6 and err_bot <= 6
+
+
+def test_odd_dimensions_with_420():
+    """4:2:0 with odd width/height exercises the padding + upsample-crop
+    path; a flat image must come back (nearly) exact at full size."""
+    px = np.zeros((17, 19, 3), np.uint8)
+    px[...] = [100, 150, 50]
+    got = decode_jpeg(encode_jpeg(px, subsample=True))
+    assert got is not None
+    assert got[3].shape == (17, 19, 3)
+    assert np.abs(got[3].astype(int) - px.astype(int)).max() <= 2
+
+
+def test_restart_markers():
+    px = np.arange(32 * 40 * 3, dtype=np.uint8).reshape(32, 40, 3)
+    plain = decode_jpeg(encode_jpeg(px))
+    rst = decode_jpeg(encode_jpeg(px, restart_interval=2))
+    assert plain is not None and rst is not None
+    # restart markers change the byte stream but not the decoded pixels
+    np.testing.assert_array_equal(plain[3], rst[3])
+
+
+def test_rejects_non_baseline_and_garbage():
+    good = encode_jpeg(np.full((8, 8), 99, np.uint8))
+    # flip SOF0 (C0) to SOF2 (C2, progressive) — must be rejected
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_jpeg(prog) is None
+    assert decode_jpeg(good[:20]) is None  # truncated mid-segment
+    assert decode_jpeg(b"\xff\xd8\xff\xd9") is None  # SOI+EOI, no scan
+    assert decode_jpeg(b"not a jpeg at all") is None
+
+
+def test_dispatch_through_decode_image_numpy():
+    px = np.full((10, 12), 64, np.uint8)
+    got = decode_image_numpy(encode_jpeg(px))
+    assert got is not None
+    assert got[:3] == (12, 10, "JPEG")
+
+
+def test_image_phash_real_jpeg_pixels(spark):
+    """image_phash over real JPEG payloads, no Pillow: the same gradient
+    that hand-derives to 00000000ffffffff in PGM/PNG must hash identically
+    through the lossy JPEG path (aHash thresholds at the mean, so the
+    small quantization error cannot flip any bit of this pattern)."""
+    from iniz_exporters_spark.multimodal.binary import image_phash
+
+    grad = np.kron(
+        np.arange(64, dtype=np.uint8).reshape(8, 8),
+        np.ones((2, 2), dtype=np.uint8),
+    )
+    rgb = np.repeat(grad[:, :, None], 3, axis=2)
+    rows = [(1, encode_jpeg(grad)), (2, encode_jpeg(rgb))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in
+           image_phash(df, "payload", "media_id").collect()}
+    for i in (1, 2):
+        assert got[i]["phash"] == "00000000ffffffff"
