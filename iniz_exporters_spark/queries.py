@@ -14447,3 +14447,149 @@ def dedup_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sz").cast("long").alias("n_docs"),
         F.sum(F.col("sz") - 1).cast("long").alias("n_dropped_if_deduped"),
     )
+
+
+# LSH candidate-quality evaluation: the aggregate precision of the
+# banded MinHash candidate generator at the production threshold — the
+# number a pipeline tunes band geometry against before trusting LSH at
+# 100 TB (companion to ann_recall_check on the vector side and
+# minhash_estimate_q's per-pair view). Scale shape: identical to
+# neardup_pairs (signatures per-row, only (band, bucket) keys shuffle,
+# exact verify joins carry ids + shingle sets); the final aggregate is
+# one row.
+@register(
+    "lsh_precision_eval_q",
+    f"""
+    WITH {_sql_minhash_sigs(16)},
+    bands AS (
+        SELECT doc_id, j // 4 AS band,
+               list_reduce(list(minhash ORDER BY j),
+                           (a, b) -> (a * 31 + b) % 1000000007) AS bucket
+        FROM sig GROUP BY doc_id, j // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+               ROUND(len(list_intersect(ha.hs, hb.hs))::DOUBLE
+                     / (len(ha.hs) + len(hb.hs)
+                        - len(list_intersect(ha.hs, hb.hs))), 4) AS jaccard
+        FROM cand
+        JOIN sh ha ON ha.doc_id = id_a
+        JOIN sh hb ON hb.doc_id = id_b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN jaccard >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true,
+           CAST(ROUND(SUM(CASE WHEN jaccard >= 0.7 THEN 1 ELSE 0 END)
+                / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS precision_at_07
+    FROM scored
+    """,
+)
+def lsh_precision_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    pairs = neardup_pairs(
+        d, "doc_id", "text", threshold=0.0, num_perm=16, rows_per_band=4, k=5
+    )
+    true_flag = (F.col("jaccard") >= 0.7).cast("long")
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.sum(true_flag).cast("long").alias("n_true"),
+        F.round(
+            F.sum(true_flag) / F.count("*").cast("double"), 6
+        ).alias("precision_at_07"),
+    )
+
+
+# Stratified eval split: per (source, lang) stratum take the first
+# ceil(10%) of docs in content-hash order — proportional representation
+# that a plain global hash split does not guarantee for small strata.
+# Scale shape: one rank window per stratum partition (parallel across
+# strata) + one count agg; the hash order makes the split deterministic
+# and engine-identical. Companion to train_test_split (global hash split).
+@register(
+    "stratified_split_q",
+    f"""
+    WITH d AS (
+        SELECT source, lang,
+               ROW_NUMBER() OVER (PARTITION BY source, lang
+                   ORDER BY {_SQL_POLY.format(s="text")}, doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY source, lang) AS n
+        FROM documents
+    )
+    SELECT source, lang,
+           CAST(MAX(n) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN rk <= CAST(CEIL(0.1 * n) AS BIGINT)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_eval
+    FROM d GROUP BY source, lang
+    """,
+)
+def stratified_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    ws = Window.partitionBy("source", "lang")
+    wr = ws.orderBy(poly_hash("text"), "doc_id")
+    ranked = d.select(
+        "source",
+        "lang",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(ws).alias("n"),
+    )
+    is_eval = (
+        F.col("rk") <= F.ceil(0.1 * F.col("n")).cast("long")
+    ).cast("long")
+    return ranked.groupBy("source", "lang").agg(
+        F.max("n").cast("long").alias("n_total"),
+        F.sum(is_eval).cast("long").alias("n_eval"),
+    )
+
+
+# Inter-event gap distribution per user stream — the measurement that
+# justifies a sessionization threshold (session_window's 30-minute gap
+# is a tuning choice; this query shows what the data actually does).
+# Scale shape: one LAG window per user partition, then a single global
+# aggregate; quantiles interpolate type-7 in both engines.
+@register(
+    "session_gap_stats_q",
+    """
+    WITH gaps AS (
+        SELECT (epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)))
+                   / 1000000.0 AS gap_s
+        FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(ROUND(CAST(SUM(CAST(gap_s AS DECIMAL(28,12))) AS DOUBLE)
+                / COUNT(*), 6) AS DOUBLE) AS mean_gap_s,
+           CAST(ROUND(quantile_cont(gap_s, 0.5), 6) AS DOUBLE) AS p50_gap_s,
+           CAST(ROUND(quantile_cont(gap_s, 0.9), 6) AS DOUBLE) AS p90_gap_s,
+           CAST(ROUND(SUM(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END)
+                / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS pct_over_30m
+    FROM gaps WHERE gap_s IS NOT NULL
+    """,
+)
+def session_gap_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        (
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+            / 1_000_000.0
+        ).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    over = (F.col("gap_s") > 1800).cast("long")
+    return gaps.agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.round(
+            F.sum(F.col("gap_s").cast("decimal(28,12)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.5)), 6).alias("p50_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.9)), 6).alias("p90_gap_s"),
+        F.round(F.sum(over) / F.count("*").cast("double"), 6).alias(
+            "pct_over_30m"
+        ),
+    )

@@ -121,3 +121,47 @@ def test_dedup_cluster_stats_q_mass_conservation(spark):
     for r in rows:
         assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
         assert r["n_dropped_if_deduped"] == r["n_docs"] - r["n_clusters"]
+
+
+def test_lsh_precision_eval_q_bounds(spark):
+    """Precision is n_true / n_candidates within [0, 1]; the candidate
+    set must contain every pair that neardup_pairs reports at the
+    production threshold (candidates ⊇ verified near-dups)."""
+    from iniz_exporters_spark.operators.dedup import neardup_pairs
+    from iniz_exporters_spark.catalog import Catalog
+
+    r = REGISTRY["lsh_precision_eval_q"].fn(spark, SF_SMALL).collect()[0]
+    assert r["n_candidates"] >= r["n_true"] >= 0
+    assert abs(
+        r["precision_at_07"] - round(r["n_true"] / r["n_candidates"], 6)
+    ) < 1e-9
+    d = Catalog(spark, SF_SMALL).documents
+    n_prod = neardup_pairs(
+        d, "doc_id", "text", threshold=0.7, num_perm=16, rows_per_band=4, k=5
+    ).count()
+    assert r["n_true"] == n_prod
+
+
+def test_stratified_split_q_proportional(spark):
+    """Every stratum gets exactly ceil(10%) eval rows — the guarantee a
+    global hash split cannot make for small strata."""
+    import math
+
+    rows = REGISTRY["stratified_split_q"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["n_eval"] == math.ceil(0.1 * r["n_total"])
+
+
+def test_session_gap_stats_q_sanity(spark):
+    """Gap count = events - distinct users (one LAG null per user);
+    quantiles ordered; share over 30 min within [0, 1]."""
+    from iniz_exporters_spark.catalog import Catalog
+
+    r = REGISTRY["session_gap_stats_q"].fn(spark, SF_SMALL).collect()[0]
+    ev = Catalog(spark, SF_SMALL).events
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert r["n_gaps"] == n_events - n_users
+    assert 0 <= r["p50_gap_s"] <= r["p90_gap_s"]
+    assert 0.0 <= r["pct_over_30m"] <= 1.0
