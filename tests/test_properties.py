@@ -141,3 +141,71 @@ def _bpe_reference(rows, k):
 @settings(max_examples=200, deadline=None)
 def test_bpe_incremental_matches_recount_reference(vocab, k):
     assert _bpe_learn_driver(list(vocab), k) == _bpe_reference(vocab, k)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 codec properties (PNG lossless, JPEG flat-field exactness)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    ch=st.sampled_from([1, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_lossless_property(h, w, ch, seed):
+    """PNG is lossless: encode->decode must return the exact array for
+    every shape and color type."""
+    import numpy as np
+
+    from iniz_exporters_spark.multimodal.binary import (
+        decode_image_numpy,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    got = decode_image_numpy(encode_png(px))
+    assert got is not None
+    gw, gh, fmt, out = got
+    assert (gw, gh, fmt) == (w, h, "PNG")
+    np.testing.assert_array_equal(out, px)
+
+
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    val=st.integers(0, 255),
+    color=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_flat_field_near_exact_property(h, w, val, color):
+    """A flat field is pure DC energy: baseline JPEG round-trip must
+    reconstruct it within +/-1 (DC quantizer step 16 with exact-integer
+    level shift; chroma rounding can move one LSB)."""
+    import numpy as np
+
+    from iniz_exporters_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    shape = (h, w, 3) if color else (h, w)
+    px = np.full(shape, val, np.uint8)
+    got = decode_jpeg(encode_jpeg(px))
+    assert got is not None
+    gw, gh, fmt, out = got
+    assert (gw, gh) == (w, h)
+    assert np.abs(out.astype(int) - int(val)).max() <= 1
+
+
+@given(data=st.binary(max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_jpeg_decoder_never_crashes_on_garbage(data):
+    """Arbitrary bytes (with or without an SOI prefix) must decode to
+    None or a valid array — never raise."""
+    from iniz_exporters_spark.multimodal.jpeg import decode_jpeg
+
+    for payload in (data, b"\xff\xd8" + data):
+        got = decode_jpeg(payload)
+        assert got is None or len(got) == 4
