@@ -14359,7 +14359,9 @@ def margin_ratio_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # curator reads before mixing (docs, chars, token mass, language mix,
 # exact-dup rate, length quantiles) at three grains via ROLLUP
 # ((source, lang), (source), ()) — Catalyst expands the grouping sets in
-# ONE shuffle instead of three unioned aggregations. Exact-dup rate uses
+# one pass (two exchanges total: the expand-aggregate plus the
+# distinct-count second phase) instead of three unioned aggregations.
+# Exact-dup rate uses
 # the cross-engine poly_hash of the text; quantiles interpolate type-7 in
 # both engines (Spark percentile == DuckDB quantile_cont).
 @register(
