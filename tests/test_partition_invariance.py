@@ -41,6 +41,14 @@ SENSITIVE = [
     "association_rules_q",    # double-ordered top-k w/ pa/pb tiebreak
     "maxsim_q",               # rounded-cosine max + decimal sum
     "cuped_q",                # theta from cross-row decimal moments
+    # round-5 batches V-W
+    "star_components_q",      # contraction rounds must not leak layout
+    "ccnet_bucket_q",         # NTILE over rounded perplexities
+    "margin_ratio_pairs_q",   # rounded-cosine top-k both directions
+    "dataset_card_q",         # rollup + distinct + type-7 quantiles
+    "lsh_precision_eval_q",   # banded candidates + exact verify
+    "stratified_split_q",     # content-hash rank per stratum
+    "concepts_export_q",      # whole exporter pipeline + topo levels
 ]
 
 
