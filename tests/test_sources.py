@@ -123,3 +123,37 @@ def test_json_orc_csv_roundtrip_matches_parquet(spark, tmp_path):
         "escape", '"'
     ).option("multiLine", True).csv(c)
     assert sorted(map(tuple, got_csv.collect())) == want
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """DPP: a selective filter on the DIM side must inject a
+    dynamicpruningexpression into the fact scan's PartitionFilters — at
+    100 TB this is what turns a star join over a partitioned fact table
+    into a read of only the matching partitions, without the query author
+    repeating the dim predicate on the fact side."""
+    import pyspark.sql.functions as F
+
+    p = str(tmp_path / "fact")
+    fact = spark.range(0, 10_000).select(
+        (F.col("id") % 10).alias("region_id"), F.col("id").alias("amount")
+    )
+    fact.write.partitionBy("region_id").parquet(p)
+    dim = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(10)], ["rid", "rname"]
+    )
+    j = (
+        spark.read.parquet(p)
+        .join(dim, F.col("region_id") == F.col("rid"))
+        .filter(F.col("rname") == "r3")
+        .groupBy("rname")
+        .agg(F.sum("amount").alias("s"))
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    pruned = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "dynamicpruning" in ln.lower()
+    ]
+    assert pruned, plan
+    # and the pruning is an optimization, not a semantics change
+    assert [tuple(r) for r in j.collect()] == [("r3", 4_998_000)]
