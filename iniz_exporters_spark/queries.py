@@ -14595,3 +14595,144 @@ def session_gap_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_over_30m"
         ),
     )
+
+
+# End-to-end LOCATIONS exporter as a driver row (companion to
+# concepts_export_q — the second of the reference's three entry points,
+# location_csv_export.py:74-102): self-join parent lookup, dynamic
+# Tag|<name> indicator pivot, dynamic Attribute|<type> value pivot,
+# fixed-prefix column contract. The committed fixture
+# (fixtures/locations/, tools/make_location_fixtures.py) includes a
+# child-before-parent id, 0/1/many tags and attributes, a retired
+# location, and a ':'-bearing attribute value (the reference bug we do
+# not reproduce). The oracle replays both pivots as grouped CASE
+# aggregates.
+_LOC_FIXTURE_DIR = "/root/repo/fixtures/locations"
+
+
+@register(
+    "locations_export_q",
+    f"""
+    WITH loc AS (SELECT * FROM read_parquet('{_LOC_FIXTURE_DIR}/location.parquet')),
+    ltm AS (SELECT * FROM read_parquet('{_LOC_FIXTURE_DIR}/location_tag_map.parquet')),
+    lt AS (SELECT * FROM read_parquet('{_LOC_FIXTURE_DIR}/location_tag.parquet')),
+    la AS (SELECT * FROM read_parquet('{_LOC_FIXTURE_DIR}/location_attribute.parquet')),
+    lat AS (SELECT * FROM read_parquet('{_LOC_FIXTURE_DIR}/location_attribute_type.parquet')),
+    tags AS (
+        SELECT ltm.location_id,
+               MAX(CASE WHEN lt.name = 'Lab Location' THEN 'TRUE' END)
+                   AS tag_lab,
+               MAX(CASE WHEN lt.name = 'Login Location' THEN 'TRUE' END)
+                   AS tag_login,
+               MAX(CASE WHEN lt.name = 'Visit Location' THEN 'TRUE' END)
+                   AS tag_visit
+        FROM ltm JOIN lt ON ltm.location_tag_id = lt.location_tag_id
+        GROUP BY ltm.location_id
+    ),
+    attrs AS (
+        SELECT la.location_id,
+               MAX(CASE WHEN lat.name = 'Beds' THEN la.value_reference END)
+                   AS a_beds,
+               MAX(CASE WHEN lat.name = 'Code' THEN la.value_reference END)
+                   AS a_code,
+               MAX(CASE WHEN lat.name = 'URL' THEN la.value_reference END)
+                   AS a_url
+        FROM la JOIN lat
+          ON la.attribute_type_id = lat.location_attribute_type_id
+        GROUP BY la.location_id
+    )
+    SELECT l.uuid AS "UUID",
+           CAST(l.retired AS INT) AS "Void/Retire",
+           l.name AS "Name",
+           l.description AS "Description",
+           p.name AS "Parent",
+           a.a_beds AS "Attribute|Beds",
+           a.a_code AS "Attribute|Code",
+           a.a_url AS "Attribute|URL",
+           t.tag_lab AS "Tag|Lab Location",
+           t.tag_login AS "Tag|Login Location",
+           t.tag_visit AS "Tag|Visit Location"
+    FROM loc l
+    LEFT JOIN loc p ON l.parent_location = p.location_id
+    LEFT JOIN attrs a ON l.location_id = a.location_id
+    LEFT JOIN tags t ON l.location_id = t.location_id
+    """,
+)
+def locations_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The locations pipeline end-to-end on the committed fixture (reads
+    the fixture dir regardless of sf_dir — metadata-scale by design).
+    Output ordering (location_id asc) is pinned by pytest; the driver's
+    order-insensitive hash checks every exported value and the
+    data-discovered pivot schema."""
+    from iniz_exporters_spark.exporters.locations import (
+        build_locations_export,
+    )
+
+    tables = {
+        n: spark.read.parquet(f"{_LOC_FIXTURE_DIR}/{n}.parquet")
+        for n in (
+            "location", "location_tag_map", "location_tag",
+            "location_attribute", "location_attribute_type",
+        )
+    }
+    cols, df = build_locations_export(tables)
+    return df
+
+
+# End-to-end SET-CREATOR (the third reference entry point,
+# concept_set_csv_creator.py:40-77): the first CSV row is the set
+# concept, every following row becomes a member row with 1-based Sort
+# Weight in input order. Driver-side by design (the input is a
+# metadata-scale curation CSV; the reference reads it with csv.reader);
+# the fixture's member uuids sort in input order so the oracle can
+# replay Sort Weight relationally.
+_SET_FIXTURE_CSV = "/root/repo/fixtures/set_creator/input.csv"
+
+
+@register(
+    "concept_set_q",
+    f"""
+    WITH c AS (
+        SELECT * FROM read_csv('{_SET_FIXTURE_CSV}', header = true,
+                               all_varchar = true)
+    ),
+    s AS (SELECT uuid FROM c WHERE "Fully specified name:en" = 'My Set'),
+    m AS (
+        SELECT uuid, "Fully specified name:en" AS fsn,
+               ROW_NUMBER() OVER (ORDER BY uuid) AS sw
+        FROM c WHERE uuid <> (SELECT uuid FROM s)
+    )
+    SELECT s.uuid AS "Concept",
+           m.uuid AS "Member",
+           m.fsn AS "#Fully specified name:en",
+           'CONCEPT-SET' AS "Member Type",
+           CAST(m.sw AS BIGINT) AS "Sort Weight",
+           CAST(NULL AS VARCHAR) AS "Void/Retire"
+    FROM m CROSS JOIN s
+    """,
+)
+def concept_set_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 reshape end-to-end over the committed curation CSV."""
+    import csv as _csv
+
+    from iniz_exporters_spark.exporters.set_creator import concept_set_rows
+
+    with open(_SET_FIXTURE_CSV) as f:
+        concepts = list(_csv.DictReader(f, dialect="excel"))
+    fieldnames, rows = concept_set_rows(concepts)
+    out = [
+        {
+            k: (None if r.get(k) in (None, "") else r.get(k))
+            if k == "Void/Retire"
+            else r.get(k)
+            for k in fieldnames
+        }
+        for r in rows
+    ]
+    fields = [
+        T.StructField(
+            k, T.LongType() if k == "Sort Weight" else T.StringType(), True
+        )
+        for k in fieldnames
+    ]
+    return spark.createDataFrame(out, T.StructType(fields))

@@ -165,3 +165,41 @@ def test_session_gap_stats_q_sanity(spark):
     assert r["n_gaps"] == n_events - n_users
     assert 0 <= r["p50_gap_s"] <= r["p90_gap_s"]
     assert 0.0 <= r["pct_over_30m"] <= 1.0
+
+
+def test_locations_export_q_contract(spark):
+    """End-to-end locations row: ordering by location_id, dynamic pivot
+    schema discovered (sorted attributes then sorted tags), parent names
+    resolved across the child-before-parent id, ':' value intact."""
+    df = REGISTRY["locations_export_q"].fn(spark, "unused")
+    assert df.columns == [
+        "UUID", "Void/Retire", "Name", "Description", "Parent",
+        "Attribute|Beds", "Attribute|Code", "Attribute|URL",
+        "Tag|Lab Location", "Tag|Login Location", "Tag|Visit Location",
+    ]
+    rows = [r.asDict() for r in df.collect()]
+    assert [r["UUID"] for r in rows] == [
+        "uuid-ward", "uuid-hq", "uuid-old", "uuid-clinic", "uuid-lab",
+        "uuid-remote",
+    ]
+    by = {r["UUID"]: r for r in rows}
+    assert by["uuid-ward"]["Parent"] == "Clinic"  # child id < parent id
+    assert by["uuid-clinic"]["Attribute|URL"] == "http://x:8080"
+    assert by["uuid-old"]["Void/Retire"] == 1
+    assert by["uuid-lab"]["Tag|Lab Location"] == "TRUE"
+    assert by["uuid-remote"]["Parent"] is None
+
+
+def test_concept_set_q_contract(spark):
+    """Set-creator row: first CSV row is the set, members get 1-based
+    Sort Weight in input order, empty Void/Retire becomes NULL."""
+    rows = [
+        r.asDict()
+        for r in REGISTRY["concept_set_q"].fn(spark, "unused").collect()
+    ]
+    assert [(r["Member"], r["Sort Weight"]) for r in rows] == [
+        ("m01", 1), ("m02", 2), ("m03", 3), ("m04", 4),
+    ]
+    assert all(r["Concept"] == "set-uuid" for r in rows)
+    assert all(r["Member Type"] == "CONCEPT-SET" for r in rows)
+    assert all(r["Void/Retire"] is None for r in rows)
