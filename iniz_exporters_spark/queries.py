@@ -14736,3 +14736,33 @@ def concept_set_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in fieldnames
     ]
     return spark.createDataFrame(out, T.StructType(fields))
+
+
+# The fourth (mini) reference entry point as a driver row: the
+# order-types SQL export (sql/ordertypes.sql:1-9) — self left-join for
+# the parent uuid, fixed header spellings ('Uuid', 'Java class name',
+# Parent last), ordered by primary key. Completes driver coverage of
+# every reference entry point (concepts / locations / set-creator /
+# ordertypes).
+_OT_FIXTURE = "/root/repo/fixtures/ordertypes/order_type.parquet"
+
+
+@register(
+    "ordertypes_export_q",
+    f"""
+    WITH ot AS (SELECT * FROM read_parquet('{_OT_FIXTURE}'))
+    SELECT t.uuid AS "Uuid",
+           CAST(t.retired AS INT) AS "Void/Retire",
+           t.name AS "Name",
+           t.description AS "Description",
+           t.java_class_name AS "Java class name",
+           p.uuid AS "Parent"
+    FROM ot t LEFT JOIN ot p ON t.parent = p.order_type_id
+    """,
+)
+def ordertypes_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iniz_exporters_spark.exporters.hierarchy import (
+        ordertypes_sql_export,
+    )
+
+    return ordertypes_sql_export(spark.read.parquet(_OT_FIXTURE))

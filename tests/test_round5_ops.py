@@ -203,3 +203,20 @@ def test_concept_set_q_contract(spark):
     assert all(r["Concept"] == "set-uuid" for r in rows)
     assert all(r["Member Type"] == "CONCEPT-SET" for r in rows)
     assert all(r["Void/Retire"] is None for r in rows)
+
+
+def test_ordertypes_export_q_contract(spark):
+    """Order-types row: reference header spellings, pk ordering, parent
+    uuid resolution, retired row kept with its flag."""
+    df = REGISTRY["ordertypes_export_q"].fn(spark, "unused")
+    assert df.columns == [
+        "Uuid", "Void/Retire", "Name", "Description", "Java class name",
+        "Parent",
+    ]
+    rows = [r.asDict() for r in df.collect()]
+    assert [r["Uuid"] for r in rows] == [
+        "uuid-drug", "uuid-test", "uuid-lab", "uuid-rad",
+    ]
+    assert rows[2]["Parent"] == "uuid-test"
+    assert rows[3]["Void/Retire"] == 1
+    assert rows[0]["Parent"] is None
