@@ -1,0 +1,187 @@
+"""Third-implementation cross-checks for complex analytic queries.
+
+The DuckDB-oracle gate proves Spark and the oracle AGREE — but both are
+written from the same design, so a shared misconception passes the gate
+(round 4's clustering_coeff_q wedge-closure bug did exactly that).
+These tests recompute the metric a THIRD way — plain Python over the raw
+parquet, written independently from the definition — and require the
+registered query to match. Small scale (sf0.001) keeps brute force
+tractable; the point is algorithmic independence, not speed.
+"""
+
+import itertools
+import math
+
+import duckdb
+import pytest
+
+from iniz_exporters_spark.queries import REGISTRY
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _copurchase_edges():
+    con = duckdb.connect()
+    return con.execute(
+        f"""
+        SELECT DISTINCT a.l_partkey, b.l_partkey
+        FROM read_parquet('{SF_SMALL}/lineitem.parquet') a
+        JOIN read_parquet('{SF_SMALL}/lineitem.parquet') b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        """
+    ).fetchall()
+
+
+def test_adamic_adar_q_matches_bruteforce(spark):
+    """Adamic-Adar from the definition: for every part pair, sum
+    1/ln(|order|) over shared orders with >= 2 distinct parts."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT DISTINCT l_orderkey, l_partkey
+        FROM read_parquet('{SF_SMALL}/lineitem.parquet')
+        """
+    ).fetchall()
+    orders: dict[int, set[int]] = {}
+    for o, p in rows:
+        orders.setdefault(o, set()).add(p)
+    from collections import defaultdict
+    from decimal import Decimal, ROUND_HALF_UP
+
+    score: dict = defaultdict(lambda: [0, Decimal(0)])
+    for parts in orders.values():
+        if len(parts) < 2:
+            continue
+        w = Decimal(repr(1.0 / math.log(len(parts)))).quantize(
+            Decimal("1e-12")
+        )
+        for pa, pb in itertools.combinations(sorted(parts), 2):
+            score[(pa, pb)][0] += 1
+            score[(pa, pb)][1] += w
+    expect = sorted(
+        ((pa, pb, n, w) for (pa, pb), (n, w) in score.items()),
+        key=lambda r: (-r[3], r[0], r[1]),
+    )[:30]
+    expect = [(pa, pb, n, float(round(w, 6))) for pa, pb, n, w in expect]
+    got = [
+        (r["pa"], r["pb"], r["n_common"], r["aa_score"])
+        for r in REGISTRY["adamic_adar_q"].fn(spark, SF_SMALL).collect()
+    ]
+    assert got == expect
+
+
+def test_kcore_q_matches_true_kcore(spark):
+    """The bounded-round peel must equal the TRUE k-core (peel to
+    fixpoint) on the shipped dataset — the convergence clause of the
+    operator's contract, checked against an independent peeling."""
+    edges = _copurchase_edges()
+    k = 80
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        doomed = [n for n, nb in adj.items() if len(nb) < k]
+        changed = bool(doomed)
+        for n in doomed:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    expect = {(n, len(nb)) for n, nb in adj.items()}
+    got = {
+        (r["node"], r["degree"])
+        for r in REGISTRY["kcore_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == expect
+
+
+def test_roc_auc_q_matches_bruteforce(spark):
+    """AUC recomputed as the normalized Mann-Whitney U from per-document
+    (label, score) pairs with midrank tie handling — no grouped-count
+    shortcut shared with the engine implementations."""
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT lang, text FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall()
+    pairs = []
+    for lang, text in docs:
+        toks = [t for t in text.split(" ") if t != ""]
+        if not toks:
+            continue
+        s = round(sum(len(t) for t in toks) / len(toks), 4)
+        pairs.append((1 if lang == "en" else 0, s))
+    # midrank U statistic
+    pairs.sort(key=lambda x: x[1])
+    n = len(pairs)
+    ranks = [0.0] * n
+    i = 0
+    while i < n:
+        j = i
+        while j < n and pairs[j][1] == pairs[i][1]:
+            j += 1
+        mid = (i + 1 + j) / 2.0
+        for t in range(i, j):
+            ranks[t] = mid
+        i = j
+    n_pos = sum(y for y, _ in pairs)
+    n_neg = n - n_pos
+    rank_sum_pos = sum(r for (y, _), r in zip(pairs, ranks) if y == 1)
+    auc = (rank_sum_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    r = REGISTRY["roc_auc_q"].fn(spark, SF_SMALL).collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (n_pos, n_neg)
+    assert r["auc"] == pytest.approx(auc, abs=5e-6)
+
+
+def test_gini_q_matches_bruteforce(spark):
+    """Per-source Gini from the classic sorted formula
+    G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n with (n_chars, doc_id) order."""
+    con = duckdb.connect()
+    docs = con.execute(
+        f"""
+        SELECT source, doc_id, n_chars
+        FROM read_parquet('{SF_SMALL}/documents.parquet')
+        """
+    ).fetchall()
+    by_src: dict[str, list] = {}
+    for src, did, nc in docs:
+        by_src.setdefault(src, []).append((nc, did))
+    expect = {}
+    for src, items in by_src.items():
+        items.sort()
+        n = len(items)
+        tot = sum(nc for nc, _ in items)
+        weighted = sum((i + 1) * nc for i, (nc, _) in enumerate(items))
+        gini = 2.0 * weighted / (n * tot) - (n + 1.0) / n
+        expect[src] = (n, tot, round(gini, 6))
+    got = {
+        r["source"]: (r["n_docs"], r["total_chars"], r["gini"])
+        for r in REGISTRY["gini_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(expect)
+    for src in expect:
+        assert got[src][0] == expect[src][0]
+        assert got[src][1] == expect[src][1]
+        assert got[src][2] == pytest.approx(expect[src][2], abs=2e-6)
+
+
+def test_exact_median_q_matches_bruteforce(spark):
+    """The distributed exact median (lo/hi order statistics) against a
+    plain Python sort of the raw column."""
+    con = duckdb.connect()
+    vals = sorted(
+        float(v)
+        for (v,) in con.execute(
+            f"""
+            SELECT l_extendedprice
+            FROM read_parquet('{SF_SMALL}/lineitem.parquet')
+            """
+        ).fetchall()
+    )
+    n = len(vals)
+    want_lo = vals[(n + 1) // 2 - 1]
+    want_hi = vals[(n + 2) // 2 - 1]
+    r = REGISTRY["exact_median_q"].fn(spark, SF_SMALL).collect()[0]
+    assert r["n"] == n
+    assert r["median_lo"] == pytest.approx(want_lo, abs=1e-6)
+    assert r["median_hi"] == pytest.approx(want_hi, abs=1e-6)
