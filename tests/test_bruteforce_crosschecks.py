@@ -185,3 +185,104 @@ def test_exact_median_q_matches_bruteforce(spark):
     assert r["n"] == n
     assert r["median_lo"] == pytest.approx(want_lo, abs=1e-6)
     assert r["median_hi"] == pytest.approx(want_hi, abs=1e-6)
+
+
+def test_modularity_q_matches_bruteforce(spark):
+    """Newman modularity recomputed from the definition
+    Q = sum_c (e_c/m - (d_c/2m)^2) with dict counting over the
+    brand-labeled co-purchase graph."""
+    con = duckdb.connect()
+    edges = _copurchase_edges()
+    brand = dict(
+        con.execute(
+            f"""
+            SELECT p_partkey, p_brand
+            FROM read_parquet('{SF_SMALL}/part.parquet')
+            """
+        ).fetchall()
+    )
+    from collections import Counter
+
+    m = len(edges)
+    intra: Counter = Counter()
+    deg: Counter = Counter()
+    for a, b in edges:
+        ca, cb = brand[a], brand[b]
+        deg[ca] += 1
+        deg[cb] += 1
+        if ca == cb:
+            intra[ca] += 1
+    q = sum(
+        intra.get(c, 0) / m - (d / (2.0 * m)) ** 2 for c, d in deg.items()
+    )
+    r = REGISTRY["modularity_q"].fn(spark, SF_SMALL).collect()[0]
+    assert r["n_edges"] == m
+    assert r["n_communities"] == len(deg)
+    assert r["modularity"] == pytest.approx(q, abs=2e-6)
+
+
+def test_assortativity_q_matches_bruteforce(spark):
+    """Degree assortativity as the plain Pearson correlation over the
+    symmetrized (deg(u), deg(v)) endpoint pairs."""
+    edges = _copurchase_edges()
+    from collections import Counter
+
+    deg: Counter = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    want = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    r = REGISTRY["assortativity_q"].fn(spark, SF_SMALL).collect()[0]
+    assert r["n_edges"] == len(edges)
+    assert r["assortativity"] == pytest.approx(want, abs=2e-6)
+
+
+def test_hits_q_matches_bruteforce(spark):
+    """The 1.5-step HITS contract (authority init by degree, L1
+    normalization between steps) replayed with dict loops instead of
+    joins; top-20 identity and 8-dp authorities must match."""
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""
+        SELECT DISTINCT l_suppkey, l_partkey
+        FROM read_parquet('{SF_SMALL}/lineitem.parquet')
+        """
+    ).fetchall()
+    from collections import defaultdict
+
+    by_hub = defaultdict(list)
+    by_auth = defaultdict(list)
+    for h, a in edges:
+        by_hub[h].append(a)
+        by_auth[a].append(h)
+    z = float(len(edges))
+    a1 = {a: len(hs) / z for a, hs in by_auth.items()}
+    h1 = {h: sum(a1[a] for a in as_) for h, as_ in by_hub.items()}
+    zh = sum(h1.values())
+    h1 = {h: v / zh for h, v in h1.items()}
+    a2 = {a: sum(h1[h] for h in hs) for a, hs in by_auth.items()}
+    za = sum(a2.values())
+    expect = {a: v / za for a, v in a2.items()}
+    got = [
+        (r["part"], r["authority"])
+        for r in REGISTRY["hits_q"].fn(spark, SF_SMALL).collect()
+    ]
+    # authorities tie heavily at this scale, so top-20 IDENTITY depends
+    # on sub-8dp noise; check every returned value against the brute
+    # force and that the returned multiset IS the top-20 of all scores
+    for p, v in got:
+        assert v == pytest.approx(expect[p], abs=5e-8), p
+    want_top = sorted(expect.values(), reverse=True)[:20]
+    for (pg, vg), ve in zip(got, want_top):
+        assert vg == pytest.approx(ve, abs=5e-8)
