@@ -14188,6 +14188,7 @@ def star_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS mean_ppl
     FROM bucketed GROUP BY source, tertile
     """,
+    headline=True,
 )
 def ccnet_bucket_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents.filter(F.col("text") != "")
@@ -14385,6 +14386,7 @@ def margin_ratio_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND(quantile_cont(n_chars, 0.9), 6) AS DOUBLE) AS p90_chars
     FROM d GROUP BY ROLLUP (source, lang)
     """,
+    headline=True,
 )
 def dataset_card_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents.select(
