@@ -286,3 +286,125 @@ def test_hits_q_matches_bruteforce(spark):
     want_top = sorted(expect.values(), reverse=True)[:20]
     for (pg, vg), ve in zip(got, want_top):
         assert vg == pytest.approx(ve, abs=5e-8)
+
+
+def test_woe_iv_q_matches_bruteforce(spark):
+    """Weight-of-evidence per acctbal bin from the definition
+    ln((pos_i/P)/(neg_i/N)) with plain Python binning."""
+    con = duckdb.connect()
+    bals = [
+        float(v)
+        for (v,) in con.execute(
+            f"SELECT c_acctbal FROM read_parquet('{SF_SMALL}/customer.parquet')"
+        ).fetchall()
+    ]
+    bins: dict[int, list] = {}
+    for v in bals:
+        b = min(max(math.floor((v + 1000) / 875), 0), 7)
+        y = 1 if v < 0 else 0
+        bins.setdefault(b, [0, 0])
+        bins[b][y == 0] += 0  # keep structure explicit
+        if y:
+            bins[b][0] += 1
+        else:
+            bins[b][1] += 1
+    P = sum(p for p, _ in bins.values())
+    N = sum(n for _, n in bins.values())
+    got = {
+        r["bin"]: r for r in REGISTRY["woe_iv_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(bins)
+    for b, (pos, neg) in bins.items():
+        assert (got[b]["n_pos"], got[b]["n_neg"]) == (pos, neg)
+        if pos > 0 and neg > 0:
+            woe = math.log((pos / P) / (neg / N))
+            iv = (pos / P - neg / N) * woe
+        else:
+            woe = iv = 0.0
+        assert got[b]["woe"] == pytest.approx(woe, abs=2e-6)
+        assert got[b]["iv_term"] == pytest.approx(iv, abs=2e-6)
+
+
+def test_cusum_changepoint_q_matches_bruteforce(spark):
+    """CUSUM trace recomputed with a running Python sum over the
+    6-dp-quantized daily means; the flagged day is the |cusum| argmax."""
+    from decimal import Decimal
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT CAST(ts AS DATE) AS day, value
+        FROM read_parquet('{SF_SMALL}/events.parquet')
+        WHERE event_type = 'error'
+        """
+    ).fetchall()
+    acc: dict = {}
+    for day, v in rows:
+        acc.setdefault(day, []).append(Decimal(repr(v)).quantize(
+            Decimal("1e-6")
+        ))
+    days = sorted(acc)
+    means = {
+        d: (sum(acc[d]) / len(acc[d])).quantize(Decimal("1e-6"))
+        for d in days
+    }
+    mu = (sum(means.values()) / len(days)).quantize(Decimal("1e-6"))
+    cusum, trace = Decimal(0), {}
+    for d in days:
+        cusum += means[d] - mu
+        trace[d] = cusum
+    peak = max(abs(v) for v in trace.values())
+    got = {
+        r["day"]: r
+        for r in REGISTRY["cusum_changepoint_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(days)
+    for d in days:
+        assert got[d]["daily_mean"] == pytest.approx(
+            float(means[d]), abs=1e-4
+        )
+        assert got[d]["cusum"] == pytest.approx(float(trace[d]), abs=1e-3)
+        assert got[d]["is_changepoint"] == (abs(trace[d]) == peak)
+
+
+def test_theil_sen_q_matches_bruteforce(spark):
+    """Median-of-pairwise-slopes over daily click means, slopes
+    enumerated with plain loops and the median taken by sorting."""
+    from decimal import Decimal
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT CAST(ts AS DATE) AS day, value
+        FROM read_parquet('{SF_SMALL}/events.parquet')
+        WHERE event_type = 'click'
+        """
+    ).fetchall()
+    import datetime
+
+    acc: dict = {}
+    for day, v in rows:
+        acc.setdefault(day, []).append(Decimal(repr(v)).quantize(
+            Decimal("1e-6")
+        ))
+    x0 = datetime.date(2024, 1, 1)
+    pts = sorted(
+        ((d - x0).days, (sum(vs) / len(vs)).quantize(Decimal("1e-6")))
+        for d, vs in acc.items()
+    )
+    slopes = []
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            xa, ma = pts[i]
+            xb, mb = pts[j]
+            slopes.append(float(mb - ma) / (xb - xa))
+    slopes.sort()
+    n = len(slopes)
+    mid = (
+        slopes[(n - 1) // 2]
+        if n % 2
+        else (slopes[n // 2 - 1] + slopes[n // 2]) / 2.0
+    )
+    r = REGISTRY["theil_sen_q"].fn(spark, SF_SMALL).collect()[0]
+    assert r["n_pairs"] == n
+    assert r["theil_sen_slope"] == pytest.approx(mid, abs=2e-6)
