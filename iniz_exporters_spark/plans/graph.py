@@ -409,8 +409,9 @@ def _star_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    n_e = e.count()
     for _ in range(max_iters):
-        if e.isEmpty():
+        if n_e == 0:
             break
         # large-star: over the symmetric neighborhood of each u, link
         # every neighbor v > u to m = min(closed neighborhood of u)
@@ -441,9 +442,12 @@ def _star_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
-        same_size = new_e.count() == e.count()
-        converged = same_size and new_e.exceptAll(e).isEmpty()
-        e = new_e
+        # one count job per round (the edge count is tracked across
+        # rounds, not recomputed); the exceptAll set-compare only runs
+        # when the sizes already match
+        n_new = new_e.count()
+        converged = n_new == n_e and new_e.exceptAll(e).isEmpty()
+        e, n_e = new_e, n_new
         if converged:
             break
     else:
