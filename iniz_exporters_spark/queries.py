@@ -14768,3 +14768,175 @@ def ordertypes_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return ordertypes_sql_export(spark.read.parquet(_OT_FIXTURE))
+
+
+# Classifier evaluation for the stopword language-ID heuristic: the full
+# confusion matrix (true lang x predicted lang) plus per-class precision
+# /recall/F1 — the eval every lang-ID filter needs before it gates a
+# corpus. Scale shape: prediction is per-row Catalyst (zero shuffles);
+# the matrix is one (true, pred) count aggregation; the per-class stats
+# re-aggregate the |langs|^2-row matrix (metadata scale).
+@register(
+    "lang_confusion_q",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_SQL_TOKENS} AS toks FROM documents),
+    s AS (
+        SELECT doc_id, lang,
+               len(list_filter(toks, x -> x IN
+                   ('the','a','and','of','to','in','is','it'))) AS c_en,
+               len(list_filter(toks, x -> x IN
+                   ('el','la','de','que','y','los','en','un'))) AS c_es,
+               len(list_filter(toks, x -> x IN
+                   ('der','die','das','und','ist','ein','nicht','mit'))) AS c_de,
+               len(list_filter(toks, x -> x IN
+                   ('le','la','de','et','est','les','des','une'))) AS c_fr
+        FROM t
+    ),
+    pred AS (
+        SELECT lang AS true_lang,
+               CASE WHEN greatest(c_en, c_es, c_de, c_fr) = 0 THEN 'und'
+                    WHEN c_en = greatest(c_en, c_es, c_de, c_fr) THEN 'en'
+                    WHEN c_es = greatest(c_en, c_es, c_de, c_fr) THEN 'es'
+                    WHEN c_de = greatest(c_en, c_es, c_de, c_fr) THEN 'de'
+                    ELSE 'fr' END AS pred_lang
+        FROM s
+    ),
+    cm AS (
+        SELECT true_lang, pred_lang, COUNT(*) AS n
+        FROM pred GROUP BY true_lang, pred_lang
+    ),
+    tp AS (
+        SELECT true_lang AS c, SUM(CASE WHEN true_lang = pred_lang
+                   THEN n ELSE 0 END) AS hit,
+               SUM(n) AS support
+        FROM cm GROUP BY true_lang
+    ),
+    pp AS (SELECT pred_lang AS c, SUM(n) AS predicted FROM cm
+           GROUP BY pred_lang)
+    SELECT tp.c AS lang,
+           CAST(tp.support AS BIGINT) AS support,
+           CAST(tp.hit AS BIGINT) AS n_correct,
+           CAST(COALESCE(pp.predicted, 0) AS BIGINT) AS n_predicted,
+           CAST(ROUND(CASE WHEN COALESCE(pp.predicted, 0) > 0
+                THEN CAST(tp.hit AS DOUBLE) / pp.predicted
+                ELSE 0.0 END, 6) AS DOUBLE) AS precision,
+           CAST(ROUND(CAST(tp.hit AS DOUBLE) / tp.support, 6) AS DOUBLE)
+               AS recall,
+           CAST(ROUND(CASE WHEN COALESCE(pp.predicted, 0) > 0
+                    AND tp.hit > 0
+                THEN 2.0 * (CAST(tp.hit AS DOUBLE) / pp.predicted)
+                     * (CAST(tp.hit AS DOUBLE) / tp.support)
+                     / (CAST(tp.hit AS DOUBLE) / pp.predicted
+                        + CAST(tp.hit AS DOUBLE) / tp.support)
+                ELSE 0.0 END, 6) AS DOUBLE) AS f1
+    FROM tp LEFT JOIN pp ON tp.c = pp.c
+    """,
+)
+def lang_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    pred = d.select(
+        F.col("lang").alias("true_lang"),
+        predict_lang("text").alias("pred_lang"),
+    )
+    cm = pred.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").alias("n")
+    ).localCheckpoint()
+    tp = cm.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.sum("n").cast("long").alias("support"),
+        F.sum(
+            F.when(F.col("true_lang") == F.col("pred_lang"), F.col("n"))
+            .otherwise(0)
+        ).cast("long").alias("n_correct"),
+    )
+    pp = cm.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.sum("n").cast("long").alias("n_predicted")
+    )
+    j = tp.join(pp, "lang", "left")
+    n_pred = F.coalesce("n_predicted", F.lit(0))
+    prec = F.when(
+        n_pred > 0, F.col("n_correct").cast("double") / n_pred
+    ).otherwise(0.0)
+    rec = F.col("n_correct").cast("double") / F.col("support")
+    return j.select(
+        "lang",
+        "support",
+        "n_correct",
+        n_pred.cast("long").alias("n_predicted"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            F.when(
+                (n_pred > 0) & (F.col("n_correct") > 0),
+                2.0 * prec * rec / (prec + rec),
+            ).otherwise(0.0),
+            6,
+        ).alias("f1"),
+    )
+
+
+# Inter-arrival burstiness per event type (Goh & Barabasi 2008):
+# B = (sigma - mu) / (sigma + mu) over the per-user gap distribution —
+# -1 = periodic, 0 = Poisson, -> 1 = bursty. The feature that separates
+# bot-like from human-like streams. Scale shape: one LAG window per user
+# partition, then one aggregation per event type; moments are decimal
+# sums so partitioning never changes the result.
+@register(
+    "burstiness_q",
+    """
+    WITH gaps AS (
+        SELECT event_type,
+               (epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id))) / 1000000.0 AS g
+        FROM events
+    ),
+    m AS (
+        -- gaps are exact microseconds/1e6, so scale 6 is lossless;
+        -- width 30 forces int128 storage so g*g cannot overflow the
+        -- multiply, while scale 6 keeps the summed product raw values
+        -- far inside int128
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(g AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(g AS DECIMAL(30,6))
+                        * CAST(g AS DECIMAL(30,6))) AS DOUBLE) AS s2
+        FROM gaps WHERE g IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+           CAST(ROUND(s1 / n, 6) AS DOUBLE) AS mean_gap_s,
+           CAST(ROUND(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)), 6)
+                AS DOUBLE) AS sd_gap_s,
+           CAST(ROUND((sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0))
+                       - s1 / n)
+                / (sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0))
+                   + s1 / n), 6) AS DOUBLE) AS burstiness
+    FROM m
+    """,
+)
+def burstiness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    g = ev.select(
+        "event_type",
+        (
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+            / 1_000_000.0
+        ).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    gd = F.col("g").cast("decimal(30,6)")
+    m = g.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(gd).cast("double").alias("s1"),
+        F.sum(gd * gd).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0))
+    sd = F.sqrt(var)
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.round(mean, 6).alias("mean_gap_s"),
+        F.round(sd, 6).alias("sd_gap_s"),
+        F.round((sd - mean) / (sd + mean), 6).alias("burstiness"),
+    )

@@ -220,3 +220,39 @@ def test_ordertypes_export_q_contract(spark):
     assert rows[2]["Parent"] == "uuid-test"
     assert rows[3]["Void/Retire"] == 1
     assert rows[0]["Parent"] is None
+
+
+def test_lang_confusion_q_contract(spark):
+    """Per-class rows: support sums to the corpus size, n_correct <=
+    min(support, n_predicted), precision/recall/f1 within [0, 1] and
+    f1 is the harmonic mean of the emitted precision/recall."""
+    from iniz_exporters_spark.catalog import Catalog
+
+    rows = REGISTRY["lang_confusion_q"].fn(spark, SF_SMALL).collect()
+    n_docs = Catalog(spark, SF_SMALL).documents.count()
+    assert sum(r["support"] for r in rows) == n_docs
+    for r in rows:
+        assert r["n_correct"] <= min(r["support"], r["n_predicted"] or 0) \
+            or r["n_correct"] == 0
+        for m in ("precision", "recall", "f1"):
+            assert 0.0 <= r[m] <= 1.0
+        if r["precision"] > 0 and r["recall"] > 0:
+            h = 2 * r["precision"] * r["recall"] / (
+                r["precision"] + r["recall"]
+            )
+            assert abs(r["f1"] - h) < 2e-6
+
+
+def test_burstiness_q_bounds(spark):
+    """B = (sd-mean)/(sd+mean) lies in [-1, 1); gap counts sum to
+    events minus distinct (user, type) streams."""
+    from iniz_exporters_spark.catalog import Catalog
+
+    rows = REGISTRY["burstiness_q"].fn(spark, SF_SMALL).collect()
+    ev = Catalog(spark, SF_SMALL).events
+    n_events = ev.count()
+    n_streams = ev.select("user_id", "event_type").distinct().count()
+    assert sum(r["n_gaps"] for r in rows) == n_events - n_streams
+    for r in rows:
+        assert -1.0 <= r["burstiness"] < 1.0
+        assert r["mean_gap_s"] > 0 and r["sd_gap_s"] >= 0
