@@ -9351,12 +9351,17 @@ def ks_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang, source, COUNT(*) AS o
         FROM documents GROUP BY lang, source
     ),
+    rt AS (SELECT lang, SUM(o) AS row_tot FROM cells GROUP BY lang),
+    ct AS (SELECT source, SUM(o) AS col_tot FROM cells GROUP BY source),
+    tot AS (SELECT SUM(o) AS n FROM cells),
+    -- FULL grid including structurally-zero cells: an absent
+    -- (lang, source) pair still contributes its expected count E to the
+    -- textbook statistic ((0-E)^2/E = E); an observed-cells-only sum
+    -- understates chi2
     m AS (
-        SELECT o,
-               SUM(o) OVER (PARTITION BY lang) AS row_tot,
-               SUM(o) OVER (PARTITION BY source) AS col_tot,
-               SUM(o) OVER () AS n
-        FROM cells
+        SELECT COALESCE(c.o, 0) AS o, rt.row_tot, ct.col_tot, tot.n
+        FROM rt CROSS JOIN ct CROSS JOIN tot
+        LEFT JOIN cells c ON rt.lang = c.lang AND ct.source = c.source
     ),
     d AS (
         SELECT COUNT(DISTINCT lang) AS nl, COUNT(DISTINCT source) AS ns
@@ -9377,21 +9382,27 @@ def ks_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def chi2_independence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-mix audit: is language independent of source? Large chi2
     localizes ingestion skew (a source that over-contributes one
-    language). Only observed cells contribute (empty cells add 0 to the
-    statistic by convention here; both engines agree)."""
+    language). Sums over the FULL lang x source grid — a structurally
+    absent pair contributes its expected count ((0-E)^2/E = E), the
+    textbook Pearson statistic; summing observed cells only understates
+    chi2 (caught by the brute-force cross-check, round 5). The grid is
+    |langs| x |sources| metadata-scale rows from two broadcastable
+    marginal tables, so the fix adds no data-scale shuffle."""
     d = Catalog(spark, sf_dir).documents
     cells = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
-    m = cells.select(
-        "o",
-        F.sum("o").over(Window.partitionBy("lang")).alias("row_tot"),
-        F.sum("o").over(Window.partitionBy("source")).alias("col_tot"),
-        F.sum("o")
-        .over(
-            Window.partitionBy().rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
+    rt = cells.groupBy("lang").agg(F.sum("o").alias("row_tot"))
+    ct = cells.groupBy("source").agg(F.sum("o").alias("col_tot"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    m = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["lang", "source"], "left")
+        .select(
+            F.coalesce("o", F.lit(0)).alias("o"),
+            "row_tot",
+            "col_tot",
+            "n",
         )
-        .alias("n"),
     )
     exp = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("n")
     term = (F.col("o").cast("double") - exp) * (

@@ -408,3 +408,94 @@ def test_theil_sen_q_matches_bruteforce(spark):
     r = REGISTRY["theil_sen_q"].fn(spark, SF_SMALL).collect()[0]
     assert r["n_pairs"] == n
     assert r["theil_sen_slope"] == pytest.approx(mid, abs=2e-6)
+
+
+def test_ks_test_q_matches_bruteforce(spark):
+    """Two-sample KS statistic from the definition: sup over all
+    observed values of |CDF_a - CDF_b|, computed from raw sorted
+    samples rather than grouped cumulative windows."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT lang, n_chars
+        FROM read_parquet('{SF_SMALL}/documents.parquet')
+        WHERE lang IN ('en', 'zh')
+        """
+    ).fetchall()
+    a = sorted(v for lg, v in rows if lg == "en")
+    b = sorted(v for lg, v in rows if lg == "zh")
+    import bisect
+
+    points = sorted(set(a) | set(b))
+    ks = max(
+        abs(
+            bisect.bisect_right(a, x) / len(a)
+            - bisect.bisect_right(b, x) / len(b)
+        )
+        for x in points
+    )
+    r = REGISTRY["ks_test_q"].fn(spark, SF_SMALL).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+    assert r["ks_stat"] == pytest.approx(ks, abs=2e-6)
+
+
+def test_benford_audit_q_matches_bruteforce(spark):
+    """Leading-digit frequencies recounted with plain string slicing and
+    the Benford expectation log10(1 + 1/d)."""
+    con = duckdb.connect()
+    vals = [
+        float(v)
+        for (v,) in con.execute(
+            f"""
+            SELECT o_totalprice
+            FROM read_parquet('{SF_SMALL}/orders.parquet')
+            WHERE o_totalprice >= 1
+            """
+        ).fetchall()
+    ]
+    from collections import Counter
+
+    counts = Counter(int(str(int(math.floor(v)))[0]) for v in vals)
+    total = sum(counts.values())
+    got = {
+        r["digit"]: r
+        for r in REGISTRY["benford_audit_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(counts)
+    for d, n in counts.items():
+        assert got[d]["n"] == n
+        assert got[d]["frac"] == pytest.approx(n / total, abs=1e-9)
+        assert got[d]["benford"] == pytest.approx(
+            math.log10(1 + 1.0 / d), abs=1e-9
+        )
+
+
+def test_chi2_independence_q_matches_bruteforce(spark):
+    """Pearson chi-square over the FULL lang x source grid including
+    structurally-zero cells (each contributes its expected count) — the
+    textbook statistic an observed-cells-only sum would understate."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT lang, source
+        FROM read_parquet('{SF_SMALL}/documents.parquet')
+        """
+    ).fetchall()
+    from collections import Counter
+
+    obs = Counter(rows)
+    langs = sorted({lg for lg, _ in rows})
+    sources = sorted({s for _, s in rows})
+    row_tot = Counter(lg for lg, _ in rows)
+    col_tot = Counter(s for _, s in rows)
+    n = len(rows)
+    chi2 = 0.0
+    for lg in langs:
+        for s in sources:
+            e = row_tot[lg] * col_tot[s] / n
+            o = obs.get((lg, s), 0)
+            chi2 += (o - e) ** 2 / e
+    r = REGISTRY["chi2_independence_q"].fn(spark, SF_SMALL).collect()[0]
+    assert r["n_docs"] == n
+    assert r["dof"] == (len(langs) - 1) * (len(sources) - 1)
+    assert r["chi2"] == pytest.approx(chi2, abs=2e-6)
