@@ -499,3 +499,108 @@ def test_chi2_independence_q_matches_bruteforce(spark):
     assert r["n_docs"] == n
     assert r["dof"] == (len(langs) - 1) * (len(sources) - 1)
     assert r["chi2"] == pytest.approx(chi2, abs=2e-6)
+
+
+def test_mi_feature_q_matches_bruteforce(spark):
+    """MI(token presence; lang) per top-20 document-frequency token from
+    the definition sum over the 2 x |langs| table, dict-counted."""
+    con = duckdb.connect()
+    docs = con.execute(
+        f"""
+        SELECT doc_id, lang, text
+        FROM read_parquet('{SF_SMALL}/documents.parquet')
+        """
+    ).fetchall()
+    from collections import Counter
+
+    n = len(docs)
+    lang_tot = Counter(lg for _, lg, _ in docs)
+    df: Counter = Counter()
+    joint: Counter = Counter()
+    for _, lg, text in docs:
+        toks = {t for t in text.split(" ") if t}
+        for t in toks:
+            df[t] += 1
+            joint[(t, lg)] += 1
+    top = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    expect = {}
+    for tok, d in top:
+        mi = 0.0
+        for lg, nl in lang_tot.items():
+            c11 = joint.get((tok, lg), 0)
+            c01 = nl - c11
+            for c, marg in ((c11, d), (c01, n - d)):
+                if c > 0 and marg > 0:
+                    mi += (c / n) * math.log2(c * n / (marg * nl))
+        expect[tok] = (d, mi)
+    got = {
+        r["tok"]: (r["df"], r["mi"])
+        for r in REGISTRY["mi_feature_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(expect)
+    for tok, (d, mi) in expect.items():
+        assert got[tok][0] == d
+        assert got[tok][1] == pytest.approx(mi, abs=2e-6), tok
+
+
+def test_correlation_matrix_q_matches_bruteforce(spark):
+    """Pearson correlations recomputed with numpy over the raw columns."""
+    import numpy as np
+
+    con = duckdb.connect()
+    q, p, dsc = map(
+        np.array,
+        zip(
+            *con.execute(
+                f"""
+                SELECT l_quantity, l_extendedprice, l_discount
+                FROM read_parquet('{SF_SMALL}/lineitem.parquet')
+                """
+            ).fetchall()
+        ),
+    )
+    r = REGISTRY["correlation_matrix_q"].fn(spark, SF_SMALL).collect()[0]
+    assert r["n"] == len(q)
+    assert r["corr_qty_price"] == pytest.approx(
+        float(np.corrcoef(q, p)[0, 1]), abs=2e-6
+    )
+    assert r["corr_qty_disc"] == pytest.approx(
+        float(np.corrcoef(q, dsc)[0, 1]), abs=2e-6
+    )
+    assert r["corr_price_disc"] == pytest.approx(
+        float(np.corrcoef(p, dsc)[0, 1]), abs=2e-6
+    )
+
+
+def test_twonn_dim_q_matches_bruteforce(spark):
+    """TwoNN intrinsic-dimension MLE recomputed with numpy: exact 1st/2nd
+    neighbor distances per probe (6-dp-rounded d2 with id tiebreaks, the
+    documented contract), dim = n / sum(0.5 * ln(d2/d1))."""
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT vec_id, embedding
+        FROM read_parquet('{SF_SMALL}/embeddings.parquet')
+        ORDER BY vec_id
+        """
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    probes = ids < 50
+    lrs = []
+    for qi in np.where(probes)[0]:
+        d2 = np.round(((V - V[qi]) ** 2).sum(axis=1), 6)
+        order = sorted(
+            (float(d2[j]), int(ids[j]))
+            for j in range(len(ids))
+            if j != qi
+        )
+        d1, dd2 = order[0][0], order[1][0]
+        if d1 > 0:
+            lrs.append(0.5 * math.log(dd2 / d1))
+    want = len(lrs) / sum(lrs)
+    r = REGISTRY["twonn_dim_q"].fn(spark, SF_SMALL).collect()[0]
+    assert r["n_probes"] == len(lrs)
+    assert r["intrinsic_dim"] == pytest.approx(want, abs=5e-4)
