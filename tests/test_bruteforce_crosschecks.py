@@ -604,3 +604,76 @@ def test_twonn_dim_q_matches_bruteforce(spark):
     r = REGISTRY["twonn_dim_q"].fn(spark, SF_SMALL).collect()[0]
     assert r["n_probes"] == len(lrs)
     assert r["intrinsic_dim"] == pytest.approx(want, abs=5e-4)
+
+
+def test_zipf_fit_q_matches_bruteforce(spark):
+    """Zipf OLS over the top-1000 (freq desc, tok asc) ranks recomputed
+    with plain Python sums on ln(rank)/ln(freq)."""
+    con = duckdb.connect()
+    texts = [
+        t
+        for (t,) in con.execute(
+            f"SELECT text FROM read_parquet('{SF_SMALL}/documents.parquet')"
+        ).fetchall()
+    ]
+    from collections import Counter
+
+    freq: Counter = Counter()
+    for text in texts:
+        for tok in text.split(" "):
+            if tok:
+                freq[tok] += 1
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    xs = [math.log(i + 1) for i in range(len(ranked))]
+    ys = [math.log(f) for _, f in ranked]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    r = REGISTRY["zipf_fit_q"].fn(spark, SF_SMALL).collect()[0]
+    assert r["n_ranks"] == n
+    assert r["slope"] == pytest.approx(slope, abs=2e-6)
+    assert r["intercept"] == pytest.approx(intercept, abs=2e-6)
+    assert r["r2"] == pytest.approx(r2, abs=2e-6)
+
+
+def test_heaps_law_q_matches_bruteforce(spark):
+    """Vocabulary-growth curve rebuilt with a running Python set over
+    doc_id-bucketed token streams."""
+    con = duckdb.connect()
+    docs = con.execute(
+        f"""
+        SELECT doc_id, text
+        FROM read_parquet('{SF_SMALL}/documents.parquet')
+        ORDER BY doc_id
+        """
+    ).fetchall()
+    nd = max(d for d, _ in docs) + 1
+    cum_tokens: dict[int, int] = {}
+    first_bucket: dict[str, int] = {}
+    for did, text in docs:
+        b = did * 10 // nd
+        toks = [t for t in text.split(" ") if t]
+        cum_tokens[b] = cum_tokens.get(b, 0) + len(toks)
+        for t in toks:
+            if t not in first_bucket or first_bucket[t] > b:
+                first_bucket[t] = b
+    from collections import Counter
+
+    new_types = Counter(first_bucket.values())
+    buckets = sorted(cum_tokens)
+    ct = cs = 0
+    expect = []
+    for b in buckets:
+        ct += cum_tokens[b]
+        cs += new_types.get(b, 0)
+        expect.append((b, ct, cs))
+    got = sorted(
+        (r["bucket"], r["cum_tokens"], r["cum_types"])
+        for r in REGISTRY["heaps_law_q"].fn(spark, SF_SMALL).collect()
+    )
+    assert got == expect
