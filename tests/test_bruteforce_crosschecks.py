@@ -677,3 +677,71 @@ def test_heaps_law_q_matches_bruteforce(spark):
         for r in REGISTRY["heaps_law_q"].fn(spark, SF_SMALL).collect()
     )
     assert got == expect
+
+
+def test_interval_concurrency_q_matches_bruteforce(spark):
+    """Per-month peak of concurrently-open [orderdate, shipdate]
+    intervals via a dict-based day sweep (the O(days) analogue of the
+    engines' boundary-delta prefix sum)."""
+    import datetime
+
+    con = duckdb.connect()
+    ivs = con.execute(
+        f"""
+        SELECT CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)
+        FROM read_parquet('{SF_SMALL}/lineitem.parquet') l
+        JOIN read_parquet('{SF_SMALL}/orders.parquet') o
+          ON l.l_orderkey = o.o_orderkey
+        """
+    ).fetchall()
+    from collections import Counter
+
+    delta: Counter = Counter()
+    for s, e in ivs:
+        delta[s] += 1
+        delta[e + datetime.timedelta(days=1)] -= 1
+    days = sorted(delta)
+    open_n = 0
+    peak: dict[int, int] = {}
+    nb: Counter = Counter()
+    for d in days:
+        open_n += delta[d]
+        ym = d.year * 100 + d.month
+        peak[ym] = max(peak.get(ym, -(10 ** 9)), open_n)
+        nb[ym] += 1
+    got = {
+        r["ym"]: (r["peak_open"], r["n_boundary_days"])
+        for r in REGISTRY["interval_concurrency_q"].fn(
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert got == {ym: (peak[ym], nb[ym]) for ym in peak}
+
+
+def test_k_anonymity_q_matches_bruteforce(spark):
+    """Quasi-identifier group sizes, sensitive-value diversity, and the
+    k/l flags recounted with plain dicts."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT c_nationkey, c_mktsegment, c_acctbal
+        FROM read_parquet('{SF_SMALL}/customer.parquet')
+        """
+    ).fetchall()
+    groups: dict = {}
+    for nk, seg, bal in rows:
+        g = groups.setdefault((nk, seg), [0, set()])
+        g[0] += 1
+        g[1].add("neg" if bal < 0 else "nonneg")
+    got = {
+        (r["c_nationkey"], r["c_mktsegment"]): (
+            r["group_size"],
+            r["n_distinct_sensitive"],
+            r["k_violation"],
+            r["l1_leak"],
+        )
+        for r in REGISTRY["k_anonymity_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(groups)
+    for key, (n, sens) in groups.items():
+        assert got[key] == (n, len(sens), n < 25, len(sens) <= 1)
