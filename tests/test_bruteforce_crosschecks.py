@@ -745,3 +745,64 @@ def test_k_anonymity_q_matches_bruteforce(spark):
     assert set(got) == set(groups)
     for key, (n, sens) in groups.items():
         assert got[key] == (n, len(sens), n < 25, len(sens) <= 1)
+
+
+def test_rich_club_q_matches_bruteforce(spark):
+    """Rich-club coefficient phi(k) = 2*E_k / (N_k*(N_k-1)) recomputed
+    with set filtering over the co-purchase graph for k in {2, 4, 8}."""
+    edges = _copurchase_edges()
+    from collections import Counter
+
+    deg: Counter = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    expect = {}
+    for k in (2, 4, 8):
+        club = {n for n, d in deg.items() if d > k}
+        ek = sum(1 for a, b in edges if a in club and b in club)
+        nk = len(club)
+        phi = 2.0 * ek / (nk * (nk - 1)) if nk >= 2 else 0.0
+        expect[k] = (nk, ek, round(phi, 6))
+    got = {
+        r["k"]: (r["n_club"], r["club_edges"], r["phi"])
+        for r in REGISTRY["rich_club_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][0] == expect[k][0]
+        assert got[k][1] == expect[k][1]
+        assert got[k][2] == pytest.approx(expect[k][2], abs=2e-6)
+
+
+def test_entropy_ldiversity_q_matches_bruteforce(spark):
+    """Per quasi-identifier cell: Shannon entropy of the sensitive
+    attribute recomputed with dict counting."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority
+        FROM read_parquet('{SF_SMALL}/customer.parquet') c
+        JOIN read_parquet('{SF_SMALL}/orders.parquet') o
+          ON o.o_custkey = c.c_custkey
+        """
+    ).fetchall()
+    from collections import Counter
+
+    cells: dict = {}
+    for nk, seg, pri in rows:
+        cells.setdefault((nk, seg), Counter())[pri] += 1
+    got = {
+        (r["c_nationkey"], r["c_mktsegment"]): r
+        for r in REGISTRY["entropy_ldiversity_q"].fn(
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert set(got) == set(cells)
+    for key, cnts in cells.items():
+        n = sum(cnts.values())
+        ent = -sum((c / n) * math.log(c / n) for c in cnts.values())
+        r = got[key]
+        assert r["n_orders"] == n
+        assert r["n_priorities"] == len(cnts)
+        assert r["entropy"] == pytest.approx(ent, abs=2e-6), key
