@@ -806,3 +806,123 @@ def test_entropy_ldiversity_q_matches_bruteforce(spark):
         assert r["n_orders"] == n
         assert r["n_priorities"] == len(cnts)
         assert r["entropy"] == pytest.approx(ent, abs=2e-6), key
+
+
+def test_association_rules_q_matches_bruteforce(spark):
+    """Support/confidence/lift recomputed with dict counting over
+    distinct (order, part) pairs; the returned top-30 must be a valid
+    lift-ordered head of the full rule set with matching metrics."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT DISTINCT l_orderkey, l_partkey
+        FROM read_parquet('{SF_SMALL}/lineitem.parquet')
+        """
+    ).fetchall()
+    from collections import Counter
+
+    orders: dict[int, set[int]] = {}
+    part_cnt: Counter = Counter()
+    for o, p in rows:
+        orders.setdefault(o, set()).add(p)
+        part_cnt[p] += 1
+    n_orders = len(orders)
+    cab: Counter = Counter()
+    for parts in orders.values():
+        for pa in parts:
+            for pb in parts:
+                if pa != pb:
+                    cab[(pa, pb)] += 1
+    rules = {}
+    for (pa, pb), c in cab.items():
+        if c >= 3:
+            conf = c / part_cnt[pa]
+            lift = conf / (part_cnt[pb] / n_orders)
+            rules[(pa, pb)] = (c, c / n_orders, conf, lift)
+    expect = sorted(
+        ((pa, pb, *m) for (pa, pb), m in rules.items()),
+        key=lambda r: (-r[5], r[0], r[1]),
+    )[:30]
+    got = [
+        (r["pa"], r["pb"], r["n_both"], r["support"], r["confidence"],
+         r["lift"])
+        for r in REGISTRY["association_rules_q"].fn(spark, SF_SMALL).collect()
+    ]
+    assert [(g[0], g[1], g[2]) for g in got] == [
+        (e[0], e[1], e[2]) for e in expect
+    ]
+    for g, e in zip(got, expect):
+        assert g[3] == pytest.approx(e[3], abs=2e-6)
+        assert g[4] == pytest.approx(e[4], abs=2e-6)
+        assert g[5] == pytest.approx(e[5], abs=2e-6)
+
+
+def test_token_pmi_q_matches_bruteforce(spark):
+    """PMI over top-50 document-frequency tokens recounted with sets."""
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall()
+    from collections import Counter
+
+    presence: dict[str, set] = {}
+    all_docs = set()
+    for did, text in docs:
+        toks = {t for t in text.split(" ") if t}
+        if toks:
+            all_docs.add(did)
+        for t in toks:
+            presence.setdefault(t, set()).add(did)
+    top = sorted(
+        presence.items(), key=lambda kv: (-len(kv[1]), kv[0])
+    )[:50]
+    n_docs = len(all_docs)
+    expect = {}
+    for i, (ta, da) in enumerate(top):
+        for tb, db in top[i + 1:]:
+            a, b = (ta, tb) if ta < tb else (tb, ta)
+            c = len(presence[a] & presence[b])
+            if c >= 10:
+                pmi = math.log(
+                    c * n_docs / (len(presence[a]) * len(presence[b]))
+                )
+                expect[(a, b)] = (c, pmi)
+    got = {
+        (r["tok_a"], r["tok_b"]): (r["pair_count"], r["pmi"])
+        for r in REGISTRY["token_pmi_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(expect)
+    for key, (c, pmi) in expect.items():
+        assert got[key][0] == c
+        assert got[key][1] == pytest.approx(pmi, abs=2e-6), key
+
+
+def test_dau_wau_stickiness_matches_bruteforce(spark):
+    """DAU/WAU per day rebuilt with date loops and set unions over the
+    trailing 7-day window."""
+    import datetime
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT DISTINCT CAST(ts AS DATE), user_id
+        FROM read_parquet('{SF_SMALL}/events.parquet')
+        """
+    ).fetchall()
+    by_day: dict = {}
+    for d, u in rows:
+        by_day.setdefault(d, set()).add(u)
+    got = {
+        r["day"]: r
+        for r in REGISTRY["dau_wau_stickiness"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(by_day)
+    for d, users in by_day.items():
+        window = set()
+        for k in range(7):
+            window |= by_day.get(d - datetime.timedelta(days=k), set())
+        assert got[d]["dau"] == len(users)
+        assert got[d]["wau"] == len(window)
+        assert got[d]["stickiness"] == pytest.approx(
+            len(users) / len(window), abs=2e-6
+        )
