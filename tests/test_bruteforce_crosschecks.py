@@ -926,3 +926,119 @@ def test_dau_wau_stickiness_matches_bruteforce(spark):
         assert got[d]["stickiness"] == pytest.approx(
             len(users) / len(window), abs=2e-6
         )
+
+
+def test_funnel_stages_matches_bruteforce(spark):
+    """Funnel stage via Python regex over per-user event sequences
+    ordered by (ts, event_id)."""
+    import re
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT user_id, ts, event_id, event_type
+        FROM read_parquet('{SF_SMALL}/events.parquet')
+        """
+    ).fetchall()
+    by_user: dict = {}
+    for uid, ts, eid, et in rows:
+        by_user.setdefault(uid, []).append((ts, eid, et))
+    expect = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        seq = ">".join(et for _, _, et in evs)
+        if re.search("view.*click.*purchase", seq):
+            st = 3
+        elif re.search("view.*click", seq):
+            st = 2
+        elif re.search("view", seq):
+            st = 1
+        else:
+            st = 0
+        expect[uid] = (st, len(evs))
+    got = {
+        r["user_id"]: (r["funnel_stage"], r["n_events"])
+        for r in REGISTRY["funnel_stages"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == expect
+
+
+def test_cohort_retention_q_matches_bruteforce(spark):
+    """Weekly cohort retention grid rebuilt with Python date math:
+    cohort = ISO week of first event, offset = whole weeks since."""
+    import datetime
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT user_id, CAST(ts AS DATE)
+        FROM read_parquet('{SF_SMALL}/events.parquet')
+        """
+    ).fetchall()
+
+    def week_start(d: "datetime.date") -> "datetime.date":
+        return d - datetime.timedelta(days=d.weekday())
+
+    first: dict = {}
+    active: set = set()
+    for uid, d in rows:
+        w = week_start(d)
+        active.add((uid, w))
+        if uid not in first or first[uid] > w:
+            first[uid] = w
+    from collections import Counter
+
+    grid: Counter = Counter()
+    for uid, w in active:
+        grid[(first[uid], (w - first[uid]).days // 7)] += 1
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in REGISTRY["cohort_retention_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == dict(grid)
+
+
+def test_time_to_convert_q_matches_bruteforce(spark):
+    """Signup-to-first-purchase latency per user with plain min() scans;
+    non-converting signups keep a NULL latency."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT user_id, ts, event_type
+        FROM read_parquet('{SF_SMALL}/events.parquet')
+        WHERE event_type IN ('signup', 'purchase')
+        """
+    ).fetchall()
+    signup: dict = {}
+    for uid, ts, et in rows:
+        if et == "signup" and (uid not in signup or signup[uid] > ts):
+            signup[uid] = ts
+    conv: dict = {}
+    for uid, ts, et in rows:
+        if (
+            et == "purchase"
+            and uid in signup
+            and ts >= signup[uid]
+            and (uid not in conv or conv[uid] > ts)
+        ):
+            conv[uid] = ts
+    # date_diff('second') counts second-BOUNDARY crossings (truncate
+    # each timestamp to seconds, then subtract) — not floor(duration)
+    expect = {
+        uid: (
+            int(
+                (
+                    conv[uid].replace(microsecond=0)
+                    - s.replace(microsecond=0)
+                ).total_seconds()
+            )
+            if uid in conv
+            else None
+        )
+        for uid, s in signup.items()
+    }
+    got = {
+        r["user_id"]: r["convert_secs"]
+        for r in REGISTRY["time_to_convert_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == expect
