@@ -1042,3 +1042,139 @@ def test_time_to_convert_q_matches_bruteforce(spark):
         for r in REGISTRY["time_to_convert_q"].fn(spark, SF_SMALL).collect()
     }
     assert got == expect
+
+
+def test_markov_transitions_q_matches_bruteforce(spark):
+    """Per-source transition probabilities recounted from per-user
+    (ts, event_id)-sorted sequences."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT user_id, ts, event_id, event_type
+        FROM read_parquet('{SF_SMALL}/events.parquet')
+        """
+    ).fetchall()
+    from collections import Counter
+
+    by_user: dict = {}
+    for uid, ts, eid, et in rows:
+        by_user.setdefault(uid, []).append((ts, eid, et))
+    trans: Counter = Counter()
+    src_tot: Counter = Counter()
+    for evs in by_user.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            trans[(a, b)] += 1
+            src_tot[a] += 1
+    got = {
+        (r["src"], r["dst"]): (r["n"], r["prob"])
+        for r in REGISTRY["markov_transitions_q"].fn(
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert set(got) == set(trans)
+    for key, n in trans.items():
+        assert got[key][0] == n
+        assert got[key][1] == pytest.approx(
+            n / src_tot[key[0]], abs=1e-9
+        )
+
+
+def test_rfm_segment_q_matches_bruteforce(spark):
+    """Recency/frequency/monetary per customer plus NTILE(4) scores with
+    Python quartile assignment (the SQL NTILE fill rule: first
+    n mod 4 tiles get the extra rows)."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT o_custkey, o_orderdate, o_totalprice
+        FROM read_parquet('{SF_SMALL}/orders.parquet')
+        """
+    ).fetchall()
+    maxd = max(d for _, d, _ in rows)
+    from collections import defaultdict
+    from decimal import Decimal
+
+    agg: dict = defaultdict(lambda: [None, 0, Decimal(0)])
+    for ck, d, tp in rows:
+        a = agg[ck]
+        a[0] = d if a[0] is None or a[0] < d else a[0]
+        a[1] += 1
+        a[2] += Decimal(repr(tp)).quantize(Decimal("1e-4"))
+    rfm = {
+        ck: ((maxd - last).days, freq, float(round(mon, 2)))
+        for ck, (last, freq, mon) in agg.items()
+    }
+
+    def ntile4(keys):
+        n = len(keys)
+        base, extra = divmod(n, 4)
+        out, i = {}, 0
+        for tile in range(1, 5):
+            size = base + (1 if tile <= extra else 0)
+            for ck in keys[i : i + size]:
+                out[ck] = tile
+            i += size
+        return out
+
+    r_score = ntile4(sorted(rfm, key=lambda c: (rfm[c][0], c)))
+    f_score = ntile4(sorted(rfm, key=lambda c: (-rfm[c][1], c)))
+    m_score = ntile4(sorted(rfm, key=lambda c: (-agg[c][2], c)))
+    got = {
+        r["custkey"]: r
+        for r in REGISTRY["rfm_segment_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(rfm)
+    for ck, (rec, freq, mon) in rfm.items():
+        g = got[ck]
+        assert (g["recency_days"], g["frequency"]) == (rec, freq)
+        assert g["monetary"] == pytest.approx(mon, abs=1e-6)
+        assert (g["r_score"], g["f_score"], g["m_score"]) == (
+            r_score[ck], f_score[ck], m_score[ck],
+        ), ck
+
+
+def test_cuped_q_matches_bruteforce(spark):
+    """CUPED adjustment recomputed with plain Python: theta from global
+    covariate moments, adjusted means per hash arm."""
+    import datetime
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT user_id, ts, value
+        FROM read_parquet('{SF_SMALL}/events.parquet')
+        """
+    ).fetchall()
+    from collections import defaultdict
+    from decimal import Decimal
+
+    cut = datetime.datetime(2024, 1, 16)
+    xs: dict = defaultdict(Decimal)
+    ys: dict = defaultdict(Decimal)
+    for uid, ts, v in rows:
+        d = Decimal(repr(v)).quantize(Decimal("1e-6"))
+        if ts < cut:
+            xs[uid] += d
+        else:
+            ys[uid] += d
+    users = sorted(set(xs) | set(ys))
+    n = len(users)
+    x = {u: float(xs[u]) for u in users}
+    y = {u: float(ys[u]) for u in users}
+    sx = sum(x.values())
+    sy = sum(y.values())
+    sxx = sum(v * v for v in x.values())
+    sxy = sum(x[u] * y[u] for u in users)
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    mx = sx / n
+    got = {
+        r["arm"]: r for r in REGISTRY["cuped_q"].fn(spark, SF_SMALL).collect()
+    }
+    for arm in (0, 1):
+        members = [u for u in users if u % 2 == arm]
+        raw = sum(y[u] for u in members) / len(members)
+        adj = sum(y[u] - theta * (x[u] - mx) for u in members) / len(members)
+        assert got[arm]["n_users"] == len(members)
+        assert got[arm]["raw_mean"] == pytest.approx(raw, abs=2e-6)
+        assert got[arm]["cuped_mean"] == pytest.approx(adj, abs=2e-6)
