@@ -1178,3 +1178,113 @@ def test_cuped_q_matches_bruteforce(spark):
         assert got[arm]["n_users"] == len(members)
         assert got[arm]["raw_mean"] == pytest.approx(raw, abs=2e-6)
         assert got[arm]["cuped_mean"] == pytest.approx(adj, abs=2e-6)
+
+
+def _poly_hash_py(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % 1_000_000_007
+    return h
+
+
+def test_pareto_frontier_q_matches_bruteforce(spark):
+    """Running-maximum frontier of daily max order totals recomputed
+    with a plain loop over date-sorted days."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT o_orderdate, o_totalprice
+        FROM read_parquet('{SF_SMALL}/orders.parquet')
+        """
+    ).fetchall()
+    import datetime
+
+    daily: dict = {}
+    for d, tp in rows:
+        if isinstance(d, datetime.datetime):
+            d = d.date()
+        daily[d] = max(daily.get(d, float("-inf")), float(tp))
+    best = float("-inf")
+    expect = []
+    for d in sorted(daily):
+        if daily[d] > best:
+            expect.append((d, round(daily[d], 2)))
+            best = daily[d]
+    got = sorted(
+        (r["day"], r["day_max"])
+        for r in REGISTRY["pareto_frontier_q"].fn(spark, SF_SMALL).collect()
+    )
+    assert got == expect
+
+
+def test_grid_density_q_matches_bruteforce(spark):
+    """Per-point 3x3-neighborhood density over the 0.1-cell grid of the
+    first two embedding dims, recounted with dict cells."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT vec_id, embedding[1], embedding[2]
+        FROM read_parquet('{SF_SMALL}/embeddings.parquet')
+        """
+    ).fetchall()
+    from collections import Counter
+
+    cell = {}
+    counts: Counter = Counter()
+    for vid, x, y in rows:
+        cx, cy = math.floor(float(x) / 0.1), math.floor(float(y) / 0.1)
+        cell[vid] = (cx, cy)
+        counts[(cx, cy)] += 1
+    got = {
+        r["vec_id"]: r
+        for r in REGISTRY["grid_density_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(cell)
+    for vid, (cx, cy) in cell.items():
+        nbr = sum(
+            counts.get((cx + dx, cy + dy), 0)
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        )
+        r = got[vid]
+        assert (r["cx"], r["cy"]) == (cx, cy)
+        assert r["nbr_count"] == nbr
+        assert r["is_core"] == (nbr >= 8)
+
+
+def test_stratified_alloc_q_matches_bruteforce(spark):
+    """Largest-remainder (Hamilton) allocation of 300 samples across
+    market segments plus hash-ranked take, replicated with dict math."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT c_mktsegment, c_custkey
+        FROM read_parquet('{SF_SMALL}/customer.parquet')
+        """
+    ).fetchall()
+    from collections import Counter
+
+    strata: dict = {}
+    for seg, ck in rows:
+        strata.setdefault(seg, []).append(ck)
+    N = len(rows)
+    base = {s: 300 * len(v) // N for s, v in strata.items()}
+    rem = {s: (300 * len(v)) % N for s, v in strata.items()}
+    extras = 300 - sum(base.values())
+    order = sorted(strata, key=lambda s: (-rem[s], s))
+    alloc = {
+        s: base[s] + (1 if i < extras else 0) for i, s in enumerate(order)
+    }
+    got = {
+        r["stratum"]: r
+        for r in REGISTRY["stratified_alloc_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(strata)
+    for s, keys in strata.items():
+        ranked = sorted(keys, key=lambda k: (_poly_hash_py(str(k)), k))
+        taken = ranked[: alloc[s]]
+        r = got[s]
+        assert r["n_stratum"] == len(keys)
+        assert r["n_alloc"] == alloc[s]
+        assert r["n_taken"] == len(taken)
+        assert r["key_sum"] == sum(taken), s
