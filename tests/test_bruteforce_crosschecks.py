@@ -1288,3 +1288,121 @@ def test_stratified_alloc_q_matches_bruteforce(spark):
         assert r["n_alloc"] == alloc[s]
         assert r["n_taken"] == len(taken)
         assert r["key_sum"] == sum(taken), s
+
+
+def _quantile_type7(sorted_vals, p: float) -> float:
+    """NumPy/DuckDB/Spark 'linear' (type-7) interpolated quantile."""
+    n = len(sorted_vals)
+    h = p * (n - 1)
+    lo = math.floor(h)
+    hi = min(lo + 1, n - 1)
+    return sorted_vals[lo] + (h - lo) * (sorted_vals[hi] - sorted_vals[lo])
+
+
+def test_target_encode_loo_q_matches_bruteforce(spark):
+    """Leave-one-out target encoding per customer: (group_sum - own) /
+    (n - 1) with decimal sums — the off-by-one formula recomputed row by
+    row."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM read_parquet('{SF_SMALL}/customer.parquet')
+        """
+    ).fetchall()
+    from collections import defaultdict
+    from decimal import Decimal
+
+    s: dict = defaultdict(Decimal)
+    n: dict = defaultdict(int)
+    bal = {}
+    for ck, nk, b in rows:
+        d = Decimal(repr(b)).quantize(Decimal("1e-4"))
+        s[nk] += d
+        n[nk] += 1
+        bal[ck] = (nk, d)
+    got = {
+        r["c_custkey"]: r
+        for r in REGISTRY["target_encode_loo_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(bal)
+    for ck, (nk, d) in bal.items():
+        want = float((s[nk] - d) / (n[nk] - 1)) if n[nk] > 1 else 0.0
+        assert got[ck]["c_nationkey"] == nk
+        # compare against the UNROUNDED exact value: the engine's 4-dp
+        # HALF_UP and Python's round-half-even diverge exactly at .5
+        # boundaries, so the rounded values can differ by one last digit
+        assert got[ck]["nation_loo_mean"] == pytest.approx(
+            want, abs=5.1e-5
+        ), ck
+
+
+def test_mad_outliers_q_matches_bruteforce(spark):
+    """Median absolute deviation per source with type-7 medians and the
+    3*MAD outlier rule, recomputed with sorted lists."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT source, n_chars
+        FROM read_parquet('{SF_SMALL}/documents.parquet')
+        """
+    ).fetchall()
+    by_src: dict = {}
+    for src, nc in rows:
+        by_src.setdefault(src, []).append(nc)
+    got = {
+        r["source"]: r
+        for r in REGISTRY["mad_outliers_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(by_src)
+    for src, vals in by_src.items():
+        med = _quantile_type7(sorted(vals), 0.5)
+        devs = sorted(abs(v - med) for v in vals)
+        mad = _quantile_type7(devs, 0.5)
+        n_out = sum(1 for v in vals if abs(v - med) > 3 * mad)
+        r = got[src]
+        assert r["n_docs"] == len(vals)
+        assert r["med"] == pytest.approx(med, abs=1e-9)
+        assert r["mad"] == pytest.approx(mad, abs=1e-9)
+        assert r["n_outliers"] == n_out, src
+
+
+def test_winsorize_prices_matches_bruteforce(spark):
+    """Winsorized mean per return flag: clamp to the decimal-pinned
+    [p05, p95] band and average with decimal sums."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT l_returnflag, l_extendedprice
+        FROM read_parquet('{SF_SMALL}/lineitem.parquet')
+        """
+    ).fetchall()
+    from decimal import Decimal
+
+    by_flag: dict = {}
+    for fl, p in rows:
+        by_flag.setdefault(fl, []).append(float(p))
+    got = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["winsorize_prices"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(by_flag)
+    for fl, vals in by_flag.items():
+        sv = sorted(vals)
+        lo = Decimal(repr(_quantile_type7(sv, 0.05))).quantize(
+            Decimal("1e-4")
+        )
+        hi = Decimal(repr(_quantile_type7(sv, 0.95))).quantize(
+            Decimal("1e-4")
+        )
+        total = sum(
+            min(max(Decimal(repr(v)).quantize(Decimal("1e-4")), lo), hi)
+            for v in vals
+        )
+        r = got[fl]
+        assert r["n"] == len(vals)
+        assert r["lo"] == pytest.approx(float(lo), abs=1e-6)
+        assert r["hi"] == pytest.approx(float(hi), abs=1e-6)
+        assert r["mean_winsorized"] == pytest.approx(
+            round(float(total) / len(vals), 2), abs=1e-2
+        )
