@@ -1406,3 +1406,76 @@ def test_winsorize_prices_matches_bruteforce(spark):
         assert r["mean_winsorized"] == pytest.approx(
             round(float(total) / len(vals), 2), abs=1e-2
         )
+
+
+def test_forecast_eval_q_matches_bruteforce(spark):
+    """Seasonal-naive (lag-7) forecast errors recomputed with a plain
+    dict of 6-dp daily means: MAE, MAPE, sMAPE."""
+    import datetime
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT CAST(ts AS DATE), value
+        FROM read_parquet('{SF_SMALL}/events.parquet')
+        WHERE event_type = 'purchase'
+        """
+    ).fetchall()
+    from decimal import Decimal
+
+    acc: dict = {}
+    for d, v in rows:
+        acc.setdefault(d, []).append(Decimal(repr(v)).quantize(
+            Decimal("1e-6")
+        ))
+    days = sorted(acc)
+    m = {
+        d: float((sum(acc[d]) / len(acc[d])).quantize(Decimal("1e-6")))
+        for d in days
+    }
+    # LAG(m, 7) is seven ROWS back in day order, not calendar-7-days
+    pairs = [
+        (m[days[i]], m[days[i - 7]]) for i in range(7, len(days))
+    ]
+    mae = sum(abs(y - yh) for y, yh in pairs) / len(pairs)
+    mape = sum(abs(y - yh) / y for y, yh in pairs) / len(pairs)
+    smape = sum(
+        2 * abs(y - yh) / (abs(y) + abs(yh)) for y, yh in pairs
+    ) / len(pairs)
+    r = REGISTRY["forecast_eval_q"].fn(spark, SF_SMALL).collect()[0]
+    assert r["n_eval_days"] == len(pairs)
+    assert r["mae"] == pytest.approx(mae, abs=2e-6)
+    assert r["mape"] == pytest.approx(mape, abs=2e-6)
+    assert r["smape"] == pytest.approx(smape, abs=2e-6)
+
+
+def test_anomaly_zscore_matches_bruteforce(spark):
+    """Daily-count z-scores per event type with Python mean/sample-sd."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*)
+        FROM read_parquet('{SF_SMALL}/events.parquet')
+        GROUP BY event_type, day
+        """
+    ).fetchall()
+    by_type: dict = {}
+    for et, d, n in rows:
+        by_type.setdefault(et, {})[d] = n
+    got = {
+        (r["event_type"], r["day"]): (r["n_events"], r["zscore"])
+        for r in REGISTRY["anomaly_zscore"].fn(spark, SF_SMALL).collect()
+    }
+    import statistics
+
+    expect_keys = {(et, d) for et, days in by_type.items() for d in days}
+    assert set(got) == expect_keys
+    for et, days in by_type.items():
+        vals = list(days.values())
+        mu = statistics.fmean(vals)
+        sd = statistics.stdev(vals)
+        for d, n in days.items():
+            assert got[(et, d)][0] == n
+            assert got[(et, d)][1] == pytest.approx(
+                (n - mu) / sd, abs=2e-6
+            ), (et, d)
