@@ -37,37 +37,45 @@ from iniz_exporters_spark.session import tune_for_session
 #
 # Rotation plan (tracked in PERFORMANCE.md §driver-window):
 #   r4: TPC-H suite, window family, round-3 pipeline layer      (done, 49)
-#   r5: end-to-end exporter pipeline + next 48 never-checked    (this list)
-#   r6/r7/r8: remainder per the canonical ledger in PERFORMANCE.md
+#   r5: end-to-end exporter pipeline + next 48 never-checked    (done, 49)
+#   r6: remaining reference entry points + array_set_ops redo + next batch
+#   r7/r8: remainder per the canonical ledger in PERFORMANCE.md
 # ---------------------------------------------------------------------------
-_R5_WINDOW = [
-    # round-5 addition: the reference's flagship pipeline end-to-end over
-    # the committed fixture (wide query → graph passes → prune), oracle =
-    # recursive-CTE replay in DuckDB
-    "concepts_export_q",
-    # next 48 never-driver-checked names in registry order (precomputed at
-    # r4 close, PERFORMANCE.md §driver-window; swept at sf0.001/0.01/0.1)
-    "interval_join_events", "band_lookup_prices", "grouping_sets_agg",
-    "json_extract_props", "stats_agg_family", "conditional_agg",
-    "intersect_except_custs", "levenshtein_nations", "unpivot_part_metrics",
-    "datetime_breadth", "regexp_first_word", "minmax_by_agg",
-    "null_handling_funcs", "string_funcs_breadth", "histogram_bins",
-    "sample_poly_hash", "pivot_dynamic_langs", "array_norm_embeddings",
-    "latest_per_key", "semi_join_customers", "posexplode_embeddings",
-    "connected_components_q", "array_set_ops", "multimodal_frame_stats",
-    "image_phash_q", "phash_neardup", "repetition_ratio", "vocab_topk",
-    "contamination_overlap", "kmeans_assignments", "regression_per_group",
-    "chunk_tokens_q", "scd2_intervals", "unigram_logprob", "funnel_stages",
-    "ivf_multiprobe_topk", "mixture_sample_q", "tfidf_top_terms",
-    "bm25_score", "inverted_index_q", "token_pmi_q", "pagerank_top",
-    "resample_interpolate_q", "sessionize_events", "cohort_retention_q",
-    "time_to_convert_q", "train_test_split", "pack_sequences_q",
+_R6_WINDOW = [
+    # round-6 priority: the three remaining reference entry points
+    # (VERDICT r5 #2 — reference-parity surface jumps the queue; displaces
+    # record_linkage_q / lm_perplexity_q / feature_hash_q / pq_adc_topk to
+    # the r8 window)
+    "locations_export_q", "concept_set_q", "ordertypes_export_q",
+    # round-5's only red row, re-entered after the array_join fix so it
+    # finally gets a green driver row (VERDICT r5 #1)
+    "array_set_ops",
+    # next never-driver-checked names per the canonical ledger
+    # (PERFORMANCE.md §driver-window; swept at sf0.001/0.01/0.1 this round)
+    "anomaly_zscore", "cdc_apply_changes", "full_outer_reconcile",
+    "nullsafe_join_nations", "map_funcs", "quantile_bins", "zorder_layout",
+    "analyze_table_stats", "ivm_merge_counts", "dq_expectations",
+    "weighted_sample_q", "dau_wau_stickiness", "pq_codes",
+    "rollup_reuse_daily", "pii_redact", "normalize_nfc", "char_entropy_q",
+    "negative_samples", "reservoir_per_group_q", "hard_negatives_q",
+    "skew_profile", "bigram_logprob_q", "bpe_merge_pairs", "url_parts_q",
+    "host_rate_sample_q", "lang_mix_by_source", "dedup_rate_by_source",
+    "mad_outliers_q", "embedding_dim_stats", "whitened_norm_q",
+    "approx_quantile_check", "winsorize_prices", "quality_calibration_q",
+    "shuffle_order_topk", "hash_split_q", "retrieval_eval_q",
+    "mix_temperature_q", "centroid_drift_q", "embedding_covariance_q",
+    "pca_project_check", "incremental_neardup_q", "length_batches_q",
+    "dsir_weights_q", "containment_pairs_q", "triangle_count_q",
 ]
+
+# Kept for provenance / test compatibility: the live window always binds to
+# the newest list.
+_WINDOW = _R6_WINDOW
 
 
 def _ordered_names() -> list[str]:
     """Registry names with the current rotation window first."""
-    window = ["q1_pricing_summary"] + [n for n in _R5_WINDOW if n in REGISTRY]
+    window = ["q1_pricing_summary"] + [n for n in _WINDOW if n in REGISTRY]
     seen = set(window)
     return window + [n for n in REGISTRY if n not in seen]
 

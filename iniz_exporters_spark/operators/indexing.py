@@ -24,21 +24,19 @@ from pyspark.sql import DataFrame, Window
 from iniz_exporters_spark.functions.text import poly_hash
 
 
-def global_index(
-    df: DataFrame, order_col: str, idx_col: str = "idx"
-) -> DataFrame:
-    """Add a 1-based dense index in ``order_col`` order without a
-    single-partition window.
-
-    ``order_col`` must be unique (the total order must be well-defined).
-    Three jobs: materialize the range-partitioned frame (localCheckpoint
-    pins the partitioning so the count pass and the output pass see the
-    SAME layout), collect per-partition counts (one row per partition),
-    then number within partitions in parallel and add broadcast offsets.
-    """
+def _ranked_with_total(df: DataFrame, sort_cols, idx_col: str):
+    """(ranked frame, total row count): 1-based global rank over the
+    composite total order ``sort_cols`` (Column expressions, .desc()
+    allowed) without a single-partition window. The order must be total
+    (include a unique tiebreak column). Three jobs: materialize the
+    range-partitioned frame (localCheckpoint pins the partitioning so the
+    count pass and the output pass see the SAME layout), collect
+    per-partition counts (one row per partition — metadata scale), then
+    number within partitions in parallel and add broadcast offsets."""
+    sort_cols = list(sort_cols)
     pinned = (
-        df.repartitionByRange(F.col(order_col))
-        .sortWithinPartitions(order_col)
+        df.repartitionByRange(*sort_cols)
+        .sortWithinPartitions(*sort_cols)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint()
     )
@@ -52,14 +50,51 @@ def global_index(
         acc += cnt
     spark = df.sparkSession
     off_df = spark.createDataFrame(offsets, "__pid int, __offset long")
-    w = Window.partitionBy("__pid").orderBy(order_col)
-    return (
+    w = Window.partitionBy("__pid").orderBy(*sort_cols)
+    ranked = (
         pinned.join(F.broadcast(off_df), "__pid")
         .withColumn(
             idx_col, (F.row_number().over(w) + F.col("__offset")).cast("long")
         )
         .drop("__pid", "__offset")
     )
+    return ranked, acc
+
+
+def global_index(
+    df: DataFrame, order_col: str, idx_col: str = "idx"
+) -> DataFrame:
+    """Add a 1-based dense index in ``order_col`` order without a
+    single-partition window. ``order_col`` must be unique."""
+    ranked, _ = _ranked_with_total(df, [F.col(order_col)], idx_col)
+    return ranked
+
+
+def global_ntile(
+    df: DataFrame, sort_cols, n_buckets: int, out_col: str
+) -> DataFrame:
+    """Exact ``NTILE(n) OVER (ORDER BY sort_cols)`` without the
+    single-partition global window Spark would otherwise plan
+    (``WindowExec: No Partition Defined`` — one task holds the whole
+    frame). Semantics match ANSI NTILE bit-for-bit: with N rows the first
+    ``N mod n`` buckets get ``ceil(N/n)`` rows, the rest ``floor(N/n)`` —
+    derived arithmetically from the distributed global rank, so the
+    DuckDB oracle can keep its plain NTILE. ``sort_cols`` must define a
+    total order (include a unique tiebreak)."""
+    ranked, n = _ranked_with_total(df, sort_cols, "__rank")
+    if n == 0:
+        return ranked.withColumn(out_col, F.col("__rank")).drop("__rank")
+    q, r = divmod(n, n_buckets)
+    rank = F.col("__rank")
+    if q == 0:
+        bucket = rank  # fewer rows than buckets: NTILE gives bucket = rank
+    else:
+        big_end = r * (q + 1)  # last rank inside the ceil-sized buckets
+        bucket = F.when(
+            rank <= big_end,
+            F.expr(f"(__rank - 1) DIV {q + 1}") + 1,
+        ).otherwise(F.expr(f"(__rank - 1 - {big_end}) DIV {q}") + 1 + r)
+    return ranked.withColumn(out_col, bucket.cast("long")).drop("__rank")
 
 
 def negative_sample_pairs(

@@ -3828,17 +3828,25 @@ def connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Array set operations: intersect / union / except between per-row token
 # arrays (the primitive under n-gram Jaccard and vocabulary diffing).
 # Element order out of set ops is engine-specific, so results are
-# canonicalized with array_sort before comparison; all ops are row-local
-# (no shuffle).
+# canonicalized with array_sort; the arrays are then serialized with
+# array_join(';') because the driver's pandas canonicalizer cannot hash
+# list cells (the round-5 `err` row) — the set operators under test are
+# unchanged, only the output representation is a string. All ops are
+# row-local (no shuffle).
 # ---------------------------------------------------------------------------
 @register(
     "array_set_ops",
     """
     SELECT p_partkey,
-           list_sort(list_distinct(list_intersect(nw, tw))) AS common_words,
-           list_sort(list_distinct(list_concat(nw, tw))) AS all_words,
-           list_sort(list_distinct(
-               list_filter(nw, x -> NOT list_contains(tw, x))))
+           coalesce(array_to_string(
+               list_sort(list_distinct(list_intersect(nw, tw))), ';'), '')
+               AS common_words,
+           coalesce(array_to_string(
+               list_sort(list_distinct(list_concat(nw, tw))), ';'), '')
+               AS all_words,
+           coalesce(array_to_string(
+               list_sort(list_distinct(
+                   list_filter(nw, x -> NOT list_contains(tw, x)))), ';'), '')
                AS name_only_words,
            len(list_distinct(nw)) AS n_name_words
     FROM (
@@ -3855,9 +3863,15 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     tw = F.split(F.lower(F.col("p_type")), " ")
     return p.select(
         "p_partkey",
-        F.array_sort(F.array_intersect(nw, tw)).alias("common_words"),
-        F.array_sort(F.array_distinct(F.array_union(nw, tw))).alias("all_words"),
-        F.array_sort(F.array_except(nw, tw)).alias("name_only_words"),
+        F.array_join(
+            F.array_sort(F.array_intersect(nw, tw)), ";"
+        ).alias("common_words"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.array_union(nw, tw))), ";"
+        ).alias("all_words"),
+        F.array_join(
+            F.array_sort(F.array_except(nw, tw)), ";"
+        ).alias("name_only_words"),
         F.size(F.array_distinct(nw)).cast("long").alias("n_name_words"),
     )
 
@@ -5239,7 +5253,7 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS bin
         FROM customer
     )
-    SELECT CAST(bin AS INT) AS bin,
+    SELECT CAST(bin AS BIGINT) AS bin,
            CAST(count(*) AS BIGINT) AS n,
            min(c_acctbal) AS lo,
            max(c_acctbal) AS hi
@@ -5247,14 +5261,17 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global NTILE needs a single ordered partition — fine for the
-    decile-boundary computation itself on a sampled/aggregated frame, but
-    at corpus scale you'd compute boundaries with approx quantiles and
-    bucket by range join instead; this query IS the exact-boundary
-    reference for that path."""
+    """Exact decile boundaries over the full dimension. NTILE semantics
+    come from operators.indexing.global_ntile (range-partitioned global
+    rank + arithmetic bucketing), so no single-partition window exists at
+    any dimension size; the oracle keeps plain ANSI NTILE."""
     c = Catalog(spark, sf_dir).customer
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    t = c.select("c_acctbal", F.ntile(10).over(w).alias("bin"))
+    t = global_ntile(
+        c.select("c_acctbal", "c_custkey"),
+        [F.col("c_acctbal"), F.col("c_custkey")],
+        10,
+        "bin",
+    )
     return t.groupBy("bin").agg(
         F.count("*").cast("long").alias("n"),
         F.min("c_acctbal").alias("lo"),
@@ -5747,7 +5764,10 @@ def rollup_reuse_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from iniz_exporters_spark.functions.text import char_entropy, normalize_text
-from iniz_exporters_spark.operators.indexing import negative_sample_pairs
+from iniz_exporters_spark.operators.indexing import (
+    global_ntile,
+    negative_sample_pairs,
+)
 from iniz_exporters_spark.operators.privacy import (
     PII_PATTERNS,
     pii_counts,
@@ -8378,7 +8398,10 @@ def lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Hashing trick (Weinberger et al. 2009): fixed-width bag-of-words vector
 # per doc, built entirely per-row in codegen — no vocabulary pass, no
-# dictionary state, zero shuffles at any corpus size.
+# dictionary state, zero shuffles at any corpus size. The vector is
+# serialized with array_join(';') for the gate (the driver's pandas
+# canonicalizer cannot hash list cells — see tests/test_registry_lint.py);
+# feature_hash_vector itself still yields the typed array for pipelines.
 @register(
     "feature_hash_q",
     f"""
@@ -8389,8 +8412,9 @@ def lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id,
-           list_transform(range(0, 64),
-               b -> len(list_filter(th, x -> x = b))) AS vec,
+           coalesce(array_to_string(
+               list_transform(range(0, 64),
+                   b -> len(list_filter(th, x -> x = b))), ';'), '') AS vec,
            len(list_filter(
                list_transform(range(0, 64),
                    b -> len(list_filter(th, x -> x = b))),
@@ -8404,7 +8428,7 @@ def feature_hash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = feature_hash_vector("text", dim=64)
     return d.select(
         "doc_id",
-        vec.alias("vec"),
+        F.array_join(vec, ";").alias("vec"),
         F.size(F.filter(vec, lambda c: c > 0)).alias("nnz"),
         F.size(_hf_tokens("text")).cast("long").alias("n_tokens"),
     )
@@ -9779,18 +9803,52 @@ def entropy_ldiversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
+# Hot-basket guard for the basket-pair family (adamic_adar_q,
+# association_rules_q): any self-join of (order, part) on the order key
+# fans out quadratically per basket, so a single pathological 100k-item
+# basket would emit 10^10 pairs from one shuffle key — the classic skew
+# scale-killer. Every basket is therefore truncated to its BASKET_CAP
+# smallest partkeys (deterministic; same ROW_NUMBER cap in the DuckDB
+# oracle) BEFORE pairing, bounding per-key fan-out at BASKET_CAP^2.
+# TPC-H baskets hold <= 7 distinct parts, so the cap never fires at test
+# scale and oracle parity is exact. Fan-out bound pinned by
+# tests/test_basket_cap.py.
+BASKET_CAP = 64
+
+
+def _capped_baskets(op: DataFrame, cap: int = BASKET_CAP) -> DataFrame:
+    """Truncate each basket (key ``o``, item ``p``) to its ``cap`` smallest
+    items. The per-key window is linear work per basket (one shuffle on
+    ``o``, which the downstream pair join needs anyway)."""
+    w = Window.partitionBy("o").orderBy("p")
+    return (
+        op.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
 # Adamic–Adar link prediction over the co-purchase bipartite projection:
 # parts are linked through shared orders, and each shared order z
-# contributes 1/ln(|z|). Scale shape: the pair generator is the SAME
-# bounded wedge join as triangle_count_q — keyed by orderkey whose fanout
-# is the lineitems-per-order bound (<= ~15 by data contract), so pair
-# count is O(rows * fanout), never O(n^2). Scores sum 12-dp-quantized
-# terms, so the top-30 ordering is engine-identical.
+# contributes 1/ln(|z|). Scale shape: the pair generator is keyed by
+# orderkey, and every basket is HARD-CAPPED to its BASKET_CAP smallest
+# partkeys (deterministic, applied identically in the oracle) before
+# pairing — so one hot basket of 100k items contributes at most
+# BASKET_CAP^2 pairs instead of 10^10, and total pair count is
+# O(orders * BASKET_CAP^2). On TPC-H the cap is a no-op (baskets <= 7).
+# Scores sum 12-dp-quantized terms, so the top-30 ordering is
+# engine-identical. The cap's bounded-fan-out contract is pinned by
+# tests/test_basket_cap.py (synthetic one-order x 5k-part hot basket).
 @register(
     "adamic_adar_q",
     """
-    WITH op AS (
+    WITH op0 AS (
         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    op AS (
+        SELECT o, p FROM (
+            SELECT o, p, ROW_NUMBER() OVER (PARTITION BY o ORDER BY p) AS rn
+            FROM op0) WHERE rn <= 64
     ),
     osize AS (
         SELECT o, COUNT(*) AS n FROM op GROUP BY o HAVING COUNT(*) >= 2
@@ -9813,11 +9871,13 @@ def adamic_adar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-30 predicted part-part links by Adamic–Adar: pairs that share
     many small (informative) orders outrank pairs sharing few large
     (generic) ones. The common neighbor is always the ORDER node, whose
-    degree is the order's distinct-part count."""
+    degree is the order's distinct-part count (after the basket cap)."""
     li = Catalog(spark, sf_dir).lineitem
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    op = _capped_baskets(
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        ).distinct()
+    )
     osize = op.groupBy("o").agg(F.count("*").alias("n")).filter("n >= 2")
     a = op.select("o", F.col("p").alias("pa"))
     b = op.select("o", F.col("p").alias("pb"))
@@ -11134,16 +11194,25 @@ def leakage_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Association rules over co-purchased parts: support / confidence / lift
-# for directed rules a -> b. Scale shape: the SAME bounded wedge join as
-# adamic_adar_q generates ordered pairs (orderkey fanout-bounded, so
-# O(rows * fanout) pairs); antecedent counts come from the part-order
-# table (vocab-keyed); every statistic is a ratio of exact integer counts
-# evaluated with the identical expression both engines.
+# for directed rules a -> b. Scale shape: pairs are generated per order
+# key with every basket HARD-CAPPED to its BASKET_CAP smallest partkeys
+# (deterministic, identical in the oracle — see _capped_baskets), so a
+# hot basket contributes at most BASKET_CAP^2 pairs and total pair count
+# is O(orders * BASKET_CAP^2), never quadratic in one key. TPC-H baskets
+# are <= 7 so the cap never fires at test scale. Antecedent counts come
+# from the capped part-order table (vocab-keyed); every statistic is a
+# ratio of exact integer counts evaluated with the identical expression
+# both engines.
 @register(
     "association_rules_q",
     """
-    WITH op AS (
+    WITH op0 AS (
         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    op AS (
+        SELECT o, p FROM (
+            SELECT o, p, ROW_NUMBER() OVER (PARTITION BY o ORDER BY p) AS rn
+            FROM op0) WHERE rn <= 64
     ),
     n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM op),
     cnt AS (SELECT p, COUNT(*) AS c FROM op GROUP BY p),
@@ -11171,9 +11240,11 @@ def leakage_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def association_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).lineitem
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct().localCheckpoint()
+    op = _capped_baskets(
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        ).distinct()
+    ).localCheckpoint()
     n = op.agg(F.countDistinct("o").alias("n_orders"))
     cnt = op.groupBy("p").agg(F.count("*").alias("c"))
     a = op.select("o", F.col("p").alias("pa"))
@@ -11212,11 +11283,12 @@ def association_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # RFM (recency / frequency / monetary) customer segmentation with NTILE
 # quartile scores. Scale shape: one orders aggregation per customer
-# (fact-scale shuffle on custkey), then three NTILE windows over the
-# CUSTOMER-dimension table — dimension-scale, parallel-safe to the extent
-# the dimension fits a window (documented; boundaries-by-percentile with
-# a broadcast join is the swap-in at extreme customer counts). Ties break
-# on custkey, so quartile membership is engine-identical.
+# (fact-scale shuffle on custkey), then three EXACT distributed NTILEs
+# via operators.indexing.global_ntile — range-partitioned rank +
+# arithmetic bucket assignment, never a single-partition global window,
+# so the customer dimension can be arbitrarily large. The oracle keeps
+# plain ANSI NTILE; global_ntile reproduces its semantics bit-for-bit.
+# Ties break on custkey, so quartile membership is engine-identical.
 @register(
     "rfm_segment_q",
     """
@@ -11254,23 +11326,23 @@ def rfm_segment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec(F.col("o_totalprice"))).alias("monetary"),
         )
     )
-    return rfm.select(
+    scored = global_ntile(
+        rfm, [F.col("recency_days"), F.col("custkey")], 4, "r_score"
+    )
+    scored = global_ntile(
+        scored, [F.col("frequency").desc(), F.col("custkey")], 4, "f_score"
+    )
+    scored = global_ntile(
+        scored, [F.col("monetary").desc(), F.col("custkey")], 4, "m_score"
+    )
+    return scored.select(
         "custkey",
         F.col("recency_days").cast("long").alias("recency_days"),
         F.col("frequency").cast("long").alias("frequency"),
         F.round(F.col("monetary").cast("double"), 2).alias("monetary"),
-        F.ntile(4)
-        .over(Window.orderBy("recency_days", "custkey"))
-        .cast("long")
-        .alias("r_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("frequency"), "custkey"))
-        .cast("long")
-        .alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary"), "custkey"))
-        .cast("long")
-        .alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
 
 
