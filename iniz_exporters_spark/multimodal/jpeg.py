@@ -245,12 +245,26 @@ def _decode_jpeg_strict(data: bytes):
     ac_tables: dict[int, dict] = {}
     frame = None  # (h, w, comps) with comps = [(cid, hsamp, vsamp, tq)]
     restart_interval = 0
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
+            return None
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker — skip them instead of misreading the next 0xFF as a
+        # marker code (ADVICE r5 #4)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(data):
             return None
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             return None  # reached EOI before a scan
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: standalone, length-less — legal between
+            # segments; skip rather than misparse a length
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            return None
         seg_len = int.from_bytes(data[pos + 2 : pos + 4], "big")
         seg = data[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:  # DQT

@@ -48,17 +48,28 @@ DEFAULT_MAX_BROADCAST_QUERIES = 100_000
 
 def _broadcast_guard(
     queries: DataFrame, max_queries: int | None, what: str
-) -> None:
-    """Loud guard on the broadcast side of brute-force scoring.
+) -> DataFrame:
+    """Loud guard on the broadcast side of brute-force scoring; returns
+    the frame the caller must use downstream.
 
     The plan is scale-safe only WHILE the query set broadcasts; a
     million-row query set would OOM executors with an opaque broadcast
     error deep in the shuffle layer. Mirrors ``_bucket_guard``: fail
-    before the job with the actionable fix. Costs one count() job over
-    the (small by contract) query side at plan-build time.
+    before the job with the actionable fix.
+
+    The guard's count() would otherwise run the query side's whole
+    upstream plan a second time when it is a derived (shuffle-bearing)
+    frame, so non-bare-scan inputs are localCheckpoint-ed first — the
+    count materializes the (small by contract) checkpoint and the
+    broadcast reuses it, one upstream execution total (ADVICE r5 #2).
+    Bare scans skip the checkpoint: re-scanning a file is the cheap case.
     """
     if max_queries is None:
-        return
+        return queries
+    from iniz_exporters_spark.session import _is_bare_scan
+
+    if not _is_bare_scan(queries):
+        queries = queries.localCheckpoint(eager=False)
     n = queries.limit(max_queries + 1).count()
     if n > max_queries:
         raise RuntimeError(
@@ -68,6 +79,7 @@ def _broadcast_guard(
             "sets, or raise max_queries explicitly if the executors are "
             "sized for the broadcast"
         )
+    return queries
 
 
 def knn_bruteforce(
@@ -84,7 +96,7 @@ def knn_bruteforce(
     Ranking uses the ROUNDED cosine with neighbor id as tiebreak so results
     are stable across engines/architectures.
     """
-    _broadcast_guard(queries, max_queries, "knn_bruteforce")
+    queries = _broadcast_guard(queries, max_queries, "knn_bruteforce")
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
@@ -171,7 +183,7 @@ def hard_negatives(
     ranking window. Ranking is on the ROUNDED cosine with id tiebreak, so
     results are engine-stable.
     """
-    _broadcast_guard(queries, max_queries, "hard_negatives")
+    queries = _broadcast_guard(queries, max_queries, "hard_negatives")
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )

@@ -16,6 +16,7 @@ Conventions that make cross-engine hash-equality deterministic:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -13930,7 +13931,56 @@ def dup_payment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # concept_csv_export.py:3-5).
 # ===========================================================================
 
-_CONCEPT_FIXTURE_DIR = "/root/repo/fixtures/concepts"
+# Fixture roots are derived from __file__ (module-relative) so the driver
+# rows keep working if the repo is checked out elsewhere (ADVICE r5 #5);
+# the resolved absolute path is interpolated into the registered oracle
+# SQL at import time.
+_FIXTURES_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures"
+)
+
+_CONCEPT_FIXTURE_DIR = os.path.join(_FIXTURES_ROOT, "concepts")
+
+
+def _longest_chain_level(
+    n: str,
+    edges: dict,
+    present: set,
+    levels: dict,
+) -> int:
+    """Longest referent-chain depth of ``n`` (leaf = 0), memoized into
+    ``levels``. Iterative DFS with an in-progress set: a cyclic edge set
+    raises a clear ``cycle detected`` error instead of RecursionError,
+    and depth is bounded by the explicit stack, not the interpreter
+    recursion limit (ADVICE r5 #3 — the export pipeline's own cycle-check
+    stage runs earlier, but this replay must not assume it did)."""
+    if n in levels:
+        return levels[n]
+    in_progress: set = set()
+    stack: list = [(n, 0)]
+    while stack:
+        node, state = stack.pop()
+        kids = [c for c in edges.get(node, ()) if c in present and c != node]
+        if state == 0:
+            if node in levels:
+                continue
+            if node in in_progress:
+                raise ValueError(
+                    f"cycle detected in concept references at {node!r}"
+                )
+            in_progress.add(node)
+            stack.append((node, 1))
+            for c in kids:
+                if c not in levels:
+                    if c in in_progress:
+                        raise ValueError(
+                            f"cycle detected in concept references at {c!r}"
+                        )
+                    stack.append((c, 0))
+        else:
+            in_progress.discard(node)
+            levels[node] = 0 if not kids else 1 + max(levels[c] for c in kids)
+    return levels[n]
 
 _CONCEPT_FIXTURE_TABLES = [
     "concept", "concept_class", "concept_datatype", "concept_name",
@@ -14133,10 +14183,7 @@ def concepts_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels: dict[str, int] = {}
 
     def level(n: str) -> int:
-        if n not in levels:
-            kids = [c for c in edges.get(n, ()) if c in present and c != n]
-            levels[n] = 0 if not kids else 1 + max(level(c) for c in kids)
-        return levels[n]
+        return _longest_chain_level(n, edges, present, levels)
 
     double_cols = {"Absolute high", "Absolute low"}
     long_cols = {"Display precision", "Allow decimals"}
@@ -14692,7 +14739,7 @@ def session_gap_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # location, and a ':'-bearing attribute value (the reference bug we do
 # not reproduce). The oracle replays both pivots as grouped CASE
 # aggregates.
-_LOC_FIXTURE_DIR = "/root/repo/fixtures/locations"
+_LOC_FIXTURE_DIR = os.path.join(_FIXTURES_ROOT, "locations")
 
 
 @register(
@@ -14771,7 +14818,7 @@ def locations_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # metadata-scale curation CSV; the reference reads it with csv.reader);
 # the fixture's member uuids sort in input order so the oracle can
 # replay Sort Weight relationally.
-_SET_FIXTURE_CSV = "/root/repo/fixtures/set_creator/input.csv"
+_SET_FIXTURE_CSV = os.path.join(_FIXTURES_ROOT, "set_creator", "input.csv")
 
 
 @register(
@@ -14829,7 +14876,7 @@ def concept_set_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Parent last), ordered by primary key. Completes driver coverage of
 # every reference entry point (concepts / locations / set-creator /
 # ordertypes).
-_OT_FIXTURE = "/root/repo/fixtures/ordertypes/order_type.parquet"
+_OT_FIXTURE = os.path.join(_FIXTURES_ROOT, "ordertypes", "order_type.parquet")
 
 
 @register(

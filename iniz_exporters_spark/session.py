@@ -153,6 +153,28 @@ def _estimated_scan_splits(df, target: int):
 
 _SPREAD_CACHE: dict = {}
 
+# Analyzed-plan node prefixes that cannot change the scan's partitioning.
+# Anything else (Join, Aggregate, Sort, Repartition, Window, Distinct,
+# Union, …) means the physical partition count is a (possibly
+# AQE-coalesced) shuffle count, NOT the file-split count — using the scan
+# estimate there can wrongly skip the repartition for an expensive kernel.
+_BARE_SCAN_NODES = ("Project", "Filter", "Relation", "SubqueryAlias", "View")
+
+
+def _is_bare_scan(df) -> bool:
+    """True iff the analyzed logical plan is scan + narrow ops only, so
+    the file-split estimate equals the physical partition count. Analysis
+    already ran when the DataFrame was built; no physical planning here."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    for line in plan.splitlines():
+        node = line.lstrip(" :+-")
+        if node and not node.startswith(_BARE_SCAN_NODES):
+            return False
+    return True
+
 
 def spread_for_kernel(df, min_factor: int = 1):
     """Ensure an expensive Python/Arrow kernel gets at least the session's
@@ -174,7 +196,10 @@ def spread_for_kernel(df, min_factor: int = 1):
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * min_factor
-    n = _estimated_scan_splits(df, target)
+    # file-split estimate ONLY for bare scans: a plan containing a shuffle
+    # (join/agg/repartition/…) has the shuffle's partition count, which the
+    # scan metadata cannot see — fall back to the memoized physical count
+    n = _estimated_scan_splits(df, target) if _is_bare_scan(df) else None
     if n is None:
         try:
             key = (df.semanticHash(), target)

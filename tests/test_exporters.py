@@ -331,3 +331,28 @@ def test_concepts_export_q_fixture_contract(spark):
     assert rows["Labs"]["Members"] == "Hemoglobin;Vitals"
     assert rows["Colour"]["Answers"] == "Yes;No"
     assert rows["Hemoglobin"]["Mappings|SAME-AS|CIEL"] == "21"  # retired term out
+
+
+def test_longest_chain_level_iterative_and_cycle_safe():
+    """ADVICE r5 #3: the topo-level replay must not RecursionError on deep
+    chains and must raise a clear error on a cyclic fixture edit."""
+    import pytest
+
+    from iniz_exporters_spark.queries import _longest_chain_level
+
+    # 10k-deep chain: would blow the default recursion limit if recursive
+    n = 10_000
+    edges = {str(i): [str(i + 1)] for i in range(n)}
+    present = {str(i) for i in range(n + 1)}
+    levels: dict = {}
+    assert _longest_chain_level("0", edges, present, levels) == n
+    assert levels[str(n)] == 0
+
+    # cycle a -> b -> a: clear error, not RecursionError
+    with pytest.raises(ValueError, match="cycle detected"):
+        _longest_chain_level(
+            "a", {"a": ["b"], "b": ["a"]}, {"a", "b"}, {}
+        )
+
+    # self-loop is skipped (matches the reference's self-reference rule)
+    assert _longest_chain_level("x", {"x": ["x"]}, {"x"}, {}) == 0

@@ -102,3 +102,24 @@ def test_image_phash_real_jpeg_pixels(spark):
            image_phash(df, "payload", "media_id").collect()}
     for i in (1, 2):
         assert got[i]["phash"] == "00000000ffffffff"
+
+
+def test_marker_walk_tolerates_fill_bytes_and_standalone_markers():
+    """T.81 B.1.1.2 allows 0xFF padding before any marker, and TEM/stray
+    RSTn standalone markers between segments; such streams must still
+    reach the scan instead of silently falling through to the fake path
+    (ADVICE r5 #4)."""
+    import numpy as np
+
+    from iniz_exporters_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    px = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 256
+    data = encode_jpeg(px)
+    assert decode_jpeg(data) is not None
+
+    # inject a fill byte + TEM + RST4 right after SOI
+    doctored = data[:2] + b"\xff" + b"\xff\x01" + b"\xff\xd4" + data[2:]
+    dec = decode_jpeg(doctored)
+    assert dec is not None
+    base = decode_jpeg(data)
+    assert np.array_equal(dec[3], base[3])
