@@ -157,6 +157,56 @@ def pq_encode(
     return pq_model(corpus, id_col, vec_col, m, subdim, k, iters)[0]
 
 
+def _assign_pq(
+    corpus: DataFrame,
+    books,
+    id_col: str,
+    vec_col: str,
+    round_to: int,
+    keep_vector: bool,
+) -> DataFrame:
+    """(id[, vec], code_0 … code_{m-1}): per-subspace nearest-centroid
+    codes for ALL m subspaces in one Arrow kernel pass — numerically
+    identical to running ``_assign`` on each sliced subspace (same rounded
+    squared distance, same first-minimum tiebreak), but one corpus scan
+    instead of m."""
+    import pandas as pd
+
+    m = len(books)
+    subdim = len(books[0][0])
+    id_type = dict(corpus.dtypes)[id_col]
+    vec_type = dict(corpus.dtypes)[vec_col]
+    code_cols = [f"code_{j}" for j in range(m)]
+    out_schema = f"{id_col} {id_type}, " + (
+        f"{vec_col} {vec_type}, " if keep_vector else ""
+    ) + ", ".join(f"{c} int" for c in code_cols)
+
+    def kernel(batches):
+        import numpy as np
+
+        C = [np.asarray(b, dtype=np.float64) for b in books]  # m × (k, sub)
+        c_sq = [(cj * cj).sum(axis=1) for cj in C]
+        for pdf in batches:
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            out = {id_col: pdf[id_col].values}
+            if keep_vector:
+                out[vec_col] = pdf[vec_col].values
+            for j in range(m):
+                S = V[:, j * subdim : (j + 1) * subdim]
+                d2 = np.round(
+                    (S * S).sum(axis=1)[:, None]
+                    - 2.0 * (S @ C[j].T)
+                    + c_sq[j][None, :],
+                    round_to,
+                )
+                out[code_cols[j]] = d2.argmin(axis=1).astype("int32")
+            yield pd.DataFrame(out)
+
+    return corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+
+
 def pq_model(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -168,22 +218,74 @@ def pq_model(
 ) -> tuple[DataFrame, list[list[list[float]]]]:
     """(codes, codebooks): the code table of ``pq_encode`` plus the trained
     per-subspace centroid lists (m × k × subdim floats — the serving
-    artifact an ADC search needs)."""
-    books: list[list[list[float]]] = []
-    out = None
-    for j in range(m):
-        sub = corpus.select(
-            id_col, F.slice(F.col(vec_col), j * subdim + 1, subdim).alias(vec_col)
+    artifact an ADC search needs).
+
+    All m subspace clusterings are FUSED: one init collect (the k
+    lowest-id vectors, sliced per subspace), one ``_assign_pq`` kernel
+    pass per round, and one posexplode aggregate producing all m×k×subdim
+    means — versus the per-subspace loop's m inits + m scans + (m-1)
+    id-joins. Values are bit-identical to the unfused form (same rounded
+    distances, same decimal-rounded means), it is purely a plan-shape
+    change; the final code table needs no join at all."""
+    init = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    )
+    if len(init) < k:
+        raise RuntimeError(f"pq_model: corpus has fewer than k={k} rows")
+    books = [
+        [
+            list(map(float, r[1][j * subdim : (j + 1) * subdim]))
+            for r in init
+        ]
+        for j in range(m)
+    ]
+
+    for it in range(iters - 1):
+        assigned = _assign_pq(
+            corpus, books, id_col, vec_col, round_to=6, keep_vector=True
         )
-        cents = lloyd_train(sub, id_col, vec_col, k=k, iters=iters)
-        books.append(cents)
-        codes = (
-            _assign(sub, cents, id_col, vec_col, round_to=6)
-            .select(id_col, "cluster")
-            .withColumnRenamed("cluster", f"code_{j}")
+        code_arr = F.array(*[F.col(f"code_{j}") for j in range(m)])
+        ex = assigned.select(
+            code_arr.alias("__codes"),
+            F.posexplode(vec_col).alias("pos", "val"),
         )
-        out = codes if out is None else out.join(codes, id_col)
-    return out, books
+        j_col = (F.col("pos") / subdim).cast("int")
+        mean_rows = (
+            ex.groupBy(
+                j_col.alias("j"),
+                F.element_at("__codes", j_col + 1).alias("cluster"),
+                (F.col("pos") % subdim).alias("spos"),
+            )
+            .agg(
+                F.round(F.avg("val").cast("decimal(28,12)"), 6)
+                .cast("double")
+                .alias("m")
+            )
+            .collect()  # m × k × subdim rows — metadata scale
+        )
+        by_jc: dict[tuple[int, int], list[float]] = {}
+        for r in mean_rows:
+            by_jc.setdefault((r["j"], r["cluster"]), [0.0] * subdim)[
+                r["spos"]
+            ] = r["m"]
+        for j in range(m):
+            missing = sorted(
+                c for c in range(k) if (j, c) not in by_jc
+            )
+            if missing:
+                raise RuntimeError(
+                    f"pq_model: subspace {j} cluster(s) {missing} emptied "
+                    f"at iteration {it}; re-seed with a different k or init"
+                )
+        books = [[by_jc[(j, c)] for c in range(k)] for j in range(m)]
+
+    codes = _assign_pq(
+        corpus, books, id_col, vec_col, round_to=6, keep_vector=False
+    )
+    return codes, books
 
 
 def pq_adc_topk(

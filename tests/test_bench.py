@@ -49,9 +49,24 @@ def test_bench_emits_one_json_line_with_all_headline_queries():
 
     detail = json.loads(json_lines[0])["detail"]
     assert set(detail["runs"]) == headline
+    assert set(detail["spread_pct"]) == headline
     for name, rs in detail["runs"].items():
-        assert len(rs) == 2
+        # adaptive variance control: base runs, plus up to max_runs total
+        # extra passes for queries whose spread exceeded the threshold
+        assert 2 <= len(rs) <= 5
         assert payload["queries"][name] == round(statistics.median(rs), 3)
+        med = statistics.median(rs)
+        assert detail["spread_pct"][name] == round(
+            100 * (max(rs) - min(rs)) / med, 1
+        )
+        # a query that got extra passes must have needed them: its spread
+        # was over threshold at some prefix of the run list
+        if len(rs) > 2:
+            assert any(
+                (max(rs[:k]) - min(rs[:k])) / statistics.median(rs[:k])
+                > 0.25
+                for k in range(2, len(rs))
+            )
     with open(
         os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
