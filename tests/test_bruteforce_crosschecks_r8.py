@@ -314,3 +314,195 @@ def test_session_gap_stats_q_matches_bruteforce(spark):
     assert row["pct_over_30m"] == pytest.approx(
         float((g > 1800).mean()), abs=2e-6
     )
+
+
+def test_flags_rollup_q_matches_bruteforce(spark):
+    """Bitmask rollups from a plain pass."""
+    FLAG = {"view": 1, "click": 2, "signup": 4, "purchase": 8}
+    ever: dict = defaultdict(int)
+    always: dict = {}
+    n_ev: Counter = Counter()
+    for u, _, _, _, etype in _events():
+        f = FLAG.get(etype, 16)
+        ever[u] |= f
+        always[u] = always.get(u, f) & f
+        n_ev[u] += 1
+    got = REGISTRY["flags_rollup_q"].fn(spark, SF_SMALL).collect()
+    assert {r["user_id"] for r in got} == set(ever)
+    for r in got:
+        u = r["user_id"]
+        assert (
+            r["ever_mask"], r["always_mask"], r["n_events"],
+            r["has_purchased"],
+        ) == (ever[u], always[u], n_ev[u], bool(ever[u] & 8))
+
+
+def _r8_poly(s: str) -> int:
+    codes = [ord(c) for c in s]
+    if not codes:
+        return 0
+    h = codes[0]
+    for c in codes[1:]:
+        h = (h * 31 + c) % 1_000_000_007
+    return h
+
+
+def test_fair_interleave_q_matches_bruteforce(spark):
+    """Round-robin interleave from the definition: per-source rank by
+    content hash, global (rank, source, doc) order, first 40."""
+    by_src: dict = defaultdict(list)
+    for doc_id, _, source in _docs():
+        by_src[source].append((_r8_poly(f"fi:{doc_id}"), doc_id))
+    expect = []
+    for source, lst in by_src.items():
+        lst.sort()
+        for rk, (_, doc_id) in enumerate(lst, 1):
+            expect.append((rk, source, doc_id))
+    expect.sort()
+    expect = [(d, s, rk) for rk, s, d in expect[:40]]
+    got = [
+        (r["doc_id"], r["source"], r["rk"])
+        for r in REGISTRY["fair_interleave_q"].fn(spark, SF_SMALL).collect()
+    ]
+    assert got == expect
+
+
+def test_calendar_features_q_matches_bruteforce(spark):
+    """Calendar feature derivation from datetime first principles."""
+    import calendar as cal
+    from datetime import date
+
+    days = sorted({ts.date() for _, ts, _, _, _ in _events()})
+    anchor = date(2024, 1, 1)
+    got = REGISTRY["calendar_features_q"].fn(spark, SF_SMALL).collect()
+    assert {r["day"] for r in got} == set(days)
+    for r in got:
+        d = r["day"]
+        idx = (d - anchor).days
+        assert r["day_idx"] == idx
+        assert r["dow"] == idx % 7
+        assert r["week"] == idx // 7
+        assert r["month"] == d.month
+        assert r["is_month_end"] == (
+            d.day == cal.monthrange(d.year, d.month)[1]
+        )
+        assert r["dow_sin"] == pytest.approx(
+            math.sin(2 * math.pi * (idx % 7) / 7), abs=1e-6
+        )
+        assert r["dow_cos"] == pytest.approx(
+            math.cos(2 * math.pi * (idx % 7) / 7), abs=1e-6
+        )
+
+
+def test_skipgram_pairs_q_matches_bruteforce(spark):
+    """Subsampled skip-gram pairs replayed with an independent loop:
+    Mikolov keep-prob sqrt(1e-3 N / f) via the deterministic position
+    hash, window +-2, top-30 pair counts."""
+    import re
+
+    docs = _docs()
+    toks = {
+        d: [t for t in re.split(r"[^a-z0-9]+", (txt or "").lower()) if t]
+        for d, txt, _ in docs
+    }
+    freq: Counter = Counter(w for ts in toks.values() for w in ts)
+    N = sum(freq.values())
+    pairs: Counter = Counter()
+    for d, ts in toks.items():
+        for i, center in enumerate(ts, 1):
+            keep_p = min(1.0, math.sqrt(0.001 * N / freq[center]))
+            if (_r8_poly(f"{d}:{i}") % 100000) / 100000 >= keep_p:
+                continue
+            for o in (-2, -1, 1, 2):
+                j = i + o
+                if 1 <= j <= len(ts):
+                    pairs[(center, ts[j - 1])] += 1
+    expect = sorted(
+        ((n, c, x) for (c, x), n in pairs.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:30]
+    expect = [(c, x, n) for n, c, x in expect]
+    got = [
+        (r["center"], r["context"], r["n_pairs"])
+        for r in REGISTRY["skipgram_pairs_q"].fn(spark, SF_SMALL).collect()
+    ]
+    assert got == expect
+
+
+def test_lang_confusion_q_matches_bruteforce(spark):
+    """Stopword-vote language ID confusion matrix from first
+    principles, including the en>es>de>fr argmax precedence."""
+    import re
+
+    LISTS = {
+        "en": {"the", "a", "and", "of", "to", "in", "is", "it"},
+        "es": {"el", "la", "de", "que", "y", "los", "en", "un"},
+        "de": {"der", "die", "das", "und", "ist", "ein", "nicht", "mit"},
+        "fr": {"le", "la", "de", "et", "est", "les", "des", "une"},
+    }
+    cm: Counter = Counter()
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text, lang FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall()
+    for _, text, lang in rows:
+        ts = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+        scores = {
+            c: sum(1 for t in ts if t in ws) for c, ws in LISTS.items()
+        }
+        best = max(scores.values())
+        if best == 0:
+            pred = "und"
+        else:
+            pred = next(
+                c for c in ("en", "es", "de", "fr") if scores[c] == best
+            )
+        cm[(lang, pred)] += 1
+    support: Counter = Counter()
+    correct: Counter = Counter()
+    predicted: Counter = Counter()
+    for (t, p), n in cm.items():
+        support[t] += n
+        predicted[p] += n
+        if t == p:
+            correct[t] += n
+    got = REGISTRY["lang_confusion_q"].fn(spark, SF_SMALL).collect()
+    assert {r["lang"] for r in got} == set(support)
+    for r in got:
+        c = r["lang"]
+        assert (r["support"], r["n_correct"], r["n_predicted"]) == (
+            support[c], correct[c], predicted[c],
+        )
+        prec = correct[c] / predicted[c] if predicted[c] else 0.0
+        rec = correct[c] / support[c]
+        f1 = (
+            2 * prec * rec / (prec + rec)
+            if predicted[c] and correct[c]
+            else 0.0
+        )
+        assert r["precision"] == pytest.approx(prec, abs=1e-6)
+        assert r["recall"] == pytest.approx(rec, abs=1e-6)
+        assert r["f1"] == pytest.approx(f1, abs=1e-6)
+
+
+def test_burstiness_q_matches_bruteforce(spark):
+    """Goh-Barabasi burstiness per event type from per-user gap lists."""
+    streams: dict = defaultdict(list)
+    for u, ts, _, _, etype in _events():
+        streams[(u, etype)].append(ts)
+    gaps: dict = defaultdict(list)
+    for (u, etype), tss in streams.items():
+        for prev, cur in zip(tss, tss[1:]):
+            gaps[etype].append(_us(cur - prev) / 1e6)
+    got = REGISTRY["burstiness_q"].fn(spark, SF_SMALL).collect()
+    assert {r["event_type"] for r in got} == set(gaps)
+    for r in got:
+        g = np.array(gaps[r["event_type"]])
+        mean, sd = float(g.mean()), float(g.std())  # population
+        assert r["n_gaps"] == len(g)
+        assert r["mean_gap_s"] == pytest.approx(mean, abs=2e-6)
+        assert r["sd_gap_s"] == pytest.approx(sd, abs=2e-6)
+        assert r["burstiness"] == pytest.approx(
+            (sd - mean) / (sd + mean), abs=2e-6
+        )
