@@ -506,3 +506,257 @@ def test_burstiness_q_matches_bruteforce(spark):
         assert r["burstiness"] == pytest.approx(
             (sd - mean) / (sd + mean), abs=2e-6
         )
+
+
+def test_dp_counts_q_matches_bruteforce(spark):
+    """Deterministic two-sided-geometric DP noise replayed from the
+    definition (inverse-CDF on the segment hash, eps=1)."""
+    con = duckdb.connect()
+    segs = Counter(
+        r[0]
+        for r in con.execute(
+            f"SELECT c_mktsegment FROM "
+            f"read_parquet('{SF_SMALL}/customer.parquet')"
+        ).fetchall()
+    )
+    got = REGISTRY["dp_counts_q"].fn(spark, SF_SMALL).collect()
+    assert {r["seg"] for r in got} == set(segs)
+    for r in got:
+        seg = r["seg"]
+        uu = ((_r8_poly(f"dp:{seg}") % 999983) + 0.5) / 999983
+        if uu < 0.5:
+            noise = math.floor(math.log(2 * uu) / -1.0)
+        else:
+            noise = -math.floor(math.log(2 * (1 - uu)) / -1.0)
+        assert r["true_count"] == segs[seg]
+        assert r["noise"] == noise
+        assert r["released_count"] == max(segs[seg] + noise, 0)
+        assert r["epsilon"] == 1.0
+
+
+def test_source_similarity_q_matches_bruteforce(spark):
+    """Vocabulary-profile cosine between sources over the global
+    top-200 tokens, from raw counts."""
+    tok_counts: Counter = Counter()
+    prof: dict = defaultdict(Counter)
+    for _, text, source in _docs():
+        for w in _tok(text):
+            tok_counts[w] += 1
+            prof[source][w] += 1
+    top = {
+        w
+        for w, _ in sorted(
+            tok_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:200]
+    }
+    p = {s: {w: c for w, c in ws.items() if w in top} for s, ws in prof.items()}
+    norms = {s: sum(c * c for c in ws.values()) for s, ws in p.items()}
+    pairs = []
+    srcs = sorted(p)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            dot = sum(p[sa][w] * p[sb].get(w, 0) for w in p[sa])
+            if norms[sa] and norms[sb]:
+                pairs.append(
+                    (sa, sb, dot / math.sqrt(norms[sa] * norms[sb]))
+                )
+    pairs.sort(key=lambda t: (-round(t[2], 6), t[0], t[1]))
+    expect = [(sa, sb) for sa, sb, _ in pairs[:30]]
+    got = REGISTRY["source_similarity_q"].fn(spark, SF_SMALL).collect()
+    assert [(r["sa"], r["sb"]) for r in got] == expect
+    want = {(sa, sb): c for sa, sb, c in pairs}
+    for r in got:
+        assert r["cosine"] == pytest.approx(
+            want[(r["sa"], r["sb"])], abs=1e-6
+        )
+
+
+def test_phrase_search_q_matches_bruteforce(spark):
+    """Phrase occurrences of the global top bigram from a plain scan."""
+    toks = {d: _tok(t) for d, t, _ in _docs()}
+    big: Counter = Counter()
+    for ts in toks.values():
+        for w1, w2 in zip(ts, ts[1:]):
+            big[(w1, w2)] += 1
+    (w1, w2), _ = min(
+        big.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+    )
+    expect = {}
+    for d, ts in toks.items():
+        hits = [
+            i + 1
+            for i in range(len(ts) - 1)
+            if ts[i] == w1 and ts[i + 1] == w2
+        ]
+        if hits:
+            expect[d] = (len(hits), hits[0])
+    got = {
+        r["doc_id"]: (r["n_occurrences"], r["first_position"])
+        for r in REGISTRY["phrase_search_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == expect
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_sorted_neighborhood_q_matches_bruteforce(spark):
+    """Sorted-neighborhood blocking stats with an independent
+    Levenshtein DP."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT c_custkey, c_name FROM "
+        f"read_parquet('{SF_SMALL}/customer.parquet')"
+    ).fetchall()
+    blocks: dict = defaultdict(list)
+    for k, name in rows:
+        blocks[name[9:15]].append((name, k))
+    levs = []
+    for blk in blocks.values():
+        blk.sort()
+        for i, (na, _) in enumerate(blk):
+            for j in range(i + 1, min(i + 3, len(blk))):
+                levs.append(_lev(na, blk[j][0]))
+    row = REGISTRY["sorted_neighborhood_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_candidates"] == len(levs)
+    assert row["n_matches"] == sum(1 for v in levs if v <= 2)
+    assert row["min_lev"] == min(levs)
+    assert row["max_lev"] == max(levs)
+
+
+def test_record_linkage_q_matches_bruteforce(spark):
+    """Blocked entity-resolution pairs with an independent Levenshtein
+    DP and similarity threshold."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT p_partkey, p_name FROM "
+        f"read_parquet('{SF_SMALL}/part.parquet')"
+    ).fetchall()
+    blocks: dict = defaultdict(list)
+    for k, name in rows:
+        parts = name.split(" ")
+        bk = (parts[1] if len(parts) > 1 else "") + "|" + name[:1]
+        blocks[bk].append((k, name))
+    expect = {}
+    for blk in blocks.values():
+        blk.sort()
+        for i, (ka, na) in enumerate(blk):
+            for kb, nb in blk[i + 1 :]:
+                lv = _lev(na, nb)
+                sim = 1.0 - lv / max(len(na), len(nb))
+                if lv <= 4 and sim >= 0.5:
+                    expect[(ka, kb)] = (lv, sim)
+    got = REGISTRY["record_linkage_q"].fn(spark, SF_SMALL).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == set(expect)
+    for r in got:
+        lv, sim = expect[(r["id_a"], r["id_b"])]
+        assert r["lev"] == lv
+        assert r["sim"] == pytest.approx(sim, abs=1e-4)
+
+
+def test_basket_nb_fit_q_matches_bruteforce(spark):
+    """Negative-binomial method-of-moments fit of basket sizes."""
+    con = duckdb.connect()
+    sizes = [
+        r[0]
+        for r in con.execute(
+            f"SELECT COUNT(*) FROM "
+            f"read_parquet('{SF_SMALL}/lineitem.parquet') "
+            f"GROUP BY l_orderkey"
+        ).fetchall()
+    ]
+    n = len(sizes)
+    mean = sum(sizes) / n
+    var = sum((s - mean) ** 2 for s in sizes) / (n - 1)
+    row = REGISTRY["basket_nb_fit_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_baskets"] == n
+    assert row["mean_size"] == pytest.approx(mean, abs=1e-6)
+    assert row["var_size"] == pytest.approx(var, abs=1e-6)
+    want_r = mean * mean / (var - mean) if var > mean else 0.0
+    assert row["nb_r"] == pytest.approx(want_r, abs=1e-5)
+
+
+def test_lm_perplexity_q_matches_bruteforce(spark):
+    """CCNet-style interpolated bigram/unigram perplexity + per-lang
+    terciles replayed from first principles (incl. ANSI NTILE sizing)."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text, lang FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall()
+    toks = {d: _tok(t) for d, t, _ in rows}
+    lang = {d: lg for d, _, lg in rows}
+    uni: Counter = Counter(w for ts in toks.values() for w in ts)
+    N, V = sum(uni.values()), len(uni)
+    c12: Counter = Counter()
+    c1: Counter = Counter()
+    for ts in toks.values():
+        for a, b in zip(ts, ts[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+    ppl = {}
+    for d, ts in toks.items():
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            continue
+        lp = Decimal(0)
+        for a, b in pairs:
+            term = math.log2(
+                0.7 * (c12[(a, b)] + 1) / (c1[a] + V)
+                + 0.3 * (uni[b] + 1) / (N + V)
+            )
+            lp += Decimal(repr(term)).quantize(
+                Decimal("1e-12"), ROUND_HALF_UP
+            )
+        lp6 = float(
+            lp.quantize(Decimal("1e-6"), ROUND_HALF_UP)
+        )
+        ppl[d] = (len(pairs), round(2.0 ** (-lp6 / len(pairs)), 2))
+    # per-lang NTILE(3) over (ppl asc, doc_id asc)
+    bylang: dict = defaultdict(list)
+    for d, (nb, p) in ppl.items():
+        bylang[lang[d]].append((p, d))
+    bucket = {}
+    for lst in bylang.values():
+        lst.sort()
+        n = len(lst)
+        q, r = divmod(n, 3)
+        pos = 0
+        for b in range(1, 4):
+            size = q + (1 if b <= r else 0)
+            for _, d in lst[pos : pos + size]:
+                bucket[d] = b
+            pos += size
+    got = REGISTRY["lm_perplexity_q"].fn(spark, SF_SMALL).collect()
+    assert {r["doc_id"] for r in got} == set(ppl)
+    for r in got:
+        nb, p = ppl[r["doc_id"]]
+        assert (r["lang"], r["n_bigrams"]) == (lang[r["doc_id"]], nb)
+        assert r["ppl"] == pytest.approx(p, abs=0.02)
+        assert r["bucket"] == bucket[r["doc_id"]]
+
+
+def test_feature_hash_q_matches_bruteforce(spark):
+    """Hashing-trick vectors replayed with the independent poly hash."""
+    got = REGISTRY["feature_hash_q"].fn(spark, SF_SMALL).collect()
+    toks = {d: _tok(t) for d, t, _ in _docs()}
+    assert {r["doc_id"] for r in got} == set(toks)
+    for r in got:
+        ts = toks[r["doc_id"]]
+        vec = [0] * 64
+        for w in ts:
+            vec[_r8_poly(w) % 64] += 1
+        assert r["vec"] == ";".join(str(v) for v in vec)
+        assert r["nnz"] == sum(1 for v in vec if v)
+        assert r["n_tokens"] == len(ts)
