@@ -760,3 +760,178 @@ def test_feature_hash_q_matches_bruteforce(spark):
         assert r["vec"] == ";".join(str(v) for v in vec)
         assert r["nnz"] == sum(1 for v in vec if v)
         assert r["n_tokens"] == len(ts)
+
+
+def test_nc_classifier_q_matches_bruteforce(spark):
+    """Nearest-centroid classifier replayed in numpy: per-label means of
+    even ids (6-dp quantized), rounded-d2 argmin with lowest-label tie."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, label, embedding FROM "
+        f"read_parquet('{SF_SMALL}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    from decimal import ROUND_HALF_UP as RH
+
+    cents = {}
+    for lab in sorted({r[1] for r in rows}):
+        tr = np.array(
+            [r[2] for r in rows if r[1] == lab and r[0] % 2 == 0],
+            dtype=np.float64,
+        )
+        cents[lab] = np.array(
+            [
+                float(Decimal(repr(v)).quantize(Decimal("1e-6"), RH))
+                for v in tr.mean(0)
+            ]
+        )
+    n_eval: Counter = Counter()
+    n_corr: Counter = Counter()
+    for vid, lab, v in rows:
+        if vid % 2 == 0:
+            continue
+        x = np.array(v, dtype=np.float64)
+        best = min(
+            (round(float(((x - c) ** 2).sum()), 6), L)
+            for L, c in cents.items()
+        )[1]
+        n_eval[lab] += 1
+        if best == lab:
+            n_corr[lab] += 1
+    got = REGISTRY["nc_classifier_q"].fn(spark, SF_SMALL).collect()
+    assert {r["true_label"] for r in got} == set(n_eval)
+    for r in got:
+        L = r["true_label"]
+        assert (r["n_eval"], r["n_correct"]) == (n_eval[L], n_corr[L])
+        assert r["accuracy"] == pytest.approx(
+            n_corr[L] / n_eval[L], abs=1e-6
+        )
+
+
+def test_stratified_split_q_matches_bruteforce(spark):
+    """Per-stratum 10% eval split sizes from the content-hash ranking."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT source, lang, COUNT(*) FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    expect = {
+        (s, lg): (n, math.ceil(0.1 * n)) for s, lg, n in rows
+    }
+    got = {
+        (r["source"], r["lang"]): (r["n_total"], r["n_eval"])
+        for r in REGISTRY["stratified_split_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == expect
+
+
+def test_margin_ratio_pairs_q_matches_bruteforce(spark):
+    """Margin-ratio mining replayed in numpy (rounded cosines, top-4
+    neighborhood averages, per-src argmax with margin > 1)."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, label, embedding FROM "
+        f"read_parquet('{SF_SMALL}/embeddings.parquet')"
+    ).fetchall()
+    src = [(i, np.array(v)) for i, L, v in rows if L == 0 and i % 3 == 0]
+    tgt = [(i, np.array(v)) for i, L, v in rows if L == 1]
+    cos = {}
+    for x, xv in src:
+        for y, yv in tgt:
+            cos[(x, y)] = round(
+                float(
+                    xv @ yv / (np.linalg.norm(xv) * np.linalg.norm(yv))
+                ),
+                4,
+            )
+    def avg4(keyed):
+        out = {}
+        for k, lst in keyed.items():
+            lst.sort(key=lambda t: (-t[0], t[1]))
+            top = [c for c, _ in lst[:4]]
+            out[k] = round(sum(top) / len(top), 6)
+        return out
+
+    byx: dict = defaultdict(list)
+    byy: dict = defaultdict(list)
+    for (x, y), c in cos.items():
+        byx[x].append((c, y))
+        byy[y].append((c, x))
+    ax, ay = avg4(byx), avg4(byy)
+    expect = {}
+    for x, _ in src:
+        cands = sorted(
+            ((round(cos[(x, y)] / (0.5 * (ax[x] + ay[y])), 6), -y, y)
+             for y, _ in tgt),
+            reverse=True,
+        )
+        m, _, y = cands[0]
+        if m > 1.0:
+            expect[x] = (y, cos[(x, y)], m)
+    got = REGISTRY["margin_ratio_pairs_q"].fn(spark, SF_SMALL).collect()
+    assert {r["src_id"] for r in got} == set(expect)
+    for r in got:
+        y, c, m = expect[r["src_id"]]
+        assert r["tgt_id"] == y
+        assert r["cos"] == pytest.approx(c, abs=1.1e-4)
+        assert r["margin"] == pytest.approx(m, abs=1e-3)
+
+
+def test_dataset_card_q_matches_bruteforce(spark):
+    """ROLLUP dataset card replayed with plain grouping at all three
+    grains."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT source, lang, n_chars, text FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall()
+    recs = [
+        (s, lg, nc, len(t.split(" ")), _r8_poly(t))
+        for s, lg, nc, t in rows
+    ]
+
+    def card(sel):
+        chars = [nc for _, _, nc, _, _ in sel]
+        return (
+            len(sel),
+            sum(chars),
+            sum(nt for _, _, _, nt, _ in sel),
+            len({h for _, _, _, _, h in sel}),
+            1.0 - len({h for _, _, _, _, h in sel}) / len(sel),
+            float(np.percentile(chars, 50)),
+            float(np.percentile(chars, 90)),
+        )
+
+    expect = {("<all>", "<all>"): card(recs)}
+    for s in {r[0] for r in recs}:
+        sel = [r for r in recs if r[0] == s]
+        expect[(s, "<all>")] = card(sel)
+        for lg in {r[1] for r in sel}:
+            expect[(s, lg)] = card([r for r in sel if r[1] == lg])
+    got = REGISTRY["dataset_card_q"].fn(spark, SF_SMALL).collect()
+    assert {(r["source"], r["lang"]) for r in got} == set(expect)
+    for r in got:
+        n, tc, tt, nd, dr, p50, p90 = expect[(r["source"], r["lang"])]
+        assert (
+            r["n_docs"], r["total_chars"], r["total_tokens"],
+            r["n_distinct_texts"],
+        ) == (n, tc, tt, nd)
+        assert r["dup_rate"] == pytest.approx(dr, abs=1e-6)
+        assert r["p50_chars"] == pytest.approx(p50, abs=1e-6)
+        assert r["p90_chars"] == pytest.approx(p90, abs=1e-6)
+
+
+def test_dedup_cluster_stats_q_matches_bruteforce(spark):
+    """Template-hash cluster size histogram from plain counting."""
+    sizes: Counter = Counter()
+    for _, text, _ in _docs():
+        ts = _tok(text)
+        if len(ts) >= 8:
+            sizes[_r8_poly(" ".join(ts[:8]))] += 1
+    hist: Counter = Counter(sizes.values())
+    got = REGISTRY["dedup_cluster_stats_q"].fn(spark, SF_SMALL).collect()
+    assert {r["cluster_size"] for r in got} == set(hist)
+    for r in got:
+        sz = r["cluster_size"]
+        assert r["n_clusters"] == hist[sz]
+        assert r["n_docs"] == hist[sz] * sz
+        assert r["n_dropped_if_deduped"] == hist[sz] * (sz - 1)
