@@ -935,3 +935,122 @@ def test_dedup_cluster_stats_q_matches_bruteforce(spark):
         assert r["n_clusters"] == hist[sz]
         assert r["n_docs"] == hist[sz] * sz
         assert r["n_dropped_if_deduped"] == hist[sz] * (sz - 1)
+
+
+def test_label_propagation_q_matches_bruteforce(spark):
+    """Two synchronous label-propagation rounds replayed with dicts
+    (round 1 degenerates to min-neighbor on a simple graph; round 2
+    votes over neighbors' round-1 labels with (count desc, label) ties)."""
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""
+        SELECT DISTINCT a.l_partkey, b.l_partkey
+        FROM read_parquet('{SF_SMALL}/lineitem.parquet') a
+        JOIN read_parquet('{SF_SMALL}/lineitem.parquet') b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        """
+    ).fetchall()
+    nbrs: dict = defaultdict(list)
+    for a, b in edges:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    l1 = {n: min(ms) for n, ms in nbrs.items()}  # all pair counts are 1
+    l2 = {}
+    for n, ms in nbrs.items():
+        votes: Counter = Counter(l1[m] for m in ms)
+        l2[n] = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    comm: Counter = Counter(l2.values())
+    expect = sorted(
+        ((n, c) for c, n in comm.items()), key=lambda t: (-t[0], t[1])
+    )[:25]
+    got = [
+        (r["n_members"], r["community"])
+        for r in REGISTRY["label_propagation_q"].fn(spark, SF_SMALL).collect()
+    ]
+    assert got == expect
+
+
+def test_star_components_q_matches_bruteforce(spark):
+    """Connected components of the per-customer order chains via an
+    independent union-find."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT o_custkey, o_orderdate, o_orderkey FROM "
+        f"read_parquet('{SF_SMALL}/orders.parquet') "
+        f"WHERE o_custkey % 100 = 0 ORDER BY o_custkey, o_orderdate, o_orderkey"
+    ).fetchall()
+    chains: dict = defaultdict(list)
+    for c, _, k in rows:
+        chains[c].append(k)
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for ks in chains.values():
+        for k in ks:
+            parent[k] = k
+        for a, b in zip(ks, ks[1:]):
+            parent[find(a)] = find(b)
+    comp: dict = defaultdict(list)
+    for ks in chains.values():
+        if len(ks) < 2:
+            continue  # no edges: node never enters the reach set
+        for k in ks:
+            comp[find(k)].append(k)
+    expect = {min(ms): len(ms) for ms in comp.values()}
+    got = {
+        r["component"]: r["chain_len"]
+        for r in REGISTRY["star_components_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == expect
+
+
+def test_ccnet_bucket_q_matches_bruteforce(spark):
+    """CCNet perplexity tertiles replayed: space-split unigram LM,
+    12-dp-quantized log-probs, per-source ANSI NTILE(3)."""
+    vocab: Counter = Counter()
+    docs = []
+    for doc_id, text, source in _docs():
+        if text == "":
+            continue
+        ws = text.split(" ")
+        docs.append((doc_id, source, ws))
+        vocab.update(ws)
+    n_total = sum(vocab.values())
+    logp = {
+        w: Decimal(repr(round(math.log(c / n_total), 12)))
+        for w, c in vocab.items()
+    }
+    per_doc = []
+    for doc_id, source, ws in docs:
+        s = sum(logp[w] for w in ws)
+        ppl = round(math.exp(-float(s) / len(ws)), 6)
+        per_doc.append((source, ppl, doc_id))
+    bysrc: dict = defaultdict(list)
+    for source, ppl, doc_id in per_doc:
+        bysrc[source].append((ppl, doc_id))
+    agg: dict = defaultdict(lambda: [0, Decimal(0)])
+    for source, lst in bysrc.items():
+        lst.sort()
+        n = len(lst)
+        q, r = divmod(n, 3)
+        pos = 0
+        for t, name in ((1, "head"), (2, "middle"), (3, "tail")):
+            size = q + (1 if t <= r else 0)
+            for ppl, _ in lst[pos : pos + size]:
+                cell = agg[(source, name)]
+                cell[0] += 1
+                cell[1] += Decimal(repr(ppl))
+            pos += size
+    got = REGISTRY["ccnet_bucket_q"].fn(spark, SF_SMALL).collect()
+    assert {(r["source"], r["bucket"]) for r in got} == {
+        k for k, v in agg.items() if v[0]
+    }
+    for r in got:
+        n, s = agg[(r["source"], r["bucket"])]
+        assert r["n_docs"] == n
+        assert r["mean_ppl"] == pytest.approx(float(s) / n, abs=2e-6)
