@@ -1054,3 +1054,165 @@ def test_ccnet_bucket_q_matches_bruteforce(spark):
         n, s = agg[(r["source"], r["bucket"])]
         assert r["n_docs"] == n
         assert r["mean_ppl"] == pytest.approx(float(s) / n, abs=2e-6)
+
+
+def test_rake_keywords_q_matches_bruteforce(spark):
+    """RAKE top-3 phrases replayed with plain loops: stopword-split
+    phrases, per-doc word deg/freq scores, phrase score = sum of member
+    word scores, ties to phrase asc."""
+    STOPS = {
+        "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+        "on", "for", "with", "as", "at", "by", "be", "are", "was",
+        "this", "that", "from",
+    }
+    expect = {}
+    for doc_id, text, _ in _docs():
+        ts = _tok(text)
+        phrases: dict = defaultdict(list)  # grp -> [(i, tok)]
+        grp = 0
+        for i, tok in enumerate(ts, 1):
+            if tok in STOPS:
+                grp += 1
+            else:
+                phrases[grp].append(tok)
+        if not phrases:
+            continue
+        freq: Counter = Counter()
+        deg: Counter = Counter()
+        for words in phrases.values():
+            for wd in words:
+                freq[wd] += 1
+                deg[wd] += len(words)
+        scored: dict = {}
+        for words in phrases.values():
+            phrase = " ".join(words)
+            score = round(
+                float(
+                    sum(
+                        Decimal(repr(deg[wd] / freq[wd])).quantize(
+                            Decimal("1e-12"), ROUND_HALF_UP
+                        )
+                        for wd in words
+                    )
+                ),
+                6,
+            )
+            scored[phrase] = max(scored.get(phrase, score), score)
+        top = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        expect[doc_id] = [
+            (p, s, rk) for rk, (p, s) in enumerate(top, 1)
+        ]
+    got: dict = defaultdict(list)
+    for r in REGISTRY["rake_keywords_q"].fn(spark, SF_SMALL).collect():
+        got[r["doc_id"]].append((r["rank"], r["phrase"], r["score"]))
+    assert set(got) == set(expect)
+    for d, lst in got.items():
+        lst.sort()
+        for (rk, p, s), (ep, es, erk) in zip(lst, expect[d]):
+            assert (rk, p) == (erk, ep)
+            assert s == pytest.approx(es, abs=2e-6)
+
+
+def test_compaction_plan_q_matches_bruteforce(spark):
+    """First-fit-by-size compaction binning replayed with a running
+    sum over the sorted synthetic file list."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) FROM "
+        f"read_parquet('{SF_SMALL}/orders.parquet') WHERE o_orderkey % 7 = 3"
+    ).fetchall()
+    files = sorted(
+        (
+            int(math.floor(p * 100)) % 134217728,
+            f"part-{k:09d}",
+        )
+        for k, p in rows
+    )
+    files.sort(key=lambda t: (-t[0], t[1]))
+    bins: dict = defaultdict(lambda: [0, 0, None])
+    cum = 0
+    for b, f in files:
+        cum += b
+        bn = (cum - 1) // 268435456
+        cell = bins[bn]
+        cell[0] += 1
+        cell[1] += b
+        cell[2] = f if cell[2] is None else min(cell[2], f)
+    got = REGISTRY["compaction_plan_q"].fn(spark, SF_SMALL).collect()
+    assert {r["bin"] for r in got} == set(bins)
+    for r in got:
+        n, bb, ff = bins[r["bin"]]
+        assert (r["n_files"], r["bin_bytes"], r["first_file"]) == (n, bb, ff)
+
+
+def test_try_parse_q_matches_bruteforce(spark):
+    """TRY_CAST quarantine counters replayed with Python parsing over
+    the synthesized corruptions."""
+    import json as J
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT event_id, props, ts FROM "
+        f"read_parquet('{SF_SMALL}/events.parquet')"
+    ).fetchall()
+    n_rows, bad_ints, bad_dates, k_sum = 0, 0, 0, 0
+    for eid, props, ts in rows:
+        n_rows += 1
+        k = J.loads(props).get("k") if props else None
+        k_raw = (str(k) + "x") if eid % 7 == 3 else str(k)
+        try:
+            k_sum += int(k_raw)
+        except (TypeError, ValueError):
+            bad_ints += 1
+        if eid % 11 == 5:
+            bad_dates += 1  # 'not-a-date' never parses
+    row = REGISTRY["try_parse_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_rows"] == n_rows
+    assert row["bad_ints"] == bad_ints
+    assert row["bad_dates"] == bad_dates
+    assert row["k_sum"] == k_sum
+
+
+def test_doc_cosine_sparse_q_matches_bruteforce(spark):
+    """Sparse TF-IDF top-20 pair cosines replayed with dict arithmetic;
+    candidates restricted to rare-token (df*10 <= N) co-occurrence
+    exactly as the engines define them."""
+    toks = {d: _tok(t) for d, t, _ in _docs()}
+    tf = {d: Counter(ts) for d, ts in toks.items()}
+    nd = len(tf)
+    df: Counter = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    w = {
+        d: {t: n * math.log(nd / df[t]) for t, n in c.items()}
+        for d, c in tf.items()
+    }
+    norms = {d: sum(v * v for v in ws.values()) for d, ws in w.items()}
+    rare = {t for t, c in df.items() if c * 10 <= nd}
+    bytok: dict = defaultdict(list)
+    for d, c in tf.items():
+        for t in c:
+            if t in rare:
+                bytok[t].append(d)
+    cand = set()
+    for ds in bytok.values():
+        ds.sort()
+        for i, da in enumerate(ds):
+            for db in ds[i + 1 :]:
+                cand.add((da, db))
+    scored = []
+    for da, db in cand:
+        dot = sum(
+            wa * w[db][t] for t, wa in w[da].items() if t in w[db]
+        )
+        scored.append((da, db, dot / math.sqrt(norms[da] * norms[db])))
+    scored.sort(key=lambda t: (-t[2], t[0], t[1]))
+    got = REGISTRY["doc_cosine_sparse_q"].fn(spark, SF_SMALL).collect()
+    assert [(r["da"], r["db"]) for r in got] == [
+        (da, db) for da, db, _ in scored[:20]
+    ]
+    want = {(da, db): c for da, db, c in scored}
+    for r in got:
+        assert r["cosine"] == pytest.approx(
+            want[(r["da"], r["db"])], abs=2e-6
+        )
