@@ -659,9 +659,18 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def seq_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 1-based rank over the corpus WITHOUT a single-partition
+    window: operators.indexing.global_index (range partition +
+    per-partition numbering + broadcast offsets) reproduces ANSI
+    ROW_NUMBER exactly, so the oracle keeps its plain window while the
+    plan stays parallel at any corpus size (the set-creator Sort Weight
+    contract, reference concept_set_csv_creator.py:40-77)."""
+    from iniz_exporters_spark.operators.indexing import global_index
+
     d = Catalog(spark, sf_dir).documents
-    w = Window.orderBy("doc_id")
-    return d.select("doc_id", F.row_number().over(w).alias("sort_weight"))
+    return global_index(d.select("doc_id"), "doc_id", "sort_weight").select(
+        "doc_id", F.col("sort_weight").cast("int").alias("sort_weight")
+    )
 
 
 # A6/P8 — per-column any-non-empty flags feeding the dynamic column pruner

@@ -531,3 +531,20 @@ def test_attribution_no_stream_self_join(spark):
     plan = physical(run("attribution_q", spark))
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_seq_rank_has_no_single_partition_exchange(spark):
+    """seq_rank's global ROW_NUMBER must come from the distributed
+    global_index path (range partition + per-pid numbering + offsets) —
+    never a SinglePartition window that serializes the corpus."""
+    from iniz_exporters_spark.queries import REGISTRY
+
+    df = REGISTRY["seq_rank"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    ranks = {
+        r["doc_id"]: r["sort_weight"]
+        for r in df.collect()
+    }
+    ids = sorted(ranks)
+    assert [ranks[i] for i in ids] == list(range(1, len(ids) + 1))
