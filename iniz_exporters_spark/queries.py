@@ -10080,20 +10080,36 @@ def clustering_coeff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini from GROUPED VALUE COUNTS, not per-row ranks: a tie block of
+    c equal values occupying ranks cum+1..cum+c contributes
+    v * (c*cum + c(c+1)/2) to the rank-weighted sum, so the oracle's
+    ROW_NUMBER formulation is reproduced EXACTLY (integer arithmetic,
+    ties commute) while the window runs over the per-source distinct
+    VALUE table — bounded cardinality — instead of ranking the corpus
+    inside per-source partitions (the gini-at-100TB scale trap)."""
     d = Catalog(spark, sf_dir).documents
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    ranked = d.select(
-        "source", "n_chars", F.row_number().over(w).alias("i")
+    pv = d.groupBy("source", "n_chars").agg(F.count("*").alias("c"))
+    wv = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    n = F.count(F.lit(1))
-    return ranked.groupBy("source").agg(
+    cum_before = F.sum("c").over(wv) - F.col("c")
+    block_rank_sum = F.col("c") * cum_before + F.expr(
+        "c * (c + 1) DIV 2"
+    )
+    terms = pv.select(
+        "source",
+        "c",
+        (F.col("c") * F.col("n_chars")).alias("mass"),
+        (F.col("n_chars").cast("long") * block_rank_sum).alias("si"),
+    )
+    n = F.sum("c")
+    return terms.groupBy("source").agg(
         n.cast("long").alias("n_docs"),
-        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("mass").cast("long").alias("total_chars"),
         F.round(
-            2.0
-            * F.sum(F.col("i") * F.col("n_chars"))
-            / (n * F.sum("n_chars"))
-            - (n + 1.0) / n,
+            2.0 * F.sum("si") / (n * F.sum("mass")) - (n + 1.0) / n,
             6,
         ).alias("gini"),
     )
@@ -13291,6 +13307,12 @@ def debounce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fair_interleave_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale note: only ranks <= 40 survive the LIMIT, so at extreme
+    per-source row counts the pre-filter is a per-source approximate
+    hash cutoff (sampled threshold admitting ~100 candidates per
+    source) before this window — candidates shrink to metadata scale
+    and the window result is unchanged (the cutoff only needs to keep
+    every true top-40 row)."""
     d = Catalog(spark, sf_dir).documents
     w = Window.partitionBy("source").orderBy(
         poly_hash(F.concat(F.lit("fi:"), F.col("doc_id").cast("string"))),
@@ -14671,6 +14693,12 @@ def lsh_precision_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stratified_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale note: the rank window partitions by (source, lang) — at
+    extreme per-stratum row counts the swap-in is a per-stratum hash
+    threshold from an exact/approx quantile of the content hash
+    (broadcast boundary join), the same boundaries-not-ranks trade
+    documented for rfm_segment_q; stratum counts here are the checked
+    contract either way."""
     d = Catalog(spark, sf_dir).documents
     ws = Window.partitionBy("source", "lang")
     wr = ws.orderBy(poly_hash("text"), "doc_id")
