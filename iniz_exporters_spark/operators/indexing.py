@@ -70,6 +70,97 @@ def global_index(
     return ranked
 
 
+def grouped_ntile(
+    df: DataFrame,
+    group_cols: list,
+    sort_cols,
+    n_buckets: int,
+    out_col: str,
+) -> DataFrame:
+    """Exact ``NTILE(n) OVER (PARTITION BY group_cols ORDER BY
+    sort_cols)`` without per-group windows whose partitions scale with
+    the data (a few sources x billions of rows = a few giant window
+    tasks). One GLOBAL range-partitioned rank over (group_cols ASC,
+    sort_cols) — parallel regardless of group skew — then per-group
+    local rank = global rank - broadcast group offset, and the ANSI
+    NTILE bucket from integer arithmetic on per-group counts (one row
+    per group — metadata). ``sort_cols`` must total-order within each
+    group (include a unique tiebreak)."""
+    group_cols = list(group_cols)
+    full_order = [F.col(c).asc() for c in group_cols] + list(sort_cols)
+    pinned = (
+        df.repartitionByRange(*full_order)
+        .sortWithinPartitions(*full_order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    # ONE stats pass feeds both ladders: (pid, group) counts give the
+    # per-partition rank offsets (sum over groups per pid) AND the
+    # per-group sizes/starts (sum over pids per group) — pid x groups
+    # rows, metadata scale
+    stats = (
+        pinned.groupBy("__pid", *group_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    pid_counts: dict = {}
+    grp_counts: dict = {}
+    for r in stats:
+        pid_counts[r["__pid"]] = pid_counts.get(r["__pid"], 0) + r["__n"]
+        key = tuple(r[c] for c in group_cols)
+        grp_counts[key] = grp_counts.get(key, 0) + r["__n"]
+    spark = df.sparkSession
+    pid_rows, acc = [], 0
+    for pid in sorted(pid_counts):
+        pid_rows.append((pid, acc))
+        acc += pid_counts[pid]
+    pid_off = spark.createDataFrame(pid_rows, "__pid int, __offset long")
+    grp_rows, acc = [], 0
+    for key in sorted(grp_counts):
+        grp_rows.append((*key, acc, grp_counts[key]))
+        acc += grp_counts[key]
+    schema_prefix = ", ".join(
+        f"{c} {dict(df.dtypes)[c]}" for c in group_cols
+    )
+    off_df = spark.createDataFrame(
+        grp_rows, f"{schema_prefix}, __goff long, __gn long"
+    )
+    wlocal = Window.partitionBy("__pid").orderBy(*full_order)
+    ranked = (
+        pinned.join(F.broadcast(pid_off), "__pid")
+        .withColumn(
+            "__grank",
+            (F.row_number().over(wlocal) + F.col("__offset")).cast("long"),
+        )
+        .drop("__pid", "__offset")
+    )
+    local = F.col("__grank") - F.col("__goff")
+    q = F.expr(f"__gn DIV {n_buckets}")
+    r = F.col("__gn") % n_buckets
+    big_end = r * (q + 1)
+    bucket = (
+        F.when(q == F.lit(0), local)
+        .when(
+            local <= big_end,
+            F.expr(f"(__grank - __goff - 1) DIV (__gn DIV {n_buckets} + 1)")
+            + 1,
+        )
+        .otherwise(
+            F.expr(
+                f"(__grank - __goff - 1 - (__gn % {n_buckets}) * "
+                f"(__gn DIV {n_buckets} + 1)) DIV (__gn DIV {n_buckets})"
+            )
+            + 1
+            + r
+        )
+    )
+    return (
+        ranked.join(F.broadcast(off_df), group_cols)
+        .withColumn(out_col, bucket.cast("long"))
+        .drop("__grank", "__goff", "__gn")
+    )
+
+
 def global_ntile(
     df: DataFrame, sort_cols, n_buckets: int, out_col: str
 ) -> DataFrame:

@@ -531,9 +531,16 @@ def interpolated_perplexity(
             ),
         )
     )
-    w = Window.partitionBy(lang_col).orderBy(F.col("ppl").asc(), F.col(id_col).asc())
-    return (
-        scored.join(df.select(id_col, lang_col), id_col)
-        .withColumn("bucket", F.ntile(n_buckets).over(w).cast("long"))
-        .select(id_col, lang_col, "n_bigrams", "ppl", "bucket")
-    )
+    # distributed per-language NTILE (grouped_ntile): global
+    # range-partitioned rank + broadcast group offsets — no per-language
+    # window whose partitions scale with the corpus
+    from iniz_exporters_spark.operators.indexing import grouped_ntile
+
+    joined = scored.join(df.select(id_col, lang_col), id_col)
+    return grouped_ntile(
+        joined,
+        [lang_col],
+        [F.col("ppl").asc(), F.col(id_col).asc()],
+        n_buckets,
+        "bucket",
+    ).select(id_col, lang_col, "n_bigrams", "ppl", "bucket")

@@ -14374,10 +14374,18 @@ def ccnet_bucket_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ppl"),
         )
     )
-    wb = Window.partitionBy("source").orderBy("ppl", "doc_id")
-    bucketed = doc.select(
-        "source", "ppl", F.ntile(3).over(wb).alias("tertile")
-    )
+    # distributed per-source NTILE: global range-partitioned rank +
+    # broadcast group offsets (operators.indexing.grouped_ntile) — no
+    # per-source window whose partitions scale with the corpus
+    from iniz_exporters_spark.operators.indexing import grouped_ntile
+
+    bucketed = grouped_ntile(
+        doc,
+        ["source"],
+        [F.col("ppl").asc(), F.col("doc_id").asc()],
+        3,
+        "tertile",
+    ).select("source", "ppl", "tertile")
     bucket = (
         F.when(F.col("tertile") == 1, "head")
         .when(F.col("tertile") == 2, "middle")

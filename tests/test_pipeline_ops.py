@@ -381,3 +381,36 @@ def test_global_ntile_matches_window_ntile(spark):
         for r in global_ntile(tiny, [F.col("k")], 5, "b").collect()
     }
     assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_grouped_ntile_matches_window_ntile(spark):
+    """grouped_ntile must reproduce partitioned ANSI NTILE bit-for-bit,
+    including skewed group sizes and N % n != 0 buckets."""
+    import random
+
+    from pyspark.sql import Window
+
+    from iniz_exporters_spark.operators.indexing import grouped_ntile
+
+    rng = random.Random(7)
+    rows = []
+    k = 0
+    for g, size in (("a", 17), ("b", 3), ("c", 40), ("d", 1), ("e", 9)):
+        for _ in range(size):
+            rows.append((g, k, rng.randrange(20)))
+            k += 1
+    df = spark.createDataFrame(rows, "g string, k long, v long").repartition(5)
+    got = {
+        r["k"]: r["b"]
+        for r in grouped_ntile(
+            df, ["g"], [F.col("v").asc(), F.col("k").asc()], 3, "b"
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "k")
+    want = {
+        r["k"]: r["b"]
+        for r in df.select(
+            "k", F.ntile(3).over(w).cast("long").alias("b")
+        ).collect()
+    }
+    assert got == want
