@@ -108,6 +108,13 @@ def grouped_ntile(
     for r in stats:
         pid_counts[r["__pid"]] = pid_counts.get(r["__pid"], 0) + r["__n"]
         key = tuple(r[c] for c in group_cols)
+        if any(k is None for k in key):
+            # a NULL key would silently sort NULLS FIRST in the range
+            # partitioner but is unorderable driver-side — fail loudly
+            raise ValueError(
+                f"grouped_ntile: NULL group key {key}; filter or fill "
+                "null group columns before bucketing"
+            )
         grp_counts[key] = grp_counts.get(key, 0) + r["__n"]
     spark = df.sparkSession
     pid_rows, acc = [], 0

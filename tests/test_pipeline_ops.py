@@ -414,3 +414,17 @@ def test_grouped_ntile_matches_window_ntile(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_grouped_ntile_rejects_null_group_keys(spark):
+    import pytest
+
+    from iniz_exporters_spark.operators.indexing import grouped_ntile
+
+    df = spark.createDataFrame(
+        [("a", 1, 5), (None, 2, 6)], "g string, k long, v long"
+    )
+    with pytest.raises(ValueError, match="NULL group key"):
+        grouped_ntile(
+            df, ["g"], [F.col("v").asc(), F.col("k").asc()], 2, "b"
+        ).collect()
