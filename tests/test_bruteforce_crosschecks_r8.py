@@ -1216,3 +1216,98 @@ def test_doc_cosine_sparse_q_matches_bruteforce(spark):
         assert r["cosine"] == pytest.approx(
             want[(r["da"], r["db"])], abs=2e-6
         )
+
+
+def _mh_shingles(text: str) -> set:
+    t = text or ""
+    if not t:
+        return set()
+    if len(t) <= 5:
+        return {_r8_poly(t)}
+    return {_r8_poly(t[i : i + 5]) for i in range(len(t) - 4)}
+
+
+def _mh_bands(hs: set, num_perm: int = 16, rows: int = 4) -> list:
+    """(band, bucket) keys: minhash_j = min((1000003j+1)h + (7919j+12345)
+    mod p); bucket = first-element-seeded 31-fold over the band's
+    signatures in j order."""
+    M = 1_000_000_007
+    sigs = [
+        min(((1000003 * j + 1) * h + (7919 * j + 12345)) % M for h in hs)
+        for j in range(num_perm)
+    ]
+    out = []
+    for b in range(num_perm // rows):
+        block = sigs[b * rows : (b + 1) * rows]
+        acc = block[0]
+        for v in block[1:]:
+            acc = (acc * 31 + v) % M
+        out.append((b, acc))
+    return out
+
+
+def test_lsh_precision_eval_q_matches_bruteforce(spark):
+    """Band-candidate precision replayed end to end: independent shingle
+    hashing, minhash permutations, band buckets, exact Jaccard verify."""
+    shingles = {d: _mh_shingles(t) for d, t, _ in _docs()}
+    buckets: dict = defaultdict(list)
+    for d, hs in shingles.items():
+        if not hs:
+            continue
+        for key in _mh_bands(hs):
+            buckets[key].append(d)
+    cand = set()
+    for ds in buckets.values():
+        ds.sort()
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                cand.add((a, b))
+    n_true = 0
+    for a, b in cand:
+        ha, hb = shingles[a], shingles[b]
+        inter = len(ha & hb)
+        j = round(inter / (len(ha) + len(hb) - inter), 4)
+        if j >= 0.7:
+            n_true += 1
+    row = REGISTRY["lsh_precision_eval_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_candidates"] == len(cand)
+    assert row["n_true"] == n_true
+    assert row["precision_at_07"] == pytest.approx(
+        n_true / len(cand), abs=1e-6
+    )
+
+
+def test_incremental_neardup_q_matches_bruteforce(spark):
+    """Batch-vs-corpus near-dup flags replayed with the same independent
+    MinHash/band machinery (batch = doc_id%20==7, threshold 0.6)."""
+    shingles = {d: _mh_shingles(t) for d, t, _ in _docs()}
+    batch_b: dict = defaultdict(list)
+    corpus_b: dict = defaultdict(list)
+    for d, hs in shingles.items():
+        if not hs:
+            continue
+        tgt = batch_b if d % 20 == 7 else corpus_b
+        for key in _mh_bands(hs):
+            tgt[key].append(d)
+    cand = {
+        (bd, cd)
+        for key, bds in batch_b.items()
+        for bd in bds
+        for cd in corpus_b.get(key, ())
+    }
+    expect = {}
+    for bd, cd in cand:
+        ha, hb = shingles[bd], shingles[cd]
+        inter = len(ha & hb)
+        j = round(inter / (len(ha) + len(hb) - inter), 4)
+        if j >= 0.6:
+            expect[(bd, cd)] = j
+    got = {
+        (r["batch_id"], r["corpus_id"]): r["jaccard"]
+        for r in REGISTRY["incremental_neardup_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for k, v in got.items():
+        assert v == pytest.approx(expect[k], abs=1e-4)
