@@ -465,3 +465,37 @@ def test_template_prefix_q_matches_bruteforce(spark):
         for r in rows
     }
     assert got == expect
+
+
+def test_kneser_ney_q_matches_bruteforce(spark):
+    """Interpolated Kneser-Ney top-30 replayed from raw bigram counts:
+    P(w2|w1) = (c-0.75)/c(w1.) + 0.75*N1+(w1,.)/c(w1.) * N1+(.,w2)/T."""
+    from collections import Counter
+
+    docs = _bf_docs()
+    c12: Counter = Counter()
+    for _, text, _ in docs:
+        ts = _bf_tok(text)
+        for a, b in zip(ts, ts[1:]):
+            c12[(a, b)] += 1
+    c1: Counter = Counter()
+    n1fwd: Counter = Counter()
+    n1bwd: Counter = Counter()
+    for (a, b), c in c12.items():
+        c1[a] += c
+        n1fwd[a] += 1
+        n1bwd[b] += 1
+    T = len(c12)
+    scored = sorted(
+        (
+            (-c, a, b,
+             (c - 0.75) / c1[a] + 0.75 * n1fwd[a] / c1[a] * (n1bwd[b] / T))
+            for (a, b), c in c12.items()
+        )
+    )[:30]
+    got = REGISTRY["kneser_ney_q"].fn(spark, SF_SMALL).collect()
+    assert [(r["w1"], r["w2"], r["c"]) for r in got] == [
+        (a, b, -nc) for nc, a, b, _ in scored
+    ]
+    for r, (_, _, _, pkn) in zip(got, scored):
+        assert r["pkn"] == pytest.approx(pkn, abs=2e-6)
