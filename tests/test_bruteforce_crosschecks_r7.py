@@ -499,3 +499,51 @@ def test_kneser_ney_q_matches_bruteforce(spark):
     ]
     for r, (_, _, _, pkn) in zip(got, scored):
         assert r["pkn"] == pytest.approx(pkn, abs=2e-6)
+
+
+def test_bloom_prune_join_q_matches_bruteforce(spark):
+    """Bloom semi-join reduction replayed with an independent hash
+    implementation: two positions per dim key, fact rows surviving iff
+    both positions set, exact join for the matched set."""
+    from decimal import ROUND_HALF_UP as RH
+
+    con = duckdb.connect()
+    dim = [
+        r[0]
+        for r in con.execute(
+            f"SELECT s_suppkey FROM "
+            f"read_parquet('{SF_SMALL}/supplier.parquet') "
+            f"WHERE s_nationkey = 3"
+        ).fetchall()
+    ]
+    M = 1_000_000_007
+
+    def pos2(key: int):
+        h = _bf_poly(str(key))
+        return h % 4096, ((h * 1000003 + 12345) % M) % 4096
+
+    bits = set()
+    for k in dim:
+        p1, p2 = pos2(k)
+        bits.add(p1)
+        bits.add(p2)
+    fact = con.execute(
+        f"SELECT l_suppkey, CAST(l_extendedprice AS DOUBLE) FROM "
+        f"read_parquet('{SF_SMALL}/lineitem.parquet')"
+    ).fetchall()
+    dimset = set(dim)
+    n_cand = n_matched = 0
+    rev = Decimal(0)
+    for k, p in fact:
+        p1, p2 = pos2(k)
+        if p1 in bits and p2 in bits:
+            n_cand += 1
+            if k in dimset:
+                n_matched += 1
+                rev += Decimal(repr(p)).quantize(Decimal("1e-4"), RH)
+    row = REGISTRY["bloom_prune_join_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_candidates"] == n_cand
+    assert row["n_matched"] == n_matched
+    assert row["revenue"] == pytest.approx(float(rev), abs=0.01)
+    # the filter must never drop a true match (no false negatives)
+    assert n_matched == sum(1 for k, _ in fact if k in dimset)

@@ -1311,3 +1311,20 @@ def test_incremental_neardup_q_matches_bruteforce(spark):
     assert set(got) == set(expect)
     for k, v in got.items():
         assert v == pytest.approx(expect[k], abs=1e-4)
+
+
+def test_hll_intersect_q_exact_values_match_bruteforce(spark):
+    """The checked (exact) values of the sketch-algebra query: set sizes
+    and exact intersection from plain Python sets; the bound flag must
+    hold."""
+    viewers, buyers = set(), set()
+    for u, _, _, _, etype in _events():
+        if etype == "view":
+            viewers.add(u)
+        elif etype == "purchase":
+            buyers.add(u)
+    row = REGISTRY["hll_intersect_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_a"] == len(viewers)
+    assert row["n_b"] == len(buyers)
+    assert row["exact_inter"] == len(viewers & buyers)
+    assert row["est_within_bound"] is True
