@@ -1328,3 +1328,97 @@ def test_hll_intersect_q_exact_values_match_bruteforce(spark):
     assert row["n_b"] == len(buyers)
     assert row["exact_inter"] == len(viewers & buyers)
     assert row["est_within_bound"] is True
+
+
+def test_canonical_longest_q_matches_bruteforce(spark):
+    """The full headline dedup-apply pipeline replayed independently:
+    fake-path phash bits, 4x16 band buckets, Hamming<=3 verify,
+    union-find components, longest-doc canonical (ties lowest id)."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text, n_chars FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall()
+    bandsets: dict = {}
+    words: dict = {}
+    nchars: dict = {}
+    for doc_id, text, nc in rows:
+        payload = b"#" + (text or "").encode("utf-8")
+        px = [payload[p % len(payload)] for p in range(64)]
+        total = sum(px)
+        bits = [1 if 64 * v > total else 0 for v in px]
+        bands = [
+            sum(bits[16 * j + k] << k for k in range(16)) for j in range(4)
+        ]
+        word = sum(b << (16 * j) for j, b in enumerate(bands))
+        bandsets[doc_id] = bands
+        words[doc_id] = word
+        nchars[doc_id] = nc
+    buckets: dict = defaultdict(list)
+    for d, bands in bandsets.items():
+        for j, v in enumerate(bands):
+            buckets[(j, v)].append(d)
+    pairs = set()
+    for ds in buckets.values():
+        ds.sort()
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                if bin(words[a] ^ words[b]).count("1") <= 3:
+                    pairs.add((a, b))
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict = defaultdict(list)
+    for d in parent:
+        comp[find(d)].append(d)
+    expect = {}
+    for rep, members in comp.items():
+        best = min(members, key=lambda d: (-nchars[d], d))
+        for d in members:
+            expect[d] = (rep, nchars[d], d == best)
+    got = {
+        r["doc_id"]: (r["component"], r["n_chars"], r["is_canonical"])
+        for r in REGISTRY["canonical_longest_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == expect
+    assert expect, "fixture must contain at least one near-dup cluster"
+
+
+def test_span_dedup_trim_matches_bruteforce(spark):
+    """Lee-et-al span-removal accounting replayed with plain sets:
+    5-token span hashes, cross-document flags (>=2 distinct docs),
+    per-doc covered-position union."""
+    toks = {d: _tok(t) for d, t, _ in _docs()}
+    span_docs: dict = defaultdict(set)
+    doc_spans: dict = defaultdict(list)
+    for d, ts in toks.items():
+        for i in range(len(ts) - 4):
+            h = _r8_poly(" ".join(ts[i : i + 5]))
+            span_docs[h].add(d)
+            doc_spans[d].append((i, h))
+    flagged = {h for h, ds in span_docs.items() if len(ds) >= 2}
+    expect = {}
+    for d, ts in toks.items():
+        covered: set = set()
+        for i, h in doc_spans[d]:
+            if h in flagged:
+                covered.update(range(i, i + 5))
+        expect[d] = (len(ts), len(covered), len(ts) - len(covered))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_covered"], r["n_kept"])
+        for r in REGISTRY["span_dedup_trim"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == expect
+    assert any(c for _, c, _ in expect.values()), (
+        "fixture must contain at least one flagged span"
+    )
