@@ -1422,3 +1422,81 @@ def test_span_dedup_trim_matches_bruteforce(spark):
     assert any(c for _, c, _ in expect.values()), (
         "fixture must contain at least one flagged span"
     )
+
+
+def test_pipeline_clean_corpus_matches_bruteforce(spark):
+    """The full cleaning pipeline replayed independently: quality score,
+    stopword language vote (en precedence), exact dedup keep-min,
+    MinHash/band near-dup removal (drop higher id), whitespace token
+    counts."""
+    import re
+    from decimal import ROUND_HALF_UP as RH
+
+    EN = {"the", "a", "and", "of", "to", "in", "is", "it"}
+    ES = {"el", "la", "de", "que", "y", "los", "en", "un"}
+    DE = {"der", "die", "das", "und", "ist", "ein", "nicht", "mit"}
+    FR = {"le", "la", "de", "et", "est", "les", "des", "une"}
+    survivors = {}
+    for doc_id, text, _ in _docs():
+        t = text or ""
+        n = len(t)
+        low = t.lower()
+        n_punct = sum(1 for c in low if not (c.isdigit() or "a" <= c <= "z" or c == " "))
+        toks = _tok(t)
+        stop_ratio = (
+            sum(1 for w in toks if w in EN) / len(toks) if toks else 0.0
+        )
+        raw = (
+            0.4 * (1 - (n_punct / n if n else 0))
+            + 0.3 * min(stop_ratio * 5, 1.0)
+            + 0.3 * min(n / 500, 1.0)
+        )
+        quality = float(
+            Decimal(repr(raw)).quantize(Decimal("1e-4"), RH)
+        )
+        counts = [
+            sum(1 for w in toks if w in ws) for ws in (EN, ES, DE, FR)
+        ]
+        is_en = max(counts) > 0 and counts[0] == max(counts)
+        if quality >= 0.5 and is_en:
+            survivors[doc_id] = (t, quality)
+    # exact dedup: keep min doc_id per text
+    by_text: dict = {}
+    for d in sorted(survivors):
+        by_text.setdefault(survivors[d][0], d)
+    exact = {d: survivors[d] for d in by_text.values()}
+    # near-dup removal: drop the higher id of any pair with J >= 0.7
+    shingles = {d: _mh_shingles(t) for d, (t, _) in exact.items()}
+    buckets: dict = defaultdict(list)
+    for d, hs in shingles.items():
+        if not hs:
+            continue
+        for key in _mh_bands(hs):
+            buckets[key].append(d)
+    dropped = set()
+    for ds in buckets.values():
+        ds.sort()
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                ha, hb = shingles[a], shingles[b]
+                inter = len(ha & hb)
+                if round(inter / (len(ha) + len(hb) - inter), 4) >= 0.7:
+                    dropped.add(b)
+    expect = {}
+    for d, (t, q) in exact.items():
+        if d in dropped:
+            continue
+        toks_ws = [x for x in re.split(r"\s+", t.strip()) if x]
+        expect[d] = (q, len(toks_ws))
+    got = {
+        r["doc_id"]: (r["quality"], r["n_tokens"])
+        for r in REGISTRY["pipeline_clean_corpus"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for d, (q, nt) in got.items():
+        eq, ent = expect[d]
+        assert nt == ent
+        assert q == pytest.approx(eq, abs=1.1e-4)
+    assert expect
