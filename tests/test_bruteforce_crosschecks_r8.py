@@ -1500,3 +1500,93 @@ def test_pipeline_clean_corpus_matches_bruteforce(spark):
         assert nt == ent
         assert q == pytest.approx(eq, abs=1.1e-4)
     assert expect
+
+
+def test_knn_bruteforce_matches_numpy(spark):
+    """Exact top-5 cosine neighbors for the 10 query vectors replayed
+    with numpy (rounded-cosine ranking, id tiebreak)."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{SF_SMALL}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    expect = {}
+    for qi, q in enumerate(ids):
+        if q >= 10:
+            continue
+        cos = (X @ X[qi]) / (norms * norms[qi])
+        scored = sorted(
+            (round(float(cos[ci]), 4), -c, c)
+            for ci, c in enumerate(ids)
+            if c != q
+        )
+        top = [(c, s) for s, _, c in reversed(scored[-5:])]
+        expect[q] = top
+    got: dict = defaultdict(list)
+    for r in REGISTRY["knn_bruteforce"].fn(spark, SF_SMALL).collect():
+        got[r["query_id"]].append((r["rn"], r["neighbor_id"], r["cos"]))
+    assert set(got) == set(expect)
+    for q, lst in got.items():
+        lst.sort()
+        assert [n for _, n, _ in lst] == [n for n, _ in expect[q]]
+        for (_, _, c), (_, ec) in zip(lst, expect[q]):
+            assert c == pytest.approx(ec, abs=1.1e-4)
+
+
+def test_asof_join_matches_bruteforce(spark):
+    """Per purchase, the latest click at or before it (left join)."""
+    clicks: dict = defaultdict(list)
+    purchases = []
+    for u, ts, eid, _, etype in _events():
+        if etype == "click":
+            clicks[u].append((ts, eid))
+        elif etype == "purchase":
+            purchases.append((u, ts, eid))
+    expect = {}
+    for u, ts, eid in purchases:
+        cand = [(cts, cid) for cts, cid in clicks.get(u, ()) if cts <= ts]
+        expect[eid] = (u, max(cand) if cand else None)
+    got = REGISTRY["asof_join"].fn(spark, SF_SMALL).collect()
+    assert {r["purchase_id"] for r in got} == set(expect)
+    for r in got:
+        u, best = expect[r["purchase_id"]]
+        assert r["user_id"] == u
+        if best is None:
+            assert r["click_id"] is None and r["click_ts"] is None
+        else:
+            assert (r["click_ts"], r["click_id"]) == best
+
+
+def test_session_window_matches_bruteforce(spark):
+    """30-minute-gap sessionization replayed with a plain scan: new
+    session when the gap >= 30 min; session stats per (user, session)."""
+    from decimal import ROUND_HALF_UP as RH
+
+    streams: dict = defaultdict(list)
+    for u, ts, eid, v, _ in _events():
+        streams[u].append((ts, v))
+    expect: dict = {}
+    for u, rows in streams.items():
+        sess = []
+        for ts, v in rows:
+            if not sess or _us(ts - sess[-1][-1][0]) >= 30 * 60 * 1_000_000:
+                sess.append([])
+            sess[-1].append((ts, v))
+        for s in sess:
+            total = sum(
+                (Decimal(repr(v)).quantize(Decimal("1e-4"), RH) for _, v in s),
+                Decimal(0),
+            )
+            expect[(u, s[0][0])] = (len(s), round(float(total), 2))
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in REGISTRY["session_window"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(expect)
+    for k, (n, sv) in got.items():
+        en, esv = expect[k]
+        assert n == en
+        assert sv == pytest.approx(esv, abs=0.01)
