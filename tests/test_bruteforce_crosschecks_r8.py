@@ -1590,3 +1590,42 @@ def test_session_window_matches_bruteforce(spark):
         en, esv = expect[k]
         assert n == en
         assert sv == pytest.approx(esv, abs=0.01)
+
+
+def test_bpe_learn64_matches_bruteforce(spark):
+    """64 BPE merge rounds replayed with the textbook algorithm over the
+    frequency-weighted word vocabulary: pair counts weighted by word
+    freq, (count desc, pair asc) selection, left-to-right
+    non-overlapping merge application."""
+    vocab: Counter = Counter()
+    for _, text, _ in _docs():
+        vocab.update(_tok(text))
+    segs = {w: list(w) for w in vocab}
+    expect = []
+    for _ in range(64):
+        counts: Counter = Counter()
+        for w, f in vocab.items():
+            s = segs[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        pair = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expect.append(pair)
+        a, b = pair
+        for w in vocab:
+            s = segs[w]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    got = sorted(
+        (r["rank"], r["a"], r["b"])
+        for r in REGISTRY["bpe_learn64"].fn(spark, SF_SMALL).collect()
+    )
+    assert got == [(i + 1, a, b) for i, (a, b) in enumerate(expect)]
