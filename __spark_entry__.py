@@ -41,6 +41,26 @@ from iniz_exporters_spark.session import tune_for_session
 #   r6: remaining reference entry points + array_set_ops redo + next batch
 #   r7/r8: remainder per the canonical ledger in PERFORMANCE.md
 # ---------------------------------------------------------------------------
+_R7_WINDOW = [
+    # round-7 batch per the canonical ledger (PERFORMANCE.md §driver-window);
+    # every name pre-swept green at sf0.001/0.01/0.1 during round 6 and
+    # re-swept at round-7 open.
+    "ewma_q", "pareto_frontier_q", "bloom_prune_join_q", "grid_density_q",
+    "benford_audit_q", "stratified_alloc_q", "rolling_autocorr_q", "kcore_q",
+    "rake_keywords_q", "markov_transitions_q", "k_anonymity_q",
+    "compaction_plan_q", "sentence_stats_q", "zipf_fit_q", "heaps_law_q",
+    "ks_test_q", "chi2_independence_q", "kneser_ney_q", "poisson_bootstrap_q",
+    "mi_feature_q", "entropy_ldiversity_q", "adamic_adar_q",
+    "clustering_coeff_q", "gini_q", "roc_auc_q", "stl_decompose_q",
+    "cusum_changepoint_q", "attribution_q", "maxsim_q",
+    "interval_concurrency_q", "template_prefix_q", "degree_powerlaw_q",
+    "event_paths_q", "silhouette_q", "calinski_harabasz_q", "cluster_nmi_q",
+    "woe_iv_q", "target_encode_loo_q", "leakage_check_q",
+    "association_rules_q", "rfm_segment_q", "correlation_matrix_q", "hits_q",
+    "forecast_eval_q", "cuped_q", "modularity_q", "assortativity_q",
+    "lexical_stats_q", "twonn_dim_q",
+]
+
 _R6_WINDOW = [
     # round-6 priority: the three remaining reference entry points
     # (VERDICT r5 #2 — reference-parity surface jumps the queue; displaces
@@ -70,7 +90,7 @@ _R6_WINDOW = [
 
 # Kept for provenance / test compatibility: the live window always binds to
 # the newest list.
-_WINDOW = _R6_WINDOW
+_WINDOW = _R7_WINDOW
 
 
 def _ordered_names() -> list[str]:

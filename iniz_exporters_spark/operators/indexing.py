@@ -62,30 +62,34 @@ def _ranked_with_total(df: DataFrame, sort_cols, idx_col: str):
 
 
 def global_index(
-    df: DataFrame, order_col: str, idx_col: str = "idx"
+    df: DataFrame, order_col, idx_col: str = "idx"
 ) -> DataFrame:
     """Add a 1-based dense index in ``order_col`` order without a
-    single-partition window. ``order_col`` must be unique."""
-    ranked, _ = _ranked_with_total(df, [F.col(order_col)], idx_col)
+    single-partition window. ``order_col`` is a column name or a list of
+    names/Column expressions; the composite order must be total."""
+    if isinstance(order_col, (list, tuple)):
+        cols = [F.col(c) if isinstance(c, str) else c for c in order_col]
+    else:
+        cols = [F.col(order_col)]
+    ranked, _ = _ranked_with_total(df, cols, idx_col)
     return ranked
 
 
-def grouped_ntile(
-    df: DataFrame,
-    group_cols: list,
-    sort_cols,
-    n_buckets: int,
-    out_col: str,
-) -> DataFrame:
-    """Exact ``NTILE(n) OVER (PARTITION BY group_cols ORDER BY
-    sort_cols)`` without per-group windows whose partitions scale with
-    the data (a few sources x billions of rows = a few giant window
-    tasks). One GLOBAL range-partitioned rank over (group_cols ASC,
-    sort_cols) — parallel regardless of group skew — then per-group
-    local rank = global rank - broadcast group offset, and the ANSI
-    NTILE bucket from integer arithmetic on per-group counts (one row
-    per group — metadata). ``sort_cols`` must total-order within each
-    group (include a unique tiebreak)."""
+# Driver-side guard: the per-group offset table is collected and
+# broadcast, so the group column must be metadata-scale. Past this many
+# distinct groups the caller almost certainly wanted a per-row window or
+# a different keying — fail loudly instead of OOMing the driver.
+MAX_GROUPS = 1_000_000
+
+
+def _grouped_ranked(df: DataFrame, group_cols: list, sort_cols):
+    """Shared core of grouped_ntile / grouped_index: one GLOBAL
+    range-partitioned rank over (group_cols ASC, sort_cols) — parallel
+    regardless of group skew — plus a broadcast per-group (offset, size)
+    table. Returns a frame carrying ``__grank`` (global), ``__goff``
+    (rows before the group) and ``__gn`` (group size); per-group local
+    rank = ``__grank - __goff``. ``sort_cols`` must total-order within
+    each group (include a unique tiebreak)."""
     group_cols = list(group_cols)
     full_order = [F.col(c).asc() for c in group_cols] + list(sort_cols)
     pinned = (
@@ -112,10 +116,26 @@ def grouped_ntile(
             # a NULL key would silently sort NULLS FIRST in the range
             # partitioner but is unorderable driver-side — fail loudly
             raise ValueError(
-                f"grouped_ntile: NULL group key {key}; filter or fill "
+                f"grouped rank: NULL group key {key}; filter or fill "
                 "null group columns before bucketing"
             )
+        if any(isinstance(k, float) and k != k for k in key):
+            # Python sorts NaN arbitrarily while Spark's range partitioner
+            # sorts NaN greatest — the broadcast offsets would silently
+            # disagree with the partition layout. Reject rather than
+            # mis-bucket.
+            raise ValueError(
+                f"grouped rank: NaN group key {key}; group columns must "
+                "not contain NaN (cast to string or filter first)"
+            )
         grp_counts[key] = grp_counts.get(key, 0) + r["__n"]
+        if len(grp_counts) > MAX_GROUPS:
+            raise ValueError(
+                f"grouped rank: more than {MAX_GROUPS} distinct groups — "
+                "the per-group offset table is collected to the driver "
+                "and broadcast, so the group key must be metadata-scale. "
+                "Use a per-row window or re-key before bucketing."
+            )
     spark = df.sparkSession
     pid_rows, acc = [], 0
     for pid in sorted(pid_counts):
@@ -141,6 +161,76 @@ def grouped_ntile(
         )
         .drop("__pid", "__offset")
     )
+    return ranked.join(F.broadcast(off_df), group_cols)
+
+
+def grouped_index(
+    df: DataFrame,
+    group_cols: list,
+    sort_cols,
+    idx_col: str = "idx",
+    size_col: str | None = None,
+) -> DataFrame:
+    """Exact ``ROW_NUMBER() OVER (PARTITION BY group_cols ORDER BY
+    sort_cols)`` without per-group windows whose partitions scale with
+    the data. Optionally also attaches the group size (``COUNT(*) OVER
+    (PARTITION BY group_cols)``) as ``size_col`` — it falls out of the
+    same broadcast offset table for free."""
+    ranked = _grouped_ranked(df, group_cols, sort_cols)
+    out = ranked.withColumn(
+        idx_col, (F.col("__grank") - F.col("__goff")).cast("long")
+    )
+    if size_col is not None:
+        out = out.withColumn(size_col, F.col("__gn"))
+    return out.drop("__grank", "__goff", "__gn")
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list,
+    sort_cols,
+    k: int,
+    idx_col: str = "idx",
+) -> DataFrame:
+    """Per-group top-k with rank, scale-safe: a window partitioned by
+    (input partition id, group) first prunes each group to ≤ k rows PER
+    INPUT PARTITION — those window partitions are bounded by the scan
+    split size (maxPartitionBytes), never by per-group row counts — then
+    the exact per-group rank window runs over the ≤ k·P survivors
+    (metadata scale). Output: the rows with rank ≤ k plus ``idx_col``.
+    ``sort_cols`` must total-order within each group."""
+    sort_cols = list(sort_cols)
+    staged = df.withColumn("__pid", F.spark_partition_id())
+    wlocal = Window.partitionBy("__pid", *group_cols).orderBy(*sort_cols)
+    survivors = (
+        staged.withColumn("__lrk", F.row_number().over(wlocal))
+        .filter(F.col("__lrk") <= k)
+        .drop("__pid", "__lrk")
+    )
+    wfinal = Window.partitionBy(*group_cols).orderBy(*sort_cols)
+    return (
+        survivors.withColumn(idx_col, F.row_number().over(wfinal).cast("long"))
+        .filter(F.col(idx_col) <= k)
+    )
+
+
+def grouped_ntile(
+    df: DataFrame,
+    group_cols: list,
+    sort_cols,
+    n_buckets: int,
+    out_col: str,
+) -> DataFrame:
+    """Exact ``NTILE(n) OVER (PARTITION BY group_cols ORDER BY
+    sort_cols)`` without per-group windows whose partitions scale with
+    the data (a few sources x billions of rows = a few giant window
+    tasks). One GLOBAL range-partitioned rank over (group_cols ASC,
+    sort_cols) — parallel regardless of group skew — then per-group
+    local rank = global rank - broadcast group offset, and the ANSI
+    NTILE bucket from integer arithmetic on per-group counts (one row
+    per group — metadata). ``sort_cols`` must total-order within each
+    group (include a unique tiebreak)."""
+    ranked = _grouped_ranked(df, list(group_cols), sort_cols)
     local = F.col("__grank") - F.col("__goff")
     q = F.expr(f"__gn DIV {n_buckets}")
     r = F.col("__gn") % n_buckets
@@ -161,10 +251,8 @@ def grouped_ntile(
             + r
         )
     )
-    return (
-        ranked.join(F.broadcast(off_df), group_cols)
-        .withColumn(out_col, bucket.cast("long"))
-        .drop("__grank", "__goff", "__gn")
+    return ranked.withColumn(out_col, bucket.cast("long")).drop(
+        "__grank", "__goff", "__gn"
     )
 
 

@@ -12368,12 +12368,20 @@ def exact_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 picked.append((k, b, k - cum))
                 break
             cum += c
+    from iniz_exporters_spark.operators.indexing import global_index
+
     vals = []
     for _, b, j in picked:
-        w = Window.orderBy("v", "l_orderkey", "l_linenumber")
+        # rank ONLY the target bin, and do even that distributed: the
+        # bin still holds ~n/1024 rows (a 10^9-row single window task at
+        # 100 TB), so the rank comes from the range-partitioned
+        # global_index, never an unpartitioned window (VERDICT r6 #2).
         row = (
-            binned.filter(F.col("bin") == b)
-            .withColumn("rn", F.row_number().over(w))
+            global_index(
+                binned.filter(F.col("bin") == b),
+                ["v", "l_orderkey", "l_linenumber"],
+                "rn",
+            )
             .filter(F.col("rn") == j)
             .select("v")
             .collect()
@@ -13307,22 +13315,24 @@ def debounce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fair_interleave_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale note: only ranks <= 40 survive the LIMIT, so at extreme
-    per-source row counts the pre-filter is a per-source approximate
-    hash cutoff (sampled threshold admitting ~100 candidates per
-    source) before this window — candidates shrink to metadata scale
-    and the window result is unchanged (the cutoff only needs to keep
-    every true top-40 row)."""
+    """Scale shape (reworked r7 per VERDICT r6 #2): only ranks <= 40
+    survive the LIMIT, so the per-source rank runs through
+    operators.indexing.grouped_topk — a first window partitioned by
+    (input partition id, source) prunes each source to <= 40 rows PER
+    SCAN SPLIT (window partitions bounded by maxPartitionBytes, never by
+    per-source row counts), then the exact per-source rank window runs
+    over the <= 40*P survivors (metadata scale). The global top-40 in
+    (rank, source) order is a TakeOrdered on those survivors. The oracle
+    keeps the plain per-source window (semantics, not plan)."""
+    from iniz_exporters_spark.operators.indexing import grouped_topk
+
     d = Catalog(spark, sf_dir).documents
-    w = Window.partitionBy("source").orderBy(
-        poly_hash(F.concat(F.lit("fi:"), F.col("doc_id").cast("string"))),
-        "doc_id",
+    h = poly_hash(F.concat(F.lit("fi:"), F.col("doc_id").cast("string")))
+    topk = grouped_topk(
+        d.select("doc_id", "source"), ["source"], [h, F.col("doc_id")], 40, "rk"
     )
     return (
-        d.select(
-            "doc_id", "source", F.row_number().over(w).alias("rk")
-        )
-        .orderBy("rk", "source", "doc_id")
+        topk.orderBy("rk", "source", "doc_id")
         .limit(40)
         .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
     )
@@ -14701,20 +14711,23 @@ def lsh_precision_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stratified_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale note: the rank window partitions by (source, lang) — at
-    extreme per-stratum row counts the swap-in is a per-stratum hash
-    threshold from an exact/approx quantile of the content hash
-    (broadcast boundary join), the same boundaries-not-ranks trade
-    documented for rfm_segment_q; stratum counts here are the checked
-    contract either way."""
+    """Scale shape (reworked r7 per VERDICT r6 #2): the per-stratum rank
+    comes from operators.indexing.grouped_index — ONE global
+    range-partitioned rank over (source, lang, hash, doc_id) that stays
+    parallel however large a stratum grows, with per-group offsets and
+    sizes broadcast from a metadata-scale stats pass — never a
+    ``ROW_NUMBER OVER (PARTITION BY source, lang)`` window whose
+    partitions are corpus-scale. The oracle keeps the plain window
+    formulation (semantics, not plan)."""
+    from iniz_exporters_spark.operators.indexing import grouped_index
+
     d = Catalog(spark, sf_dir).documents
-    ws = Window.partitionBy("source", "lang")
-    wr = ws.orderBy(poly_hash("text"), "doc_id")
-    ranked = d.select(
-        "source",
-        "lang",
-        F.row_number().over(wr).alias("rk"),
-        F.count("*").over(ws).alias("n"),
+    ranked = grouped_index(
+        d.select("source", "lang", "text", "doc_id"),
+        ["source", "lang"],
+        [poly_hash("text"), F.col("doc_id")],
+        "rk",
+        size_col="n",
     )
     is_eval = (
         F.col("rk") <= F.ceil(0.1 * F.col("n")).cast("long")

@@ -428,3 +428,110 @@ def test_grouped_ntile_rejects_null_group_keys(spark):
         grouped_ntile(
             df, ["g"], [F.col("v").asc(), F.col("k").asc()], 2, "b"
         ).collect()
+
+
+def test_grouped_index_matches_window_rank(spark):
+    """grouped_index must reproduce ROW_NUMBER + COUNT OVER (PARTITION BY
+    g) bit-for-bit, including skewed group sizes — it replaces the
+    per-stratum corpus-scale window in stratified_split_q."""
+    import random
+
+    from pyspark.sql import Window
+
+    from iniz_exporters_spark.operators.indexing import grouped_index
+
+    rng = random.Random(11)
+    rows = []
+    k = 0
+    for g, size in (("a", 23), ("b", 1), ("c", 57), ("d", 6)):
+        for _ in range(size):
+            rows.append((g, k, rng.randrange(15)))
+            k += 1
+    df = spark.createDataFrame(rows, "g string, k long, v long").repartition(6)
+    got = {
+        (r["g"], r["k"]): (r["rk"], r["n"])
+        for r in grouped_index(
+            df, ["g"], [F.col("v").asc(), F.col("k").asc()], "rk", "n"
+        ).collect()
+    }
+    ws = Window.partitionBy("g")
+    want = {
+        (r["g"], r["k"]): (r["rk"], r["n"])
+        for r in df.select(
+            "g",
+            "k",
+            F.row_number().over(ws.orderBy("v", "k")).cast("long").alias("rk"),
+            F.count("*").over(ws).cast("long").alias("n"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_grouped_topk_matches_window_topk(spark):
+    """grouped_topk's two-level prune must return exactly the per-group
+    window top-k (rows AND ranks), whatever the input partitioning."""
+    import random
+
+    from pyspark.sql import Window
+
+    from iniz_exporters_spark.operators.indexing import grouped_topk
+
+    rng = random.Random(3)
+    rows = []
+    k = 0
+    for g, size in (("x", 50), ("y", 2), ("z", 31)):
+        for _ in range(size):
+            rows.append((g, k, rng.randrange(25)))
+            k += 1
+    df = spark.createDataFrame(rows, "g string, k long, v long").repartition(9)
+    got = {
+        (r["g"], r["k"]): r["rk"]
+        for r in grouped_topk(
+            df, ["g"], [F.col("v").asc(), F.col("k").asc()], 7, "rk"
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "k")
+    want = {
+        (r["g"], r["k"]): r["rk"]
+        for r in df.select(
+            "g", "k", F.row_number().over(w).cast("long").alias("rk")
+        ).collect()
+        if r["rk"] <= 7
+    }
+    assert got == want
+
+
+def test_grouped_rank_rejects_nan_group_keys(spark):
+    """Python's sort order for NaN is arbitrary while Spark's range
+    partitioner sorts NaN greatest — broadcast offsets would silently
+    disagree with the layout, so NaN group keys must fail loudly
+    (ADVICE r6 #1)."""
+    import pytest
+
+    from iniz_exporters_spark.operators.indexing import grouped_ntile
+
+    df = spark.createDataFrame(
+        [(1.0, 1, 5), (float("nan"), 2, 6)], "g double, k long, v long"
+    )
+    with pytest.raises(ValueError, match="NaN group key"):
+        grouped_ntile(
+            df, ["g"], [F.col("v").asc(), F.col("k").asc()], 2, "b"
+        ).collect()
+
+
+def test_grouped_rank_rejects_too_many_groups(spark, monkeypatch):
+    """The per-group offset table is collected and broadcast — a
+    high-cardinality group key must raise an actionable error instead of
+    OOMing the driver (ADVICE r6 #2)."""
+    import pytest
+
+    from iniz_exporters_spark.operators import indexing
+
+    monkeypatch.setattr(indexing, "MAX_GROUPS", 3)
+    df = spark.createDataFrame(
+        [(str(i), i, i) for i in range(10)], "g string, k long, v long"
+    )
+    with pytest.raises(ValueError, match="distinct groups"):
+        indexing.grouped_ntile(
+            df, ["g"], [F.col("v").asc(), F.col("k").asc()], 2, "b"
+        ).collect()

@@ -548,3 +548,38 @@ def test_seq_rank_has_no_single_partition_exchange(spark):
     }
     ids = sorted(ranks)
     assert [ranks[i] for i in ids] == list(range(1, len(ids) + 1))
+
+
+def test_stratified_split_no_corpus_scale_window(spark):
+    """stratified_split_q's per-stratum rank must come from grouped_index
+    (range partition + per-pid numbering + broadcast offsets), never a
+    window partitioned only by (source, lang) — those partitions grow
+    with the corpus (VERDICT r6 #2). The __pid column in the window spec
+    is the distributed path's signature."""
+    df = run("stratified_split_q", spark)
+    plan = physical(df)
+    assert "SinglePartition" not in plan, plan
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert "__pid" in line, line
+
+
+def test_fair_interleave_prunes_before_rank(spark):
+    """fair_interleave_q must prune each source to <= k rows per scan
+    split (window keyed by (__pid, source) — bounded partitions) before
+    the exact per-source rank runs over the metadata-scale survivors."""
+    df = run("fair_interleave_q", spark)
+    plan = physical(df)
+    assert "SinglePartition" not in plan, plan
+    assert "__pid" in plan, plan
+
+
+def test_exact_median_uses_distributed_bin_rank():
+    """exact_median_q's final within-bin rank must use global_index —
+    an unpartitioned Window.orderBy over the selected bin is a single
+    ~n/1024-row task at scale (VERDICT r6 #2)."""
+    import inspect
+
+    src = inspect.getsource(REGISTRY["exact_median_q"].fn)
+    assert "global_index" in src
+    assert "Window.orderBy" not in src
