@@ -139,7 +139,10 @@ def main() -> None:
 
     # Spreads + slope: side artifact and an EARLY stdout line — never the
     # final line, which must stay within the driver's tail capture.
-    detail_path = os.path.join(
+    # The artifact path is overridable so test/self runs never clobber the
+    # driver's committed round artifact (VERDICT r6 #3): pytest points this
+    # at tmp_path; only the driver's own bench run writes the default.
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as f:

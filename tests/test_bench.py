@@ -10,13 +10,17 @@ import subprocess
 import sys
 
 
-def test_bench_emits_one_json_line_with_all_headline_queries():
+def test_bench_emits_one_json_line_with_all_headline_queries(tmp_path):
     from iniz_exporters_spark.queries import REGISTRY
 
+    detail_path = tmp_path / "BENCH_DETAIL.json"
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_BENCH_RUNS="2",
+        # never clobber the driver's committed round artifact at the repo
+        # root (VERDICT r6 #3) — write the side artifact into tmp_path
+        SPARK_GRAFT_BENCH_DETAIL=str(detail_path),
     )
     out = subprocess.run(
         [sys.executable, "bench.py"],
@@ -67,13 +71,19 @@ def test_bench_emits_one_json_line_with_all_headline_queries():
                 > 0.25
                 for k in range(2, len(rs))
             )
-    with open(
-        os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "BENCH_DETAIL.json",
-        )
-    ) as f:
+    with open(detail_path) as f:
         assert json.load(f)["runs"] == detail["runs"]
+
+
+def test_bench_run_left_repo_artifact_untouched():
+    """Running the suite must leave the driver's committed
+    BENCH_DETAIL.json untouched (VERDICT r6 #3). The bench-run test above
+    executes bench.py at sf0.001 in this same session; the committed
+    artifact is the driver's sf0.1 run, so if the redirect ever regresses
+    the sf field here flips to 0.001 and this fails."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo_root, "BENCH_DETAIL.json")) as f:
+        assert json.load(f)["sf"] == 0.1
 
 
 def test_every_oracle_parses_with_no_hugeint_columns():
