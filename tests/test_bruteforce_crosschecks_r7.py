@@ -547,3 +547,120 @@ def test_bloom_prune_join_q_matches_bruteforce(spark):
     assert row["revenue"] == pytest.approx(float(rev), abs=0.01)
     # the filter must never drop a true match (no false negatives)
     assert n_matched == sum(1 for k, _ in fact if k in dimset)
+
+
+def test_poisson_bootstrap_q_matches_bruteforce(spark):
+    """Deterministic Poisson(1) bootstrap replayed from the definition:
+    per (doc, replica) weight = inverse-CDF thresholds on the
+    content-keyed uniform poly(doc_id:b) % 10000 / 10000; replica mean =
+    integer-sum ratio; per-source mean/min/max over the 32 replicas."""
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, source, n_chars FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    thresholds = [0.367879, 0.735759, 0.919699, 0.981012, 0.996340]
+
+    def pois_w(u: float) -> int:
+        for w, t in enumerate(thresholds):
+            if u < t:
+                return w
+        return 5
+
+    sums: dict = defaultdict(lambda: [0, 0])  # (source, b) -> [sum_wx, sum_w]
+    for doc_id, source, n_chars in docs:
+        for b in range(32):
+            u = (_bf_poly(f"{doc_id}:{b}") % 10000) / 10000
+            w = pois_w(u)
+            cell = sums[(source, b)]
+            cell[0] += w * n_chars
+            cell[1] += w
+    means: dict = defaultdict(list)
+    for (source, _b), (swx, sw) in sums.items():
+        if sw > 0:
+            means[source].append(swx / sw)
+    rows = REGISTRY["poisson_bootstrap_q"].fn(spark, SF_SMALL).collect()
+    assert {r["source"] for r in rows} == set(means)
+    for r in rows:
+        ms = means[r["source"]]
+        assert r["n_replicas"] == len(ms)
+        assert r["boot_mean"] == pytest.approx(sum(ms) / len(ms), abs=2e-4)
+        assert r["boot_lo"] == pytest.approx(min(ms), abs=2e-4)
+        assert r["boot_hi"] == pytest.approx(max(ms), abs=2e-4)
+
+
+def test_clustering_coeff_q_matches_bruteforce(spark):
+    """Local clustering coefficient from the definition: co-purchase
+    adjacency sets, per-node triangle counts by common-neighbor
+    intersection, coeff = 2T / (d(d-1))."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT l_orderkey, l_partkey FROM "
+        f"read_parquet('{SF_SMALL}/lineitem.parquet')"
+    ).fetchall()
+    baskets: dict = defaultdict(set)
+    for ok, pk in rows:
+        baskets[ok].add(pk)
+    adj: dict = defaultdict(set)
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                adj[a].add(b)
+                adj[b].add(a)
+    tri: dict = defaultdict(int)
+    for a in adj:
+        for b in adj[a]:
+            if b <= a:
+                continue
+            for c in adj[a] & adj[b]:
+                if c > b:
+                    tri[a] += 1
+                    tri[b] += 1
+                    tri[c] += 1
+    expect = sorted(
+        (
+            (n, len(adj[n]), tri.get(n, 0))
+            for n in adj
+        ),
+        key=lambda x: (-x[2], x[0]),
+    )[:30]
+    got = REGISTRY["clustering_coeff_q"].fn(spark, SF_SMALL).collect()
+    assert [(r["node"], r["degree"], r["n_triangles"]) for r in got] == [
+        (n, d, t) for n, d, t in expect
+    ]
+    for r, (n, d, t) in zip(got, expect):
+        want = 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0
+        assert r["coeff"] == pytest.approx(want, abs=2e-6)
+
+
+def test_cluster_nmi_q_matches_bruteforce(spark):
+    """NMI + purity recomputed from the replica k-means model's
+    assignments against the ground-truth labels."""
+    _, _, labels, _, own, _, _ = _km_model_numpy()
+    n = len(labels)
+    cells: dict = defaultdict(int)
+    for c, lb in zip(own, labels):
+        cells[(int(c), lb)] += 1
+    nc: dict = defaultdict(int)
+    nl: dict = defaultdict(int)
+    for (c, lb), v in cells.items():
+        nc[c] += v
+        nl[lb] += v
+    mi = sum(
+        (v / n) * math.log(v * n / (nc[c] * nl[lb]))
+        for (c, lb), v in cells.items()
+    )
+    hc = -sum((v / n) * math.log(v / n) for v in nc.values())
+    hl = -sum((v / n) * math.log(v / n) for v in nl.values())
+    purity = (
+        sum(
+            max(v for (c2, _), v in cells.items() if c2 == c)
+            for c in nc
+        )
+        / n
+    )
+    row = REGISTRY["cluster_nmi_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n"] == n
+    assert row["nmi"] == pytest.approx(mi / math.sqrt(hc * hl), abs=2e-6)
+    assert row["purity"] == pytest.approx(purity, abs=2e-6)

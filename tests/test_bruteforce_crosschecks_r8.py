@@ -1629,3 +1629,40 @@ def test_bpe_learn64_matches_bruteforce(spark):
         for r in REGISTRY["bpe_learn64"].fn(spark, SF_SMALL).collect()
     )
     assert got == [(i + 1, a, b) for i, (a, b) in enumerate(expect)]
+
+
+def test_wilson_ci_q_matches_bruteforce(spark):
+    """Wilson intervals recomputed from the closed form over plain-loop
+    per-user step flags."""
+    flags: dict = defaultdict(lambda: [0, 0, 0])
+    for u, _ts, _eid, _v, etype in _events():
+        if etype == "view":
+            flags[u][0] = 1
+        elif etype == "click":
+            flags[u][1] = 1
+        elif etype == "purchase":
+            flags[u][2] = 1
+    n1 = sum(f[0] for f in flags.values())
+    k1 = sum(f[0] * f[1] for f in flags.values())
+    n2 = sum(f[1] for f in flags.values())
+    k2 = sum(f[1] * f[2] for f in flags.values())
+
+    def wilson(k, n):
+        p = k / n
+        root = math.sqrt(p * (1 - p) / n + 0.9604 / (n * n))
+        lo = (p + 1.9208 / n - 1.96 * root) / (1 + 3.8416 / n)
+        hi = (p + 1.9208 / n + 1.96 * root) / (1 + 3.8416 / n)
+        return p, lo, hi
+
+    expect = {
+        "view->click": (n1, k1, *wilson(k1, n1)),
+        "click->purchase": (n2, k2, *wilson(k2, n2)),
+    }
+    rows = REGISTRY["wilson_ci_q"].fn(spark, SF_SMALL).collect()
+    assert {r["step"] for r in rows} == set(expect)
+    for r in rows:
+        n, k, rate, lo, hi = expect[r["step"]]
+        assert (r["n"], r["k"]) == (n, k)
+        assert r["rate"] == pytest.approx(rate, abs=2e-6)
+        assert r["wilson_lo"] == pytest.approx(lo, abs=2e-6)
+        assert r["wilson_hi"] == pytest.approx(hi, abs=2e-6)
