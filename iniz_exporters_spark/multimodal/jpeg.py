@@ -1,12 +1,14 @@
-"""Dependency-free baseline JPEG codec (numpy only).
+"""Dependency-free baseline + progressive JPEG codec (numpy only).
 
 Clean-room implementation from the public ITU-T T.81 spec + JFIF notes:
-baseline sequential DCT, 8-bit precision, grayscale or YCbCr, arbitrary
-sampling factors up to 2x2, restart markers. Progressive, arithmetic,
-12-bit and hierarchical modes return ``None`` (the caller falls through
-to Pillow or the marked fake). The matching minimal encoder exists so
-tests can round-trip real compressed payloads without any imaging
-library in the container.
+baseline sequential DCT (SOF0) and progressive DCT (SOF2 — spectral
+selection AND successive approximation, per T.81 Annex G), 8-bit
+precision, grayscale or YCbCr, arbitrary sampling factors up to 2x2,
+restart markers. Arithmetic-coded, 12-bit and hierarchical modes return
+``None`` (the caller falls through to Pillow or the marked fake). The
+matching minimal encoders (baseline and progressive) exist so tests can
+round-trip real compressed payloads without any imaging library in the
+container.
 
 Used by ``multimodal.binary.decode_image_numpy`` for payloads starting
 with the SOI marker. Like the PNG path, this serves the in-container
@@ -227,9 +229,10 @@ def _huff_decode(br: _BitReader, table: dict) -> int:
 
 
 def decode_jpeg(data: bytes):
-    """Decode a baseline JPEG. Returns ``(w, h, "JPEG", pixels)`` with
-    pixels ``(h, w)`` uint8 for grayscale or ``(h, w, 3)`` RGB, or
-    ``None`` for any non-baseline flavor or parse failure."""
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG. Returns
+    ``(w, h, "JPEG", pixels)`` with pixels ``(h, w)`` uint8 for grayscale
+    or ``(h, w, 3)`` RGB, or ``None`` for unsupported flavors
+    (arithmetic / 12-bit / hierarchical) or parse failure."""
     try:
         return _decode_jpeg_strict(data)
     except Exception:
@@ -245,6 +248,9 @@ def _decode_jpeg_strict(data: bytes):
     ac_tables: dict[int, dict] = {}
     frame = None  # (h, w, comps) with comps = [(cid, hsamp, vsamp, tq)]
     restart_interval = 0
+    progressive = False
+    coef = None  # per-component zigzag coefficient stores (progressive)
+    scans_done = 0
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             return None
@@ -257,10 +263,13 @@ def _decode_jpeg_strict(data: bytes):
             return None
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
-            return None  # reached EOI before a scan
-        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
-            # TEM / stray RSTn: standalone, length-less — legal between
-            # segments; skip rather than misparse a length
+            if progressive and scans_done:
+                return _finalize_progressive(frame, coef, qts)
+            return None  # reached EOI before any decodable scan
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            # TEM / stray RSTn / mid-stream SOI: standalone, length-less
+            # per T.81 — skip rather than misparse the next two bytes as
+            # a segment length (ADVICE r6 #3 added 0xD8)
             pos += 2
             continue
         if pos + 4 > len(data):
@@ -289,7 +298,7 @@ def _decode_jpeg_strict(data: bytes):
                 i += 17 + n
                 tbl = _canonical_codes(bits, vals)
                 (dc_tables if tc == 0 else ac_tables)[th] = tbl
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             if seg[0] != 8:
                 return None  # only 8-bit precision
             h = int.from_bytes(seg[1:3], "big")
@@ -301,9 +310,10 @@ def _decode_jpeg_strict(data: bytes):
                 hv = seg[7 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 15, seg[8 + 3 * ci]))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # extended/progressive/arithmetic: not baseline
+            return None  # extended/lossless/arithmetic: unsupported
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS
@@ -315,10 +325,25 @@ def _decode_jpeg_strict(data: bytes):
                 cs = seg[1 + 2 * si]
                 tda = seg[2 + 2 * si]
                 scan.append((cs, tda >> 4, tda & 15))
-            return _decode_scan(
-                data, pos + 2 + seg_len, frame, scan, qts,
-                dc_tables, ac_tables, restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    data, pos + 2 + seg_len, frame, scan, qts,
+                    dc_tables, ac_tables, restart_interval,
+                )
+            # progressive: Ss/Se band + Ah/Al successive-approximation
+            # bits follow the component list (T.81 B.2.3)
+            ss = seg[1 + 2 * ns]
+            se = seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if coef is None:
+                coef = _alloc_coef(frame)
+            pos = _decode_progressive_scan(
+                data, pos + 2 + seg_len, frame, coef, scan,
+                ss, se, ah, al, dc_tables, ac_tables, restart_interval,
             )
+            scans_done += 1
+            continue
         pos += 2 + seg_len
     return None
 
