@@ -41,6 +41,28 @@ from iniz_exporters_spark.session import tune_for_session
 #   r6: remaining reference entry points + array_set_ops redo + next batch
 #   r7/r8: remainder per the canonical ledger in PERFORMANCE.md
 # ---------------------------------------------------------------------------
+_R8_WINDOW = [
+    # Final rotation: the 41 registry names with no prior driver row (the
+    # canonical-ledger remainder) plus cusum_changepoint_q, re-entered after
+    # the signed-zero fix (r7's only red row: Spark +0.0 vs DuckDB -0.0 on
+    # the rounded final-day CUSUM — normalized with ``+ 0.0`` in both
+    # engines). 42 names ≤ 49 slots; closes the cumulative ledger at
+    # 289/289 driver-green. Pre-swept at sf0.001/0.01/0.1 this round.
+    "cusum_changepoint_q",
+    "pq_adc_topk", "record_linkage_q", "lm_perplexity_q", "feature_hash_q",
+    "dp_counts_q", "theil_sen_q", "source_similarity_q", "exact_median_q",
+    "running_balance_resets_q", "label_propagation_q", "readability_q",
+    "nc_classifier_q", "skipgram_pairs_q", "doc_cosine_sparse_q",
+    "calendar_features_q", "daily_bands_q", "js_divergence_q", "try_parse_q",
+    "flags_rollup_q", "phrase_search_q", "debounce_q", "fair_interleave_q",
+    "parent_share_q", "id_gaps_q", "sorted_neighborhood_q", "wilson_ci_q",
+    "basket_nb_fit_q", "rich_club_q", "twa_q", "hll_intersect_q",
+    "dup_payment_q", "star_components_q", "ccnet_bucket_q",
+    "margin_ratio_pairs_q", "dataset_card_q", "dedup_cluster_stats_q",
+    "lsh_precision_eval_q", "stratified_split_q", "session_gap_stats_q",
+    "lang_confusion_q", "burstiness_q",
+]
+
 _R7_WINDOW = [
     # round-7 batch per the canonical ledger (PERFORMANCE.md §driver-window);
     # every name pre-swept green at sf0.001/0.01/0.1 during round 6 and
@@ -90,7 +112,7 @@ _R6_WINDOW = [
 
 # Kept for provenance / test compatibility: the live window always binds to
 # the newest list.
-_WINDOW = _R7_WINDOW
+_WINDOW = _R8_WINDOW
 
 
 def _ordered_names() -> list[str]:

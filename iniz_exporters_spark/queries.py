@@ -10323,8 +10323,9 @@ def stl_decompose_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT day, m, SUM(m - mu) OVER (ORDER BY day) AS cusum
         FROM mu
     )
-    SELECT day, CAST(ROUND(CAST(m AS DOUBLE), 4) AS DOUBLE) AS daily_mean,
-           CAST(ROUND(CAST(cusum AS DOUBLE), 4) AS DOUBLE) AS cusum,
+    SELECT day,
+           CAST(ROUND(CAST(m AS DOUBLE), 4) AS DOUBLE) + 0.0 AS daily_mean,
+           CAST(ROUND(CAST(cusum AS DOUBLE), 4) AS DOUBLE) + 0.0 AS cusum,
            ABS(cusum) = MAX(ABS(cusum)) OVER () AS is_changepoint
     FROM c
     """,
@@ -10353,10 +10354,17 @@ def cusum_changepoint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = mu.select(
         "day", "m", F.sum(F.col("m") - F.col("mu")).over(wc).alias("cusum")
     )
+    # ``+ 0.0`` normalizes IEEE negative zero: a tiny negative CUSUM rounds
+    # to -0.0 in DuckDB but +0.0 in Spark (BigDecimal path) — numerically
+    # equal yet different under the driver's string-hash (r7 red row).
     return c.select(
         "day",
-        F.round(F.col("m").cast("double"), 4).alias("daily_mean"),
-        F.round(F.col("cusum").cast("double"), 4).alias("cusum"),
+        (F.round(F.col("m").cast("double"), 4) + F.lit(0.0)).alias(
+            "daily_mean"
+        ),
+        (F.round(F.col("cusum").cast("double"), 4) + F.lit(0.0)).alias(
+            "cusum"
+        ),
         (F.abs("cusum") == F.max(F.abs("cusum")).over(wt)).alias(
             "is_changepoint"
         ),

@@ -365,6 +365,12 @@ def test_cusum_changepoint_q_matches_bruteforce(spark):
         )
         assert got[d]["cusum"] == pytest.approx(float(trace[d]), abs=1e-3)
         assert got[d]["is_changepoint"] == (abs(trace[d]) == peak)
+        # Sign-aware: the driver hashes stringified cells, so the rounded
+        # doubles must never be IEEE -0.0 (Spark/DuckDB disagree on the
+        # sign of a rounded-to-zero value — the r7 red row).
+        for col in ("daily_mean", "cusum"):
+            v = got[d][col]
+            assert not (v == 0.0 and math.copysign(1.0, v) < 0), (d, col)
 
 
 def test_theil_sen_q_matches_bruteforce(spark):

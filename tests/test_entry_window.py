@@ -41,7 +41,7 @@ def test_window_targets_never_driver_checked_queries():
     Rows that errored (r5's array_set_ops canonicalizer TypeError) do not
     count as checked and may legitimately re-enter the window."""
     prev: set = set()
-    for r in range(1, 6):
+    for r in range(1, 8):
         path = f"/root/repo/CORRECTNESS_r0{r}.json"
         if os.path.exists(path):
             for name, row in json.load(open(path)).items():
@@ -50,8 +50,10 @@ def test_window_targets_never_driver_checked_queries():
                 prev.add(name)
     if not prev:
         return
-    window = list(ENTRY.queries())[1:50]
-    already = [n for n in window if n in prev]
+    # Only the explicit rotation list is asserted: once fewer than 49 names
+    # remain unchecked (the r8 closing batch is 42), the tail of the first-50
+    # slice legitimately re-covers already-green registry-order names.
+    already = [n for n in ENTRY._WINDOW if n in prev]
     assert already == [], f"window wastes slots on driver-checked: {already}"
 
 

@@ -46,3 +46,78 @@ def test_no_query_outputs_duplicate_column_names(spark):
         if dupes:
             offenders[name] = dupes
     assert offenders == {}, f"duplicate output column names: {offenders}"
+
+
+# ---------------------------------------------------------------------------
+# Signed-zero class (round-7 red row cusum_changepoint_q): the driver hashes
+# each engine's stringified cells, so a rounded double that lands on IEEE
+# -0.0 in one engine and +0.0 in the other diverges despite numeric
+# equality. The replica gate (tools/check_queries.py) must (a) distinguish
+# the signs in its canonicalizer and (b) lint away -0.0 in either engine's
+# output so the class cannot re-enter.
+# ---------------------------------------------------------------------------
+
+
+def test_norm_cell_is_sign_aware():
+    from tools.check_queries import norm_cell
+
+    assert norm_cell(0.0) == "0"
+    assert norm_cell(-0.0) == "-0"
+    assert norm_cell(0.0) != norm_cell(-0.0)
+    # nested lists are canonicalized through the same cell path
+    assert norm_cell([0.0, -0.0]) == "[0,-0]"
+
+
+def test_has_negzero_detects_nested():
+    from tools.check_queries import has_negzero
+
+    assert has_negzero(-0.0)
+    assert not has_negzero(0.0)
+    assert not has_negzero(None)
+    assert not has_negzero("x")
+    assert has_negzero([1.0, [2.0, -0.0]])
+    assert not has_negzero([1.0, 2.0])
+
+
+def test_regressed_cusum_fails_sign_aware_gate(spark):
+    """A deliberately-regressed cusum (no ``+ 0.0`` normalization) must
+    diverge under the sign-aware canonicalizer: DuckDB's pre-fix oracle
+    emits -0.0 on the final day at sf0.01 while Spark emits +0.0."""
+    import duckdb
+
+    from tools.check_queries import canon, has_negzero
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+    )
+    prefix_oracle = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*) AS DECIMAL(18,6)) AS m
+        FROM events WHERE event_type = 'error'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    mu AS (
+        SELECT day, m,
+               CAST(CAST(SUM(m) OVER () AS DOUBLE) / COUNT(*) OVER ()
+                    AS DECIMAL(18,6)) AS mu
+        FROM daily
+    ),
+    c AS (SELECT day, SUM(m - mu) OVER (ORDER BY day) AS cusum FROM mu)
+    SELECT day, CAST(ROUND(CAST(cusum AS DOUBLE), 4) AS DOUBLE) AS cusum
+    FROM c
+    """
+    res = con.execute(prefix_oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    # the regression is present in the unnormalized oracle ...
+    assert any(has_negzero(list(r)) for r in orows)
+    # ... and the sign-aware canon sees it differ from the fixed query
+    fixed = REGISTRY["cusum_changepoint_q"].fn(spark, sf)
+    srows = [(r["day"], r["cusum"]) for r in fixed.collect()]
+    assert canon(srows, ["day", "cusum"]) != canon(orows, ocols)
+    # the fixed query itself never emits -0.0 in any column
+    assert not any(has_negzero(list(r)) for r in fixed.collect())

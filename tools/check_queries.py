@@ -28,6 +28,12 @@ def norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        # Sign-aware: -0.0 must NOT collapse to "0" — the driver hashes the
+        # engines' stringified cells, where Spark's +0.0 and DuckDB's -0.0
+        # differ (r7 red row cusum_changepoint_q). Keep the replica at least
+        # as strict as the driver for signed zero.
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(round(v, 9))
@@ -45,6 +51,21 @@ def canon(rows, cols) -> list[tuple]:
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
     out.sort()
     return out
+
+
+def has_negzero(v) -> bool:
+    """True if the value (or any nested element) is IEEE -0.0.
+
+    Lint hook: the sign of a zero is not semantically meaningful, flips with
+    the engine's rounding path (Spark's BigDecimal ROUND emits +0.0 where
+    DuckDB emits -0.0), and diverges under the driver's string-hash. Queries
+    must normalize (``+ 0.0``) so neither engine ever emits one.
+    """
+    if isinstance(v, float):
+        return v == 0.0 and math.copysign(1.0, v) < 0
+    if isinstance(v, (list, tuple)):
+        return any(has_negzero(x) for x in v)
+    return False
 
 
 def main() -> int:
@@ -70,7 +91,11 @@ def main() -> int:
             failures.append(name)
             continue
         if spec.oracle is None:
-            print(f"ok?   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            if any(has_negzero(list(r)) for r in srows):
+                print(f"FAIL  {name}: lint: -0.0 cell in Spark output")
+                failures.append(name)
+            else:
+                print(f"ok?   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
             res = con.execute(spec.oracle)
@@ -85,6 +110,10 @@ def main() -> int:
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if any(has_negzero(list(r)) for r in srows):
+            problems.append("lint: -0.0 cell in Spark output (normalize with + 0.0)")
+        if any(has_negzero(list(r)) for r in orows):
+            problems.append("lint: -0.0 cell in oracle output (normalize with + 0.0)")
         if not problems:
             a, b = canon(srows, scols), canon(orows, ocols)
             if a != b:
