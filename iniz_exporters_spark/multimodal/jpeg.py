@@ -348,7 +348,8 @@ def _decode_jpeg_strict(data: bytes):
     return None
 
 
-def _decode_scan(data, pos, frame, scan, qts, dc_tables, ac_tables, dri):
+def _frame_geometry(frame):
+    """(hmax, vmax, mcus_x, mcus_y) or None for unsupported shapes."""
     h, w, comps = frame
     if h <= 0 or w <= 0 or len(comps) not in (1, 3):
         return None
@@ -356,6 +357,48 @@ def _decode_scan(data, pos, frame, scan, qts, dc_tables, ac_tables, dri):
     vmax = max(c[2] for c in comps)
     if hmax not in (1, 2) or vmax not in (1, 2):
         return None
+    return hmax, vmax, -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+
+def _comp_block_dims(frame, ci):
+    """Non-interleaved block grid (bh, bw) of component ``ci``: blocks of
+    the component's true sample dims, NOT the MCU-padded grid
+    (T.81 A.2.2 — single-component scans traverse ceil(x_i/8) columns)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    _, hs, vs, _ = comps[ci]
+    cw = -(-w * hs // hmax)
+    ch = -(-h * vs // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _planes_to_image(comps, planes, hmax, vmax, h, w):
+    """Upsample component planes (sample replication) and convert to the
+    decoder's output contract: grayscale (h, w) or RGB (h, w, 3) uint8."""
+    full = []
+    for (cid, hs, vs, tq), plane in zip(comps, planes):
+        up = np.repeat(
+            np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
+        )
+        full.append(up[:h, :w])
+    if len(comps) == 1:
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return w, h, "JPEG", out
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255)
+    return w, h, "JPEG", rgb.astype(np.uint8)
+
+
+def _decode_scan(data, pos, frame, scan, qts, dc_tables, ac_tables, dri):
+    h, w, comps = frame
+    geom = _frame_geometry(frame)
+    if geom is None:
+        return None
+    hmax, vmax, _, _ = geom
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     by_id = {cs: (td, ta) for cs, td, ta in scan}
@@ -405,20 +448,213 @@ def _decode_scan(data, pos, frame, scan, qts, dc_tables, ac_tables, dri):
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
             mcu_index += 1
 
-    # upsample each component to full resolution (sample replication)
-    full = []
-    for (cid, hs, vs, tq), plane in zip(comps, planes):
-        up = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
-        full.append(up[:h, :w])
-    if len(comps) == 1:
-        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-        return w, h, "JPEG", out
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    rgb = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255)
-    return w, h, "JPEG", rgb.astype(np.uint8)
+    return _planes_to_image(comps, planes, hmax, vmax, h, w)
+
+
+# ---------------------------------------------------------------------------
+# Progressive decode (T.81 Annex G): coefficients accumulate across scans in
+# per-component zigzag-order stores; each scan covers a spectral band
+# (Ss..Se) at a successive-approximation bit position (Ah/Al); EOI triggers
+# dequantize + IDCT over the accumulated stores.
+# ---------------------------------------------------------------------------
+
+
+def _alloc_coef(frame):
+    """Per-component coefficient stores, zigzag order, MCU-padded grid
+    (interleaved DC scans traverse the padded grid incl. dummy blocks)."""
+    geom = _frame_geometry(frame)
+    if geom is None:
+        raise ValueError("unsupported frame geometry")
+    hmax, vmax, mcus_x, mcus_y = geom
+    _, _, comps = frame
+    return [
+        np.zeros((mcus_y * vs, mcus_x * hs, 64), np.int32)
+        for cid, hs, vs, tq in comps
+    ]
+
+
+def _refine_nonzero(br, blk, k, p1, m1):
+    """Append one successive-approximation bit to a known-nonzero
+    coefficient (T.81 G.1.2.3 correction bits)."""
+    c = int(blk[k])
+    if br.read_bit() and (c & p1) == 0:
+        blk[k] = c + (p1 if c >= 0 else m1)
+
+
+def _ac_first_block(br, blk, ss, se, al, act, eobrun):
+    """First AC scan for one block (Ah=0): run-length + EOB-run coding of
+    the band at bit position Al (T.81 G.1.2.2)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.receive(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("AC coefficient index outside band")
+        blk[k] = _extend(br.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(br, blk, ss, se, al, act, eobrun):
+    """Refinement AC scan for one block (Ah=Al+1): newly-nonzero
+    coefficients arrive as ±2^Al; already-nonzero ones receive one
+    correction bit each, including inside EOB runs (T.81 G.1.2.3)."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(br, act)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:  # EOBn: run of blocks ending here
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # ZRL: r==15 skips 16 zero-history coefficients below
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan size must be 1")
+                val = p1 if br.read_bit() else m1
+            # advance past r zero-history coefficients, handing one
+            # correction bit to each nonzero-history coefficient passed
+            while k <= se:
+                if int(blk[k]) != 0:
+                    _refine_nonzero(br, blk, k, p1, m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("refined coefficient outside band")
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB-covered: correction bits only
+            if int(blk[k]) != 0:
+                _refine_nonzero(br, blk, k, p1, m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    data, pos, frame, coef, scan, ss, se, ah, al,
+    dc_tables, ac_tables, dri,
+):
+    """Decode one progressive scan into the coefficient stores; returns the
+    offset of the next marker after the scan's entropy-coded data."""
+    h, w, comps = frame
+    geom = _frame_geometry(frame)
+    if geom is None:
+        raise ValueError("unsupported frame geometry")
+    hmax, vmax, mcus_x, mcus_y = geom
+    idx = {c[0]: i for i, c in enumerate(comps)}
+    br = _BitReader(data, pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        scomps = [(idx[cs], td) for cs, td, ta in scan]
+        preds = [0] * len(scomps)
+        if len(scomps) > 1:  # interleaved: MCU order over the padded grid
+            n = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if dri and n and n % dri == 0:
+                        br.align_and_skip_rst()
+                        preds = [0] * len(scomps)
+                    for si, (ci, td) in enumerate(scomps):
+                        _, hs, vs, _ = comps[ci]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                blk = coef[ci][my * vs + by, mx * hs + bx]
+                                if ah == 0:
+                                    t = _huff_decode(br, dc_tables[td])
+                                    preds[si] += _extend(br.receive(t), t)
+                                    blk[0] = preds[si] << al
+                                elif br.read_bit():
+                                    blk[0] = int(blk[0]) | (1 << al)
+                    n += 1
+        else:  # single-component scans are non-interleaved (T.81 A.2.2)
+            ci, td = scomps[0]
+            bh, bw = _comp_block_dims(frame, ci)
+            n = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if dri and n and n % dri == 0:
+                        br.align_and_skip_rst()
+                        preds = [0]
+                    blk = coef[ci][by, bx]
+                    if ah == 0:
+                        t = _huff_decode(br, dc_tables[td])
+                        preds[0] += _extend(br.receive(t), t)
+                        blk[0] = preds[0] << al
+                    elif br.read_bit():
+                        blk[0] = int(blk[0]) | (1 << al)
+                    n += 1
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        cs, td, ta = scan[0]
+        ci = idx[cs]
+        act = ac_tables[ta]
+        bh, bw = _comp_block_dims(frame, ci)
+        eobrun = 0
+        n = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if dri and n and n % dri == 0:
+                    br.align_and_skip_rst()
+                    eobrun = 0
+                blk = coef[ci][by, bx]
+                if ah == 0:
+                    eobrun = _ac_first_block(br, blk, ss, se, al, act, eobrun)
+                else:
+                    eobrun = _ac_refine_block(br, blk, ss, se, al, act, eobrun)
+                n += 1
+    # skip to the next real marker (the reader never consumes markers;
+    # trailing pad bits of the final byte may be unread)
+    p = br.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            break
+        p += 1
+    return p
+
+
+def _finalize_progressive(frame, coef, qts):
+    """Dequantize + IDCT the accumulated coefficient stores (all scans
+    applied) into the decoder's standard output tuple."""
+    h, w, comps = frame
+    geom = _frame_geometry(frame)
+    if geom is None:
+        return None
+    hmax, vmax, _, _ = geom
+    planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        zz = coef[ci].astype(np.float64) * qts[tq].astype(np.float64)
+        nat = np.zeros_like(zz)
+        nat[:, :, ZIGZAG] = zz  # zigzag position k -> natural index
+        bh, bw = nat.shape[:2]
+        blocks = nat.reshape(bh, bw, 8, 8)
+        px = np.einsum("ua,ijab,bv->ijuv", _C.T, blocks, _C) + 128.0
+        planes.append(px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+    return _planes_to_image(comps, planes, hmax, vmax, h, w)
 
 
 # ---------------------------------------------------------------------------
@@ -493,12 +729,10 @@ def _encode_block(bw, block, qt, dc_codes, ac_codes, pred):
     return int(zz[0])
 
 
-def encode_jpeg(px, subsample: bool = False, restart_interval: int = 0) -> bytes:
-    """Baseline JPEG encoder for uint8 grayscale ``(h, w)`` or RGB
-    ``(h, w, 3)`` arrays: standard Annex K quant + Huffman tables,
-    4:4:4 by default or 4:2:0 with ``subsample=True``, optional restart
-    markers. The decoder's round-trip partner for tests."""
-    a = np.asarray(px, np.uint8)
+def _prep_planes(a: np.ndarray, subsample: bool):
+    """Shared encoder front half: RGB→YCbCr, optional 4:2:0 subsample,
+    edge-replication pad to the MCU grid. Returns
+    (gray, h, w, samp, qsel, padded_planes, mcus_x, mcus_y)."""
     gray = a.ndim == 2
     h, w = a.shape[:2]
     if gray:
@@ -544,7 +778,18 @@ def encode_jpeg(px, subsample: bool = False, restart_interval: int = 0) -> bytes
         if pw < tw:
             q[:, pw:] = q[:, pw - 1 : pw]
         padded.append(q)
+    return gray, h, w, samp, qsel, padded, mcus_x, mcus_y
 
+
+def encode_jpeg(px, subsample: bool = False, restart_interval: int = 0) -> bytes:
+    """Baseline JPEG encoder for uint8 grayscale ``(h, w)`` or RGB
+    ``(h, w, 3)`` arrays: standard Annex K quant + Huffman tables,
+    4:4:4 by default or 4:2:0 with ``subsample=True``, optional restart
+    markers. The decoder's round-trip partner for tests."""
+    a = np.asarray(px, np.uint8)
+    gray, h, w, samp, qsel, padded, mcus_x, mcus_y = _prep_planes(
+        a, subsample
+    )
     qts = [QT_LUMA, QT_CHROMA]
     dc_specs = [HUFF_DC_LUMA, HUFF_DC_CHROMA]
     ac_specs = [HUFF_AC_LUMA, HUFF_AC_CHROMA]
@@ -552,7 +797,7 @@ def encode_jpeg(px, subsample: bool = False, restart_interval: int = 0) -> bytes
     ac_codes = [_encode_codes(*s) for s in ac_specs]
 
     bw = _BitWriter()
-    preds = [0] * len(planes)
+    preds = [0] * len(padded)
     mcu_index = 0
     rst = 0
     for my in range(mcus_y):
@@ -561,7 +806,7 @@ def encode_jpeg(px, subsample: bool = False, restart_interval: int = 0) -> bytes
                 bw.flush()
                 bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
                 rst += 1
-                preds = [0] * len(planes)
+                preds = [0] * len(padded)
             for ci, ((hs, vs), p) in enumerate(zip(samp, padded)):
                 for by in range(vs):
                     for bx in range(hs):
@@ -602,5 +847,321 @@ def encode_jpeg(px, subsample: bool = False, restart_interval: int = 0) -> bytes
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (T.81 Annex G): multi-scan SOF2 streams with spectral
+# selection + successive approximation, the decoder's round-trip partner.
+# The AC scans use a deliberately simple flat Huffman table (every symbol
+# 0x00..0xFE at 8 bits, canonical, 0xFF codeword unused) because the Annex K
+# example tables lack the EOBn symbols (0x10..0xE0) progressive AC coding
+# needs; the table ships in the stream's DHT so any decoder can read it.
+# ---------------------------------------------------------------------------
+
+_HUFF_AC_FLAT = ([0] * 7 + [255] + [0] * 8, list(range(0xFF)))
+
+
+def _quantize_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """FDCT + quantize an MCU-padded plane into (bh, bw, 64) int32 blocks
+    in zigzag order."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    fdct = np.einsum("ua,ijab,bv->ijuv", _C, blocks - 128.0, _C.T)
+    q = np.round(fdct / qt.reshape(8, 8).astype(np.float64))
+    return q.reshape(bh, bw, 64)[:, :, ZIGZAG].astype(np.int32)
+
+
+def _emit_rst(bw: _BitWriter, rst: int) -> int:
+    bw.flush()
+    bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
+    return rst + 1
+
+
+def _emit_dc_first(bw, coefs, scomps, comps, mcus_x, mcus_y, al, dc_codes, dri):
+    """First DC scan (Ah=0): interleaved MCU order when ns>1, else the
+    component's non-interleaved block grid; DPCM over coef>>Al."""
+    preds = [0] * len(scomps)
+    n, rst = 0, 0
+
+    def one(si, blk):
+        v = int(blk[0]) >> al
+        diff = v - preds[si]
+        preds[si] = v
+        t, code = _magnitude(diff) if diff else (0, 0)
+        c, ln = dc_codes[scomps[si][1]][t]
+        bw.write(c, ln)
+        if t:
+            bw.write(code, t)
+
+    if len(scomps) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if dri and n and n % dri == 0:
+                    rst = _emit_rst(bw, rst)
+                    preds[:] = [0] * len(scomps)
+                for si, (ci, _) in enumerate(scomps):
+                    _, hs, vs, _ = comps[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            one(si, coefs[ci][my * vs + by, mx * hs + bx])
+                n += 1
+    else:
+        ci = scomps[0][0]
+        bh, bwn = coefs[ci].shape[:2]
+        for by in range(bh):
+            for bx in range(bwn):
+                if dri and n and n % dri == 0:
+                    rst = _emit_rst(bw, rst)
+                    preds[:] = [0]
+                one(0, coefs[ci][by, bx])
+                n += 1
+
+
+def _emit_dc_refine(bw, coefs, scomps, comps, mcus_x, mcus_y, al, dri):
+    """DC refinement scan (Ah=Al+1): one raw bit per block — bit Al of the
+    coefficient's two's-complement value."""
+    n, rst = 0, 0
+    if len(scomps) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if dri and n and n % dri == 0:
+                    rst = _emit_rst(bw, rst)
+                for ci, _ in scomps:
+                    _, hs, vs, _ = comps[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            v = int(coefs[ci][my * vs + by, mx * hs + bx, 0])
+                            bw.write((v >> al) & 1, 1)
+                n += 1
+    else:
+        ci = scomps[0][0]
+        bh, bwn = coefs[ci].shape[:2]
+        for by in range(bh):
+            for bx in range(bwn):
+                if dri and n and n % dri == 0:
+                    rst = _emit_rst(bw, rst)
+                v = int(coefs[ci][by, bx, 0])
+                bw.write((v >> al) & 1, 1)
+                n += 1
+
+
+class _EobState:
+    """EOB-run + buffered-correction-bit state shared across the blocks of
+    one AC scan (flushed at restarts and scan end)."""
+
+    def __init__(self, bw, ac_codes):
+        self.bw = bw
+        self.ac = ac_codes
+        self.run = 0
+        self.pend: list[int] = []
+
+    def flush(self):
+        if self.run > 0:
+            r = self.run.bit_length() - 1
+            c, ln = self.ac[r << 4]
+            self.bw.write(c, ln)
+            if r:
+                self.bw.write(self.run - (1 << r), r)
+            self.run = 0
+        for b in self.pend:
+            self.bw.write(b, 1)
+        self.pend = []
+
+    def add(self, corr_bits):
+        self.run += 1
+        self.pend.extend(corr_bits)
+        if self.run == 0x7FFF:
+            self.flush()
+
+
+def _emit_ac_first(bw, blocks, bh, bwn, ss, se, al, ac_codes, dri):
+    """First AC scan (Ah=0): run-length + EOB-run coding of the band's
+    point-transformed (|v|>>Al, signed) coefficients."""
+    eob = _EobState(bw, ac_codes)
+    n, rst = 0, 0
+    for by in range(bh):
+        for bx in range(bwn):
+            if dri and n and n % dri == 0:
+                eob.flush()
+                rst = _emit_rst(bw, rst)
+            zz = blocks[by, bx]
+            run = 0
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                t = abs(v) >> al
+                if t == 0:
+                    run += 1
+                    continue
+                eob.flush()
+                while run > 15:
+                    c, ln = ac_codes[0xF0]
+                    bw.write(c, ln)
+                    run -= 16
+                sz, code = _magnitude(t if v > 0 else -t)
+                c, ln = ac_codes[(run << 4) | sz]
+                bw.write(c, ln)
+                bw.write(code, sz)
+                run = 0
+            if run > 0:
+                eob.add(())
+            n += 1
+    eob.flush()
+
+
+def _emit_ac_refine(bw, blocks, bh, bwn, ss, se, al, ac_codes, dri):
+    """Refinement AC scan (Ah=Al+1): newly-nonzero coefficients coded as
+    (run, size=1) + sign bit; already-nonzero ones contribute buffered
+    correction bits; trailing zeros fold into cross-block EOB runs."""
+    eob = _EobState(bw, ac_codes)
+    n, rst = 0, 0
+    for by in range(bh):
+        for bx in range(bwn):
+            if dri and n and n % dri == 0:
+                eob.flush()
+                rst = _emit_rst(bw, rst)
+            zz = blocks[by, bx]
+            absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            eob_k = 0  # band index of the last newly-nonzero coefficient
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob_k = ss + i
+            r = 0
+            corr: list[int] = []  # this block's buffered correction bits
+            for k in range(ss, se + 1):
+                t = absv[k - ss]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob_k:
+                    eob.flush()
+                    c, ln = ac_codes[0xF0]
+                    bw.write(c, ln)
+                    r -= 16
+                    for b in corr:
+                        bw.write(b, 1)
+                    corr = []
+                if t > 1:  # history coefficient: next magnitude bit
+                    corr.append(t & 1)
+                    continue
+                eob.flush()
+                c, ln = ac_codes[(r << 4) | 1]
+                bw.write(c, ln)
+                bw.write(1 if int(zz[k]) > 0 else 0, 1)
+                for b in corr:
+                    bw.write(b, 1)
+                corr = []
+                r = 0
+            if r > 0 or corr:
+                eob.add(corr)
+            n += 1
+    eob.flush()
+
+
+def encode_jpeg_progressive(
+    px, subsample: bool = False, restart_interval: int = 0
+) -> bytes:
+    """Progressive (SOF2) JPEG encoder for uint8 grayscale ``(h, w)`` or
+    RGB ``(h, w, 3)`` arrays. Emits a genuinely multi-scan stream
+    exercising both Annex G dimensions: DC first at Al=1 then a DC
+    refinement to Al=0, and per-component AC scans split spectrally
+    (1..5, 6..63) at Al=1 followed by a full-band refinement to Al=0 —
+    so the decoder's EOB-run, ZRL, and correction-bit paths all run."""
+    a = np.asarray(px, np.uint8)
+    gray, h, w, samp, qsel, padded, mcus_x, mcus_y = _prep_planes(
+        a, subsample
+    )
+    qts = [QT_LUMA, QT_CHROMA]
+    coefs = [
+        _quantize_blocks(p, qts[qsel[ci]]) for ci, p in enumerate(padded)
+    ]
+    frame = (
+        h,
+        w,
+        [
+            (ci + 1, samp[ci][0], samp[ci][1], qsel[ci])
+            for ci in range(len(padded))
+        ],
+    )
+
+    dc_specs = [HUFF_DC_LUMA, HUFF_DC_CHROMA]
+    dc_codes = [_encode_codes(*s) for s in dc_specs]
+    ac_codes = _encode_codes(*_HUFF_AC_FLAT)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker])
+            + (len(payload) + 2).to_bytes(2, "big")
+            + payload
+        )
+
+    nc = len(padded)
+    out = bytearray(b"\xff\xd8")
+    for tq, qt in enumerate(qts[: 1 if gray else 2]):
+        out += seg(0xDB, bytes([tq]) + bytes(qt[ZIGZAG].astype(np.uint8)))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qsel[ci]])
+    out += seg(0xC2, sof)
+    for th, (bits, vals) in enumerate(dc_specs[: 1 if gray else 2]):
+        out += seg(0xC4, bytes([th]) + bytes(bits) + bytes(vals))
+    bits, vals = _HUFF_AC_FLAT
+    out += seg(0xC4, bytes([0x10]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+
+    all_comps = list(range(nc))
+
+    def sos_header(comp_ids, ss, se, ah, al, ac_scan):
+        hdr = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            td = 0 if ac_scan else qsel[ci]
+            ta = 0 if ac_scan else 0
+            hdr += bytes([ci + 1, (td << 4) | ta])
+        return hdr + bytes([ss, se, (ah << 4) | al])
+
+    def emit_scan(comp_ids, ss, se, ah, al):
+        bw = _BitWriter()
+        scomps = [(ci, qsel[ci]) for ci in comp_ids]
+        if ss == 0:
+            if ah == 0:
+                _emit_dc_first(
+                    bw, coefs, scomps, frame[2], mcus_x, mcus_y, al,
+                    dc_codes, restart_interval,
+                )
+            else:
+                _emit_dc_refine(
+                    bw, coefs, scomps, frame[2], mcus_x, mcus_y, al,
+                    restart_interval,
+                )
+            out_hdr = sos_header(comp_ids, ss, se, ah, al, ac_scan=False)
+        else:
+            (ci,) = comp_ids
+            bh, bwn = _comp_block_dims(frame, ci)
+            if ah == 0:
+                _emit_ac_first(
+                    bw, coefs[ci], bh, bwn, ss, se, al, ac_codes,
+                    restart_interval,
+                )
+            else:
+                _emit_ac_refine(
+                    bw, coefs[ci], bh, bwn, ss, se, al, ac_codes,
+                    restart_interval,
+                )
+            out_hdr = sos_header(comp_ids, ss, se, ah, al, ac_scan=True)
+        bw.flush()
+        out.extend(seg(0xDA, out_hdr))
+        out.extend(bw.out)
+
+    # scan script: spectral selection AND successive approximation
+    emit_scan(all_comps, 0, 0, 0, 1)          # DC first, Al=1
+    for ci in all_comps:
+        emit_scan([ci], 1, 5, 0, 1)           # low AC band, Al=1
+    for ci in all_comps:
+        emit_scan([ci], 6, 63, 0, 1)          # high AC band, Al=1
+    emit_scan(all_comps, 0, 0, 1, 0)          # DC refinement to Al=0
+    for ci in all_comps:
+        emit_scan([ci], 1, 63, 1, 0)          # AC refinement to Al=0
     out += b"\xff\xd9"
     return bytes(out)

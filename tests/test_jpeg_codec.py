@@ -69,7 +69,10 @@ def test_restart_markers():
 
 def test_rejects_non_baseline_and_garbage():
     good = encode_jpeg(np.full((8, 8), 99, np.uint8))
-    # flip SOF0 (C0) to SOF2 (C2, progressive) — must be rejected
+    # flip SOF0 (C0) to SOF2 (C2) without touching the scan: the baseline
+    # scan header (Ss=0, Se=63) is illegal for a progressive frame (T.81
+    # B.2.3 requires Se=0 when Ss=0), so this corrupt stream must still be
+    # rejected even though SOF2 itself is now supported
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert decode_jpeg(prog) is None
     assert decode_jpeg(good[:20]) is None  # truncated mid-segment
@@ -123,3 +126,128 @@ def test_marker_walk_tolerates_fill_bytes_and_standalone_markers():
     assert dec is not None
     base = decode_jpeg(data)
     assert np.array_equal(dec[3], base[3])
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) round-trips — T.81 Annex G. The encoder emits a real
+# multi-scan script (DC Al=1 → per-component AC bands 1-5 / 6-63 at Al=1 →
+# DC refinement → full-band AC refinement to Al=0), so spectral selection,
+# successive approximation, EOB runs, ZRL, and correction bits all execute.
+# ---------------------------------------------------------------------------
+
+
+def _scan_headers(data):
+    """(Ss, Se, Ah, Al, ncomps) per SOS in stream order."""
+    out, pos = [], 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            break
+        m = data[pos + 1]
+        if m == 0xD9:
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD8:
+            pos += 2
+            continue
+        ln = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        if m == 0xDA:
+            seg = data[pos + 4 : pos + 2 + ln]
+            ns = seg[0]
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            out.append((ss, se, ahal >> 4, ahal & 15, ns))
+            # skip entropy data to the next marker
+            p = pos + 2 + ln
+            while p + 1 < len(data):
+                if data[p] == 0xFF and data[p + 1] not in (0x00,) and not (
+                    0xD0 <= data[p + 1] <= 0xD7
+                ):
+                    break
+                p += 1
+            pos = p
+            continue
+        pos += 2 + ln
+    return out
+
+
+def test_progressive_stream_is_genuinely_multiscan():
+    from iniz_exporters_spark.multimodal.jpeg import encode_jpeg_progressive
+
+    px = np.zeros((32, 16, 3), np.uint8)
+    px[:16] = [200, 30, 40]
+    px[16:] = [10, 180, 90]
+    data = encode_jpeg_progressive(px)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    scans = _scan_headers(data)
+    assert len(scans) == 11  # 1 DC + 6 AC-first + 1 DC-refine + 3 AC-refine
+    assert (0, 0, 0, 1, 3) in scans  # interleaved DC first at Al=1
+    assert (1, 5, 0, 1, 1) in scans  # spectral selection, low band
+    assert (6, 63, 0, 1, 1) in scans  # spectral selection, high band
+    assert (0, 0, 1, 0, 3) in scans  # DC successive-approximation refine
+    assert (1, 63, 1, 0, 1) in scans  # AC refinement scan
+
+
+def test_progressive_gray_flat_exact():
+    from iniz_exporters_spark.multimodal.jpeg import encode_jpeg_progressive
+
+    px = np.full((16, 24), 128, np.uint8)
+    got = decode_jpeg(encode_jpeg_progressive(px))
+    assert got is not None
+    w, h, fmt, out = got
+    assert (w, h, fmt) == (24, 16, "JPEG")
+    np.testing.assert_array_equal(out, px)
+
+
+def test_progressive_matches_baseline_decode_exactly():
+    """Same quantized coefficients reach the same IDCT: the progressive
+    multi-scan reconstruction must be pixel-identical to the baseline
+    encoding of the same image — any entropy/refinement bug shows up as a
+    coefficient (hence pixel) difference."""
+    from iniz_exporters_spark.multimodal.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(7)
+    cases = [
+        np.linspace(0, 255, 17 * 23).reshape(17, 23).astype(np.uint8),
+        rng.integers(0, 256, (40, 56)).astype(np.uint8),
+        rng.integers(0, 256, (24, 40, 3)).astype(np.uint8),
+    ]
+    # sparse high-frequency content: long zero runs exercise ZRL + EOBn
+    sparse = np.zeros((32, 48), np.uint8)
+    sparse[::7, ::11] = 255
+    cases.append(sparse)
+    for px in cases:
+        prog = decode_jpeg(encode_jpeg_progressive(px))
+        base = decode_jpeg(encode_jpeg(px))
+        assert prog is not None and base is not None
+        np.testing.assert_array_equal(prog[3], base[3])
+
+
+def test_progressive_subsampled_odd_dims():
+    from iniz_exporters_spark.multimodal.jpeg import encode_jpeg_progressive
+
+    px = np.zeros((17, 19, 3), np.uint8)
+    px[...] = [100, 150, 50]
+    got = decode_jpeg(encode_jpeg_progressive(px, subsample=True))
+    assert got is not None
+    assert got[3].shape == (17, 19, 3)
+    assert np.abs(got[3].astype(int) - px.astype(int)).max() <= 2
+
+
+def test_progressive_restart_markers():
+    from iniz_exporters_spark.multimodal.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (32, 40, 3)).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg_progressive(px, subsample=True))
+    rst = decode_jpeg(
+        encode_jpeg_progressive(px, subsample=True, restart_interval=2)
+    )
+    assert plain is not None and rst is not None
+    np.testing.assert_array_equal(plain[3], rst[3])
+
+
+def test_progressive_dispatch_through_decode_image_numpy():
+    from iniz_exporters_spark.multimodal.jpeg import encode_jpeg_progressive
+
+    px = np.full((10, 12), 64, np.uint8)
+    got = decode_image_numpy(encode_jpeg_progressive(px))
+    assert got is not None
+    assert got[:3] == (12, 10, "JPEG")
