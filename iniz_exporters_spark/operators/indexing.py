@@ -98,6 +98,19 @@ def _grouped_ranked(df: DataFrame, group_cols: list, sort_cols):
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint()
     )
+    # Cardinality guard BEFORE any collect: a high-cardinality group key
+    # must fail distributed-side, not OOM the driver while collecting the
+    # stats rows the guard was meant to bound (ADVICE r7).
+    ngroups = pinned.agg(
+        F.count_distinct(*[F.col(c) for c in group_cols]).alias("__g")
+    ).collect()[0]["__g"]
+    if ngroups > MAX_GROUPS:
+        raise ValueError(
+            f"grouped rank: {ngroups} distinct groups exceeds "
+            f"{MAX_GROUPS} — the per-group offset table is collected to "
+            "the driver and broadcast, so the group key must be "
+            "metadata-scale. Use a per-row window or re-key first."
+        )
     # ONE stats pass feeds both ladders: (pid, group) counts give the
     # per-partition rank offsets (sum over groups per pid) AND the
     # per-group sizes/starts (sum over pids per group) — pid x groups

@@ -13,6 +13,12 @@ import sys
 def test_bench_emits_one_json_line_with_all_headline_queries(tmp_path):
     from iniz_exporters_spark.queries import REGISTRY
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    committed = os.path.join(repo_root, "BENCH_DETAIL.json")
+    with open(committed, "rb") as f:
+        committed_before = f.read()
+    mtime_before = os.stat(committed).st_mtime_ns
+
     detail_path = tmp_path / "BENCH_DETAIL.json"
     env = dict(
         os.environ,
@@ -24,13 +30,20 @@ def test_bench_emits_one_json_line_with_all_headline_queries(tmp_path):
     )
     out = subprocess.run(
         [sys.executable, "bench.py"],
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        cwd=repo_root,
         env=env,
         capture_output=True,
         text=True,
         timeout=900,
     )
     assert out.returncode == 0, out.stderr[-2000:]
+
+    # the redirect regression check lives in THIS test so it cannot pass
+    # vacuously under -k selection or reordering (ADVICE r7): the driver's
+    # committed round artifact must be byte-identical after the run
+    assert os.stat(committed).st_mtime_ns == mtime_before
+    with open(committed, "rb") as f:
+        assert f.read() == committed_before
     json_lines = [
         ln for ln in out.stdout.splitlines() if ln.startswith("{")
     ]
@@ -75,12 +88,11 @@ def test_bench_emits_one_json_line_with_all_headline_queries(tmp_path):
         assert json.load(f)["runs"] == detail["runs"]
 
 
-def test_bench_run_left_repo_artifact_untouched():
-    """Running the suite must leave the driver's committed
-    BENCH_DETAIL.json untouched (VERDICT r6 #3). The bench-run test above
-    executes bench.py at sf0.001 in this same session; the committed
-    artifact is the driver's sf0.1 run, so if the redirect ever regresses
-    the sf field here flips to 0.001 and this fails."""
+def test_committed_bench_detail_is_a_driver_artifact():
+    """The committed BENCH_DETAIL.json at the repo root must stay the
+    driver's sf0.1 round artifact (never a local sf0.001 test run). The
+    across-subprocess protection lives inside the bench-run test above;
+    this is a static sanity check on the committed file itself."""
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(repo_root, "BENCH_DETAIL.json")) as f:
         assert json.load(f)["sf"] == 0.1
