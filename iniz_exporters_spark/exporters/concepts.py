@@ -299,7 +299,12 @@ def build_concepts_wide(
         .join(members, "concept_id", "left")
         .join(answers, "concept_id", "left")
         .withColumn("Void/Retire", F.lit(None).cast("string"))
-        .orderBy("is_set")  # reference ORDER BY c.is_set (pre-topo pass)
+        # reference ORDER BY c.is_set (pre-topo pass). concept_id tiebreak
+        # added: is_set alone is not a total order, so row order would
+        # otherwise depend on source partitioning (parquet vs JDBC gave
+        # different — both "valid" — exports). Deterministic output is a
+        # hard requirement for a reproducible 100 TB pipeline.
+        .orderBy("is_set", "concept_id")
     )
     if cfg.limit is not None:
         wide = wide.limit(cfg.limit)
