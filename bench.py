@@ -111,6 +111,15 @@ def main() -> None:
         "spread_pct": {
             n: round(100 * spread(r), 1) for n, r in runs.items()
         },
+        # best-of-N: for queries still over the spread threshold after the
+        # adaptive passes, the median is untrustworthy for round-over-round
+        # deltas — best-of-N is the more stable floor estimate (VERDICT r7
+        # #4). "noisy" lists the queries whose per-round delta should be
+        # read as machine noise, not a plan change.
+        "best": {n: min(r) for n, r in runs.items()},
+        "noisy": sorted(
+            n for n, r in runs.items() if spread(r) > spread_threshold
+        ),
         "sf": sf_val,
     }
 

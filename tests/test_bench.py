@@ -67,6 +67,15 @@ def test_bench_emits_one_json_line_with_all_headline_queries(tmp_path):
     detail = json.loads(json_lines[0])["detail"]
     assert set(detail["runs"]) == headline
     assert set(detail["spread_pct"]) == headline
+    # noise-floor contract (VERDICT r7 #4): best-of-N next to the median,
+    # and a list of queries whose spread stayed over threshold — their
+    # round-over-round deltas are noise, not signal
+    assert set(detail["best"]) == headline
+    for name, best in detail["best"].items():
+        assert best == min(detail["runs"][name])
+    assert detail["noisy"] == sorted(
+        n for n, pct in detail["spread_pct"].items() if pct > 25.0
+    )
     for name, rs in detail["runs"].items():
         # adaptive variance control: base runs, plus up to max_runs total
         # extra passes for queries whose spread exceeded the threshold
