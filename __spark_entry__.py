@@ -61,6 +61,10 @@ _R8_WINDOW = [
     "margin_ratio_pairs_q", "dataset_card_q", "dedup_cluster_stats_q",
     "lsh_precision_eval_q", "stratified_split_q", "session_gap_stats_q",
     "lang_confusion_q", "burstiness_q",
+    # round-8 additions (new operators, registered this round, pre-swept
+    # green at sf0.001/0.01/0.1) — they take three of the seven spare
+    # window slots so the ledger stays complete: 45 + q1 ≤ 50.
+    "ohlc_bars_q", "tokenizer_fertility_q", "ngram_coverage_q",
 ]
 
 _R7_WINDOW = [

@@ -3673,20 +3673,25 @@ def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT vec_id,
            unnest(range(len(embedding))) AS pos,
-           ROUND(CAST(unnest(embedding) AS DOUBLE), 4) AS elem
+           ROUND(CAST(unnest(embedding) AS DOUBLE), 4) + 0.0 AS elem
     FROM embeddings
     WHERE vec_id < 50
     """,
 )
 def posexplode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).embeddings
+    # ``+ 0.0`` normalizes IEEE -0.0: a tiny negative element rounds to
+    # -0.0 in DuckDB but +0.0 in Spark (one cell at sf0.001 — caught by the
+    # registry-wide signed-zero lint, same class as cusum_changepoint_q).
     return (
         e.filter(F.col("vec_id") < 50)
         .select("vec_id", F.posexplode("embedding").alias("pos", "raw"))
         .select(
             "vec_id",
             F.col("pos").cast("long").alias("pos"),
-            F.round(F.col("raw").cast("double"), 4).alias("elem"),
+            (F.round(F.col("raw").cast("double"), 4) + F.lit(0.0)).alias(
+                "elem"
+            ),
         )
     )
 
@@ -15135,4 +15140,198 @@ def burstiness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 6).alias("mean_gap_s"),
         F.round(sd, 6).alias("sd_gap_s"),
         F.round((sd - mean) / (sd + mean), 6).alias("burstiness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions: three pipeline analytics filling real gaps in the
+# extension surface (time-series bars, multilingual tokenizer sizing, vocab
+# coverage curves). Registered last so they join the r8 driver window's
+# spare slots with fresh driver rows.
+# ---------------------------------------------------------------------------
+
+
+# OHLC daily bars over purchase values. Scale shape: ONE hash aggregation
+# on day (~tens of groups) — open/close use min_by/max_by over a zero-padded
+# (epoch_us, event_id) string key, so first/last per day needs NO window and
+# NO per-day partition (a day partition is corpus-scale at 100 TB); ties in
+# ts break on event_id identically in both engines. Volume sums in exact
+# decimal.
+@register(
+    "ohlc_bars_q",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+                          lpad(CAST(event_id AS VARCHAR), 20, '0'))
+               AS open_value,
+           MAX(value) AS high_value,
+           MIN(value) AS low_value,
+           arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+                          lpad(CAST(event_id AS VARCHAR), 20, '0'))
+               AS close_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def ohlc_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+    return e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.min_by("value", key).alias("open_value"),
+        F.max("value").alias("high_value"),
+        F.min("value").alias("low_value"),
+        F.max_by("value", key).alias("close_value"),
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("volume"),
+    )
+
+
+# Tokenizer fertility by language: BPE-ish subwords per whitespace word and
+# chars per subword — THE standard multilingual tokenizer-sizing metric
+# (a high-fertility language pays more sequence length per word). Scale
+# shape: per-doc counts are pure Catalyst regexp work inside the scan
+# projection; one map-side-combinable aggregation on lang (few groups).
+# All sums are integer-exact; the two ratios divide exact BIGINTs.
+@register(
+    "tokenizer_fertility_q",
+    f"""
+    WITH d AS (
+        SELECT lang,
+               len(regexp_extract_all(text, '{BPE_ISH.replace("'", "''")}'))
+                   AS bpe,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               x -> x <> '')) AS ws,
+               length(text) AS chars
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+           CAST(ROUND(CAST(SUM(bpe) AS DOUBLE) / SUM(ws), 6) AS DOUBLE)
+               AS fertility,
+           CAST(ROUND(CAST(SUM(chars) AS DOUBLE) / SUM(bpe), 6) AS DOUBLE)
+               AS chars_per_token
+    FROM d GROUP BY lang
+    """,
+)
+def tokenizer_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents.select(
+        "lang",
+        F.regexp_count("text", F.lit(BPE_ISH)).alias("bpe"),
+        whitespace_token_count("text").alias("ws"),
+        F.length("text").alias("chars"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("bpe").cast("long").alias("n_bpe_tokens"),
+        F.sum("ws").cast("long").alias("n_ws_tokens"),
+        F.round(
+            F.sum("bpe").cast("double") / F.sum("ws"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("chars").cast("double") / F.sum("bpe"), 6
+        ).alias("chars_per_token"),
+    )
+
+
+# Bigram vocabulary coverage curve: what share of all corpus bigram
+# occurrences the top-k bigrams cover, at k in {10, 50, 100, 500} — the
+# vocab-sizing / Zipf-mass diagnostic. Scale shape: bigram counts are one
+# hash aggregation; the global top-500 compiles to TakeOrderedAndProject
+# (per-partition heaps + driver merge of 500 rows, NO global sort); the
+# cumulative window runs over ≤500 rows (bounded, metadata-scale) and the
+# totals broadcast. Ranks tie-break on the bigram text so both engines
+# pick identical top sets.
+@register(
+    "ngram_coverage_q",
+    f"""
+    WITH w AS (SELECT {_SQL_TOKENS} AS toks FROM documents),
+    b AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1]))
+               AS bigram
+        FROM w WHERE len(toks) >= 2
+    ),
+    c AS (SELECT bigram, COUNT(*) AS cnt FROM b GROUP BY bigram),
+    tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct
+        FROM c
+    ),
+    top AS (
+        SELECT cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, bigram) AS rk
+        FROM c ORDER BY cnt DESC, bigram LIMIT 500
+    ),
+    cum AS (SELECT rk, SUM(cnt) OVER (ORDER BY rk) AS cum_cnt FROM top),
+    ks AS (SELECT unnest([10, 50, 100, 500]) AS k)
+    SELECT k,
+           CAST(LEAST(k, tot.n_distinct) AS BIGINT) AS vocab_used,
+           CAST(ROUND(CAST(cum_cnt AS DOUBLE) / tot.total, 6) AS DOUBLE)
+               AS coverage
+    FROM ks CROSS JOIN tot
+    JOIN cum ON cum.rk = LEAST(k, tot.n_distinct, 500)
+    """,
+)
+def ngram_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    toks = _tokens("text")
+    bigrams = F.when(
+        F.size(toks) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    )
+    c = (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = c.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_distinct"),
+    )
+    top = c.orderBy(F.col("cnt").desc(), "bigram").limit(500)
+    # bounded window: ≤500 rows after the limit, never corpus-scale
+    worder = Window.orderBy(F.col("cnt").desc(), "bigram")
+    cum = top.select(
+        F.row_number().over(worder).alias("rk"),
+        F.sum("cnt")
+        .over(worder.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_cnt"),
+    )
+    ks = spark.createDataFrame([(10,), (50,), (100,), (500,)], "k int")
+    return (
+        ks.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "rk_at",
+            F.least(
+                F.col("k").cast("long"),
+                F.col("n_distinct"),
+                F.lit(500).cast("long"),
+            ),
+        )
+        .join(F.broadcast(cum), F.col("rk_at") == F.col("rk"))
+        .select(
+            "k",
+            F.least(F.col("k").cast("long"), F.col("n_distinct")).alias(
+                "vocab_used"
+            ),
+            F.round(
+                F.col("cum_cnt").cast("double") / F.col("total"), 6
+            ).alias("coverage"),
+        )
     )

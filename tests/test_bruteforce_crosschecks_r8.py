@@ -1666,3 +1666,104 @@ def test_wilson_ci_q_matches_bruteforce(spark):
         assert r["rate"] == pytest.approx(rate, abs=2e-6)
         assert r["wilson_lo"] == pytest.approx(lo, abs=2e-6)
         assert r["wilson_hi"] == pytest.approx(hi, abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions (registered + windowed this round): OHLC bars,
+# tokenizer fertility, bigram coverage curve.
+# ---------------------------------------------------------------------------
+
+
+def test_ohlc_bars_q_matches_bruteforce(spark):
+    """Daily OHLC recomputed with plain loops: open/close by explicit
+    (epoch_us, event_id) ordering, volume summed in Decimal(6dp)."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT CAST(ts AS DATE) AS day, epoch_us(ts) AS us, event_id,
+               CAST(value AS DOUBLE) AS v
+        FROM read_parquet('{SF_SMALL}/events.parquet')
+        WHERE event_type = 'purchase'
+        """
+    ).fetchall()
+    acc = defaultdict(list)
+    for day, us, eid, v in rows:
+        acc[day].append((us, eid, v))
+    got = {
+        r["day"]: r
+        for r in REGISTRY["ohlc_bars_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(acc)
+    for day, evs in acc.items():
+        evs.sort()
+        vals = [v for _, _, v in evs]
+        r = got[day]
+        assert r["open_value"] == evs[0][2]
+        assert r["close_value"] == evs[-1][2]
+        assert r["high_value"] == max(vals)
+        assert r["low_value"] == min(vals)
+        assert r["n_events"] == len(evs)
+        vol = sum(
+            Decimal(repr(v)).quantize(Decimal("1e-6")) for v in vals
+        )
+        assert r["volume"] == pytest.approx(float(vol), abs=1e-9)
+
+
+def test_tokenizer_fertility_q_matches_bruteforce(spark):
+    """Fertility/compression per language recomputed with Python re over
+    the same BPE-ish pattern the engine uses."""
+    import re
+
+    from iniz_exporters_spark.queries import BPE_ISH
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT lang, text FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall()
+    pat = re.compile(BPE_ISH)
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # docs, bpe, ws, chars
+    for lang, text in rows:
+        a = agg[lang]
+        a[0] += 1
+        a[1] += len(pat.findall(text or ""))
+        a[2] += len((text or "").split())
+        a[3] += len(text or "")
+    got = {
+        r["lang"]: r
+        for r in REGISTRY["tokenizer_fertility_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert set(got) == set(agg)
+    for lang, (nd, bpe, ws, chars) in agg.items():
+        r = got[lang]
+        assert (r["n_docs"], r["n_bpe_tokens"], r["n_ws_tokens"]) == (
+            nd, bpe, ws,
+        )
+        assert r["fertility"] == pytest.approx(bpe / ws, abs=1e-6)
+        assert r["chars_per_token"] == pytest.approx(
+            chars / bpe, abs=1e-6
+        )
+
+
+def test_ngram_coverage_q_matches_bruteforce(spark):
+    """Coverage curve recomputed from a Counter of word bigrams with
+    (count desc, bigram asc) ranking."""
+    cnt = Counter()
+    for _, text, _ in _docs():
+        toks = _tok(text)
+        for i in range(len(toks) - 1):
+            cnt[toks[i] + " " + toks[i + 1]] += 1
+    total = sum(cnt.values())
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = {
+        r["k"]: r
+        for r in REGISTRY["ngram_coverage_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == {10, 50, 100, 500}
+    for k in (10, 50, 100, 500):
+        used = min(k, len(ranked))
+        cum = sum(c for _, c in ranked[:used])
+        assert got[k]["vocab_used"] == used
+        assert got[k]["coverage"] == pytest.approx(cum / total, abs=1e-6)
