@@ -132,6 +132,11 @@ def _dct_matrix() -> np.ndarray:
 
 _C = _dct_matrix()
 
+# Largest pixel count decode will allocate for (≈100 MP — beyond any sane
+# training-corpus image; a corrupt SOF claiming more is rejected before the
+# plane/coefficient stores are allocated).
+MAX_DECODE_PIXELS = 100_000_000
+
 
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict:
     """(length, code) -> symbol map from a T.81 (BITS, HUFFVAL) spec."""
@@ -303,6 +308,16 @@ def _decode_jpeg_strict(data: bytes):
                 return None  # only 8-bit precision
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
+            # Decode-bomb guard: the pixel/coefficient stores are allocated
+            # from the CLAIMED dims before any entropy byte is read, so a
+            # tiny corrupt stream claiming 65535x65535 would try a ~17-34 GB
+            # numpy alloc inside an executor. Cap pixels, and require the
+            # payload to be at least plausibly large enough for the claim
+            # (~1 bit per 8x8 block is far below any real JPEG).
+            if h * w > MAX_DECODE_PIXELS:
+                return None
+            if len(data) < (h * w) // (64 * 8):
+                return None
             nc = seg[5]
             comps = []
             for ci in range(nc):

@@ -251,3 +251,44 @@ def test_progressive_dispatch_through_decode_image_numpy():
     got = decode_image_numpy(encode_jpeg_progressive(px))
     assert got is not None
     assert got[:3] == (12, 10, "JPEG")
+
+
+def test_progressive_corrupt_streams_never_raise():
+    """decode_jpeg's contract is None-on-failure: byte mutations anywhere
+    in a progressive stream (headers, scan scripts, entropy data) must
+    never escape as an exception. Deterministic mutation sweep."""
+    from iniz_exporters_spark.multimodal.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+    data = bytearray(encode_jpeg_progressive(px, subsample=True))
+    assert decode_jpeg(bytes(data)) is not None
+    for pos in range(2, len(data), max(1, len(data) // 200)):
+        for flip in (0xFF, 0x01, 0x80):
+            mutated = bytes(data[:pos]) + bytes([data[pos] ^ flip]) + bytes(
+                data[pos + 1 :]
+            )
+            decode_jpeg(mutated)  # must not raise; None or a result both fine
+    # truncations at every marker-ish boundary
+    for cut in range(2, len(data), max(1, len(data) // 100)):
+        decode_jpeg(bytes(data[:cut]))
+
+
+def test_decode_bomb_rejected_before_allocation():
+    """A ~100-byte stream claiming 65535x65535 must return None fast,
+    without attempting the multi-GB plane/coefficient allocation."""
+    import time
+
+    good = encode_jpeg(np.full((8, 8), 7, np.uint8))
+    # SOF0 payload: [precision, h(2), w(2), nc, ...] — rewrite h/w
+    i = good.index(b"\xff\xc0")
+    bomb = bytearray(good)
+    bomb[i + 5 : i + 9] = (65535).to_bytes(2, "big") * 2
+    t0 = time.perf_counter()
+    assert decode_jpeg(bytes(bomb)) is None
+    assert time.perf_counter() - t0 < 1.0
+    # progressive flavor of the same claim
+    bomb[i + 1] = 0xC2
+    t0 = time.perf_counter()
+    assert decode_jpeg(bytes(bomb)) is None
+    assert time.perf_counter() - t0 < 1.0
