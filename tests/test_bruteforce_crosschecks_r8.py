@@ -1767,3 +1767,94 @@ def test_ngram_coverage_q_matches_bruteforce(spark):
         cum = sum(c for _, c in ranked[:used])
         assert got[k]["vocab_used"] == used
         assert got[k]["coverage"] == pytest.approx(cum / total, abs=1e-6)
+
+
+def test_pq_adc_topk_matches_bruteforce(spark):
+    """Full PQ pipeline recomputed with plain Python: codebook init = the
+    k lowest-id vectors sliced per subspace; one Lloyd round (assign with
+    6-dp-rounded sequential-fold distances, tie -> smaller cid; means
+    re-quantized to 6 dp decimal); final assignment; ADC = sum of the four
+    unrounded subspace LUT distances, rounded to 6 dp; top-5 per query by
+    (adc, vec_id). Mirrors operators/clustering.pq_model semantics."""
+    M, SUBDIM, K = 4, 16, 4
+
+    con = duckdb.connect()
+    vecs = dict(
+        con.execute(
+            f"SELECT vec_id, embedding::DOUBLE[] FROM "
+            f"read_parquet('{SF_SMALL}/embeddings.parquet') ORDER BY vec_id"
+        ).fetchall()
+    )
+
+    def rnd6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+        )
+
+    def sqdist(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    ids = sorted(vecs)
+    sub = {
+        j: {i: vecs[i][j * SUBDIM : (j + 1) * SUBDIM] for i in ids}
+        for j in range(M)
+    }
+    books = {j: [sub[j][i] for i in ids[:K]] for j in range(M)}
+
+    def assign(j, books_j):
+        out = {}
+        for i in ids:
+            best = min(
+                range(K),
+                key=lambda c: (rnd6(sqdist(sub[j][i], books_j[c])), c),
+            )
+            out[i] = best
+        return out
+
+    # one Lloyd round: assign -> decimal-quantized means -> reassign
+    for j in range(M):
+        a0 = assign(j, books[j])
+        new = []
+        for c in range(K):
+            members = [sub[j][i] for i in ids if a0[i] == c]
+            assert members, "empty cluster would raise in pq_model"
+            new.append(
+                [
+                    float(
+                        Decimal(repr(math.fsum(col) / len(members))).quantize(
+                            Decimal("1e-6"), rounding=ROUND_HALF_UP
+                        )
+                    )
+                    for col in zip(*members)
+                ]
+            )
+        books[j] = new
+    codes = {j: assign(j, books[j]) for j in range(M)}
+
+    expect = {}
+    for qid in (i for i in ids if i < 3):
+        luts = {
+            j: [sqdist(sub[j][qid], books[j][c]) for c in range(K)]
+            for j in range(M)
+        }
+        scored = [
+            (rnd6(math.fsum(luts[j][codes[j][i]] for j in range(M))), i)
+            for i in ids
+            if i != qid
+        ]
+        scored.sort()
+        expect[qid] = scored[:5]
+
+    got = defaultdict(dict)
+    for r in REGISTRY["pq_adc_topk"].fn(spark, SF_SMALL).collect():
+        got[r["query_id"]][r["rn"]] = (r["adc_dist"], r["neighbor_id"])
+    assert set(got) == set(expect)
+    for qid, top in expect.items():
+        assert sorted(got[qid]) == [1, 2, 3, 4, 5]
+        for rn, (dist, nid) in enumerate(top, 1):
+            gd, gn = got[qid][rn]
+            assert gn == nid, (qid, rn, gn, nid)
+            assert gd == pytest.approx(dist, abs=1e-6)
