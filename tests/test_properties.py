@@ -209,3 +209,41 @@ def test_jpeg_decoder_never_crashes_on_garbage(data):
     for payload in (data, b"\xff\xd8" + data):
         got = decode_jpeg(payload)
         assert got is None or len(got) == 4
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG property: for ANY image, the multi-scan progressive
+# reconstruction must be pixel-identical to the baseline encoding of the
+# same image (both paths quantize to the same coefficients; only the
+# entropy layout differs). Hypothesis shrinks entropy-layer bugs (EOB-run,
+# ZRL, correction-bit) down to minimal images.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    gray=st.booleans(),
+    subsample=st.booleans(),
+    rst=st.sampled_from([0, 2]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_progressive_always_matches_baseline_decode(
+    w, h, gray, subsample, rst, seed
+):
+    from iniz_exporters_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    px = rng.integers(0, 256, shape).astype(np.uint8)
+    sub = subsample and not gray
+    prog = decode_jpeg(encode_jpeg_progressive(px, subsample=sub,
+                                               restart_interval=rst))
+    base = decode_jpeg(encode_jpeg(px, subsample=sub, restart_interval=rst))
+    assert prog is not None and base is not None
+    np.testing.assert_array_equal(prog[3], base[3])
