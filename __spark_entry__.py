@@ -62,9 +62,13 @@ _R8_WINDOW = [
     "lsh_precision_eval_q", "stratified_split_q", "session_gap_stats_q",
     "lang_confusion_q", "burstiness_q",
     # round-8 additions (new operators, registered this round, pre-swept
-    # green at sf0.001/0.01/0.1) — they take three of the seven spare
-    # window slots so the ledger stays complete: 45 + q1 ≤ 50.
+    # green at sf0.001/0.01/0.1) — they take seven of the seven spare
+    # window slots so the ledger stays complete: 49 + q1 = 50.
     "ohlc_bars_q", "tokenizer_fertility_q", "ngram_coverage_q",
+    # session-2 additions: rank statistics on the new global_cumsum
+    # primitive, Kaplan-Meier survival, and distinct-n diversity.
+    "mann_whitney_q", "spearman_corr_q", "km_survival_q",
+    "distinct_ngram_diversity_q",
 ]
 
 _R7_WINDOW = [

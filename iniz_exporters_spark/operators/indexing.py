@@ -75,6 +75,70 @@ def global_index(
     return ranked
 
 
+def global_cumsum(
+    df: DataFrame, sort_cols, val_col: str, out_col: str
+) -> DataFrame:
+    """Exact ``SUM(val) OVER (ORDER BY sort_cols ROWS UNBOUNDED
+    PRECEDING)`` without the single-partition window Spark would plan for
+    an unpartitioned frame. Same two-pass shape as ``global_index``:
+    range-partition on the order key, sum within partitions in parallel,
+    and add broadcast per-partition prefix totals (one row per partition —
+    metadata scale). ``sort_cols`` must define a total order (include a
+    unique tiebreak) and ``val_col`` should be an exact type (long /
+    decimal) so partial-sum order cannot perturb the result."""
+    sort_cols = [
+        F.col(c) if isinstance(c, str) else c for c in list(sort_cols)
+    ]
+    pinned = (
+        df.repartitionByRange(*sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    partials = sorted(
+        (r["__pid"], r["s"])
+        for r in pinned.groupBy("__pid")
+        .agg(F.sum(val_col).alias("s"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for pid, s in partials:
+        offsets.append((pid, acc))
+        acc += s if s is not None else 0
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "__pid int, __csoff long")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        pinned.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            out_col,
+            (F.sum(val_col).over(w) + F.col("__csoff")).cast("long"),
+        )
+        .drop("__pid", "__csoff")
+    )
+
+
+def avg_rank2_table(df: DataFrame, val_col: str) -> DataFrame:
+    """Tie-averaged midrank table for rank statistics (Mann-Whitney,
+    Spearman), kept integral: adds ``rank2`` = 2 × the average rank that
+    ANSI ``AVG(ROW_NUMBER()) OVER (PARTITION BY value)`` would assign —
+    doubled so it stays an exact BIGINT (ties average to .5 steps).
+    Input must already be one row per distinct value with a ``cnt``
+    column; the prefix count comes from ``global_cumsum`` (range-
+    partitioned, never a single-partition window), so the table scales
+    to corpus-cardinality value columns. rank2 = 2·cum − cnt + 1 where
+    cum is the inclusive running count in value order."""
+    cc = global_cumsum(df, [F.col(val_col).asc()], "cnt", "__cum")
+    return cc.withColumn(
+        "rank2",
+        (F.lit(2) * F.col("__cum") - F.col("cnt") + F.lit(1)).cast("long"),
+    ).drop("__cum")
+
+
 # Driver-side guard: the per-group offset table is collected and
 # broadcast, so the group column must be metadata-scale. Past this many
 # distinct groups the caller almost certainly wanted a per-row window or

@@ -15335,3 +15335,397 @@ def ngram_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch — round-8 session 2: rank statistics, survival analysis, generation
+# diversity. The two rank tests ride the new ``global_cumsum`` /
+# ``avg_rank2_table`` primitives (operators/indexing.py): tie-averaged
+# midranks from a range-partitioned prefix count — NEVER the
+# single-partition window ANSI AVG(ROW_NUMBER()) OVER (PARTITION BY v)
+# would need — and every rank is kept DOUBLED so it stays an exact
+# integer (ties average to .5 steps), making all rank sums
+# order-independent.
+# ---------------------------------------------------------------------------
+
+
+# Mann-Whitney U (Wilcoxon rank-sum) test: purchase vs click order values.
+# Scale shape: the value column collapses to one row per DISTINCT value
+# (hash agg with map-side combine), midranks come from global_cumsum's
+# range-partitioned prefix count (metadata-scale offsets broadcast), and
+# the statistic is one final single-row aggregation of exact BIGINTs
+# (2·R1, tie term t³−t) — the float expression (normal approximation with
+# tie correction) runs once, identically shaped in both engines.
+@register(
+    "mann_whitney_q",
+    """
+    WITH b AS (
+        SELECT value AS v,
+               CAST(event_type = 'purchase' AS BIGINT) AS is1
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    c AS (SELECT v, COUNT(*) AS cnt, SUM(is1) AS cnt1 FROM b GROUP BY v),
+    r AS (
+        SELECT cnt, cnt1,
+               2 * SUM(cnt) OVER (ORDER BY v) - cnt + 1 AS rank2
+        FROM c
+    ),
+    s AS (
+        SELECT CAST(SUM(cnt1) AS BIGINT) AS n1,
+               CAST(SUM(cnt - cnt1) AS BIGINT) AS n2,
+               CAST(SUM(CAST(cnt1 AS HUGEINT) * rank2) AS BIGINT) AS two_r1,
+               CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS BIGINT)
+                   AS ties
+        FROM r
+    )
+    SELECT n1, n2,
+           CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u_stat,
+           CAST(ROUND(
+               (CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+                - CAST(n1 * n2 AS DOUBLE) / 2.0)
+               / SQRT(CAST(n1 * n2 AS DOUBLE) / 12.0
+                      * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                         - CAST(ties AS DOUBLE)
+                           / (CAST(n1 + n2 AS DOUBLE)
+                              * (CAST(n1 + n2 AS DOUBLE) - 1.0)))),
+               6) + 0.0 AS DOUBLE) AS z_score
+    FROM s
+    """,
+)
+def mann_whitney_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iniz_exporters_spark.operators.indexing import avg_rank2_table
+
+    e = Catalog(spark, sf_dir).events
+    b = e.filter(F.col("event_type").isin("purchase", "click")).select(
+        F.col("value").alias("v"),
+        (F.col("event_type") == "purchase").cast("long").alias("is1"),
+    )
+    c = b.groupBy("v").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("is1").alias("cnt1")
+    )
+    r = avg_rank2_table(c, "v")
+    s = r.agg(
+        F.sum("cnt1").cast("long").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cnt1")).cast("long").alias("n2"),
+        F.sum(F.col("cnt1") * F.col("rank2")).cast("long").alias("two_r1"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("long")
+        .alias("ties"),
+    )
+    n1d = (F.col("n1") * F.col("n2")).cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    u1 = (
+        F.col("two_r1") - F.col("n1") * (F.col("n1") + F.lit(1))
+    ).cast("double") / F.lit(2.0)
+    mu = n1d / F.lit(2.0)
+    sig2 = n1d / F.lit(12.0) * (
+        (nd + F.lit(1.0))
+        - F.col("ties").cast("double") / (nd * (nd - F.lit(1.0)))
+    )
+    return s.select(
+        "n1",
+        "n2",
+        u1.alias("u_stat"),
+        (F.round((u1 - mu) / F.sqrt(sig2), 6) + F.lit(0.0)).alias("z_score"),
+    )
+
+
+# Spearman rank correlation between document length (chars) and
+# whitespace word count. Scale shape: each metric collapses to its
+# distinct-value midrank table (global_cumsum — range-partitioned, no
+# single-partition window), rows pick up their two ranks via two hash
+# joins on the value columns, and the correlation reduces to one row of
+# exact integer sums (doubled ranks in DECIMAL(38,0)/HUGEINT so products
+# stay exact at corpus cardinality). Pearson-on-ranks is scale-invariant
+# under the doubling, so the classic formula applies to rank2 directly.
+@register(
+    "spearman_corr_q",
+    """
+    WITH d AS (
+        SELECT n_chars AS x,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               t -> t <> '')) AS y
+        FROM documents
+    ),
+    cx AS (SELECT x, COUNT(*) AS cnt FROM d GROUP BY x),
+    rx AS (SELECT x, 2 * SUM(cnt) OVER (ORDER BY x) - cnt + 1 AS a FROM cx),
+    cy AS (SELECT y, COUNT(*) AS cnt FROM d GROUP BY y),
+    ry AS (SELECT y, 2 * SUM(cnt) OVER (ORDER BY y) - cnt + 1 AS b FROM cy),
+    j AS (SELECT a, b FROM d JOIN rx USING (x) JOIN ry USING (y)),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(a AS HUGEINT) * b) AS sab,
+               SUM(CAST(a AS HUGEINT) * a) AS saa,
+               SUM(CAST(b AS HUGEINT) * b) AS sbb,
+               SUM(CAST(a AS HUGEINT)) AS sa,
+               SUM(CAST(b AS HUGEINT)) AS sb
+        FROM j
+    )
+    SELECT n AS n_rows,
+           CAST(ROUND(
+               (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+               / SQRT((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                       - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                         - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))),
+               6) + 0.0 AS DOUBLE) AS spearman_rho
+    FROM s
+    """,
+)
+def spearman_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iniz_exporters_spark.operators.indexing import avg_rank2_table
+
+    d = Catalog(spark, sf_dir).documents.select(
+        F.col("n_chars").alias("x"),
+        whitespace_token_count("text").cast("long").alias("y"),
+    )
+    rx = avg_rank2_table(
+        d.groupBy("x").agg(F.count(F.lit(1)).alias("cnt")), "x"
+    ).select("x", F.col("rank2").alias("a"))
+    ry = avg_rank2_table(
+        d.groupBy("y").agg(F.count(F.lit(1)).alias("cnt")), "y"
+    ).select("y", F.col("rank2").alias("b"))
+    j = d.join(rx, "x").join(ry, "y")
+    dec = "decimal(19,0)"
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("a").cast(dec) * F.col("b").cast(dec)).alias("sab"),
+        F.sum(F.col("a").cast(dec) * F.col("a").cast(dec)).alias("saa"),
+        F.sum(F.col("b").cast(dec) * F.col("b").cast(dec)).alias("sbb"),
+        F.sum(F.col("a").cast(dec)).alias("sa"),
+        F.sum(F.col("b").cast(dec)).alias("sb"),
+    )
+    nd = F.col("n").cast("double")
+    sab, saa, sbb = (F.col(c).cast("double") for c in ("sab", "saa", "sbb"))
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    rho = (nd * sab - sa * sb) / F.sqrt(
+        (nd * saa - sa * sa) * (nd * sbb - sb * sb)
+    )
+    return s.select(F.col("n").alias("n_rows"), (F.round(rho, 6) + F.lit(0.0)).alias("spearman_rho"))
+
+
+# Kaplan-Meier survival curve for signup → first-purchase conversion with
+# right-censoring (users who never purchase are censored at their last
+# observed event). Scale shape: the per-user reduction is three hash
+# aggregations + two joins on user_id; the curve itself lives on one row
+# per DISTINCT day-duration — bounded by the calendar (metadata scale,
+# like ngram_coverage's top-500), so the ordered cumulative windows over
+# it are explicitly bounded, never corpus-scale. The product Π(1 − d/n)
+# is EXP(SUM(LN ·)) in BOTH engines (same sequential fold order), with a
+# cumulative zero-flag handling the d = n_risk boundary where LN is
+# undefined (Spark's log(0) is NULL, not -inf).
+@register(
+    "km_survival_q",
+    """
+    WITH su AS (
+        SELECT user_id, MIN(ts) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    la AS (SELECT user_id, MAX(ts) AS tl FROM events GROUP BY user_id),
+    pu AS (
+        SELECT e.user_id, MIN(e.ts) AS tp
+        FROM events e JOIN su USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= su.t0
+        GROUP BY e.user_id
+    ),
+    b AS (
+        SELECT su.user_id,
+               CASE WHEN tp IS NOT NULL
+                    THEN date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+                    ELSE date_diff('day', CAST(t0 AS DATE), CAST(tl AS DATE))
+               END AS t,
+               CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS obs
+        FROM su JOIN la USING (user_id)
+        LEFT JOIN pu ON pu.user_id = su.user_id
+    ),
+    g AS (SELECT t, SUM(obs) AS d, COUNT(*) AS m FROM b GROUP BY t),
+    tot AS (SELECT COUNT(*) AS nn FROM b),
+    k AS (
+        SELECT t, d, nn - (SUM(m) OVER (ORDER BY t) - m) AS n_risk
+        FROM g CROSS JOIN tot
+    ),
+    c AS (
+        SELECT t, d, n_risk,
+               MAX(CASE WHEN n_risk = d THEN 1 ELSE 0 END)
+                   OVER (ORDER BY t) AS z,
+               SUM(CASE WHEN n_risk > d
+                        THEN LN(CAST(n_risk - d AS DOUBLE)
+                                / CAST(n_risk AS DOUBLE))
+                        ELSE NULL END) OVER (ORDER BY t) AS sl
+        FROM k
+    )
+    SELECT CAST(t AS BIGINT) AS duration_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(CASE WHEN z = 1 THEN 0.0 ELSE ROUND(EXP(sl), 6) END
+                AS DOUBLE) AS survival
+    FROM c WHERE d > 0
+    """,
+)
+def km_survival_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    la = ev.groupBy("user_id").agg(F.max("ts").alias("tl"))
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    b = (
+        su.join(la, "user_id")
+        .join(pu, "user_id", "left")
+        .select(
+            F.when(
+                F.col("tp").isNotNull(),
+                F.datediff(F.to_date("tp"), F.to_date("t0")),
+            )
+            .otherwise(F.datediff(F.to_date("tl"), F.to_date("t0")))
+            .cast("long")
+            .alias("t"),
+            F.when(F.col("tp").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("obs"),
+        )
+    )
+    g = b.groupBy("t").agg(
+        F.sum("obs").alias("d"), F.count(F.lit(1)).alias("m")
+    )
+    tot = b.agg(F.count(F.lit(1)).alias("nn"))
+    # bounded windows: one row per distinct day-duration (calendar scale)
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    k = g.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        F.col("nn") - (F.sum("m").over(wcum) - F.col("m")),
+    )
+    c = k.select(
+        "t",
+        "d",
+        "n_risk",
+        F.max(
+            F.when(F.col("n_risk") == F.col("d"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .over(wcum)
+        .alias("z"),
+        F.sum(
+            F.when(
+                F.col("n_risk") > F.col("d"),
+                F.log(
+                    (F.col("n_risk") - F.col("d")).cast("double")
+                    / F.col("n_risk").cast("double")
+                ),
+            )
+        )
+        .over(wcum)
+        .alias("sl"),
+    )
+    return c.filter(F.col("d") > 0).select(
+        F.col("t").alias("duration_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.when(F.col("z") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("sl"), 6))
+        .cast("double")
+        .alias("survival"),
+    )
+
+
+# Distinct-n generation-diversity metrics per source: distinct-1 and
+# distinct-2 (unique n-grams / total n-grams) — the standard corpus
+# diversity diagnostic for generated/boilerplate text (low distinct-2 =
+# repetitive source). Scale shape: two explode → hash-aggregate passes
+# (exact count_distinct is Spark's two-phase partial agg, keyed on ~20
+# sources × n-gram — the token rows carry only (source, gram)); the
+# three per-source frames join on the tiny source key.
+@register(
+    "distinct_ngram_diversity_q",
+    f"""
+    WITH w AS (SELECT source, {_SQL_TOKENS} AS toks FROM documents),
+    uni AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS u_total,
+               CAST(COUNT(DISTINCT tok) AS BIGINT) AS u_distinct
+        FROM (SELECT source, unnest(toks) AS tok FROM w) GROUP BY source
+    ),
+    big AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS b_total,
+               CAST(COUNT(DISTINCT bg) AS BIGINT) AS b_distinct
+        FROM (
+            SELECT source,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i + 1]))
+                   AS bg
+            FROM w WHERE len(toks) >= 2
+        ) GROUP BY source
+    ),
+    d AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY source)
+    SELECT d.source, n_docs, u_total, u_distinct,
+           CAST(ROUND(CAST(u_distinct AS DOUBLE) / u_total, 6) AS DOUBLE)
+               AS distinct_1,
+           b_total, b_distinct,
+           CAST(ROUND(CAST(b_distinct AS DOUBLE) / b_total, 6) AS DOUBLE)
+               AS distinct_2
+    FROM d JOIN uni USING (source) JOIN big USING (source)
+    """,
+)
+def distinct_ngram_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    base = d.select("source", _tokens("text").alias("toks"))
+    uni = (
+        base.select("source", F.explode("toks").alias("tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("u_total"),
+            F.count_distinct("tok").cast("long").alias("u_distinct"),
+        )
+    )
+    bigrams = F.when(
+        F.size("toks") < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.zip_with(
+            F.slice("toks", 1, F.size("toks") - 1),
+            F.slice("toks", 2, F.size("toks") - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    )
+    big = (
+        base.select("source", F.explode(bigrams).alias("bg"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("b_total"),
+            F.count_distinct("bg").cast("long").alias("b_distinct"),
+        )
+    )
+    docs = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        docs.join(uni, "source")
+        .join(big, "source")
+        .select(
+            "source",
+            "n_docs",
+            "u_total",
+            "u_distinct",
+            F.round(
+                F.col("u_distinct").cast("double") / F.col("u_total"), 6
+            ).alias("distinct_1"),
+            "b_total",
+            "b_distinct",
+            F.round(
+                F.col("b_distinct").cast("double") / F.col("b_total"), 6
+            ).alias("distinct_2"),
+        )
+    )

@@ -1858,3 +1858,131 @@ def test_pq_adc_topk_matches_bruteforce(spark):
             gd, gn = got[qid][rn]
             assert gn == nid, (qid, rn, gn, nid)
             assert gd == pytest.approx(dist, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Session-2 additions: rank statistics, survival, diversity.
+# ---------------------------------------------------------------------------
+
+
+def _avg_ranks(values):
+    """value -> tie-averaged rank (1-based), plain sort + ties loop."""
+    svals = sorted(values)
+    ranks, i = {}, 0
+    while i < len(svals):
+        j = i
+        while j < len(svals) and svals[j] == svals[i]:
+            j += 1
+        ranks[svals[i]] = (i + 1 + j) / 2.0  # mean of ranks i+1 .. j
+        i = j
+    return ranks
+
+
+def test_mann_whitney_q_matches_bruteforce(spark):
+    """Rank-sum U and tie-corrected z replayed with a plain sort."""
+    vals1, vals2 = [], []
+    for _, _, _, v, etype in _events():
+        if etype == "purchase":
+            vals1.append(v)
+        elif etype == "click":
+            vals2.append(v)
+    pooled = vals1 + vals2
+    ranks = _avg_ranks(pooled)
+    n1, n2 = len(vals1), len(vals2)
+    r1 = sum(ranks[v] for v in vals1)
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    cnt = Counter(pooled)
+    ties = sum(c * c * c - c for c in cnt.values())
+    n = n1 + n2
+    mu = n1 * n2 / 2.0
+    sig2 = n1 * n2 / 12.0 * ((n + 1) - ties / (n * (n - 1.0)))
+    z = (u1 - mu) / math.sqrt(sig2)
+    row = REGISTRY["mann_whitney_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert row["u_stat"] == pytest.approx(u1, abs=1e-9)
+    assert row["z_score"] == pytest.approx(z, abs=2e-6)
+
+
+def test_spearman_corr_q_matches_bruteforce(spark):
+    """Spearman rho (tie-averaged ranks + Pearson) replayed in numpy."""
+    import re
+
+    xs, ys = [], []
+    for _, text, _ in _docs():
+        xs.append(len(text))
+        t = (text or "").strip()
+        ys.append(len([w for w in re.split(r"\s+", t) if w]) if t else 0)
+    rx_map, ry_map = _avg_ranks(xs), _avg_ranks(ys)
+    rx = np.array([rx_map[v] for v in xs])
+    ry = np.array([ry_map[v] for v in ys])
+    rho = np.corrcoef(rx, ry)[0, 1]
+    row = REGISTRY["spearman_corr_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_rows"] == len(xs)
+    assert row["spearman_rho"] == pytest.approx(rho, abs=2e-6)
+
+
+def test_km_survival_q_matches_bruteforce(spark):
+    """Kaplan-Meier curve replayed with a per-user loop."""
+    su, la, pu = {}, {}, {}
+    for u, ts, _, _, etype in _events():
+        if etype == "signup" and (u not in su or ts < su[u]):
+            su[u] = ts
+        if u not in la or ts > la[u]:
+            la[u] = ts
+    for u, ts, _, _, etype in _events():
+        if etype == "purchase" and u in su and ts >= su[u]:
+            if u not in pu or ts < pu[u]:
+                pu[u] = ts
+    durs = []  # (duration_days, observed)
+    for u, t0 in su.items():
+        end = pu.get(u, la[u])
+        durs.append(((end.date() - t0.date()).days, u in pu))
+    expect = {}
+    surv, at_risk = 1.0, len(durs)
+    for t in sorted({d for d, _ in durs}):
+        d_t = sum(1 for d, obs in durs if d == t and obs)
+        m_t = sum(1 for d, _ in durs if d == t)
+        if d_t > 0:
+            surv *= (at_risk - d_t) / at_risk
+            expect[t] = (at_risk, d_t, surv)
+        at_risk -= m_t
+    got = {
+        r["duration_days"]: (r["n_risk"], r["n_events"], r["survival"])
+        for r in REGISTRY["km_survival_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(expect)
+    for t, (nr, ne, s) in expect.items():
+        assert got[t][0] == nr and got[t][1] == ne
+        assert got[t][2] == pytest.approx(s, abs=2e-6)
+
+
+def test_distinct_ngram_diversity_q_matches_bruteforce(spark):
+    """Per-source distinct-1/distinct-2 replayed with Counters."""
+    uni, big, ndocs = defaultdict(list), defaultdict(list), Counter()
+    for _, text, source in _docs():
+        toks = _tok(text)
+        ndocs[source] += 1
+        uni[source].extend(toks)
+        big[source].extend(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        )
+    got = {
+        r["source"]: r
+        for r in REGISTRY["distinct_ngram_diversity_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert set(got) == set(ndocs)
+    for src, r in got.items():
+        u, b = uni[src], big[src]
+        assert r["n_docs"] == ndocs[src]
+        assert r["u_total"] == len(u)
+        assert r["u_distinct"] == len(set(u))
+        assert r["distinct_1"] == pytest.approx(
+            len(set(u)) / len(u), abs=2e-6
+        )
+        assert r["b_total"] == len(b)
+        assert r["b_distinct"] == len(set(b))
+        assert r["distinct_2"] == pytest.approx(
+            len(set(b)) / len(b), abs=2e-6
+        )

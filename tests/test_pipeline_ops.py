@@ -535,3 +535,79 @@ def test_grouped_rank_rejects_too_many_groups(spark, monkeypatch):
         indexing.grouped_ntile(
             df, ["g"], [F.col("v").asc(), F.col("k").asc()], 2, "b"
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# global_cumsum / avg_rank2_table (operators/indexing.py) — round-8 s2
+# ---------------------------------------------------------------------------
+
+
+def test_global_cumsum_matches_window(spark):
+    """Range-partitioned prefix sum == the single-partition window SUM."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from iniz_exporters_spark.operators.indexing import global_cumsum
+
+    df = spark.range(0, 500).select(
+        ((F.col("id") * 7919) % 101).alias("k"),
+        F.col("id").alias("tb"),
+        ((F.col("id") % 13) + 1).alias("v"),
+    )
+    got = {
+        (r["k"], r["tb"]): r["cum"]
+        for r in global_cumsum(
+            df, [F.col("k").asc(), F.col("tb").asc()], "v", "cum"
+        ).collect()
+    }
+    w = (
+        Window.orderBy("k", "tb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r["k"], r["tb"]): r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_avg_rank2_table_matches_ansi_avg_rank(spark):
+    """rank2 == 2 x AVG(ROW_NUMBER()) OVER (PARTITION BY value)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from iniz_exporters_spark.operators.indexing import avg_rank2_table
+
+    vals = spark.range(0, 400).select(
+        ((F.col("id") * 31) % 37).alias("v")
+    )
+    c = vals.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    got = {
+        r["v"]: r["rank2"] for r in avg_rank2_table(c, "v").collect()
+    }
+    rn = vals.withColumn(
+        "rn", F.row_number().over(Window.orderBy("v", F.monotonically_increasing_id()))
+    )
+    want = {
+        r["v"]: int(2 * r["ar"])
+        for r in rn.groupBy("v")
+        .agg(F.avg("rn").alias("ar"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_global_cumsum_empty_and_single_row(spark):
+    import pyspark.sql.functions as F
+
+    from iniz_exporters_spark.operators.indexing import global_cumsum
+
+    empty = spark.range(0).select(
+        F.col("id").alias("k"), F.lit(1).alias("v")
+    )
+    assert (
+        global_cumsum(empty, [F.col("k").asc()], "v", "cum").count() == 0
+    )
+    one = spark.range(1).select(F.col("id").alias("k"), F.lit(5).alias("v"))
+    rows = global_cumsum(one, [F.col("k").asc()], "v", "cum").collect()
+    assert rows[0]["cum"] == 5

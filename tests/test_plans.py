@@ -583,3 +583,22 @@ def test_exact_median_uses_distributed_bin_rank():
     src = inspect.getsource(REGISTRY["exact_median_q"].fn)
     assert "global_index" in src
     assert "Window.orderBy" not in src
+
+
+def test_rank_stats_use_distributed_cumsum(spark):
+    """mann_whitney_q / spearman_corr_q midranks must come from
+    global_cumsum (range partition + __pid window + broadcast offsets),
+    never a single-partition window over the distinct-value table —
+    that table has corpus cardinality for continuous columns."""
+    import inspect
+
+    for name in ("mann_whitney_q", "spearman_corr_q"):
+        src = inspect.getsource(REGISTRY[name].fn)
+        assert "avg_rank2_table" in src, name
+        assert "Window.orderBy" not in src, name
+        plan = physical(run(name, spark))
+        # the single-row scalar aggregate legitimately merges partials on
+        # one partition; the invariant is that no WINDOW is unpartitioned
+        for line in plan.splitlines():
+            if "Window" in line and "windowspecdefinition" in line:
+                assert "__pid" in line, (name, line)
