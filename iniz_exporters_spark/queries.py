@@ -15729,3 +15729,340 @@ def distinct_ngram_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("distinct_2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch — round-9 window prep: vocabulary smoothing, tail estimation,
+# trend testing, robust means. Registered a round early so the next
+# driver rotation starts from a pre-swept, triple-verified batch.
+# ---------------------------------------------------------------------------
+
+
+# Good-Turing frequency-of-frequencies: the unseen-mass estimate (N1/N)
+# and smoothed counts r* = (r+1)·N_{r+1}/N_r for r = 1..4 — the classic
+# vocabulary-coverage diagnostic for tokenizer/corpus sizing (how much
+# probability mass lives in n-grams we have NOT seen yet). Computed on
+# token TRIGRAMS: the synthetic corpus's unigram vocab is closed (31
+# types, min count 29 — no tail), trigrams have the Zipf tail the
+# estimator needs (N1 ≈ 57% of types at sf0.001). Scale shape:
+# trigram counts are one hash agg; frequency-of-frequencies is a second
+# hash agg whose key cardinality is the number of DISTINCT counts
+# (sub-linear); the r ≤ 5 output join is metadata.
+@register(
+    "good_turing_q",
+    f"""
+    WITH w AS (SELECT {_SQL_TOKENS} AS toks FROM documents),
+    t AS (
+        SELECT g, COUNT(*) AS c
+        FROM (
+            SELECT unnest(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1] || ' ' ||
+                            toks[i + 2])) AS g
+            FROM w WHERE len(toks) >= 3
+        )
+        GROUP BY g
+    ),
+    ff AS (SELECT c AS r, COUNT(*) AS n_r FROM t GROUP BY c),
+    tot AS (
+        SELECT CAST(SUM(CAST(r AS HUGEINT) * n_r) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_r) AS BIGINT) AS vocab
+        FROM ff
+    )
+    SELECT a.r AS r,
+           CAST(a.n_r AS BIGINT) AS n_r,
+           CAST(ROUND((CAST(a.r AS DOUBLE) + 1.0)
+                      * CAST(COALESCE(b.n_r, 0) AS DOUBLE)
+                      / CAST(a.n_r AS DOUBLE), 6) AS DOUBLE) AS r_star,
+           CAST(ROUND(CAST(a.n_r AS DOUBLE) * a.r / tot.n_tokens, 6)
+                AS DOUBLE) AS mass,
+           CAST(ROUND((SELECT CAST(n_r AS DOUBLE) FROM ff WHERE r = 1)
+                      / tot.n_tokens, 6) AS DOUBLE) AS p0_unseen_mass
+    FROM ff a LEFT JOIN ff b ON b.r = a.r + 1 CROSS JOIN tot
+    WHERE a.r <= 5
+    """,
+)
+def good_turing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    toks = _tokens("text")
+    grams = F.when(
+        F.size(toks) < 3, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+    t = (
+        d.select(F.explode(grams).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ff = t.groupBy(F.col("c").alias("r")).agg(
+        F.count(F.lit(1)).alias("n_r")
+    )
+    tot = ff.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_tokens"),
+        F.sum("n_r").cast("long").alias("vocab"),
+    )
+    n1 = ff.filter(F.col("r") == 1).select(
+        F.col("n_r").cast("double").alias("__n1")
+    )
+    nxt = ff.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("__nr_next")
+    )
+    return (
+        ff.filter(F.col("r") <= 5)
+        .join(nxt, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            F.col("r").cast("long").alias("r"),
+            F.col("n_r").cast("long").alias("n_r"),
+            F.round(
+                (F.col("r").cast("double") + F.lit(1.0))
+                * F.coalesce(F.col("__nr_next"), F.lit(0)).cast("double")
+                / F.col("n_r").cast("double"),
+                6,
+            ).alias("r_star"),
+            F.round(
+                F.col("n_r").cast("double")
+                * F.col("r")
+                / F.col("n_tokens"),
+                6,
+            ).alias("mass"),
+            F.round(F.col("__n1") / F.col("n_tokens"), 6).alias(
+                "p0_unseen_mass"
+            ),
+        )
+    )
+
+
+# Hill tail-index estimator over document lengths: alpha from the top-k
+# order statistics — the heavy-tail diagnostic for length-based batching
+# and outlier budgets (alpha < 2 means unbounded variance; shard plans
+# must assume giant documents exist). Scale shape: the top-200 compiles
+# to TakeOrderedAndProject (per-partition heaps + a 200-row driver
+# merge, NO global sort); everything after is a single-row aggregate on
+# 200 rows. doc_id tiebreak makes the cut deterministic under ties.
+@register(
+    "hill_tail_index_q",
+    """
+    WITH topk AS (
+        SELECT n_chars FROM documents
+        ORDER BY n_chars DESC, doc_id LIMIT 200
+    ),
+    xk AS (SELECT MIN(n_chars) AS x_k, COUNT(*) AS k FROM topk),
+    s AS (
+        SELECT SUM(LN(CAST(t.n_chars AS DOUBLE) / CAST(xk.x_k AS DOUBLE)))
+                   AS sum_ln,
+               MAX(xk.x_k) AS x_k, MAX(xk.k) AS k
+        FROM topk t CROSS JOIN xk WHERE t.n_chars > xk.x_k
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(x_k AS BIGINT) AS x_k,
+           CAST(ROUND((CAST(k AS DOUBLE) - 1.0) / sum_ln, 6) AS DOUBLE)
+               AS hill_alpha
+    FROM s
+    """,
+)
+def hill_tail_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    topk = (
+        d.select("n_chars", "doc_id")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .limit(200)
+    )
+    xk = topk.agg(
+        F.min("n_chars").alias("x_k"), F.count(F.lit(1)).alias("k")
+    )
+    s = (
+        topk.crossJoin(F.broadcast(xk))
+        .filter(F.col("n_chars") > F.col("x_k"))
+        .agg(
+            F.sum(
+                F.log(
+                    F.col("n_chars").cast("double")
+                    / F.col("x_k").cast("double")
+                )
+            ).alias("sum_ln"),
+            F.max("x_k").alias("x_k"),
+            F.max("k").alias("k"),
+        )
+    )
+    return s.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("x_k").cast("long").alias("x_k"),
+        F.round(
+            (F.col("k").cast("double") - F.lit(1.0)) / F.col("sum_ln"), 6
+        ).alias("hill_alpha"),
+    )
+
+
+# Mann-Kendall trend test over daily purchase revenue — the
+# non-parametric partner of theil_sen_q (that one estimates the slope,
+# this one tests whether a monotone trend exists at all), with the full
+# tie correction and continuity-corrected normal approximation. Scale
+# shape: events reduce to ONE calendar-bounded daily row per day (exact
+# decimal sums, so both engines compare identical quantized values);
+# the O(days²) sign pairs and the tie table live on that metadata-scale
+# frame; the statistic is integer arithmetic until one final float
+# expression.
+@register(
+    "mann_kendall_q",
+    """
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+                   AS m
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN b.m > a.m THEN 1
+                             WHEN b.m < a.m THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat
+        FROM d a JOIN d b ON a.day < b.day
+    ),
+    ties AS (
+        SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                   AS tie_term
+        FROM (SELECT COUNT(*) AS t FROM d GROUP BY m) WHERE t > 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM d)
+    SELECT n_days, s_stat,
+           CAST(ROUND(CASE
+               WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
+                   / SQRT((CAST(n_days AS DOUBLE) * (n_days - 1)
+                           * (2 * n_days + 5) - tie_term) / 18.0)
+               WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
+                   / SQRT((CAST(n_days AS DOUBLE) * (n_days - 1)
+                           * (2 * n_days + 5) - tie_term) / 18.0)
+               ELSE 0.0 END, 6) + 0.0 AS DOUBLE) AS z_score
+    FROM n CROSS JOIN s CROSS JOIN ties
+    """,
+)
+def mann_kendall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    d = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(_dec(F.col("value"), 18, 6))
+        .cast("decimal(18,6)")
+        .alias("m")
+    )
+    a = d.select(F.col("day").alias("da"), F.col("m").alias("ma"))
+    b = d.select(F.col("day").alias("db"), F.col("m").alias("mb"))
+    s = (
+        a.join(b, F.col("da") < F.col("db"))
+        .agg(
+            F.sum(
+                F.when(F.col("mb") > F.col("ma"), F.lit(1))
+                .when(F.col("mb") < F.col("ma"), F.lit(-1))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        d.groupBy("m")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t")
+                    * (F.col("t") - 1)
+                    * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    nd = F.col("n_days").cast("double")
+    var = (
+        nd * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+        - F.col("tie_term")
+    ) / F.lit(18.0)
+    sd = F.col("s_stat").cast("double")
+    z = (
+        F.when(F.col("s_stat") > 0, (sd - F.lit(1.0)) / F.sqrt(var))
+        .when(F.col("s_stat") < 0, (sd + F.lit(1.0)) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        n.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n_days",
+            "s_stat",
+            (F.round(z, 6) + F.lit(0.0)).alias("z_score"),
+        )
+    )
+
+
+# Exact 10%-trimmed mean of order values per event type — the robust
+# location estimate quality dashboards want when a handful of giant
+# orders poison the plain mean. Scale shape: the per-type exact rank
+# comes from grouped_index (range-partitioned global rank + broadcast
+# per-group offsets — NEVER a per-type window whose partitions scale
+# with the corpus); the trimmed band filter and the exact-decimal mean
+# are one map-side-combining aggregation. The (value, event_id) order
+# makes the trim cut deterministic under ties.
+@register(
+    "trimmed_mean_q",
+    """
+    WITH r AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(n) - 2 * (MAX(n) // 10) AS BIGINT) AS n_kept,
+           CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                      / COUNT(*), 6) AS DOUBLE) AS trimmed_mean
+    FROM r
+    WHERE rk > n // 10 AND rk <= n - n // 10
+    GROUP BY event_type
+    """,
+)
+def trimmed_mean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iniz_exporters_spark.operators.indexing import grouped_index
+
+    e = Catalog(spark, sf_dir).events.select(
+        "event_type", "value", "event_id"
+    )
+    r = grouped_index(
+        e,
+        ["event_type"],
+        [F.col("value").asc(), F.col("event_id").asc()],
+        idx_col="rk",
+        size_col="n",
+    )
+    g = F.col("n") / F.lit(10)  # bigint div in SQL: replicate with floor
+    kept = r.filter(
+        (F.col("rk") > F.floor(F.col("n") / 10))
+        & (F.col("rk") <= F.col("n") - F.floor(F.col("n") / 10))
+    )
+    return kept.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        (F.max("n") - 2 * F.floor(F.max("n") / 10))
+        .cast("long")
+        .alias("n_kept"),
+        F.round(
+            F.sum(_dec(F.col("value"), 18, 6)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("trimmed_mean"),
+    )

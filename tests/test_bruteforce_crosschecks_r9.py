@@ -1,0 +1,139 @@
+"""Third-implementation cross-checks for the round-9 window batch.
+
+Same contract as the r6/r7/r8 files: plain-Python/numpy recomputation,
+independent of both engines, so each query enters its driver window
+already triple-verified (Spark plan, DuckDB oracle, this replica).
+"""
+
+import math
+import re
+from collections import Counter, defaultdict
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+from iniz_exporters_spark.queries import REGISTRY
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _events():
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT user_id, ts, event_id, CAST(value AS DOUBLE), event_type "
+        f"FROM read_parquet('{SF_SMALL}/events.parquet') "
+        f"ORDER BY user_id, ts, event_id"
+    ).fetchall()
+
+
+def _docs():
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT doc_id, text, source FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+
+
+def _tok(text):
+    return [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+
+
+def test_good_turing_q_matches_bruteforce(spark):
+    """Trigram freq-of-freqs + smoothed r* replayed with Counters."""
+    grams = Counter()
+    for _, text, _ in _docs():
+        toks = _tok(text)
+        grams.update(
+            f"{a} {b} {c}" for a, b, c in zip(toks, toks[1:], toks[2:])
+        )
+    ff = Counter(grams.values())
+    n_tokens = sum(r * n for r, n in ff.items())
+    got = {
+        r["r"]: r
+        for r in REGISTRY["good_turing_q"].fn(spark, SF_SMALL).collect()
+    }
+    expect_rs = {r for r in ff if r <= 5}
+    assert set(got) == expect_rs
+    for r in expect_rs:
+        row = got[r]
+        assert row["n_r"] == ff[r]
+        assert row["r_star"] == pytest.approx(
+            (r + 1) * ff.get(r + 1, 0) / ff[r], abs=2e-6
+        )
+        assert row["mass"] == pytest.approx(
+            ff[r] * r / n_tokens, abs=2e-6
+        )
+        assert row["p0_unseen_mass"] == pytest.approx(
+            ff[1] / n_tokens, abs=2e-6
+        )
+
+
+def test_hill_tail_index_q_matches_bruteforce(spark):
+    """Hill estimator replayed with a plain sort."""
+    lens = sorted(
+        ((len(t), d) for d, t, _ in _docs()),
+        key=lambda p: (-p[0], p[1]),
+    )[:200]
+    xs = [x for x, _ in lens]
+    x_k, k = min(xs), len(xs)
+    sum_ln = sum(math.log(x / x_k) for x in xs if x > x_k)
+    alpha = (k - 1) / sum_ln
+    row = REGISTRY["hill_tail_index_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["k"] == k and row["x_k"] == x_k
+    assert row["hill_alpha"] == pytest.approx(alpha, abs=2e-6)
+
+
+def test_mann_kendall_q_matches_bruteforce(spark):
+    """S statistic, tie correction, and z replayed with loops."""
+    daily = defaultdict(Decimal)
+    for _, ts, _, v, etype in _events():
+        if etype == "purchase":
+            daily[ts.date()] += Decimal(str(v)).quantize(
+                Decimal("0.000001")
+            )
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+    n = len(xs)
+    s = sum(
+        (0 if xs[j] == xs[i] else (1 if xs[j] > xs[i] else -1))
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    ties = Counter(xs)
+    tie_term = sum(
+        t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1
+    )
+    var = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    if s > 0:
+        z = (s - 1.0) / math.sqrt(var)
+    elif s < 0:
+        z = (s + 1.0) / math.sqrt(var)
+    else:
+        z = 0.0
+    row = REGISTRY["mann_kendall_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_days"] == n and row["s_stat"] == s
+    assert row["z_score"] == pytest.approx(z, abs=2e-6)
+
+
+def test_trimmed_mean_q_matches_bruteforce(spark):
+    """10%-trimmed mean replayed with a plain sort per type."""
+    groups = defaultdict(list)
+    for _, _, eid, v, etype in _events():
+        groups[etype].append((v, eid))
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["trimmed_mean_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(groups)
+    for etype, rows in groups.items():
+        rows.sort()
+        n = len(rows)
+        g = n // 10
+        kept = [v for v, _ in rows[g : n - g]]
+        r = got[etype]
+        assert r["n"] == n
+        assert r["n_kept"] == len(kept)
+        assert r["trimmed_mean"] == pytest.approx(
+            sum(kept) / len(kept), abs=2e-6
+        )

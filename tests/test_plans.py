@@ -602,3 +602,26 @@ def test_rank_stats_use_distributed_cumsum(spark):
         for line in plan.splitlines():
             if "Window" in line and "windowspecdefinition" in line:
                 assert "__pid" in line, (name, line)
+
+
+def test_trimmed_mean_uses_grouped_index(spark):
+    """trimmed_mean_q's per-type rank must come from grouped_index —
+    a window partitioned only by event_type has corpus-scale partitions
+    (5 types x billions of rows = 5 giant tasks)."""
+    import inspect
+
+    src = inspect.getsource(REGISTRY["trimmed_mean_q"].fn)
+    assert "grouped_index" in src
+    plan = physical(run("trimmed_mean_q", spark))
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "__pid" in line, line
+
+
+def test_hill_tail_index_uses_takeordered(spark):
+    """hill_tail_index_q's top-200 must compile to TakeOrderedAndProject
+    (per-partition heaps + driver merge of 200 rows), never a global
+    sort of the corpus."""
+    plan = physical(run("hill_tail_index_q", spark))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort [n_chars" not in plan, plan
