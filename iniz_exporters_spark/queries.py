@@ -16066,3 +16066,205 @@ def trimmed_mean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("trimmed_mean"),
     )
+
+
+# Cohen's kappa between the n-gram language identifier and the labeled
+# lang column — chance-corrected classifier agreement, THE metric for
+# "is the cheap lang-ID good enough to route documents". Scale shape:
+# the confusion matrix is one hash agg to (#langs)² rows (metadata);
+# marginals and the kappa expression live entirely on that tiny frame
+# (full-outer marginal join handles asymmetric label sets, e.g. 'und'
+# predictions with no actual row). All counts stay exact BIGINTs until
+# one final float expression, identical in both engines.
+@register(
+    "cohens_kappa_q",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_SQL_TOKENS} AS toks FROM documents),
+    s AS (
+        SELECT lang,
+               len(list_filter(toks, x -> x IN
+                   ('the','a','and','of','to','in','is','it'))) AS c_en,
+               len(list_filter(toks, x -> x IN
+                   ('el','la','de','que','y','los','en','un'))) AS c_es,
+               len(list_filter(toks, x -> x IN
+                   ('der','die','das','und','ist','ein','nicht','mit'))) AS c_de,
+               len(list_filter(toks, x -> x IN
+                   ('le','la','de','et','est','les','des','une'))) AS c_fr
+        FROM t
+    ),
+    p AS (
+        SELECT lang,
+               CASE WHEN greatest(c_en, c_es, c_de, c_fr) = 0 THEN 'und'
+                    WHEN c_en = greatest(c_en, c_es, c_de, c_fr) THEN 'en'
+                    WHEN c_es = greatest(c_en, c_es, c_de, c_fr) THEN 'es'
+                    WHEN c_de = greatest(c_en, c_es, c_de, c_fr) THEN 'de'
+                    ELSE 'fr' END AS pred
+        FROM s
+    ),
+    cm AS (SELECT lang, pred, COUNT(*) AS c FROM p GROUP BY lang, pred),
+    rt AS (SELECT lang AS lbl, SUM(c) AS rc FROM cm GROUP BY lang),
+    ct AS (SELECT pred AS lbl, SUM(c) AS cc FROM cm GROUP BY pred),
+    m AS (
+        SELECT CAST(SUM(COALESCE(rc, 0) * COALESCE(cc, 0)) AS BIGINT)
+                   AS cross_sum
+        FROM rt FULL JOIN ct USING (lbl)
+    ),
+    d AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN lang = pred THEN c ELSE 0 END)
+                    AS BIGINT) AS diag
+        FROM cm
+    )
+    SELECT n AS n_docs,
+           CAST(ROUND(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                AS DOUBLE) AS observed_agreement,
+           CAST(ROUND(CAST(cross_sum AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+                AS DOUBLE) AS expected_agreement,
+           CAST(ROUND(
+               (CAST(diag AS DOUBLE) / CAST(n AS DOUBLE)
+                - CAST(cross_sum AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               / (1.0 - CAST(cross_sum AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))),
+               6) + 0.0 AS DOUBLE) AS kappa
+    FROM d CROSS JOIN m
+    """,
+)
+def cohens_kappa_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    p = d.select("lang", predict_lang("text").alias("pred"))
+    cm = p.groupBy("lang", "pred").agg(F.count(F.lit(1)).alias("c"))
+    rt = cm.groupBy(F.col("lang").alias("lbl")).agg(
+        F.sum("c").alias("rc")
+    )
+    ct = cm.groupBy(F.col("pred").alias("lbl")).agg(
+        F.sum("c").alias("cc")
+    )
+    m = (
+        rt.join(ct, "lbl", "full")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("rc"), F.lit(0))
+                * F.coalesce(F.col("cc"), F.lit(0))
+            )
+            .cast("long")
+            .alias("cross_sum")
+        )
+    )
+    dd = cm.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("lang") == F.col("pred"), F.col("c")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("diag"),
+    )
+    nd = F.col("n").cast("double")
+    po = F.col("diag").cast("double") / nd
+    pe = F.col("cross_sum").cast("double") / (nd * nd)
+    return dd.crossJoin(F.broadcast(m)).select(
+        F.col("n").alias("n_docs"),
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("expected_agreement"),
+        (F.round((po - pe) / (F.lit(1.0) - pe), 6) + F.lit(0.0)).alias(
+            "kappa"
+        ),
+    )
+
+
+# McNemar's paired test comparing two document-quality filters on the
+# SAME corpus: the heuristic quality score (≥ 0.6) vs the linear hashed
+# classifier (keep = prob ≥ 0.5). The discordant cells n01/n10 are what
+# an A/B filter rollout decision actually hinges on — marginal accuracy
+# hides them. Continuity-corrected chi² = (|n01 − n10| − 1)²/(n01+n10).
+# Scale shape: both filters are pure codegen'd scan expressions; ONE
+# single-row aggregation — no join, the pairing is per-row by
+# construction. Exact integers until the final float expression.
+@register(
+    "mcnemar_q",
+    f"""
+    WITH t AS (
+        SELECT doc_id, length(text) AS n,
+               length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                   AS n_punct,
+               {_SQL_TOKENS} AS toks
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               (ROUND(CAST(
+                 0.4::DOUBLE * (1 - CASE WHEN n = 0 THEN 0::DOUBLE
+                                         ELSE n_punct::DOUBLE / n END)
+               + 0.3::DOUBLE * least(
+                     (CASE WHEN len(toks) = 0 THEN 0::DOUBLE
+                           ELSE len(list_filter(toks, x -> x IN
+                                ('the','a','and','of','to','in','is','it')))::DOUBLE
+                                / len(toks) END) * 5, 1.0::DOUBLE)
+               + 0.3::DOUBLE * least(n::DOUBLE / 500, 1.0::DOUBLE)
+               AS DECIMAL(28,12)), 4)::DOUBLE >= 0.6) AS a,
+               (ROUND(CAST(1.0 / (1.0 + exp(-(
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE list_reduce(list_transform(toks,
+                                 t -> {_SQL_QW}), (a, b) -> a + b)
+                   END) / 8.0)) AS DECIMAL(28,12)), 4)::DOUBLE >= 0.5) AS b
+        FROM t
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n11,
+               CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n10,
+               CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n01,
+               CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n00
+        FROM f
+    )
+    SELECT n_docs, n11, n10, n01, n00,
+           CAST(CASE WHEN n10 + n01 = 0 THEN 0.0
+                ELSE ROUND(
+                    (ABS(CAST(n10 - n01 AS DOUBLE)) - 1.0)
+                    * (ABS(CAST(n10 - n01 AS DOUBLE)) - 1.0)
+                    / CAST(n10 + n01 AS DOUBLE), 6)
+                END AS DOUBLE) AS mcnemar_chi2
+    FROM s
+    """,
+)
+def mcnemar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    a = quality_score("text") >= 0.6
+    b = (
+        linear_quality_score(F.col("text"), dim=64, scale=8.0, round_to=4)
+        >= 0.5
+    )
+    s = d.select(a.alias("a"), b.alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n01"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n00"),
+    )
+    diff = F.abs((F.col("n10") - F.col("n01")).cast("double"))
+    chi2 = F.when(F.col("n10") + F.col("n01") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            (diff - F.lit(1.0))
+            * (diff - F.lit(1.0))
+            / (F.col("n10") + F.col("n01")).cast("double"),
+            6,
+        )
+    )
+    return s.select(
+        "n_docs", "n11", "n10", "n01", "n00", chi2.alias("mcnemar_chi2")
+    )

@@ -137,3 +137,96 @@ def test_trimmed_mean_q_matches_bruteforce(spark):
         assert r["trimmed_mean"] == pytest.approx(
             sum(kept) / len(kept), abs=2e-6
         )
+
+
+_STOPS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "un"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "fr": ("le", "la", "de", "et", "est", "les", "des", "une"),
+}
+
+
+def _pred_lang(toks):
+    c = {k: sum(1 for t in toks if t in v) for k, v in _STOPS.items()}
+    best = max(c.values())
+    if best == 0:
+        return "und"
+    for k in ("en", "es", "de", "fr"):  # tie priority matches the engine
+        if c[k] == best:
+            return k
+
+
+def test_cohens_kappa_q_matches_bruteforce(spark):
+    """Confusion matrix, marginals, kappa replayed with dicts."""
+    cm = Counter()
+    con = duckdb.connect()
+    for lang, text in con.execute(
+        f"SELECT lang, text FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall():
+        cm[(lang, _pred_lang(_tok(text)))] += 1
+    n = sum(cm.values())
+    diag = sum(c for (a, p), c in cm.items() if a == p)
+    rt, ct = Counter(), Counter()
+    for (a, p), c in cm.items():
+        rt[a] += c
+        ct[p] += c
+    labels = set(rt) | set(ct)
+    pe = sum(rt.get(l, 0) * ct.get(l, 0) for l in labels) / (n * n)
+    po = diag / n
+    kappa = (po - pe) / (1 - pe)
+    row = REGISTRY["cohens_kappa_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_docs"] == n
+    assert row["observed_agreement"] == pytest.approx(po, abs=2e-6)
+    assert row["expected_agreement"] == pytest.approx(pe, abs=2e-6)
+    assert row["kappa"] == pytest.approx(kappa, abs=2e-6)
+
+
+def _poly(s):
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % 1000000007
+    return h
+
+
+def test_mcnemar_q_matches_bruteforce(spark):
+    """Both filters and the discordant-cell chi2 replayed in python."""
+    n11 = n10 = n01 = n00 = 0
+    for _, text, _ in _docs():
+        toks = _tok(text)
+        n = len(text)
+        n_punct = len(re.sub(r"[a-z0-9 ]", "", text.lower()))
+        # heuristic score (functions/text.quality_score)
+        stop = sum(1 for t in toks if t in _STOPS["en"])
+        s = (
+            0.4 * (1 - (n_punct / n if n else 0))
+            + 0.3 * min((stop / len(toks) if toks else 0) * 5, 1.0)
+            + 0.3 * min(n / 500, 1.0)
+        )
+        a = round(s, 4) >= 0.6
+        raw = sum(
+            ((((_poly(t) % 64) * 37 + 11) % 21) - 10) / 10.0 for t in toks
+        )
+        b = round(1.0 / (1.0 + math.exp(-raw / 8.0)), 4) >= 0.5
+        if a and b:
+            n11 += 1
+        elif a:
+            n10 += 1
+        elif b:
+            n01 += 1
+        else:
+            n00 += 1
+    chi2 = (
+        0.0
+        if n10 + n01 == 0
+        else (abs(n10 - n01) - 1.0) ** 2 / (n10 + n01)
+    )
+    row = REGISTRY["mcnemar_q"].fn(spark, SF_SMALL).collect()[0]
+    assert (row["n11"], row["n10"], row["n01"], row["n00"]) == (
+        n11,
+        n10,
+        n01,
+        n00,
+    )
+    assert row["mcnemar_chi2"] == pytest.approx(chi2, abs=2e-6)
