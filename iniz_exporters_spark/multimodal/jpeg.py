@@ -712,9 +712,14 @@ def _magnitude(v: int) -> tuple[int, int]:
     return t, code
 
 
-def _encode_block(bw, block, qt, dc_codes, ac_codes, pred):
-    coeffs = np.round((_C @ (block - 128.0) @ _C.T) / qt.reshape(8, 8))
-    zz = coeffs.reshape(64)[ZIGZAG].astype(np.int64)
+def _encode_block(bw, zz, dc_codes, ac_codes, pred):
+    # zz: one already-quantized zigzag block from _quantize_blocks — the
+    # SAME kernel the progressive encoder uses. The two encoders must
+    # share one FDCT/quantize path: a per-block matmul and the
+    # whole-plane einsum contract in different float orders, and a DC
+    # landing exactly on a .5 quantization boundary then rounds
+    # differently, making "progressive == baseline" round-trips off by
+    # one quant step (caught by the hypothesis property test).
     diff = int(zz[0]) - pred
     t, code = _magnitude(diff) if diff else (0, 0)
     c, ln = dc_codes[t]
@@ -810,6 +815,9 @@ def encode_jpeg(px, subsample: bool = False, restart_interval: int = 0) -> bytes
     ac_specs = [HUFF_AC_LUMA, HUFF_AC_CHROMA]
     dc_codes = [_encode_codes(*s) for s in dc_specs]
     ac_codes = [_encode_codes(*s) for s in ac_specs]
+    coefs = [
+        _quantize_blocks(p, qts[qsel[ci]]) for ci, p in enumerate(padded)
+    ]
 
     bw = _BitWriter()
     preds = [0] * len(padded)
@@ -822,15 +830,12 @@ def encode_jpeg(px, subsample: bool = False, restart_interval: int = 0) -> bytes
                 bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
                 rst += 1
                 preds = [0] * len(padded)
-            for ci, ((hs, vs), p) in enumerate(zip(samp, padded)):
+            for ci, (hs, vs) in enumerate(samp):
                 for by in range(vs):
                     for bx in range(hs):
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
                         preds[ci] = _encode_block(
                             bw,
-                            p[y0 : y0 + 8, x0 : x0 + 8],
-                            qts[qsel[ci]].astype(np.float64),
+                            coefs[ci][my * vs + by, mx * hs + bx],
                             dc_codes[qsel[ci]],
                             ac_codes[qsel[ci]],
                             preds[ci],

@@ -16268,3 +16268,184 @@ def mcnemar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "n_docs", "n11", "n10", "n01", "n00", chi2.alias("mcnemar_chi2")
     )
+
+
+# Brown-Forsythe (median-based Levene) test: are order-value variances
+# homogeneous across event types? The robust precondition check before
+# any pooled-variance comparison. All deviations are DOUBLED
+# (z2 = |2v − (v_lo + v_hi)|) so the per-group median never divides —
+# the W statistic is scale-invariant, and every sum stays an exact
+# DECIMAL, immune to shuffle-order float noise. Scale shape: per-type
+# ranks via grouped_index (no corpus-scale window partitions); the two
+# median rows per group join back broadcast (k rows); two aggregations.
+@register(
+    "brown_forsythe_q",
+    """
+    WITH r AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                   AS vi,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    med AS (
+        SELECT a.event_type, a.vi + b.vi AS med2i
+        FROM r a JOIN r b USING (event_type)
+        WHERE a.rk = (a.n + 1) // 2 AND b.rk = (b.n + 2) // 2
+    ),
+    z AS (
+        SELECT r.event_type, ABS(2 * r.vi - med.med2i) AS z2i
+        FROM r JOIN med USING (event_type)
+    ),
+    g AS (
+        SELECT event_type, COUNT(*) AS ng,
+               SUM(CAST(z2i AS HUGEINT)) AS s1,
+               SUM(CAST(z2i AS HUGEINT) * z2i) AS s2
+        FROM z GROUP BY event_type
+    ),
+    t AS (
+        SELECT CAST(SUM(ng) AS BIGINT) AS n_total,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(s1) AS DOUBLE) AS grand_sum
+        FROM g
+    )
+    SELECT t.n_total, t.k,
+           CAST(ROUND(
+               (CAST(t.n_total - t.k AS DOUBLE) / CAST(t.k - 1 AS DOUBLE))
+               * SUM(CAST(g.ng AS DOUBLE)
+                     * (CAST(g.s1 AS DOUBLE) / g.ng
+                        - t.grand_sum / t.n_total)
+                     * (CAST(g.s1 AS DOUBLE) / g.ng
+                        - t.grand_sum / t.n_total))
+               / SUM(CAST(g.s2 AS DOUBLE)
+                     - CAST(g.ng AS DOUBLE)
+                       * (CAST(g.s1 AS DOUBLE) / g.ng)
+                       * (CAST(g.s1 AS DOUBLE) / g.ng)),
+               6) AS DOUBLE) AS bf_stat
+    FROM g CROSS JOIN t
+    GROUP BY t.n_total, t.k, t.grand_sum
+    """,
+)
+def brown_forsythe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iniz_exporters_spark.operators.indexing import grouped_index
+
+    # Deviations live in exact integer MICRO-UNITS (value quantized to
+    # 6 dp then ×10⁶): sums and sums-of-squares stay exact integers in
+    # both engines at any shuffle order — no decimal-width cap games
+    # (DuckDB clamps a (16,6)² product to DECIMAL(18) and overflows at
+    # sf0.1) — and W is scale-invariant under z → c·z, so the shifted
+    # units never need dividing back out.
+    e = Catalog(spark, sf_dir).events.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("long")
+        .alias("vi"),
+        "value",
+        "event_id",
+    )
+    r = grouped_index(
+        e,
+        ["event_type"],
+        [F.col("value").asc(), F.col("event_id").asc()],
+        idx_col="rk",
+        size_col="n",
+    )
+    lo = r.filter(
+        F.col("rk") == F.floor((F.col("n") + 1) / 2)
+    ).select("event_type", F.col("vi").alias("vlo"))
+    hi = r.filter(
+        F.col("rk") == F.floor((F.col("n") + 2) / 2)
+    ).select("event_type", F.col("vi").alias("vhi"))
+    med = lo.join(hi, "event_type").select(
+        "event_type", (F.col("vlo") + F.col("vhi")).alias("med2i")
+    )
+    z = r.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.lit(2) * F.col("vi") - F.col("med2i")).alias("z2i"),
+    )
+    zd = F.col("z2i").cast("decimal(19,0)")
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(F.col("z2i").cast("decimal(38,0)")).alias("s1"),
+        F.sum(zd * zd).alias("s2"),
+    )
+    t = g.agg(
+        F.sum("ng").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("s1").cast("double").alias("grand_sum"),
+    )
+    mean_g = F.col("s1").cast("double") / F.col("ng")
+    dev = mean_g - F.col("grand_sum") / F.col("n_total")
+    ssb = F.sum(F.col("ng").cast("double") * dev * dev)
+    ssw = F.sum(
+        F.col("s2").cast("double")
+        - F.col("ng").cast("double") * mean_g * mean_g
+    )
+    scale = (F.col("n_total") - F.col("k")).cast("double") / (
+        F.col("k") - 1
+    ).cast("double")
+    return (
+        g.crossJoin(F.broadcast(t))
+        .groupBy("n_total", "k", "grand_sum")
+        .agg(F.round(scale * ssb / ssw, 6).alias("bf_stat"))
+        .select("n_total", "k", "bf_stat")
+    )
+
+
+# Simpson / Shannon source-diversity per language: the effective number
+# of sources feeding each language slice — the mix-health check before
+# sampling weights are set (inv-Simpson collapses toward 1 when one
+# source dominates). Scale shape: one (lang, source) hash agg
+# (metadata cardinality), then a per-lang reduction; inverse Simpson is
+# EXACT integer arithmetic (n² / Σc²) until the final division, and the
+# Shannon term sums ~20 bounded values per lang.
+@register(
+    "simpson_diversity_q",
+    """
+    WITH c AS (
+        SELECT lang, source, COUNT(*) AS c
+        FROM documents GROUP BY lang, source
+    ),
+    g AS (
+        SELECT lang,
+               CAST(SUM(c) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_sources,
+               CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS sum_c2,
+               SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS clnc
+        FROM c GROUP BY lang
+    )
+    SELECT lang, n_docs, n_sources,
+           CAST(ROUND(CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                      / CAST(sum_c2 AS DOUBLE), 6) AS DOUBLE)
+               AS inv_simpson,
+           CAST(ROUND(EXP(LN(CAST(n_docs AS DOUBLE))
+                          - clnc / CAST(n_docs AS DOUBLE)), 6) AS DOUBLE)
+               AS shannon_effective
+    FROM g
+    """,
+)
+def simpson_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    c = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    g = c.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+        F.sum(
+            F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+        ).alias("clnc"),
+    )
+    nd = F.col("n_docs").cast("double")
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_sources",
+        F.round(nd * nd / F.col("sum_c2").cast("double"), 6).alias(
+            "inv_simpson"
+        ),
+        F.round(
+            F.exp(F.log(nd) - F.col("clnc") / nd), 6
+        ).alias("shannon_effective"),
+    )

@@ -230,3 +230,60 @@ def test_mcnemar_q_matches_bruteforce(spark):
         n00,
     )
     assert row["mcnemar_chi2"] == pytest.approx(chi2, abs=2e-6)
+
+
+def test_brown_forsythe_q_matches_bruteforce(spark):
+    """Median-deviation W statistic replayed with plain sorts."""
+    groups = defaultdict(list)
+    for _, _, eid, v, etype in _events():
+        groups[etype].append((round(v * 1e6), eid))  # micro-units
+    z = {}
+    for etype, rows in groups.items():
+        rows.sort(key=lambda p: (p[0] / 1e6, p[1]))
+        vals = [v for v, _ in rows]
+        n = len(vals)
+        med2 = vals[(n + 1) // 2 - 1] + vals[(n + 2) // 2 - 1]
+        z[etype] = [abs(2 * v - med2) for v in vals]
+    ngs = {g: len(v) for g, v in z.items()}
+    s1 = {g: sum(v) for g, v in z.items()}
+    s2 = {g: sum(x * x for x in v) for g, v in z.items()}
+    n_total, k = sum(ngs.values()), len(ngs)
+    grand = sum(s1.values()) / n_total
+    ssb = sum(
+        ngs[g] * (s1[g] / ngs[g] - grand) ** 2 for g in ngs
+    )
+    ssw = sum(s2[g] - ngs[g] * (s1[g] / ngs[g]) ** 2 for g in ngs)
+    w = ((n_total - k) / (k - 1)) * ssb / ssw
+    row = REGISTRY["brown_forsythe_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_total"] == n_total and row["k"] == k
+    assert row["bf_stat"] == pytest.approx(w, rel=2e-6)
+
+
+def test_simpson_diversity_q_matches_bruteforce(spark):
+    """Inverse-Simpson and Shannon effective source counts per lang."""
+    counts = defaultdict(Counter)
+    con = duckdb.connect()
+    for lang, source in con.execute(
+        f"SELECT lang, source FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall():
+        counts[lang][source] += 1
+    got = {
+        r["lang"]: r
+        for r in REGISTRY["simpson_diversity_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert set(got) == set(counts)
+    for lang, cc in counts.items():
+        n = sum(cc.values())
+        inv_simpson = n * n / sum(c * c for c in cc.values())
+        shannon = -sum(
+            (c / n) * math.log(c / n) for c in cc.values()
+        )
+        r = got[lang]
+        assert r["n_docs"] == n and r["n_sources"] == len(cc)
+        assert r["inv_simpson"] == pytest.approx(inv_simpson, abs=2e-6)
+        assert r["shannon_effective"] == pytest.approx(
+            math.exp(shannon), abs=2e-6
+        )

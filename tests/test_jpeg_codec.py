@@ -292,3 +292,26 @@ def test_decode_bomb_rejected_before_allocation():
     t0 = time.perf_counter()
     assert decode_jpeg(bytes(bomb)) is None
     assert time.perf_counter() - t0 < 1.0
+
+
+def test_baseline_and_progressive_share_one_quantize_path():
+    """Regression (hypothesis falsifying example, r8): the baseline
+    encoder used a per-block matmul FDCT while the progressive encoder
+    used a whole-plane einsum — different float contraction order, and a
+    DC landing exactly on a .5 quantization boundary rounded differently
+    (banker's rounding), so 'progressive == baseline' was off by one
+    quant step (uniform ±2 gray block). Both encoders must entropy-code
+    the SAME _quantize_blocks output."""
+    import numpy as np
+
+    from iniz_exporters_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(0)
+    px = rng.integers(0, 256, (16, 1)).astype(np.uint8)
+    prog = decode_jpeg(encode_jpeg_progressive(px))
+    base = decode_jpeg(encode_jpeg(px))
+    np.testing.assert_array_equal(prog[3], base[3])
