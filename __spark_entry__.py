@@ -41,6 +41,18 @@ from iniz_exporters_spark.session import tune_for_session
 #   r6: remaining reference entry points + array_set_ops redo + next batch
 #   r7/r8: remainder per the canonical ledger in PERFORMANCE.md
 # ---------------------------------------------------------------------------
+# Staged for the round-9 rotation (registered + triple-verified this
+# round, no driver slot left in r8's 49): good_turing_q,
+# hill_tail_index_q, mann_kendall_q, trimmed_mean_q, cohens_kappa_q,
+# mcnemar_q, brown_forsythe_q, simpson_diversity_q — plus any further
+# additions; see PERFORMANCE.md round-8 session-2.
+_R9_STAGED = [
+    "good_turing_q", "hill_tail_index_q", "mann_kendall_q",
+    "trimmed_mean_q", "cohens_kappa_q", "mcnemar_q", "brown_forsythe_q",
+    "simpson_diversity_q", "cliffs_delta_q", "odds_ratio_q",
+    "ljung_box_q", "theil_u_q", "markov_entropy_rate_q",
+]
+
 _R8_WINDOW = [
     # Final rotation: the 41 registry names with no prior driver row (the
     # canonical-ledger remainder) plus cusum_changepoint_q, re-entered after

@@ -16449,3 +16449,445 @@ def simpson_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp(F.log(nd) - F.col("clnc") / nd), 6
         ).alias("shannon_effective"),
     )
+
+
+# Cliff's delta effect size between purchase and click order values —
+# the distribution-free companion to mann_whitney_q (that one answers
+# "is there a shift", this one answers "how big"): δ = P(X>Y) − P(X<Y),
+# derived EXACTLY from the same doubled-midrank machinery via
+# δ = 2·U1/(n1·n2) − 1, so no O(n²) pair comparison ever runs. Scale
+# shape identical to mann_whitney_q: distinct-value hash agg +
+# global_cumsum midranks + one single-row reduction of exact BIGINTs.
+@register(
+    "cliffs_delta_q",
+    """
+    WITH b AS (
+        SELECT value AS v,
+               CAST(event_type = 'purchase' AS BIGINT) AS is1
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    c AS (SELECT v, COUNT(*) AS cnt, SUM(is1) AS cnt1 FROM b GROUP BY v),
+    r AS (
+        SELECT cnt, cnt1,
+               2 * SUM(cnt) OVER (ORDER BY v) - cnt + 1 AS rank2
+        FROM c
+    ),
+    s AS (
+        SELECT CAST(SUM(cnt1) AS BIGINT) AS n1,
+               CAST(SUM(cnt - cnt1) AS BIGINT) AS n2,
+               CAST(SUM(CAST(cnt1 AS HUGEINT) * rank2) AS BIGINT) AS two_r1
+        FROM r
+    )
+    SELECT n1, n2,
+           CAST(ROUND(
+               (CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE)
+                / CAST(n1 * n2 AS DOUBLE)) - 1.0, 6) + 0.0 AS DOUBLE)
+               AS cliffs_delta
+    FROM s
+    """,
+)
+def cliffs_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iniz_exporters_spark.operators.indexing import avg_rank2_table
+
+    e = Catalog(spark, sf_dir).events
+    b = e.filter(F.col("event_type").isin("purchase", "click")).select(
+        F.col("value").alias("v"),
+        (F.col("event_type") == "purchase").cast("long").alias("is1"),
+    )
+    c = b.groupBy("v").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("is1").alias("cnt1")
+    )
+    r = avg_rank2_table(c, "v")
+    s = r.agg(
+        F.sum("cnt1").cast("long").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cnt1")).cast("long").alias("n2"),
+        F.sum(F.col("cnt1") * F.col("rank2")).cast("long").alias("two_r1"),
+    )
+    # 2·U1 = two_r1 − n1(n1+1); δ = 2U1/(n1n2) − 1 — exact ints to the end
+    delta = (
+        (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+        / (F.col("n1") * F.col("n2")).cast("double")
+    ) - F.lit(1.0)
+    return s.select(
+        "n1",
+        "n2",
+        (F.round(delta, 6) + F.lit(0.0)).alias("cliffs_delta"),
+    )
+
+
+# Odds ratio + 95% Wald CI for the 2×2 table of the two document-quality
+# filters (heuristic ≥ 0.6 vs hashed classifier keep) — the effect-size
+# companion to mcnemar_q (association strength, not marginal change).
+# Scale shape: one codegen'd scan → one single-row aggregation; exact
+# BIGINT cells, one final float expression with the standard 0.5
+# Haldane-Anscombe correction guarding empty cells.
+@register(
+    "odds_ratio_q",
+    f"""
+    WITH t AS (
+        SELECT doc_id, length(text) AS n,
+               length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                   AS n_punct,
+               {_SQL_TOKENS} AS toks
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               (ROUND(CAST(
+                 0.4::DOUBLE * (1 - CASE WHEN n = 0 THEN 0::DOUBLE
+                                         ELSE n_punct::DOUBLE / n END)
+               + 0.3::DOUBLE * least(
+                     (CASE WHEN len(toks) = 0 THEN 0::DOUBLE
+                           ELSE len(list_filter(toks, x -> x IN
+                                ('the','a','and','of','to','in','is','it')))::DOUBLE
+                                / len(toks) END) * 5, 1.0::DOUBLE)
+               + 0.3::DOUBLE * least(n::DOUBLE / 500, 1.0::DOUBLE)
+               AS DECIMAL(28,12)), 4)::DOUBLE >= 0.6) AS a,
+               (ROUND(CAST(1.0 / (1.0 + exp(-(
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE list_reduce(list_transform(toks,
+                                 t -> {_SQL_QW}), (a, b) -> a + b)
+                   END) / 8.0)) AS DECIMAL(28,12)), 4)::DOUBLE >= 0.5) AS b
+        FROM t
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n11,
+               CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n10,
+               CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n01,
+               CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n00
+        FROM f
+    )
+    SELECT n11, n10, n01, n00,
+           CAST(ROUND(
+               ((CAST(n11 AS DOUBLE) + 0.5) * (CAST(n00 AS DOUBLE) + 0.5))
+               / ((CAST(n10 AS DOUBLE) + 0.5)
+                  * (CAST(n01 AS DOUBLE) + 0.5)), 6) AS DOUBLE)
+               AS odds_ratio,
+           CAST(ROUND(
+               LN(((CAST(n11 AS DOUBLE) + 0.5)
+                   * (CAST(n00 AS DOUBLE) + 0.5))
+                  / ((CAST(n10 AS DOUBLE) + 0.5)
+                     * (CAST(n01 AS DOUBLE) + 0.5)))
+               - 1.96 * SQRT(1.0 / (CAST(n11 AS DOUBLE) + 0.5)
+                             + 1.0 / (CAST(n10 AS DOUBLE) + 0.5)
+                             + 1.0 / (CAST(n01 AS DOUBLE) + 0.5)
+                             + 1.0 / (CAST(n00 AS DOUBLE) + 0.5)),
+               6) + 0.0 AS DOUBLE) AS log_or_ci_lo,
+           CAST(ROUND(
+               LN(((CAST(n11 AS DOUBLE) + 0.5)
+                   * (CAST(n00 AS DOUBLE) + 0.5))
+                  / ((CAST(n10 AS DOUBLE) + 0.5)
+                     * (CAST(n01 AS DOUBLE) + 0.5)))
+               + 1.96 * SQRT(1.0 / (CAST(n11 AS DOUBLE) + 0.5)
+                             + 1.0 / (CAST(n10 AS DOUBLE) + 0.5)
+                             + 1.0 / (CAST(n01 AS DOUBLE) + 0.5)
+                             + 1.0 / (CAST(n00 AS DOUBLE) + 0.5)),
+               6) + 0.0 AS DOUBLE) AS log_or_ci_hi
+    FROM s
+    """,
+)
+def odds_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    a = quality_score("text") >= 0.6
+    b = (
+        linear_quality_score(F.col("text"), dim=64, scale=8.0, round_to=4)
+        >= 0.5
+    )
+    s = d.select(a.alias("a"), b.alias("b")).agg(
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n01"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n00"),
+    )
+    h = {
+        c: F.col(c).cast("double") + F.lit(0.5)
+        for c in ("n11", "n10", "n01", "n00")
+    }
+    orr = (h["n11"] * h["n00"]) / (h["n10"] * h["n01"])
+    se = F.sqrt(
+        F.lit(1.0) / h["n11"]
+        + F.lit(1.0) / h["n10"]
+        + F.lit(1.0) / h["n01"]
+        + F.lit(1.0) / h["n00"]
+    )
+    return s.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(orr, 6).alias("odds_ratio"),
+        (F.round(F.log(orr) - F.lit(1.96) * se, 6) + F.lit(0.0)).alias(
+            "log_or_ci_lo"
+        ),
+        (F.round(F.log(orr) + F.lit(1.96) * se, 6) + F.lit(0.0)).alias(
+            "log_or_ci_hi"
+        ),
+    )
+
+
+# Ljung-Box portmanteau test (lags 1..7) on daily purchase revenue:
+# "is the series white noise, or is there autocorrelation worth
+# modeling" — the gatekeeper before any forecasting of the series.
+# Scale shape: events reduce to the calendar-bounded daily frame (exact
+# decimal means, identical quantized values in both engines); the lag
+# joins, autocorrelations, and Q statistic all live on that metadata-
+# scale table. Gaps in the calendar use the day INDEX (dense rank of
+# day), matching the oracle exactly.
+@register(
+    "ljung_box_q",
+    """
+    WITH d0 AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*) AS DECIMAL(18,6)) AS m
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    d AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, m FROM d0
+    ),
+    st AS (
+        SELECT COUNT(*) AS n, SUM(m) AS sm FROM d
+    ),
+    c0 AS (
+        SELECT SUM((CAST(d.m AS DOUBLE) - CAST(st.sm AS DOUBLE) / st.n)
+                   * (CAST(d.m AS DOUBLE) - CAST(st.sm AS DOUBLE) / st.n))
+                   AS den
+        FROM d CROSS JOIN st
+    ),
+    ck AS (
+        SELECT k,
+               SUM((CAST(a.m AS DOUBLE) - CAST(st.sm AS DOUBLE) / st.n)
+                   * (CAST(b.m AS DOUBLE) - CAST(st.sm AS DOUBLE) / st.n))
+                   AS num
+        FROM d a
+        JOIN (SELECT unnest(range(1, 8)) AS k) lags ON TRUE
+        JOIN d b ON b.i = a.i + k
+        CROSS JOIN st
+        GROUP BY k
+    )
+    SELECT CAST(st.n AS BIGINT) AS n_days,
+           CAST(ROUND(SUM(
+               (ck.num / c0.den) * (ck.num / c0.den)
+               / CAST(st.n - ck.k AS DOUBLE)
+           ) * st.n * (st.n + 2), 6) AS DOUBLE) AS lb_q
+    FROM ck CROSS JOIN c0 CROSS JOIN st
+    GROUP BY st.n
+    """,
+)
+def ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    d0 = e.groupBy(F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(_dec(F.col("value"), 18, 6)).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("decimal(18,6)")
+        .alias("m")
+    )
+    # bounded window: one row per distinct calendar day
+    d = d0.select(
+        F.row_number().over(Window.orderBy("day")).alias("i"), "m"
+    )
+    st = d.agg(F.count(F.lit(1)).alias("n"), F.sum("m").alias("sm"))
+    mean = F.col("sm").cast("double") / F.col("n")
+    c0 = (
+        d.crossJoin(F.broadcast(st))
+        .agg(
+            F.sum(
+                (F.col("m").cast("double") - mean)
+                * (F.col("m").cast("double") - mean)
+            ).alias("den")
+        )
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
+    a = d.select(F.col("i").alias("ia"), F.col("m").alias("ma"))
+    b = d.select(F.col("i").alias("ib"), F.col("m").alias("mb"))
+    ck = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("ib") == F.col("ia") + F.col("k"))
+        .crossJoin(F.broadcast(st))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                (F.col("ma").cast("double") - mean)
+                * (F.col("mb").cast("double") - mean)
+            ).alias("num")
+        )
+    )
+    rk2 = (F.col("num") / F.col("den")) * (F.col("num") / F.col("den"))
+    return (
+        ck.crossJoin(F.broadcast(c0))
+        .crossJoin(F.broadcast(st))
+        .groupBy("n")
+        .agg(
+            F.round(
+                F.sum(rk2 / (F.col("n") - F.col("k")).cast("double"))
+                * F.col("n")
+                * (F.col("n") + 2),
+                6,
+            ).alias("lb_q")
+        )
+        .select(F.col("n").cast("long").alias("n_days"), "lb_q")
+    )
+
+
+# Theil's U (uncertainty coefficient) U(lang|source): what fraction of
+# language entropy does knowing the source explain? The asymmetric
+# association measure for two categoricals — chi2_independence_q says
+# "dependent or not", this says "how much, in bits-normalized terms".
+# Scale shape: one (lang, source) hash agg (metadata cardinality); all
+# entropies from exact BIGINT counts; one final float expression.
+@register(
+    "theil_u_q",
+    """
+    WITH c AS (
+        SELECT lang, source, COUNT(*) AS c
+        FROM documents GROUP BY lang, source
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+    hl AS (
+        SELECT SUM(CAST(cl AS DOUBLE) / tot.n
+                   * LN(CAST(tot.n AS DOUBLE) / cl)) AS h_lang
+        FROM (SELECT lang, SUM(c) AS cl FROM c GROUP BY lang)
+        CROSS JOIN tot
+    ),
+    hls AS (
+        SELECT SUM(CAST(c.c AS DOUBLE) / tot.n
+                   * LN(CAST(cs.csrc AS DOUBLE) / c.c)) AS h_lang_src
+        FROM c
+        JOIN (SELECT source, SUM(c) AS csrc FROM c GROUP BY source) cs
+          USING (source)
+        CROSS JOIN tot
+    )
+    SELECT tot.n AS n_docs,
+           CAST(ROUND(hl.h_lang, 6) AS DOUBLE) AS h_lang,
+           CAST(ROUND(hls.h_lang_src, 6) AS DOUBLE) AS h_lang_given_src,
+           CAST(ROUND((hl.h_lang - hls.h_lang_src) / hl.h_lang, 6) + 0.0
+                AS DOUBLE) AS theil_u
+    FROM tot CROSS JOIN hl CROSS JOIN hls
+    """,
+)
+def theil_u_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    c = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    tot = c.agg(F.sum("c").cast("long").alias("n"))
+    cl = c.groupBy("lang").agg(F.sum("c").alias("cl"))
+    hl = cl.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.col("cl").cast("double")
+            / F.col("n")
+            * F.log(F.col("n").cast("double") / F.col("cl"))
+        ).alias("h_lang")
+    )
+    cs = c.groupBy("source").agg(F.sum("c").alias("csrc"))
+    hls = (
+        c.join(F.broadcast(cs), "source")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("c").cast("double")
+                / F.col("n")
+                * F.log(F.col("csrc").cast("double") / F.col("c"))
+            ).alias("h_lang_src")
+        )
+    )
+    u = (F.col("h_lang") - F.col("h_lang_src")) / F.col("h_lang")
+    return (
+        tot.crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hls))
+        .select(
+            F.col("n").alias("n_docs"),
+            F.round(F.col("h_lang"), 6).alias("h_lang"),
+            F.round(F.col("h_lang_src"), 6).alias("h_lang_given_src"),
+            (F.round(u, 6) + F.lit(0.0)).alias("theil_u"),
+        )
+    )
+
+
+# Entropy rate of the per-user event-type Markov chain: H = −Σᵢ πᵢ Σⱼ
+# pᵢⱼ ln pᵢⱼ with the empirical source distribution as π — how
+# predictable is the NEXT event given the current one (the sequencing
+# companion to markov_transitions_q, which reports the raw matrix).
+# Scale shape: the lead() window keys on user_id (corpus-partitioned,
+# bounded per-user runs); transitions collapse to a ≤ |types|² table
+# and the rate is one float expression over exact counts.
+@register(
+    "markov_entropy_rate_q",
+    """
+    WITH seq AS (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                   AS dst
+        FROM events
+    ),
+    c AS (
+        SELECT src, dst, COUNT(*) AS n FROM seq
+        WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c),
+    row_h AS (
+        SELECT c.src, SUM(c.n) AS nsrc,
+               SUM(CAST(c.n AS DOUBLE)
+                   * LN(CAST(r.nsrc AS DOUBLE) / c.n)) AS hnum
+        FROM c
+        JOIN (SELECT src, SUM(n) AS nsrc FROM c GROUP BY src) r
+          USING (src)
+        GROUP BY c.src
+    )
+    SELECT tot.nt AS n_transitions,
+           CAST(ROUND(SUM(row_h.hnum) / tot.nt, 6) AS DOUBLE)
+               AS entropy_rate_nats
+    FROM row_h CROSS JOIN tot
+    GROUP BY tot.nt
+    """,
+)
+def markov_entropy_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").cast("long").alias("nt"))
+    r = c.groupBy("src").agg(F.sum("n").alias("nsrc"))
+    row_h = (
+        c.join(F.broadcast(r), "src")
+        .groupBy("src")
+        .agg(
+            F.sum(
+                F.col("n").cast("double")
+                * F.log(F.col("nsrc").cast("double") / F.col("n"))
+            ).alias("hnum")
+        )
+    )
+    return (
+        row_h.crossJoin(F.broadcast(tot))
+        .groupBy("nt")
+        .agg(
+            F.round(F.sum("hnum") / F.col("nt"), 6).alias(
+                "entropy_rate_nats"
+            )
+        )
+        .select(
+            F.col("nt").alias("n_transitions"), "entropy_rate_nats"
+        )
+    )

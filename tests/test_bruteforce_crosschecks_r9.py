@@ -287,3 +287,139 @@ def test_simpson_diversity_q_matches_bruteforce(spark):
         assert r["shannon_effective"] == pytest.approx(
             math.exp(shannon), abs=2e-6
         )
+
+
+def test_cliffs_delta_q_matches_bruteforce(spark):
+    """Effect size replayed with the O(n²) pair definition — the query
+    derives it from rank sums; the replica counts actual pairs."""
+    xs, ys = [], []
+    for _, _, _, v, etype in _events():
+        if etype == "purchase":
+            xs.append(v)
+        elif etype == "click":
+            ys.append(v)
+    gt = sum(1 for x in xs for y in ys if x > y)
+    lt = sum(1 for x in xs for y in ys if x < y)
+    delta = (gt - lt) / (len(xs) * len(ys))
+    row = REGISTRY["cliffs_delta_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n1"] == len(xs) and row["n2"] == len(ys)
+    assert row["cliffs_delta"] == pytest.approx(delta, abs=2e-6)
+
+
+def test_odds_ratio_q_matches_bruteforce(spark):
+    """2×2 cells shared with the mcnemar replica; Haldane-corrected OR
+    and Wald CI recomputed directly."""
+    n = {"n11": 0, "n10": 0, "n01": 0, "n00": 0}
+    for _, text, _ in _docs():
+        toks = _tok(text)
+        ln_ = len(text)
+        n_punct = len(re.sub(r"[a-z0-9 ]", "", text.lower()))
+        stop = sum(1 for t in toks if t in _STOPS["en"])
+        s = (
+            0.4 * (1 - (n_punct / ln_ if ln_ else 0))
+            + 0.3 * min((stop / len(toks) if toks else 0) * 5, 1.0)
+            + 0.3 * min(ln_ / 500, 1.0)
+        )
+        a = round(s, 4) >= 0.6
+        raw = sum(
+            ((((_poly(t) % 64) * 37 + 11) % 21) - 10) / 10.0 for t in toks
+        )
+        b = round(1.0 / (1.0 + math.exp(-raw / 8.0)), 4) >= 0.5
+        key = f"n{int(a)}{int(b)}"
+        n[key] += 1
+    h = {k: v + 0.5 for k, v in n.items()}
+    orr = h["n11"] * h["n00"] / (h["n10"] * h["n01"])
+    se = math.sqrt(sum(1.0 / v for v in h.values()))
+    row = REGISTRY["odds_ratio_q"].fn(spark, SF_SMALL).collect()[0]
+    for k in n:
+        assert row[k] == n[k]
+    assert row["odds_ratio"] == pytest.approx(orr, rel=2e-6)
+    assert row["log_or_ci_lo"] == pytest.approx(
+        math.log(orr) - 1.96 * se, abs=2e-6
+    )
+    assert row["log_or_ci_hi"] == pytest.approx(
+        math.log(orr) + 1.96 * se, abs=2e-6
+    )
+
+
+def _daily_purchase_means():
+    daily = defaultdict(list)
+    for _, ts, _, v, etype in _events():
+        if etype == "purchase":
+            daily[ts.date()].append(Decimal(str(v)))
+    # decimal-quantized mean, matching the engines' DECIMAL(18,6) cast
+    out = []
+    for d in sorted(daily):
+        vals = daily[d]
+        s = sum(v.quantize(Decimal("0.000001")) for v in vals)
+        out.append(float((s / len(vals)).quantize(Decimal("0.000001"))))
+    return out
+
+
+def test_ljung_box_q_matches_bruteforce(spark):
+    """Q statistic over lags 1..7 replayed with plain lists."""
+    xs = _daily_purchase_means()
+    n = len(xs)
+    mean = sum(xs) / n
+    den = sum((x - mean) ** 2 for x in xs)
+    q = 0.0
+    for k in range(1, 8):
+        num = sum(
+            (xs[i] - mean) * (xs[i + k] - mean) for i in range(n - k)
+        )
+        r = num / den
+        q += r * r / (n - k)
+    q *= n * (n + 2)
+    row = REGISTRY["ljung_box_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_days"] == n
+    assert row["lb_q"] == pytest.approx(q, rel=2e-6)
+
+
+def test_theil_u_q_matches_bruteforce(spark):
+    """Conditional entropy / uncertainty coefficient via Counters."""
+    c = Counter()
+    con = duckdb.connect()
+    for lang, source in con.execute(
+        f"SELECT lang, source FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall():
+        c[(lang, source)] += 1
+    n = sum(c.values())
+    cl, cs = Counter(), Counter()
+    for (l, s), v in c.items():
+        cl[l] += v
+        cs[s] += v
+    h_lang = -sum((v / n) * math.log(v / n) for v in cl.values())
+    h_cond = -sum(
+        (v / n) * math.log(v / cs[s]) for (l, s), v in c.items()
+    )
+    u = (h_lang - h_cond) / h_lang
+    row = REGISTRY["theil_u_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_docs"] == n
+    assert row["h_lang"] == pytest.approx(h_lang, abs=2e-6)
+    assert row["h_lang_given_src"] == pytest.approx(h_cond, abs=2e-6)
+    assert row["theil_u"] == pytest.approx(u, abs=2e-6)
+
+
+def test_markov_entropy_rate_q_matches_bruteforce(spark):
+    """Entropy rate of the event-type chain via per-user sequences."""
+    seqs = defaultdict(list)
+    for u, ts, eid, _, etype in _events():
+        seqs[u].append((ts, eid, etype))
+    trans = Counter()
+    for u, rows in seqs.items():
+        rows.sort()
+        for (_, _, a), (_, _, b) in zip(rows, rows[1:]):
+            trans[(a, b)] += 1
+    nt = sum(trans.values())
+    nsrc = Counter()
+    for (a, _), v in trans.items():
+        nsrc[a] += v
+    h = -sum(
+        (v / nt) * math.log(v / nsrc[a]) for (a, b), v in trans.items()
+    )
+    row = (
+        REGISTRY["markov_entropy_rate_q"].fn(spark, SF_SMALL).collect()[0]
+    )
+    assert row["n_transitions"] == nt
+    assert row["entropy_rate_nats"] == pytest.approx(h, abs=2e-6)
