@@ -51,6 +51,7 @@ _R9_STAGED = [
     "trimmed_mean_q", "cohens_kappa_q", "mcnemar_q", "brown_forsythe_q",
     "simpson_diversity_q", "cliffs_delta_q", "odds_ratio_q",
     "ljung_box_q", "theil_u_q", "markov_entropy_rate_q",
+    "matryoshka_fidelity_q", "weighted_jaccard_q", "yule_k_q",
 ]
 
 _R8_WINDOW = [

@@ -16891,3 +16891,274 @@ def markov_entropy_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nt").alias("n_transitions"), "entropy_rate_nats"
         )
     )
+
+
+# Matryoshka fidelity: how well does the 32-dim PREFIX of the 64-dim
+# embedding preserve pairwise cosine structure (the MRL question — can
+# retrieval run on half the vector)? 100 deterministic probe pairs
+# (vec i ↔ vec i+100), each scored with full-dim and prefix-dim cosine
+# rounded to 4 dp; the correlation between the two runs on EXACT scaled
+# integers (×10⁴), so no float-order noise survives. Scale shape: the
+# pair set is a bounded probe (id-range filter pushed to the scan, one
+# broadcast-joinable frame); per-pair cosines are in-row array folds —
+# identical sequential order in both engines.
+@register(
+    "matryoshka_fidelity_q",
+    """
+    WITH a AS (
+        -- FLOAT→DOUBLE up front: DuckDB keeps FLOAT*FLOAT in float32,
+        -- Spark casts to double — the folds must run in one precision
+        SELECT vec_id AS i,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS va
+        FROM embeddings WHERE vec_id < 100
+    ),
+    b AS (
+        SELECT vec_id - 100 AS i,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vb
+        FROM embeddings WHERE vec_id >= 100 AND vec_id < 200
+    ),
+    p AS (
+        -- cosines as explicit LEFT-TO-RIGHT folds, bit-identical to
+        -- Spark's F.aggregate (list_cosine_similarity's internal order
+        -- differs by an ulp and flips a .00005 rounding boundary)
+        SELECT CAST(ROUND(
+                   list_reduce(list_transform(range(1, 65),
+                                              k -> a.va[k] * b.vb[k]),
+                               (x, y) -> x + y)
+                   / SQRT(list_reduce(list_transform(range(1, 65),
+                                                     k -> a.va[k] * a.va[k]),
+                                      (x, y) -> x + y)
+                          * list_reduce(list_transform(range(1, 65),
+                                                       k -> b.vb[k] * b.vb[k]),
+                                        (x, y) -> x + y))
+                   * 10000.0, 0) AS BIGINT) AS cf,
+               CAST(ROUND(
+                   list_reduce(list_transform(range(1, 33),
+                                              k -> a.va[k] * b.vb[k]),
+                               (x, y) -> x + y)
+                   / SQRT(list_reduce(list_transform(range(1, 33),
+                                                     k -> a.va[k] * a.va[k]),
+                                      (x, y) -> x + y)
+                          * list_reduce(list_transform(range(1, 33),
+                                                       k -> b.vb[k] * b.vb[k]),
+                                        (x, y) -> x + y))
+                   * 10000.0, 0) AS BIGINT) AS cp
+        FROM a JOIN b USING (i)
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(cf AS HUGEINT)) AS sf, SUM(CAST(cp AS HUGEINT)) AS sp,
+               SUM(CAST(cf AS HUGEINT) * cp) AS sfp,
+               SUM(CAST(cf AS HUGEINT) * cf) AS sff,
+               SUM(CAST(cp AS HUGEINT) * cp) AS spp,
+               SUM(CAST(ABS(cf - cp) AS HUGEINT)) AS sad
+        FROM p
+    )
+    SELECT n AS n_pairs,
+           CAST(ROUND(
+               (CAST(n AS DOUBLE) * CAST(sfp AS DOUBLE)
+                - CAST(sf AS DOUBLE) * CAST(sp AS DOUBLE))
+               / SQRT((CAST(n AS DOUBLE) * CAST(sff AS DOUBLE)
+                       - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                         - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))),
+               6) + 0.0 AS DOUBLE) AS cos_corr,
+           CAST(ROUND(CAST(sad AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0,
+                      6) AS DOUBLE) AS mean_abs_gap
+    FROM s
+    """,
+)
+def matryoshka_fidelity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+
+    def cos_scaled(va, vb):
+        # one ROUND at the scaled-integer level: ROUND(c,4)*10000 leaves
+        # 9330.999… artifacts that Spark's cast(long) truncates while
+        # DuckDB's CAST rounds — scale first, round once
+        dot = F.aggregate(
+            F.zip_with(va, vb, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        na = F.aggregate(
+            va, F.lit(0.0), lambda acc, x: acc + x * x
+        )
+        nb = F.aggregate(
+            vb, F.lit(0.0), lambda acc, x: acc + x * x
+        )
+        return F.round(dot / F.sqrt(na * nb) * F.lit(10000.0), 0)
+
+    a = e.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("i"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    b = e.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 200)
+    ).select(
+        (F.col("vec_id") - 100).alias("i"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    pre = lambda v: F.slice(v, 1, 32)  # noqa: E731
+    p = a.join(b, "i").select(
+        cos_scaled(F.col("va"), F.col("vb")).cast("long").alias("cf"),
+        cos_scaled(pre(F.col("va")), pre(F.col("vb")))
+        .cast("long")
+        .alias("cp"),
+    )
+    dec = "decimal(19,0)"
+    s = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("cf").cast(dec)).alias("sf"),
+        F.sum(F.col("cp").cast(dec)).alias("sp"),
+        F.sum(F.col("cf").cast(dec) * F.col("cp").cast(dec)).alias("sfp"),
+        F.sum(F.col("cf").cast(dec) * F.col("cf").cast(dec)).alias("sff"),
+        F.sum(F.col("cp").cast(dec) * F.col("cp").cast(dec)).alias("spp"),
+        F.sum(F.abs(F.col("cf") - F.col("cp")).cast(dec)).alias("sad"),
+    )
+    nd = F.col("n").cast("double")
+    sf, sp = F.col("sf").cast("double"), F.col("sp").cast("double")
+    corr = (nd * F.col("sfp").cast("double") - sf * sp) / F.sqrt(
+        (nd * F.col("sff").cast("double") - sf * sf)
+        * (nd * F.col("spp").cast("double") - sp * sp)
+    )
+    return s.select(
+        F.col("n").alias("n_pairs"),
+        (F.round(corr, 6) + F.lit(0.0)).alias("cos_corr"),
+        F.round(
+            F.col("sad").cast("double") / nd / F.lit(10000.0), 6
+        ).alias("mean_abs_gap"),
+    )
+
+
+# Weighted Jaccard between source token-count vectors: Σ min(cₐ,c_b) /
+# Σ max(cₐ,c_b) over the shared vocabulary — the occurrence-weighted
+# source-overlap measure (source_similarity_q's cosine ignores counts'
+# mass balance; weighted Jaccard is what mixture dedup budgets want).
+# Exact BIGINT arithmetic throughout: Σmax = totₐ + tot_b − Σmin. Scale
+# shape: (source, token) hash agg, token-keyed self-join for shared
+# mins (vocabulary-scale, never doc-scale), (sources²) result pairs.
+@register(
+    "weighted_jaccard_q",
+    f"""
+    WITH c AS (
+        SELECT source, tok, COUNT(*) AS c
+        FROM (SELECT source, unnest({_SQL_TOKENS}) AS tok
+              FROM documents)
+        GROUP BY source, tok
+    ),
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t
+            FROM c GROUP BY source),
+    shared AS (
+        SELECT a.source AS sa, b.source AS sb,
+               CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS smin
+        FROM c a JOIN c b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT sa, sb,
+           CAST(ROUND(CAST(smin AS DOUBLE)
+                      / CAST(ta.t + tb.t - smin AS DOUBLE), 6) AS DOUBLE)
+               AS weighted_jaccard
+    FROM shared JOIN tot ta ON sa = ta.source
+                JOIN tot tb ON sb = tb.source
+    ORDER BY weighted_jaccard DESC, sa, sb LIMIT 30
+    """,
+)
+def weighted_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    c = (
+        d.select("source", F.explode(_tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = c.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
+    a = c.select(
+        F.col("source").alias("sa"), "tok", F.col("c").alias("ca")
+    )
+    b = c.select(
+        F.col("source").alias("sb"), "tok", F.col("c").alias("cb")
+    )
+    shared = (
+        a.join(b, "tok")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(
+            F.sum(F.least("ca", "cb")).cast("long").alias("smin")
+        )
+    )
+    ta = tot.select(F.col("source").alias("sa"), F.col("t").alias("tta"))
+    tb = tot.select(F.col("source").alias("sb"), F.col("t").alias("ttb"))
+    return (
+        shared.join(F.broadcast(ta), "sa")
+        .join(F.broadcast(tb), "sb")
+        .select(
+            "sa",
+            "sb",
+            F.round(
+                F.col("smin").cast("double")
+                / (
+                    F.col("tta") + F.col("ttb") - F.col("smin")
+                ).cast("double"),
+                6,
+            ).alias("weighted_jaccard"),
+        )
+        .orderBy(
+            F.col("weighted_jaccard").desc(), "sa", "sb"
+        )
+        .limit(30)
+    )
+
+
+# Yule's K vocabulary-richness characteristic: K = 10⁴·(Σ r²·n_r − N)/N²
+# over token frequency-of-frequencies — the length-invariant repetition
+# measure (rises when a few tokens dominate; the classic stylometry /
+# template-detection signal). Exact BIGINT arithmetic until one final
+# division. Scale shape: two nested hash aggs, same as good_turing_q.
+@register(
+    "yule_k_q",
+    f"""
+    WITH t AS (
+        SELECT tok, COUNT(*) AS c
+        FROM (SELECT unnest({_SQL_TOKENS}) AS tok FROM documents)
+        GROUP BY tok
+    ),
+    ff AS (SELECT c AS r, COUNT(*) AS n_r FROM t GROUP BY c),
+    s AS (
+        SELECT CAST(SUM(CAST(r AS HUGEINT) * n_r) AS BIGINT) AS n,
+               CAST(SUM(n_r) AS BIGINT) AS vocab,
+               CAST(SUM(CAST(r AS HUGEINT) * r * n_r) AS BIGINT) AS sr2
+        FROM ff
+    )
+    SELECT n AS n_tokens, vocab,
+           CAST(ROUND(10000.0 * CAST(sr2 - n AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+                AS DOUBLE) AS yule_k
+    FROM s
+    """,
+)
+def yule_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    t = (
+        d.select(F.explode(_tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ff = t.groupBy(F.col("c").alias("r")).agg(
+        F.count(F.lit(1)).alias("n_r")
+    )
+    s = ff.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n"),
+        F.sum("n_r").cast("long").alias("vocab"),
+        F.sum(F.col("r") * F.col("r") * F.col("n_r"))
+        .cast("long")
+        .alias("sr2"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        F.col("n").alias("n_tokens"),
+        "vocab",
+        F.round(
+            F.lit(10000.0) * (F.col("sr2") - F.col("n")).cast("double")
+            / (nd * nd),
+            6,
+        ).alias("yule_k"),
+    )

@@ -423,3 +423,90 @@ def test_markov_entropy_rate_q_matches_bruteforce(spark):
     )
     assert row["n_transitions"] == nt
     assert row["entropy_rate_nats"] == pytest.approx(h, abs=2e-6)
+
+
+def test_matryoshka_fidelity_q_matches_bruteforce(spark):
+    """Prefix-vs-full cosine fidelity replayed in numpy."""
+    import numpy as np
+
+    con = duckdb.connect()
+    vecs = {
+        vid: np.array(v, dtype=np.float64)
+        for vid, v in con.execute(
+            f"SELECT vec_id, embedding FROM "
+            f"read_parquet('{SF_SMALL}/embeddings.parquet') "
+            f"WHERE vec_id < 200"
+        ).fetchall()
+    }
+    cf, cp = [], []
+
+    def cos(a, b):
+        # same left-to-right fold order as both engines
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return dot / math.sqrt(na * nb)
+
+    for i in range(100):
+        a, b = vecs[i], vecs[i + 100]
+        cf.append(round(cos(a, b) * 10000))
+        cp.append(round(cos(a[:32], b[:32]) * 10000))
+    n = len(cf)
+    import numpy as np
+
+    cfa, cpa = np.array(cf, float), np.array(cp, float)
+    corr = np.corrcoef(cfa, cpa)[0, 1]
+    gap = np.abs(cfa - cpa).mean() / 10000.0
+    row = (
+        REGISTRY["matryoshka_fidelity_q"].fn(spark, SF_SMALL).collect()[0]
+    )
+    assert row["n_pairs"] == n
+    assert row["cos_corr"] == pytest.approx(corr, abs=2e-5)
+    assert row["mean_abs_gap"] == pytest.approx(gap, abs=2e-5)
+
+
+def test_weighted_jaccard_q_matches_bruteforce(spark):
+    """Min/max token-mass overlap replayed with Counters."""
+    vec = defaultdict(Counter)
+    for _, text, source in _docs():
+        vec[source].update(_tok(text))
+    pairs = {}
+    srcs = sorted(vec)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            smin = sum(
+                min(vec[sa][t], vec[sb][t]) for t in vec[sa] if t in vec[sb]
+            )
+            smax = (
+                sum(vec[sa].values()) + sum(vec[sb].values()) - smin
+            )
+            pairs[(sa, sb)] = smin / smax
+    top = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    got = [
+        ((r["sa"], r["sb"]), r["weighted_jaccard"])
+        for r in REGISTRY["weighted_jaccard_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    ]
+    assert [k for k, _ in got] == [k for k, _ in top]
+    for (k, v), (_, want) in zip(got, top):
+        assert v == pytest.approx(want, abs=2e-6)
+
+
+def test_yule_k_q_matches_bruteforce(spark):
+    """Yule's K from frequency-of-frequencies via Counters."""
+    toks = Counter()
+    for _, text, _ in _docs():
+        toks.update(_tok(text))
+    n = sum(toks.values())
+    sr2 = sum(c * c for c in toks.values())
+    k = 10000.0 * (sr2 - n) / (n * n)
+    row = REGISTRY["yule_k_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_tokens"] == n and row["vocab"] == len(toks)
+    assert row["yule_k"] == pytest.approx(k, abs=2e-6)
