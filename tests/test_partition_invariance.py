@@ -49,6 +49,12 @@ SENSITIVE = [
     "lsh_precision_eval_q",   # banded candidates + exact verify
     "stratified_split_q",     # content-hash rank per stratum
     "concepts_export_q",      # whole exporter pipeline + topo levels
+    # round-8 session-2: rank statistics on global_cumsum midranks
+    "mann_whitney_q",         # range-partitioned prefix counts
+    "spearman_corr_q",        # two midrank tables + decimal sums
+    "brown_forsythe_q",       # grouped_index medians + micro-unit sums
+    "trimmed_mean_q",         # grouped_index band + decimal mean
+    "matryoshka_fidelity_q",  # per-pair fold cosines + scaled ints
 ]
 
 
