@@ -17162,3 +17162,395 @@ def yule_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("yule_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch — round-8 session 3: k-sample rank test, rank concordance on the
+# daily frame, embedding isotropy, and categorical effect size. The rank
+# test rides avg_rank2_table (range-partitioned midranks, doubled to stay
+# integral); the time-series test runs on the calendar-bounded daily frame
+# (O(days²) pairs is metadata-scale); isotropy uses the sum-vector
+# identity so mean pairwise cosine needs NO pair join at all.
+# ---------------------------------------------------------------------------
+
+
+# Kruskal-Wallis H: does order value distribute identically across the
+# five event types? The k-sample generalization of Mann-Whitney — the
+# test an experimenter reaches for before trusting a per-type mean table.
+# Scale shape: values collapse to one row per DISTINCT value (hash agg),
+# midranks come from global_cumsum's range-partitioned prefix count
+# (never a single-partition window), per-type rank sums are exact BIGINTs
+# of doubled ranks (R_j = r2j/2 ⇒ 12/4 = 3 in the H constant), and the
+# tie-corrected statistic is one single-row float expression.
+@register(
+    "kruskal_wallis_q",
+    """
+    WITH c AS (
+        SELECT value AS v, event_type AS et, COUNT(*) AS cvt
+        FROM events GROUP BY value, event_type
+    ),
+    cv AS (SELECT v, SUM(cvt) AS cnt FROM c GROUP BY v),
+    r AS (
+        SELECT v, 2 * SUM(cnt) OVER (ORDER BY v) - cnt + 1 AS rank2
+        FROM cv
+    ),
+    g AS (
+        SELECT et, CAST(SUM(cvt) AS BIGINT) AS nj,
+               CAST(SUM(CAST(cvt AS HUGEINT) * rank2) AS BIGINT) AS r2j
+        FROM c JOIN r USING (v) GROUP BY et
+    ),
+    ties AS (
+        SELECT CAST(COALESCE(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt),
+                             0) AS BIGINT) AS tie
+        FROM cv WHERE cnt > 1
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+               CAST(SUM(nj) AS BIGINT) AS n_total,
+               SUM(CAST(r2j AS DOUBLE) * r2j / nj) AS sr
+        FROM g
+    )
+    SELECT k_groups, n_total, k_groups - 1 AS dof,
+           CAST(ROUND(
+               (3.0 * sr / (CAST(n_total AS DOUBLE) * (n_total + 1))
+                - 3.0 * (n_total + 1))
+               / (1.0 - CAST(tie AS DOUBLE)
+                  / (CAST(n_total AS DOUBLE) * n_total * n_total
+                     - n_total)),
+               6) + 0.0 AS DOUBLE) AS h_stat
+    FROM s CROSS JOIN ties
+    """,
+)
+def kruskal_wallis_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iniz_exporters_spark.operators.indexing import avg_rank2_table
+
+    e = Catalog(spark, sf_dir).events
+    c = e.groupBy(
+        F.col("value").alias("v"), F.col("event_type").alias("et")
+    ).agg(F.count(F.lit(1)).alias("cvt"))
+    cv = c.groupBy("v").agg(F.sum("cvt").alias("cnt"))
+    r = avg_rank2_table(cv, "v")
+    g = (
+        c.join(r.select("v", "rank2"), "v")
+        .groupBy("et")
+        .agg(
+            F.sum("cvt").cast("long").alias("nj"),
+            F.sum(F.col("cvt") * F.col("rank2")).cast("long").alias("r2j"),
+        )
+    )
+    ties = cv.filter(F.col("cnt") > 1).agg(
+        F.coalesce(
+            F.sum(
+                F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("tie")
+    )
+    s = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("nj").cast("long").alias("n_total"),
+        F.sum(
+            F.col("r2j").cast("double") * F.col("r2j") / F.col("nj")
+        ).alias("sr"),
+    )
+    nd = F.col("n_total").cast("double")
+    h = (
+        F.lit(3.0) * F.col("sr") / (nd * (F.col("n_total") + 1))
+        - F.lit(3.0) * (F.col("n_total") + 1)
+    ) / (
+        F.lit(1.0)
+        - F.col("tie").cast("double")
+        / (nd * F.col("n_total") * F.col("n_total") - F.col("n_total"))
+    )
+    return s.crossJoin(F.broadcast(ties)).select(
+        "k_groups",
+        "n_total",
+        (F.col("k_groups") - 1).alias("dof"),
+        (F.round(h, 6) + F.lit(0.0)).alias("h_stat"),
+    )
+
+
+# Kendall tau-b rank concordance between daily purchase revenue and daily
+# purchase count — "do busier days make more money, monotonically?"
+# robust to outlier days in a way Pearson is not. Scale shape: the corpus
+# collapses to the calendar-bounded daily frame first (exact DECIMAL
+# revenue, BIGINT count), the O(days²) pair join is metadata-scale, and
+# every term (concordant/discordant counts, doubled tie terms t(t-1)) is
+# an exact integer until the one final tau expression — integer-only
+# halving is avoided by keeping n₀ and the tie terms DOUBLED.
+@register(
+    "kendall_tau_q",
+    """
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+                   AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    p AS (
+        SELECT CAST(SUM(CASE WHEN (b.x > a.x AND b.y > a.y)
+                               OR (b.x < a.x AND b.y < a.y)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+               CAST(SUM(CASE WHEN (b.x > a.x AND b.y < a.y)
+                               OR (b.x < a.x AND b.y > a.y)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS nd
+        FROM d a JOIN d b ON a.day < b.day
+    ),
+    tx AS (
+        SELECT CAST(COALESCE(SUM(t * (t - 1)), 0) AS BIGINT) AS tx2
+        FROM (SELECT COUNT(*) AS t FROM d GROUP BY x) WHERE t > 1
+    ),
+    ty AS (
+        SELECT CAST(COALESCE(SUM(t * (t - 1)), 0) AS BIGINT) AS ty2
+        FROM (SELECT COUNT(*) AS t FROM d GROUP BY y) WHERE t > 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM d)
+    SELECT n_days, nc AS concordant, nd AS discordant,
+           CAST(ROUND(
+               2.0 * CAST(nc - nd AS DOUBLE)
+               / SQRT((CAST(n_days AS DOUBLE) * (n_days - 1) - tx2)
+                      * (CAST(n_days AS DOUBLE) * (n_days - 1) - ty2)),
+               6) + 0.0 AS DOUBLE) AS tau_b
+    FROM n CROSS JOIN p CROSS JOIN tx CROSS JOIN ty
+    """,
+)
+def kendall_tau_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    d = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(_dec(F.col("value"), 18, 6))
+        .cast("decimal(18,6)")
+        .alias("x"),
+        F.count(F.lit(1)).cast("long").alias("y"),
+    )
+    a = d.select(
+        F.col("day").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = d.select(
+        F.col("day").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    conc = (F.col("xb") > F.col("xa")) & (F.col("yb") > F.col("ya")) | (
+        F.col("xb") < F.col("xa")
+    ) & (F.col("yb") < F.col("ya"))
+    disc = (F.col("xb") > F.col("xa")) & (F.col("yb") < F.col("ya")) | (
+        F.col("xb") < F.col("xa")
+    ) & (F.col("yb") > F.col("ya"))
+    p = a.join(b, F.col("da") < F.col("db")).agg(
+        F.sum(F.when(conc, 1).otherwise(0)).cast("long").alias("nc"),
+        F.sum(F.when(disc, 1).otherwise(0)).cast("long").alias("nd"),
+    )
+
+    def _tie2(col: str, out: str) -> DataFrame:
+        return (
+            d.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("t"))
+            .filter(F.col("t") > 1)
+            .agg(
+                F.coalesce(F.sum(F.col("t") * (F.col("t") - 1)), F.lit(0))
+                .cast("long")
+                .alias(out)
+            )
+        )
+
+    tx = _tie2("x", "tx2")
+    ty = _tie2("y", "ty2")
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    nd_ = F.col("n_days").cast("double")
+    tau = (
+        F.lit(2.0)
+        * (F.col("nc") - F.col("nd")).cast("double")
+        / F.sqrt(
+            (nd_ * (F.col("n_days") - 1) - F.col("tx2"))
+            * (nd_ * (F.col("n_days") - 1) - F.col("ty2"))
+        )
+    )
+    return (
+        n.crossJoin(F.broadcast(p))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            "n_days",
+            F.col("nc").alias("concordant"),
+            F.col("nd").alias("discordant"),
+            (F.round(tau, 6) + F.lit(0.0)).alias("tau_b"),
+        )
+    )
+
+
+# Embedding isotropy: mean pairwise cosine of the UNIT-normalized corpus
+# via the sum-vector identity Σ_{i≠j} uᵢ·uⱼ = ‖Σu‖² − Σ‖u‖² — the
+# anisotropy diagnostic ("are all my vectors pointing the same way?")
+# computed with ZERO pair joins: one posexplode, one per-dim sum, one
+# 64-row reduction. Per-dim sums are DECIMAL(28,12)-quantized so partial
+# -sum order cannot perturb them (the established covariance pattern);
+# norms are in-row left folds, identical in both engines after the
+# FLOAT→DOUBLE cast. mean_resultant_norm = ‖Σu‖/n is the companion
+# directional-concentration statistic.
+@register(
+    "isotropy_q",
+    """
+    WITH nr AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               SQRT(list_reduce(
+                   list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   (a, b) -> a + b)) AS nrm
+        FROM embeddings
+    ),
+    ex AS (
+        SELECT i AS dim, v[i + 1] / nrm AS uv
+        FROM nr CROSS JOIN (SELECT unnest(range(0, 64)) AS i) d
+        WHERE nrm > 0
+    ),
+    sd AS (
+        SELECT dim, SUM(CAST(uv AS DECIMAL(28,12))) AS s
+        FROM ex GROUP BY dim
+    ),
+    ss AS (
+        SELECT SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) AS ss FROM sd
+    ),
+    n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM nr WHERE nrm > 0
+    )
+    SELECT n_vecs,
+           CAST(ROUND((ss - n_vecs)
+                      / (CAST(n_vecs AS DOUBLE) * (n_vecs - 1)), 6)
+                + 0.0 AS DOUBLE) AS mean_pairwise_cos,
+           CAST(ROUND(SQRT(ss) / n_vecs, 6) + 0.0 AS DOUBLE)
+               AS mean_resultant_norm
+    FROM n CROSS JOIN ss
+    """,
+)
+def isotropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    xd = lambda x: x.cast("double")  # noqa: E731
+    nr = e.select(
+        "embedding",
+        F.sqrt(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda a, x: a + xd(x) * xd(x)
+            )
+        ).alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    ex = nr.select(
+        F.posexplode("embedding").alias("dim", "x"), "nrm"
+    ).select("dim", (xd(F.col("x")) / F.col("nrm")).alias("uv"))
+    sd = ex.groupBy("dim").agg(
+        F.sum(F.col("uv").cast("decimal(28,12)")).alias("s")
+    )
+    ss = sd.agg(
+        F.sum(F.col("s").cast("double") * F.col("s").cast("double")).alias(
+            "ss"
+        )
+    )
+    n = nr.agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    nv = F.col("n_vecs").cast("double")
+    return n.crossJoin(F.broadcast(ss)).select(
+        "n_vecs",
+        (
+            F.round(
+                (F.col("ss") - F.col("n_vecs")) / (nv * (F.col("n_vecs") - 1)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mean_pairwise_cos"),
+        (F.round(F.sqrt(F.col("ss")) / nv, 6) + F.lit(0.0)).alias(
+            "mean_resultant_norm"
+        ),
+    )
+
+
+# Cramér's V effect size for the order-priority × order-status
+# contingency — the "is this χ² big ENOUGH to matter" companion to
+# chi2_independence_q, on a different table and pair. Full r×c grid
+# including structurally-zero cells (an absent pair still contributes
+# its expected count). Scale shape: one hash agg to the 15-cell grid,
+# broadcast marginals, single-row float finish.
+@register(
+    "cramers_v_q",
+    """
+    WITH cells AS (
+        SELECT o_orderpriority AS a, o_orderstatus AS b, COUNT(*) AS o
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ),
+    rt AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY a),
+    ct AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY b),
+    tot AS (SELECT SUM(o) AS n FROM cells),
+    m AS (
+        SELECT COALESCE(c.o, 0) AS o, rt.ra, ct.cb, tot.n
+        FROM rt CROSS JOIN ct CROSS JOIN tot
+        LEFT JOIN cells c ON c.a = rt.a AND c.b = ct.b
+    ),
+    ch AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+               SUM((CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * cb / n)
+                   * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * cb / n)
+                   / (CAST(ra AS DOUBLE) * cb / n)) AS chi2
+        FROM m
+    ),
+    d AS (
+        SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS r_levels,
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS c_levels
+        FROM orders
+    )
+    SELECT n_rows, r_levels, c_levels,
+           CAST(ROUND(chi2, 6) + 0.0 AS DOUBLE) AS chi2_stat,
+           CAST(ROUND(SQRT(chi2 / (n_rows
+                      * (LEAST(r_levels, c_levels) - 1))), 6)
+                + 0.0 AS DOUBLE) AS cramers_v
+    FROM ch CROSS JOIN d
+    """,
+)
+def cramers_v_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("a"),
+        F.col("o_orderstatus").alias("b"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = cells.groupBy("a").agg(F.sum("o").alias("ra"))
+    ct = cells.groupBy("b").agg(F.sum("o").alias("cb"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    m = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(cells), ["a", "b"], "left")
+        .select(F.coalesce(F.col("o"), F.lit(0)).alias("o"), "ra", "cb", "n")
+    )
+    exp = F.col("ra").cast("double") * F.col("cb") / F.col("n")
+    ch = m.agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.sum(
+            (F.col("o").cast("double") - exp)
+            * (F.col("o").cast("double") - exp)
+            / exp
+        ).alias("chi2"),
+    )
+    d = o.agg(
+        F.countDistinct("o_orderpriority").cast("long").alias("r_levels"),
+        F.countDistinct("o_orderstatus").cast("long").alias("c_levels"),
+    )
+    return ch.crossJoin(F.broadcast(d)).select(
+        "n_rows",
+        "r_levels",
+        "c_levels",
+        (F.round(F.col("chi2"), 6) + F.lit(0.0)).alias("chi2_stat"),
+        (
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("n_rows")
+                        * (F.least("r_levels", "c_levels") - 1)
+                    )
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("cramers_v"),
+    )

@@ -510,3 +510,122 @@ def test_yule_k_q_matches_bruteforce(spark):
     row = REGISTRY["yule_k_q"].fn(spark, SF_SMALL).collect()[0]
     assert row["n_tokens"] == n and row["vocab"] == len(toks)
     assert row["yule_k"] == pytest.approx(k, abs=2e-6)
+
+
+def test_kruskal_wallis_q_matches_bruteforce(spark):
+    """Tie-corrected H replayed with a plain midrank sort."""
+    vals = [(v, et) for _, _, _, v, et in _events()]
+    ordered = sorted(vals, key=lambda p: p[0])
+    ranks, i = {}, 0
+    while i < len(ordered):
+        j = i
+        while j < len(ordered) and ordered[j][0] == ordered[i][0]:
+            j += 1
+        mid = (i + 1 + j) / 2.0
+        ranks[ordered[i][0]] = mid
+        i = j
+    n = len(vals)
+    groups = defaultdict(list)
+    for v, et in vals:
+        groups[et].append(ranks[v])
+    sr = sum(sum(rs) ** 2 / len(rs) for rs in groups.values())
+    h = 12.0 * sr / (n * (n + 1)) - 3 * (n + 1)
+    tie = sum(
+        t**3 - t for t in Counter(v for v, _ in vals).values() if t > 1
+    )
+    h /= 1.0 - tie / (n**3 - n)
+    row = REGISTRY["kruskal_wallis_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["k_groups"] == len(groups) and row["n_total"] == n
+    assert row["dof"] == len(groups) - 1
+    assert row["h_stat"] == pytest.approx(h, abs=2e-6)
+
+
+def test_kendall_tau_q_matches_bruteforce(spark):
+    """Tau-b replayed with an O(days²) double loop."""
+    days = defaultdict(lambda: [Decimal(0), 0])
+    for _, ts, _, v, et in _events():
+        if et == "purchase":
+            d = days[ts.date()]
+            d[0] += Decimal(str(v)).quantize(Decimal("0.000001"))
+            d[1] += 1
+    pts = [tuple(days[d]) for d in sorted(days)]
+    nc = nd = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            dx = (pts[j][0] > pts[i][0]) - (pts[j][0] < pts[i][0])
+            dy = (pts[j][1] > pts[i][1]) - (pts[j][1] < pts[i][1])
+            if dx * dy > 0:
+                nc += 1
+            elif dx * dy < 0:
+                nd += 1
+    n = len(pts)
+    tx2 = sum(
+        t * (t - 1) for t in Counter(p[0] for p in pts).values() if t > 1
+    )
+    ty2 = sum(
+        t * (t - 1) for t in Counter(p[1] for p in pts).values() if t > 1
+    )
+    tau = (
+        2.0
+        * (nc - nd)
+        / math.sqrt((n * (n - 1) - tx2) * (n * (n - 1) - ty2))
+    )
+    row = REGISTRY["kendall_tau_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_days"] == n
+    assert row["concordant"] == nc and row["discordant"] == nd
+    assert row["tau_b"] == pytest.approx(tau, abs=2e-6)
+
+
+def test_isotropy_q_matches_bruteforce(spark):
+    """Mean pairwise cosine replayed as a LITERAL O(n²) double loop —
+    independent of the sum-vector identity the query uses."""
+    con = duckdb.connect()
+    vecs = [
+        r[0]
+        for r in con.execute(
+            f"SELECT embedding FROM "
+            f"read_parquet('{SF_SMALL}/embeddings.parquet') ORDER BY vec_id"
+        ).fetchall()
+    ]
+    units = []
+    for v in vecs:
+        nrm = math.sqrt(sum(float(x) * float(x) for x in v))
+        if nrm > 0:
+            units.append([float(x) / nrm for x in v])
+    n = len(units)
+    tot = 0.0
+    for i in range(n):
+        for j in range(i + 1, n):
+            tot += sum(a * b for a, b in zip(units[i], units[j]))
+    mean_cos = 2.0 * tot / (n * (n - 1))
+    sums = [sum(u[k] for u in units) for k in range(64)]
+    mrn = math.sqrt(sum(s * s for s in sums)) / n
+    row = REGISTRY["isotropy_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_vecs"] == n
+    assert row["mean_pairwise_cos"] == pytest.approx(mean_cos, abs=2e-6)
+    assert row["mean_resultant_norm"] == pytest.approx(mrn, abs=2e-6)
+
+
+def test_cramers_v_q_matches_bruteforce(spark):
+    """Chi² + V replayed with Counters over the full r×c grid."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT o_orderpriority, o_orderstatus FROM "
+        f"read_parquet('{SF_SMALL}/orders.parquet')"
+    ).fetchall()
+    cells = Counter(rows)
+    ra = Counter(a for a, _ in rows)
+    cb = Counter(b for _, b in rows)
+    n = len(rows)
+    chi2 = 0.0
+    for a in ra:
+        for b in cb:
+            e = ra[a] * cb[b] / n
+            o = cells.get((a, b), 0)
+            chi2 += (o - e) ** 2 / e
+    v = math.sqrt(chi2 / (n * (min(len(ra), len(cb)) - 1)))
+    row = REGISTRY["cramers_v_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_rows"] == n
+    assert row["r_levels"] == len(ra) and row["c_levels"] == len(cb)
+    assert row["chi2_stat"] == pytest.approx(chi2, abs=2e-6)
+    assert row["cramers_v"] == pytest.approx(v, abs=2e-6)
