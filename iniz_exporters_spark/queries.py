@@ -17554,3 +17554,486 @@ def cramers_v_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch — round-8 session 3 (continued): sequential changepoint detection,
+# regularity (sample entropy), long-range dependence (Hurst R/S), and
+# graph link prediction by neighbor overlap. The three time-series ops run
+# on the calendar-bounded daily frame (ordered windows are metadata-scale
+# by construction); every running statistic is DECIMAL-quantized before a
+# cumulative window so partial-sum order can never perturb it (the
+# cusum_changepoint_q pattern).
+# ---------------------------------------------------------------------------
+
+
+# Page-Hinkley test on daily error-event rate: PH_t = Σ_{s≤t}(x_s − x̄_s),
+# signal_t = PH_t − min_{s≤t} PH_s — the sequential drift detector that,
+# unlike CUSUM-against-global-mean, uses only the running mean available
+# at time t (deployable online). All cumulative terms are exact DECIMALs;
+# the one float step (prefix mean) is re-quantized to DECIMAL(18,6)
+# before it enters the cumulative sum.
+@register(
+    "page_hinkley_q",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*) AS DECIMAL(18,6)) AS m
+        FROM events WHERE event_type = 'error'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    rm AS (
+        SELECT day, m,
+               CAST(CAST(SUM(m) OVER (ORDER BY day) AS DOUBLE)
+                    / ROW_NUMBER() OVER (ORDER BY day)
+                    AS DECIMAL(18,6)) AS run_mean
+        FROM daily
+    ),
+    ph AS (
+        SELECT day, m, run_mean,
+               SUM(m - run_mean) OVER (ORDER BY day) AS ph_stat
+        FROM rm
+    ),
+    sg AS (
+        SELECT day, m, ph_stat,
+               ph_stat - MIN(ph_stat) OVER (ORDER BY day) AS signal
+        FROM ph
+    )
+    SELECT day,
+           CAST(ROUND(CAST(m AS DOUBLE), 4) AS DOUBLE) + 0.0 AS daily_mean,
+           CAST(ROUND(CAST(ph_stat AS DOUBLE), 4) AS DOUBLE) + 0.0
+               AS ph_stat,
+           CAST(ROUND(CAST(signal AS DOUBLE), 4) AS DOUBLE) + 0.0
+               AS signal,
+           signal = MAX(signal) OVER () AS is_alarm_peak
+    FROM sg
+    """,
+)
+def page_hinkley_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "error"
+    )
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(_dec(F.col("value"), 18, 6)).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("decimal(18,6)")
+        .alias("m")
+    )
+    # calendar-bounded frame: the unpartitioned windows below run over
+    # ~30 rows, never corpus-scale
+    wday = Window.orderBy("day")
+    wrun = wday.rowsBetween(Window.unboundedPreceding, 0)
+    rm = daily.withColumn(
+        "run_mean",
+        (
+            F.sum("m").over(wrun).cast("double")
+            / F.row_number().over(wday)
+        ).cast("decimal(18,6)"),
+    )
+    ph = rm.withColumn(
+        "ph_stat", F.sum(F.col("m") - F.col("run_mean")).over(wrun)
+    )
+    sg = ph.withColumn(
+        "signal", F.col("ph_stat") - F.min("ph_stat").over(wrun)
+    )
+    wall = Window.partitionBy()
+    return sg.select(
+        "day",
+        (F.round(F.col("m").cast("double"), 4) + F.lit(0.0)).alias(
+            "daily_mean"
+        ),
+        (F.round(F.col("ph_stat").cast("double"), 4) + F.lit(0.0)).alias(
+            "ph_stat"
+        ),
+        (F.round(F.col("signal").cast("double"), 4) + F.lit(0.0)).alias(
+            "signal"
+        ),
+        (F.col("signal") == F.max("signal").over(wall)).alias(
+            "is_alarm_peak"
+        ),
+    )
+
+
+# Sample entropy (m=2, r=0.2σ) of the daily purchase-revenue series —
+# the regularity score monitoring dashboards use to tell "noisy but
+# stationary" from "structured drift" (lower = more self-similar).
+# Template-match counts are exact integers (the float threshold r is
+# derived identically in both engines from exact DECIMAL sums, and every
+# compared value is an exact DECIMAL cast to double), so the only float
+# output is the final −ln(A/B). O(days²) pair join on the
+# calendar-bounded frame.
+@register(
+    "sample_entropy_q",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+                   AS x
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    idx AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY day) AS t,
+               CAST(x AS DOUBLE) AS x
+        FROM daily
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n,
+               0.2 * SQRT(SUM(x * x) / COUNT(*)
+                          - (SUM(x) / COUNT(*)) * (SUM(x) / COUNT(*)))
+                   AS r
+        FROM (SELECT CAST(x AS DOUBLE) AS x FROM daily)
+    ),
+    v AS (
+        SELECT t, x,
+               LEAD(x, 1) OVER (ORDER BY t) AS x1,
+               LEAD(x, 2) OVER (ORDER BY t) AS x2
+        FROM idx
+    ),
+    pairs AS (
+        SELECT CAST(SUM(CASE WHEN ABS(a.x - b.x) <= r
+                              AND ABS(a.x1 - b.x1) <= r
+                             THEN 1 ELSE 0 END) AS BIGINT) AS b_count,
+               CAST(SUM(CASE WHEN a.x2 IS NOT NULL AND b.x2 IS NOT NULL
+                              AND ABS(a.x - b.x) <= r
+                              AND ABS(a.x1 - b.x1) <= r
+                              AND ABS(a.x2 - b.x2) <= r
+                             THEN 1 ELSE 0 END) AS BIGINT) AS a_count
+        FROM v a JOIN v b ON a.t < b.t CROSS JOIN stats
+        WHERE a.x1 IS NOT NULL AND b.x1 IS NOT NULL
+    )
+    SELECT CAST(n AS BIGINT) AS n_days, b_count, a_count,
+           CASE WHEN a_count > 0 AND b_count > 0 THEN
+               CAST(ROUND(-LN(CAST(a_count AS DOUBLE) / b_count), 6)
+                    + 0.0 AS DOUBLE)
+           END AS sampen
+    FROM stats CROSS JOIN pairs
+    """,
+)
+def sample_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(_dec(F.col("value"), 18, 6))
+        .cast("decimal(18,6)")
+        .alias("x")
+    )
+    # metadata-scale frame: ordered windows over ~30 calendar days
+    wday = Window.orderBy("day")
+    idx = daily.select(
+        F.row_number().over(wday).alias("t"),
+        F.col("x").cast("double").alias("x"),
+    )
+    xd = F.col("x").cast("double")
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.lit(0.2)
+            * F.sqrt(
+                F.sum(xd * xd) / F.count(F.lit(1))
+                - (F.sum(xd) / F.count(F.lit(1)))
+                * (F.sum(xd) / F.count(F.lit(1)))
+            )
+        ).alias("r"),
+    )
+    wt = Window.orderBy("t")
+    v = idx.select(
+        "t",
+        "x",
+        F.lead("x", 1).over(wt).alias("x1"),
+        F.lead("x", 2).over(wt).alias("x2"),
+    )
+    a = v.select(
+        F.col("t").alias("ta"),
+        F.col("x").alias("xa"),
+        F.col("x1").alias("xa1"),
+        F.col("x2").alias("xa2"),
+    ).filter(F.col("xa1").isNotNull())
+    b = v.select(
+        F.col("t").alias("tb"),
+        F.col("x").alias("xb"),
+        F.col("x1").alias("xb1"),
+        F.col("x2").alias("xb2"),
+    ).filter(F.col("xb1").isNotNull())
+    r = F.col("r")
+    match2 = (F.abs(F.col("xa") - F.col("xb")) <= r) & (
+        F.abs(F.col("xa1") - F.col("xb1")) <= r
+    )
+    match3 = (
+        F.col("xa2").isNotNull()
+        & F.col("xb2").isNotNull()
+        & match2
+        & (F.abs(F.col("xa2") - F.col("xb2")) <= r)
+    )
+    pairs = (
+        a.join(b, F.col("ta") < F.col("tb"))
+        .crossJoin(F.broadcast(stats))
+        .agg(
+            F.sum(F.when(match2, 1).otherwise(0))
+            .cast("long")
+            .alias("b_count"),
+            F.sum(F.when(match3, 1).otherwise(0))
+            .cast("long")
+            .alias("a_count"),
+        )
+    )
+    sampen = F.when(
+        (F.col("a_count") > 0) & (F.col("b_count") > 0),
+        F.round(
+            -F.log(F.col("a_count").cast("double") / F.col("b_count")), 6
+        )
+        + F.lit(0.0),
+    )
+    return stats.crossJoin(F.broadcast(pairs)).select(
+        F.col("n").cast("long").alias("n_days"),
+        "b_count",
+        "a_count",
+        sampen.alias("sampen"),
+    )
+
+
+# Hurst exponent by rescaled-range (R/S) analysis of daily purchase
+# revenue: slope of ln(avg R/S) on ln(block size) over block sizes
+# {5,10,15,30} — H≈0.5 random walk, H>0.5 trending, H<0.5 mean-
+# reverting. Per-block R/S is DECIMAL-quantized before the cross-block
+# average, and the 4 regression terms are DECIMAL(28,12)-quantized
+# before their sums, so no cross-row float accumulation survives
+# anywhere. All windows partition by (block size, block id) — ≤30 rows.
+@register(
+    "hurst_exponent_q",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+                   AS x
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    idx AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY day) AS t, x FROM daily
+    ),
+    blocks AS (
+        SELECT bn, (t - 1) // bn AS blk, t, x
+        FROM idx CROSS JOIN (SELECT unnest([5, 10, 15, 30]) AS bn) s
+    ),
+    sized AS (
+        SELECT bn, blk, t, x,
+               COUNT(*) OVER (PARTITION BY bn, blk) AS bsz
+        FROM blocks
+    ),
+    full_blocks AS (SELECT * FROM sized WHERE bsz = bn),
+    mu AS (
+        SELECT bn, blk, t, x,
+               CAST(CAST(SUM(x) OVER (PARTITION BY bn, blk) AS DOUBLE)
+                    / bn AS DECIMAL(18,6)) AS m
+        FROM full_blocks
+    ),
+    cum AS (
+        SELECT bn, blk, x, m,
+               SUM(x - m) OVER (PARTITION BY bn, blk ORDER BY t) AS cd
+        FROM mu
+    ),
+    rs AS (
+        SELECT bn, blk,
+               CAST(
+                   CAST(MAX(cd) - MIN(cd) AS DOUBLE)
+                   / SQRT(SUM(CAST(x - m AS DOUBLE)
+                              * CAST(x - m AS DOUBLE)) / bn)
+                   AS DECIMAL(18,6)) AS rs_val
+        FROM cum GROUP BY bn, blk
+        HAVING SUM(CAST(x - m AS DOUBLE) * CAST(x - m AS DOUBLE)) > 0
+    ),
+    avg_rs AS (
+        SELECT bn,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(CAST(SUM(rs_val) AS DOUBLE) / COUNT(*)
+                    AS DECIMAL(18,6)) AS a_rs
+        FROM rs GROUP BY bn
+    ),
+    pts AS (
+        SELECT CAST(LN(CAST(bn AS DOUBLE)) AS DECIMAL(28,12)) AS lx,
+               CAST(LN(CAST(a_rs AS DOUBLE)) AS DECIMAL(28,12)) AS ly
+        FROM avg_rs
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(lx) AS DOUBLE) AS sx,
+               CAST(SUM(ly) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(lx * ly AS DECIMAL(38,18))) AS DOUBLE)
+                   AS sxy,
+               CAST(SUM(CAST(lx * lx AS DECIMAL(38,18))) AS DOUBLE)
+                   AS sxx
+        FROM pts
+    )
+    SELECT k AS n_scales,
+           CAST(ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+                + 0.0 AS DOUBLE) AS hurst
+    FROM fit
+    """,
+)
+def hurst_exponent_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(_dec(F.col("value"), 18, 6))
+        .cast("decimal(18,6)")
+        .alias("x")
+    )
+    # metadata-scale frame: ~30 calendar days; all windows below are
+    # bounded by (block size, block id)
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("t"), "x"
+    )
+    bns = spark.createDataFrame([(5,), (10,), (15,), (30,)], "bn int")
+    blocks = idx.crossJoin(F.broadcast(bns)).select(
+        "bn",
+        F.floor((F.col("t") - 1) / F.col("bn")).alias("blk"),
+        "t",
+        "x",
+    )
+    wblk = Window.partitionBy("bn", "blk")
+    sized = blocks.withColumn("bsz", F.count(F.lit(1)).over(wblk))
+    fullb = sized.filter(F.col("bsz") == F.col("bn"))
+    mu = fullb.withColumn(
+        "m",
+        (F.sum("x").over(wblk).cast("double") / F.col("bn")).cast(
+            "decimal(18,6)"
+        ),
+    )
+    cum = mu.withColumn(
+        "cd",
+        F.sum(F.col("x") - F.col("m")).over(wblk.orderBy("t")),
+    )
+    dev = (F.col("x") - F.col("m")).cast("double")
+    rs = (
+        cum.groupBy("bn", "blk")
+        .agg(
+            (F.max("cd") - F.min("cd")).cast("double").alias("rng"),
+            F.sum(dev * dev).alias("ssq"),
+            F.first("bn").alias("_bn"),
+        )
+        .filter(F.col("ssq") > 0)
+        .select(
+            "bn",
+            (
+                F.col("rng") / F.sqrt(F.col("ssq") / F.col("bn"))
+            )
+            .cast("decimal(18,6)")
+            .alias("rs_val"),
+        )
+    )
+    avg_rs = rs.groupBy("bn").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        (F.sum("rs_val").cast("double") / F.count(F.lit(1)))
+        .cast("decimal(18,6)")
+        .alias("a_rs"),
+    )
+    pts = avg_rs.select(
+        F.log(F.col("bn").cast("double"))
+        .cast("decimal(28,12)")
+        .alias("lx"),
+        F.log(F.col("a_rs").cast("double"))
+        .cast("decimal(28,12)")
+        .alias("ly"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("lx").cast("double").alias("sx"),
+        F.sum("ly").cast("double").alias("sy"),
+        F.sum((F.col("lx") * F.col("ly")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("lx") * F.col("lx")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return fit.select(
+        F.col("k").alias("n_scales"),
+        (F.round(slope, 6) + F.lit(0.0)).alias("hurst"),
+    )
+
+
+# Jaccard-coefficient link prediction on the part↔order bipartite graph:
+# for part pairs sharing ≥1 order, |N(a)∩N(b)| / |N(a)∪N(b)| over
+# ORDER-neighborhoods — the degree-normalized companion to
+# adamic_adar_q (which weights by neighbor informativeness instead).
+# Same scale guard: per-order fan-out capped at 64 parts, so candidate
+# pairs are O(Σ order_size²) with bounded order size, never all-pairs;
+# the pair shuffle carries ids only.
+@register(
+    "neighbor_jaccard_q",
+    """
+    WITH op0 AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    op AS (
+        SELECT o, p FROM (
+            SELECT o, p, ROW_NUMBER() OVER (PARTITION BY o ORDER BY p) AS rn
+            FROM op0) WHERE rn <= 64
+    ),
+    deg AS (SELECT p, COUNT(*) AS d FROM op GROUP BY p),
+    pairs AS (
+        SELECT a.p AS pa, b.p AS pb, COUNT(*) AS n_common
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+    )
+    SELECT pa, pb, CAST(n_common AS BIGINT) AS n_common,
+           CAST(da.d + db.d - n_common AS BIGINT) AS n_union,
+           CAST(ROUND(CAST(n_common AS DOUBLE)
+                      / (da.d + db.d - n_common), 6) AS DOUBLE)
+               AS jaccard
+    FROM pairs JOIN deg da ON pa = da.p JOIN deg db ON pb = db.p
+    ORDER BY CAST(n_common AS DOUBLE) / (da.d + db.d - n_common) DESC,
+             pa, pb
+    LIMIT 30
+    """,
+)
+def neighbor_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    op0 = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    # per-order window: partitions are bounded by order size, never
+    # corpus-scale
+    wo = Window.partitionBy("o").orderBy("p")
+    op = (
+        op0.withColumn("rn", F.row_number().over(wo))
+        .filter(F.col("rn") <= 64)
+        .drop("rn")
+    )
+    deg = op.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    a = op.select("o", F.col("p").alias("pa"))
+    b = op.select("o", F.col("p").alias("pb"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("p").alias("pa"), F.col("d").alias("da"))
+    db = deg.select(F.col("p").alias("pb"), F.col("d").alias("db"))
+    uni = F.col("da") + F.col("db") - F.col("n_common")
+    jac = F.col("n_common").cast("double") / uni
+    return (
+        pairs.join(da, "pa")
+        .join(db, "pb")
+        .select(
+            "pa",
+            "pb",
+            F.col("n_common").cast("long").alias("n_common"),
+            uni.cast("long").alias("n_union"),
+            F.round(jac, 6).alias("jaccard"),
+            jac.alias("_ord"),
+        )
+        .orderBy(F.col("_ord").desc(), "pa", "pb")
+        .limit(30)
+        .drop("_ord")
+    )

@@ -629,3 +629,166 @@ def test_cramers_v_q_matches_bruteforce(spark):
     assert row["r_levels"] == len(ra) and row["c_levels"] == len(cb)
     assert row["chi2_stat"] == pytest.approx(chi2, abs=2e-6)
     assert row["cramers_v"] == pytest.approx(v, abs=2e-6)
+
+
+def _daily(et, agg="sum"):
+    """Exact daily aggregate of event value for one event type."""
+    days = defaultdict(lambda: [Decimal(0), 0])
+    for _, ts, _, v, t in _events():
+        if t == et:
+            d = days[ts.date()]
+            d[0] += Decimal(str(v)).quantize(Decimal("0.000001"))
+            d[1] += 1
+    out = []
+    for day in sorted(days):
+        s, c = days[day]
+        out.append((s, c) if agg == "pairs" else s)
+    return out
+
+
+def _q6(x):
+    """Mirror Spark's double→DECIMAL(18,6) cast: BigDecimal.valueOf uses
+    the double's SHORTEST decimal repr (Double.toString), then HALF_UP —
+    not the exact binary expansion (62.69125 stored as 62.6912499…97
+    still rounds UP at the printed tie)."""
+    from decimal import ROUND_HALF_UP
+
+    v = Decimal(repr(float(x))) if isinstance(x, float) else Decimal(x)
+    return v.quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+
+
+def _r4(x):
+    """Mirror F.round(double, 4): HALF_UP on the shortest repr."""
+    from decimal import ROUND_HALF_UP
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal("0.0001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def test_page_hinkley_q_matches_bruteforce(spark):
+    """PH statistic replayed with a running Decimal loop."""
+    ms = [
+        # engine shape: SUM(decimal) → double, / count in double, → dec6
+        _q6(float(s) / c)
+        for s, c in _daily("error", agg="pairs")
+    ]
+    cum = Decimal(0)
+    run_sum = Decimal(0)
+    ph, mins, sig = [], [], []
+    run_min = None
+    for t, m in enumerate(ms, start=1):
+        run_sum += m
+        rm = _q6(float(run_sum) / t)
+        cum += m - rm
+        ph.append(cum)
+        run_min = cum if run_min is None else min(run_min, cum)
+        sig.append(cum - run_min)
+    peak = max(sig)
+    rows = sorted(
+        REGISTRY["page_hinkley_q"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: r["day"],
+    )
+    assert len(rows) == len(ms)
+    for i, r in enumerate(rows):
+        assert r["daily_mean"] == pytest.approx(_r4(ms[i]), abs=1e-9)
+        assert r["ph_stat"] == pytest.approx(_r4(ph[i]), abs=1e-9)
+        assert r["signal"] == pytest.approx(_r4(sig[i]), abs=1e-9)
+        assert r["is_alarm_peak"] == (sig[i] == peak)
+
+
+def test_sample_entropy_q_matches_bruteforce(spark):
+    """SampEn(m=2, r=0.2σ) replayed with a double loop."""
+    xs = [float(x) for x in _daily("purchase")]
+    n = len(xs)
+    mean = sum(xs) / n
+    r = 0.2 * math.sqrt(sum(x * x for x in xs) / n - mean * mean)
+    b_count = a_count = 0
+    for i in range(n - 1):
+        for j in range(i + 1, n - 1):
+            if abs(xs[i] - xs[j]) <= r and abs(xs[i + 1] - xs[j + 1]) <= r:
+                b_count += 1
+                if (
+                    i + 2 < n
+                    and j + 2 < n
+                    and abs(xs[i + 2] - xs[j + 2]) <= r
+                ):
+                    a_count += 1
+    row = REGISTRY["sample_entropy_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_days"] == n
+    assert row["b_count"] == b_count and row["a_count"] == a_count
+    if a_count > 0 and b_count > 0:
+        assert row["sampen"] == pytest.approx(
+            -math.log(a_count / b_count), abs=2e-6
+        )
+    else:
+        assert row["sampen"] is None
+
+
+def test_hurst_exponent_q_matches_bruteforce(spark):
+    """R/S slope replayed with plain loops (Decimal quantization
+    mirrored at each stage the query quantizes)."""
+    xs = _daily("purchase")
+    pts = []
+    for bn in (5, 10, 15, 30):
+        rs_vals = []
+        for start in range(0, len(xs) - bn + 1, bn):
+            blk = xs[start : start + bn]
+            m = _q6(float(sum(blk)) / bn)
+            cum, cds = Decimal(0), []
+            for x in blk:
+                cum += x - m
+                cds.append(cum)
+            ssq = sum(float(x - m) ** 2 for x in blk)
+            if ssq > 0:
+                rs_vals.append(
+                    _q6(float(max(cds) - min(cds)) / math.sqrt(ssq / bn))
+                )
+        if rs_vals:
+            a_rs = _q6(float(sum(rs_vals)) / len(rs_vals))
+            pts.append((math.log(bn), math.log(float(a_rs))))
+    k = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    row = REGISTRY["hurst_exponent_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_scales"] == k
+    assert row["hurst"] == pytest.approx(slope, abs=2e-6)
+
+
+def test_neighbor_jaccard_q_matches_bruteforce(spark):
+    """Jaccard link prediction replayed with set algebra."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM "
+        f"read_parquet('{SF_SMALL}/lineitem.parquet')"
+    ).fetchall()
+    orders = defaultdict(set)
+    for o, p in rows:
+        orders[o].add(p)
+    nbr = defaultdict(set)
+    for o, ps in orders.items():
+        for p in sorted(ps)[:64]:
+            nbr[p].add(o)
+    pairs = {}
+    for o, ps in orders.items():
+        capped = sorted(ps)[:64]
+        for i, pa in enumerate(capped):
+            for pb in capped[i + 1 :]:
+                key = (pa, pb)
+                if key not in pairs:
+                    common = len(nbr[pa] & nbr[pb])
+                    union = len(nbr[pa] | nbr[pb])
+                    pairs[key] = (common, union, common / union)
+    top = sorted(
+        pairs.items(), key=lambda kv: (-kv[1][2], kv[0])
+    )[:30]
+    got = REGISTRY["neighbor_jaccard_q"].fn(spark, SF_SMALL).collect()
+    assert [(r["pa"], r["pb"]) for r in got] == [k for k, _ in top]
+    for r, (k, (common, union, jac)) in zip(got, top):
+        assert r["n_common"] == common and r["n_union"] == union
+        assert r["jaccard"] == pytest.approx(jac, abs=2e-6)
