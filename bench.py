@@ -151,9 +151,18 @@ def main() -> None:
     # The artifact path is overridable so test/self runs never clobber the
     # driver's committed round artifact (VERDICT r6 #3): pytest points this
     # at tmp_path; only the driver's own bench run writes the default.
-    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL")
+    if not detail_path:
+        repo_root = os.path.dirname(os.path.abspath(__file__))
+        # The committed repo-root artifact is the DRIVER's sf0.1 round
+        # record. A local probe at any other sf (or with a custom dir)
+        # must never clobber it — divert to a .local side file instead.
+        name = (
+            "BENCH_DETAIL.json"
+            if sf_val == 0.1
+            else "BENCH_DETAIL.local.json"
+        )
+        detail_path = os.path.join(repo_root, name)
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     print(json.dumps({"detail": detail}))

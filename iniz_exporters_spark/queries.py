@@ -18037,3 +18037,988 @@ def neighbor_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(30)
         .drop("_ord")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch — round-8 session 4: classifier evaluation beyond ROC (average
+# precision, Matthews correlation), classic one-way ANOVA, the t-closeness
+# privacy audit that completes the k-anonymity/l-diversity family, and the
+# hubness diagnostic ANN pipelines use to explain recall loss. Counting
+# stays integral wherever the mathematics allows (confusion cells, tied
+# rank blocks, k-occurrence deviations), so most of these have exactly one
+# float operation at the very end.
+# ---------------------------------------------------------------------------
+
+
+# Average precision (area under the precision-recall curve) of the mean-
+# token-length score against the lang='en' label, from per-distinct-score
+# counts — the tie-aware block formulation sklearn uses: walking scores
+# high→low, each tied block contributes (np/P_tot) x precision-at-block-
+# end, i.e. AP = sum_b np_b * cumP_b / (cumP_b + cumN_b) / P_tot. Scale
+# shape identical to roc_auc_q: one shuffle keyed by the 4-dp score
+# (bounded cardinality), then windows over the SCORE table. Counts stay
+# integer; each block ratio is DECIMAL(28,12)-quantized before the
+# cross-block sum so tree-aggregation order can never perturb the result.
+@register(
+    "average_precision_q",
+    f"""
+    WITH scored AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               ROUND(CAST(list_sum(list_transform(t, x -> length(x)))
+                          AS DOUBLE) / len(t), 4) AS s
+        FROM (SELECT lang, {_SQL_TOKENS} AS t FROM documents)
+        WHERE len(t) > 0
+    ),
+    per_score AS (
+        SELECT s, SUM(y) AS np, SUM(1 - y) AS nn
+        FROM scored GROUP BY s
+    ),
+    c AS (
+        SELECT np,
+               SUM(np) OVER (ORDER BY s DESC) AS cum_p,
+               SUM(nn) OVER (ORDER BY s DESC) AS cum_n,
+               SUM(np) OVER () AS p_tot, SUM(nn) OVER () AS n_tot
+        FROM per_score
+    )
+    SELECT CAST(MAX(p_tot) AS BIGINT) AS n_pos,
+           CAST(MAX(n_tot) AS BIGINT) AS n_neg,
+           CAST(ROUND(CAST(SUM(CAST(
+               np * cum_p / CAST(cum_p + cum_n AS DOUBLE)
+               AS DECIMAL(28,12))) AS DOUBLE) / MAX(p_tot), 6)
+               AS DOUBLE) + 0.0 AS avg_precision,
+           CAST(ROUND(CAST(MAX(p_tot) AS DOUBLE)
+               / (MAX(p_tot) + MAX(n_tot)), 6) AS DOUBLE)
+               AS prevalence
+    FROM c
+    """,
+)
+def average_precision_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PR-AUC companion to roc_auc_q for the same deterministic scorer:
+    the metric that stays informative under class imbalance (prevalence
+    is its no-skill floor, reported alongside)."""
+    d = Catalog(spark, sf_dir).documents
+    t = _tokens("text")
+    scored = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.round(
+            F.aggregate(
+                t, F.lit(0), lambda a, x: a + F.length(x)
+            ).cast("double")
+            / F.size(t),
+            4,
+        ).alias("s"),
+    ).filter(F.size(t) > 0)
+    per_score = scored.groupBy("s").agg(
+        F.sum("y").alias("np"), F.sum(1 - F.col("y")).alias("nn")
+    )
+    wc = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = per_score.select(
+        "np",
+        F.sum("np").over(wc).alias("cum_p"),
+        F.sum("nn").over(wc).alias("cum_n"),
+        F.sum("np").over(wt).alias("p_tot"),
+        F.sum("nn").over(wt).alias("n_tot"),
+    )
+    return c.agg(
+        F.max("p_tot").cast("long").alias("n_pos"),
+        F.max("n_tot").cast("long").alias("n_neg"),
+        (
+            F.round(
+                _dsum(
+                    F.col("np")
+                    * F.col("cum_p")
+                    / (F.col("cum_p") + F.col("cum_n")).cast("double")
+                ).cast("double")
+                / F.max("p_tot"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("avg_precision"),
+        F.round(
+            F.max("p_tot").cast("double")
+            / (F.max("p_tot") + F.max("n_tot")),
+            6,
+        ).alias("prevalence"),
+    )
+
+
+# Matthews correlation coefficient of the thresholded score (mean token
+# length >= 4.5 predicts lang='en'): the single-number confusion-matrix
+# summary that, unlike accuracy or F1, is symmetric in the classes and
+# honest under imbalance. One corpus-scale aggregation produces the four
+# BIGINT confusion cells; MCC's numerator tp*tn - fp*fn stays exact
+# 64-bit integer arithmetic, and the only float op is the final sqrt.
+@register(
+    "matthews_corr_q",
+    f"""
+    WITH scored AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               CASE WHEN ROUND(CAST(list_sum(list_transform(t,
+                        x -> length(x))) AS DOUBLE) / len(t), 4) >= 4.5
+                    THEN 1 ELSE 0 END AS yhat
+        FROM (SELECT lang, {_SQL_TOKENS} AS t FROM documents)
+        WHERE len(t) > 0
+    ),
+    cm AS (
+        SELECT CAST(SUM(y * yhat) AS BIGINT) AS tp,
+               CAST(SUM((1 - y) * yhat) AS BIGINT) AS fp,
+               CAST(SUM(y * (1 - yhat)) AS BIGINT) AS fn,
+               CAST(SUM((1 - y) * (1 - yhat)) AS BIGINT) AS tn
+        FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           CAST(ROUND(CAST(tp * tn - fp * fn AS DOUBLE)
+               / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
+                      * (tn + fp) * (tn + fn)), 6) AS DOUBLE) + 0.0
+               AS mcc
+    FROM cm
+    """,
+)
+def matthews_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded-classifier MCC over exact integer confusion cells.
+    Pairs with cohens_kappa_q (chance-corrected agreement) and roc_auc_q
+    (threshold-free) to complete the evaluation family."""
+    d = Catalog(spark, sf_dir).documents
+    t = _tokens("text")
+    scored = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.when(
+            F.round(
+                F.aggregate(
+                    t, F.lit(0), lambda a, x: a + F.length(x)
+                ).cast("double")
+                / F.size(t),
+                4,
+            )
+            >= 4.5,
+            1,
+        )
+        .otherwise(0)
+        .alias("yhat"),
+    ).filter(F.size(t) > 0)
+    cm = scored.agg(
+        F.sum(F.col("y") * F.col("yhat")).cast("long").alias("tp"),
+        F.sum((1 - F.col("y")) * F.col("yhat")).cast("long").alias("fp"),
+        F.sum(F.col("y") * (1 - F.col("yhat"))).cast("long").alias("fn"),
+        F.sum((1 - F.col("y")) * (1 - F.col("yhat")))
+        .cast("long")
+        .alias("tn"),
+    )
+    mcc = (F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")).cast(
+        "double"
+    ) / F.sqrt(
+        (F.col("tp") + F.col("fp")).cast("double")
+        * (F.col("tp") + F.col("fn"))
+        * (F.col("tn") + F.col("fp"))
+        * (F.col("tn") + F.col("fn"))
+    )
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (F.round(mcc, 6) + F.lit(0.0)).alias("mcc"),
+    )
+
+
+# One-way ANOVA F of customer account balance across market segments:
+# F = (SSB/(k-1)) / (SSW/(n-k)) via the sum-of-squares identity
+# SST = Q - S^2/n, SSB = sum_g S_g^2/n_g - S^2/n. The corpus-scale pass
+# is ONE aggregation producing per-group (n, sum x, sum x^2) with
+# map-side partials; x is DECIMAL(18,6)-quantized before both sums so
+# they are exact and order-independent, and every per-group float ratio
+# is re-quantized to DECIMAL(28,12) before the cross-group fold (k=5
+# rows — metadata scale, but deterministic on principle). Reports
+# eta-squared (SSB/SST) as the effect size alongside the F statistic.
+@register(
+    "anova_f_q",
+    """
+    WITH g AS (
+        SELECT c_mktsegment,
+               COUNT(*) AS n,
+               SUM(CAST(c_acctbal AS DECIMAL(19,6))) AS s,
+               SUM(CAST(c_acctbal AS DECIMAL(19,6))
+                   * CAST(c_acctbal AS DECIMAL(19,6))) AS q
+        FROM customer GROUP BY c_mktsegment
+    ),
+    parts AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+               COUNT(*) AS k,
+               CAST(SUM(s) AS DOUBLE) AS s_tot,
+               CAST(SUM(q) AS DOUBLE) AS q_tot,
+               CAST(SUM(CAST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n
+                    AS DECIMAL(28,12))) AS DOUBLE) AS sum_s2n
+        FROM g
+    )
+    SELECT n_tot, CAST(k AS BIGINT) AS k_groups,
+           CAST(ROUND((sum_s2n - s_tot * s_tot / n_tot) / (k - 1)
+               / ((q_tot - sum_s2n) / (n_tot - k)), 6) AS DOUBLE) + 0.0
+               AS f_stat,
+           CAST(ROUND((sum_s2n - s_tot * s_tot / n_tot)
+               / (q_tot - s_tot * s_tot / n_tot), 6) AS DOUBLE) + 0.0
+               AS eta_squared
+    FROM parts
+    """,
+)
+def anova_f_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parametric k-sample location test completing the family around
+    kruskal_wallis_q (its rank-based twin) and brown_forsythe_q (its
+    variance-homogeneity precondition check)."""
+    c = Catalog(spark, sf_dir).customer
+    x = _dec(F.col("c_acctbal"), 19, 6)
+    g = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s"),
+        F.sum(x * x).alias("q"),
+    )
+    parts = g.agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("s").cast("double").alias("s_tot"),
+        F.sum("q").cast("double").alias("q_tot"),
+        _dsum(
+            F.col("s").cast("double")
+            * F.col("s").cast("double")
+            / F.col("n")
+        )
+        .cast("double")
+        .alias("sum_s2n"),
+    )
+    ssb = F.col("sum_s2n") - F.col("s_tot") * F.col("s_tot") / F.col("n_tot")
+    ssw = F.col("q_tot") - F.col("sum_s2n")
+    sst = F.col("q_tot") - F.col("s_tot") * F.col("s_tot") / F.col("n_tot")
+    return parts.select(
+        "n_tot",
+        F.col("k").cast("long").alias("k_groups"),
+        (
+            F.round(
+                ssb / (F.col("k") - 1) / (ssw / (F.col("n_tot") - F.col("k"))),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("f_stat"),
+        (F.round(ssb / sst, 6) + F.lit(0.0)).alias("eta_squared"),
+    )
+
+
+# t-closeness audit (Li et al. 2007) completing the k-anonymity /
+# l-diversity privacy family: for each (nation, segment) equivalence
+# class, the Earth Mover's Distance between the class's distribution of
+# the ORDERED sensitive attribute (account-balance band 0..3) and the
+# global distribution — EMD over an ordered categorical is the mean
+# absolute difference of cumulative shares, D = sum_{i<m} |cumP_c(i) -
+# cumP_g(i)| / (m-1). Scale shape: one corpus aggregation to (class,
+# band) counts, a 4-row broadcast global table, and windows partitioned
+# by CLASS (<=4 rows each). Missing bands are zero-filled via a
+# class x band scaffold join so cumulative shares are always defined.
+@register(
+    "t_closeness_q",
+    """
+    WITH banded AS (
+        SELECT c_nationkey, c_mktsegment,
+               CASE WHEN c_acctbal < 0 THEN 0
+                    WHEN c_acctbal < 3000 THEN 1
+                    WHEN c_acctbal < 7000 THEN 2
+                    ELSE 3 END AS band
+        FROM customer
+    ),
+    cb AS (
+        SELECT c_nationkey, c_mktsegment, band, COUNT(*) AS cnt
+        FROM banded GROUP BY c_nationkey, c_mktsegment, band
+    ),
+    classes AS (
+        SELECT c_nationkey, c_mktsegment, SUM(cnt) AS n_class
+        FROM cb GROUP BY c_nationkey, c_mktsegment
+    ),
+    gl AS (
+        SELECT band, SUM(cnt) AS gcnt FROM cb GROUP BY band
+    ),
+    scaffold AS (
+        SELECT c.c_nationkey, c.c_mktsegment, c.n_class,
+               b.band, COALESCE(cb.cnt, 0) AS cnt, g.gcnt,
+               (SELECT SUM(gcnt) FROM gl) AS n_tot
+        FROM classes c
+        CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+        LEFT JOIN cb ON cb.c_nationkey = c.c_nationkey
+                    AND cb.c_mktsegment = c.c_mktsegment
+                    AND cb.band = b.band
+        JOIN gl g ON g.band = b.band
+    ),
+    cums AS (
+        SELECT c_nationkey, c_mktsegment, n_class, band,
+               SUM(cnt) OVER (PARTITION BY c_nationkey, c_mktsegment
+                              ORDER BY band) AS cum_c,
+               SUM(gcnt) OVER (PARTITION BY c_nationkey, c_mktsegment
+                               ORDER BY band) AS cum_g,
+               n_tot
+        FROM scaffold
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(MAX(n_class) AS BIGINT) AS group_size,
+           CAST(ROUND(CAST(SUM(CASE WHEN band < 3 THEN CAST(
+               abs(CAST(cum_c AS DOUBLE) / n_class
+                   - CAST(cum_g AS DOUBLE) / n_tot)
+               AS DECIMAL(28,12)) ELSE CAST(0 AS DECIMAL(28,12)) END)
+               AS DOUBLE) / 3, 6) AS DOUBLE) + 0.0 AS emd,
+           CAST(SUM(CASE WHEN band < 3 THEN CAST(
+               abs(CAST(cum_c AS DOUBLE) / n_class
+                   - CAST(cum_g AS DOUBLE) / n_tot)
+               AS DECIMAL(28,12)) ELSE CAST(0 AS DECIMAL(28,12)) END)
+               AS DOUBLE) / 3 > 0.2 AS t_violation
+    FROM cums
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def t_closeness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does any quasi-identifier class leak the sensitive attribute's
+    distribution? EMD-per-class vs the global marginal, zero-filled over
+    the full band scaffold so classes missing a band still audit."""
+    c = Catalog(spark, sf_dir).customer.withColumn(
+        "band",
+        F.when(F.col("c_acctbal") < 0, 0)
+        .when(F.col("c_acctbal") < 3000, 1)
+        .when(F.col("c_acctbal") < 7000, 2)
+        .otherwise(3),
+    )
+    cb = c.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    classes = cb.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt").alias("n_class")
+    )
+    gl = cb.groupBy("band").agg(F.sum("cnt").alias("gcnt"))
+    spark_bands = c.sparkSession.range(0, 4).select(
+        F.col("id").cast("int").alias("band")
+    )
+    scaffold = (
+        classes.crossJoin(F.broadcast(spark_bands))
+        .join(cb, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .fillna({"cnt": 0})
+        .join(F.broadcast(gl), "band")
+    )
+    wcum = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wclass = Window.partitionBy("c_nationkey", "c_mktsegment")
+    cums = scaffold.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_class",
+        "band",
+        F.sum("cnt").over(wcum).alias("cum_c"),
+        F.sum("gcnt").over(wcum).alias("cum_g"),
+        # the 4-band scaffold carries the whole global marginal in every
+        # class partition, so the corpus total needs no driver collect
+        F.sum("gcnt").over(wclass).alias("n_tot"),
+    )
+    term = F.when(
+        F.col("band") < 3,
+        F.abs(
+            F.col("cum_c").cast("double") / F.col("n_class")
+            - F.col("cum_g").cast("double") / F.col("n_tot")
+        ).cast("decimal(28,12)"),
+    ).otherwise(F.lit(0).cast("decimal(28,12)"))
+    emd = F.sum(term).cast("double") / 3
+    return cums.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.max("n_class").cast("long").alias("group_size"),
+        (F.round(emd, 6) + F.lit(0.0)).alias("emd"),
+        (emd > 0.2).alias("t_violation"),
+    )
+
+
+# Hubness diagnostic of the embedding space: the k-occurrence N_5(x) —
+# how often x appears in another point's 5-NN — and its skewness, the
+# standard symptom score for the high-dimensional "hub" pathology that
+# silently degrades ANN recall and kNN-classifier accuracy (hubs absorb
+# neighbor slots, antihubs become unreachable). Every point is a probe,
+# so sum N_5 = 5n exactly: the deviations d = N_5 - 5 are INTEGERS, the
+# second/third moments are exact BIGINT sums, and the only float op is
+# the final m3 / m2^1.5. Zero-filled via a left join so antihubs
+# (N_5 = 0) count. Scale: brute-force n^2 is the test-scale oracle
+# path; at corpus scale the same k-occurrence counting runs over the
+# candidate pairs of the bucketed ANN (similarity.py ivf_flat_topk /
+# ann_bucketed) — the downstream counting plan is unchanged.
+@register(
+    "hubness_q",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_reduce(
+                       list_transform(range(1, len(c.v)+1),
+                           i -> (c.v[i] - q.v[i]) * (c.v[i] - q.v[i])),
+                       (x, y) -> x + y), 6), c.vec_id) AS rn
+        FROM e q CROSS JOIN e c WHERE c.vec_id <> q.vec_id
+    ),
+    kocc AS (
+        SELECT e.vec_id, COUNT(s.cid) AS n5
+        FROM e LEFT JOIN (SELECT cid FROM scored WHERE rn <= 5) s
+            ON s.cid = e.vec_id
+        GROUP BY e.vec_id
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               CAST(MAX(n5) AS BIGINT) AS max_kocc,
+               CAST(SUM(CASE WHEN n5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_antihubs,
+               SUM((n5 - 5) * (n5 - 5)) AS m2s,
+               SUM((n5 - 5) * (n5 - 5) * (n5 - 5)) AS m3s
+        FROM kocc
+    )
+    SELECT CAST(n AS BIGINT) AS n_points, max_kocc, n_antihubs,
+           CAST(ROUND((CAST(m3s AS DOUBLE) / n)
+               / pow(CAST(m2s AS DOUBLE) / n, 1.5), 4) AS DOUBLE) + 0.0
+               AS skewness
+    FROM m
+    """,
+)
+def hubness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-occurrence skewness of the 5-NN digraph (Radovanovic et al.):
+    skewness >> 0 means a few hub vectors dominate neighbor lists.
+    Distances tie-broken on (6-dp d2, vec_id) exactly like twonn_dim_q."""
+    e = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = e.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        6,
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"), d2.alias("d2"))
+    )
+    w = Window.partitionBy("qid").orderBy("d2", "cid")
+    top5 = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("cid")
+    )
+    kocc = (
+        e.select("vec_id")
+        .join(
+            top5.groupBy("cid").agg(F.count(F.lit(1)).alias("n5")),
+            e["vec_id"] == F.col("cid"),
+            "left",
+        )
+        .select("vec_id", F.coalesce("n5", F.lit(0)).alias("n5"))
+    )
+    dev = F.col("n5") - 5
+    m = kocc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("n5").cast("long").alias("max_kocc"),
+        F.sum(F.when(F.col("n5") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_antihubs"),
+        F.sum(dev * dev).alias("m2s"),
+        F.sum(dev * dev * dev).alias("m3s"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_points"),
+        "max_kocc",
+        "n_antihubs",
+        (
+            F.round(
+                (F.col("m3s").cast("double") / F.col("n"))
+                / F.pow(F.col("m2s").cast("double") / F.col("n"), 1.5),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("skewness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch — round-8 session 4 (continued): campaign-eval decile table,
+# probabilistic-forecast decomposition, two classic nonparametric
+# sequence tests, and the unit-root regression. The classifier-eval pair
+# reuses the roc_auc_q scorer; the three time-series ops run on
+# DECIMAL-quantized calendar-bounded daily frames.
+# ---------------------------------------------------------------------------
+
+
+# Decile lift & gain table for the mean-token-length scorer: rank all
+# docs by score (best first), cut into 10 equal NTILE buckets, and
+# report each decile's positive capture (gain) and lift over the base
+# rate. The global rank comes from operators.indexing.global_ntile —
+# range-partitioned rank + broadcast offsets, NEVER the corpus-scale
+# single-partition window a plain NTILE() OVER (ORDER BY ...) would
+# plan — while the DuckDB oracle keeps ANSI NTILE, whose semantics
+# global_ntile reproduces bit-for-bit. Counts stay integral; the two
+# ratios are the only float ops.
+@register(
+    "lift_gain_q",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               ROUND(CAST(list_sum(list_transform(t, x -> length(x)))
+                          AS DOUBLE) / len(t), 4) AS s
+        FROM (SELECT doc_id, lang, {_SQL_TOKENS} AS t FROM documents)
+        WHERE len(t) > 0
+    ),
+    tiled AS (
+        SELECT y, NTILE(10) OVER (ORDER BY s DESC, doc_id) AS decile
+        FROM scored
+    ),
+    d AS (
+        SELECT decile, COUNT(*) AS n, SUM(y) AS np
+        FROM tiled GROUP BY decile
+    )
+    SELECT decile, CAST(n AS BIGINT) AS n_docs,
+           CAST(np AS BIGINT) AS n_pos,
+           CAST(ROUND(CAST(SUM(np) OVER (ORDER BY decile) AS DOUBLE)
+               / SUM(np) OVER (), 6) AS DOUBLE) AS cum_gain,
+           CAST(ROUND((CAST(np AS DOUBLE) / n)
+               / (CAST(SUM(np) OVER () AS DOUBLE) / SUM(n) OVER ()), 6)
+               AS DOUBLE) AS lift
+    FROM d
+    """,
+)
+def lift_gain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Would contacting the top-k% of the ranking capture most of the
+    positives? The campaign-targeting view of the same ranking that
+    roc_auc_q/average_precision_q summarize to a scalar."""
+    from iniz_exporters_spark.operators.indexing import global_ntile
+
+    d = Catalog(spark, sf_dir).documents
+    t = _tokens("text")
+    scored = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.round(
+            F.aggregate(
+                t, F.lit(0), lambda a, x: a + F.length(x)
+            ).cast("double")
+            / F.size(t),
+            4,
+        ).alias("s"),
+    ).filter(F.size(t) > 0)
+    tiled = global_ntile(
+        scored, [F.col("s").desc(), F.col("doc_id").asc()], 10, "decile"
+    )
+    dd = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("np")
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return dd.select(
+        "decile",
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("np").cast("long").alias("n_pos"),
+        F.round(
+            F.sum("np").over(wcum).cast("double") / F.sum("np").over(wt),
+            6,
+        ).alias("cum_gain"),
+        F.round(
+            (F.col("np").cast("double") / F.col("n"))
+            / (F.sum("np").over(wt).cast("double") / F.sum("n").over(wt)),
+            6,
+        ).alias("lift"),
+    )
+
+
+# Murphy decomposition of the Brier score (Brier = reliability -
+# resolution + uncertainty) for the calibrated-ish probability
+# p = score/10: bins are the DISTINCT 4-dp score values (bounded
+# cardinality — same key as roc_auc_q), so per-bin counts are exact and
+# the three components come from one grouped pass. Each bin's float
+# term is DECIMAL(28,12)-quantized before the cross-bin sum. The direct
+# Brier mean-squared-error is reported too, pinning the identity
+# numerically in both engines.
+@register(
+    "brier_decomposition_q",
+    f"""
+    WITH scored AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               ROUND(CAST(list_sum(list_transform(t, x -> length(x)))
+                          AS DOUBLE) / len(t), 4) / 10 AS p
+        FROM (SELECT lang, {_SQL_TOKENS} AS t FROM documents)
+        WHERE len(t) > 0
+    ),
+    b AS (
+        SELECT p, COUNT(*) AS n_k, SUM(y) AS pos_k,
+               SUM(CAST((p - y) * (p - y) AS DECIMAL(28,12))) AS se_k
+        FROM scored GROUP BY p
+    ),
+    yb AS (
+        SELECT CAST(SUM(pos_k) AS DOUBLE) / SUM(n_k) AS ybar FROM b
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_k) AS BIGINT) AS n,
+               MAX((SELECT ybar FROM yb)) AS ybar,
+               CAST(SUM(se_k) AS DOUBLE) AS sse,
+               CAST(SUM(CAST(n_k * (p - CAST(pos_k AS DOUBLE) / n_k)
+                    * (p - CAST(pos_k AS DOUBLE) / n_k)
+                    AS DECIMAL(28,12))) AS DOUBLE) AS rel_s,
+               CAST(SUM(CAST(n_k * (CAST(pos_k AS DOUBLE) / n_k
+                        - (SELECT ybar FROM yb))
+                    * (CAST(pos_k AS DOUBLE) / n_k
+                        - (SELECT ybar FROM yb))
+                    AS DECIMAL(28,12))) AS DOUBLE) AS res_s
+        FROM b
+    )
+    SELECT n,
+           CAST(ROUND(sse / n, 6) AS DOUBLE) + 0.0 AS brier,
+           CAST(ROUND(rel_s / n, 6) AS DOUBLE) + 0.0 AS reliability,
+           CAST(ROUND(res_s / n, 6) AS DOUBLE) + 0.0 AS resolution,
+           CAST(ROUND(ybar * (1 - ybar), 6) AS DOUBLE) + 0.0
+               AS uncertainty
+    FROM tot
+    """,
+)
+def brier_decomposition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the probabilistic forecast bad because it is miscalibrated
+    (reliability) or because it cannot discriminate (resolution)?
+    Verifiable identity: brier ~= reliability - resolution +
+    uncertainty up to the binning (exact here since bins ARE the
+    distinct forecast values)."""
+    d = Catalog(spark, sf_dir).documents
+    t = _tokens("text")
+    scored = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        (
+            F.round(
+                F.aggregate(
+                    t, F.lit(0), lambda a, x: a + F.length(x)
+                ).cast("double")
+                / F.size(t),
+                4,
+            )
+            / 10
+        ).alias("p"),
+    ).filter(F.size(t) > 0)
+    b = scored.groupBy("p").agg(
+        F.count(F.lit(1)).alias("n_k"),
+        F.sum("y").alias("pos_k"),
+        _dsum((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).alias(
+            "se_k"
+        ),
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ybar_w = F.sum("pos_k").over(wt).cast("double") / F.sum("n_k").over(wt)
+    ybar_k = F.col("pos_k").cast("double") / F.col("n_k")
+    tot = b.select(
+        "n_k",
+        "pos_k",
+        "se_k",
+        (F.col("n_k") * (F.col("p") - ybar_k) * (F.col("p") - ybar_k))
+        .cast("decimal(28,12)")
+        .alias("rel_t"),
+        (F.col("n_k") * (ybar_k - ybar_w) * (ybar_k - ybar_w))
+        .cast("decimal(28,12)")
+        .alias("res_t"),
+    ).agg(
+        F.sum("n_k").cast("long").alias("n"),
+        (F.sum("pos_k").cast("double") / F.sum("n_k")).alias("ybar"),
+        F.sum("se_k").cast("double").alias("sse"),
+        F.sum("rel_t").cast("double").alias("rel_s"),
+        F.sum("res_t").cast("double").alias("res_s"),
+    )
+    return tot.select(
+        "n",
+        (F.round(F.col("sse") / F.col("n"), 6) + F.lit(0.0)).alias("brier"),
+        (F.round(F.col("rel_s") / F.col("n"), 6) + F.lit(0.0)).alias(
+            "reliability"
+        ),
+        (F.round(F.col("res_s") / F.col("n"), 6) + F.lit(0.0)).alias(
+            "resolution"
+        ),
+        (
+            F.round(F.col("ybar") * (1 - F.col("ybar")), 6) + F.lit(0.0)
+        ).alias("uncertainty"),
+    )
+
+
+# Friedman test across the five event types with calendar days as
+# blocks: within each day, rank the types by their daily mean value,
+# then chi2_F = 12/(n*k*(k+1)) * sum_j S_j^2 - 3*n*(k+1) from the
+# per-type rank sums. Ranks use the deterministic total order
+# (mean, type) — means carry 6 exact decimals so statistical ties are
+# vanishingly rare, and BOTH engines break any that occur identically.
+# Scale shape: one corpus aggregation to the (day x type) table
+# (metadata scale: 150 rows here, 5 x 36.5k for a century); ranks
+# partition by DAY (5 rows each); rank sums are exact BIGINTs and the
+# only float op is the final statistic.
+@register(
+    "friedman_q",
+    """
+    WITH dt AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*) AS DECIMAL(18,6)) AS m
+        FROM events GROUP BY CAST(ts AS DATE), event_type
+    ),
+    rk AS (
+        SELECT day, event_type,
+               ROW_NUMBER() OVER (PARTITION BY day
+                   ORDER BY m, event_type) AS r
+        FROM dt
+    ),
+    s AS (
+        SELECT event_type, CAST(SUM(r) AS BIGINT) AS rank_sum,
+               COUNT(*) AS n_blocks
+        FROM rk GROUP BY event_type
+    )
+    SELECT CAST(MAX(n_blocks) AS BIGINT) AS n_blocks,
+           CAST(COUNT(*) AS BIGINT) AS k_treatments,
+           CAST(ROUND(12.0 * SUM(rank_sum * rank_sum)
+                   / (MAX(n_blocks) * COUNT(*) * (COUNT(*) + 1))
+               - 3.0 * MAX(n_blocks) * (COUNT(*) + 1), 6) AS DOUBLE)
+               + 0.0 AS friedman_chi2
+    FROM s
+    """,
+)
+def friedman_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the event types differ consistently in daily value once
+    day-level shifts are blocked out? The repeated-measures companion
+    to kruskal_wallis_q (independent groups)."""
+    e = Catalog(spark, sf_dir).events
+    dt = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(
+        (
+            F.sum(_dec(F.col("value"), 18, 6)).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("decimal(18,6)")
+        .alias("m")
+    )
+    wday = Window.partitionBy("day").orderBy("m", "event_type")
+    rk = dt.withColumn("r", F.row_number().over(wday))
+    s = rk.groupBy("event_type").agg(
+        F.sum("r").cast("long").alias("rank_sum"),
+        F.count(F.lit(1)).alias("n_blocks"),
+    )
+    n = F.max("n_blocks")
+    k = F.count(F.lit(1))
+    return s.agg(
+        n.cast("long").alias("n_blocks"),
+        k.cast("long").alias("k_treatments"),
+        (
+            F.round(
+                12.0
+                * F.sum(F.col("rank_sum") * F.col("rank_sum"))
+                / (n * k * (k + 1))
+                - 3.0 * n * (k + 1),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("friedman_chi2"),
+    )
+
+
+# Wald–Wolfowitz runs test on the day-over-day direction of the daily
+# purchase-revenue mean: count runs of consecutive same-sign moves, then
+# z = (R - mu) / sigma with mu = 2 n+ n- / (n+ + n-) + 1. Direction
+# comes from an exact DECIMAL difference (never float noise); runs are
+# counted as sign-change indicators summed over the calendar-bounded
+# daily frame. All counts integral; z is the single float op.
+@register(
+    "runs_test_q",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*) AS DECIMAL(18,6)) AS m
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    moves AS (
+        SELECT day, m - LAG(m) OVER (ORDER BY day) AS d
+        FROM daily
+    ),
+    signs AS (
+        SELECT day, CASE WHEN d > 0 THEN 1 ELSE -1 END AS sgn
+        FROM moves WHERE d IS NOT NULL AND d <> 0
+    ),
+    runs AS (
+        SELECT sgn,
+               CASE WHEN sgn = LAG(sgn) OVER (ORDER BY day)
+                    THEN 0 ELSE 1 END AS new_run
+        FROM signs
+    ),
+    agg AS (
+        SELECT CAST(SUM(CASE WHEN new_run IS NULL THEN 1
+                             ELSE new_run END) AS BIGINT) AS n_runs,
+               CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_up,
+               CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_down
+        FROM runs
+    )
+    SELECT n_runs, n_up, n_down,
+           CAST(ROUND((n_runs - (2.0 * n_up * n_down / (n_up + n_down)
+                   + 1))
+               / sqrt((2.0 * n_up * n_down
+                       * (2.0 * n_up * n_down - n_up - n_down))
+                      / ((n_up + n_down) * (n_up + n_down)
+                         * (n_up + n_down - 1))), 6) AS DOUBLE) + 0.0
+               AS z_stat
+    FROM agg
+    """,
+)
+def runs_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the daily revenue direction serially random? Too few runs =
+    trending, too many = oscillating; the distribution-free companion
+    to ljung_box_q's parametric autocorrelation test."""
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(_dec(F.col("value"), 18, 6)).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("decimal(18,6)")
+        .alias("m")
+    )
+    wday = Window.orderBy("day")
+    moves = daily.select(
+        "day", (F.col("m") - F.lag("m").over(wday)).alias("d")
+    )
+    signs = moves.filter(
+        F.col("d").isNotNull() & (F.col("d") != 0)
+    ).select("day", F.when(F.col("d") > 0, 1).otherwise(-1).alias("sgn"))
+    runs = signs.select(
+        "sgn",
+        F.when(F.col("sgn") == F.lag("sgn").over(wday), 0)
+        .otherwise(1)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum(F.coalesce(F.col("new_run"), F.lit(1)))
+        .cast("long")
+        .alias("n_runs"),
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_up"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_down"),
+    )
+    nu, nd, r = F.col("n_up"), F.col("n_down"), F.col("n_runs")
+    mu = 2.0 * nu * nd / (nu + nd) + 1
+    var = (
+        2.0 * nu * nd * (2.0 * nu * nd - nu - nd)
+        / ((nu + nd) * (nu + nd) * (nu + nd - 1))
+    )
+    return agg.select(
+        "n_runs",
+        "n_up",
+        "n_down",
+        (F.round((r - mu) / F.sqrt(var), 6) + F.lit(0.0)).alias("z_stat"),
+    )
+
+
+# Dickey–Fuller unit-root regression on daily purchase revenue:
+# OLS of dy_t = alpha + beta * y_{t-1}; DF statistic = beta_hat / se.
+# y is DECIMAL(18,6)-quantized at the daily aggregate so the lag
+# difference and every cross-product are exact decimals; the five
+# regression sums accumulate as DECIMAL(38,12) (order-independent), and
+# the closed-form OLS on those five scalars is the only float stage.
+# Scale shape: one corpus aggregation; the lag window and the sums run
+# over the calendar-bounded daily frame.
+@register(
+    "dickey_fuller_q",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*) AS DECIMAL(18,6)) AS m
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    lagged AS (
+        SELECT day, m, LAG(m) OVER (ORDER BY day) AS y1
+        FROM daily
+    ),
+    p AS (
+        SELECT CAST(y1 AS DECIMAL(19,6)) AS x,
+               CAST(m - y1 AS DECIMAL(19,6)) AS dy
+        FROM lagged WHERE y1 IS NOT NULL
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(dy) AS DOUBLE) AS sy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(x * dy) AS DOUBLE) AS sxy,
+               CAST(SUM(dy * dy) AS DOUBLE) AS syy
+        FROM p
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           CAST(ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 6)
+               AS DOUBLE) + 0.0 AS beta,
+           CAST(ROUND(((sxy - sx * sy / n) / (sxx - sx * sx / n))
+               / sqrt((((syy - sy * sy / n)
+                        - (sxy - sx * sy / n) * (sxy - sx * sy / n)
+                          / (sxx - sx * sx / n)) / (n - 2))
+                      / (sxx - sx * sx / n)), 6) AS DOUBLE) + 0.0
+               AS df_stat
+    FROM s
+    """,
+)
+def dickey_fuller_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """beta near 0 (df_stat small in magnitude) = random walk; strongly
+    negative df_stat = mean-reverting level. The regression-based
+    stationarity check alongside hurst_exponent_q's R/S view."""
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(_dec(F.col("value"), 18, 6)).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("decimal(18,6)")
+        .alias("m")
+    )
+    wday = Window.orderBy("day")
+    lagged = daily.select(
+        "m", F.lag("m").over(wday).alias("y1")
+    ).filter(F.col("y1").isNotNull())
+    p = lagged.select(
+        F.col("y1").cast("decimal(19,6)").alias("x"),
+        (F.col("m") - F.col("y1")).cast("decimal(19,6)").alias("dy"),
+    )
+    s = p.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("dy").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("dy")).cast("double").alias("sxy"),
+        F.sum(F.col("dy") * F.col("dy")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    beta = cxy / cxx
+    se = F.sqrt(((cyy - cxy * cxy / cxx) / (n - 2)) / cxx)
+    return s.select(
+        n.cast("long").alias("n_obs"),
+        (F.round(beta, 6) + F.lit(0.0)).alias("beta"),
+        (F.round(beta / se, 6) + F.lit(0.0)).alias("df_stat"),
+    )

@@ -792,3 +792,313 @@ def test_neighbor_jaccard_q_matches_bruteforce(spark):
     for r, (k, (common, union, jac)) in zip(got, top):
         assert r["n_common"] == common and r["n_union"] == union
         assert r["jaccard"] == pytest.approx(jac, abs=2e-6)
+
+
+def _doc_scores():
+    """(y, s) pairs mirroring the roc_auc_q scorer: y = lang=='en',
+    s = round(mean token length, 4) — the derivation all three
+    classifier-eval replicas share."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT lang, text FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall()
+    out = []
+    for lang, text in rows:
+        toks = _tok(text)
+        if not toks:
+            continue
+        s = float(
+            Decimal(repr(sum(len(t) for t in toks) / len(toks))).quantize(
+                Decimal("0.0001"), rounding=__import__("decimal").ROUND_HALF_UP
+            )
+        )
+        out.append((1 if lang == "en" else 0, s))
+    return out
+
+
+def test_average_precision_q_matches_bruteforce(spark):
+    """Tie-aware AP replayed by walking distinct scores high->low."""
+    scored = _doc_scores()
+    by_s = defaultdict(lambda: [0, 0])
+    for y, s in scored:
+        by_s[s][0] += y
+        by_s[s][1] += 1 - y
+    p_tot = sum(np for np, _ in by_s.values())
+    n_tot = sum(nn for _, nn in by_s.values())
+    cum_p = cum_n = 0
+    ap = 0.0
+    for s in sorted(by_s, reverse=True):
+        np_, nn_ = by_s[s]
+        cum_p += np_
+        cum_n += nn_
+        ap += np_ * cum_p / (cum_p + cum_n)
+    ap /= p_tot
+    row = REGISTRY["average_precision_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_pos"] == p_tot and row["n_neg"] == n_tot
+    assert row["avg_precision"] == pytest.approx(ap, abs=2e-6)
+    assert row["prevalence"] == pytest.approx(
+        p_tot / (p_tot + n_tot), abs=2e-6
+    )
+
+
+def test_matthews_corr_q_matches_bruteforce(spark):
+    """Confusion cells + MCC replayed with plain counters."""
+    tp = fp = fn = tn = 0
+    for y, s in _doc_scores():
+        yhat = 1 if s >= 4.5 else 0
+        if y and yhat:
+            tp += 1
+        elif yhat:
+            fp += 1
+        elif y:
+            fn += 1
+        else:
+            tn += 1
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    row = REGISTRY["matthews_corr_q"].fn(spark, SF_SMALL).collect()[0]
+    assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (tp, fp, fn, tn)
+    assert row["mcc"] == pytest.approx(mcc, abs=2e-6)
+
+
+def _balances():
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT c_nationkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) "
+        f"FROM read_parquet('{SF_SMALL}/customer.parquet')"
+    ).fetchall()
+
+
+def test_anova_f_q_matches_bruteforce(spark):
+    """One-way ANOVA replayed from per-group moment sums."""
+    groups = defaultdict(list)
+    for _, seg, bal in _balances():
+        groups[seg].append(bal)
+    n = sum(len(v) for v in groups.values())
+    k = len(groups)
+    grand = sum(sum(v) for v in groups.values()) / n
+    ssb = sum(
+        len(v) * (sum(v) / len(v) - grand) ** 2 for v in groups.values()
+    )
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v)
+        for v in groups.values()
+    )
+    f_stat = (ssb / (k - 1)) / (ssw / (n - k))
+    row = REGISTRY["anova_f_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_tot"] == n and row["k_groups"] == k
+    assert row["f_stat"] == pytest.approx(f_stat, rel=1e-5)
+    assert row["eta_squared"] == pytest.approx(ssb / (ssb + ssw), abs=2e-6)
+
+
+def test_t_closeness_q_matches_bruteforce(spark):
+    """Per-class ordered EMD replayed with cumulative shares."""
+    def band(b):
+        return 0 if b < 0 else 1 if b < 3000 else 2 if b < 7000 else 3
+
+    cls = defaultdict(lambda: [0, 0, 0, 0])
+    glob = [0, 0, 0, 0]
+    for nat, seg, bal in _balances():
+        cls[(nat, seg)][band(bal)] += 1
+        glob[band(bal)] += 1
+    n_tot = sum(glob)
+    rows = REGISTRY["t_closeness_q"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == len(cls)
+    for r in rows:
+        counts = cls[(r["c_nationkey"], r["c_mktsegment"])]
+        nc = sum(counts)
+        emd = 0.0
+        cc = cg = 0
+        for i in range(3):
+            cc += counts[i]
+            cg += glob[i]
+            emd += abs(cc / nc - cg / n_tot)
+        emd /= 3
+        assert r["group_size"] == nc
+        assert r["emd"] == pytest.approx(emd, abs=2e-6)
+        assert r["t_violation"] == (emd > 0.2)
+
+
+def test_hubness_q_matches_bruteforce(spark):
+    """5-NN k-occurrence skewness replayed with a full numpy scan."""
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{SF_SMALL}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    n = len(ids)
+    kocc = Counter()
+    for qi in range(n):
+        d2 = np.round(((mat - mat[qi]) ** 2).sum(axis=1), 6)
+        order = sorted(
+            (float(d2[ci]), ids[ci]) for ci in range(n) if ci != qi
+        )[:5]
+        kocc.update(cid for _, cid in order)
+    devs = [kocc.get(v, 0) - 5 for v in ids]
+    m2 = sum(d * d for d in devs) / n
+    m3 = sum(d * d * d for d in devs) / n
+    row = REGISTRY["hubness_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_points"] == n
+    assert row["max_kocc"] == max(kocc.values())
+    assert row["n_antihubs"] == sum(
+        1 for v in ids if kocc.get(v, 0) == 0
+    )
+    assert row["skewness"] == pytest.approx(m3 / m2**1.5, abs=2e-4)
+
+
+def test_lift_gain_q_matches_bruteforce(spark):
+    """Decile table replayed with a plain sort + ANSI NTILE split."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, lang, text FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall()
+    scored = []
+    for doc_id, lang, text in rows:
+        toks = _tok(text)
+        if not toks:
+            continue
+        s = _r4(sum(len(t) for t in toks) / len(toks))
+        scored.append((-s, doc_id, 1 if lang == "en" else 0))
+    scored.sort()
+    n = len(scored)
+    q, r = divmod(n, 10)
+    sizes = [q + 1 if i < r else q for i in range(10)]
+    deciles, pos = [], 0
+    p_tot = sum(y for _, _, y in scored)
+    idx = 0
+    for d, size in enumerate(sizes, start=1):
+        block = scored[idx : idx + size]
+        idx += size
+        np_ = sum(y for _, _, y in block)
+        pos += np_
+        deciles.append((d, size, np_, pos))
+    got = sorted(
+        REGISTRY["lift_gain_q"].fn(spark, SF_SMALL).collect(),
+        key=lambda row: row["decile"],
+    )
+    assert len(got) == 10
+    for (d, size, np_, cum), row in zip(deciles, got):
+        assert row["decile"] == d and row["n_docs"] == size
+        assert row["n_pos"] == np_
+        assert row["cum_gain"] == pytest.approx(cum / p_tot, abs=2e-6)
+        assert row["lift"] == pytest.approx(
+            (np_ / size) / (p_tot / n), abs=2e-6
+        )
+
+
+def test_brier_decomposition_q_matches_bruteforce(spark):
+    """Murphy decomposition replayed per distinct forecast value."""
+    pairs = [(y, s / 10) for y, s in _doc_scores()]
+    n = len(pairs)
+    ybar = sum(y for y, _ in pairs) / n
+    by_p = defaultdict(lambda: [0, 0])
+    for y, p in pairs:
+        by_p[p][0] += 1
+        by_p[p][1] += y
+    brier = sum((p - y) ** 2 for y, p in pairs) / n
+    rel = sum(nk * (p - pk / nk) ** 2 for p, (nk, pk) in by_p.items()) / n
+    res = (
+        sum(nk * (pk / nk - ybar) ** 2 for _, (nk, pk) in by_p.items())
+        / n
+    )
+    row = (
+        REGISTRY["brier_decomposition_q"].fn(spark, SF_SMALL).collect()[0]
+    )
+    assert row["n"] == n
+    assert row["brier"] == pytest.approx(brier, abs=2e-6)
+    assert row["reliability"] == pytest.approx(rel, abs=2e-6)
+    assert row["resolution"] == pytest.approx(res, abs=2e-6)
+    assert row["uncertainty"] == pytest.approx(
+        ybar * (1 - ybar), abs=2e-6
+    )
+    # Murphy identity holds exactly at distinct-value binning
+    assert brier == pytest.approx(
+        rel - res + ybar * (1 - ybar), abs=1e-9
+    )
+
+
+def test_friedman_q_matches_bruteforce(spark):
+    """Friedman chi2 replayed with per-day rank loops."""
+    by_day_type = defaultdict(dict)
+    agg = defaultdict(lambda: [Decimal(0), 0])
+    for _, ts, _, v, t in _events():
+        d = agg[(ts.date(), t)]
+        d[0] += Decimal(str(v)).quantize(Decimal("0.000001"))
+        d[1] += 1
+    for (day, t), (s, c) in agg.items():
+        by_day_type[day][t] = _q6(float(s) / c)
+    rank_sum = Counter()
+    n_blocks = len(by_day_type)
+    k = len({t for d in by_day_type.values() for t in d})
+    for day, ms in by_day_type.items():
+        for r, (m, t) in enumerate(
+            sorted((m, t) for t, m in ms.items()), start=1
+        ):
+            rank_sum[t] += r
+    chi2 = 12.0 * sum(s * s for s in rank_sum.values()) / (
+        n_blocks * k * (k + 1)
+    ) - 3.0 * n_blocks * (k + 1)
+    row = REGISTRY["friedman_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_blocks"] == n_blocks
+    assert row["k_treatments"] == k
+    assert row["friedman_chi2"] == pytest.approx(chi2, abs=2e-6)
+
+
+def test_runs_test_q_matches_bruteforce(spark):
+    """Runs count + z replayed with a sign loop."""
+    ms = [
+        _q6(float(s) / c) for s, c in _daily("purchase", agg="pairs")
+    ]
+    signs = []
+    for a, b in zip(ms, ms[1:]):
+        if b != a:
+            signs.append(1 if b > a else -1)
+    n_runs = sum(
+        1
+        for i, sg in enumerate(signs)
+        if i == 0 or sg != signs[i - 1]
+    )
+    n_up = sum(1 for s in signs if s == 1)
+    n_down = len(signs) - n_up
+    mu = 2.0 * n_up * n_down / (n_up + n_down) + 1
+    var = (
+        2.0 * n_up * n_down * (2.0 * n_up * n_down - n_up - n_down)
+        / ((n_up + n_down) ** 2 * (n_up + n_down - 1))
+    )
+    row = REGISTRY["runs_test_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_runs"] == n_runs
+    assert row["n_up"] == n_up and row["n_down"] == n_down
+    assert row["z_stat"] == pytest.approx(
+        (n_runs - mu) / math.sqrt(var), abs=2e-6
+    )
+
+
+def test_dickey_fuller_q_matches_bruteforce(spark):
+    """DF regression replayed with closed-form OLS on floats."""
+    ms = [
+        float(_q6(float(s) / c))
+        for s, c in _daily("purchase", agg="pairs")
+    ]
+    xs = ms[:-1]
+    dys = [b - a for a, b in zip(ms, ms[1:])]
+    n = len(xs)
+    sx, sy = sum(xs), sum(dys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, dys))
+    syy = sum(y * y for y in dys)
+    cxx = sxx - sx * sx / n
+    cxy = sxy - sx * sy / n
+    cyy = syy - sy * sy / n
+    beta = cxy / cxx
+    se = math.sqrt(((cyy - cxy * cxy / cxx) / (n - 2)) / cxx)
+    row = REGISTRY["dickey_fuller_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_obs"] == n
+    assert row["beta"] == pytest.approx(beta, abs=2e-6)
+    assert row["df_stat"] == pytest.approx(beta / se, rel=1e-4)
