@@ -18242,6 +18242,11 @@ def matthews_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_mktsegment,
                COUNT(*) AS n,
                SUM(CAST(c_acctbal AS DECIMAL(19,6))) AS s,
+               -- DuckDB: width >= 19 forces the int128 multiply path
+               -- (width-18 products overflow for |x| >= ~1000); the
+               -- Spark twin stays at decimal(16,6) where 16+16+1 <= 38
+               -- keeps the product EXACT at scale 12 (19,6 would round
+               -- to 11 dp). Both engines are exact, so values match.
                SUM(CAST(c_acctbal AS DECIMAL(19,6))
                    * CAST(c_acctbal AS DECIMAL(19,6))) AS q
         FROM customer GROUP BY c_mktsegment
@@ -18270,7 +18275,7 @@ def anova_f_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     kruskal_wallis_q (its rank-based twin) and brown_forsythe_q (its
     variance-homogeneity precondition check)."""
     c = Catalog(spark, sf_dir).customer
-    x = _dec(F.col("c_acctbal"), 19, 6)
+    x = _dec(F.col("c_acctbal"), 16, 6)
     g = c.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("s"),
@@ -18955,8 +18960,8 @@ def runs_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM daily
     ),
     p AS (
-        SELECT CAST(y1 AS DECIMAL(19,6)) AS x,
-               CAST(m - y1 AS DECIMAL(19,6)) AS dy
+        SELECT CAST(y1 AS DECIMAL(16,6)) AS x,
+               CAST(m - y1 AS DECIMAL(16,6)) AS dy
         FROM lagged WHERE y1 IS NOT NULL
     ),
     s AS (
@@ -19000,8 +19005,8 @@ def dickey_fuller_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m", F.lag("m").over(wday).alias("y1")
     ).filter(F.col("y1").isNotNull())
     p = lagged.select(
-        F.col("y1").cast("decimal(19,6)").alias("x"),
-        (F.col("m") - F.col("y1")).cast("decimal(19,6)").alias("dy"),
+        F.col("y1").cast("decimal(16,6)").alias("x"),
+        (F.col("m") - F.col("y1")).cast("decimal(16,6)").alias("dy"),
     )
     s = p.agg(
         F.count(F.lit(1)).alias("n"),
