@@ -19027,3 +19027,667 @@ def dickey_fuller_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(beta, 6) + F.lit(0.0)).alias("beta"),
         (F.round(beta / se, 6) + F.lit(0.0)).alias("df_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch — round-8 session 4 (continued): monotone calibration (PAVA as a
+# bounded minimax), scale reliability (Cronbach's alpha), deterministic
+# randomization inference, multiple-testing control (Benjamini-Hochberg),
+# and lag-regression causality (Granger). The shared discipline: every
+# candidate-pair / replicate structure is bounded (score bins, 5 items,
+# 64 replicates, 25 nations, calendar days), never corpus x corpus.
+# ---------------------------------------------------------------------------
+
+
+# Isotonic calibration curve via the minimax characterization of the
+# pool-adjacent-violators fit: iso(i) = max_{j<=i} min_{k>=i}
+# mean(y over bins j..k) — an O(m^2) formulation over the DISTINCT
+# 2-dp score bins (m bounded ~160 by the score's range, independent of
+# corpus size), so the notoriously sequential PAVA becomes two window
+# passes over a bins x bins pair table: per-j suffix-min in k, then a
+# per-k max over j. Bin counts are exact integers; interval means are
+# single float divisions computed identically in both engines.
+@register(
+    "isotonic_calibration_q",
+    f"""
+    WITH scored AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               -- bin key is PURE INTEGER arithmetic (floor of 100 x the
+               -- mean token length): no float op ever touches the key,
+               -- so the binning cannot hit the cross-engine .5-boundary
+               -- divergence that ROUND(double) keys risk
+               CAST(100 * list_sum(list_transform(t, x -> length(x)))
+                    // len(t) AS BIGINT) / 1000.0 AS p
+        FROM (SELECT lang, {_SQL_TOKENS} AS t FROM documents)
+        WHERE len(t) > 0
+    ),
+    bins AS (
+        SELECT p, COUNT(*) AS n_k, SUM(y) AS pos_k
+        FROM scored GROUP BY p
+    ),
+    c AS (
+        SELECT p, n_k, pos_k,
+               SUM(n_k) OVER (ORDER BY p) AS cn,
+               SUM(pos_k) OVER (ORDER BY p) AS cp
+        FROM bins
+    ),
+    pairs AS (
+        SELECT j.p AS pj, k.p AS pk,
+               CAST(k.cp - (j.cp - j.pos_k) AS DOUBLE)
+                   / (k.cn - (j.cn - j.n_k)) AS mu
+        FROM c j JOIN c k ON j.p <= k.p
+    ),
+    suff AS (
+        SELECT pj, pk,
+               MIN(mu) OVER (PARTITION BY pj ORDER BY pk DESC) AS sm
+        FROM pairs
+    ),
+    iso AS (
+        SELECT pk AS p, MAX(sm) AS iso_raw FROM suff GROUP BY pk
+    )
+    SELECT c.p AS p_bin, CAST(c.n_k AS BIGINT) AS n_k,
+           CAST(c.pos_k AS BIGINT) AS pos_k,
+           CAST(ROUND(iso.iso_raw, 6) AS DOUBLE) + 0.0 AS iso_p
+    FROM c JOIN iso ON iso.p = c.p
+    """,
+)
+def isotonic_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone-nondecreasing calibrated probability per score bin —
+    the shape-constrained companion to brier_decomposition_q's
+    diagnosis. iso_p is exactly the PAVA fit (minimax identity)."""
+    d = Catalog(spark, sf_dir).documents
+    t = _tokens("text")
+    scored = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        (
+            F.floor(
+                (
+                    100
+                    * F.aggregate(
+                        t, F.lit(0), lambda a, x: a + F.length(x)
+                    ).cast("long")
+                )
+                / F.size(t)
+            )  # exact: floor(100*tl / nt), integer-valued in both engines
+            / F.lit(1000.0)
+        ).alias("p"),
+    ).filter(F.size(t) > 0)
+    bins = scored.groupBy("p").agg(
+        F.count(F.lit(1)).alias("n_k"), F.sum("y").alias("pos_k")
+    )
+    wp = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+    c = bins.select(
+        "p",
+        "n_k",
+        "pos_k",
+        F.sum("n_k").over(wp).alias("cn"),
+        F.sum("pos_k").over(wp).alias("cp"),
+    )
+    j = c.select(
+        F.col("p").alias("pj"),
+        (F.col("cp") - F.col("pos_k")).alias("cp_before"),
+        (F.col("cn") - F.col("n_k")).alias("cn_before"),
+    )
+    k = c.select(
+        F.col("p").alias("pk"),
+        F.col("cp").alias("cp_k"),
+        F.col("cn").alias("cn_k"),
+    )
+    pairs = j.join(k, F.col("pj") <= F.col("pk")).select(
+        "pj",
+        "pk",
+        (
+            (F.col("cp_k") - F.col("cp_before")).cast("double")
+            / (F.col("cn_k") - F.col("cn_before"))
+        ).alias("mu"),
+    )
+    wsuff = (
+        Window.partitionBy("pj")
+        .orderBy(F.col("pk").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    suff = pairs.select(
+        "pj", "pk", F.min("mu").over(wsuff).alias("sm")
+    )
+    iso = suff.groupBy("pk").agg(F.max("sm").alias("iso_raw"))
+    return (
+        c.join(iso, c["p"] == iso["pk"])
+        .select(
+            F.col("p").alias("p_bin"),
+            F.col("n_k").cast("long").alias("n_k"),
+            F.col("pos_k").cast("long").alias("pos_k"),
+            (F.round(F.col("iso_raw"), 6) + F.lit(0.0)).alias("iso_p"),
+        )
+    )
+
+
+# Cronbach's alpha over the five event types as "items" and users as
+# "subjects": alpha = k/(k-1) * (1 - sum_i var_i / var_total), with
+# per-user item scores = summed event value (zero-filled via a
+# user x item scaffold so a user missing an item scores 0, as the
+# psychometric formula requires). Variances use population moments from
+# exact DECIMAL sums: per-item and total-score sums of x and x^2 are
+# order-independent, and the alpha arithmetic runs on k+1 scalars.
+# Scale shape: one corpus aggregation to (user, item); the scaffold
+# join fans out to users x 5 rows; moments reduce with map-side
+# partials — no windows, no corpus-scale collect.
+@register(
+    "cronbach_alpha_q",
+    """
+    WITH ui AS (
+        SELECT user_id, event_type,
+               SUM(CAST(value AS DECIMAL(18,6))) AS x
+        FROM events GROUP BY user_id, event_type
+    ),
+    scaffold AS (
+        SELECT u.user_id, it.event_type,
+               COALESCE(ui.x, CAST(0 AS DECIMAL(18,6))) AS x
+        FROM (SELECT DISTINCT user_id FROM events) u
+        CROSS JOIN (SELECT DISTINCT event_type FROM events) it
+        LEFT JOIN ui ON ui.user_id = u.user_id
+                    AND ui.event_type = it.event_type
+    ),
+    item_var AS (
+        SELECT event_type,
+               (CAST(SUM(CAST(x AS DECIMAL(19,6))
+                         * CAST(x AS DECIMAL(19,6))) AS DOUBLE)
+                - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)
+                  / COUNT(*)) / COUNT(*) AS v
+        FROM scaffold GROUP BY event_type
+    ),
+    totals AS (
+        SELECT user_id, SUM(x) AS tot FROM scaffold GROUP BY user_id
+    ),
+    tot_var AS (
+        SELECT COUNT(*) AS n_users,
+               (CAST(SUM(CAST(tot AS DECIMAL(19,6))
+                         * CAST(tot AS DECIMAL(19,6))) AS DOUBLE)
+                - CAST(SUM(tot) AS DOUBLE) * CAST(SUM(tot) AS DOUBLE)
+                  / COUNT(*)) / COUNT(*) AS vt
+        FROM totals
+    )
+    SELECT CAST(tv.n_users AS BIGINT) AS n_users,
+           CAST(iv.k AS BIGINT) AS k_items,
+           CAST(ROUND(iv.k / (iv.k - 1.0)
+               * (1 - iv.sv / tv.vt), 6) AS DOUBLE) + 0.0 AS alpha
+    FROM (SELECT COUNT(*) AS k,
+                 CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) AS sv
+          FROM item_var) iv, tot_var tv
+    """,
+)
+def cronbach_alpha_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the five engagement signals hang together as one scale?
+    alpha > 0.7 is the conventional internal-consistency bar."""
+    e = Catalog(spark, sf_dir).events
+    ui = e.groupBy("user_id", "event_type").agg(
+        F.sum(_dec(F.col("value"), 18, 6)).alias("x")
+    )
+    users = e.select("user_id").distinct()
+    items = e.select("event_type").distinct()
+    scaffold = (
+        users.crossJoin(F.broadcast(items))
+        .join(ui, ["user_id", "event_type"], "left")
+        .select(
+            "user_id",
+            "event_type",
+            F.coalesce(
+                F.col("x"), F.lit(0).cast("decimal(18,6)")
+            ).alias("x"),
+        )
+    )
+    x16 = F.col("x").cast("decimal(16,6)")
+    item_var = scaffold.groupBy("event_type").agg(
+        (
+            (
+                F.sum(x16 * x16).cast("double")
+                - F.sum("x").cast("double")
+                * F.sum("x").cast("double")
+                / F.count(F.lit(1))
+            )
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    totals = scaffold.groupBy("user_id").agg(F.sum("x").alias("tot"))
+    t16 = F.col("tot").cast("decimal(16,6)")
+    tot_var = totals.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        (
+            (
+                F.sum(t16 * t16).cast("double")
+                - F.sum("tot").cast("double")
+                * F.sum("tot").cast("double")
+                / F.count(F.lit(1))
+            )
+            / F.count(F.lit(1))
+        ).alias("vt"),
+    )
+    iv = item_var.agg(
+        F.count(F.lit(1)).alias("k"),
+        _dsum(F.col("v")).cast("double").alias("sv"),
+    )
+    return iv.crossJoin(tot_var).select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("k").cast("long").alias("k_items"),
+        (
+            F.round(
+                F.col("k")
+                / (F.col("k") - 1.0)
+                * (1 - F.col("sv") / F.col("vt")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("alpha"),
+    )
+
+
+# Randomization (permutation-style) test for the difference in mean
+# per-user purchase totals between the two user cohorts (user_id
+# parity), with DETERMINISTIC reassignments: replicate b in 0..63
+# flips each user by the content-keyed hash coin poly_hash('perm:' ||
+# user_id || ':' || b) % 2 — the Fisher-randomization analogue of
+# poisson_bootstrap_q's resampling, exactly replayable on any engine,
+# any partitioning. p = (1 + #extreme) / (B + 1), the standard
+# add-one randomization p-value. Scale shape: events reduce to ONE
+# per-user row first (corpus-scale pass); the 64 replicates fan out
+# from the USER table (metadata x 64) with map-side partial sums.
+@register(
+    "permutation_test_q",
+    f"""
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS grp,
+               SUM(CAST(value AS DECIMAL(18,6))) AS tot
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    obs AS (
+        SELECT CAST(SUM(CASE WHEN grp = 0 THEN tot END) AS DOUBLE)
+                   / SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+               - CAST(SUM(CASE WHEN grp = 1 THEN tot END) AS DOUBLE)
+                   / SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS d_obs
+        FROM u
+    ),
+    reps AS (
+        SELECT b,
+               {_SQL_POLY.format(
+                   s="'perm:' || user_id::VARCHAR || ':' || b::VARCHAR"
+               )} % 2 AS g, tot
+        FROM u, (SELECT unnest(range(0, 64)) AS b)
+    ),
+    rd AS (
+        SELECT b,
+               CAST(SUM(CASE WHEN g = 0 THEN tot END) AS DOUBLE)
+                   / SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END)
+               - CAST(SUM(CASE WHEN g = 1 THEN tot END) AS DOUBLE)
+                   / SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS d
+        FROM reps GROUP BY b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS n_users,
+           CAST(ROUND((SELECT d_obs FROM obs), 6) AS DOUBLE) + 0.0
+               AS obs_diff,
+           CAST(SUM(CASE WHEN abs(d) >= abs((SELECT d_obs FROM obs))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           CAST(ROUND((1.0 + SUM(CASE WHEN abs(d) >=
+                    abs((SELECT d_obs FROM obs)) THEN 1 ELSE 0 END))
+               / 65.0, 6) AS DOUBLE) AS p_value
+    FROM rd
+    """,
+)
+def permutation_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free significance for the cohort difference: how
+    often does a hash-randomized relabeling produce a gap at least as
+    large as the observed one?"""
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    u = e.groupBy("user_id").agg(
+        F.sum(_dec(F.col("value"), 18, 6)).alias("tot")
+    ).withColumn("grp", F.col("user_id") % 2)
+
+    def mean_diff(gcol):
+        m0 = F.sum(
+            F.when(gcol == 0, F.col("tot"))
+        ).cast("double") / F.sum(F.when(gcol == 0, 1).otherwise(0))
+        m1 = F.sum(
+            F.when(gcol == 1, F.col("tot"))
+        ).cast("double") / F.sum(F.when(gcol == 1, 1).otherwise(0))
+        return m0 - m1
+
+    obs = u.agg(
+        mean_diff(F.col("grp")).alias("d_obs"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    b = u.sparkSession.range(0, 64).select(
+        F.col("id").cast("int").alias("b")
+    )
+    reps = u.crossJoin(F.broadcast(b)).select(
+        "b",
+        "tot",
+        (
+            poly_hash(
+                F.concat(
+                    F.lit("perm:"),
+                    F.col("user_id").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            )
+            % 2
+        ).alias("g"),
+    )
+    rd = reps.groupBy("b").agg(mean_diff(F.col("g")).alias("d"))
+    return (
+        rd.crossJoin(F.broadcast(obs))
+        .agg(
+            F.max("n_users").cast("long").alias("n_users"),
+            (F.round(F.max("d_obs"), 6) + F.lit(0.0)).alias("obs_diff"),
+            F.sum(
+                F.when(F.abs(F.col("d")) >= F.abs(F.col("d_obs")), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_extreme"),
+            F.round(
+                (
+                    1.0
+                    + F.sum(
+                        F.when(
+                            F.abs(F.col("d")) >= F.abs(F.col("d_obs")), 1
+                        ).otherwise(0)
+                    )
+                )
+                / 65.0,
+                6,
+            ).alias("p_value"),
+        )
+    )
+
+
+# Benjamini-Hochberg FDR control over the 25-nation family of two-sided
+# one-sample z-tests (does nation mean acctbal differ from the global
+# mean?). The normal tail probability uses the Abramowitz & Stegun
+# 7.1.26 erfc polynomial spelled IDENTICALLY in both engines (pure
+# double arithmetic: exp + one polynomial — deterministic IEEE ops, no
+# library-dependent erf). Scale shape: one corpus aggregation to
+# per-nation moments; the BH step-up runs in a window over the
+# 25-row FAMILY table. Ranks tie-break on nation for determinism.
+@register(
+    "bh_fdr_q",
+    """
+    WITH g AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) AS mu,
+               sqrt((CAST(SUM(CAST(c_acctbal AS DECIMAL(19,6))
+                              * CAST(c_acctbal AS DECIMAL(19,6)))
+                          AS DOUBLE)
+                     - CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6)))
+                            AS DOUBLE)
+                       * CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6)))
+                              AS DOUBLE) / COUNT(*))
+                    / COUNT(*)) AS sd
+        FROM customer
+    ),
+    nat AS (
+        SELECT c_nationkey, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) AS m
+        FROM customer GROUP BY c_nationkey
+    ),
+    z AS (
+        SELECT c_nationkey, n,
+               abs((m - g.mu) / (g.sd / sqrt(n))) AS az
+        FROM nat, g
+    ),
+    p AS (
+        SELECT c_nationkey, n, az,
+               (0.254829592 * (1 / (1 + 0.3275911 * az / sqrt(2.0)))
+                - 0.284496736 * pow(1 / (1 + 0.3275911 * az / sqrt(2.0)), 2)
+                + 1.421413741 * pow(1 / (1 + 0.3275911 * az / sqrt(2.0)), 3)
+                - 1.453152027 * pow(1 / (1 + 0.3275911 * az / sqrt(2.0)), 4)
+                + 1.061405429 * pow(1 / (1 + 0.3275911 * az / sqrt(2.0)), 5))
+               * exp(-az * az / 2.0) AS pv
+        FROM z
+    ),
+    ranked AS (
+        SELECT c_nationkey, n, az, pv,
+               ROW_NUMBER() OVER (ORDER BY pv, c_nationkey) AS i,
+               COUNT(*) OVER () AS m_tests
+        FROM p
+    ),
+    kstar AS (
+        SELECT ranked.*,
+               MAX(CASE WHEN pv <= 0.05 * i / m_tests THEN i END)
+                   OVER () AS k
+        FROM ranked
+    )
+    SELECT c_nationkey, CAST(n AS BIGINT) AS n_customers,
+           CAST(ROUND(az, 4) AS DOUBLE) + 0.0 AS abs_z,
+           CAST(ROUND(pv, 6) AS DOUBLE) + 0.0 AS p_value,
+           CAST(i AS BIGINT) AS bh_rank,
+           COALESCE(i <= k, FALSE) AS discovery
+    FROM kstar
+    """,
+)
+def bh_fdr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which nations' balance means differ from global, at 5% FALSE
+    DISCOVERY RATE rather than per-test alpha? Step-up: largest i with
+    p_(i) <= alpha*i/m; all ranks at or below are discoveries."""
+    c = Catalog(spark, sf_dir).customer
+    s6 = _dec(F.col("c_acctbal"), 18, 6)
+    s16 = _dec(F.col("c_acctbal"), 16, 6)
+    g = c.agg(
+        (F.sum(s6).cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.sqrt(
+            (
+                F.sum(s16 * s16).cast("double")
+                - F.sum(s6).cast("double")
+                * F.sum(s6).cast("double")
+                / F.count(F.lit(1))
+            )
+            / F.count(F.lit(1))
+        ).alias("sd"),
+    )
+    nat = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(s6).cast("double") / F.count(F.lit(1))).alias("m"),
+    )
+    z = nat.crossJoin(F.broadcast(g)).select(
+        "c_nationkey",
+        "n",
+        F.abs(
+            (F.col("m") - F.col("mu"))
+            / (F.col("sd") / F.sqrt(F.col("n")))
+        ).alias("az"),
+    )
+    t = 1 / (1 + 0.3275911 * F.col("az") / F.sqrt(F.lit(2.0)))
+    pv = (
+        0.254829592 * t
+        - 0.284496736 * F.pow(t, 2)
+        + 1.421413741 * F.pow(t, 3)
+        - 1.453152027 * F.pow(t, 4)
+        + 1.061405429 * F.pow(t, 5)
+    ) * F.exp(-F.col("az") * F.col("az") / 2.0)
+    p = z.withColumn("pv", pv)
+    wr = Window.orderBy("pv", "c_nationkey")
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = p.select(
+        "c_nationkey",
+        "n",
+        "az",
+        "pv",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wt).alias("m_tests"),
+    )
+    kstar = ranked.withColumn(
+        "k",
+        F.max(
+            F.when(
+                F.col("pv") <= 0.05 * F.col("i") / F.col("m_tests"),
+                F.col("i"),
+            )
+        ).over(wt),
+    )
+    return kstar.select(
+        "c_nationkey",
+        F.col("n").cast("long").alias("n_customers"),
+        (F.round(F.col("az"), 4) + F.lit(0.0)).alias("abs_z"),
+        (F.round(F.col("pv"), 6) + F.lit(0.0)).alias("p_value"),
+        F.col("i").cast("long").alias("bh_rank"),
+        F.coalesce(F.col("i") <= F.col("k"), F.lit(False)).alias(
+            "discovery"
+        ),
+    )
+
+
+# Granger causality (1 lag): does yesterday's CLICK level improve the
+# prediction of today's PURCHASE level beyond yesterday's purchase
+# level alone? Unrestricted OLS y_t ~ a + b1*y_{t-1} + b2*x_{t-1} vs
+# restricted y_t ~ a + b*y_{t-1}; F = (RSS_r - RSS_u) * (n-3) / RSS_u.
+# Both regressions are closed-form (2x2 normal equations by Cramer's
+# rule) over centered cross-moments; every input is DECIMAL-quantized
+# at the daily aggregate so lagging, differencing, and the six cross
+# products are exact, and each product is re-quantized to
+# DECIMAL(28,12) before its sum. The windows run over the
+# calendar-bounded daily frame.
+@register(
+    "granger_q",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(18,6)) END)
+                    AS DOUBLE)
+                    / SUM(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS DECIMAL(18,6)) AS y,
+               CAST(CAST(SUM(CASE WHEN event_type = 'click'
+                        THEN CAST(value AS DECIMAL(18,6)) END)
+                    AS DOUBLE)
+                    / SUM(CASE WHEN event_type = 'click'
+                          THEN 1 ELSE 0 END) AS DECIMAL(18,6)) AS x
+        FROM events WHERE event_type IN ('purchase', 'click')
+        GROUP BY CAST(ts AS DATE)
+    ),
+    lagged AS (
+        SELECT y AS w,
+               LAG(y) OVER (ORDER BY day) AS z1,
+               LAG(x) OVER (ORDER BY day) AS z2
+        FROM daily
+    ),
+    pp AS (
+        SELECT CAST(w AS DECIMAL(16,6)) AS w,
+               CAST(z1 AS DECIMAL(16,6)) AS z1,
+               CAST(z2 AS DECIMAL(16,6)) AS z2
+        FROM lagged WHERE z1 IS NOT NULL AND z2 IS NOT NULL
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(w) AS DOUBLE) AS sw,
+               CAST(SUM(z1) AS DOUBLE) AS s1,
+               CAST(SUM(z2) AS DOUBLE) AS s2,
+               CAST(SUM(w * w) AS DOUBLE) AS sww,
+               CAST(SUM(z1 * z1) AS DOUBLE) AS s11,
+               CAST(SUM(z2 * z2) AS DOUBLE) AS s22,
+               CAST(SUM(z1 * z2) AS DOUBLE) AS s12,
+               CAST(SUM(z1 * w) AS DOUBLE) AS s1w,
+               CAST(SUM(z2 * w) AS DOUBLE) AS s2w
+        FROM pp
+    ),
+    c AS (
+        SELECT n,
+               sww - sw * sw / n AS cww,
+               s11 - s1 * s1 / n AS c11,
+               s22 - s2 * s2 / n AS c22,
+               s12 - s1 * s2 / n AS c12,
+               s1w - s1 * sw / n AS c1w,
+               s2w - s2 * sw / n AS c2w
+        FROM s
+    ),
+    fit AS (
+        SELECT n,
+               (c1w * c22 - c2w * c12) / (c11 * c22 - c12 * c12) AS b1,
+               (c2w * c11 - c1w * c12) / (c11 * c22 - c12 * c12) AS b2,
+               cww, c1w, c2w, c11
+        FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           CAST(ROUND(b1, 6) AS DOUBLE) + 0.0 AS beta_y_lag,
+           CAST(ROUND(b2, 6) AS DOUBLE) + 0.0 AS beta_x_lag,
+           CAST(ROUND(((cww - c1w * c1w / c11)
+                       - (cww - b1 * c1w - b2 * c2w)) * (n - 3)
+                   / (cww - b1 * c1w - b2 * c2w), 6) AS DOUBLE) + 0.0
+               AS f_stat
+    FROM fit
+    """,
+)
+def granger_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F > ~4 at these df suggests clicks carry next-day predictive
+    information for purchases. Pairs with dickey_fuller_q (run it
+    first: Granger on unit-root series is spurious)."""
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    v6 = _dec(F.col("value"), 18, 6)
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", v6))
+            .cast("double")
+            / F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+        )
+        .cast("decimal(18,6)")
+        .alias("y"),
+        (
+            F.sum(F.when(F.col("event_type") == "click", v6))
+            .cast("double")
+            / F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            )
+        )
+        .cast("decimal(18,6)")
+        .alias("x"),
+    )
+    wday = Window.orderBy("day")
+    lagged = daily.select(
+        F.col("y").alias("w0"),
+        F.lag("y").over(wday).alias("l1"),
+        F.lag("x").over(wday).alias("l2"),
+    ).filter(F.col("l1").isNotNull() & F.col("l2").isNotNull())
+    pp = lagged.select(
+        F.col("w0").cast("decimal(16,6)").alias("w"),
+        F.col("l1").cast("decimal(16,6)").alias("z1"),
+        F.col("l2").cast("decimal(16,6)").alias("z2"),
+    )
+    s = pp.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("w").cast("double").alias("sw"),
+        F.sum("z1").cast("double").alias("s1"),
+        F.sum("z2").cast("double").alias("s2"),
+        F.sum(F.col("w") * F.col("w")).cast("double").alias("sww"),
+        F.sum(F.col("z1") * F.col("z1")).cast("double").alias("s11"),
+        F.sum(F.col("z2") * F.col("z2")).cast("double").alias("s22"),
+        F.sum(F.col("z1") * F.col("z2")).cast("double").alias("s12"),
+        F.sum(F.col("z1") * F.col("w")).cast("double").alias("s1w"),
+        F.sum(F.col("z2") * F.col("w")).cast("double").alias("s2w"),
+    )
+    n = F.col("n")
+    cww = F.col("sww") - F.col("sw") * F.col("sw") / n
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    c1w = F.col("s1w") - F.col("s1") * F.col("sw") / n
+    c2w = F.col("s2w") - F.col("s2") * F.col("sw") / n
+    det = c11 * c22 - c12 * c12
+    b1 = (c1w * c22 - c2w * c12) / det
+    b2 = (c2w * c11 - c1w * c12) / det
+    rss_u = cww - b1 * c1w - b2 * c2w
+    rss_r = cww - c1w * c1w / c11
+    return s.select(
+        n.cast("long").alias("n_obs"),
+        (F.round(b1, 6) + F.lit(0.0)).alias("beta_y_lag"),
+        (F.round(b2, 6) + F.lit(0.0)).alias("beta_x_lag"),
+        (
+            F.round((rss_r - rss_u) * (n - 3) / rss_u, 6) + F.lit(0.0)
+        ).alias("f_stat"),
+    )

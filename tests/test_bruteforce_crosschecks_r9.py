@@ -1102,3 +1102,185 @@ def test_dickey_fuller_q_matches_bruteforce(spark):
     assert row["n_obs"] == n
     assert row["beta"] == pytest.approx(beta, abs=2e-6)
     assert row["df_stat"] == pytest.approx(beta / se, rel=1e-4)
+
+
+def test_isotonic_calibration_q_matches_bruteforce(spark):
+    """PAVA replayed with the classic sequential pooling algorithm —
+    independently of the query's minimax formulation."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT lang, text FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall()
+    by_bin = defaultdict(lambda: [0, 0])
+    for lang, text in rows:
+        toks = _tok(text)
+        if not toks:
+            continue
+        b = (100 * sum(len(t) for t in toks)) // len(toks) / 1000.0
+        by_bin[b][0] += 1
+        by_bin[b][1] += 1 if lang == "en" else 0
+    bins = sorted(by_bin.items())
+    # classic PAVA: pool adjacent violators left to right, tracking how
+    # many BINS each block covers so fits expand back positionally
+    blocks = []  # [n, pos, n_bins]
+    for _, (n, pos) in bins:
+        blocks.append([n, pos, 1])
+        while (
+            len(blocks) > 1
+            and blocks[-2][1] * blocks[-1][0]
+            >= blocks[-1][1] * blocks[-2][0]
+        ):
+            n2, p2, c2 = blocks.pop()
+            blocks[-1][0] += n2
+            blocks[-1][1] += p2
+            blocks[-1][2] += c2
+    iso = {}
+    it = iter(bins)
+    for n, pos, n_bins in blocks:
+        for _ in range(n_bins):
+            p, _counts = next(it)
+            iso[p] = pos / n
+    got = {
+        r["p_bin"]: r
+        for r in REGISTRY["isotonic_calibration_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert set(got) == {p for p, _ in bins}
+    prev = -1.0
+    for p, (n, pos) in bins:
+        r = got[p]
+        assert r["n_k"] == n and r["pos_k"] == pos
+        assert r["iso_p"] == pytest.approx(iso[p], abs=2e-6)
+        assert r["iso_p"] >= prev - 1e-12  # monotone
+        prev = r["iso_p"]
+
+
+def test_cronbach_alpha_q_matches_bruteforce(spark):
+    """Alpha replayed from zero-filled per-user item scores."""
+    scores = defaultdict(lambda: defaultdict(Decimal))
+    types = set()
+    for uid, _, _, v, t in _events():
+        scores[uid][t] += Decimal(str(v)).quantize(Decimal("0.000001"))
+        types.add(t)
+    types = sorted(types)
+    k = len(types)
+    users = sorted(scores)
+    n = len(users)
+
+    def pvar(xs):
+        mu = sum(xs) / len(xs)
+        return sum((x - mu) ** 2 for x in xs) / len(xs)
+
+    item_vars = [
+        pvar([float(scores[u].get(t, Decimal(0))) for u in users])
+        for t in types
+    ]
+    tot_var = pvar(
+        [float(sum(scores[u].values())) for u in users]
+    )
+    alpha = k / (k - 1) * (1 - sum(item_vars) / tot_var)
+    row = REGISTRY["cronbach_alpha_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_users"] == n and row["k_items"] == k
+    assert row["alpha"] == pytest.approx(alpha, abs=2e-6)
+
+
+def _poly(s):
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % 1000000007
+    return h
+
+
+def test_permutation_test_q_matches_bruteforce(spark):
+    """Randomization p-value replayed with the same hash coins."""
+    tot = defaultdict(Decimal)
+    for uid, _, _, v, t in _events():
+        if t == "purchase":
+            tot[uid] += Decimal(str(v)).quantize(Decimal("0.000001"))
+
+    def diff(assign):
+        g0 = [float(v) for u, v in tot.items() if assign(u) == 0]
+        g1 = [float(v) for u, v in tot.items() if assign(u) == 1]
+        return sum(g0) / len(g0) - sum(g1) / len(g1)
+
+    d_obs = diff(lambda u: u % 2)
+    n_ext = sum(
+        1
+        for b in range(64)
+        if abs(diff(lambda u: _poly(f"perm:{u}:{b}") % 2)) >= abs(d_obs)
+    )
+    row = REGISTRY["permutation_test_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_users"] == len(tot)
+    assert row["obs_diff"] == pytest.approx(d_obs, abs=2e-6)
+    assert row["n_extreme"] == n_ext
+    assert row["p_value"] == pytest.approx((1 + n_ext) / 65, abs=2e-6)
+
+
+def test_bh_fdr_q_matches_bruteforce(spark):
+    """BH step-up replayed with math.erfc as the tail oracle."""
+    nats = defaultdict(list)
+    for nat, _, bal in _balances():
+        nats[nat].append(bal)
+    allb = [b for v in nats.values() for b in v]
+    mu = sum(allb) / len(allb)
+    sd = math.sqrt(sum((b - mu) ** 2 for b in allb) / len(allb))
+    fam = []
+    for nat, v in nats.items():
+        az = abs((sum(v) / len(v) - mu) / (sd / math.sqrt(len(v))))
+        fam.append((nat, len(v), az, math.erfc(az / math.sqrt(2))))
+    fam.sort(key=lambda r: (r[3], r[0]))
+    m = len(fam)
+    kstar = max(
+        (i for i, r in enumerate(fam, 1) if r[3] <= 0.05 * i / m),
+        default=0,
+    )
+    got = {
+        r["c_nationkey"]: r
+        for r in REGISTRY["bh_fdr_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert len(got) == m
+    for i, (nat, n, az, p) in enumerate(fam, 1):
+        r = got[nat]
+        assert r["n_customers"] == n
+        assert r["abs_z"] == pytest.approx(az, abs=2e-4)
+        # A&S 7.1.26 carries |eps| <= 1.5e-7 vs true erfc, and the
+        # output is 6-dp rounded (±5e-7) — bound is the sum of both
+        assert r["p_value"] == pytest.approx(p, abs=1e-6)
+        assert r["bh_rank"] == i
+        assert r["discovery"] == (i <= kstar)
+
+
+def test_granger_q_matches_bruteforce(spark):
+    """Granger F replayed with numpy least squares."""
+    import numpy as np
+
+    days = defaultdict(lambda: defaultdict(lambda: [Decimal(0), 0]))
+    for _, ts, _, v, t in _events():
+        if t in ("purchase", "click"):
+            d = days[ts.date()][t]
+            d[0] += Decimal(str(v)).quantize(Decimal("0.000001"))
+            d[1] += 1
+    ys, xs = [], []
+    for day in sorted(days):
+        p, c = days[day]["purchase"], days[day]["click"]
+        ys.append(float(_q6(float(p[0]) / p[1])))
+        xs.append(float(_q6(float(c[0]) / c[1])))
+    w = np.array(ys[1:])
+    z1 = np.array(ys[:-1])
+    z2 = np.array(xs[:-1])
+    n = len(w)
+    Xu = np.column_stack([np.ones(n), z1, z2])
+    Xr = np.column_stack([np.ones(n), z1])
+    bu, *_ = np.linalg.lstsq(Xu, w, rcond=None)
+    br, *_ = np.linalg.lstsq(Xr, w, rcond=None)
+    rss_u = float(((w - Xu @ bu) ** 2).sum())
+    rss_r = float(((w - Xr @ br) ** 2).sum())
+    f = (rss_r - rss_u) * (n - 3) / rss_u
+    row = REGISTRY["granger_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_obs"] == n
+    assert row["beta_y_lag"] == pytest.approx(bu[1], abs=2e-5)
+    assert row["beta_x_lag"] == pytest.approx(bu[2], abs=2e-5)
+    # f_stat is 6-dp rounded, so tiny F values need an abs floor
+    assert row["f_stat"] == pytest.approx(f, rel=1e-4, abs=1e-6)
