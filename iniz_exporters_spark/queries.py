@@ -18504,6 +18504,14 @@ def hubness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
+    # the probe table arrives as ONE parquet split and crossJoin keeps
+    # the left partitioning — spread the n x n pair work across the
+    # cluster before fanning out. The partition count must be EXPLICIT:
+    # the pre-explosion table is tiny, so AQE would coalesce a bare
+    # repartition back to one task and serialize the O(n^2 d) stage.
+    e = e.repartition(
+        spark.sparkContext.defaultParallelism, F.col("vec_id")
+    )
     scored = (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
