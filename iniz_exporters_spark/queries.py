@@ -19699,3 +19699,486 @@ def granger_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((rss_r - rss_u) * (n - 3) / rss_u, 6) + F.lit(0.0)
         ).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch — round-8 session 4 (continued): experimentation statistics
+# (Welch's t, sequential SPRT, power analysis) and the seasonal-strength
+# summary of the STL decomposition. One corpus pass each; everything
+# after the per-group moments is scalar arithmetic.
+# ---------------------------------------------------------------------------
+
+
+# Welch's unequal-variance t-test with Cohen's d for the two user
+# cohorts' per-user purchase totals (same cohorts and per-user
+# reduction as permutation_test_q, so the parametric and randomization
+# answers are directly comparable). Per-arm moments come from exact
+# DECIMAL sums; t, the Welch-Satterthwaite df, and pooled-sd Cohen's d
+# are scalar arithmetic on six numbers. Sample (n-1) variances.
+@register(
+    "welch_ttest_q",
+    """
+    WITH u AS (
+        SELECT user_id % 2 AS arm,
+               SUM(CAST(value AS DECIMAL(18,6))) AS tot
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    m AS (
+        SELECT arm, COUNT(*) AS n,
+               CAST(SUM(tot) AS DOUBLE) AS s,
+               -- width >= 19 keeps DuckDB on the int128 multiply
+               -- path (the Spark twin uses decimal(16,6): see anova_f_q)
+               CAST(SUM(CAST(tot AS DECIMAL(19,6))
+                        * CAST(tot AS DECIMAL(19,6))) AS DOUBLE) AS q
+        FROM u GROUP BY arm
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+               MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+               MAX(CASE WHEN arm = 0 THEN s / n END) AS m0,
+               MAX(CASE WHEN arm = 1 THEN s / n END) AS m1,
+               MAX(CASE WHEN arm = 0 THEN (q - s * s / n) / (n - 1) END)
+                   AS v0,
+               MAX(CASE WHEN arm = 1 THEN (q - s * s / n) / (n - 1) END)
+                   AS v1
+        FROM m
+    )
+    SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           CAST(ROUND(m0 - m1, 6) AS DOUBLE) + 0.0 AS mean_diff,
+           CAST(ROUND((m0 - m1) / sqrt(v0 / n0 + v1 / n1), 6)
+               AS DOUBLE) + 0.0 AS t_stat,
+           CAST(ROUND(pow(v0 / n0 + v1 / n1, 2)
+               / (pow(v0 / n0, 2) / (n0 - 1)
+                  + pow(v1 / n1, 2) / (n1 - 1)), 4) AS DOUBLE) + 0.0
+               AS welch_df,
+           CAST(ROUND((m0 - m1) / sqrt(((n0 - 1) * v0 + (n1 - 1) * v1)
+               / (n0 + n1 - 2)), 6) AS DOUBLE) + 0.0 AS cohens_d
+    FROM w
+    """,
+)
+def welch_ttest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parametric companion to permutation_test_q on the same
+    cohort split: t, Welch-Satterthwaite df, and the pooled-sd effect
+    size in one row."""
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    u = e.groupBy("user_id").agg(
+        F.sum(_dec(F.col("value"), 18, 6)).alias("tot")
+    ).withColumn("arm", F.col("user_id") % 2)
+    t16 = F.col("tot").cast("decimal(16,6)")
+    m = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("tot").cast("double").alias("s"),
+        F.sum(t16 * t16).cast("double").alias("q"),
+    )
+
+    def arm(col, a):
+        return F.max(F.when(F.col("arm") == a, col))
+
+    w = m.agg(
+        arm(F.col("n"), 0).alias("n0"),
+        arm(F.col("n"), 1).alias("n1"),
+        arm(F.col("s") / F.col("n"), 0).alias("m0"),
+        arm(F.col("s") / F.col("n"), 1).alias("m1"),
+        arm(
+            (F.col("q") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1),
+            0,
+        ).alias("v0"),
+        arm(
+            (F.col("q") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1),
+            1,
+        ).alias("v1"),
+    )
+    se2 = F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")
+    dfw = F.pow(se2, 2) / (
+        F.pow(F.col("v0") / F.col("n0"), 2) / (F.col("n0") - 1)
+        + F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+    )
+    pooled = F.sqrt(
+        ((F.col("n0") - 1) * F.col("v0") + (F.col("n1") - 1) * F.col("v1"))
+        / (F.col("n0") + F.col("n1") - 2)
+    )
+    diff = F.col("m0") - F.col("m1")
+    return w.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        (F.round(diff, 6) + F.lit(0.0)).alias("mean_diff"),
+        (F.round(diff / F.sqrt(se2), 6) + F.lit(0.0)).alias("t_stat"),
+        (F.round(dfw, 4) + F.lit(0.0)).alias("welch_df"),
+        (F.round(diff / pooled, 6) + F.lit(0.0)).alias("cohens_d"),
+    )
+
+
+# Seasonal strength and trend strength of the daily view-event series,
+# from the same STL-lite decomposition as stl_decompose_q:
+# F_seasonal = max(0, 1 - var(resid)/var(seasonal+resid)),
+# F_trend = max(0, 1 - var(resid)/var(detrended... trend+resid)) —
+# Hyndman's definitions. Every component is DECIMAL-quantized (the
+# stl_decompose_q discipline) and the variances reduce over the
+# calendar-bounded daily frame; the max(0,·) clamp also normalizes any
+# negative zero.
+@register(
+    "seasonal_strength_q",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+                   AS dow,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*) AS DECIMAL(18,6)) AS m
+        FROM events WHERE event_type = 'view'
+        GROUP BY CAST(ts AS DATE),
+                 date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+    ),
+    trended AS (
+        SELECT day, dow, m,
+               CAST(CAST(SUM(m) OVER (ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                    AS DOUBLE)
+                    / COUNT(*) OVER (ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                    AS DECIMAL(18,6)) AS trend
+        FROM daily
+    ),
+    seasoned AS (
+        SELECT day, m, trend,
+               CAST(CAST(SUM(m - trend) OVER (PARTITION BY dow)
+                    AS DOUBLE) / COUNT(*) OVER (PARTITION BY dow)
+                    AS DECIMAL(18,6)) AS seasonal
+        FROM trended
+    ),
+    comp AS (
+        SELECT CAST(m - trend - seasonal AS DOUBLE) AS r,
+               CAST(m - trend AS DOUBLE) AS sr,
+               CAST(m - seasonal AS DOUBLE) AS tr
+        FROM seasoned
+    ),
+    v AS (
+        SELECT COUNT(*) AS n,
+               (SUM(r * r) - SUM(r) * SUM(r) / COUNT(*)) / COUNT(*)
+                   AS vr,
+               (SUM(sr * sr) - SUM(sr) * SUM(sr) / COUNT(*)) / COUNT(*)
+                   AS vsr,
+               (SUM(tr * tr) - SUM(tr) * SUM(tr) / COUNT(*)) / COUNT(*)
+                   AS vtr
+        FROM comp
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           greatest(0.0, CAST(ROUND(1 - vr / vsr, 6) AS DOUBLE))
+               AS seasonal_strength,
+           greatest(0.0, CAST(ROUND(1 - vr / vtr, 6) AS DOUBLE))
+               AS trend_strength
+    FROM v
+    """,
+)
+def seasonal_strength_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row summary answering 'is this series worth deseasonalizing
+    before anomaly detection?' — the scalar view of stl_decompose_q.
+    Variance sums run over ~30 rows (centered-window means are already
+    DECIMAL), so plain double sums are deterministic here only because
+    the frame is single-partition calendar metadata; the quantized
+    components keep both engines bit-identical."""
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "view"
+    )
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"),
+        (F.datediff(F.to_date("ts"), F.lit("2024-01-01")) % 7).alias(
+            "dow"
+        ),
+    ).agg(
+        (
+            F.sum(_dec(F.col("value"), 18, 6)).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("decimal(18,6)")
+        .alias("m")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.withColumn(
+        "trend",
+        (
+            F.sum("m").over(w7).cast("double")
+            / F.count(F.lit(1)).over(w7)
+        ).cast("decimal(18,6)"),
+    )
+    wdow = Window.partitionBy("dow")
+    seasoned = trended.withColumn(
+        "seasonal",
+        (
+            F.sum(F.col("m") - F.col("trend")).over(wdow).cast("double")
+            / F.count(F.lit(1)).over(wdow)
+        ).cast("decimal(18,6)"),
+    )
+    comp = seasoned.select(
+        (F.col("m") - F.col("trend") - F.col("seasonal"))
+        .cast("double")
+        .alias("r"),
+        (F.col("m") - F.col("trend")).cast("double").alias("sr"),
+        (F.col("m") - F.col("seasonal")).cast("double").alias("tr"),
+    )
+
+    def pvar(c):
+        return (
+            F.sum(c * c) - F.sum(c) * F.sum(c) / F.count(F.lit(1))
+        ) / F.count(F.lit(1))
+
+    v = comp.agg(
+        F.count(F.lit(1)).alias("n"),
+        pvar(F.col("r")).alias("vr"),
+        pvar(F.col("sr")).alias("vsr"),
+        pvar(F.col("tr")).alias("vtr"),
+    )
+    return v.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.greatest(
+            F.lit(0.0), F.round(1 - F.col("vr") / F.col("vsr"), 6)
+        ).alias("seasonal_strength"),
+        F.greatest(
+            F.lit(0.0), F.round(1 - F.col("vr") / F.col("vtr"), 6)
+        ).alias("trend_strength"),
+    )
+
+
+# Wald SPRT on the user-level conversion stream (H0: p = 0.5 vs H1:
+# p = 0.6 that a user converts, i.e. has >= 1 purchase event), walked
+# in user_id order: LLR_t = n1_t*ln(p1/p0) + (t - n1_t)*ln(q1/q0),
+# stop when LLR crosses ln((1-beta)/alpha) (accept H1) or
+# ln(beta/(1-alpha)) (accept H0), alpha = beta = 0.05. The cumulative
+# SUCCESS COUNT — the only corpus-scale running quantity — comes from
+# operators.indexing.global_cumsum (range-partitioned, exact integers,
+# never a single-partition window); the LLR is per-row arithmetic on
+# two integers. The oracle keeps plain ANSI windows.
+@register(
+    "sprt_q",
+    """
+    WITH u AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS x
+        FROM events GROUP BY user_id
+    ),
+    walk AS (
+        SELECT user_id,
+               ROW_NUMBER() OVER (ORDER BY user_id) AS t,
+               SUM(x) OVER (ORDER BY user_id) AS n1
+        FROM u
+    ),
+    llr AS (
+        SELECT t, n1,
+               n1 * ln(0.6 / 0.5) + (t - n1) * ln(0.4 / 0.5) AS l
+        FROM walk
+    )
+    SELECT CAST(MAX(t) AS BIGINT) AS n_trials,
+           CAST(MAX(CASE WHEN t = (SELECT MAX(t) FROM llr) THEN n1 END)
+               AS BIGINT) AS n_success,
+           CAST(ROUND(MAX(CASE WHEN t = (SELECT MAX(t) FROM llr)
+               THEN l END), 6) AS DOUBLE) + 0.0 AS final_llr,
+           CAST(MIN(CASE WHEN l >= ln(19.0) THEN t END) AS BIGINT)
+               AS first_accept_h1_t,
+           CAST(MIN(CASE WHEN l <= -ln(19.0) THEN t END) AS BIGINT)
+               AS first_accept_h0_t
+    FROM llr
+    """,
+)
+def sprt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential testing: how early would the conversion experiment
+    have stopped? Crossing times are exact because the walk state is
+    two integers; ln enters only per-row, as in zipf_fit_q."""
+    from iniz_exporters_spark.operators.indexing import (
+        global_cumsum,
+        global_index,
+    )
+
+    e = Catalog(spark, sf_dir).events
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("x")
+    )
+    walk = global_index(u, "user_id", "t")
+    walk = global_cumsum(walk, ["user_id"], "x", "n1")
+    import math as _math
+
+    la = _math.log(0.6 / 0.5)
+    lb = _math.log(0.4 / 0.5)
+    thr = _math.log(19.0)
+    llr = walk.select(
+        "t",
+        "n1",
+        (F.col("n1") * la + (F.col("t") - F.col("n1")) * lb).alias("l"),
+    )
+    tmax = llr.agg(F.max("t").alias("tm"))
+    return (
+        llr.crossJoin(F.broadcast(tmax))
+        .agg(
+            F.max("t").cast("long").alias("n_trials"),
+            F.max(F.when(F.col("t") == F.col("tm"), F.col("n1")))
+            .cast("long")
+            .alias("n_success"),
+            (
+                F.round(
+                    F.max(F.when(F.col("t") == F.col("tm"), F.col("l"))),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("final_llr"),
+            F.min(F.when(F.col("l") >= thr, F.col("t")))
+            .cast("long")
+            .alias("first_accept_h1_t"),
+            F.min(F.when(F.col("l") <= -thr, F.col("t")))
+            .cast("long")
+            .alias("first_accept_h0_t"),
+        )
+    )
+
+
+# Per-component structure report over the order-chain graph (the
+# star_components_q edge set): nodes, edges, density 2m/(n(n-1)), and
+# is_tree (m = n-1). Components come from the O(log n)-round
+# star-contraction in plans/graph.py; edges re-join to their component
+# by src endpoint (both endpoints agree by construction). The oracle
+# exploits the STRUCTURAL ground truth instead of re-running a CC
+# algorithm: the chain edges are built per customer, so each customer
+# with k >= 2 orders is exactly one k-node path — a stronger
+# independent check than a second traversal. Density buckets the
+# report to one row per (n_nodes, n_edges) shape — metadata scale.
+@register(
+    "component_density_q",
+    """
+    WITH per_cust AS (
+        SELECT o_custkey, COUNT(*) AS n
+        FROM orders WHERE o_custkey % 100 = 0
+        GROUP BY o_custkey
+    )
+    SELECT n AS n_nodes, n - 1 AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(ROUND(2.0 / n, 6) AS DOUBLE) AS density,
+           TRUE AS is_tree
+    FROM per_cust WHERE n >= 2
+    GROUP BY n
+    """,
+)
+def component_density_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape census of the near-dup-style chain graph: how many
+    components of each (nodes, edges) shape, their density, and
+    whether they are trees. Grouping to shapes keeps the output
+    component-count-free (metadata-scale rows)."""
+    from iniz_exporters_spark.plans.graph import connected_components
+
+    o = Catalog(spark, sf_dir).orders.filter(F.col("o_custkey") % 100 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    edges = (
+        o.select(
+            F.col("o_orderkey").alias("dst"),
+            F.lag("o_orderkey").over(w).alias("src"),
+        )
+        .filter(F.col("src").isNotNull())
+        .select("src", "dst")
+    )
+    comps = connected_components(edges, method="star")
+    cn = comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    ce = (
+        edges.join(comps.withColumnRenamed("node", "src"), "src")
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    shaped = cn.join(ce, "component")
+    return shaped.groupBy("n_nodes", "n_edges").agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.round(
+            2.0
+            * F.first("n_edges")
+            / (F.first("n_nodes") * (F.first("n_nodes") - 1)),
+            6,
+        ).alias("density"),
+        (F.first("n_edges") == F.first("n_nodes") - 1).alias("is_tree"),
+    )
+
+
+# A/B power analysis sized FROM the observed data: n per arm to detect
+# a 5% lift of the mean per-user purchase total at alpha = 0.05 (two-
+# sided), power = 0.80, using the normal approximation
+# n = 2 (z_{1-a/2} + z_{1-b})^2 sigma^2 / delta^2. Moments come from
+# the same exact-DECIMAL per-user reduction as welch_ttest_q; the z
+# quantiles are fixed literals (1.959963985, 0.8416212336), so the
+# only data-dependent float math is the final scalar formula. ceil is
+# applied to a 6-dp-rounded ratio so an engine ulp can never straddle
+# the integer boundary.
+@register(
+    "power_analysis_q",
+    """
+    WITH u AS (
+        SELECT SUM(CAST(value AS DECIMAL(18,6))) AS tot
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(tot) AS DOUBLE) / COUNT(*) AS mu,
+               (CAST(SUM(CAST(tot AS DECIMAL(19,6))
+                         * CAST(tot AS DECIMAL(19,6))) AS DOUBLE)
+                - CAST(SUM(tot) AS DOUBLE) * CAST(SUM(tot) AS DOUBLE)
+                  / COUNT(*)) / (COUNT(*) - 1) AS var_s
+        FROM u
+    )
+    SELECT CAST(n AS BIGINT) AS n_observed,
+           CAST(ROUND(mu, 6) AS DOUBLE) + 0.0 AS mean_total,
+           CAST(ROUND(sqrt(var_s), 6) AS DOUBLE) + 0.0 AS sd_total,
+           CAST(ROUND(0.05 * mu, 6) AS DOUBLE) + 0.0 AS mde_abs,
+           CAST(ceil(ROUND(
+               2 * pow(1.959963985 + 0.8416212336, 2) * var_s
+               / pow(0.05 * mu, 2), 6)) AS BIGINT) AS n_per_arm
+    FROM m
+    """,
+)
+def power_analysis_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many users per arm would the purchase-total experiment need
+    to see a 5% lift? Sizing computed from the corpus's own moments —
+    the planning companion to welch_ttest_q / permutation_test_q."""
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    u = e.groupBy("user_id").agg(
+        F.sum(_dec(F.col("value"), 18, 6)).alias("tot")
+    )
+    t16 = F.col("tot").cast("decimal(16,6)")
+    m = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("tot").cast("double") / F.count(F.lit(1))).alias("mu"),
+        (
+            (
+                F.sum(t16 * t16).cast("double")
+                - F.sum("tot").cast("double")
+                * F.sum("tot").cast("double")
+                / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("var_s"),
+    )
+    za, zb = 1.959963985, 0.8416212336
+    return m.select(
+        F.col("n").cast("long").alias("n_observed"),
+        (F.round(F.col("mu"), 6) + F.lit(0.0)).alias("mean_total"),
+        (F.round(F.sqrt(F.col("var_s")), 6) + F.lit(0.0)).alias(
+            "sd_total"
+        ),
+        (F.round(0.05 * F.col("mu"), 6) + F.lit(0.0)).alias("mde_abs"),
+        F.ceil(
+            F.round(
+                2
+                * F.pow(F.lit(za + zb), 2)
+                * F.col("var_s")
+                / F.pow(0.05 * F.col("mu"), 2),
+                6,
+            )
+        )
+        .cast("long")
+        .alias("n_per_arm"),
+    )

@@ -1284,3 +1284,186 @@ def test_granger_q_matches_bruteforce(spark):
     assert row["beta_x_lag"] == pytest.approx(bu[2], abs=2e-5)
     # f_stat is 6-dp rounded, so tiny F values need an abs floor
     assert row["f_stat"] == pytest.approx(f, rel=1e-4, abs=1e-6)
+
+
+def _purchase_totals():
+    tot = defaultdict(Decimal)
+    for uid, _, _, v, t in _events():
+        if t == "purchase":
+            tot[uid] += Decimal(str(v)).quantize(Decimal("0.000001"))
+    return {u: float(v) for u, v in tot.items()}
+
+
+def test_welch_ttest_q_matches_bruteforce(spark):
+    """Welch t / df / Cohen's d replayed with plain moments."""
+    tot = _purchase_totals()
+    g0 = [v for u, v in tot.items() if u % 2 == 0]
+    g1 = [v for u, v in tot.items() if u % 2 == 1]
+
+    def mean_var(xs):
+        mu = sum(xs) / len(xs)
+        return mu, sum((x - mu) ** 2 for x in xs) / (len(xs) - 1)
+
+    m0, v0 = mean_var(g0)
+    m1, v1 = mean_var(g1)
+    n0, n1 = len(g0), len(g1)
+    se2 = v0 / n0 + v1 / n1
+    dfw = se2**2 / ((v0 / n0) ** 2 / (n0 - 1) + (v1 / n1) ** 2 / (n1 - 1))
+    pooled = math.sqrt(((n0 - 1) * v0 + (n1 - 1) * v1) / (n0 + n1 - 2))
+    row = REGISTRY["welch_ttest_q"].fn(spark, SF_SMALL).collect()[0]
+    assert (row["n0"], row["n1"]) == (n0, n1)
+    assert row["mean_diff"] == pytest.approx(m0 - m1, abs=2e-6)
+    assert row["t_stat"] == pytest.approx(
+        (m0 - m1) / math.sqrt(se2), abs=2e-5
+    )
+    # welch_df is 4-dp rounded in the query output
+    assert row["welch_df"] == pytest.approx(dfw, abs=1e-4)
+    assert row["cohens_d"] == pytest.approx((m0 - m1) / pooled, abs=2e-5)
+
+
+def test_seasonal_strength_q_matches_bruteforce(spark):
+    """Hyndman strengths replayed from a dict-based STL-lite."""
+    import datetime
+
+    days = sorted(
+        {ts.date() for _, ts, _, _, t in _events() if t == "view"}
+    )
+    m = {}
+    agg = defaultdict(lambda: [Decimal(0), 0])
+    for _, ts, _, v, t in _events():
+        if t == "view":
+            d = agg[ts.date()]
+            d[0] += Decimal(str(v)).quantize(Decimal("0.000001"))
+            d[1] += 1
+    for day, (s, c) in agg.items():
+        m[day] = _q6(float(s) / c)
+    trend = {}
+    for i, day in enumerate(days):
+        win = [m[d] for d in days[max(0, i - 3) : i + 4]]
+        trend[day] = _q6(float(sum(win)) / len(win))
+    base = datetime.date(2024, 1, 1)
+    seas_groups = defaultdict(list)
+    for day in days:
+        seas_groups[(day - base).days % 7].append(m[day] - trend[day])
+    seasonal = {
+        dow: _q6(float(sum(v)) / len(v)) for dow, v in seas_groups.items()
+    }
+
+    def pvar(xs):
+        mu = sum(xs) / len(xs)
+        return sum((x - mu) ** 2 for x in xs) / len(xs)
+
+    r = [
+        float(m[d] - trend[d] - seasonal[(d - base).days % 7])
+        for d in days
+    ]
+    sr = [float(m[d] - trend[d]) for d in days]
+    tr = [float(m[d] - seasonal[(d - base).days % 7]) for d in days]
+    row = REGISTRY["seasonal_strength_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_days"] == len(days)
+    assert row["seasonal_strength"] == pytest.approx(
+        max(0.0, 1 - pvar(r) / pvar(sr)), abs=2e-6
+    )
+    assert row["trend_strength"] == pytest.approx(
+        max(0.0, 1 - pvar(r) / pvar(tr)), abs=2e-6
+    )
+
+
+def test_sprt_q_matches_bruteforce(spark):
+    """SPRT walk replayed user by user."""
+    conv = defaultdict(int)
+    for uid, _, _, _, t in _events():
+        if t == "purchase":
+            conv[uid] = 1
+        conv.setdefault(uid, 0)
+    la, lb = math.log(0.6 / 0.5), math.log(0.4 / 0.5)
+    thr = math.log(19.0)
+    llr, n1 = 0.0, 0
+    first_h1 = first_h0 = None
+    users = sorted(conv)
+    for t_, u in enumerate(users, start=1):
+        n1 += conv[u]
+        llr = n1 * la + (t_ - n1) * lb
+        if first_h1 is None and llr >= thr:
+            first_h1 = t_
+        if first_h0 is None and llr <= -thr:
+            first_h0 = t_
+    row = REGISTRY["sprt_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_trials"] == len(users)
+    assert row["n_success"] == n1
+    assert row["final_llr"] == pytest.approx(llr, abs=2e-6)
+    assert row["first_accept_h1_t"] == first_h1
+    assert row["first_accept_h0_t"] == first_h0
+
+
+def test_component_density_q_matches_bruteforce(spark):
+    """Shape census replayed with an actual union-find over the
+    chain edges — independently of both the star contraction and the
+    oracle's structural shortcut."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT o_custkey, o_orderkey, o_orderdate FROM "
+        f"read_parquet('{SF_SMALL}/orders.parquet') "
+        f"WHERE o_custkey % 100 = 0 ORDER BY o_custkey, o_orderdate, "
+        f"o_orderkey"
+    ).fetchall()
+    parent = {}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    edges = []
+    prev_c = prev_k = None
+    for c, k, _ in rows:
+        parent.setdefault(k, k)
+        if c == prev_c:
+            edges.append((prev_k, k))
+            ra, rb = find(prev_k), find(k)
+            if ra != rb:
+                parent[ra] = rb
+        prev_c, prev_k = c, k
+    comp_nodes = Counter()
+    comp_edges = Counter()
+    touched = {v for e in edges for v in e}
+    for v in touched:
+        comp_nodes[find(v)] += 1
+    for a, b in edges:
+        comp_edges[find(a)] += 1
+    shapes = Counter(
+        (comp_nodes[c], comp_edges[c]) for c in comp_nodes
+    )
+    got = {
+        (r["n_nodes"], r["n_edges"]): r
+        for r in REGISTRY["component_density_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert set(got) == set(shapes)
+    for (n, e_), cnt in shapes.items():
+        r = got[(n, e_)]
+        assert r["n_components"] == cnt
+        assert r["density"] == pytest.approx(
+            2 * e_ / (n * (n - 1)), abs=2e-6
+        )
+        assert r["is_tree"] == (e_ == n - 1)
+
+
+def test_power_analysis_q_matches_bruteforce(spark):
+    """Sample-size formula replayed from plain moments."""
+    tot = list(_purchase_totals().values())
+    n = len(tot)
+    mu = sum(tot) / n
+    var_s = sum((x - mu) ** 2 for x in tot) / (n - 1)
+    za, zb = 1.959963985, 0.8416212336
+    n_arm = math.ceil(
+        round(2 * (za + zb) ** 2 * var_s / (0.05 * mu) ** 2, 6)
+    )
+    row = REGISTRY["power_analysis_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_observed"] == n
+    assert row["mean_total"] == pytest.approx(mu, abs=2e-6)
+    assert row["sd_total"] == pytest.approx(math.sqrt(var_s), abs=2e-5)
+    assert row["mde_abs"] == pytest.approx(0.05 * mu, abs=2e-6)
+    assert row["n_per_arm"] == n_arm
