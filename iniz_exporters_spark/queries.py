@@ -20182,3 +20182,485 @@ def power_analysis_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_per_arm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch — round-8 session 4 (continued): the autocorrelation function,
+# inequality decomposition, spatial autocorrelation, ANOVA post-hoc
+# pairs, and a 3-iteration unrolled soft-clustering EM. The clustering
+# one deliberately uses RATIONAL membership weights (fuzzy c-means'
+# inverse-square-distance), not Gaussian responsibilities: +,-,x,/ are
+# correctly rounded IEEE ops, bit-identical on every engine, whereas a
+# per-row exp() could differ by an ulp between libms.
+# ---------------------------------------------------------------------------
+
+
+# Sample autocorrelation function of daily purchase revenue at lags
+# 1..7: r_k = sum(dev_t * dev_{t+k}) / sum(dev_t^2) with deviations
+# from the DECIMAL-quantized series mean, so every product in both
+# sums is exact and order-independent. One corpus aggregation; the
+# 7 lag passes are windows over the calendar-bounded daily frame.
+@register(
+    "acf_q",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*) AS DECIMAL(18,6)) AS m
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    mu AS (
+        SELECT CAST(CAST(SUM(m) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6))
+            AS ybar, COUNT(*) AS n
+        FROM daily
+    ),
+    dev AS (
+        SELECT day, CAST(m - (SELECT ybar FROM mu) AS DECIMAL(16,6))
+            AS d
+        FROM daily
+    ),
+    lags AS (
+        SELECT l.lag, d1.d AS a, d2.d AS b
+        FROM (SELECT unnest(range(1, 8)) AS lag) l
+        JOIN dev d1 ON TRUE
+        JOIN dev d2 ON d2.day = d1.day + CAST(l.lag AS INTEGER)
+    ),
+    den AS (
+        SELECT CAST(SUM(d * d) AS DOUBLE) AS ss FROM dev
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(ROUND(CAST(SUM(a * b) AS DOUBLE)
+               / (SELECT ss FROM den), 6) AS DOUBLE) + 0.0 AS acf
+    FROM lags GROUP BY lag
+    """,
+)
+def acf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full short-lag correlogram (rolling_autocorr_q tracks only a
+    windowed lag-1); feeds the ljung_box_q portmanteau and the weekly
+    seasonality read (expect a bump at lag 7)."""
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(_dec(F.col("value"), 18, 6)).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("decimal(18,6)")
+        .alias("m")
+    )
+    mu = daily.agg(
+        (F.sum("m").cast("double") / F.count(F.lit(1)))
+        .cast("decimal(18,6)")
+        .alias("ybar")
+    )
+    dev = daily.crossJoin(F.broadcast(mu)).select(
+        "day",
+        (F.col("m") - F.col("ybar")).cast("decimal(16,6)").alias("d"),
+    )
+    den = dev.agg(
+        F.sum(F.col("d") * F.col("d")).cast("double").alias("ss")
+    )
+    lags = daily.sparkSession.range(1, 8).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    d1 = dev.select(F.col("day").alias("day1"), F.col("d").alias("a"))
+    d2 = dev.select(F.col("day").alias("day2"), F.col("d").alias("b"))
+    pairs = (
+        d1.crossJoin(F.broadcast(lags))
+        .join(
+            d2,
+            F.col("day2")
+            == F.date_add(F.col("day1"), F.col("lag")),
+        )
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("a") * F.col("b")).alias("sab"),
+        )
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "n_pairs",
+            (
+                F.round(F.col("sab").cast("double") / F.col("ss"), 6)
+                + F.lit(0.0)
+            ).alias("acf"),
+        )
+    )
+
+
+# Theil-T inequality index of order prices, decomposed by customer
+# nation: T = T_between + T_within with
+# T_between = sum_g (s_g) ln(mu_g/mu)  [s_g = group income share],
+# T_within  = sum_g  s_g * T_g. Per-row work is one ln (the same
+# accepted float class as ccnet/zipf); x ln x terms are
+# DECIMAL(28,12)-quantized before their corpus-scale sums so addition
+# order never moves the result. One shuffle keyed by nation.
+@register(
+    "theil_index_q",
+    """
+    WITH x AS (
+        SELECT c.c_nationkey AS nat, o.o_totalprice AS x
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    g AS (
+        SELECT nat, COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(x * ln(x) AS DECIMAL(28,12))) AS DOUBLE)
+                   AS sxlx
+        FROM x GROUP BY nat
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(sxlx AS DECIMAL(28,12))) AS DOUBLE) AS sxlx
+        FROM g
+    ),
+    parts AS (
+        SELECT (SELECT sxlx / s FROM tot) - ln((SELECT s / n FROM tot))
+                   AS t_total,
+               CAST(SUM(CAST((s / (SELECT s FROM tot))
+                    * ln((s / n) / (SELECT s / n FROM tot))
+                    AS DECIMAL(28,12))) AS DOUBLE) AS t_between
+        FROM g
+    )
+    SELECT (SELECT n FROM tot) AS n_orders,
+           CAST(ROUND(t_total, 6) AS DOUBLE) + 0.0 AS theil_total,
+           CAST(ROUND(t_between, 6) AS DOUBLE) + 0.0 AS theil_between,
+           CAST(ROUND(t_total - t_between, 6) AS DOUBLE) + 0.0
+               AS theil_within
+    FROM parts
+    """,
+)
+def theil_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much order-value inequality lives BETWEEN nations vs within
+    them? Uses the population-share identity T = E[x ln x]/mu/E[x] -
+    ln(mu) so the corpus pass needs only (n, sum x, sum x ln x) per
+    group — the decomposition is scalar arithmetic on the group table."""
+    o = Catalog(spark, sf_dir).orders
+    c = Catalog(spark, sf_dir).customer.select("c_custkey", "c_nationkey")
+    x = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("o_totalprice").alias("x"),
+    )
+    g = x.groupBy("nat").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("x"), 18, 6)).cast("double").alias("s"),
+        _dsum(F.col("x") * F.log(F.col("x"))).cast("double").alias("sxlx"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("tn"),
+        _dsum(F.col("s")).cast("double").alias("ts"),
+        _dsum(F.col("sxlx")).cast("double").alias("tsxlx"),
+    )
+    parts = g.crossJoin(F.broadcast(tot)).agg(
+        F.max("tn").alias("n_orders"),
+        (
+            F.max(F.col("tsxlx") / F.col("ts"))
+            - F.log(F.max(F.col("ts") / F.col("tn")))
+        ).alias("t_total"),
+        _dsum(
+            (F.col("s") / F.col("ts"))
+            * F.log(
+                (F.col("s") / F.col("n")) / (F.col("ts") / F.col("tn"))
+            )
+        )
+        .cast("double")
+        .alias("t_between"),
+    )
+    return parts.select(
+        F.col("n_orders").cast("long").alias("n_orders"),
+        (F.round(F.col("t_total"), 6) + F.lit(0.0)).alias("theil_total"),
+        (F.round(F.col("t_between"), 6) + F.lit(0.0)).alias(
+            "theil_between"
+        ),
+        (
+            F.round(F.col("t_total") - F.col("t_between"), 6)
+            + F.lit(0.0)
+        ).alias("theil_within"),
+    )
+
+
+# Moran's I spatial autocorrelation of nation-level mean account
+# balance over the "shares a region" adjacency graph:
+# I = (n/W) * sum_ij w_ij z_i z_j / sum_i z_i^2, w_ij = 1 iff same
+# region and i != j. One corpus aggregation to nation means; the
+# z-scores, the 25x25 adjacency, and the double sum are all
+# nation-table metadata (self-join on region).
+@register(
+    "moran_i_q",
+    """
+    WITH nm AS (
+        SELECT c_nationkey AS nat,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) AS m
+        FROM customer GROUP BY c_nationkey
+    ),
+    nz AS (
+        SELECT nm.nat, n.n_regionkey AS region,
+               m - (SELECT CAST(SUM(CAST(m AS DECIMAL(28,12)))
+                        AS DOUBLE) / COUNT(*) FROM nm) AS z
+        FROM nm JOIN nation n ON n.n_nationkey = nm.nat
+    ),
+    pairs AS (
+        SELECT a.z AS za, b.z AS zb
+        FROM nz a JOIN nz b
+            ON a.region = b.region AND a.nat <> b.nat
+    )
+    SELECT CAST((SELECT COUNT(*) FROM nz) AS BIGINT) AS n_nations,
+           CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_links,
+           CAST(ROUND(
+               (CAST((SELECT COUNT(*) FROM nz) AS DOUBLE)
+                / (SELECT COUNT(*) FROM pairs))
+               * CAST((SELECT SUM(CAST(za * zb AS DECIMAL(28,12)))
+                       FROM pairs) AS DOUBLE)
+               / CAST((SELECT SUM(CAST(z * z AS DECIMAL(28,12)))
+                       FROM nz) AS DOUBLE), 6) AS DOUBLE) + 0.0
+               AS moran_i
+    """,
+)
+def moran_i_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do same-region nations have correlated balance levels? I > 0 =
+    regional clustering, I < 0 = checkerboard; expectation under the
+    null is -1/(n-1), not 0."""
+    c = Catalog(spark, sf_dir).customer
+    n = Catalog(spark, sf_dir).nation.select(
+        F.col("n_nationkey").alias("nat"),
+        F.col("n_regionkey").alias("region"),
+    )
+    nm = c.groupBy(F.col("c_nationkey").alias("nat")).agg(
+        (
+            F.sum(_dec(F.col("c_acctbal"), 18, 6)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    mbar = nm.agg(
+        (_dsum(F.col("m")).cast("double") / F.count(F.lit(1))).alias(
+            "mbar"
+        )
+    )
+    nz = (
+        nm.join(F.broadcast(n), "nat")
+        .crossJoin(F.broadcast(mbar))
+        .select(
+            "nat", "region", (F.col("m") - F.col("mbar")).alias("z")
+        )
+    )
+    a = nz.select(
+        F.col("region").alias("ra"),
+        F.col("nat").alias("na"),
+        F.col("z").alias("za"),
+    )
+    b = nz.select(
+        F.col("region").alias("rb"),
+        F.col("nat").alias("nb"),
+        F.col("z").alias("zb"),
+    )
+    pairs = a.join(
+        b, (F.col("ra") == F.col("rb")) & (F.col("na") != F.col("nb"))
+    )
+    num = pairs.agg(
+        F.count(F.lit(1)).alias("n_links"),
+        _dsum(F.col("za") * F.col("zb")).cast("double").alias("cross"),
+    )
+    den = nz.agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        _dsum(F.col("z") * F.col("z")).cast("double").alias("ss"),
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("n_nations").cast("long").alias("n_nations"),
+        F.col("n_links").cast("long").alias("n_links"),
+        (
+            F.round(
+                (F.col("n_nations").cast("double") / F.col("n_links"))
+                * F.col("cross")
+                / F.col("ss"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("moran_i"),
+    )
+
+
+# Tukey HSD post-hoc pairs after anova_f_q: for each of the 10 segment
+# pairs, the mean difference and the studentized-range criterion
+# |diff| > (q_crit/sqrt(2)) * sqrt(MSW*(1/ni+1/nj)) with the
+# asymptotic q(k=5, inf, 0.05) = 3.858 as a fixed literal (the
+# Tukey-Kramer unequal-n form). Group moments reduce in one pass
+# (exact DECIMAL sums); the pair table is k(k-1)/2 rows of scalar
+# arithmetic.
+@register(
+    "tukey_hsd_q",
+    """
+    WITH g AS (
+        SELECT c_mktsegment AS seg, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                   AS s,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(19,6))
+                        * CAST(c_acctbal AS DECIMAL(19,6))) AS DOUBLE)
+                   AS q
+        FROM customer GROUP BY c_mktsegment
+    ),
+    msw AS (
+        SELECT CAST(SUM(CAST(q - s * s / n AS DECIMAL(28,12)))
+                    AS DOUBLE)
+               / (SUM(n) - COUNT(*)) AS v
+        FROM g
+    )
+    SELECT a.seg AS seg_a, b.seg AS seg_b,
+           CAST(ROUND(a.s / a.n - b.s / b.n, 6) AS DOUBLE) + 0.0
+               AS mean_diff,
+           CAST(ROUND(3.858 / sqrt(2.0)
+               * sqrt((SELECT v FROM msw) * (1.0 / a.n + 1.0 / b.n)),
+               6) AS DOUBLE) + 0.0 AS hsd_critical,
+           abs(a.s / a.n - b.s / b.n)
+               > 3.858 / sqrt(2.0)
+                 * sqrt((SELECT v FROM msw) * (1.0 / a.n + 1.0 / b.n))
+               AS significant
+    FROM g a JOIN g b ON a.seg < b.seg
+    """,
+)
+def tukey_hsd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH segment pairs differ, after anova_f_q says SOME do —
+    familywise-error-controlled pairwise comparisons."""
+    c = Catalog(spark, sf_dir).customer
+    s6 = _dec(F.col("c_acctbal"), 18, 6)
+    s16 = _dec(F.col("c_acctbal"), 16, 6)
+    g = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(s6).cast("double").alias("s"),
+        F.sum(s16 * s16).cast("double").alias("q"),
+    )
+    msw = g.agg(
+        (
+            _dsum(
+                F.col("q") - F.col("s") * F.col("s") / F.col("n")
+            ).cast("double")
+            / (F.sum("n") - F.count(F.lit(1)))
+        ).alias("v")
+    )
+    a = g.select(
+        F.col("seg").alias("seg_a"),
+        F.col("n").alias("na"),
+        (F.col("s") / F.col("n")).alias("ma"),
+    )
+    b = g.select(
+        F.col("seg").alias("seg_b"),
+        F.col("n").alias("nb"),
+        (F.col("s") / F.col("n")).alias("mb"),
+    )
+    pairs = a.join(b, F.col("seg_a") < F.col("seg_b")).crossJoin(
+        F.broadcast(msw)
+    )
+    crit = (
+        3.858
+        / F.sqrt(F.lit(2.0))
+        * F.sqrt(F.col("v") * (1.0 / F.col("na") + 1.0 / F.col("nb")))
+    )
+    diff = F.col("ma") - F.col("mb")
+    return pairs.select(
+        "seg_a",
+        "seg_b",
+        (F.round(diff, 6) + F.lit(0.0)).alias("mean_diff"),
+        (F.round(crit, 6) + F.lit(0.0)).alias("hsd_critical"),
+        (F.abs(diff) > crit).alias("significant"),
+    )
+
+
+def _fcm_oracle(iters: int = 3) -> str:
+    """Unrolled fuzzy-c-means oracle: one membership CTE + one centroid
+    CTE per iteration, generated so the Spark loop and the SQL stay in
+    lockstep. Memberships are inverse-square-distance ratios — pure
+    +,-,x,/ on doubles (correctly-rounded IEEE ops, bit-identical
+    across engines), never a libm call; weighted sums are
+    DECIMAL(28,12)-quantized so partial-sum order cannot move the
+    centroids."""
+    parts = [
+        "x AS (SELECT c_acctbal AS x FROM customer)",
+        "c0 AS (SELECT CAST(0.0 AS DOUBLE) AS c1,"
+        " CAST(8000.0 AS DOUBLE) AS c2)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        d1 = f"(x - (SELECT c1 FROM c{p})) * (x - (SELECT c1 FROM c{p}))"
+        d2 = f"(x - (SELECT c2 FROM c{p})) * (x - (SELECT c2 FROM c{p}))"
+        parts.append(
+            f"m{k} AS (SELECT x, ({d2}) / (({d1}) + ({d2})) AS u1 FROM x)"
+        )
+        parts.append(
+            f"""c{k} AS (
+        SELECT CAST(SUM(CAST(u1 * u1 * x AS DECIMAL(28,12))) AS DOUBLE)
+               / CAST(SUM(CAST(u1 * u1 AS DECIMAL(28,12))) AS DOUBLE)
+                   AS c1,
+               CAST(SUM(CAST((1 - u1) * (1 - u1) * x AS DECIMAL(28,12)))
+                    AS DOUBLE)
+               / CAST(SUM(CAST((1 - u1) * (1 - u1) AS DECIMAL(28,12)))
+                      AS DOUBLE) AS c2
+        FROM m{k})"""
+        )
+    last = f"c{iters}"
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined}
+    SELECT CAST((SELECT COUNT(*) FROM x) AS BIGINT) AS n_points,
+           CAST(ROUND(least(c1, c2), 4) AS DOUBLE) + 0.0 AS centroid_lo,
+           CAST(ROUND(greatest(c1, c2), 4) AS DOUBLE) + 0.0
+               AS centroid_hi
+    FROM {last}
+    """
+
+
+# Fuzzy c-means (m = 2, two clusters, three unrolled iterations) on
+# customer account balance. Soft k-means whose membership weights are
+# RATIONAL functions of distance — u1 = d2^2/(d1^2+d2^2) — chosen over
+# Gaussian-EM responsibilities precisely because they involve no
+# exp()/libm call: every arithmetic step is a correctly-rounded IEEE
+# op, so both engines walk bit-identical centroid trajectories. Each
+# iteration is one corpus pass (map-side partial sums of quantized
+# weighted moments); the centroid state between passes is a broadcast
+# 1-row frame, never a collect.
+@register("fuzzy_cmeans_q", _fcm_oracle(3))
+def fuzzy_cmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative soft clustering expressed as a 3-stage declarative
+    DAG — the 1-D pedagogical twin of operators/clustering.py's
+    k-means (which owns the d-dimensional production path)."""
+    c = Catalog(spark, sf_dir).customer
+    x = c.select(F.col("c_acctbal").alias("x"))
+    spark_ = x.sparkSession
+    cent = spark_.range(1).select(
+        F.lit(0.0).alias("c1"), F.lit(8000.0).alias("c2")
+    )
+    for _ in range(3):
+        m = x.crossJoin(F.broadcast(cent))
+        d1 = (F.col("x") - F.col("c1")) * (F.col("x") - F.col("c1"))
+        d2 = (F.col("x") - F.col("c2")) * (F.col("x") - F.col("c2"))
+        m = m.select("x", (d2 / (d1 + d2)).alias("u1"))
+        w1 = F.col("u1") * F.col("u1")
+        w2 = (1 - F.col("u1")) * (1 - F.col("u1"))
+        cent = m.agg(
+            (
+                F.sum((w1 * F.col("x")).cast("decimal(28,12)"))
+                .cast("double")
+                / F.sum(w1.cast("decimal(28,12)")).cast("double")
+            ).alias("c1"),
+            (
+                F.sum((w2 * F.col("x")).cast("decimal(28,12)"))
+                .cast("double")
+                / F.sum(w2.cast("decimal(28,12)")).cast("double")
+            ).alias("c2"),
+        )
+    n = x.agg(F.count(F.lit(1)).alias("n_points"))
+    return cent.crossJoin(F.broadcast(n)).select(
+        F.col("n_points").cast("long").alias("n_points"),
+        (
+            F.round(F.least(F.col("c1"), F.col("c2")), 4) + F.lit(0.0)
+        ).alias("centroid_lo"),
+        (
+            F.round(F.greatest(F.col("c1"), F.col("c2")), 4) + F.lit(0.0)
+        ).alias("centroid_hi"),
+    )

@@ -1467,3 +1467,142 @@ def test_power_analysis_q_matches_bruteforce(spark):
     assert row["sd_total"] == pytest.approx(math.sqrt(var_s), abs=2e-5)
     assert row["mde_abs"] == pytest.approx(0.05 * mu, abs=2e-6)
     assert row["n_per_arm"] == n_arm
+
+
+def test_acf_q_matches_bruteforce(spark):
+    """Correlogram replayed with quantized-deviation loops."""
+    ms = [
+        _q6(float(s) / c) for s, c in _daily("purchase", agg="pairs")
+    ]
+    ybar = _q6(float(sum(ms)) / len(ms))
+    dev = [float(m - ybar) for m in ms]
+    ss = sum(d * d for d in dev)
+    got = {
+        r["lag"]: r
+        for r in REGISTRY["acf_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(range(1, 8))
+    for k in range(1, 8):
+        num = sum(a * b for a, b in zip(dev, dev[k:]))
+        r = got[k]
+        assert r["n_pairs"] == len(dev) - k
+        assert r["acf"] == pytest.approx(num / ss, abs=2e-6)
+
+
+def test_theil_index_q_matches_bruteforce(spark):
+    """Theil decomposition replayed from raw rows."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT c.c_nationkey, o.o_totalprice FROM "
+        f"read_parquet('{SF_SMALL}/orders.parquet') o JOIN "
+        f"read_parquet('{SF_SMALL}/customer.parquet') c "
+        f"ON c.c_custkey = o.o_custkey"
+    ).fetchall()
+    xs = [x for _, x in rows]
+    n = len(xs)
+    mu = sum(xs) / n
+    t_total = sum(x / mu * math.log(x / mu) for x in xs) / n
+    groups = defaultdict(list)
+    for nat, x in rows:
+        groups[nat].append(x)
+    s_tot = sum(xs)
+    t_between = sum(
+        (sum(v) / s_tot) * math.log((sum(v) / len(v)) / mu)
+        for v in groups.values()
+    )
+    row = REGISTRY["theil_index_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_orders"] == n
+    assert row["theil_total"] == pytest.approx(t_total, abs=2e-6)
+    assert row["theil_between"] == pytest.approx(t_between, abs=2e-6)
+    assert row["theil_within"] == pytest.approx(
+        t_total - t_between, abs=2e-6
+    )
+
+
+def test_moran_i_q_matches_bruteforce(spark):
+    """Moran's I replayed over the same-region adjacency."""
+    con = duckdb.connect()
+    nm = dict(
+        con.execute(
+            f"SELECT c_nationkey, AVG(c_acctbal) FROM "
+            f"read_parquet('{SF_SMALL}/customer.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    reg = dict(
+        con.execute(
+            f"SELECT n_nationkey, n_regionkey FROM "
+            f"read_parquet('{SF_SMALL}/nation.parquet')"
+        ).fetchall()
+    )
+    nats = sorted(nm)
+    mbar = sum(nm.values()) / len(nm)
+    z = {a: nm[a] - mbar for a in nats}
+    links = [
+        (a, b)
+        for a in nats
+        for b in nats
+        if a != b and reg[a] == reg[b]
+    ]
+    cross = sum(z[a] * z[b] for a, b in links)
+    ss = sum(v * v for v in z.values())
+    row = REGISTRY["moran_i_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_nations"] == len(nats)
+    assert row["n_links"] == len(links)
+    assert row["moran_i"] == pytest.approx(
+        len(nats) / len(links) * cross / ss, abs=2e-5
+    )
+
+
+def test_tukey_hsd_q_matches_bruteforce(spark):
+    """Tukey-Kramer pairs replayed with plain moments."""
+    groups = defaultdict(list)
+    for _, seg, bal in _balances():
+        groups[seg].append(bal)
+    n_tot = sum(len(v) for v in groups.values())
+    k = len(groups)
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v)
+        for v in groups.values()
+    )
+    msw = ssw / (n_tot - k)
+    got = {
+        (r["seg_a"], r["seg_b"]): r
+        for r in REGISTRY["tukey_hsd_q"].fn(spark, SF_SMALL).collect()
+    }
+    segs = sorted(groups)
+    assert len(got) == k * (k - 1) // 2
+    for i, a in enumerate(segs):
+        for b in segs[i + 1 :]:
+            va, vb = groups[a], groups[b]
+            diff = sum(va) / len(va) - sum(vb) / len(vb)
+            crit = (
+                3.858
+                / math.sqrt(2)
+                * math.sqrt(msw * (1 / len(va) + 1 / len(vb)))
+            )
+            r = got[(a, b)]
+            assert r["mean_diff"] == pytest.approx(diff, abs=2e-5)
+            assert r["hsd_critical"] == pytest.approx(crit, abs=2e-5)
+            assert r["significant"] == (abs(diff) > crit)
+
+
+def test_fuzzy_cmeans_q_matches_bruteforce(spark):
+    """FCM trajectory replayed with a plain loop (float sums — the
+    engines' quantized sums agree with these to ~1e-9 at this n)."""
+    xs = [bal for _, _, bal in _balances()]
+    c1, c2 = 0.0, 8000.0
+    for _ in range(3):
+        s1 = s1w = s2 = s2w = 0.0
+        for x in xs:
+            d1 = (x - c1) ** 2
+            d2 = (x - c2) ** 2
+            u1 = d2 / (d1 + d2)
+            s1w += u1 * u1
+            s1 += u1 * u1 * x
+            s2w += (1 - u1) ** 2
+            s2 += (1 - u1) ** 2 * x
+        c1, c2 = s1 / s1w, s2 / s2w
+    row = REGISTRY["fuzzy_cmeans_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_points"] == len(xs)
+    assert row["centroid_lo"] == pytest.approx(min(c1, c2), abs=1e-3)
+    assert row["centroid_hi"] == pytest.approx(max(c1, c2), abs=1e-3)
