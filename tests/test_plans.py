@@ -625,3 +625,46 @@ def test_hill_tail_index_uses_takeordered(spark):
     plan = physical(run("hill_tail_index_q", spark))
     assert "TakeOrderedAndProject" in plan, plan
     assert "Sort [n_chars" not in plan, plan
+
+
+def test_sprt_walk_windows_are_pid_partitioned(spark):
+    """sprt_q's trial index and cumulative success count must both come
+    from the range-partitioned machinery (global_index/global_cumsum) —
+    a plain SUM(x) OVER (ORDER BY user_id) would serialize the user
+    stream into one task at corpus scale. The final one-row scalar
+    aggregate legitimately ends in a SinglePartition exchange, so the
+    assertion targets the WINDOW specs: every one must be keyed by
+    __pid."""
+    df = run("sprt_q", spark)
+    plan = physical(df)
+    saw_window = False
+    for line in plan.splitlines():
+        if "Window [" in line:
+            saw_window = True
+            assert "__pid" in line, line
+    assert saw_window, plan
+
+
+def test_lift_gain_deciles_have_no_single_partition_exchange(spark):
+    """lift_gain_q's decile cut must come from global_ntile (range
+    partition + broadcast offsets), never ANSI NTILE's unpartitioned
+    window. The final cum-gain window over the 10-row decile table is
+    exempt (metadata scale) — so the assertion targets the row_number
+    window specifically."""
+    df = run("lift_gain_q", spark)
+    plan = physical(df)
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert "__pid" in line, line
+
+
+def test_hubness_pair_stage_is_parallel(spark):
+    """hubness_q's n x n distance explosion must run on an explicit
+    multi-partition exchange — AQE would otherwise coalesce the tiny
+    pre-explosion table to ONE task and serialize the O(n^2 d) stage
+    (39.5s -> 6.9s at sf0.1 when fixed)."""
+    df = run("hubness_q", spark)
+    plan = physical(df)
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan or (
+        "hashpartitioning(vec_id" in plan
+    ), plan
