@@ -20664,3 +20664,459 @@ def fuzzy_cmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.greatest(F.col("c1"), F.col("c2")), 4) + F.lit(0.0)
         ).alias("centroid_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch — round-8 session 4 (continued): collocation mining, drawdown,
+# market concentration, Pareto ABC inventory classes on the distributed
+# rank, and a fixed-basket price index. ABC is the scale showcase: a
+# corpus-wide revenue rank + cumulative share with NO single-partition
+# window (global_cumsum).
+# ---------------------------------------------------------------------------
+
+
+# Dunning log-likelihood-ratio collocations over document bigrams: the
+# G2 statistic 2*sum(O*ln(O/E)) on each bigram's 2x2 contingency table
+# — the robust big-counts companion to token_pmi_q (PMI overweights
+# rare pairs; LLR doesn't). Counts are exact from two token-stream
+# aggregations; the per-bigram G2 arithmetic runs on the BIGRAM
+# VOCABULARY table. ln(0)-free by the 0*ln(0)=0 convention (terms with
+# O=0 are dropped in both engines identically). Top 30 by (G2, bigram).
+@register(
+    "collocation_llr_q",
+    f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS w,
+               generate_subscripts({_SQL_TOKENS}, 1) AS pos
+        FROM documents
+    ),
+    bg AS (
+        SELECT a.w AS w1, b.w AS w2, COUNT(*) AS o11
+        FROM t a JOIN t b
+            ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        GROUP BY a.w, b.w
+    ),
+    tot AS (SELECT CAST(SUM(o11) AS DOUBLE) AS n FROM bg),
+    marg1 AS (SELECT w1, SUM(o11) AS c1 FROM bg GROUP BY w1),
+    marg2 AS (SELECT w2, SUM(o11) AS c2 FROM bg GROUP BY w2),
+    cells AS (
+        SELECT bg.w1, bg.w2, bg.o11,
+               m1.c1 - bg.o11 AS o12,
+               m2.c2 - bg.o11 AS o21,
+               (SELECT n FROM tot) - m1.c1 - m2.c2 + bg.o11 AS o22,
+               m1.c1 AS c1, m2.c2 AS c2, (SELECT n FROM tot) AS n
+        FROM bg JOIN marg1 m1 ON m1.w1 = bg.w1
+                JOIN marg2 m2 ON m2.w2 = bg.w2
+    ),
+    g2 AS (
+        SELECT w1, w2, o11,
+               2 * ((CASE WHEN o11 > 0 THEN o11 * ln(o11 * n / (c1 * c2))
+                          ELSE 0 END)
+                  + (CASE WHEN o12 > 0 THEN o12 * ln(o12 * n / (c1 * (n - c2)))
+                          ELSE 0 END)
+                  + (CASE WHEN o21 > 0 THEN o21 * ln(o21 * n / ((n - c1) * c2))
+                          ELSE 0 END)
+                  + (CASE WHEN o22 > 0 THEN o22 * ln(o22 * n / ((n - c1) * (n - c2)))
+                          ELSE 0 END)) AS llr
+        FROM cells
+    )
+    SELECT w1, w2, CAST(o11 AS BIGINT) AS n_cooc,
+           CAST(ROUND(llr, 4) AS DOUBLE) + 0.0 AS llr
+    FROM g2
+    ORDER BY llr DESC, w1, w2 LIMIT 30
+    """,
+)
+def collocation_llr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which word pairs co-occur far beyond chance? Dunning 1993's G2
+    over adjacent-token bigrams; scale shape is two vocabulary-keyed
+    shuffles and scalar math on the bigram table."""
+    d = Catalog(spark, sf_dir).documents
+    t = d.select(
+        "doc_id", F.posexplode(_tokens("text")).alias("pos", "w")
+    )
+    a = t.select("doc_id", F.col("pos").alias("p1"), F.col("w").alias("w1"))
+    b = t.select("doc_id", F.col("pos").alias("p2"), F.col("w").alias("w2"))
+    bg = (
+        a.join(b, (a["doc_id"] == b["doc_id"]) & (F.col("p2") == F.col("p1") + 1))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("o11"))
+    )
+    tot = bg.agg(F.sum("o11").cast("double").alias("n"))
+    m1 = bg.groupBy("w1").agg(F.sum("o11").alias("c1"))
+    m2 = bg.groupBy("w2").agg(F.sum("o11").alias("c2"))
+    cells = (
+        bg.join(m1, "w1")
+        .join(m2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "o11",
+            (F.col("c1") - F.col("o11")).alias("o12"),
+            (F.col("c2") - F.col("o11")).alias("o21"),
+            (F.col("n") - F.col("c1") - F.col("c2") + F.col("o11")).alias(
+                "o22"
+            ),
+            "c1",
+            "c2",
+            "n",
+        )
+    )
+
+    def term(o, e_num, e_den):
+        return F.when(
+            o > 0, o * F.log(o * F.col("n") / (e_num * e_den))
+        ).otherwise(F.lit(0.0))
+
+    llr = 2 * (
+        term(F.col("o11"), F.col("c1"), F.col("c2"))
+        + term(F.col("o12"), F.col("c1"), F.col("n") - F.col("c2"))
+        + term(F.col("o21"), F.col("n") - F.col("c1"), F.col("c2"))
+        + term(
+            F.col("o22"), F.col("n") - F.col("c1"), F.col("n") - F.col("c2")
+        )
+    )
+    g2 = cells.select(
+        "w1",
+        "w2",
+        F.col("o11").cast("long").alias("n_cooc"),
+        (F.round(llr, 4) + F.lit(0.0)).alias("llr"),
+    )
+    return g2.orderBy(F.col("llr").desc(), "w1", "w2").limit(30)
+
+
+# Maximum drawdown of cumulative daily purchase revenue: running peak
+# minus current equity, reported with peak/trough days. Equity is an
+# exact DECIMAL cumulative sum, so peaks, troughs, and the argmax day
+# are deterministic. Calendar-bounded windows only.
+@register(
+    "drawdown_q",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,6))) AS rev
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    pnl AS (
+        -- demean so the curve is a trendless P&L with real drawdowns
+        -- (raw revenue is positive-only: its cumsum is monotone and
+        -- max drawdown would be identically zero at every scale)
+        SELECT day,
+               rev - (SELECT CAST(CAST(SUM(rev) AS DOUBLE) / COUNT(*)
+                          AS DECIMAL(18,6)) FROM daily) AS rev
+        FROM daily
+    ),
+    eq AS (
+        SELECT day, SUM(rev) OVER (ORDER BY day) AS equity
+        FROM pnl
+    ),
+    dd AS (
+        SELECT day, equity,
+               MAX(equity) OVER (ORDER BY day) AS peak
+        FROM eq
+    ),
+    w AS (
+        SELECT day, equity, peak, peak - equity AS draw
+        FROM dd
+    )
+    SELECT CAST(ROUND(CAST(MAX(draw) AS DOUBLE), 2) AS DOUBLE) + 0.0
+               AS max_drawdown,
+           MIN(CASE WHEN draw = (SELECT MAX(draw) FROM w)
+               THEN day END) AS trough_day,
+           CAST(ROUND(CAST(MAX(equity) AS DOUBLE), 2) AS DOUBLE) + 0.0
+               AS final_peak_equity
+    FROM w
+    """,
+)
+def drawdown_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst peak-to-trough slide of the revenue equity curve — the
+    risk statistic every monitoring dashboard wants next to ohlc_bars_q."""
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(_dec(F.col("value"), 18, 6)).alias("rev")
+    )
+    mu = daily.agg(
+        (F.sum("rev").cast("double") / F.count(F.lit(1)))
+        .cast("decimal(18,6)")
+        .alias("mu")
+    )
+    pnl = daily.crossJoin(F.broadcast(mu)).select(
+        "day", (F.col("rev") - F.col("mu")).alias("rev")
+    )
+    wday = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w = pnl.select(
+        "day", F.sum("rev").over(wday).alias("equity")
+    ).withColumn("peak", F.max("equity").over(wday))
+    w = w.withColumn("draw", F.col("peak") - F.col("equity"))
+    mx = w.agg(F.max("draw").alias("mdraw"))
+    return (
+        w.crossJoin(F.broadcast(mx))
+        .agg(
+            (F.round(F.max("draw").cast("double"), 2) + F.lit(0.0)).alias(
+                "max_drawdown"
+            ),
+            F.min(
+                F.when(F.col("draw") == F.col("mdraw"), F.col("day"))
+            ).alias("trough_day"),
+            (
+                F.round(F.max("equity").cast("double"), 2) + F.lit(0.0)
+            ).alias("final_peak_equity"),
+        )
+    )
+
+
+# Herfindahl–Hirschman concentration of supplier revenue within each
+# supplier nation: HHI = sum_i share_i^2 over a nation's suppliers
+# (1/n = perfect competition, 1 = monopoly; HHI > 0.25 is the antitrust
+# red line). Revenue reduces exactly per supplier; shares and the HHI
+# are per-nation scalar math. Effective competitor count 1/HHI comes
+# along for free.
+@register(
+    "herfindahl_q",
+    """
+    WITH sr AS (
+        SELECT s.s_nationkey AS nat, l.l_suppkey,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS rev
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    nt AS (
+        SELECT nat, CAST(SUM(rev) AS DOUBLE) AS tot, COUNT(*) AS n_supp
+        FROM sr GROUP BY nat
+    )
+    SELECT sr.nat AS nationkey, CAST(MAX(nt.n_supp) AS BIGINT) AS n_suppliers,
+           CAST(ROUND(CAST(SUM(CAST(
+               (CAST(rev AS DOUBLE) / nt.tot)
+               * (CAST(rev AS DOUBLE) / nt.tot) AS DECIMAL(28,12)))
+               AS DOUBLE), 6) AS DOUBLE) + 0.0 AS hhi,
+           CAST(ROUND(1.0 / CAST(SUM(CAST(
+               (CAST(rev AS DOUBLE) / nt.tot)
+               * (CAST(rev AS DOUBLE) / nt.tot) AS DECIMAL(28,12)))
+               AS DOUBLE), 4) AS DOUBLE) + 0.0 AS effective_n
+    FROM sr JOIN nt ON nt.nat = sr.nat
+    GROUP BY sr.nat
+    """,
+)
+def herfindahl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration census per supplier nation; the inequality
+    lens on revenue that gini_q applies to documents."""
+    li = Catalog(spark, sf_dir).lineitem
+    s = Catalog(spark, sf_dir).supplier.select("s_suppkey", "s_nationkey")
+    sr = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("nat"), "l_suppkey")
+        .agg(F.sum(_dec(F.col("l_extendedprice"), 18, 4)).alias("rev"))
+    )
+    nt = sr.groupBy("nat").agg(
+        F.sum("rev").cast("double").alias("tot"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    share = F.col("rev").cast("double") / F.col("tot")
+    return (
+        sr.join(F.broadcast(nt), "nat")
+        .groupBy(F.col("nat").alias("nationkey"))
+        .agg(
+            F.max("n_supp").cast("long").alias("n_suppliers"),
+            (
+                F.round(_dsum(share * share).cast("double"), 6)
+                + F.lit(0.0)
+            ).alias("hhi"),
+            (
+                F.round(1.0 / _dsum(share * share).cast("double"), 4)
+                + F.lit(0.0)
+            ).alias("effective_n"),
+        )
+    )
+
+
+# Pareto ABC inventory classification of parts by lineitem revenue:
+# class A = parts covering the first 80% of cumulative revenue share,
+# B = next 15%, C = the tail. The revenue rank and cumulative share
+# run over the PART-scale table via global_cumsum (range partition +
+# broadcast prefix offsets) — at 100 TB the part dimension is still
+# millions of rows, and this plan never serializes it into one window
+# task (the oracle keeps plain ANSI windows). Revenue is summed as
+# exact DECIMAL cents so the cumulative shares are deterministic.
+@register(
+    "abc_analysis_q",
+    """
+    WITH pr AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000
+                    AS BIGINT) AS rev_c
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(rev_c) AS DOUBLE) AS t FROM pr),
+    c AS (
+        SELECT l_partkey, rev_c,
+               SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey)
+                   AS cum_c
+        FROM pr
+    ),
+    cls AS (
+        SELECT l_partkey, rev_c,
+               CASE WHEN cum_c <= 0.80 * (SELECT t FROM tot) THEN 'A'
+                    WHEN cum_c <= 0.95 * (SELECT t FROM tot) THEN 'B'
+                    ELSE 'C' END AS abc
+        FROM c
+    )
+    SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(ROUND(CAST(SUM(rev_c) AS DOUBLE)
+               / (SELECT t FROM tot), 6) AS DOUBLE) AS revenue_share
+    FROM cls GROUP BY abc
+    """,
+)
+def abc_analysis_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/15/5 inventory census. Cumulative revenue share over the
+    ranked part table uses the distributed prefix-sum — the classic
+    'Pareto cut needs a global running total' trap, solved the same
+    way as seq_rank/sprt_q."""
+    from iniz_exporters_spark.operators.indexing import global_cumsum
+
+    li = Catalog(spark, sf_dir).lineitem
+    pr = li.groupBy("l_partkey").agg(
+        (F.sum(_dec(F.col("l_extendedprice"), 18, 4)) * 10000)
+        .cast("long")
+        .alias("rev_c")
+    )
+    tot = pr.agg(F.sum("rev_c").cast("double").alias("t"))
+    c = global_cumsum(
+        pr,
+        [F.col("rev_c").desc(), F.col("l_partkey").asc()],
+        "rev_c",
+        "cum_c",
+    )
+    cls = c.crossJoin(F.broadcast(tot)).withColumn(
+        "abc",
+        F.when(F.col("cum_c") <= 0.80 * F.col("t"), "A")
+        .when(F.col("cum_c") <= 0.95 * F.col("t"), "B")
+        .otherwise("C"),
+    )
+    return (
+        cls.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            (F.sum("rev_c").cast("double") / F.max("t")).alias("rs"),
+        )
+        .select(
+            "abc",
+            "n_parts",
+            F.round(F.col("rs"), 6).alias("revenue_share"),
+        )
+    )
+
+
+# Laspeyres and Paasche price indices between the first and last
+# calendar YEAR of lineitem shipments, over the parts traded in both:
+# L = sum(p1 q0)/sum(p0 q0), P = sum(p1 q1)/sum(p0 q1), with
+# per-part period prices = revenue/quantity and quantities as weights.
+# Fisher's ideal index = sqrt(L*P). Every period aggregate is an exact
+# DECIMAL sum; the index arithmetic runs on the common-parts join.
+@register(
+    "price_index_q",
+    """
+    WITH base AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                   AS DOUBLE) AS rev,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                   AS qty
+        FROM lineitem WHERE year(l_shipdate) = 1995
+        GROUP BY l_partkey
+    ),
+    cur AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                   AS DOUBLE) AS rev,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                   AS qty
+        FROM lineitem WHERE year(l_shipdate) = 2001
+        GROUP BY l_partkey
+    ),
+    j AS (
+        SELECT b.rev / b.qty AS p0, b.qty AS q0,
+               c.rev / c.qty AS p1, c.qty AS q1
+        FROM base b JOIN cur c ON c.l_partkey = b.l_partkey
+    ),
+    s AS (
+        SELECT COUNT(*) AS n_parts,
+               CAST(SUM(CAST(p1 * q0 AS DECIMAL(28,12))) AS DOUBLE)
+                   AS p1q0,
+               CAST(SUM(CAST(p0 * q0 AS DECIMAL(28,12))) AS DOUBLE)
+                   AS p0q0,
+               CAST(SUM(CAST(p1 * q1 AS DECIMAL(28,12))) AS DOUBLE)
+                   AS p1q1,
+               CAST(SUM(CAST(p0 * q1 AS DECIMAL(28,12))) AS DOUBLE)
+                   AS p0q1
+        FROM j
+    )
+    SELECT CAST(n_parts AS BIGINT) AS n_common_parts,
+           CAST(ROUND(p1q0 / p0q0, 6) AS DOUBLE) + 0.0 AS laspeyres,
+           CAST(ROUND(p1q1 / p0q1, 6) AS DOUBLE) + 0.0 AS paasche,
+           CAST(ROUND(sqrt((p1q0 / p0q0) * (p1q1 / p0q1)), 6)
+               AS DOUBLE) + 0.0 AS fisher
+    FROM s
+    """,
+)
+def price_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did unit prices drift between the first and last shipment year?
+    Base-weighted (Laspeyres), current-weighted (Paasche), and their
+    geometric mean (Fisher ideal)."""
+    li = Catalog(spark, sf_dir).lineitem
+
+    def period(year):
+        return (
+            li.filter(F.year("l_shipdate") == year)
+            .groupBy("l_partkey")
+            .agg(
+                F.sum(_dec(F.col("l_extendedprice"), 18, 4))
+                .cast("double")
+                .alias("rev"),
+                F.sum(_dec(F.col("l_quantity"), 18, 4))
+                .cast("double")
+                .alias("qty"),
+            )
+        )
+
+    base = period(1995).select(
+        "l_partkey",
+        (F.col("rev") / F.col("qty")).alias("p0"),
+        F.col("qty").alias("q0"),
+    )
+    cur = period(2001).select(
+        F.col("l_partkey").alias("pk"),
+        (F.col("rev") / F.col("qty")).alias("p1"),
+        F.col("qty").alias("q1"),
+    )
+    j = base.join(cur, base["l_partkey"] == cur["pk"])
+    s = j.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        _dsum(F.col("p1") * F.col("q0")).cast("double").alias("p1q0"),
+        _dsum(F.col("p0") * F.col("q0")).cast("double").alias("p0q0"),
+        _dsum(F.col("p1") * F.col("q1")).cast("double").alias("p1q1"),
+        _dsum(F.col("p0") * F.col("q1")).cast("double").alias("p0q1"),
+    )
+    return s.select(
+        F.col("n_parts").cast("long").alias("n_common_parts"),
+        (
+            F.round(F.col("p1q0") / F.col("p0q0"), 6) + F.lit(0.0)
+        ).alias("laspeyres"),
+        (
+            F.round(F.col("p1q1") / F.col("p0q1"), 6) + F.lit(0.0)
+        ).alias("paasche"),
+        (
+            F.round(
+                F.sqrt(
+                    (F.col("p1q0") / F.col("p0q0"))
+                    * (F.col("p1q1") / F.col("p0q1"))
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("fisher"),
+    )

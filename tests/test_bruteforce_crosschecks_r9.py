@@ -1606,3 +1606,163 @@ def test_fuzzy_cmeans_q_matches_bruteforce(spark):
     assert row["n_points"] == len(xs)
     assert row["centroid_lo"] == pytest.approx(min(c1, c2), abs=1e-3)
     assert row["centroid_hi"] == pytest.approx(max(c1, c2), abs=1e-3)
+
+
+def test_collocation_llr_q_matches_bruteforce(spark):
+    """Dunning G2 top-30 replayed with Counters."""
+    bg = Counter()
+    for _, text, _ in _docs():
+        toks = _tok(text)
+        bg.update(zip(toks, toks[1:]))
+    n = sum(bg.values())
+    c1 = Counter()
+    c2 = Counter()
+    for (a, b), c in bg.items():
+        c1[a] += c
+        c2[b] += c
+
+    def g2(a, b):
+        o11 = bg[(a, b)]
+        o12 = c1[a] - o11
+        o21 = c2[b] - o11
+        o22 = n - c1[a] - c2[b] + o11
+        s = 0.0
+        for o, e in (
+            (o11, c1[a] * c2[b]),
+            (o12, c1[a] * (n - c2[b])),
+            (o21, (n - c1[a]) * c2[b]),
+            (o22, (n - c1[a]) * (n - c2[b])),
+        ):
+            if o > 0:
+                s += o * math.log(o * n / e)
+        return 2 * s
+
+    scored = sorted(
+        ((round(g2(a, b), 4), a, b) for (a, b) in bg),
+        key=lambda r: (-r[0], r[1], r[2]),
+    )[:30]
+    rows = REGISTRY["collocation_llr_q"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 30
+    for (llr, a, b), r in zip(scored, rows):
+        assert (r["w1"], r["w2"]) == (a, b)
+        assert r["n_cooc"] == bg[(a, b)]
+        assert r["llr"] == pytest.approx(llr, abs=2e-4)
+
+
+def test_drawdown_q_matches_bruteforce(spark):
+    """Max drawdown replayed with a running-peak loop."""
+    revs = _daily("purchase")
+    mu = _q6(float(sum(revs)) / len(revs))
+    pnl = [r - mu for r in revs]
+    days = sorted(
+        {ts.date() for _, ts, _, _, t in _events() if t == "purchase"}
+    )
+    equity = peak = Decimal(0)
+    first = True
+    draws = []
+    for day, r in zip(days, pnl):
+        equity += r
+        peak = equity if first else max(peak, equity)
+        first = False
+        draws.append((peak - equity, day))
+    best = max(d for d, _ in draws)
+    trough = min(day for d, day in draws if d == best)
+    row = REGISTRY["drawdown_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["max_drawdown"] == pytest.approx(float(best), abs=5e-3)
+    assert row["trough_day"] == trough
+    assert row["final_peak_equity"] == pytest.approx(
+        float(peak), abs=5e-3
+    )
+
+
+def _lineitems():
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT l_partkey, l_suppkey, CAST(l_extendedprice AS DOUBLE),"
+        f" CAST(l_quantity AS DOUBLE), l_shipdate FROM "
+        f"read_parquet('{SF_SMALL}/lineitem.parquet')"
+    ).fetchall()
+
+
+def test_herfindahl_q_matches_bruteforce(spark):
+    """HHI replayed from supplier revenue dicts."""
+    con = duckdb.connect()
+    nat = dict(
+        con.execute(
+            f"SELECT s_suppkey, s_nationkey FROM "
+            f"read_parquet('{SF_SMALL}/supplier.parquet')"
+        ).fetchall()
+    )
+    rev = defaultdict(float)
+    for pk, sk, ep, q, d in _lineitems():
+        rev[(nat[sk], sk)] += ep
+    by_nat = defaultdict(dict)
+    for (na, sk), r in rev.items():
+        by_nat[na][sk] = r
+    got = {
+        r["nationkey"]: r
+        for r in REGISTRY["herfindahl_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(by_nat)
+    for na, d in by_nat.items():
+        tot = sum(d.values())
+        hhi = sum((v / tot) ** 2 for v in d.values())
+        r = got[na]
+        assert r["n_suppliers"] == len(d)
+        assert r["hhi"] == pytest.approx(hhi, abs=2e-6)
+        assert r["effective_n"] == pytest.approx(1 / hhi, abs=2e-4)
+
+
+def test_abc_analysis_q_matches_bruteforce(spark):
+    """Pareto classes replayed with a plain sorted cumsum."""
+    rev = defaultdict(Decimal)
+    for pk, _, ep, _, _ in _lineitems():
+        rev[pk] += Decimal(str(ep)).quantize(Decimal("0.0001"))
+    items = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    tot = float(sum(v for _, v in rev.items()) * 10000)
+    cum = 0
+    shares = Counter()
+    counts = Counter()
+    for pk, r in items:
+        cum += int(r * 10000)
+        cls = "A" if cum <= 0.80 * tot else "B" if cum <= 0.95 * tot else "C"
+        counts[cls] += 1
+        shares[cls] += int(r * 10000)
+    got = {
+        r["abc"]: r
+        for r in REGISTRY["abc_analysis_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(counts)
+    for cls in counts:
+        assert got[cls]["n_parts"] == counts[cls]
+        assert got[cls]["revenue_share"] == pytest.approx(
+            shares[cls] / tot, abs=2e-6
+        )
+
+
+def test_price_index_q_matches_bruteforce(spark):
+    """Laspeyres/Paasche/Fisher replayed from period dicts."""
+    per = {1995: defaultdict(lambda: [0.0, 0.0]),
+           2001: defaultdict(lambda: [0.0, 0.0])}
+    for pk, _, ep, q, d in _lineitems():
+        y = d.year
+        if y in per:
+            per[y][pk][0] += ep
+            per[y][pk][1] += q
+    common = set(per[1995]) & set(per[2001])
+    p1q0 = p0q0 = p1q1 = p0q1 = 0.0
+    for pk in common:
+        r0, q0 = per[1995][pk]
+        r1, q1 = per[2001][pk]
+        p0, p1 = r0 / q0, r1 / q1
+        p1q0 += p1 * q0
+        p0q0 += p0 * q0
+        p1q1 += p1 * q1
+        p0q1 += p0 * q1
+    row = REGISTRY["price_index_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_common_parts"] == len(common)
+    assert row["laspeyres"] == pytest.approx(p1q0 / p0q0, abs=2e-5)
+    assert row["paasche"] == pytest.approx(p1q1 / p0q1, abs=2e-5)
+    assert row["fisher"] == pytest.approx(
+        math.sqrt(p1q0 / p0q0 * p1q1 / p0q1), abs=2e-5
+    )
