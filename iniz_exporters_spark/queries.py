@@ -21120,3 +21120,509 @@ def price_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("fisher"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch — round-8 session 4 (continued): exact 1-D distribution
+# distances WITHOUT the pair explosion. Both energy distance and
+# 1-Wasserstein over two cohorts are, naively, O(n^2) pairwise sums;
+# the rank/prefix-sum identities below compute them EXACTLY from
+# range-partitioned cumulative sums (operators/indexing.global_cumsum
+# / global_index) — one sort-shuffle instead of n^2 pairs, the same
+# trick exact_median_q uses. Values are quantized to integer cents so
+# every cumulative quantity is an exact BIGINT. Plus tail risk (CVaR),
+# the newsvendor quantile, and the cohort-LTV curve.
+# ---------------------------------------------------------------------------
+
+
+# Energy distance between the two user cohorts' purchase-total
+# distributions: D^2 = 2 E|X-Y| - E|X-X'| - E|Y-Y'| (V-statistics).
+# Each mean absolute difference comes from the sorted-merge identity
+# sum_x |x - v| = v*cnt_le(v) - sum_le(v) + (tot - sum_le(v))
+#                 - (cnt - cnt_le(v))*v,
+# where cnt_le/sum_le are inclusive prefix sums over the MERGED value
+# order — four global_cumsum passes (x-count, x-sum, y-count, y-sum),
+# zero pairwise joins. The oracle keeps plain ANSI running windows.
+@register(
+    "energy_distance_q",
+    """
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS grp,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+                   AS v
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    m AS (
+        SELECT user_id, v,
+               CASE WHEN grp = 0 THEN 1 ELSE 0 END AS ix,
+               CASE WHEN grp = 1 THEN 1 ELSE 0 END AS iy
+        FROM u
+    ),
+    c AS (
+        SELECT v, ix, iy,
+               SUM(ix) OVER w AS cxc, SUM(ix * v) OVER w AS cxs,
+               SUM(iy) OVER w AS cyc, SUM(iy * v) OVER w AS cys,
+               SUM(ix) OVER () AS nx, SUM(ix * v) OVER () AS sx,
+               SUM(iy) OVER () AS ny, SUM(iy * v) OVER () AS sy
+        FROM m
+        WINDOW w AS (ORDER BY v, user_id
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    terms AS (
+        SELECT
+            SUM(CASE WHEN iy = 1 THEN
+                v * cxc - cxs + (sx - cxs) - (nx - cxc) * v
+                ELSE 0 END) AS dxy,
+            SUM(CASE WHEN ix = 1 THEN
+                v * cxc - cxs + (sx - cxs) - (nx - cxc) * v
+                ELSE 0 END) AS dxx,
+            SUM(CASE WHEN iy = 1 THEN
+                v * cyc - cys + (sy - cys) - (ny - cyc) * v
+                ELSE 0 END) AS dyy,
+            MAX(nx) AS nx, MAX(ny) AS ny
+        FROM c
+    )
+    SELECT CAST(nx AS BIGINT) AS n_x, CAST(ny AS BIGINT) AS n_y,
+           CAST(ROUND(CAST(dxy AS DOUBLE) / (nx * ny) / 100, 6)
+               AS DOUBLE) + 0.0 AS e_xy,
+           CAST(ROUND(CAST(dxx AS DOUBLE) / (nx * nx) / 100, 6)
+               AS DOUBLE) + 0.0 AS e_xx,
+           CAST(ROUND(CAST(dyy AS DOUBLE) / (ny * ny) / 100, 6)
+               AS DOUBLE) + 0.0 AS e_yy,
+           CAST(ROUND(sqrt(greatest(0.0,
+               2.0 * CAST(dxy AS DOUBLE) / (nx * ny) / 100
+               - CAST(dxx AS DOUBLE) / (nx * nx) / 100
+               - CAST(dyy AS DOUBLE) / (ny * ny) / 100)), 6)
+               AS DOUBLE) + 0.0 AS energy_dist
+    FROM terms
+    """,
+)
+def energy_distance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are the two cohorts' spend distributions different IN SHAPE,
+    not just in mean? Exact E-statistic from prefix sums — the
+    pairwise |x-y| sums never materialize. The identity evaluated at
+    every sample point already counts all ORDERED pairs, so each
+    V-statistic is its raw sum over n^2 (no extra factor)."""
+    from iniz_exporters_spark.operators.indexing import global_cumsum
+
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    u = e.groupBy("user_id").agg(
+        (F.sum(_dec(F.col("value"), 18, 2)) * 100)
+        .cast("long")
+        .alias("v")
+    )
+    m = u.select(
+        "user_id",
+        "v",
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("ix"),
+        F.when(F.col("user_id") % 2 == 1, 1).otherwise(0).alias("iy"),
+    ).withColumn("ixv", F.col("ix") * F.col("v")).withColumn(
+        "iyv", F.col("iy") * F.col("v")
+    )
+    order = [F.col("v").asc(), F.col("user_id").asc()]
+    c = global_cumsum(m, order, "ix", "cxc")
+    c = global_cumsum(c, order, "ixv", "cxs")
+    c = global_cumsum(c, order, "iy", "cyc")
+    c = global_cumsum(c, order, "iyv", "cys")
+    tot = m.agg(
+        F.sum("ix").alias("nx"),
+        F.sum("ixv").alias("sx"),
+        F.sum("iy").alias("ny"),
+        F.sum("iyv").alias("sy"),
+    )
+    c = c.crossJoin(F.broadcast(tot))
+
+    def absdiff_sum(cnt_le, sum_le, n, s):
+        v = F.col("v")
+        return (
+            v * F.col(cnt_le)
+            - F.col(sum_le)
+            + (F.col(s) - F.col(sum_le))
+            - (F.col(n) - F.col(cnt_le)) * v
+        )
+
+    terms = c.agg(
+        F.sum(
+            F.when(
+                F.col("iy") == 1, absdiff_sum("cxc", "cxs", "nx", "sx")
+            ).otherwise(0)
+        ).alias("dxy"),
+        F.sum(
+            F.when(
+                F.col("ix") == 1, absdiff_sum("cxc", "cxs", "nx", "sx")
+            ).otherwise(0)
+        ).alias("dxx"),
+        F.sum(
+            F.when(
+                F.col("iy") == 1, absdiff_sum("cyc", "cys", "ny", "sy")
+            ).otherwise(0)
+        ).alias("dyy"),
+        F.max("nx").alias("nx"),
+        F.max("ny").alias("ny"),
+    )
+    exy = F.col("dxy").cast("double") / (F.col("nx") * F.col("ny")) / 100
+    exx = F.col("dxx").cast("double") / (F.col("nx") * F.col("nx")) / 100
+    eyy = F.col("dyy").cast("double") / (F.col("ny") * F.col("ny")) / 100
+    return terms.select(
+        F.col("nx").cast("long").alias("n_x"),
+        F.col("ny").cast("long").alias("n_y"),
+        (F.round(exy, 6) + F.lit(0.0)).alias("e_xy"),
+        (F.round(exx, 6) + F.lit(0.0)).alias("e_xx"),
+        (F.round(eyy, 6) + F.lit(0.0)).alias("e_yy"),
+        (
+            F.round(
+                F.sqrt(F.greatest(F.lit(0.0), 2.0 * exy - exx - eyy)), 6
+            )
+            + F.lit(0.0)
+        ).alias("energy_dist"),
+    )
+
+
+# 1-Wasserstein (earth mover) distance between the same two cohorts'
+# purchase-total distributions: W1 = integral |F_X - F_Y| dt, computed
+# exactly over the merged sorted values as
+# sum_k |cxc_k/nx - cyc_k/ny| * (v_{k+1} - v_k). The merged rank and
+# the two cumulative counts come from global_index/global_cumsum; the
+# "next value" gap is a self-join on rank+1 (a shuffle join on the
+# rank key — never a corpus-scale LEAD window). Integer-cent values
+# make every CDF numerator exact.
+@register(
+    "wasserstein_q",
+    """
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS grp,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+                   AS v
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    m AS (
+        SELECT user_id, v,
+               CASE WHEN grp = 0 THEN 1 ELSE 0 END AS ix,
+               CASE WHEN grp = 1 THEN 1 ELSE 0 END AS iy
+        FROM u
+    ),
+    c AS (
+        SELECT v,
+               ROW_NUMBER() OVER o AS t,
+               SUM(ix) OVER (o ROWS UNBOUNDED PRECEDING) AS cxc,
+               SUM(iy) OVER (o ROWS UNBOUNDED PRECEDING) AS cyc,
+               SUM(ix) OVER () AS nx, SUM(iy) OVER () AS ny
+        FROM m
+        WINDOW o AS (ORDER BY v, user_id)
+    ),
+    gaps AS (
+        SELECT a.cxc, a.cyc, a.nx, a.ny, b.v - a.v AS gap
+        FROM c a JOIN c b ON b.t = a.t + 1
+    )
+    SELECT CAST(MAX(nx) AS BIGINT) AS n_x,
+           CAST(MAX(ny) AS BIGINT) AS n_y,
+           CAST(ROUND(SUM(abs(CAST(cxc AS DOUBLE) / nx
+               - CAST(cyc AS DOUBLE) / ny) * gap) / 100, 6)
+               AS DOUBLE) + 0.0 AS wasserstein_1
+    FROM gaps
+    """,
+)
+def wasserstein_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much 'work' separates the two spend distributions, in the
+    money unit itself? The optimal-transport companion to
+    energy_distance_q and ks_test_q over the same cohorts."""
+    from iniz_exporters_spark.operators.indexing import (
+        global_cumsum,
+        global_index,
+    )
+
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    u = e.groupBy("user_id").agg(
+        (F.sum(_dec(F.col("value"), 18, 2)) * 100)
+        .cast("long")
+        .alias("v")
+    )
+    m = u.select(
+        "user_id",
+        "v",
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("ix"),
+        F.when(F.col("user_id") % 2 == 1, 1).otherwise(0).alias("iy"),
+    )
+    order = [F.col("v").asc(), F.col("user_id").asc()]
+    c = global_index(m, order, "t")
+    c = global_cumsum(c, order, "ix", "cxc")
+    c = global_cumsum(c, order, "iy", "cyc")
+    tot = m.agg(F.sum("ix").alias("nx"), F.sum("iy").alias("ny"))
+    a = c.select("t", "v", "cxc", "cyc")
+    b = c.select((F.col("t") - 1).alias("t"), F.col("v").alias("v_next"))
+    gaps = a.join(b, "t").crossJoin(F.broadcast(tot))
+    w1 = (
+        F.sum(
+            F.abs(
+                F.col("cxc").cast("double") / F.col("nx")
+                - F.col("cyc").cast("double") / F.col("ny")
+            )
+            * (F.col("v_next") - F.col("v"))
+        )
+        / 100
+    )
+    return gaps.agg(
+        F.max("nx").cast("long").alias("n_x"),
+        F.max("ny").cast("long").alias("n_y"),
+        (F.round(w1, 6) + F.lit(0.0)).alias("wasserstein_1"),
+    )
+
+
+# Value-at-Risk and expected shortfall (CVaR) of the demeaned daily
+# revenue P&L (the drawdown_q series): losses are -pnl; VaR_95 is the
+# ceil(0.95 n)-th smallest... equivalently the k-th largest loss with
+# k = ceil(0.05 n) under the empirical upper-tail convention, and
+# CVaR_95 averages the losses at or beyond VaR. All ranking happens on
+# the calendar-bounded daily frame with exact DECIMAL P&L.
+@register(
+    "cvar_q",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,6))) AS rev
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    pnl AS (
+        SELECT day,
+               (SELECT CAST(CAST(SUM(rev) AS DOUBLE) / COUNT(*)
+                    AS DECIMAL(18,6)) FROM daily) - rev AS loss
+        FROM daily
+    ),
+    r AS (
+        SELECT loss,
+               ROW_NUMBER() OVER (ORDER BY loss DESC, day) AS k,
+               COUNT(*) OVER () AS n
+        FROM pnl
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST(ROUND(CAST(MAX(CASE WHEN k = CAST(ceil(0.05 * n)
+               AS BIGINT) THEN loss END) AS DOUBLE), 2) AS DOUBLE)
+               + 0.0 AS var_95,
+           CAST(ROUND(CAST(SUM(CASE WHEN k <= CAST(ceil(0.05 * n)
+               AS BIGINT) THEN loss END) AS DOUBLE)
+               / MAX(CASE WHEN n > 0
+                     THEN CAST(ceil(0.05 * n) AS BIGINT) END), 2)
+               AS DOUBLE) + 0.0 AS cvar_95
+    FROM r
+    """,
+)
+def cvar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail risk of the daily P&L: the 95% loss threshold and the mean
+    loss beyond it — the coherent-risk companion to drawdown_q."""
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(_dec(F.col("value"), 18, 6)).alias("rev")
+    )
+    mu = daily.agg(
+        (F.sum("rev").cast("double") / F.count(F.lit(1)))
+        .cast("decimal(18,6)")
+        .alias("mu")
+    )
+    pnl = daily.crossJoin(F.broadcast(mu)).select(
+        "day", (F.col("mu") - F.col("rev")).alias("loss")
+    )
+    wk = Window.orderBy(F.col("loss").desc(), F.col("day"))
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = pnl.select(
+        "loss",
+        F.row_number().over(wk).alias("k"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    kcut = F.ceil(0.05 * F.col("n")).cast("long")
+    return r.agg(
+        F.max("n").cast("long").alias("n_days"),
+        (
+            F.round(
+                F.max(F.when(F.col("k") == kcut, F.col("loss"))).cast(
+                    "double"
+                ),
+                2,
+            )
+            + F.lit(0.0)
+        ).alias("var_95"),
+        (
+            F.round(
+                F.sum(
+                    F.when(F.col("k") <= kcut, F.col("loss"))
+                ).cast("double")
+                / F.max(F.when(F.col("n") > 0, kcut)),
+                2,
+            )
+            + F.lit(0.0)
+        ).alias("cvar_95"),
+    )
+
+
+# Newsvendor stocking quantile for daily purchase-event demand:
+# critical ratio CR = cu/(cu+co) = 0.8 (understock costs 4x overstock
+# with cu=4, co=1); q* = the smallest demand level whose empirical CDF
+# reaches CR, and the expected daily overage/underage at q* replay the
+# cost. The demand distribution is the calendar-bounded daily frame;
+# ranks and tail sums are exact integers.
+@register(
+    "newsvendor_q",
+    """
+    WITH demand AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS d
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    r AS (
+        SELECT d,
+               ROW_NUMBER() OVER (ORDER BY d, day) AS k,
+               COUNT(*) OVER () AS n
+        FROM demand
+    ),
+    qstar AS (
+        SELECT MIN(d) AS q FROM r
+        WHERE k >= CAST(ceil(0.8 * n) AS BIGINT)
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST((SELECT q FROM qstar) AS BIGINT) AS q_star,
+           CAST(ROUND(CAST(SUM(greatest((SELECT q FROM qstar) - d, 0))
+               AS DOUBLE) / MAX(n), 4) AS DOUBLE) AS expected_overage,
+           CAST(ROUND(CAST(SUM(greatest(d - (SELECT q FROM qstar), 0))
+               AS DOUBLE) / MAX(n), 4) AS DOUBLE) AS expected_underage
+    FROM r
+    """,
+)
+def newsvendor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much to stock per day when shortage costs 4x leftover —
+    the empirical-quantile answer plus the resulting cost split."""
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    demand = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    wk = Window.orderBy("d", "day")
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = demand.select(
+        "d",
+        F.row_number().over(wk).alias("k"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    qstar = r.filter(
+        F.col("k") >= F.ceil(0.8 * F.col("n")).cast("long")
+    ).agg(F.min("d").alias("q"))
+    return (
+        r.crossJoin(F.broadcast(qstar))
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            F.max("q").cast("long").alias("q_star"),
+            F.round(
+                F.sum(
+                    F.greatest(F.col("q") - F.col("d"), F.lit(0))
+                ).cast("double")
+                / F.max("n"),
+                4,
+            ).alias("expected_overage"),
+            F.round(
+                F.sum(
+                    F.greatest(F.col("d") - F.col("q"), F.lit(0))
+                ).cast("double")
+                / F.max("n"),
+                4,
+            ).alias("expected_underage"),
+        )
+    )
+
+
+# Cohort LTV curve: users grouped by first-activity week, cumulative
+# purchase revenue per user tracked by weeks-since-first-activity.
+# First-touch reduces per user (one corpus aggregation); the curve
+# table is cohorts x ages (calendar-bounded); the running sum windows
+# partition by cohort over <= 5 rows each.
+@register(
+    "ltv_cohort_q",
+    """
+    WITH first_seen AS (
+        SELECT user_id,
+               CAST(date_diff('day', DATE '2024-01-01',
+                    CAST(MIN(ts) AS DATE)) // 7 AS BIGINT) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT cohort, COUNT(*) AS n_users
+        FROM first_seen GROUP BY cohort
+    ),
+    rev AS (
+        SELECT f.cohort,
+               CAST(date_diff('day', DATE '2024-01-01',
+                    CAST(e.ts AS DATE)) // 7 AS BIGINT) - f.cohort
+                   AS age_weeks,
+               SUM(CAST(e.value AS DECIMAL(18,6))) AS r
+        FROM events e JOIN first_seen f ON f.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY f.cohort,
+                 CAST(date_diff('day', DATE '2024-01-01',
+                      CAST(e.ts AS DATE)) // 7 AS BIGINT) - f.cohort
+    )
+    SELECT rev.cohort, age_weeks,
+           CAST(s.n_users AS BIGINT) AS cohort_size,
+           CAST(ROUND(CAST(SUM(r) OVER (PARTITION BY rev.cohort
+                    ORDER BY age_weeks) AS DOUBLE) / s.n_users, 4)
+               AS DOUBLE) AS cum_ltv_per_user
+    FROM rev JOIN sizes s ON s.cohort = rev.cohort
+    """,
+)
+def ltv_cohort_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth-analytics staple: does a later cohort monetize
+    faster? Rows are (cohort week, age weeks) — calendar metadata."""
+    e = Catalog(spark, sf_dir).events
+    first_seen = e.groupBy("user_id").agg(
+        F.floor(
+            F.datediff(F.to_date(F.min("ts")), F.lit("2024-01-01")) / 7
+        )
+        .cast("long")
+        .alias("cohort")
+    )
+    sizes = first_seen.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        # first_seen is a PER-USER table — never broadcast it; the
+        # shuffle join on user_id is the plan that survives 100 TB
+        .join(first_seen, "user_id")
+        .groupBy(
+            "cohort",
+            (
+                F.floor(
+                    F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / 7
+                ).cast("long")
+                - F.col("cohort")
+            ).alias("age_weeks"),
+        )
+        .agg(F.sum(_dec(F.col("value"), 18, 6)).alias("r"))
+    )
+    wcum = (
+        Window.partitionBy("cohort")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "age_weeks",
+            F.col("n_users").cast("long").alias("cohort_size"),
+            F.round(
+                F.sum("r").over(wcum).cast("double") / F.col("n_users"),
+                4,
+            ).alias("cum_ltv_per_user"),
+        )
+    )

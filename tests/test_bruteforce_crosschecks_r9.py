@@ -1766,3 +1766,115 @@ def test_price_index_q_matches_bruteforce(spark):
     assert row["fisher"] == pytest.approx(
         math.sqrt(p1q0 / p0q0 * p1q1 / p0q1), abs=2e-5
     )
+
+
+def _cohort_cents():
+    """Integer-cent purchase totals split by user parity."""
+    tot = defaultdict(Decimal)
+    for uid, _, _, v, t in _events():
+        if t == "purchase":
+            tot[uid] += Decimal(str(v)).quantize(Decimal("0.01"))
+    xs = [int(v * 100) for u, v in tot.items() if u % 2 == 0]
+    ys = [int(v * 100) for u, v in tot.items() if u % 2 == 1]
+    return xs, ys
+
+
+def test_energy_distance_q_matches_bruteforce(spark):
+    """E-statistic replayed with the O(n^2) pairwise loops the query
+    is designed to avoid."""
+    xs, ys = _cohort_cents()
+    nx, ny = len(xs), len(ys)
+    exy = sum(abs(x - y) for x in xs for y in ys) / (nx * ny) / 100
+    exx = sum(abs(a - b) for a in xs for b in xs) / (nx * nx) / 100
+    eyy = sum(abs(a - b) for a in ys for b in ys) / (ny * ny) / 100
+    row = REGISTRY["energy_distance_q"].fn(spark, SF_SMALL).collect()[0]
+    assert (row["n_x"], row["n_y"]) == (nx, ny)
+    assert row["e_xy"] == pytest.approx(exy, abs=2e-6)
+    assert row["e_xx"] == pytest.approx(exx, abs=2e-6)
+    assert row["e_yy"] == pytest.approx(eyy, abs=2e-6)
+    assert row["energy_dist"] == pytest.approx(
+        math.sqrt(max(0.0, 2 * exy - exx - eyy)), abs=2e-6
+    )
+
+
+def test_wasserstein_q_matches_bruteforce(spark):
+    """W1 replayed with scipy-style sorted-quantile integration."""
+    xs, ys = _cohort_cents()
+    allv = sorted(set(xs) | set(ys))
+    import bisect
+
+    xs_s, ys_s = sorted(xs), sorted(ys)
+    w1 = 0.0
+    for a, b in zip(allv, allv[1:]):
+        fx = bisect.bisect_right(xs_s, a) / len(xs)
+        fy = bisect.bisect_right(ys_s, a) / len(ys)
+        w1 += abs(fx - fy) * (b - a)
+    row = REGISTRY["wasserstein_q"].fn(spark, SF_SMALL).collect()[0]
+    assert (row["n_x"], row["n_y"]) == (len(xs), len(ys))
+    assert row["wasserstein_1"] == pytest.approx(w1 / 100, abs=2e-6)
+
+
+def test_cvar_q_matches_bruteforce(spark):
+    """VaR/CVaR replayed with a plain sort of daily losses."""
+    revs = _daily("purchase")
+    mu = _q6(float(sum(revs)) / len(revs))
+    losses = sorted((float(mu - r) for r in revs), reverse=True)
+    n = len(losses)
+    k = math.ceil(0.05 * n)
+    row = REGISTRY["cvar_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_days"] == n
+    assert row["var_95"] == pytest.approx(losses[k - 1], abs=5e-3)
+    assert row["cvar_95"] == pytest.approx(
+        sum(losses[:k]) / k, abs=5e-3
+    )
+
+
+def test_newsvendor_q_matches_bruteforce(spark):
+    """q* and expected costs replayed with a sorted demand list."""
+    demand = sorted(
+        Counter(
+            ts.date() for _, ts, _, _, t in _events() if t == "purchase"
+        ).values()
+    )
+    n = len(demand)
+    q = demand[math.ceil(0.8 * n) - 1]
+    over = sum(max(q - d, 0) for d in demand) / n
+    under = sum(max(d - q, 0) for d in demand) / n
+    row = REGISTRY["newsvendor_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_days"] == n
+    assert row["q_star"] == q
+    assert row["expected_overage"] == pytest.approx(over, abs=2e-4)
+    assert row["expected_underage"] == pytest.approx(under, abs=2e-4)
+
+
+def test_ltv_cohort_q_matches_bruteforce(spark):
+    """Cohort LTV curve replayed with dicts."""
+    import datetime
+
+    base = datetime.date(2024, 1, 1)
+    first = {}
+    for uid, ts, _, _, _ in _events():
+        d = ts.date()
+        if uid not in first or d < first[uid]:
+            first[uid] = d
+    cohort = {u: (d - base).days // 7 for u, d in first.items()}
+    sizes = Counter(cohort.values())
+    rev = defaultdict(Decimal)
+    for uid, ts, _, v, t in _events():
+        if t == "purchase":
+            age = (ts.date() - base).days // 7 - cohort[uid]
+            rev[(cohort[uid], age)] += Decimal(str(v)).quantize(
+                Decimal("0.000001")
+            )
+    rows = REGISTRY["ltv_cohort_q"].fn(spark, SF_SMALL).collect()
+    got = {(r["cohort"], r["age_weeks"]): r for r in rows}
+    assert set(got) == set(rev)
+    for c in sorted(sizes):
+        cum = Decimal(0)
+        for age in sorted(a for (cc, a) in rev if cc == c):
+            cum += rev[(c, age)]
+            r = got[(c, age)]
+            assert r["cohort_size"] == sizes[c]
+            assert r["cum_ltv_per_user"] == pytest.approx(
+                float(cum) / sizes[c], abs=2e-4
+            )
