@@ -21626,3 +21626,579 @@ def ltv_cohort_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_ltv_per_user"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch — round-8 session 5: modern dependence measures (Chatterjee's
+# xi, partial correlation), U-shaped multi-touch attribution, the
+# Hodges-Lehmann robust location estimate, and the log-rank survival
+# comparison. xi is the scale showcase: both of its rankings come from
+# global_index, and the adjacent-rank differences come from a rank+1
+# self-join — no corpus-scale window anywhere.
+# ---------------------------------------------------------------------------
+
+
+# Chatterjee's xi rank correlation (2020) measuring how well per-user
+# purchase spend is a FUNCTION of click spend (asymmetric, detects any
+# functional dependence, not just monotone): sort by x, take y-ranks
+# r_i along that order, xi = 1 - 3 sum|r_{i+1} - r_i| / (n^2 - 1).
+# Both the y-rank and the x-position are range-partitioned global
+# ranks; consecutive x-positions meet via a shuffle join on position
+# +1. Continuous DECIMAL totals make ties measure-zero; the (value,
+# user_id) tiebreak keeps both engines identical if one ever occurs.
+@register(
+    "xi_correlation_q",
+    """
+    WITH u AS (
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'click'
+                   THEN CAST(value AS DECIMAL(18,6)) END) AS x,
+               SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(value AS DECIMAL(18,6)) END) AS y
+        FROM events GROUP BY user_id
+        HAVING x IS NOT NULL AND y IS NOT NULL
+    ),
+    ranked AS (
+        SELECT user_id, x,
+               ROW_NUMBER() OVER (ORDER BY y, user_id) AS r
+        FROM u
+    ),
+    ordered AS (
+        SELECT r, ROW_NUMBER() OVER (ORDER BY x, user_id) AS s
+        FROM ranked
+    ),
+    steps AS (
+        SELECT abs(b.r - a.r) AS dr
+        FROM ordered a JOIN ordered b ON b.s = a.s + 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS n_users,
+           CAST(ROUND(1 - 3.0 * SUM(dr)
+               / (CAST((SELECT COUNT(*) FROM u) AS DOUBLE)
+                  * (SELECT COUNT(*) FROM u) - 1), 6) AS DOUBLE) + 0.0
+               AS xi
+    FROM steps
+    """,
+)
+def xi_correlation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does click spend DETERMINE purchase spend? xi ~ 0 =
+    independent, 1 = y is a measurable function of x — catches
+    relationships spearman_corr_q (monotone-only) misses."""
+    from iniz_exporters_spark.operators.indexing import global_index
+
+    e = Catalog(spark, sf_dir).events
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "click",
+                    _dec(F.col("value"), 18, 6),
+                )
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    _dec(F.col("value"), 18, 6),
+                )
+            ).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    ranked = global_index(
+        u, [F.col("y").asc(), F.col("user_id").asc()], "r"
+    )
+    ordered = global_index(
+        ranked, [F.col("x").asc(), F.col("user_id").asc()], "s"
+    )
+    a = ordered.select("s", "r")
+    b = ordered.select((F.col("s") - 1).alias("s"), F.col("r").alias("r2"))
+    steps = a.join(b, "s").select(
+        F.abs(F.col("r2") - F.col("r")).alias("dr")
+    )
+    n = u.agg(F.count(F.lit(1)).alias("n"))
+    return steps.crossJoin(F.broadcast(n)).agg(
+        F.max("n").cast("long").alias("n_users"),
+        (
+            F.round(
+                1
+                - 3.0
+                * F.sum("dr")
+                / (F.max("n").cast("double") * F.max("n") - 1),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("xi"),
+    )
+
+
+# Partial correlation of per-user click vs purchase spend CONTROLLING
+# for view spend: r_xy.z = (r_xy - r_xz r_yz) /
+# sqrt((1-r_xz^2)(1-r_yz^2)). Zero-filled user totals; all nine
+# moments come from one grouped pass with exact DECIMAL sums
+# (products at decimal(16,6) — the exact-width convention).
+@register(
+    "partial_corr_q",
+    """
+    WITH u AS (
+        SELECT user_id,
+               COALESCE(SUM(CASE WHEN event_type = 'click'
+                   THEN CAST(value AS DECIMAL(18,6)) END),
+                   CAST(0 AS DECIMAL(18,6))) AS x,
+               COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(value AS DECIMAL(18,6)) END),
+                   CAST(0 AS DECIMAL(18,6))) AS y,
+               COALESCE(SUM(CASE WHEN event_type = 'view'
+                   THEN CAST(value AS DECIMAL(18,6)) END),
+                   CAST(0 AS DECIMAL(18,6))) AS z
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(z) AS DOUBLE) AS sz,
+               CAST(SUM(CAST(x AS DECIMAL(19,6))
+                        * CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(19,6))
+                        * CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(z AS DECIMAL(19,6))
+                        * CAST(z AS DECIMAL(19,6))) AS DOUBLE) AS szz,
+               CAST(SUM(CAST(x AS DECIMAL(19,6))
+                        * CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x AS DECIMAL(19,6))
+                        * CAST(z AS DECIMAL(19,6))) AS DOUBLE) AS sxz,
+               CAST(SUM(CAST(y AS DECIMAL(19,6))
+                        * CAST(z AS DECIMAL(19,6))) AS DOUBLE) AS syz
+        FROM u
+    ),
+    r AS (
+        SELECT n,
+               (sxy - sx * sy / n)
+                   / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+                   AS rxy,
+               (sxz - sx * sz / n)
+                   / sqrt((sxx - sx * sx / n) * (szz - sz * sz / n))
+                   AS rxz,
+               (syz - sy * sz / n)
+                   / sqrt((syy - sy * sy / n) * (szz - sz * sz / n))
+                   AS ryz
+        FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(ROUND(rxy, 6) AS DOUBLE) + 0.0 AS r_xy,
+           CAST(ROUND(rxz, 6) AS DOUBLE) + 0.0 AS r_xz,
+           CAST(ROUND(ryz, 6) AS DOUBLE) + 0.0 AS r_yz,
+           CAST(ROUND((rxy - rxz * ryz)
+               / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6)
+               AS DOUBLE) + 0.0 AS partial_r
+    FROM r
+    """,
+)
+def partial_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the click-purchase association real or just shared exposure
+    (views)? First-order partial correlation from one moment pass."""
+    e = Catalog(spark, sf_dir).events
+
+    def tsum(et):
+        return F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == et, _dec(F.col("value"), 18, 6))
+            ),
+            F.lit(0).cast("decimal(18,6)"),
+        )
+
+    u = e.groupBy("user_id").agg(
+        tsum("click").alias("x"),
+        tsum("purchase").alias("y"),
+        tsum("view").alias("z"),
+    )
+
+    def p16(a, b):
+        return F.sum(
+            F.col(a).cast("decimal(16,6)") * F.col(b).cast("decimal(16,6)")
+        ).cast("double")
+
+    m = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("z").cast("double").alias("sz"),
+        p16("x", "x").alias("sxx"),
+        p16("y", "y").alias("syy"),
+        p16("z", "z").alias("szz"),
+        p16("x", "y").alias("sxy"),
+        p16("x", "z").alias("sxz"),
+        p16("y", "z").alias("syz"),
+    )
+    n = F.col("n")
+
+    def corr(sab, sa, sb, saa, sbb):
+        return (F.col(sab) - F.col(sa) * F.col(sb) / n) / F.sqrt(
+            (F.col(saa) - F.col(sa) * F.col(sa) / n)
+            * (F.col(sbb) - F.col(sb) * F.col(sb) / n)
+        )
+
+    r = m.select(
+        "n",
+        corr("sxy", "sx", "sy", "sxx", "syy").alias("rxy"),
+        corr("sxz", "sx", "sz", "sxx", "szz").alias("rxz"),
+        corr("syz", "sy", "sz", "syy", "szz").alias("ryz"),
+    )
+    part = (F.col("rxy") - F.col("rxz") * F.col("ryz")) / F.sqrt(
+        (1 - F.col("rxz") * F.col("rxz"))
+        * (1 - F.col("ryz") * F.col("ryz"))
+    )
+    return r.select(
+        n.cast("long").alias("n_users"),
+        (F.round(F.col("rxy"), 6) + F.lit(0.0)).alias("r_xy"),
+        (F.round(F.col("rxz"), 6) + F.lit(0.0)).alias("r_xz"),
+        (F.round(F.col("ryz"), 6) + F.lit(0.0)).alias("r_yz"),
+        (F.round(part, 6) + F.lit(0.0)).alias("partial_r"),
+    )
+
+
+# U-shaped (position-based) multi-touch attribution: each purchase
+# splits 1.0 of credit over the user's non-purchase touches in the 3
+# days before it — 40% first touch, 40% last touch, 20% spread over
+# the middle (k=1 -> 100%, k=2 -> 50/50). The purchase-touch pair
+# table is bounded by the 3-day window predicate (pushed into the
+# join); ranks partition by (user, purchase). Credits are exact
+# decimals built from integer rank arithmetic; one final group by
+# channel.
+@register(
+    "multi_touch_attribution_q",
+    """
+    WITH p AS (
+        SELECT user_id, event_id AS pid, ts AS pts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT p.pid, e.event_type AS channel, e.ts, e.event_id
+        FROM events e JOIN p ON p.user_id = e.user_id
+        WHERE e.event_type <> 'purchase'
+          AND e.ts < p.pts
+          AND e.ts >= p.pts - INTERVAL 3 DAY
+    ),
+    ranked AS (
+        SELECT pid, channel,
+               ROW_NUMBER() OVER (PARTITION BY pid
+                   ORDER BY ts, event_id) AS k,
+               COUNT(*) OVER (PARTITION BY pid) AS m
+        FROM touch
+    ),
+    credit AS (
+        SELECT channel,
+               CASE WHEN m = 1 THEN CAST(1.0 AS DECIMAL(18,12))
+                    WHEN m = 2 THEN CAST(0.5 AS DECIMAL(18,12))
+                    WHEN k = 1 OR k = m THEN CAST(0.4 AS DECIMAL(18,12))
+                    ELSE CAST(CAST(0.2 AS DECIMAL(18,12)) / (m - 2)
+                         AS DECIMAL(18,12))
+               END AS c
+        FROM ranked
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(ROUND(CAST(SUM(c) AS DOUBLE), 4) AS DOUBLE)
+               AS total_credit
+    FROM credit GROUP BY channel
+    """,
+)
+def multi_touch_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which channels EARN conversions once credit is split across the
+    journey (vs attribution_q's winner-takes-all last touch)? Credits
+    are decimal so channel totals are order-independent; the 3-day
+    lookback bounds the pair fan-out at any corpus size."""
+    e = Catalog(spark, sf_dir).events
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+    )
+    t = e.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        "ts",
+        "event_id",
+    )
+    touch = t.join(p, "user_id").filter(
+        (F.col("ts") < F.col("pts"))
+        & (F.col("ts") >= F.col("pts") - F.expr("INTERVAL 3 DAY"))
+    )
+    wk = Window.partitionBy("pid").orderBy("ts", "event_id")
+    wm = Window.partitionBy("pid")
+    ranked = touch.select(
+        "pid",
+        "channel",
+        F.row_number().over(wk).alias("k"),
+        F.count(F.lit(1)).over(wm).alias("m"),
+    )
+    c = (
+        F.when(F.col("m") == 1, F.lit(1.0).cast("decimal(18,12)"))
+        .when(F.col("m") == 2, F.lit(0.5).cast("decimal(18,12)"))
+        .when(
+            (F.col("k") == 1) | (F.col("k") == F.col("m")),
+            F.lit(0.4).cast("decimal(18,12)"),
+        )
+        .otherwise(
+            (F.lit(0.2).cast("decimal(18,12)") / (F.col("m") - 2)).cast(
+                "decimal(18,12)"
+            )
+        )
+    )
+    return (
+        ranked.select("channel", c.alias("c"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.round(F.sum("c").cast("double"), 4).alias("total_credit"),
+        )
+    )
+
+
+# Hodges-Lehmann location estimate of the demeaned daily P&L: the
+# median of all Walsh averages (x_i + x_j)/2, i <= j — the robust,
+# rank-based "typical level" with 29% breakdown. The pair table is
+# n(n+1)/2 rows of the CALENDAR-bounded daily frame; averages are
+# exact DECIMAL(19,7)s so the median element is deterministic.
+@register(
+    "hodges_lehmann_q",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,6))) AS rev
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    pnl AS (
+        SELECT day,
+               rev - (SELECT CAST(CAST(SUM(rev) AS DOUBLE) / COUNT(*)
+                          AS DECIMAL(18,6)) FROM daily) AS v
+        FROM daily
+    ),
+    walsh AS (
+        SELECT CAST((a.v + b.v) AS DECIMAL(19,7)) / 2 AS w
+        FROM pnl a JOIN pnl b ON a.day <= b.day
+    ),
+    r AS (
+        SELECT w, ROW_NUMBER() OVER (ORDER BY w) AS k,
+               COUNT(*) OVER () AS n
+        FROM walsh
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_walsh,
+           CAST(ROUND(CAST(AVG(CASE WHEN k = (n + 1) // 2
+                    OR k = n // 2 + 1 THEN w END) AS DOUBLE), 4)
+               AS DOUBLE) + 0.0 AS hodges_lehmann
+    FROM r
+    """,
+)
+def hodges_lehmann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pseudo-median of daily P&L — robust companion to cvar_q's
+    tail view. Walsh-average ties resolve identically in both engines
+    because the averages are exact decimals."""
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(_dec(F.col("value"), 18, 6)).alias("rev")
+    )
+    mu = daily.agg(
+        (F.sum("rev").cast("double") / F.count(F.lit(1)))
+        .cast("decimal(18,6)")
+        .alias("mu")
+    )
+    pnl = daily.crossJoin(F.broadcast(mu)).select(
+        "day", (F.col("rev") - F.col("mu")).alias("v")
+    )
+    a = pnl.select(F.col("day").alias("da"), F.col("v").alias("va"))
+    b = pnl.select(F.col("day").alias("db"), F.col("v").alias("vb"))
+    walsh = a.join(b, F.col("da") <= F.col("db")).select(
+        (
+            (F.col("va") + F.col("vb")).cast("decimal(19,7)") / 2
+        ).alias("w")
+    )
+    wk = Window.orderBy("w")
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = walsh.select(
+        "w",
+        F.row_number().over(wk).alias("k"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    mid = F.when(
+        (F.col("k") == F.expr("(n + 1) div 2"))
+        | (F.col("k") == F.expr("n div 2 + 1")),
+        F.col("w"),
+    )
+    return r.agg(
+        F.max("n").cast("long").alias("n_walsh"),
+        (F.round(F.avg(mid).cast("double"), 4) + F.lit(0.0)).alias(
+            "hodges_lehmann"
+        ),
+    )
+
+
+# Log-rank test comparing signup->purchase conversion survival between
+# the two user cohorts (user_id parity): at each distinct event time,
+# observed cohort-0 events vs the hypergeometric expectation
+# d * n0/n, variance d (n0/n)(1-n0/n)(n-d)/(n-1); z = (O-E)/sqrt(V).
+# Builds on km_survival_q's duration frame; the per-time table is
+# calendar-bounded, at-risk counts are running-sum integers, and the
+# only float stage is the final z.
+@register(
+    "log_rank_test_q",
+    """
+    WITH su AS (
+        SELECT user_id, MIN(ts) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    la AS (SELECT user_id, MAX(ts) AS tl FROM events GROUP BY user_id),
+    pu AS (
+        SELECT e.user_id, MIN(e.ts) AS tp
+        FROM events e JOIN su USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= su.t0
+        GROUP BY e.user_id
+    ),
+    b AS (
+        SELECT su.user_id, su.user_id % 2 AS grp,
+               CASE WHEN tp IS NOT NULL
+                    THEN date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+                    ELSE date_diff('day', CAST(t0 AS DATE), CAST(tl AS DATE))
+               END AS t,
+               CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS obs
+        FROM su JOIN la USING (user_id)
+        LEFT JOIN pu ON pu.user_id = su.user_id
+    ),
+    g AS (
+        SELECT t,
+               SUM(obs) AS d,
+               SUM(CASE WHEN grp = 0 THEN obs ELSE 0 END) AS d0,
+               COUNT(*) AS m,
+               SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS m0
+        FROM b GROUP BY t
+    ),
+    tot AS (
+        SELECT COUNT(*) AS nn,
+               SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS nn0
+        FROM b
+    ),
+    k AS (
+        SELECT t, d, d0,
+               nn - (SUM(m) OVER (ORDER BY t) - m) AS n_risk,
+               nn0 - (SUM(m0) OVER (ORDER BY t) - m0) AS n0_risk
+        FROM g CROSS JOIN tot
+    ),
+    terms AS (
+        SELECT CAST(SUM(d0) AS BIGINT) AS o0,
+               CAST(SUM(CAST(d * (CAST(n0_risk AS DOUBLE) / n_risk)
+                    AS DECIMAL(28,12))) AS DOUBLE) AS e0,
+               CAST(SUM(CASE WHEN n_risk > 1 THEN CAST(
+                    d * (CAST(n0_risk AS DOUBLE) / n_risk)
+                      * (1 - CAST(n0_risk AS DOUBLE) / n_risk)
+                      * (n_risk - d) / (n_risk - 1)
+                    AS DECIMAL(28,12)) ELSE CAST(0 AS DECIMAL(28,12))
+                    END) AS DOUBLE) AS v
+        FROM k WHERE d > 0
+    )
+    SELECT o0 AS observed_g0,
+           CAST(ROUND(e0, 4) AS DOUBLE) + 0.0 AS expected_g0,
+           CAST(ROUND((o0 - e0) / sqrt(v), 6) AS DOUBLE) + 0.0
+               AS logrank_z,
+           CAST(ROUND((o0 - e0) * (o0 - e0) / v, 6) AS DOUBLE) + 0.0
+               AS logrank_chi2
+    FROM terms
+    """,
+)
+def log_rank_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the two cohorts convert at different speeds, accounting for
+    censoring? The hypothesis test behind km_survival_q's curves."""
+    ev = Catalog(spark, sf_dir).events
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    la = ev.groupBy("user_id").agg(F.max("ts").alias("tl"))
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    b = (
+        su.join(la, "user_id")
+        .join(pu, "user_id", "left")
+        .select(
+            (F.col("user_id") % 2).alias("grp"),
+            F.when(
+                F.col("tp").isNotNull(),
+                F.datediff(F.to_date("tp"), F.to_date("t0")),
+            )
+            .otherwise(F.datediff(F.to_date("tl"), F.to_date("t0")))
+            .alias("t"),
+            F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("obs"),
+        )
+    )
+    g = b.groupBy("t").agg(
+        F.sum("obs").alias("d"),
+        F.sum(F.when(F.col("grp") == 0, F.col("obs")).otherwise(0)).alias(
+            "d0"
+        ),
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("m0"),
+    )
+    tot = b.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("nn0"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    k = g.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "d0",
+        (
+            F.col("nn") - (F.sum("m").over(wcum) - F.col("m"))
+        ).alias("n_risk"),
+        (
+            F.col("nn0") - (F.sum("m0").over(wcum) - F.col("m0"))
+        ).alias("n0_risk"),
+    )
+    frac = F.col("n0_risk").cast("double") / F.col("n_risk")
+    terms = k.filter(F.col("d") > 0).agg(
+        F.sum("d0").cast("long").alias("o0"),
+        _dsum(F.col("d") * frac).cast("double").alias("e0"),
+        F.sum(
+            F.when(
+                F.col("n_risk") > 1,
+                (
+                    F.col("d")
+                    * frac
+                    * (1 - frac)
+                    * (F.col("n_risk") - F.col("d"))
+                    / (F.col("n_risk") - 1)
+                ).cast("decimal(28,12)"),
+            ).otherwise(F.lit(0).cast("decimal(28,12)"))
+        )
+        .cast("double")
+        .alias("v"),
+    )
+    return terms.select(
+        F.col("o0").alias("observed_g0"),
+        (F.round(F.col("e0"), 4) + F.lit(0.0)).alias("expected_g0"),
+        (
+            F.round(
+                (F.col("o0") - F.col("e0")) / F.sqrt(F.col("v")), 6
+            )
+            + F.lit(0.0)
+        ).alias("logrank_z"),
+        (
+            F.round(
+                (F.col("o0") - F.col("e0"))
+                * (F.col("o0") - F.col("e0"))
+                / F.col("v"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("logrank_chi2"),
+    )

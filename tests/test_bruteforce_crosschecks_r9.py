@@ -1878,3 +1878,172 @@ def test_ltv_cohort_q_matches_bruteforce(spark):
             assert r["cum_ltv_per_user"] == pytest.approx(
                 float(cum) / sizes[c], abs=2e-4
             )
+
+
+def test_xi_correlation_q_matches_bruteforce(spark):
+    """Chatterjee's xi replayed with plain sorts."""
+    agg = defaultdict(lambda: [None, None])
+    for uid, _, _, v, t in _events():
+        if t == "click":
+            agg[uid][0] = (agg[uid][0] or Decimal(0)) + Decimal(
+                str(v)
+            ).quantize(Decimal("0.000001"))
+        elif t == "purchase":
+            agg[uid][1] = (agg[uid][1] or Decimal(0)) + Decimal(
+                str(v)
+            ).quantize(Decimal("0.000001"))
+    pts = [
+        (uid, x, y) for uid, (x, y) in agg.items()
+        if x is not None and y is not None
+    ]
+    n = len(pts)
+    by_y = sorted(pts, key=lambda p: (p[2], p[0]))
+    rank = {uid: i + 1 for i, (uid, _, _) in enumerate(by_y)}
+    by_x = sorted(pts, key=lambda p: (p[1], p[0]))
+    rs = [rank[uid] for uid, _, _ in by_x]
+    xi = 1 - 3 * sum(
+        abs(b - a) for a, b in zip(rs, rs[1:])
+    ) / (n * n - 1)
+    row = REGISTRY["xi_correlation_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_users"] == n
+    assert row["xi"] == pytest.approx(xi, abs=2e-6)
+
+
+def test_partial_corr_q_matches_bruteforce(spark):
+    """Partial correlation replayed with numpy."""
+    import numpy as np
+
+    agg = defaultdict(lambda: [0.0, 0.0, 0.0])
+    for uid, _, _, v, t in _events():
+        i = {"click": 0, "purchase": 1, "view": 2}.get(t)
+        if i is not None:
+            agg[uid][i] += v
+    m = np.array(list(agg.values()))
+    r = np.corrcoef(m.T)
+    rxy, rxz, ryz = r[0, 1], r[0, 2], r[1, 2]
+    part = (rxy - rxz * ryz) / math.sqrt(
+        (1 - rxz**2) * (1 - ryz**2)
+    )
+    row = REGISTRY["partial_corr_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_users"] == len(agg)
+    assert row["r_xy"] == pytest.approx(rxy, abs=2e-5)
+    assert row["r_xz"] == pytest.approx(rxz, abs=2e-5)
+    assert row["r_yz"] == pytest.approx(ryz, abs=2e-5)
+    assert row["partial_r"] == pytest.approx(part, abs=2e-5)
+
+
+def test_multi_touch_attribution_q_matches_bruteforce(spark):
+    """U-shaped credits replayed with per-purchase loops."""
+    import datetime
+
+    by_user = defaultdict(list)
+    for uid, ts, eid, _, t in _events():
+        by_user[uid].append((ts, eid, t))
+    credit = defaultdict(float)
+    touches = Counter()
+    for uid, evs in by_user.items():
+        evs.sort()
+        for pts, pid, pt in evs:
+            if pt != "purchase":
+                continue
+            window = [
+                (ts, eid, t)
+                for ts, eid, t in evs
+                if t != "purchase"
+                and ts < pts
+                and ts >= pts - datetime.timedelta(days=3)
+            ]
+            m = len(window)
+            for k, (_, _, ch) in enumerate(sorted(window), start=1):
+                touches[ch] += 1
+                if m == 1:
+                    credit[ch] += 1.0
+                elif m == 2:
+                    credit[ch] += 0.5
+                elif k in (1, m):
+                    credit[ch] += 0.4
+                else:
+                    credit[ch] += 0.2 / (m - 2)
+    got = {
+        r["channel"]: r
+        for r in REGISTRY["multi_touch_attribution_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert set(got) == set(touches)
+    for ch in touches:
+        assert got[ch]["n_touches"] == touches[ch]
+        assert got[ch]["total_credit"] == pytest.approx(
+            credit[ch], abs=2e-3
+        )
+
+
+def test_hodges_lehmann_q_matches_bruteforce(spark):
+    """Pseudo-median replayed with an explicit Walsh list."""
+    revs = _daily("purchase")
+    mu = _q6(float(sum(revs)) / len(revs))
+    v = [r - mu for r in revs]
+    walsh = sorted(
+        (a + b) / 2 for i, a in enumerate(v) for b in v[i:]
+    )
+    n = len(walsh)
+    if n % 2 == 1:
+        hl = float(walsh[n // 2])
+    else:
+        hl = float(walsh[n // 2 - 1] + walsh[n // 2]) / 2
+    row = REGISTRY["hodges_lehmann_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_walsh"] == n
+    assert row["hodges_lehmann"] == pytest.approx(hl, abs=2e-4)
+
+
+def test_log_rank_test_q_matches_bruteforce(spark):
+    """Log-rank O/E/V replayed with per-time loops."""
+    first_signup = {}
+    last_any = {}
+    first_purchase = {}
+    for uid, ts, _, _, t in _events():
+        if t == "signup":
+            if uid not in first_signup or ts < first_signup[uid]:
+                first_signup[uid] = ts
+        if uid not in last_any or ts > last_any[uid]:
+            last_any[uid] = ts
+    for uid, ts, _, _, t in _events():
+        if (
+            t == "purchase"
+            and uid in first_signup
+            and ts >= first_signup[uid]
+        ):
+            if uid not in first_purchase or ts < first_purchase[uid]:
+                first_purchase[uid] = ts
+    subj = []
+    for uid, t0 in first_signup.items():
+        if uid in first_purchase:
+            dur = (first_purchase[uid].date() - t0.date()).days
+            obs = 1
+        else:
+            dur = (last_any[uid].date() - t0.date()).days
+            obs = 0
+        subj.append((uid % 2, dur, obs))
+    times = sorted({d for _, d, o in subj if o == 1})
+    o0 = e0 = v = 0.0
+    for t in times:
+        at_risk = [(g, d, o) for g, d, o in subj if d >= t]
+        n = len(at_risk)
+        n0 = sum(1 for g, _, _ in at_risk if g == 0)
+        d = sum(1 for _, dd, o in at_risk if dd == t and o == 1)
+        d0 = sum(
+            1 for g, dd, o in at_risk if g == 0 and dd == t and o == 1
+        )
+        o0 += d0
+        e0 += d * n0 / n
+        if n > 1:
+            v += d * (n0 / n) * (1 - n0 / n) * (n - d) / (n - 1)
+    row = REGISTRY["log_rank_test_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["observed_g0"] == o0
+    assert row["expected_g0"] == pytest.approx(e0, abs=2e-4)
+    assert row["logrank_z"] == pytest.approx(
+        (o0 - e0) / math.sqrt(v), abs=2e-5
+    )
+    assert row["logrank_chi2"] == pytest.approx(
+        (o0 - e0) ** 2 / v, abs=2e-5
+    )
