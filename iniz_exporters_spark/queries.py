@@ -22202,3 +22202,634 @@ def log_rank_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("logrank_chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch — round-8 session 5 (continued): Greenwood confidence bands for
+# the KM curve, seasonal-ESD anomaly days, leave-one-out kNN label
+# accuracy, split-conformal prediction intervals, and a breadth query
+# exercising Spark's higher-order array functions against DuckDB's
+# list_* twins.
+# ---------------------------------------------------------------------------
+
+
+# Kaplan-Meier curve with Greenwood 95% confidence band:
+# Var[ln S(t)] ~= sum_{s<=t} d/(n(n-d)), CI = S(t)^exp(+-1.96 se /
+# ln S(t))... the simpler plain Greenwood band S +- 1.96 S sqrt(V) is
+# used here (clamped to [0,1]) — the textbook form. Greenwood terms
+# are DECIMAL-quantized before their running sum; the frame is the
+# same duration-distinct table as km_survival_q.
+@register(
+    "km_greenwood_q",
+    """
+    WITH su AS (
+        SELECT user_id, MIN(ts) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    la AS (SELECT user_id, MAX(ts) AS tl FROM events GROUP BY user_id),
+    pu AS (
+        SELECT e.user_id, MIN(e.ts) AS tp
+        FROM events e JOIN su USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= su.t0
+        GROUP BY e.user_id
+    ),
+    b AS (
+        SELECT su.user_id,
+               CASE WHEN tp IS NOT NULL
+                    THEN date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+                    ELSE date_diff('day', CAST(t0 AS DATE), CAST(tl AS DATE))
+               END AS t,
+               CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS obs
+        FROM su JOIN la USING (user_id)
+        LEFT JOIN pu ON pu.user_id = su.user_id
+    ),
+    g AS (SELECT t, SUM(obs) AS d, COUNT(*) AS m FROM b GROUP BY t),
+    tot AS (SELECT COUNT(*) AS nn FROM b),
+    k AS (
+        SELECT t, d, nn - (SUM(m) OVER (ORDER BY t) - m) AS n_risk
+        FROM g CROSS JOIN tot
+    ),
+    c AS (
+        SELECT t, d, n_risk,
+               SUM(CASE WHEN n_risk > d
+                        THEN LN(CAST(n_risk - d AS DOUBLE)
+                                / CAST(n_risk AS DOUBLE))
+                   END) OVER (ORDER BY t) AS sl,
+               SUM(CASE WHEN n_risk > d THEN CAST(
+                        CAST(d AS DOUBLE) / (n_risk
+                            * CAST(n_risk - d AS BIGINT))
+                        AS DECIMAL(28,12)) END)
+                   OVER (ORDER BY t) AS gv
+        FROM k
+    )
+    SELECT CAST(t AS BIGINT) AS duration_days,
+           CAST(ROUND(EXP(sl), 6) AS DOUBLE) AS survival,
+           greatest(0.0, CAST(ROUND(EXP(sl) - 1.96 * EXP(sl)
+               * sqrt(CAST(gv AS DOUBLE)), 6) AS DOUBLE)) AS ci_lo,
+           least(1.0, CAST(ROUND(EXP(sl) + 1.96 * EXP(sl)
+               * sqrt(CAST(gv AS DOUBLE)), 6) AS DOUBLE)) AS ci_hi
+    FROM c WHERE d > 0 AND n_risk > d
+    """,
+)
+def km_greenwood_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """km_survival_q's curve with its sampling uncertainty — the band
+    a dashboard needs before calling two cohort curves 'different'
+    (log_rank_test_q answers that formally)."""
+    ev = Catalog(spark, sf_dir).events
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    la = ev.groupBy("user_id").agg(F.max("ts").alias("tl"))
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    b = (
+        su.join(la, "user_id")
+        .join(pu, "user_id", "left")
+        .select(
+            F.when(
+                F.col("tp").isNotNull(),
+                F.datediff(F.to_date("tp"), F.to_date("t0")),
+            )
+            .otherwise(F.datediff(F.to_date("tl"), F.to_date("t0")))
+            .alias("t"),
+            F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("obs"),
+        )
+    )
+    g = b.groupBy("t").agg(
+        F.sum("obs").alias("d"), F.count(F.lit(1)).alias("m")
+    )
+    tot = b.agg(F.count(F.lit(1)).alias("nn"))
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    k = g.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (F.col("nn") - (F.sum("m").over(wcum) - F.col("m"))).alias(
+            "n_risk"
+        ),
+    )
+    surv_term = F.when(
+        F.col("n_risk") > F.col("d"),
+        F.log(
+            (F.col("n_risk") - F.col("d")).cast("double")
+            / F.col("n_risk").cast("double")
+        ),
+    )
+    green_term = F.when(
+        F.col("n_risk") > F.col("d"),
+        (
+            F.col("d").cast("double")
+            / (
+                F.col("n_risk")
+                * (F.col("n_risk") - F.col("d")).cast("long")
+            )
+        ).cast("decimal(28,12)"),
+    )
+    c = k.select(
+        "t",
+        "d",
+        "n_risk",
+        F.sum(surv_term).over(wcum).alias("sl"),
+        F.sum(green_term).over(wcum).alias("gv"),
+    )
+    s = F.exp(F.col("sl"))
+    half = 1.96 * s * F.sqrt(F.col("gv").cast("double"))
+    return c.filter(
+        (F.col("d") > 0) & (F.col("n_risk") > F.col("d"))
+    ).select(
+        F.col("t").cast("long").alias("duration_days"),
+        F.round(s, 6).alias("survival"),
+        F.greatest(F.lit(0.0), F.round(s - half, 6)).alias("ci_lo"),
+        F.least(F.lit(1.0), F.round(s + half, 6)).alias("ci_hi"),
+    )
+
+
+# Seasonal-ESD-lite anomaly days: remove the stl_decompose_q trend and
+# weekly seasonal from the daily view-value series, then flag days
+# whose |residual| exceeds 3 x MAD (scaled by 1.4826). The residual
+# frame is calendar-bounded; MAD uses an exact rank over it. Reports
+# only flagged days (metadata-scale output).
+@register(
+    "seasonal_esd_q",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+                   AS dow,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*) AS DECIMAL(18,6)) AS m
+        FROM events WHERE event_type = 'view'
+        GROUP BY CAST(ts AS DATE),
+                 date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+    ),
+    trended AS (
+        SELECT day, dow, m,
+               CAST(CAST(SUM(m) OVER (ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                    AS DOUBLE)
+                    / COUNT(*) OVER (ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                    AS DECIMAL(18,6)) AS trend
+        FROM daily
+    ),
+    seasoned AS (
+        SELECT day, m, trend,
+               CAST(CAST(SUM(m - trend) OVER (PARTITION BY dow)
+                    AS DOUBLE) / COUNT(*) OVER (PARTITION BY dow)
+                    AS DECIMAL(18,6)) AS seasonal
+        FROM trended
+    ),
+    resid AS (
+        SELECT day, CAST(m - trend - seasonal AS DECIMAL(18,6)) AS r
+        FROM seasoned
+    ),
+    med AS (
+        SELECT r AS med_r FROM (
+            SELECT r, ROW_NUMBER() OVER (ORDER BY r, day) AS k,
+                   COUNT(*) OVER () AS n
+            FROM resid
+        ) WHERE k = (n + 1) // 2
+    ),
+    adev AS (
+        SELECT day, r,
+               abs(r - (SELECT med_r FROM med)) AS ad
+        FROM resid
+    ),
+    mad AS (
+        SELECT ad AS mad_r FROM (
+            SELECT ad, ROW_NUMBER() OVER (ORDER BY ad, day) AS k,
+                   COUNT(*) OVER () AS n
+            FROM adev
+        ) WHERE k = (n + 1) // 2
+    )
+    SELECT day,
+           CAST(ROUND(CAST(r AS DOUBLE), 4) AS DOUBLE) + 0.0
+               AS residual,
+           CAST(ROUND(1.4826 * CAST((SELECT mad_r FROM mad) AS DOUBLE),
+               4) AS DOUBLE) + 0.0 AS sigma_robust,
+           CAST(ROUND(CAST(r AS DOUBLE)
+               / (1.4826 * CAST((SELECT mad_r FROM mad) AS DOUBLE)), 4)
+               AS DOUBLE) + 0.0 AS esd_score
+    FROM adev
+    WHERE abs(CAST(r AS DOUBLE))
+        > 3 * 1.4826 * CAST((SELECT mad_r FROM mad) AS DOUBLE)
+    """,
+)
+def seasonal_esd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which days are anomalous AFTER the weekly rhythm is removed?
+    Twitter-style seasonal-ESD with a single robust-sigma pass; raw
+    z-scores would flag every weekend (mad_outliers_q's failure mode
+    on seasonal series)."""
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "view"
+    )
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"),
+        (F.datediff(F.to_date("ts"), F.lit("2024-01-01")) % 7).alias(
+            "dow"
+        ),
+    ).agg(
+        (
+            F.sum(_dec(F.col("value"), 18, 6)).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("decimal(18,6)")
+        .alias("m")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.withColumn(
+        "trend",
+        (
+            F.sum("m").over(w7).cast("double")
+            / F.count(F.lit(1)).over(w7)
+        ).cast("decimal(18,6)"),
+    )
+    wdow = Window.partitionBy("dow")
+    resid = trended.withColumn(
+        "seasonal",
+        (
+            F.sum(F.col("m") - F.col("trend")).over(wdow).cast("double")
+            / F.count(F.lit(1)).over(wdow)
+        ).cast("decimal(18,6)"),
+    ).select(
+        "day",
+        (F.col("m") - F.col("trend") - F.col("seasonal"))
+        .cast("decimal(18,6)")
+        .alias("r"),
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+
+    def lower_median(df, col, out):
+        wk = Window.orderBy(col, "day")
+        return (
+            df.select(
+                F.col(col),
+                F.row_number().over(wk).alias("k"),
+                F.count(F.lit(1)).over(wt).alias("n"),
+            )
+            .filter(F.col("k") == F.expr("(n + 1) div 2"))
+            .select(F.col(col).alias(out))
+        )
+
+    med = lower_median(resid, "r", "med_r")
+    adev = resid.crossJoin(F.broadcast(med)).select(
+        "day", "r", F.abs(F.col("r") - F.col("med_r")).alias("ad")
+    )
+    mad = lower_median(adev, "ad", "mad_r")
+    sig = 1.4826 * F.col("mad_r").cast("double")
+    return (
+        adev.crossJoin(F.broadcast(mad))
+        .filter(F.abs(F.col("r").cast("double")) > 3 * sig)
+        .select(
+            "day",
+            (F.round(F.col("r").cast("double"), 4) + F.lit(0.0)).alias(
+                "residual"
+            ),
+            (F.round(sig, 4) + F.lit(0.0)).alias("sigma_robust"),
+            (
+                F.round(F.col("r").cast("double") / sig, 4) + F.lit(0.0)
+            ).alias("esd_score"),
+        )
+    )
+
+
+# Leave-one-out 5-NN label accuracy over the embedding corpus: predict
+# each vector's label by majority vote of its five nearest neighbors
+# (ties broken toward the SMALLEST label id — spelled identically in
+# both engines), report per-label and overall accuracy. Same bounded
+# pair stage as hubness_q (explicit pre-explosion repartition); at
+# corpus scale the identical vote plan runs over the bucketed ANN's
+# candidate pairs instead of the full cross join.
+@register(
+    "knn_loo_accuracy_q",
+    """
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS qid, q.label AS true_label,
+               c.label AS cand_label,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_reduce(
+                       list_transform(range(1, len(c.v)+1),
+                           i -> (c.v[i] - q.v[i]) * (c.v[i] - q.v[i])),
+                       (x, y) -> x + y), 6), c.vec_id) AS rn
+        FROM e q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    votes AS (
+        SELECT qid, true_label, cand_label, COUNT(*) AS nv
+        FROM scored WHERE rn <= 5
+        GROUP BY qid, true_label, cand_label
+    ),
+    pred AS (
+        SELECT qid, true_label, cand_label AS pred_label,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY nv DESC, cand_label) AS pr
+        FROM votes
+    )
+    SELECT true_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN pred_label = true_label
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(ROUND(CAST(SUM(CASE WHEN pred_label = true_label
+                THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+               AS DOUBLE) AS accuracy
+    FROM pred WHERE pr = 1
+    GROUP BY true_label
+    """,
+)
+def knn_loo_accuracy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the embedding space label-coherent? LOO 5-NN accuracy per
+    class — the intrinsic-quality read that pairs with hubness_q
+    (hubs are exactly the points that poison these votes)."""
+    e = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = e.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        6,
+    )
+    e = e.repartition(
+        spark.sparkContext.defaultParallelism, F.col("vec_id")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "true_label",
+            F.col("label").alias("cand_label"),
+            F.col("vec_id").alias("cid"),
+            d2.alias("d2"),
+        )
+    )
+    wnn = Window.partitionBy("qid").orderBy("d2", "cid")
+    votes = (
+        scored.withColumn("rn", F.row_number().over(wnn))
+        .filter(F.col("rn") <= 5)
+        .groupBy("qid", "true_label", "cand_label")
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.col("nv").desc(), F.col("cand_label")
+    )
+    pred = votes.withColumn("pr", F.row_number().over(wv)).filter(
+        F.col("pr") == 1
+    )
+    hit = F.when(F.col("cand_label") == F.col("true_label"), 1).otherwise(
+        0
+    )
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(hit).cast("long").alias("n_correct"),
+        F.round(
+            F.sum(hit).cast("double") / F.count(F.lit(1)), 6
+        ).alias("accuracy"),
+    )
+
+
+# Split-conformal prediction interval for per-user purchase totals:
+# proper training/calibration/test split by content-keyed hash of
+# user_id (40/30/30); the point model is the TRAIN mean, the
+# nonconformity score is |y - mean|, q_hat is the ceil((n_cal+1)
+# (1-alpha))-th smallest calibration score (alpha = 0.1), and the
+# guarantee is checked as empirical coverage on TEST. Distribution-
+# free — the marginal coverage bound holds whatever the spend
+# distribution is. All ranks run on the CALIBRATION subset.
+@register(
+    "conformal_interval_q",
+    f"""
+    WITH u AS (
+        SELECT user_id,
+               {_SQL_POLY.format(s="'conf:' || user_id::VARCHAR")} % 10
+                   AS fold,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    train AS (
+        SELECT CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*) AS mu
+        FROM u WHERE fold < 4
+    ),
+    cal AS (
+        SELECT abs(y - (SELECT mu FROM train)) AS score,
+               ROW_NUMBER() OVER (ORDER BY
+                   abs(y - (SELECT mu FROM train)), user_id) AS k,
+               COUNT(*) OVER () AS n
+        FROM u WHERE fold >= 4 AND fold < 7
+    ),
+    qhat AS (
+        -- finite-sample clamp: when ceil((n+1)(1-alpha)) > n the exact
+        -- conformal interval is infinite; use the max score instead so
+        -- tiny calibration sets stay well-defined (and deterministic)
+        SELECT score AS q FROM cal
+        WHERE k = CAST(least(n, ceil(0.9 * (n + 1))) AS BIGINT)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM u WHERE fold < 4) AS BIGINT)
+               AS n_train,
+           CAST(MAX(CASE WHEN TRUE THEN (SELECT MAX(n) FROM cal) END)
+               AS BIGINT) AS n_cal,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(ROUND((SELECT mu FROM train), 4) AS DOUBLE) + 0.0
+               AS point_pred,
+           CAST(ROUND((SELECT q FROM qhat), 4) AS DOUBLE) + 0.0
+               AS q_hat,
+           CAST(ROUND(CAST(SUM(CASE WHEN
+                abs(y - (SELECT mu FROM train)) <= (SELECT q FROM qhat)
+                THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+               AS DOUBLE) AS test_coverage
+    FROM u WHERE fold >= 7
+    """,
+)
+def conformal_interval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free +-q_hat interval around the train-mean
+    predictor, with its promised >= 90% coverage verified on held-out
+    users. The hash-fold split replays exactly on any engine."""
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    u = e.groupBy("user_id").agg(
+        F.sum(_dec(F.col("value"), 18, 6)).cast("double").alias("y")
+    ).withColumn(
+        "fold",
+        poly_hash(
+            F.concat(F.lit("conf:"), F.col("user_id").cast("string"))
+        )
+        % 10,
+    )
+    train = u.filter(F.col("fold") < 4).agg(
+        (
+            _dsum(F.col("y")).cast("double") / F.count(F.lit(1))
+        ).alias("mu"),
+        F.count(F.lit(1)).alias("n_train"),
+    )
+    cal = u.filter((F.col("fold") >= 4) & (F.col("fold") < 7)).crossJoin(
+        F.broadcast(train)
+    )
+    score = F.abs(F.col("y") - F.col("mu"))
+    wk = Window.orderBy(score.asc(), F.col("user_id"))
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = cal.select(
+        score.alias("score"),
+        F.row_number().over(wk).alias("k"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+        "mu",
+        "n_train",
+    )
+    qhat = ranked.filter(
+        F.col("k")
+        == F.least(
+            F.col("n"), F.ceil(0.9 * (F.col("n") + 1))
+        ).cast("long")
+    ).select(
+        F.col("score").alias("q"),
+        F.col("n").alias("n_cal"),
+        "mu",
+        "n_train",
+    )
+    test = u.filter(F.col("fold") >= 7).crossJoin(F.broadcast(qhat))
+    covered = F.when(
+        F.abs(F.col("y") - F.col("mu")) <= F.col("q"), 1
+    ).otherwise(0)
+    return test.agg(
+        F.max("n_train").cast("long").alias("n_train"),
+        F.max("n_cal").cast("long").alias("n_cal"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        (F.round(F.max("mu"), 4) + F.lit(0.0)).alias("point_pred"),
+        (F.round(F.max("q"), 4) + F.lit(0.0)).alias("q_hat"),
+        F.round(
+            F.sum(covered).cast("double") / F.count(F.lit(1)), 6
+        ).alias("test_coverage"),
+    )
+
+
+# Higher-order array-function breadth: per order, build the sorted
+# array of its line-item quantities, then exercise transform / filter
+# / exists / forall / reduce (aggregate) / slice / array_distinct /
+# zip_with against DuckDB's list_* twins. Output one row per order
+# bucket with every derived scalar, so a wrong corner in ANY of the
+# eight functions diverges the hash. Array construction is one
+# grouped collect_list (bounded by the 7-line order cap); everything
+# after is per-row expression work.
+@register(
+    "array_hof_breadth",
+    """
+    WITH arr AS (
+        SELECT l_orderkey,
+               list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    hof AS (
+        SELECT l_orderkey % 97 AS bucket,
+               len(qs) AS n_items,
+               list_sum(list_transform(qs, x -> x * x)) AS sum_sq,
+               len(list_filter(qs, x -> x > 25)) AS n_large,
+               CASE WHEN len(list_filter(qs, x -> x % 2 = 0)) > 0
+                    THEN 1 ELSE 0 END AS has_even,
+               CASE WHEN len(list_filter(qs, x -> x > 0)) = len(qs)
+                    THEN 1 ELSE 0 END AS all_positive,
+               list_reduce(qs, (a, b) -> (a * 31 + b) % 1000003)
+                   AS fold_hash,
+               list_sum(qs[1:2]) AS head2_sum,
+               len(list_distinct(qs)) AS n_distinct,
+               list_sum(list_transform(range(1, len(qs) + 1),
+                   i -> qs[i] * i)) AS weighted_sum
+        FROM arr
+    )
+    SELECT bucket,
+           CAST(SUM(n_items) AS BIGINT) AS items,
+           CAST(SUM(sum_sq) AS BIGINT) AS sum_sq,
+           CAST(SUM(n_large) AS BIGINT) AS n_large,
+           CAST(SUM(has_even) AS BIGINT) AS n_has_even,
+           CAST(SUM(all_positive) AS BIGINT) AS n_all_positive,
+           CAST(SUM(fold_hash) AS BIGINT) AS fold_hash_sum,
+           CAST(SUM(head2_sum) AS BIGINT) AS head2_sum,
+           CAST(SUM(n_distinct) AS BIGINT) AS n_distinct,
+           CAST(SUM(weighted_sum) AS BIGINT) AS weighted_sum
+    FROM hof GROUP BY bucket
+    """,
+)
+def array_hof_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's lambda-expression surface (transform/filter/exists/
+    forall/aggregate/slice/array_distinct + an indexed zip via
+    transform-with-index) pinned value-for-value against DuckDB's
+    list_* functions. Complements array_set_ops (set algebra) and
+    map_funcs (map surface)."""
+    li = Catalog(spark, sf_dir).lineitem
+    arr = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.col("l_quantity").cast("long"))
+        ).alias("qs")
+    )
+    qs = F.col("qs")
+    hof = arr.select(
+        (F.col("l_orderkey") % 97).alias("bucket"),
+        F.size(qs).alias("n_items"),
+        F.aggregate(
+            F.transform(qs, lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("sum_sq"),
+        F.size(F.filter(qs, lambda x: x > 25)).alias("n_large"),
+        F.when(F.exists(qs, lambda x: x % 2 == 0), 1)
+        .otherwise(0)
+        .alias("has_even"),
+        F.when(F.forall(qs, lambda x: x > 0), 1)
+        .otherwise(0)
+        .alias("all_positive"),
+        F.aggregate(
+            F.slice(qs, 2, 1000000),
+            F.element_at(qs, 1),
+            lambda a, x: (a * 31 + x) % 1000003,
+        ).alias("fold_hash"),
+        F.aggregate(
+            F.slice(qs, 1, 2),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("head2_sum"),
+        F.size(F.array_distinct(qs)).alias("n_distinct"),
+        F.aggregate(
+            F.zip_with(
+                qs,
+                F.sequence(F.lit(1), F.size(qs)),
+                lambda x, i: x * i.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("weighted_sum"),
+    )
+    return hof.groupBy("bucket").agg(
+        F.sum("n_items").cast("long").alias("items"),
+        F.sum("sum_sq").cast("long").alias("sum_sq"),
+        F.sum("n_large").cast("long").alias("n_large"),
+        F.sum("has_even").cast("long").alias("n_has_even"),
+        F.sum("all_positive").cast("long").alias("n_all_positive"),
+        F.sum("fold_hash").cast("long").alias("fold_hash_sum"),
+        F.sum("head2_sum").cast("long").alias("head2_sum"),
+        F.sum("n_distinct").cast("long").alias("n_distinct"),
+        F.sum("weighted_sum").cast("long").alias("weighted_sum"),
+    )

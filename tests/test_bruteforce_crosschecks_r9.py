@@ -2047,3 +2047,209 @@ def test_log_rank_test_q_matches_bruteforce(spark):
     assert row["logrank_chi2"] == pytest.approx(
         (o0 - e0) ** 2 / v, abs=2e-5
     )
+
+
+def _km_table():
+    """(duration, observed) per signup user, mirroring km_survival_q."""
+    first_signup, last_any, first_purchase = {}, {}, {}
+    for uid, ts, _, _, t in _events():
+        if t == "signup" and (
+            uid not in first_signup or ts < first_signup[uid]
+        ):
+            first_signup[uid] = ts
+        if uid not in last_any or ts > last_any[uid]:
+            last_any[uid] = ts
+    for uid, ts, _, _, t in _events():
+        if (
+            t == "purchase"
+            and uid in first_signup
+            and ts >= first_signup[uid]
+            and (uid not in first_purchase or ts < first_purchase[uid])
+        ):
+            first_purchase[uid] = ts
+    out = []
+    for uid, t0 in first_signup.items():
+        if uid in first_purchase:
+            out.append(
+                ((first_purchase[uid].date() - t0.date()).days, 1)
+            )
+        else:
+            out.append(((last_any[uid].date() - t0.date()).days, 0))
+    return out
+
+
+def test_km_greenwood_q_matches_bruteforce(spark):
+    """KM + Greenwood band replayed with a sequential loop."""
+    subj = _km_table()
+    times = sorted({d for d, o in subj if o == 1})
+    s = 1.0
+    gv = 0.0
+    expect = {}
+    for t in times:
+        n = sum(1 for d, _ in subj if d >= t)
+        d = sum(1 for dd, o in subj if dd == t and o == 1)
+        if n > d:
+            s *= (n - d) / n
+            gv += d / (n * (n - d))
+            half = 1.96 * s * math.sqrt(gv)
+            expect[t] = (s, max(0.0, s - half), min(1.0, s + half))
+    got = {
+        r["duration_days"]: r
+        for r in REGISTRY["km_greenwood_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(expect)
+    for t, (sv, lo, hi) in expect.items():
+        r = got[t]
+        assert r["survival"] == pytest.approx(sv, abs=2e-6)
+        assert r["ci_lo"] == pytest.approx(lo, abs=2e-6)
+        assert r["ci_hi"] == pytest.approx(hi, abs=2e-6)
+
+
+def test_seasonal_esd_q_matches_bruteforce(spark):
+    """Seasonal-ESD flags replayed with the dict STL + MAD."""
+    import datetime
+
+    agg = defaultdict(lambda: [Decimal(0), 0])
+    for _, ts, _, v, t in _events():
+        if t == "view":
+            d = agg[ts.date()]
+            d[0] += Decimal(str(v)).quantize(Decimal("0.000001"))
+            d[1] += 1
+    days = sorted(agg)
+    m = {d: _q6(float(s) / c) for d, (s, c) in agg.items()}
+    trend = {}
+    for i, day in enumerate(days):
+        win = [m[d] for d in days[max(0, i - 3) : i + 4]]
+        trend[day] = _q6(float(sum(win)) / len(win))
+    base = datetime.date(2024, 1, 1)
+    sg = defaultdict(list)
+    for d in days:
+        sg[(d - base).days % 7].append(m[d] - trend[d])
+    seasonal = {k: _q6(float(sum(v)) / len(v)) for k, v in sg.items()}
+    resid = {
+        d: m[d] - trend[d] - seasonal[(d - base).days % 7] for d in days
+    }
+
+    def lower_median(vals):
+        s = sorted(vals)
+        return s[(len(s) + 1) // 2 - 1]
+
+    med = lower_median(resid.values())
+    mad = lower_median([abs(r - med) for r in resid.values()])
+    sig = 1.4826 * float(mad)
+    expect = {
+        d: float(r) for d, r in resid.items() if abs(float(r)) > 3 * sig
+    }
+    got = {
+        r["day"]: r
+        for r in REGISTRY["seasonal_esd_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(expect)
+    for d, r0 in expect.items():
+        assert got[d]["residual"] == pytest.approx(r0, abs=2e-4)
+        assert got[d]["esd_score"] == pytest.approx(r0 / sig, abs=2e-3)
+
+
+def test_knn_loo_accuracy_q_matches_bruteforce(spark):
+    """LOO 5-NN vote replayed with numpy distances."""
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, label, embedding FROM "
+        f"read_parquet('{SF_SMALL}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    labels = {r[0]: r[1] for r in rows}
+    mat = np.array([r[2] for r in rows], dtype=np.float64)
+    n = len(ids)
+    per_label = defaultdict(lambda: [0, 0])
+    for qi in range(n):
+        d2 = np.round(((mat - mat[qi]) ** 2).sum(axis=1), 6)
+        nn5 = sorted(
+            (float(d2[ci]), ids[ci]) for ci in range(n) if ci != qi
+        )[:5]
+        votes = Counter(labels[cid] for _, cid in nn5)
+        best = max(votes.values())
+        pred = min(l for l, v in votes.items() if v == best)
+        t = labels[ids[qi]]
+        per_label[t][0] += 1
+        per_label[t][1] += 1 if pred == t else 0
+    got = {
+        r["label"]: r
+        for r in REGISTRY["knn_loo_accuracy_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert set(got) == set(per_label)
+    for lab, (nv, nc) in per_label.items():
+        assert got[lab]["n_vectors"] == nv
+        assert got[lab]["n_correct"] == nc
+        assert got[lab]["accuracy"] == pytest.approx(nc / nv, abs=2e-6)
+
+
+def test_conformal_interval_q_matches_bruteforce(spark):
+    """Split-conformal replayed with the same hash folds."""
+    tot = _purchase_totals()
+    folds = {u: _poly(f"conf:{u}") % 10 for u in tot}
+    train = [tot[u] for u in tot if folds[u] < 4]
+    cal = sorted(
+        (abs(tot[u] - sum(train) / len(train)), u)
+        for u in tot
+        if 4 <= folds[u] < 7
+    )
+    mu = sum(train) / len(train)
+    n_cal = len(cal)
+    k = min(n_cal, math.ceil(0.9 * (n_cal + 1)))
+    q = cal[k - 1][0]
+    test = [tot[u] for u in tot if folds[u] >= 7]
+    cov = sum(1 for y in test if abs(y - mu) <= q) / len(test)
+    row = (
+        REGISTRY["conformal_interval_q"].fn(spark, SF_SMALL).collect()[0]
+    )
+    assert row["n_train"] == len(train)
+    assert row["n_cal"] == n_cal and row["n_test"] == len(test)
+    assert row["point_pred"] == pytest.approx(mu, abs=2e-4)
+    assert row["q_hat"] == pytest.approx(q, abs=2e-4)
+    assert row["test_coverage"] == pytest.approx(cov, abs=2e-6)
+
+
+def test_array_hof_breadth_matches_bruteforce(spark):
+    """Every higher-order scalar replayed with python list ops."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT l_orderkey, CAST(l_quantity AS BIGINT) FROM "
+        f"read_parquet('{SF_SMALL}/lineitem.parquet')"
+    ).fetchall()
+    orders = defaultdict(list)
+    for ok, q in rows:
+        orders[ok].append(q)
+    agg = defaultdict(lambda: [0] * 9)
+    for ok, qs in orders.items():
+        qs = sorted(qs)
+        b = ok % 97
+        a = agg[b]
+        a[0] += len(qs)
+        a[1] += sum(x * x for x in qs)
+        a[2] += sum(1 for x in qs if x > 25)
+        a[3] += 1 if any(x % 2 == 0 for x in qs) else 0
+        a[4] += 1 if all(x > 0 for x in qs) else 0
+        fh = qs[0]
+        for x in qs[1:]:
+            fh = (fh * 31 + x) % 1000003
+        a[5] += fh
+        a[6] += sum(qs[:2])
+        a[7] += len(set(qs))
+        a[8] += sum(x * (i + 1) for i, x in enumerate(qs))
+    got = {
+        r["bucket"]: r
+        for r in REGISTRY["array_hof_breadth"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(agg)
+    cols = [
+        "items", "sum_sq", "n_large", "n_has_even", "n_all_positive",
+        "fold_hash_sum", "head2_sum", "n_distinct", "weighted_sum",
+    ]
+    for b, vals in agg.items():
+        for c, v in zip(cols, vals):
+            assert got[b][c] == v, (b, c)
