@@ -22833,3 +22833,492 @@ def array_hof_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_distinct").cast("long").alias("n_distinct"),
         F.sum("weighted_sum").cast("long").alias("weighted_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch — round-8 session 5 (continued): grid-DBSCAN re-expressed as
+# relational algebra, difference-in-differences, per-step funnel
+# significance, an optimizer-style join-cardinality audit, and
+# cross-source quantile normalization on the distributed rank.
+# ---------------------------------------------------------------------------
+
+
+# Grid-DBSCAN over the first two embedding dimensions: a cell is CORE
+# when its 3x3 neighborhood holds >= 8 points (grid_density_q's
+# criterion); clusters are connected components of the adjacency graph
+# over core cells (8-neighborhood), reported as (cluster, n_cells,
+# n_points). The expensive phase is cell counting (one corpus
+# aggregation); the graph lives on OCCUPIED CELLS (bounded by the
+# grid, not the corpus) via plans/graph star contraction. The oracle
+# walks the same closure with a recursive CTE over the cell graph.
+@register(
+    "grid_dbscan_q",
+    """
+    WITH RECURSIVE pts AS (
+        SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.1) AS BIGINT)
+                   AS cx,
+               CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.1) AS BIGINT)
+                   AS cy
+        FROM embeddings
+    ),
+    cells AS (SELECT cx, cy, COUNT(*) AS c FROM pts GROUP BY cx, cy),
+    nbr AS (
+        SELECT cells.cx + dx.d AS cx, cells.cy + dy.d AS cy,
+               SUM(c) AS nbr_count
+        FROM cells
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+        GROUP BY 1, 2
+    ),
+    core AS (
+        SELECT cells.cx, cells.cy, cells.c,
+               (cells.cx + 1000) * 100000 + (cells.cy + 1000) AS cid
+        FROM cells JOIN nbr USING (cx, cy)
+        WHERE nbr.nbr_count >= 8
+    ),
+    edges AS (
+        SELECT a.cid AS src, b.cid AS dst
+        FROM core a JOIN core b
+            ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+           AND a.cid <> b.cid
+    ),
+    reach(a, b) AS (
+        SELECT cid, cid FROM core
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+    ),
+    comp AS (SELECT a AS cid, MIN(b) AS cluster FROM reach GROUP BY a)
+    SELECT comp.cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(core.c) AS BIGINT) AS n_points
+    FROM core JOIN comp USING (cid)
+    GROUP BY comp.cluster
+    """,
+)
+def grid_dbscan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN's density clustering without any pairwise distances:
+    count, threshold, connect adjacent cells, take components — every
+    phase a bounded relational op (the cell graph can't outgrow the
+    grid). Isolated core cells become their own singleton clusters."""
+    from iniz_exporters_spark.plans.graph import connected_components
+
+    e = Catalog(spark, sf_dir).embeddings
+    pts = e.select(
+        F.floor(F.element_at("embedding", 1).cast("double") / 0.1)
+        .cast("long")
+        .alias("cx"),
+        F.floor(F.element_at("embedding", 2).cast("double") / 0.1)
+        .cast("long")
+        .alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("c"))
+    sh = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "dx int, dy int",
+    )
+    nbr = (
+        cells.crossJoin(F.broadcast(sh))
+        .groupBy(
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+        .agg(F.sum("c").alias("nbr_count"))
+    )
+    core = (
+        cells.join(nbr, ["cx", "cy"])
+        .filter(F.col("nbr_count") >= 8)
+        .select(
+            "cx",
+            "cy",
+            "c",
+            ((F.col("cx") + 1000) * 100000 + F.col("cy") + 1000).alias(
+                "cid"
+            ),
+        )
+    )
+    a = core.select(
+        F.col("cx").alias("ax"), F.col("cy").alias("ay"),
+        F.col("cid").alias("src"),
+    )
+    b = core.select(
+        F.col("cx").alias("bx"), F.col("cy").alias("by"),
+        F.col("cid").alias("dst"),
+    )
+    edges = a.join(
+        b,
+        (F.abs(F.col("ax") - F.col("bx")) <= 1)
+        & (F.abs(F.col("ay") - F.col("by")) <= 1)
+        & (F.col("src") != F.col("dst")),
+    ).select("src", "dst")
+    comps = connected_components(edges, method="star").withColumnRenamed(
+        "node", "cid"
+    )
+    # isolated core cells never appear in the edge list — they are
+    # their own singleton clusters
+    labeled = core.join(comps, "cid", "left").select(
+        "cid",
+        "c",
+        F.coalesce(F.col("component"), F.col("cid")).alias("cluster"),
+    )
+    return labeled.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("c").cast("long").alias("n_points"),
+    )
+
+
+# Difference-in-differences for the mid-month change in mean purchase
+# value: treated = odd users, control = even users, post = on/after
+# 2024-01-16. DiD = (T_post - T_pre) - (C_post - C_pre) from four
+# exact-DECIMAL cell means — the 2x2 causal workhorse. One corpus
+# aggregation; the estimate is scalar arithmetic on eight numbers.
+@register(
+    "did_q",
+    """
+    WITH cells AS (
+        SELECT user_id % 2 AS treated,
+               CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+                   AS post,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN treated = 1 AND post = 0 THEN s / n END)
+                   AS t_pre,
+               MAX(CASE WHEN treated = 1 AND post = 1 THEN s / n END)
+                   AS t_post,
+               MAX(CASE WHEN treated = 0 AND post = 0 THEN s / n END)
+                   AS c_pre,
+               MAX(CASE WHEN treated = 0 AND post = 1 THEN s / n END)
+                   AS c_post,
+               CAST(SUM(n) AS BIGINT) AS n_events
+        FROM cells
+    )
+    SELECT n_events,
+           CAST(ROUND(t_post - t_pre, 6) AS DOUBLE) + 0.0
+               AS treated_delta,
+           CAST(ROUND(c_post - c_pre, 6) AS DOUBLE) + 0.0
+               AS control_delta,
+           CAST(ROUND((t_post - t_pre) - (c_post - c_pre), 6)
+               AS DOUBLE) + 0.0 AS did_estimate
+    FROM w
+    """,
+)
+def did_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did the 'treatment' cohort's purchase value move differently
+    after the cutoff than the control's parallel trend predicts?"""
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    cells = e.groupBy(
+        (F.col("user_id") % 2).alias("treated"),
+        F.when(F.col("ts") >= F.lit("2024-01-16"), 1)
+        .otherwise(0)
+        .alias("post"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("value"), 18, 6)).cast("double").alias("s"),
+    )
+
+    def cell(t, p):
+        return F.max(
+            F.when(
+                (F.col("treated") == t) & (F.col("post") == p),
+                F.col("s") / F.col("n"),
+            )
+        )
+
+    w = cells.agg(
+        cell(1, 0).alias("t_pre"),
+        cell(1, 1).alias("t_post"),
+        cell(0, 0).alias("c_pre"),
+        cell(0, 1).alias("c_post"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    td = F.col("t_post") - F.col("t_pre")
+    cd = F.col("c_post") - F.col("c_pre")
+    return w.select(
+        "n_events",
+        (F.round(td, 6) + F.lit(0.0)).alias("treated_delta"),
+        (F.round(cd, 6) + F.lit(0.0)).alias("control_delta"),
+        (F.round(td - cd, 6) + F.lit(0.0)).alias("did_estimate"),
+    )
+
+
+# Per-step funnel drop-off significance: at each signup->view->click->
+# purchase step, the two cohorts' step-conversion proportions get a
+# two-proportion pooled z. User-level step flags reduce in one pass;
+# the step table is 3 rows of scalar arithmetic.
+@register(
+    "funnel_significance_q",
+    """
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS grp,
+               MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                   AS s1,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS s2,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS s3,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS s4
+        FROM events GROUP BY user_id
+    ),
+    steps AS (
+        SELECT step, grp,
+               SUM(reached_prev) AS n_prev, SUM(reached) AS n_cur
+        FROM (
+            SELECT grp, 'view_of_signup' AS step, s1 AS reached_prev,
+                   CASE WHEN s1 = 1 AND s2 = 1 THEN 1 ELSE 0 END
+                       AS reached FROM u
+            UNION ALL
+            SELECT grp, 'click_of_view', s2,
+                   CASE WHEN s2 = 1 AND s3 = 1 THEN 1 ELSE 0 END FROM u
+            UNION ALL
+            SELECT grp, 'purchase_of_click', s3,
+                   CASE WHEN s3 = 1 AND s4 = 1 THEN 1 ELSE 0 END FROM u
+        ) GROUP BY step, grp
+    ),
+    wide AS (
+        SELECT step,
+               MAX(CASE WHEN grp = 0 THEN n_prev END) AS n0,
+               MAX(CASE WHEN grp = 0 THEN n_cur END) AS c0,
+               MAX(CASE WHEN grp = 1 THEN n_prev END) AS n1,
+               MAX(CASE WHEN grp = 1 THEN n_cur END) AS c1
+        FROM steps GROUP BY step
+    )
+    SELECT step,
+           CAST(ROUND(CAST(c0 AS DOUBLE) / NULLIF(n0, 0), 6) AS DOUBLE)
+               AS rate_g0,
+           CAST(ROUND(CAST(c1 AS DOUBLE) / NULLIF(n1, 0), 6) AS DOUBLE)
+               AS rate_g1,
+           CAST(ROUND((CAST(c0 AS DOUBLE) / NULLIF(n0, 0)
+                       - CAST(c1 AS DOUBLE) / NULLIF(n1, 0))
+               / NULLIF(sqrt((CAST(c0 + c1 AS DOUBLE)
+                          / NULLIF(n0 + n1, 0))
+                      * (1 - CAST(c0 + c1 AS DOUBLE)
+                             / NULLIF(n0 + n1, 0))
+                      * (1.0 / NULLIF(n0, 0) + 1.0 / NULLIF(n1, 0))),
+                 0), 6) AS DOUBLE) + 0.0 AS z_stat
+    FROM wide
+    """,
+)
+def funnel_significance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE in the funnel do the cohorts actually diverge? Pooled
+    two-proportion z per step, conditioned on reaching the prior
+    step (so later steps aren't confounded by earlier drop-off)."""
+    e = Catalog(spark, sf_dir).events
+    flags = [
+        F.max(
+            F.when(F.col("event_type") == t, 1).otherwise(0)
+        ).alias(f"s{i}")
+        for i, t in enumerate(
+            ["signup", "view", "click", "purchase"], start=1
+        )
+    ]
+    u = e.groupBy("user_id").agg(*flags).withColumn(
+        "grp", F.col("user_id") % 2
+    )
+    steps = None
+    for name, prev, cur in [
+        ("view_of_signup", "s1", "s2"),
+        ("click_of_view", "s2", "s3"),
+        ("purchase_of_click", "s3", "s4"),
+    ]:
+        part = u.select(
+            "grp",
+            F.lit(name).alias("step"),
+            F.col(prev).alias("reached_prev"),
+            F.when(
+                (F.col(prev) == 1) & (F.col(cur) == 1), 1
+            )
+            .otherwise(0)
+            .alias("reached"),
+        )
+        steps = part if steps is None else steps.unionByName(part)
+    agg = steps.groupBy("step", "grp").agg(
+        F.sum("reached_prev").alias("n_prev"),
+        F.sum("reached").alias("n_cur"),
+    )
+
+    def side(col, g):
+        return F.max(F.when(F.col("grp") == g, F.col(col)))
+
+    wide = agg.groupBy("step").agg(
+        side("n_prev", 0).alias("n0"),
+        side("n_cur", 0).alias("c0"),
+        side("n_prev", 1).alias("n1"),
+        side("n_cur", 1).alias("c1"),
+    )
+    n0 = F.nullif(F.col("n0"), F.lit(0))
+    n1 = F.nullif(F.col("n1"), F.lit(0))
+    r0 = F.col("c0").cast("double") / n0
+    r1 = F.col("c1").cast("double") / n1
+    pool = (F.col("c0") + F.col("c1")).cast("double") / F.nullif(
+        F.col("n0") + F.col("n1"), F.lit(0)
+    )
+    z = (r0 - r1) / F.nullif(
+        F.sqrt(pool * (1 - pool) * (1.0 / n0 + 1.0 / n1)), F.lit(0.0)
+    )
+    return wide.select(
+        "step",
+        F.round(r0, 6).alias("rate_g0"),
+        F.round(r1, 6).alias("rate_g1"),
+        (F.round(z, 6) + F.lit(0.0)).alias("z_stat"),
+    )
+
+
+# Optimizer-style join-cardinality audit: for the orders |><| lineitem
+# equi-join bucketed by order-key residue, compare the textbook
+# estimate |R| * |S| / max(ndv_R, ndv_S) against the TRUE join output
+# count, reporting the q-error max(est/act, act/est) that optimizer
+# papers grade estimators by. Everything reduces with map-side
+# partials; the audit table is one row per residue bucket.
+@register(
+    "join_cardinality_audit_q",
+    """
+    WITH r AS (
+        SELECT o_orderkey % 16 AS b, COUNT(*) AS n_r,
+               COUNT(DISTINCT o_orderkey) AS ndv_r
+        FROM orders GROUP BY 1
+    ),
+    s AS (
+        SELECT l_orderkey % 16 AS b, COUNT(*) AS n_s,
+               COUNT(DISTINCT l_orderkey) AS ndv_s
+        FROM lineitem GROUP BY 1
+    ),
+    act AS (
+        SELECT o.o_orderkey % 16 AS b, COUNT(*) AS actual
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+    )
+    SELECT r.b AS bucket,
+           CAST(r.n_r AS BIGINT) AS n_orders,
+           CAST(s.n_s AS BIGINT) AS n_lineitems,
+           CAST(ROUND(CAST(r.n_r AS DOUBLE) * s.n_s
+               / greatest(r.ndv_r, s.ndv_s), 2) AS DOUBLE)
+               AS estimated,
+           CAST(act.actual AS BIGINT) AS actual,
+           CAST(ROUND(greatest(
+               (CAST(r.n_r AS DOUBLE) * s.n_s
+                / greatest(r.ndv_r, s.ndv_s)) / act.actual,
+               act.actual / (CAST(r.n_r AS DOUBLE) * s.n_s
+                / greatest(r.ndv_r, s.ndv_s))), 4) AS DOUBLE)
+               AS q_error
+    FROM r JOIN s ON s.b = r.b JOIN act ON act.b = r.b
+    """,
+)
+def join_cardinality_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How wrong would the uniform-frequency independence estimate be
+    on this join? q-error per bucket — the sanity check a lakehouse
+    stats pipeline runs after ANALYZE (analyze_table_stats feeds the
+    same inputs)."""
+    o = Catalog(spark, sf_dir).orders
+    li = Catalog(spark, sf_dir).lineitem
+    r = o.groupBy((F.col("o_orderkey") % 16).alias("b")).agg(
+        F.count(F.lit(1)).alias("n_r"),
+        F.countDistinct("o_orderkey").alias("ndv_r"),
+    )
+    s = li.groupBy((F.col("l_orderkey") % 16).alias("b")).agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.countDistinct("l_orderkey").alias("ndv_s"),
+    )
+    act = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy((F.col("o_orderkey") % 16).alias("b"))
+        .agg(F.count(F.lit(1)).alias("actual"))
+    )
+    est = (
+        F.col("n_r").cast("double")
+        * F.col("n_s")
+        / F.greatest(F.col("ndv_r"), F.col("ndv_s"))
+    )
+    return (
+        r.join(s, "b")
+        .join(act, "b")
+        .select(
+            F.col("b").alias("bucket"),
+            F.col("n_r").cast("long").alias("n_orders"),
+            F.col("n_s").cast("long").alias("n_lineitems"),
+            F.round(est, 2).alias("estimated"),
+            F.col("actual").cast("long").alias("actual"),
+            F.round(
+                F.greatest(
+                    est / F.col("actual"), F.col("actual") / est
+                ),
+                4,
+            ).alias("q_error"),
+        )
+    )
+
+
+# Cross-source quantile normalization of document lengths (the
+# bioinformatics batch-correction standard): rank documents WITHIN
+# each source, average the values at each rank ACROSS sources, and
+# replace every document's length with the cross-source mean at its
+# rank. Per-source ranks come from grouped_index (range partition +
+# broadcast offsets — no per-source corpus-scale window); the
+# rank-profile join is rank-keyed. Output: per (source, rank-decile)
+# mean of normalized values — identical across sources afterward by
+# construction, which the oracle verifies value-for-value.
+@register(
+    "quantile_normalize_q",
+    """
+    WITH ranked AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY n_chars, doc_id) AS r,
+               COUNT(*) OVER (PARTITION BY source) AS n_src
+        FROM documents
+    ),
+    profile AS (
+        SELECT r, CAST(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)
+                   AS DECIMAL(18,6)) AS qmean,
+               COUNT(*) AS n_sources_at_rank
+        FROM ranked GROUP BY r
+    ),
+    norm AS (
+        SELECT ranked.source, ranked.r, ranked.n_src, profile.qmean
+        FROM ranked JOIN profile USING (r)
+    )
+    SELECT source,
+           CAST((r - 1) * 10 // n_src AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(ROUND(CAST(SUM(qmean) AS DOUBLE) / COUNT(*), 4)
+               AS DOUBLE) AS mean_normalized
+    FROM norm
+    GROUP BY source, (r - 1) * 10 // n_src
+    """,
+)
+def quantile_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove per-source length-distribution shifts before mixing
+    corpora: after normalization every source shares the SAME value
+    distribution (its rank profile), summarized here per decile."""
+    from iniz_exporters_spark.operators.indexing import grouped_index
+
+    d = Catalog(spark, sf_dir).documents.select(
+        "source", "n_chars", "doc_id"
+    )
+    ranked = grouped_index(
+        d,
+        ["source"],
+        [F.col("n_chars").asc(), F.col("doc_id").asc()],
+        idx_col="r",
+        size_col="n_src",
+    )
+    profile = ranked.groupBy("r").agg(
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1)))
+        .cast("decimal(18,6)")
+        .alias("qmean")
+    )
+    norm = ranked.join(profile, "r")
+    decile = F.expr("(r - 1) * 10 div n_src")
+    return norm.groupBy(
+        "source", decile.cast("long").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum("qmean").cast("double") / F.count(F.lit(1)), 4
+        ).alias("mean_normalized"),
+    )

@@ -2253,3 +2253,207 @@ def test_array_hof_breadth_matches_bruteforce(spark):
     for b, vals in agg.items():
         for c, v in zip(cols, vals):
             assert got[b][c] == v, (b, c)
+
+
+def test_grid_dbscan_q_matches_bruteforce(spark):
+    """Grid clusters replayed with a BFS over core cells."""
+    import numpy as np
+
+    con = duckdb.connect()
+    vecs = con.execute(
+        f"SELECT embedding FROM "
+        f"read_parquet('{SF_SMALL}/embeddings.parquet')"
+    ).fetchall()
+    cells = Counter()
+    for (v,) in vecs:
+        cells[(math.floor(v[0] / 0.1), math.floor(v[1] / 0.1))] += 1
+    core = {}
+    for (cx, cy), c in cells.items():
+        nb = sum(
+            cells.get((cx + dx, cy + dy), 0)
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        )
+        if nb >= 8:
+            core[(cx, cy)] = c
+    seen = set()
+    clusters = {}
+    for start in core:
+        if start in seen:
+            continue
+        stack, comp = [start], []
+        seen.add(start)
+        while stack:
+            cx, cy = stack.pop()
+            comp.append((cx, cy))
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    nb = (cx + dx, cy + dy)
+                    if nb in core and nb not in seen:
+                        seen.add(nb)
+                        stack.append(nb)
+        cid = min((cx + 1000) * 100000 + cy + 1000 for cx, cy in comp)
+        clusters[cid] = (
+            len(comp), sum(core[c] for c in comp)
+        )
+    got = {
+        r["cluster"]: (r["n_cells"], r["n_points"])
+        for r in REGISTRY["grid_dbscan_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == clusters
+
+
+def test_did_q_matches_bruteforce(spark):
+    """2x2 DiD replayed with cell loops."""
+    import datetime
+
+    cut = datetime.datetime(2024, 1, 16)
+    cells = defaultdict(lambda: [Decimal(0), 0])
+    for uid, ts, _, v, t in _events():
+        if t == "purchase":
+            c = cells[(uid % 2, 1 if ts >= cut else 0)]
+            c[0] += Decimal(str(v)).quantize(Decimal("0.000001"))
+            c[1] += 1
+    mean = {k: float(s) / n for k, (s, n) in cells.items()}
+    td = mean[(1, 1)] - mean[(1, 0)]
+    cd = mean[(0, 1)] - mean[(0, 0)]
+    row = REGISTRY["did_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_events"] == sum(n for _, n in cells.values())
+    assert row["treated_delta"] == pytest.approx(td, abs=2e-5)
+    assert row["control_delta"] == pytest.approx(cd, abs=2e-5)
+    assert row["did_estimate"] == pytest.approx(td - cd, abs=2e-5)
+
+
+def test_funnel_significance_q_matches_bruteforce(spark):
+    """Per-step two-proportion z replayed with flag dicts."""
+    flags = defaultdict(lambda: [0, 0, 0, 0])
+    order = {"signup": 0, "view": 1, "click": 2, "purchase": 3}
+    for uid, _, _, _, t in _events():
+        if t in order:
+            flags[uid][order[t]] = 1
+    expect = {}
+    for name, i, j in [
+        ("view_of_signup", 0, 1),
+        ("click_of_view", 1, 2),
+        ("purchase_of_click", 2, 3),
+    ]:
+        stats = {0: [0, 0], 1: [0, 0]}
+        for uid, f in flags.items():
+            g = uid % 2
+            if f[i]:
+                stats[g][0] += 1
+                if f[j]:
+                    stats[g][1] += 1
+        (n0, c0), (n1, c1) = stats[0], stats[1]
+        r0 = c0 / n0 if n0 else None
+        r1 = c1 / n1 if n1 else None
+        z = None
+        if n0 and n1:
+            pool = (c0 + c1) / (n0 + n1)
+            var = pool * (1 - pool) * (1 / n0 + 1 / n1)
+            if var > 0:
+                z = (r0 - r1) / math.sqrt(var)
+        expect[name] = (r0, r1, z)
+    got = {
+        r["step"]: r
+        for r in REGISTRY["funnel_significance_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for name, (r0, r1, z) in expect.items():
+        r = got[name]
+        for col, v in [("rate_g0", r0), ("rate_g1", r1), ("z_stat", z)]:
+            if v is None:
+                assert r[col] is None
+            else:
+                assert r[col] == pytest.approx(v, abs=2e-5)
+
+
+def test_join_cardinality_audit_q_matches_bruteforce(spark):
+    """Estimate vs actual replayed with Counters."""
+    con = duckdb.connect()
+    okeys = [
+        r[0]
+        for r in con.execute(
+            f"SELECT o_orderkey FROM "
+            f"read_parquet('{SF_SMALL}/orders.parquet')"
+        ).fetchall()
+    ]
+    lkeys = [
+        r[0]
+        for r in con.execute(
+            f"SELECT l_orderkey FROM "
+            f"read_parquet('{SF_SMALL}/lineitem.parquet')"
+        ).fetchall()
+    ]
+    rb = defaultdict(list)
+    sb = defaultdict(list)
+    for k in okeys:
+        rb[k % 16].append(k)
+    for k in lkeys:
+        sb[k % 16].append(k)
+    got = {
+        r["bucket"]: r
+        for r in REGISTRY["join_cardinality_audit_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    for b in got:
+        n_r, ndv_r = len(rb[b]), len(set(rb[b]))
+        n_s, ndv_s = len(sb[b]), len(set(sb[b]))
+        ocount = Counter(rb[b])
+        actual = sum(ocount[k] for k in sb[b] if k in ocount)
+        est = n_r * n_s / max(ndv_r, ndv_s)
+        r = got[b]
+        assert (r["n_orders"], r["n_lineitems"]) == (n_r, n_s)
+        assert r["estimated"] == pytest.approx(est, abs=5e-2)
+        assert r["actual"] == actual
+        assert r["q_error"] == pytest.approx(
+            max(est / actual, actual / est), abs=2e-4
+        )
+
+
+def test_quantile_normalize_q_matches_bruteforce(spark):
+    """Quantile normalization replayed with per-source sorts."""
+    by_src = defaultdict(list)
+    con = duckdb.connect()
+    for doc_id, n_chars, src in con.execute(
+        f"SELECT doc_id, n_chars, source FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall():
+        by_src[src].append((n_chars, doc_id))
+    ranked = {}
+    for src, items in by_src.items():
+        items.sort()
+        for r, (nc, did) in enumerate(items, start=1):
+            ranked[(src, r)] = nc
+    max_r = max(r for _, r in ranked)
+    prof = {}
+    for r in range(1, max_r + 1):
+        vals = [v for (s, rr), v in ranked.items() if rr == r]
+        prof[r] = float(
+            Decimal(repr(sum(vals) / len(vals))).quantize(
+                Decimal("0.000001"),
+                rounding=__import__("decimal").ROUND_HALF_UP,
+            )
+        )
+    agg = defaultdict(lambda: [0, 0.0])
+    for (src, r), _ in ranked.items():
+        n_src = len(by_src[src])
+        dec = (r - 1) * 10 // n_src
+        a = agg[(src, dec)]
+        a[0] += 1
+        a[1] += prof[r]
+    got = {
+        (r["source"], r["decile"]): r
+        for r in REGISTRY["quantile_normalize_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert set(got) == set(agg)
+    for key, (n, s) in agg.items():
+        assert got[key]["n_docs"] == n
+        assert got[key]["mean_normalized"] == pytest.approx(
+            s / n, abs=2e-4
+        )
