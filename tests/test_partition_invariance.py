@@ -55,6 +55,19 @@ SENSITIVE = [
     "brown_forsythe_q",       # grouped_index medians + micro-unit sums
     "trimmed_mean_q",         # grouped_index band + decimal mean
     "matryoshka_fidelity_q",  # per-pair fold cosines + scaled ints
+    # round-8 sessions 4-5: new users of the distributed rank machinery
+    "energy_distance_q",      # four global_cumsum passes, merged order
+    "wasserstein_q",          # global_index + rank+1 gap join
+    "xi_correlation_q",       # two global_index rankings chained
+    "abc_analysis_q",         # global_cumsum revenue share cut
+    "sprt_q",                 # global_index + global_cumsum walk
+    "lift_gain_q",            # global_ntile deciles
+    "quantile_normalize_q",   # grouped_index per-source ranks
+    "hubness_q",              # explicit pre-explosion repartition
+    "grid_dbscan_q",          # star components over core cells
+    "isotonic_calibration_q", # minimax over integer-keyed bins
+    "fuzzy_cmeans_q",         # rational-membership EM trajectory
+    "conformal_interval_q",   # hash folds + calibration rank
 ]
 
 
