@@ -23322,3 +23322,551 @@ def quantile_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("qmean").cast("double") / F.count(F.lit(1)), 4
         ).alias("mean_normalized"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch — round-8 session 5 (continued): breakpoint regression, the
+# ABC x XYZ inventory census, Haar wavelet band energies, the
+# gaps-and-islands longest streak, and the Welford/Chan parallel
+# variance merge that underlies every distributed STDDEV.
+# ---------------------------------------------------------------------------
+
+
+# Single-breakpoint trend segmentation of daily purchase revenue: for
+# every candidate split day, fit OLS lines to both sides and pick the
+# split minimizing total SSE (>= 3 points per side). The candidate x
+# day table is calendar x calendar (bounded); each side's SSE comes
+# from closed-form moments of DECIMAL-quantized values. Ties on the
+# 6-dp-rounded SSE break toward the earliest split in both engines.
+@register(
+    "trend_break_q",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               ROW_NUMBER() OVER (ORDER BY CAST(ts AS DATE)) AS t,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*) AS DECIMAL(18,6)) AS y
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    cand AS (SELECT t AS split FROM daily),
+    sides AS (
+        SELECT c.split, d.t <= c.split AS left_side,
+               COUNT(*) AS n,
+               CAST(SUM(d.t) AS DOUBLE) AS sx,
+               CAST(SUM(d.y) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(d.t AS BIGINT) * d.t) AS DOUBLE) AS sxx,
+               CAST(SUM(d.t * d.y) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(d.y AS DECIMAL(16,6))
+                        * CAST(d.y AS DECIMAL(16,6))) AS DOUBLE) AS syy
+        FROM cand c JOIN daily d ON TRUE
+        GROUP BY c.split, d.t <= c.split
+    ),
+    sse AS (
+        SELECT split, left_side, n,
+               syy - sy * sy / n
+                 - CASE WHEN sxx - sx * sx / n > 0
+                        THEN (sxy - sx * sy / n) * (sxy - sx * sy / n)
+                             / (sxx - sx * sx / n)
+                        ELSE 0 END AS e
+        FROM sides
+    ),
+    scored AS (
+        SELECT split,
+               ROUND(SUM(e), 6) AS total_sse,
+               MIN(n) AS min_side
+        FROM sse GROUP BY split
+        HAVING COUNT(*) = 2 AND MIN(n) >= 3
+    ),
+    best AS (
+        SELECT split, total_sse,
+               ROW_NUMBER() OVER (ORDER BY total_sse, split) AS rk
+        FROM scored
+    )
+    SELECT d.day AS break_day,
+           CAST(b.split AS BIGINT) AS break_t,
+           CAST(b.total_sse AS DOUBLE) + 0.0 AS total_sse
+    FROM best b JOIN daily d ON d.t = b.split
+    WHERE b.rk = 1
+    """,
+)
+def trend_break_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where does the revenue trend change slope? Exhaustive single-
+    breakpoint piecewise OLS — the regression view of what
+    cusum_changepoint_q detects sequentially."""
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    wday = Window.orderBy("day")
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            (
+                F.sum(_dec(F.col("value"), 18, 6)).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast("decimal(18,6)")
+            .alias("y")
+        )
+        .withColumn("t", F.row_number().over(wday))
+    )
+    cand = daily.select(F.col("t").alias("split"))
+    sides = (
+        cand.join(daily)
+        .groupBy("split", (F.col("t") <= F.col("split")).alias("left_side"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("t").cast("double").alias("sx"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum(F.col("t").cast("long") * F.col("t"))
+            .cast("double")
+            .alias("sxx"),
+            F.sum(F.col("t") * F.col("y")).cast("double").alias("sxy"),
+            F.sum(
+                F.col("y").cast("decimal(16,6)")
+                * F.col("y").cast("decimal(16,6)")
+            )
+            .cast("double")
+            .alias("syy"),
+        )
+    )
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    sse = sides.select(
+        "split",
+        "n",
+        (
+            cyy - F.when(cxx > 0, cxy * cxy / cxx).otherwise(F.lit(0.0))
+        ).alias("e"),
+    )
+    scored = (
+        sse.groupBy("split")
+        .agg(
+            F.round(F.sum("e"), 6).alias("total_sse"),
+            F.min("n").alias("min_side"),
+            F.count(F.lit(1)).alias("n_sides"),
+        )
+        .filter((F.col("n_sides") == 2) & (F.col("min_side") >= 3))
+    )
+    wbest = Window.orderBy("total_sse", "split")
+    best = scored.withColumn("rk", F.row_number().over(wbest)).filter(
+        F.col("rk") == 1
+    )
+    return best.join(daily, best["split"] == daily["t"]).select(
+        F.col("day").alias("break_day"),
+        F.col("split").cast("long").alias("break_t"),
+        (F.col("total_sse") + F.lit(0.0)).alias("total_sse"),
+    )
+
+
+# ABC x XYZ inventory census: ABC classes from abc_analysis_q's
+# cumulative revenue cut, XYZ classes from each part's weekly demand
+# variability (CV = sd/mean of weekly quantities over the part's
+# active weeks: X < 0.5, Y < 1.0, Z otherwise). The 3 x 3 census is
+# the stocking-policy planning table. Revenue ranks reuse
+# global_cumsum; CVs come from exact per-(part, week) DECIMAL sums.
+@register(
+    "abc_xyz_q",
+    """
+    WITH pr AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000
+                    AS BIGINT) AS rev_c
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(rev_c) AS DOUBLE) AS t FROM pr),
+    c AS (
+        SELECT l_partkey, rev_c,
+               SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey) AS cum_c
+        FROM pr
+    ),
+    abc AS (
+        SELECT l_partkey,
+               CASE WHEN cum_c <= 0.80 * (SELECT t FROM tot) THEN 'A'
+                    WHEN cum_c <= 0.95 * (SELECT t FROM tot) THEN 'B'
+                    ELSE 'C' END AS abc
+        FROM c
+    ),
+    wk AS (
+        SELECT l_partkey,
+               date_diff('day', DATE '1995-01-01',
+                   CAST(l_shipdate AS DATE)) // 7 AS w,
+               SUM(CAST(l_quantity AS DECIMAL(18,4))) AS q
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cv AS (
+        SELECT l_partkey,
+               COUNT(*) AS n,
+               CAST(SUM(q) AS DOUBLE) AS s,
+               CAST(SUM(CAST(q AS DECIMAL(16,4))
+                        * CAST(q AS DECIMAL(16,4))) AS DOUBLE) AS ss
+        FROM wk GROUP BY l_partkey
+    ),
+    xyz AS (
+        SELECT l_partkey,
+               CASE WHEN n < 2 THEN 'Z'
+                    WHEN sqrt(greatest(ss / n - (s / n) * (s / n), 0.0))
+                         / (s / n) < 0.5 THEN 'X'
+                    WHEN sqrt(greatest(ss / n - (s / n) * (s / n), 0.0))
+                         / (s / n) < 1.0 THEN 'Y'
+                    ELSE 'Z' END AS xyz
+        FROM cv
+    )
+    SELECT abc.abc, xyz.xyz, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM abc JOIN xyz USING (l_partkey)
+    GROUP BY abc.abc, xyz.xyz
+    """,
+)
+def abc_xyz_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which parts are high-value AND unpredictable (the A-Z corner
+    that breaks stocking policies)? Crosses abc_analysis_q's revenue
+    cut with weekly-demand CV classes."""
+    from iniz_exporters_spark.operators.indexing import global_cumsum
+
+    li = Catalog(spark, sf_dir).lineitem
+    pr = li.groupBy("l_partkey").agg(
+        (F.sum(_dec(F.col("l_extendedprice"), 18, 4)) * 10000)
+        .cast("long")
+        .alias("rev_c")
+    )
+    tot = pr.agg(F.sum("rev_c").cast("double").alias("t"))
+    c = global_cumsum(
+        pr,
+        [F.col("rev_c").desc(), F.col("l_partkey").asc()],
+        "rev_c",
+        "cum_c",
+    )
+    abc = c.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        F.when(F.col("cum_c") <= 0.80 * F.col("t"), "A")
+        .when(F.col("cum_c") <= 0.95 * F.col("t"), "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    wk = li.groupBy(
+        "l_partkey",
+        (
+            F.datediff(F.to_date("l_shipdate"), F.lit("1995-01-01")) / 7
+        )
+        .cast("long")
+        .alias("w"),
+    ).agg(F.sum(_dec(F.col("l_quantity"), 18, 4)).alias("q"))
+    cv = wk.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").cast("double").alias("s"),
+        F.sum(
+            F.col("q").cast("decimal(16,4)")
+            * F.col("q").cast("decimal(16,4)")
+        )
+        .cast("double")
+        .alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    sd = F.sqrt(
+        F.greatest(
+            F.col("ss") / F.col("n") - mean * mean, F.lit(0.0)
+        )
+    )
+    xyz = cv.select(
+        "l_partkey",
+        F.when(F.col("n") < 2, "Z")
+        .when(sd / mean < 0.5, "X")
+        .when(sd / mean < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    return abc.join(xyz, "l_partkey").groupBy("abc", "xyz").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+
+
+# Haar wavelet band energies of the daily purchase-revenue series:
+# missing dyadic slots simply contribute zero (absent from the block
+# sums — no explicit padding needed); energy at
+# level k = sum over blocks of (left-half sum - right-half sum)^2
+# / 2^k — the unnormalized Haar detail energy, RATIONAL in the block
+# sums so no sqrt(2) ever enters. Block sums are exact DECIMALs built
+# by bit-shifted grouping; the level table is 5 rows.
+@register(
+    "haar_energy_q",
+    """
+    WITH daily AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY CAST(ts AS DATE)) - 1 AS i,
+               SUM(CAST(value AS DECIMAL(18,6))) AS v
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    lv AS (SELECT unnest(range(1, 6)) AS k),
+    blocks AS (
+        SELECT lv.k, d.i // (1 << lv.k) AS blk,
+               SUM(CASE WHEN (d.i // (1 << (lv.k - 1))) % 2 = 0
+                        THEN d.v ELSE -d.v END) AS diff
+        FROM daily d CROSS JOIN lv
+        GROUP BY lv.k, d.i // (1 << lv.k)
+    )
+    SELECT CAST(k AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(ROUND(CAST(SUM(CAST(CAST(diff AS DOUBLE)
+                    * CAST(diff AS DOUBLE) AS DECIMAL(38,6)))
+                    AS DOUBLE) / (1 << k), 4) AS DOUBLE) + 0.0
+               AS band_energy
+    FROM blocks GROUP BY k
+    """,
+)
+def haar_energy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which time scale carries the revenue variance — day-to-day
+    (level 1), weekly-ish (level 3), or fortnight+ (level 5)? The
+    multiresolution companion to acf_q/seasonal_strength_q."""
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    wday = Window.orderBy("day")
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(_dec(F.col("value"), 18, 6)).alias("v"))
+        .select((F.row_number().over(wday) - 1).alias("i"), "v")
+    )
+    lv = daily.sparkSession.range(1, 6).select(
+        F.col("id").cast("int").alias("k")
+    )
+    sign = F.when(
+        (
+            F.col("i").cast("long")
+            / F.pow(F.lit(2), F.col("k") - 1).cast("long")
+        ).cast("long")
+        % 2
+        == 0,
+        F.col("v"),
+    ).otherwise(-F.col("v"))
+    blocks = (
+        daily.crossJoin(F.broadcast(lv))
+        .groupBy(
+            "k",
+            (
+                F.col("i").cast("long")
+                / F.pow(F.lit(2), F.col("k")).cast("long")
+            )
+            .cast("long")
+            .alias("blk"),
+        )
+        .agg(F.sum(sign).alias("diff"))
+    )
+    d = F.col("diff").cast("double")
+    return blocks.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    ).join(
+        blocks.groupBy("k").agg(
+            F.sum((d * d).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("se")
+        ),
+        "k",
+    ).select(
+        F.col("k").cast("long").alias("level"),
+        "n_blocks",
+        (
+            F.round(
+                F.col("se") / F.pow(F.lit(2), F.col("k")), 4
+            )
+            + F.lit(0.0)
+        ).alias("band_energy"),
+    )
+
+
+# Longest strictly-increasing streak of daily purchase revenue — the
+# canonical gaps-and-islands pattern: mark streak starts with LAG,
+# cumulative-sum the starts into island ids, then take the longest
+# island (ties -> earliest start). Every window runs on the
+# calendar-bounded daily frame; revenue comparisons are exact
+# DECIMALs.
+@register(
+    "longest_streak_q",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,6))) AS rev
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    marks AS (
+        SELECT day, rev,
+               CASE WHEN rev > LAG(rev) OVER (ORDER BY day)
+                    THEN 0 ELSE 1 END AS is_start
+        FROM daily
+    ),
+    islands AS (
+        SELECT day, rev,
+               SUM(is_start) OVER (ORDER BY day) AS island
+        FROM marks
+    ),
+    sized AS (
+        SELECT island, COUNT(*) AS len,
+               MIN(day) AS start_day, MAX(day) AS end_day
+        FROM islands GROUP BY island
+    ),
+    best AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY len DESC, start_day) AS rk
+        FROM sized
+    )
+    SELECT CAST(len AS BIGINT) AS streak_len,
+           start_day, end_day
+    FROM best WHERE rk = 1
+    """,
+)
+def longest_streak_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The longest run of day-over-day revenue growth — SQL's
+    gaps-and-islands idiom (LAG marks + running-sum island ids)."""
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(_dec(F.col("value"), 18, 6)).alias("rev")
+    )
+    wday = Window.orderBy("day")
+    wcum = wday.rowsBetween(Window.unboundedPreceding, 0)
+    marks = daily.select(
+        "day",
+        "rev",
+        F.when(F.col("rev") > F.lag("rev").over(wday), 0)
+        .otherwise(1)
+        .alias("is_start"),
+    )
+    islands = marks.select(
+        "day", F.sum("is_start").over(wcum).alias("island")
+    )
+    sized = islands.groupBy("island").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("day").alias("start_day"),
+        F.max("day").alias("end_day"),
+    )
+    wbest = Window.orderBy(F.col("len").desc(), F.col("start_day"))
+    return (
+        sized.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("len").cast("long").alias("streak_len"),
+            "start_day",
+            "end_day",
+        )
+    )
+
+
+# Welford/Chan parallel variance merge, audited: compute per-nation
+# partial (n, mean, M2) statistics, merge them pairwise-fold style
+# with the Chan update M2 = M2a + M2b + delta^2 * na*nb/(na+nb), and
+# pin the merged result against the direct two-pass variance. This is
+# the algebra that lets distributed STDDEV avoid a second scan; the
+# audit reports both paths and their 9-dp agreement. Merge order is
+# fixed (nation ascending) so the float fold is identical in both
+# engines.
+@register(
+    "welford_merge_q",
+    """
+    WITH parts AS (
+        SELECT c_nationkey AS nat, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) AS mean,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(19,6))
+                        * CAST(c_acctbal AS DECIMAL(19,6))) AS DOUBLE)
+               - CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                 * CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6)))
+                        AS DOUBLE) / COUNT(*) AS m2
+        FROM customer GROUP BY c_nationkey
+    ),
+    merged AS (
+        SELECT n, mean, m2, rk FROM (
+            SELECT parts.*,
+                   ROW_NUMBER() OVER (ORDER BY nat) AS rk
+            FROM parts
+        )
+    ),
+    fold AS (
+        WITH RECURSIVE f(rk, n, mean, m2) AS (
+            SELECT rk, CAST(n AS BIGINT), mean, m2
+            FROM merged WHERE rk = 1
+            UNION ALL
+            SELECT m.rk, f.n + m.n,
+                   (f.mean * f.n + m.mean * m.n) / (f.n + m.n),
+                   f.m2 + m.m2
+                     + (m.mean - f.mean) * (m.mean - f.mean)
+                       * f.n * m.n / (f.n + m.n)
+            FROM f JOIN merged m ON m.rk = f.rk + 1
+        )
+        SELECT n, m2 FROM f
+        WHERE rk = (SELECT MAX(rk) FROM merged)
+    ),
+    direct AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(19,6))
+                        * CAST(c_acctbal AS DECIMAL(19,6))) AS DOUBLE)
+               - CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                 * CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6)))
+                        AS DOUBLE) / COUNT(*) AS m2
+        FROM customer
+    )
+    SELECT CAST(direct.n AS BIGINT) AS n_rows,
+           CAST(ROUND(direct.m2 / (direct.n - 1), 4) AS DOUBLE) + 0.0
+               AS var_direct,
+           CAST(ROUND(fold.m2 / (fold.n - 1), 4) AS DOUBLE) + 0.0
+               AS var_merged,
+           abs(direct.m2 - fold.m2) / direct.m2 < 1e-9
+               AS merge_agrees
+    FROM direct, fold
+    """,
+)
+def welford_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proof-by-query that partial-moment merging reproduces the
+    global variance: the identity every map-side-combine STDDEV rests
+    on, folded in a FIXED nation order so both engines walk the same
+    float path. The 25-row partial table is collected to the driver
+    (metadata scale — the same class as k x d centroids) and folded
+    there, mirroring the oracle's recursive CTE step for step."""
+    c = Catalog(spark, sf_dir).customer
+    s6 = _dec(F.col("c_acctbal"), 18, 6)
+    s16 = _dec(F.col("c_acctbal"), 16, 6)
+    parts = (
+        c.groupBy(F.col("c_nationkey").alias("nat"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(s6).cast("double") / F.count(F.lit(1))).alias("mean"),
+            (
+                F.sum(s16 * s16).cast("double")
+                - F.sum(s6).cast("double")
+                * F.sum(s6).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m2"),
+        )
+        .orderBy("nat")
+    )
+    # metadata-scale sequential fold (25 rows) — same order as the
+    # oracle's recursive CTE
+    rows = parts.collect()
+    n, mean, m2 = rows[0]["n"], rows[0]["mean"], rows[0]["m2"]
+    for r in rows[1:]:
+        nb, mb, m2b = r["n"], r["mean"], r["m2"]
+        delta = mb - mean
+        m2 = m2 + m2b + delta * delta * n * nb / (n + nb)
+        mean = (mean * n + mb * nb) / (n + nb)
+        n = n + nb
+    direct = c.agg(
+        F.count(F.lit(1)).alias("nd"),
+        (
+            F.sum(s16 * s16).cast("double")
+            - F.sum(s6).cast("double")
+            * F.sum(s6).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m2d"),
+    )
+    return direct.select(
+        F.col("nd").cast("long").alias("n_rows"),
+        (
+            F.round(F.col("m2d") / (F.col("nd") - 1), 4) + F.lit(0.0)
+        ).alias("var_direct"),
+        (
+            F.round(F.lit(m2) / (F.lit(n) - 1), 4) + F.lit(0.0)
+        ).alias("var_merged"),
+        (
+            F.abs(F.col("m2d") - F.lit(m2)) / F.col("m2d") < 1e-9
+        ).alias("merge_agrees"),
+    )

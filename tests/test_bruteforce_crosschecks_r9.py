@@ -2457,3 +2457,133 @@ def test_quantile_normalize_q_matches_bruteforce(spark):
         assert got[key]["mean_normalized"] == pytest.approx(
             s / n, abs=2e-4
         )
+
+
+def test_trend_break_q_matches_bruteforce(spark):
+    """Breakpoint search replayed with a float OLS loop."""
+    ms = [
+        float(_q6(float(s) / c))
+        for s, c in _daily("purchase", agg="pairs")
+    ]
+    n = len(ms)
+
+    def sse(pts):
+        k = len(pts)
+        sx = sum(t for t, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(t * t for t, _ in pts)
+        sxy = sum(t * y for t, y in pts)
+        syy = sum(y * y for _, y in pts)
+        cxx = sxx - sx * sx / k
+        cxy = sxy - sx * sy / k
+        cyy = syy - sy * sy / k
+        return cyy - (cxy * cxy / cxx if cxx > 0 else 0.0)
+
+    best = None
+    pts = list(enumerate(ms, start=1))
+    for split in range(3, n - 2):
+        tot = round(sse(pts[:split]) + sse(pts[split:]), 6)
+        if best is None or tot < best[1]:
+            best = (split, tot)
+    row = REGISTRY["trend_break_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["break_t"] == best[0]
+    assert row["total_sse"] == pytest.approx(best[1], abs=2e-4)
+
+
+def test_abc_xyz_q_matches_bruteforce(spark):
+    """3x3 census replayed with dict passes."""
+    rev = defaultdict(Decimal)
+    wk = defaultdict(lambda: defaultdict(Decimal))
+    for pk, _, ep, q, d in _lineitems():
+        rev[pk] += Decimal(str(ep)).quantize(Decimal("0.0001"))
+        import datetime
+
+        w = (d.date() - datetime.date(1995, 1, 1)).days // 7
+        wk[pk][w] += Decimal(str(q)).quantize(Decimal("0.0001"))
+    items = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    tot = float(sum(rev.values()) * 10000)
+    cum = 0
+    abc = {}
+    for pk, r in items:
+        cum += int(r * 10000)
+        abc[pk] = (
+            "A" if cum <= 0.8 * tot else "B" if cum <= 0.95 * tot else "C"
+        )
+    census = Counter()
+    for pk in rev:
+        qs = [float(v) for v in wk[pk].values()]
+        k = len(qs)
+        if k < 2:
+            x = "Z"
+        else:
+            mu = sum(qs) / k
+            sd = math.sqrt(max(sum(q * q for q in qs) / k - mu * mu, 0))
+            cvv = sd / mu
+            x = "X" if cvv < 0.5 else "Y" if cvv < 1.0 else "Z"
+        census[(abc[pk], x)] += 1
+    got = {
+        (r["abc"], r["xyz"]): r["n_parts"]
+        for r in REGISTRY["abc_xyz_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == dict(census)
+
+
+def test_haar_energy_q_matches_bruteforce(spark):
+    """Band energies replayed with an explicit Haar loop."""
+    revs = [float(r) for r in _daily("purchase")]
+    expect = {}
+    for k in range(1, 6):
+        half = 1 << (k - 1)
+        width = 1 << k
+        nblk = set()
+        energy = 0.0
+        for blk in range(0, (len(revs) + width - 1) // width + 1):
+            seg = revs[blk * width : (blk + 1) * width]
+            if not seg:
+                continue
+            nblk.add(blk)
+            left = sum(seg[:half])
+            right = sum(seg[half:])
+            energy += (left - right) ** 2
+        expect[k] = (len(nblk), energy / (1 << k))
+    got = {
+        r["level"]: r
+        for r in REGISTRY["haar_energy_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(expect)
+    for k, (nb, en) in expect.items():
+        assert got[k]["n_blocks"] == nb
+        assert got[k]["band_energy"] == pytest.approx(en, rel=1e-6)
+
+
+def test_longest_streak_q_matches_bruteforce(spark):
+    """Longest increasing run replayed with a scan."""
+    revs = _daily("purchase")
+    days = sorted(
+        {ts.date() for _, ts, _, _, t in _events() if t == "purchase"}
+    )
+    best_len, best_start = 1, days[0]
+    cur_len, cur_start = 1, days[0]
+    for i in range(1, len(revs)):
+        if revs[i] > revs[i - 1]:
+            cur_len += 1
+        else:
+            cur_len, cur_start = 1, days[i]
+        if cur_len > best_len:
+            best_len, best_start = cur_len, cur_start
+    row = REGISTRY["longest_streak_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["streak_len"] == best_len
+    assert row["start_day"] == best_start
+
+
+def test_welford_merge_q_matches_bruteforce(spark):
+    """Both variance paths replayed directly from raw balances."""
+    xs = [bal for _, _, bal in _balances()]
+    n = len(xs)
+    mu = sum(xs) / n
+    var = sum((x - mu) ** 2 for x in xs) / (n - 1)
+    row = REGISTRY["welford_merge_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_rows"] == n
+    assert row["var_direct"] == pytest.approx(var, rel=1e-6)
+    assert row["var_merged"] == pytest.approx(var, rel=1e-6)
+    assert row["merge_agrees"] is True
