@@ -20734,11 +20734,14 @@ def collocation_llr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select(
         "doc_id", F.posexplode(_tokens("text")).alias("pos", "w")
     )
-    a = t.select("doc_id", F.col("pos").alias("p1"), F.col("w").alias("w1"))
-    b = t.select("doc_id", F.col("pos").alias("p2"), F.col("w").alias("w2"))
+    # adjacent pairs via LEAD over the per-document partition (bounded
+    # by document length) — one shuffle of the token stream, not the
+    # two a positional self-join would move
+    wl = Window.partitionBy("doc_id").orderBy("pos")
     bg = (
-        a.join(b, (a["doc_id"] == b["doc_id"]) & (F.col("p2") == F.col("p1") + 1))
-        .groupBy("w1", "w2")
+        t.withColumn("w2", F.lead("w").over(wl))
+        .filter(F.col("w2").isNotNull())
+        .groupBy(F.col("w").alias("w1"), "w2")
         .agg(F.count(F.lit(1)).alias("o11"))
     )
     tot = bg.agg(F.sum("o11").cast("double").alias("n"))
