@@ -441,3 +441,75 @@ def bloom_candidates(
     return fact.filter(
         F.array_contains(lit_pos, fp1) & F.array_contains(lit_pos, fp2)
     )
+
+
+def global_prefix(
+    df: DataFrame,
+    sort_cols,
+    cum_cols: dict[str, str],
+    idx_col: str | None = None,
+) -> DataFrame:
+    """Fused multi-column exact prefix sums (and optionally the global
+    rank) in ONE range-partition pass. Semantics per output column:
+    ``SUM(val) OVER (ORDER BY sort_cols ROWS UNBOUNDED PRECEDING)``;
+    ``idx_col`` adds ``ROW_NUMBER() OVER (ORDER BY sort_cols)``.
+
+    Chaining ``global_cumsum`` k times materializes (localCheckpoint)
+    and range-shuffles the table k times; a query that needs several
+    running quantities over the SAME total order (energy distance
+    needs four, Wasserstein three) should pay that cost once. Same
+    contract as global_cumsum: ``sort_cols`` must be a total order and
+    every summed column an exact type (long/decimal) so partial-sum
+    order cannot perturb results. ``cum_cols`` maps output name ->
+    input column name."""
+    sort_cols = [
+        F.col(c) if isinstance(c, str) else c for c in list(sort_cols)
+    ]
+    pinned = (
+        df.repartitionByRange(*sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    aggs = [F.count(F.lit(1)).alias("__cnt")] + [
+        F.sum(src).alias(f"__s_{out}") for out, src in cum_cols.items()
+    ]
+    partials = sorted(
+        (r["__pid"], r) for r in pinned.groupBy("__pid").agg(*aggs).collect()
+    )
+    offsets = []
+    acc_cnt = 0
+    acc = {out: 0 for out in cum_cols}
+    for pid, r in partials:
+        offsets.append(
+            (pid, acc_cnt, *[acc[out] for out in cum_cols])
+        )
+        acc_cnt += r["__cnt"]
+        for out in cum_cols:
+            s = r[f"__s_{out}"]
+            acc[out] += s if s is not None else 0
+    spark = df.sparkSession
+    schema = "__pid int, __idxoff long, " + ", ".join(
+        f"__off_{out} long" for out in cum_cols
+    )
+    off_df = spark.createDataFrame(offsets, schema)
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out_df = pinned.join(F.broadcast(off_df), "__pid")
+    for out, src in cum_cols.items():
+        out_df = out_df.withColumn(
+            out,
+            (F.sum(src).over(w) + F.col(f"__off_{out}")).cast("long"),
+        )
+    if idx_col is not None:
+        wr = Window.partitionBy("__pid").orderBy(*sort_cols)
+        out_df = out_df.withColumn(
+            idx_col,
+            (F.row_number().over(wr) + F.col("__idxoff")).cast("long"),
+        )
+    return out_df.drop(
+        "__pid", "__idxoff", *[f"__off_{out}" for out in cum_cols]
+    )

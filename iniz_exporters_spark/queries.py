@@ -21207,7 +21207,7 @@ def energy_distance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise |x-y| sums never materialize. The identity evaluated at
     every sample point already counts all ORDERED pairs, so each
     V-statistic is its raw sum over n^2 (no extra factor)."""
-    from iniz_exporters_spark.operators.indexing import global_cumsum
+    from iniz_exporters_spark.operators.indexing import global_prefix
 
     e = Catalog(spark, sf_dir).events.filter(
         F.col("event_type") == "purchase"
@@ -21226,10 +21226,12 @@ def energy_distance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "iyv", F.col("iy") * F.col("v")
     )
     order = [F.col("v").asc(), F.col("user_id").asc()]
-    c = global_cumsum(m, order, "ix", "cxc")
-    c = global_cumsum(c, order, "ixv", "cxs")
-    c = global_cumsum(c, order, "iy", "cyc")
-    c = global_cumsum(c, order, "iyv", "cys")
+    # all four running quantities share one fused range-partition pass
+    c = global_prefix(
+        m,
+        order,
+        {"cxc": "ix", "cxs": "ixv", "cyc": "iy", "cys": "iyv"},
+    )
     tot = m.agg(
         F.sum("ix").alias("nx"),
         F.sum("ixv").alias("sx"),
@@ -21333,10 +21335,7 @@ def wasserstein_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How much 'work' separates the two spend distributions, in the
     money unit itself? The optimal-transport companion to
     energy_distance_q and ks_test_q over the same cohorts."""
-    from iniz_exporters_spark.operators.indexing import (
-        global_cumsum,
-        global_index,
-    )
+    from iniz_exporters_spark.operators.indexing import global_prefix
 
     e = Catalog(spark, sf_dir).events.filter(
         F.col("event_type") == "purchase"
@@ -21353,9 +21352,10 @@ def wasserstein_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("user_id") % 2 == 1, 1).otherwise(0).alias("iy"),
     )
     order = [F.col("v").asc(), F.col("user_id").asc()]
-    c = global_index(m, order, "t")
-    c = global_cumsum(c, order, "ix", "cxc")
-    c = global_cumsum(c, order, "iy", "cyc")
+    # rank + both CDF numerators in one fused range-partition pass
+    c = global_prefix(
+        m, order, {"cxc": "ix", "cyc": "iy"}, idx_col="t"
+    )
     tot = m.agg(F.sum("ix").alias("nx"), F.sum("iy").alias("ny"))
     a = c.select("t", "v", "cxc", "cyc")
     b = c.select((F.col("t") - 1).alias("t"), F.col("v").alias("v_next"))

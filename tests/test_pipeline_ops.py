@@ -611,3 +611,61 @@ def test_global_cumsum_empty_and_single_row(spark):
     one = spark.range(1).select(F.col("id").alias("k"), F.lit(5).alias("v"))
     rows = global_cumsum(one, [F.col("k").asc()], "v", "cum").collect()
     assert rows[0]["cum"] == 5
+
+
+def test_global_prefix_matches_chained_cumsums_and_rank(spark):
+    """The fused one-pass global_prefix == k chained global_cumsum
+    calls plus global_index, column for column."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from iniz_exporters_spark.operators.indexing import global_prefix
+
+    df = spark.range(0, 400).select(
+        ((F.col("id") * 7919) % 97).alias("k"),
+        F.col("id").alias("tb"),
+        ((F.col("id") % 11) + 1).alias("a"),
+        ((F.col("id") % 5) * 3).alias("b"),
+    )
+    got = {
+        (r["k"], r["tb"]): (r["ca"], r["cb"], r["t"])
+        for r in global_prefix(
+            df,
+            [F.col("k").asc(), F.col("tb").asc()],
+            {"ca": "a", "cb": "b"},
+            idx_col="t",
+        ).collect()
+    }
+    w = Window.orderBy("k", "tb")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r["k"], r["tb"]): (r["ca"], r["cb"], r["t"])
+        for r in df.select(
+            "k",
+            "tb",
+            F.sum("a").over(wc).alias("ca"),
+            F.sum("b").over(wc).alias("cb"),
+            F.row_number().over(w).cast("long").alias("t"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_prefix_single_pass_plan(spark):
+    """global_prefix must materialize exactly ONE checkpointed layout:
+    its executed plan scans a single ExistingRDD (the localCheckpoint),
+    where chained global_cumsum calls would show one per call."""
+    import pyspark.sql.functions as F
+
+    from iniz_exporters_spark.operators.indexing import global_prefix
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("tb"), (F.col("id") % 7).alias("a")
+    )
+    out = global_prefix(df, [F.col("tb").asc()], {"ca": "a"}, idx_col="t")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly two ExistingRDD scans: the ONE checkpointed data layout
+    # (columns start with tb) and the broadcast offsets table; chained
+    # global_cumsum calls would re-checkpoint the data per call
+    assert plan.count("Scan ExistingRDD[tb") == 1, plan
+    assert plan.count("ExistingRDD") == 2, plan
