@@ -23873,3 +23873,669 @@ def welford_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("m2d") - F.lit(m2)) / F.col("m2d") < 1e-9
         ).alias("merge_agrees"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch — round-8 session 5 (continued): restricted mean survival,
+# Dunn's post-hoc with BH control, deterministic exhaustive RANSAC,
+# Bradley-Terry strengths via rational MM iterations, and a Weiszfeld
+# geometric median (sqrt is IEEE-correctly-rounded, so the iterate
+# trajectory is bit-identical across engines).
+# ---------------------------------------------------------------------------
+
+
+# Restricted mean survival time (RMST) to the 14-day horizon: the area
+# under the Kaplan-Meier curve, sum of S(t_k) x (t_{k+1} - t_k) over
+# the step function clipped at tau = 14 — the one-number survival
+# summary that stays valid under censoring. Reuses km_survival_q's
+# duration frame; the step integration is a window pass over it.
+@register(
+    "rmst_q",
+    """
+    WITH su AS (
+        SELECT user_id, MIN(ts) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    la AS (SELECT user_id, MAX(ts) AS tl FROM events GROUP BY user_id),
+    pu AS (
+        SELECT e.user_id, MIN(e.ts) AS tp
+        FROM events e JOIN su USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= su.t0
+        GROUP BY e.user_id
+    ),
+    b AS (
+        SELECT su.user_id,
+               CASE WHEN tp IS NOT NULL
+                    THEN date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+                    ELSE date_diff('day', CAST(t0 AS DATE), CAST(tl AS DATE))
+               END AS t,
+               CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS obs
+        FROM su JOIN la USING (user_id)
+        LEFT JOIN pu ON pu.user_id = su.user_id
+    ),
+    g AS (SELECT t, SUM(obs) AS d, COUNT(*) AS m FROM b GROUP BY t),
+    tot AS (SELECT COUNT(*) AS nn FROM b),
+    k AS (
+        SELECT t, d, nn - (SUM(m) OVER (ORDER BY t) - m) AS n_risk
+        FROM g CROSS JOIN tot
+    ),
+    c AS (
+        SELECT t,
+               EXP(SUM(CASE WHEN n_risk > d
+                       THEN LN(CAST(n_risk - d AS DOUBLE)
+                               / CAST(n_risk AS DOUBLE)) END)
+                   OVER (ORDER BY t)) AS s
+        FROM k WHERE d > 0 AND t < 14
+    ),
+    steps AS (
+        SELECT t, s,
+               COALESCE(LEAD(t) OVER (ORDER BY t), 14) AS t_next,
+               LAG(t) OVER (ORDER BY t) IS NULL AS is_first
+        FROM c WHERE t < 14
+    )
+    SELECT CAST(ROUND(
+               MAX(CASE WHEN is_first THEN t ELSE 0 END)
+               + CAST(SUM(CAST(s * (least(t_next, 14) - t)
+                     AS DECIMAL(28,12))) AS DOUBLE), 4) AS DOUBLE)
+               + 0.0 AS rmst_14d,
+           CAST(COUNT(*) AS BIGINT) AS n_steps
+    FROM steps
+    """,
+)
+def rmst_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected conversion-free days within the first two weeks —
+    the integral summary of km_survival_q (S = 1 before the first
+    event time, so that span contributes its full width)."""
+    ev = Catalog(spark, sf_dir).events
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    la = ev.groupBy("user_id").agg(F.max("ts").alias("tl"))
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    b = (
+        su.join(la, "user_id")
+        .join(pu, "user_id", "left")
+        .select(
+            F.when(
+                F.col("tp").isNotNull(),
+                F.datediff(F.to_date("tp"), F.to_date("t0")),
+            )
+            .otherwise(F.datediff(F.to_date("tl"), F.to_date("t0")))
+            .alias("t"),
+            F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("obs"),
+        )
+    )
+    g = b.groupBy("t").agg(
+        F.sum("obs").alias("d"), F.count(F.lit(1)).alias("m")
+    )
+    tot = b.agg(F.count(F.lit(1)).alias("nn"))
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    k = g.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (F.col("nn") - (F.sum("m").over(wcum) - F.col("m"))).alias(
+            "n_risk"
+        ),
+    )
+    c = (
+        k.filter((F.col("d") > 0) & (F.col("t") < 14))
+        .select(
+            "t",
+            "d",
+            "n_risk",
+        )
+        .withColumn(
+            "s",
+            F.exp(
+                F.sum(
+                    F.when(
+                        F.col("n_risk") > F.col("d"),
+                        F.log(
+                            (F.col("n_risk") - F.col("d")).cast("double")
+                            / F.col("n_risk").cast("double")
+                        ),
+                    )
+                ).over(wcum)
+            ),
+        )
+    )
+    wlead = Window.orderBy("t")
+    steps = c.select(
+        "t",
+        "s",
+        F.coalesce(F.lead("t").over(wlead), F.lit(14)).alias("t_next"),
+        F.lag("t").over(wlead).isNull().alias("is_first"),
+    )
+    return steps.agg(
+        (
+            F.round(
+                F.max(
+                    F.when(F.col("is_first"), F.col("t")).otherwise(0)
+                )
+                + _dsum(
+                    F.col("s")
+                    * (
+                        F.least(F.col("t_next"), F.lit(14)) - F.col("t")
+                    )
+                ).cast("double"),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("rmst_14d"),
+        F.count(F.lit(1)).cast("long").alias("n_steps"),
+    )
+
+
+# Dunn's post-hoc test after kruskal_wallis_q, BH-corrected: pairwise
+# mean-rank z statistics between market segments on the SHARED
+# midrank table (z_ij = (Rbar_i - Rbar_j) / sqrt(N(N+1)/12 (1/ni +
+# 1/nj)), rank2 = doubled midranks keep rank sums integral), then the
+# Benjamini-Hochberg step-up over the 10 pairwise A&S-erfc p-values
+# (the bh_fdr_q machinery). Rank sums come from avg_rank2_table
+# (range-partitioned); the pair table is k(k-1)/2 rows.
+@register(
+    "dunn_test_q",
+    """
+    WITH v AS (
+        SELECT c_mktsegment AS seg, c_acctbal AS x FROM customer
+    ),
+    cnt AS (SELECT x, COUNT(*) AS cnt FROM v GROUP BY x),
+    rk AS (
+        SELECT x, 2 * SUM(cnt) OVER (ORDER BY x) - cnt + 1 AS rank2
+        FROM cnt
+    ),
+    seg AS (
+        SELECT v.seg, COUNT(*) AS n,
+               CAST(SUM(rk.rank2) AS DOUBLE) / (2 * COUNT(*))
+                   AS mean_rank
+        FROM v JOIN rk ON rk.x = v.x
+        GROUP BY v.seg
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM seg),
+    pairs AS (
+        SELECT a.seg AS seg_a, b.seg AS seg_b,
+               abs(a.mean_rank - b.mean_rank)
+               / sqrt((SELECT nn * (nn + 1) / 12.0 FROM tot)
+                      * (1.0 / a.n + 1.0 / b.n)) AS az
+        FROM seg a JOIN seg b ON a.seg < b.seg
+    ),
+    p AS (
+        SELECT seg_a, seg_b, az,
+               (0.254829592 * (1 / (1 + 0.3275911 * az / sqrt(2.0)))
+                - 0.284496736 * pow(1 / (1 + 0.3275911 * az / sqrt(2.0)), 2)
+                + 1.421413741 * pow(1 / (1 + 0.3275911 * az / sqrt(2.0)), 3)
+                - 1.453152027 * pow(1 / (1 + 0.3275911 * az / sqrt(2.0)), 4)
+                + 1.061405429 * pow(1 / (1 + 0.3275911 * az / sqrt(2.0)), 5))
+               * exp(-az * az / 2.0) AS pv
+        FROM pairs
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY pv, seg_a, seg_b) AS i,
+               COUNT(*) OVER () AS m
+        FROM p
+    ),
+    kstar AS (
+        SELECT ranked.*,
+               MAX(CASE WHEN pv <= 0.05 * i / m THEN i END) OVER () AS k
+        FROM ranked
+    )
+    SELECT seg_a, seg_b,
+           CAST(ROUND(az, 4) AS DOUBLE) + 0.0 AS abs_z,
+           CAST(ROUND(pv, 6) AS DOUBLE) + 0.0 AS p_value,
+           COALESCE(i <= k, FALSE) AS significant
+    FROM kstar
+    """,
+)
+def dunn_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH segments differ in rank location after kruskal_wallis_q
+    rejects — the nonparametric sibling of tukey_hsd_q, with FDR
+    control instead of the studentized range."""
+    from iniz_exporters_spark.operators.indexing import avg_rank2_table
+
+    c = Catalog(spark, sf_dir).customer
+    v = c.select(F.col("c_mktsegment").alias("seg"), F.col("c_acctbal").alias("x"))
+    cnt = v.groupBy("x").agg(F.count(F.lit(1)).alias("cnt"))
+    rk = avg_rank2_table(cnt, "x")
+    seg = (
+        v.join(rk, "x")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum("rank2").cast("double") / (2 * F.count(F.lit(1)))
+            ).alias("mean_rank"),
+        )
+    )
+    tot = seg.agg(F.sum("n").cast("long").alias("nn"))
+    a = seg.select(
+        F.col("seg").alias("seg_a"),
+        F.col("n").alias("na"),
+        F.col("mean_rank").alias("ra"),
+    )
+    b = seg.select(
+        F.col("seg").alias("seg_b"),
+        F.col("n").alias("nb"),
+        F.col("mean_rank").alias("rb"),
+    )
+    pairs = a.join(b, F.col("seg_a") < F.col("seg_b")).crossJoin(
+        F.broadcast(tot)
+    )
+    az = F.abs(F.col("ra") - F.col("rb")) / F.sqrt(
+        (F.col("nn") * (F.col("nn") + 1) / 12.0)
+        * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    p = pairs.select("seg_a", "seg_b", az.alias("az"))
+    t = 1 / (1 + 0.3275911 * F.col("az") / F.sqrt(F.lit(2.0)))
+    pv = (
+        0.254829592 * t
+        - 0.284496736 * F.pow(t, 2)
+        + 1.421413741 * F.pow(t, 3)
+        - 1.453152027 * F.pow(t, 4)
+        + 1.061405429 * F.pow(t, 5)
+    ) * F.exp(-F.col("az") * F.col("az") / 2.0)
+    p = p.withColumn("pv", pv)
+    wr = Window.orderBy("pv", "seg_a", "seg_b")
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = p.select(
+        "seg_a",
+        "seg_b",
+        "az",
+        "pv",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wt).alias("m"),
+    )
+    kstar = ranked.withColumn(
+        "k",
+        F.max(
+            F.when(
+                F.col("pv") <= 0.05 * F.col("i") / F.col("m"), F.col("i")
+            )
+        ).over(wt),
+    )
+    return kstar.select(
+        "seg_a",
+        "seg_b",
+        (F.round(F.col("az"), 4) + F.lit(0.0)).alias("abs_z"),
+        (F.round(F.col("pv"), 6) + F.lit(0.0)).alias("p_value"),
+        F.coalesce(F.col("i") <= F.col("k"), F.lit(False)).alias(
+            "significant"
+        ),
+    )
+
+
+# Exhaustive deterministic RANSAC line fit on the daily revenue
+# series: every day PAIR proposes the line through its two points;
+# the consensus score counts days within eps = 2 x MAD of residuals
+# from theil_sen-style center... here a fixed eps = 50.0 value units.
+# Winner = most inliers, ties -> smallest (i, j). O(days^2 x days)
+# work on the calendar-bounded frame — the exhaustive version of
+# sampling RANSAC, fully replayable. Slopes are exact-decimal ratios
+# evaluated in double identically on both engines.
+@register(
+    "ransac_trend_q",
+    """
+    WITH daily AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY CAST(ts AS DATE)) AS t,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*) AS DECIMAL(18,6)) AS y
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    cand AS (
+        SELECT a.t AS i, b.t AS j,
+               CAST(b.y - a.y AS DOUBLE) / (b.t - a.t) AS slope,
+               CAST(a.y AS DOUBLE)
+                   - CAST(b.y - a.y AS DOUBLE) / (b.t - a.t) * a.t
+                   AS intercept
+        FROM daily a JOIN daily b ON b.t > a.t
+    ),
+    scored AS (
+        SELECT c.i, c.j, c.slope, c.intercept,
+               SUM(CASE WHEN abs(CAST(d.y AS DOUBLE)
+                        - (c.slope * d.t + c.intercept)) <= 50.0
+                   THEN 1 ELSE 0 END) AS inliers
+        FROM cand c JOIN daily d ON TRUE
+        GROUP BY c.i, c.j, c.slope, c.intercept
+    ),
+    best AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY inliers DESC, i, j) AS rk
+        FROM scored
+    )
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           CAST(ROUND(slope, 6) AS DOUBLE) + 0.0 AS slope,
+           CAST(ROUND(intercept, 4) AS DOUBLE) + 0.0 AS intercept,
+           CAST(inliers AS BIGINT) AS n_inliers
+    FROM best WHERE rk = 1
+    """,
+)
+def ransac_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consensus line through daily revenue, immune to anomaly
+    days that bend OLS — exhaustive over all day pairs, so no RNG and
+    no iteration count to tune (theil_sen_q is the median-slope
+    cousin; this one reports its supporting set size)."""
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    wday = Window.orderBy("day")
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            (
+                F.sum(_dec(F.col("value"), 18, 6)).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast("decimal(18,6)")
+            .alias("y")
+        )
+        .select(F.row_number().over(wday).alias("t"), "y")
+    )
+    a = daily.select(F.col("t").alias("i"), F.col("y").alias("ya"))
+    b = daily.select(F.col("t").alias("j"), F.col("y").alias("yb"))
+    slope = (F.col("yb") - F.col("ya")).cast("double") / (
+        F.col("j") - F.col("i")
+    )
+    cand = a.join(b, F.col("j") > F.col("i")).select(
+        "i",
+        "j",
+        slope.alias("slope"),
+        (F.col("ya").cast("double") - slope * F.col("i")).alias(
+            "intercept"
+        ),
+    )
+    scored = (
+        cand.join(daily)
+        .groupBy("i", "j", "slope", "intercept")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(
+                        F.col("y").cast("double")
+                        - (F.col("slope") * F.col("t") + F.col("intercept"))
+                    )
+                    <= 50.0,
+                    1,
+                ).otherwise(0)
+            ).alias("inliers")
+        )
+    )
+    wbest = Window.orderBy(F.col("inliers").desc(), "i", "j")
+    return (
+        scored.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            (F.round(F.col("slope"), 6) + F.lit(0.0)).alias("slope"),
+            (F.round(F.col("intercept"), 4) + F.lit(0.0)).alias(
+                "intercept"
+            ),
+            F.col("inliers").cast("long").alias("n_inliers"),
+        )
+    )
+
+
+# Bradley-Terry strengths for the five event types from daily-mean
+# "matches" (type i beats type j on a day its mean value is higher):
+# three unrolled MM iterations pi' = W_i / sum_j n_ij/(pi_i + pi_j)
+# from a uniform start — every step a RATIONAL function of integer
+# win counts (the fuzzy_cmeans_q determinism trick), normalized to
+# sum 1 at the end. The win matrix is 5x5 metadata; iterations are
+# scalar passes over it.
+@register(
+    "bradley_terry_q",
+    """
+    WITH dt AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*) AS DECIMAL(18,6)) AS m
+        FROM events GROUP BY CAST(ts AS DATE), event_type
+    ),
+    games AS (
+        SELECT a.event_type AS ti, b.event_type AS tj,
+               SUM(CASE WHEN a.m > b.m THEN 1 ELSE 0 END) AS w
+        FROM dt a JOIN dt b
+            ON b.day = a.day AND a.event_type <> b.event_type
+        GROUP BY a.event_type, b.event_type
+    ),
+    p0 AS (
+        SELECT DISTINCT ti AS t, 1.0 AS pi FROM games
+    ),
+    it1 AS (
+        SELECT g.ti AS t,
+               SUM(g.w) / SUM((g.w + g2.w)
+                   / (pa.pi + pb.pi)) AS pi
+        FROM games g
+        JOIN games g2 ON g2.ti = g.tj AND g2.tj = g.ti
+        JOIN p0 pa ON pa.t = g.ti JOIN p0 pb ON pb.t = g.tj
+        GROUP BY g.ti
+    ),
+    it2 AS (
+        SELECT g.ti AS t,
+               SUM(g.w) / SUM((g.w + g2.w)
+                   / (pa.pi + pb.pi)) AS pi
+        FROM games g
+        JOIN games g2 ON g2.ti = g.tj AND g2.tj = g.ti
+        JOIN it1 pa ON pa.t = g.ti JOIN it1 pb ON pb.t = g.tj
+        GROUP BY g.ti
+    ),
+    it3 AS (
+        SELECT g.ti AS t,
+               SUM(g.w) / SUM((g.w + g2.w)
+                   / (pa.pi + pb.pi)) AS pi
+        FROM games g
+        JOIN games g2 ON g2.ti = g.tj AND g2.tj = g.ti
+        JOIN it2 pa ON pa.t = g.ti JOIN it2 pb ON pb.t = g.tj
+        GROUP BY g.ti
+    )
+    SELECT t AS event_type,
+           CAST(ROUND(pi / (SELECT SUM(pi) FROM it3), 6) AS DOUBLE)
+               + 0.0 AS strength
+    FROM it3
+    """,
+)
+def bradley_terry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which event type 'wins' the daily value contest once every
+    pairing is accounted for? Paired-comparison strengths, MM-
+    iterated; rational arithmetic end to end so the trajectory is
+    engine-exact."""
+    e = Catalog(spark, sf_dir).events
+    dt = e.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        (
+            F.sum(_dec(F.col("value"), 18, 6)).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("decimal(18,6)")
+        .alias("m")
+    )
+    a = dt.select(
+        F.col("day").alias("da"),
+        F.col("event_type").alias("ti"),
+        F.col("m").alias("ma"),
+    )
+    bb = dt.select(
+        F.col("day").alias("db"),
+        F.col("event_type").alias("tj"),
+        F.col("m").alias("mb"),
+    )
+    games = (
+        a.join(
+            bb,
+            (F.col("da") == F.col("db"))
+            & (F.col("ti") != F.col("tj")),
+        )
+        .groupBy("ti", "tj")
+        .agg(
+            F.sum(
+                F.when(F.col("ma") > F.col("mb"), 1).otherwise(0)
+            ).alias("w")
+        )
+    )
+    g2 = games.select(
+        F.col("ti").alias("tj2"),
+        F.col("tj").alias("ti2"),
+        F.col("w").alias("w2"),
+    )
+    full = games.join(
+        g2,
+        (F.col("ti") == F.col("ti2")) & (F.col("tj") == F.col("tj2")),
+    ).select("ti", "tj", "w", "w2")
+    pi = full.select(F.col("ti").alias("t")).distinct().withColumn(
+        "pi", F.lit(1.0)
+    )
+    for _ in range(3):
+        pa = pi.select(F.col("t").alias("ti"), F.col("pi").alias("pa"))
+        pb = pi.select(F.col("t").alias("tj"), F.col("pi").alias("pb"))
+        pi = (
+            full.join(F.broadcast(pa), "ti")
+            .join(F.broadcast(pb), "tj")
+            .groupBy(F.col("ti").alias("t"))
+            .agg(
+                (
+                    F.sum("w")
+                    / F.sum(
+                        (F.col("w") + F.col("w2"))
+                        / (F.col("pa") + F.col("pb"))
+                    )
+                ).alias("pi")
+            )
+        )
+    tot = pi.agg(F.sum("pi").alias("s"))
+    return pi.crossJoin(F.broadcast(tot)).select(
+        F.col("t").alias("event_type"),
+        (
+            F.round(F.col("pi") / F.col("s"), 6) + F.lit(0.0)
+        ).alias("strength"),
+    )
+
+
+# Geometric median of the 2-D embedding cloud (dims 1-2) by three
+# unrolled Weiszfeld iterations from the coordinate mean:
+# x' = sum(p_i / d_i) / sum(1 / d_i), d_i = euclidean distance to the
+# current iterate. sqrt is IEEE-correctly-rounded, so — like
+# fuzzy_cmeans_q's rational memberships — the whole trajectory is
+# bit-identical across engines. Each iteration is one corpus pass with
+# DECIMAL(28,12)-quantized weighted sums; the iterate is a broadcast
+# 1-row frame.
+@register(
+    "geometric_median_q",
+    """
+    WITH p AS (
+        SELECT CAST(embedding[1] AS DOUBLE) AS x,
+               CAST(embedding[2] AS DOUBLE) AS y
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*) AS cx,
+               CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*) AS cy
+        FROM p
+    ),
+    c1 AS (
+        SELECT CAST(SUM(CAST(x / d AS DECIMAL(28,12))) AS DOUBLE)
+               / CAST(SUM(CAST(1 / d AS DECIMAL(28,12))) AS DOUBLE)
+                   AS cx,
+               CAST(SUM(CAST(y / d AS DECIMAL(28,12))) AS DOUBLE)
+               / CAST(SUM(CAST(1 / d AS DECIMAL(28,12))) AS DOUBLE)
+                   AS cy
+        FROM (SELECT x, y,
+                     sqrt((x - (SELECT cx FROM c0))
+                          * (x - (SELECT cx FROM c0))
+                          + (y - (SELECT cy FROM c0))
+                            * (y - (SELECT cy FROM c0))) AS d
+              FROM p) WHERE d > 0
+    ),
+    c2 AS (
+        SELECT CAST(SUM(CAST(x / d AS DECIMAL(28,12))) AS DOUBLE)
+               / CAST(SUM(CAST(1 / d AS DECIMAL(28,12))) AS DOUBLE)
+                   AS cx,
+               CAST(SUM(CAST(y / d AS DECIMAL(28,12))) AS DOUBLE)
+               / CAST(SUM(CAST(1 / d AS DECIMAL(28,12))) AS DOUBLE)
+                   AS cy
+        FROM (SELECT x, y,
+                     sqrt((x - (SELECT cx FROM c1))
+                          * (x - (SELECT cx FROM c1))
+                          + (y - (SELECT cy FROM c1))
+                            * (y - (SELECT cy FROM c1))) AS d
+              FROM p) WHERE d > 0
+    ),
+    c3 AS (
+        SELECT CAST(SUM(CAST(x / d AS DECIMAL(28,12))) AS DOUBLE)
+               / CAST(SUM(CAST(1 / d AS DECIMAL(28,12))) AS DOUBLE)
+                   AS cx,
+               CAST(SUM(CAST(y / d AS DECIMAL(28,12))) AS DOUBLE)
+               / CAST(SUM(CAST(1 / d AS DECIMAL(28,12))) AS DOUBLE)
+                   AS cy
+        FROM (SELECT x, y,
+                     sqrt((x - (SELECT cx FROM c2))
+                          * (x - (SELECT cx FROM c2))
+                          + (y - (SELECT cy FROM c2))
+                            * (y - (SELECT cy FROM c2))) AS d
+              FROM p) WHERE d > 0
+    )
+    SELECT CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_points,
+           CAST(ROUND(cx, 6) AS DOUBLE) + 0.0 AS median_x,
+           CAST(ROUND(cy, 6) AS DOUBLE) + 0.0 AS median_y
+    FROM c3
+    """,
+)
+def geometric_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The L1-optimal center of the embedding cloud — the robust
+    anchor centroid_drift_q should diff against when outliers poison
+    the mean. Points exactly AT the iterate are dropped from that
+    step's weights (the standard Weiszfeld guard), identically in
+    both engines."""
+    emb = Catalog(spark, sf_dir).embeddings
+    p = emb.select(
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    cent = p.agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cx"),
+        (
+            F.sum(F.col("y").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cy"),
+    )
+    for _ in range(3):
+        j = p.crossJoin(F.broadcast(cent))
+        d = F.sqrt(
+            (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+            + (F.col("y") - F.col("cy")) * (F.col("y") - F.col("cy"))
+        )
+        wj = j.withColumn("d", d).filter(F.col("d") > 0)
+        cent = wj.agg(
+            (
+                F.sum((F.col("x") / F.col("d")).cast("decimal(28,12)"))
+                .cast("double")
+                / F.sum(
+                    (F.lit(1) / F.col("d")).cast("decimal(28,12)")
+                ).cast("double")
+            ).alias("cx"),
+            (
+                F.sum((F.col("y") / F.col("d")).cast("decimal(28,12)"))
+                .cast("double")
+                / F.sum(
+                    (F.lit(1) / F.col("d")).cast("decimal(28,12)")
+                ).cast("double")
+            ).alias("cy"),
+        )
+    n = p.agg(F.count(F.lit(1)).alias("n_points"))
+    return cent.crossJoin(F.broadcast(n)).select(
+        F.col("n_points").cast("long").alias("n_points"),
+        (F.round(F.col("cx"), 6) + F.lit(0.0)).alias("median_x"),
+        (F.round(F.col("cy"), 6) + F.lit(0.0)).alias("median_y"),
+    )

@@ -2587,3 +2587,168 @@ def test_welford_merge_q_matches_bruteforce(spark):
     assert row["var_direct"] == pytest.approx(var, rel=1e-6)
     assert row["var_merged"] == pytest.approx(var, rel=1e-6)
     assert row["merge_agrees"] is True
+
+
+def test_rmst_q_matches_bruteforce(spark):
+    """KM step integral replayed sequentially."""
+    subj = _km_table()
+    times = sorted({d for d, o in subj if o == 1 and d < 14})
+    s = 1.0
+    curve = []
+    for t in times:
+        n = sum(1 for d, _ in subj if d >= t)
+        d = sum(1 for dd, o in subj if dd == t and o == 1)
+        if n > d:
+            s *= (n - d) / n
+        curve.append((t, s))
+    rmst = curve[0][0] if curve else 14.0
+    for (t, sv), (t_next, _) in zip(curve, curve[1:] + [(14, None)]):
+        rmst += sv * (min(t_next, 14) - t)
+    row = REGISTRY["rmst_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_steps"] == len(curve)
+    assert row["rmst_14d"] == pytest.approx(rmst, abs=2e-4)
+
+
+def test_dunn_test_q_matches_bruteforce(spark):
+    """Dunn pairwise z + BH replayed with midranks."""
+    groups = defaultdict(list)
+    allx = []
+    for _, seg, bal in _balances():
+        groups[seg].append(bal)
+        allx.append(bal)
+    allx.sort()
+    rank_of = {}
+    i = 0
+    while i < len(allx):
+        j = i
+        while j < len(allx) and allx[j] == allx[i]:
+            j += 1
+        mid = (i + 1 + j) / 2
+        rank_of[allx[i]] = mid
+        i = j
+    nn = len(allx)
+    mr = {
+        s: sum(rank_of[x] for x in v) / len(v)
+        for s, v in groups.items()
+    }
+    segs = sorted(groups)
+    fam = []
+    for ii, a in enumerate(segs):
+        for b in segs[ii + 1 :]:
+            az = abs(mr[a] - mr[b]) / math.sqrt(
+                nn * (nn + 1) / 12 * (1 / len(groups[a]) + 1 / len(groups[b]))
+            )
+            fam.append((a, b, az, math.erfc(az / math.sqrt(2))))
+    fam_sorted = sorted(fam, key=lambda r: (r[3], r[0], r[1]))
+    m = len(fam)
+    kstar = max(
+        (i for i, r in enumerate(fam_sorted, 1) if r[3] <= 0.05 * i / m),
+        default=0,
+    )
+    sig = {
+        (r[0], r[1]): i <= kstar
+        for i, r in enumerate(fam_sorted, 1)
+    }
+    got = {
+        (r["seg_a"], r["seg_b"]): r
+        for r in REGISTRY["dunn_test_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert len(got) == m
+    for a, b, az, p in fam:
+        r = got[(a, b)]
+        assert r["abs_z"] == pytest.approx(az, abs=2e-4)
+        assert r["p_value"] == pytest.approx(p, abs=1e-6)
+        assert r["significant"] == sig[(a, b)]
+
+
+def test_ransac_trend_q_matches_bruteforce(spark):
+    """Exhaustive consensus search replayed with loops."""
+    ms = [
+        float(_q6(float(s) / c))
+        for s, c in _daily("purchase", agg="pairs")
+    ]
+    pts = list(enumerate(ms, start=1))
+    best = None
+    for ii, (ti, yi) in enumerate(pts):
+        for tj, yj in pts[ii + 1 :]:
+            slope = (yj - yi) / (tj - ti)
+            icpt = yi - slope * ti
+            inl = sum(
+                1 for t, y in pts if abs(y - (slope * t + icpt)) <= 50.0
+            )
+            key = (-inl, ti, tj)
+            if best is None or key < best[0]:
+                best = (key, slope, icpt)
+    (negin, i, j), slope, icpt = best
+    row = REGISTRY["ransac_trend_q"].fn(spark, SF_SMALL).collect()[0]
+    assert (row["i"], row["j"]) == (i, j)
+    assert row["n_inliers"] == -negin
+    assert row["slope"] == pytest.approx(slope, abs=2e-6)
+    assert row["intercept"] == pytest.approx(icpt, abs=2e-4)
+
+
+def test_bradley_terry_q_matches_bruteforce(spark):
+    """MM iterations replayed with dict arithmetic."""
+    dt = defaultdict(dict)
+    agg = defaultdict(lambda: [Decimal(0), 0])
+    for _, ts, _, v, t in _events():
+        d = agg[(ts.date(), t)]
+        d[0] += Decimal(str(v)).quantize(Decimal("0.000001"))
+        d[1] += 1
+    for (day, t), (s, c) in agg.items():
+        dt[day][t] = _q6(float(s) / c)
+    wins = Counter()
+    for day, ms in dt.items():
+        for ti in ms:
+            for tj in ms:
+                if ti != tj and ms[ti] > ms[tj]:
+                    wins[(ti, tj)] += 1
+    types = sorted({t for d in dt.values() for t in d})
+    pi = {t: 1.0 for t in types}
+    for _ in range(3):
+        new = {}
+        for ti in types:
+            w_i = sum(wins.get((ti, tj), 0) for tj in types if tj != ti)
+            den = sum(
+                (wins.get((ti, tj), 0) + wins.get((tj, ti), 0))
+                / (pi[ti] + pi[tj])
+                for tj in types
+                if tj != ti
+            )
+            new[ti] = w_i / den
+        pi = new
+    tot = sum(pi.values())
+    got = {
+        r["event_type"]: r["strength"]
+        for r in REGISTRY["bradley_terry_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(types)
+    for t in types:
+        assert got[t] == pytest.approx(pi[t] / tot, abs=2e-6)
+
+
+def test_geometric_median_q_matches_bruteforce(spark):
+    """Weiszfeld trajectory replayed with numpy."""
+    import numpy as np
+
+    con = duckdb.connect()
+    pts = np.array(
+        [
+            (v[0], v[1])
+            for (v,) in con.execute(
+                f"SELECT embedding FROM "
+                f"read_parquet('{SF_SMALL}/embeddings.parquet')"
+            ).fetchall()
+        ],
+        dtype=np.float64,
+    )
+    c = pts.mean(axis=0)
+    for _ in range(3):
+        d = np.sqrt(((pts - c) ** 2).sum(axis=1))
+        mask = d > 0
+        w = 1 / d[mask]
+        c = (pts[mask] * w[:, None]).sum(axis=0) / w.sum()
+    row = REGISTRY["geometric_median_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_points"] == len(pts)
+    assert row["median_x"] == pytest.approx(c[0], abs=2e-5)
+    assert row["median_y"] == pytest.approx(c[1], abs=2e-5)
