@@ -24539,3 +24539,460 @@ def geometric_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("cx"), 6) + F.lit(0.0)).alias("median_x"),
         (F.round(F.col("cy"), 6) + F.lit(0.0)).alias("median_y"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch — round-8 session 6: OLS influence diagnostics, Box-Cox
+# transform selection, the Youden-J operating point, expected
+# calibration error on integer-keyed bins, and the Lorenz curve.
+# ---------------------------------------------------------------------------
+
+
+# Influence diagnostics for the daily-revenue-vs-time OLS: leverage
+# h_i = 1/n + (t - tbar)^2 / Sxx, internally studentized residual
+# r_i = e_i / (s sqrt(1 - h_i)), Cook's D = r_i^2 h_i / (2 (1 - h_i)).
+# Fit moments come from DECIMAL-quantized sums; the per-day
+# diagnostics are window-free arithmetic against the broadcast fit.
+# Flags days with D > 4/n — the standard screening cut.
+@register(
+    "regression_diagnostics_q",
+    """
+    WITH daily AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY CAST(ts AS DATE)) AS t,
+               CAST(ts AS DATE) AS day,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*) AS DECIMAL(18,6)) AS y
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(t) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(t AS BIGINT) * t) AS DOUBLE) AS sxx,
+               CAST(SUM(t * y) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(y AS DECIMAL(16,6))
+                        * CAST(y AS DECIMAL(16,6))) AS DOUBLE) AS syy
+        FROM daily
+    ),
+    fit AS (
+        SELECT n,
+               (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b,
+               sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                   * sx / n AS a,
+               sxx - sx * sx / n AS cxx, sx / n AS xbar,
+               ((syy - sy * sy / n)
+                - (sxy - sx * sy / n) * (sxy - sx * sy / n)
+                  / (sxx - sx * sx / n)) / (n - 2) AS s2
+        FROM m
+    ),
+    diag AS (
+        SELECT d.day, d.t,
+               CAST(d.y AS DOUBLE) - (fit.a + fit.b * d.t) AS e,
+               1.0 / fit.n + (d.t - fit.xbar) * (d.t - fit.xbar)
+                   / fit.cxx AS h,
+               fit.s2, fit.n
+        FROM daily d, fit
+    )
+    SELECT day,
+           CAST(ROUND(e, 4) AS DOUBLE) + 0.0 AS residual,
+           CAST(ROUND(h, 6) AS DOUBLE) + 0.0 AS leverage,
+           CAST(ROUND(e / sqrt(s2 * (1 - h)), 4) AS DOUBLE) + 0.0
+               AS studentized,
+           CAST(ROUND((e / sqrt(s2 * (1 - h)))
+                * (e / sqrt(s2 * (1 - h))) * h / (2 * (1 - h)), 6)
+               AS DOUBLE) + 0.0 AS cooks_d,
+           (e / sqrt(s2 * (1 - h))) * (e / sqrt(s2 * (1 - h)))
+               * h / (2 * (1 - h)) > 4.0 / n AS influential
+    FROM diag
+    """,
+)
+def regression_diagnostics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH days drive the fitted trend — the leverage/Cook's D sheet
+    that should accompany any slope claim from theil_sen_q or
+    trend_break_q."""
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    wday = Window.orderBy("day")
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            (
+                F.sum(_dec(F.col("value"), 18, 6)).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast("decimal(18,6)")
+            .alias("y")
+        )
+        .withColumn("t", F.row_number().over(wday))
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("t").cast("long") * F.col("t"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("t") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(
+            F.col("y").cast("decimal(16,6)")
+            * F.col("y").cast("decimal(16,6)")
+        )
+        .cast("double")
+        .alias("syy"),
+    )
+    n = F.col("n")
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    fit = m.select(
+        "n",
+        (cxy / cxx).alias("b"),
+        (F.col("sy") / n - cxy / cxx * F.col("sx") / n).alias("a"),
+        cxx.alias("cxx"),
+        (F.col("sx") / n).alias("xbar"),
+        ((cyy - cxy * cxy / cxx) / (n - 2)).alias("s2"),
+    )
+    diag = daily.crossJoin(F.broadcast(fit)).select(
+        "day",
+        (
+            F.col("y").cast("double")
+            - (F.col("a") + F.col("b") * F.col("t"))
+        ).alias("e"),
+        (
+            1.0 / F.col("n")
+            + (F.col("t") - F.col("xbar"))
+            * (F.col("t") - F.col("xbar"))
+            / F.col("cxx")
+        ).alias("h"),
+        "s2",
+        "n",
+    )
+    stud = F.col("e") / F.sqrt(F.col("s2") * (1 - F.col("h")))
+    cd = stud * stud * F.col("h") / (2 * (1 - F.col("h")))
+    return diag.select(
+        "day",
+        (F.round(F.col("e"), 4) + F.lit(0.0)).alias("residual"),
+        (F.round(F.col("h"), 6) + F.lit(0.0)).alias("leverage"),
+        (F.round(stud, 4) + F.lit(0.0)).alias("studentized"),
+        (F.round(cd, 6) + F.lit(0.0)).alias("cooks_d"),
+        (cd > 4.0 / F.col("n")).alias("influential"),
+    )
+
+
+# Box-Cox lambda selection for order prices by profile log-likelihood
+# over the standard grid {-1, -0.5, 0, 0.5, 1}: LL(lambda) =
+# -n/2 ln(var(y_lambda)) + (lambda - 1) sum(ln x). Per-lambda moments
+# come from one corpus pass fanned out over the 5-row grid; the
+# transform and variance are the accepted per-row float class
+# (pow/ln), with DECIMAL-quantized sums.
+@register(
+    "boxcox_q",
+    """
+    WITH x AS (SELECT o_totalprice AS v FROM orders),
+    lam AS (SELECT CAST(unnest([-1.0, -0.5, 0.0, 0.5, 1.0]) AS DOUBLE) AS l),
+    t AS (
+        SELECT lam.l, x.v,
+               CASE WHEN lam.l = 0 THEN ln(x.v)
+                    ELSE (pow(x.v, lam.l) - 1) / lam.l END AS y
+        FROM x CROSS JOIN lam
+    ),
+    m AS (
+        SELECT l, COUNT(*) AS n,
+               CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE)
+                   AS syy,
+               CAST(SUM(CAST(ln(v) AS DECIMAL(28,12))) AS DOUBLE)
+                   AS slnx
+        FROM t GROUP BY l
+    ),
+    ll AS (
+        SELECT l, n,
+               -n / 2.0 * ln((syy - sy * sy / n) / n)
+                   + (l - 1) * slnx AS loglik
+        FROM m
+    )
+    SELECT l AS lambda,
+           CAST(ROUND(loglik, 2) AS DOUBLE) + 0.0 AS profile_ll,
+           loglik = (SELECT MAX(loglik) FROM ll) AS is_best
+    FROM ll
+    """,
+)
+def boxcox_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which power transform makes order prices most Gaussian? The
+    winsorize/log decision (winsorize_prices, lang of skew_profile)
+    made principled: profile likelihood over the canonical grid."""
+    o = Catalog(spark, sf_dir).orders.select(
+        F.col("o_totalprice").alias("v")
+    )
+    lam = o.sparkSession.createDataFrame(
+        [(-1.0,), (-0.5,), (0.0,), (0.5,), (1.0,)], "l double"
+    )
+    t = o.crossJoin(F.broadcast(lam)).select(
+        "l",
+        "v",
+        F.when(F.col("l") == 0, F.log("v"))
+        .otherwise((F.pow(F.col("v"), F.col("l")) - 1) / F.col("l"))
+        .alias("y"),
+    )
+    m = t.groupBy("l").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.log("v").cast("decimal(28,12)"))
+        .cast("double")
+        .alias("slnx"),
+    )
+    n = F.col("n")
+    ll = m.select(
+        "l",
+        (
+            -n / 2.0
+            * F.log((F.col("syy") - F.col("sy") * F.col("sy") / n) / n)
+            + (F.col("l") - 1) * F.col("slnx")
+        ).alias("loglik"),
+    )
+    mx = ll.agg(F.max("loglik").alias("best"))
+    return ll.crossJoin(F.broadcast(mx)).select(
+        F.col("l").alias("lambda"),
+        (F.round(F.col("loglik"), 2) + F.lit(0.0)).alias("profile_ll"),
+        (F.col("loglik") == F.col("best")).alias("is_best"),
+    )
+
+
+# Youden-J optimal operating point for the roc_auc_q scorer: over the
+# per-distinct-score ROC table, J(s) = TPR(s) - FPR(s) for the rule
+# "predict positive when score >= s"; the report row is the
+# J-maximizing threshold (ties -> smallest threshold). Same grouped-
+# counts scale shape as roc_auc_q — windows run over the SCORE table.
+@register(
+    "youden_j_q",
+    f"""
+    WITH scored AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               ROUND(CAST(list_sum(list_transform(t, x -> length(x)))
+                          AS DOUBLE) / len(t), 4) AS s
+        FROM (SELECT lang, {_SQL_TOKENS} AS t FROM documents)
+        WHERE len(t) > 0
+    ),
+    per_score AS (
+        SELECT s, SUM(y) AS np, SUM(1 - y) AS nn
+        FROM scored GROUP BY s
+    ),
+    c AS (
+        SELECT s,
+               SUM(np) OVER (ORDER BY s DESC) AS tp,
+               SUM(nn) OVER (ORDER BY s DESC) AS fp,
+               SUM(np) OVER () AS p_tot, SUM(nn) OVER () AS n_tot
+        FROM per_score
+    ),
+    j AS (
+        SELECT s,
+               CAST(tp AS DOUBLE) / p_tot AS tpr,
+               CAST(fp AS DOUBLE) / n_tot AS fpr,
+               CAST(tp AS DOUBLE) / p_tot - CAST(fp AS DOUBLE) / n_tot
+                   AS youden,
+               ROW_NUMBER() OVER (ORDER BY
+                   CAST(tp AS DOUBLE) / p_tot
+                   - CAST(fp AS DOUBLE) / n_tot DESC, s) AS rk
+        FROM c
+    )
+    SELECT s AS threshold,
+           CAST(ROUND(tpr, 6) AS DOUBLE) + 0.0 AS tpr,
+           CAST(ROUND(fpr, 6) AS DOUBLE) + 0.0 AS fpr,
+           CAST(ROUND(youden, 6) AS DOUBLE) + 0.0 AS youden_j
+    FROM j WHERE rk = 1
+    """,
+)
+def youden_j_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE to cut the score once roc_auc_q says it ranks well —
+    the sensitivity+specificity-maximizing threshold."""
+    d = Catalog(spark, sf_dir).documents
+    t = _tokens("text")
+    scored = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.round(
+            F.aggregate(
+                t, F.lit(0), lambda a, x: a + F.length(x)
+            ).cast("double")
+            / F.size(t),
+            4,
+        ).alias("s"),
+    ).filter(F.size(t) > 0)
+    per_score = scored.groupBy("s").agg(
+        F.sum("y").alias("np"), F.sum(1 - F.col("y")).alias("nn")
+    )
+    wc = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = per_score.select(
+        "s",
+        F.sum("np").over(wc).alias("tp"),
+        F.sum("nn").over(wc).alias("fp"),
+        F.sum("np").over(wt).alias("p_tot"),
+        F.sum("nn").over(wt).alias("n_tot"),
+    )
+    tpr = F.col("tp").cast("double") / F.col("p_tot")
+    fpr = F.col("fp").cast("double") / F.col("n_tot")
+    wj = Window.orderBy((tpr - fpr).desc(), F.col("s"))
+    j = c.select(
+        "s",
+        tpr.alias("tpr"),
+        fpr.alias("fpr"),
+        (tpr - fpr).alias("youden"),
+        F.row_number().over(wj).alias("rk"),
+    )
+    return j.filter(F.col("rk") == 1).select(
+        F.col("s").alias("threshold"),
+        (F.round(F.col("tpr"), 6) + F.lit(0.0)).alias("tpr"),
+        (F.round(F.col("fpr"), 6) + F.lit(0.0)).alias("fpr"),
+        (F.round(F.col("youden"), 6) + F.lit(0.0)).alias("youden_j"),
+    )
+
+
+# Expected calibration error (10 equal-width bins over [0, 1]) for
+# the score/10 forecast: ECE = sum_k n_k/n |acc_k - conf_k|, with bin
+# keys from PURE INTEGER arithmetic (isotonic_calibration_q's lesson:
+# never key bins on a rounded double). conf_k averages the exact
+# integer 1000p values; the only floats are the final ratios.
+@register(
+    "ece_q",
+    f"""
+    WITH scored AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               100 * list_sum(list_transform(t, x -> length(x)))
+                   // len(t) AS p_mil
+        FROM (SELECT lang, {_SQL_TOKENS} AS t FROM documents)
+        WHERE len(t) > 0
+    ),
+    b AS (
+        SELECT least(p_mil // 100, 9) AS bin,
+               COUNT(*) AS n_k, SUM(y) AS pos_k,
+               SUM(p_mil) AS conf_sum
+        FROM scored GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_k) AS n FROM b)
+    SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(ROUND(SUM(CAST(n_k AS DOUBLE) / (SELECT n FROM tot)
+               * abs(CAST(pos_k AS DOUBLE) / n_k
+                     - CAST(conf_sum AS DOUBLE) / n_k / 1000)), 6)
+               AS DOUBLE) + 0.0 AS ece
+    FROM b
+    """,
+)
+def ece_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-number calibration score modern model cards quote —
+    complements brier_decomposition_q (which decomposes the same gap)
+    and isotonic_calibration_q (which repairs it)."""
+    d = Catalog(spark, sf_dir).documents
+    t = _tokens("text")
+    p_mil = (
+        (
+            100
+            * F.aggregate(
+                t, F.lit(0), lambda a, x: a + F.length(x)
+            ).cast("long")
+        )
+        / F.size(t)
+    ).cast("long")
+    scored = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        p_mil.alias("p_mil"),
+    ).filter(F.size(t) > 0)
+    b = scored.groupBy(
+        F.least(F.expr("p_mil div 100"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_k"),
+        F.sum("y").alias("pos_k"),
+        F.sum("p_mil").alias("conf_sum"),
+    )
+    tot = b.agg(F.sum("n_k").alias("n"))
+    term = (
+        F.col("n_k").cast("double")
+        / F.col("n")
+        * F.abs(
+            F.col("pos_k").cast("double") / F.col("n_k")
+            - F.col("conf_sum").cast("double") / F.col("n_k") / 1000
+        )
+    )
+    return b.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        (F.round(F.sum(term), 6) + F.lit(0.0)).alias("ece"),
+    )
+
+
+# Lorenz curve of customer account balance (shifted to nonnegative by
+# the global minimum so shares are well-defined): per population
+# decile from global_ntile, the cumulative share of total shifted
+# balance — gini_q's curve, point by point. Decile cuts and cumulative
+# shares are exact integer/decimal arithmetic.
+@register(
+    "lorenz_curve_q",
+    """
+    WITH mn AS (
+        SELECT CAST(MIN(c_acctbal) AS DECIMAL(18,6)) AS lo
+        FROM customer
+    ),
+    v AS (
+        SELECT c_custkey,
+               CAST(c_acctbal AS DECIMAL(18,6)) - (SELECT lo FROM mn)
+                   AS w
+        FROM customer
+    ),
+    tiled AS (
+        SELECT w, NTILE(10) OVER (ORDER BY w, c_custkey) AS decile
+        FROM v
+    ),
+    d AS (
+        SELECT decile, COUNT(*) AS n, SUM(w) AS s
+        FROM tiled GROUP BY decile
+    )
+    SELECT decile,
+           CAST(n AS BIGINT) AS n_customers,
+           CAST(ROUND(CAST(SUM(s) OVER (ORDER BY decile) AS DOUBLE)
+               / (SELECT CAST(SUM(w) AS DOUBLE) FROM v), 6) AS DOUBLE)
+               AS cum_share
+    FROM d
+    """,
+)
+def lorenz_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inequality curve behind gini_q/theil_index_q's scalars:
+    cumulative share of (shifted) balance held by the bottom k
+    deciles. Deciles come from the range-partitioned global_ntile."""
+    from iniz_exporters_spark.operators.indexing import global_ntile
+
+    c = Catalog(spark, sf_dir).customer
+    mn = c.agg(
+        F.min("c_acctbal").cast("decimal(18,6)").alias("lo")
+    )
+    v = c.crossJoin(F.broadcast(mn)).select(
+        "c_custkey",
+        (_dec(F.col("c_acctbal"), 18, 6) - F.col("lo")).alias("w"),
+    )
+    tiled = global_ntile(
+        v, [F.col("w").asc(), F.col("c_custkey").asc()], 10, "decile"
+    )
+    d = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("s")
+    )
+    tot = v.agg(F.sum("w").cast("double").alias("tw"))
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return d.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(
+            F.sum("s").over(wcum).cast("double") / F.col("tw"), 6
+        ).alias("cum_share"),
+    )

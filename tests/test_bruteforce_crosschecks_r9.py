@@ -2752,3 +2752,171 @@ def test_geometric_median_q_matches_bruteforce(spark):
     assert row["n_points"] == len(pts)
     assert row["median_x"] == pytest.approx(c[0], abs=2e-5)
     assert row["median_y"] == pytest.approx(c[1], abs=2e-5)
+
+
+def test_regression_diagnostics_q_matches_bruteforce(spark):
+    """Leverage / studentized / Cook's D replayed with float OLS."""
+    ms = [
+        float(_q6(float(s) / c))
+        for s, c in _daily("purchase", agg="pairs")
+    ]
+    days = sorted(
+        {ts.date() for _, ts, _, _, t in _events() if t == "purchase"}
+    )
+    n = len(ms)
+    ts_ = list(range(1, n + 1))
+    sx, sy = sum(ts_), sum(ms)
+    sxx = sum(t * t for t in ts_)
+    sxy = sum(t * y for t, y in zip(ts_, ms))
+    syy = sum(y * y for y in ms)
+    cxx = sxx - sx * sx / n
+    cxy = sxy - sx * sy / n
+    cyy = syy - sy * sy / n
+    b = cxy / cxx
+    a = sy / n - b * sx / n
+    s2 = (cyy - cxy * cxy / cxx) / (n - 2)
+    xbar = sx / n
+    got = {
+        r["day"]: r
+        for r in REGISTRY["regression_diagnostics_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert set(got) == set(days)
+    for t, y, day in zip(ts_, ms, days):
+        e = y - (a + b * t)
+        h = 1 / n + (t - xbar) ** 2 / cxx
+        stud = e / math.sqrt(s2 * (1 - h))
+        cd = stud * stud * h / (2 * (1 - h))
+        r = got[day]
+        assert r["residual"] == pytest.approx(e, abs=2e-4)
+        assert r["leverage"] == pytest.approx(h, abs=2e-6)
+        assert r["studentized"] == pytest.approx(stud, abs=2e-4)
+        assert r["cooks_d"] == pytest.approx(cd, abs=2e-6)
+        assert r["influential"] == (cd > 4 / n)
+
+
+def test_boxcox_q_matches_bruteforce(spark):
+    """Profile LL grid replayed with float loops."""
+    con = duckdb.connect()
+    xs = [
+        r[0]
+        for r in con.execute(
+            f"SELECT o_totalprice FROM "
+            f"read_parquet('{SF_SMALL}/orders.parquet')"
+        ).fetchall()
+    ]
+    n = len(xs)
+    slnx = sum(math.log(x) for x in xs)
+    lls = {}
+    for l in (-1.0, -0.5, 0.0, 0.5, 1.0):
+        ys = [
+            math.log(x) if l == 0 else (x**l - 1) / l for x in xs
+        ]
+        mu = sum(ys) / n
+        var = sum((y - mu) ** 2 for y in ys) / n
+        lls[l] = -n / 2 * math.log(var) + (l - 1) * slnx
+    best = max(lls.values())
+    got = {
+        r["lambda"]: r
+        for r in REGISTRY["boxcox_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(lls)
+    for l, ll in lls.items():
+        assert got[l]["profile_ll"] == pytest.approx(ll, rel=1e-6)
+        assert got[l]["is_best"] == (ll == best)
+
+
+def test_youden_j_q_matches_bruteforce(spark):
+    """Best threshold replayed from the sorted score table."""
+    scored = _doc_scores()
+    by_s = defaultdict(lambda: [0, 0])
+    for y, s in scored:
+        by_s[s][0] += y
+        by_s[s][1] += 1 - y
+    p_tot = sum(v[0] for v in by_s.values())
+    n_tot = sum(v[1] for v in by_s.values())
+    tp = fp = 0
+    best = None
+    for s in sorted(by_s, reverse=True):
+        tp += by_s[s][0]
+        fp += by_s[s][1]
+        j = tp / p_tot - fp / n_tot
+        key = (-j, s)
+        if best is None or key < best[0]:
+            best = (key, s, tp / p_tot, fp / n_tot)
+    _, s, tpr, fpr = best
+    row = REGISTRY["youden_j_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["threshold"] == pytest.approx(s, abs=1e-9)
+    assert row["tpr"] == pytest.approx(tpr, abs=2e-6)
+    assert row["fpr"] == pytest.approx(fpr, abs=2e-6)
+    assert row["youden_j"] == pytest.approx(tpr - fpr, abs=2e-6)
+
+
+def test_ece_q_matches_bruteforce(spark):
+    """10-bin ECE replayed with integer bin keys."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT lang, text FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall()
+    bins = defaultdict(lambda: [0, 0, 0])
+    for lang, text in rows:
+        toks = _tok(text)
+        if not toks:
+            continue
+        p_mil = 100 * sum(len(t) for t in toks) // len(toks)
+        b = min(p_mil // 100, 9)
+        bins[b][0] += 1
+        bins[b][1] += 1 if lang == "en" else 0
+        bins[b][2] += p_mil
+    n = sum(v[0] for v in bins.values())
+    ece = sum(
+        nk / n * abs(pos / nk - conf / nk / 1000)
+        for nk, pos, conf in bins.values()
+    )
+    row = REGISTRY["ece_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_docs"] == n
+    assert row["n_bins"] == len(bins)
+    assert row["ece"] == pytest.approx(ece, abs=2e-6)
+
+
+def test_lorenz_curve_q_matches_bruteforce(spark):
+    """Cumulative decile shares replayed with a plain sort."""
+    bals = sorted(
+        (
+            Decimal(str(b)).quantize(Decimal("0.000001")),
+            ck,
+        )
+        for ck, _, b in [
+            (r[0], None, r[1])
+            for r in duckdb.connect()
+            .execute(
+                f"SELECT c_custkey, c_acctbal FROM "
+                f"read_parquet('{SF_SMALL}/customer.parquet')"
+            )
+            .fetchall()
+        ]
+    )
+    lo = min(b for b, _ in bals)
+    ws = [(b - lo, ck) for b, ck in bals]
+    n = len(ws)
+    q, r = divmod(n, 10)
+    sizes = [q + 1 if i < r else q for i in range(10)]
+    tot = float(sum(w for w, _ in ws))
+    idx = 0
+    cum = Decimal(0)
+    expect = {}
+    for d, size in enumerate(sizes, start=1):
+        block = ws[idx : idx + size]
+        idx += size
+        cum += sum(w for w, _ in block)
+        expect[d] = (size, float(cum) / tot)
+    got = {
+        r["decile"]: r
+        for r in REGISTRY["lorenz_curve_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(expect)
+    for d, (size, share) in expect.items():
+        assert got[d]["n_customers"] == size
+        assert got[d]["cum_share"] == pytest.approx(share, abs=2e-6)
