@@ -24996,3 +24996,614 @@ def lorenz_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("s").over(wcum).cast("double") / F.col("tw"), 6
         ).alias("cum_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch — round-8 session 6 (continued): offline policy evaluation by
+# replay, entropic optimal transport (Sinkhorn), per-edge triangle
+# support (the k-truss building block), the mutual-kNN graph quality
+# read, and PACF via the Durbin-Levinson recursion on acf_q's moments.
+# ---------------------------------------------------------------------------
+
+
+# Offline bandit replay: the greedy policy "play the event type with
+# the best running mean so far" is evaluated against the uniform
+# logging policy, day by day. For each day, the policy's arm is the
+# argmax of PRIOR days' cumulative mean (ties -> alphabetical arm;
+# day 1 has no history and is skipped); its reward is that day's
+# realized mean for the chosen arm. Reports the replay estimate and
+# the uniform baseline. Running means are exact-decimal ratios over
+# the calendar-bounded (day x arm) frame.
+@register(
+    "bandit_replay_q",
+    """
+    WITH dt AS (
+        SELECT CAST(ts AS DATE) AS day, event_type AS arm,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) AS r
+        FROM events GROUP BY CAST(ts AS DATE), event_type
+    ),
+    hist AS (
+        SELECT day, arm, r,
+               SUM(r) OVER (PARTITION BY arm ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prior_sum,
+               COUNT(r) OVER (PARTITION BY arm ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prior_n
+        FROM dt
+    ),
+    choice AS (
+        SELECT day, arm, r,
+               ROW_NUMBER() OVER (PARTITION BY day
+                   ORDER BY prior_sum / prior_n DESC, arm) AS rk
+        FROM hist WHERE prior_n > 0
+    )
+    SELECT CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_days_played,
+           CAST(ROUND(CAST(SUM(CASE WHEN rk = 1 THEN CAST(r
+                AS DECIMAL(18,6)) END) AS DOUBLE)
+               / SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END), 6)
+               AS DOUBLE) + 0.0 AS greedy_value,
+           CAST(ROUND(CAST(SUM(CAST(r AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS DOUBLE) + 0.0 AS uniform_value
+    FROM choice
+    """,
+)
+def bandit_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Would greedy arm selection have beaten uniform logging? The
+    replay estimator over the daily arm-reward table; uniform_value
+    averages ALL arms' rewards on the played days (what the logger
+    collected), greedy_value only the chosen arm's."""
+    e = Catalog(spark, sf_dir).events
+    dt = e.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type").alias("arm")
+    ).agg(
+        (
+            F.sum(_dec(F.col("value"), 18, 6)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("r")
+    )
+    wprior = (
+        Window.partitionBy("arm")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = dt.select(
+        "day",
+        "arm",
+        "r",
+        F.sum("r").over(wprior).alias("prior_sum"),
+        F.count("r").over(wprior).alias("prior_n"),
+    ).filter(F.col("prior_n") > 0)
+    wday = Window.partitionBy("day").orderBy(
+        (F.col("prior_sum") / F.col("prior_n")).desc(), F.col("arm")
+    )
+    choice = hist.withColumn("rk", F.row_number().over(wday))
+    is_pick = F.when(F.col("rk") == 1, 1).otherwise(0)
+    return choice.agg(
+        F.sum(is_pick).cast("long").alias("n_days_played"),
+        (
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("rk") == 1,
+                        F.col("r").cast("decimal(18,6)"),
+                    )
+                ).cast("double")
+                / F.sum(is_pick),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("greedy_value"),
+        (
+            F.round(
+                F.sum(F.col("r").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("uniform_value"),
+    )
+
+
+# Entropic optimal transport between the label distributions of the
+# two embedding cohorts (vec_id parity), three unrolled Sinkhorn
+# scalings: cost = squared distance between per-(cohort, label)
+# centroids, kernel K = exp(-cost / 0.5), u/v updated alternately
+# from the marginals. Everything after ONE corpus pass (centroids +
+# masses) is arithmetic on the 10 x 10 label matrix; exp is the
+# accepted per-cell float class (100 cells, not per-row).
+@register(
+    "sinkhorn_plan_q",
+    """
+    WITH e AS (
+        SELECT vec_id % 2 AS grp, label,
+               CAST(embedding[1] AS DOUBLE) AS x,
+               CAST(embedding[2] AS DOUBLE) AS y
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT grp, label, COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*) AS cx,
+               CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*) AS cy
+        FROM e GROUP BY grp, label
+    ),
+    mass AS (
+        SELECT grp, label,
+               CAST(n AS DOUBLE)
+                   / SUM(n) OVER (PARTITION BY grp) AS m
+        FROM cent
+    ),
+    kmat AS (
+        SELECT a.label AS la, b.label AS lb,
+               exp(-((a.cx - b.cx) * (a.cx - b.cx)
+                     + (a.cy - b.cy) * (a.cy - b.cy)) / 0.5) AS kv,
+               ma.m AS mu, mb.m AS nu
+        FROM cent a JOIN cent b ON a.grp = 0 AND b.grp = 1
+        JOIN mass ma ON ma.grp = 0 AND ma.label = a.label
+        JOIN mass mb ON mb.grp = 1 AND mb.label = b.label
+    ),
+    u1 AS (
+        SELECT la, MAX(mu) / SUM(kv * 1.0) AS u FROM kmat GROUP BY la
+    ),
+    v1 AS (
+        SELECT lb, MAX(nu) / SUM(kv * u1.u) AS v
+        FROM kmat JOIN u1 USING (la) GROUP BY lb
+    ),
+    u2 AS (
+        SELECT la, MAX(mu) / SUM(kv * v1.v) AS u
+        FROM kmat JOIN v1 USING (lb) GROUP BY la
+    ),
+    v2 AS (
+        SELECT lb, MAX(nu) / SUM(kv * u2.u) AS v
+        FROM kmat JOIN u2 USING (la) GROUP BY lb
+    ),
+    u3 AS (
+        SELECT la, MAX(mu) / SUM(kv * v2.v) AS u
+        FROM kmat JOIN v2 USING (lb) GROUP BY la
+    ),
+    v3 AS (
+        SELECT lb, MAX(nu) / SUM(kv * u3.u) AS v
+        FROM kmat JOIN u3 USING (la) GROUP BY lb
+    ),
+    plan AS (
+        SELECT k.la, k.lb, u3.u * k.kv * v3.v AS p
+        FROM kmat k JOIN u3 USING (la) JOIN v3 USING (lb)
+    )
+    SELECT CAST(la AS BIGINT) AS label_from,
+           CAST(lb AS BIGINT) AS label_to,
+           CAST(ROUND(p, 6) AS DOUBLE) + 0.0 AS mass
+    FROM plan WHERE ROUND(p, 6) > 0
+    """,
+)
+def sinkhorn_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How must cohort-0's label mass flow to look like cohort-1's,
+    moving cheaply in embedding space? Three Sinkhorn scalings on the
+    10x10 centroid-cost kernel; only entries above 1e-6 ship."""
+    emb = Catalog(spark, sf_dir).embeddings
+    e = emb.select(
+        (F.col("vec_id") % 2).alias("grp"),
+        "label",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    cent = e.groupBy("grp", "label").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cx"),
+        (
+            F.sum(F.col("y").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cy"),
+    )
+    wg = Window.partitionBy("grp")
+    mass = cent.select(
+        "grp",
+        "label",
+        (F.col("n").cast("double") / F.sum("n").over(wg)).alias("m"),
+    )
+    a = (
+        cent.filter(F.col("grp") == 0)
+        .join(
+            mass.filter(F.col("grp") == 0).select(
+                F.col("label").alias("label"), F.col("m").alias("mu")
+            ),
+            "label",
+        )
+        .select(
+            F.col("label").alias("la"),
+            F.col("cx").alias("ax"),
+            F.col("cy").alias("ay"),
+            "mu",
+        )
+    )
+    b = (
+        cent.filter(F.col("grp") == 1)
+        .join(
+            mass.filter(F.col("grp") == 1).select(
+                F.col("label").alias("label"), F.col("m").alias("nu")
+            ),
+            "label",
+        )
+        .select(
+            F.col("label").alias("lb"),
+            F.col("cx").alias("bx"),
+            F.col("cy").alias("by"),
+            "nu",
+        )
+    )
+    kmat = a.crossJoin(b).select(
+        "la",
+        "lb",
+        "mu",
+        "nu",
+        F.exp(
+            -(
+                (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+                + (F.col("ay") - F.col("by"))
+                * (F.col("ay") - F.col("by"))
+            )
+            / 0.5
+        ).alias("kv"),
+    )
+    u = kmat.groupBy("la").agg(
+        (F.max("mu") / F.sum(F.col("kv") * 1.0)).alias("u")
+    )
+
+    def v_step(u_df):
+        return (
+            kmat.join(F.broadcast(u_df), "la")
+            .groupBy("lb")
+            .agg(
+                (F.max("nu") / F.sum(F.col("kv") * F.col("u"))).alias(
+                    "v"
+                )
+            )
+        )
+
+    def u_step(v_df):
+        return (
+            kmat.join(F.broadcast(v_df), "lb")
+            .groupBy("la")
+            .agg(
+                (F.max("mu") / F.sum(F.col("kv") * F.col("v"))).alias(
+                    "u"
+                )
+            )
+        )
+
+    # exactly the oracle's schedule: u1 -> v1 -> u2 -> v2 -> u3 -> v3,
+    # plan = u3 (x) K (x) v3 — one extra half-step would only agree by
+    # convergence luck
+    for _ in range(2):
+        u = u_step(v_step(u))
+    v = v_step(u)
+    plan = (
+        kmat.join(F.broadcast(u), "la")
+        .join(F.broadcast(v), "lb")
+        .select(
+            "la",
+            "lb",
+            (F.col("u") * F.col("kv") * F.col("v")).alias("p"),
+        )
+    )
+    return plan.filter(F.round(F.col("p"), 6) > 0).select(
+        F.col("la").cast("long").alias("label_from"),
+        F.col("lb").cast("long").alias("label_to"),
+        (F.round(F.col("p"), 6) + F.lit(0.0)).alias("mass"),
+    )
+
+
+# Per-edge triangle support on the part co-purchase graph (parts
+# sharing >= 2 orders, to keep the graph sparse): support(u,v) =
+# |N(u) n N(v)|, the quantity k-truss peeling iterates on; edges with
+# support >= 1 are the 3-truss. Candidate edges and common-neighbor
+# counts both come from order-key joins (never all-pairs); the
+# wedge-join fans out per shared neighbor, bounded by degree.
+@register(
+    "edge_support_q",
+    """
+    WITH op AS (
+        SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+        FROM lineitem l
+    ),
+    edges AS (
+        SELECT a.p AS u, b.p AS v
+        FROM op a JOIN op b ON b.o = a.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+    ),
+    und AS (
+        SELECT u, v FROM edges
+        UNION ALL SELECT v, u FROM edges
+    ),
+    support AS (
+        SELECT e.u, e.v, COUNT(w2.v) AS sup
+        FROM edges e
+        LEFT JOIN und w1 ON w1.u = e.u
+        LEFT JOIN und w2 ON w2.u = e.v AND w2.v = w1.v
+        GROUP BY e.u, e.v
+    )
+    SELECT CAST(sup AS BIGINT) AS support,
+           CAST(COUNT(*) AS BIGINT) AS n_edges,
+           sup >= 1 AS in_3truss
+    FROM support GROUP BY sup
+    """,
+)
+def edge_support_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How embedded is each co-purchase tie? The support histogram is
+    the first k-truss peeling round — support 0 edges are bridges no
+    community algorithm should keep (clustering_coeff_q gives the
+    node-level view of the same wedges)."""
+    li = Catalog(spark, sf_dir).lineitem
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select("o", F.col("p").alias("u"))
+    b = op.select(F.col("o").alias("o2"), F.col("p").alias("v"))
+    edges = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("u", "v")
+    )
+    und = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    w1 = und.select(F.col("u").alias("eu"), F.col("v").alias("n1"))
+    w2 = und.select(F.col("u").alias("ev"), F.col("v").alias("n2"))
+    support = (
+        edges.join(w1, edges["u"] == w1["eu"], "left")
+        .join(
+            w2,
+            (edges["v"] == w2["ev"]) & (F.col("n2") == F.col("n1")),
+            "left",
+        )
+        .groupBy("u", "v")
+        .agg(F.count("n2").alias("sup"))
+    )
+    return support.groupBy(
+        F.col("sup").cast("long").alias("support")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.first(F.col("sup") >= 1).alias("in_3truss"),
+    )
+
+
+# Mutual-kNN graph statistics over the embeddings: an edge (a, b) is
+# MUTUAL when each is in the other's 5-NN; the mutual rate and degree
+# histogram are the standard symmetrization-quality read before
+# building a kNN graph for clustering. Reuses the parallelized
+# hubness pair stage at test scale; the mutual check is a self-join
+# of the directed top-5 list on the reversed pair.
+@register(
+    "mutual_knn_q",
+    """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_reduce(
+                       list_transform(range(1, len(c.v)+1),
+                           i -> (c.v[i] - q.v[i]) * (c.v[i] - q.v[i])),
+                       (x, y) -> x + y), 6), c.vec_id) AS rn
+        FROM e q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    knn AS (SELECT qid, cid FROM scored WHERE rn <= 5),
+    mutual AS (
+        SELECT a.qid AS u, a.cid AS v
+        FROM knn a JOIN knn b ON b.qid = a.cid AND b.cid = a.qid
+        WHERE a.qid < a.cid
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM mutual
+            UNION ALL SELECT v FROM mutual
+        ) GROUP BY node
+    )
+    SELECT CAST((SELECT COUNT(*) FROM mutual) AS BIGINT)
+               AS n_mutual_edges,
+           CAST(ROUND(2.0 * (SELECT COUNT(*) FROM mutual)
+               / (SELECT COUNT(*) FROM knn), 6) AS DOUBLE)
+               AS mutual_rate,
+           CAST((SELECT COUNT(*) FROM deg) AS BIGINT)
+               AS n_connected_points,
+           CAST((SELECT MAX(d) FROM deg) AS BIGINT) AS max_degree
+    """,
+)
+def mutual_knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How symmetric is the 5-NN relation? Low mutual_rate = hub
+    pollution (hubness_q quantifies the culprit); the mutual graph is
+    what robust kNN clustering should run on."""
+    e = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = e.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        6,
+    )
+    e = e.repartition(
+        spark.sparkContext.defaultParallelism, F.col("vec_id")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", F.col("vec_id").alias("cid"), d2.alias("d2")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("d2", "cid")
+    knn = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "cid")
+    )
+    rev = knn.select(
+        F.col("qid").alias("cid2"), F.col("cid").alias("qid2")
+    )
+    mutual = knn.join(
+        rev,
+        (knn["qid"] == F.col("qid2")) & (knn["cid"] == F.col("cid2")),
+    ).filter(F.col("qid") < F.col("cid"))
+    deg = (
+        mutual.select(F.col("qid").alias("node"))
+        .unionByName(mutual.select(F.col("cid").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    nm = mutual.agg(F.count(F.lit(1)).alias("nm"))
+    nk = knn.agg(F.count(F.lit(1)).alias("nk"))
+    dd = deg.agg(
+        F.count(F.lit(1)).alias("np"), F.max("d").alias("md")
+    )
+    return (
+        nm.crossJoin(F.broadcast(nk))
+        .crossJoin(F.broadcast(dd))
+        .select(
+            F.col("nm").cast("long").alias("n_mutual_edges"),
+            F.round(2.0 * F.col("nm") / F.col("nk"), 6).alias(
+                "mutual_rate"
+            ),
+            F.col("np").cast("long").alias("n_connected_points"),
+            F.col("md").cast("long").alias("max_degree"),
+        )
+    )
+
+
+# Partial autocorrelation at lags 1-3 via the Durbin-Levinson
+# recursion on acf_q's sample autocorrelations: phi11 = r1,
+# phi22 = (r2 - r1^2)/(1 - r1^2), phi33 from the order-2 forward
+# coefficients — pure scalar arithmetic on three decimal-exact ACF
+# values, spelled identically in both engines.
+@register(
+    "pacf_q",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*) AS DECIMAL(18,6)) AS m
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    mu AS (
+        SELECT CAST(CAST(SUM(m) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6))
+            AS ybar
+        FROM daily
+    ),
+    dev AS (
+        SELECT day, CAST(m - (SELECT ybar FROM mu) AS DECIMAL(16,6))
+            AS d
+        FROM daily
+    ),
+    r AS (
+        SELECT l.lag,
+               CAST(SUM(d1.d * d2.d) AS DOUBLE)
+               / (SELECT CAST(SUM(d * d) AS DOUBLE) FROM dev) AS acf
+        FROM (SELECT unnest(range(1, 4)) AS lag) l
+        JOIN dev d1 ON TRUE
+        JOIN dev d2 ON d2.day = d1.day + CAST(l.lag AS INTEGER)
+        GROUP BY l.lag
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN lag = 1 THEN acf END) AS r1,
+               MAX(CASE WHEN lag = 2 THEN acf END) AS r2,
+               MAX(CASE WHEN lag = 3 THEN acf END) AS r3
+        FROM r
+    ),
+    dl AS (
+        SELECT r1 AS phi11,
+               (r2 - r1 * r1) / (1 - r1 * r1) AS phi22,
+               r1 * (1 - (r2 - r1 * r1) / (1 - r1 * r1)) AS phi21,
+               r1, r2, r3
+        FROM w
+    )
+    SELECT CAST(ROUND(phi11, 6) AS DOUBLE) + 0.0 AS pacf_1,
+           CAST(ROUND(phi22, 6) AS DOUBLE) + 0.0 AS pacf_2,
+           CAST(ROUND((r3 - phi21 * r2 - phi22 * r1)
+               / (1 - phi21 * r1 - phi22 * r2), 6) AS DOUBLE) + 0.0
+               AS pacf_3
+    FROM dl
+    """,
+)
+def pacf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR-order identification: the partial correlogram companion to
+    acf_q (an AR(p) series cuts off after lag p here while the plain
+    ACF tails on)."""
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(_dec(F.col("value"), 18, 6)).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("decimal(18,6)")
+        .alias("m")
+    )
+    mu = daily.agg(
+        (F.sum("m").cast("double") / F.count(F.lit(1)))
+        .cast("decimal(18,6)")
+        .alias("ybar")
+    )
+    dev = daily.crossJoin(F.broadcast(mu)).select(
+        "day",
+        (F.col("m") - F.col("ybar")).cast("decimal(16,6)").alias("d"),
+    )
+    den = dev.agg(
+        F.sum(F.col("d") * F.col("d")).cast("double").alias("ss")
+    )
+    lags = daily.sparkSession.range(1, 4).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    d1 = dev.select(F.col("day").alias("day1"), F.col("d").alias("a"))
+    d2 = dev.select(F.col("day").alias("day2"), F.col("d").alias("b"))
+    r = (
+        d1.crossJoin(F.broadcast(lags))
+        .join(
+            d2,
+            F.col("day2") == F.date_add(F.col("day1"), F.col("lag")),
+        )
+        .groupBy("lag")
+        .agg(F.sum(F.col("a") * F.col("b")).alias("sab"))
+        .crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            (F.col("sab").cast("double") / F.col("ss")).alias("acf"),
+        )
+    )
+
+    def at(lag):
+        return F.max(F.when(F.col("lag") == lag, F.col("acf")))
+
+    w = r.agg(at(1).alias("r1"), at(2).alias("r2"), at(3).alias("r3"))
+    phi22 = (F.col("r2") - F.col("r1") * F.col("r1")) / (
+        1 - F.col("r1") * F.col("r1")
+    )
+    phi21 = F.col("r1") * (1 - phi22)
+    return w.select(
+        (F.round(F.col("r1"), 6) + F.lit(0.0)).alias("pacf_1"),
+        (F.round(phi22, 6) + F.lit(0.0)).alias("pacf_2"),
+        (
+            F.round(
+                (F.col("r3") - phi21 * F.col("r2") - phi22 * F.col("r1"))
+                / (1 - phi21 * F.col("r1") - phi22 * F.col("r2")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("pacf_3"),
+    )

@@ -2920,3 +2920,202 @@ def test_lorenz_curve_q_matches_bruteforce(spark):
     for d, (size, share) in expect.items():
         assert got[d]["n_customers"] == size
         assert got[d]["cum_share"] == pytest.approx(share, abs=2e-6)
+
+
+def test_bandit_replay_q_matches_bruteforce(spark):
+    """Replay estimator replayed with running-mean dicts."""
+    agg = defaultdict(lambda: [Decimal(0), 0])
+    for _, ts, _, v, t in _events():
+        d = agg[(ts.date(), t)]
+        d[0] += Decimal(str(v)).quantize(Decimal("0.000001"))
+        d[1] += 1
+    days = sorted({d for d, _ in agg})
+    arms = sorted({a for _, a in agg})
+    r = {
+        (d, a): float(s) / c for (d, a), (s, c) in agg.items()
+    }
+    prior = defaultdict(lambda: [0.0, 0])
+    greedy, uniform, n_days = [], [], 0
+    for d in days:
+        avail = [
+            a for a in arms if (d, a) in r and prior[a][1] > 0
+        ]
+        if avail:
+            n_days += 1
+            pick = max(
+                avail,
+                key=lambda a: (prior[a][0] / prior[a][1], "\\uffff")
+            )
+            # tie-break toward alphabetical arm like the query
+            best_mean = max(prior[a][0] / prior[a][1] for a in avail)
+            pick = min(
+                a
+                for a in avail
+                if prior[a][0] / prior[a][1] == best_mean
+            )
+            greedy.append(r[(d, pick)])
+            uniform.extend(r[(d, a)] for a in avail)
+        for a in arms:
+            if (d, a) in r:
+                prior[a][0] += r[(d, a)]
+                prior[a][1] += 1
+    row = REGISTRY["bandit_replay_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_days_played"] == n_days
+    assert row["greedy_value"] == pytest.approx(
+        sum(greedy) / n_days, abs=2e-5
+    )
+    assert row["uniform_value"] == pytest.approx(
+        sum(uniform) / len(uniform), abs=2e-5
+    )
+
+
+def test_sinkhorn_plan_q_matches_bruteforce(spark):
+    """Three Sinkhorn scalings replayed with numpy."""
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, label, embedding[1], embedding[2] FROM "
+        f"read_parquet('{SF_SMALL}/embeddings.parquet')"
+    ).fetchall()
+    cents = defaultdict(lambda: [0.0, 0.0, 0])
+    for vid, lab, x, y in rows:
+        c = cents[(vid % 2, lab)]
+        c[0] += x
+        c[1] += y
+        c[2] += 1
+    la = sorted(l for g, l in cents if g == 0)
+    lb = sorted(l for g, l in cents if g == 1)
+    n0 = sum(cents[(0, l)][2] for l in la)
+    n1 = sum(cents[(1, l)][2] for l in lb)
+    mu = np.array([cents[(0, l)][2] / n0 for l in la])
+    nu = np.array([cents[(1, l)][2] / n1 for l in lb])
+    K = np.zeros((len(la), len(lb)))
+    for i, l0 in enumerate(la):
+        c0 = cents[(0, l0)]
+        p0 = (c0[0] / c0[2], c0[1] / c0[2])
+        for j, l1 in enumerate(lb):
+            c1 = cents[(1, l1)]
+            p1 = (c1[0] / c1[2], c1[1] / c1[2])
+            K[i, j] = math.exp(
+                -((p0[0] - p1[0]) ** 2 + (p0[1] - p1[1]) ** 2) / 0.5
+            )
+    u = mu / K.sum(axis=1)
+    for _ in range(2):
+        v = nu / (K.T @ u)
+        u = mu / (K @ v)
+    v = nu / (K.T @ u)
+    plan = u[:, None] * K * v[None, :]
+    got = {
+        (r["label_from"], r["label_to"]): r["mass"]
+        for r in REGISTRY["sinkhorn_plan_q"].fn(spark, SF_SMALL).collect()
+    }
+    expect = {
+        (la[i], lb[j]): round(plan[i, j], 6)
+        for i in range(len(la))
+        for j in range(len(lb))
+        if round(plan[i, j], 6) > 0
+    }
+    assert set(got) == set(expect)
+    for k, m in expect.items():
+        assert got[k] == pytest.approx(m, abs=2e-6)
+
+
+def test_edge_support_q_matches_bruteforce(spark):
+    """Triangle support histogram replayed with set intersections."""
+    op = defaultdict(set)
+    for pk, _, _, _, _ in []:
+        pass
+    con = duckdb.connect()
+    for o, p in con.execute(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM "
+        f"read_parquet('{SF_SMALL}/lineitem.parquet')"
+    ).fetchall():
+        op[o].add(p)
+    pair_orders = Counter()
+    for o, ps in op.items():
+        ps = sorted(ps)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1 :]:
+                pair_orders[(u, v)] += 1
+    edges = {e for e, c in pair_orders.items() if c >= 2}
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    hist = Counter(
+        len(adj[u] & adj[v]) for u, v in edges
+    )
+    got = {
+        r["support"]: r
+        for r in REGISTRY["edge_support_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert {k: v["n_edges"] for k, v in got.items()} == dict(hist)
+    for s, r in got.items():
+        assert r["in_3truss"] == (s >= 1)
+
+
+def test_mutual_knn_q_matches_bruteforce(spark):
+    """Mutual 5-NN stats replayed with numpy."""
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{SF_SMALL}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    n = len(ids)
+    knn = {}
+    for qi in range(n):
+        d2 = np.round(((mat - mat[qi]) ** 2).sum(axis=1), 6)
+        knn[ids[qi]] = {
+            cid
+            for _, cid in sorted(
+                (float(d2[ci]), ids[ci])
+                for ci in range(n)
+                if ci != qi
+            )[:5]
+        }
+    mutual = {
+        (a, b)
+        for a in ids
+        for b in knn[a]
+        if a < b and a in knn[b]
+    }
+    deg = Counter()
+    for a, b in mutual:
+        deg[a] += 1
+        deg[b] += 1
+    row = REGISTRY["mutual_knn_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_mutual_edges"] == len(mutual)
+    assert row["mutual_rate"] == pytest.approx(
+        2 * len(mutual) / (5 * n), abs=2e-6
+    )
+    assert row["n_connected_points"] == len(deg)
+    assert row["max_degree"] == max(deg.values())
+
+
+def test_pacf_q_matches_bruteforce(spark):
+    """Durbin-Levinson on brute-force ACF values."""
+    ms = [
+        _q6(float(s) / c) for s, c in _daily("purchase", agg="pairs")
+    ]
+    ybar = _q6(float(sum(ms)) / len(ms))
+    dev = [float(m - ybar) for m in ms]
+    ss = sum(d * d for d in dev)
+    r = [
+        sum(a * b for a, b in zip(dev, dev[k:])) / ss
+        for k in (1, 2, 3)
+    ]
+    phi11 = r[0]
+    phi22 = (r[1] - r[0] ** 2) / (1 - r[0] ** 2)
+    phi21 = r[0] * (1 - phi22)
+    phi33 = (r[2] - phi21 * r[1] - phi22 * r[0]) / (
+        1 - phi21 * r[0] - phi22 * r[1]
+    )
+    row = REGISTRY["pacf_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["pacf_1"] == pytest.approx(phi11, abs=2e-6)
+    assert row["pacf_2"] == pytest.approx(phi22, abs=2e-6)
+    assert row["pacf_3"] == pytest.approx(phi33, abs=2e-6)
