@@ -2942,10 +2942,6 @@ def test_bandit_replay_q_matches_bruteforce(spark):
         ]
         if avail:
             n_days += 1
-            pick = max(
-                avail,
-                key=lambda a: (prior[a][0] / prior[a][1], "\\uffff")
-            )
             # tie-break toward alphabetical arm like the query
             best_mean = max(prior[a][0] / prior[a][1] for a in avail)
             pick = min(
