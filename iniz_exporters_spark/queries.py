@@ -25607,3 +25607,460 @@ def pacf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("pacf_3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch — round-8 session 6 (continued): renewal & sequential
+# statistics — Allan variance across dyadic block sizes, two classic
+# distribution-free randomness tests (turning points, records), a
+# peaks-over-threshold GPD moment fit, and the index-of-dispersion
+# Poissonness check. All on calendar-bounded daily frames with exact
+# DECIMAL values.
+# ---------------------------------------------------------------------------
+
+
+# Allan variance of daily purchase revenue at block sizes 1/2/4/8:
+# AVAR(tau) = mean of (block_mean_{k+1} - block_mean_k)^2 / 2 over
+# adjacent non-overlapping blocks — the drift-vs-noise separator
+# clock people use, equally at home on metric streams. Block SUMS
+# stay exact decimals (dividing by tau early would quantize a double
+# at a guaranteed .5 boundary); adjacent pairs meet via block-id+1
+# join and tau^2 divides once at the end.
+@register(
+    "allan_variance_q",
+    """
+    WITH daily AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY CAST(ts AS DATE)) - 1 AS i,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*) AS DECIMAL(18,6)) AS m
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    taus AS (SELECT unnest([1, 2, 4, 8]) AS tau),
+    blocks AS (
+        -- keep the EXACT block sum; dividing by tau here would quantize
+        -- a double at a guaranteed .5 boundary (6-dp sums / 2). The tau
+        -- division happens once, at the end: AVAR = sum((Sb-Sa)^2)
+        -- / (2 n tau^2).
+        SELECT taus.tau, d.i // taus.tau AS blk,
+               SUM(d.m) AS bs, COUNT(*) AS n_in
+        FROM daily d CROSS JOIN taus
+        GROUP BY taus.tau, d.i // taus.tau
+        HAVING COUNT(*) = taus.tau
+    ),
+    pairs AS (
+        SELECT a.tau, CAST(b.bs - a.bs AS DOUBLE) AS d
+        FROM blocks a JOIN blocks b
+            ON b.tau = a.tau AND b.blk = a.blk + 1
+    )
+    SELECT CAST(tau AS BIGINT) AS tau_days,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(ROUND(CAST(SUM(CAST(d * d AS DECIMAL(28,12)))
+                AS DOUBLE) / (2.0 * COUNT(*) * tau * tau), 6)
+               AS DOUBLE) + 0.0 AS allan_var
+    FROM pairs GROUP BY tau
+    """,
+)
+def allan_variance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """White noise slopes down with tau, drift flattens or rises —
+    the multi-scale stability read next to hurst_exponent_q. Partial
+    trailing blocks are dropped (HAVING n = tau) in both engines."""
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    wday = Window.orderBy("day")
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            (
+                F.sum(_dec(F.col("value"), 18, 6)).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast("decimal(18,6)")
+            .alias("m")
+        )
+        .select((F.row_number().over(wday) - 1).alias("i"), "m")
+    )
+    taus = daily.sparkSession.createDataFrame(
+        [(1,), (2,), (4,), (8,)], "tau int"
+    )
+    blocks = (
+        daily.crossJoin(F.broadcast(taus))
+        .groupBy("tau", F.expr("i div tau").alias("blk"))
+        .agg(
+            F.sum("m").alias("bs"),
+            F.count(F.lit(1)).alias("n_in"),
+        )
+        .filter(F.col("n_in") == F.col("tau"))
+    )
+    a = blocks.select(
+        F.col("tau").alias("ta"), F.col("blk").alias("ba"),
+        F.col("bs").alias("sa"),
+    )
+    b = blocks.select(
+        F.col("tau").alias("tb"), F.col("blk").alias("bb"),
+        F.col("bs").alias("sb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("tb") == F.col("ta")) & (F.col("bb") == F.col("ba") + 1),
+    ).select(
+        F.col("ta").alias("tau"),
+        (F.col("sb") - F.col("sa")).cast("double").alias("d"),
+    )
+    return pairs.groupBy("tau").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (
+            F.round(
+                _dsum(F.col("d") * F.col("d")).cast("double")
+                / (
+                    2.0
+                    * F.count(F.lit(1))
+                    * F.col("tau")
+                    * F.col("tau")
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("allan_var"),
+    ).select(
+        F.col("tau").cast("long").alias("tau_days"),
+        "n_pairs",
+        "allan_var",
+    )
+
+
+# Turning-points randomness test on daily revenue: count local
+# extrema (strictly higher or lower than both neighbors); under iid,
+# E = 2(n-2)/3 and Var = (16n - 29)/90; z = (T - E)/sqrt(Var).
+# Neighbor comparisons are exact DECIMALs via LAG/LEAD on the daily
+# frame.
+@register(
+    "turning_points_q",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*) AS DECIMAL(18,6)) AS m
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    tp AS (
+        SELECT day, m,
+               LAG(m) OVER (ORDER BY day) AS pm,
+               LEAD(m) OVER (ORDER BY day) AS nm,
+               COUNT(*) OVER () AS n
+        FROM daily
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN (m > pm AND m > nm)
+                      OR (m < pm AND m < nm) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_turning,
+           CAST(ROUND((SUM(CASE WHEN (m > pm AND m > nm)
+                      OR (m < pm AND m < nm) THEN 1 ELSE 0 END)
+                   - 2.0 * (MAX(n) - 2) / 3)
+               / sqrt((16.0 * MAX(n) - 29) / 90), 6) AS DOUBLE) + 0.0
+               AS z_stat
+    FROM tp WHERE pm IS NOT NULL AND nm IS NOT NULL
+    """,
+)
+def turning_points_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Too few turning points = trending/smooth, too many =
+    oscillating — the second classic randomness read next to
+    runs_test_q (which scores sign runs, not extrema)."""
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(_dec(F.col("value"), 18, 6)).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("decimal(18,6)")
+        .alias("m")
+    )
+    wday = Window.orderBy("day")
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tp = daily.select(
+        "m",
+        F.lag("m").over(wday).alias("pm"),
+        F.lead("m").over(wday).alias("nm"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    ).filter(F.col("pm").isNotNull() & F.col("nm").isNotNull())
+    is_turn = F.when(
+        ((F.col("m") > F.col("pm")) & (F.col("m") > F.col("nm")))
+        | ((F.col("m") < F.col("pm")) & (F.col("m") < F.col("nm"))),
+        1,
+    ).otherwise(0)
+    return tp.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.sum(is_turn).cast("long").alias("n_turning"),
+        (
+            F.round(
+                (F.sum(is_turn) - 2.0 * (F.max("n") - 2) / 3)
+                / F.sqrt((16.0 * F.max("n") - 29) / 90),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("z_stat"),
+    )
+
+
+# Records test: the count of running maxima in the daily revenue
+# series; under iid the expectation is the harmonic number H_n and
+# the variance H_n - H_n^(2). The harmonic sums come from a range
+# table (n rows, calendar-bounded), the record indicator from an
+# exact running max.
+@register(
+    "records_test_q",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*) AS DECIMAL(18,6)) AS m
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    rec AS (
+        SELECT day, m,
+               CASE WHEN m > MAX(m) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING)
+                    OR LAG(m) OVER (ORDER BY day) IS NULL
+                    THEN 1 ELSE 0 END AS is_rec,
+               COUNT(*) OVER () AS n
+        FROM daily
+    ),
+    h AS (
+        SELECT SUM(1.0 / k) AS h1, SUM(1.0 / (k * k)) AS h2
+        FROM (SELECT unnest(range(1, (SELECT MAX(n) FROM rec) + 1))
+                  AS k)
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST(SUM(is_rec) AS BIGINT) AS n_records,
+           CAST(ROUND((SELECT h1 FROM h), 6) AS DOUBLE) + 0.0
+               AS expected,
+           CAST(ROUND((SUM(is_rec) - (SELECT h1 FROM h))
+               / sqrt((SELECT h1 - h2 FROM h)), 6) AS DOUBLE) + 0.0
+               AS z_stat
+    FROM rec
+    """,
+)
+def records_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are new revenue highs arriving faster than chance? Record
+    counts grow like ln n under iid; a surplus means trend."""
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(_dec(F.col("value"), 18, 6)).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("decimal(18,6)")
+        .alias("m")
+    )
+    wday = Window.orderBy("day")
+    wprev = wday.rowsBetween(Window.unboundedPreceding, -1)
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rec = daily.select(
+        "m",
+        F.when(
+            (F.col("m") > F.max("m").over(wprev))
+            | F.lag("m").over(wday).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_rec"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    nmax = daily.agg(F.count(F.lit(1)).alias("nn"))
+    h = (
+        daily.sparkSession.range(1, 10000)
+        .crossJoin(F.broadcast(nmax))
+        .filter(F.col("id") <= F.col("nn"))
+        .agg(
+            F.sum(1.0 / F.col("id")).alias("h1"),
+            F.sum(1.0 / (F.col("id") * F.col("id"))).alias("h2"),
+        )
+    )
+    return rec.crossJoin(F.broadcast(h)).agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.sum("is_rec").cast("long").alias("n_records"),
+        (F.round(F.max("h1"), 6) + F.lit(0.0)).alias("expected"),
+        (
+            F.round(
+                (F.sum("is_rec") - F.max("h1"))
+                / F.sqrt(F.max("h1") - F.max("h2")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("z_stat"),
+    )
+
+
+# Peaks-over-threshold GPD moment fit on daily LOSSES (the cvar_q
+# P&L): threshold u = the 5th-largest loss (a fixed order statistic
+# so the excess set is deterministic); method-of-moments shape
+# xi = (1 - mean^2/var)/2 and scale beta = mean (mean^2/var + 1)/2
+# from the excess mean/variance. The EVT tail read beyond cvar_q's
+# empirical quantile. All ranking on the calendar frame.
+@register(
+    "pot_evt_q",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,6))) AS rev
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    pnl AS (
+        SELECT day,
+               (SELECT CAST(CAST(SUM(rev) AS DOUBLE) / COUNT(*)
+                    AS DECIMAL(18,6)) FROM daily) - rev AS loss
+        FROM daily
+    ),
+    r AS (
+        SELECT loss, ROW_NUMBER() OVER (ORDER BY loss DESC, day) AS k
+        FROM pnl
+    ),
+    u AS (SELECT loss AS thr FROM r WHERE k = 5),
+    exc AS (
+        SELECT CAST(loss - (SELECT thr FROM u) AS DOUBLE) AS e
+        FROM r WHERE k < 5
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(e AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*) AS mu,
+               CAST(SUM(CAST(e * e AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*) AS m2
+        FROM exc
+    )
+    SELECT CAST(n AS BIGINT) AS n_excesses,
+           CAST(ROUND((SELECT CAST(thr AS DOUBLE) FROM u), 2)
+               AS DOUBLE) + 0.0 AS threshold,
+           CAST(ROUND((1 - mu * mu / (m2 - mu * mu)) / 2, 6)
+               AS DOUBLE) + 0.0 AS gpd_shape,
+           CAST(ROUND(mu * (mu * mu / (m2 - mu * mu) + 1) / 2, 4)
+               AS DOUBLE) + 0.0 AS gpd_scale
+    FROM m
+    """,
+)
+def pot_evt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How heavy is the loss tail BEYOND the observed quantile?
+    Positive shape = Pareto-heavy (cvar_q underestimates), negative =
+    bounded tail. Moment fit over the top-4 excesses at this scale."""
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(_dec(F.col("value"), 18, 6)).alias("rev")
+    )
+    mu0 = daily.agg(
+        (F.sum("rev").cast("double") / F.count(F.lit(1)))
+        .cast("decimal(18,6)")
+        .alias("mu")
+    )
+    pnl = daily.crossJoin(F.broadcast(mu0)).select(
+        "day", (F.col("mu") - F.col("rev")).alias("loss")
+    )
+    wk = Window.orderBy(F.col("loss").desc(), F.col("day"))
+    r = pnl.select("loss", F.row_number().over(wk).alias("k"))
+    u = r.filter(F.col("k") == 5).select(F.col("loss").alias("thr"))
+    exc = (
+        r.filter(F.col("k") < 5)
+        .crossJoin(F.broadcast(u))
+        .select((F.col("loss") - F.col("thr")).cast("double").alias("e"))
+    )
+    m = exc.crossJoin(F.broadcast(u)).agg(
+        F.count(F.lit(1)).alias("n"),
+        (_dsum(F.col("e")).cast("double") / F.count(F.lit(1))).alias(
+            "mu"
+        ),
+        (
+            _dsum(F.col("e") * F.col("e")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m2"),
+        F.max("thr").alias("thr"),
+    )
+    var = F.col("m2") - F.col("mu") * F.col("mu")
+    return m.select(
+        F.col("n").cast("long").alias("n_excesses"),
+        (
+            F.round(F.col("thr").cast("double"), 2) + F.lit(0.0)
+        ).alias("threshold"),
+        (
+            F.round((1 - F.col("mu") * F.col("mu") / var) / 2, 6)
+            + F.lit(0.0)
+        ).alias("gpd_shape"),
+        (
+            F.round(
+                F.col("mu")
+                * (F.col("mu") * F.col("mu") / var + 1)
+                / 2,
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("gpd_scale"),
+    )
+
+
+# Index-of-dispersion Poissonness check per event type: IoD =
+# var/mean of DAILY COUNTS (sample variance), chi2 = (n-1) IoD. IoD
+# >> 1 flags overdispersion (bursty arrivals), << 1 regular spacing.
+# Counts are exact integers; one (type, day) aggregation feeds a
+# 5-row moment table.
+@register(
+    "poissonness_q",
+    """
+    WITH dc AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    m AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(c) AS DOUBLE) AS s,
+               CAST(SUM(c * c) AS DOUBLE) AS ss
+        FROM dc GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(ROUND(s / n, 4) AS DOUBLE) + 0.0 AS mean_daily,
+           CAST(ROUND(((ss - s * s / n) / (n - 1)) / (s / n), 6)
+               AS DOUBLE) + 0.0 AS dispersion_index,
+           ((ss - s * s / n) / (n - 1)) / (s / n) > 1.5
+               AS overdispersed
+    FROM m
+    """,
+)
+def poissonness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are arrivals Poisson-like per type? The dispersion screen that
+    decides whether dp_counts_q-style rate models or burstiness_q's
+    heavy-tail machinery applies."""
+    e = Catalog(spark, sf_dir).events
+    dc = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m = dc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("double").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("ss"),
+    )
+    iod = (
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+    ) / (F.col("s") / F.col("n"))
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        (
+            F.round(F.col("s") / F.col("n"), 4) + F.lit(0.0)
+        ).alias("mean_daily"),
+        (F.round(iod, 6) + F.lit(0.0)).alias("dispersion_index"),
+        (iod > 1.5).alias("overdispersed"),
+    )

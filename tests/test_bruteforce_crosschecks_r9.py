@@ -3115,3 +3115,113 @@ def test_pacf_q_matches_bruteforce(spark):
     assert row["pacf_1"] == pytest.approx(phi11, abs=2e-6)
     assert row["pacf_2"] == pytest.approx(phi22, abs=2e-6)
     assert row["pacf_3"] == pytest.approx(phi33, abs=2e-6)
+
+
+def test_allan_variance_q_matches_bruteforce(spark):
+    """AVAR per tau replayed with block loops on exact sums."""
+    ms = [
+        _q6(float(s) / c) for s, c in _daily("purchase", agg="pairs")
+    ]
+    got = {
+        r["tau_days"]: r
+        for r in REGISTRY["allan_variance_q"].fn(spark, SF_SMALL).collect()
+    }
+    for tau in (1, 2, 4, 8):
+        sums = []
+        for blk in range(len(ms) // tau):
+            seg = ms[blk * tau : (blk + 1) * tau]
+            if len(seg) == tau:
+                sums.append(sum(seg))
+        diffs = [float(b - a) for a, b in zip(sums, sums[1:])]
+        avar = sum(d * d for d in diffs) / (2 * len(diffs) * tau * tau)
+        r = got[tau]
+        assert r["n_pairs"] == len(diffs)
+        assert r["allan_var"] == pytest.approx(avar, rel=1e-6)
+
+
+def test_turning_points_q_matches_bruteforce(spark):
+    """Turning-point count + z replayed with a scan."""
+    ms = [
+        _q6(float(s) / c) for s, c in _daily("purchase", agg="pairs")
+    ]
+    n = len(ms)
+    t = sum(
+        1
+        for i in range(1, n - 1)
+        if (ms[i] > ms[i - 1] and ms[i] > ms[i + 1])
+        or (ms[i] < ms[i - 1] and ms[i] < ms[i + 1])
+    )
+    z = (t - 2 * (n - 2) / 3) / math.sqrt((16 * n - 29) / 90)
+    row = REGISTRY["turning_points_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_days"] == n
+    assert row["n_turning"] == t
+    assert row["z_stat"] == pytest.approx(z, abs=2e-6)
+
+
+def test_records_test_q_matches_bruteforce(spark):
+    """Record count vs harmonic expectation replayed."""
+    ms = [
+        _q6(float(s) / c) for s, c in _daily("purchase", agg="pairs")
+    ]
+    n = len(ms)
+    best = None
+    recs = 0
+    for m in ms:
+        if best is None or m > best:
+            recs += 1
+            best = m
+    h1 = sum(1 / k for k in range(1, n + 1))
+    h2 = sum(1 / k**2 for k in range(1, n + 1))
+    row = REGISTRY["records_test_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_days"] == n
+    assert row["n_records"] == recs
+    assert row["expected"] == pytest.approx(h1, abs=2e-6)
+    assert row["z_stat"] == pytest.approx(
+        (recs - h1) / math.sqrt(h1 - h2), abs=2e-5
+    )
+
+
+def test_pot_evt_q_matches_bruteforce(spark):
+    """GPD moment fit replayed from the sorted loss tail."""
+    revs = _daily("purchase")
+    mu = _q6(float(sum(revs)) / len(revs))
+    losses = sorted((float(mu - r) for r in revs), reverse=True)
+    thr = losses[4]
+    exc = [x - thr for x in losses[:4]]
+    m1 = sum(exc) / len(exc)
+    m2 = sum(x * x for x in exc) / len(exc)
+    var = m2 - m1 * m1
+    row = REGISTRY["pot_evt_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_excesses"] == 4
+    assert row["threshold"] == pytest.approx(thr, abs=5e-3)
+    assert row["gpd_shape"] == pytest.approx(
+        (1 - m1 * m1 / var) / 2, abs=2e-5
+    )
+    assert row["gpd_scale"] == pytest.approx(
+        m1 * (m1 * m1 / var + 1) / 2, abs=2e-3
+    )
+
+
+def test_poissonness_q_matches_bruteforce(spark):
+    """Dispersion index replayed with Counters."""
+    dc = Counter()
+    for _, ts, _, _, t in _events():
+        dc[(t, ts.date())] += 1
+    types = sorted({t for t, _ in dc})
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["poissonness_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(types)
+    for t in types:
+        cs = [c for (tt, _), c in dc.items() if tt == t]
+        n = len(cs)
+        mean = sum(cs) / n
+        var = sum((c - mean) ** 2 for c in cs) / (n - 1)
+        r = got[t]
+        assert r["n_days"] == n
+        assert r["mean_daily"] == pytest.approx(mean, abs=2e-4)
+        assert r["dispersion_index"] == pytest.approx(
+            var / mean, abs=2e-5
+        )
+        assert r["overdispersed"] == (var / mean > 1.5)
