@@ -3225,3 +3225,149 @@ def test_poissonness_q_matches_bruteforce(spark):
             var / mean, abs=2e-5
         )
         assert r["overdispersed"] == (var / mean > 1.5)
+
+
+def test_tost_q_matches_bruteforce(spark):
+    """Two one-sided tests replayed from plain moments."""
+    tot = _purchase_totals()
+    g0 = [v for u, v in tot.items() if u % 2 == 0]
+    g1 = [v for u, v in tot.items() if u % 2 == 1]
+
+    def mean_var(xs):
+        mu = sum(xs) / len(xs)
+        return mu, sum((x - mu) ** 2 for x in xs) / (len(xs) - 1)
+
+    m0, v0 = mean_var(g0)
+    m1, v1 = mean_var(g1)
+    grand = sum(g0) + sum(g1)
+    grand /= len(g0) + len(g1)
+    margin = 0.1 * grand
+    se = math.sqrt(v0 / len(g0) + v1 / len(g1))
+    tl = (m0 - m1 + margin) / se
+    tu = (margin - (m0 - m1)) / se
+    row = REGISTRY["tost_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["mean_diff"] == pytest.approx(m0 - m1, abs=2e-4)
+    assert row["margin"] == pytest.approx(margin, abs=2e-4)
+    assert row["t_lower"] == pytest.approx(tl, abs=2e-4)
+    assert row["t_upper"] == pytest.approx(tu, abs=2e-4)
+    assert row["equivalent"] == (tl > 1.645 and tu > 1.645)
+
+
+def test_smd_balance_q_matches_bruteforce(spark):
+    """SMD table replayed from per-user count dicts."""
+    counts = defaultdict(Counter)
+    users = set()
+    for uid, _, _, _, t in _events():
+        users.add(uid)
+        counts[uid][t] += 1
+    got = {
+        r["covariate"]: r
+        for r in REGISTRY["smd_balance_q"].fn(spark, SF_SMALL).collect()
+    }
+    for cov in ("view", "click", "signup", "error"):
+        g = {0: [], 1: []}
+        for u in users:
+            g[u % 2].append(counts[u].get(cov, 0))
+
+        def mv(xs):
+            mu = sum(xs) / len(xs)
+            return mu, sum((x - mu) ** 2 for x in xs) / (len(xs) - 1)
+
+        m0, v0 = mv(g[0])
+        m1, v1 = mv(g[1])
+        smd = (m1 - m0) / math.sqrt((v1 + v0) / 2)
+        r = got[cov]
+        assert r["mean_diff"] == pytest.approx(m1 - m0, abs=2e-6)
+        assert r["smd"] == pytest.approx(smd, abs=2e-6)
+        assert r["balanced"] == (abs(smd) < 0.1)
+
+
+def test_process_capability_q_matches_bruteforce(spark):
+    """Cp/Cpk replayed with float moments."""
+    revs = [float(r) for r in _daily("purchase")]
+    n = len(revs)
+    mu = sum(revs) / n
+    s = math.sqrt(sum((x - mu) ** 2 for x in revs) / (n - 1))
+    lsl, usl = 0.75 * mu, 1.25 * mu
+    oos = sum(1 for x in revs if x < lsl or x > usl)
+    row = REGISTRY["process_capability_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_days"] == n
+    assert row["cp"] == pytest.approx((usl - lsl) / (6 * s), abs=2e-4)
+    assert row["cpk"] == pytest.approx(
+        min(usl - mu, mu - lsl) / (3 * s), abs=2e-4
+    )
+    assert row["n_out_of_spec"] == oos
+
+
+def test_ewma_control_q_matches_bruteforce(spark):
+    """EWMA recursion + limits replayed day by day."""
+    ms = [
+        float(_q6(float(s) / c))
+        for s, c in _daily("purchase", agg="pairs")
+    ]
+    days = sorted(
+        {ts.date() for _, ts, _, _, t in _events() if t == "purchase"}
+    )
+    n = len(ms)
+    mu0 = sum(ms) / n
+    s = math.sqrt(sum((x - mu0) ** 2 for x in ms) / (n - 1))
+    z = mu0
+    got = {
+        r["day"]: r
+        for r in REGISTRY["ewma_control_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(days)
+    for t, (day, m) in enumerate(zip(days, ms), start=1):
+        z = 0.2 * m + 0.8 * z
+        half = 3 * s * math.sqrt(0.2 / 1.8 * (1 - 0.8 ** (2 * t)))
+        r = got[day]
+        assert r["ewma"] == pytest.approx(z, abs=2e-3)
+        assert r["ucl"] == pytest.approx(mu0 + half, abs=2e-3)
+        assert r["lcl"] == pytest.approx(mu0 - half, abs=2e-3)
+        assert r["violation"] == (z > mu0 + half or z < mu0 - half)
+
+
+def test_variance_components_q_matches_bruteforce(spark):
+    """Two-way decomposition replayed with mean dicts."""
+    agg = defaultdict(lambda: [Decimal(0), 0])
+    for _, ts, _, v, t in _events():
+        d = agg[(ts.date(), t)]
+        d[0] += Decimal(str(v)).quantize(Decimal("0.000001"))
+        d[1] += 1
+    cell = {k: float(_q6(float(s) / c)) for k, (s, c) in agg.items()}
+    days = sorted({d for d, _ in cell})
+    types = sorted({t for _, t in cell})
+    n, k = len(days), len(types)
+    g = sum(cell.values()) / len(cell)
+    rm = {
+        d: sum(cell[(d, t)] for t in types if (d, t) in cell)
+        / sum(1 for t in types if (d, t) in cell)
+        for d in days
+    }
+    cm = {
+        t: sum(cell[(d, t)] for d in days if (d, t) in cell)
+        / sum(1 for d in days if (d, t) in cell)
+        for t in types
+    }
+    ssr = sum((v - g) ** 2 for v in rm.values())
+    ssc = sum((v - g) ** 2 for v in cm.values())
+    sse = sum(
+        (cell[(d, t)] - rm[d] - cm[t] + g) ** 2
+        for (d, t) in cell
+    )
+    ms_day = ssr * k / (n - 1)
+    ms_type = ssc * n / (k - 1)
+    ms_e = sse / ((n - 1) * (k - 1))
+    row = (
+        REGISTRY["variance_components_q"].fn(spark, SF_SMALL).collect()[0]
+    )
+    assert (row["n_days"], row["k_types"]) == (n, k)
+    assert row["ms_day"] == pytest.approx(ms_day, rel=1e-5)
+    assert row["ms_type"] == pytest.approx(ms_type, rel=1e-5)
+    assert row["ms_resid"] == pytest.approx(ms_e, rel=1e-5)
+    assert row["var_day"] == pytest.approx(
+        max(0.0, (ms_day - ms_e) / k), abs=2e-5
+    )
+    assert row["var_type"] == pytest.approx(
+        max(0.0, (ms_type - ms_e) / n), abs=2e-5
+    )
