@@ -3371,3 +3371,187 @@ def test_variance_components_q_matches_bruteforce(spark):
     assert row["var_type"] == pytest.approx(
         max(0.0, (ms_type - ms_e) / n), abs=2e-5
     )
+
+
+def test_empirical_bayes_q_matches_bruteforce(spark):
+    """Beta-binomial shrinkage replayed with dict moments."""
+    nat = defaultdict(lambda: [0, 0])
+    con = duckdb.connect()
+    for natk, bal in con.execute(
+        f"SELECT c_nationkey, c_acctbal FROM "
+        f"read_parquet('{SF_SMALL}/customer.parquet')"
+    ).fetchall():
+        nat[natk][0] += 1
+        nat[natk][1] += 1 if bal < 0 else 0
+    rates = [x / n for n, x in nat.values()]
+    m = sum(x for _, x in nat.values()) / sum(n for n, _ in nat.values())
+    v = max(
+        sum(r * r for r in rates) / len(rates)
+        - (sum(rates) / len(rates)) ** 2,
+        1e-9,
+    )
+    strength = m * (1 - m) / v - 1
+    alpha, beta = m * strength, (1 - m) * strength
+    got = {
+        r["nationkey"]: r
+        for r in REGISTRY["empirical_bayes_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(nat)
+    for k, (n, x) in nat.items():
+        r = got[k]
+        assert r["n_customers"] == n
+        assert r["raw_rate"] == pytest.approx(x / n, abs=2e-6)
+        assert r["shrunk_rate"] == pytest.approx(
+            (x + alpha) / (n + alpha + beta), abs=2e-5
+        )
+
+
+def test_ipw_ate_q_matches_bruteforce(spark):
+    """Stratified IPW replayed with an explicit NTILE split."""
+    acts = defaultdict(int)
+    ys = defaultdict(Decimal)
+    for uid, _, _, v, t in _events():
+        acts[uid] += 1
+        if t == "purchase":
+            ys[uid] += Decimal(str(v)).quantize(Decimal("0.000001"))
+    users = sorted(acts, key=lambda u: (acts[u], u))
+    n = len(users)
+    q, r = divmod(n, 5)
+    sizes = [q + 1 if i < r else q for i in range(5)]
+    idx = 0
+    total = 0.0
+    used_users = used = excluded = 0
+    for size in sizes:
+        block = users[idx : idx + size]
+        idx += size
+        n1 = sum(1 for u in block if u % 2 == 1)
+        if n1 == 0 or n1 == size:
+            excluded += 1
+            continue
+        used += 1
+        used_users += size
+        e_s = n1 / size
+        y1 = sum(float(ys.get(u, 0)) for u in block if u % 2 == 1)
+        y0 = sum(float(ys.get(u, 0)) for u in block if u % 2 == 0)
+        total += y1 / e_s - y0 / (1 - e_s)
+    row = REGISTRY["ipw_ate_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_users_used"] == used_users
+    assert row["n_strata_used"] == used
+    assert row["n_strata_excluded"] == excluded
+    assert row["ipw_ate"] == pytest.approx(total / used_users, abs=2e-4)
+
+
+def test_clustering_null_q_matches_bruteforce(spark):
+    """Config-model null vs observed transitivity replayed with sets."""
+    con = duckdb.connect()
+    op = defaultdict(set)
+    for o, p in con.execute(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM "
+        f"read_parquet('{SF_SMALL}/lineitem.parquet')"
+    ).fetchall():
+        op[o].add(p)
+    pair_orders = Counter()
+    for o, ps in op.items():
+        ps = sorted(ps)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1 :]:
+                pair_orders[(u, v)] += 1
+    adj = defaultdict(set)
+    for (u, v), c in pair_orders.items():
+        if c >= 2:
+            adj[u].add(v)
+            adj[v].add(u)
+    nodes = sorted(adj)
+    nn = len(nodes)
+    ks = [len(adj[u]) for u in nodes]
+    k1 = sum(ks) / nn
+    k2 = sum(k * k for k in ks) / nn
+    tri = (
+        sum(
+            1
+            for u in nodes
+            for v in adj[u]
+            for w in adj[v]
+            if w in adj[u]
+        )
+        // 6
+    )
+    wedges = sum(k * (k - 1) for k in ks) / 2
+    row = REGISTRY["clustering_null_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_nodes"] == nn
+    assert row["n_triangles"] == tri
+    assert row["observed_clustering"] == pytest.approx(
+        3 * tri / wedges, abs=2e-6
+    )
+    assert row["null_clustering"] == pytest.approx(
+        (k2 - k1) ** 2 / (nn * k1**3), abs=2e-6
+    )
+
+
+def test_rolling_beta_q_matches_bruteforce(spark):
+    """Trailing-week slope replayed with float windows."""
+    days = defaultdict(lambda: defaultdict(lambda: [Decimal(0), 0]))
+    for _, ts, _, v, t in _events():
+        if t in ("purchase", "click"):
+            d = days[ts.date()][t]
+            d[0] += Decimal(str(v)).quantize(Decimal("0.000001"))
+            d[1] += 1
+    series = []
+    for day in sorted(days):
+        p, c = days[day]["purchase"], days[day]["click"]
+        series.append(
+            (
+                day,
+                float(_q6(float(c[0]) / c[1])),
+                float(_q6(float(p[0]) / p[1])),
+            )
+        )
+    got = {
+        r["day"]: r
+        for r in REGISTRY["rolling_beta_q"].fn(spark, SF_SMALL).collect()
+    }
+    expect = {}
+    for i in range(6, len(series)):
+        win = series[i - 6 : i + 1]
+        xs = [x for _, x, _ in win]
+        ys_ = [y for _, _, y in win]
+        k = 7
+        sx, sy = sum(xs), sum(ys_)
+        sxy = sum(x * y for x, y in zip(xs, ys_))
+        sxx = sum(x * x for x in xs)
+        expect[series[i][0]] = (sxy - sx * sy / k) / (sxx - sx * sx / k)
+    assert set(got) == set(expect)
+    for d, b in expect.items():
+        assert got[d]["beta"] == pytest.approx(b, abs=2e-4)
+
+
+def test_mantel_haenszel_q_matches_bruteforce(spark):
+    """MH pooled OR replayed with explicit strata."""
+    acts = defaultdict(int)
+    conv = defaultdict(int)
+    for uid, _, _, _, t in _events():
+        acts[uid] += 1
+        if t == "purchase":
+            conv[uid] = 1
+    users = sorted(acts, key=lambda u: (acts[u], u))
+    n = len(users)
+    q, r = divmod(n, 4)
+    sizes = [q + 1 if i < r else q for i in range(4)]
+    idx = 0
+    num = den = 0.0
+    for size in sizes:
+        block = users[idx : idx + size]
+        idx += size
+        a = sum(1 for u in block if u % 2 == 1 and conv.get(u, 0))
+        b = sum(1 for u in block if u % 2 == 1 and not conv.get(u, 0))
+        c = sum(1 for u in block if u % 2 == 0 and conv.get(u, 0))
+        d = sum(1 for u in block if u % 2 == 0 and not conv.get(u, 0))
+        num += a * d / size
+        den += b * c / size
+    row = REGISTRY["mantel_haenszel_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_strata"] == 4
+    assert row["n_users"] == n
+    if den == 0:
+        assert row["or_mh"] is None
+    else:
+        assert row["or_mh"] == pytest.approx(num / den, abs=2e-4)
