@@ -3555,3 +3555,178 @@ def test_mantel_haenszel_q_matches_bruteforce(spark):
         assert row["or_mh"] is None
     else:
         assert row["or_mh"] == pytest.approx(num / den, abs=2e-4)
+
+
+def test_shift_share_q_matches_bruteforce(spark):
+    """Shift-share decomposition replayed with dicts."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT s.s_nationkey, p.p_brand, year(l.l_shipdate),"
+        f" CAST(l.l_extendedprice AS DOUBLE) FROM "
+        f"read_parquet('{SF_SMALL}/lineitem.parquet') l JOIN "
+        f"read_parquet('{SF_SMALL}/supplier.parquet') s "
+        f"ON s.s_suppkey = l.l_suppkey JOIN "
+        f"read_parquet('{SF_SMALL}/part.parquet') p "
+        f"ON p.p_partkey = l.l_partkey "
+        f"WHERE year(l.l_shipdate) IN (1995, 2001)"
+    ).fetchall()
+    nb = defaultdict(lambda: [0.0, 0.0])
+    for nat, brand, y, ep in rows:
+        nb[(nat, brand)][0 if y == 1995 else 1] += ep
+    t0 = sum(v[0] for v in nb.values())
+    t1 = sum(v[1] for v in nb.values())
+    g = t1 / t0
+    br = defaultdict(lambda: [0.0, 0.0])
+    for (nat, brand), (r0, r1) in nb.items():
+        br[brand][0] += r0
+        br[brand][1] += r1
+    per_nat = defaultdict(lambda: [0.0, 0.0, 0.0])
+    for (nat, brand), (r0, r1) in nb.items():
+        b0, b1 = br[brand]
+        per_nat[nat][0] += r1 - r0
+        per_nat[nat][1] += r0 * (g - 1)
+        per_nat[nat][2] += r0 * (b1 / b0 - g)
+    got = {
+        r["nationkey"]: r
+        for r in REGISTRY["shift_share_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(per_nat)
+    for nat, (gr, na, mx) in per_nat.items():
+        r = got[nat]
+        assert r["total_growth"] == pytest.approx(gr, abs=0.1)
+        assert r["national_effect"] == pytest.approx(na, abs=0.1)
+        assert r["industry_mix"] == pytest.approx(mx, abs=0.1)
+        assert r["competitive_shift"] == pytest.approx(
+            gr - na - mx, abs=0.1
+        )
+
+
+def test_enrichment_q_matches_bruteforce(spark):
+    """Hypergeometric z replayed with an explicit decile cut."""
+    rev = defaultdict(Decimal)
+    brand_of = {}
+    con = duckdb.connect()
+    for pk, brand, ep in con.execute(
+        f"SELECT l.l_partkey, p.p_brand, l.l_extendedprice FROM "
+        f"read_parquet('{SF_SMALL}/lineitem.parquet') l JOIN "
+        f"read_parquet('{SF_SMALL}/part.parquet') p "
+        f"ON p.p_partkey = l.l_partkey"
+    ).fetchall():
+        rev[pk] += Decimal(str(ep)).quantize(Decimal("0.0001"))
+        brand_of[pk] = brand
+    items = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    nn = len(items)
+    q, r = divmod(nn, 10)
+    k_top = q + (1 if r > 0 else 0)
+    top = {pk for pk, _ in items[:k_top]}
+    cells = defaultdict(lambda: [0, 0])
+    for pk in rev:
+        cells[brand_of[pk]][0] += 1
+        if pk in top:
+            cells[brand_of[pk]][1] += 1
+    got = {
+        r["brand"]: r
+        for r in REGISTRY["enrichment_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(cells)
+    for brand, (m, x) in cells.items():
+        frac = k_top / nn
+        mu = m * frac
+        var = mu * (1 - frac) * (nn - m) / (nn - 1)
+        rr = got[brand]
+        assert rr["n_parts"] == m and rr["n_top_decile"] == x
+        assert rr["excess"] == pytest.approx(x - mu, abs=2e-3)
+        assert rr["z_enrichment"] == pytest.approx(
+            (x - mu - 0.5) / math.sqrt(var), abs=2e-3
+        )
+
+
+def test_littles_law_q_matches_bruteforce(spark):
+    """L = lambda W replayed with a per-user session scan."""
+    import datetime
+
+    by_user = defaultdict(list)
+    all_ts = []
+    for uid, ts, eid, _, _ in _events():
+        by_user[uid].append((ts, eid))
+        all_ts.append(ts)
+    horizon = int(max(all_ts).timestamp()) - int(
+        min(all_ts).timestamp()
+    )
+    durs = []
+    for uid, evs in by_user.items():
+        evs.sort()
+        start = prev = evs[0][0]
+        for ts, _ in evs[1:]:
+            if int(ts.timestamp()) - int(prev.timestamp()) > 1800:
+                durs.append(
+                    int(prev.timestamp()) - int(start.timestamp())
+                )
+                start = ts
+            prev = ts
+        durs.append(int(prev.timestamp()) - int(start.timestamp()))
+    n = len(durs)
+    l_avg = sum(durs) / horizon
+    lam = n / horizon
+    w = sum(durs) / n
+    row = REGISTRY["littles_law_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_sessions"] == n
+    assert row["l_avg"] == pytest.approx(l_avg, abs=2e-6)
+    assert row["lambda_per_day"] == pytest.approx(
+        lam * 86400, abs=2e-4
+    )
+    assert row["w_mean_sec"] == pytest.approx(w, abs=2e-3)
+    assert row["l_over_lambda_w"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_shift_function_q_matches_bruteforce(spark):
+    """Decile shift function replayed with per-group NTILE cuts."""
+    tot = _purchase_totals()
+    got = {
+        r["decile"]: r
+        for r in REGISTRY["shift_function_q"].fn(spark, SF_SMALL).collect()
+    }
+    qs = {}
+    for g in (0, 1):
+        vals = sorted(
+            (v, u) for u, v in tot.items() if u % 2 == g
+        )
+        n = len(vals)
+        q, r = divmod(n, 10)
+        idx = 0
+        for d in range(1, 11):
+            size = q + 1 if d <= r else q
+            block = vals[idx : idx + size]
+            idx += size
+            if block:
+                qs[(g, d)] = block[-1][0]
+    for d in range(1, 11):
+        if (0, d) in qs and (1, d) in qs:
+            rr = got[d]
+            assert rr["q_g0"] == pytest.approx(qs[(0, d)], abs=5e-3)
+            assert rr["q_g1"] == pytest.approx(qs[(1, d)], abs=5e-3)
+            assert rr["shift"] == pytest.approx(
+                qs[(1, d)] - qs[(0, d)], abs=5e-3
+            )
+
+
+def test_attributable_risk_q_matches_bruteforce(spark):
+    """2x2 risk panel replayed with counters."""
+    conv = defaultdict(int)
+    for uid, _, _, _, t in _events():
+        conv.setdefault(uid, 0)
+        if t == "purchase":
+            conv[uid] = 1
+    a = sum(1 for u, c in conv.items() if u % 2 == 1 and c)
+    n1 = sum(1 for u in conv if u % 2 == 1)
+    c = sum(1 for u, cc in conv.items() if u % 2 == 0 and cc)
+    n0 = sum(1 for u in conv if u % 2 == 0)
+    r1, r0 = a / n1, c / n0
+    row = REGISTRY["attributable_risk_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["risk_exposed"] == pytest.approx(r1, abs=2e-6)
+    assert row["risk_unexposed"] == pytest.approx(r0, abs=2e-6)
+    assert row["risk_difference"] == pytest.approx(r1 - r0, abs=2e-6)
+    assert row["risk_ratio"] == pytest.approx(r1 / r0, abs=2e-5)
+    assert row["attributable_fraction"] == pytest.approx(
+        1 - r0 / r1, abs=2e-5
+    )
