@@ -3730,3 +3730,172 @@ def test_attributable_risk_q_matches_bruteforce(spark):
     assert row["attributable_fraction"] == pytest.approx(
         1 - r0 / r1, abs=2e-5
     )
+
+
+def test_mediation_q_matches_bruteforce(spark):
+    """Product-of-coefficients mediation replayed with numpy OLS."""
+    import numpy as np
+
+    agg = defaultdict(lambda: [Decimal(0), Decimal(0)])
+    users = set()
+    for uid, _, _, v, t in _events():
+        users.add(uid)
+        if t == "click":
+            agg[uid][0] += Decimal(str(v)).quantize(Decimal("0.000001"))
+        elif t == "purchase":
+            agg[uid][1] += Decimal(str(v)).quantize(Decimal("0.000001"))
+    rows = [
+        (u % 2, float(agg[u][0]), float(agg[u][1])) for u in sorted(users)
+    ]
+    x = np.array([r[0] for r in rows], dtype=float)
+    mm = np.array([r[1] for r in rows])
+    y = np.array([r[2] for r in rows])
+    n = len(rows)
+    a = np.polyfit(x, mm, 1)[0]
+    X = np.column_stack([np.ones(n), x, mm])
+    coef, *_ = np.linalg.lstsq(X, y, rcond=None)
+    cprime, b = coef[1], coef[2]
+    total = np.polyfit(x, y, 1)[0]
+    row = REGISTRY["mediation_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_users"] == n
+    assert row["a_path"] == pytest.approx(a, abs=2e-4)
+    assert row["b_path"] == pytest.approx(b, abs=2e-5)
+    assert row["direct_c_prime"] == pytest.approx(cprime, abs=2e-4)
+    assert row["indirect_ab"] == pytest.approx(a * b, abs=2e-4)
+    assert row["total_c"] == pytest.approx(total, abs=2e-4)
+    # OLS identity: total = direct + indirect
+    assert row["total_c"] == pytest.approx(
+        row["direct_c_prime"] + row["indirect_ab"], abs=5e-6
+    )
+
+
+def test_rdd_q_matches_bruteforce(spark):
+    """Local linear RDD replayed with side fits."""
+    acts = defaultdict(int)
+    ys = defaultdict(Decimal)
+    for uid, _, _, v, t in _events():
+        acts[uid] += 1
+        if t == "purchase":
+            ys[uid] += Decimal(str(v)).quantize(Decimal("0.000001"))
+    users = sorted(acts, key=lambda u: (acts[u], u))
+    cut = acts[users[(len(users) + 1) // 2 - 1]]
+    sides = {True: [], False: []}
+    for u in users:
+        r = acts[u] - cut
+        if abs(r) <= 10:
+            sides[r >= 0].append((r, float(ys.get(u, 0))))
+
+    def icpt(pts):
+        k = len(pts)
+        sx = sum(r for r, _ in pts)
+        sy = sum(v for _, v in pts)
+        sxx = sum(r * r for r, _ in pts)
+        sxy = sum(r * v for r, v in pts)
+        slope = (sxy - sx * sy / k) / (sxx - sx * sx / k)
+        return sy / k - slope * sx / k
+
+    row = REGISTRY["rdd_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["cutoff_activity"] == cut
+    assert row["n_right"] == len(sides[True])
+    assert row["n_left"] == len(sides[False])
+    assert row["rdd_effect"] == pytest.approx(
+        icpt(sides[True]) - icpt(sides[False]), abs=2e-3
+    )
+
+
+def test_chow_test_q_matches_bruteforce(spark):
+    """Chow F replayed with three plain OLS fits."""
+    import datetime
+
+    ms = [
+        float(_q6(float(s) / c))
+        for s, c in _daily("purchase", agg="pairs")
+    ]
+    days = sorted(
+        {ts.date() for _, ts, _, _, t in _events() if t == "purchase"}
+    )
+    cut = datetime.date(2024, 1, 16)
+
+    def sse(pts):
+        k = len(pts)
+        sx = sum(t for t, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(t * t for t, _ in pts)
+        sxy = sum(t * y for t, y in pts)
+        syy = sum(y * y for _, y in pts)
+        return (syy - sy * sy / k) - (sxy - sx * sy / k) ** 2 / (
+            sxx - sx * sx / k
+        )
+
+    pts = list(enumerate(ms, start=1))
+    pre = [(t, y) for (t, y), d in zip(pts, days) if d < cut]
+    post = [(t, y) for (t, y), d in zip(pts, days) if d >= cut]
+    sp, s1, s2 = sse(pts), sse(pre), sse(post)
+    f = ((sp - s1 - s2) / 2) / ((s1 + s2) / (len(pts) - 4))
+    row = REGISTRY["chow_test_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_days"] == len(pts)
+    assert row["sse_pooled"] == pytest.approx(sp, abs=2e-3)
+    assert row["sse_split"] == pytest.approx(s1 + s2, abs=2e-3)
+    assert row["chow_f"] == pytest.approx(f, abs=2e-4)
+
+
+def test_xbar_r_q_matches_bruteforce(spark):
+    """Shewhart pair replayed with weekly blocks."""
+    revs = [float(r) for r in _daily("purchase")]
+    subs = []
+    for wk in range(len(revs) // 7):
+        seg = revs[wk * 7 : (wk + 1) * 7]
+        if len(seg) == 7:
+            subs.append(
+                (wk, sum(seg) / 7, max(seg) - min(seg))
+            )
+    xbb = sum(x for _, x, _ in subs) / len(subs)
+    rbar = sum(r for _, _, r in subs) / len(subs)
+    got = {
+        r["week"]: r
+        for r in REGISTRY["xbar_r_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == {wk for wk, _, _ in subs}
+    for wk, xb, r in subs:
+        g = got[wk]
+        assert g["xbar"] == pytest.approx(xb, abs=5e-3)
+        assert g["r"] == pytest.approx(r, abs=5e-3)
+        assert g["xbar_violation"] == (
+            xb > xbb + 0.419 * rbar or xb < xbb - 0.419 * rbar
+        )
+        assert g["r_violation"] == (
+            r > 1.924 * rbar or r < 0.076 * rbar
+        )
+
+
+def test_box_counting_q_matches_bruteforce(spark):
+    """Box dimension replayed with set-of-cells counts."""
+    con = duckdb.connect()
+    pts = [
+        (v[0], v[1])
+        for (v,) in con.execute(
+            f"SELECT embedding FROM "
+            f"read_parquet('{SF_SMALL}/embeddings.parquet')"
+        ).fetchall()
+    ]
+    xs, ys_ = [], []
+    finest = None
+    for s in (0.05, 0.1, 0.2, 0.4):
+        boxes = len(
+            {
+                (math.floor(x / s), math.floor(y / s))
+                for x, y in pts
+            }
+        )
+        if s == 0.05:
+            finest = boxes
+        xs.append(math.log(1 / s))
+        ys_.append(math.log(boxes))
+    k = len(xs)
+    sx, sy = sum(xs), sum(ys_)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys_))
+    slope = (sxy - sx * sy / k) / (sxx - sx * sx / k)
+    row = REGISTRY["box_counting_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["boxes_finest"] == finest
+    assert row["box_dimension"] == pytest.approx(slope, abs=2e-4)
