@@ -68,6 +68,15 @@ SENSITIVE = [
     "isotonic_calibration_q", # minimax over integer-keyed bins
     "fuzzy_cmeans_q",         # rational-membership EM trajectory
     "conformal_interval_q",   # hash folds + calibration rank
+    # round-8 sessions 6-7
+    "shift_function_q",       # grouped_ntile per-cohort deciles
+    "enrichment_q",           # global_ntile revenue top-decile cut
+    "ipw_ate_q",              # global_ntile strata + positivity filter
+    "mantel_haenszel_q",      # global_ntile quartile strata
+    "lorenz_curve_q",         # global_ntile population deciles
+    "abc_xyz_q",              # global_cumsum + weekly CV classes
+    "littles_law_q",          # sessionization islands + horizon
+    "mediation_q",            # exact conditional decimal moments
 ]
 
 
