@@ -3899,3 +3899,138 @@ def test_box_counting_q_matches_bruteforce(spark):
     row = REGISTRY["box_counting_q"].fn(spark, SF_SMALL).collect()[0]
     assert row["boxes_finest"] == finest
     assert row["box_dimension"] == pytest.approx(slope, abs=2e-4)
+
+
+def test_capture_recapture_q_matches_bruteforce(spark):
+    """Lincoln-Petersen / Chapman replayed with sets."""
+    import datetime
+
+    cut = datetime.datetime(2024, 1, 16)
+    w1, w2 = set(), set()
+    for uid, ts, _, _, _ in _events():
+        (w1 if ts < cut else w2).add(uid)
+    n1, n2, m = len(w1), len(w2), len(w1 & w2)
+    row = REGISTRY["capture_recapture_q"].fn(spark, SF_SMALL).collect()[0]
+    assert (row["n_window1"], row["n_window2"]) == (n1, n2)
+    assert row["n_both"] == m
+    assert row["n_seen_total"] == len(w1 | w2)
+    assert row["lincoln_petersen"] == pytest.approx(
+        n1 * n2 / m, abs=2e-3
+    )
+    assert row["chapman"] == pytest.approx(
+        (n1 + 1) * (n2 + 1) / (m + 1) - 1, abs=2e-3
+    )
+
+
+def test_chao1_q_matches_bruteforce(spark):
+    """Chao1 richness replayed with Counters."""
+    vocab = Counter()
+    for _, text, _ in _docs():
+        vocab.update(_tok(text))
+    s_obs = len(vocab)
+    ff = Counter(vocab.values())
+    f1, f2 = ff.get(1, 0), ff.get(2, 0)
+    chao = s_obs + f1 * (f1 - 1) / (2 * (f2 + 1))
+    row = REGISTRY["chao1_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["s_observed"] == s_obs
+    assert (row["singletons"], row["doubletons"]) == (f1, f2)
+    assert row["chao1"] == pytest.approx(chao, abs=2e-3)
+    assert row["coverage"] == pytest.approx(s_obs / chao, abs=2e-6)
+
+
+def test_gini_split_q_matches_bruteforce(spark):
+    """Best stump replayed with a sorted scan."""
+    pts = sorted(
+        (math.floor(bal), 1 if seg in ("AUTOMOBILE", "BUILDING") else 0)
+        for _, seg, bal in _balances()
+    )
+    from itertools import groupby
+
+    grid = [
+        (v, len(list(g)))
+        for v, g in groupby(pts, key=lambda p: p[0])
+    ]
+    nt = len(pts)
+    pt = sum(y for _, y in pts)
+    best = None
+    nl = pl = 0
+    pos_at = defaultdict(int)
+    for v, y in pts:
+        pos_at[v] += y
+    cnt_at = Counter(v for v, _ in pts)
+    for v in sorted(cnt_at):
+        nl += cnt_at[v]
+        pl += pos_at[v]
+        if nl >= nt:
+            continue
+        nr, pr = nt - nl, pt - pl
+        gl = 1 - (pl / nl) ** 2 - (1 - pl / nl) ** 2
+        gr = 1 - (pr / nr) ** 2 - (1 - pr / nr) ** 2
+        after = nl / nt * gl + nr / nt * gr
+        key = (after, v)
+        if best is None or key < best[0]:
+            best = (key, nl, nr)
+    (after, v), nl, nr = best
+    before = 1 - (pt / nt) ** 2 - (1 - pt / nt) ** 2
+    row = REGISTRY["gini_split_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["split_at"] == v
+    assert (row["n_left"], row["n_right"]) == (nl, nr)
+    assert row["gini_before"] == pytest.approx(before, abs=2e-6)
+    assert row["gini_after"] == pytest.approx(after, abs=2e-6)
+    assert row["impurity_decrease"] == pytest.approx(
+        before - after, abs=2e-6
+    )
+
+
+def test_kendall_w_q_matches_bruteforce(spark):
+    """W replayed from friedman-style rank sums."""
+    agg = defaultdict(lambda: [Decimal(0), 0])
+    for _, ts, _, v, t in _events():
+        d = agg[(ts.date(), t)]
+        d[0] += Decimal(str(v)).quantize(Decimal("0.000001"))
+        d[1] += 1
+    by_day = defaultdict(dict)
+    for (day, t), (s, c) in agg.items():
+        by_day[day][t] = _q6(float(s) / c)
+    rank_sum = Counter()
+    n = len(by_day)
+    k = len({t for d in by_day.values() for t in d})
+    for day, ms in by_day.items():
+        for r, (m, t) in enumerate(
+            sorted((m, t) for t, m in ms.items()), start=1
+        ):
+            rank_sum[t] += r
+    chi2 = 12.0 * sum(s * s for s in rank_sum.values()) / (
+        n * k * (k + 1)
+    ) - 3.0 * n * (k + 1)
+    row = REGISTRY["kendall_w_q"].fn(spark, SF_SMALL).collect()[0]
+    assert (row["n_days"], row["k_types"]) == (n, k)
+    assert row["kendall_w"] == pytest.approx(
+        chi2 / (n * (k - 1)), abs=2e-6
+    )
+
+
+def test_vif_q_matches_bruteforce(spark):
+    """VIFs replayed with numpy correlation."""
+    import numpy as np
+
+    agg = defaultdict(lambda: [0.0, 0.0, 0.0])
+    for uid, _, _, v, t in _events():
+        i = {"click": 0, "view": 1, "signup": 2}.get(t)
+        agg[uid]  # ensure user exists
+        if i is not None:
+            agg[uid][i] += v
+    m = np.array(list(agg.values()))
+    r = np.corrcoef(m.T)
+
+    def vif(i, j, k):
+        r2 = (
+            r[i, j] ** 2 + r[i, k] ** 2 - 2 * r[i, j] * r[i, k] * r[j, k]
+        ) / (1 - r[j, k] ** 2)
+        return 1 / (1 - r2)
+
+    row = REGISTRY["vif_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_users"] == len(agg)
+    assert row["vif_click"] == pytest.approx(vif(0, 1, 2), abs=2e-3)
+    assert row["vif_view"] == pytest.approx(vif(1, 0, 2), abs=2e-3)
+    assert row["vif_signup"] == pytest.approx(vif(2, 0, 1), abs=2e-3)
