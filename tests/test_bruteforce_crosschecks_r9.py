@@ -4034,3 +4034,106 @@ def test_vif_q_matches_bruteforce(spark):
     assert row["vif_click"] == pytest.approx(vif(0, 1, 2), abs=2e-3)
     assert row["vif_view"] == pytest.approx(vif(1, 0, 2), abs=2e-3)
     assert row["vif_signup"] == pytest.approx(vif(2, 0, 1), abs=2e-3)
+
+
+def test_risk_adjusted_q_matches_bruteforce(spark):
+    """Sharpe/Sortino/Calmar replayed from the demeaned P&L."""
+    revs = _daily("purchase")
+    mu = _q6(float(sum(revs)) / len(revs))
+    ps = [float(r - mu) for r in revs]
+    n = len(ps)
+    mean = sum(ps) / n
+    sd = math.sqrt(
+        (sum(p * p for p in ps) - sum(ps) ** 2 / n) / (n - 1)
+    )
+    dsd = math.sqrt(sum(p * p for p in ps if p < 0) / n)
+    equity = peak = 0.0
+    first = True
+    mdd = None
+    for p in ps:
+        equity += p
+        peak = equity if first else max(peak, equity)
+        first = False
+        d = peak - equity
+        mdd = d if mdd is None else max(mdd, d)
+    row = REGISTRY["risk_adjusted_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_days"] == n
+    assert row["sharpe_ann"] == pytest.approx(
+        mean / sd * math.sqrt(365), abs=2e-4
+    )
+    assert row["sortino_ann"] == pytest.approx(
+        mean / dsd * math.sqrt(365), abs=2e-4
+    )
+    assert row["calmar"] == pytest.approx(
+        mean * 365 / mdd, abs=2e-3
+    )
+
+
+def test_weekday_effect_q_matches_bruteforce(spark):
+    """Day-of-week ANOVA F replayed with group loops."""
+    import datetime
+
+    base = datetime.date(2024, 1, 1)
+    days = sorted(
+        {ts.date() for _, ts, _, _, t in _events() if t == "purchase"}
+    )
+    ms = [
+        float(_q6(float(s) / c))
+        for s, c in _daily("purchase", agg="pairs")
+    ]
+    groups = defaultdict(list)
+    for d, m in zip(days, ms):
+        groups[(d - base).days % 7].append(m)
+    n = len(ms)
+    k = len(groups)
+    grand = sum(ms) / n
+    ssb = sum(
+        len(v) * (sum(v) / len(v) - grand) ** 2 for v in groups.values()
+    )
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v)
+        for v in groups.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    row = REGISTRY["weekday_effect_q"].fn(spark, SF_SMALL).collect()[0]
+    assert (row["n_days"], row["k_weekdays"]) == (n, k)
+    assert row["f_stat"] == pytest.approx(f, rel=1e-4)
+
+
+def test_median_polish_q_matches_bruteforce(spark):
+    """Two median-polish sweeps replayed with dicts."""
+    import datetime
+
+    base = datetime.date(2024, 1, 1)
+    agg = defaultdict(lambda: [Decimal(0), 0])
+    for _, ts, _, v, t in _events():
+        d = agg[((ts.date() - base).days % 7, t)]
+        d[0] += Decimal(str(v)).quantize(Decimal("0.000001"))
+        d[1] += 1
+    cell = {k: _q6(float(s) / c) for k, (s, c) in agg.items()}
+
+    def lower_median(vals):
+        s = sorted(vals)
+        return s[(len(s) + 1) // 2 - 1]
+
+    v = dict(cell)
+    for _ in range(2):
+        rows = defaultdict(list)
+        for (dow, et), val in v.items():
+            rows[dow].append(val)
+        rmed = {dow: lower_median(vs) for dow, vs in rows.items()}
+        v = {(d, e): val - rmed[d] for (d, e), val in v.items()}
+        cols = defaultdict(list)
+        for (dow, et), val in v.items():
+            cols[et].append(val)
+        cmed = {et: lower_median(vs) for et, vs in cols.items()}
+        v = {(d, e): val - cmed[e] for (d, e), val in v.items()}
+    avs = [abs(x) for x in v.values()]
+    row = REGISTRY["median_polish_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_cells"] == len(v)
+    assert row["max_abs_residual"] == pytest.approx(
+        float(max(avs)), abs=2e-4
+    )
+    assert row["median_abs_residual"] == pytest.approx(
+        float(lower_median(avs)), abs=2e-4
+    )
