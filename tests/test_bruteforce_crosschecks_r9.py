@@ -4137,3 +4137,87 @@ def test_median_polish_q_matches_bruteforce(spark):
     assert row["median_abs_residual"] == pytest.approx(
         float(lower_median(avs)), abs=2e-4
     )
+
+
+def test_oaxaca_blinder_q_matches_bruteforce(spark):
+    """Two-fold decomposition replayed with pooled-slope OLS."""
+    agg = defaultdict(lambda: [Decimal(0), Decimal(0)])
+    users = set()
+    for uid, _, _, v, t in _events():
+        users.add(uid)
+        if t == "click":
+            agg[uid][0] += Decimal(str(v)).quantize(Decimal("0.000001"))
+        elif t == "purchase":
+            agg[uid][1] += Decimal(str(v)).quantize(Decimal("0.000001"))
+    rows = [
+        (u % 2, float(agg[u][0]), float(agg[u][1]))
+        for u in sorted(users)
+    ]
+    n = len(rows)
+    sx = sum(x for _, x, _ in rows)
+    sy = sum(y for _, _, y in rows)
+    sxx = sum(x * x for _, x, _ in rows)
+    sxy = sum(x * y for _, x, y in rows)
+    b = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    g1 = [(x, y) for g, x, y in rows if g == 1]
+    g0 = [(x, y) for g, x, y in rows if g == 0]
+    gap = sum(y for _, y in g1) / len(g1) - sum(y for _, y in g0) / len(
+        g0
+    )
+    xgap = sum(x for x, _ in g1) / len(g1) - sum(
+        x for x, _ in g0
+    ) / len(g0)
+    row = REGISTRY["oaxaca_blinder_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_users"] == n
+    assert row["total_gap"] == pytest.approx(gap, abs=2e-4)
+    assert row["explained"] == pytest.approx(b * xgap, abs=2e-4)
+    assert row["unexplained"] == pytest.approx(gap - b * xgap, abs=2e-4)
+
+
+def test_knee_point_q_matches_bruteforce(spark):
+    """Pareto knee replayed with a sorted cumulative scan."""
+    rev = defaultdict(Decimal)
+    for pk, _, ep, _, _ in _lineitems():
+        rev[pk] += Decimal(str(ep)).quantize(Decimal("0.0001"))
+    items = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    t = float(sum(v for _, v in items) * 10000)
+    n = len(items)
+    cum = 0
+    best = None
+    for rk, (pk, r) in enumerate(items, start=1):
+        cum += int(r * 10000)
+        lift = cum / t - rk / n
+        key = (-lift, rk)
+        if best is None or key < best[0]:
+            best = (key, rk, cum / t)
+    (neg, rk0), rk, share = best
+    row = REGISTRY["knee_point_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["knee_rank"] == rk
+    assert row["rank_share"] == pytest.approx(rk / n, abs=2e-6)
+    assert row["revenue_share"] == pytest.approx(share, abs=2e-6)
+    assert row["max_chord_gap"] == pytest.approx(-neg, abs=2e-6)
+
+
+def test_cochran_q_test_matches_bruteforce(spark):
+    """Cochran's Q replayed with flag dicts (NULL when every block
+    is all-or-nothing, as at this scale's 15 users)."""
+    flags = defaultdict(lambda: [0, 0, 0])
+    for uid, _, _, _, t in _events():
+        i = {"view": 0, "click": 1, "purchase": 2}.get(t)
+        flags[uid]
+        if i is not None:
+            flags[uid][i] = 1
+    n = len(flags)
+    c = [sum(f[i] for f in flags.values()) for i in range(3)]
+    sr = sum(sum(f) for f in flags.values())
+    sr2 = sum(sum(f) ** 2 for f in flags.values())
+    den = 3 * sr - sr2
+    row = REGISTRY["cochran_q_test"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_users"] == n
+    assert (row["n_view"], row["n_click"], row["n_purchase"]) == tuple(c)
+    if den == 0:
+        assert row["cochran_q"] is None
+    else:
+        cbar = sr / 3
+        q = 6 * sum((ci - cbar) ** 2 for ci in c) / den
+        assert row["cochran_q"] == pytest.approx(q, abs=2e-5)
