@@ -4221,3 +4221,88 @@ def test_cochran_q_test_matches_bruteforce(spark):
         cbar = sr / 3
         q = 6 * sum((ci - cbar) ** 2 for ci in c) / den
         assert row["cochran_q"] == pytest.approx(q, abs=2e-5)
+
+
+def test_robust_shape_q_matches_bruteforce(spark):
+    """Bowley/Moors replayed with explicit NTILE octiles."""
+    tot = _purchase_totals()
+    got = {
+        r["cohort"]: r
+        for r in REGISTRY["robust_shape_q"].fn(spark, SF_SMALL).collect()
+    }
+    for g in (0, 1):
+        vals = sorted((v, u) for u, v in tot.items() if u % 2 == g)
+        n = len(vals)
+        q, r = divmod(n, 8)
+        e = {}
+        idx = 0
+        for o in range(1, 9):
+            size = q + 1 if o <= r else q
+            block = vals[idx : idx + size]
+            idx += size
+            if block:
+                e[o] = block[-1][0]
+        iqr = e[6] - e[2]
+        bow = (e[6] + e[2] - 2 * e[4]) / iqr
+        moors = ((e[7] - e[5]) + (e[3] - e[1])) / iqr
+        rr = got[g]
+        assert rr["bowley_skewness"] == pytest.approx(bow, abs=2e-5)
+        assert rr["moors_kurtosis"] == pytest.approx(moors, abs=2e-5)
+
+
+def test_audience_stability_q_matches_bruteforce(spark):
+    """Weekly audience Jaccard replayed with sets."""
+    import datetime
+
+    base = datetime.date(2024, 1, 1)
+    aud = defaultdict(set)
+    for uid, ts, _, _, t in _events():
+        aud[(t, (ts.date() - base).days // 7)].add(uid)
+    got = {
+        (r["event_type"], r["week_from"]): r
+        for r in REGISTRY["audience_stability_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    expect = {}
+    for (t, w), s in aud.items():
+        nxt = aud.get((t, w + 1))
+        if nxt:
+            inter = s & nxt
+            if inter:
+                expect[(t, w)] = (
+                    len(inter),
+                    len(inter) / len(s | nxt),
+                )
+    assert set(got) == set(expect)
+    for k, (nc, j) in expect.items():
+        assert got[k]["n_common"] == nc
+        assert got[k]["jaccard"] == pytest.approx(j, abs=2e-6)
+
+
+def test_median_test_q_matches_bruteforce(spark):
+    """Mood's median cells replayed with a plain sort."""
+    rows = _balances()
+    vals = sorted((b, ck) for ck, _, b in rows)
+    med = vals[(len(vals) + 1) // 2 - 1][0]
+    cells = defaultdict(lambda: [0, 0])
+    for ck, seg, b in rows:
+        cells[seg][0] += 1
+        if b > med:
+            cells[seg][1] += 1
+    p = sum(a for _, a in cells.values()) / sum(
+        n for n, _ in cells.values()
+    )
+    got = {
+        r["segment"]: r
+        for r in REGISTRY["median_test_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(cells)
+    for seg, (n, above) in cells.items():
+        r = got[seg]
+        assert r["n_customers"] == n and r["n_above"] == above
+        assert r["expected_above"] == pytest.approx(n * p, abs=2e-3)
+        chi = (above - n * p) ** 2 / (n * p) + (
+            (n - above) - n * (1 - p)
+        ) ** 2 / (n * (1 - p))
+        assert r["chi2_contribution"] == pytest.approx(chi, abs=2e-5)
