@@ -4306,3 +4306,77 @@ def test_median_test_q_matches_bruteforce(spark):
             (n - above) - n * (1 - p)
         ) ** 2 / (n * (1 - p))
         assert r["chi2_contribution"] == pytest.approx(chi, abs=2e-5)
+
+
+def test_winsor_effect_q_matches_bruteforce(spark):
+    """Winsorized moments replayed with a plain sort + clamp."""
+    tot = _purchase_totals()
+    vals = sorted((v, u) for u, v in tot.items())
+    n = len(vals)
+    lo = vals[max(math.ceil(0.05 * n), 1) - 1][0]
+    hi = vals[math.ceil(0.95 * n) - 1][0]
+    ys = [v for v, _ in vals]
+    yw = [min(max(v, lo), hi) for v in ys]
+
+    def mv(xs):
+        mu = sum(xs) / n
+        return mu, math.sqrt(
+            sum((x - mu) ** 2 for x in xs) / (n - 1)
+        )
+
+    mr, sr = mv(ys)
+    mw, sw = mv(yw)
+    row = REGISTRY["winsor_effect_q"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_users"] == n
+    assert row["mean_raw"] == pytest.approx(mr, abs=2e-3)
+    assert row["mean_winsor"] == pytest.approx(mw, abs=2e-3)
+    assert row["sd_raw"] == pytest.approx(sr, abs=2e-3)
+    assert row["sd_winsor"] == pytest.approx(sw, abs=2e-3)
+    assert row["sd_reduction"] == pytest.approx(1 - sw / sr, abs=2e-5)
+
+
+def test_simpson_paradox_q_matches_bruteforce(spark):
+    """Pooled vs per-quartile rate differences replayed."""
+    acts = defaultdict(int)
+    conv = defaultdict(int)
+    for uid, _, _, _, t in _events():
+        acts[uid] += 1
+        if t == "purchase":
+            conv[uid] = 1
+    users = sorted(acts, key=lambda u: (acts[u], u))
+    n = len(users)
+    q, r = divmod(n, 4)
+    sizes = [q + 1 if i < r else q for i in range(4)]
+    strata = {}
+    idx = 0
+    for s, size in enumerate(sizes, start=1):
+        for u in users[idx : idx + size]:
+            strata[u] = s
+        idx += size
+
+    def diff(members):
+        c1 = sum(conv.get(u, 0) for u in members if u % 2 == 1)
+        n1 = sum(1 for u in members if u % 2 == 1)
+        c0 = sum(conv.get(u, 0) for u in members if u % 2 == 0)
+        n0 = sum(1 for u in members if u % 2 == 0)
+        rd = None
+        if n1 and n0:
+            rd = c1 / n1 - c0 / n0
+        return rd, c1 + c0, n1 + n0
+
+    got = {
+        r["stratum"]: r
+        for r in REGISTRY["simpson_paradox_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == {-1, 1, 2, 3, 4}
+    for s in (-1, 1, 2, 3, 4):
+        members = (
+            users if s == -1 else [u for u in users if strata[u] == s]
+        )
+        rd, nc, nu = diff(members)
+        row = got[s]
+        assert row["n_conversions"] == nc and row["n_users"] == nu
+        if rd is None:
+            assert row["rate_diff"] is None
+        else:
+            assert row["rate_diff"] == pytest.approx(rd, abs=2e-6)
