@@ -4380,3 +4380,67 @@ def test_simpson_paradox_q_matches_bruteforce(spark):
             assert row["rate_diff"] is None
         else:
             assert row["rate_diff"] == pytest.approx(rd, abs=2e-6)
+
+
+def test_u_chart_q_matches_bruteforce(spark):
+    """u-chart replayed with per-day counters."""
+    users = defaultdict(set)
+    errs = Counter()
+    for uid, ts, _, _, t in _events():
+        users[ts.date()].add(uid)
+        if t == "error":
+            errs[ts.date()] += 1
+    ubar = sum(errs.values()) / sum(len(v) for v in users.values())
+    got = {
+        r["day"]: r
+        for r in REGISTRY["u_chart_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(users)
+    for day, us in users.items():
+        n = len(us)
+        rate = errs.get(day, 0) / n
+        ucl = ubar + 3 * math.sqrt(ubar / n)
+        r = got[day]
+        assert r["n_users"] == n
+        assert r["n_errors"] == errs.get(day, 0)
+        assert r["u_rate"] == pytest.approx(rate, abs=2e-6)
+        assert r["ucl"] == pytest.approx(ucl, abs=2e-6)
+        assert r["violation"] == (rate > ucl)
+
+
+def test_copeland_q_matches_bruteforce(spark):
+    """Copeland standings replayed with duel loops."""
+    agg = defaultdict(lambda: [Decimal(0), 0])
+    for _, ts, _, v, t in _events():
+        d = agg[(ts.date(), t)]
+        d[0] += Decimal(str(v)).quantize(Decimal("0.000001"))
+        d[1] += 1
+    by_day = defaultdict(dict)
+    for (day, t), (s, c) in agg.items():
+        by_day[day][t] = _q6(float(s) / c)
+    types = sorted({t for d in by_day.values() for t in d})
+    score = Counter()
+    won = Counter()
+    for ti in types:
+        for tj in types:
+            if ti == tj:
+                continue
+            w = n = 0
+            for day, ms in by_day.items():
+                if ti in ms and tj in ms:
+                    n += 1
+                    if ms[ti] > ms[tj]:
+                        w += 1
+            won[ti] += w
+            if 2 * w > n:
+                score[ti] += 1
+            elif 2 * w < n:
+                score[ti] -= 1
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["copeland_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(types)
+    for t in types:
+        assert got[t]["copeland_score"] == score[t]
+        assert got[t]["days_won"] == won[t]
