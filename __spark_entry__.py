@@ -41,17 +41,29 @@ from iniz_exporters_spark.session import tune_for_session
 #   r6: remaining reference entry points + array_set_ops redo + next batch
 #   r7/r8: remainder per the canonical ledger in PERFORMANCE.md
 # ---------------------------------------------------------------------------
-# Staged for the round-9 rotation (registered + triple-verified this
-# round, no driver slot left in r8's 49): good_turing_q,
-# hill_tail_index_q, mann_kendall_q, trimmed_mean_q, cohens_kappa_q,
-# mcnemar_q, brown_forsythe_q, simpson_diversity_q — plus any further
-# additions; see PERFORMANCE.md round-8 session-2.
-_R9_STAGED = [
+# Round-9 rotation: the 49 oldest never-driver-checked names in
+# registration order (VERDICT r8 #1; queue pre-computed in PERFORMANCE.md
+# §driver-window r9/r10). Every name was triple-verified (DuckDB gate at
+# sf0.001/0.01/0.1 + plain-python replica) before its round-8 commit and
+# re-swept at round-9 open. Net-new registry growth is frozen until the
+# cumulative ledger drains (137 unchecked at r9 open → 88 after this
+# window → 39 after r10 → 0 within r11).
+_R9_WINDOW = [
     "good_turing_q", "hill_tail_index_q", "mann_kendall_q",
     "trimmed_mean_q", "cohens_kappa_q", "mcnemar_q", "brown_forsythe_q",
     "simpson_diversity_q", "cliffs_delta_q", "odds_ratio_q",
     "ljung_box_q", "theil_u_q", "markov_entropy_rate_q",
     "matryoshka_fidelity_q", "weighted_jaccard_q", "yule_k_q",
+    "kruskal_wallis_q", "kendall_tau_q", "isotropy_q", "cramers_v_q",
+    "page_hinkley_q", "sample_entropy_q", "hurst_exponent_q",
+    "neighbor_jaccard_q", "average_precision_q", "matthews_corr_q",
+    "anova_f_q", "t_closeness_q", "hubness_q", "lift_gain_q",
+    "brier_decomposition_q", "friedman_q", "runs_test_q",
+    "dickey_fuller_q", "isotonic_calibration_q", "cronbach_alpha_q",
+    "permutation_test_q", "bh_fdr_q", "granger_q", "welch_ttest_q",
+    "seasonal_strength_q", "sprt_q", "component_density_q",
+    "power_analysis_q", "acf_q", "theil_index_q", "moran_i_q",
+    "tukey_hsd_q", "fuzzy_cmeans_q",
 ]
 
 _R8_WINDOW = [
@@ -133,7 +145,7 @@ _R6_WINDOW = [
 
 # Kept for provenance / test compatibility: the live window always binds to
 # the newest list.
-_WINDOW = _R8_WINDOW
+_WINDOW = _R9_WINDOW
 
 
 def _ordered_names() -> list[str]:

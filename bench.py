@@ -24,6 +24,23 @@ whose time grows far beyond ~10× across a 10× data step has a superlinear
 term (usually candidate-pair or state growth) that a local plan audit
 won't catch. Ratios well under 10 mean fixed overheads (job scheduling,
 JVM) still dominate at this scale — fine; ratios ≫10 are the red flag.
+The slope set also carries _SLOPE_EXTRA: representative round-8
+statistical-analytics operators measured at both scales but kept OUT of
+the headline wall-time sum, so scale drift in the new surface is visible
+without moving the round-over-round headline goalposts (VERDICT r8 #3).
+
+Environment canary (VERDICT r8 #2): BENCH_r08 regressed +24% across all
+31 headline queries with zero plan changes — by all evidence a slower
+sandbox, but the committed artifact had no way to prove it. Now every run
+times two FIXED reference probes before the warm-up and again after the
+suite: (a) a pure-JVM probe, sum over spark.range(2e8) — CPU/codegen
+speed, no I/O; (b) a fixed parquet scan-agg over sf0.01 lineitem — disk +
+scan path. Both land in the final JSON line ("canary") and, with
+loadavg/cpu-count/warm-up time, in BENCH_DETAIL ("env"). Round-over-round
+rule: a query delta is a real signal only if it exceeds the recorded
+spread AND survives dividing by the canary ratio between the two rounds
+(canary_r{N} / canary_r{N-1}); a uniform shift that tracks the canary is
+the machine, not the code.
 """
 
 from __future__ import annotations
@@ -40,11 +57,58 @@ from iniz_exporters_spark.queries import REGISTRY
 from iniz_exporters_spark.session import get_spark
 
 
+# Round-8 statistical-analytics operators on the cross-scale slope radar
+# (VERDICT r8 #3): heaviest-first picks — rank machinery (Mann-Whitney,
+# Spearman), iterative kernels (Sinkhorn, Bradley-Terry, fuzzy c-means),
+# survival (Kaplan-Meier), an SPC chart (X-bar/R), and pairs-based tests
+# (permutation, Kendall's tau). Measured at sf_small and sf_big each run;
+# NOT part of the headline wall-time sum.
+_SLOPE_EXTRA = [
+    "mann_whitney_q", "spearman_corr_q", "km_survival_q",
+    "sinkhorn_plan_q", "bradley_terry_q", "xbar_r_q",
+    "permutation_test_q", "kendall_tau_q", "fuzzy_cmeans_q",
+    "geometric_median_q",
+]
+
+
+def _canary(spark, label_unused=None) -> dict[str, float]:
+    """Fixed environment probes — identical workload every round.
+
+    (a) pure-JVM: sum over range(2e8), exercises codegen + CPU with zero
+    I/O; (b) fixed parquet scan-agg over sf0.01 lineitem (same bytes every
+    round — driver-generated, read-only). Neither depends on the headline
+    set, so their round-over-round ratio isolates machine speed from plan
+    changes. Each probe runs once UNTIMED first: the pre-suite canary
+    would otherwise be dominated by first-call codegen/JIT (measured 4.9 s
+    cold vs 0.23 s warm), which is session state, not machine speed — and
+    session cold-start is already recorded separately.
+    """
+    probes = {}
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id)").collect()
+        probes["jvm_range_sec"] = round(time.perf_counter() - t0, 3)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.read.parquet(
+            "/root/testdata/sf0.01/lineitem.parquet"
+        ).selectExpr(
+            "sum(l_extendedprice * (1 - l_discount))", "count(*)"
+        ).collect()
+        probes["parquet_scan_sec"] = round(time.perf_counter() - t0, 3)
+    return probes
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    t_session0 = time.perf_counter()
     spark = get_spark("iniz-exporters-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    session_startup_sec = round(time.perf_counter() - t_session0, 3)
+
+    loadavg_pre = os.getloadavg()
+    canary_pre = _canary(spark)
 
     headline = {n: s for n, s in REGISTRY.items() if s.headline}
 
@@ -65,8 +129,10 @@ def main() -> None:
 
     # JVM/codegen warmup on the smallest SF so per-query times measure the
     # plan, not first-call compilation
+    t_warm0 = time.perf_counter()
     for spec in headline.values():
         run(spec, "/root/testdata/sf0.001")
+    warmup_sec = round(time.perf_counter() - t_warm0, 3)
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     runs: dict[str, list[float]] = {name: [] for name in headline}
@@ -143,8 +209,42 @@ def main() -> None:
                 "sf_big": times[name],
                 "ratio": round(times[name] / max(t_small, 1e-3), 2),
             }
+        # Round-8 analytics slope radar: one timed pass per scale (these
+        # are not in `times`, so sf_big is measured here). Single-pass
+        # timings carry JIT/GC noise — the ratio, not the absolute, is
+        # the signal, and only sustained super-linear ratios matter.
+        for name in _SLOPE_EXTRA:
+            spec = REGISTRY.get(name)
+            if spec is None:
+                continue
+            t0 = time.perf_counter()
+            run(spec, sf_dir)
+            t_big = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            run(spec, small_dir)
+            t_small = round(time.perf_counter() - t0, 3)
+            slope[name] = {
+                "sf_small": t_small,
+                "sf_big": t_big,
+                "ratio": round(t_big / max(t_small, 1e-3), 2),
+                "extra": 1,
+            }
         detail["slope"] = slope
         detail["slope_sf_small"] = float(small_dir.rsplit("sf", 1)[-1])
+
+    # Environment fingerprint (VERDICT r8 #2): canary probes bracket the
+    # suite; loadavg + cpu count + warm-up land in the committed artifact
+    # so a cross-boot machine shift is provable from the record alone.
+    canary_post = _canary(spark)
+    detail["env"] = {
+        "canary_pre": canary_pre,
+        "canary_post": canary_post,
+        "loadavg_pre": [round(x, 2) for x in loadavg_pre],
+        "loadavg_post": [round(x, 2) for x in os.getloadavg()],
+        "cpu_count": os.cpu_count(),
+        "session_startup_sec": session_startup_sec,
+        "warmup_sec": warmup_sec,
+    }
 
     # Spreads + slope: side artifact and an EARLY stdout line — never the
     # final line, which must stay within the driver's tail capture.
@@ -169,12 +269,20 @@ def main() -> None:
 
     # FINAL line: compact headline object only (~1.5 KB, the r1-r3 shape
     # the driver parsed successfully three rounds running).
+    # "canary" is ~120 bytes — small enough for the tail capture, and it
+    # makes the committed BENCH_r{N}.json self-evidencing: divide two
+    # rounds' canaries to separate machine drift from plan regressions.
     print(json.dumps({
         "metric": "headline_query_wall_seconds",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "sf": sf_val,
+        "canary": {
+            "pre": canary_pre,
+            "post": canary_post,
+            "loadavg_1m": round(loadavg_pre[0], 2),
+        },
     }))
 
 

@@ -60,6 +60,15 @@ def test_bench_emits_one_json_line_with_all_headline_queries(tmp_path):
     assert payload["value"] > 0
     assert abs(sum(payload["queries"].values()) - payload["value"]) < 0.01
     assert "runs" not in payload and "slope" not in payload
+    # environment canary (VERDICT r8 #2): two fixed probes bracket the
+    # suite and ride the final line, so the committed BENCH_r{N}.json is
+    # self-evidencing about machine speed — a uniform query shift that
+    # tracks the canary ratio is the sandbox, not a plan regression
+    for side in ("pre", "post"):
+        probes = payload["canary"][side]
+        assert probes["jvm_range_sec"] > 0
+        assert probes["parquet_scan_sec"] > 0
+    assert payload["canary"]["loadavg_1m"] >= 0
     # medians-of-N contract: raw runs on the EARLIER detail line and in
     # the BENCH_DETAIL.json side artifact, median is the reported time
     import statistics
@@ -93,6 +102,15 @@ def test_bench_emits_one_json_line_with_all_headline_queries(tmp_path):
                 > 0.25
                 for k in range(2, len(rs))
             )
+    # full environment fingerprint in the side artifact
+    env_block = detail["env"]
+    assert env_block["canary_pre"] == payload["canary"]["pre"]
+    assert env_block["canary_post"] == payload["canary"]["post"]
+    assert len(env_block["loadavg_pre"]) == 3
+    assert len(env_block["loadavg_post"]) == 3
+    assert env_block["cpu_count"] >= 1
+    assert env_block["warmup_sec"] > 0
+    assert env_block["session_startup_sec"] > 0
     with open(detail_path) as f:
         assert json.load(f)["runs"] == detail["runs"]
 

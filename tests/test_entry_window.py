@@ -41,7 +41,7 @@ def test_window_targets_never_driver_checked_queries():
     Rows that errored (r5's array_set_ops canonicalizer TypeError) do not
     count as checked and may legitimately re-enter the window."""
     prev: set = set()
-    for r in range(1, 8):
+    for r in range(1, 9):
         path = f"/root/repo/CORRECTNESS_r0{r}.json"
         if os.path.exists(path):
             for name, row in json.load(open(path)).items():
