@@ -77,6 +77,15 @@ SENSITIVE = [
     "abc_xyz_q",              # global_cumsum + weekly CV classes
     "littles_law_q",          # sessionization islands + horizon
     "mediation_q",            # exact conditional decimal moments
+    # round-9: remaining rank-machinery users in the r9 driver window
+    # (VERDICT r8 #6 — every window name with rank machinery scrambles)
+    "mann_kendall_q",         # grouped_index over day pairs
+    "mcnemar_q",              # grouped_index discordant-pair split
+    "simpson_diversity_q",    # global_cumsum abundance shares
+    "cliffs_delta_q",         # avg_rank2_table dominance counts
+    "yule_k_q",               # global_cumsum + midrank vocab mass
+    "kruskal_wallis_q",       # pooled midranks via avg_rank2_table
+    "seasonal_strength_q",    # global_cumsum seasonal/remainder split
 ]
 
 
