@@ -26,8 +26,8 @@ from iniz_exporters_spark.session import tune_for_session
 #
 # The external driver hash-checks the FIRST 50 entries of ``queries()`` each
 # round (observed: CORRECTNESS_r01-r03 contain exactly the first 50 registry
-# names, identical all three rounds). Registration order in queries.py follows
-# the build's history, so everything added after round 1 never received a
+# names, identical all three rounds). Registration order in the queries/
+# registry follows the build's history, so everything added after round 1 never received a
 # driver row despite passing the local replica gate (tools/check_queries.py).
 #
 # Fix: rotate which queries occupy the first-50 window each round, keeping

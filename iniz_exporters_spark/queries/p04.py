@@ -1,0 +1,3637 @@
+"""Registry chunk 4/9: 45 @register entries (cluster_nmi_q .. margin_ratio_pairs_q).
+
+Mechanical split of the original queries.py (lines 10941-14556); statement order
+and registration order are unchanged. See queries/__init__.py."""
+from iniz_exporters_spark.catalog import Catalog
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+import os
+from iniz_exporters_spark.queries._base import _dec, register
+from iniz_exporters_spark.functions.text import tokens as _tokens
+from iniz_exporters_spark.plans.graph import connected_components
+from iniz_exporters_spark.operators.indexing import global_ntile, negative_sample_pairs
+from iniz_exporters_spark.functions.text import poly_hash
+from iniz_exporters_spark.queries.p01 import _SQL_POLY, _SQL_TOKENS
+from iniz_exporters_spark.queries.p03 import _KM_PRELUDE, _capped_baskets, _dsum, _km_eval_frame
+
+
+
+# External cluster validation: normalized mutual information and purity
+# between the k-means clusters and the ground-truth label column. Scale
+# shape: the contingency table is one (cluster, label) count shuffle —
+# k x |labels| cells — and every entropy/MI term is metadata arithmetic
+# over that table, 12-dp-quantized.
+@register(
+    "cluster_nmi_q",
+    _KM_PRELUDE
+    + """
+    , a1 AS (
+        SELECT d.vec_id, d.cid, emb.label
+        FROM dists d JOIN embeddings emb ON emb.vec_id = d.vec_id
+        WHERE d.rn = 1
+    ),
+    cells AS (SELECT cid, label, COUNT(*) AS c FROM a1 GROUP BY cid, label),
+    n AS (SELECT COUNT(*) AS n FROM a1),
+    mc AS (SELECT cid, SUM(c) AS nc FROM cells GROUP BY cid),
+    ml AS (SELECT label, SUM(c) AS nl FROM cells GROUP BY label),
+    mi AS (
+        SELECT CAST(SUM(CAST(
+            (CAST(c.c AS DOUBLE) / n.n)
+            * ln(CAST(c.c AS DOUBLE) * n.n
+                 / (CAST(mc.nc AS DOUBLE) * ml.nl))
+            AS DECIMAL(28,12))) AS DOUBLE) AS mi
+        FROM cells c JOIN mc ON c.cid = mc.cid
+        JOIN ml ON c.label = ml.label CROSS JOIN n
+    ),
+    hc AS (
+        SELECT CAST(SUM(CAST(
+            -(CAST(nc AS DOUBLE) / n.n) * ln(CAST(nc AS DOUBLE) / n.n)
+            AS DECIMAL(28,12))) AS DOUBLE) AS h
+        FROM mc CROSS JOIN n
+    ),
+    hl AS (
+        SELECT CAST(SUM(CAST(
+            -(CAST(nl AS DOUBLE) / n.n) * ln(CAST(nl AS DOUBLE) / n.n)
+            AS DECIMAL(28,12))) AS DOUBLE) AS h
+        FROM ml CROSS JOIN n
+    ),
+    pur AS (
+        SELECT CAST(SUM(mx) AS BIGINT) AS agree FROM (
+            SELECT cid, MAX(c) AS mx FROM cells GROUP BY cid)
+    )
+    SELECT CAST(n.n AS BIGINT) AS n,
+           CAST(ROUND(mi.mi / sqrt(hc.h * hl.h), 6) AS DOUBLE) AS nmi,
+           CAST(ROUND(CAST(pur.agree AS DOUBLE) / n.n, 6) AS DOUBLE)
+               AS purity
+    FROM mi CROSS JOIN hc CROSS JOIN hl CROSS JOIN pur CROSS JOIN n
+    """,
+)
+def cluster_nmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f, _ = _km_eval_frame(spark, sf_dir)
+    # contingency table is the only corpus-scale aggregation; everything
+    # below works on its k x |labels| cells (no re-reads of the frame)
+    cells = f.groupBy("cluster", "label").agg(
+        F.count("*").alias("c")
+    ).localCheckpoint()
+    n_tot = cells.agg(F.sum("c").alias("n"))
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    m = cells.select(
+        "c",
+        "cluster",
+        "label",
+        F.sum("c").over(Window.partitionBy("cluster")).alias("nc"),
+        F.sum("c").over(Window.partitionBy("label")).alias("nl"),
+        F.sum("c").over(wt).alias("n"),
+    )
+    mi_term = (F.col("c").cast("double") / F.col("n")) * F.log(
+        F.col("c").cast("double")
+        * F.col("n")
+        / (F.col("nc").cast("double") * F.col("nl"))
+    )
+    stats = m.agg(
+        F.max("n").alias("n"),
+        _dsum(mi_term).cast("double").alias("mi"),
+    )
+    hc = (
+        cells.groupBy("cluster")
+        .agg(F.sum("c").alias("nc"))
+        .crossJoin(F.broadcast(n_tot))
+        .agg(
+            _dsum(
+                -(F.col("nc").cast("double") / F.col("n"))
+                * F.log(F.col("nc").cast("double") / F.col("n"))
+            )
+            .cast("double")
+            .alias("hc")
+        )
+    )
+    hl = (
+        cells.groupBy("label")
+        .agg(F.sum("c").alias("nl"))
+        .crossJoin(F.broadcast(n_tot))
+        .agg(
+            _dsum(
+                -(F.col("nl").cast("double") / F.col("n"))
+                * F.log(F.col("nl").cast("double") / F.col("n"))
+            )
+            .cast("double")
+            .alias("hl")
+        )
+    )
+    pur = cells.groupBy("cluster").agg(F.max("c").alias("mx")).agg(
+        F.sum("mx").cast("long").alias("agree")
+    )
+    return (
+        stats.crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(pur))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.col("mi") / F.sqrt(F.col("hc") * F.col("hl")), 6
+            ).alias("nmi"),
+            F.round(
+                F.col("agree").cast("double") / F.col("n"), 6
+            ).alias("purity"),
+        )
+    )
+
+
+# ===========================================================================
+# Batch I — ML feature-engineering layer.
+# ===========================================================================
+
+
+# Weight-of-evidence / information-value binning: the credit-scoring
+# feature diagnostic. Account balance is cut into 8 fixed-width bins;
+# WOE(bin) = ln(pct_pos / pct_neg) against the returned-flag label, and
+# IV sums (pct_pos - pct_neg) * WOE. Scale shape: one corpus-scale count
+# shuffle onto the 8-bin key; WOE/IV arithmetic is metadata over the bin
+# table. Counts stay integer; per-bin terms are 12-dp-quantized.
+@register(
+    "woe_iv_q",
+    """
+    WITH base AS (
+        SELECT CAST(LEAST(GREATEST(CAST(floor((c_acctbal + 1000) / 875)
+                    AS BIGINT), 0), 7) AS BIGINT) AS bin,
+               CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS y
+        FROM customer
+    ),
+    bins AS (
+        SELECT bin, SUM(y) AS pos, SUM(1 - y) AS neg FROM base GROUP BY bin
+    ),
+    tot AS (SELECT SUM(pos) AS p, SUM(neg) AS n FROM bins)
+    SELECT bin, CAST(pos AS BIGINT) AS n_pos, CAST(neg AS BIGINT) AS n_neg,
+           CAST(ROUND(CASE WHEN pos > 0 AND neg > 0 THEN
+               ln((CAST(pos AS DOUBLE) / t.p) / (CAST(neg AS DOUBLE) / t.n))
+               ELSE 0.0 END, 6) AS DOUBLE) AS woe,
+           CAST(ROUND(CASE WHEN pos > 0 AND neg > 0 THEN
+               (CAST(pos AS DOUBLE) / t.p - CAST(neg AS DOUBLE) / t.n)
+               * ln((CAST(pos AS DOUBLE) / t.p)
+                    / (CAST(neg AS DOUBLE) / t.n))
+               ELSE 0.0 END, 6) AS DOUBLE) AS iv_term
+    FROM bins CROSS JOIN tot t
+    """,
+)
+def woe_iv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    base = c.select(
+        F.least(
+            F.greatest(
+                F.floor((F.col("c_acctbal") + 1000) / 875).cast("long"),
+                F.lit(0),
+            ),
+            F.lit(7),
+        )
+        .cast("long")
+        .alias("bin"),
+        F.when(F.col("c_acctbal") < 0, 1).otherwise(0).alias("y"),
+    )
+    bins = base.groupBy("bin").agg(
+        F.sum("y").alias("pos"), F.sum(1 - F.col("y")).alias("neg")
+    )
+    tot = bins.agg(F.sum("pos").alias("p"), F.sum("neg").alias("n"))
+    ok = (F.col("pos") > 0) & (F.col("neg") > 0)
+    pp = F.col("pos").cast("double") / F.col("p")
+    pn = F.col("neg").cast("double") / F.col("n")
+    woe = F.log(pp / pn)
+    return bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.col("pos").cast("long").alias("n_pos"),
+        F.col("neg").cast("long").alias("n_neg"),
+        F.round(F.when(ok, woe).otherwise(0.0), 6).alias("woe"),
+        F.round(F.when(ok, (pp - pn) * woe).otherwise(0.0), 6).alias(
+            "iv_term"
+        ),
+    )
+
+
+# Leave-one-out target encoding: each customer's nation is encoded as the
+# mean account balance of OTHER customers in that nation — the leakage-
+# free categorical encoding for gradient-boosted models. Scale shape: one
+# per-category aggregate (broadcastable metadata), then per-row
+# arithmetic: loo = (sum_cat - own) / (n_cat - 1). Exact decimal sums, so
+# the encoding is identical across engines and layouts.
+@register(
+    "target_encode_loo_q",
+    """
+    WITH agg AS (
+        SELECT c_nationkey,
+               SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS s,
+               COUNT(*) AS n
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT c.c_custkey, c.c_nationkey,
+           CAST(ROUND(CAST(CASE WHEN a.n > 1 THEN
+               CAST(a.s - CAST(c.c_acctbal AS DECIMAL(18,4)) AS DOUBLE)
+               / (a.n - 1)
+               ELSE 0.0 END AS DECIMAL(28,8)), 4) AS DOUBLE)
+               AS nation_loo_mean
+    FROM customer c JOIN agg a ON c.c_nationkey = a.c_nationkey
+    """,
+)
+def target_encode_loo_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    agg = c.groupBy("c_nationkey").agg(
+        F.sum(_dec(F.col("c_acctbal"))).alias("s"),
+        F.count("*").alias("n"),
+    )
+    return c.join(F.broadcast(agg), "c_nationkey").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(
+            F.when(
+                F.col("n") > 1,
+                (F.col("s") - _dec(F.col("c_acctbal"))).cast("double")
+                / (F.col("n") - 1),
+            )
+            .otherwise(0.0)
+            .cast("decimal(28,8)"),
+            4,
+        )
+        .cast("double")
+        .alias("nation_loo_mean"),
+    )
+
+
+# Temporal-split leakage audit: split the event stream at a cutoff and
+# measure entity overlap — users appearing on both sides leak future
+# signal into training features. Scale shape: one user-keyed aggregate
+# computing each user's min/max timestamp, then metadata counts. No
+# self-join of the stream.
+@register(
+    "leakage_check_q",
+    """
+    WITH spans AS (
+        SELECT user_id,
+               MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+               COUNT(*) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN last_ts < TIMESTAMP '2024-01-16'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS train_only,
+           CAST(SUM(CASE WHEN first_ts >= TIMESTAMP '2024-01-16'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS test_only,
+           CAST(SUM(CASE WHEN first_ts < TIMESTAMP '2024-01-16'
+                          AND last_ts >= TIMESTAMP '2024-01-16'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS spanning,
+           CAST(ROUND(CAST(SUM(CASE WHEN first_ts < TIMESTAMP '2024-01-16'
+                          AND last_ts >= TIMESTAMP '2024-01-16'
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+                AS DOUBLE) AS leak_rate
+    FROM spans
+    """,
+)
+def leakage_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    cut = F.lit("2024-01-16").cast("timestamp")
+    spans = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    spanning = F.sum(
+        F.when(
+            (F.col("first_ts") < cut) & (F.col("last_ts") >= cut), 1
+        ).otherwise(0)
+    )
+    return spans.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("last_ts") < cut, 1).otherwise(0))
+        .cast("long")
+        .alias("train_only"),
+        F.sum(F.when(F.col("first_ts") >= cut, 1).otherwise(0))
+        .cast("long")
+        .alias("test_only"),
+        spanning.cast("long").alias("spanning"),
+        F.round(
+            spanning.cast("double") / F.count(F.lit(1)), 6
+        ).alias("leak_rate"),
+    )
+
+
+# ===========================================================================
+# Batch J — recsys prep, customer analytics, and multivariate statistics.
+# ===========================================================================
+
+
+# Association rules over co-purchased parts: support / confidence / lift
+# for directed rules a -> b. Scale shape: pairs are generated per order
+# key with every basket HARD-CAPPED to its BASKET_CAP smallest partkeys
+# (deterministic, identical in the oracle — see _capped_baskets), so a
+# hot basket contributes at most BASKET_CAP^2 pairs and total pair count
+# is O(orders * BASKET_CAP^2), never quadratic in one key. TPC-H baskets
+# are <= 7 so the cap never fires at test scale. Antecedent counts come
+# from the capped part-order table (vocab-keyed); every statistic is a
+# ratio of exact integer counts evaluated with the identical expression
+# both engines.
+@register(
+    "association_rules_q",
+    """
+    WITH op0 AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    op AS (
+        SELECT o, p FROM (
+            SELECT o, p, ROW_NUMBER() OVER (PARTITION BY o ORDER BY p) AS rn
+            FROM op0) WHERE rn <= 64
+    ),
+    n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM op),
+    cnt AS (SELECT p, COUNT(*) AS c FROM op GROUP BY p),
+    pairs AS (
+        SELECT a.p AS pa, b.p AS pb, COUNT(*) AS cab
+        FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p
+        GROUP BY a.p, b.p
+    )
+    SELECT pa, pb, CAST(cab AS BIGINT) AS n_both,
+           CAST(ROUND(CAST(cab AS DOUBLE) / n.n_orders, 6) AS DOUBLE)
+               AS support,
+           CAST(ROUND(CAST(cab AS DOUBLE) / ca.c, 6) AS DOUBLE)
+               AS confidence,
+           CAST(ROUND((CAST(cab AS DOUBLE) / ca.c)
+                      / (CAST(cb.c AS DOUBLE) / n.n_orders), 6) AS DOUBLE)
+               AS lift
+    FROM pairs
+    JOIN cnt ca ON ca.p = pa JOIN cnt cb ON cb.p = pb CROSS JOIN n
+    WHERE cab >= 3
+    ORDER BY (CAST(cab AS DOUBLE) / ca.c)
+             / (CAST(cb.c AS DOUBLE) / n.n_orders) DESC, pa, pb
+    LIMIT 30
+    """,
+    headline=True,
+)
+def association_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    op = _capped_baskets(
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        ).distinct()
+    ).localCheckpoint()
+    n = op.agg(F.countDistinct("o").alias("n_orders"))
+    cnt = op.groupBy("p").agg(F.count("*").alias("c"))
+    a = op.select("o", F.col("p").alias("pa"))
+    b = op.select("o", F.col("p").alias("pb"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("cab"))
+        .filter(F.col("cab") >= 3)
+    )
+    conf = F.col("cab").cast("double") / F.col("ca")
+    lift = conf / (F.col("cb").cast("double") / F.col("n_orders"))
+    return (
+        pairs.join(
+            cnt.select(F.col("p").alias("pa"), F.col("c").alias("ca")), "pa"
+        )
+        .join(
+            cnt.select(F.col("p").alias("pb"), F.col("c").alias("cb")), "pb"
+        )
+        .crossJoin(F.broadcast(n))
+        .orderBy(F.desc(lift), "pa", "pb")
+        .limit(30)
+        .select(
+            "pa",
+            "pb",
+            F.col("cab").cast("long").alias("n_both"),
+            F.round(
+                F.col("cab").cast("double") / F.col("n_orders"), 6
+            ).alias("support"),
+            F.round(conf, 6).alias("confidence"),
+            F.round(lift, 6).alias("lift"),
+        )
+    )
+
+
+# RFM (recency / frequency / monetary) customer segmentation with NTILE
+# quartile scores. Scale shape: one orders aggregation per customer
+# (fact-scale shuffle on custkey), then three EXACT distributed NTILEs
+# via operators.indexing.global_ntile — range-partitioned rank +
+# arithmetic bucket assignment, never a single-partition global window,
+# so the customer dimension can be arbitrarily large. The oracle keeps
+# plain ANSI NTILE; global_ntile reproduces its semantics bit-for-bit.
+# Ties break on custkey, so quartile membership is engine-identical.
+@register(
+    "rfm_segment_q",
+    """
+    WITH maxd AS (SELECT MAX(o_orderdate) AS d FROM orders),
+    rfm AS (
+        SELECT o_custkey AS custkey,
+               date_diff('day', MAX(o_orderdate), maxd.d) AS recency_days,
+               COUNT(*) AS frequency,
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS monetary
+        FROM orders, maxd GROUP BY o_custkey, maxd.d
+    )
+    SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency,
+           CAST(ROUND(CAST(monetary AS DOUBLE), 2) AS DOUBLE) AS monetary,
+           CAST(NTILE(4) OVER (ORDER BY recency_days, custkey) AS BIGINT)
+               AS r_score,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC, custkey)
+                AS BIGINT) AS f_score,
+           CAST(NTILE(4) OVER (ORDER BY monetary DESC, custkey) AS BIGINT)
+               AS m_score
+    FROM rfm
+    """,
+)
+def rfm_segment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    maxd = o.agg(F.max("o_orderdate").alias("d"))
+    rfm = (
+        o.crossJoin(F.broadcast(maxd))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(F.max("d"), F.max("o_orderdate")).alias(
+                "recency_days"
+            ),
+            F.count("*").alias("frequency"),
+            F.sum(_dec(F.col("o_totalprice"))).alias("monetary"),
+        )
+    )
+    scored = global_ntile(
+        rfm, [F.col("recency_days"), F.col("custkey")], 4, "r_score"
+    )
+    scored = global_ntile(
+        scored, [F.col("frequency").desc(), F.col("custkey")], 4, "f_score"
+    )
+    scored = global_ntile(
+        scored, [F.col("monetary").desc(), F.col("custkey")], 4, "m_score"
+    )
+    return scored.select(
+        "custkey",
+        F.col("recency_days").cast("long").alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        F.round(F.col("monetary").cast("double"), 2).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+    )
+
+
+# Pearson correlation matrix of the lineitem numeric measures from exact
+# decimal moments: one single-pass aggregation collects n, sums, squares
+# and cross-products (all DECIMAL — the inputs carry fixed decimal
+# precision, so every moment is EXACT and partition-order-proof); the six
+# correlations are then identical double arithmetic. The built-in corr()
+# is avoided deliberately: its streaming-update summation is
+# engine-order-dependent.
+@register(
+    "correlation_matrix_q",
+    """
+    WITH m AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(38,8))) AS sq,
+               SUM(CAST(l_extendedprice AS DECIMAL(38,8))) AS sp,
+               SUM(CAST(l_discount AS DECIMAL(38,8))) AS sd,
+               SUM(CAST(l_quantity AS DECIMAL(38,8))
+                   * CAST(l_quantity AS DECIMAL(38,8))) AS sqq,
+               SUM(CAST(l_extendedprice AS DECIMAL(38,8))
+                   * CAST(l_extendedprice AS DECIMAL(38,8))) AS spp,
+               SUM(CAST(l_discount AS DECIMAL(38,8))
+                   * CAST(l_discount AS DECIMAL(38,8))) AS sdd,
+               SUM(CAST(l_quantity AS DECIMAL(38,8))
+                   * CAST(l_extendedprice AS DECIMAL(38,8))) AS sqp,
+               SUM(CAST(l_quantity AS DECIMAL(38,8))
+                   * CAST(l_discount AS DECIMAL(38,8))) AS sqd,
+               SUM(CAST(l_extendedprice AS DECIMAL(38,8))
+                   * CAST(l_discount AS DECIMAL(38,8))) AS spd
+        FROM lineitem
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(ROUND((n * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+                / sqrt((n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                     * (n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 6)
+                AS DOUBLE) AS corr_qty_price,
+           CAST(ROUND((n * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+                / sqrt((n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                     * (n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6)
+                AS DOUBLE) AS corr_qty_disc,
+           CAST(ROUND((n * CAST(spd AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE))
+                / sqrt((n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+                     * (n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6)
+                AS DOUBLE) AS corr_price_disc
+    FROM m
+    """,
+)
+def correlation_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    d38 = lambda c: F.col(c).cast("decimal(38,8)")  # noqa: E731
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38("l_quantity")).alias("sq"),
+        F.sum(d38("l_extendedprice")).alias("sp"),
+        F.sum(d38("l_discount")).alias("sd"),
+        F.sum(d38("l_quantity") * d38("l_quantity")).alias("sqq"),
+        F.sum(d38("l_extendedprice") * d38("l_extendedprice")).alias("spp"),
+        F.sum(d38("l_discount") * d38("l_discount")).alias("sdd"),
+        F.sum(d38("l_quantity") * d38("l_extendedprice")).alias("sqp"),
+        F.sum(d38("l_quantity") * d38("l_discount")).alias("sqd"),
+        F.sum(d38("l_extendedprice") * d38("l_discount")).alias("spd"),
+    )
+
+    def corr(sxy, sx, sy, sxx, syy):
+        n = F.col("n")
+        num = n * F.col(sxy).cast("double") - F.col(sx).cast(
+            "double"
+        ) * F.col(sy).cast("double")
+        vx = n * F.col(sxx).cast("double") - F.col(sx).cast(
+            "double"
+        ) * F.col(sx).cast("double")
+        vy = n * F.col(syy).cast("double") - F.col(sy).cast(
+            "double"
+        ) * F.col(sy).cast("double")
+        return F.round(num / F.sqrt(vx * vy), 6)
+
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        corr("sqp", "sq", "sp", "sqq", "spp").alias("corr_qty_price"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
+        corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_disc"),
+    )
+
+
+# HITS (hubs & authorities), two synchronous iterations over the
+# supplier->part bipartite supply graph, scores L1-normalized in exact
+# decimal each round. Scale shape: each iteration is two edge-keyed
+# aggregations (authority from hub sum, hub from authority sum) — the
+# same shuffle pattern as one PageRank round; normalization constants are
+# single-row decimal aggregates. Top-20 authorities reported.
+@register(
+    "hits_q",
+    """
+    WITH e AS (
+        SELECT DISTINCT l_suppkey AS h, l_partkey AS a FROM lineitem
+    ),
+    a1r AS (SELECT a, COUNT(*) AS s FROM e GROUP BY a),
+    a1n AS (SELECT SUM(s) AS z FROM a1r),
+    a1 AS (SELECT a, CAST(s AS DOUBLE) / a1n.z AS sc
+           FROM a1r CROSS JOIN a1n),
+    h1r AS (
+        SELECT e.h, CAST(SUM(CAST(a1.sc AS DECIMAL(28,12)))
+                        AS DECIMAL(28,12)) AS s
+        FROM e JOIN a1 ON e.a = a1.a GROUP BY e.h
+    ),
+    h1n AS (SELECT SUM(s) AS z FROM h1r),
+    h1 AS (SELECT h, CAST(s AS DOUBLE) / CAST(h1n.z AS DOUBLE) AS sc
+           FROM h1r CROSS JOIN h1n),
+    a2r AS (
+        SELECT e.a, CAST(SUM(CAST(h1.sc AS DECIMAL(28,12)))
+                        AS DECIMAL(28,12)) AS s
+        FROM e JOIN h1 ON e.h = h1.h GROUP BY e.a
+    ),
+    a2n AS (SELECT SUM(s) AS z FROM a2r)
+    SELECT a AS part, CAST(ROUND(CAST(s AS DOUBLE) / CAST(a2n.z AS DOUBLE),
+                                 8) AS DOUBLE) AS authority
+    FROM a2r CROSS JOIN a2n
+    ORDER BY CAST(s AS DOUBLE) / CAST(a2n.z AS DOUBLE) DESC, a
+    LIMIT 20
+    """,
+)
+def hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    e = li.select(
+        F.col("l_suppkey").alias("h"), F.col("l_partkey").alias("a")
+    ).distinct().localCheckpoint()
+    a1r = e.groupBy("a").agg(F.count("*").alias("s"))
+    a1n = a1r.agg(F.sum("s").alias("z"))
+    a1 = a1r.crossJoin(F.broadcast(a1n)).select(
+        "a", (F.col("s").cast("double") / F.col("z")).alias("sc")
+    )
+    h1r = (
+        e.join(a1, "a")
+        .groupBy("h")
+        .agg(
+            F.sum(F.col("sc").cast("decimal(28,12)"))
+            .cast("decimal(28,12)")
+            .alias("s")
+        )
+    )
+    h1n = h1r.agg(F.sum("s").alias("z"))
+    h1 = h1r.crossJoin(F.broadcast(h1n)).select(
+        "h",
+        (F.col("s").cast("double") / F.col("z").cast("double")).alias("sc"),
+    )
+    a2r = (
+        e.join(h1, "h")
+        .groupBy("a")
+        .agg(
+            F.sum(F.col("sc").cast("decimal(28,12)"))
+            .cast("decimal(28,12)")
+            .alias("s")
+        )
+    )
+    a2n = a2r.agg(F.sum("s").alias("z"))
+    auth = F.col("s").cast("double") / F.col("z").cast("double")
+    return (
+        a2r.crossJoin(F.broadcast(a2n))
+        .orderBy(F.desc(auth), "a")
+        .limit(20)
+        .select(F.col("a").alias("part"), F.round(auth, 8).alias("authority"))
+    )
+
+
+# Seasonal-naive forecast backtest: predict each day's mean value by the
+# same weekday one week earlier, then score MAE / MAPE / SMAPE over the
+# evaluation days. Scale shape: one corpus-scale day aggregation; the
+# LAG(7) forecast and the error aggregation run on the calendar-bounded
+# daily table. Daily means quantize to DECIMAL(18,6) (identical on both
+# engines), so errors are identical doubles and error sums are
+# 12-dp-quantized.
+@register(
+    "forecast_eval_q",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*) AS DECIMAL(18,6)) AS m
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    f AS (
+        SELECT day, m,
+               LAG(m, 7) OVER (ORDER BY day) AS yhat
+        FROM daily
+    ),
+    e AS (
+        SELECT CAST(m AS DOUBLE) AS y, CAST(yhat AS DOUBLE) AS yh
+        FROM f WHERE yhat IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_eval_days,
+           CAST(ROUND(CAST(SUM(CAST(ABS(y - yh) AS DECIMAL(28,12)))
+                AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS mae,
+           CAST(ROUND(CAST(SUM(CAST(ABS(y - yh) / y AS DECIMAL(28,12)))
+                AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS mape,
+           CAST(ROUND(CAST(SUM(CAST(
+                2 * ABS(y - yh) / (ABS(y) + ABS(yh))
+                AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+               AS smape
+    FROM e
+    """,
+)
+def forecast_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        )
+        .cast("decimal(18,6)")
+        .alias("m")
+    )
+    f = daily.select(
+        F.col("m").cast("double").alias("y"),
+        F.lag(F.col("m"), 7)
+        .over(Window.orderBy("day"))
+        .cast("double")
+        .alias("yh"),
+    ).filter(F.col("yh").isNotNull())
+    y, yh = F.col("y"), F.col("yh")
+    n = F.count(F.lit(1))
+    return f.agg(
+        n.cast("long").alias("n_eval_days"),
+        F.round(_dsum(F.abs(y - yh)).cast("double") / n, 6).alias("mae"),
+        F.round(_dsum(F.abs(y - yh) / y).cast("double") / n, 6).alias(
+            "mape"
+        ),
+        F.round(
+            _dsum(2 * F.abs(y - yh) / (F.abs(y) + F.abs(yh))).cast("double")
+            / n,
+            6,
+        ).alias("smape"),
+    )
+
+
+# CUPED variance reduction for A/B experiments: per-user post-period
+# metric adjusted by the pre-period covariate, theta = cov(x,y)/var(x)
+# from exact decimal moments. Scale shape: one user-keyed aggregation
+# builds (x, y) per user; moments are a single-row decimal aggregate;
+# the adjusted per-arm means reuse the same user table. The textbook
+# sequence (fit theta, re-score, re-aggregate) stays two corpus-free
+# passes over the USER table.
+@register(
+    "cuped_q",
+    """
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS arm,
+               SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                        THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS x,
+               SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                        THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS y
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM u
+    ),
+    th AS (
+        SELECT (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   AS theta,
+               CAST(sx AS DOUBLE) / n AS mx
+        FROM m
+    )
+    SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(ROUND(CAST(SUM(CAST(CAST(y AS DOUBLE)
+                AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+               AS raw_mean,
+           CAST(ROUND(CAST(SUM(CAST(
+                CAST(y AS DOUBLE) - th.theta * (CAST(x AS DOUBLE) - th.mx)
+                AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+               AS cuped_mean
+    FROM u CROSS JOIN th
+    GROUP BY arm, th.theta, th.mx
+    """,
+)
+def cuped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al. 2013): the standard production experimentation
+    variance-reduction adjustment. Hash-arm assignment stands in for the
+    real randomization unit."""
+    ev = Catalog(spark, sf_dir).events
+    cut = F.lit("2024-01-16").cast("timestamp")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts") < cut, F.col("value").cast("decimal(18,6)"))
+            .otherwise(F.lit(0).cast("decimal(18,6)"))
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("ts") >= cut, F.col("value").cast("decimal(18,6)"))
+            .otherwise(F.lit(0).cast("decimal(18,6)"))
+        ).alias("y"),
+    ).select(
+        (F.col("user_id") % 2).alias("arm"), "x", "y"
+    ).localCheckpoint()
+    m = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    th = m.select(
+        (
+            (
+                F.col("n") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+            / (
+                F.col("n") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            )
+        ).alias("theta"),
+        (F.col("sx").cast("double") / F.col("n")).alias("mx"),
+    )
+    adj = F.col("y").cast("double") - F.col("theta") * (
+        F.col("x").cast("double") - F.col("mx")
+    )
+    n = F.count(F.lit(1))
+    return (
+        u.crossJoin(F.broadcast(th))
+        .groupBy("arm")
+        .agg(
+            n.cast("long").alias("n_users"),
+            F.round(
+                _dsum(F.col("y").cast("double")).cast("double") / n, 6
+            ).alias("raw_mean"),
+            F.round(_dsum(adj).cast("double") / n, 6).alias("cuped_mean"),
+        )
+    )
+
+
+# ===========================================================================
+# Batch L — graph structure metrics and lexical/manifold diagnostics.
+# ===========================================================================
+
+
+# Newman modularity of the co-purchase graph under the part-brand
+# partition: Q = sum_c [ e_c/m - (d_c/2m)^2 ]. Scale shape: edges from
+# the bounded wedge join; intra-community edge counts and community
+# degree sums are two vocab-keyed aggregations joined to the broadcast
+# part-brand dim; the Q fold runs over the |brands|-row table. Integer
+# counts to the last division.
+@register(
+    "modularity_q",
+    """
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    lab AS (SELECT p_partkey, p_brand FROM part),
+    el AS (
+        SELECT la.p_brand AS ca, lb.p_brand AS cb
+        FROM e JOIN lab la ON e.a = la.p_partkey
+               JOIN lab lb ON e.b = lb.p_partkey
+    ),
+    m AS (SELECT COUNT(*) AS m FROM el),
+    intra AS (
+        SELECT ca AS c, COUNT(*) AS ec FROM el WHERE ca = cb GROUP BY ca
+    ),
+    degs AS (
+        SELECT c, SUM(d) AS dc FROM (
+            SELECT ca AS c, COUNT(*) AS d FROM el GROUP BY ca
+            UNION ALL
+            SELECT cb AS c, COUNT(*) AS d FROM el GROUP BY cb) u
+        GROUP BY c
+    )
+    SELECT CAST(m.m AS BIGINT) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_communities,
+           CAST(ROUND(CAST(SUM(CAST(
+               CAST(COALESCE(i.ec, 0) AS DOUBLE) / m.m
+               - (CAST(d.dc AS DOUBLE) / (2 * m.m))
+                 * (CAST(d.dc AS DOUBLE) / (2 * m.m))
+               AS DECIMAL(28,12))) AS DOUBLE), 6) AS DOUBLE) AS modularity
+    FROM degs d LEFT JOIN intra i ON d.c = i.c CROSS JOIN m
+    GROUP BY m.m
+    """,
+)
+def modularity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b"))
+    e = (
+        a.join(b, "k")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    lab = cat.part.select("p_partkey", "p_brand")
+    el = (
+        e.join(
+            F.broadcast(lab.select(F.col("p_partkey").alias("a"),
+                                   F.col("p_brand").alias("ca"))), "a"
+        )
+        .join(
+            F.broadcast(lab.select(F.col("p_partkey").alias("b"),
+                                   F.col("p_brand").alias("cb"))), "b"
+        )
+        .select("ca", "cb")
+        .localCheckpoint()
+    )
+    m = el.agg(F.count(F.lit(1)).alias("m"))
+    intra = (
+        el.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count("*").alias("ec"))
+    )
+    degs = (
+        el.select(F.col("ca").alias("c"))
+        .unionAll(el.select(F.col("cb").alias("c")))
+        .groupBy("c")
+        .agg(F.count("*").alias("dc"))
+    )
+    term = (
+        F.coalesce(F.col("ec"), F.lit(0)).cast("double") / F.col("m")
+        - (F.col("dc").cast("double") / (2 * F.col("m")))
+        * (F.col("dc").cast("double") / (2 * F.col("m")))
+    )
+    return (
+        degs.join(intra, "c", "left")
+        .crossJoin(F.broadcast(m))
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.round(_dsum(term).cast("double"), 6).alias("modularity"),
+        )
+        .select(
+            F.col("m").cast("long").alias("n_edges"),
+            "n_communities",
+            "modularity",
+        )
+    )
+
+
+# Degree assortativity: the Pearson correlation of endpoint degrees over
+# edges (Newman 2002) — positive means hubs link hubs. Scale shape:
+# reuses the exact-decimal-moments correlation pattern over the
+# (symmetrized) edge-endpoint degree pairs; degrees come from one
+# vocab-keyed aggregation. No windows, no sorts.
+@register(
+    "assortativity_q",
+    """
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT n, COUNT(*) AS d FROM (
+            SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+        GROUP BY n
+    ),
+    pairs AS (
+        SELECT da.d AS x, db.d AS y
+        FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n
+        UNION ALL
+        SELECT db.d AS x, da.d AS y
+        FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(x AS DECIMAL(38,4))) AS sx,
+               SUM(CAST(y AS DECIMAL(38,4))) AS sy,
+               SUM(CAST(x AS DECIMAL(38,4)) * CAST(x AS DECIMAL(38,4)))
+                   AS sxx,
+               SUM(CAST(y AS DECIMAL(38,4)) * CAST(y AS DECIMAL(38,4)))
+                   AS syy,
+               SUM(CAST(x AS DECIMAL(38,4)) * CAST(y AS DECIMAL(38,4)))
+                   AS sxy
+        FROM pairs
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           CAST(ROUND((n * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / sqrt((n * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (n * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                AS DOUBLE) AS assortativity
+    FROM m
+    """,
+)
+def assortativity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b"))
+    e = (
+        a.join(b, "k")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    ed = e.join(
+        deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    pairs = ed.select(
+        F.col("da").alias("x"), F.col("db").alias("y")
+    ).unionAll(ed.select(F.col("db").alias("x"), F.col("da").alias("y")))
+    d38 = lambda c: F.col(c).cast("decimal(38,4)")  # noqa: E731
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38("x")).alias("sx"),
+        F.sum(d38("y")).alias("sy"),
+        F.sum(d38("x") * d38("x")).alias("sxx"),
+        F.sum(d38("y") * d38("y")).alias("syy"),
+        F.sum(d38("x") * d38("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    vx = n * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    vy = n * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    return m.select(
+        (n / 2).cast("long").alias("n_edges"),
+        F.round(num / F.sqrt(vx * vy), 6).alias("assortativity"),
+    )
+
+
+# Per-source lexical health: hapax-legomena ratio (types seen once /
+# types) and mean burstiness (collection frequency / document frequency
+# of the source's tokens). Scale shape: one (source, token) aggregation
+# carrying two counts; ratios fold over the per-source vocab table.
+@register(
+    "lexical_stats_q",
+    f"""
+    WITH t AS (
+        SELECT source, doc_id, unnest({_SQL_TOKENS}) AS tok
+        FROM documents
+    ),
+    v AS (
+        SELECT source, tok, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df
+        FROM t GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(cf) AS BIGINT) AS n_tokens,
+           CAST(ROUND(CAST(SUM(CASE WHEN cf = 1 THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS hapax_ratio,
+           CAST(ROUND(CAST(SUM(CAST(CAST(cf AS DOUBLE) / df
+                AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+               AS mean_burstiness
+    FROM v GROUP BY source
+    """,
+)
+def lexical_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High hapax ratio flags noisy/OCR text; burstiness >> 1 flags
+    templated repetition (Church & Gale: real words are bursty, function
+    words are not)."""
+    d = Catalog(spark, sf_dir).documents
+    t = d.select(
+        "source", "doc_id", F.explode(_tokens("text")).alias("tok")
+    )
+    v = t.groupBy("source", "tok").agg(
+        F.count("*").alias("cf"), F.countDistinct("doc_id").alias("df")
+    )
+    n = F.count(F.lit(1))
+    return v.groupBy("source").agg(
+        n.cast("long").alias("n_types"),
+        F.sum("cf").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(F.when(F.col("cf") == 1, 1).otherwise(0)).cast("double")
+            / n,
+            6,
+        ).alias("hapax_ratio"),
+        F.round(
+            _dsum(F.col("cf").cast("double") / F.col("df")).cast("double")
+            / n,
+            6,
+        ).alias("mean_burstiness"),
+    )
+
+
+# TwoNN intrinsic-dimension estimate (Facco et al. 2017) from a 50-point
+# probe sample: id = n / sum(ln(r2/r1)) over each probe's two nearest
+# neighbors. Scale shape: probes BROADCAST against the corpus (the
+# knn_bruteforce contract — corpus never shuffles); per-probe top-2 via
+# one window over |probes| x |corpus| scored rows; the estimator folds
+# over 50 rows. Distances round to 6 dp for engine-identical ranking.
+@register(
+    "twonn_dim_q",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 50),
+    scored AS (
+        SELECT q.qid, c.vec_id,
+               ROUND(list_reduce(
+                   list_transform(range(1, len(c.v)+1),
+                       i -> (c.v[i] - q.qv[i]) * (c.v[i] - q.qv[i])),
+                   (x, y) -> x + y), 6) AS d2,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY ROUND(list_reduce(
+                       list_transform(range(1, len(c.v)+1),
+                           i -> (c.v[i] - q.qv[i]) * (c.v[i] - q.qv[i])),
+                       (x, y) -> x + y), 6), c.vec_id) AS rn
+        FROM e c CROSS JOIN q WHERE c.vec_id <> q.qid
+    ),
+    nn AS (
+        SELECT qid,
+               MAX(CASE WHEN rn = 1 THEN d2 END) AS d1,
+               MAX(CASE WHEN rn = 2 THEN d2 END) AS d2_
+        FROM scored WHERE rn <= 2 GROUP BY qid
+    ),
+    ratios AS (
+        SELECT qid, 0.5 * ln(d2_ / d1) AS lr
+        FROM nn WHERE d1 > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(ROUND(COUNT(*) / CAST(SUM(CAST(lr AS DECIMAL(28,12)))
+                AS DOUBLE), 4) AS DOUBLE) AS intrinsic_dim
+    FROM ratios
+    """,
+)
+def twonn_dim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifold diagnostics for the embedding corpus: the TwoNN MLE needs
+    only each probe's two nearest neighbors, so a bounded probe sample
+    estimates the dimension without any pairwise corpus work."""
+    e = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        6,
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", d2.alias("d2"))
+    )
+    w = Window.partitionBy("qid").orderBy("d2", "vec_id")
+    nn = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("qid")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("d2"))).alias("d1"),
+            F.max(F.when(F.col("rn") == 2, F.col("d2"))).alias("d2_"),
+        )
+    )
+    ratios = nn.filter(F.col("d1") > 0).select(
+        (0.5 * F.log(F.col("d2_") / F.col("d1"))).alias("lr")
+    )
+    n = F.count(F.lit(1))
+    return ratios.agg(
+        n.cast("long").alias("n_probes"),
+        F.round(n / _dsum(F.col("lr")).cast("double"), 4).alias(
+            "intrinsic_dim"
+        ),
+    )
+
+
+# ===========================================================================
+# Batch M — privacy release, robust trend, corpus organization.
+# ===========================================================================
+
+
+# Differentially-private-style count release with DETERMINISTIC discrete
+# Laplace noise: the inverse-CDF of Geometric-difference noise applied to
+# a content-keyed uniform (poly_hash of the group key), epsilon = 1,
+# sensitivity 1. A production DP pipeline swaps the hash-uniform for a
+# secure RNG — everything else (per-group noise draw, post-processing
+# clamp at 0, the epsilon bookkeeping column) is the real release shape,
+# and the deterministic stand-in keeps the query oracle-checkable and
+# partition-invariant. Scale shape: one count shuffle; noise is per-GROUP
+# (metadata-scale) arithmetic.
+@register(
+    "dp_counts_q",
+    f"""
+    WITH g AS (
+        SELECT c_mktsegment AS seg, COUNT(*) AS true_count
+        FROM customer GROUP BY c_mktsegment
+    ),
+    u AS (
+        SELECT seg, true_count,
+               (CAST({_SQL_POLY.format(s="'dp:' || seg")} % 999983
+                     AS DOUBLE) + 0.5) / 999983 AS uu
+        FROM g
+    ),
+    nz AS (
+        SELECT seg, true_count,
+               CASE WHEN uu < 0.5
+                    THEN CAST(floor(ln(2 * uu) / ln(exp(-1.0))) AS BIGINT)
+                    ELSE -CAST(floor(ln(2 * (1 - uu)) / ln(exp(-1.0)))
+                               AS BIGINT)
+               END AS noise
+        FROM u
+    )
+    SELECT seg, CAST(true_count AS BIGINT) AS true_count,
+           CAST(noise AS BIGINT) AS noise,
+           CAST(GREATEST(true_count + noise, 0) AS BIGINT)
+               AS released_count,
+           CAST(1.0 AS DOUBLE) AS epsilon
+    FROM nz
+    """,
+)
+def dp_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    g = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count("*").alias("true_count")
+    )
+    uu = (
+        (
+            poly_hash(F.concat(F.lit("dp:"), F.col("seg"))) % 999983
+        ).cast("double")
+        + 0.5
+    ) / 999983
+    lam = F.log(F.exp(F.lit(-1.0)))  # ln(e^-eps), eps = 1
+    noise = F.when(
+        uu < 0.5, F.floor(F.log(2 * uu) / lam).cast("long")
+    ).otherwise(-F.floor(F.log(2 * (1 - uu)) / lam).cast("long"))
+    return g.select(
+        "seg",
+        F.col("true_count").cast("long").alias("true_count"),
+        noise.alias("noise"),
+        F.greatest(
+            F.col("true_count") + noise, F.lit(0).cast("long")
+        ).alias("released_count"),
+        F.lit(1.0).alias("epsilon"),
+    )
+
+
+# Theil–Sen robust trend over the daily event-value series: the median of
+# all pairwise slopes. Scale shape: the corpus collapses to the
+# calendar-bounded daily table FIRST (one shuffle); the O(days^2) slope
+# set and its median-by-row_number run on that bounded table only —
+# at a century of days that is ~666k pairs, still metadata. Daily means
+# quantize to DECIMAL(18,6), so slopes are identical doubles and the
+# median element is engine-identical.
+@register(
+    "theil_sen_q",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*) AS DECIMAL(18,6)) AS m
+        FROM events WHERE event_type = 'click'
+        GROUP BY CAST(ts AS DATE),
+                 date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+    ),
+    slopes AS (
+        SELECT a.x AS xa, b.x AS xb,
+               CAST(b.m - a.m AS DOUBLE) / (b.x - a.x) AS s
+        FROM daily a JOIN daily b ON b.x > a.x
+    ),
+    ranked AS (
+        SELECT s, ROW_NUMBER() OVER (ORDER BY s, xa, xb) AS rn,
+               COUNT(*) OVER () AS n
+        FROM slopes
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+           CAST(ROUND(CAST(SUM(CASE WHEN rn * 2 IN (n, n + 1, n + 2)
+                          THEN CAST(s AS DECIMAL(28,12)) ELSE 0 END)
+                AS DOUBLE)
+                / SUM(CASE WHEN rn * 2 IN (n, n + 1, n + 2)
+                      THEN 1 ELSE 0 END), 6) AS DOUBLE) AS theil_sen_slope
+    FROM ranked
+    """,
+)
+def theil_sen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-slopes trend: immune to the outlier days that pull OLS.
+    Median = mean of the middle one (odd n) or two (even n) ranked
+    slopes, with (xa, xb) tiebreaks so the picked rows are deterministic."""
+    e = Catalog(spark, sf_dir).events.filter(F.col("event_type") == "click")
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "x"
+        ),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        )
+        .cast("decimal(18,6)")
+        .alias("m")
+    )
+    a = daily.select(F.col("x").alias("xa"), F.col("m").alias("ma"))
+    b = daily.select(F.col("x").alias("xb"), F.col("m").alias("mb"))
+    slopes = (
+        a.join(b, F.col("xb") > F.col("xa"))
+        .select(
+            "xa",
+            "xb",
+            (
+                (F.col("mb") - F.col("ma")).cast("double")
+                / (F.col("xb") - F.col("xa"))
+            ).alias("s"),
+        )
+    )
+    w = Window.orderBy("s", "xa", "xb")
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = slopes.select(
+        "s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    mid = (
+        (F.col("rn") * 2 == F.col("n"))
+        | (F.col("rn") * 2 == F.col("n") + 1)
+        | (F.col("rn") * 2 == F.col("n") + 2)
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(
+                F.when(mid, F.col("s").cast("decimal(28,12)")).otherwise(
+                    F.lit(0).cast("decimal(28,12)")
+                )
+            ).cast("double")
+            / F.sum(F.when(mid, 1).otherwise(0)),
+            6,
+        ).alias("theil_sen_slope"),
+    )
+
+
+# Source-similarity matrix: cosine between source token-count profiles
+# restricted to the global top-200 vocabulary. Scale shape: the profile
+# table is |sources| x 200 after one corpus-scale count shuffle; the
+# pairwise cosine runs on that bounded profile table (sources are
+# organizational metadata, never corpus-scale). Exact integer dot
+# products; one final double division.
+@register(
+    "source_similarity_q",
+    f"""
+    WITH t AS (
+        SELECT source, unnest({_SQL_TOKENS}) AS tok FROM documents
+    ),
+    top AS (
+        SELECT tok, COUNT(*) AS tot FROM t GROUP BY tok
+        ORDER BY tot DESC, tok LIMIT 200
+    ),
+    prof AS (
+        SELECT t.source, t.tok, COUNT(*) AS c
+        FROM t JOIN top ON t.tok = top.tok
+        GROUP BY t.source, t.tok
+    ),
+    norms AS (
+        SELECT source, SUM(c * c) AS nn FROM prof GROUP BY source
+    ),
+    dots AS (
+        SELECT a.source AS sa, b.source AS sb, SUM(a.c * b.c) AS dot
+        FROM prof a JOIN prof b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT sa, sb,
+           CAST(ROUND(CAST(dot AS DOUBLE)
+                / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)), 6)
+                AS DOUBLE) AS cosine
+    FROM dots JOIN norms na ON sa = na.source
+              JOIN norms nb ON sb = nb.source
+    ORDER BY cosine DESC, sa, sb LIMIT 30
+    """,
+)
+def source_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources publish near-identical vocabularies (mirror feeds,
+    syndication networks) — the corpus-organization signal behind source-
+    level dedup decisions."""
+    d = Catalog(spark, sf_dir).documents
+    t = d.select("source", F.explode(_tokens("text")).alias("tok"))
+    t = t.localCheckpoint()
+    top = (
+        t.groupBy("tok")
+        .agg(F.count("*").alias("tot"))
+        .orderBy(F.desc("tot"), "tok")
+        .limit(200)
+    )
+    prof = (
+        t.join(F.broadcast(top.select("tok")), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    norms = prof.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("c")).alias("nn")
+    )
+    a = prof.select(
+        F.col("source").alias("sa"), "tok", F.col("c").alias("ca")
+    )
+    b = prof.select(
+        F.col("source").alias("sb"), "tok", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    return (
+        dots.join(
+            norms.select(F.col("source").alias("sa"), F.col("nn").alias("na")),
+            "sa",
+        )
+        .join(
+            norms.select(F.col("source").alias("sb"), F.col("nn").alias("nb")),
+            "sb",
+        )
+        .orderBy(F.desc(cos), "sa", "sb")
+        .limit(30)
+        .select("sa", "sb", F.round(cos, 6).alias("cosine"))
+    )
+
+
+# Exact median without a global sort: the two-pass selection algorithm.
+# Pass 1 histograms values into 1024 bins (one map-side-combined count
+# shuffle; the bin table is metadata and is collected to pick the target
+# bin and within-bin offset for each middle rank). Pass 2 ranks ONLY the
+# rows of the target bin(s) — expected n/1024 rows — with a deterministic
+# tiebreak. This is how an exact order statistic survives 100 TB: the
+# oracle's ROW_NUMBER-over-everything formulation is the semantics, not
+# the plan. Values stay DECIMAL(18,4) end-to-end (exact), so the picked
+# elements are engine-identical.
+@register(
+    "exact_median_q",
+    """
+    WITH r AS (
+        SELECT CAST(l_extendedprice AS DECIMAL(18,4)) AS v,
+               ROW_NUMBER() OVER (ORDER BY CAST(l_extendedprice
+                   AS DECIMAL(18,4)), l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER () AS n
+        FROM lineitem
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS DOUBLE)
+               AS median_lo,
+           CAST(MAX(CASE WHEN rn = (n + 2) // 2 THEN v END) AS DOUBLE)
+               AS median_hi
+    FROM r
+    """,
+)
+def exact_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem.select(
+        _dec(F.col("l_extendedprice")).alias("v"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    st = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    ).collect()[0]
+    n, lo, hi = st["n"], float(st["lo"]), float(st["hi"])
+    # middle ranks: lower median and (even n) upper median
+    ks = sorted({(n + 1) // 2, n // 2 + 1})
+    width = max((hi - lo) / 1024.0, 1e-9)
+    binned = li.select(
+        "v",
+        "l_orderkey",
+        "l_linenumber",
+        F.least(
+            F.floor((F.col("v").cast("double") - lo) / width).cast("int"),
+            F.lit(1023),
+        ).alias("bin"),
+    )
+    hist = {
+        r["bin"]: r["c"]
+        for r in binned.groupBy("bin").agg(F.count("*").alias("c")).collect()
+    }  # <= 1024 rows — metadata
+    picked = []
+    for k in ks:
+        cum = 0
+        for b in range(1024):
+            c = hist.get(b, 0)
+            if cum + c >= k:
+                picked.append((k, b, k - cum))
+                break
+            cum += c
+    from iniz_exporters_spark.operators.indexing import global_index
+
+    vals = []
+    for _, b, j in picked:
+        # rank ONLY the target bin, and do even that distributed: the
+        # bin still holds ~n/1024 rows (a 10^9-row single window task at
+        # 100 TB), so the rank comes from the range-partitioned
+        # global_index, never an unpartitioned window (VERDICT r6 #2).
+        row = (
+            global_index(
+                binned.filter(F.col("bin") == b),
+                ["v", "l_orderkey", "l_linenumber"],
+                "rn",
+            )
+            .filter(F.col("rn") == j)
+            .select("v")
+            .collect()
+        )
+        vals.append(float(row[0]["v"]))
+    # lower/upper medians reported EXACTLY (4-dp decimals cast to double)
+    # — averaging them would reintroduce a .5-at-5th-dp rounding boundary
+    lo_med = vals[0]
+    hi_med = vals[-1]
+    return spark.createDataFrame(
+        [(int(n), lo_med, hi_med)],
+        "n long, median_lo double, median_hi double",
+    )
+
+
+# Event-driven cumulative sum with resets: per-user running value total
+# that restarts at every 'signup' event — the islands are defined by the
+# DATA (reset markers), not by time gaps (which sessionize_events
+# covers). Scale shape: two stacked windows per user partition (a running
+# reset-count forms the island id, then a running decimal sum within the
+# island); no self-joins, parallel across users. Value sums stay in
+# exact decimal.
+@register(
+    "running_balance_resets_q",
+    """
+    WITH marked AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS island
+        FROM events
+    ),
+    summed AS (
+        SELECT user_id, event_id, island,
+               SUM(CASE WHEN event_type <> 'signup'
+                        THEN CAST(value AS DECIMAL(18,6))
+                        ELSE CAST(0 AS DECIMAL(18,6)) END)
+                   OVER (PARTITION BY user_id, island
+                         ORDER BY ts, event_id) AS bal
+        FROM marked
+    )
+    SELECT user_id, CAST(COUNT(DISTINCT island) AS BIGINT) AS n_islands,
+           CAST(ROUND(CAST(MAX(bal) AS DOUBLE), 4) AS DOUBLE)
+               AS max_balance,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM summed GROUP BY user_id
+    """,
+)
+def running_balance_resets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.sum(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        )
+        .over(wu)
+        .alias("island"),
+    )
+    wi = Window.partitionBy("user_id", "island").orderBy("ts", "event_id")
+    summed = marked.select(
+        "user_id",
+        "island",
+        F.sum(
+            F.when(
+                F.col("event_type") != "signup",
+                F.col("value").cast("decimal(18,6)"),
+            ).otherwise(F.lit(0).cast("decimal(18,6)"))
+        )
+        .over(wi)
+        .alias("bal"),
+    )
+    return summed.groupBy("user_id").agg(
+        F.countDistinct("island").cast("long").alias("n_islands"),
+        F.round(F.max("bal").cast("double"), 4).alias("max_balance"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+# ===========================================================================
+# Batch N — graph ML, readability, and supervised embedding eval.
+# ===========================================================================
+
+
+# Two synchronous rounds of label propagation over the co-purchase graph,
+# seeded with node ids: each round every node takes the most frequent
+# neighbor label (ties -> smallest label). Bounded-round LP is the
+# shuffle-friendly community sketch (vs the fixpoint components, which
+# plans/graph.py covers); two rounds = two neighbor-label aggregations,
+# each one vocab-keyed shuffle. All tie-breaks are total orders, so the
+# labels are engine-identical.
+@register(
+    "label_propagation_q",
+    """
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    ud AS (
+        SELECT a AS n, b AS m FROM e UNION ALL SELECT b AS n, a AS m FROM e
+    ),
+    l1 AS (
+        SELECT n, lab FROM (
+            SELECT n, lab, ROW_NUMBER() OVER (PARTITION BY n
+                       ORDER BY c DESC, lab) AS rn
+            FROM (SELECT n, m AS lab, COUNT(*) AS c FROM ud GROUP BY n, m)
+        ) WHERE rn = 1
+    ),
+    l2 AS (
+        SELECT n, lab FROM (
+            SELECT u.n, l1.lab,
+                   ROW_NUMBER() OVER (PARTITION BY u.n
+                       ORDER BY COUNT(*) DESC, l1.lab) AS rn
+            FROM ud u JOIN l1 ON u.m = l1.n
+            GROUP BY u.n, l1.lab
+        ) WHERE rn = 1
+    )
+    SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l2 GROUP BY lab
+    ORDER BY n_members DESC, community LIMIT 25
+    """,
+)
+def label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b"))
+    e = (
+        a.join(b, "k")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    ud = (
+        e.select(F.col("a").alias("n"), F.col("b").alias("m"))
+        .unionAll(e.select(F.col("b").alias("n"), F.col("a").alias("m")))
+        .localCheckpoint()
+    )
+
+    def top_label(labeled):
+        w = Window.partitionBy("n").orderBy(F.desc("c"), "lab")
+        return (
+            labeled.groupBy("n", "lab")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("n", "lab")
+        )
+
+    l1 = top_label(ud.select("n", F.col("m").alias("lab")))
+    l2 = top_label(
+        ud.join(l1.select(F.col("n").alias("m"), "lab"), "m").select(
+            "n", "lab"
+        )
+    )
+    return (
+        l2.groupBy(F.col("lab").alias("community"))
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(25)
+    )
+
+
+# Per-doc readability: Flesch-style reading ease and LIX from sentence
+# count, word count, and long-word/vowel-group proxies — the quality-
+# filter family's doc-structure signal, pure per-row Catalyst (no
+# shuffles at all until the per-source rollup).
+@register(
+    "readability_q",
+    f"""
+    WITH s AS (
+        SELECT doc_id, source,
+               greatest(len(list_filter(
+                   list_transform(regexp_split_to_array(text, '[.!?]+'),
+                       x -> trim(x)), x -> x <> '')), 1) AS n_sents,
+               {_SQL_TOKENS} AS t
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, source, n_sents,
+               greatest(len(t), 1) AS n_words,
+               len(list_filter(t, x -> length(x) > 6)) AS n_long,
+               greatest(list_sum(list_transform(t,
+                   x -> len(regexp_extract_all(x, '[aeiouy]+')))), 1)
+                   AS n_syll
+        FROM s
+    )
+    SELECT doc_id, source,
+           CAST(ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4) AS DOUBLE)
+               AS flesch,
+           CAST(ROUND(CAST(n_words AS DOUBLE) / n_sents
+                + 100.0 * n_long / n_words, 4) AS DOUBLE) AS lix
+    FROM w
+    """,
+)
+def readability_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease (vowel-group syllable proxy) and LIX. Both are
+    per-row arithmetic over counts the sentence/token expressions already
+    produce — the canonical cheap quality signals before any model-based
+    scorer runs."""
+    d = Catalog(spark, sf_dir).documents
+    sents = F.filter(
+        F.transform(F.split("text", r"[.!?]+"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    t = _tokens("text")
+    n_sents = F.greatest(F.size(sents), F.lit(1))
+    n_words = F.greatest(F.size(t), F.lit(1))
+    n_long = F.size(F.filter(t, lambda x: F.length(x) > 6))
+    n_syll = F.greatest(
+        F.aggregate(
+            F.transform(
+                t,
+                lambda x: F.size(
+                    F.regexp_extract_all(x, F.lit("[aeiouy]+"), 0)
+                ),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ),
+        F.lit(1),
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.round(
+            206.835
+            - 1.015 * (n_words.cast("double") / n_sents)
+            - 84.6 * (n_syll.cast("double") / n_words),
+            4,
+        ).alias("flesch"),
+        F.round(
+            n_words.cast("double") / n_sents + 100.0 * n_long / n_words, 4
+        ).alias("lix"),
+    )
+
+
+# Nearest-centroid classifier over the labeled embeddings: centroids fit
+# on even vec_ids (exact decimal per-dimension means), evaluated on odd
+# vec_ids. Scale shape: the model is |labels| x d metadata broadcast as
+# literals; scoring is per-row arithmetic; accuracy is one count
+# aggregation. The supervised complement to cluster_nmi_q.
+@register(
+    "nc_classifier_q",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    cent AS (
+        SELECT label, i,
+               ROUND(CAST(avg(val) AS DECIMAL(28,12)), 6)::DOUBLE AS m
+        FROM (SELECT label, i, v[i] AS val
+              FROM e, unnest(range(1, len(v)+1)) AS t(i)
+              WHERE vec_id % 2 = 0)
+        GROUP BY label, i
+    ),
+    cv AS (SELECT label, list(m ORDER BY i) AS cvec FROM cent GROUP BY label),
+    scored AS (
+        SELECT t.vec_id, t.label AS true_label, c.label AS pred,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+                   ROUND(list_reduce(
+                       list_transform(range(1, len(t.v)+1),
+                           i -> (t.v[i] - c.cvec[i]) * (t.v[i] - c.cvec[i])),
+                       (x, y) -> x + y), 6), c.label) AS rn
+        FROM e t CROSS JOIN cv c WHERE t.vec_id % 2 = 1
+    )
+    SELECT true_label,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN pred = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(ROUND(CAST(SUM(CASE WHEN pred = true_label
+                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+                AS DOUBLE) AS accuracy
+    FROM scored WHERE rn = 1
+    GROUP BY true_label
+    """,
+)
+def nc_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    train = emb.filter(F.col("vec_id") % 2 == 0)
+    cents = (
+        train.select("label", F.posexplode("embedding").alias("i", "val"))
+        .groupBy("label", "i")
+        .agg(
+            F.round(
+                F.avg(F.col("val").cast("double")).cast("decimal(28,12)"), 6
+            )
+            .cast("double")
+            .alias("m")
+        )
+        .collect()  # |labels| x d — metadata
+    )
+    by_label: dict[int, list[float]] = {}
+    for r in cents:
+        by_label.setdefault(r["label"], [0.0] * 64)[r["i"]] = r["m"]
+    test = emb.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dcols = []
+    for lab in sorted(by_label):
+        cent = F.array(*[F.lit(float(x)) for x in by_label[lab]])
+        d2 = F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"), cent, lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, t2: acc + t2,
+            ),
+            6,
+        )
+        dcols.append(F.struct(d2.alias("d"), F.lit(lab).alias("lab")))
+    pred = F.array_min(F.array(*dcols))["lab"]
+    scored = test.select("true_label", pred.alias("pred"))
+    return scored.groupBy("true_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(F.when(F.col("pred") == F.col("true_label"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        F.round(
+            F.sum(
+                F.when(F.col("pred") == F.col("true_label"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+# Skip-gram (center, context) pair generation with frequency
+# subsampling — the word2vec training-data builder. Window = +/-2;
+# frequent centers are dropped with the Mikolov keep-probability
+# evaluated against a content-keyed uniform, so the sample is
+# deterministic and partition-invariant. Scale shape: pair explosion is
+# per-row (positions x 4); the only shuffles are the frequency count and
+# the final pair count, both vocab-keyed.
+@register(
+    "skipgram_pairs_q",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    n AS (SELECT SUM(len(t)) AS n_tokens FROM toks),
+    freq AS (
+        SELECT tok, COUNT(*) AS c
+        FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+    ),
+    pos AS (
+        SELECT doc_id, t, i, t[i] AS center
+        FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+    ),
+    kept AS (
+        SELECT p.doc_id, p.t, p.i, p.center
+        FROM pos p JOIN freq f ON p.center = f.tok CROSS JOIN n
+        WHERE (CAST({_SQL_POLY.format(
+                  s="p.doc_id::VARCHAR || ':' || p.i::VARCHAR")} % 100000
+               AS DOUBLE)) / 100000
+              < least(1.0, sqrt(0.001 * n.n_tokens / f.c))
+    ),
+    pairs AS (
+        SELECT center, t[i + o] AS context
+        FROM kept, unnest([-2, -1, 1, 2]) AS w(o)
+        WHERE i + o >= 1 AND i + o <= len(t)
+    )
+    SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY center, context
+    ORDER BY n_pairs DESC, center, context LIMIT 30
+    """,
+)
+def skipgram_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mikolov subsampled skip-gram pairs: keep-prob sqrt(1e-3 * N / f)
+    per CENTER occurrence, uniform from poly_hash(doc:pos) — the
+    deterministic stand-in for the trainer's RNG."""
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("doc_id", _tokens("text").alias("t")).localCheckpoint()
+    n = toks.agg(F.sum(F.size("t")).alias("n_tokens"))
+    freq = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    pos = toks.select(
+        "doc_id",
+        "t",
+        F.posexplode("t").alias("i0", "center"),
+    ).select(
+        "doc_id", "t", (F.col("i0") + 1).alias("i"), "center"
+    )
+    u = (
+        poly_hash(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("i").cast("string"),
+            )
+        )
+        % 100000
+    ).cast("double") / 100000
+    keep = u < F.least(
+        F.lit(1.0),
+        F.sqrt(0.001 * F.col("n_tokens") / F.col("c")),
+    )
+    kept = (
+        pos.join(freq, pos.center == freq.tok)
+        .crossJoin(F.broadcast(n))
+        .filter(keep)
+        .select("doc_id", "t", "i", "center")
+    )
+    pairs = kept.select(
+        "center",
+        F.explode(F.array(F.lit(-2), F.lit(-1), F.lit(1), F.lit(2))).alias(
+            "o"
+        ),
+        "t",
+        "i",
+    ).filter(
+        (F.col("i") + F.col("o") >= 1)
+        & (F.col("i") + F.col("o") <= F.size("t"))
+    ).select(
+        "center",
+        F.element_at("t", F.col("i") + F.col("o")).alias("context"),
+    )
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "center", "context")
+        .limit(30)
+    )
+
+
+# Sparse TF-IDF document similarity: top-20 doc pairs by cosine over
+# tf-idf vectors, with candidates generated ONLY through rare tokens
+# (df <= 10% of docs) — the standard sparse-similarity-join trick: stopword-ish
+# high-df tokens generate no candidates (they dominate neither the
+# cosine nor, now, the join), so the token-keyed pair join stays
+# df-bounded instead of exploding quadratically on common words. The
+# full cosine over ALL shared tokens is then computed for just those
+# candidate pairs via one more vocab-keyed join.
+@register(
+    "doc_cosine_sparse_q",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    nd AS (SELECT COUNT(*) AS nd FROM toks),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    w AS (
+        SELECT tf.doc_id, tf.tok,
+               tf.tf * ln(CAST(nd.nd AS DOUBLE) / df.df) AS w
+        FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN nd
+    ),
+    norms AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE) AS nn
+        FROM w GROUP BY doc_id
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        JOIN df ON a.tok = df.tok CROSS JOIN nd
+        WHERE df.df * 10 <= nd.nd
+    ),
+    dots AS (
+        SELECT c.da, c.db,
+               CAST(SUM(CAST(wa.w * wb.w AS DECIMAL(28,12))) AS DOUBLE)
+                   AS dot
+        FROM cand c
+        JOIN w wa ON wa.doc_id = c.da
+        JOIN w wb ON wb.doc_id = c.db AND wa.tok = wb.tok
+        GROUP BY c.da, c.db
+    )
+    SELECT da, db,
+           CAST(ROUND(dot / sqrt(na.nn * nb.nn), 6) AS DOUBLE) AS cosine
+    FROM dots JOIN norms na ON da = na.doc_id
+              JOIN norms nb ON db = nb.doc_id
+    ORDER BY dot / sqrt(na.nn * nb.nn) DESC, da, db LIMIT 20
+    """,
+)
+def doc_cosine_sparse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    tf = (
+        d.select("doc_id", F.explode(_tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
+    nd = tf.select("doc_id").distinct().count()
+    df = tf.groupBy("tok").agg(F.count("*").alias("df")).localCheckpoint()
+    w = (
+        tf.join(df, "tok")
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.col("tf")
+                * F.log(F.lit(float(nd)) / F.col("df"))
+            ).alias("w"),
+        )
+        .localCheckpoint()
+    )
+    norms = w.groupBy("doc_id").agg(
+        _dsum(F.col("w") * F.col("w")).cast("double").alias("nn")
+    )
+    rare = df.filter(F.col("df") * 10 <= F.lit(int(nd))).select("tok")
+    ta = tf.join(rare, "tok").select("tok", F.col("doc_id").alias("da"))
+    tb = tf.join(rare, "tok").select("tok", F.col("doc_id").alias("db"))
+    cand = (
+        ta.join(tb, "tok")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    wa = w.select(F.col("doc_id").alias("da"), "tok", F.col("w").alias("wa"))
+    wb = w.select(F.col("doc_id").alias("db"), "tok", F.col("w").alias("wb"))
+    dots = (
+        cand.join(wa, "da")
+        .join(wb, ["db", "tok"])
+        .groupBy("da", "db")
+        .agg(_dsum(F.col("wa") * F.col("wb")).cast("double").alias("dot"))
+    )
+    cos = F.col("dot") / F.sqrt(F.col("na") * F.col("nb"))
+    return (
+        dots.join(
+            norms.select(F.col("doc_id").alias("da"), F.col("nn").alias("na")),
+            "da",
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("db"), F.col("nn").alias("nb")),
+            "db",
+        )
+        .orderBy(F.desc(cos), "da", "db")
+        .limit(20)
+        .select("da", "db", F.round(cos, 6).alias("cosine"))
+    )
+
+
+# Calendar feature generation: the standard time-feature block (day
+# index, day-of-week, week, month, month-end flag, cyclical sin/cos
+# encodings) materialized per distinct event day. Scale shape: one
+# corpus-scale distinct-day shuffle; everything else is per-row codegen
+# over the calendar-bounded table. Trig outputs round to 6 dp (libm skew
+# absorbed, as in benford_audit_q).
+@register(
+    "calendar_features_q",
+    """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    f AS (
+        SELECT day,
+               date_diff('day', DATE '2024-01-01', day) AS day_idx,
+               date_diff('day', DATE '2024-01-01', day) % 7 AS dow,
+               date_diff('day', DATE '2024-01-01', day) // 7 AS week,
+               EXTRACT(MONTH FROM day) AS month,
+               day = last_day(day) AS is_month_end
+        FROM days
+    )
+    SELECT day, CAST(day_idx AS BIGINT) AS day_idx,
+           CAST(dow AS BIGINT) AS dow,
+           CAST(week AS BIGINT) AS week,
+           CAST(month AS BIGINT) AS month,
+           is_month_end,
+           CAST(ROUND(sin(2 * pi() * dow / 7), 6) AS DOUBLE) AS dow_sin,
+           CAST(ROUND(cos(2 * pi() * dow / 7), 6) AS DOUBLE) AS dow_cos
+    FROM f
+    """,
+)
+def calendar_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    day_idx = F.datediff(
+        F.col("day"), F.lit("2024-01-01").cast("date")
+    )
+    dow = day_idx % 7
+    pi = 3.141592653589793
+    return days.select(
+        "day",
+        day_idx.cast("long").alias("day_idx"),
+        dow.cast("long").alias("dow"),
+        F.expr(
+            "datediff(day, date'2024-01-01') div 7"
+        ).cast("long").alias("week"),
+        F.month("day").cast("long").alias("month"),
+        (F.col("day") == F.last_day("day")).alias("is_month_end"),
+        F.round(F.sin(2 * pi * dow / 7), 6).alias("dow_sin"),
+        F.round(F.cos(2 * pi * dow / 7), 6).alias("dow_cos"),
+    )
+
+
+# Exact interpolated percentile bands (p10/p50/p90) of the event value
+# per day — the SLO/telemetry band chart. Exercises the exact percentile
+# aggregate's cross-engine parity (Spark `percentile` and DuckDB
+# `quantile_cont` share the linear-interpolation definition; inputs are
+# the same exact doubles, so the interpolation arithmetic is identical).
+# Scale shape: one day-keyed shuffle; each group's percentile is exact
+# within the day partition.
+@register(
+    "daily_bands_q",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(quantile_cont(value, 0.1), 6) AS DOUBLE) AS p10,
+           CAST(ROUND(quantile_cont(value, 0.5), 6) AS DOUBLE) AS p50,
+           CAST(ROUND(quantile_cont(value, 0.9), 6) AS DOUBLE) AS p90
+    FROM events WHERE event_type = 'view'
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def daily_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events.filter(F.col("event_type") == "view")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.expr("percentile(value, 0.1)"), 6).alias("p10"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+
+
+# Jensen–Shannon divergence between the token distributions of the two
+# corpus source halves — the bounded (0..ln 2), symmetric drift metric
+# complementing token_psi_q (which is unbounded and asymmetric in its
+# bucketing). Scale shape: one vocab-keyed count aggregation carrying
+# both halves' counts; the JS fold runs over the vocab table with
+# 12-dp-quantized terms; zero-count sides contribute their KL term as 0
+# by the same CASE on both engines.
+@register(
+    "js_divergence_q",
+    f"""
+    WITH t AS (
+        SELECT CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                    THEN 0 ELSE 1 END AS half,
+               unnest({_SQL_TOKENS}) AS tok
+        FROM documents
+    ),
+    v AS (
+        SELECT tok,
+               SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cb
+        FROM t GROUP BY tok
+    ),
+    tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM v),
+    terms AS (
+        SELECT CAST(ca AS DOUBLE) / na AS pa,
+               CAST(cb AS DOUBLE) / nb AS pb
+        FROM v CROSS JOIN tot
+    )
+    SELECT CAST(ROUND(CAST(SUM(CAST(
+               0.5 * (CASE WHEN pa > 0
+                      THEN pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END)
+               + 0.5 * (CASE WHEN pb > 0
+                        THEN pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END)
+               AS DECIMAL(28,12))) AS DOUBLE), 6) AS DOUBLE) AS js_div,
+           CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM terms
+    """,
+)
+def js_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    half = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, 0
+    ).otherwise(1)
+    t = d.select(half.alias("half"), F.explode(_tokens("text")).alias("tok"))
+    v = t.groupBy("tok").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    tot = v.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    terms = v.crossJoin(F.broadcast(tot)).select(
+        (F.col("ca").cast("double") / F.col("na")).alias("pa"),
+        (F.col("cb").cast("double") / F.col("nb")).alias("pb"),
+    )
+    mid = (F.col("pa") + F.col("pb")) / 2
+    term = 0.5 * F.when(
+        F.col("pa") > 0, F.col("pa") * F.log(F.col("pa") / mid)
+    ).otherwise(0.0) + 0.5 * F.when(
+        F.col("pb") > 0, F.col("pb") * F.log(F.col("pb") / mid)
+    ).otherwise(0.0)
+    return terms.agg(
+        F.round(_dsum(term).cast("double"), 6).alias("js_div"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+
+
+# Error-safe ingest parsing: TRY_CAST-based extraction with per-column
+# failure accounting — the ETL quarantine counter. Mixed-format inputs
+# are synthesized deterministically from real columns (every 7th props
+# payload corrupted by a suffix) so the failure paths actually execute.
+# Scale shape: pure per-row codegen plus one global count aggregation.
+@register(
+    "try_parse_q",
+    """
+    WITH raw AS (
+        SELECT event_id,
+               CASE WHEN event_id % 7 = 3
+                    THEN json_extract_string(props, '$.k') || 'x'
+                    ELSE json_extract_string(props, '$.k') END AS k_raw,
+               CASE WHEN event_id % 11 = 5 THEN 'not-a-date'
+                    ELSE strftime(ts, '%Y-%m-%d') END AS d_raw
+        FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN TRY_CAST(k_raw AS BIGINT) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bad_ints,
+           CAST(SUM(CASE WHEN TRY_CAST(d_raw AS DATE) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bad_dates,
+           CAST(SUM(TRY_CAST(k_raw AS BIGINT)) AS BIGINT) AS k_sum
+    FROM raw
+    """,
+)
+def try_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    k_raw = F.when(
+        F.col("event_id") % 7 == 3,
+        F.concat(F.get_json_object("props", "$.k"), F.lit("x")),
+    ).otherwise(F.get_json_object("props", "$.k"))
+    d_raw = F.when(F.col("event_id") % 11 == 5, F.lit("not-a-date")).otherwise(
+        F.date_format("ts", "yyyy-MM-dd")
+    )
+    raw = ev.select(k_raw.alias("k_raw"), d_raw.alias("d_raw"))
+    return raw.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.when(F.expr("try_cast(k_raw AS BIGINT)").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("bad_ints"),
+        F.sum(
+            F.when(F.expr("try_cast(d_raw AS DATE)").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("bad_dates"),
+        F.sum(F.expr("try_cast(k_raw AS BIGINT)")).cast("long").alias("k_sum"),
+    )
+
+
+# Bitwise flag rollup: event types encoded as bit flags, OR/AND-merged
+# per user — the compact "which behaviors has this user ever / always
+# shown" profile (bitsets replace per-type boolean columns at scale).
+# Scale shape: per-row bit mapping, one user-keyed aggregation with
+# map-side-combinable BIT_OR/BIT_AND partials.
+@register(
+    "flags_rollup_q",
+    """
+    WITH f AS (
+        SELECT user_id,
+               CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                    WHEN 'signup' THEN 4 WHEN 'purchase' THEN 8
+                    ELSE 16 END AS flag
+        FROM events
+    )
+    SELECT user_id,
+           CAST(BIT_OR(flag) AS BIGINT) AS ever_mask,
+           CAST(BIT_AND(flag) AS BIGINT) AS always_mask,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           BIT_OR(flag) & 8 = 8 AS has_purchased
+    FROM f GROUP BY user_id
+    """,
+)
+def flags_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    flag = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "purchase", 8)
+        .otherwise(16)
+    )
+    return (
+        ev.select("user_id", flag.alias("flag"))
+        .groupBy("user_id")
+        .agg(
+            F.expr("bit_or(flag)").cast("long").alias("ever_mask"),
+            F.expr("bit_and(flag)").cast("long").alias("always_mask"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.expr("bit_or(flag)").bitwiseAND(8) == 8).alias(
+                "has_purchased"
+            ),
+        )
+    )
+
+
+# Positional phrase search: find every occurrence of the corpus's most
+# frequent bigram as a PHRASE via the positional inverted index —
+# adjacent-position self-join on (token, doc), the classic IR phrase
+# query. Scale shape: the positional postings explode once; the phrase
+# join is keyed on (doc_id, position) after filtering both sides to the
+# two phrase terms, so only matching-term postings move.
+@register(
+    "phrase_search_q",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    pos AS (
+        SELECT doc_id, i, t[i] AS tok
+        FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+    ),
+    idx AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+            FROM toks WHERE len(t) >= 2),
+    top_bigram AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM idx GROUP BY w1, w2
+        ORDER BY COUNT(*) DESC, w1, w2 LIMIT 1
+    ),
+    hits AS (
+        SELECT a.doc_id, a.i AS position
+        FROM pos a
+        JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        CROSS JOIN top_bigram tb
+        WHERE a.tok = tb.w1 AND b.tok = tb.w2
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(position) AS BIGINT) AS first_position
+    FROM hits GROUP BY doc_id
+    """,
+)
+def phrase_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("doc_id", _tokens("text").alias("t")).localCheckpoint()
+    pos = toks.select(
+        "doc_id", F.posexplode("t").alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "tok")
+    pairs = toks.filter(F.size("t") >= 2).select(
+        F.posexplode(F.slice("t", 1, F.size("t") - 1)).alias("i0", "w1"),
+        "t",
+    ).select("w1", F.element_at("t", F.col("i0") + 2).alias("w2"))
+    top = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "w1", "w2")
+        .limit(1)
+    )
+    a = pos.select("doc_id", F.col("i").alias("pa"), F.col("tok").alias("ta"))
+    b = pos.select("doc_id", F.col("i").alias("pb"), F.col("tok").alias("tb"))
+    hits = (
+        a.crossJoin(F.broadcast(top))
+        .filter(F.col("ta") == F.col("w1"))
+        .join(
+            b,
+            ["doc_id"],
+        )
+        .filter(
+            (F.col("pb") == F.col("pa") + 1)
+            & (F.col("tb") == F.col("w2"))
+        )
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.min("pa").cast("long").alias("first_position"),
+    )
+
+
+# Event debounce: flag events of the same (user, type) arriving within
+# 6 hours of the previous event of that key — the LAG formulation of
+# rapid-repeat suppression (threshold sized to the test stream's
+# inter-arrival scale; a web-scale stream would use seconds). Scale shape: one LAG
+# window per (user, type) partition; no self-joins.
+@register(
+    "debounce_q",
+    """
+    WITH lagged AS (
+        SELECT user_id, event_type, ts,
+               LAG(ts) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN prev_ts IS NOT NULL
+                          AND epoch_us(ts) - epoch_us(prev_ts) < 21600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_debounced
+    FROM lagged GROUP BY user_id, event_type
+    HAVING SUM(CASE WHEN prev_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(prev_ts) < 21600000000
+                    THEN 1 ELSE 0 END) > 0
+    """,
+)
+def debounce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    lagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    dbn = F.sum(
+        F.when(
+            F.col("prev_ts").isNotNull()
+            & (
+                F.unix_micros("ts") - F.unix_micros("prev_ts")
+                < 21_600_000_000
+            ),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        lagged.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            dbn.cast("long").alias("n_debounced"),
+        )
+        .filter(F.col("n_debounced") > 0)
+    )
+
+
+# Fair round-robin interleave across sources: rank docs within each
+# source by content hash, then take the globally first 40 in
+# (rank, source) order — every source contributes its best docs before
+# any source contributes twice, the strict-fairness dataset mixer
+# (mixture_sample_q is the proportional variant). Scale shape: one rank
+# window per source partition, then TakeOrdered on (rank, source, id).
+@register(
+    "fair_interleave_q",
+    f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY {_SQL_POLY.format(s="'fi:' || doc_id::VARCHAR")},
+                            doc_id) AS rk
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+    FROM ranked
+    ORDER BY rk, source, doc_id LIMIT 40
+    """,
+)
+def fair_interleave_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape (reworked r7 per VERDICT r6 #2): only ranks <= 40
+    survive the LIMIT, so the per-source rank runs through
+    operators.indexing.grouped_topk — a first window partitioned by
+    (input partition id, source) prunes each source to <= 40 rows PER
+    SCAN SPLIT (window partitions bounded by maxPartitionBytes, never by
+    per-source row counts), then the exact per-source rank window runs
+    over the <= 40*P survivors (metadata scale). The global top-40 in
+    (rank, source) order is a TakeOrdered on those survivors. The oracle
+    keeps the plain per-source window (semantics, not plan)."""
+    from iniz_exporters_spark.operators.indexing import grouped_topk
+
+    d = Catalog(spark, sf_dir).documents
+    h = poly_hash(F.concat(F.lit("fi:"), F.col("doc_id").cast("string")))
+    topk = grouped_topk(
+        d.select("doc_id", "source"), ["source"], [h, F.col("doc_id")], 40, "rk"
+    )
+    return (
+        topk.orderBy("rk", "source", "doc_id")
+        .limit(40)
+        .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+# Percent-of-parent revenue shares down the region -> nation hierarchy:
+# each nation's share of its region and each region's share of total.
+# Scale shape: revenue aggregates to the NATION grain first (one
+# fact-scale shuffle onto 25 keys); all share windows run over the
+# 25-row nation table. Exact decimal revenue; shares are identical
+# double divisions.
+@register(
+    "parent_share_q",
+    """
+    WITH rev AS (
+        SELECT n.n_regionkey AS region, c.c_nationkey AS nation,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_regionkey, c.c_nationkey
+    )
+    SELECT region, nation,
+           CAST(ROUND(CAST(rev AS DOUBLE), 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(CAST(rev AS DOUBLE)
+                / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE), 6)
+                AS DOUBLE) AS share_of_region,
+           CAST(ROUND(CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE)
+                / CAST(SUM(rev) OVER () AS DOUBLE), 6) AS DOUBLE)
+               AS region_share_of_total
+    FROM rev
+    """,
+)
+def parent_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    rev = (
+        cat.orders.join(
+            cat.customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(cat.nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_regionkey").alias("region"),
+            F.col("c_nationkey").alias("nation"),
+        )
+        .agg(F.sum(_dec(F.col("o_totalprice"))).alias("rev"))
+    )
+    wr = Window.partitionBy("region")
+    wt = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(wr).cast("double"),
+            6,
+        ).alias("share_of_region"),
+        F.round(
+            F.sum("rev").over(wr).cast("double")
+            / F.sum("rev").over(wt).cast("double"),
+            6,
+        ).alias("region_share_of_total"),
+    )
+
+
+# ID-sequence gap detection WITHOUT a global window: keys bucket by
+# id div 1000; within-bucket gaps come from a per-bucket LAG window
+# (parallel across buckets), and cross-bucket gaps from the bucket
+# boundary table (min/max per bucket — metadata scale). The global-LAG
+# formulation the oracle uses would single-thread 100 TB of keys; this
+# plan never materializes a corpus-wide ordering.
+@register(
+    "id_gaps_q",
+    """
+    WITH k AS (SELECT DISTINCT o_orderkey AS id FROM orders
+               WHERE o_orderkey % 97 <> 13),
+    lagged AS (
+        SELECT id, LAG(id) OVER (ORDER BY id) AS prev
+        FROM k
+    )
+    SELECT CAST(prev + 1 AS BIGINT) AS gap_start,
+           CAST(id - 1 AS BIGINT) AS gap_end,
+           CAST(id - prev - 1 AS BIGINT) AS gap_len
+    FROM lagged WHERE prev IS NOT NULL AND id - prev > 1
+    ORDER BY gap_start LIMIT 50
+    """,
+)
+def id_gaps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # synthetic deletions (every 97th key) so the detector's output is a
+    # value-checked non-empty gap list at every scale
+    o = (
+        Catalog(spark, sf_dir)
+        .orders.filter(F.col("o_orderkey") % 97 != 13)
+        .select(F.col("o_orderkey").alias("id"))
+        .distinct()
+    )
+    b = o.withColumn("bucket", F.expr("id div 1000"))
+    wb = Window.partitionBy("bucket").orderBy("id")
+    within = (
+        b.withColumn("prev", F.lag("id").over(wb))
+        .filter(F.col("prev").isNotNull() & (F.col("id") - F.col("prev") > 1))
+        .select(
+            (F.col("prev") + 1).alias("gap_start"),
+            (F.col("id") - 1).alias("gap_end"),
+        )
+    )
+    # cross-bucket gaps from the per-bucket boundary table (metadata)
+    bounds = b.groupBy("bucket").agg(
+        F.min("id").alias("lo"), F.max("id").alias("hi")
+    )
+    wseq = Window.orderBy("bucket")
+    across = (
+        bounds.withColumn("prev_hi", F.lag("hi").over(wseq))
+        .filter(
+            F.col("prev_hi").isNotNull()
+            & (F.col("lo") - F.col("prev_hi") > 1)
+        )
+        .select(
+            (F.col("prev_hi") + 1).alias("gap_start"),
+            (F.col("lo") - 1).alias("gap_end"),
+        )
+    )
+    return (
+        within.unionByName(across)
+        .select(
+            F.col("gap_start").cast("long"),
+            F.col("gap_end").cast("long"),
+            (F.col("gap_end") - F.col("gap_start") + 1)
+            .cast("long")
+            .alias("gap_len"),
+        )
+        .orderBy("gap_start")
+        .limit(50)
+    )
+
+
+# ===========================================================================
+# Batch T — linkage alternatives, experiment statistics, count models.
+# ===========================================================================
+
+
+# Sorted-neighborhood record linkage: sort candidates by a key inside
+# coarse blocks, pair each record with its <=2 following neighbors, keep
+# pairs within edit distance 2 — the sliding-window alternative to
+# hash blocking (record_linkage_q) that catches near-misses hash blocks
+# split. Scale shape: ranks are per-block windows (parallel across
+# blocks); the neighbor join is rank-banded inside each block, so pair
+# count is O(n * window), never O(n^2).
+@register(
+    "sorted_neighborhood_q",
+    """
+    WITH ranked AS (
+        SELECT c_custkey, c_name, substr(c_name, 10, 6) AS blk,
+               ROW_NUMBER() OVER (PARTITION BY substr(c_name, 10, 6)
+                                  ORDER BY c_name, c_custkey) AS rk
+        FROM customer
+    ),
+    pairs AS (
+        SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+               levenshtein(a.c_name, b.c_name) AS lev
+        FROM ranked a
+        JOIN ranked b ON a.blk = b.blk
+                     AND b.rk > a.rk AND b.rk <= a.rk + 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN lev <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matches,
+           CAST(MIN(lev) AS BIGINT) AS min_lev,
+           CAST(MAX(lev) AS BIGINT) AS max_lev
+    FROM pairs
+    """,
+)
+def sorted_neighborhood_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    blk = F.substring("c_name", 10, 6)
+    w = Window.partitionBy("blk").orderBy("c_name", "c_custkey")
+    ranked = c.select(
+        "c_custkey", "c_name", blk.alias("blk")
+    ).withColumn("rk", F.row_number().over(w)).localCheckpoint()
+    a = ranked.select(
+        "blk",
+        F.col("c_custkey").alias("ka"),
+        F.col("c_name").alias("na"),
+        F.col("rk").alias("ra"),
+    )
+    b = ranked.select(
+        "blk",
+        F.col("c_custkey").alias("kb"),
+        F.col("c_name").alias("nb"),
+        F.col("rk").alias("rb"),
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(
+            (F.col("rb") > F.col("ra")) & (F.col("rb") <= F.col("ra") + 2)
+        )
+        .select(F.levenshtein("na", "nb").alias("lev"))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum(F.when(F.col("lev") <= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_matches"),
+        F.min("lev").cast("long").alias("min_lev"),
+        F.max("lev").cast("long").alias("max_lev"),
+    )
+
+
+# Wilson-score confidence intervals for per-step funnel conversion
+# rates: the experimentation-grade proportion interval (never escapes
+# [0,1], sane at small n, unlike the normal approximation). Scale shape:
+# conversion counts are one user-keyed aggregation; the interval math is
+# identical per-row double arithmetic over the steps table.
+@register(
+    "wilson_ci_q",
+    """
+    WITH u AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s2,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS s3
+        FROM events GROUP BY user_id
+    ),
+    steps AS (
+        SELECT 'view->click' AS step, SUM(s1) AS n, SUM(s1 * s2) AS k
+        FROM u
+        UNION ALL
+        SELECT 'click->purchase', SUM(s2), SUM(s2 * s3) FROM u
+    )
+    SELECT step, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           CAST(ROUND(CAST(k AS DOUBLE) / n, 6) AS DOUBLE) AS rate,
+           CAST(ROUND((CAST(k AS DOUBLE) / n + 1.9208 / n
+                - 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                              * (1 - CAST(k AS DOUBLE) / n) / n
+                              + 0.9604 / (n * n)))
+                / (1 + 3.8416 / n), 6) AS DOUBLE) AS wilson_lo,
+           CAST(ROUND((CAST(k AS DOUBLE) / n + 1.9208 / n
+                + 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                              * (1 - CAST(k AS DOUBLE) / n) / n
+                              + 0.9604 / (n * n)))
+                / (1 + 3.8416 / n), 6) AS DOUBLE) AS wilson_hi
+    FROM steps
+    """,
+)
+def wilson_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "s1"
+        ),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "s2"
+        ),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("s3"),
+    )
+    steps = u.agg(
+        F.sum("s1").alias("n1"),
+        F.sum(F.col("s1") * F.col("s2")).alias("k1"),
+        F.sum("s2").alias("n2"),
+        F.sum(F.col("s2") * F.col("s3")).alias("k2"),
+    )
+    rows = []
+    for step, ncol, kcol in (
+        ("view->click", "n1", "k1"),
+        ("click->purchase", "n2", "k2"),
+    ):
+        rows.append(
+            steps.select(
+                F.lit(step).alias("step"),
+                F.col(ncol).alias("n"),
+                F.col(kcol).alias("k"),
+            )
+        )
+    s = rows[0].unionByName(rows[1])
+    p = F.col("k").cast("double") / F.col("n")
+    n = F.col("n")
+    root = F.sqrt(p * (1 - p) / n + 0.9604 / (n * n))
+    return s.select(
+        "step",
+        n.cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(p, 6).alias("rate"),
+        F.round((p + 1.9208 / n - 1.96 * root) / (1 + 3.8416 / n), 6).alias(
+            "wilson_lo"
+        ),
+        F.round((p + 1.9208 / n + 1.96 * root) / (1 + 3.8416 / n), 6).alias(
+            "wilson_hi"
+        ),
+    )
+
+
+# Negative-binomial fit of the order basket-size distribution by the
+# method of moments: r = mean^2/(var-mean), p = mean/var — the standard
+# overdispersed count model for "items per basket". Scale shape: basket
+# sizes are one orderkey aggregation; moments are exact integer sums;
+# the fit is one row of double arithmetic.
+@register(
+    "basket_nb_fit_q",
+    """
+    WITH b AS (
+        SELECT l_orderkey, COUNT(*) AS sz FROM lineitem GROUP BY l_orderkey
+    ),
+    m AS (
+        SELECT COUNT(*) AS n, SUM(sz) AS s1, SUM(sz * sz) AS s2 FROM b
+    )
+    SELECT CAST(n AS BIGINT) AS n_baskets,
+           CAST(ROUND(CAST(s1 AS DOUBLE) / n, 6) AS DOUBLE) AS mean_size,
+           CAST(ROUND((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                       * CAST(s1 AS DOUBLE) / n) / (n - 1), 6) AS DOUBLE)
+               AS var_size,
+           CAST(ROUND(CASE WHEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                            * CAST(s1 AS DOUBLE) / n) / (n - 1)
+                           > CAST(s1 AS DOUBLE) / n
+               THEN (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    / ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                        * CAST(s1 AS DOUBLE) / n) / (n - 1)
+                       - CAST(s1 AS DOUBLE) / n)
+               ELSE 0.0 END, 6) AS DOUBLE) AS nb_r
+    FROM m
+    """,
+)
+def basket_nb_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    b = li.groupBy("l_orderkey").agg(F.count("*").alias("sz"))
+    m = b.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sz").alias("s1"),
+        F.sum(F.col("sz") * F.col("sz")).alias("s2"),
+    )
+    n = F.col("n")
+    mean = F.col("s1").cast("double") / n
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / n
+    ) / (n - 1)
+    return m.select(
+        n.cast("long").alias("n_baskets"),
+        F.round(mean, 6).alias("mean_size"),
+        F.round(var, 6).alias("var_size"),
+        F.round(
+            F.when(var > mean, mean * mean / (var - mean)).otherwise(0.0), 6
+        ).alias("nb_r"),
+    )
+
+
+# Rich-club coefficient phi(k) for k in {2, 4, 8}: the density of the
+# subgraph induced by nodes of degree > k — do hubs preferentially
+# interconnect? Scale shape: degrees from one vocab-keyed aggregation;
+# per-k edge counts are broadcast-filtered joins over the (bounded)
+# high-degree node set; density is integer arithmetic.
+@register(
+    "rich_club_q",
+    """
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT n, COUNT(*) AS d FROM (
+            SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+        GROUP BY n
+    ),
+    ks AS (SELECT unnest([2, 4, 8]) AS k),
+    club AS (
+        SELECT ks.k, deg.n FROM ks JOIN deg ON deg.d > ks.k
+    ),
+    cnt AS (SELECT k, COUNT(*) AS nk FROM club GROUP BY k),
+    ce AS (
+        SELECT ca.k, COUNT(*) AS ek
+        FROM e JOIN club ca ON e.a = ca.n
+               JOIN club cb ON e.b = cb.n AND ca.k = cb.k
+        GROUP BY ca.k
+    )
+    SELECT cnt.k, CAST(cnt.nk AS BIGINT) AS n_club,
+           CAST(COALESCE(ce.ek, 0) AS BIGINT) AS club_edges,
+           CAST(ROUND(CASE WHEN cnt.nk >= 2
+               THEN 2.0 * COALESCE(ce.ek, 0) / (cnt.nk * (cnt.nk - 1))
+               ELSE 0.0 END, 6) AS DOUBLE) AS phi
+    FROM cnt LEFT JOIN ce ON cnt.k = ce.k
+    """,
+)
+def rich_club_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("b"))
+    e = (
+        a.join(b, "kk")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    ks = Catalog(spark, sf_dir).region.sparkSession.createDataFrame(
+        [(2,), (4,), (8,)], "k int"
+    )
+    club = ks.crossJoin(deg).filter(F.col("d") > F.col("k")).select(
+        "k", "n"
+    ).localCheckpoint()
+    cnt = club.groupBy("k").agg(F.count("*").alias("nk"))
+    ca = club.select(F.col("k"), F.col("n").alias("a"))
+    cb = club.select(F.col("k").alias("k2"), F.col("n").alias("b2"))
+    ce = (
+        e.join(ca, "a")
+        .join(
+            cb,
+            (F.col("b") == F.col("b2")) & (F.col("k") == F.col("k2")),
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("ek"))
+    )
+    ek = F.coalesce(F.col("ek"), F.lit(0))
+    return (
+        cnt.join(ce, "k", "left")
+        .select(
+            "k",
+            F.col("nk").cast("long").alias("n_club"),
+            ek.cast("long").alias("club_edges"),
+            F.round(
+                F.when(
+                    F.col("nk") >= 2,
+                    2.0 * ek / (F.col("nk") * (F.col("nk") - 1)),
+                ).otherwise(0.0),
+                6,
+            ).alias("phi"),
+        )
+    )
+
+
+# Time-weighted average of the event value per user: each reading holds
+# until the next one (step interpolation), weighted by its holding
+# interval — the telemetry/billing aggregate where arithmetic means lie
+# under irregular sampling. Scale shape: one LEAD window per user
+# partition for the holding interval, then a user-keyed weighted
+# aggregation; weights are exact integer microseconds and values
+# quantize to decimal before the weighted sum.
+@register(
+    "twa_q",
+    """
+    WITH iv AS (
+        SELECT user_id,
+               CAST(value AS DECIMAL(18,6)) AS v,
+               epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))
+               - epoch_us(ts) AS hold_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(hold_us) AS BIGINT) AS span_us,
+           CAST(ROUND(CAST(SUM(v * hold_us) AS DOUBLE)
+                / CAST(SUM(hold_us) AS DOUBLE), 6) AS DOUBLE) AS twa
+    FROM iv WHERE hold_us IS NOT NULL AND hold_us > 0
+    GROUP BY user_id
+    """,
+)
+def twa_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("hold_us"),
+    ).filter(F.col("hold_us").isNotNull() & (F.col("hold_us") > 0))
+    return iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("hold_us").cast("long").alias("span_us"),
+        F.round(
+            F.sum(F.col("v") * F.col("hold_us")).cast("double")
+            / F.sum("hold_us").cast("double"),
+            6,
+        ).alias("twa"),
+    )
+
+
+# Sketch algebra: intersection cardinality by inclusion–exclusion over
+# HyperLogLog estimates, |A∩B| ≈ hll(A) + hll(B) − hll(A∪B), with the
+# exact intersection and the triple-error bound as the CHECKED values
+# (estimates themselves have no cross-engine oracle; the bound does —
+# same contract pattern as hll_error_check). A = users who viewed,
+# B = users who purchased. Scale shape: three approx-distinct
+# aggregations (fixed-size sketch state, map-side mergeable) plus one
+# exact distinct for the audit.
+@register(
+    "hll_intersect_q",
+    """
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'view'),
+    b AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase'),
+    x AS (SELECT COUNT(*) AS exact_inter
+          FROM a JOIN b USING (user_id)),
+    sz AS (SELECT (SELECT COUNT(*) FROM a) AS na,
+                  (SELECT COUNT(*) FROM b) AS nb)
+    SELECT CAST(sz.na AS BIGINT) AS n_a, CAST(sz.nb AS BIGINT) AS n_b,
+           CAST(x.exact_inter AS BIGINT) AS exact_inter,
+           TRUE AS est_within_bound
+    FROM x CROSS JOIN sz
+    """,
+)
+def hll_intersect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The estimate uses Spark's approx_count_distinct (rsd 2%); the
+    inclusion-exclusion error compounds across three sketches, so the
+    checked bound is 3 * rsd * max(|A|,|B|,|A∪B|) + 3 — wide enough to
+    be deterministic, tight enough that a broken sketch or a broken
+    union fails it."""
+    ev = Catalog(spark, sf_dir).events
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    u = a.unionAll(b)
+    est = (
+        a.agg(F.approx_count_distinct("user_id", 0.02).alias("ea"))
+        .crossJoin(
+            F.broadcast(
+                b.agg(F.approx_count_distinct("user_id", 0.02).alias("eb"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                u.agg(F.approx_count_distinct("user_id", 0.02).alias("eu"))
+            )
+        )
+    )
+    exact = (
+        a.distinct()
+        .join(b.distinct(), "user_id")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    sizes = a.distinct().agg(F.count(F.lit(1)).alias("n_a")).crossJoin(
+        F.broadcast(b.distinct().agg(F.count(F.lit(1)).alias("n_b")))
+    )
+    est_inter = F.col("ea") + F.col("eb") - F.col("eu")
+    bound = 0.06 * F.greatest("ea", "eb", "eu") + 3
+    return (
+        sizes.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(est))
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("exact_inter").cast("long").alias("exact_inter"),
+            (
+                F.abs(est_inter - F.col("exact_inter")) <= bound
+            ).alias("est_within_bound"),
+        )
+    )
+
+
+# Repeat-charge audit: orders by the same customer in the SAME price
+# band (floor to 10k) within a year — the double-charge screen shape,
+# with band/window sized to this dataset's order sparsity (production
+# uses exact amounts and days). Scale shape: one LAG window per
+# (customer, band) partition; the quadratic same-customer self-join
+# never happens, and only flagged rows leave the window stage.
+@register(
+    "dup_payment_q",
+    """
+    WITH w AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(floor(o_totalprice / 10000) AS BIGINT) AS amt,
+               o_orderdate,
+               LAG(o_orderdate) OVER (
+                   PARTITION BY o_custkey,
+                                CAST(floor(o_totalprice / 10000) AS BIGINT)
+                   ORDER BY o_orderdate, o_orderkey) AS prev_date,
+               LAG(o_orderkey) OVER (
+                   PARTITION BY o_custkey,
+                                CAST(floor(o_totalprice / 10000) AS BIGINT)
+                   ORDER BY o_orderdate, o_orderkey) AS prev_key
+        FROM orders
+    )
+    SELECT o_orderkey, prev_key, o_custkey,
+           CAST(amt AS BIGINT) AS price_band,
+           CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT)
+               AS days_apart
+    FROM w
+    WHERE prev_date IS NOT NULL
+      AND date_diff('day', prev_date, o_orderdate) <= 365
+    """,
+)
+def dup_payment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    amt = F.floor(F.col("o_totalprice") / 10000).cast("long")
+    w = Window.partitionBy("o_custkey", amt).orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    flagged = o.select(
+        "o_orderkey",
+        "o_custkey",
+        amt.alias("amt"),
+        "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+    ).filter(
+        F.col("prev_date").isNotNull()
+        & (F.datediff("o_orderdate", "prev_date") <= 365)
+    )
+    return flagged.select(
+        "o_orderkey",
+        "prev_key",
+        "o_custkey",
+        F.col("amt").cast("long").alias("price_band"),
+        F.datediff("o_orderdate", "prev_date")
+        .cast("long")
+        .alias("days_apart"),
+    )
+
+
+# ===========================================================================
+# End-to-end exporter pipeline as a driver-checkable query (round-5 task).
+# The reference's flagship entry point (concept_csv_export.py:124-190:
+# wide query → tree/cycle passes → topo order → exclude → column prune) has
+# been golden-tested piecewise; this registers the WHOLE composition over a
+# committed OpenMRS-subset fixture (fixtures/concepts/, generated by
+# tools/make_concept_fixtures.py) with a DuckDB oracle replaying the same
+# semantics relationally — names/mappings pivots, GROUP_CONCAT member
+# roll-ups, the PIH Number/Name cast discriminator, voided/retired filters,
+# newline-strip, exclusion, and topo depth via a recursive CTE. The exact
+# row ORDER of the export (stable Kahn) is pinned by pytest goldens; the
+# hash-checked column here is topo_level (= longest referent chain), which
+# both engines derive independently. Reads the fixture dir regardless of
+# sf_dir: the pipeline is metadata-scale by design (reference header,
+# concept_csv_export.py:3-5).
+# ===========================================================================
+
+# Fixture roots are derived from __file__ (module-relative) so the driver
+# rows keep working if the repo is checked out elsewhere (ADVICE r5 #5);
+# the resolved absolute path is interpolated into the registered oracle
+# SQL at import time. Three dirname hops: this file lives one package
+# level deeper than the pre-split queries.py (queries/p04.py).
+_FIXTURES_ROOT = os.path.join(
+    os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ),
+    "fixtures",
+)
+
+_CONCEPT_FIXTURE_DIR = os.path.join(_FIXTURES_ROOT, "concepts")
+
+
+def _longest_chain_level(
+    n: str,
+    edges: dict,
+    present: set,
+    levels: dict,
+) -> int:
+    """Longest referent-chain depth of ``n`` (leaf = 0), memoized into
+    ``levels``. Iterative DFS with an in-progress set: a cyclic edge set
+    raises a clear ``cycle detected`` error instead of RecursionError,
+    and depth is bounded by the explicit stack, not the interpreter
+    recursion limit (ADVICE r5 #3 — the export pipeline's own cycle-check
+    stage runs earlier, but this replay must not assume it did)."""
+    if n in levels:
+        return levels[n]
+    in_progress: set = set()
+    stack: list = [(n, 0)]
+    while stack:
+        node, state = stack.pop()
+        kids = [c for c in edges.get(node, ()) if c in present and c != node]
+        if state == 0:
+            if node in levels:
+                continue
+            if node in in_progress:
+                raise ValueError(
+                    f"cycle detected in concept references at {node!r}"
+                )
+            in_progress.add(node)
+            stack.append((node, 1))
+            for c in kids:
+                if c not in levels:
+                    if c in in_progress:
+                        raise ValueError(
+                            f"cycle detected in concept references at {c!r}"
+                        )
+                    stack.append((c, 0))
+        else:
+            in_progress.discard(node)
+            levels[node] = 0 if not kids else 1 + max(levels[c] for c in kids)
+    return levels[n]
+
+_CONCEPT_FIXTURE_TABLES = [
+    "concept", "concept_class", "concept_datatype", "concept_name",
+    "concept_description", "concept_reference_map", "concept_map_type",
+    "concept_reference_term", "concept_reference_source", "concept_numeric",
+    "concept_complex", "concept_set", "concept_answer",
+]
+
+_CE = _CONCEPT_FIXTURE_DIR  # brevity inside the oracle string
+
+
+@register(
+    "concepts_export_q",
+    f"""
+    WITH RECURSIVE
+    concept AS (SELECT * FROM read_parquet('{_CE}/concept.parquet')),
+    cclass AS (SELECT * FROM read_parquet('{_CE}/concept_class.parquet')),
+    cdt AS (SELECT * FROM read_parquet('{_CE}/concept_datatype.parquet')),
+    cname AS (SELECT * FROM read_parquet('{_CE}/concept_name.parquet')),
+    cdesc AS (SELECT * FROM read_parquet('{_CE}/concept_description.parquet')),
+    crm AS (SELECT * FROM read_parquet('{_CE}/concept_reference_map.parquet')),
+    cmt AS (SELECT * FROM read_parquet('{_CE}/concept_map_type.parquet')),
+    crt AS (SELECT * FROM read_parquet('{_CE}/concept_reference_term.parquet')),
+    crs AS (SELECT * FROM read_parquet('{_CE}/concept_reference_source.parquet')),
+    cnum AS (SELECT * FROM read_parquet('{_CE}/concept_numeric.parquet')),
+    ccx AS (SELECT * FROM read_parquet('{_CE}/concept_complex.parquet')),
+    cset AS (SELECT * FROM read_parquet('{_CE}/concept_set.parquet')),
+    cans AS (SELECT * FROM read_parquet('{_CE}/concept_answer.parquet')),
+    fsn AS (
+        SELECT concept_id, MAX(name) AS name FROM cname
+        WHERE voided = 0 AND locale = 'en'
+          AND concept_name_type = 'FULLY_SPECIFIED'
+        GROUP BY concept_id
+    ),
+    names AS (
+        SELECT concept_id,
+               MAX(CASE WHEN locale='en' AND concept_name_type='FULLY_SPECIFIED'
+                        THEN name END) AS fsn_en,
+               MAX(CASE WHEN locale='en' AND concept_name_type='SHORT'
+                        THEN name END) AS short_en,
+               MAX(CASE WHEN locale='es' AND concept_name_type='FULLY_SPECIFIED'
+                        THEN name END) AS fsn_es
+        FROM cname WHERE voided = 0 GROUP BY concept_id
+    ),
+    descr AS (
+        SELECT concept_id,
+               MAX(replace(replace(description, chr(13), ''), chr(10), ''))
+                   AS desc_en
+        FROM cdesc WHERE locale = 'en' GROUP BY concept_id
+    ),
+    mapped AS (
+        SELECT crm.concept_id, cmt.name AS map_type, crs.name AS src_name,
+               crt.code,
+               COALESCE(TRY_CAST(regexp_extract(crt.code,
+                   '^\\s*\\+?([0-9]+)', 1) AS BIGINT), 0) <> 0 AS is_num
+        FROM crm
+        JOIN cmt ON crm.concept_map_type_id = cmt.concept_map_type_id
+        JOIN crt ON crm.concept_reference_term_id = crt.concept_reference_term_id
+               AND crt.retired = 0
+        JOIN crs ON crt.concept_source_id = crs.concept_source_id
+        WHERE cmt.name IN ('SAME-AS', 'NARROWER-THAN')
+    ),
+    mapcols AS (
+        SELECT concept_id,
+               string_agg(DISTINCT CASE WHEN map_type='SAME-AS'
+                   AND src_name='PIH' AND NOT is_num THEN code END,
+                   ';' ORDER BY CASE WHEN map_type='SAME-AS'
+                   AND src_name='PIH' AND NOT is_num THEN code END)
+                   AS same_pih_name,
+               string_agg(DISTINCT CASE WHEN map_type='SAME-AS'
+                   AND src_name='PIH' AND is_num THEN code END,
+                   ';' ORDER BY CASE WHEN map_type='SAME-AS'
+                   AND src_name='PIH' AND is_num THEN code END)
+                   AS same_pih_num,
+               string_agg(DISTINCT CASE WHEN map_type='SAME-AS'
+                   AND src_name='CIEL' THEN code END,
+                   ';' ORDER BY CASE WHEN map_type='SAME-AS'
+                   AND src_name='CIEL' THEN code END) AS same_ciel,
+               string_agg(DISTINCT CASE WHEN map_type='NARROWER-THAN'
+                   AND src_name='CIEL' THEN code END,
+                   ';' ORDER BY CASE WHEN map_type='NARROWER-THAN'
+                   AND src_name='CIEL' THEN code END) AS narrower_ciel
+        FROM mapped GROUP BY concept_id
+    ),
+    member_pairs AS (
+        SELECT cset.concept_set AS concept_id, fsn.name,
+               MIN(cset.sort_weight) AS w
+        FROM cset
+        JOIN concept ch ON cset.concept_id = ch.concept_id AND ch.retired = 0
+        JOIN fsn ON ch.concept_id = fsn.concept_id
+        GROUP BY cset.concept_set, fsn.name
+    ),
+    members AS (
+        SELECT concept_id, string_agg(name, ';' ORDER BY w, name) AS members
+        FROM member_pairs GROUP BY concept_id
+    ),
+    answer_pairs AS (
+        SELECT cans.concept_id, fsn.name, MIN(cans.sort_weight) AS w
+        FROM cans
+        JOIN concept ch ON cans.answer_concept = ch.concept_id
+                       AND ch.retired = 0
+        JOIN fsn ON ch.concept_id = fsn.concept_id
+        GROUP BY cans.concept_id, fsn.name
+    ),
+    answers AS (
+        SELECT concept_id, string_agg(name, ';' ORDER BY w, name) AS answers
+        FROM answer_pairs GROUP BY concept_id
+    ),
+    final AS (
+        SELECT c.concept_id, c.uuid, n.fsn_en AS key,
+               n.short_en, n.fsn_es, d.desc_en,
+               cl.name AS class_name, dt.name AS dt_name,
+               a.answers, m.members,
+               mc.same_pih_name, mc.same_pih_num, mc.same_ciel,
+               mc.narrower_ciel,
+               num.hi_absolute, num.low_absolute, num.units,
+               num.display_precision, num.allow_decimal,
+               cx.handler
+        FROM concept c
+        JOIN cclass cl ON c.class_id = cl.concept_class_id
+        JOIN cdt dt ON c.datatype_id = dt.concept_datatype_id
+        JOIN names n ON c.concept_id = n.concept_id
+        LEFT JOIN descr d ON c.concept_id = d.concept_id
+        LEFT JOIN mapcols mc ON c.concept_id = mc.concept_id
+        LEFT JOIN members m ON c.concept_id = m.concept_id
+        LEFT JOIN answers a ON c.concept_id = a.concept_id
+        LEFT JOIN cnum num ON c.concept_id = num.concept_id
+        LEFT JOIN ccx cx ON c.concept_id = cx.concept_id
+        WHERE c.retired = 0 AND n.fsn_en <> 'Orphan'
+    ),
+    edges AS (
+        SELECT p.key AS parent_key, f.key AS child_key
+        FROM cset e
+        JOIN final p ON e.concept_set = p.concept_id
+        JOIN final f ON e.concept_id = f.concept_id
+        UNION
+        SELECT p.key, f.key
+        FROM cans e
+        JOIN final p ON e.concept_id = p.concept_id
+        JOIN final f ON e.answer_concept = f.concept_id
+    ),
+    depth AS (
+        SELECT key, 0 AS l FROM final
+        UNION ALL
+        SELECT e.parent_key, d.l + 1
+        FROM edges e JOIN depth d ON d.key = e.child_key
+    ),
+    lvl AS (SELECT key, MAX(l) AS topo_level FROM depth GROUP BY key)
+    SELECT f.uuid,
+           CAST(NULL AS VARCHAR) AS "Void/Retire",
+           f.key AS "Fully specified name:en",
+           COALESCE(f.short_en, '') AS "Short name:en",
+           COALESCE(f.fsn_es, '') AS "Fully specified name:es",
+           COALESCE(f.desc_en, '') AS "Description:en",
+           f.class_name AS "Data class",
+           f.dt_name AS "Data type",
+           COALESCE(f.answers, '') AS "Answers",
+           COALESCE(f.members, '') AS "Members",
+           COALESCE(f.same_pih_name, '') AS "Mappings|SAME-AS|PIH|Name",
+           COALESCE(f.same_pih_num, '') AS "Mappings|SAME-AS|PIH|Number",
+           COALESCE(f.same_ciel, '') AS "Mappings|SAME-AS|CIEL",
+           COALESCE(f.narrower_ciel, '') AS "Mappings|NARROWER-THAN|CIEL",
+           f.hi_absolute AS "Absolute high",
+           f.low_absolute AS "Absolute low",
+           COALESCE(f.units, '') AS "Units",
+           CAST(f.display_precision AS BIGINT) AS "Display precision",
+           CAST(f.allow_decimal AS BIGINT) AS "Allow decimals",
+           COALESCE(f.handler, '') AS "Complex data handler",
+           CAST(lvl.topo_level AS BIGINT) AS topo_level
+    FROM final f JOIN lvl ON f.key = lvl.key
+    """,
+)
+def concepts_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship pipeline end-to-end
+    (concept_csv_export.py:124-190) on the committed fixture, plus a
+    ``topo_level`` column (longest referent chain) derived from the final
+    rows — the oracle recomputes it with a recursive CTE, so a silent
+    break anywhere in the composition flips this driver row."""
+    from iniz_exporters_spark.exporters.concepts import (
+        ConceptExportConfig,
+        export_concepts,
+    )
+    from iniz_exporters_spark.plans.graph import edges_from_rows
+
+    tables = {
+        n: spark.read.parquet(f"{_CONCEPT_FIXTURE_DIR}/{n}.parquet")
+        for n in _CONCEPT_FIXTURE_TABLES
+    }
+    cfg = ConceptExportConfig(
+        locales=["en", "es"],
+        concept_sources=["PIH|Name", "PIH|Number", "CIEL"],
+        mapping_types=["SAME-AS", "NARROWER-THAN"],
+        exclude_keys=["Orphan"],
+    )
+    cols, rows = export_concepts(spark, tables, cfg)
+
+    key = cfg.key
+    edges = edges_from_rows(rows, key)
+    present = {r[key] for r in rows}
+    levels: dict[str, int] = {}
+
+    def level(n: str) -> int:
+        return _longest_chain_level(n, edges, present, levels)
+
+    double_cols = {"Absolute high", "Absolute low"}
+    long_cols = {"Display precision", "Allow decimals"}
+    out_rows = []
+    for r in rows:
+        rec = {}
+        for c in cols:
+            v = r.get(c)
+            if c in double_cols:
+                rec[c] = float(v) if v not in (None, "") else None
+            elif c in long_cols:
+                rec[c] = int(v) if v not in (None, "") else None
+            else:
+                rec[c] = v
+        rec["topo_level"] = level(r[key])
+        out_rows.append(rec)
+
+    fields = []
+    for c in cols:
+        t = (
+            T.DoubleType()
+            if c in double_cols
+            else T.LongType()
+            if c in long_cols
+            else T.StringType()
+        )
+        fields.append(T.StructField(c, t, True))
+    fields.append(T.StructField("topo_level", T.LongType(), False))
+    return spark.createDataFrame(out_rows, T.StructType(fields))
+
+
+# ===========================================================================
+# Batch V — round-5 additions: star-contraction components on a
+# high-diameter graph, CCNet-style perplexity buckets, margin-based
+# bitext mining, a grouping-sets dataset card, and near-dup cluster
+# observability. Each entry: Spark plan + DuckDB oracle + pytest
+# contract (tests/test_round5_ops.py).
+# ===========================================================================
+
+
+# Connected components via large-star/small-star contraction on a graph
+# whose components are CHAINS (consecutive orders per customer) — the
+# high-diameter shape where plain propagation needs diameter-many rounds
+# and star contraction needs O(log n). Scale shape: edges from one LAG
+# window per customer partition (no self-join), then each contraction
+# round shuffles only the canonical (u, v) edge list; converged star
+# forest = one shuffle-free final label projection. The oracle replays
+# components as recursive min-reachability.
+@register(
+    "star_components_q",
+    """
+    WITH RECURSIVE e AS (
+        SELECT prev AS src, o_orderkey AS dst FROM (
+            SELECT o_orderkey,
+                   LAG(o_orderkey) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey)
+                       AS prev
+            FROM orders WHERE o_custkey % 100 = 0
+        ) WHERE prev IS NOT NULL
+    ),
+    und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    reach(node, r) AS (
+        SELECT src, src FROM und
+        UNION
+        SELECT u.dst, reach.r FROM reach JOIN und u ON reach.node = u.src
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT component, CAST(COUNT(*) AS BIGINT) AS chain_len
+    FROM comp GROUP BY component
+    """,
+)
+def star_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders.filter(F.col("o_custkey") % 100 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    edges = (
+        o.select(
+            F.col("o_orderkey").alias("dst"),
+            F.lag("o_orderkey").over(w).alias("src"),
+        )
+        .filter(F.col("src").isNotNull())
+        .select("src", "dst")
+    )
+    comps = connected_components(edges, method="star")
+    return comps.groupBy("component").agg(
+        F.count("*").cast("long").alias("chain_len")
+    )
+
+
+# CCNet-style perplexity bucketing (Wenzek et al. 2020): score each doc
+# with a self-trained unigram LM, then split each source into
+# head/middle/tail perplexity tertiles — the standard quality-stratified
+# sampling input. Scale shape: the unigram model is one vocab-scale agg
+# broadcast back as a join (token table never collected); per-doc scoring
+# is one explode + join + sum; the tertile is one NTILE window per source
+# partition. Cross-log determinism: logprobs are 12-dp-quantized decimals
+# before summation, perplexity rounds to 6 dp with doc_id tiebreaks.
+@register(
+    "ccnet_bucket_q",
+    """
+    WITH tok AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text <> ''
+    ),
+    vocab AS (
+        SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+    ),
+    tot AS (SELECT SUM(c) AS n FROM vocab),
+    lp AS (
+        SELECT w, CAST(ROUND(ln(c / CAST(n AS DOUBLE)), 12)
+                       AS DECIMAL(28,12)) AS logp
+        FROM vocab, tot
+    ),
+    doc AS (
+        SELECT t.doc_id, t.source,
+               COUNT(*) AS n_tok,
+               CAST(ROUND(exp(-CAST(SUM(lp.logp) AS DOUBLE) / COUNT(*)), 6)
+                    AS DOUBLE) AS ppl
+        FROM tok t JOIN lp ON t.w = lp.w
+        GROUP BY t.doc_id, t.source
+    ),
+    bucketed AS (
+        SELECT source, ppl,
+               NTILE(3) OVER (PARTITION BY source
+                              ORDER BY ppl, doc_id) AS tertile
+        FROM doc
+    )
+    SELECT source,
+           CASE tertile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(ROUND(CAST(SUM(CAST(ppl AS DECIMAL(28,12)))
+                AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS mean_ppl
+    FROM bucketed GROUP BY source, tertile
+    """,
+    headline=True,
+)
+def ccnet_bucket_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents.filter(F.col("text") != "")
+    tok = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("n"))
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.round(F.log(F.col("c") / F.col("n").cast("double")), 12)
+        .cast("decimal(28,12)")
+        .alias("logp"),
+    )
+    doc = (
+        tok.join(lp, "w")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.round(
+                F.exp(-F.sum("logp").cast("double") / F.count("*")), 6
+            ).alias("ppl"),
+        )
+    )
+    # distributed per-source NTILE: global range-partitioned rank +
+    # broadcast group offsets (operators.indexing.grouped_ntile) — no
+    # per-source window whose partitions scale with the corpus
+    from iniz_exporters_spark.operators.indexing import grouped_ntile
+
+    bucketed = grouped_ntile(
+        doc,
+        ["source"],
+        [F.col("ppl").asc(), F.col("doc_id").asc()],
+        3,
+        "tertile",
+    ).select("source", "ppl", "tertile")
+    bucket = (
+        F.when(F.col("tertile") == 1, "head")
+        .when(F.col("tertile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return bucketed.groupBy("source", bucket.alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(
+            F.sum(F.col("ppl").cast("decimal(28,12)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_ppl"),
+    )
+
+
+# Margin-based bitext/pair mining (Artetxe & Schwenk 2019 ratio margin):
+# candidate pair score = cos(x, y) / (0.5 * (avg top-k cos of x + avg
+# top-k cos of y)); pairs whose margin > 1 are "closer than their
+# neighborhoods" — the standard parallel-pair mining criterion, reused
+# here for hard-positive mining between two label groups. Scale shape:
+# the SOURCE side is a sampled query set that BROADCASTS against one scan
+# of the target group (the corpus never shuffles for scoring); top-k
+# neighborhood means are rank windows over the scored pair table keyed by
+# either endpoint. Cosines round to 4 dp (the established cross-engine
+# contract), margins to 6 dp.
+@register(
+    "margin_ratio_pairs_q",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    src AS (SELECT vec_id AS x, v FROM e
+            WHERE label = 0 AND vec_id % 3 = 0),
+    tgt AS (SELECT vec_id AS y, v FROM e WHERE label = 1),
+    pairs AS (
+        SELECT src.x, tgt.y,
+               ROUND(list_cosine_similarity(src.v, tgt.v), 4) AS cos
+        FROM src CROSS JOIN tgt
+    ),
+    rx AS (
+        SELECT x, y, cos,
+               ROW_NUMBER() OVER (PARTITION BY x
+                                  ORDER BY cos DESC, y) AS rnx
+        FROM pairs
+    ),
+    ax AS (
+        SELECT x, CAST(ROUND(CAST(SUM(CAST(cos AS DECIMAL(28,12)))
+                 AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS avgk_x
+        FROM rx WHERE rnx <= 4 GROUP BY x
+    ),
+    ry AS (
+        SELECT x, y, cos,
+               ROW_NUMBER() OVER (PARTITION BY y
+                                  ORDER BY cos DESC, x) AS rny
+        FROM pairs
+    ),
+    ay AS (
+        SELECT y, CAST(ROUND(CAST(SUM(CAST(cos AS DECIMAL(28,12)))
+                 AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS avgk_y
+        FROM ry WHERE rny <= 4 GROUP BY y
+    ),
+    scored AS (
+        SELECT p.x, p.y, p.cos,
+               ROUND(p.cos / (0.5 * (ax.avgk_x + ay.avgk_y)), 6) AS margin
+        FROM pairs p JOIN ax ON p.x = ax.x JOIN ay ON p.y = ay.y
+    )
+    SELECT x AS src_id, y AS tgt_id, cos, margin FROM (
+        SELECT x, y, cos, margin,
+               ROW_NUMBER() OVER (PARTITION BY x
+                                  ORDER BY margin DESC, y) AS rn
+        FROM scored
+    ) t WHERE rn = 1 AND margin > 1.0
+    """,
+)
+def margin_ratio_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iniz_exporters_spark.operators.similarity import cosine
+
+    e = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+    src = e.filter((F.col("label") == 0) & (F.col("vec_id") % 3 == 0)).select(
+        F.col("vec_id").alias("x"), F.col("v").alias("xv")
+    )
+    tgt = e.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("y"), F.col("v").alias("yv")
+    )
+    pairs = tgt.crossJoin(F.broadcast(src)).select(
+        "x", "y", F.round(cosine(F.col("xv"), F.col("yv")), 4).alias("cos")
+    )
+    wx = Window.partitionBy("x").orderBy(F.desc("cos"), "y")
+    ax = (
+        pairs.withColumn("rnx", F.row_number().over(wx))
+        .filter(F.col("rnx") <= 4)
+        .groupBy("x")
+        .agg(
+            F.round(
+                F.sum(F.col("cos").cast("decimal(28,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avgk_x")
+        )
+    )
+    wy = Window.partitionBy("y").orderBy(F.desc("cos"), "x")
+    ay = (
+        pairs.withColumn("rny", F.row_number().over(wy))
+        .filter(F.col("rny") <= 4)
+        .groupBy("y")
+        .agg(
+            F.round(
+                F.sum(F.col("cos").cast("decimal(28,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avgk_y")
+        )
+    )
+    scored = (
+        pairs.join(F.broadcast(ax), "x")
+        .join(F.broadcast(ay), "y")
+        .select(
+            "x",
+            "y",
+            "cos",
+            F.round(
+                F.col("cos") / (0.5 * (F.col("avgk_x") + F.col("avgk_y"))), 6
+            ).alias("margin"),
+        )
+    )
+    wbest = Window.partitionBy("x").orderBy(F.desc("margin"), "y")
+    return (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .filter((F.col("rn") == 1) & (F.col("margin") > 1.0))
+        .select(
+            F.col("x").alias("src_id"),
+            F.col("y").alias("tgt_id"),
+            "cos",
+            "margin",
+        )
+    )

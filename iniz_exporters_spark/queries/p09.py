@@ -1,0 +1,847 @@
+"""Registry chunk 9/9: 9 @register entries (knee_point_q .. copeland_q).
+
+Mechanical split of the original queries.py (lines 29193-30030); statement order
+and registration order are unchanged. See queries/__init__.py."""
+from iniz_exporters_spark.catalog import Catalog
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+from iniz_exporters_spark.queries._base import _dec, register
+
+
+
+# Kneedle-style knee point of the Pareto (cumulative revenue share vs
+# part-rank share) curve: the rank maximizing the vertical distance
+# to the diagonal chord — where "adding more parts stops paying".
+# Rank and cumulative share ride the distributed prefix machinery
+# (abc_analysis_q's plan); the argmax is one ordered pick with a rank
+# tiebreak.
+@register(
+    "knee_point_q",
+    """
+    WITH pr AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000
+                    AS BIGINT) AS rev_c
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (
+        SELECT CAST(SUM(rev_c) AS DOUBLE) AS t,
+               CAST(COUNT(*) AS DOUBLE) AS n
+        FROM pr
+    ),
+    c AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY rev_c DESC, l_partkey)
+                   AS rk,
+               SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey)
+                   AS cum_c
+        FROM pr
+    ),
+    scored AS (
+        SELECT rk,
+               CAST(cum_c AS DOUBLE) / (SELECT t FROM tot)
+                   - rk / (SELECT n FROM tot) AS lift,
+               CAST(cum_c AS DOUBLE) / (SELECT t FROM tot) AS share
+        FROM c
+    ),
+    best AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, rk) AS b
+        FROM scored
+    )
+    SELECT CAST(rk AS BIGINT) AS knee_rank,
+           CAST(ROUND(rk / (SELECT n FROM tot), 6) AS DOUBLE) + 0.0
+               AS rank_share,
+           CAST(ROUND(share, 6) AS DOUBLE) + 0.0 AS revenue_share,
+           CAST(ROUND(lift, 6) AS DOUBLE) + 0.0 AS max_chord_gap
+    FROM best WHERE b = 1
+    """,
+)
+def knee_point_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE to cut the long tail: the Pareto curve's knee (max gap
+    above the diagonal) — the data-driven version of abc_analysis_q's
+    fixed 80/95 thresholds."""
+    from iniz_exporters_spark.operators.indexing import global_prefix
+
+    li = Catalog(spark, sf_dir).lineitem
+    pr = li.groupBy("l_partkey").agg(
+        (F.sum(_dec(F.col("l_extendedprice"), 18, 4)) * 10000)
+        .cast("long")
+        .alias("rev_c")
+    )
+    tot = pr.agg(
+        F.sum("rev_c").cast("double").alias("t"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    c = global_prefix(
+        pr,
+        [F.col("rev_c").desc(), F.col("l_partkey").asc()],
+        {"cum_c": "rev_c"},
+        idx_col="rk",
+    )
+    scored = c.crossJoin(F.broadcast(tot)).select(
+        "rk",
+        (
+            F.col("cum_c").cast("double") / F.col("t")
+            - F.col("rk") / F.col("n")
+        ).alias("lift"),
+        (F.col("cum_c").cast("double") / F.col("t")).alias("share"),
+        "n",
+    )
+    wb = Window.orderBy(F.col("lift").desc(), F.col("rk"))
+    return (
+        scored.withColumn("b", F.row_number().over(wb))
+        .filter(F.col("b") == 1)
+        .select(
+            F.col("rk").cast("long").alias("knee_rank"),
+            (
+                F.round(F.col("rk") / F.col("n"), 6) + F.lit(0.0)
+            ).alias("rank_share"),
+            (F.round(F.col("share"), 6) + F.lit(0.0)).alias(
+                "revenue_share"
+            ),
+            (F.round(F.col("lift"), 6) + F.lit(0.0)).alias(
+                "max_chord_gap"
+            ),
+        )
+    )
+
+
+# Cochran's Q for matched binary outcomes: did each user perform a
+# view / click / purchase (three matched binary "treatments" per
+# user-block)? Q = k(k-1) sum_j (C_j - Cbar)^2 / (k sum_i R_i -
+# sum_i R_i^2) — the binary Friedman. Every term is an exact integer
+# sum; users with all-0 or all-k rows contribute nothing (standard).
+@register(
+    "cochran_q_test",
+    """
+    WITH u AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS b1,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS b2,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS b3
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               SUM(b1) AS c1, SUM(b2) AS c2, SUM(b3) AS c3,
+               SUM(b1 + b2 + b3) AS sr,
+               SUM((b1 + b2 + b3) * (b1 + b2 + b3)) AS sr2
+        FROM u
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(c1 AS BIGINT) AS n_view,
+           CAST(c2 AS BIGINT) AS n_click,
+           CAST(c3 AS BIGINT) AS n_purchase,
+           CAST(ROUND(3.0 * 2
+               * ((c1 - CAST(sr AS DOUBLE) / 3)
+                      * (c1 - CAST(sr AS DOUBLE) / 3)
+                  + (c2 - CAST(sr AS DOUBLE) / 3)
+                      * (c2 - CAST(sr AS DOUBLE) / 3)
+                  + (c3 - CAST(sr AS DOUBLE) / 3)
+                      * (c3 - CAST(sr AS DOUBLE) / 3))
+               / NULLIF(3.0 * sr - sr2, 0), 6) AS DOUBLE) + 0.0
+               AS cochran_q
+    FROM s
+    """,
+)
+def cochran_q_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the three funnel actions have equal reach across the SAME
+    users? The matched-binary companion to friedman_q (ranks) and
+    mcnemar_q (two treatments)."""
+    e = Catalog(spark, sf_dir).events
+    u = e.groupBy("user_id").agg(
+        *[
+            F.max(
+                F.when(F.col("event_type") == t, 1).otherwise(0)
+            ).alias(f"b{i}")
+            for i, t in enumerate(
+                ["view", "click", "purchase"], start=1
+            )
+        ]
+    )
+    r = F.col("b1") + F.col("b2") + F.col("b3")
+    s = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("b1").alias("c1"),
+        F.sum("b2").alias("c2"),
+        F.sum("b3").alias("c3"),
+        F.sum(r).alias("sr"),
+        F.sum(r * r).alias("sr2"),
+    )
+    cbar = F.col("sr").cast("double") / 3
+
+    def dev(c):
+        return (F.col(c) - cbar) * (F.col(c) - cbar)
+
+    # all-or-nothing blocks carry no information: when every user has
+    # R in {0, k} the denominator is 0 and Q is undefined (NULL)
+    q = (
+        3.0
+        * 2
+        * (dev("c1") + dev("c2") + dev("c3"))
+        / F.nullif(3.0 * F.col("sr") - F.col("sr2"), F.lit(0.0))
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("c1").cast("long").alias("n_view"),
+        F.col("c2").cast("long").alias("n_click"),
+        F.col("c3").cast("long").alias("n_purchase"),
+        (F.round(q, 6) + F.lit(0.0)).alias("cochran_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch — round-8 session 7 (addendum 2): robust shape statistics,
+# week-over-week audience stability, and Mood's median test.
+# ---------------------------------------------------------------------------
+
+
+# Robust distribution shape per cohort: Bowley skewness
+# (Q3 + Q1 - 2 Q2)/(Q3 - Q1) and Moors kurtosis ((E7-E5)+(E3-E1))
+# /(E6-E2) from octiles of per-user purchase spend — the
+# outlier-proof counterparts of moment skew/kurt. Octiles come from
+# grouped_ntile (ANSI semantics, range-partitioned); each octile
+# boundary is the bucket's exact MAX.
+@register(
+    "robust_shape_q",
+    """
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS grp,
+               SUM(CAST(value AS DECIMAL(18,6))) AS y
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    tiled AS (
+        SELECT grp, y,
+               NTILE(8) OVER (PARTITION BY grp ORDER BY y, user_id)
+                   AS o
+        FROM u
+    ),
+    oct AS (
+        SELECT grp, o, CAST(MAX(y) AS DOUBLE) AS e
+        FROM tiled GROUP BY grp, o
+    ),
+    w AS (
+        SELECT grp,
+               MAX(CASE WHEN o = 1 THEN e END) AS e1,
+               MAX(CASE WHEN o = 2 THEN e END) AS e2,
+               MAX(CASE WHEN o = 3 THEN e END) AS e3,
+               MAX(CASE WHEN o = 4 THEN e END) AS e4,
+               MAX(CASE WHEN o = 5 THEN e END) AS e5,
+               MAX(CASE WHEN o = 6 THEN e END) AS e6,
+               MAX(CASE WHEN o = 7 THEN e END) AS e7
+        FROM oct GROUP BY grp
+    )
+    SELECT grp AS cohort,
+           CAST(ROUND((e6 + e2 - 2 * e4) / NULLIF(e6 - e2, 0), 6)
+               AS DOUBLE) + 0.0 AS bowley_skewness,
+           CAST(ROUND(((e7 - e5) + (e3 - e1)) / NULLIF(e6 - e2, 0), 6)
+               AS DOUBLE) + 0.0 AS moors_kurtosis
+    FROM w
+    """,
+)
+def robust_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and kurtosis a single whale cannot move: quartile
+    (Bowley) and octile (Moors) shape statistics per cohort — the
+    robust sanity check on skew_profile's moment versions."""
+    from iniz_exporters_spark.operators.indexing import grouped_ntile
+
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    u = e.groupBy("user_id").agg(
+        F.sum(_dec(F.col("value"), 18, 6)).alias("y")
+    ).withColumn("grp", F.col("user_id") % 2)
+    tiled = grouped_ntile(
+        u, ["grp"], [F.col("y").asc(), F.col("user_id").asc()], 8, "o"
+    )
+    oct_ = tiled.groupBy("grp", "o").agg(
+        F.max("y").cast("double").alias("e")
+    )
+
+    def at(k):
+        return F.max(F.when(F.col("o") == k, F.col("e")))
+
+    w = oct_.groupBy("grp").agg(
+        *[at(k).alias(f"e{k}") for k in range(1, 8)]
+    )
+    iqr = F.nullif(F.col("e6") - F.col("e2"), F.lit(0.0))
+    return w.select(
+        F.col("grp").alias("cohort"),
+        (
+            F.round(
+                (F.col("e6") + F.col("e2") - 2 * F.col("e4")) / iqr, 6
+            )
+            + F.lit(0.0)
+        ).alias("bowley_skewness"),
+        (
+            F.round(
+                (
+                    (F.col("e7") - F.col("e5"))
+                    + (F.col("e3") - F.col("e1"))
+                )
+                / iqr,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("moors_kurtosis"),
+    )
+
+
+# Week-over-week audience stability per event type: Jaccard overlap
+# of the active-user sets between consecutive weeks — the retention
+# read at the SET level (dau_wau_stickiness tracks sizes; this
+# tracks identity). Exact distinct-user intersections via the
+# (type, week, user) distinct table self-joined on week+1.
+@register(
+    "audience_stability_q",
+    """
+    WITH tw AS (
+        SELECT DISTINCT event_type,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   // 7 AS w,
+               user_id
+        FROM events
+    ),
+    inter AS (
+        SELECT a.event_type, a.w AS week_from,
+               COUNT(*) AS n_common
+        FROM tw a JOIN tw b
+            ON b.event_type = a.event_type AND b.w = a.w + 1
+           AND b.user_id = a.user_id
+        GROUP BY a.event_type, a.w
+    ),
+    sizes AS (
+        SELECT event_type, w, COUNT(*) AS n
+        FROM tw GROUP BY event_type, w
+    )
+    SELECT i.event_type, CAST(i.week_from AS BIGINT) AS week_from,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(ROUND(CAST(i.n_common AS DOUBLE)
+               / (sa.n + sb.n - i.n_common), 6) AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.event_type
+                 AND sa.w = i.week_from
+    JOIN sizes sb ON sb.event_type = i.event_type
+                 AND sb.w = i.week_from + 1
+    """,
+)
+def audience_stability_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is each channel reaching the SAME people week over week, or
+    churning through new ones? Set-level Jaccard between consecutive
+    weekly audiences."""
+    e = Catalog(spark, sf_dir).events
+    tw = e.select(
+        "event_type",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / 7
+        )
+        .cast("long")
+        .alias("w"),
+        "user_id",
+    ).distinct()
+    a = tw.select(
+        F.col("event_type").alias("et"),
+        F.col("w").alias("wa"),
+        "user_id",
+    )
+    b = tw.select(
+        F.col("event_type").alias("et2"),
+        F.col("w").alias("wb"),
+        F.col("user_id").alias("uid2"),
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("et2") == F.col("et"))
+            & (F.col("wb") == F.col("wa") + 1)
+            & (F.col("uid2") == F.col("user_id")),
+        )
+        .groupBy(F.col("et").alias("event_type"), F.col("wa").alias("week_from"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = tw.groupBy("event_type", "w").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("e1"),
+        F.col("w").alias("w1"),
+        F.col("n").alias("na"),
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("e2"),
+        F.col("w").alias("w2"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        inter.join(
+            sa,
+            (F.col("e1") == F.col("event_type"))
+            & (F.col("w1") == F.col("week_from")),
+        )
+        .join(
+            sb,
+            (F.col("e2") == F.col("event_type"))
+            & (F.col("w2") == F.col("week_from") + 1),
+        )
+        .select(
+            "event_type",
+            F.col("week_from").cast("long").alias("week_from"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# Mood's median test: does each market segment put the same share of
+# customers above the POOLED median balance? Per-segment above/below
+# counts vs the hypergeometric expectation, chi2 = sum (O-E)^2/E over
+# the k x 2 table. The pooled median is the lower-median order
+# statistic; counts are exact integers.
+@register(
+    "median_test_q",
+    """
+    WITH v AS (
+        SELECT c_mktsegment AS seg, c_acctbal AS x, c_custkey
+        FROM customer
+    ),
+    med AS (
+        SELECT x AS m FROM (
+            SELECT x, ROW_NUMBER() OVER (ORDER BY x, c_custkey) AS k,
+                   COUNT(*) OVER () AS n
+            FROM v
+        ) WHERE k = (n + 1) // 2
+    ),
+    cells AS (
+        SELECT seg, COUNT(*) AS n,
+               SUM(CASE WHEN x > (SELECT m FROM med)
+                   THEN 1 ELSE 0 END) AS above
+        FROM v GROUP BY seg
+    ),
+    tot AS (
+        SELECT CAST(SUM(above) AS DOUBLE) / SUM(n) AS p FROM cells
+    )
+    SELECT seg AS segment, CAST(n AS BIGINT) AS n_customers,
+           CAST(above AS BIGINT) AS n_above,
+           CAST(ROUND(n * (SELECT p FROM tot), 4) AS DOUBLE) + 0.0
+               AS expected_above,
+           CAST(ROUND(pow(above - n * (SELECT p FROM tot), 2)
+                   / (n * (SELECT p FROM tot))
+               + pow((n - above) - n * (1 - (SELECT p FROM tot)), 2)
+                   / (n * (1 - (SELECT p FROM tot))), 6) AS DOUBLE)
+               + 0.0 AS chi2_contribution
+    FROM cells
+    """,
+)
+def median_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bluntest k-sample location test — segment shares above the
+    pooled median — useful exactly because it only assumes the
+    median is well-defined (kruskal_wallis_q needs full rankings)."""
+    c = Catalog(spark, sf_dir).customer
+    v = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("x"),
+        "c_custkey",
+    )
+    wk = Window.orderBy("x", "c_custkey")
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    med = (
+        v.select(
+            "x",
+            F.row_number().over(wk).alias("k"),
+            F.count(F.lit(1)).over(wt).alias("n"),
+        )
+        .filter(F.col("k") == F.expr("(n + 1) div 2"))
+        .select(F.col("x").alias("m"))
+    )
+    cells = (
+        v.crossJoin(F.broadcast(med))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("x") > F.col("m"), 1).otherwise(0)
+            ).alias("above"),
+        )
+    )
+    tot = cells.agg(
+        (F.sum("above").cast("double") / F.sum("n")).alias("p")
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    ea = F.col("n") * F.col("p")
+    eb = F.col("n") * (1 - F.col("p"))
+    chi = F.pow(F.col("above") - ea, 2) / ea + F.pow(
+        (F.col("n") - F.col("above")) - eb, 2
+    ) / eb
+    return j.select(
+        F.col("seg").alias("segment"),
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("above").cast("long").alias("n_above"),
+        (F.round(ea, 4) + F.lit(0.0)).alias("expected_above"),
+        (F.round(chi, 6) + F.lit(0.0)).alias("chi2_contribution"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch — round-8 session 7 (addendum 3): winsorization impact and
+# the Simpson's-paradox audit.
+# ---------------------------------------------------------------------------
+
+
+# Winsorization impact report: mean and sample sd of per-user
+# purchase spend before vs after clamping to the [5th, 95th]
+# percentile values (exact order statistics via the distributed
+# rank). Quantifies how much the whales distort the moments —
+# winsorize_prices applies the transform; this measures what it
+# changes.
+@register(
+    "winsor_effect_q",
+    """
+    WITH u AS (
+        SELECT user_id, SUM(CAST(value AS DECIMAL(18,6))) AS y
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    r AS (
+        SELECT y, ROW_NUMBER() OVER (ORDER BY y, user_id) AS k,
+               COUNT(*) OVER () AS n
+        FROM u
+    ),
+    cuts AS (
+        SELECT MAX(CASE WHEN k = greatest(CAST(ceil(0.05 * n)
+                   AS BIGINT), 1) THEN y END) AS lo,
+               MAX(CASE WHEN k = CAST(ceil(0.95 * n) AS BIGINT)
+                   THEN y END) AS hi
+        FROM r
+    ),
+    w AS (
+        SELECT y, least(greatest(y, (SELECT lo FROM cuts)),
+                        (SELECT hi FROM cuts)) AS yw
+        FROM u
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(y) AS DOUBLE) AS s,
+               CAST(SUM(CAST(y AS DECIMAL(19,6))
+                        * CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS ss,
+               CAST(SUM(yw) AS DOUBLE) AS sw,
+               CAST(SUM(CAST(yw AS DECIMAL(19,6))
+                        * CAST(yw AS DECIMAL(19,6))) AS DOUBLE) AS ssw
+        FROM w
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(ROUND(s / n, 4) AS DOUBLE) + 0.0 AS mean_raw,
+           CAST(ROUND(sw / n, 4) AS DOUBLE) + 0.0 AS mean_winsor,
+           CAST(ROUND(sqrt((ss - s * s / n) / (n - 1)), 4) AS DOUBLE)
+               + 0.0 AS sd_raw,
+           CAST(ROUND(sqrt((ssw - sw * sw / n) / (n - 1)), 4)
+               AS DOUBLE) + 0.0 AS sd_winsor,
+           CAST(ROUND(1 - sqrt((ssw - sw * sw / n) / (n - 1))
+               / sqrt((ss - s * s / n) / (n - 1)), 6) AS DOUBLE) + 0.0
+               AS sd_reduction
+    FROM m
+    """,
+)
+def winsor_effect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of the spend variance is four whales? The before/
+    after moment sheet for a 5/95 winsorization — the report that
+    justifies (or vetoes) winsorize_prices in a pipeline."""
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    u = e.groupBy("user_id").agg(
+        F.sum(_dec(F.col("value"), 18, 6)).alias("y")
+    )
+    wk = Window.orderBy("y", "user_id")
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = u.select(
+        "y",
+        F.row_number().over(wk).alias("k"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    cuts = r.agg(
+        F.max(
+            F.when(
+                F.col("k")
+                == F.greatest(
+                    F.ceil(0.05 * F.col("n")).cast("long"), F.lit(1)
+                ),
+                F.col("y"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("k") == F.ceil(0.95 * F.col("n")).cast("long"),
+                F.col("y"),
+            )
+        ).alias("hi"),
+    )
+    w = u.crossJoin(F.broadcast(cuts)).select(
+        "y",
+        F.least(
+            F.greatest(F.col("y"), F.col("lo")), F.col("hi")
+        ).alias("yw"),
+    )
+    y16 = F.col("y").cast("decimal(16,6)")
+    yw16 = F.col("yw").cast("decimal(16,6)")
+    m = w.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("double").alias("s"),
+        F.sum(y16 * y16).cast("double").alias("ss"),
+        F.sum("yw").cast("double").alias("sw"),
+        F.sum(yw16 * yw16).cast("double").alias("ssw"),
+    )
+    n = F.col("n")
+    sd_raw = F.sqrt(
+        (F.col("ss") - F.col("s") * F.col("s") / n) / (n - 1)
+    )
+    sd_w = F.sqrt(
+        (F.col("ssw") - F.col("sw") * F.col("sw") / n) / (n - 1)
+    )
+    return m.select(
+        n.cast("long").alias("n_users"),
+        (F.round(F.col("s") / n, 4) + F.lit(0.0)).alias("mean_raw"),
+        (F.round(F.col("sw") / n, 4) + F.lit(0.0)).alias("mean_winsor"),
+        (F.round(sd_raw, 4) + F.lit(0.0)).alias("sd_raw"),
+        (F.round(sd_w, 4) + F.lit(0.0)).alias("sd_winsor"),
+        (F.round(1 - sd_w / sd_raw, 6) + F.lit(0.0)).alias(
+            "sd_reduction"
+        ),
+    )
+
+
+# Simpson's-paradox audit: the cohort conversion-rate difference
+# overall vs within each activity quartile — flags when the pooled
+# direction contradicts every stratum (the aggregation trap
+# mantel_haenszel_q and ipw_ate_q exist to defuse). One row per
+# stratum plus the pooled row (stratum = -1).
+@register(
+    "simpson_paradox_q",
+    """
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS w, COUNT(*) AS act,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY user_id
+    ),
+    tiled AS (
+        SELECT w, conv,
+               NTILE(4) OVER (ORDER BY act, user_id) AS s
+        FROM u
+    ),
+    stacked AS (
+        SELECT s, w, conv FROM tiled
+        UNION ALL SELECT -1, w, conv FROM tiled
+    ),
+    cells AS (
+        SELECT s,
+               SUM(CASE WHEN w = 1 THEN conv ELSE 0 END) AS c1,
+               SUM(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS n1,
+               SUM(CASE WHEN w = 0 THEN conv ELSE 0 END) AS c0,
+               SUM(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS n0
+        FROM stacked GROUP BY s
+    )
+    SELECT CAST(s AS BIGINT) AS stratum,
+           CAST(ROUND(CAST(c1 AS DOUBLE) / NULLIF(n1, 0)
+               - CAST(c0 AS DOUBLE) / NULLIF(n0, 0), 6) AS DOUBLE)
+               + 0.0 AS rate_diff,
+           CAST(c1 + c0 AS BIGINT) AS n_conversions,
+           CAST(n1 + n0 AS BIGINT) AS n_users
+    FROM cells
+    """,
+)
+def simpson_paradox_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aggregation trap, measured: pooled cohort rate difference
+    (stratum -1) next to the within-quartile differences. A sign flip
+    between the pooled row and all strata is Simpson's paradox —
+    activity is confounding the cohort read."""
+    from iniz_exporters_spark.operators.indexing import global_ntile
+
+    e = Catalog(spark, sf_dir).events
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("act"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    ).withColumn("w", F.col("user_id") % 2)
+    tiled = global_ntile(
+        u, [F.col("act").asc(), F.col("user_id").asc()], 4, "s"
+    ).select("w", "conv", "s")
+    both = tiled.unionByName(
+        tiled.select("w", "conv", F.lit(-1).alias("s"))
+    )
+    cells = both.groupBy("s").agg(
+        F.sum(F.when(F.col("w") == 1, F.col("conv")).otherwise(0)).alias(
+            "c1"
+        ),
+        F.sum(F.when(F.col("w") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("w") == 0, F.col("conv")).otherwise(0)).alias(
+            "c0"
+        ),
+        F.sum(F.when(F.col("w") == 0, 1).otherwise(0)).alias("n0"),
+    )
+    rd = F.col("c1").cast("double") / F.nullif(
+        F.col("n1"), F.lit(0)
+    ) - F.col("c0").cast("double") / F.nullif(F.col("n0"), F.lit(0))
+    return cells.select(
+        F.col("s").cast("long").alias("stratum"),
+        (F.round(rd, 6) + F.lit(0.0)).alias("rate_diff"),
+        (F.col("c1") + F.col("c0")).cast("long").alias("n_conversions"),
+        (F.col("n1") + F.col("n0")).cast("long").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch — round-8 session 7 (addendum 4): the u-chart for per-unit
+# defect rates and Copeland tournament scores.
+# ---------------------------------------------------------------------------
+
+
+# u-chart: daily error events per ACTIVE USER with per-day
+# variable-size control limits u-bar +- 3 sqrt(u-bar / n_day) — the
+# SPC chart for rates whose denominator moves. Counts are exact; the
+# centerline pools all days.
+@register(
+    "u_chart_q",
+    """
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               COUNT(DISTINCT user_id) AS n_users,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS n_err
+        FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    bar AS (
+        SELECT CAST(SUM(n_err) AS DOUBLE) / SUM(n_users) AS ubar
+        FROM d
+    )
+    SELECT day,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_err AS BIGINT) AS n_errors,
+           CAST(ROUND(CAST(n_err AS DOUBLE) / n_users, 6) AS DOUBLE)
+               AS u_rate,
+           CAST(ROUND((SELECT ubar FROM bar)
+               + 3 * sqrt((SELECT ubar FROM bar) / n_users), 6)
+               AS DOUBLE) AS ucl,
+           CAST(n_err AS DOUBLE) / n_users
+               > (SELECT ubar FROM bar)
+                 + 3 * sqrt((SELECT ubar FROM bar) / n_users)
+               AS violation
+    FROM d
+    """,
+)
+def u_chart_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error rate per active user with limits that widen on quiet
+    days — the denominators-move SPC chart next to ewma_control_q
+    (levels) and xbar_r_q (subgroups)."""
+    e = Catalog(spark, sf_dir).events
+    d = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_err"),
+    )
+    bar = d.agg(
+        (
+            F.sum("n_err").cast("double") / F.sum("n_users")
+        ).alias("ubar")
+    )
+    j = d.crossJoin(F.broadcast(bar))
+    ucl = F.col("ubar") + 3 * F.sqrt(F.col("ubar") / F.col("n_users"))
+    rate = F.col("n_err").cast("double") / F.col("n_users")
+    return j.select(
+        "day",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_err").cast("long").alias("n_errors"),
+        F.round(rate, 6).alias("u_rate"),
+        F.round(ucl, 6).alias("ucl"),
+        (rate > ucl).alias("violation"),
+    )
+
+
+# Copeland tournament scores over the daily-mean win matrix (the
+# bradley_terry_q games): score = #opponents beaten on majority of
+# shared days - #opponents lost to. The zero-iteration ranking that
+# sanity-checks bradley_terry_q's MM strengths (they should agree on
+# order when wins are decisive).
+@register(
+    "copeland_q",
+    """
+    WITH dt AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*) AS DECIMAL(18,6)) AS m
+        FROM events GROUP BY CAST(ts AS DATE), event_type
+    ),
+    duels AS (
+        SELECT a.event_type AS ti, b.event_type AS tj,
+               SUM(CASE WHEN a.m > b.m THEN 1 ELSE 0 END) AS w,
+               COUNT(*) AS n
+        FROM dt a JOIN dt b
+            ON b.day = a.day AND a.event_type <> b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT ti AS event_type,
+           CAST(SUM(CASE WHEN 2 * w > n THEN 1
+                         WHEN 2 * w < n THEN -1
+                         ELSE 0 END) AS BIGINT) AS copeland_score,
+           CAST(SUM(w) AS BIGINT) AS days_won
+    FROM duels GROUP BY ti
+    """,
+)
+def copeland_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-duel standings for the event types: +1 per opponent
+    beaten on most shared days, -1 per loss, 0 per tie — the
+    iteration-free companion to bradley_terry_q."""
+    e = Catalog(spark, sf_dir).events
+    dt = e.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        (
+            F.sum(_dec(F.col("value"), 18, 6)).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("decimal(18,6)")
+        .alias("m")
+    )
+    a = dt.select(
+        F.col("day").alias("da"),
+        F.col("event_type").alias("ti"),
+        F.col("m").alias("ma"),
+    )
+    b = dt.select(
+        F.col("day").alias("db"),
+        F.col("event_type").alias("tj"),
+        F.col("m").alias("mb"),
+    )
+    duels = (
+        a.join(
+            b,
+            (F.col("da") == F.col("db"))
+            & (F.col("ti") != F.col("tj")),
+        )
+        .groupBy("ti", "tj")
+        .agg(
+            F.sum(
+                F.when(F.col("ma") > F.col("mb"), 1).otherwise(0)
+            ).alias("w"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    pt = (
+        F.when(2 * F.col("w") > F.col("n"), 1)
+        .when(2 * F.col("w") < F.col("n"), -1)
+        .otherwise(0)
+    )
+    return duels.groupBy(F.col("ti").alias("event_type")).agg(
+        F.sum(pt).cast("long").alias("copeland_score"),
+        F.sum("w").cast("long").alias("days_won"),
+    )
