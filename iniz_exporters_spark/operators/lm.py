@@ -166,17 +166,29 @@ def span_dedup_counts(
         .filter(F.col("__nd") >= min_docs)
         .select("h")
     )
+    # Coverage = |union of intervals [pos, pos+span-1]| per doc, computed
+    # by island detection over the (unique) positions instead of exploding
+    # every interval to `span` position rows and de-duplicating: the old
+    # explode+distinct shuffled span× more rows through TWO exchanges and
+    # was the suite's worst cross-scale slope (3.27 at 10× data). One
+    # window shuffle on doc id (positions are unique per doc, so the order
+    # is total and the result partition-invariant), then interval lengths
+    # sum per island: an occurrence starts a new island iff its start lies
+    # past the running max end of all earlier intervals.
+    occ = spans.join(flagged, "h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + (span - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    island = F.sum(
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
     covered = (
-        spans.join(flagged, "h")
-        .select(
-            id_col,
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + (span - 1))
-            ).alias("cpos"),
-        )
-        .distinct()
+        occ.select(id_col, F.col("pos"), island.alias("__isl"))
+        .groupBy(id_col, "__isl")
+        .agg((F.max("pos") - F.min("pos") + span).alias("__clen"))
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("__ncov"))
+        .agg(F.sum("__clen").alias("__ncov"))
     )
     return (
         toks.select(id_col, F.size("__t").alias("n_tokens"))

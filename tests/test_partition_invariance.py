@@ -86,6 +86,7 @@ SENSITIVE = [
     "yule_k_q",               # global_cumsum + midrank vocab mass
     "kruskal_wallis_q",       # pooled midranks via avg_rank2_table
     "seasonal_strength_q",    # global_cumsum seasonal/remainder split
+    "span_dedup_trim",        # interval-union islands over per-doc window
 ]
 
 
