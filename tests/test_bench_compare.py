@@ -1,0 +1,101 @@
+"""tools/bench_compare.py: the canary-normalization rule as code.
+
+A delta is SIGNAL only if it exceeds the query's recorded spread AND
+survives dividing by the post-canary machine ratio (PERFORMANCE.md r9
+session 5 / VERDICT r8 #2). These tests pin both gates with synthetic
+artifacts — no Spark involved.
+"""
+
+import json
+import subprocess
+import sys
+
+
+def run_compare(tmp_path, old, new):
+    a, b = tmp_path / "old.json", tmp_path / "new.json"
+    a.write_text(json.dumps(old))
+    b.write_text(json.dumps(new))
+    out = subprocess.run(
+        [sys.executable, "tools/bench_compare.py", str(a), str(b)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=60,
+    )
+    assert out.returncode == 0, out.stderr
+    return out.stdout
+
+
+def _artifact(queries, canary_post=None, spread=None):
+    d = {"queries": queries, "sf": 0.1}
+    if canary_post is not None:
+        d["canary"] = {
+            "pre": {"jvm_range_sec": 9.9, "parquet_scan_sec": 9.9},
+            "post": {
+                "jvm_range_sec": canary_post,
+                "parquet_scan_sec": canary_post,
+            },
+        }
+    if spread is not None:
+        d["spread_pct"] = spread
+    return d
+
+
+def test_uniform_machine_shift_reads_as_noise(tmp_path):
+    """Every query +50% but the canary also +50%: the normalized delta is
+    ~0, so nothing is SIGNAL — this is exactly the r8 +24% situation."""
+    old = _artifact({"q_a": 1.0, "q_b": 2.0}, canary_post=0.2,
+                    spread={"q_a": 10.0, "q_b": 10.0})
+    new = _artifact({"q_a": 1.5, "q_b": 3.0}, canary_post=0.3,
+                    spread={"q_a": 10.0, "q_b": 10.0})
+    out = run_compare(tmp_path, old, new)
+    assert "machine ratio new/old: 1.500" in out
+    assert "SIGNAL" not in out
+    assert out.count("noise/machine") == 2
+
+
+def test_real_regression_survives_normalization(tmp_path):
+    """One query +100% on an unchanged machine (canary flat): SIGNAL."""
+    old = _artifact({"q_a": 1.0, "q_b": 2.0}, canary_post=0.2,
+                    spread={"q_a": 10.0, "q_b": 10.0})
+    new = _artifact({"q_a": 2.0, "q_b": 2.02}, canary_post=0.2,
+                    spread={"q_a": 10.0, "q_b": 10.0})
+    out = run_compare(tmp_path, old, new)
+    lines = {l.split()[0]: l for l in out.splitlines() if l.startswith("q_")}
+    assert "SIGNAL" in lines["q_a"]
+    assert "noise/machine" in lines["q_b"]
+
+
+def test_delta_within_spread_is_noise_even_with_flat_canary(tmp_path):
+    old = _artifact({"q_a": 1.0}, canary_post=0.2, spread={"q_a": 40.0})
+    new = _artifact({"q_a": 1.3}, canary_post=0.2, spread={"q_a": 40.0})
+    out = run_compare(tmp_path, old, new)
+    assert "SIGNAL" not in out
+
+
+def test_pre_canary_artifacts_compare_raw(tmp_path):
+    """r1-r8 artifacts have no canary: the tool must say drift is not
+    separable rather than silently normalizing by nothing."""
+    old = _artifact({"q_a": 1.0})
+    new = _artifact({"q_a": 1.5}, canary_post=0.2)
+    out = run_compare(tmp_path, old, new)
+    assert "NOT separable" in out
+
+
+def test_driver_and_self_artifact_shapes_load(tmp_path):
+    """The two committed artifact shapes (driver round file with "parsed",
+    self-run file with "headline") both load."""
+    driver = {"n": 9, "parsed": _artifact({"q_a": 1.0}, canary_post=0.2)}
+    selfrun = {
+        "headline": _artifact({"q_a": 1.1}, canary_post=0.2),
+        "spread_pct": {"q_a": 5.0},
+    }
+    a, b = tmp_path / "d.json", tmp_path / "s.json"
+    a.write_text(json.dumps(driver))
+    b.write_text(json.dumps(selfrun))
+    out = subprocess.run(
+        [sys.executable, "tools/bench_compare.py", str(a), str(b)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=60,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "shared queries: 1" in out.stdout
