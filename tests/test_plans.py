@@ -668,3 +668,25 @@ def test_hubness_pair_stage_is_parallel(spark):
     assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan or (
         "hashpartitioning(vec_id" in plan
     ), plan
+
+
+def test_span_dedup_coverage_has_no_position_explode(spark):
+    """span_dedup_trim coverage runs as interval-union islands (r9): ONE
+    Generate (the span-hash explode inside `spans`), a window partitioned
+    by doc id, and NO distinct over exploded positions. The old shape —
+    a second Generate (sequence per flagged occurrence) feeding a
+    HashAggregate-distinct — shuffled span x more rows through two extra
+    exchanges; keep it out."""
+    plan = physical(run("span_dedup_trim", spark))
+    # the span-hash explode sits BEHIND the localCheckpoint (plan shows
+    # Scan ExistingRDD), so 0 visible Generates is the expected shape;
+    # any SECOND explode would surface here
+    n_generate = sum(
+        1 for line in plan.splitlines() if "Generate explode" in line
+    )
+    assert n_generate <= 1, plan
+    assert "sequence(pos" not in plan, plan
+    # the island window partitions by the doc id — never unpartitioned
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "doc_id" in line, line
