@@ -50,12 +50,33 @@ def binary_metadata(df: DataFrame, binary_col: str) -> DataFrame:
     )
 
 
+# Data-shaped decode failures from the optional codec libs: Pillow raises
+# UnidentifiedImageError (an OSError), plain OSError, ValueError,
+# SyntaxError ("not a PNG file"), struct.error and EOFError on hostile or
+# truncated payloads; PyAV's FFmpegError derives from OSError in the
+# versions this code targets. Programming errors (NameError, TypeError,
+# AttributeError) must PROPAGATE — a blanket ``except Exception`` around
+# these never-executed-in-CI branches is exactly the mechanism that hid a
+# dead decode path for a full round (see multimodal/jpeg.py r7/r9 notes).
+import struct as _struct
+
+CODEC_DATA_ERRORS = (
+    OSError,
+    ValueError,
+    SyntaxError,
+    KeyError,
+    IndexError,
+    EOFError,
+    _struct.error,
+)
+
+
 def _try_import_pil():
     try:
         from PIL import Image  # noqa: F401
 
         return Image
-    except Exception:
+    except ImportError:
         return None
 
 
@@ -364,7 +385,7 @@ def decode_images(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
                         hs.append(img.height)
                         fmts.append(img.format or "UNKNOWN")
                         continue
-                    except Exception:
+                    except CODEC_DATA_ERRORS:
                         pass
                 # DETERMINISTIC FAKE (no codec libs in this environment):
                 # metadata derived from byte stats so tests are stable.
@@ -392,7 +413,7 @@ def _try_import_av():
         import av  # noqa: F401
 
         return av
-    except Exception:
+    except ImportError:
         return None
 
 
@@ -439,7 +460,7 @@ def extract_frames(
                                 idxs.append(n)
                                 frames.append(buf.getvalue())
                         continue
-                    except Exception:
+                    except CODEC_DATA_ERRORS:
                         pass  # fall through: deterministic fake
                 # DETERMINISTIC FAKE (no ffmpeg bindings in this
                 # environment): fixed-size byte windows stand in for frames.
@@ -496,7 +517,7 @@ def resize_images(
                         buf = io.BytesIO()
                         img.save(buf, format=img.format or "PNG")
                         data = buf.getvalue()
-                    except Exception:
+                    except CODEC_DATA_ERRORS:
                         pass  # fall through: pass-through fake
                 ids.append(i)
                 payloads.append(data)
@@ -567,7 +588,7 @@ def image_phash(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
                             .resize((PHASH_GRID, PHASH_GRID))
                         )
                         px = np.asarray(img, dtype=np.int64).ravel()
-                    except Exception:
+                    except CODEC_DATA_ERRORS:
                         px = None
                 if px is None:
                     # DETERMINISTIC FAKE (no codec libs): repeat the payload

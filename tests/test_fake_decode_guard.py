@@ -71,3 +71,59 @@ def test_real_codec_still_decodes_real_payloads():
     pgm = b"P5\n8 8\n255\n" + px.tobytes()
     dec = decode_image_numpy(pgm)
     assert dec is not None and dec[0] == 8 and dec[1] == 8
+
+
+def test_pil_data_errors_fall_back_to_fake(spark, monkeypatch):
+    """A PIL decode failure on hostile bytes degrades to the marked FAKE
+    row — same contract as the no-PIL environment. The fake PIL classes
+    are defined inside the tests so cloudpickle ships them by value (the
+    test module is not importable on executors)."""
+    from iniz_exporters_spark.multimodal import binary as B
+
+    class _FakePilDataError:
+        @staticmethod
+        def open(fp):
+            raise OSError("cannot identify image file")
+
+    monkeypatch.setattr(B, "_try_import_pil", lambda: _FakePilDataError)
+    df = spark.createDataFrame(
+        [(1, bytearray(_progressive_jpeg_bytes()))],
+        "doc_id long, payload binary",
+    )
+    rows = B.decode_images(df, "payload", "doc_id").collect()
+    assert len(rows) == 1 and rows[0]["format"] == "FAKE"
+
+
+def test_pil_programming_errors_escape_decode_kernel(spark, monkeypatch):
+    """A NameError inside the PIL branch must FAIL the job loudly (it
+    surfaces wrapped in Spark's PythonException), never degrade to FAKE —
+    the r7 dead-code mechanism, pinned shut for binary.py's codec
+    branches like it already is for decode_jpeg."""
+    from iniz_exporters_spark.multimodal import binary as B
+
+    class _FakePilCodeBug:
+        @staticmethod
+        def open(fp):
+            raise NameError(
+                "regression: undefined helper inside decode branch"
+            )
+
+    monkeypatch.setattr(B, "_try_import_pil", lambda: _FakePilCodeBug)
+    df = spark.createDataFrame(
+        [(1, bytearray(_progressive_jpeg_bytes()))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception) as exc:
+        B.decode_images(df, "payload", "doc_id").collect()
+    assert "NameError" in str(exc.value)
+
+
+def test_binary_module_has_no_blanket_except():
+    """Source lint: every codec fallback in multimodal/binary.py catches
+    CODEC_DATA_ERRORS, never bare ``except Exception:`` — all four decode
+    branches (images, frames, resize, phash) share the pinned tuple."""
+    import iniz_exporters_spark.multimodal.binary as B
+
+    src = open(B.__file__.replace(".pyc", ".py")).read()
+    assert "except Exception:" not in src
+    assert src.count("except CODEC_DATA_ERRORS:") >= 4
