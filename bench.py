@@ -71,17 +71,30 @@ _SLOPE_EXTRA = [
 ]
 
 
-def _canary(spark, label_unused=None) -> dict[str, float]:
+def _canary_scan_path(sf_dir: str) -> str:
+    """The scan probe's fixed path: sf0.01 lineitem next to the configured
+    SF dir (same bytes every round → comparable across rounds). When that
+    scale is absent (custom testdata layouts), fall back to the configured
+    dir's own lineitem — still a valid within-run load probe, just not
+    byte-comparable across rounds (the recorded path says which)."""
+    root = os.path.dirname(sf_dir.rstrip("/"))
+    fixed = os.path.join(root, "sf0.01", "lineitem.parquet")
+    return fixed if os.path.exists(fixed) else os.path.join(
+        sf_dir, "lineitem.parquet"
+    )
+
+
+def _canary(spark, scan_path: str) -> dict[str, float]:
     """Fixed environment probes — identical workload every round.
 
     (a) pure-JVM: sum over range(2e8), exercises codegen + CPU with zero
-    I/O; (b) fixed parquet scan-agg over sf0.01 lineitem (same bytes every
-    round — driver-generated, read-only). Neither depends on the headline
-    set, so their round-over-round ratio isolates machine speed from plan
-    changes. Each probe runs once UNTIMED first: the pre-suite canary
-    would otherwise be dominated by first-call codegen/JIT (measured 4.9 s
-    cold vs 0.23 s warm), which is session state, not machine speed — and
-    session cold-start is already recorded separately.
+    I/O; (b) parquet scan-agg over ``scan_path`` (normally sf0.01
+    lineitem — same bytes every round, driver-generated, read-only).
+    Neither depends on the headline set, so their round-over-round ratio
+    isolates machine speed from plan changes. Each probe runs twice and
+    records the SECOND timing: the first pass absorbs first-call
+    codegen/JIT (measured 4.9 s cold vs 0.23 s warm), which is session
+    state, not machine speed — session cold-start is recorded separately.
     """
     probes = {}
     for _ in range(2):
@@ -90,9 +103,7 @@ def _canary(spark, label_unused=None) -> dict[str, float]:
         probes["jvm_range_sec"] = round(time.perf_counter() - t0, 3)
     for _ in range(2):
         t0 = time.perf_counter()
-        spark.read.parquet(
-            "/root/testdata/sf0.01/lineitem.parquet"
-        ).selectExpr(
+        spark.read.parquet(scan_path).selectExpr(
             "sum(l_extendedprice * (1 - l_discount))", "count(*)"
         ).collect()
         probes["parquet_scan_sec"] = round(time.perf_counter() - t0, 3)
@@ -108,7 +119,8 @@ def main() -> None:
     session_startup_sec = round(time.perf_counter() - t_session0, 3)
 
     loadavg_pre = os.getloadavg()
-    canary_pre = _canary(spark)
+    canary_scan_path = _canary_scan_path(sf_dir)
+    canary_pre = _canary(spark, canary_scan_path)
 
     headline = {n: s for n, s in REGISTRY.items() if s.headline}
 
@@ -213,10 +225,15 @@ def main() -> None:
         # are not in `times`, so sf_big is measured here). Single-pass
         # timings carry JIT/GC noise — the ratio, not the absolute, is
         # the signal, and only sustained super-linear ratios matter.
+        # Extras are not in the headline warmup, so warm each untimed at
+        # the smallest SF first: otherwise first-call codegen lands on
+        # t_big (timed first) and one-sidedly inflates the ratio the
+        # radar exists to detect.
         for name in _SLOPE_EXTRA:
             spec = REGISTRY.get(name)
             if spec is None:
                 continue
+            run(spec, small_dir)
             t0 = time.perf_counter()
             run(spec, sf_dir)
             t_big = round(time.perf_counter() - t0, 3)
@@ -235,10 +252,11 @@ def main() -> None:
     # Environment fingerprint (VERDICT r8 #2): canary probes bracket the
     # suite; loadavg + cpu count + warm-up land in the committed artifact
     # so a cross-boot machine shift is provable from the record alone.
-    canary_post = _canary(spark)
+    canary_post = _canary(spark, canary_scan_path)
     detail["env"] = {
         "canary_pre": canary_pre,
         "canary_post": canary_post,
+        "canary_scan_path": canary_scan_path,
         "loadavg_pre": [round(x, 2) for x in loadavg_pre],
         "loadavg_post": [round(x, 2) for x in os.getloadavg()],
         "cpu_count": os.cpu_count(),

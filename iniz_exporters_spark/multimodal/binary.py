@@ -69,6 +69,15 @@ CODEC_DATA_ERRORS = (
     EOFError,
     _struct.error,
 )
+try:
+    # Pillow's DecompressionBombError subclasses Exception DIRECTLY (not
+    # OSError): a hostile oversized image is data-shaped and must degrade
+    # to the FAKE row, not abort the job. Appended only when PIL exists.
+    from PIL.Image import DecompressionBombError as _PilBombError
+
+    CODEC_DATA_ERRORS = CODEC_DATA_ERRORS + (_PilBombError,)
+except ImportError:
+    pass
 
 
 def _try_import_pil():

@@ -99,3 +99,14 @@ def test_driver_and_self_artifact_shapes_load(tmp_path):
     )
     assert out.returncode == 0, out.stderr
     assert "shared queries: 1" in out.stdout
+
+
+def test_tied_deltas_with_mixed_spread_availability_dont_crash(tmp_path):
+    """Pinned regression (r9 review): two queries tying on delta while
+    only one has a recorded spread used to TypeError under tuple sort
+    (float vs None); the sort now keys on the raw delta only."""
+    old = _artifact({"q_a": 1.0, "q_b": 1.0}, canary_post=0.2,
+                    spread={"q_a": 5.0})
+    new = _artifact({"q_a": 1.5, "q_b": 1.5}, canary_post=0.2)
+    out = run_compare(tmp_path, old, new)
+    assert out.count("SIGNAL") == 2

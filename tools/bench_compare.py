@@ -86,7 +86,9 @@ def main() -> None:
             and (norm_d is None or (norm_d > 0) == (raw_d > 0))
         )
         rows.append((raw_d, norm_d, sp, signal, k))
-    rows.sort(reverse=True)
+    # explicit key: norm_d/sp may be None and None<float TypeErrors under
+    # tuple comparison when raw deltas tie
+    rows.sort(key=lambda r: r[0], reverse=True)
     print(f"{'query':30s} {'raw':>8s} {'norm':>8s} {'spread%':>8s}  verdict")
     for raw_d, norm_d, sp, signal, k in rows:
         nd = f"{norm_d:+.1%}" if norm_d is not None else "n/a"
