@@ -5,6 +5,12 @@ parquet tables, then compares row count, column names, and an order-insensitive
 value hash (columns sorted by name, rows sorted by their stringified tuple).
 
 Usage: python tools/check_queries.py [sf_dir] [query ...]
+
+When a query FAILS here, consult DETERMINISM.md at the repo root — the
+rule-by-rule playbook of every cross-engine divergence class hit so far
+(decimal widths, float bin keys, signed zero, HUGEINT, libm, iteration
+schedules, NULL-skip, epoch flooring, ties) and the new-operator
+checklist.
 """
 
 from __future__ import annotations
