@@ -353,24 +353,27 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        # The change flag rides the update join itself (a label changes
+        # iff some neighbor label beats the current one), so convergence
+        # detection is a filter over the frame this round materializes
+        # anyway — the old shape re-joined new labels against old labels
+        # per round, one full extra join+job whose only output was the
+        # stability bit.
+        updated = (
             labels.join(neighbor_min, on="node", how="left")
             .select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
+                F.coalesce(
+                    F.col("nbr_min") < F.col("component"), F.lit(False)
+                ).alias("__chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.component") != F.col("o.component"))
-        )
-        stable = changed.isEmpty()
-        labels = new_labels
-        if stable:
+        labels = updated.select("node", "component")
+        if updated.filter("__chg").isEmpty():
             break
     else:
         raise RuntimeError(
