@@ -340,10 +340,18 @@ def connected_components(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     und = und.repartition("src").localCheckpoint()
+    # Seed labels with min(self, direct neighbors) — one aggregation over
+    # the (already symmetrized, already partitioned) edge list. This IS
+    # what round 1 of the loop would compute from identity labels, so for
+    # diameter-1 components (near-dup cliques, the dominant shape here)
+    # the loop's first pass is already the no-change convergence round:
+    # one full join round saved on every propagation call.
     labels = (
-        und.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("__nbr"))
+        .select(
+            "node", F.least(F.col("node"), F.col("__nbr")).alias("component")
+        )
         .localCheckpoint()
     )
     for _ in range(max_iters):
