@@ -41,13 +41,38 @@ from iniz_exporters_spark.session import tune_for_session
 #   r6: remaining reference entry points + array_set_ops redo + next batch
 #   r7/r8: remainder per the canonical ledger in PERFORMANCE.md
 # ---------------------------------------------------------------------------
-# Round-9 rotation: the 49 oldest never-driver-checked names in
-# registration order (VERDICT r8 #1; queue pre-computed in PERFORMANCE.md
-# §driver-window r9/r10). Every name was triple-verified (DuckDB gate at
-# sf0.001/0.01/0.1 + plain-python replica) before its round-8 commit and
-# re-swept at round-9 open. Net-new registry growth is frozen until the
-# cumulative ledger drains (137 unchecked at r9 open → 88 after this
-# window → 39 after r10 → 0 within r11).
+# Round-10 rotation: the 49 oldest never-driver-checked names in
+# registration order (VERDICT r9 #1; queue pre-computed in PERFORMANCE.md
+# §driver-window r9/r10 and re-derived at r10 open from the actual
+# CORRECTNESS_r01-r09 artifacts — both agree). Every name was
+# triple-verified (DuckDB gate at sf0.001/0.01/0.1 + plain-python
+# replica) before its round-8 commit and pre-swept green at sf0.01 AND
+# sf0.1 during round 9; re-swept at round-10 open. Registry growth stays
+# bounded by the standing cap below until the ledger drains
+# (88 unchecked at r10 open → 39 after this window → 0 within r11).
+#
+# STANDING REGISTRY-GROWTH CAP (VERDICT r9 #4): at any commit,
+# (registry size − cumulative driver-checked − current window) must be
+# ≤ 49, i.e. never more than one window of un-seated debt. Enforced by
+# tests/test_registry_growth_cap.py against the committed CORRECTNESS_r*.json
+# artifacts; new registrations beyond the cap must wait a round.
+_R10_WINDOW = [
+    "collocation_llr_q", "drawdown_q", "herfindahl_q", "abc_analysis_q",
+    "price_index_q", "energy_distance_q", "wasserstein_q", "cvar_q",
+    "newsvendor_q", "ltv_cohort_q", "xi_correlation_q", "partial_corr_q",
+    "multi_touch_attribution_q", "hodges_lehmann_q", "log_rank_test_q",
+    "km_greenwood_q", "seasonal_esd_q", "knn_loo_accuracy_q",
+    "conformal_interval_q", "array_hof_breadth", "grid_dbscan_q",
+    "did_q", "funnel_significance_q", "join_cardinality_audit_q",
+    "quantile_normalize_q", "trend_break_q", "abc_xyz_q", "haar_energy_q",
+    "longest_streak_q", "welford_merge_q", "rmst_q", "dunn_test_q",
+    "ransac_trend_q", "bradley_terry_q", "geometric_median_q",
+    "regression_diagnostics_q", "boxcox_q", "youden_j_q", "ece_q",
+    "lorenz_curve_q", "bandit_replay_q", "sinkhorn_plan_q",
+    "edge_support_q", "mutual_knn_q", "pacf_q", "allan_variance_q",
+    "turning_points_q", "records_test_q", "pot_evt_q",
+]
+
 _R9_WINDOW = [
     "good_turing_q", "hill_tail_index_q", "mann_kendall_q",
     "trimmed_mean_q", "cohens_kappa_q", "mcnemar_q", "brown_forsythe_q",
@@ -145,7 +170,7 @@ _R6_WINDOW = [
 
 # Kept for provenance / test compatibility: the live window always binds to
 # the newest list.
-_WINDOW = _R9_WINDOW
+_WINDOW = _R10_WINDOW
 
 
 def _ordered_names() -> list[str]:

@@ -270,6 +270,15 @@ def main() -> None:
     # driver's committed round artifact (VERDICT r6 #3): pytest points this
     # at tmp_path; only the driver's own bench run writes the default.
     detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL")
+    # Role stamp (VERDICT r9 #7): make the artifact pair being compared
+    # self-describing. The driver's per-round run is the only one that
+    # writes the committed default artifact (sf0.1, no detail override);
+    # everything else is a self/idle probe. Overridable for the committed
+    # idle-reference runs (BENCH_SELF_r*.json set role=self-idle).
+    role = os.environ.get("SPARK_GRAFT_BENCH_ROLE") or (
+        "driver" if (not detail_path and sf_val == 0.1) else "self"
+    )
+    detail["role"] = role
     if not detail_path:
         repo_root = os.path.dirname(os.path.abspath(__file__))
         # The committed repo-root artifact is the DRIVER's sf0.1 round
@@ -296,6 +305,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf_val,
+        "role": role,
         "canary": {
             "pre": canary_pre,
             "post": canary_post,

@@ -65,10 +65,17 @@ class Catalog:
         """
         import pyspark.sql.functions as F
 
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import AnalysisException
+
         path = os.path.join(self.base, f"{name}.parquet")
         try:
             df = self.spark.read.parquet(path)
-        except Exception:
+        except (AnalysisException, Py4JJavaError):
+            # Spark-side schema-conversion failure only ("Illegal Parquet
+            # type: INT64 (TIMESTAMP(NANOS,...))" on Spark versions without
+            # native nanos support). Repo-side bugs (NameError/TypeError)
+            # propagate — see DETERMINISM.md error-contract rule.
             self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = self.spark.read.parquet(path)
         # nanosAsLong (set here or earlier in the session) leaves ns-epoch

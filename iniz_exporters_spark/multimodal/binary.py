@@ -388,14 +388,21 @@ def decode_images(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
                     fmts.append(fmt)
                     continue
                 if pil is not None and data:
+                    # Only the codec calls sit inside the guard (ADVICE r9):
+                    # a repo-side append/lookup bug must propagate, not
+                    # degrade to the FAKE row. width/height/format accessors
+                    # stay guarded — Pillow parses headers lazily.
+                    meta = None
                     try:
                         img = pil.open(io.BytesIO(data))
-                        ws.append(img.width)
-                        hs.append(img.height)
-                        fmts.append(img.format or "UNKNOWN")
-                        continue
+                        meta = (img.width, img.height, img.format or "UNKNOWN")
                     except CODEC_DATA_ERRORS:
-                        pass
+                        meta = None
+                    if meta is not None:
+                        ws.append(meta[0])
+                        hs.append(meta[1])
+                        fmts.append(meta[2])
+                        continue
                 # DETERMINISTIC FAKE (no codec libs in this environment):
                 # metadata derived from byte stats so tests are stable.
                 ws.append((csum % 64) + 1)
@@ -458,19 +465,28 @@ def extract_frames(
             for i, payload in zip(pdf[id_col], pdf[binary_col]):
                 data = bytes(payload) if payload is not None else b""
                 if av is not None and data:
+                    # Decode into a LOCAL buffer so (a) only codec calls are
+                    # guarded (ADVICE r9 — repo-side bugs must propagate) and
+                    # (b) a mid-stream decode error discards the partial
+                    # frame list instead of emitting it alongside the fake.
+                    decoded = None
                     try:
                         with av.open(io.BytesIO(data)) as container:
+                            decoded = []
                             for n, frame in enumerate(container.decode(video=0)):
                                 if n % every_n:
                                     continue
                                 buf = io.BytesIO()
                                 frame.to_image().save(buf, format="PNG")
-                                ids.append(i)
-                                idxs.append(n)
-                                frames.append(buf.getvalue())
-                        continue
+                                decoded.append((n, buf.getvalue()))
                     except CODEC_DATA_ERRORS:
-                        pass  # fall through: deterministic fake
+                        decoded = None  # fall through: deterministic fake
+                    if decoded is not None:
+                        for n, frame_bytes in decoded:
+                            ids.append(i)
+                            idxs.append(n)
+                            frames.append(frame_bytes)
+                        continue
                 # DETERMINISTIC FAKE (no ffmpeg bindings in this
                 # environment): fixed-size byte windows stand in for frames.
                 n_frames = (len(data) + FAKE_FRAME_BYTES - 1) // FAKE_FRAME_BYTES

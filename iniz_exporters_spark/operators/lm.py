@@ -131,9 +131,15 @@ def span_dedup_counts(
 
     Fully relational (Lee et al.'s removal accounting without per-row
     Python): span hashes explode to (id, pos, hash) rows, flagged hashes
-    come from one groupBy, coverage is a ``sequence(pos, pos+span-1)``
-    explode deduplicated per doc. Only (id, pos, hash) rows ever shuffle —
-    never text — and the flagged-hash frame is duplicate-count-sized.
+    come from one groupBy, and coverage is interval-union island detection
+    over the flagged start positions — one window over the per-doc
+    positions (unique per doc, so the order is total), an occurrence
+    opening a new island iff its start lies past the running max end of
+    earlier intervals, island lengths summed per doc. No position-range
+    explode anywhere (plan-pinned by
+    ``test_span_dedup_coverage_has_no_position_explode``). Only
+    (id, pos, hash) rows ever shuffle — never text — and the flagged-hash
+    frame is duplicate-count-sized.
     """
     toks = df.select(
         id_col, tokens(text_col).alias("__t")

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import os
 
+from py4j.protocol import Py4JJavaError
+from pyspark.errors import AnalysisException
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = "32"
@@ -67,8 +69,9 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
     ):
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass  # immutable in this session — fine, it's an optimization
+        except AnalysisException:
+            pass  # CANNOT_MODIFY_CONFIG: static key in this session — fine,
+            # it's an optimization. Anything else propagates.
     return spark
 
 
@@ -118,7 +121,10 @@ def _estimated_scan_splits(df, target: int):
     """
     try:
         files = df.inputFiles()
-    except Exception:
+    except (AnalysisException, Py4JJavaError):
+        # Spark-side only: streaming relations reject inputFiles() with
+        # AnalysisException; exotic relations may fail JVM-side. A repo bug
+        # must propagate, not silently disable the estimate.
         return None
     if not files:
         return None
@@ -167,7 +173,10 @@ def _is_bare_scan(df) -> bool:
     already ran when the DataFrame was built; no physical planning here."""
     try:
         plan = df._jdf.queryExecution().analyzed().toString()
-    except Exception:
+    except (AnalysisException, Py4JJavaError):
+        # JVM-side plan rendering failed — treat as not-a-bare-scan and let
+        # the caller take the physical-count fallback. Repo-side errors
+        # (e.g. _jdf missing under a connect-style session) propagate.
         return False
     for line in plan.splitlines():
         node = line.lstrip(" :+-")
@@ -203,8 +212,8 @@ def spread_for_kernel(df, min_factor: int = 1):
     if n is None:
         try:
             key = (df.semanticHash(), target)
-        except Exception:
-            key = None
+        except (AnalysisException, Py4JJavaError):
+            key = None  # unhashable plan shape: skip memoization only
         if key is not None and key in _SPREAD_CACHE:
             n = _SPREAD_CACHE[key]
         else:

@@ -40,14 +40,14 @@ def test_window_targets_never_driver_checked_queries():
     prior GREEN driver row — pin against every recorded correctness file.
     Rows that errored (r5's array_set_ops canonicalizer TypeError) do not
     count as checked and may legitimately re-enter the window."""
+    import glob
+
     prev: set = set()
-    for r in range(1, 9):
-        path = f"/root/repo/CORRECTNESS_r0{r}.json"
-        if os.path.exists(path):
-            for name, row in json.load(open(path)).items():
-                if isinstance(row, dict) and not row.get("hash_match"):
-                    continue  # err / mismatch row: never verified
-                prev.add(name)
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        for name, row in json.load(open(path)).items():
+            if isinstance(row, dict) and not row.get("hash_match"):
+                continue  # err / mismatch row: never verified
+            prev.add(name)
     if not prev:
         return
     # Only the explicit rotation list is asserted: once fewer than 49 names

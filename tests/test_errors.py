@@ -85,3 +85,110 @@ def test_kmeans_fewer_rows_than_k(spark):
     )
     with pytest.raises(RuntimeError, match="fewer than k"):
         kmeans_lloyd(df, k=5)
+
+
+# --- narrowed except-site contracts (VERDICT r9 #6) -----------------------
+# Each former blanket ``except Exception`` in session.py/catalog.py now
+# absorbs ONLY Spark-side failures (AnalysisException / Py4JJavaError);
+# these pin both halves: the absorbed type degrades gracefully, and a
+# repo-side programming error (NameError/TypeError) escapes.
+
+
+class _BoomFrame:
+    """Duck-typed DataFrame stub whose probed method raises on demand."""
+
+    def __init__(self, exc):
+        self._exc = exc
+
+    def inputFiles(self):
+        raise self._exc
+
+    @property
+    def _jdf(self):
+        raise self._exc
+
+
+def test_scan_split_estimate_absorbs_analysis_exception_only():
+    from pyspark.errors import AnalysisException
+
+    from iniz_exporters_spark.session import _estimated_scan_splits
+
+    # streaming-style refusal: absorbed, estimate just unavailable
+    assert _estimated_scan_splits(_BoomFrame(AnalysisException("no files")), 8) is None
+    # repo-side bug: must escape
+    with pytest.raises(NameError):
+        _estimated_scan_splits(_BoomFrame(NameError("typo")), 8)
+
+
+def test_is_bare_scan_absorbs_spark_side_only():
+    from pyspark.errors import AnalysisException
+
+    from iniz_exporters_spark.session import _is_bare_scan
+
+    class _JdfBoom:
+        def __init__(self, exc):
+            self._exc = exc
+
+        @property
+        def _jdf(self):
+            raise self._exc
+
+    assert _is_bare_scan(_JdfBoom(AnalysisException("jvm"))) is False
+    with pytest.raises(TypeError):
+        _is_bare_scan(_JdfBoom(TypeError("repo bug")))
+
+
+def test_tune_for_session_absorbs_immutable_key_only(spark, monkeypatch):
+    from iniz_exporters_spark.session import tune_for_session
+
+    calls = []
+
+    class _Conf:
+        def set(self, k, v):
+            calls.append(k)
+            raise AnalysisException("CANNOT_MODIFY_CONFIG")
+
+    monkeypatch.setattr(type(spark), "conf", property(lambda self: _Conf()))
+    # every key attempted, none fatal
+    assert tune_for_session(spark) is spark
+    assert len(calls) == 4
+
+    class _ConfBug:
+        def set(self, k, v):
+            raise TypeError("repo bug")
+
+    monkeypatch.setattr(type(spark), "conf", property(lambda self: _ConfBug()))
+    with pytest.raises(TypeError):
+        tune_for_session(spark)
+
+
+def test_catalog_read_retry_absorbs_analysis_exception_only(spark, monkeypatch):
+    """The nanos-fallback retry in Catalog._read_parquet triggers on
+    AnalysisException (schema-conversion refusal) and retries once; a
+    repo-side bug inside the read path escapes immediately."""
+    from iniz_exporters_spark.catalog import Catalog
+
+    cat = Catalog(spark, "/root/testdata/sf0.001")
+    attempts = []
+
+    class _Read:
+        def parquet(self, path):
+            attempts.append(path)
+            if len(attempts) == 1:
+                raise AnalysisException("Illegal Parquet type")
+            return spark.createDataFrame([(1,)], "x int")
+
+    monkeypatch.setattr(type(spark), "read", property(lambda self: _Read()))
+    df = cat._read_parquet("region")
+    assert df.columns == ["x"] and len(attempts) == 2
+
+    attempts.clear()
+
+    class _ReadBug:
+        def parquet(self, path):
+            raise NameError("typo in read path")
+
+    monkeypatch.setattr(type(spark), "read", property(lambda self: _ReadBug()))
+    cat2 = Catalog(spark, "/root/testdata/sf0.001")
+    with pytest.raises(NameError):
+        cat2._read_parquet("region")

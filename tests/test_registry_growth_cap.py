@@ -1,0 +1,66 @@
+"""Registry-growth cap (VERDICT r9 #4).
+
+The driver hash-checks 50 registry names per round, so unchecked
+registrations are verification debt.  The standing rule: at any commit,
+
+    registry size − cumulative driver-checked − current window ≤ 49
+
+i.e. never more than ONE window of un-seated debt.  "Driver-checked"
+counts every name with a green (hash_match / rows-only pass) row in any
+committed CORRECTNESS_r*.json; the current window counts because it is
+guaranteed a row next driver run.  New registrations beyond the cap must
+wait a round (or displace something from the queue deliberately).
+"""
+
+import glob
+import importlib.util
+import json
+
+SPEC = importlib.util.spec_from_file_location(
+    "__spark_entry__", "/root/repo/__spark_entry__.py"
+)
+ENTRY = importlib.util.module_from_spec(SPEC)
+SPEC.loader.exec_module(ENTRY)
+
+CAP = 49
+
+
+def _driver_checked() -> set:
+    checked: set = set()
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        for name, row in json.load(open(path)).items():
+            if isinstance(row, dict) and not row.get("hash_match"):
+                continue  # err / mismatch row: never verified
+            checked.add(name)
+    return checked
+
+
+def test_unseated_debt_at_most_one_window():
+    from iniz_exporters_spark.queries import REGISTRY
+
+    checked = _driver_checked()
+    window = set(ENTRY._WINDOW) | {"q1_pricing_summary"}
+    debt = [n for n in REGISTRY if n not in checked and n not in window]
+    assert len(debt) <= CAP, (
+        f"{len(debt)} registry names are neither driver-checked nor in the "
+        f"current window (cap {CAP}): first 10 = {debt[:10]}. Seat them in a "
+        "window or defer the registrations."
+    )
+
+
+def test_window_is_exactly_the_oldest_unchecked():
+    """The rotation contract: the live window is the 49 oldest unchecked
+    names in registration order (plus q1 at slot 0).  Once fewer than 49
+    remain, the window is exactly the remainder (in order) and may carry
+    extra already-green names in its tail."""
+    from iniz_exporters_spark.queries import REGISTRY
+
+    checked = _driver_checked()
+    queue = [n for n in REGISTRY if n not in checked]
+    expected = queue[:CAP]
+    live = [n for n in ENTRY._WINDOW if n not in checked][: len(expected)]
+    assert live == expected, (
+        "window does not match the oldest-unchecked queue:\n"
+        f"  expected head: {expected[:5]} ... ({len(expected)})\n"
+        f"  live head:     {live[:5]} ... ({len(live)})"
+    )

@@ -32,11 +32,13 @@ def load(path: str) -> dict:
     if "headline" in raw:  # BENCH_SELF artifact
         out = dict(raw["headline"])
         out["spread_pct"] = raw.get("spread_pct", {})
+        out.setdefault("role", raw.get("role", "self-idle"))
         return out
     if "parsed" in raw:  # driver round artifact
         out = dict(raw["parsed"] or {})
+        out.setdefault("role", "driver")
         return out
-    return raw  # raw final line
+    return raw  # raw final line (carries its own "role" from r10 on)
 
 
 def canary_post(d: dict) -> float | None:
@@ -63,6 +65,12 @@ def main() -> None:
 
     total_o = sum(qo[k] for k in shared)
     total_n = sum(qn[k] for k in shared)
+    # Role stamp (VERDICT r9 #7): say which kind of artifact each side is,
+    # so a driver-vs-self comparison is visibly apples-to-oranges.
+    ro, rn = old.get("role", "unknown"), new.get("role", "unknown")
+    print(f"roles: old={ro}  new={rn}"
+          + ("  [WARNING: mixed roles — load profiles differ]"
+             if ro != rn and "unknown" not in (ro, rn) else ""))
     print(f"shared queries: {len(shared)}")
     print(f"total: {total_o:.2f}s -> {total_n:.2f}s "
           f"({(total_n - total_o) / total_o:+.1%} raw)")
