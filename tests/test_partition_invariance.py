@@ -87,6 +87,23 @@ SENSITIVE = [
     "kruskal_wallis_q",       # pooled midranks via avg_rank2_table
     "seasonal_strength_q",    # global_cumsum seasonal/remainder split
     "span_dedup_trim",        # interval-union islands over per-doc window
+    # round-10: remaining rank-machinery users in the r10 driver window
+    # (VERDICT r9 #8 — every window name with rank machinery scrambles;
+    # names already present above are not repeated)
+    "herfindahl_q",            # global_cumsum market-share mass
+    "cvar_q",                  # tail cut via ntile/row_number ranks
+    "newsvendor_q",            # critical-fractile quantile rank
+    "join_cardinality_audit_q",# grouped_index + ntile fan-out profile
+    "trend_break_q",           # global_cumsum + breakpoint row_number
+    "rmst_q",                  # avg_rank2/midrank survival table
+    "dunn_test_q",             # pooled avg_rank2 midranks per group
+    "ece_q",                   # global_ntile confidence bins
+    "records_test_q",          # ntile-era record counts
+    "pot_evt_q",               # ntile tail threshold + exceedances
+    "hodges_lehmann_q",        # pairwise-median rank selection
+    "seasonal_esd_q",          # iterative outlier removal w/ ranks
+    "mutual_knn_q",            # rounded-cosine reciprocal top-k
+    "bandit_replay_q",         # ordered replay over event sequence
 ]
 
 
