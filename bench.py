@@ -68,6 +68,13 @@ _SLOPE_EXTRA = [
     "sinkhorn_plan_q", "bradley_terry_q", "xbar_r_q",
     "permutation_test_q", "kendall_tau_q", "fuzzy_cmeans_q",
     "geometric_median_q",
+    # round-10: heaviest r10-driver-window names join the radar before
+    # their first external check — collocation LLR (token-stream window +
+    # bigram-vocabulary joins), two distribution distances on the
+    # distributed rank, LOO kNN, grid DBSCAN components, and per-source
+    # quantile normalization.
+    "collocation_llr_q", "wasserstein_q", "energy_distance_q",
+    "knn_loo_accuracy_q", "grid_dbscan_q", "quantile_normalize_q",
 ]
 
 

@@ -1,9 +1,11 @@
-"""tools/bench_compare.py: the canary-normalization rule as code.
+"""tools/bench_compare.py: the shift-normalization rule as code.
 
 A delta is SIGNAL only if it exceeds the query's recorded spread AND
-survives dividing by the post-canary machine ratio (PERFORMANCE.md r9
-session 5 / VERDICT r8 #2). These tests pin both gates with synthetic
-artifacts — no Spark involved.
+survives dividing by the machine-shift estimate — the LOW MEDIAN of
+per-query time ratios (r10 revision: back-to-back same-code runs drifted
++13% with flat canaries, so the canary is a cross-check, not the
+normalizer). These tests pin the gates with synthetic artifacts — no
+Spark involved.
 """
 
 import json
@@ -73,13 +75,14 @@ def test_delta_within_spread_is_noise_even_with_flat_canary(tmp_path):
     assert "SIGNAL" not in out
 
 
-def test_pre_canary_artifacts_compare_raw(tmp_path):
-    """r1-r8 artifacts have no canary: the tool must say drift is not
-    separable rather than silently normalizing by nothing."""
+def test_pre_canary_artifacts_use_median_shift_only(tmp_path):
+    """r1-r8 artifacts have no canary: the tool says so and normalizes by
+    the median shift alone (a single query's shift is its own ratio, so
+    its normalized delta is 0 — raw-only judgement)."""
     old = _artifact({"q_a": 1.0})
     new = _artifact({"q_a": 1.5}, canary_post=0.2)
     out = run_compare(tmp_path, old, new)
-    assert "NOT separable" in out
+    assert "median shift is the only normalizer" in out
 
 
 def test_driver_and_self_artifact_shapes_load(tmp_path):
@@ -104,9 +107,14 @@ def test_driver_and_self_artifact_shapes_load(tmp_path):
 def test_tied_deltas_with_mixed_spread_availability_dont_crash(tmp_path):
     """Pinned regression (r9 review): two queries tying on delta while
     only one has a recorded spread used to TypeError under tuple sort
-    (float vs None); the sort now keys on the raw delta only."""
+    (float vs None). Under the r10 median-shift rule a UNIFORM +50% with a
+    flat canary normalizes to 0 (noise) — and that canary/median
+    disagreement must trigger the loud global-shift warning, because it is
+    exactly the ambiguous pattern (load the canary missed, or a global
+    regression) the tool cannot adjudicate alone."""
     old = _artifact({"q_a": 1.0, "q_b": 1.0}, canary_post=0.2,
                     spread={"q_a": 5.0})
     new = _artifact({"q_a": 1.5, "q_b": 1.5}, canary_post=0.2)
     out = run_compare(tmp_path, old, new)
-    assert out.count("SIGNAL") == 2
+    assert "SIGNAL" not in out
+    assert "canary and median shift disagree" in out

@@ -1,10 +1,23 @@
-"""Canary-normalized comparison of two bench artifacts.
+"""Shift-normalized comparison of two bench artifacts.
 
-Implements the round-over-round rule from PERFORMANCE.md / VERDICT r8 #2:
-a per-query delta is SIGNAL only if (a) it exceeds the recorded spread for
-that query and (b) it survives normalizing by the canary ratio between the
-two runs — a uniform shift that tracks the canary is the machine, not the
-code.
+Implements the round-over-round rule from PERFORMANCE.md (VERDICT r8 #2,
+revised r10): a per-query delta is SIGNAL only if (a) it exceeds the
+recorded spread for that query, (b) it survives normalizing by the
+MACHINE-SHIFT estimate between the two runs, and (c) raw and normalized
+deltas agree in direction.
+
+Machine-shift estimate: the LOW MEDIAN of per-query time ratios
+(new/old) across the shared set. Rationale (r10 measurement): two
+back-to-back same-code bench processes differed 51.3 s vs 58.0 s (+13%,
+uniformly) while the canary probes stayed flat — the sub-second canaries
+do not track sustained background load, but the median of 31 per-query
+ratios does, because most queries are unchanged between rounds and the
+median is robust to the handful that genuinely moved. The canary ratio is
+still printed as a cross-check; when it disagrees with the median shift
+by more than 10 points the tool warns loudly — that pattern is either
+heavy load the canary missed or a GLOBAL regression, and only a plan read
+or an idle re-run distinguishes the two (a uniform true regression is
+invisible to median normalization BY CONSTRUCTION).
 
 Usage:
     python tools/bench_compare.py OLD.json NEW.json
@@ -17,14 +30,20 @@ Accepts any mix of:
 
 Canary basis: the POST canary (fully JIT-hot session; the pre probe still
 carries tiering — see PERFORMANCE.md round-9 session 5). The jvm and scan
-probes are averaged into one machine-speed ratio. Artifacts that predate
-the canary (r1-r8) compare without normalization and say so.
+probes are averaged into one machine-speed ratio.
 """
 
 from __future__ import annotations
 
 import json
 import sys
+
+
+# Empirical cross-process noise floor (percent): calibrated r10 from two
+# back-to-back same-code bench runs — median-normalized per-query
+# residuals hit 30% worst / 16% at p90. Deltas under this are not
+# distinguishable from process-level noise regardless of recorded spread.
+CROSS_RUN_FLOOR_PCT = 18.0
 
 
 def load(path: str) -> dict:
@@ -60,8 +79,13 @@ def main() -> None:
         sys.exit("no shared queries between the two artifacts")
 
     co, cn = canary_post(old), canary_post(new)
-    ratio = (cn / co) if (co and cn) else None
+    canary_ratio = (cn / co) if (co and cn) else None
     spread = {**old.get("spread_pct", {}), **new.get("spread_pct", {})}
+
+    # machine-shift estimate: low median of per-query ratios (robust to
+    # the few queries that genuinely changed; see module docstring)
+    ratios = sorted(qn[k] / max(qo[k], 1e-9) for k in shared)
+    ratio = ratios[(len(ratios) - 1) // 2]
 
     total_o = sum(qo[k] for k in shared)
     total_n = sum(qn[k] for k in shared)
@@ -74,24 +98,37 @@ def main() -> None:
     print(f"shared queries: {len(shared)}")
     print(f"total: {total_o:.2f}s -> {total_n:.2f}s "
           f"({(total_n - total_o) / total_o:+.1%} raw)")
-    if ratio:
-        print(f"canary(post) machine ratio new/old: {ratio:.3f} "
+    print(f"median-of-ratios machine shift new/old: {ratio:.3f} "
+          f"(over {len(shared)} shared queries)")
+    print(f"shift-normalized total delta: "
+          f"{(total_n / ratio - total_o) / total_o:+.1%}")
+    if canary_ratio:
+        print(f"canary(post) machine ratio new/old: {canary_ratio:.3f} "
               f"({co:.3f}s -> {cn:.3f}s)")
-        print(f"canary-normalized total delta: "
-              f"{(total_n / ratio - total_o) / total_o:+.1%}")
+        if abs(canary_ratio - ratio) > 0.10:
+            print("WARNING: canary and median shift disagree by "
+                  f"{abs(canary_ratio - ratio):.2f} — either sustained "
+                  "load the canary missed, or a GLOBAL regression/win the "
+                  "median is absorbing. Re-run idle or read the plans "
+                  "before trusting either normalization.")
     else:
-        print("canary: absent in at least one artifact (pre-r9?) — "
-              "raw deltas only, machine drift NOT separable")
+        print("canary: absent in at least one artifact (pre-r9) — "
+              "median shift is the only normalizer here")
 
     rows = []
     for k in shared:
         raw_d = (qn[k] - qo[k]) / max(qo[k], 1e-9)
-        norm_d = ((qn[k] / ratio) - qo[k]) / max(qo[k], 1e-9) if ratio else None
+        norm_d = ((qn[k] / ratio) - qo[k]) / max(qo[k], 1e-9)
+        # recorded spread is WITHIN-process (same JVM); two same-code
+        # bench PROCESSES showed median-normalized residuals up to 30%
+        # (p90 16%) from JIT/GC/load — the floor keeps cross-run verdicts
+        # honest where the within-run spread is optimistically tight
         sp = spread.get(k)
+        gate = max(sp if sp is not None else 25.0, CROSS_RUN_FLOOR_PCT)
         signal = (
-            abs(raw_d) * 100 > (sp if sp is not None else 25.0)
-            and (norm_d is None or abs(norm_d) * 100 > (sp if sp is not None else 25.0))
-            and (norm_d is None or (norm_d > 0) == (raw_d > 0))
+            abs(raw_d) * 100 > gate
+            and abs(norm_d) * 100 > gate
+            and (norm_d > 0) == (raw_d > 0)
         )
         rows.append((raw_d, norm_d, sp, signal, k))
     # explicit key: norm_d/sp may be None and None<float TypeErrors under
