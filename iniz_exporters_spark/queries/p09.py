@@ -845,3 +845,266 @@ def copeland_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(pt).cast("long").alias("copeland_score"),
         F.sum("w").cast("long").alias("days_won"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 additions: training-corpus quality gates from the published
+# pipelines — Gopher quality rules (Rae et al. 2021 §A1.1), repeated-n-gram
+# fractions (ibid. Table A1), and GPT-3-style n-gram decontamination
+# (Brown et al. 2020 appendix C). Registered at the chunk end per the
+# frozen-registry growth protocol; every ratio is ROUND(CAST/CAST, 6) with
+# the identical expression in both engines and every THRESHOLD decision is
+# pure integer arithmetic (no rounded double ever reaches a boolean).
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.functions.text import tokens as _tokens_r10  # noqa: E402
+from iniz_exporters_spark.queries.p01 import _SQL_TOKENS as _SQL_TOKENS_R10  # noqa: E402
+
+# Gopher's stopword-presence rule uses a small fixed function-word list;
+# this subset has nonzero variance on the synthetic corpus (0-22% of
+# tokens per doc).
+_GOPHER_STOPS = ("the", "a", "of", "to", "and", "in", "is", "it", "on", "for")
+_SQL_STOPS = "('" + "', '".join(_GOPHER_STOPS) + "')"
+
+
+@register(
+    "gopher_rules_q",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_SQL_TOKENS_R10}) AS w FROM documents),
+    ag AS (
+        SELECT doc_id,
+               COUNT(*) AS n_words,
+               SUM(length(w)) AS sum_len,
+               COUNT(DISTINCT w) AS n_uniq,
+               SUM(CASE WHEN w IN {_SQL_STOPS} THEN 1 ELSE 0 END) AS n_stop
+        FROM t GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           ROUND(CAST(sum_len AS DOUBLE) / NULLIF(n_words, 0), 6)
+               AS mean_word_len,
+           ROUND(CAST(n_stop AS DOUBLE) / NULLIF(n_words, 0), 6)
+               AS stop_frac,
+           ROUND(CAST(n_uniq AS DOUBLE) / NULLIF(n_words, 0), 6)
+               AS uniq_frac,
+           n_words BETWEEN 50 AND 100000 AS word_count_ok,
+           (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+               AS mean_len_ok,
+           n_stop >= 2 AS stop_ok,
+           (n_words BETWEEN 50 AND 100000
+            AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+            AND n_stop >= 2) AS passes_all
+    FROM ag
+    """,
+)
+def gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter composite (Rae et al. 2021 §A1.1), the rules
+    with variance on an all-alphanumeric corpus: word count in [50, 1e5],
+    mean word length in [3, 10], and >= 2 stopwords present. Per-doc flags
+    plus the measured ratios; every flag compares INTEGERS (mean-length
+    bounds as 3n <= sum_len <= 10n) so no float rounding reaches a
+    boolean. Scale shape: token explode -> ONE map-side-combining
+    aggregation keyed on doc_id; token rows carry (doc_id, token) only."""
+    d = Catalog(spark, sf_dir).documents
+    t = d.select("doc_id", F.explode(_tokens_r10("text")).alias("w"))
+    ag = t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("w")).alias("sum_len"),
+        F.count_distinct("w").alias("n_uniq"),
+        F.sum(
+            F.when(F.col("w").isin(*_GOPHER_STOPS), 1).otherwise(0)
+        ).alias("n_stop"),
+    )
+    nw = F.col("n_words")
+    wc_ok = (nw >= 50) & (nw <= 100000)
+    ml_ok = (F.col("sum_len") >= 3 * nw) & (F.col("sum_len") <= 10 * nw)
+    st_ok = F.col("n_stop") >= 2
+    return ag.select(
+        "doc_id",
+        nw.cast("long").alias("n_words"),
+        F.round(
+            F.col("sum_len").cast("double") / F.nullif(nw, F.lit(0)), 6
+        ).alias("mean_word_len"),
+        F.round(
+            F.col("n_stop").cast("double") / F.nullif(nw, F.lit(0)), 6
+        ).alias("stop_frac"),
+        F.round(
+            F.col("n_uniq").cast("double") / F.nullif(nw, F.lit(0)), 6
+        ).alias("uniq_frac"),
+        wc_ok.alias("word_count_ok"),
+        ml_ok.alias("mean_len_ok"),
+        st_ok.alias("stop_ok"),
+        (wc_ok & ml_ok & st_ok).alias("passes_all"),
+    )
+
+
+@register(
+    "rep_ngram_fractions_q",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS_R10} AS ts FROM documents),
+    b AS (
+        SELECT doc_id,
+               list_aggregate(ts[i:i+1], 'string_agg', ' ') AS g
+        FROM t, LATERAL (SELECT unnest(range(1, len(ts))) AS i)
+        WHERE len(ts) >= 2
+    ),
+    g3 AS (
+        SELECT doc_id,
+               list_aggregate(ts[i:i+2], 'string_agg', ' ') AS g
+        FROM t, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i)
+        WHERE len(ts) >= 3
+    ),
+    top2 AS (SELECT doc_id, MAX(c) AS c2 FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM b GROUP BY doc_id, g)
+        GROUP BY doc_id),
+    top3 AS (SELECT doc_id, MAX(c) AS c3 FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g)
+        GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.ts) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(top2.c2, 0) AS BIGINT) AS top2_count,
+           CAST(COALESCE(top3.c3, 0) AS BIGINT) AS top3_count,
+           ROUND(CAST(2 * COALESCE(top2.c2, 0) AS DOUBLE)
+                 / NULLIF(len(t.ts), 0), 6) AS top2_frac,
+           ROUND(CAST(3 * COALESCE(top3.c3, 0) AS DOUBLE)
+                 / NULLIF(len(t.ts), 0), 6) AS top3_frac
+    FROM t LEFT JOIN top2 ON t.doc_id = top2.doc_id
+           LEFT JOIN top3 ON t.doc_id = top3.doc_id
+    """,
+)
+def rep_ngram_fractions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-n-gram repetition signals (Rae et al. 2021 Table A1): the
+    fraction of a doc's tokens covered by its single most frequent bigram
+    and trigram (the unigram case is ``repetition_ratio``). Near-1 values
+    mark looping/boilerplate text. Scale shape: n-grams come from pure
+    array expressions over the token array (whole-stage codegen, no
+    window, no self-join); each explode feeds one (doc_id, gram)
+    aggregation and the per-doc maxima join back doc-keyed. The guarded
+    ``when(size >= n)`` matters: Spark's ``sequence(1, 0)`` DESCENDS
+    rather than returning empty, so short docs must never reach it."""
+    d = Catalog(spark, sf_dir).documents
+    t = d.select("doc_id", _tokens_r10("text").alias("ts")).localCheckpoint(
+        eager=False
+    )
+    empty = F.array().cast("array<string>")
+
+    def grams(n: int):
+        return F.when(
+            F.size("ts") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - (n - 1)),
+                lambda i: F.array_join(F.slice("ts", i, n), " "),
+            ),
+        ).otherwise(empty)
+
+    def top(n: int, out: str):
+        return (
+            t.select("doc_id", F.explode(grams(n)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(F.max("c").alias(out))
+        )
+
+    base = t.select("doc_id", F.size("ts").alias("n_tokens"))
+    c2, c3 = F.col("top2_count"), F.col("top3_count")
+    nt = F.col("n_tokens")
+    return (
+        base.join(top(2, "c2"), "doc_id", "left")
+        .join(top(3, "c3"), "doc_id", "left")
+        .select(
+            "doc_id",
+            nt.cast("long").alias("n_tokens"),
+            F.coalesce(F.col("c2"), F.lit(0)).cast("long").alias("top2_count"),
+            F.coalesce(F.col("c3"), F.lit(0)).cast("long").alias("top3_count"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "top2_count",
+            "top3_count",
+            F.round(
+                (2 * c2).cast("double") / F.nullif(nt, F.lit(0)), 6
+            ).alias("top2_frac"),
+            F.round(
+                (3 * c3).cast("double") / F.nullif(nt, F.lit(0)), 6
+            ).alias("top3_frac"),
+        )
+    )
+
+
+@register(
+    "token_ngram_decontam_q",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS_R10} AS ts FROM documents),
+    g AS (
+        SELECT doc_id,
+               list_aggregate(ts[i:i+12], 'string_agg', ' ') AS g
+        FROM t, LATERAL (SELECT unnest(range(1, len(ts) - 11)) AS i)
+        WHERE len(ts) >= 13
+    ),
+    te AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 50 = 0),
+    tr AS (SELECT doc_id, g FROM g WHERE doc_id % 50 <> 0),
+    hits AS (
+        SELECT te.doc_id, COUNT(DISTINCT te.g) AS n_hits
+        FROM te JOIN tr ON te.g = tr.g
+        GROUP BY te.doc_id
+    ),
+    ng AS (SELECT doc_id, COUNT(DISTINCT g) AS n_grams FROM g
+           WHERE doc_id % 50 = 0 GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(COALESCE(ng.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(hits.n_hits, 0) > 0 AS is_contaminated
+    FROM t LEFT JOIN ng ON t.doc_id = ng.doc_id
+           LEFT JOIN hits ON t.doc_id = hits.doc_id
+    WHERE t.doc_id % 50 = 0
+    """,
+)
+def token_ngram_decontam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style train/test decontamination (Brown et al. 2020 app. C):
+    a held-out doc is contaminated if any of its 13-token-grams appears in
+    the training split. Emits EVERY test doc with its distinct-13-gram
+    count, hit count, and flag (the violations-only shape would be empty
+    at small scales and unverifiable — DETERMINISM.md rule). Scale shape:
+    the TEST gram set is benchmark-sized, so it broadcasts and the
+    training corpus streams past it — the train side is never globally
+    distinct-ed and never shuffles on the gram; the only shuffle is the
+    per-test-doc hit aggregation, bounded by |test grams|. At 100 TB,
+    swap the gram string for its poly_hash to shrink the broadcast."""
+    d = Catalog(spark, sf_dir).documents
+    t = d.select("doc_id", _tokens_r10("text").alias("ts"))
+    grams = F.when(
+        F.size("ts") >= 13,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ts") - 12),
+            lambda i: F.array_join(F.slice("ts", i, 13), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = t.select("doc_id", F.explode(grams).alias("g"))
+    te = (
+        g.filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("doc_id").alias("test_id"), "g")
+        .distinct()
+    )
+    tr = g.filter(F.col("doc_id") % 50 != 0).select("g")
+    hits = (
+        tr.join(F.broadcast(te), "g")
+        .groupBy("test_id")
+        .agg(F.count_distinct("g").alias("n_hits"))
+    )
+    ng = te.groupBy("test_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    base = d.filter(F.col("doc_id") % 50 == 0).select("doc_id")
+    return (
+        base.join(ng, base["doc_id"] == ng["test_id"], "left")
+        .drop("test_id")
+        .join(hits, base["doc_id"] == hits["test_id"], "left")
+        .drop("test_id")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias(
+                "is_contaminated"
+            ),
+        )
+    )

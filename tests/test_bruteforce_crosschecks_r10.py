@@ -1,0 +1,105 @@
+"""Third-implementation cross-checks for the round-10 additions.
+
+Same contract as the r6-r9 files: plain-Python recomputation, independent
+of both engines, so each query enters its driver window already
+triple-verified (Spark plan, DuckDB oracle, this replica).
+"""
+
+import re
+from collections import Counter
+
+import duckdb
+
+from iniz_exporters_spark.queries import REGISTRY
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+_GOPHER_STOPS = {"the", "a", "of", "to", "and", "in", "is", "it", "on", "for"}
+
+
+def _docs():
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+
+
+def _tok(text):
+    return [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+
+
+def test_gopher_rules_q_matches_bruteforce(spark):
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["gopher_rules_q"].fn(spark, SF_SMALL).collect()
+    }
+    seen = 0
+    for doc_id, text in _docs():
+        toks = _tok(text)
+        if not toks:
+            assert doc_id not in got
+            continue
+        seen += 1
+        n, sum_len = len(toks), sum(len(t) for t in toks)
+        n_stop = sum(1 for t in toks if t in _GOPHER_STOPS)
+        n_uniq = len(set(toks))
+        row = got[doc_id]
+        assert row["n_words"] == n
+        assert row["mean_word_len"] == round(sum_len / n, 6)
+        assert row["stop_frac"] == round(n_stop / n, 6)
+        assert row["uniq_frac"] == round(n_uniq / n, 6)
+        assert row["word_count_ok"] == (50 <= n <= 100000)
+        assert row["mean_len_ok"] == (3 * n <= sum_len <= 10 * n)
+        assert row["stop_ok"] == (n_stop >= 2)
+        assert row["passes_all"] == (
+            row["word_count_ok"] and row["mean_len_ok"] and row["stop_ok"]
+        )
+    assert len(got) == seen
+    # the rules must discriminate on this corpus, not rubber-stamp it
+    assert {r["passes_all"] for r in got.values()} == {True, False}
+
+
+def test_rep_ngram_fractions_q_matches_bruteforce(spark):
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["rep_ngram_fractions_q"].fn(spark, SF_SMALL).collect()
+    }
+    for doc_id, text in _docs():
+        toks = _tok(text)
+        row = got[doc_id]
+        assert row["n_tokens"] == len(toks)
+        c2 = Counter(zip(toks, toks[1:]))
+        c3 = Counter(zip(toks, toks[1:], toks[2:]))
+        top2 = max(c2.values()) if c2 else 0
+        top3 = max(c3.values()) if c3 else 0
+        assert row["top2_count"] == top2
+        assert row["top3_count"] == top3
+        if toks:
+            assert row["top2_frac"] == round(2 * top2 / len(toks), 6)
+            assert row["top3_frac"] == round(3 * top3 / len(toks), 6)
+
+
+def test_token_ngram_decontam_q_matches_bruteforce(spark):
+    train_grams = set()
+    test_grams = {}
+    for doc_id, text in _docs():
+        toks = _tok(text)
+        grams = {
+            " ".join(toks[i : i + 13]) for i in range(len(toks) - 12)
+        }
+        if doc_id % 50 == 0:
+            test_grams[doc_id] = grams
+        else:
+            train_grams |= grams
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["token_ngram_decontam_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(test_grams)
+    for doc_id, grams in test_grams.items():
+        row = got[doc_id]
+        hits = len(grams & train_grams)
+        assert row["n_grams"] == len(grams)
+        assert row["n_hits"] == hits
+        assert row["is_contaminated"] == (hits > 0)
