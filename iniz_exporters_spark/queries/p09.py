@@ -1108,3 +1108,152 @@ def token_ngram_decontam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "split_doc_boundary_q",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS_R10} AS ts FROM documents),
+    el AS (SELECT doc_id, ts FROM t WHERE len(ts) >= 3),
+    suf AS (SELECT doc_id,
+                   list_aggregate(ts[len(ts)-2:len(ts)], 'string_agg', ' ')
+                       AS g
+            FROM el),
+    pre AS (SELECT doc_id,
+                   list_aggregate(ts[1:3], 'string_agg', ' ') AS g
+            FROM el),
+    cont AS (SELECT suf.doc_id, COUNT(*) AS n_continuations
+             FROM suf JOIN pre ON suf.g = pre.g AND suf.doc_id <> pre.doc_id
+             GROUP BY suf.doc_id),
+    pred AS (SELECT pre.doc_id, COUNT(*) AS n_predecessors
+             FROM pre JOIN suf ON pre.g = suf.g AND pre.doc_id <> suf.doc_id
+             GROUP BY pre.doc_id)
+    SELECT t.doc_id,
+           CAST(COALESCE(cont.n_continuations, 0) AS BIGINT)
+               AS n_continuations,
+           CAST(COALESCE(pred.n_predecessors, 0) AS BIGINT)
+               AS n_predecessors,
+           (COALESCE(cont.n_continuations, 0)
+            + COALESCE(pred.n_predecessors, 0)) > 0 AS has_boundary_link
+    FROM t LEFT JOIN cont ON t.doc_id = cont.doc_id
+           LEFT JOIN pred ON t.doc_id = pred.doc_id
+    """,
+)
+def split_doc_boundary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-boundary split-document detection: doc A's trailing 3-gram
+    equaling doc B's leading 3-gram marks a candidate A->B continuation
+    (a document cut in two during corpus construction). Emits EVERY doc
+    with its continuation/predecessor counts and a flag (rule 11 — never
+    violations-only). Scale shape: each side reduces to ONE (doc_id,
+    boundary-gram) row per document, so the match join shuffles exactly
+    one row per doc on the gram key regardless of document length —
+    metadata-scale at any corpus size."""
+    d = Catalog(spark, sf_dir).documents
+    t = d.select("doc_id", _tokens_r10("text").alias("ts"))
+    el = t.filter(F.size("ts") >= 3)
+    suf = el.select(
+        "doc_id",
+        F.array_join(F.slice("ts", F.size("ts") - 2, 3), " ").alias("g"),
+    )
+    pre = el.select(
+        "doc_id", F.array_join(F.slice("ts", 1, 3), " ").alias("g")
+    )
+    cont = (
+        suf.alias("s")
+        .join(pre.alias("p"), "g")
+        .filter(F.col("s.doc_id") != F.col("p.doc_id"))
+        .groupBy(F.col("s.doc_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_continuations"))
+    )
+    pred = (
+        pre.alias("p")
+        .join(suf.alias("s"), "g")
+        .filter(F.col("p.doc_id") != F.col("s.doc_id"))
+        .groupBy(F.col("p.doc_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_predecessors"))
+    )
+    nc = F.coalesce(F.col("n_continuations"), F.lit(0))
+    np_ = F.coalesce(F.col("n_predecessors"), F.lit(0))
+    return (
+        t.select("doc_id")
+        .join(cont, "doc_id", "left")
+        .join(pred, "doc_id", "left")
+        .select(
+            "doc_id",
+            nc.cast("long").alias("n_continuations"),
+            np_.cast("long").alias("n_predecessors"),
+            ((nc + np_) > 0).alias("has_boundary_link"),
+        )
+    )
+
+
+@register(
+    "mixture_domain_weights_q",
+    f"""
+    WITH t AS (
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(len({_SQL_TOKENS_R10})) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total FROM t),
+    w AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE) / tot.total AS share,
+               CAST(CAST(pow(CAST(n_tokens AS DOUBLE) / tot.total, 0.3)
+                         AS DECIMAL(18,12)) AS DECIMAL(18,12)) AS w_raw
+        FROM t CROSS JOIN tot
+    ),
+    s AS (SELECT CAST(SUM(w_raw) AS DECIMAL(28,12)) AS wsum FROM w)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(share, 6) AS token_share,
+           ROUND(CAST(w_raw AS DOUBLE) / CAST(s.wsum AS DOUBLE), 6)
+               AS mix_weight
+    FROM w CROSS JOIN s
+    ORDER BY source
+    """,
+)
+def mixture_domain_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture sampling weights per source domain, the
+    alpha-smoothed multinomial of GPT-3/The Pile (weight proportional to
+    token_share^0.3 — upweights small domains, normalized to 1). The
+    pow() runs once per SOURCE (domain-cardinality, not corpus), and its
+    double output is quantized to DECIMAL(18,12) BEFORE the normalizing
+    sum so the sum is order-invariant across partitions/engines (a raw
+    double sum of the weights would be ulp-sensitive to partition order —
+    DETERMINISM.md rule 1 applied to a libm output). Scale shape: one
+    map-side-combining aggregation keyed on source; everything after is
+    domain-cardinality arithmetic."""
+    d = Catalog(spark, sf_dir).documents
+    t = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens_r10("text"))).alias("n_tokens"),
+    )
+    tot = t.agg(F.sum("n_tokens").cast("double").alias("total"))
+    w = t.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("total")).alias("share"),
+        F.pow(
+            F.col("n_tokens").cast("double") / F.col("total"), F.lit(0.3)
+        )
+        .cast("decimal(18,12)")
+        .alias("w_raw"),
+    )
+    s = w.agg(F.sum("w_raw").cast("decimal(28,12)").alias("wsum"))
+    return (
+        w.crossJoin(F.broadcast(s))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round("share", 6).alias("token_share"),
+            F.round(
+                F.col("w_raw").cast("double") / F.col("wsum").cast("double"),
+                6,
+            ).alias("mix_weight"),
+        )
+        .orderBy("source")
+    )

@@ -103,3 +103,76 @@ def test_token_ngram_decontam_q_matches_bruteforce(spark):
         assert row["n_grams"] == len(grams)
         assert row["n_hits"] == hits
         assert row["is_contaminated"] == (hits > 0)
+
+
+def test_split_doc_boundary_q_matches_bruteforce(spark):
+    sufs, pres = {}, {}
+    all_ids = []
+    for doc_id, text in _docs():
+        toks = _tok(text)
+        all_ids.append(doc_id)
+        if len(toks) >= 3:
+            sufs[doc_id] = " ".join(toks[-3:])
+            pres[doc_id] = " ".join(toks[:3])
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["split_doc_boundary_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(all_ids)
+    link_total = 0
+    for doc_id in all_ids:
+        n_cont = sum(
+            1
+            for other, p in pres.items()
+            if other != doc_id and sufs.get(doc_id) == p
+        ) if doc_id in sufs else 0
+        n_pred = sum(
+            1
+            for other, s in sufs.items()
+            if other != doc_id and pres.get(doc_id) == s
+        ) if doc_id in pres else 0
+        row = got[doc_id]
+        assert row["n_continuations"] == n_cont
+        assert row["n_predecessors"] == n_pred
+        assert row["has_boundary_link"] == (n_cont + n_pred > 0)
+        link_total += n_cont
+    assert link_total > 0  # the probe found 8 at sf0.001; keep it honest
+
+
+def test_mixture_domain_weights_q_matches_bruteforce(spark):
+    from decimal import Decimal
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT source, text FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall()
+    docs, toks = {}, {}
+    for source, text in rows:
+        docs[source] = docs.get(source, 0) + 1
+        toks[source] = toks.get(source, 0) + len(_tok(text))
+    total = sum(toks.values())
+    w_raw = {
+        s: Decimal(str(round((t / total) ** 0.3, 12))).quantize(
+            Decimal("1.000000000000")
+        )
+        for s, t in toks.items()
+    }
+    wsum = sum(w_raw.values())
+    got = {
+        r["source"]: r
+        for r in REGISTRY["mixture_domain_weights_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert set(got) == set(docs)
+    for s in docs:
+        row = got[s]
+        assert row["n_docs"] == docs[s]
+        assert row["n_tokens"] == toks[s]
+        assert row["token_share"] == round(toks[s] / total, 6)
+        assert row["mix_weight"] == round(float(w_raw[s]) / float(wsum), 6)
+    # small domains upweighted relative to token share
+    shares = {s: toks[s] / total for s in toks}
+    small = min(shares, key=shares.get)
+    assert got[small]["mix_weight"] > got[small]["token_share"]
