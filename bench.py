@@ -278,10 +278,14 @@ def main() -> None:
     # at tmp_path; only the driver's own bench run writes the default.
     detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL")
     # Role stamp (VERDICT r9 #7): make the artifact pair being compared
-    # self-describing. The driver's per-round run is the only one that
-    # writes the committed default artifact (sf0.1, no detail override);
-    # everything else is a self/idle probe. Overridable for the committed
-    # idle-reference runs (BENCH_SELF_r*.json set role=self-idle).
+    # self-describing. The stamp records PROVENANCE — which path the
+    # artifact was written to — not the machine's load profile: a local
+    # default-config run on a loaded box still stamps 'driver' (and
+    # overwrites BENCH_DETAIL.json — prefer SPARK_GRAFT_BENCH_DETAIL for
+    # probes). bench_compare therefore prints each side's recorded
+    # loadavg next to the roles; judge load from that, not the role.
+    # Overridable via SPARK_GRAFT_BENCH_ROLE (the committed idle
+    # references BENCH_SELF_r*.json set role=self-idle).
     role = os.environ.get("SPARK_GRAFT_BENCH_ROLE") or (
         "driver" if (not detail_path and sf_val == 0.1) else "self"
     )

@@ -65,8 +65,9 @@ class Catalog:
         """
         import pyspark.sql.functions as F
 
-        from py4j.protocol import Py4JJavaError
         from pyspark.errors import AnalysisException
+
+        from iniz_exporters_spark.session import Py4JJavaError
 
         path = os.path.join(self.base, f"{name}.parquet")
         try:

@@ -1081,10 +1081,16 @@ def token_ngram_decontam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     g = t.select("doc_id", F.explode(grams).alias("g"))
+    # the test-split gram set is read three times (ng, the broadcast join
+    # build, the base outline) — pin it so the test docs tokenize once
+    # (the r10 review measured 4 FileScans without). The TRAIN side stays
+    # UNPINNED deliberately: it streams once, and checkpointing the
+    # corpus-scale gram stream would materialize ~13× the corpus bytes.
     te = (
         g.filter(F.col("doc_id") % 50 == 0)
         .select(F.col("doc_id").alias("test_id"), "g")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     tr = g.filter(F.col("doc_id") % 50 != 0).select("g")
     hits = (
@@ -1150,14 +1156,23 @@ def split_doc_boundary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-scale at any corpus size."""
     d = Catalog(spark, sf_dir).documents
     t = d.select("doc_id", _tokens_r10("text").alias("ts"))
-    el = t.filter(F.size("ts") >= 3)
-    suf = el.select(
-        "doc_id",
-        F.array_join(F.slice("ts", F.size("ts") - 2, 3), " ").alias("g"),
+    # ONE tokenizing scan: both boundary grams come out of the same pass
+    # and the (doc_id, 2 short strings) frame is pinned — without it the
+    # cont/pred branches re-tokenize the corpus once each per side
+    # (measured 5 FileScans; the r10 review caught it)
+    sp = (
+        t.filter(F.size("ts") >= 3)
+        .select(
+            "doc_id",
+            F.array_join(F.slice("ts", F.size("ts") - 2, 3), " ").alias(
+                "suf_g"
+            ),
+            F.array_join(F.slice("ts", 1, 3), " ").alias("pre_g"),
+        )
+        .localCheckpoint(eager=False)
     )
-    pre = el.select(
-        "doc_id", F.array_join(F.slice("ts", 1, 3), " ").alias("g")
-    )
+    suf = sp.select("doc_id", F.col("suf_g").alias("g"))
+    pre = sp.select("doc_id", F.col("pre_g").alias("g"))
     cont = (
         suf.alias("s")
         .join(pre.alias("p"), "g")
@@ -1226,10 +1241,13 @@ def mixture_domain_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combining aggregation keyed on source; everything after is
     domain-cardinality arithmetic."""
     d = Catalog(spark, sf_dir).documents
+    # pinned: t feeds tot, w, s, and the final select — without the pin
+    # the corpus tokenize+agg re-runs once per consumer (the r10 review
+    # measured 4 FileScans). After the agg this is domain-cardinality.
     t = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(_tokens_r10("text"))).alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=False)
     tot = t.agg(F.sum("n_tokens").cast("double").alias("total"))
     w = t.crossJoin(F.broadcast(tot)).select(
         "source",

@@ -18,9 +18,16 @@ from __future__ import annotations
 
 import os
 
-from py4j.protocol import Py4JJavaError
 from pyspark.errors import AnalysisException
 from pyspark.sql import SparkSession
+
+try:
+    from py4j.protocol import Py4JJavaError
+except ImportError:  # Spark Connect images ship no py4j; the narrowed
+    # except-sites must still import (they then catch AnalysisException
+    # only, and _jdf-style access failures propagate as designed)
+    class Py4JJavaError(Exception):
+        """Placeholder: never raised when py4j is absent."""
 
 DEFAULT_SHUFFLE_PARTITIONS = "32"
 

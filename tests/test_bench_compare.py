@@ -43,29 +43,36 @@ def _artifact(queries, canary_post=None, spread=None):
     return d
 
 
+_FIVE = ["q_a", "q_b", "q_c", "q_d", "q_e"]
+
+
 def test_uniform_machine_shift_reads_as_noise(tmp_path):
-    """Every query +50% but the canary also +50%: the normalized delta is
-    ~0, so nothing is SIGNAL — this is exactly the r8 +24% situation."""
-    old = _artifact({"q_a": 1.0, "q_b": 2.0}, canary_post=0.2,
-                    spread={"q_a": 10.0, "q_b": 10.0})
-    new = _artifact({"q_a": 1.5, "q_b": 3.0}, canary_post=0.3,
-                    spread={"q_a": 10.0, "q_b": 10.0})
+    """Every query +50% and the canary also +50%: median shift absorbs it,
+    nothing is SIGNAL — this is exactly the r8 +24% situation."""
+    old = _artifact({q: 1.0 + i for i, q in enumerate(_FIVE)},
+                    canary_post=0.2, spread={q: 10.0 for q in _FIVE})
+    new = _artifact({q: (1.0 + i) * 1.5 for i, q in enumerate(_FIVE)},
+                    canary_post=0.3, spread={q: 10.0 for q in _FIVE})
     out = run_compare(tmp_path, old, new)
     assert "machine ratio new/old: 1.500" in out
     assert "SIGNAL" not in out
-    assert out.count("noise/machine") == 2
+    assert out.count("noise/machine") == 5
 
 
 def test_real_regression_survives_normalization(tmp_path):
-    """One query +100% on an unchanged machine (canary flat): SIGNAL."""
-    old = _artifact({"q_a": 1.0, "q_b": 2.0}, canary_post=0.2,
-                    spread={"q_a": 10.0, "q_b": 10.0})
-    new = _artifact({"q_a": 2.0, "q_b": 2.02}, canary_post=0.2,
-                    spread={"q_a": 10.0, "q_b": 10.0})
+    """One query +100% among four flat ones on an unchanged machine
+    (canary flat): only the regressed one is SIGNAL."""
+    old = _artifact({q: 1.0 for q in _FIVE}, canary_post=0.2,
+                    spread={q: 10.0 for q in _FIVE})
+    new_q = {q: 1.01 for q in _FIVE}
+    new_q["q_a"] = 2.0
+    new = _artifact(new_q, canary_post=0.2,
+                    spread={q: 10.0 for q in _FIVE})
     out = run_compare(tmp_path, old, new)
     lines = {l.split()[0]: l for l in out.splitlines() if l.startswith("q_")}
     assert "SIGNAL" in lines["q_a"]
-    assert "noise/machine" in lines["q_b"]
+    for q in _FIVE[1:]:
+        assert "noise/machine" in lines[q]
 
 
 def test_delta_within_spread_is_noise_even_with_flat_canary(tmp_path):
@@ -76,13 +83,17 @@ def test_delta_within_spread_is_noise_even_with_flat_canary(tmp_path):
 
 
 def test_pre_canary_artifacts_use_median_shift_only(tmp_path):
-    """r1-r8 artifacts have no canary: the tool says so and normalizes by
-    the median shift alone (a single query's shift is its own ratio, so
-    its normalized delta is 0 — raw-only judgement)."""
-    old = _artifact({"q_a": 1.0})
-    new = _artifact({"q_a": 1.5}, canary_post=0.2)
+    """r1-r8 artifacts have no canary: with enough shared queries the tool
+    says the median shift is the only normalizer; with too few it says raw
+    is all there is."""
+    old = _artifact({q: 1.0 for q in _FIVE})
+    new = _artifact({q: 1.5 for q in _FIVE}, canary_post=0.2)
     out = run_compare(tmp_path, old, new)
     assert "median shift is the only normalizer" in out
+    out2 = run_compare(
+        tmp_path, _artifact({"q_a": 1.0}), _artifact({"q_a": 1.5})
+    )
+    assert "raw is all there is" in out2
 
 
 def test_driver_and_self_artifact_shapes_load(tmp_path):
@@ -112,9 +123,20 @@ def test_tied_deltas_with_mixed_spread_availability_dont_crash(tmp_path):
     disagreement must trigger the loud global-shift warning, because it is
     exactly the ambiguous pattern (load the canary missed, or a global
     regression) the tool cannot adjudicate alone."""
-    old = _artifact({"q_a": 1.0, "q_b": 1.0}, canary_post=0.2,
+    old = _artifact({q: 1.0 for q in _FIVE}, canary_post=0.2,
                     spread={"q_a": 5.0})
-    new = _artifact({"q_a": 1.5, "q_b": 1.5}, canary_post=0.2)
+    new = _artifact({q: 1.5 for q in _FIVE}, canary_post=0.2)
     out = run_compare(tmp_path, old, new)
     assert "SIGNAL" not in out
     assert "canary and median shift disagree" in out
+
+
+def test_small_overlap_compares_raw_only(tmp_path):
+    """One shared query: the median shift would be that query's own ratio
+    (norm delta identically 0 — a 10x regression would read as noise), so
+    the tool must fall back to raw-only and flag the regression."""
+    old = _artifact({"q_a": 1.0}, canary_post=0.2, spread={"q_a": 10.0})
+    new = _artifact({"q_a": 10.0}, canary_post=0.2, spread={"q_a": 10.0})
+    out = run_compare(tmp_path, old, new)
+    assert "machine shift NOT estimable" in out
+    assert "SIGNAL" in out

@@ -11,10 +11,13 @@ from collections import Counter
 import duckdb
 
 from iniz_exporters_spark.queries import REGISTRY
+from iniz_exporters_spark.queries.p09 import _GOPHER_STOPS as _STOPS_TUPLE
 
 SF_SMALL = "/root/testdata/sf0.001"
 
-_GOPHER_STOPS = {"the", "a", "of", "to", "and", "in", "is", "it", "on", "for"}
+# import the canonical list so the replica can't silently diverge from
+# the query's stoplist
+_GOPHER_STOPS = set(_STOPS_TUPLE)
 
 
 def _docs():

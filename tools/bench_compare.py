@@ -45,6 +45,11 @@ import sys
 # distinguishable from process-level noise regardless of recorded spread.
 CROSS_RUN_FLOOR_PCT = 18.0
 
+# Minimum shared-query overlap for the median to act as a machine-shift
+# estimator; below this the tool compares RAW-ONLY (shift = 1.0) and says
+# so, instead of letting a tiny overlap's own ratios cancel themselves.
+MIN_SHARED_FOR_SHIFT = 5
+
 
 def load(path: str) -> dict:
     raw = json.load(open(path))
@@ -83,25 +88,44 @@ def main() -> None:
     spread = {**old.get("spread_pct", {}), **new.get("spread_pct", {})}
 
     # machine-shift estimate: low median of per-query ratios (robust to
-    # the few queries that genuinely changed; see module docstring)
+    # the few queries that genuinely changed; see module docstring).
+    # The median is only a machine estimator when MOST shared queries are
+    # unchanged — below MIN_SHARED_FOR_SHIFT the shift would just be some
+    # query's own ratio (one shared query ⇒ its norm delta is identically
+    # 0 and a 10× regression reads as noise), so fall back to raw-only.
     ratios = sorted(qn[k] / max(qo[k], 1e-9) for k in shared)
-    ratio = ratios[(len(ratios) - 1) // 2]
+    ratio = (
+        ratios[(len(ratios) - 1) // 2]
+        if len(shared) >= MIN_SHARED_FOR_SHIFT
+        else 1.0
+    )
 
     total_o = sum(qo[k] for k in shared)
     total_n = sum(qn[k] for k in shared)
     # Role stamp (VERDICT r9 #7): say which kind of artifact each side is,
-    # so a driver-vs-self comparison is visibly apples-to-oranges.
+    # so a driver-vs-self comparison is visibly apples-to-oranges. The
+    # role records WHERE the artifact was written (driver = committed
+    # default path), not the machine's load — so print each side's
+    # recorded loadavg too; same-role rows can still differ wildly there.
+    def _load1(d):
+        c = d.get("canary") or {}
+        return c.get("loadavg_1m", "?")
+
     ro, rn = old.get("role", "unknown"), new.get("role", "unknown")
-    print(f"roles: old={ro}  new={rn}"
+    print(f"roles: old={ro} (load {_load1(old)})  new={rn} (load {_load1(new)})"
           + ("  [WARNING: mixed roles — load profiles differ]"
              if ro != rn and "unknown" not in (ro, rn) else ""))
     print(f"shared queries: {len(shared)}")
     print(f"total: {total_o:.2f}s -> {total_n:.2f}s "
           f"({(total_n - total_o) / total_o:+.1%} raw)")
-    print(f"median-of-ratios machine shift new/old: {ratio:.3f} "
-          f"(over {len(shared)} shared queries)")
-    print(f"shift-normalized total delta: "
-          f"{(total_n / ratio - total_o) / total_o:+.1%}")
+    if len(shared) >= MIN_SHARED_FOR_SHIFT:
+        print(f"median-of-ratios machine shift new/old: {ratio:.3f} "
+              f"(over {len(shared)} shared queries)")
+        print(f"shift-normalized total delta: "
+              f"{(total_n / ratio - total_o) / total_o:+.1%}")
+    else:
+        print(f"only {len(shared)} shared queries (<{MIN_SHARED_FOR_SHIFT}):"
+              " machine shift NOT estimable — RAW deltas only")
     if canary_ratio:
         print(f"canary(post) machine ratio new/old: {canary_ratio:.3f} "
               f"({co:.3f}s -> {cn:.3f}s)")
@@ -113,7 +137,9 @@ def main() -> None:
                   "before trusting either normalization.")
     else:
         print("canary: absent in at least one artifact (pre-r9) — "
-              "median shift is the only normalizer here")
+              + ("median shift is the only normalizer here"
+                 if len(shared) >= MIN_SHARED_FOR_SHIFT
+                 else "and no median shift either; raw is all there is"))
 
     rows = []
     for k in shared:
@@ -131,19 +157,24 @@ def main() -> None:
             and (norm_d > 0) == (raw_d > 0)
         )
         rows.append((raw_d, norm_d, sp, signal, k))
-    # explicit key: norm_d/sp may be None and None<float TypeErrors under
-    # tuple comparison when raw deltas tie
+    # explicit key: sp may be None and None<float TypeErrors under tuple
+    # comparison when raw deltas tie
     rows.sort(key=lambda r: r[0], reverse=True)
     print(f"{'query':30s} {'raw':>8s} {'norm':>8s} {'spread%':>8s}  verdict")
     for raw_d, norm_d, sp, signal, k in rows:
-        nd = f"{norm_d:+.1%}" if norm_d is not None else "n/a"
         sps = f"{sp:.1f}" if sp is not None else "n/a"
         verdict = "SIGNAL" if signal else "noise/machine"
-        print(f"{k:30s} {raw_d:+8.1%} {nd:>8s} {sps:>8s}  {verdict}")
+        print(f"{k:30s} {raw_d:+8.1%} {norm_d:+8.1%} {sps:>8s}  {verdict}")
 
 
 if __name__ == "__main__":
     try:
         main()
     except BrokenPipeError:
-        pass  # output piped into head/less that closed early — not an error
+        # output piped into head/less that closed early — not an error.
+        # Point stdout at devnull so the interpreter's exit-time flush of
+        # the dead pipe doesn't raise a second time (stderr noise, exit
+        # code 120, broken `&&` chains).
+        import os
+
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
