@@ -78,6 +78,12 @@ _SLOPE_EXTRA = [
 ]
 
 
+# Slope readings at or above this get one re-measurement at both scales
+# (min kept). 2.3 sits above the noise band of genuinely-linear entries
+# (~1-2.2) and below the sustained super-linear readings the radar hunts.
+SLOPE_RECHECK_THRESHOLD = 2.3
+
+
 def _canary_scan_path(sf_dir: str) -> str:
     """The scan probe's fixed path: sf0.01 lineitem next to the configured
     SF dir (same bytes every round → comparable across rounds). When that
@@ -253,6 +259,26 @@ def main() -> None:
                 "ratio": round(t_big / max(t_small, 1e-3), 2),
                 "extra": 1,
             }
+        # Adaptive second pass (r10): single-pass ratios swing ±40%
+        # run-to-run on this box (group_concat_ordered read 2.67 then
+        # 3.88 across two same-code runs), so a bad-looking first reading
+        # is re-measured once at BOTH scales and the per-scale MIN kept —
+        # a one-sided re-run would bias the ratio down. Only flagged
+        # entries pay the extra passes, so radar cost stays ~flat.
+        for name, s in slope.items():
+            if s["ratio"] < SLOPE_RECHECK_THRESHOLD:
+                continue
+            spec = headline.get(name) or REGISTRY.get(name)
+            t0 = time.perf_counter()
+            run(spec, sf_dir)
+            t_big2 = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            run(spec, small_dir)
+            t_small2 = round(time.perf_counter() - t0, 3)
+            s["sf_big"] = min(s["sf_big"], t_big2)
+            s["sf_small"] = min(s["sf_small"], t_small2)
+            s["ratio"] = round(s["sf_big"] / max(s["sf_small"], 1e-3), 2)
+            s["rechecked"] = 1
         detail["slope"] = slope
         detail["slope_sf_small"] = float(small_dir.rsplit("sf", 1)[-1])
 
