@@ -56,6 +56,31 @@ from iniz_exporters_spark.session import tune_for_session
 # ≤ 49, i.e. never more than one window of un-seated debt. Enforced by
 # tests/test_registry_growth_cap.py against the committed CORRECTNESS_r*.json
 # artifacts; new registrations beyond the cap must wait a round.
+# Round-11 rotation: the 44 remaining never-driver-checked names in
+# registration order (precomputed at r10 close — PERFORMANCE.md
+# "§driver-window — r11 rotation list"; re-derived at r11 open from the
+# committed CORRECTNESS_r01-r10 artifacts). Seating this window drains
+# the ledger completely: 394 cumulative driver-checked + 44 = 438 = the
+# whole registry at r10 close. Every name re-swept green at
+# sf0.001/0.01/0.1 within round 10 (the five r10 additions triple-gated
+# at registration). Up to 5 new r11 registrations may ride in the spare
+# slots (44 + q1 = 45 of 50) once pre-swept to the same standard.
+_R11_WINDOW = [
+    "poissonness_q", "tost_q", "smd_balance_q", "process_capability_q",
+    "ewma_control_q", "variance_components_q", "empirical_bayes_q",
+    "ipw_ate_q", "clustering_null_q", "rolling_beta_q",
+    "mantel_haenszel_q", "shift_share_q", "enrichment_q", "littles_law_q",
+    "shift_function_q", "attributable_risk_q", "mediation_q", "rdd_q",
+    "chow_test_q", "xbar_r_q", "box_counting_q", "capture_recapture_q",
+    "chao1_q", "gini_split_q", "kendall_w_q", "vif_q", "risk_adjusted_q",
+    "weekday_effect_q", "median_polish_q", "oaxaca_blinder_q",
+    "knee_point_q", "cochran_q_test", "robust_shape_q",
+    "audience_stability_q", "median_test_q", "winsor_effect_q",
+    "simpson_paradox_q", "u_chart_q", "copeland_q", "gopher_rules_q",
+    "rep_ngram_fractions_q", "token_ngram_decontam_q",
+    "split_doc_boundary_q", "mixture_domain_weights_q",
+]
+
 _R10_WINDOW = [
     "collocation_llr_q", "drawdown_q", "herfindahl_q", "abc_analysis_q",
     "price_index_q", "energy_distance_q", "wasserstein_q", "cvar_q",
@@ -170,7 +195,7 @@ _R6_WINDOW = [
 
 # Kept for provenance / test compatibility: the live window always binds to
 # the newest list.
-_WINDOW = _R10_WINDOW
+_WINDOW = _R11_WINDOW
 
 
 def _ordered_names() -> list[str]:

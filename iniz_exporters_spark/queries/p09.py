@@ -870,13 +870,21 @@ _SQL_STOPS = "('" + "', '".join(_GOPHER_STOPS) + "')"
     "gopher_rules_q",
     f"""
     WITH t AS (SELECT doc_id, unnest({_SQL_TOKENS_R10}) AS w FROM documents),
-    ag AS (
+    ga AS (
         SELECT doc_id,
                COUNT(*) AS n_words,
                SUM(length(w)) AS sum_len,
                COUNT(DISTINCT w) AS n_uniq,
                SUM(CASE WHEN w IN {_SQL_STOPS} THEN 1 ELSE 0 END) AS n_stop
         FROM t GROUP BY doc_id
+    ),
+    ag AS (
+        SELECT d.doc_id,
+               COALESCE(ga.n_words, 0) AS n_words,
+               COALESCE(ga.sum_len, 0) AS sum_len,
+               COALESCE(ga.n_uniq, 0) AS n_uniq,
+               COALESCE(ga.n_stop, 0) AS n_stop
+        FROM documents d LEFT JOIN ga ON d.doc_id = ga.doc_id
     )
     SELECT doc_id,
            CAST(n_words AS BIGINT) AS n_words,
@@ -887,7 +895,8 @@ _SQL_STOPS = "('" + "', '".join(_GOPHER_STOPS) + "')"
            ROUND(CAST(n_uniq AS DOUBLE) / NULLIF(n_words, 0), 6)
                AS uniq_frac,
            n_words BETWEEN 50 AND 100000 AS word_count_ok,
-           (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+           (n_words > 0
+            AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
                AS mean_len_ok,
            n_stop >= 2 AS stop_ok,
            (n_words BETWEEN 50 AND 100000
@@ -902,11 +911,15 @@ def gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean word length in [3, 10], and >= 2 stopwords present. Per-doc flags
     plus the measured ratios; every flag compares INTEGERS (mean-length
     bounds as 3n <= sum_len <= 10n) so no float rounding reaches a
-    boolean. Scale shape: token explode -> ONE map-side-combining
-    aggregation keyed on doc_id; token rows carry (doc_id, token) only."""
+    boolean. Every doc is emitted — zero-token docs left-join back with
+    n_words=0 and passes_all=false (ADVICE r10: the explode path must not
+    let an empty/garbage doc slip past the gate unflagged; matches the
+    repo's emit-every-doc rule). Scale shape: token explode -> ONE
+    map-side-combining aggregation keyed on doc_id, then a doc_id-keyed
+    left join back to the narrow doc_id spine."""
     d = Catalog(spark, sf_dir).documents
     t = d.select("doc_id", F.explode(_tokens_r10("text")).alias("w"))
-    ag = t.groupBy("doc_id").agg(
+    ga = t.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum(F.length("w")).alias("sum_len"),
         F.count_distinct("w").alias("n_uniq"),
@@ -914,9 +927,20 @@ def gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("w").isin(*_GOPHER_STOPS), 1).otherwise(0)
         ).alias("n_stop"),
     )
+    ag = d.select("doc_id").join(ga, "doc_id", "left").select(
+        "doc_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c)
+            for c in ("n_words", "sum_len", "n_uniq", "n_stop")
+        ],
+    )
     nw = F.col("n_words")
     wc_ok = (nw >= 50) & (nw <= 100000)
-    ml_ok = (F.col("sum_len") >= 3 * nw) & (F.col("sum_len") <= 10 * nw)
+    ml_ok = (
+        (nw > 0)
+        & (F.col("sum_len") >= 3 * nw)
+        & (F.col("sum_len") <= 10 * nw)
+    )
     st_ok = F.col("n_stop") >= 2
     return ag.select(
         "doc_id",

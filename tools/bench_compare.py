@@ -129,7 +129,10 @@ def main() -> None:
     if canary_ratio:
         print(f"canary(post) machine ratio new/old: {canary_ratio:.3f} "
               f"({co:.3f}s -> {cn:.3f}s)")
-        if abs(canary_ratio - ratio) > 0.10:
+        # Only meaningful when a median shift was actually estimated —
+        # in raw-only mode ``ratio`` is the 1.0 placeholder and comparing
+        # the canary against it would fabricate a disagreement (ADVICE r10).
+        if len(shared) >= MIN_SHARED_FOR_SHIFT and abs(canary_ratio - ratio) > 0.10:
             print("WARNING: canary and median shift disagree by "
                   f"{abs(canary_ratio - ratio):.2f} — either sustained "
                   "load the canary missed, or a GLOBAL regression/win the "
