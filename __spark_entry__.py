@@ -79,6 +79,10 @@ _R11_WINDOW = [
     "simpson_paradox_q", "u_chart_q", "copeland_q", "gopher_rules_q",
     "rep_ngram_fractions_q", "token_ngram_decontam_q",
     "split_doc_boundary_q", "mixture_domain_weights_q",
+    # round-11 additions riding the spare slots (44 + these + q1 = 47 of
+    # 50), pre-swept green at sf0.001/0.01/0.1 + bruteforce replica
+    # before seating, per the same standard as every prior window
+    "bff_dedup_q", "chunk_dedup_q",
 ]
 
 _R10_WINDOW = [

@@ -22,6 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from iniz_exporters_spark.functions.text import poly_hash, tokens
+from iniz_exporters_spark.session import spread_for_kernel
 
 
 def doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -99,7 +100,11 @@ def duplicate_spans(
     the group stage. At corpus scale this is the candidate generator for
     span-level dedup: join the flagged hashes back to trim or drop spans.
     """
-    toks = df.select(
+    # tokenize+shingle+hash is the CPU kernel here (Catalyst-side, but
+    # still ~10 µs/row of fold work): a small single-file input plans as
+    # ONE scan split and would serialize it — spread it across the cores;
+    # production-scale inputs pass through untouched.
+    toks = spread_for_kernel(df.select(id_col, text_col)).select(
         id_col, tokens(text_col).alias("__t")
     ).filter(F.size("__t") >= span)
     hashes = F.transform(
@@ -141,7 +146,10 @@ def span_dedup_counts(
     (id, pos, hash) rows ever shuffle — never text — and the flagged-hash
     frame is duplicate-count-sized.
     """
-    toks = df.select(
+    # same kernel-spread rationale as duplicate_spans: a single-split scan
+    # serializes the shingle+hash fold onto one core (measured: 2.3 s of
+    # the query's 3.1 s sf0.1 wall before the spread)
+    toks = spread_for_kernel(df.select(id_col, text_col)).select(
         id_col, tokens(text_col).alias("__t")
     )
     spans = (
@@ -166,35 +174,46 @@ def span_dedup_counts(
         # and hash fold run twice (the unigram_logprob vocab pattern)
         .localCheckpoint()
     )
-    flagged = (
-        spans.groupBy("h")
-        .agg(F.count_distinct(id_col).alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select("h")
-    )
-    # Coverage = |union of intervals [pos, pos+span-1]| per doc, computed
-    # by island detection over the (unique) positions instead of exploding
-    # every interval to `span` position rows and de-duplicating: the old
-    # explode+distinct shuffled span× more rows through TWO exchanges and
-    # was the suite's worst cross-scale slope (3.27 at 10× data). One
-    # window shuffle on doc id (positions are unique per doc, so the order
-    # is total and the result partition-invariant), then interval lengths
-    # sum per island: an occurrence starts a new island iff its start lies
-    # past the running max end of all earlier intervals.
+    if min_docs == 2:
+        # "appears in >= 2 distinct docs" needs no distinct count:
+        # min(id) != max(id) is equivalent and plans as a plain two-phase
+        # hash aggregate (map-side combine, one exchange on h) instead of
+        # the distinct-aggregate rewrite's extra (h, id) exchange.
+        flagged = (
+            spans.groupBy("h")
+            .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+            .filter(F.col("__lo") != F.col("__hi"))
+            .select("h")
+        )
+    else:
+        flagged = (
+            spans.groupBy("h")
+            .agg(F.count_distinct(id_col).alias("__nd"))
+            .filter(F.col("__nd") >= min_docs)
+            .select("h")
+        )
+    # Coverage = |union of intervals [pos, pos+span-1]| per doc. All
+    # intervals share one length and per-doc positions are unique, so in
+    # pos order each occurrence's end strictly exceeds its predecessor's:
+    # the running max end IS the previous row's end, and the fresh cells
+    # an occurrence adds are min(span, pos - lag(pos)). That collapses the
+    # old island detection (running-max window + per-island groupBy + per-
+    # doc groupBy: three exchanges after the join) to ONE lag window and
+    # ONE groupBy on the id the window already partitioned by — Catalyst
+    # reuses the hashpartitioning(id) exchange, so the whole coverage leg
+    # is a single shuffle. (The explode-every-position + distinct variant
+    # before that shuffled span× more rows; see the r8 slope incident.)
     occ = spans.join(flagged, "h").select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
-    prev_end = F.max(F.col("pos") + (span - 1)).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
+    fresh = F.least(
+        F.lit(span), F.col("pos") - F.lag("pos", 1).over(w)
     )
-    island = F.sum(
-        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
-    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
     covered = (
-        occ.select(id_col, F.col("pos"), island.alias("__isl"))
-        .groupBy(id_col, "__isl")
-        .agg((F.max("pos") - F.min("pos") + span).alias("__clen"))
+        occ.select(
+            id_col, F.coalesce(fresh, F.lit(span)).alias("__fresh")
+        )
         .groupBy(id_col)
-        .agg(F.sum("__clen").alias("__ncov"))
+        .agg(F.sum("__fresh").alias("__ncov"))
     )
     return (
         toks.select(id_col, F.size("__t").alias("n_tokens"))

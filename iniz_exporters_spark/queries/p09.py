@@ -1299,3 +1299,220 @@ def mixture_domain_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 additions: duplicate-removal ACCOUNTING in the two shapes the
+# published pipelines actually deploy — Dolma's Bloom-filter dedup (Soldaini
+# et al. 2024 §2.3, first-occurrence-wins over 13-grams; exact variant here
+# so the oracle is deterministic) and C4's paragraph-level exact dedup
+# (Raffel et al. 2020 §2.2, keep-first over text chunks). Both emit EVERY
+# doc (violations-only would be unverifiable at small scales), every ratio
+# is ROUND(CAST/CAST, 6), and every flag decision is pure integer
+# arithmetic. Registered at the chunk end per the growth protocol.
+# ---------------------------------------------------------------------------
+from iniz_exporters_spark.session import spread_for_kernel as _spread_r11  # noqa: E402
+
+
+@register(
+    "bff_dedup_q",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS_R10} AS ts FROM documents),
+    gr AS (
+        SELECT doc_id,
+               list_aggregate(ts[i:i+12], 'string_agg', ' ') AS g
+        FROM t, LATERAL (SELECT unnest(range(1, len(ts) - 11)) AS i)
+        WHERE len(ts) >= 13
+    ),
+    own AS (SELECT g, MIN(doc_id) AS owner FROM gr GROUP BY g),
+    ag AS (
+        SELECT gr.doc_id,
+               COUNT(*) AS n_grams,
+               SUM(CASE WHEN own.owner < gr.doc_id THEN 1 ELSE 0 END)
+                   AS n_dup
+        FROM gr JOIN own ON gr.g = own.g
+        GROUP BY gr.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(ag.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(ag.n_dup, 0) AS BIGINT) AS n_dup,
+           ROUND(CAST(COALESCE(ag.n_dup, 0) AS DOUBLE)
+                 / NULLIF(COALESCE(ag.n_grams, 0), 0), 6) AS dup_frac,
+           (COALESCE(ag.n_grams, 0) > 0
+            AND 5 * COALESCE(ag.n_dup, 0) >= 4 * COALESCE(ag.n_grams, 0))
+               AS drop_flag
+    FROM t LEFT JOIN ag ON t.doc_id = ag.doc_id
+    """,
+)
+def bff_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma BFF dedup accounting (Soldaini et al. 2024 §2.3), exact
+    variant: scanning docs in doc_id order, a 13-gram occurrence is a
+    duplicate iff some earlier doc already contains that gram; a doc is
+    dropped when >= 80% of its gram occurrences are duplicates (the 4/5
+    test is integer: 5*n_dup >= 4*n_grams). The probabilistic filter is
+    replaced by the exact first-owner (min doc_id per gram) so both
+    engines agree bit-for-bit. Docs under 13 tokens emit n_grams=0 /
+    NULL frac / false flag. Scale shape: ONE shuffle on the gram for a
+    whole-partition min window (no agg+self-join pass over the gram
+    stream), then one doc-keyed aggregation; only (doc_id, gram) rows
+    ever shuffle. At 100 TB swap the gram string for its poly_hash to
+    shrink the exchange (collision odds documented at dup_spans)."""
+    d = Catalog(spark, sf_dir).documents
+    t = _spread_r11(d.select("doc_id", "text")).select(
+        "doc_id", _tokens_r10("text").alias("ts")
+    )
+    grams = F.when(
+        F.size("ts") >= 13,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ts") - 12),
+            lambda i: F.array_join(F.slice("ts", i, 13), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gr = t.select("doc_id", F.explode(grams).alias("g"))
+    w = Window.partitionBy("g")
+    occ = gr.select(
+        "doc_id",
+        (F.col("doc_id") > F.min("doc_id").over(w)).alias("is_dup"),
+    )
+    ag = occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup"),
+    )
+    ng, nd = F.col("n_grams"), F.col("n_dup")
+    return (
+        d.select("doc_id")
+        .join(ag, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(ng, F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(nd, F.lit(0)).cast("long").alias("n_dup"),
+            F.round(
+                F.coalesce(nd, F.lit(0)).cast("double")
+                / F.nullif(F.coalesce(ng, F.lit(0)), F.lit(0)),
+                6,
+            ).alias("dup_frac"),
+            (
+                (F.coalesce(ng, F.lit(0)) > 0)
+                & (5 * F.coalesce(nd, F.lit(0)) >= 4 * F.coalesce(ng, F.lit(0)))
+            ).alias("drop_flag"),
+        )
+    )
+
+
+@register(
+    "chunk_dedup_q",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS_R10} AS ts FROM documents),
+    c AS (
+        SELECT doc_id, ci,
+               list_aggregate(ts[20*(ci-1)+1 : 20*ci], 'string_agg', ' ')
+                   AS g,
+               least(20, len(ts) - 20*(ci-1)) AS clen
+        FROM t, LATERAL (
+            SELECT unnest(range(1, (len(ts) + 19) // 20 + 1)) AS ci)
+        WHERE len(ts) >= 1
+    ),
+    own AS (SELECT g, MIN(doc_id) AS od FROM c GROUP BY g),
+    fst AS (
+        SELECT c.g, own.od, MIN(c.ci) AS oc
+        FROM c JOIN own ON c.g = own.g AND c.doc_id = own.od
+        GROUP BY c.g, own.od
+    ),
+    ag AS (
+        SELECT c.doc_id,
+               COUNT(*) AS n_chunks,
+               SUM(CASE WHEN c.doc_id = fst.od AND c.ci = fst.oc
+                        THEN 0 ELSE 1 END) AS n_dup_chunks,
+               SUM(CASE WHEN c.doc_id = fst.od AND c.ci = fst.oc
+                        THEN 0 ELSE c.clen END) AS n_trimmed
+        FROM c JOIN fst ON c.g = fst.g
+        GROUP BY c.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.ts) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(ag.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(COALESCE(ag.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+           CAST(len(t.ts) - COALESCE(ag.n_trimmed, 0) AS BIGINT)
+               AS n_kept_tokens
+    FROM t LEFT JOIN ag ON t.doc_id = ag.doc_id
+    """,
+)
+def chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style exact chunk dedup accounting (Raffel et al. 2020 §2.2 —
+    paragraph-level keep-first, over fixed 20-token chunks since the
+    synthetic corpus has no line structure): every occurrence of a chunk
+    except its global first (min doc_id, then min chunk index within that
+    doc) is removed; per doc, the chunks lost and the tokens surviving.
+    The ragged tail chunk participates (its length is least(20, n-20i)).
+    Scale shape: non-overlapping chunks mean the chunk stream is ~n/20
+    rows of <=20-token strings — one shuffle keyed on the chunk for the
+    owner resolution (two whole-partition windows over ONE exchange+sort:
+    min doc, then min index within that doc), one doc-keyed aggregation,
+    and a doc-spine left join. No agg+self-join pass over the chunk
+    stream; nothing corpus-scale is pinned."""
+    d = Catalog(spark, sf_dir).documents
+    t = _spread_r11(d.select("doc_id", "text")).select(
+        "doc_id", _tokens_r10("text").alias("ts")
+    )
+    n = F.size("ts")
+    chunks = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.ceil(n / F.lit(20)).cast("int")),
+            lambda ci: F.struct(
+                ci.alias("ci"),
+                F.array_join(
+                    F.slice("ts", (ci - 1) * 20 + 1, 20), " "
+                ).alias("g"),
+                F.least(F.lit(20), n - (ci - 1) * 20).alias("clen"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast(
+            "array<struct<ci:int,g:string,clen:int>>"
+        )
+    )
+    c = t.select("doc_id", F.explode(chunks).alias("__c")).select(
+        "doc_id",
+        F.col("__c.ci").alias("ci"),
+        F.col("__c.g").alias("g"),
+        F.col("__c.clen").alias("clen"),
+    )
+    w = Window.partitionBy("g")
+    c1 = c.select(
+        "doc_id", "ci", "g", "clen", F.min("doc_id").over(w).alias("od")
+    )
+    c2 = c1.select(
+        "doc_id",
+        "ci",
+        "clen",
+        "od",
+        F.min(
+            F.when(F.col("doc_id") == F.col("od"), F.col("ci"))
+        )
+        .over(w)
+        .alias("oc"),
+    )
+    kept = (F.col("doc_id") == F.col("od")) & (F.col("ci") == F.col("oc"))
+    ag = c2.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(kept, 0).otherwise(1)).alias("n_dup_chunks"),
+        F.sum(F.when(kept, 0).otherwise(F.col("clen"))).alias("n_trimmed"),
+    )
+    return (
+        t.select("doc_id", n.alias("n_tokens"))
+        .join(ag, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_chunks"), F.lit(0))
+            .cast("long")
+            .alias("n_chunks"),
+            F.coalesce(F.col("n_dup_chunks"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_trimmed"), F.lit(0)))
+            .cast("long")
+            .alias("n_kept_tokens"),
+        )
+    )

@@ -1,0 +1,101 @@
+"""Third-implementation cross-checks for the round-11 additions.
+
+Same contract as the r6-r10 files: plain-Python recomputation, independent
+of both engines, so each query enters its driver window already
+triple-verified (Spark plan, DuckDB oracle, this replica).
+"""
+
+import re
+
+import duckdb
+
+from iniz_exporters_spark.queries import REGISTRY
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _docs():
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+
+
+def _tok(text):
+    return [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+
+
+def test_bff_dedup_q_matches_bruteforce(spark):
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["bff_dedup_q"].fn(spark, SF_SMALL).collect()
+    }
+    # first pass: owner (min doc_id) per 13-gram, scanning in doc order
+    owner = {}
+    per_doc_grams = {}
+    for doc_id, text in _docs():
+        toks = _tok(text)
+        grams = [
+            " ".join(toks[i : i + 13]) for i in range(len(toks) - 12)
+        ] if len(toks) >= 13 else []
+        per_doc_grams[doc_id] = grams
+        for g in grams:
+            owner.setdefault(g, doc_id)
+    assert len(got) == len(per_doc_grams)
+    flagged = set()
+    for doc_id, grams in per_doc_grams.items():
+        n = len(grams)
+        n_dup = sum(1 for g in grams if owner[g] < doc_id)
+        row = got[doc_id]
+        assert row["n_grams"] == n
+        assert row["n_dup"] == n_dup
+        assert row["dup_frac"] == (round(n_dup / n, 6) if n else None)
+        assert row["drop_flag"] == (n > 0 and 5 * n_dup >= 4 * n)
+        if row["drop_flag"]:
+            flagged.add(doc_id)
+    # the corpus must exercise both branches of the flag
+    assert {r["drop_flag"] for r in got.values()} == {True, False} or (
+        not flagged
+    )
+
+
+def test_chunk_dedup_q_matches_bruteforce(spark):
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["chunk_dedup_q"].fn(spark, SF_SMALL).collect()
+    }
+    # global first occurrence of each 20-token chunk: (min doc_id, then
+    # min chunk index within that doc)
+    first = {}
+    per_doc_chunks = {}
+    for doc_id, text in _docs():
+        toks = _tok(text)
+        chunks = [
+            (ci, " ".join(toks[20 * ci : 20 * ci + 20]),
+             min(20, len(toks) - 20 * ci))
+            for ci in range((len(toks) + 19) // 20)
+        ]
+        per_doc_chunks[doc_id] = (len(toks), chunks)
+        for ci, g, _ in chunks:
+            cur = first.get(g)
+            if cur is None or (doc_id, ci) < cur:
+                first[g] = (doc_id, ci)
+    assert len(got) == len(per_doc_chunks)
+    any_dup = False
+    for doc_id, (n_tokens, chunks) in per_doc_chunks.items():
+        n_dup = sum(
+            1 for ci, g, _ in chunks if first[g] != (doc_id, ci)
+        )
+        trimmed = sum(
+            cl for ci, g, cl in chunks if first[g] != (doc_id, ci)
+        )
+        row = got[doc_id]
+        assert row["n_tokens"] == n_tokens
+        assert row["n_chunks"] == len(chunks)
+        assert row["n_dup_chunks"] == n_dup
+        assert row["n_kept_tokens"] == n_tokens - trimmed
+        any_dup = any_dup or n_dup > 0
+    # keep-first must actually keep exactly one copy of every chunk text
+    kept_total = sum(r["n_chunks"] - r["n_dup_chunks"] for r in got.values())
+    assert kept_total == len(first)

@@ -59,6 +59,18 @@ def test_window_is_exactly_the_oldest_unchecked():
     queue = [n for n in REGISTRY if n not in checked]
     expected = queue[:CAP]
     live = [n for n in ENTRY._WINDOW if n not in checked][: len(expected)]
+    if not live and expected:
+        # The common round-open state (ADVICE r10 #1): the driver just
+        # committed CORRECTNESS_r{N}, so every current-window name is now
+        # checked.  That is not a contract breach — it is the rotation
+        # falling due.  Say so explicitly instead of printing a baffling
+        # []-vs-queue diff.
+        raise AssertionError(
+            "ROTATION DUE: every name in the live window is now "
+            "driver-checked (a new CORRECTNESS_r*.json landed). Rotate "
+            f"_WINDOW to the next {len(expected)} oldest-unchecked names, "
+            f"starting: {expected[:5]} ..."
+        )
     assert live == expected, (
         "window does not match the oldest-unchecked queue:\n"
         f"  expected head: {expected[:5]} ... ({len(expected)})\n"
