@@ -82,7 +82,7 @@ _R11_WINDOW = [
     # round-11 additions riding the spare slots (44 + these + q1 = 47 of
     # 50), pre-swept green at sf0.001/0.01/0.1 + bruteforce replica
     # before seating, per the same standard as every prior window
-    "bff_dedup_q", "chunk_dedup_q",
+    "bff_dedup_q", "chunk_dedup_q", "holt_linear_q",
 ]
 
 _R10_WINDOW = [

@@ -1516,3 +1516,105 @@ def chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept_tokens"),
         )
     )
+
+
+@register(
+    "holt_linear_q",
+    """
+    WITH daily AS (
+        SELECT o_orderpriority AS pri,
+               CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        FROM orders GROUP BY pri, day
+    ),
+    ser AS (
+        SELECT pri,
+               list(CAST(rev AS DOUBLE) ORDER BY day ASC) AS v,
+               COUNT(*) AS n
+        FROM daily GROUP BY pri
+    ),
+    st AS (
+        -- state rides a DOUBLE[2] list [l, b], NOT a struct: DuckDB 1.0's
+        -- list_reduce evaluates struct-lambda fields IN PLACE (field 2
+        -- sees field 1's updated value), which silently corrupts any
+        -- coupled recurrence; list accumulators fold honestly
+        -- (DETERMINISM.md rule 15)
+        SELECT pri, n,
+               list_reduce(
+                   list_prepend(
+                       [v[1], CAST(0.0 AS DOUBLE)],
+                       list_transform(v[2:],
+                                      x -> [x, CAST(0.0 AS DOUBLE)])),
+                   (acc, x) -> [
+                       CAST(0.5 AS DOUBLE) * x[1]
+                           + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+                       CAST(0.25 AS DOUBLE)
+                           * ((CAST(0.5 AS DOUBLE) * x[1]
+                               + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]))
+                              - acc[1])
+                           + CAST(0.75 AS DOUBLE) * acc[2]]) AS s
+        FROM ser
+    )
+    SELECT pri,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(ROUND(CAST(s[1] AS DECIMAL(28,12)), 6) AS DOUBLE) AS level,
+           CAST(ROUND(CAST(s[2] AS DECIMAL(28,12)), 6) AS DOUBLE) AS trend,
+           CAST(ROUND(CAST(s[1] + 7 * s[2] AS DECIMAL(28,12)), 6) AS DOUBLE)
+               AS forecast_7d
+    FROM st
+    """,
+)
+def holt_linear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend exponential smoothing (the two-state member of
+    the smoothing family next to ewma_q/stl_decompose): per order
+    priority, fold the day-ordered daily-revenue series through
+    l_t = a*y + (1-a)(l+b), b_t = B(l_t - l) + (1-B)b with DYADIC
+    coefficients a=1/2, B=1/4 — every multiply is an exact power-of-two
+    scaling, so the fold is bit-identical wherever IEEE doubles are
+    (DETERMINISM.md rule: rational schedules over libm). Seed l_1 = y_1,
+    b_1 = 0; both engines run the identical sequential schedule. Output
+    is decimal-space rounded. Scale shape: the fact-scale work is ONE
+    map-side-combining (pri, day) aggregation; the fold runs over the
+    calendar-bounded daily series (~2.4k doubles per key), which is
+    metadata-sized regardless of corpus size — same rationale as
+    pareto_frontier_q's per-day window."""
+    o = Catalog(spark, sf_dir).orders
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"))
+    ser = daily.groupBy("pri").agg(
+        F.sort_array(
+            F.collect_list(F.struct("day", "rev"))
+        ).alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    v = F.transform("sd", lambda e: e["rev"].cast("double"))
+    ser = ser.select("pri", "n", v.alias("v"))
+    half, quart, three_q = F.lit(0.5), F.lit(0.25), F.lit(0.75)
+
+    def step(acc, x):
+        lnew = half * x + half * (acc["l"] + acc["b"])
+        return F.struct(
+            lnew.alias("l"),
+            (quart * (lnew - acc["l"]) + three_q * acc["b"]).alias("b"),
+        )
+
+    state = F.aggregate(
+        F.slice("v", 2, F.greatest(F.size("v") - 1, F.lit(0))),
+        F.struct(
+            F.element_at("v", 1).alias("l"),
+            F.lit(0.0).alias("b"),
+        ),
+        step,
+    )
+    s = ser.select("pri", "n", state.alias("s"))
+    def dround(c):
+        return F.round(c.cast("decimal(28,12)"), 6).cast("double")
+    return s.select(
+        "pri",
+        F.col("n").cast("long").alias("n_days"),
+        dround(F.col("s.l")).alias("level"),
+        dround(F.col("s.b")).alias("trend"),
+        dround(F.col("s.l") + 7 * F.col("s.b")).alias("forecast_7d"),
+    )

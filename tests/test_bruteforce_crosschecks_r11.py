@@ -99,3 +99,34 @@ def test_chunk_dedup_q_matches_bruteforce(spark):
     # keep-first must actually keep exactly one copy of every chunk text
     kept_total = sum(r["n_chunks"] - r["n_dup_chunks"] for r in got.values())
     assert kept_total == len(first)
+
+
+def test_holt_linear_q_matches_bruteforce(spark):
+    got = {
+        r["pri"]: r
+        for r in REGISTRY["holt_linear_q"].fn(spark, SF_SMALL).collect()
+    }
+    con = duckdb.connect()
+    daily = con.execute(
+        f"""SELECT o_orderpriority, CAST(date_trunc('day', o_orderdate)
+            AS DATE) AS day,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+            FROM read_parquet('{SF_SMALL}/orders.parquet')
+            GROUP BY o_orderpriority, day ORDER BY o_orderpriority, day"""
+    ).fetchall()
+    series = {}
+    for pri, _day, rev in daily:
+        series.setdefault(pri, []).append(rev)
+    assert set(got) == set(series)
+    for pri, v in series.items():
+        l, b = v[0], 0.0
+        for x in v[1:]:
+            # the exact schedule both engines declare: dyadic a=1/2, B=1/4
+            lnew = 0.5 * x + 0.5 * (l + b)
+            b = 0.25 * (lnew - l) + 0.75 * b
+            l = lnew
+        row = got[pri]
+        assert row["n_days"] == len(v)
+        assert abs(row["level"] - l) < 5e-7
+        assert abs(row["trend"] - b) < 5e-7
+        assert abs(row["forecast_7d"] - (l + 7 * b)) < 5e-7
