@@ -165,7 +165,8 @@ from iniz_exporters_spark.queries.p08 import (
 )
 from iniz_exporters_spark.queries.p09 import (
     _GOPHER_STOPS, _SQL_STOPS,
-    audience_stability_q, bff_dedup_q, chunk_dedup_q, cochran_q_test,
+    audience_stability_q, bff_dedup_q, binary_quantize_recall_q,
+    chunk_dedup_q, cochran_q_test,
     copeland_q, gopher_rules_q, holt_linear_q,
     knee_point_q, median_test_q, mixture_domain_weights_q,
     rep_ngram_fractions_q, robust_shape_q, simpson_paradox_q,

@@ -1618,3 +1618,142 @@ def holt_linear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("s.b")).alias("trend"),
         dround(F.col("s.l") + 7 * F.col("s.b")).alias("forecast_7d"),
     )
+
+
+@register(
+    "binary_quantize_recall_q",
+    """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_reduce(list_transform(range(0, 32), d ->
+                   CASE WHEN embedding[d + 1] >= 0
+                        THEN (1::BIGINT << d) ELSE 0::BIGINT END),
+                   (x, y) -> x + y) AS w0,
+               list_reduce(list_transform(range(32, 64), d ->
+                   CASE WHEN embedding[d + 1] >= 0
+                        THEN (1::BIGINT << (d - 32)) ELSE 0::BIGINT END),
+                   (x, y) -> x + y) AS w1
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM e WHERE vec_id < 10),
+    exact5 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 4)
+                                DESC, c.vec_id) AS rn
+            FROM q JOIN e c ON c.vec_id <> q.vec_id) WHERE rn <= 5
+    ),
+    bin5 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY bit_count(xor(q.w0, c.w0))
+                                + bit_count(xor(q.w1, c.w1)) ASC,
+                                c.vec_id) AS rn
+            FROM q JOIN e c ON c.vec_id <> q.vec_id) WHERE rn <= 5
+    ),
+    hit AS (
+        SELECT exact5.query_id, COUNT(*) AS n_hit
+        FROM exact5 JOIN bin5
+          ON exact5.query_id = bin5.query_id
+         AND exact5.neighbor_id = bin5.neighbor_id
+        GROUP BY exact5.query_id
+    )
+    SELECT q.vec_id AS query_id,
+           CAST(COALESCE(hit.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(ROUND(CAST(COALESCE(hit.n_hit, 0) AS DECIMAL(18,6)) / 5, 6)
+                AS DOUBLE) AS recall_at_5
+    FROM q LEFT JOIN hit ON q.vec_id = hit.query_id
+    """,
+)
+def binary_quantize_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization retrieval eval (the 1-bit member of the
+    quantization family next to int8_quantize_check / pq_adc_topk /
+    ann_recall_check): sign-bit-pack each 64-dim embedding into two
+    32-bit words, rank neighbors by Hamming distance, and measure
+    recall@5 against the exact rounded-cosine top-5 (both rankings
+    id-tiebroken — DETERMINISM.md rule 12). Emits every query with its
+    overlap count; recall is an exact n/5 division rounded in decimal
+    space. Scale shape: the sign-pack is a per-row fold (codegen, no
+    shuffle); scoring broadcasts the bounded query set against the
+    corpus exactly like knn_bruteforce, so the corpus side streams —
+    at 100 TB the Hamming leg scans 16 bytes/vector instead of 512,
+    which is the point of the quantization."""
+    e = Catalog(spark, sf_dir).embeddings
+    emb = F.col("embedding")
+
+    def word(lo: int) -> F.Column:
+        return F.aggregate(
+            F.sequence(F.lit(lo), F.lit(lo + 31)),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc
+            + F.when(
+                F.element_at(emb, d + 1) >= 0,
+                # shiftleft takes a literal count; 2^k via pow is exact
+                # in doubles for k <= 52 and casts back losslessly
+                F.pow(F.lit(2.0), (d - lo).cast("double")).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    sig = e.select(
+        "vec_id",
+        emb.cast("array<double>").alias("v"),
+        word(0).alias("w0"),
+        word(32).alias("w1"),
+    )
+    q = sig.filter(F.col("vec_id") < 10)
+    qb = F.broadcast(
+        q.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("w0").alias("qw0"),
+            F.col("w1").alias("qw1"),
+        )
+    )
+    c = sig.select(
+        F.col("vec_id").alias("neighbor_id"), "v", "w0", "w1"
+    )
+    from iniz_exporters_spark.operators.similarity import cosine as _cos
+
+    pairs = c.crossJoin(qb).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.round(_cos(F.col("qv"), F.col("v")), 4).desc(),
+        F.col("neighbor_id").asc(),
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        (
+            F.bit_count(F.col("qw0").bitwiseXOR(F.col("w0")))
+            + F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
+        ).asc(),
+        F.col("neighbor_id").asc(),
+    )
+    exact5 = (
+        pairs.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    bin5 = (
+        pairs.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    hit = exact5.join(bin5, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    nh = F.coalesce(F.col("n_hit"), F.lit(0))
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(hit, "query_id", "left")
+        .select(
+            "query_id",
+            nh.cast("long").alias("n_hit"),
+            F.round(nh.cast("decimal(18,6)") / 5, 6)
+            .cast("double")
+            .alias("recall_at_5"),
+        )
+    )

@@ -130,3 +130,54 @@ def test_holt_linear_q_matches_bruteforce(spark):
         assert abs(row["level"] - l) < 5e-7
         assert abs(row["trend"] - b) < 5e-7
         assert abs(row["forecast_7d"] - (l + 7 * b)) < 5e-7
+
+
+def test_binary_quantize_recall_q_matches_bruteforce(spark):
+    got = {
+        r["query_id"]: r
+        for r in REGISTRY["binary_quantize_recall_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    con = duckdb.connect()
+    vecs = dict(
+        con.execute(
+            f"SELECT vec_id, embedding FROM "
+            f"read_parquet('{SF_SMALL}/embeddings.parquet')"
+        ).fetchall()
+    )
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    def sig(v):
+        return tuple(1 if x >= 0 else 0 for x in v)
+
+    queries = sorted(k for k in vecs if k < 10)
+    assert set(got) == set(queries)
+    for qid in queries:
+        qv, qs = vecs[qid], sig(vecs[qid])
+        others = [k for k in vecs if k != qid]
+        exact5 = set(
+            sorted(
+                others,
+                key=lambda k: (-round(cos(qv, vecs[k]), 4), k),
+            )[:5]
+        )
+        bin5 = set(
+            sorted(
+                others,
+                key=lambda k: (
+                    sum(a != b for a, b in zip(qs, sig(vecs[k]))),
+                    k,
+                ),
+            )[:5]
+        )
+        n_hit = len(exact5 & bin5)
+        row = got[qid]
+        assert row["n_hit"] == n_hit
+        assert row["recall_at_5"] == round(n_hit / 5, 6)
