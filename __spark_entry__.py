@@ -83,7 +83,7 @@ _R11_WINDOW = [
     # 50), pre-swept green at sf0.001/0.01/0.1 + bruteforce replica
     # before seating, per the same standard as every prior window
     "bff_dedup_q", "chunk_dedup_q", "holt_linear_q",
-    "binary_quantize_recall_q",
+    "binary_quantize_recall_q", "croston_q",
 ]
 
 _R10_WINDOW = [

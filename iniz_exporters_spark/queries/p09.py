@@ -1757,3 +1757,117 @@ def binary_quantize_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_at_5"),
         )
     )
+
+
+@register(
+    "croston_q",
+    """
+    WITH daily AS (
+        SELECT l_partkey AS pk,
+               CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+               SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+        FROM lineitem
+        WHERE l_partkey % 97 = 0
+        GROUP BY pk, day
+    ),
+    ser AS (
+        SELECT pk,
+               list(CAST(qty AS DOUBLE) ORDER BY day ASC) AS q,
+               list(CAST(epoch(CAST(day AS TIMESTAMP)) / 86400 AS DOUBLE)
+                    ORDER BY day ASC) AS d,
+               COUNT(*) AS n
+        FROM daily GROUP BY pk
+    ),
+    st AS (
+        -- state is a DOUBLE[3] list [z, p, prev_day] (DETERMINISM.md
+        -- rule 15: never struct state in a DuckDB fold); elements are
+        -- [qty, day, 0]
+        SELECT pk, n,
+               list_reduce(
+                   list_prepend(
+                       [q[1], CAST(1.0 AS DOUBLE), d[1]],
+                       list_transform(range(2, len(q) + 1),
+                                      i -> [q[i], d[i], CAST(0.0 AS DOUBLE)])),
+                   (acc, x) -> [
+                       CAST(0.25 AS DOUBLE) * x[1]
+                           + CAST(0.75 AS DOUBLE) * acc[1],
+                       CAST(0.25 AS DOUBLE) * (x[2] - acc[3])
+                           + CAST(0.75 AS DOUBLE) * acc[2],
+                       x[2]]) AS s
+        FROM ser
+    )
+    SELECT pk AS partkey,
+           CAST(n AS BIGINT) AS n_demands,
+           CAST(ROUND(CAST(s[1] AS DECIMAL(28,12)), 6) AS DOUBLE)
+               AS demand_size,
+           CAST(ROUND(CAST(s[2] AS DECIMAL(28,12)), 6) AS DOUBLE)
+               AS demand_interval,
+           CAST(ROUND(CAST(s[1] / s[2] AS DECIMAL(28,12)), 6) AS DOUBLE)
+               AS demand_rate
+    FROM st
+    """,
+)
+def croston_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's intermittent-demand forecast (the sparse-series member
+    of the smoothing family next to holt_linear_q): per sampled part,
+    fold the nonzero-demand events in ship-date order, smoothing demand
+    SIZE and inter-demand INTERVAL separately with dyadic a=1/4 —
+    z' = a*q + (1-a)z, p' = a*(day - prev_day) + (1-a)p — then forecast
+    rate z/p. Seeds: z_1 = q_1, p_1 = 1, prev = day_1; day arithmetic is
+    exact (integer day numbers in doubles). State rides a 3-slot list on
+    both engines so the schedules are bit-identical (DETERMINISM.md
+    rules 7 + 15). The part sample (partkey % 97 = 0) keeps the output
+    partition-count-independent and scale-proportional. Scale shape: the
+    fact-scale work is ONE (part, day) aggregation behind a pushed-down
+    modulo filter; each fold runs over that part's bounded event list."""
+    li = Catalog(spark, sf_dir).lineitem
+    daily = (
+        li.filter(F.col("l_partkey") % 97 == 0)
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.to_date("l_shipdate").alias("day"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty"))
+    )
+    ser = daily.groupBy("pk").agg(
+        F.sort_array(F.collect_list(F.struct("day", "qty"))).alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # exact integer day number as double; Spark datediff from epoch day 0
+    q = F.transform("sd", lambda e: e["qty"].cast("double"))
+    d = F.transform(
+        "sd",
+        lambda e: F.datediff(e["day"], F.lit("1970-01-01").cast("date"))
+        .cast("double"),
+    )
+    ser = ser.select("pk", "n", q.alias("q"), d.alias("d"))
+    quart, three_q = F.lit(0.25), F.lit(0.75)
+    state = F.aggregate(
+        F.zip_with(
+            F.slice("q", 2, F.greatest(F.size("q") - 1, F.lit(0))),
+            F.slice("d", 2, F.greatest(F.size("d") - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("q"), b.alias("d")),
+        ),
+        F.struct(
+            F.element_at("q", 1).alias("z"),
+            F.lit(1.0).alias("p"),
+            F.element_at("d", 1).alias("prev"),
+        ),
+        lambda acc, x: F.struct(
+            (quart * x["q"] + three_q * acc["z"]).alias("z"),
+            (quart * (x["d"] - acc["prev"]) + three_q * acc["p"]).alias("p"),
+            x["d"].alias("prev"),
+        ),
+    )
+    s = ser.select("pk", "n", state.alias("s"))
+
+    def dround(c):
+        return F.round(c.cast("decimal(28,12)"), 6).cast("double")
+
+    return s.select(
+        F.col("pk").alias("partkey"),
+        F.col("n").cast("long").alias("n_demands"),
+        dround(F.col("s.z")).alias("demand_size"),
+        dround(F.col("s.p")).alias("demand_interval"),
+        dround(F.col("s.z") / F.col("s.p")).alias("demand_rate"),
+    )

@@ -181,3 +181,38 @@ def test_binary_quantize_recall_q_matches_bruteforce(spark):
         row = got[qid]
         assert row["n_hit"] == n_hit
         assert row["recall_at_5"] == round(n_hit / 5, 6)
+
+
+def test_croston_q_matches_bruteforce(spark):
+    got = {
+        r["partkey"]: r
+        for r in REGISTRY["croston_q"].fn(spark, SF_SMALL).collect()
+    }
+    con = duckdb.connect()
+    daily = con.execute(
+        f"""SELECT l_partkey, CAST(date_trunc('day', l_shipdate) AS DATE)
+            AS day,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+            FROM read_parquet('{SF_SMALL}/lineitem.parquet')
+            WHERE l_partkey % 97 = 0
+            GROUP BY l_partkey, day ORDER BY l_partkey, day"""
+    ).fetchall()
+    import datetime
+
+    series = {}
+    for pk, day, qty in daily:
+        series.setdefault(pk, []).append(
+            ((day - datetime.date(1970, 1, 1)).days, qty)
+        )
+    assert set(got) == set(series)
+    for pk, ev in series.items():
+        z, p, prev = ev[0][1], 1.0, float(ev[0][0])
+        for day, qty in ev[1:]:
+            z = 0.25 * qty + 0.75 * z
+            p = 0.25 * (day - prev) + 0.75 * p
+            prev = float(day)
+        row = got[pk]
+        assert row["n_demands"] == len(ev)
+        assert abs(row["demand_size"] - z) < 5e-7
+        assert abs(row["demand_interval"] - p) < 5e-7
+        assert abs(row["demand_rate"] - z / p) < 5e-7
