@@ -1871,3 +1871,171 @@ def croston_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("s.p")).alias("demand_interval"),
         dround(F.col("s.z") / F.col("s.p")).alias("demand_rate"),
     )
+
+
+from iniz_exporters_spark.queries.p01 import _SQL_POLY as _SQL_POLY_R11  # noqa: E402
+from iniz_exporters_spark.functions.text import poly_hash as _poly_r11  # noqa: E402
+
+
+@register(
+    "winnowing_fingerprints_q",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS_R10} AS ts FROM documents),
+    h AS (
+        SELECT doc_id, len(ts) AS n_tokens,
+               CASE WHEN len(ts) >= 5 THEN
+                   list_transform(range(1, len(ts) - 3),
+                       i -> {_SQL_POLY_R11.format(
+                           s="list_aggregate(ts[i:i+4], 'string_agg', ' ')")})
+               ELSE [] END AS hs
+        FROM t
+    ),
+    fp AS (
+        SELECT doc_id, n_tokens,
+               len(hs) AS n_grams,
+               CASE WHEN len(hs) >= 4 THEN
+                   len(list_distinct(list_transform(range(1, len(hs) - 2),
+                       j -> list_min(hs[j:j+3]))))
+               ELSE 0 END AS n_fingerprints
+        FROM h
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_fingerprints AS BIGINT) AS n_fingerprints,
+           ROUND(CAST(n_fingerprints AS DOUBLE) / NULLIF(n_grams, 0), 6)
+               AS fingerprint_density
+    FROM fp
+    """,
+)
+def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
+    scheme): hash every 5-token gram, slide a window of w=4 hashes, keep
+    each window's MINIMUM, and count the distinct selected fingerprints —
+    the guaranteed-coverage sparse sketch used for plagiarism/overlap
+    detection at scale (every match of length >= w+k-1 shares a
+    fingerprint). Emits every doc: docs under 5 tokens have 0 grams,
+    docs with fewer than w grams select 0 fingerprints; density is
+    fingerprints/grams (NULL when gramless). Distinct from
+    doc_fingerprint (one rolling hash per doc) and minhash (random
+    permutations): winnowing's selection is position-windowed minima.
+    Scale shape: the whole selection is per-row Catalyst HOF work
+    (no shuffle anywhere but the scan) — kernel-spread like the span
+    family so a single-split scan cannot serialize it."""
+    d = Catalog(spark, sf_dir).documents
+    t = _spread_r11(d.select("doc_id", "text")).select(
+        "doc_id", _tokens_r10("text").alias("ts")
+    )
+    n = F.size("ts")
+    empty_l = F.array().cast("array<bigint>")
+    hs = F.when(
+        n >= 5,
+        F.transform(
+            F.sequence(F.lit(1), n - 4),
+            lambda i: _poly_r11(F.array_join(F.slice("ts", i, 5), " ")),
+        ),
+    ).otherwise(empty_l)
+    h = t.select("doc_id", n.alias("n_tokens"), hs.alias("hs"))
+    m = F.size("hs")
+    fps = F.when(
+        m >= 4,
+        F.size(
+            F.array_distinct(
+                F.transform(
+                    # w = 4 hashes per window; DuckDB's hs[j:j+3] slice is
+                    # INCLUSIVE (4 elements) — Spark's length arg must be 4
+                    F.sequence(F.lit(1), m - 3),
+                    lambda j: F.array_min(F.slice("hs", j, 4)),
+                )
+            )
+        ),
+    ).otherwise(F.lit(0))
+    return h.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        m.cast("long").alias("n_grams"),
+        fps.cast("long").alias("n_fingerprints"),
+        F.round(
+            fps.cast("double") / F.nullif(m, F.lit(0)), 6
+        ).alias("fingerprint_density"),
+    )
+
+
+@register(
+    "lateness_audit_q",
+    """
+    WITH ev AS (
+        SELECT user_id, event_id,
+               event_id + (event_id % 5) * 3 AS arr,
+               epoch_us(ts) AS tus
+        FROM events
+    ),
+    w AS (
+        SELECT user_id, tus,
+               MAX(tus) OVER (PARTITION BY user_id
+                              ORDER BY arr ASC, event_id ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS mx
+        FROM ev
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN mx > tus THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+           CAST(MAX(CASE WHEN mx > tus THEN mx - tus ELSE 0 END) AS BIGINT)
+               AS max_lateness_us,
+           ROUND(CAST(SUM(CASE WHEN mx > tus THEN mx - tus ELSE 0 END)
+                      AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN mx > tus THEN 1 ELSE 0 END), 0), 6)
+               AS avg_lateness_us
+    FROM w GROUP BY user_id
+    """,
+)
+def lateness_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time lateness audit — the measurement that SIZES a streaming
+    watermark (`withWatermark` delay) before deploying it: per user
+    stream, compare each event's event-time against the running max of
+    events that ARRIVED earlier, and report how many events came in
+    late, the worst lateness, and the mean lateness among late events.
+    The synthetic events table is perfectly ts-ordered at every scale
+    (verified: zero naturally-late rows), so arrival order is a
+    DOCUMENTED deterministic jitter of the ingest sequence —
+    arr = event_id + (event_id % 5) * 3, a local reshuffle simulating
+    network reordering — spelled identically in both engines; the
+    operator's math is what is under test. All lateness arithmetic is
+    exact integer microseconds (epoch_us/unix_micros — the
+    window_lag_gaps rule; no per-engine epoch truncation); the only
+    division is the final mean, NULLIF-guarded for users with no late
+    events (emit-every-user). Scale shape: one shuffle on user_id
+    drives both the running-max window and the per-user aggregate
+    (co-partitioned — the agg reuses the window's exchange); nothing is
+    global, so key cardinality scales freely."""
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id",
+        "event_id",
+        (F.col("event_id") + (F.col("event_id") % 5) * 3).alias("arr"),
+        F.unix_micros("ts").alias("tus"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arr", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = F.col("mx") > F.col("tus")
+    lateness = F.when(late, F.col("mx") - F.col("tus")).otherwise(F.lit(0))
+    return (
+        ev.select("user_id", "tus", F.max("tus").over(w).alias("mx"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late"),
+            F.max(lateness).cast("long").alias("max_lateness_us"),
+            F.round(
+                F.sum(lateness).cast("double")
+                / F.nullif(
+                    F.sum(F.when(late, 1).otherwise(0)), F.lit(0)
+                ),
+                6,
+            ).alias("avg_lateness_us"),
+        )
+    )

@@ -216,3 +216,77 @@ def test_croston_q_matches_bruteforce(spark):
         assert abs(row["demand_size"] - z) < 5e-7
         assert abs(row["demand_interval"] - p) < 5e-7
         assert abs(row["demand_rate"] - z / p) < 5e-7
+
+
+def test_winnowing_fingerprints_q_matches_bruteforce(spark):
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["winnowing_fingerprints_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    MOD = 1000000007
+
+    def ph(s):
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % MOD
+        return h
+
+    for doc_id, text in _docs():
+        toks = _tok(text)
+        hs = (
+            [ph(" ".join(toks[i : i + 5])) for i in range(len(toks) - 4)]
+            if len(toks) >= 5
+            else []
+        )
+        fps = (
+            len({min(hs[j : j + 4]) for j in range(len(hs) - 3)})
+            if len(hs) >= 4
+            else 0
+        )
+        row = got[doc_id]
+        assert row["n_tokens"] == len(toks)
+        assert row["n_grams"] == len(hs)
+        assert row["n_fingerprints"] == fps
+        assert row["fingerprint_density"] == (
+            round(fps / len(hs), 6) if hs else None
+        )
+
+
+def test_lateness_audit_q_matches_bruteforce(spark):
+    got = {
+        r["user_id"]: r
+        for r in REGISTRY["lateness_audit_q"].fn(spark, SF_SMALL).collect()
+    }
+    con = duckdb.connect()
+    # arrival order = the query's documented deterministic jitter
+    ev = con.execute(
+        f"""SELECT user_id, event_id, epoch_us(ts) FROM
+            read_parquet('{SF_SMALL}/events.parquet')
+            ORDER BY user_id, event_id + (event_id % 5) * 3, event_id"""
+    ).fetchall()
+    per_user = {}
+    for uid, eid, tus in ev:
+        per_user.setdefault(uid, []).append(tus)
+    assert set(got) == set(per_user)
+    saw_late = False
+    for uid, seq in per_user.items():
+        mx, n_late, max_l, sum_l = None, 0, 0, 0
+        for tus in seq:
+            if mx is not None and mx > tus:
+                n_late += 1
+                max_l = max(max_l, mx - tus)
+                sum_l += mx - tus
+            mx = tus if mx is None else max(mx, tus)
+        row = got[uid]
+        assert row["n_events"] == len(seq)
+        assert row["n_late"] == n_late
+        assert row["max_lateness_us"] == max_l
+        assert row["avg_lateness_us"] == (
+            round(sum_l / n_late, 6) if n_late else None
+        )
+        saw_late = saw_late or n_late > 0
+    # the synthetic stream must actually contain out-of-order arrivals
+    # for the audit to be meaningfully exercised
+    assert saw_late
