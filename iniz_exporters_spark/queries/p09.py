@@ -2039,3 +2039,115 @@ def lateness_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_lateness_us"),
         )
     )
+
+
+@register(
+    "gumbel_pwm_q",
+    """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        FROM orders GROUP BY day
+    ),
+    blocks AS (
+        SELECT CAST(date_trunc('month', day) AS DATE) AS block,
+               MAX(rev) AS mx
+        FROM daily GROUP BY block
+    ),
+    r AS (
+        SELECT mx,
+               ROW_NUMBER() OVER (ORDER BY mx ASC, block ASC) AS rk,
+               COUNT(*) OVER () AS n
+        FROM blocks
+    ),
+    m AS (
+        -- sums stay EXACT decimal (mx is DECIMAL(18,4), rk-1 integer);
+        -- the only inexact ops are the final double divisions, identical
+        -- on both engines — no double->decimal round-trip ties
+        SELECT MAX(n) AS n,
+               CAST(SUM(CAST(mx AS DECIMAL(28,6))) AS DOUBLE)
+                   / MAX(n) AS b0,
+               CAST(SUM(CAST(mx * (rk - 1) AS DECIMAL(28,6))) AS DOUBLE)
+                   / (MAX(n) - 1) / MAX(n) AS b1
+        FROM r
+    )
+    -- raw doubles, NO decimal-space re-round (the ewma_q convention):
+    -- every op below is +,-,*,/ over bit-identical doubles, and the
+    -- transcendental constants (1/ln 2, ln(-ln .99)) are INLINED double
+    -- literals so no per-engine libm call ever runs; a decimal re-round
+    -- here would reintroduce the .xxx5 repr-tie (Spark casts
+    -- double->decimal via the shortest string repr, DuckDB via the
+    -- binary value — they split exactly at half boundaries)
+    SELECT CAST(n AS BIGINT) AS n_blocks,
+           b0 AS pwm_b0,
+           b1 AS pwm_b1,
+           (2 * b1 - b0) * 1.4426950408889634 AS gumbel_scale,
+           b0 - 0.5772156649015329 * ((2 * b1 - b0) * 1.4426950408889634)
+               AS gumbel_loc,
+           (b0 - 0.5772156649015329
+                * ((2 * b1 - b0) * 1.4426950408889634))
+           - ((2 * b1 - b0) * 1.4426950408889634) * -4.600149226776579
+               AS return_level_p99
+    FROM m
+    """,
+)
+def gumbel_pwm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel fit of MONTHLY block maxima of daily revenue via
+    probability-weighted moments (Greenwood et al. 1979; Hosking's
+    unbiased b1 with the (rank-1)/(n-1) plotting position): scale =
+    (2*b1 - b0)/ln 2, location = b0 - gamma*scale, plus the 99%
+    return level loc - scale*ln(-ln .99) — the block-maxima member of
+    the EVT family next to pot_evt_q's peaks-over-threshold GPD.
+    Determinism: both PWM sums stay EXACT decimal (mx is DECIMAL(18,4),
+    rk-1 integer) and convert to double once; everything after is
+    +,-,*,/ over bit-identical doubles with 1/ln2 and ln(-ln .99)
+    INLINED as double literals (no per-engine libm call), and the
+    outputs ship as raw doubles — a decimal-space re-round here would
+    reintroduce the .xxx5 repr tie this query actually hit at sf0.01
+    (Spark casts double->decimal via the shortest string repr, DuckDB
+    via the binary value). Scale shape: fact-scale work is one
+    (day) then one (month) aggregation; the rank window runs over
+    calendar-bounded month blocks (~12/decade), metadata-sized at any
+    corpus scale (pareto_frontier_q's rationale)."""
+    o = Catalog(spark, sf_dir).orders
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
+    )
+    blocks = daily.groupBy(
+        F.trunc("day", "month").alias("block")
+    ).agg(F.max("rev").alias("mx"))
+    wr = Window.orderBy(F.col("mx").asc(), F.col("block").asc())
+    r = blocks.select(
+        "mx",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    m = r.agg(
+        F.max("n").alias("n"),
+        (
+            F.sum(F.col("mx").cast("decimal(28,6)")).cast("double")
+            / F.max("n")
+        ).alias("b0"),
+        (
+            F.sum(
+                (F.col("mx") * (F.col("rk") - 1)).cast("decimal(28,6)")
+            ).cast("double")
+            / (F.max("n") - 1)
+            / F.max("n")
+        ).alias("b1"),
+    )
+
+    scale = (2 * F.col("b1") - F.col("b0")) * F.lit(1.4426950408889634)
+    loc = F.col("b0") - 0.5772156649015329 * scale
+    return m.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.col("b0").alias("pwm_b0"),
+        F.col("b1").alias("pwm_b1"),
+        scale.alias("gumbel_scale"),
+        loc.alias("gumbel_loc"),
+        (loc - scale * F.lit(-4.600149226776579)).alias(
+            "return_level_p99"
+        ),
+    )

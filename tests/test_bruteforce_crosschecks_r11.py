@@ -290,3 +290,38 @@ def test_lateness_audit_q_matches_bruteforce(spark):
     # the synthetic stream must actually contain out-of-order arrivals
     # for the audit to be meaningfully exercised
     assert saw_late
+
+
+def test_gumbel_pwm_q_matches_bruteforce(spark):
+    row = REGISTRY["gumbel_pwm_q"].fn(spark, SF_SMALL).collect()[0]
+    con = duckdb.connect()
+    blocks = [
+        r[0]
+        for r in con.execute(
+            f"""WITH daily AS (
+                  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+                         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+                  FROM read_parquet('{SF_SMALL}/orders.parquet')
+                  GROUP BY day)
+                SELECT CAST(MAX(rev) AS DOUBLE) AS mx
+                FROM daily GROUP BY date_trunc('month', day)
+                ORDER BY mx ASC"""
+        ).fetchall()
+    ]
+    n = len(blocks)
+    b0 = sum(blocks) / n
+    b1 = sum(x * i for i, x in enumerate(blocks)) / (n - 1) / n
+    scale = (2 * b1 - b0) * 1.4426950408889634
+    loc = b0 - 0.5772156649015329 * scale
+    assert row["n_blocks"] == n
+    assert abs(row["pwm_b0"] - b0) < 1e-6 * abs(b0)
+    assert abs(row["pwm_b1"] - b1) < 1e-6 * abs(b1)
+    assert abs(row["gumbel_scale"] - scale) < 1e-6 * abs(scale)
+    assert abs(row["gumbel_loc"] - loc) < 1e-6 * abs(loc)
+    assert abs(
+        row["return_level_p99"] - (loc - scale * -4.600149226776579)
+    ) < 1e-6 * abs(row["return_level_p99"])
+    # a sane Gumbel fit on revenue maxima: positive scale, return level
+    # above the location
+    assert row["gumbel_scale"] > 0
+    assert row["return_level_p99"] > row["gumbel_loc"]
