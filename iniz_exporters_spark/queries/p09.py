@@ -2151,3 +2151,113 @@ def gumbel_pwm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "return_level_p99"
         ),
     )
+
+
+_BLOOM_M = 65536  # bits; 2^16 keeps every fill-ratio division exact-dyadic
+
+
+@register(
+    "bloom_fpr_check_q",
+    f"""
+    WITH mem AS (
+        SELECT DISTINCT l_orderkey AS k FROM lineitem
+        WHERE l_orderkey % 2 = 0
+    ),
+    prb AS (
+        SELECT DISTINCT l_orderkey AS k FROM lineitem
+        WHERE l_orderkey % 2 = 1
+    ),
+    mb AS (
+        SELECT DISTINCT b FROM (
+            SELECT {_SQL_POLY_R11.format(s="k::VARCHAR")} % {_BLOOM_M} AS b
+            FROM mem
+            UNION ALL
+            SELECT {_SQL_POLY_R11.format(s="k::VARCHAR || '#'")}
+                   % {_BLOOM_M} AS b
+            FROM mem)
+    ),
+    fp AS (
+        SELECT COUNT(*) AS n_fp FROM prb
+        WHERE {_SQL_POLY_R11.format(s="k::VARCHAR")} % {_BLOOM_M}
+                  IN (SELECT b FROM mb)
+          AND {_SQL_POLY_R11.format(s="k::VARCHAR || '#'")} % {_BLOOM_M}
+                  IN (SELECT b FROM mb)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM mem) AS n_members,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM prb) AS n_probes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM mb) AS n_bits_set,
+           CAST(n_fp AS BIGINT) AS n_fp,
+           CAST(n_fp AS DOUBLE)
+               / (SELECT COUNT(*) FROM prb) AS measured_fpr,
+           ((SELECT CAST(COUNT(*) AS DOUBLE) FROM mb) / {_BLOOM_M})
+               * ((SELECT CAST(COUNT(*) AS DOUBLE) FROM mb) / {_BLOOM_M})
+               AS expected_fpr
+    FROM fp
+    """,
+)
+def bloom_fpr_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter false-positive-rate audit — the set-membership member
+    of the sketch-audit family (cms_error_check: counts; hll_error_check:
+    cardinality; ann_recall_check: neighbors): build a deterministic
+    Bloom (m = 2^16 bits, k = 2 poly_hash functions, second salted with
+    '#') over the EVEN orderkeys, probe with the disjoint ODD orderkeys
+    (every hit is a false positive by construction), and compare the
+    measured FPR against the fill-ratio approximation (bits_set/m)^k —
+    pure multiplication since k = 2, and /2^16 is an exact power-of-two
+    scaling, so no libm and no rounding anywhere (raw doubles per
+    DETERMINISM.md rule 16). Scale shape: member/probe key sets reduce
+    map-side to DISTINCT keys; the bit set is capped at m = 65536 rows
+    whatever the corpus size, so both membership probes are broadcast
+    semi-joins against a fixed-size build — the fact table streams."""
+    li = Catalog(spark, sf_dir).lineitem
+    m = _BLOOM_M
+
+    def h(col, salt=""):
+        return (
+            _poly_r11(F.concat(col.cast("string"), F.lit(salt))) % m
+        )
+
+    mem = (
+        li.filter(F.col("l_orderkey") % 2 == 0)
+        .select(F.col("l_orderkey").alias("k"))
+        .distinct()
+    )
+    prb = (
+        li.filter(F.col("l_orderkey") % 2 == 1)
+        .select(F.col("l_orderkey").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    bits = (
+        mem.select(h(F.col("k")).alias("b"))
+        .unionAll(mem.select(h(F.col("k"), "#").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    probed = prb.select("k", h(F.col("k")).alias("h1"), h(F.col("k"), "#").alias("h2"))
+    fp = (
+        probed.join(
+            F.broadcast(bits.select(F.col("b").alias("h1"))), "h1", "semi"
+        )
+        .join(
+            F.broadcast(bits.select(F.col("b").alias("h2"))), "h2", "semi"
+        )
+        .agg(F.count(F.lit(1)).alias("n_fp"))
+    )
+    counts = (
+        mem.agg(F.count(F.lit(1)).alias("n_members"))
+        .crossJoin(prb.agg(F.count(F.lit(1)).alias("n_probes")))
+        .crossJoin(bits.agg(F.count(F.lit(1)).alias("n_bits_set")))
+    )
+    fill = F.col("n_bits_set").cast("double") / m
+    return fp.crossJoin(F.broadcast(counts)).select(
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("n_probes").cast("long").alias("n_probes"),
+        F.col("n_bits_set").cast("long").alias("n_bits_set"),
+        F.col("n_fp").cast("long").alias("n_fp"),
+        (
+            F.col("n_fp").cast("double")
+            / F.col("n_probes").cast("double")
+        ).alias("measured_fpr"),
+        (fill * fill).alias("expected_fpr"),
+    )

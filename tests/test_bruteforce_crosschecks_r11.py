@@ -325,3 +325,38 @@ def test_gumbel_pwm_q_matches_bruteforce(spark):
     # above the location
     assert row["gumbel_scale"] > 0
     assert row["return_level_p99"] > row["gumbel_loc"]
+
+
+def test_bloom_fpr_check_q_matches_bruteforce(spark):
+    row = REGISTRY["bloom_fpr_check_q"].fn(spark, SF_SMALL).collect()[0]
+    con = duckdb.connect()
+    keys = [
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT l_orderkey FROM "
+            f"read_parquet('{SF_SMALL}/lineitem.parquet')"
+        ).fetchall()
+    ]
+    MOD, M = 1000000007, 65536
+
+    def ph(s):
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % MOD
+        return h
+
+    mem = [k for k in keys if k % 2 == 0]
+    prb = [k for k in keys if k % 2 == 1]
+    bits = {ph(str(k)) % M for k in mem} | {ph(str(k) + "#") % M for k in mem}
+    n_fp = sum(
+        1
+        for k in prb
+        if ph(str(k)) % M in bits and ph(str(k) + "#") % M in bits
+    )
+    assert row["n_members"] == len(mem)
+    assert row["n_probes"] == len(prb)
+    assert row["n_bits_set"] == len(bits)
+    assert row["n_fp"] == n_fp
+    assert row["measured_fpr"] == n_fp / len(prb)
+    fill = len(bits) / M
+    assert row["expected_fpr"] == fill * fill
