@@ -104,6 +104,16 @@ SENSITIVE = [
     "seasonal_esd_q",          # iterative outlier removal w/ ranks
     "mutual_knn_q",            # rounded-cosine reciprocal top-k
     "bandit_replay_q",         # ordered replay over event sequence
+    # round-11: rank/order-machinery users among the r11 additions
+    # (winnowing_fingerprints_q is pure per-row HOF work and
+    # bloom_fpr_check_q is distinct+semi-join counts — no layout surface)
+    "bff_dedup_q",             # whole-partition min window over grams
+    "chunk_dedup_q",           # two owner-resolution windows per chunk
+    "holt_linear_q",           # sort_array'd per-key sequential fold
+    "croston_q",               # sort_array'd sparse-event fold
+    "binary_quantize_recall_q",# rounded-cos + hamming row_number top-5
+    "lateness_audit_q",        # per-user running max over arrival order
+    "gumbel_pwm_q",            # row_number rank over month blocks
 ]
 
 
