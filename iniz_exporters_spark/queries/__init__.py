@@ -168,7 +168,7 @@ from iniz_exporters_spark.queries.p09 import (
     audience_stability_q, bff_dedup_q, binary_quantize_recall_q,
     bloom_fpr_check_q, chunk_dedup_q, cochran_q_test,
     copeland_q, croston_q, gopher_rules_q, gumbel_pwm_q, holt_linear_q,
-    knee_point_q, lateness_audit_q, median_test_q,
+    knee_point_q, lateness_audit_q, mattr_q, median_test_q,
     mixture_domain_weights_q,
     rep_ngram_fractions_q, robust_shape_q, simpson_paradox_q,
     split_doc_boundary_q, token_ngram_decontam_q, u_chart_q,

@@ -2261,3 +2261,68 @@ def bloom_fpr_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("measured_fpr"),
         (fill * fill).alias("expected_fpr"),
     )
+
+
+@register(
+    "mattr_q",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS_R10} AS ts FROM documents),
+    w AS (
+        SELECT doc_id, len(ts) AS n_tokens,
+               CASE WHEN len(ts) >= 25 THEN
+                   list_transform(range(1, len(ts) - 23),
+                       i -> len(list_distinct(ts[i:i+24])))
+               ELSE [] END AS wd
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(len(wd) AS BIGINT) AS n_windows,
+           CAST(list_reduce(list_prepend(0::BIGINT, wd),
+                            (a, b) -> a + b) AS BIGINT) AS sum_types,
+           ROUND(CAST(list_reduce(list_prepend(0::BIGINT, wd),
+                                  (a, b) -> a + b) AS DOUBLE)
+                 / NULLIF(len(wd) * 25, 0), 6) AS mattr
+    FROM w
+    """,
+)
+def mattr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-Average Type-Token Ratio (Covington & McFall 2010): mean
+    TTR over every sliding 25-token window — the length-robust lexical
+    diversity read (plain TTR falls with doc length; yule_k /
+    distinct_ngram_diversity are corpus/global measures, this one is
+    windowed per doc). Every window's distinct count is an INTEGER, so
+    the statistic is a ratio of exact integers — one guarded division at
+    the sink, no float accumulation anywhere (DETERMINISM.md rule 1 by
+    construction). Docs under 25 tokens emit 0 windows / NULL mattr
+    (emit-every-doc). Scale shape: all work is per-row Catalyst HOF
+    (windows over the token array, no shuffle but the scan) behind the
+    same kernel spread as the span family."""
+    d = Catalog(spark, sf_dir).documents
+    t = _spread_r11(d.select("doc_id", "text")).select(
+        "doc_id", _tokens_r10("text").alias("ts")
+    )
+    n = F.size("ts")
+    wd = F.when(
+        n >= 25,
+        F.transform(
+            F.sequence(F.lit(1), n - 24),
+            lambda i: F.size(F.array_distinct(F.slice("ts", i, 25))),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    w = t.select("doc_id", n.alias("n_tokens"), wd.alias("wd"))
+    sum_types = F.aggregate(
+        "wd", F.lit(0).cast("long"), lambda a, b: a + b
+    )
+    nw = F.size("wd")
+    return w.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        nw.cast("long").alias("n_windows"),
+        sum_types.alias("sum_types"),
+        F.round(
+            sum_types.cast("double")
+            / F.nullif((nw * 25).cast("long"), F.lit(0)),
+            6,
+        ).alias("mattr"),
+    )

@@ -360,3 +360,24 @@ def test_bloom_fpr_check_q_matches_bruteforce(spark):
     assert row["measured_fpr"] == n_fp / len(prb)
     fill = len(bits) / M
     assert row["expected_fpr"] == fill * fill
+
+
+def test_mattr_q_matches_bruteforce(spark):
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["mattr_q"].fn(spark, SF_SMALL).collect()
+    }
+    for doc_id, text in _docs():
+        toks = _tok(text)
+        wins = (
+            [len(set(toks[i : i + 25])) for i in range(len(toks) - 24)]
+            if len(toks) >= 25
+            else []
+        )
+        row = got[doc_id]
+        assert row["n_tokens"] == len(toks)
+        assert row["n_windows"] == len(wins)
+        assert row["sum_types"] == sum(wins)
+        assert row["mattr"] == (
+            round(sum(wins) / (len(wins) * 25), 6) if wins else None
+        )
