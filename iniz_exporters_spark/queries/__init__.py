@@ -165,7 +165,8 @@ from iniz_exporters_spark.queries.p08 import (
 )
 from iniz_exporters_spark.queries.p09 import (
     _BLOOM_M, _GOPHER_STOPS, _SQL_STOPS,
-    audience_stability_q, bff_dedup_q, binary_quantize_recall_q,
+    asof_nearest_q, audience_stability_q, bff_dedup_q,
+    binary_quantize_recall_q,
     bloom_fpr_check_q, chunk_dedup_q, cochran_q_test,
     copeland_q, croston_q, gopher_rules_q, gumbel_pwm_q, holt_linear_q,
     knee_point_q, lateness_audit_q, mattr_q, median_test_q,

@@ -381,3 +381,39 @@ def test_mattr_q_matches_bruteforce(spark):
         assert row["mattr"] == (
             round(sum(wins) / (len(wins) * 25), 6) if wins else None
         )
+
+
+def test_asof_nearest_q_matches_bruteforce(spark):
+    got = {
+        r["purchase_id"]: r
+        for r in REGISTRY["asof_nearest_q"].fn(spark, SF_SMALL).collect()
+    }
+    con = duckdb.connect()
+    ev = con.execute(
+        f"""SELECT event_id, user_id, event_type, epoch_us(ts) FROM
+            read_parquet('{SF_SMALL}/events.parquet')"""
+    ).fetchall()
+    purchases = [(e, u, t) for e, u, k, t in ev if k == "purchase"]
+    clicks = {}
+    for e, u, k, t in ev:
+        if k == "click":
+            clicks.setdefault(u, []).append((e, t))
+    assert set(got) == {e for e, _, _ in purchases}
+    matched = 0
+    for pid, uid, pts in purchases:
+        cand = clicks.get(uid, [])
+        row = got[pid]
+        if not cand:
+            assert row["click_id"] is None and row["delta_us"] is None
+            continue
+        # nearest |delta|, tie to the earlier (backward) click, then id
+        best = min(
+            cand, key=lambda c: (abs(c[1] - pts), c[1] > pts, c[0])
+        )
+        assert row["click_id"] == best[0]
+        assert row["delta_us"] == best[1] - pts
+        matched += 1
+    # the stream must exercise both directions of the pick
+    deltas = [r["delta_us"] for r in got.values() if r["delta_us"] is not None]
+    assert any(d < 0 for d in deltas) and any(d > 0 for d in deltas)
+    assert matched > 0

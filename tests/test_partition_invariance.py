@@ -114,6 +114,7 @@ SENSITIVE = [
     "binary_quantize_recall_q",# rounded-cos + hamming row_number top-5
     "lateness_audit_q",        # per-user running max over arrival order
     "gumbel_pwm_q",            # row_number rank over month blocks
+    "asof_nearest_q",          # two ordered carry-forward windows + pick
 ]
 
 
