@@ -175,3 +175,9 @@ from iniz_exporters_spark.queries.p09 import (
     split_doc_boundary_q, token_ngram_decontam_q, u_chart_q,
     winnowing_fingerprints_q, winsor_effect_q,
 )
+from iniz_exporters_spark.queries.p10 import (
+    _BLOCK_RULES, _HOST_SYNTH_SQL, _MIRROR_FP_SQL, _MIRROR_HOST_SQL,
+    _PII_RISK_SPIKE_SQL, _SCRIPT_CLASSES, _SCRIPT_SPIKE_SQL, _SQL_LUHN,
+    host_blocklist_q, host_mirror_q, pii_risk_score_q, script_mix_q,
+    theta_forecast_q,
+)

@@ -1,0 +1,262 @@
+"""Third-implementation cross-checks for the round-11 session-3 additions
+(queued for the r12 driver window).
+
+Same contract as the r6-r11 files: plain-Python recomputation, independent
+of both engines, so each query enters its driver window already
+triple-verified (Spark plan, DuckDB oracle, this replica).
+"""
+
+import re
+
+import duckdb
+
+from iniz_exporters_spark.queries import REGISTRY
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _rows(sql):
+    return duckdb.connect().execute(sql).fetchall()
+
+
+def _docs():
+    return _rows(
+        f"SELECT doc_id, text, source FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet') ORDER BY doc_id"
+    )
+
+
+def _poly(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % 1000000007
+    return h
+
+
+def _luhn_valid(cc: str) -> bool:
+    total = 0
+    for i, ch in enumerate(cc, start=1):
+        d = ord(ch) - 48
+        if (17 - i) % 2 == 0:
+            d = 2 * d
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def test_pii_risk_score_q_matches_bruteforce(spark):
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["pii_risk_score_q"].fn(spark, SF_SMALL).collect()
+    }
+    pats = {
+        "n_email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "n_ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+        "n_phone": r"\b\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+        "n_ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    }
+    assert len(got) == 500
+    seen_tiers, seen_valid = set(), set()
+    for doc_id, text, _src in _docs():
+        t = text
+        if doc_id % 3 == 0:
+            t += f" reach user{doc_id}@mail.example.org"
+        if doc_id % 4 == 1:
+            t += (
+                f" ssn {doc_id % 900 + 100:03d}-"
+                f"{doc_id % 89 + 10:02d}-{doc_id % 9000 + 1000:04d}"
+            )
+        if doc_id % 5 == 2:
+            t += f" call 555-867-{doc_id % 10000:04d}"
+        if doc_id % 6 == 3:
+            t += f" from 10.{doc_id % 200}.0.1"
+        if doc_id % 2 == 0:
+            t += f" card 4{(doc_id * 2654435761) % 10**15:015d}"
+        counts = {k: len(re.findall(p, t)) for k, p in pats.items()}
+        m = re.search(r"\b(\d{16})\b", t)
+        cc = m.group(1) if m else ""
+        has_cc = 1 if len(cc) == 16 else 0
+        valid = 1 if (has_cc and _luhn_valid(cc)) else 0
+        n_kinds = sum(1 for v in counts.values() if v > 0) + has_cc
+        base = (
+            3 * counts["n_email"]
+            + 5 * counts["n_ssn"]
+            + 2 * counts["n_phone"]
+            + counts["n_ipv4"]
+            + (8 if valid else (1 if has_cc else 0))
+        )
+        risk = base * (2 if n_kinds >= 2 else 1)
+        tier = (
+            "none"
+            if base == 0
+            else ("low" if risk < 8 else ("medium" if risk < 20 else "high"))
+        )
+        row = got[doc_id]
+        for k, v in counts.items():
+            assert row[k] == v, (doc_id, k)
+        assert row["has_cc"] == has_cc
+        assert row["cc_luhn_valid"] == valid
+        assert row["n_kinds"] == n_kinds
+        assert row["risk_score"] == risk
+        assert row["risk_tier"] == tier
+        seen_tiers.add(tier)
+        if has_cc:
+            seen_valid.add(valid)
+    # the spike must exercise the full surface: all four tiers and BOTH
+    # Luhn branches
+    assert seen_tiers == {"none", "low", "medium", "high"}
+    assert seen_valid == {0, 1}
+
+
+def test_script_mix_q_matches_bruteforce(spark):
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["script_mix_q"].fn(spark, SF_SMALL).collect()
+    }
+    classes = {
+        "n_latin": r"[A-Za-z]",
+        "n_cyrillic": "[Ѐ-ӿ]",
+        "n_greek": "[Ͱ-Ͽ]",
+        "n_cjk": "[一-鿿]",
+        "n_replacement": "�",
+        "n_control": "[\x01-\x08\x0b\x0c\x0e-\x1f]",
+    }
+    seen_mixed, seen_moji = set(), set()
+    for doc_id, text, _src in _docs():
+        t = text
+        if doc_id % 4 == 1:
+            t += " привет мир"
+        if doc_id % 4 == 2:
+            t += " αλφα βητα"
+        if doc_id % 4 == 3:
+            t += " 数据清洗"
+        if doc_id % 10 == 0:
+            t += " ��"
+        if doc_id % 7 == 0:
+            t += "\x07"
+        counts = {k: len(re.findall(p, t)) for k, p in classes.items()}
+        n_scripts = sum(
+            1
+            for k in ("n_latin", "n_cyrillic", "n_greek", "n_cjk")
+            if counts[k] > 0
+        )
+        mixed = 1 if n_scripts >= 2 else 0
+        moji = 1 if (counts["n_replacement"] or counts["n_control"]) else 0
+        row = got[doc_id]
+        for k, v in counts.items():
+            assert row[k] == v, (doc_id, k)
+        assert row["n_scripts"] == n_scripts
+        assert row["mixed_script"] == mixed
+        assert row["mojibake"] == moji
+        seen_mixed.add(mixed)
+        seen_moji.add(moji)
+    assert seen_mixed == {0, 1} and seen_moji == {0, 1}
+
+
+def test_host_blocklist_q_matches_bruteforce(spark):
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["host_blocklist_q"].fn(spark, SF_SMALL).collect()
+    }
+    rules = [
+        "src1.example.com",
+        "cdn.src2.example.com",
+        "example.net",
+        "www.src4.example.com",
+    ]
+    seen_blocked = set()
+    for doc_id, _text, src in _docs():
+        if doc_id % 3 == 0:
+            host = f"{src}.example.com"
+        elif doc_id % 3 == 1:
+            host = f"cdn.{src}.example.com"
+        else:
+            host = f"www.mirror-{src}.example.net"
+        parts = host.split(".")
+        suffixes = {".".join(parts[i:]) for i in range(len(parts))}
+        matches = sorted(
+            (r for r in rules if r in suffixes),
+            key=lambda r: (-len(r), r),
+        )
+        row = got[doc_id]
+        assert row["host"] == host
+        if matches:
+            assert row["blocked"] == 1
+            assert row["matched_rule"] == matches[0]
+            assert row["rule_labels"] == len(matches[0].split("."))
+        else:
+            assert row["blocked"] == 0
+            assert row["matched_rule"] == ""
+            assert row["rule_labels"] == 0
+        seen_blocked.add(row["blocked"])
+    assert seen_blocked == {0, 1}
+
+
+def test_host_mirror_q_matches_bruteforce(spark):
+    got = {
+        r["host"]: r
+        for r in REGISTRY["host_mirror_q"].fn(spark, SF_SMALL).collect()
+    }
+    by_fp = {}
+    host_docs = {}
+    for doc_id, text, src in _docs():
+        host = f"{src}-h{doc_id % 7}.example.com"
+        toks = sorted(
+            {t for t in re.split(r"[^a-z0-9]+", text.lower()) if t}
+        )
+        fp = _poly(" ".join(toks))
+        by_fp.setdefault(fp, set()).add(host)
+        host_docs.setdefault(host, []).append(fp)
+    assert set(got) == set(host_docs)
+    any_mirrored = False
+    for host, fps in host_docs.items():
+        n_docs = len(fps)
+        n_mirrored = sum(1 for fp in fps if len(by_fp[fp]) >= 2)
+        partners = set()
+        for fp in set(fps):
+            partners |= by_fp[fp] - {host}
+        row = got[host]
+        assert row["n_docs"] == n_docs
+        assert row["n_mirrored_docs"] == n_mirrored
+        assert row["n_mirror_partners"] == len(partners)
+        assert abs(row["mirror_rate"] - n_mirrored / n_docs) < 5e-7
+        any_mirrored = any_mirrored or n_mirrored > 0
+    # the synthetic corpus must actually contain cross-host mirrors
+    assert any_mirrored
+
+
+def test_theta_forecast_q_matches_bruteforce(spark):
+    got = {
+        r["pri"]: r
+        for r in REGISTRY["theta_forecast_q"].fn(spark, SF_SMALL).collect()
+    }
+    daily = _rows(
+        f"""SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+            FROM read_parquet('{SF_SMALL}/orders.parquet')
+            GROUP BY o_orderpriority, day ORDER BY o_orderpriority, day"""
+    )
+    series = {}
+    for pri, _day, rev in daily:
+        series.setdefault(pri, []).append(rev)
+    assert set(got) == set(series)
+    for pri, v in series.items():
+        n = len(v)
+        st = n * (n + 1) // 2
+        st2 = n * (n + 1) * (2 * n + 1) // 6
+        sy = sum(v)  # fp noise here stays far below the 5e-7 gate
+        sty = sum(y * t for t, y in enumerate(v, start=1))
+        b = (n * sty - st * sy) / (n * st2 - st * st)
+        a = (sy - b * st) / n
+        s = 2 * v[0] - (a + b)
+        for t in range(2, n + 1):
+            s = (s + (2 * v[t - 1] - (a + b * t))) / 2
+        row = got[pri]
+        assert row["n_days"] == n
+        assert abs(row["slope"] - b) < 5e-7
+        assert abs(row["intercept"] - a) < 5e-6
+        assert abs(row["ses_level"] - s) < 5e-6
+        assert abs(
+            row["forecast_7d"] - (0.5 * (a + b * (n + 7)) + 0.5 * s)
+        ) < 5e-6

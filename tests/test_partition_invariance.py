@@ -115,6 +115,12 @@ SENSITIVE = [
     "lateness_audit_q",        # per-user running max over arrival order
     "gumbel_pwm_q",            # row_number rank over month blocks
     "asof_nearest_q",          # two ordered carry-forward windows + pick
+    # round-11 session 3: rank/order-machinery users among the p10 batch
+    # (pii_risk_score_q / script_mix_q are pure per-row regex+fold work —
+    # no layout surface)
+    "host_blocklist_q",        # most-specific-rule row_number per doc
+    "host_mirror_q",           # fp-grouped host sets + partner self-join
+    "theta_forecast_q",        # day row_number + sort_array'd SES fold
 ]
 
 
