@@ -739,3 +739,215 @@ def theta_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.5 * F.col("s")
         ).alias("forecast_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance reranking (Carbonell & Goldstein 1998) — the
+# standard diversity pass over a retrieval shortlist: greedily pick the
+# candidate maximizing lambda*rel(q,c) - (1-lambda)*max_{s in S} sim(c,s).
+# The greedy loop is UNROLLED relationally (5 selection steps as plain
+# join/window stages) rather than folded, so both engines run identical
+# set-based arithmetic and DuckDB's struct-fold accumulator hazard
+# (DETERMINISM rule 15) never enters; all similarities are rounded before
+# any comparison (rule 12's total-order discipline, cid tiebreak).
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_K_CAND = 20
+_MMR_K_PICK = 5
+
+
+def _mmr_sql() -> str:
+    steps = []
+    for t in range(2, _MMR_K_PICK + 1):
+        prev = f"sel{t - 1}"
+        steps.append(
+            f"""
+    st{t} AS (
+        SELECT c.query_id, c.cid, c.qsim, MAX(p.sim) AS pen
+        FROM cand c
+        JOIN {prev} s ON s.query_id = c.query_id
+        JOIN pairs p ON p.query_id = c.query_id
+             AND p.a_cid = c.cid AND p.b_cid = s.cid
+        WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                          WHERE x.query_id = c.query_id
+                            AND x.cid = c.cid)
+        GROUP BY c.query_id, c.cid, c.qsim
+    ),
+    pick{t} AS (
+        SELECT query_id, cid, qsim, pen,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY {_MMR_LAMBDA} * qsim
+                            - {round(1 - _MMR_LAMBDA, 6)} * pen DESC,
+                            cid) AS rn
+        FROM st{t}
+    ),
+    sel{t} AS (
+        SELECT query_id, cid, qsim, pick_order, pen FROM {prev}
+        UNION ALL
+        SELECT query_id, cid, qsim, {t} AS pick_order, pen
+        FROM pick{t} WHERE rn = 1
+    )"""
+        )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cid,
+               ROUND(list_cosine_similarity(q.v, c.v), 4) AS qsim
+        FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 8
+    ),
+    cand AS (
+        SELECT query_id, cid, qsim FROM (
+            SELECT query_id, cid, qsim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY qsim DESC, cid) AS rn
+            FROM scored) t
+        WHERE rn <= {_MMR_K_CAND}
+    ),
+    pairs AS (
+        SELECT a.query_id, a.cid AS a_cid, b.cid AS b_cid,
+               ROUND(list_cosine_similarity(va.v, vb.v), 4) AS sim
+        FROM cand a
+        JOIN cand b ON a.query_id = b.query_id AND a.cid <> b.cid
+        JOIN e va ON va.vec_id = a.cid
+        JOIN e vb ON vb.vec_id = b.cid
+    ),
+    sel1 AS (
+        SELECT query_id, cid, qsim, 1 AS pick_order, 0.0 AS pen
+        FROM cand QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY qsim DESC, cid) = 1
+    ),{",".join(steps)}
+    SELECT query_id,
+           pick_order::INT AS pick_order,
+           cid AS neighbor_id,
+           qsim AS relevance,
+           CAST(ROUND(pen, 6) AS DOUBLE) + 0.0 AS diversity_penalty,
+           CAST(ROUND({_MMR_LAMBDA} * qsim
+                - {round(1 - _MMR_LAMBDA, 6)} * pen, 6) AS DOUBLE) + 0.0
+               AS mmr_score
+    FROM sel{_MMR_K_PICK}
+    """
+
+
+@register("mmr_rerank_q", _mmr_sql())
+def mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 over each query's cosine top-20 shortlist
+    (lambda = 0.7): relevance pulls toward the query, the penalty pushes
+    away from what's already picked — the dedup-aware reranker a RAG
+    retrieval stack runs after ANN.
+
+    Scale: the shortlist stage is the knn_bruteforce plan (broadcast
+    queries x corpus; at 100 TB the shortlist comes from the bucketed
+    ANN instead — same downstream contract); everything after operates
+    on k=20 rows per query (pairs = k^2 per query), so the 5 unrolled
+    selection steps are metadata-scale joins/windows whatever the
+    corpus size.
+    """
+    from iniz_exporters_spark.operators.similarity import cosine
+
+    lam = F.lit(_MMR_LAMBDA)
+    mu = F.lit(round(1 - _MMR_LAMBDA, 6))
+    e = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cid"),
+            F.round(cosine(F.col("qv"), F.col("v")), 4).alias("qsim"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qsim").desc(), F.col("cid")
+    )
+    # cand and pairs feed every unrolled selection step (4-5 consumers
+    # each) — pin them so the shortlist scoring runs once, not per step
+    # (the r10 multi-consumer-frame rule; localCheckpoint is the local[*]
+    # analogue of persist-on-cluster)
+    cand = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _MMR_K_CAND)
+        .select("query_id", "cid", "qsim")
+        .localCheckpoint(eager=False)
+    )
+    ev = e.select(F.col("vec_id").alias("cid"), "v")
+    cv = cand.join(F.broadcast(ev), "cid").select(
+        "query_id", "cid", "qsim", "v"
+    )
+    a = cv.select(
+        "query_id", F.col("cid").alias("a_cid"), F.col("v").alias("va")
+    )
+    b = cv.select(
+        F.col("query_id").alias("qid_b"),
+        F.col("cid").alias("b_cid"),
+        F.col("v").alias("vb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("query_id") == F.col("qid_b"))
+            & (F.col("a_cid") != F.col("b_cid")),
+        )
+        .select(
+            "query_id", "a_cid", "b_cid",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sel = (
+        cand.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id", "cid", "qsim",
+            F.lit(1).alias("pick_order"),
+            F.lit(0.0).alias("pen"),
+        )
+    )
+    for t in range(2, _MMR_K_PICK + 1):
+        pen_t = (
+            pairs.join(
+                sel.select("query_id", F.col("cid").alias("b_cid")),
+                ["query_id", "b_cid"],
+            )
+            .groupBy("query_id", "a_cid")
+            .agg(F.max("sim").alias("pen"))
+        )
+        notsel = cand.join(
+            sel.select("query_id", "cid"), ["query_id", "cid"], "left_anti"
+        )
+        scored_t = notsel.join(
+            pen_t,
+            (notsel["query_id"] == pen_t["query_id"])
+            & (notsel["cid"] == pen_t["a_cid"]),
+        ).select(notsel["query_id"], "cid", "qsim", "pen")
+        wp = Window.partitionBy("query_id").orderBy(
+            (lam * F.col("qsim") - mu * F.col("pen")).desc(), F.col("cid")
+        )
+        pick = (
+            scored_t.withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id", "cid", "qsim",
+                F.lit(t).alias("pick_order"), "pen",
+            )
+        )
+        # sel is read twice next iteration (penalty join + anti-join) and
+        # its lineage otherwise re-runs every prior pick's window chain
+        sel = sel.unionByName(pick).localCheckpoint(eager=False)
+    return sel.select(
+        "query_id",
+        F.col("pick_order").cast("int").alias("pick_order"),
+        F.col("cid").alias("neighbor_id"),
+        F.col("qsim").alias("relevance"),
+        (F.round(F.col("pen"), 6) + F.lit(0.0)).alias("diversity_penalty"),
+        (
+            F.round(lam * F.col("qsim") - mu * F.col("pen"), 6) + F.lit(0.0)
+        ).alias("mmr_score"),
+    )

@@ -260,3 +260,63 @@ def test_theta_forecast_q_matches_bruteforce(spark):
         assert abs(
             row["forecast_7d"] - (0.5 * (a + b * (n + 7)) + 0.5 * s)
         ) < 5e-6
+
+
+def test_mmr_rerank_q_matches_bruteforce(spark):
+    got = sorted(
+        (
+            (r["query_id"], r["pick_order"], r["neighbor_id"],
+             r["relevance"], r["diversity_penalty"], r["mmr_score"])
+            for r in REGISTRY["mmr_rerank_q"].fn(spark, SF_SMALL).collect()
+        )
+    )
+    vecs = dict(
+        _rows(
+            f"SELECT vec_id, embedding FROM "
+            f"read_parquet('{SF_SMALL}/embeddings.parquet')"
+        )
+    )
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return round(d / (na * nb), 4)
+
+    LAM, MU, K, P = 0.7, 0.3, 20, 5
+    expect = []
+    for qid in sorted(v for v in vecs if v < 8):
+        scored = sorted(
+            ((cos(vecs[qid], vecs[c]), c) for c in vecs if c != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:K]
+        cands = [(c, s) for s, c in scored]
+        selected = []
+        for pick_order in range(1, P + 1):
+            best = None
+            for c, qsim in cands:
+                if any(c == s for s, _, _ in selected):
+                    continue
+                pen = max(
+                    (cos(vecs[c], vecs[s]) for s, _, _ in selected),
+                    default=0.0,
+                )
+                sc = LAM * qsim - MU * pen
+                key = (-sc, c)
+                if best is None or key < best[0]:
+                    best = (key, c, qsim, pen, sc)
+            _, c, qsim, pen, sc = best
+            selected.append((c, pen, sc))
+            expect.append(
+                (qid, pick_order, c, qsim, round(pen, 6), round(sc, 6))
+            )
+    expect.sort()
+    assert len(got) == len(expect)
+    for g, e in zip(got, expect):
+        assert g[:3] == e[:3], (g, e)
+        for gi, ei in zip(g[3:], e[3:]):
+            assert abs(gi - ei) < 5e-7, (g, e)
+    # diversity must actually bite: some pick differs from the pure-cos
+    # top-5 order (a nonzero penalty changed a selection)
+    assert any(e[4] > 0 for e in expect)

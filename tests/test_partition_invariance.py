@@ -121,6 +121,7 @@ SENSITIVE = [
     "host_blocklist_q",        # most-specific-rule row_number per doc
     "host_mirror_q",           # fp-grouped host sets + partner self-join
     "theta_forecast_q",        # day row_number + sort_array'd SES fold
+    "mmr_rerank_q",            # rounded-cos shortlist + 5 greedy argmax
 ]
 
 
