@@ -54,7 +54,13 @@ def test_window_targets_never_driver_checked_queries():
     # remain unchecked (the r8 closing batch is 42), the tail of the first-50
     # slice legitimately re-covers already-green registry-order names.
     already = [n for n in ENTRY._WINDOW if n in prev]
-    assert already == [], f"window wastes slots on driver-checked: {already}"
+    assert already == [], (
+        f"window wastes slots on driver-checked names: {already}. "
+        "REMEDY (the round-open convention): seat the next rotation — set "
+        "_WINDOW = _R{N+1}_WINDOW in __spark_entry__.py using the "
+        "precomputed queue in PERFORMANCE.md '\u00a7driver-window' (verify it "
+        "against the committed CORRECTNESS_r*.json first), then re-run."
+    )
 
 
 def test_registry_round_trips_completely():

@@ -127,3 +127,66 @@ def test_binary_module_has_no_blanket_except():
     src = open(B.__file__.replace(".pyc", ".py")).read()
     assert "except Exception:" not in src
     assert src.count("except CODEC_DATA_ERRORS:") >= 4
+
+
+def test_codec_guards_mutate_only_local_state():
+    """Source lint (VERDICT r10 #2 companion to the blanket-except ban):
+    inside any ``try`` whose handler catches ``CODEC_DATA_ERRORS``, the
+    only statements allowed are codec calls and their local result
+    bindings — mutating an accumulator that outlives the guard
+    (``ids.append(...)``, ``frames.extend(...)``) is exactly the r10
+    failure mode where a mid-stream decode error emitted partial rows
+    beside the deterministic fake. CODEC_DATA_ERRORS deliberately keeps
+    KeyError/IndexError, so this pin is what stops repo-side code from
+    drifting back inside the guard."""
+    import ast
+
+    import iniz_exporters_spark.multimodal.binary as B
+
+    tree = ast.parse(open(B.__file__.replace(".pyc", ".py")).read())
+    MUTATORS = {"append", "extend", "insert", "update", "add"}
+
+    def catches_codec_errors(handler):
+        t = handler.type
+        return isinstance(t, ast.Name) and t.id == "CODEC_DATA_ERRORS"
+
+    violations = []
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.Try):
+            continue
+        if not any(catches_codec_errors(h) for h in node.handlers):
+            continue
+        local = set()
+        for st in ast.walk(ast.Module(body=node.body, type_ignores=[])):
+            if isinstance(st, ast.Assign):
+                for tgt in st.targets:
+                    for n in ast.walk(tgt):
+                        if isinstance(n, ast.Name):
+                            local.add(n.id)
+            elif isinstance(st, (ast.For, ast.withitem)):
+                tgt = (
+                    st.target
+                    if isinstance(st, ast.For)
+                    else st.optional_vars
+                )
+                if tgt is not None:
+                    for n in ast.walk(tgt):
+                        if isinstance(n, ast.Name):
+                            local.add(n.id)
+        for st in ast.walk(ast.Module(body=node.body, type_ignores=[])):
+            if (
+                isinstance(st, ast.Call)
+                and isinstance(st.func, ast.Attribute)
+                and st.func.attr in MUTATORS
+                and isinstance(st.func.value, ast.Name)
+                and st.func.value.id not in local
+            ):
+                violations.append(
+                    f"line {st.lineno}: {st.func.value.id}."
+                    f"{st.func.attr}(...) mutates non-guard-local state "
+                    "inside a CODEC_DATA_ERRORS try block"
+                )
+    assert violations == [], (
+        "repo-side accumulator mutation drifted back inside a codec "
+        f"guard: {violations}"
+    )
