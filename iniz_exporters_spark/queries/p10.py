@@ -951,3 +951,580 @@ def mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(lam * F.col("qsim") - mu * F.col("pen"), 6) + F.lit(0.0)
         ).alias("mmr_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank test (Wilcoxon 1945) — the PAIRED member of the
+# rank-test family next to mann_whitney_q (independent samples): does
+# per-customer spend shift between the early (<=1994) and late (>=1995)
+# halves of the order history? Ranks ride the same integral doubled-
+# midrank machinery (avg_rank2_table over exact DECIMAL |d| keys), the
+# tie-corrected normal approximation gets its one sqrt at the very end
+# (IEEE-exact, not libm), and zero differences are dropped per the
+# classical procedure (counted, so the emitted row shows the censoring;
+# no continuity correction — documented choice, identical both engines).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wilcoxon_signed_rank_q",
+    """
+    WITH per AS (
+        SELECT o_custkey,
+               SUM(CASE WHEN year(o_orderdate) <= 1994
+                   THEN o_totalprice::DECIMAL(18,4) ELSE 0 END) AS x,
+               SUM(CASE WHEN year(o_orderdate) >= 1995
+                   THEN o_totalprice::DECIMAL(18,4) ELSE 0 END) AS y
+        FROM orders GROUP BY o_custkey
+    ),
+    d AS (SELECT y - x AS diff FROM per),
+    nz AS (SELECT COUNT(*) AS n_zero FROM d WHERE diff = 0),
+    tbl AS (
+        SELECT abs(diff) AS ad, COUNT(*) AS cnt,
+               SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS cnt_pos
+        FROM d WHERE diff <> 0 GROUP BY abs(diff)
+    ),
+    ranked AS (
+        SELECT cnt, cnt_pos,
+               2 * SUM(cnt) OVER (ORDER BY ad) - cnt + 1 AS rank2
+        FROM tbl
+    ),
+    agg AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(cnt_pos * rank2) AS BIGINT) AS w2p,
+               CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
+        FROM ranked
+    )
+    SELECT n AS n_pairs,
+           (SELECT n_zero FROM nz)::BIGINT AS n_zero_dropped,
+           CAST(w2p AS DOUBLE) / 2 AS w_plus,
+           CAST(n * (n + 1) - w2p AS DOUBLE) / 2 AS w_minus,
+           tie3 AS tie_correction,
+           CAST(ROUND(
+               (w2p - n * (n + 1) / 2.0)
+               / (2.0 * sqrt(n * (n + 1) * (2 * n + 1) / 24.0
+                             - tie3 / 48.0)), 6) AS DOUBLE) + 0.0
+               AS z_score
+    FROM agg
+    """,
+)
+def wilcoxon_signed_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired early-vs-late spend shift per customer: W+ from doubled
+    integral midranks over exact-decimal |d|, tie-corrected z.
+
+    Scale: the fact-scale work is ONE map-side-combining per-customer
+    aggregation; the midrank table has one row per DISTINCT |d| and its
+    prefix count runs through global_cumsum (range-partitioned, no
+    single-partition window); every compared value is integer until the
+    final sqrt/divide (DETERMINISM rules 1/3/12).
+    """
+    from iniz_exporters_spark.operators.indexing import avg_rank2_table
+
+    o = Catalog(spark, sf_dir).orders
+    dec = F.col("o_totalprice").cast("decimal(18,4)")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(F.year("o_orderdate") <= 1994, dec).otherwise(
+                F.lit(0).cast("decimal(18,4)")
+            )
+        ).alias("x"),
+        F.sum(
+            F.when(F.year("o_orderdate") >= 1995, dec).otherwise(
+                F.lit(0).cast("decimal(18,4)")
+            )
+        ).alias("y"),
+    )
+    d = per.select((F.col("y") - F.col("x")).alias("diff"))
+    nz = d.filter(F.col("diff") == 0).agg(
+        F.count(F.lit(1)).alias("n_zero")
+    )
+    tbl = (
+        d.filter(F.col("diff") != 0)
+        .groupBy(F.abs(F.col("diff")).alias("ad"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.when(F.col("diff") > 0, 1).otherwise(0)).alias(
+                "cnt_pos"
+            ),
+        )
+    )
+    ranked = avg_rank2_table(tbl, "ad")
+    agg = ranked.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("cnt_pos") * F.col("rank2")).cast("long").alias("w2p"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).cast("long").alias("tie3"),
+    )
+    n, w2p, tie3 = F.col("n"), F.col("w2p"), F.col("tie3")
+    return agg.crossJoin(F.broadcast(nz)).select(
+        n.alias("n_pairs"),
+        F.col("n_zero").cast("long").alias("n_zero_dropped"),
+        (w2p.cast("double") / 2).alias("w_plus"),
+        ((n * (n + 1) - w2p).cast("double") / 2).alias("w_minus"),
+        tie3.alias("tie_correction"),
+        (
+            F.round(
+                (w2p - n * (n + 1) / F.lit(2.0))
+                / (
+                    F.lit(2.0)
+                    * F.sqrt(
+                        n * (n + 1) * (2 * n + 1) / F.lit(24.0)
+                        - tie3 / F.lit(48.0)
+                    )
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# NF4 (4-bit NormalFloat) quantization audit — the 4-bit member of the
+# quantization family between int8_quantize_check (8-bit) and
+# binary_quantize_recall_q (1-bit). Levels are the 16 published QLoRA
+# constants (Dettmers et al. 2023, "QLoRA: Efficient Finetuning of
+# Quantized LLMs", bitsandbytes reference values); each vector is
+# absmax-normalized and every element snaps to the NEAREST level via a
+# fixed midpoint CASE chain (ties at a midpoint take the lower level) —
+# pure comparisons against shared decimal literals, no fold, so both
+# engines pick identical codes without any rule-15 accumulator surface.
+# ---------------------------------------------------------------------------
+
+_NF4_LEVELS = (
+    -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+    -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+    0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+    0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+    0.7229568362236023, 1.0,
+)
+_NF4_MIDPOINTS = tuple(
+    (_NF4_LEVELS[i] + _NF4_LEVELS[i + 1]) / 2
+    for i in range(len(_NF4_LEVELS) - 1)
+)
+
+
+def _nf4_case_sql(x: str) -> str:
+    """Nearest-NF4-level CASE chain (SQL), generated from the one level
+    table so Spark and DuckDB compare against byte-identical literals."""
+    branches = "".join(
+        f" WHEN {x} <= {m!r} THEN {l!r}"
+        for m, l in zip(_NF4_MIDPOINTS, _NF4_LEVELS)
+    )
+    return f"CASE{branches} ELSE {_NF4_LEVELS[-1]!r} END"
+
+
+def _nf4_nearest(x):
+    out = F.lit(_NF4_LEVELS[-1])
+    for m, lvl in reversed(list(zip(_NF4_MIDPOINTS, _NF4_LEVELS))):
+        out = F.when(x <= F.lit(m), F.lit(lvl)).otherwise(out)
+    return out
+
+
+@register(
+    "nf4_quantize_q",
+    f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+                   AS am
+        FROM embeddings
+    ),
+    deq AS (
+        SELECT vec_id, label, v, am,
+               list_transform(v, x ->
+                   CASE WHEN am = 0 THEN 0.0
+                        ELSE {_nf4_case_sql("x / am")} * am END) AS w
+        FROM e
+    ),
+    per AS (
+        SELECT label,
+               CAST(ROUND(list_reduce(
+                   list_transform(range(1, len(v) + 1),
+                       i -> (v[i] - w[i]) * (v[i] - w[i])),
+                   (a, b) -> a + b) / len(v), 12) AS DECIMAL(20,12))
+                   AS mse,
+               CAST(ROUND(list_reduce(
+                       list_transform(range(1, len(v) + 1),
+                           i -> v[i] * w[i]), (a, b) -> a + b)
+                   / (sqrt(list_reduce(list_transform(v, x -> x * x),
+                           (a, b) -> a + b))
+                      * sqrt(NULLIF(list_reduce(
+                            list_transform(w, x -> x * x),
+                            (a, b) -> a + b), 0))), 6)
+                   AS DECIMAL(18,6)) AS cos
+        FROM deq
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(ROUND(CAST(SUM(mse) AS DOUBLE) / COUNT(*), 9) AS DOUBLE)
+               + 0.0 AS avg_mse,
+           CAST(MAX(mse) AS DOUBLE) + 0.0 AS worst_mse,
+           CAST(ROUND(CAST(SUM(cos) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+               + 0.0 AS avg_cos
+    FROM per GROUP BY label
+    """,
+)
+def nf4_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label NF4 quantization error: absmax-normalize, snap to the
+    16 QLoRA NormalFloat levels, dequantize, and report MSE / cosine
+    fidelity against the original vectors.
+
+    Scale: one corpus scan; every element's code comes from a 15-branch
+    comparison chain inside whole-stage codegen (no per-element fold for
+    the code choice); per-vector folds (MSE, dot) are d-bounded; the
+    per-vector statistics quantize to DECIMAL before the per-label sum
+    so group aggregation is partition-order-invariant (rules 1/6); one
+    map-side-combining groupBy on label.
+    """
+    e = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "am", F.array_max(F.transform("v", lambda x: F.abs(x)))
+    )
+    deq = e.withColumn(
+        "w",
+        F.transform(
+            "v",
+            lambda x: F.when(F.col("am") == 0, F.lit(0.0)).otherwise(
+                _nf4_nearest(x / F.col("am")) * F.col("am")
+            ),
+        ),
+    )
+    sq_err = F.aggregate(
+        F.zip_with("v", "w", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "w", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    n2 = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, t: a + t
+    )
+    per = deq.select(
+        "label",
+        F.round(sq_err / F.size("v"), 12).cast("decimal(20,12)").alias(
+            "mse"
+        ),
+        F.round(
+            dot / (F.sqrt(n2("v")) * F.sqrt(F.nullif(n2("w"), F.lit(0.0)))),
+            6,
+        ).cast("decimal(18,6)").alias("cos"),
+    )
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        (
+            F.round(F.sum("mse").cast("double") / F.count(F.lit(1)), 9)
+            + F.lit(0.0)
+        ).alias("avg_mse"),
+        (F.max("mse").cast("double") + F.lit(0.0)).alias("worst_mse"),
+        (
+            F.round(F.sum("cos").cast("double") / F.count(F.lit(1)), 6)
+            + F.lit(0.0)
+        ).alias("avg_cos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of Transfer
+# Learning...", section 2.2) — the line-level companion to gopher_rules_q's
+# doc-level thresholds: keep only lines that end in terminal punctuation
+# and have >= 5 words, drop lines mentioning javascript, drop whole docs
+# containing "lorem ipsum" or "{" or with < 3 surviving lines. The corpus
+# is single-line word salad, so line structure and rule triggers are
+# synthesized deterministically from doc_id (the established spike
+# convention): lines of (7 + doc_id%5) tokens, terminal '.' on lines where
+# (doc_id + line) % 3 != 0, and lorem/brace/javascript spikes on fixed
+# residue classes. The RULES then re-detect everything from the
+# constructed strings — they never read the spike conditions.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c4_rules_q",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS t,
+               7 + doc_id % 5 AS lw
+        FROM documents
+    ),
+    built AS (
+        SELECT doc_id,
+               len(t) AS ntok,
+               CAST((len(t) + lw - 1) // lw AS INT) AS n_lines,
+               list_transform(
+                   range(0, CAST((len(t) + lw - 1) // lw AS INT)), i ->
+                   array_to_string(t[i * lw + 1 : (i + 1) * lw], ' ')
+                   || CASE WHEN doc_id % 41 = 0 AND i = 0
+                           THEN ' lorem ipsum' ELSE '' END
+                   || CASE WHEN doc_id % 37 = 0
+                            AND i = 1 % CAST((len(t) + lw - 1) // lw AS INT)
+                           THEN ' {' ELSE '' END
+                   || CASE WHEN doc_id % 29 = 0
+                            AND i = 2 % CAST((len(t) + lw - 1) // lw AS INT)
+                           THEN ' javascript' ELSE '' END
+                   || CASE WHEN (doc_id + i) % 3 <> 0
+                           THEN '.' ELSE '' END
+               ) AS lines
+        FROM toks
+    ),
+    flags AS (
+        SELECT doc_id, n_lines,
+               len(list_filter(lines, l ->
+                   right(l, 1) NOT IN ('.', '!', '?')))::INT
+                   AS n_unpunct_lines,
+               len(list_filter(lines, l ->
+                   len(string_split(l, ' ')) < 5))::INT AS n_short_lines,
+               len(list_filter(lines, l ->
+                   contains(l, 'javascript')))::INT AS n_js_lines,
+               len(list_filter(lines, l ->
+                   right(l, 1) IN ('.', '!', '?')
+                   AND len(string_split(l, ' ')) >= 5
+                   AND NOT contains(l, 'javascript')))::INT
+                   AS n_kept_lines,
+               CASE WHEN len(list_filter(lines, l ->
+                    contains(l, 'lorem ipsum'))) > 0 THEN 1 ELSE 0 END
+                   AS has_lorem,
+               CASE WHEN len(list_filter(lines, l ->
+                    contains(l, '{'))) > 0 THEN 1 ELSE 0 END AS has_brace
+        FROM built
+    )
+    SELECT doc_id, n_lines, n_kept_lines, n_unpunct_lines, n_short_lines,
+           n_js_lines, has_lorem, has_brace,
+           CASE WHEN n_kept_lines >= 3 AND has_lorem = 0 AND has_brace = 0
+                THEN 1 ELSE 0 END AS doc_kept
+    FROM flags
+    """,
+)
+def c4_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's line-level cleaning audit per document: terminal-punctuation
+    and >=5-word line gates, javascript line drops, lorem-ipsum / brace
+    doc drops, and the >=3-surviving-lines doc gate.
+
+    Scale: one corpus scan; line construction and every rule are array
+    expressions inside whole-stage codegen (no explode, zero shuffles),
+    so cost is linear in tokens at any corpus size. Emits every doc
+    with an integer doc_kept flag (DETERMINISM rule 11).
+    """
+    from iniz_exporters_spark.functions.text import tokens
+
+    d = Catalog(spark, sf_dir).documents.select(
+        "doc_id", tokens("text").alias("t"),
+        (7 + F.col("doc_id") % 5).alias("lw"),
+    )
+    ntok = F.size("t")
+    n_lines = F.floor((ntok + F.col("lw") - 1) / F.col("lw")).cast("int")
+    built = d.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.concat(
+                F.array_join(
+                    F.slice(
+                        F.col("t"),
+                        i * F.col("lw") + 1,
+                        F.col("lw"),
+                    ),
+                    " ",
+                ),
+                F.when(
+                    (F.col("doc_id") % 41 == 0) & (i == 0),
+                    F.lit(" lorem ipsum"),
+                ).otherwise(""),
+                F.when(
+                    (F.col("doc_id") % 37 == 0)
+                    & (i == 1 % n_lines.cast("bigint")),
+                    F.lit(" {"),
+                ).otherwise(""),
+                F.when(
+                    (F.col("doc_id") % 29 == 0)
+                    & (i == 2 % n_lines.cast("bigint")),
+                    F.lit(" javascript"),
+                ).otherwise(""),
+                F.when(
+                    (F.col("doc_id") + i) % 3 != 0, F.lit(".")
+                ).otherwise(""),
+            ),
+        ).alias("lines"),
+    )
+    term = lambda l: F.substring(l, -1, 1).isin(".", "!", "?")  # noqa: E731
+    words = lambda l: F.size(F.split(l, " "))  # noqa: E731
+    nflt = lambda pred: F.size(  # noqa: E731
+        F.filter(F.col("lines"), pred)
+    ).cast("int")
+    flags = built.select(
+        "doc_id", "n_lines",
+        nflt(lambda l: ~term(l)).alias("n_unpunct_lines"),
+        nflt(lambda l: words(l) < 5).alias("n_short_lines"),
+        nflt(lambda l: l.contains("javascript")).alias("n_js_lines"),
+        nflt(
+            lambda l: term(l)
+            & (words(l) >= 5)
+            & ~l.contains("javascript")
+        ).alias("n_kept_lines"),
+        F.when(
+            F.size(F.filter(F.col("lines"), lambda l: l.contains(
+                "lorem ipsum"))) > 0, 1
+        ).otherwise(0).alias("has_lorem"),
+        F.when(
+            F.size(F.filter(F.col("lines"), lambda l: l.contains("{")))
+            > 0, 1
+        ).otherwise(0).alias("has_brace"),
+    )
+    return flags.select(
+        "*",
+        F.when(
+            (F.col("n_kept_lines") >= 3)
+            & (F.col("has_lorem") == 0)
+            & (F.col("has_brace") == 0),
+            1,
+        ).otherwise(0).alias("doc_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# UniMax sampling allocation (Chung et al. 2023, "UniMax: Fairer and More
+# Effective Language Sampling for Large-Scale Multilingual Pretraining"):
+# spread a token budget across sources as uniformly as possible subject to
+# a per-source epoch cap. The waterfilling level is found RELATIONALLY:
+# caps sorted ascending, and the saturated prefix k is the largest rank
+# whose cap fits under its candidate level — the test is the integer
+# cross-multiplication c_k * (n-k) <= B - P_k, so level selection never
+# touches a double (DETERMINISM rule 3); the single division producing
+# the level happens once, at the sink. Per-source epoch caps vary
+# deterministically (1 + suffix % 3) so both the saturated and
+# level-bound branches are exercised at every scale.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unimax_alloc_q",
+    """
+    WITH src AS (
+        SELECT source,
+               CAST(SUM(len(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                   x -> x <> ''))) AS BIGINT) AS n_tokens,
+               (1 + CAST(substr(source, 4) AS BIGINT) % 3) AS epoch_cap
+        FROM documents GROUP BY source
+    ),
+    capped AS (
+        SELECT source, n_tokens, epoch_cap,
+               n_tokens * epoch_cap AS cap_tokens
+        FROM src
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_tokens) AS BIGINT) AS total,
+               CAST(6 * SUM(n_tokens) // 5 AS BIGINT) AS budget
+        FROM capped
+    ),
+    ranked AS (
+        SELECT source, n_tokens, epoch_cap, cap_tokens,
+               ROW_NUMBER() OVER (ORDER BY cap_tokens, source) AS rn,
+               SUM(cap_tokens) OVER (ORDER BY cap_tokens, source) AS pref
+        FROM capped
+    ),
+    ksel AS (
+        SELECT COALESCE(MAX(rn), 0) AS k
+        FROM ranked, tot
+        WHERE cap_tokens * (n - rn) <= budget - pref
+    )
+    SELECT r.source, r.n_tokens, r.epoch_cap::INT AS epoch_cap,
+           r.cap_tokens,
+           CASE WHEN r.rn <= k.k THEN 1 ELSE 0 END AS saturated,
+           CAST(ROUND(CASE WHEN r.rn <= k.k THEN CAST(r.cap_tokens AS
+                     DOUBLE)
+                ELSE (t.budget - COALESCE(
+                        (SELECT pref FROM ranked p WHERE p.rn = k.k), 0)
+                     )::DOUBLE / (t.n - k.k) END, 2) AS DOUBLE) + 0.0
+               AS alloc_tokens,
+           CAST(ROUND(CASE WHEN r.rn <= k.k THEN CAST(r.cap_tokens AS
+                     DOUBLE)
+                ELSE (t.budget - COALESCE(
+                        (SELECT pref FROM ranked p WHERE p.rn = k.k), 0)
+                     )::DOUBLE / (t.n - k.k) END
+                / r.n_tokens, 6) AS DOUBLE) + 0.0 AS epochs,
+           t.budget AS budget_tokens
+    FROM ranked r, tot t, ksel k
+    """,
+)
+def unimax_alloc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax waterfilling: allocate a 1.2-epoch token budget across
+    sources as uniformly as the per-source epoch caps allow — small-cap
+    sources saturate, the rest share the remaining budget at one common
+    level.
+
+    Scale: the fact-scale work is ONE map-side-combining per-source
+    aggregation; everything after runs on the source table (metadata-
+    scale at any corpus size — same rationale as mixture_domain_weights).
+    Saturation is decided by integer cross-multiplication; the level's
+    single division happens at the sink.
+    """
+    from iniz_exporters_spark.functions.text import tokens
+
+    d = Catalog(spark, sf_dir).documents
+    src = d.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens")
+    ).withColumn(
+        "epoch_cap",
+        1 + F.substring("source", 4, 10).cast("long") % 3,
+    ).withColumn(
+        "cap_tokens", F.col("n_tokens") * F.col("epoch_cap")
+    )
+    tot = src.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_tokens").cast("long").alias("total"),
+        F.floor(6 * F.sum("n_tokens") / 5).cast("long").alias("budget"),
+    )
+    wr = Window.orderBy("cap_tokens", "source")
+    ranked = src.select(
+        "source", "n_tokens", "epoch_cap", "cap_tokens",
+        F.row_number().over(wr).alias("rn"),
+        F.sum("cap_tokens").over(wr).alias("pref"),
+    ).crossJoin(F.broadcast(tot))
+    kfrm = ranked.filter(
+        F.col("cap_tokens") * (F.col("n") - F.col("rn"))
+        <= F.col("budget") - F.col("pref")
+    ).agg(F.coalesce(F.max("rn"), F.lit(0)).alias("k"))
+    withk = ranked.crossJoin(F.broadcast(kfrm))
+    # P_k = prefix sum at rank k: pref is monotone in rn, so the max of
+    # pref over the saturated prefix IS P_k (0 when k = 0); the window
+    # spans the metadata-scale source table only
+    wall = Window.partitionBy(F.lit(1))
+    withk = withk.withColumn(
+        "pk_all",
+        F.max(
+            F.when(F.col("rn") <= F.col("k"), F.col("pref")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).over(wall),
+    )
+    level = (F.col("budget") - F.col("pk_all")).cast("double") / (
+        F.col("n") - F.col("k")
+    )
+    alloc = F.when(
+        F.col("rn") <= F.col("k"), F.col("cap_tokens").cast("double")
+    ).otherwise(level)
+    return withk.select(
+        "source", "n_tokens",
+        F.col("epoch_cap").cast("int").alias("epoch_cap"),
+        "cap_tokens",
+        F.when(F.col("rn") <= F.col("k"), 1).otherwise(0).alias(
+            "saturated"
+        ),
+        (F.round(alloc, 2) + F.lit(0.0)).alias("alloc_tokens"),
+        (F.round(alloc / F.col("n_tokens"), 6) + F.lit(0.0)).alias(
+            "epochs"
+        ),
+        F.col("budget").alias("budget_tokens"),
+    )

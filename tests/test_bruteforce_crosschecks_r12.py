@@ -320,3 +320,181 @@ def test_mmr_rerank_q_matches_bruteforce(spark):
     # diversity must actually bite: some pick differs from the pure-cos
     # top-5 order (a nonzero penalty changed a selection)
     assert any(e[4] > 0 for e in expect)
+
+
+def test_wilcoxon_signed_rank_q_matches_bruteforce(spark):
+    row = REGISTRY["wilcoxon_signed_rank_q"].fn(spark, SF_SMALL).collect()[0]
+    per = _rows(
+        f"""SELECT o_custkey,
+            SUM(CASE WHEN year(o_orderdate) <= 1994
+                THEN o_totalprice::DECIMAL(18,4) ELSE 0 END) AS x,
+            SUM(CASE WHEN year(o_orderdate) >= 1995
+                THEN o_totalprice::DECIMAL(18,4) ELSE 0 END) AS y
+            FROM read_parquet('{SF_SMALL}/orders.parquet')
+            GROUP BY o_custkey"""
+    )
+    diffs = [y - x for _c, x, y in per]
+    n_zero = sum(1 for d in diffs if d == 0)
+    nz = [d for d in diffs if d != 0]
+    n = len(nz)
+    # classical midranks over |d| (exact Decimal keys — no fp in ranking)
+    by_abs = sorted(abs(d) for d in nz)
+    first = {}
+    for i, v in enumerate(by_abs, start=1):
+        first.setdefault(v, []).append(i)
+    midrank = {v: sum(ix) / len(ix) for v, ix in first.items()}
+    w_plus = sum(midrank[abs(d)] for d in nz if d > 0)
+    tie3 = sum(
+        len(ix) ** 3 - len(ix) for ix in first.values() if len(ix) > 1
+    )
+    import math
+
+    z = (w_plus - n * (n + 1) / 4.0) / math.sqrt(
+        n * (n + 1) * (2 * n + 1) / 24.0 - tie3 / 48.0
+    )
+    assert row["n_pairs"] == n
+    assert row["n_zero_dropped"] == n_zero
+    assert abs(row["w_plus"] - w_plus) < 1e-9
+    assert abs(row["w_minus"] - (n * (n + 1) / 2 - w_plus)) < 1e-9
+    assert row["tie_correction"] == tie3
+    assert abs(row["z_score"] - z) < 5e-7
+
+
+def test_nf4_quantize_q_matches_bruteforce(spark):
+    got = {
+        r["label"]: r
+        for r in REGISTRY["nf4_quantize_q"].fn(spark, SF_SMALL).collect()
+    }
+    from iniz_exporters_spark.queries.p10 import (
+        _NF4_LEVELS,
+        _NF4_MIDPOINTS,
+    )
+
+    rows = _rows(
+        f"SELECT label, embedding FROM "
+        f"read_parquet('{SF_SMALL}/embeddings.parquet')"
+    )
+
+    def nearest(x):
+        for m, lvl in zip(_NF4_MIDPOINTS, _NF4_LEVELS):
+            if x <= m:
+                return lvl
+        return _NF4_LEVELS[-1]
+
+    import math
+
+    per_label = {}
+    for label, emb in rows:
+        v = [float(x) for x in emb]
+        am = max(abs(x) for x in v)
+        w = [0.0 if am == 0 else nearest(x / am) * am for x in v]
+        mse = round(sum((a - b) ** 2 for a, b in zip(v, w)) / len(v), 12)
+        na = math.sqrt(sum(x * x for x in v))
+        nb = math.sqrt(sum(x * x for x in w))
+        cos = round(sum(a * b for a, b in zip(v, w)) / (na * nb), 6)
+        per_label.setdefault(label, []).append((mse, cos))
+    assert set(got) == set(per_label)
+    for label, pairs in per_label.items():
+        row = got[label]
+        n = len(pairs)
+        assert row["n_vectors"] == n
+        assert abs(row["avg_mse"] - sum(m for m, _ in pairs) / n) < 1e-8
+        assert abs(row["worst_mse"] - max(m for m, _ in pairs)) < 1e-11
+        assert abs(row["avg_cos"] - sum(c for _, c in pairs) / n) < 5e-6
+        # quantization must be lossy but faithful: positive error, high
+        # cosine (every vector has >16 distinct magnitudes at d=64)
+        assert row["avg_mse"] > 0 and row["avg_cos"] > 0.9
+
+
+def test_c4_rules_q_matches_bruteforce(spark):
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["c4_rules_q"].fn(spark, SF_SMALL).collect()
+    }
+    seen_kept = set()
+    for doc_id, text, _src in _docs():
+        toks = [
+            t for t in re.split(r"[^a-z0-9]+", text.lower()) if t
+        ]
+        lw = 7 + doc_id % 5
+        n_lines = (len(toks) + lw - 1) // lw
+        lines = []
+        for i in range(n_lines):
+            body = " ".join(toks[i * lw : (i + 1) * lw])
+            if doc_id % 41 == 0 and i == 0:
+                body += " lorem ipsum"
+            if doc_id % 37 == 0 and i == 1 % n_lines:
+                body += " {"
+            if doc_id % 29 == 0 and i == 2 % n_lines:
+                body += " javascript"
+            if (doc_id + i) % 3 != 0:
+                body += "."
+            lines.append(body)
+        term = lambda l: l[-1:] in (".", "!", "?")  # noqa: E731
+        words = lambda l: len(l.split(" "))  # noqa: E731
+        kept = [
+            l for l in lines
+            if term(l) and words(l) >= 5 and "javascript" not in l
+        ]
+        has_lorem = int(any("lorem ipsum" in l for l in lines))
+        has_brace = int(any("{" in l for l in lines))
+        row = got[doc_id]
+        assert row["n_lines"] == n_lines
+        assert row["n_kept_lines"] == len(kept)
+        assert row["n_unpunct_lines"] == sum(
+            1 for l in lines if not term(l)
+        )
+        assert row["n_short_lines"] == sum(
+            1 for l in lines if words(l) < 5
+        )
+        assert row["n_js_lines"] == sum(
+            1 for l in lines if "javascript" in l
+        )
+        assert row["has_lorem"] == has_lorem
+        assert row["has_brace"] == has_brace
+        dk = int(len(kept) >= 3 and not has_lorem and not has_brace)
+        assert row["doc_kept"] == dk
+        seen_kept.add(dk)
+    assert seen_kept == {0, 1}
+
+
+def test_unimax_alloc_q_matches_bruteforce(spark):
+    got = {
+        r["source"]: r
+        for r in REGISTRY["unimax_alloc_q"].fn(spark, SF_SMALL).collect()
+    }
+    per = {}
+    for _doc_id, text, src in _docs():
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        per[src] = per.get(src, 0) + len(toks)
+    caps = {
+        s: (n, 1 + int(s[3:]) % 3, n * (1 + int(s[3:]) % 3))
+        for s, n in per.items()
+    }
+    total = sum(n for n, _, _ in caps.values())
+    budget = 6 * total // 5
+    order = sorted(caps, key=lambda s: (caps[s][2], s))
+    n = len(order)
+    # waterfill: largest saturated prefix k
+    pref, k, pk = 0, 0, 0
+    running = 0
+    for i, s in enumerate(order, start=1):
+        running += caps[s][2]
+        if caps[s][2] * (n - i) <= budget - running:
+            k, pk = i, running
+    level = (budget - pk) / (n - k) if k < n else None
+    saturated = set(order[:k])
+    assert set(got) == set(caps)
+    assert {got[s]["saturated"] for s in got} == {0, 1}
+    for s, (ntok, ecap, ctok) in caps.items():
+        row = got[s]
+        assert row["n_tokens"] == ntok
+        assert row["epoch_cap"] == ecap
+        assert row["cap_tokens"] == ctok
+        assert row["budget_tokens"] == budget
+        alloc = ctok if s in saturated else level
+        assert row["saturated"] == int(s in saturated)
+        assert abs(row["alloc_tokens"] - alloc) < 0.01
+        assert abs(row["epochs"] - alloc / ntok) < 5e-6
+    # conservation: allocations must exhaust the budget
+    assert abs(sum(r["alloc_tokens"] for r in got.values()) - budget) < 1

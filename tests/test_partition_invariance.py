@@ -122,6 +122,8 @@ SENSITIVE = [
     "host_mirror_q",           # fp-grouped host sets + partner self-join
     "theta_forecast_q",        # day row_number + sort_array'd SES fold
     "mmr_rerank_q",            # rounded-cos shortlist + 5 greedy argmax
+    "wilcoxon_signed_rank_q",  # global_cumsum doubled midranks over |d|
+    "unimax_alloc_q",          # cap-ranked waterfill prefix selection
 ]
 
 
