@@ -180,7 +180,8 @@ from iniz_exporters_spark.queries.p10 import (
     _MMR_K_CAND, _MMR_K_PICK, _MMR_LAMBDA, _NF4_LEVELS,
     _NF4_MIDPOINTS, _PII_RISK_SPIKE_SQL, _SCRIPT_CLASSES,
     _SCRIPT_SPIKE_SQL, _SQL_LUHN, _mmr_sql, _nf4_case_sql, _nf4_nearest,
-    c4_rules_q, host_blocklist_q, host_mirror_q, mmr_rerank_q,
-    nf4_quantize_q, pii_risk_score_q, script_mix_q, theta_forecast_q,
-    unimax_alloc_q, wilcoxon_signed_rank_q,
+    c4_rule_flags, c4_rules_q, host_blocklist_q, host_mirror_q,
+    mmr_rerank_q, nf4_quantize_q, pii_risk_score_q, pii_risk_scores,
+    script_mix_flags, script_mix_q, theta_forecast_q, unimax_alloc_q,
+    wilcoxon_signed_rank_q,
 )

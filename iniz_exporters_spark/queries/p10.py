@@ -119,7 +119,13 @@ def pii_risk_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is linear in bytes scanned at any corpus size. Emits every doc
     (DETERMINISM rule 11) — risk_tier 'none' rows stay visible.
     """
-    d = Catalog(spark, sf_dir).documents
+    return pii_risk_scores(Catalog(spark, sf_dir).documents)
+
+
+def pii_risk_scores(d: DataFrame) -> DataFrame:
+    """DataFrame-level PII-risk transform (stateless per-row map): works
+    identically on a batch frame and a readStream frame — the streaming
+    parity test drives this exact function through a file source."""
     sid = F.col("doc_id").cast("string")
     spiked = F.concat(
         F.col("text"),
@@ -318,7 +324,12 @@ def script_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan; zero shuffles. Emits every doc with integer flags
     (DETERMINISM rule 11).
     """
-    d = Catalog(spark, sf_dir).documents
+    return script_mix_flags(Catalog(spark, sf_dir).documents)
+
+
+def script_mix_flags(d: DataFrame) -> DataFrame:
+    """DataFrame-level script-mix transform (stateless per-row map);
+    batch/stream agnostic — see the streaming parity test."""
     spiked = F.concat(
         F.col("text"),
         F.when(
@@ -1314,9 +1325,15 @@ def c4_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     so cost is linear in tokens at any corpus size. Emits every doc
     with an integer doc_kept flag (DETERMINISM rule 11).
     """
+    return c4_rule_flags(Catalog(spark, sf_dir).documents)
+
+
+def c4_rule_flags(doc_frame: DataFrame) -> DataFrame:
+    """DataFrame-level C4 rules transform (stateless per-row map);
+    batch/stream agnostic — see the streaming parity test."""
     from iniz_exporters_spark.functions.text import tokens
 
-    d = Catalog(spark, sf_dir).documents.select(
+    d = doc_frame.select(
         "doc_id", tokens("text").alias("t"),
         (7 + F.col("doc_id") % 5).alias("lw"),
     )

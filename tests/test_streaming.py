@@ -739,3 +739,49 @@ def test_streaming_misra_gries_guarantees(spark, events_dir):
                 assert got is not None, (uid, et, c, n)
             if got is not None and got["n_total"] == n:
                 assert c - bound <= got["min_count"] <= c, (uid, et, c, got)
+
+
+def test_streaming_curation_maps_parity(spark, tmp_path):
+    """The per-row curation transforms (PII risk, script mix, C4 rules)
+    are stateless maps, so the SAME DataFrame functions must run
+    unchanged on a file-source stream and agree row-for-row with the
+    batch path — multiple micro-batches forced via maxFilesPerTrigger."""
+    import os
+
+    from iniz_exporters_spark.queries import (
+        c4_rule_flags,
+        pii_risk_scores,
+        script_mix_flags,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    src = str(tmp_path / "docs_stream")
+    os.makedirs(src)
+    # two files → two micro-batches under maxFilesPerTrigger=1
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(src + "/a")
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(src + "/b")
+
+    for i, fn in enumerate(
+        (pii_risk_scores, script_mix_flags, c4_rule_flags)
+    ):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        name = f"curation_sink_{i}"
+        q = (
+            fn(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["doc_id"]: tuple(r)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        want = {r["doc_id"]: tuple(r) for r in fn(docs).collect()}
+        assert got == want, f"{fn.__name__} stream/batch divergence"
