@@ -573,7 +573,12 @@ def host_mirror_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("host"),
         poly_hash(bow).alias("fp"),
     )
-    fh = d.groupBy("fp", "host").agg(F.count(F.lit(1)).alias("n_fh"))
+    # fh is read by FOUR consumers (fstats, both partner-join sides,
+    # hstats); unpinned, Spark re-runs the corpus scan + full-text
+    # polynomial hash per consumer — pin once (persist analogue)
+    fh = d.groupBy("fp", "host").agg(
+        F.count(F.lit(1)).alias("n_fh")
+    ).localCheckpoint(eager=False)
     fstats = fh.groupBy("fp").agg(F.count(F.lit(1)).alias("n_hosts"))
     partners = (
         fh.select("fp", "host")
@@ -1045,7 +1050,11 @@ def wilcoxon_signed_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("y"),
     )
-    d = per.select((F.col("y") - F.col("x")).alias("diff"))
+    # diff is read by the zero-counter AND the midrank table: pin so the
+    # per-customer aggregation over orders runs once
+    d = per.select(
+        (F.col("y") - F.col("x")).alias("diff")
+    ).localCheckpoint(eager=False)
     nz = d.filter(F.col("diff") == 0).agg(
         F.count(F.lit(1)).alias("n_zero")
     )
@@ -1497,7 +1506,8 @@ def unimax_alloc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         1 + F.substring("source", 4, 10).cast("long") % 3,
     ).withColumn(
         "cap_tokens", F.col("n_tokens") * F.col("epoch_cap")
-    )
+    ).localCheckpoint(eager=False)  # read by tot AND ranked: one
+    # corpus-scale tokenize+agg, not two
     tot = src.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("n_tokens").cast("long").alias("total"),
