@@ -182,6 +182,6 @@ from iniz_exporters_spark.queries.p10 import (
     _SCRIPT_SPIKE_SQL, _SQL_LUHN, _mmr_sql, _nf4_case_sql, _nf4_nearest,
     c4_rule_flags, c4_rules_q, host_blocklist_q, host_mirror_q,
     mmr_rerank_q, nf4_quantize_q, pii_risk_score_q, pii_risk_scores,
-    script_mix_flags, script_mix_q, theta_forecast_q, unimax_alloc_q,
-    wilcoxon_signed_rank_q,
+    pipeline_waterfall_q, script_mix_flags, script_mix_q,
+    theta_forecast_q, unimax_alloc_q, wilcoxon_signed_rank_q,
 )

@@ -1555,3 +1555,207 @@ def unimax_alloc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("budget").alias("budget_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline waterfall audit — the observability face of
+# pipeline_clean_corpus: how many documents each cleaning stage admits
+# (quality gate -> language gate -> exact dedup -> near-dup), as one row
+# per stage with in/out/drop-rate. Counting is ONE conditional aggregate
+# over the scored corpus (stage predicates are cumulative, so the first
+# three stages are count_if's of the same scan and exact-dedup survivors
+# are COUNT(DISTINCT text) among passers) plus the near-dup candidate
+# machinery pipeline_clean_corpus already runs — no per-stage rescans.
+# ---------------------------------------------------------------------------
+
+from iniz_exporters_spark.queries.p01 import (  # noqa: E402
+    _SQL_TOKENS as _P01_TOKENS,
+    _sql_minhash_sigs as _p01_minhash_sigs,
+)
+
+
+@register(
+    "pipeline_waterfall_q",
+    f"""
+    WITH t0 AS (
+        SELECT doc_id, text, length(text) AS n,
+               length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                   AS n_punct,
+               {_P01_TOKENS} AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, text,
+               ROUND(CAST(
+                 0.4::DOUBLE * (1 - CASE WHEN n = 0 THEN 0::DOUBLE
+                                         ELSE n_punct::DOUBLE / n END)
+               + 0.3::DOUBLE * least(
+                     (CASE WHEN len(toks) = 0 THEN 0::DOUBLE
+                           ELSE len(list_filter(toks, x -> x IN
+                                ('the','a','and','of','to','in','is','it')))::DOUBLE
+                                / len(toks) END) * 5, 1.0::DOUBLE)
+               + 0.3::DOUBLE * least(n::DOUBLE / 500, 1.0::DOUBLE)
+               AS DECIMAL(28,12)), 4)::DOUBLE
+                   AS quality,
+               len(list_filter(toks, x -> x IN
+                   ('the','a','and','of','to','in','is','it'))) AS c_en,
+               len(list_filter(toks, x -> x IN
+                   ('el','la','de','que','y','los','en','un'))) AS c_es,
+               len(list_filter(toks, x -> x IN
+                   ('der','die','das','und','ist','ein','nicht','mit'))) AS c_de,
+               len(list_filter(toks, x -> x IN
+                   ('le','la','de','et','est','les','des','une'))) AS c_fr
+        FROM t0
+    ),
+    filtered AS (
+        SELECT doc_id, text, quality FROM scored
+        WHERE quality >= 0.5
+          AND greatest(c_en, c_es, c_de, c_fr) > 0
+          AND c_en = greatest(c_en, c_es, c_de, c_fr)
+    ),
+    exact AS (
+        SELECT f.doc_id, f.text, f.quality
+        FROM filtered f
+        JOIN (SELECT text, MIN(doc_id) AS keep FROM filtered
+              GROUP BY text) k
+          ON f.text = k.text AND f.doc_id = k.keep
+    ),
+    {_p01_minhash_sigs(16, table="exact")},
+    bands AS (
+        SELECT doc_id, j // 4 AS band,
+               list_reduce(list(minhash ORDER BY j),
+                           (a, b) -> (a * 31 + b) % 1000000007) AS bucket
+        FROM sig GROUP BY doc_id, j // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+    ),
+    dropped AS (
+        SELECT DISTINCT id_b FROM cand
+        JOIN sh ha ON ha.doc_id = id_a
+        JOIN sh hb ON hb.doc_id = id_b
+        WHERE ROUND(len(list_intersect(ha.hs, hb.hs))::DOUBLE
+                    / (len(ha.hs) + len(hb.hs)
+                       - len(list_intersect(ha.hs, hb.hs))), 4) >= 0.7
+    ),
+    counts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS c0,
+               CAST(COUNT(*) FILTER (quality >= 0.5) AS BIGINT) AS cq,
+               CAST(COUNT(*) FILTER (quality >= 0.5
+                    AND greatest(c_en, c_es, c_de, c_fr) > 0
+                    AND c_en = greatest(c_en, c_es, c_de, c_fr))
+                    AS BIGINT) AS cl,
+               CAST(COUNT(DISTINCT CASE WHEN quality >= 0.5
+                    AND greatest(c_en, c_es, c_de, c_fr) > 0
+                    AND c_en = greatest(c_en, c_es, c_de, c_fr)
+                    THEN text END) AS BIGINT) AS ce
+        FROM scored
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM dropped),
+    stages(stage, n_in, n_out) AS (
+        SELECT '1_quality', c0, cq FROM counts
+        UNION ALL SELECT '2_language', cq, cl FROM counts
+        UNION ALL SELECT '3_exact_dedup', cl, ce FROM counts
+        UNION ALL SELECT '4_near_dedup', ce, ce - d FROM counts, nd
+    )
+    SELECT stage, n_in, n_out, n_in - n_out AS n_dropped,
+           CAST(ROUND((n_in - n_out)::DOUBLE / NULLIF(n_in, 0), 6)
+                AS DOUBLE) + 0.0 AS drop_rate
+    FROM stages
+    """,
+)
+def pipeline_waterfall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where do documents die in the cleaning pipeline? One row per
+    stage (quality, language, exact dedup, near-dup) with admitted
+    counts and drop rates — the run-report a 100 TB curation job emits
+    beside its output.
+
+    Scale: the first three stage counts and the exact-dedup survivor
+    count come from ONE conditional aggregate over the scored corpus
+    (no per-stage rescans; COUNT(DISTINCT text) is the keep-first
+    cardinality without materializing winners); the near-dup stage
+    reuses pipeline_clean_corpus's banded-LSH candidate plan, which
+    never goes all-pairs.
+    """
+    from iniz_exporters_spark.functions.text import text_stats
+    from iniz_exporters_spark.operators.dedup import (
+        dedup_exact,
+        neardup_pairs,
+    )
+
+    d = Catalog(spark, sf_dir).documents
+    stats = text_stats(d, "doc_id", "text").select(
+        "doc_id",
+        F.round(F.col("quality_raw").cast("decimal(28,12)"), 4)
+        .cast("double")
+        .alias("quality"),
+        "lang_pred",
+    )
+    scored = d.select("doc_id", "text").join(stats, "doc_id")
+    gate = (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
+    counts = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("c0"),
+        F.sum(F.when(F.col("quality") >= 0.5, 1).otherwise(0))
+        .cast("long")
+        .alias("cq"),
+        F.sum(F.when(gate, 1).otherwise(0)).cast("long").alias("cl"),
+        F.count_distinct(F.when(gate, F.col("text"))).cast("long").alias(
+            "ce"
+        ),
+    )
+    filtered = scored.filter(gate).select("doc_id", "text", "quality")
+    exact = dedup_exact(filtered, ["text"], "doc_id").localCheckpoint(
+        eager=False
+    )
+    nd = (
+        neardup_pairs(
+            exact, "doc_id", "text", threshold=0.7, num_perm=16,
+            rows_per_band=4,
+        )
+        .select("id_b")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    both = counts.crossJoin(F.broadcast(nd))
+    stage = F.explode(
+        F.array(
+            F.struct(
+                F.lit("1_quality").alias("stage"),
+                F.col("c0").alias("n_in"),
+                F.col("cq").alias("n_out"),
+            ),
+            F.struct(
+                F.lit("2_language").alias("stage"),
+                F.col("cq").alias("n_in"),
+                F.col("cl").alias("n_out"),
+            ),
+            F.struct(
+                F.lit("3_exact_dedup").alias("stage"),
+                F.col("cl").alias("n_in"),
+                F.col("ce").alias("n_out"),
+            ),
+            F.struct(
+                F.lit("4_near_dedup").alias("stage"),
+                F.col("ce").alias("n_in"),
+                (F.col("ce") - F.col("d")).alias("n_out"),
+            ),
+        )
+    )
+    rows = both.select(stage.alias("s")).select(
+        "s.stage", "s.n_in", "s.n_out"
+    )
+    return rows.select(
+        "stage", "n_in", "n_out",
+        (F.col("n_in") - F.col("n_out")).alias("n_dropped"),
+        (
+            F.round(
+                (F.col("n_in") - F.col("n_out")).cast("double")
+                / F.nullif(F.col("n_in"), F.lit(0)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("drop_rate"),
+    )

@@ -498,3 +498,115 @@ def test_unimax_alloc_q_matches_bruteforce(spark):
         assert abs(row["epochs"] - alloc / ntok) < 5e-6
     # conservation: allocations must exhaust the budget
     assert abs(sum(r["alloc_tokens"] for r in got.values()) - budget) < 1
+
+
+def test_pipeline_waterfall_q_matches_bruteforce(spark):
+    """Stage-count waterfall replayed independently (same scoring /
+    dedup logic as the r8 pipeline replica, reduced to counts)."""
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP as RH
+    from decimal import Decimal
+
+    def _shingles(text):
+        t = text or ""
+        if not t:
+            return set()
+        if len(t) <= 5:
+            return {_poly(t)}
+        return {_poly(t[i : i + 5]) for i in range(len(t) - 4)}
+
+    def _bands(hs, num_perm=16, rows=4):
+        M = 1_000_000_007
+        sigs = [
+            min(
+                ((1000003 * j + 1) * h + (7919 * j + 12345)) % M
+                for h in hs
+            )
+            for j in range(num_perm)
+        ]
+        out = []
+        for b in range(num_perm // rows):
+            block = sigs[b * rows : (b + 1) * rows]
+            acc = block[0]
+            for v in block[1:]:
+                acc = (acc * 31 + v) % M
+            out.append((b, acc))
+        return out
+
+    EN = {"the", "a", "and", "of", "to", "in", "is", "it"}
+    ES = {"el", "la", "de", "que", "y", "los", "en", "un"}
+    DE = {"der", "die", "das", "und", "ist", "ein", "nicht", "mit"}
+    FR = {"le", "la", "de", "et", "est", "les", "des", "une"}
+    c0 = cq = cl = 0
+    passers = {}
+    for doc_id, text, _src in _docs():
+        c0 += 1
+        t = text or ""
+        n = len(t)
+        low = t.lower()
+        n_punct = sum(
+            1 for c in low
+            if not (c.isdigit() or "a" <= c <= "z" or c == " ")
+        )
+        toks = [x for x in re.split(r"[^a-z0-9]+", low) if x]
+        stop_ratio = (
+            sum(1 for w in toks if w in EN) / len(toks) if toks else 0.0
+        )
+        raw = (
+            0.4 * (1 - (n_punct / n if n else 0))
+            + 0.3 * min(stop_ratio * 5, 1.0)
+            + 0.3 * min(n / 500, 1.0)
+        )
+        quality = float(Decimal(repr(raw)).quantize(Decimal("1e-4"), RH))
+        if quality < 0.5:
+            continue
+        cq += 1
+        counts = [sum(1 for w in toks if w in ws) for ws in (EN, ES, DE, FR)]
+        if not (max(counts) > 0 and counts[0] == max(counts)):
+            continue
+        cl += 1
+        passers.setdefault(t, doc_id)
+    ce = len(passers)
+    # near-dup drop among exact survivors
+    shingles = {}
+    for t, d in passers.items():
+        shingles[d] = _shingles(t)
+    buckets = defaultdict(list)
+    for d, hs in shingles.items():
+        if hs:
+            for key in _bands(hs):
+                buckets[key].append(d)
+    dropped = set()
+    for ds in buckets.values():
+        ds.sort()
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                ha, hb = shingles[a], shingles[b]
+                inter = len(ha & hb)
+                if round(inter / (len(ha) + len(hb) - inter), 4) >= 0.7:
+                    dropped.add(b)
+    expect = {
+        "1_quality": (c0, cq),
+        "2_language": (cq, cl),
+        "3_exact_dedup": (cl, ce),
+        "4_near_dedup": (ce, ce - len(dropped)),
+    }
+    got = {
+        r["stage"]: r
+        for r in REGISTRY["pipeline_waterfall_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for stage, (n_in, n_out) in expect.items():
+        row = got[stage]
+        assert (row["n_in"], row["n_out"]) == (n_in, n_out), stage
+        assert row["n_dropped"] == n_in - n_out
+        assert abs(
+            row["drop_rate"] - (n_in - n_out) / n_in
+        ) < 5e-7
+    # monotone waterfall, and the corpus must exercise real drops
+    # somewhere (exact dedup legitimately drops 0 at sf0.001 — the
+    # corpus has no byte-identical duplicates below sf0.1)
+    assert all(n_in >= n_out for n_in, n_out in expect.values())
+    assert sum(n_in - n_out for n_in, n_out in expect.values()) > 0

@@ -124,6 +124,7 @@ SENSITIVE = [
     "mmr_rerank_q",            # rounded-cos shortlist + 5 greedy argmax
     "wilcoxon_signed_rank_q",  # global_cumsum doubled midranks over |d|
     "unimax_alloc_q",          # cap-ranked waterfill prefix selection
+    "pipeline_waterfall_q",    # banded near-dup counts must not leak layout
 ]
 
 
