@@ -157,3 +157,67 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
     assert pruned, plan
     # and the pruning is an optimization, not a semantics change
     assert [tuple(r) for r in j.collect()] == [("r3", 4_998_000)]
+
+
+# ---------------------------------------------------------------------------
+# JSONL source/sink (sources/jsonl.py)
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_roundtrip_with_shard_control(spark, tmp_path):
+    from iniz_exporters_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl_shards(docs, out, n_shards=3, shard_by="source")
+    import glob
+
+    shards = glob.glob(out + "/part-*.json.gz")
+    assert len(shards) == 3  # explicit shard control, gzip by default
+    back = read_jsonl(
+        spark, out,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    want = {tuple(r) for r in docs.collect()}
+    got = {
+        tuple(r)
+        for r in back.drop("_corrupt_record").select(*docs.columns)
+        .collect()
+    }
+    assert got == want
+
+
+def test_jsonl_corrupt_lines_survive_and_are_counted(spark, tmp_path):
+    import gzip
+    import os
+
+    from iniz_exporters_spark.sources.jsonl import (
+        corrupt_line_report,
+        read_jsonl,
+    )
+
+    src = str(tmp_path / "mixed")
+    os.makedirs(src)
+    with gzip.open(src + "/shard0.json.gz", "wt") as f:
+        f.write('{"doc_id": 1, "text": "ok"}\n')
+        f.write("{this is not json at all\n")
+        f.write('{"doc_id": 2, "text": "also ok"}\n')
+        f.write('{"doc_id": "NaNaNa"}\n')  # type mismatch -> corrupt
+    df = read_jsonl(spark, src, "doc_id long, text string")
+    rep = corrupt_line_report(df, "doc_id").collect()[0]
+    assert rep["n_rows"] == 4
+    assert rep["n_corrupt"] == 2
+    assert rep["n_anchor_nonnull"] == 2
+    assert abs(rep["corrupt_rate"] - 0.5) < 1e-9
+    good = df.filter("_corrupt_record IS NULL")
+    assert {r["doc_id"] for r in good.collect()} == {1, 2}
+    # malformed raw lines are preserved verbatim for quarantine
+    bad = [
+        r["_corrupt_record"]
+        for r in df.filter("_corrupt_record IS NOT NULL").collect()
+    ]
+    assert any("not json" in b for b in bad)
