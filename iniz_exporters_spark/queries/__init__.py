@@ -180,8 +180,10 @@ from iniz_exporters_spark.queries.p10 import (
     _MMR_K_CAND, _MMR_K_PICK, _MMR_LAMBDA, _NF4_LEVELS,
     _NF4_MIDPOINTS, _PII_RISK_SPIKE_SQL, _SCRIPT_CLASSES,
     _SCRIPT_SPIKE_SQL, _SQL_LUHN, _mmr_sql, _nf4_case_sql, _nf4_nearest,
-    c4_rule_flags, c4_rules_q, host_blocklist_q, host_mirror_q,
-    mmr_rerank_q, nf4_quantize_q, pii_risk_score_q, pii_risk_scores,
+    c4_rule_flags, c4_rules_q, fairness_parity_q, host_blocklist_q, host_mirror_q,
+    _KC_PICKS, _SQL_D2, _kcenter_sql,
+    kcenter_coreset_q, lsh_scurve_q, mmr_rerank_q, nf4_quantize_q,
+    pii_risk_score_q, pii_risk_scores,
     pipeline_waterfall_q, script_mix_flags, script_mix_q,
     theta_forecast_q, unimax_alloc_q, wilcoxon_signed_rank_q,
 )

@@ -1759,3 +1759,422 @@ def pipeline_waterfall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("drop_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-fairness audit (demographic parity + equalized odds; Hardt et al.
+# 2016, "Equality of Opportunity in Supervised Learning"): score a cheap
+# deterministic "model" (order count above the global mean) against a
+# ground-truth label (spend above the global mean) and report, per market
+# segment, the selection rate, TPR and FPR, and each group's gap to the
+# overall rate. All rates are ratios of exact integer counts (decimal
+# spend sums; mean comparisons via integer cross-multiplication so no
+# double enters a decision), divided once at the sink.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fairness_parity_q",
+    """
+    WITH per AS (
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(o_totalprice::DECIMAL(18,4)) AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nc,
+               CAST(SUM(n_orders) AS BIGINT) AS so,
+               SUM(spend) AS ss
+        FROM per
+    ),
+    scored AS (
+        -- x > mean  <=>  x * n_customers > total  (integer/decimal exact)
+        SELECT c.c_mktsegment AS segment,
+               CASE WHEN p.spend * t.nc > t.ss THEN 1 ELSE 0 END AS label,
+               CASE WHEN p.n_orders * t.nc > t.so THEN 1 ELSE 0 END
+                   AS pred
+        FROM per p JOIN customer c ON c.c_custkey = p.o_custkey, tot t
+    ),
+    grp AS (
+        SELECT segment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pred) AS BIGINT) AS n_pred,
+               CAST(SUM(label) AS BIGINT) AS n_pos,
+               CAST(SUM(CASE WHEN pred = 1 AND label = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+               CAST(SUM(CASE WHEN pred = 1 AND label = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
+        FROM scored GROUP BY segment
+    ),
+    ov AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(n_pred) AS BIGINT) AS n_pred,
+               CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+               CAST(SUM(n_tp) AS BIGINT) AS n_tp,
+               CAST(SUM(n_fp) AS BIGINT) AS n_fp
+        FROM grp
+    )
+    SELECT g.segment,
+           g.n AS n_customers,
+           CAST(ROUND(g.n_pos::DOUBLE / g.n, 6) AS DOUBLE) + 0.0
+               AS base_rate,
+           CAST(ROUND(g.n_pred::DOUBLE / g.n, 6) AS DOUBLE) + 0.0
+               AS selection_rate,
+           CAST(ROUND(g.n_tp::DOUBLE / NULLIF(g.n_pos, 0), 6) AS DOUBLE)
+               + 0.0 AS tpr,
+           CAST(ROUND(g.n_fp::DOUBLE / NULLIF(g.n - g.n_pos, 0), 6)
+               AS DOUBLE) + 0.0 AS fpr,
+           CAST(ROUND(abs(g.n_pred::DOUBLE / g.n
+                - o.n_pred::DOUBLE / o.n), 6) AS DOUBLE) + 0.0 AS dp_gap,
+           CAST(ROUND(abs(g.n_tp::DOUBLE / NULLIF(g.n_pos, 0)
+                - o.n_tp::DOUBLE / NULLIF(o.n_pos, 0)), 6) AS DOUBLE)
+               + 0.0 AS eo_gap
+    FROM grp g, ov o
+    """,
+)
+def fairness_parity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment fairness audit of a deterministic selection rule:
+    demographic-parity gap (selection rate vs overall) and
+    equal-opportunity gap (TPR vs overall), plus base rate and FPR.
+
+    Scale: fact-scale work is ONE per-customer aggregation over orders;
+    the segment join broadcasts the customer dim; every decision
+    (label, prediction) is an integer cross-multiplication against
+    exact decimal/integer totals, so no double reaches a boolean; the
+    per-segment rollup is metadata-scale. NULLIF guards segments
+    without positives (rule 8).
+    """
+    cat = Catalog(spark, sf_dir)
+    per = cat.orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("spend"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("nc"),
+        F.sum("n_orders").cast("long").alias("so"),
+        F.sum("spend").alias("ss"),
+    )
+    cust = cat.customer.select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    scored = (
+        per.join(F.broadcast(cust), per["o_custkey"] == cust["c_custkey"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            F.when(
+                F.col("spend") * F.col("nc") > F.col("ss"), 1
+            ).otherwise(0).alias("label"),
+            F.when(
+                F.col("n_orders") * F.col("nc") > F.col("so"), 1
+            ).otherwise(0).alias("pred"),
+        )
+    )
+    grp = scored.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pred").cast("long").alias("n_pred"),
+        F.sum("label").cast("long").alias("n_pos"),
+        F.sum(
+            F.when((F.col("pred") == 1) & (F.col("label") == 1), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_tp"),
+        F.sum(
+            F.when((F.col("pred") == 1) & (F.col("label") == 0), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_fp"),
+    ).localCheckpoint(eager=False)  # read again by the overall rollup
+    ov = grp.agg(
+        F.sum("n").cast("long").alias("o_n"),
+        F.sum("n_pred").cast("long").alias("o_pred"),
+        F.sum("n_pos").cast("long").alias("o_pos"),
+        F.sum("n_tp").cast("long").alias("o_tp"),
+    )
+    r6 = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    return grp.crossJoin(F.broadcast(ov)).select(
+        "segment",
+        F.col("n").alias("n_customers"),
+        r6(F.col("n_pos").cast("double") / F.col("n")).alias("base_rate"),
+        r6(F.col("n_pred").cast("double") / F.col("n")).alias(
+            "selection_rate"
+        ),
+        r6(
+            F.col("n_tp").cast("double") / F.nullif(F.col("n_pos"), F.lit(0))
+        ).alias("tpr"),
+        r6(
+            F.col("n_fp").cast("double")
+            / F.nullif(F.col("n") - F.col("n_pos"), F.lit(0))
+        ).alias("fpr"),
+        r6(
+            F.abs(
+                F.col("n_pred").cast("double") / F.col("n")
+                - F.col("o_pred").cast("double") / F.col("o_n")
+            )
+        ).alias("dp_gap"),
+        r6(
+            F.abs(
+                F.col("n_tp").cast("double")
+                / F.nullif(F.col("n_pos"), F.lit(0))
+                - F.col("o_tp").cast("double")
+                / F.nullif(F.col("o_pos"), F.lit(0))
+            )
+        ).alias("eo_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH S-curve audit (Leskovec/Rajaraman/Ullman, "Mining of Massive
+# Datasets" ch. 3): with b=4 bands of r=4 rows, theory says a pair with
+# true Jaccard J becomes a candidate with probability 1 - (1 - J^4)^4.
+# This query measures the EMPIRICAL candidate rate of the deployed
+# banding against that curve, binned by exact Jaccard — the calibration
+# check that tells you whether the dedup pipeline's recall at its 0.7
+# threshold is what the theory promised. Pairs come from a deterministic
+# doc_id sample (at corpus scale the audit always runs on a fixed-size
+# sample; the exact-J stage is quadratic IN THE SAMPLE only). The
+# theoretical curve is a pure polynomial — no libm — and per-pair values
+# quantize to DECIMAL before the per-bin mean (rule 1); the bin key is
+# integer division, never ROUND(double) (rule 3).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lsh_scurve_q",
+    f"""
+    WITH sample AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    {_p01_minhash_sigs(16, table="sample")},
+    bands AS (
+        SELECT doc_id, j // 4 AS band,
+               list_reduce(list(minhash ORDER BY j),
+                           (a, b) -> (a * 31 + b) % 1000000007) AS bucket
+        FROM sig GROUP BY doc_id, j // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT ha.doc_id AS id_a, hb.doc_id AS id_b,
+               len(list_intersect(ha.hs, hb.hs)) AS i_sz,
+               len(ha.hs) + len(hb.hs)
+                   - len(list_intersect(ha.hs, hb.hs)) AS u_sz
+        FROM sh ha JOIN sh hb ON ha.doc_id < hb.doc_id
+    ),
+    scored AS (
+        SELECT (10 * i_sz) // u_sz AS jbin,
+               CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS is_cand,
+               CAST(ROUND(1 - power(1 - power(i_sz::DOUBLE / u_sz, 4), 4),
+                    12) AS DECIMAL(16,12)) AS p_theory
+        FROM pairs p
+        LEFT JOIN cand c ON p.id_a = c.id_a AND p.id_b = c.id_b
+    )
+    SELECT CAST(jbin AS INT) AS jbin,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(is_cand) AS BIGINT) AS n_candidates,
+           CAST(ROUND(SUM(is_cand)::DOUBLE / COUNT(*), 6) AS DOUBLE)
+               + 0.0 AS empirical_rate,
+           CAST(ROUND(CAST(SUM(p_theory) AS DOUBLE) / COUNT(*), 6)
+               AS DOUBLE) + 0.0 AS theoretical_rate
+    FROM scored GROUP BY jbin
+    """,
+)
+def lsh_scurve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the deployed 4x4 banding hit its theoretical S-curve? Per
+    exact-Jaccard bin: empirical candidate rate vs the polynomial
+    1-(1-J^4)^4 averaged over the bin's pairs.
+
+    Scale: exact Jaccard is quadratic only in the FIXED doc_id sample
+    (the production audit shape); candidate generation reuses the
+    bucketed LSH pass (never all-pairs over the corpus); the bin key is
+    pure integer division and the theory values quantize to decimal
+    before the bin mean. power() here is integer-exponent
+    multiplication in both engines, not libm pow-of-arbitrary-base.
+    """
+    from iniz_exporters_spark.operators.dedup import (
+        buckets_from_shingle_sets,
+        candidate_pairs,
+        shingle_sets,
+    )
+
+    d = Catalog(spark, sf_dir).documents.filter(
+        F.col("doc_id") % 10 == 0
+    ).select("doc_id", "text")
+    hs = shingle_sets(d, "doc_id", "text", 5).localCheckpoint(eager=False)
+    cand = candidate_pairs(
+        buckets_from_shingle_sets(hs, "doc_id", 16, 4), "doc_id"
+    ).withColumn("is_c", F.lit(1))
+    ha = hs.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
+    hb = hs.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    pairs = (
+        ha.join(hb, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            inter.cast("long").alias("i_sz"),
+            (F.size("hs_a") + F.size("hs_b") - inter).cast("long").alias(
+                "u_sz"
+            ),
+        )
+    )
+    j = F.col("i_sz").cast("double") / F.col("u_sz")
+    j4 = j * j * j * j
+    m = 1 - j4
+    p_theory = F.round(1 - m * m * m * m, 12).cast("decimal(16,12)")
+    scored = (
+        pairs.join(F.broadcast(cand), ["id_a", "id_b"], "left")
+        .select(
+            F.expr("(10 * i_sz) div u_sz").cast("int").alias("jbin"),
+            F.coalesce(F.col("is_c"), F.lit(0)).alias("is_cand"),
+            p_theory.alias("p_theory"),
+        )
+    )
+    return scored.groupBy("jbin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("is_cand").cast("long").alias("n_candidates"),
+        (
+            F.round(
+                F.sum("is_cand").cast("double") / F.count(F.lit(1)), 6
+            )
+            + F.lit(0.0)
+        ).alias("empirical_rate"),
+        (
+            F.round(
+                F.sum("p_theory").cast("double") / F.count(F.lit(1)), 6
+            )
+            + F.lit(0.0)
+        ).alias("theoretical_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-center coreset selection (Gonzalez 1985 farthest-point traversal) —
+# the diversity-sampling primitive data-selection pipelines use to pick
+# representative exemplars: seed with the smallest vec_id, then greedily
+# take the point FARTHEST from everything selected so far. Five unrolled
+# selection steps, each ONE linear pass over the corpus (distance to the
+# single new center + running min) — the construction is O(k·n), never
+# quadratic, which is exactly why this algorithm is the standard coreset
+# builder at scale. Distances are the same rounded sequential-fold
+# squared-euclidean both engines share (knn_loo's contract); ties break
+# on vec_id (rule 12).
+# ---------------------------------------------------------------------------
+
+_KC_PICKS = 5
+
+_SQL_D2 = (
+    "ROUND(list_reduce(list_transform(range(1, len({a}) + 1),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y), 6)"
+)
+
+
+def _kcenter_sql() -> str:
+    steps = []
+    for t in range(2, _KC_PICKS + 1):
+        prev_m = f"m{t - 1}"
+        steps.append(f"""
+    p{t} AS (
+        SELECT vec_id, v, mind FROM {prev_m}
+        ORDER BY mind DESC, vec_id LIMIT 1
+    ),
+    m{t} AS (
+        SELECT m.vec_id, m.v,
+               least(m.mind, {_SQL_D2.format(a="m.v", b="p.v")}) AS mind
+        FROM {prev_m} m, p{t} p WHERE m.vec_id <> p.vec_id
+    )""")
+        # final step needs no m{_KC_PICKS}; harmless to build it anyway
+    picks = "\n    UNION ALL ".join(
+        f"SELECT {t} AS pick_order, vec_id, "
+        f"CAST(mind AS DOUBLE) + 0.0 AS radius FROM p{t}"
+        for t in range(2, _KC_PICKS + 1)
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+    m1 AS (
+        SELECT e.vec_id, e.v,
+               {_SQL_D2.format(a="e.v", b="c.v")} AS mind
+        FROM e, c1 c WHERE e.vec_id <> c.vec_id
+    ),{",".join(steps)}
+    SELECT pick_order::INT AS pick_order, vec_id, radius FROM (
+        SELECT 1 AS pick_order, vec_id, 0.0 AS radius FROM c1
+        UNION ALL {picks}
+    ) t
+    """
+
+
+@register("kcenter_coreset_q", _kcenter_sql())
+def kcenter_coreset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-exemplar farthest-point coreset over the embedding corpus:
+    each pick is the point maximizing its distance to the already-
+    selected set; radius records that max-min distance (the k-center
+    coverage radius achieved as each exemplar lands).
+
+    Scale: k unrolled steps, each a linear corpus pass (distance to ONE
+    broadcast center + running min, then a single ordered pick) — the
+    O(k·n) construction; the running-min frame is pinned per step so
+    step t never re-runs steps 1..t-1.
+    """
+    e = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+    def d2(a, b):
+        return F.round(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+            6,
+        )
+
+    c1 = e.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    )
+    m = (
+        e.crossJoin(F.broadcast(c1))
+        .filter(F.col("vec_id") != F.col("c_id"))
+        .select("vec_id", "v", d2(F.col("v"), F.col("cv")).alias("mind"))
+        .localCheckpoint(eager=False)
+    )
+    out = c1.select(
+        F.lit(1).alias("pick_order"),
+        F.col("c_id").alias("vec_id"),
+        F.lit(0.0).alias("radius"),
+    )
+    for t in range(2, _KC_PICKS + 1):
+        pick = m.orderBy(F.col("mind").desc(), F.col("vec_id")).limit(1)
+        out = out.unionByName(
+            pick.select(
+                F.lit(t).alias("pick_order"),
+                "vec_id",
+                (F.col("mind") + F.lit(0.0)).alias("radius"),
+            )
+        )
+        if t < _KC_PICKS:
+            c = pick.select(
+                F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+            )
+            m = (
+                m.crossJoin(F.broadcast(c))
+                .filter(F.col("vec_id") != F.col("c_id"))
+                .select(
+                    "vec_id", "v",
+                    F.least(
+                        F.col("mind"), d2(F.col("v"), F.col("cv"))
+                    ).alias("mind"),
+                )
+                .localCheckpoint(eager=False)
+            )
+    return out.select(
+        F.col("pick_order").cast("int").alias("pick_order"),
+        "vec_id",
+        "radius",
+    )

@@ -610,3 +610,163 @@ def test_pipeline_waterfall_q_matches_bruteforce(spark):
     # corpus has no byte-identical duplicates below sf0.1)
     assert all(n_in >= n_out for n_in, n_out in expect.values())
     assert sum(n_in - n_out for n_in, n_out in expect.values()) > 0
+
+
+def test_fairness_parity_q_matches_bruteforce(spark):
+    got = {
+        r["segment"]: r
+        for r in REGISTRY["fairness_parity_q"].fn(spark, SF_SMALL).collect()
+    }
+    per = _rows(
+        f"""SELECT o_custkey, COUNT(*)::BIGINT,
+            SUM(o_totalprice::DECIMAL(18,4))
+            FROM read_parquet('{SF_SMALL}/orders.parquet')
+            GROUP BY o_custkey"""
+    )
+    seg = dict(
+        _rows(
+            f"SELECT c_custkey, c_mktsegment FROM "
+            f"read_parquet('{SF_SMALL}/customer.parquet')"
+        )
+    )
+    nc = len(per)
+    so = sum(n for _c, n, _s in per)
+    ss = sum(s for _c, _n, s in per)
+    groups = {}
+    for c, n, s in per:
+        label = 1 if s * nc > ss else 0
+        pred = 1 if n * nc > so else 0
+        g = groups.setdefault(seg[c], [0, 0, 0, 0, 0])
+        g[0] += 1
+        g[1] += pred
+        g[2] += label
+        g[3] += 1 if (pred and label) else 0
+        g[4] += 1 if (pred and not label) else 0
+    o = [sum(g[i] for g in groups.values()) for i in range(5)]
+    assert set(got) == set(groups)
+    for s_name, (n, npred, npos, ntp, nfp) in groups.items():
+        row = got[s_name]
+        assert row["n_customers"] == n
+        assert abs(row["base_rate"] - npos / n) < 5e-7
+        assert abs(row["selection_rate"] - npred / n) < 5e-7
+        if npos:
+            assert abs(row["tpr"] - ntp / npos) < 5e-7
+        if n - npos:
+            assert abs(row["fpr"] - nfp / (n - npos)) < 5e-7
+        assert abs(row["dp_gap"] - abs(npred / n - o[1] / o[0])) < 5e-7
+        if npos and o[2]:
+            assert abs(
+                row["eo_gap"] - abs(ntp / npos - o[3] / o[2])
+            ) < 5e-7
+    # the audit must observe a real disparity somewhere
+    assert any(r["dp_gap"] > 0 for r in got.values())
+
+
+def _shingles5(text):
+    t = text or ""
+    if not t:
+        return set()
+    if len(t) <= 5:
+        return {_poly(t)}
+    return {_poly(t[i : i + 5]) for i in range(len(t) - 4)}
+
+
+def _band_keys(hs, num_perm=16, rows=4):
+    M = 1_000_000_007
+    sigs = [
+        min(((1000003 * j + 1) * h + (7919 * j + 12345)) % M for h in hs)
+        for j in range(num_perm)
+    ]
+    out = []
+    for b in range(num_perm // rows):
+        block = sigs[b * rows : (b + 1) * rows]
+        acc = block[0]
+        for v in block[1:]:
+            acc = (acc * 31 + v) % M
+        out.append((b, acc))
+    return out
+
+
+def test_lsh_scurve_q_matches_bruteforce(spark):
+    got = {
+        r["jbin"]: r
+        for r in REGISTRY["lsh_scurve_q"].fn(spark, SF_SMALL).collect()
+    }
+    sample = [
+        (d, t) for d, t, _s in _docs() if d % 10 == 0
+    ]
+    hs = {d: _shingles5(t) for d, t in sample}
+    from collections import defaultdict
+
+    buckets = defaultdict(set)
+    for d in hs:
+        for key in _band_keys(hs[d]):
+            buckets[key].add(d)
+    cands = set()
+    for ds in buckets.values():
+        ds = sorted(ds)
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                cands.add((a, b))
+    bins = defaultdict(lambda: [0, 0, 0.0])
+    ids = sorted(hs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(hs[a] & hs[b])
+            union = len(hs[a]) + len(hs[b]) - inter
+            jb = (10 * inter) // union
+            jd = inter / union
+            p = round(1 - (1 - jd**4) ** 4, 12)
+            bins[jb][0] += 1
+            bins[jb][1] += 1 if (a, b) in cands else 0
+            bins[jb][2] += p
+    assert set(got) == set(bins)
+    for jb, (n, ncand, psum) in bins.items():
+        row = got[jb]
+        assert row["n_pairs"] == n
+        assert row["n_candidates"] == ncand
+        assert abs(row["empirical_rate"] - ncand / n) < 5e-7
+        assert abs(row["theoretical_rate"] - psum / n) < 5e-6
+    # the audit must span both curve regimes: some bin ~0, and
+    # candidates must actually occur somewhere
+    assert any(r["n_candidates"] > 0 for r in got.values())
+
+
+def test_kcenter_coreset_q_matches_bruteforce(spark):
+    got = sorted(
+        (r["pick_order"], r["vec_id"], r["radius"])
+        for r in REGISTRY["kcenter_coreset_q"].fn(spark, SF_SMALL).collect()
+    )
+    vecs = dict(
+        _rows(
+            f"SELECT vec_id, embedding FROM "
+            f"read_parquet('{SF_SMALL}/embeddings.parquet')"
+        )
+    )
+
+    def d2(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (x - y) * (x - y)
+        return round(s, 6)
+
+    selected = [min(vecs)]
+    expect = [(1, selected[0], 0.0)]
+    mind = {
+        v: d2(vecs[v], vecs[selected[0]]) for v in vecs if v != selected[0]
+    }
+    for t in range(2, 6):
+        pick = min(mind, key=lambda v: (-mind[v], v))
+        expect.append((t, pick, mind[pick]))
+        pv = vecs[pick]
+        del mind[pick]
+        for v in mind:
+            nd = d2(vecs[v], pv)
+            if nd < mind[v]:
+                mind[v] = nd
+    for g, e in zip(got, sorted(expect)):
+        assert g[:2] == e[:2]
+        assert abs(g[2] - e[2]) < 5e-7
+    # radii must be non-increasing after the seed (Gonzalez invariant)
+    radii = [r for _t, _v, r in sorted(expect)[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))

@@ -125,6 +125,8 @@ SENSITIVE = [
     "wilcoxon_signed_rank_q",  # global_cumsum doubled midranks over |d|
     "unimax_alloc_q",          # cap-ranked waterfill prefix selection
     "pipeline_waterfall_q",    # banded near-dup counts must not leak layout
+    "lsh_scurve_q",            # minhash kernels + candidate set + int bins
+    "kcenter_coreset_q",       # 5 ordered farthest-point picks
 ]
 
 
