@@ -180,7 +180,8 @@ from iniz_exporters_spark.queries.p10 import (
     _MMR_K_CAND, _MMR_K_PICK, _MMR_LAMBDA, _NF4_LEVELS,
     _NF4_MIDPOINTS, _PII_RISK_SPIKE_SQL, _SCRIPT_CLASSES,
     _SCRIPT_SPIKE_SQL, _SQL_LUHN, _mmr_sql, _nf4_case_sql, _nf4_nearest,
-    c4_rule_flags, c4_rules_q, fairness_parity_q, host_blocklist_q, host_mirror_q,
+    c4_rule_flags, c4_rules_q, dup_growth_curve_q, fairness_parity_q,
+    host_blocklist_q, host_mirror_q, softdedup_weights_q,
     _KC_PICKS, _SQL_D2, _kcenter_sql,
     kcenter_coreset_q, lsh_scurve_q, mmr_rerank_q, nf4_quantize_q,
     pii_risk_score_q, pii_risk_scores,

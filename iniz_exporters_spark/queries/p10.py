@@ -2178,3 +2178,184 @@ def kcenter_coreset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "radius",
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplication growth curve — how fast does duplication accumulate as the
+# corpus grows? For nested doc_id prefixes (1/4, 1/2, 3/4, full), report
+# the exact-duplicate rate on the bag-of-words fingerprint. The key
+# observation making this ONE pass: prefixes nest, so "doc is a dup
+# within prefix P" == "some EARLIER doc shares its fingerprint" — a
+# property of the doc alone (first-occurrence test), independent of P.
+# One min-owner window over fingerprints, then cumulative counts per
+# quartile tier. The curve is what tells a curation planner whether
+# dedup savings grow or saturate at 10x the corpus.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dup_growth_curve_q",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               {_MIRROR_FP_SQL} AS fp
+        FROM documents
+    ),
+    owned AS (
+        SELECT doc_id,
+               CASE WHEN MIN(doc_id) OVER (PARTITION BY fp) < doc_id
+                    THEN 1 ELSE 0 END AS is_dup
+        FROM d
+    ),
+    mx AS (SELECT MAX(doc_id) + 1 AS n FROM owned),
+    tiered AS (
+        SELECT CASE
+                 WHEN doc_id * 4 < (SELECT n FROM mx) THEN 1
+                 WHEN doc_id * 2 < (SELECT n FROM mx) THEN 2
+                 WHEN doc_id * 4 < 3 * (SELECT n FROM mx) THEN 3
+                 ELSE 4 END AS tier,
+               is_dup
+        FROM owned
+    ),
+    per AS (
+        SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_tier,
+               CAST(SUM(is_dup) AS BIGINT) AS d_tier
+        FROM tiered GROUP BY tier
+    ),
+    cum AS (
+        SELECT tier,
+               SUM(n_tier) OVER (ORDER BY tier) AS n_docs,
+               SUM(d_tier) OVER (ORDER BY tier) AS n_dups
+        FROM per
+    )
+    SELECT CAST(tier AS INT) AS prefix_quartile,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_dups AS BIGINT) AS n_dups,
+           CAST(ROUND(n_dups::DOUBLE / n_docs, 6) AS DOUBLE) + 0.0
+               AS dup_rate
+    FROM cum
+    """,
+)
+def dup_growth_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate at nested corpus prefixes (quartiles of the
+    doc_id range): does duplication accumulate linearly or saturate as
+    the corpus grows — the measurement behind a dedup capacity plan.
+
+    Scale: one corpus scan + ONE min-owner window keyed on the
+    fingerprint (the bff_dedup owner-resolution shape — a single
+    exchange); tier assignment is integer cross-multiplication; the
+    quartile rollup and its running sums are 4-row metadata.
+    """
+    from iniz_exporters_spark.functions.text import poly_hash, tokens
+
+    bow = F.array_join(
+        F.array_sort(F.array_distinct(tokens("text"))), " "
+    )
+    d = Catalog(spark, sf_dir).documents.select(
+        "doc_id", poly_hash(bow).alias("fp")
+    )
+    wfp = Window.partitionBy("fp")
+    owned = d.select(
+        "doc_id",
+        F.when(F.min("doc_id").over(wfp) < F.col("doc_id"), 1)
+        .otherwise(0)
+        .alias("is_dup"),
+    )
+    mx = owned.agg((F.max("doc_id") + 1).alias("n"))
+    tier = (
+        F.when(F.col("doc_id") * 4 < F.col("n"), 1)
+        .when(F.col("doc_id") * 2 < F.col("n"), 2)
+        .when(F.col("doc_id") * 4 < 3 * F.col("n"), 3)
+        .otherwise(4)
+    )
+    per = (
+        owned.crossJoin(F.broadcast(mx))
+        .groupBy(tier.alias("tier"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tier"),
+            F.sum("is_dup").cast("long").alias("d_tier"),
+        )
+    )
+    wt = Window.orderBy("tier")
+    cum = per.select(
+        "tier",
+        F.sum("n_tier").over(wt).alias("n_docs"),
+        F.sum("d_tier").over(wt).alias("n_dups"),
+    )
+    return cum.select(
+        F.col("tier").cast("int").alias("prefix_quartile"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_dups").cast("long").alias("n_dups"),
+        (
+            F.round(F.col("n_dups").cast("double") / F.col("n_docs"), 6)
+            + F.lit(0.0)
+        ).alias("dup_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SoftDeDup sampling weights — instead of DROPPING duplicates, reweight
+# them: every doc in a duplicate group of size g trains with weight 1/g,
+# so the group contributes one document's worth of gradient in
+# expectation (the soft alternative to keep-first dedup). Group identity
+# is the bag-of-words fingerprint (host_mirror's key). Weights are exact
+# rationals (1/g) rounded once at the sink; the expected effective
+# corpus size Sum(1/g over docs) = count of distinct groups — pinned by
+# the bruteforce replica as a conservation law.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "softdedup_weights_q",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_MIRROR_FP_SQL} AS fp FROM documents
+    ),
+    g AS (
+        SELECT doc_id, fp,
+               COUNT(*) OVER (PARTITION BY fp) AS group_size,
+               MIN(doc_id) OVER (PARTITION BY fp) AS group_owner
+        FROM d
+    )
+    SELECT doc_id,
+           CAST(group_size AS BIGINT) AS group_size,
+           group_owner,
+           CASE WHEN doc_id = group_owner THEN 1 ELSE 0 END AS is_owner,
+           CAST(ROUND(1.0 / group_size, 6) AS DOUBLE) + 0.0
+               AS sample_weight
+    FROM g
+    """,
+)
+def softdedup_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc SoftDeDup weight 1/group_size over bag-of-words
+    duplicate groups — duplicates are down-weighted, not dropped, so
+    rare phrasing inside a duplicate cluster still contributes.
+
+    Scale: one corpus scan + ONE window exchange keyed on the
+    fingerprint (count + min share the same partitioning, so Catalyst
+    plans a single exchange); emits every doc (rule 11) with its group
+    size, owner, and weight.
+    """
+    from iniz_exporters_spark.functions.text import poly_hash, tokens
+
+    bow = F.array_join(
+        F.array_sort(F.array_distinct(tokens("text"))), " "
+    )
+    d = Catalog(spark, sf_dir).documents.select(
+        "doc_id", poly_hash(bow).alias("fp")
+    )
+    wfp = Window.partitionBy("fp")
+    return d.select(
+        "doc_id",
+        F.count(F.lit(1)).over(wfp).cast("long").alias("group_size"),
+        F.min("doc_id").over(wfp).alias("group_owner"),
+        F.when(
+            F.col("doc_id") == F.min("doc_id").over(wfp), 1
+        ).otherwise(0).alias("is_owner"),
+        (
+            F.round(
+                F.lit(1.0) / F.count(F.lit(1)).over(wfp), 6
+            )
+            + F.lit(0.0)
+        ).alias("sample_weight"),
+    )

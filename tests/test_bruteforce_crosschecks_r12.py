@@ -770,3 +770,69 @@ def test_kcenter_coreset_q_matches_bruteforce(spark):
     # radii must be non-increasing after the seed (Gonzalez invariant)
     radii = [r for _t, _v, r in sorted(expect)[1:]]
     assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+def _bow_fp(text):
+    toks = sorted({t for t in re.split(r"[^a-z0-9]+", text.lower()) if t})
+    return _poly(" ".join(toks))
+
+
+def test_dup_growth_curve_q_matches_bruteforce(spark):
+    got = {
+        r["prefix_quartile"]: r
+        for r in REGISTRY["dup_growth_curve_q"].fn(spark, SF_SMALL).collect()
+    }
+    docs = _docs()
+    first = {}
+    dup = {}
+    for doc_id, text, _src in docs:
+        fp = _bow_fp(text)
+        dup[doc_id] = 1 if fp in first else 0
+        first.setdefault(fp, doc_id)
+    n = max(d for d, _t, _s in docs) + 1
+    expect = {}
+    for q in (1, 2, 3, 4):
+        cutoff_docs = [
+            d for d, _t, _s in docs
+            if (q == 4) or (d * 4 < q * n)
+        ]
+        nd = len(cutoff_docs)
+        du = sum(dup[d] for d in cutoff_docs)
+        expect[q] = (nd, du)
+    assert set(got) == set(expect)
+    for q, (nd, du) in expect.items():
+        row = got[q]
+        assert row["n_docs"] == nd
+        assert row["n_dups"] == du
+        assert abs(row["dup_rate"] - du / nd) < 5e-7
+    # rates must be monotone data or at least well-formed: cumulative
+    # doc counts strictly increase
+    assert [got[q]["n_docs"] for q in (1, 2, 3, 4)] == sorted(
+        got[q]["n_docs"] for q in (1, 2, 3, 4)
+    )
+
+
+def test_softdedup_weights_q_matches_bruteforce(spark):
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["softdedup_weights_q"].fn(spark, SF_SMALL).collect()
+    }
+    groups = {}
+    for doc_id, text, _src in _docs():
+        groups.setdefault(_bow_fp(text), []).append(doc_id)
+    n_groups = len(groups)
+    total_w = 0.0
+    for members in groups.values():
+        g = len(members)
+        owner = min(members)
+        for d in members:
+            row = got[d]
+            assert row["group_size"] == g
+            assert row["group_owner"] == owner
+            assert row["is_owner"] == (1 if d == owner else 0)
+            assert abs(row["sample_weight"] - 1.0 / g) < 5e-7
+            total_w += 1.0 / g
+    # conservation law: expected effective corpus == number of groups
+    assert abs(total_w - n_groups) < 1e-6
+    # the corpus must contain at least one multi-member group
+    assert any(len(m) > 1 for m in groups.values())

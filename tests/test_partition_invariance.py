@@ -127,6 +127,8 @@ SENSITIVE = [
     "pipeline_waterfall_q",    # banded near-dup counts must not leak layout
     "lsh_scurve_q",            # minhash kernels + candidate set + int bins
     "kcenter_coreset_q",       # 5 ordered farthest-point picks
+    "dup_growth_curve_q",      # fp min-owner window + cumulative tiers
+    "softdedup_weights_q",     # fp group-size/owner window weights
 ]
 
 
