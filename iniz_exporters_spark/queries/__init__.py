@@ -182,9 +182,11 @@ from iniz_exporters_spark.queries.p10 import (
     _SCRIPT_SPIKE_SQL, _SQL_LUHN, _mmr_sql, _nf4_case_sql, _nf4_nearest,
     c4_rule_flags, c4_rules_q, dup_growth_curve_q, fairness_parity_q,
     host_blocklist_q, host_mirror_q, softdedup_weights_q,
-    _KC_PICKS, _SQL_D2, _kcenter_sql,
+    _KC_PICKS, _SQL_D2, _TRUNC_GRID, _kcenter_sql,
     kcenter_coreset_q, lsh_scurve_q, mmr_rerank_q, nf4_quantize_q,
     pii_risk_score_q, pii_risk_scores,
-    pipeline_waterfall_q, script_mix_flags, script_mix_q,
-    theta_forecast_q, unimax_alloc_q, wilcoxon_signed_rank_q,
+    pipeline_waterfall_q, rouge_n_eval_q, script_mix_flags, script_mix_q,
+    span_corruption_q,
+    theta_forecast_q, truncation_loss_q, unimax_alloc_q,
+    wilcoxon_signed_rank_q,
 )

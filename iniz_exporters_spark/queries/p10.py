@@ -2359,3 +2359,378 @@ def softdedup_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("sample_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-N overlap (Lin 2004) between paired documents — the n-gram
+# recall/precision/F1 used to score summaries and near-dup candidates
+# alike. Pairs are (doc, next doc within the same source, by doc_id
+# order) so every source contributes real comparisons at every scale.
+# Overlap is the MULTISET intersection (sum over grams of
+# min(count_a, count_b)) computed relationally: per-doc bigram counts,
+# one equi-join on the gram, SUM(LEAST(...)) — never an array
+# cross-product. Integer counts; the three ratios divide once at the
+# sink (rule 8 NULLIF guards docs shorter than the gram width).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rouge_n_eval_q",
+    """
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id AS id_a,
+               LEAD(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+                   AS id_b
+        FROM toks
+    ),
+    grams AS (
+        SELECT doc_id, g, COUNT(*) AS c
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                       i -> t[i] || ' ' || t[i + 1])) AS g
+            FROM toks WHERE len(t) >= 2
+        ) GROUP BY doc_id, g
+    ),
+    gtot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM grams
+             GROUP BY doc_id),
+    ov AS (
+        SELECT p.id_a, p.id_b,
+               CAST(SUM(LEAST(ga.c, gb.c)) AS BIGINT) AS overlap
+        FROM pairs p
+        JOIN grams ga ON ga.doc_id = p.id_a
+        JOIN grams gb ON gb.doc_id = p.id_b AND gb.g = ga.g
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT p.id_a, p.id_b,
+           COALESCE(o.overlap, 0) AS n_overlap,
+           ta.n AS n_grams_a,
+           tb.n AS n_grams_b,
+           CAST(ROUND(COALESCE(o.overlap, 0)::DOUBLE
+                / NULLIF(tb.n, 0), 6) AS DOUBLE) + 0.0 AS rouge2_recall,
+           CAST(ROUND(COALESCE(o.overlap, 0)::DOUBLE
+                / NULLIF(ta.n, 0), 6) AS DOUBLE) + 0.0
+               AS rouge2_precision,
+           CAST(ROUND(2.0 * COALESCE(o.overlap, 0)
+                / NULLIF(ta.n + tb.n, 0), 6) AS DOUBLE) + 0.0
+               AS rouge2_f1
+    FROM pairs p
+    JOIN gtot ta ON ta.doc_id = p.id_a
+    JOIN gtot tb ON tb.doc_id = p.id_b
+    LEFT JOIN ov o ON o.id_a = p.id_a AND o.id_b = p.id_b
+    WHERE p.id_b IS NOT NULL
+    """,
+)
+def rouge_n_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 recall/precision/F1 for each (doc, next-doc-in-source)
+    pair: multiset bigram overlap scored relationally.
+
+    Scale: per-doc gram counts shuffle once on the gram key for the
+    overlap join (the inverted-index shape — candidate cost is
+    proportional to shared grams, never |A| x |B|); pair formation is
+    one LEAD window per source; totals are metadata-wide joins. Emits
+    every pair including zero-overlap ones (rule 11).
+    """
+    from iniz_exporters_spark.functions.text import tokens
+
+    toks = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "source", tokens("text").alias("t")
+    ).localCheckpoint(eager=False)  # pairs, grams, totals all read it
+    wsrc = Window.partitionBy("source").orderBy("doc_id")
+    pairs = toks.select(
+        F.col("doc_id").alias("id_a"),
+        F.lead("doc_id").over(wsrc).alias("id_b"),
+    ).filter(F.col("id_b").isNotNull())
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat(
+            F.element_at("t", i), F.lit(" "), F.element_at("t", i + 1)
+        ),
+    )
+    grams = (
+        toks.filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    gtot = grams.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    ga = grams.select(
+        F.col("doc_id").alias("id_a"), "g", F.col("c").alias("ca")
+    )
+    gb = grams.select(
+        F.col("doc_id").alias("id_b"), "g", F.col("c").alias("cb")
+    )
+    ov = (
+        pairs.join(ga, "id_a")
+        .join(gb, ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("ca", "cb")).cast("long").alias("overlap"))
+    )
+    ta = gtot.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    tb = gtot.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    r6 = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .join(ov, ["id_a", "id_b"], "left")
+        .select(
+            "id_a", "id_b",
+            F.coalesce(F.col("overlap"), F.lit(0)).alias("n_overlap"),
+            F.col("na").alias("n_grams_a"),
+            F.col("nb").alias("n_grams_b"),
+            r6(
+                F.coalesce(F.col("overlap"), F.lit(0)).cast("double")
+                / F.nullif(F.col("nb"), F.lit(0))
+            ).alias("rouge2_recall"),
+            r6(
+                F.coalesce(F.col("overlap"), F.lit(0)).cast("double")
+                / F.nullif(F.col("na"), F.lit(0))
+            ).alias("rouge2_precision"),
+            r6(
+                F.lit(2.0) * F.coalesce(F.col("overlap"), F.lit(0))
+                / F.nullif(F.col("na") + F.col("nb"), F.lit(0))
+            ).alias("rouge2_f1"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Truncation-loss curve — context-window planning: if every document is
+# truncated to L tokens, what fraction of corpus tokens survives and how
+# many documents are cut at all? One conditional aggregate over per-doc
+# token counts evaluates every L simultaneously; the L grid is a fixed
+# literal, so the whole curve costs one corpus scan.
+# ---------------------------------------------------------------------------
+
+_TRUNC_GRID = (16, 24, 32, 48, 64)
+
+
+@register(
+    "truncation_loss_q",
+    f"""
+    WITH n AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z0-9]+'), x -> x <> '')) AS ntok
+        FROM documents
+    ),
+    curve AS (
+        {" UNION ALL ".join(
+            f'''SELECT {L} AS max_len,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN ntok > {L} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_truncated,
+               CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+               CAST(SUM(LEAST(ntok, {L})) AS BIGINT) AS n_kept
+            FROM n'''
+            for L in _TRUNC_GRID
+        )}
+    )
+    SELECT CAST(max_len AS INT) AS max_len, n_docs, n_truncated,
+           n_tokens, n_kept,
+           CAST(ROUND(n_kept::DOUBLE / NULLIF(n_tokens, 0), 6)
+               AS DOUBLE) + 0.0 AS kept_frac
+    FROM curve
+    """,
+)
+def truncation_loss_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-survival curve under per-document truncation at each L in
+    the grid: documents cut, tokens kept, kept fraction.
+
+    Scale: ONE map-side-combining aggregate over per-doc token counts
+    evaluates the whole grid (the grid unrolls into conditional sums,
+    not per-L rescans — Spark computes them in a single pass over one
+    corpus scan via a literal-exploded grid column).
+    """
+    from iniz_exporters_spark.functions.text import tokens
+
+    n = Catalog(spark, sf_dir).documents.select(
+        F.size(tokens("text")).alias("ntok")
+    )
+    grid = n.select(
+        "ntok",
+        F.explode(
+            F.array(*[F.lit(L) for L in _TRUNC_GRID])
+        ).alias("max_len"),
+    )
+    return grid.groupBy("max_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("ntok") > F.col("max_len"), 1).otherwise(0)
+        ).cast("long").alias("n_truncated"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+        F.sum(F.least("ntok", "max_len")).cast("long").alias("n_kept"),
+    ).select(
+        F.col("max_len").cast("int").alias("max_len"),
+        "n_docs", "n_truncated", "n_tokens", "n_kept",
+        (
+            F.round(
+                F.col("n_kept").cast("double")
+                / F.nullif(F.col("n_tokens"), F.lit(0)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("kept_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Span-corruption accounting (T5, Raffel et al. 2020 section 3.1.4): the
+# pretraining objective masks ~15% of tokens in spans of mean length 3;
+# this query reports, per document, exactly what the deterministic
+# masking schedule would corrupt — span starts are content-keyed hash
+# decisions (poly(doc_id:pos) % 20 == 0, ~5% of positions) with lengths
+# 2..4 (mean 3), and overlapping spans merge via the classic running-max
+# island windows (per-doc, integer arithmetic throughout). The sentinel
+# count a T5 encoder would see is the MERGED span count.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "span_corruption_q",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z0-9]+'), x -> x <> '')) AS ntok
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, ntok, pos,
+               2 + ({_SQL_POLY.format(
+                   s="doc_id::VARCHAR || ':' || pos::VARCHAR")} % 3)
+                   AS span_len
+        FROM toks, UNNEST(range(0, ntok::INT)) AS u(pos)
+        WHERE {_SQL_POLY.format(
+            s="doc_id::VARCHAR || ':' || pos::VARCHAR")} % 20 = 0
+    ),
+    spans AS (
+        SELECT doc_id, ntok, pos AS s,
+               LEAST(pos + span_len, ntok) AS e
+        FROM starts
+    ),
+    flagged AS (
+        SELECT doc_id, ntok, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM spans
+    ),
+    islands AS (
+        SELECT doc_id, ntok, s, e,
+               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s)
+                   AS island_id
+        FROM flagged
+    ),
+    merged AS (
+        SELECT doc_id, MAX(ntok) AS ntok, island_id,
+               MIN(s) AS i_start, MAX(e) AS i_end
+        FROM islands GROUP BY doc_id, island_id
+    ),
+    per AS (
+        SELECT doc_id, MAX(ntok) AS ntok,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(i_end - i_start) AS BIGINT) AS n_masked
+        FROM merged GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.ntok AS BIGINT) AS n_tokens,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.n_masked, 0) AS n_masked,
+           CAST(ROUND(COALESCE(p.n_masked, 0)::DOUBLE
+                / NULLIF(t.ntok, 0), 6) AS DOUBLE) + 0.0 AS mask_rate
+    FROM toks t LEFT JOIN per p ON t.doc_id = p.doc_id
+    """,
+)
+def span_corruption_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc T5 span-corruption accounting: merged span (sentinel)
+    count, masked-token count, and mask rate under the deterministic
+    hash schedule (5% starts, lengths 2-4).
+
+    Scale: the position explode emits (doc, pos) rows only for HASH-
+    SELECTED starts (~5% of tokens) — the explode is filtered before
+    any shuffle; island merging is two windows partitioned by doc
+    (span_dedup's exchange-reuse shape); every decision is integer
+    hash arithmetic. Emits every doc including uncorrupted ones
+    (rule 11).
+    """
+    from iniz_exporters_spark.functions.text import poly_hash, tokens
+
+    toks = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.size(tokens("text")).alias("ntok")
+    ).localCheckpoint(eager=False)  # start-explode + final left join
+    pos_hash = poly_hash(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("pos").cast("string"),
+        )
+    )
+    starts = (
+        toks.select(
+            "doc_id", "ntok",
+            F.explode(
+                F.sequence(F.lit(0), F.col("ntok") - 1)
+            ).alias("pos"),
+        )
+        .withColumn("h", pos_hash)
+        .filter(F.col("h") % 20 == 0)
+        .select(
+            "doc_id", "ntok",
+            F.col("pos").alias("s"),
+            F.least(
+                F.col("pos") + 2 + F.col("h") % 3, F.col("ntok")
+            ).alias("e"),
+        )
+    )
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = starts.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(wprev), F.lit(-1)), 1
+        ).otherwise(0),
+    )
+    wrun = Window.partitionBy("doc_id").orderBy("s")
+    islands = flagged.withColumn(
+        "island_id", F.sum("new_island").over(wrun)
+    )
+    merged = islands.groupBy("doc_id", "island_id").agg(
+        F.max("ntok").alias("ntok"),
+        F.min("s").alias("i_start"),
+        F.max("e").alias("i_end"),
+    )
+    per = merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("i_end") - F.col("i_start")).cast("long").alias(
+            "n_masked"
+        ),
+    )
+    return toks.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.col("ntok").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+        F.coalesce(F.col("n_masked"), F.lit(0)).alias("n_masked"),
+        (
+            F.round(
+                F.coalesce(F.col("n_masked"), F.lit(0)).cast("double")
+                / F.nullif(F.col("ntok"), F.lit(0)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mask_rate"),
+    )

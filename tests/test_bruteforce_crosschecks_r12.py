@@ -836,3 +836,109 @@ def test_softdedup_weights_q_matches_bruteforce(spark):
     assert abs(total_w - n_groups) < 1e-6
     # the corpus must contain at least one multi-member group
     assert any(len(m) > 1 for m in groups.values())
+
+
+def test_rouge_n_eval_q_matches_bruteforce(spark):
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in REGISTRY["rouge_n_eval_q"].fn(spark, SF_SMALL).collect()
+    }
+    from collections import Counter, defaultdict
+
+    by_src = defaultdict(list)
+    toks = {}
+    for doc_id, text, src in _docs():
+        by_src[src].append(doc_id)
+        toks[doc_id] = [
+            t for t in re.split(r"[^a-z0-9]+", text.lower()) if t
+        ]
+
+    def bigrams(ts):
+        return Counter(
+            f"{a} {b}" for a, b in zip(ts, ts[1:])
+        )
+
+    expect = {}
+    for src, ids in by_src.items():
+        ids.sort()
+        for a, b in zip(ids, ids[1:]):
+            ga, gb = bigrams(toks[a]), bigrams(toks[b])
+            na, nb = sum(ga.values()), sum(gb.values())
+            ov = sum((ga & gb).values())
+            expect[(a, b)] = (ov, na, nb)
+    assert set(got) == set(expect)
+    any_overlap = False
+    for k, (ov, na, nb) in expect.items():
+        row = got[k]
+        assert row["n_overlap"] == ov
+        assert row["n_grams_a"] == na
+        assert row["n_grams_b"] == nb
+        assert abs(row["rouge2_recall"] - (ov / nb if nb else 0)) < 5e-7
+        assert abs(
+            row["rouge2_precision"] - (ov / na if na else 0)
+        ) < 5e-7
+        assert abs(row["rouge2_f1"] - 2 * ov / (na + nb)) < 5e-7
+        any_overlap = any_overlap or ov > 0
+    assert any_overlap
+
+
+def test_truncation_loss_q_matches_bruteforce(spark):
+    got = {
+        r["max_len"]: r
+        for r in REGISTRY["truncation_loss_q"].fn(spark, SF_SMALL).collect()
+    }
+    lens = [
+        len([t for t in re.split(r"[^a-z0-9]+", text.lower()) if t])
+        for _d, text, _s in _docs()
+    ]
+    for L in (16, 24, 32, 48, 64):
+        row = got[L]
+        assert row["n_docs"] == len(lens)
+        assert row["n_truncated"] == sum(1 for n in lens if n > L)
+        assert row["n_tokens"] == sum(lens)
+        kept = sum(min(n, L) for n in lens)
+        assert row["n_kept"] == kept
+        assert abs(row["kept_frac"] - kept / sum(lens)) < 5e-7
+    # the grid must span both regimes: heavy truncation at the small L
+    # and most-tokens-survive at the large L (corpus docs run 10-99
+    # tokens, so 64 keeps ~86%)
+    assert got[16]["kept_frac"] < 0.5 and got[64]["kept_frac"] > 0.8
+
+
+def test_span_corruption_q_matches_bruteforce(spark):
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["span_corruption_q"].fn(spark, SF_SMALL).collect()
+    }
+    rates = []
+    for doc_id, text, _src in _docs():
+        ntok = len(
+            [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        )
+        spans = []
+        for pos in range(ntok):
+            h = _poly(f"{doc_id}:{pos}")
+            if h % 20 == 0:
+                spans.append((pos, min(pos + 2 + h % 3, ntok)))
+        merged = []
+        for s, e in sorted(spans):
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (
+                    merged[-1][0], max(merged[-1][1], e)
+                )
+            else:
+                merged.append((s, e))
+        masked = sum(e - s for s, e in merged)
+        row = got[doc_id]
+        assert row["n_tokens"] == ntok
+        assert row["n_spans"] == len(merged)
+        assert row["n_masked"] == masked
+        assert abs(
+            row["mask_rate"] - (masked / ntok if ntok else 0)
+        ) < 5e-7
+        if ntok:
+            rates.append(masked / ntok)
+    # the hash schedule must land near its design point (~15% masked,
+    # 5% starts x mean length 3) in aggregate
+    mean_rate = sum(rates) / len(rates)
+    assert 0.08 < mean_rate < 0.22, mean_rate

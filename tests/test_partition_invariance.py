@@ -129,6 +129,8 @@ SENSITIVE = [
     "kcenter_coreset_q",       # 5 ordered farthest-point picks
     "dup_growth_curve_q",      # fp min-owner window + cumulative tiers
     "softdedup_weights_q",     # fp group-size/owner window weights
+    "rouge_n_eval_q",          # per-source LEAD pairing + gram-key join
+    "span_corruption_q",       # hash starts + island-merge windows
 ]
 
 
