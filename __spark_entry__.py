@@ -82,7 +82,7 @@ _R11_WINDOW = [
     # round-11 additions riding the spare slots (44 + these 5 + q1 = 50
     # of 50 — window sealed), pre-swept green at sf0.001/0.01/0.1 +
     # bruteforce replica before seating, per the same standard as every
-    # prior window. Twenty-five further r11 registrations queue for r12
+    # prior window. Twenty-six further r11 registrations queue for r12
     # (PERFORMANCE.md §driver-window — r12 rotation list).
     "bff_dedup_q", "chunk_dedup_q", "holt_linear_q",
     "binary_quantize_recall_q", "croston_q",

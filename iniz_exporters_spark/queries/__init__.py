@@ -183,7 +183,8 @@ from iniz_exporters_spark.queries.p10 import (
     c4_rule_flags, c4_rules_q, dup_growth_curve_q, fairness_parity_q,
     host_blocklist_q, host_mirror_q, softdedup_weights_q,
     _KC_PICKS, _SQL_D2, _TRUNC_GRID, _kcenter_sql,
-    kcenter_coreset_q, lsh_scurve_q, mmr_rerank_q, nf4_quantize_q,
+    kcenter_coreset_q, lsh_scurve_q, mahalanobis_outliers_q,
+    mmr_rerank_q, nf4_quantize_q,
     pii_risk_score_q, pii_risk_scores,
     pipeline_waterfall_q, rouge_n_eval_q, script_mix_flags, script_mix_q,
     span_corruption_q,

@@ -2734,3 +2734,122 @@ def span_corruption_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("mask_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Diagonal-Mahalanobis embedding outliers — the embedding-space QA gate:
+# standardize every dimension by the corpus mean/variance (exact DECIMAL
+# moments; squared terms at decimal(16,6) per rule 2) and flag vectors
+# whose squared Mahalanobis distance exceeds 2d (a fixed, literal
+# threshold — no chi-square inverse needed). The synthetic embeddings
+# are iid per-dimension with NO natural outliers (measured md2 range
+# 61..68 around d=64 at every scale), so ~1% of vectors are spiked
+# deterministically (vec_id % 97 == 0 -> 3x scale, the PII-spike
+# convention applied to vectors) — the detector must then recover
+# exactly that set through the corrupted statistics it also inflates.
+# Per-dimension terms quantize to DECIMAL before the per-vector sum so
+# the reduction is order-invariant (rule 1).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mahalanobis_outliers_q",
+    """
+    WITH x AS (
+        SELECT vec_id, label, d - 1 AS dim,
+               embedding[d]::DOUBLE
+               * CASE WHEN vec_id % 97 = 0 THEN 3.0 ELSE 1.0 END AS v
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(d)
+    ),
+    stats AS (
+        SELECT dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v::DECIMAL(18,9)) AS DOUBLE) / COUNT(*) AS mu,
+               (CAST(SUM((v::DECIMAL(16,6)) * (v::DECIMAL(16,6)))
+                     AS DOUBLE)
+                - CAST(SUM(v::DECIMAL(18,9)) AS DOUBLE)
+                  * CAST(SUM(v::DECIMAL(18,9)) AS DOUBLE) / COUNT(*))
+               / COUNT(*) AS var
+        FROM x GROUP BY dim
+    ),
+    terms AS (
+        SELECT x.vec_id, x.label,
+               CAST(ROUND((x.v - s.mu) * (x.v - s.mu)
+                    / NULLIF(s.var, 0), 9) AS DECIMAL(20,9)) AS t
+        FROM x JOIN stats s ON x.dim = s.dim
+    ),
+    per AS (
+        SELECT vec_id, label,
+               CAST(SUM(t) AS DOUBLE) AS md2,
+               CAST(COUNT(*) AS BIGINT) AS d
+        FROM terms GROUP BY vec_id, label
+    )
+    SELECT vec_id, label,
+           CAST(ROUND(md2, 6) AS DOUBLE) + 0.0 AS md2,
+           CASE WHEN md2 > 2 * d THEN 1 ELSE 0 END AS is_outlier
+    FROM per
+    """,
+)
+def mahalanobis_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector squared Mahalanobis distance under a diagonal
+    covariance model, with an is_outlier flag at the 2d threshold —
+    the screen that catches corrupt/degenerate embeddings before they
+    poison ANN training.
+
+    Scale: per-dim moments are ONE map-side-combining aggregate over
+    the exploded (vec, dim) stream (d rows of state — metadata); the
+    per-vector reduction joins the broadcast d-row stats table and
+    sums decimal-quantized terms (order-invariant, rule 1); the
+    threshold is a literal multiple of d. Emits every vector
+    (rule 11).
+    """
+    e = Catalog(spark, sf_dir).embeddings
+    spike = F.when(F.col("vec_id") % 97 == 0, F.lit(3.0)).otherwise(
+        F.lit(1.0)
+    )
+    x = e.select(
+        "vec_id", "label",
+        F.posexplode(
+            F.transform("embedding", lambda v: v.cast("double") * spike)
+        ),
+    ).withColumnRenamed("pos", "dim").withColumnRenamed("col", "v")
+    stats = x.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("v").cast("decimal(18,9)")).alias("sv"),
+        F.sum(
+            F.col("v").cast("decimal(16,6)")
+            * F.col("v").cast("decimal(16,6)")
+        ).alias("svv"),
+    ).select(
+        "dim",
+        (F.col("sv").cast("double") / F.col("n")).alias("mu"),
+        (
+            (
+                F.col("svv").cast("double")
+                - F.col("sv").cast("double")
+                * F.col("sv").cast("double")
+                / F.col("n")
+            )
+            / F.col("n")
+        ).alias("var"),
+    )
+    terms = x.join(F.broadcast(stats), "dim").select(
+        "vec_id", "label",
+        F.round(
+            (F.col("v") - F.col("mu"))
+            * (F.col("v") - F.col("mu"))
+            / F.nullif(F.col("var"), F.lit(0.0)),
+            9,
+        ).cast("decimal(20,9)").alias("t"),
+    )
+    per = terms.groupBy("vec_id", "label").agg(
+        F.sum("t").cast("double").alias("md2"),
+        F.count(F.lit(1)).cast("long").alias("d"),
+    )
+    return per.select(
+        "vec_id", "label",
+        (F.round(F.col("md2"), 6) + F.lit(0.0)).alias("md2"),
+        F.when(F.col("md2") > 2 * F.col("d"), 1).otherwise(0).alias(
+            "is_outlier"
+        ),
+    )

@@ -942,3 +942,41 @@ def test_span_corruption_q_matches_bruteforce(spark):
     # 5% starts x mean length 3) in aggregate
     mean_rate = sum(rates) / len(rates)
     assert 0.08 < mean_rate < 0.22, mean_rate
+
+
+def test_mahalanobis_outliers_q_matches_bruteforce(spark):
+    got = {
+        r["vec_id"]: r
+        for r in REGISTRY["mahalanobis_outliers_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    rows = _rows(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{SF_SMALL}/embeddings.parquet')"
+    )
+    vecs = {
+        v: [
+            float(x) * (3.0 if v % 97 == 0 else 1.0) for x in emb
+        ]
+        for v, emb in rows
+    }
+    d = len(next(iter(vecs.values())))
+    n = len(vecs)
+    mu = [sum(vecs[v][i] for v in vecs) / n for i in range(d)]
+    var = [
+        sum(vecs[v][i] ** 2 for v in vecs) / n - mu[i] ** 2
+        for i in range(d)
+    ]
+    flagged = set()
+    for v, x in vecs.items():
+        md2 = sum(
+            round((x[i] - mu[i]) ** 2 / var[i], 9) for i in range(d)
+        )
+        row = got[v]
+        assert abs(row["md2"] - md2) < 5e-5, v
+        assert row["is_outlier"] == (1 if md2 > 2 * d else 0)
+        if row["is_outlier"]:
+            flagged.add(v)
+    # the detector must recover exactly the spiked ~1% (vec_id % 97)
+    assert flagged == {v for v in vecs if v % 97 == 0} and flagged

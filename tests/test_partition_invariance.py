@@ -131,6 +131,7 @@ SENSITIVE = [
     "softdedup_weights_q",     # fp group-size/owner window weights
     "rouge_n_eval_q",          # per-source LEAD pairing + gram-key join
     "span_corruption_q",       # hash starts + island-merge windows
+    "mahalanobis_outliers_q",  # decimal moments + quantized term sums
 ]
 
 
