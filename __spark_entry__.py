@@ -65,6 +65,28 @@ from iniz_exporters_spark.session import tune_for_session
 # sf0.001/0.01/0.1 within round 10 (the five r10 additions triple-gated
 # at registration). Up to 5 new r11 registrations may ride in the spare
 # slots (44 + q1 = 45 of 50) once pre-swept to the same standard.
+# Round-12 rotation, PRECOMPUTED at r11 close (PERFORMANCE.md
+# "§driver-window — r12 rotation list"; derived programmatically from
+# REGISTRY order minus every green CORRECTNESS_r* row minus the live
+# r11 window — 26 names, all triple-scale green with bruteforce
+# replicas at registration). NOT yet seated: the r11 window stays live
+# until the driver drops CORRECTNESS_r11.json; the rotation trip-wire
+# will then demand `_WINDOW = _R12_WINDOW` (one-line seat). Spare slots
+# at seat time: 50 - 26 - q1 = 23, available to pre-swept r12
+# registrations or stale-first re-verification per the post-drain
+# policy.
+_R12_WINDOW = [
+    "winnowing_fingerprints_q", "lateness_audit_q", "gumbel_pwm_q",
+    "bloom_fpr_check_q", "mattr_q", "asof_nearest_q",
+    "pii_risk_score_q", "script_mix_q", "host_blocklist_q",
+    "host_mirror_q", "theta_forecast_q", "mmr_rerank_q",
+    "wilcoxon_signed_rank_q", "nf4_quantize_q", "c4_rules_q",
+    "unimax_alloc_q", "pipeline_waterfall_q", "fairness_parity_q",
+    "lsh_scurve_q", "kcenter_coreset_q", "dup_growth_curve_q",
+    "softdedup_weights_q", "rouge_n_eval_q", "truncation_loss_q",
+    "span_corruption_q", "mahalanobis_outliers_q",
+]
+
 _R11_WINDOW = [
     "poissonness_q", "tost_q", "smd_balance_q", "process_capability_q",
     "ewma_control_q", "variance_components_q", "empirical_bayes_q",
