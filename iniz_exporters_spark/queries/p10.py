@@ -655,9 +655,9 @@ def host_mirror_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit AS (
         SELECT pri, n, v,
                (n * sty - (n * (n + 1) / 2) * sy)::DOUBLE
-               / (n::DOUBLE * (n * (n + 1) * (2 * n + 1) / 6)
+               / NULLIF(n::DOUBLE * (n * (n + 1) * (2 * n + 1) / 6)
                   - (n * (n + 1) / 2)::DOUBLE
-                    * (n * (n + 1) / 2)::DOUBLE) AS b,
+                    * (n * (n + 1) / 2)::DOUBLE, 0) AS b,
                sy::DOUBLE AS syd
         FROM stats
     ),
@@ -719,9 +719,13 @@ def theta_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n")
     st = n * (n + 1) / 2  # Sum t    (integer-exact: n(n+1) is even)
     st2 = n * (n + 1) * (2 * n + 1) / 6  # Sum t^2
-    b = (n * F.col("sty") - st * F.col("sy")).cast("double") / (
+    # rule 8: an n=1 group has zero OLS denominator (the fit is
+    # undefined) — NULLIF in both engines so the degenerate group emits
+    # NULL fit columns instead of raising under ANSI
+    b = (n * F.col("sty") - st * F.col("sy")).cast("double") / F.nullif(
         n.cast("double") * st2.cast("double")
-        - st.cast("double") * st.cast("double")
+        - st.cast("double") * st.cast("double"),
+        F.lit(0.0),
     )
     ab = stats.select(
         "pri", "n", "v", b.alias("b"),
@@ -732,8 +736,14 @@ def theta_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = lambda i: 2 * F.element_at("v", i) - (  # noqa: E731
         F.col("a") + F.col("b") * i
     )
+    # rule 14 guard: sequence(2, 1) DESCENDS when a priority has one
+    # day — build 1..n (always ascending, n >= 1) and drop index 1, so
+    # an n=1 group folds over an empty list exactly like DuckDB's
+    # range(2, 2)
     s = F.aggregate(
-        F.sequence(F.lit(2), n.cast("int")),
+        F.filter(
+            F.sequence(F.lit(1), n.cast("int")), lambda i: i >= 2
+        ),
         z(F.lit(1)),
         lambda acc, i: (acc + z(i)) / 2,
     )
@@ -894,7 +904,11 @@ def mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     ev = e.select(F.col("vec_id").alias("cid"), "v")
-    cv = cand.join(F.broadcast(ev), "cid").select(
+    # broadcast the k*Q-row candidate side — ev is the CORPUS-scale
+    # embeddings table and must never be the broadcast side (review fix:
+    # the hint was inverted, which would collect the whole corpus onto
+    # the driver at scale)
+    cv = F.broadcast(cand).join(ev, "cid").select(
         "query_id", "cid", "qsim", "v"
     )
     a = cv.select(
@@ -1351,7 +1365,12 @@ def c4_rule_flags(doc_frame: DataFrame) -> DataFrame:
     built = d.select(
         "doc_id",
         n_lines.alias("n_lines"),
-        F.transform(
+        # rule 14 guard: sequence(0, -1) DESCENDS for zero-token docs
+        # (and 1 % 0 raises under ANSI) — emit an empty line array like
+        # DuckDB's range(0, 0) does
+        F.when(
+            ntok == 0, F.array().cast("array<string>")
+        ).otherwise(F.transform(
             F.sequence(F.lit(0), n_lines - 1),
             lambda i: F.concat(
                 F.array_join(
@@ -1380,7 +1399,7 @@ def c4_rule_flags(doc_frame: DataFrame) -> DataFrame:
                     (F.col("doc_id") + i) % 3 != 0, F.lit(".")
                 ).otherwise(""),
             ),
-        ).alias("lines"),
+        )).alias("lines"),
     )
     term = lambda l: F.substring(l, -1, 1).isin(".", "!", "?")  # noqa: E731
     words = lambda l: F.size(F.split(l, " "))  # noqa: E731
@@ -2410,19 +2429,20 @@ def softdedup_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.id_a, p.id_b,
            COALESCE(o.overlap, 0) AS n_overlap,
-           ta.n AS n_grams_a,
-           tb.n AS n_grams_b,
+           COALESCE(ta.n, 0) AS n_grams_a,
+           COALESCE(tb.n, 0) AS n_grams_b,
            CAST(ROUND(COALESCE(o.overlap, 0)::DOUBLE
-                / NULLIF(tb.n, 0), 6) AS DOUBLE) + 0.0 AS rouge2_recall,
+                / NULLIF(COALESCE(tb.n, 0), 0), 6) AS DOUBLE) + 0.0
+               AS rouge2_recall,
            CAST(ROUND(COALESCE(o.overlap, 0)::DOUBLE
-                / NULLIF(ta.n, 0), 6) AS DOUBLE) + 0.0
+                / NULLIF(COALESCE(ta.n, 0), 0), 6) AS DOUBLE) + 0.0
                AS rouge2_precision,
            CAST(ROUND(2.0 * COALESCE(o.overlap, 0)
-                / NULLIF(ta.n + tb.n, 0), 6) AS DOUBLE) + 0.0
-               AS rouge2_f1
+                / NULLIF(COALESCE(ta.n, 0) + COALESCE(tb.n, 0), 0), 6)
+               AS DOUBLE) + 0.0 AS rouge2_f1
     FROM pairs p
-    JOIN gtot ta ON ta.doc_id = p.id_a
-    JOIN gtot tb ON tb.doc_id = p.id_b
+    LEFT JOIN gtot ta ON ta.doc_id = p.id_a
+    LEFT JOIN gtot tb ON tb.doc_id = p.id_b
     LEFT JOIN ov o ON o.id_a = p.id_a AND o.id_b = p.id_b
     WHERE p.id_b IS NOT NULL
     """,
@@ -2478,26 +2498,32 @@ def rouge_n_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ta = gtot.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     tb = gtot.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     r6 = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    # LEFT joins (review fix): a pair where either doc has < 2 tokens
+    # must still be emitted (rule 11) with 0 grams and NULL ratios —
+    # inner joins silently dropped it and made the NULLIF guards
+    # unreachable
+    na = F.coalesce(F.col("na"), F.lit(0))
+    nb = F.coalesce(F.col("nb"), F.lit(0))
     return (
-        pairs.join(ta, "id_a")
-        .join(tb, "id_b")
+        pairs.join(ta, "id_a", "left")
+        .join(tb, "id_b", "left")
         .join(ov, ["id_a", "id_b"], "left")
         .select(
             "id_a", "id_b",
             F.coalesce(F.col("overlap"), F.lit(0)).alias("n_overlap"),
-            F.col("na").alias("n_grams_a"),
-            F.col("nb").alias("n_grams_b"),
+            na.alias("n_grams_a"),
+            nb.alias("n_grams_b"),
             r6(
                 F.coalesce(F.col("overlap"), F.lit(0)).cast("double")
-                / F.nullif(F.col("nb"), F.lit(0))
+                / F.nullif(nb, F.lit(0))
             ).alias("rouge2_recall"),
             r6(
                 F.coalesce(F.col("overlap"), F.lit(0)).cast("double")
-                / F.nullif(F.col("na"), F.lit(0))
+                / F.nullif(na, F.lit(0))
             ).alias("rouge2_precision"),
             r6(
                 F.lit(2.0) * F.coalesce(F.col("overlap"), F.lit(0))
-                / F.nullif(F.col("na") + F.col("nb"), F.lit(0))
+                / F.nullif(na + nb, F.lit(0))
             ).alias("rouge2_f1"),
         )
     )
@@ -2634,12 +2660,12 @@ def truncation_loss_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM flagged
     ),
     merged AS (
-        SELECT doc_id, MAX(ntok) AS ntok, island_id,
+        SELECT doc_id, island_id,
                MIN(s) AS i_start, MAX(e) AS i_end
         FROM islands GROUP BY doc_id, island_id
     ),
     per AS (
-        SELECT doc_id, MAX(ntok) AS ntok,
+        SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_spans,
                CAST(SUM(i_end - i_start) AS BIGINT) AS n_masked
         FROM merged GROUP BY doc_id
@@ -2678,7 +2704,11 @@ def span_corruption_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     starts = (
-        toks.select(
+        # rule 14 guard: sequence(0, -1) DESCENDS for zero-token docs —
+        # they must contribute NO positions (DuckDB range(0,0) is empty);
+        # the final left join restores them with zero counts
+        toks.filter(F.col("ntok") > 0)
+        .select(
             "doc_id", "ntok",
             F.explode(
                 F.sequence(F.lit(0), F.col("ntok") - 1)
@@ -2710,7 +2740,6 @@ def span_corruption_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "island_id", F.sum("new_island").over(wrun)
     )
     merged = islands.groupBy("doc_id", "island_id").agg(
-        F.max("ntok").alias("ntok"),
         F.min("s").alias("i_start"),
         F.max("e").alias("i_end"),
     )
