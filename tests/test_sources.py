@@ -221,3 +221,82 @@ def test_jsonl_corrupt_lines_survive_and_are_counted(spark, tmp_path):
         for r in df.filter("_corrupt_record IS NOT NULL").collect()
     ]
     assert any("not json" in b for b in bad)
+
+
+def test_jsonl_shard_count_honored_upward_and_stable(spark, tmp_path):
+    """Review fixes: n_shards must be honored even when the source frame
+    has FEWER partitions (coalesce could only shrink), and shard
+    membership under shard_by must be identical across reruns."""
+    import glob
+
+    from iniz_exporters_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl_shards,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .coalesce(1)  # worst case: a single upstream partition
+    )
+    ddl = (
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+
+    def membership(out):
+        m = {}
+        for shard in sorted(glob.glob(out + "/part-*.json.gz")):
+            for r in read_jsonl(spark, shard, ddl).collect():
+                m[r["doc_id"]] = shard.split("/")[-1].split("-")[1]
+        return m
+
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_jsonl_shards(docs, out1, n_shards=8, shard_by="doc_id")
+    write_jsonl_shards(docs, out2, n_shards=8, shard_by="doc_id")
+    assert len(glob.glob(out1 + "/part-*.json.gz")) == 8
+    # hash(doc_id) % 8 membership replays exactly
+    assert membership(out1) == membership(out2)
+
+
+def test_jsonl_corrupt_report_zero_on_empty_input(spark, tmp_path):
+    import gzip
+    import os
+
+    from iniz_exporters_spark.sources.jsonl import (
+        corrupt_line_report,
+        read_jsonl,
+    )
+
+    src = str(tmp_path / "empty")
+    os.makedirs(src)
+    with gzip.open(src + "/shard0.json.gz", "wt") as f:
+        f.write("")  # zero lines
+    rep = corrupt_line_report(
+        read_jsonl(spark, src, "doc_id long, text string"), "doc_id"
+    ).collect()[0]
+    # zeros, never NULLs (review fix: a gate comparing n_corrupt > k
+    # must not TypeError on an empty intake)
+    assert rep["n_rows"] == 0
+    assert rep["n_corrupt"] == 0
+    assert rep["corrupt_rate"] == 0.0
+
+
+def test_jsonl_schema_roundtrip_with_corrupt_col_already_present(
+    spark, tmp_path
+):
+    import gzip
+    import os
+
+    from iniz_exporters_spark.sources.jsonl import read_jsonl
+
+    src = str(tmp_path / "rt")
+    os.makedirs(src)
+    with gzip.open(src + "/s.json.gz", "wt") as f:
+        f.write('{"doc_id": 1}\n')
+    # a DDL that already carries _corrupt_record (round-tripped from an
+    # earlier read) must not be double-appended
+    df = read_jsonl(
+        spark, src, "doc_id long, _corrupt_record string"
+    )
+    assert df.columns.count("_corrupt_record") == 1
+    assert df.collect()[0]["doc_id"] == 1
