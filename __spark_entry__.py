@@ -69,12 +69,11 @@ from iniz_exporters_spark.session import tune_for_session
 # "§driver-window — r12 rotation list"; derived programmatically from
 # REGISTRY order minus every green CORRECTNESS_r* row minus the live
 # r11 window — 26 names, all triple-scale green with bruteforce
-# replicas at registration). NOT yet seated: the r11 window stays live
-# until the driver drops CORRECTNESS_r11.json; the rotation trip-wire
-# will then demand `_WINDOW = _R12_WINDOW` (one-line seat). Spare slots
-# at seat time: 50 - 26 - q1 = 23, available to pre-swept r12
-# registrations or stale-first re-verification per the post-drain
-# policy.
+# replicas at registration). SEATED at r12 open (CORRECTNESS_r11.json
+# landed with all 50 r11 rows green). Spare slots at seat time:
+# 50 - 26 - q1 = 23, filled per the post-drain spare-slot policy below
+# (``_reseat_names``): pre-swept r12 registrations ride the window
+# itself; re-verification fills the rest stale-first.
 _R12_WINDOW = [
     "winnowing_fingerprints_q", "lateness_audit_q", "gumbel_pwm_q",
     "bloom_fpr_check_q", "mattr_q", "asof_nearest_q",
@@ -224,12 +223,84 @@ _R6_WINDOW = [
 
 # Kept for provenance / test compatibility: the live window always binds to
 # the newest list.
-_WINDOW = _R11_WINDOW
+_WINDOW = _R12_WINDOW
+
+# ---------------------------------------------------------------------------
+# POST-DRAIN SPARE-SLOT POLICY (VERDICT r10 #2 / r11 #3 — now defined and
+# test-encoded).  When the rotation window holds fewer than 49 unchecked
+# names, the spare first-50 slots are NOT left to registry-order accident;
+# they re-verify already-green names, stale-first:
+#
+#   1. Names whose PLAN changed since their latest green driver row jump
+#      the queue (listed explicitly in ``_R12_PLAN_CHANGED`` with the
+#      changing commit, in change order).
+#   2. Remaining slots fill oldest-green-first: sort every driver-checked
+#      name by (latest green CORRECTNESS round asc, registration order
+#      asc) and take the head.
+#
+# The resulting ``_RESEAT`` tail is derived from the committed
+# CORRECTNESS_r*.json artifacts at import time, so it is reproducible from
+# the artifacts alone; ``tests/test_registry_growth_cap.py::
+# test_reseat_tail_follows_spare_slot_policy`` re-derives it independently
+# and pins the policy.  New registrations ride the window itself (they are
+# unchecked debt), automatically shrinking the re-seat tail.
+# ---------------------------------------------------------------------------
+_R12_PLAN_CHANGED = [
+    # operators/lm.py spread_for_kernel + lag-coverage fix (r11, commit
+    # referenced in PERFORMANCE.md §r11 — span-dedup −41%); last green r4.
+    "span_dedup_trim",
+    # operators/dedup.py df-ordered prefix + positional filter rewrite
+    # (commit 5d292a6); last greens r4 / r6.
+    "ngram_jaccard_pairs",
+    "containment_pairs_q",
+    # queries/p07.py broadcast-guard fix (this round, VERDICT r11 #2);
+    # last green r10.
+    "knn_loo_accuracy_q",
+]
+
+
+def _latest_green_rounds() -> dict[str, int]:
+    """name -> latest CORRECTNESS round with a green (hash-verified) row."""
+    import glob
+    import json
+
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        for name, row in json.load(open(path)).items():
+            if isinstance(row, dict) and not row.get("hash_match"):
+                continue  # err / mismatch row: never verified
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _reseat_names() -> list[str]:
+    """Spare-slot occupants per the post-drain policy (header comment)."""
+    latest = _latest_green_rounds()
+    live_window = [n for n in _WINDOW if n in REGISTRY]
+    spare = 49 - len(live_window)
+    if spare <= 0:
+        return []
+    jumped = [
+        n
+        for n in _R12_PLAN_CHANGED
+        if n in latest and n in REGISTRY and n not in live_window
+    ]
+    order = {n: i for i, n in enumerate(REGISTRY)}
+    stale_first = sorted(
+        (n for n in latest if n in REGISTRY and n not in jumped),
+        key=lambda n: (latest[n], order[n]),
+    )
+    return (jumped + stale_first)[:spare]
 
 
 def _ordered_names() -> list[str]:
-    """Registry names with the current rotation window first."""
-    window = ["q1_pricing_summary"] + [n for n in _WINDOW if n in REGISTRY]
+    """Registry names: flagship, rotation window, re-seat tail, rest."""
+    window = (
+        ["q1_pricing_summary"]
+        + [n for n in _WINDOW if n in REGISTRY]
+        + _reseat_names()
+    )
     seen = set(window)
     return window + [n for n in REGISTRY if n not in seen]
 

@@ -55,7 +55,8 @@ def test_window_targets_never_driver_checked_queries():
     # slice legitimately re-covers already-green registry-order names.
     already = [n for n in ENTRY._WINDOW if n in prev]
     assert already == [], (
-        f"window wastes slots on driver-checked names: {already}. "
+        f"[EXIT:ROTATION_DUE] window wastes slots on driver-checked names: "
+        f"{already}. "
         "REMEDY (the round-open convention): seat the next rotation — set "
         "_WINDOW = _R{N+1}_WINDOW in __spark_entry__.py using the "
         "precomputed queue in PERFORMANCE.md '\u00a7driver-window' (verify it "
