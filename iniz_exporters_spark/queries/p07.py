@@ -661,9 +661,18 @@ def seasonal_esd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each vector's label by majority vote of its five nearest neighbors
 # (ties broken toward the SMALLEST label id — spelled identically in
 # both engines), report per-label and overall accuracy. Same bounded
-# pair stage as hubness_q (explicit pre-explosion repartition); at
-# corpus scale the identical vote plan runs over the bucketed ANN's
-# candidate pairs instead of the full cross join.
+# pair stage as hubness_q (explicit pre-explosion repartition).
+#
+# SCALE GUARD (VERDICT r11 #2): LOO is quadratic BY SPEC — every vector
+# is a query — so the broadcast side here is the WHOLE corpus. The query
+# now routes through the operator library's `_broadcast_guard` (the same
+# 100k cap `knn_bruteforce` enforces, operators/similarity.py): past the
+# cap it fails loudly BEFORE the job with the actionable fix, instead of
+# silently OOMing executors with an n×n plan. At corpus scale the
+# identical vote plan runs over the bucketed ANN's candidate pairs
+# (sign-bucket / ivf_topk in operators/similarity.py) instead of the
+# full cross join — the exact-oracle contract stays pinned to the gated
+# scales (500–2000 vectors), where the guard admits the exact plan.
 @register(
     "knn_loo_accuracy_q",
     """
@@ -711,11 +720,16 @@ def knn_loo_accuracy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
+    from iniz_exporters_spark.operators.similarity import _broadcast_guard
+
     q = e.select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("true_label"),
         F.col("v").alias("qv"),
     )
+    # Loud 100k cap on the broadcast side (the whole corpus under LOO) —
+    # same guard, same remedy message as knn_bruteforce.
+    q = _broadcast_guard(q, 100_000, "knn_loo_accuracy_q")
     d2 = F.round(
         F.aggregate(
             F.zip_with(

@@ -201,6 +201,24 @@ def test_knn_broadcast_query_guard_raises(spark):
     assert knn_bruteforce(df, df, top_k=1, max_queries=10).count() > 0
 
 
+def test_knn_loo_query_routes_through_broadcast_guard(spark, monkeypatch):
+    """VERDICT r11 #2: the LOO-accuracy registry query broadcasts the
+    WHOLE corpus (every vector is a query under leave-one-out), so it
+    must pass through the library's `_broadcast_guard` — pin the route so
+    the unguarded n×n crossJoin cannot silently come back."""
+    from iniz_exporters_spark.operators import similarity
+    from iniz_exporters_spark.queries import REGISTRY
+
+    def sentinel(queries, max_queries, what):
+        raise RuntimeError(f"guard-sentinel:{what}:{max_queries}")
+
+    monkeypatch.setattr(similarity, "_broadcast_guard", sentinel)
+    with pytest.raises(
+        RuntimeError, match="guard-sentinel:knn_loo_accuracy_q:100000"
+    ):
+        REGISTRY["knn_loo_accuracy_q"].fn(spark, "/root/testdata/sf0.001")
+
+
 def test_drop_all_empty_columns(spark):
     df = spark.createDataFrame(
         [("u1", None, "x", ""), ("u2", None, "", "")],
