@@ -37,8 +37,14 @@ _PII_RISK_SPIKE_SQL = (
     "      lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END"
     " || CASE WHEN doc_id % 6 = 3 THEN ' from 10.' ||"
     "      (doc_id % 200)::VARCHAR || '.0.1' ELSE '' END"
+    # doc_id is reduced mod 1e9 BEFORE the Knuth multiplier so the
+    # product stays under int64 ((1e9-1) * 2654435761 ≈ 2.65e18 < 9.2e18)
+    # at ANY corpus size — the unreduced form overflowed (ANSI error /
+    # DuckDB OOR) for doc_id ≥ ~3.47e9 (ADVICE r11). Identical residues
+    # at every gated scale (doc_id ≪ 1e9 there).
     " || CASE WHEN doc_id % 2 = 0 THEN ' card 4' ||"
-    "      lpad(((doc_id * 2654435761) % 1000000000000000)::VARCHAR,"
+    "      lpad((((doc_id % 1000000000) * 2654435761)"
+    "            % 1000000000000000)::VARCHAR,"
     "           15, '0') ELSE '' END"
 )
 
@@ -166,8 +172,10 @@ def pii_risk_scores(d: DataFrame) -> DataFrame:
             F.concat(
                 F.lit(" card 4"),
                 F.lpad(
-                    ((F.col("doc_id") * 2654435761) % 1000000000000000)
-                    .cast("string"),
+                    (
+                        ((F.col("doc_id") % 1000000000) * 2654435761)
+                        % 1000000000000000
+                    ).cast("string"),
                     15,
                     "0",
                 ),

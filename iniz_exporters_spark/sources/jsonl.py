@@ -68,10 +68,18 @@ def read_jsonl(
     The corrupt column must be part of the declared schema for
     PERMISSIVE mode to populate it (Spark JSON-source contract); it is
     appended unless the caller's DDL already carries it (round-tripping
-    a schema from an earlier ``read_jsonl`` is fine).
+    a schema from an earlier ``read_jsonl`` is fine). Presence is
+    decided by PARSING the DDL and comparing field names exactly — a
+    substring check would mistake a column merely CONTAINING
+    '_corrupt_record' (e.g. ``my_corrupt_records``) for the quarantine
+    column and silently drop malformed lines (ADVICE r11).
     """
+    from pyspark.sql.types import StructType
+
     ddl = schema_ddl
-    if keep_corrupt and CORRUPT_COL not in schema_ddl:
+    if keep_corrupt and CORRUPT_COL not in StructType.fromDDL(
+        schema_ddl
+    ).fieldNames():
         ddl = f"{schema_ddl}, {CORRUPT_COL} string"
     reader = (
         spark.read.schema(ddl)

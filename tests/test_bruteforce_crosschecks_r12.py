@@ -72,7 +72,7 @@ def test_pii_risk_score_q_matches_bruteforce(spark):
         if doc_id % 6 == 3:
             t += f" from 10.{doc_id % 200}.0.1"
         if doc_id % 2 == 0:
-            t += f" card 4{(doc_id * 2654435761) % 10**15:015d}"
+            t += f" card 4{((doc_id % 10**9) * 2654435761) % 10**15:015d}"
         counts = {k: len(re.findall(p, t)) for k, p in pats.items()}
         m = re.search(r"\b(\d{16})\b", t)
         cc = m.group(1) if m else ""

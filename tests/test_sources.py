@@ -223,6 +223,36 @@ def test_jsonl_corrupt_lines_survive_and_are_counted(spark, tmp_path):
     assert any("not json" in b for b in bad)
 
 
+def test_jsonl_corrupt_col_detected_by_field_name_not_substring(
+    spark, tmp_path
+):
+    """ADVICE r11: a user column whose NAME merely contains
+    '_corrupt_record' (e.g. ``my_corrupt_records``) must not suppress the
+    quarantine append — presence is decided by parsing the DDL and
+    comparing field names exactly."""
+    import gzip
+    import os
+
+    from iniz_exporters_spark.sources.jsonl import read_jsonl
+
+    src = str(tmp_path / "lookalike")
+    os.makedirs(src)
+    with gzip.open(src + "/shard0.json.gz", "wt") as f:
+        f.write('{"doc_id": 1, "my_corrupt_records": "x"}\n')
+        f.write("{broken line\n")
+    df = read_jsonl(
+        spark, src, "doc_id long, my_corrupt_records string"
+    )
+    assert "_corrupt_record" in df.columns  # append happened
+    bad = df.filter("_corrupt_record IS NOT NULL").collect()
+    assert len(bad) == 1 and "broken" in bad[0]["_corrupt_record"]
+    # and the true quarantine column round-trips without doubling
+    df2 = read_jsonl(
+        spark, src, "doc_id long, _corrupt_record string"
+    )
+    assert df2.columns.count("_corrupt_record") == 1
+
+
 def test_jsonl_shard_count_honored_upward_and_stable(spark, tmp_path):
     """Review fixes: n_shards must be honored even when the source frame
     has FEWER partitions (coalesce could only shrink), and shard
