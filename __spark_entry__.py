@@ -84,6 +84,12 @@ _R12_WINDOW = [
     "lsh_scurve_q", "kcenter_coreset_q", "dup_growth_curve_q",
     "softdedup_weights_q", "rouge_n_eval_q", "truncation_loss_q",
     "span_corruption_q", "mahalanobis_outliers_q",
+    # round-12 registrations riding the window's spare slots (policy:
+    # new names are unchecked debt and take precedence over re-seats),
+    # each triple-scale oracle-green with a bruteforce replica and a
+    # scramble entry before seating: the queries/p11.py batch.
+    "exact_substring_dedup_q", "quality_calibration_curve_q",
+    "seq_packing_q", "embedding_decontam_q",
 ]
 
 _R11_WINDOW = [

@@ -191,3 +191,8 @@ from iniz_exporters_spark.queries.p10 import (
     theta_forecast_q, truncation_loss_q, unimax_alloc_q,
     wilcoxon_signed_rank_q,
 )
+from iniz_exporters_spark.queries.p11 import (
+    _DECON_K, _DECON_TAU, _ESD_SEED, _ESD_TRIM, _PACK_LEN,
+    embedding_decontam_q, exact_substring_dedup_q,
+    quality_calibration_curve_q, seq_packing_q,
+)

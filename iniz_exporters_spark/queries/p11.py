@@ -1,0 +1,515 @@
+"""Registry chunk 11: round-12 LLM-pipeline batch (4 @register entries).
+
+Exact-substring dedup at the suffix-array level (Lee et al. 2021 §4),
+quality-classifier calibration over the curation scores, GPT-style
+concatenate-and-chunk sequence-packing accounting, and embedding-level
+train/test decontamination. Registration order continues the registry;
+see queries/__init__.py for the chunk re-export contract.
+"""
+from iniz_exporters_spark.catalog import Catalog
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+from iniz_exporters_spark.queries._base import register
+from iniz_exporters_spark.functions.text import poly_hash, tokens
+from iniz_exporters_spark.operators.quality import linear_quality_score
+from iniz_exporters_spark.operators.indexing import global_cumsum
+from iniz_exporters_spark.operators.similarity import (
+    _broadcast_guard,
+    cosine,
+)
+from iniz_exporters_spark.queries.p01 import _SQL_POLY, _SQL_TOKENS
+from iniz_exporters_spark.queries.p02 import _SQL_QW
+from iniz_exporters_spark.session import spread_for_kernel as _spread
+
+# Exact-substring dedup constants (Lee et al. 2021 §4: ExactSubstr
+# removes substrings >= 50 tokens shared between documents; the
+# suffix-array pass is re-expressed as k-token seed matches chained
+# along (docA, docB, diagonal) runs — a maximal cross-doc duplicated
+# substring of length T >= SEED corresponds EXACTLY to a run of
+# T-SEED+1 consecutive seed matches at one diagonal, so for the >= 50
+# threshold the relational plan reproduces the suffix-array answer).
+_ESD_SEED = 8
+_ESD_TRIM = 50
+
+# Sequence packing: fixed training context length (tokens).
+_PACK_LEN = 128
+
+# Embedding decontamination: FIXED-SIZE eval suite (the 32 vectors with
+# the smallest content hash — a benchmark's size does not grow with the
+# training corpus, which is what keeps the operator linear); cosine
+# threshold calibrated so both gate scales produce mixed flags.
+_DECON_K = 32
+_DECON_TAU = 0.40
+
+
+@register(
+    "exact_substring_dedup_q",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents),
+    seeds AS (
+        SELECT doc_id, u.i AS pos,
+               array_to_string(ts[u.i:u.i+{_ESD_SEED - 1}], ' ') AS g
+        FROM t, UNNEST(range(1, greatest(len(ts)-{_ESD_SEED - 2}, 1))) u(i)
+        WHERE len(ts) >= {_ESD_SEED}
+    ),
+    pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa,
+               a.pos - b.pos AS diag
+        FROM seeds a JOIN seeds b
+          ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT da, db, diag, pa,
+               pa - ROW_NUMBER() OVER (
+                   PARTITION BY da, db, diag ORDER BY pa) AS rk
+        FROM pairs
+    ),
+    spans AS (
+        SELECT da, db, diag, MIN(pa) AS sa,
+               COUNT(*) + {_ESD_SEED - 1} AS span_len
+        FROM runs GROUP BY da, db, diag, rk
+    ),
+    role AS (
+        SELECT da AS doc_id, db AS partner, sa AS s, span_len FROM spans
+        UNION ALL
+        SELECT db, da, sa - diag, span_len FROM spans
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(DISTINCT partner) AS n_partners,
+               COUNT(*) AS n_spans, MAX(span_len) AS max_span
+        FROM role GROUP BY doc_id
+    ),
+    iv AS (
+        -- DISTINCT is load-bearing: identical intervals from two
+        -- partners would tie on (s, e), and the fresh/gid windows are
+        -- evaluated independently — each may order tied rows
+        -- differently, splitting one island in two. After DISTINCT,
+        -- (s, e) is a total order per doc.
+        SELECT DISTINCT doc_id, s, s + span_len - 1 AS e FROM role
+        WHERE span_len >= {_ESD_TRIM}
+    ),
+    isl AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS fresh
+        FROM iv
+    ),
+    isl2 AS (
+        SELECT doc_id, s, e,
+               SUM(fresh) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS UNBOUNDED PRECEDING) AS gid
+        FROM isl
+    ),
+    cov AS (
+        SELECT doc_id, SUM(mx - mn + 1) AS cut FROM (
+            SELECT doc_id, gid, MIN(s) AS mn, MAX(e) AS mx
+            FROM isl2 GROUP BY doc_id, gid)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.ts) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(agg.n_partners, 0) AS BIGINT) AS n_partners,
+           CAST(COALESCE(agg.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(agg.max_span, 0) AS BIGINT) AS max_span_tokens,
+           CAST(COALESCE(cov.cut, 0) AS BIGINT) AS cut_tokens,
+           CAST(len(t.ts) - COALESCE(cov.cut, 0) AS BIGINT) AS kept_tokens
+    FROM t
+    LEFT JOIN agg ON t.doc_id = agg.doc_id
+    LEFT JOIN cov ON t.doc_id = cov.doc_id
+    """,
+)
+def exact_substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-level exact-substring dedup accounting (Lee et al.
+    2021 "Deduplicating Training Data Makes Language Models Better" §4,
+    ExactSubstr): per document, every MAXIMAL substring shared verbatim
+    with another document — longest shared run, span count, partner
+    count — and the tokens a >= 50-token trim pass would remove
+    (interval union, so overlapping spans are not double-counted).
+
+    Spark-first plan instead of a distributed suffix array: 8-token
+    seed shingles join on content; matches chain into maximal runs via
+    the gaps-and-islands key pos − row_number per (docA, docB,
+    diagonal), so a maximal shared substring of length T becomes one
+    group with COUNT = T−7 — exact for every shared substring >= the
+    seed size, which covers the 50-token trim threshold with 6×
+    headroom. Only (doc_id, pos, seed) rows shuffle; seed-join fan-out
+    is bounded by gram document frequency (cap / poly_hash swap for
+    100 TB documented at `operators/dedup.py`'s df-ordered prefixes —
+    same machinery family). Within-doc self-repeats are span_dedup's
+    surface (`operators/lm.py`); this operator is the cross-doc
+    maximal-match complement.
+    """
+    d = Catalog(spark, sf_dir).documents
+    t = (
+        _spread(d.select("doc_id", "text"))
+        .select("doc_id", tokens("text").alias("ts"))
+        .localCheckpoint()
+    )
+    seeds = (
+        t.filter(F.size("ts") >= _ESD_SEED)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - (_ESD_SEED - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.array_join(
+                            F.slice("ts", i, _ESD_SEED), " "
+                        ).alias("g"),
+                    ),
+                )
+            ).alias("__s"),
+        )
+        .select(
+            "doc_id",
+            F.col("__s.pos").alias("pos"),
+            F.col("__s.g").alias("g"),
+        )
+    )
+    a, b = seeds.alias("a"), seeds.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("da"),
+        F.col("b.doc_id").alias("db"),
+        F.col("a.pos").alias("pa"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    wrun = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    spans = (
+        pairs.withColumn(
+            "rk", F.col("pa") - F.row_number().over(wrun)
+        )
+        .groupBy("da", "db", "diag", "rk")
+        .agg(
+            F.min("pa").alias("sa"),
+            (F.count(F.lit(1)) + (_ESD_SEED - 1)).alias("span_len"),
+        )
+    )
+    role = spans.select(
+        F.col("da").alias("doc_id"),
+        F.col("db").alias("partner"),
+        F.col("sa").alias("s"),
+        "span_len",
+    ).unionByName(
+        spans.select(
+            F.col("db").alias("doc_id"),
+            F.col("da").alias("partner"),
+            (F.col("sa") - F.col("diag")).alias("s"),
+            "span_len",
+        )
+    )
+    agg = role.groupBy("doc_id").agg(
+        F.count_distinct("partner").alias("n_partners"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.max("span_len").alias("max_span"),
+    )
+    # distinct is load-bearing: identical intervals from two partners
+    # tie on (s, e) and the two window passes below may order tied rows
+    # differently (observed: one island double-counted at sf0.01);
+    # after distinct, (s, e) is a total order per doc.
+    iv = (
+        role.filter(F.col("span_len") >= _ESD_TRIM)
+        .select(
+            "doc_id",
+            "s",
+            (F.col("s") + F.col("span_len") - 1).alias("e"),
+        )
+        .distinct()
+    )
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wcum = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fresh = F.when(
+        F.col("s") > F.coalesce(F.max("e").over(wprev), F.lit(-1)), 1
+    ).otherwise(0)
+    cov = (
+        iv.withColumn("fresh", fresh)
+        .withColumn("gid", F.sum("fresh").over(wcum))
+        .groupBy("doc_id", "gid")
+        .agg(F.min("s").alias("mn"), F.max("e").alias("mx"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("mx") - F.col("mn") + 1).alias("cut"))
+    )
+    z = F.lit(0)
+    return (
+        t.select("doc_id", F.size("ts").alias("nt"))
+        .join(agg, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("nt").cast("long").alias("n_tokens"),
+            F.coalesce("n_partners", z).cast("long").alias("n_partners"),
+            F.coalesce("n_spans", z).cast("long").alias("n_spans"),
+            F.coalesce("max_span", z).cast("long").alias(
+                "max_span_tokens"
+            ),
+            F.coalesce("cut", z).cast("long").alias("cut_tokens"),
+            (F.col("nt") - F.coalesce("cut", z))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
+
+
+@register(
+    "quality_calibration_curve_q",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    r AS (SELECT doc_id, toks,
+                 CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE list_reduce(
+                          list_transform(toks, t -> {_SQL_QW}),
+                          (a, b) -> a + b)
+                 END AS raw
+          FROM t),
+    p AS (SELECT doc_id,
+                 ROUND(CAST(1.0 / (1.0 + exp(-raw / 8.0))
+                       AS DECIMAL(28,12)), 4)::DOUBLE AS prob,
+                 CASE WHEN len(toks) >= 40
+                       AND 10 * len(list_distinct(toks)) >= 4 * len(toks)
+                      THEN 1 ELSE 0 END AS gold
+          FROM r)
+    SELECT LEAST(CAST(floor(prob * 10) AS INT), 9) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(prob AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*) AS mean_prob,
+           CAST(SUM(gold) AS DOUBLE) / COUNT(*) AS gold_rate,
+           ABS(CAST(SUM(CAST(prob AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*)
+               - CAST(SUM(gold) AS DOUBLE) / COUNT(*)) AS abs_gap
+    FROM p GROUP BY bucket
+    """,
+)
+def quality_calibration_curve_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability diagram for the curation-score classifier: per score
+    decile, the observed rate of an INDEPENDENT rule-based gold label
+    (Gopher-style: >= 40 words and unique-token fraction >= 0.4) vs the
+    classifier's mean probability — the calibration check a pipeline
+    runs before trusting `linear_quality_score` thresholds (the existing
+    `quality_calibration_q` tabulates bucket sizes only; this measures
+    whether the scores MEAN anything). Per rule 16 the two rates ship as
+    raw doubles — each is a double division of a decimal-exact sum by a
+    count, bit-identical across engines; no re-round that could create a
+    half-boundary tie. One codegen'd scan + a 10-key groupBy with
+    map-side combine: flat at any corpus size.
+    """
+    d = Catalog(spark, sf_dir).documents
+    toks = tokens(F.col("text"))
+    gold = F.when(
+        (F.size(toks) >= 40)
+        & (10 * F.size(F.array_distinct(toks)) >= 4 * F.size(toks)),
+        1,
+    ).otherwise(0)
+    prob = linear_quality_score(F.col("text"), dim=64, scale=8.0, round_to=4)
+    p = d.select(prob.alias("prob"), gold.alias("gold"))
+    cnt = F.count(F.lit(1))
+    mean_prob = (
+        F.sum(F.col("prob").cast("decimal(18,4)")).cast("double") / cnt
+    )
+    gold_rate = F.sum("gold").cast("double") / cnt
+    return (
+        p.groupBy(
+            F.least(
+                F.floor(F.col("prob") * 10).cast("int"), F.lit(9)
+            ).alias("bucket")
+        )
+        .agg(
+            cnt.cast("long").alias("n_docs"),
+            mean_prob.alias("mean_prob"),
+            gold_rate.alias("gold_rate"),
+            F.abs(mean_prob - gold_rate).alias("abs_gap"),
+        )
+    )
+
+
+@register(
+    "seq_packing_q",
+    f"""
+    WITH t AS (SELECT doc_id, len({_SQL_TOKENS}) AS n FROM documents),
+    c AS (SELECT doc_id, n,
+                 SUM(n) OVER (ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t),
+    d AS (SELECT doc_id, n, cum - n AS s, cum AS e FROM c WHERE n > 0),
+    x AS (SELECT doc_id, n, s, e,
+                 CAST(s // {_PACK_LEN} AS BIGINT) AS s0,
+                 CAST((e - 1) // {_PACK_LEN} AS BIGINT) AS s1
+          FROM d),
+    ex AS (SELECT doc_id, s, e, u.q AS seq_id
+           FROM x, UNNEST(range(s0, s1 + 1)) u(q))
+    SELECT CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN s >= seq_id * {_PACK_LEN}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+           CAST(SUM(LEAST(e, (seq_id + 1) * {_PACK_LEN})
+                    - GREATEST(s, seq_id * {_PACK_LEN})) AS BIGINT)
+               AS fill_tokens,
+           CAST({_PACK_LEN} - SUM(LEAST(e, (seq_id + 1) * {_PACK_LEN})
+                    - GREATEST(s, seq_id * {_PACK_LEN})) AS BIGINT)
+               AS pad_tokens
+    FROM ex GROUP BY seq_id
+    """,
+)
+def seq_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concatenate-and-chunk sequence packing accounting:
+    documents concatenated in doc_id order and split every 128 tokens;
+    per training sequence, how many documents overlap it, how many
+    START in it, and its fill/padding — the packing-efficiency and
+    document-boundary-fragmentation read a pretraining loader needs
+    (only the final sequence can pad; every other row's pad_tokens = 0
+    is a built-in self-check).
+
+    Scale shape: token offsets come from the `global_cumsum` primitive
+    (ONE repartitionByRange pass + broadcast partition offsets — no
+    single-partition window), the per-doc explode emits exactly
+    (crossings + 1) rows per doc (bounded by n/L + 1), and the
+    sequence-keyed aggregation map-side combines. DuckDB replays the
+    same arithmetic with a window cumsum.
+    """
+    d = Catalog(spark, sf_dir).documents
+    t = d.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n")
+    )
+    c = global_cumsum(t, ["doc_id"], "n", "cum")
+    L = _PACK_LEN
+    x = (
+        c.filter(F.col("n") > 0)
+        .select(
+            "doc_id",
+            (F.col("cum") - F.col("n")).alias("s"),
+            F.col("cum").alias("e"),
+        )
+        .select(
+            "doc_id",
+            "s",
+            "e",
+            F.expr(f"s div {L}").alias("s0"),
+            F.expr(f"(e - 1) div {L}").alias("s1"),
+        )
+    )
+    ex = x.select(
+        "s", "e", F.explode(F.sequence("s0", "s1")).alias("seq_id")
+    )
+    fill = F.sum(
+        F.least(F.col("e"), (F.col("seq_id") + 1) * L)
+        - F.greatest(F.col("s"), F.col("seq_id") * L)
+    )
+    return ex.groupBy("seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("s") >= F.col("seq_id") * L, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_starts"),
+        fill.cast("long").alias("fill_tokens"),
+        (F.lit(L) - fill).cast("long").alias("pad_tokens"),
+    )
+
+
+@register(
+    "embedding_decontam_q",
+    f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               {_SQL_POLY.format(s="'dec:' || vec_id::VARCHAR")} AS h
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id, v FROM e ORDER BY h, vec_id LIMIT {_DECON_K}),
+    tr AS (SELECT vec_id, label, v FROM e
+           WHERE vec_id NOT IN (SELECT vec_id FROM q)),
+    sc AS (
+        SELECT tr.vec_id, tr.label, q.vec_id AS test_id,
+               ROUND(CAST(
+                   list_reduce(list_transform(range(1, len(tr.v) + 1),
+                       i -> tr.v[i] * q.v[i]), (a, b) -> a + b)
+                   / (sqrt(list_reduce(list_transform(tr.v, x -> x * x),
+                           (a, b) -> a + b))
+                      * sqrt(list_reduce(list_transform(q.v, x -> x * x),
+                             (a, b) -> a + b)))
+                   AS DECIMAL(28,12)), 6)::DOUBLE AS cos
+        FROM tr, q
+    ),
+    best AS (
+        SELECT vec_id, label, test_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, test_id) AS rn
+        FROM sc
+    )
+    SELECT vec_id, label,
+           test_id AS nn_test_id,
+           cos AS max_cos,
+           cos >= {_DECON_TAU} AS contaminated
+    FROM best WHERE rn = 1
+    """,
+)
+def embedding_decontam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level train/test decontamination (the semantic
+    complement of `token_ngram_decontam_q`): a FIXED-SIZE content-keyed
+    eval suite (the 32 smallest-hash vectors — benchmark size does not
+    grow with the training corpus), then every TRAIN vector's nearest
+    suite vector by cosine — flagged when similarity >= 0.40, i.e. the
+    training rows a leakage audit would quarantine before pretraining.
+
+    Scale shape: the broadcast side is the CONSTANT-SIZE test suite
+    (TakeOrdered top-32 by content hash, additionally behind the same
+    loud 100k `_broadcast_guard` as `knn_bruteforce` in case the suite
+    parameter is raised); the train side streams through one codegen'd
+    scan, so cost is LINEAR in the corpus — unlike a
+    proportional-split design, which would be quadratic at any scale
+    (corpus-fraction splits belong to `hash_split_q`). Cosines rank on
+    the rounded value with test_id tiebreak (the knn_loo convention).
+    """
+    e = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        poly_hash(
+            F.concat(F.lit("dec:"), F.col("vec_id").cast("string"))
+        ).alias("h"),
+    )
+    q = _broadcast_guard(
+        e.orderBy("h", "vec_id")
+        .limit(_DECON_K)
+        .select(F.col("vec_id").alias("test_id"), F.col("v").alias("qv")),
+        100_000,
+        "embedding_decontam_q",
+    )
+    tr = e.join(
+        q.select(F.col("test_id").alias("vec_id")), "vec_id", "left_anti"
+    ).select("vec_id", "label", "v")
+    sc = tr.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        "label",
+        "test_id",
+        F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("test_id")
+    )
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("test_id").alias("nn_test_id"),
+            F.col("cos").alias("max_cos"),
+            (F.col("cos") >= _DECON_TAU).alias("contaminated"),
+        )
+    )

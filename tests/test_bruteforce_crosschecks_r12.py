@@ -980,3 +980,181 @@ def test_mahalanobis_outliers_q_matches_bruteforce(spark):
             flagged.add(v)
     # the detector must recover exactly the spiked ~1% (vec_id % 97)
     assert flagged == {v for v in vecs if v % 97 == 0} and flagged
+
+
+# ---------------------------------------------------------------------------
+# Round-12 batch (queries/p11.py)
+# ---------------------------------------------------------------------------
+
+TOKEN_SPLIT = re.compile(r"[^a-z0-9]+")
+
+
+def _toks(text: str) -> list:
+    return [t for t in TOKEN_SPLIT.split(text.lower()) if t]
+
+
+def test_exact_substring_dedup_q_matches_bruteforce(spark):
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["exact_substring_dedup_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    docs = {doc_id: _toks(text) for doc_id, text, _ in _docs()}
+    K, T = 8, 50
+    seeds = {}  # gram -> [(doc, pos)]
+    for doc_id, ts in docs.items():
+        for i in range(len(ts) - K + 1):
+            seeds.setdefault(" ".join(ts[i : i + K]), []).append(
+                (doc_id, i + 1)
+            )
+    pair_pos = {}  # (da, db, diag) -> set of pa
+    for occ in seeds.values():
+        for da, pa in occ:
+            for db, pb in occ:
+                if da < db:
+                    pair_pos.setdefault((da, db, pa - pb), set()).add(pa)
+    spans = []  # (da, db, sa, diag, length)
+    for (da, db, diag), pas in pair_pos.items():
+        run = []
+        for pa in sorted(pas) + [None]:
+            if run and (pa is None or pa != run[-1] + 1):
+                spans.append((da, db, run[0], diag, len(run) + K - 1))
+                run = []
+            if pa is not None:
+                run.append(pa)
+    per = {d: {"p": set(), "n": 0, "m": 0, "iv": set()} for d in docs}
+    for da, db, sa, diag, ln in spans:
+        for doc, start in ((da, sa), (db, sa - diag)):
+            st = per[doc]
+            st["p"].add(db if doc == da else da)
+            st["n"] += 1
+            st["m"] = max(st["m"], ln)
+            if ln >= T:
+                st["iv"].add((start, start + ln - 1))
+    assert len(got) == len(docs)
+    for doc_id, ts in docs.items():
+        st, row = per[doc_id], got[doc_id]
+        cut, last_end = 0, -1
+        for s, e in sorted(st["iv"]):
+            if s > last_end:
+                cut += e - s + 1
+                last_end = e
+            elif e > last_end:
+                cut += e - last_end
+                last_end = e
+        assert row["n_tokens"] == len(ts)
+        assert row["n_partners"] == len(st["p"])
+        assert row["n_spans"] == st["n"]
+        assert row["max_span_tokens"] == st["m"]
+        assert row["cut_tokens"] == cut, doc_id
+        assert row["kept_tokens"] == len(ts) - cut
+
+
+def test_quality_calibration_curve_q_matches_bruteforce(spark):
+    import math
+
+    got = {
+        r["bucket"]: r
+        for r in REGISTRY["quality_calibration_curve_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    from decimal import ROUND_HALF_UP, Decimal
+
+    buckets = {}
+    for _doc_id, text, _ in _docs():
+        ts = _toks(text)
+        raw = 0.0
+        for t in ts:
+            idx = _poly(t) % 64
+            raw += ((idx * 37 + 11) % 21 - 10) / 10.0
+        prob = float(
+            Decimal(repr(1.0 / (1.0 + math.exp(-raw / 8.0)))).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP
+            )
+        )
+        gold = 1 if len(ts) >= 40 and 10 * len(set(ts)) >= 4 * len(ts) else 0
+        b = min(int(prob * 10), 9)
+        buckets.setdefault(b, []).append((prob, gold))
+    assert set(got) == set(buckets)
+    for b, rows in buckets.items():
+        r = got[b]
+        n = len(rows)
+        mp = sum(p for p, _ in rows) / n
+        gr = sum(g for _, g in rows) / n
+        assert r["n_docs"] == n
+        assert abs(r["mean_prob"] - mp) < 1e-9
+        assert abs(r["gold_rate"] - gr) < 1e-12
+        assert abs(r["abs_gap"] - abs(mp - gr)) < 1e-9
+
+
+def test_seq_packing_q_matches_bruteforce(spark):
+    got = {
+        r["seq_id"]: r
+        for r in REGISTRY["seq_packing_q"].fn(spark, SF_SMALL).collect()
+    }
+    L = 128
+    cum = 0
+    per = {}
+    for _doc_id, text, _ in _docs():  # doc_id order
+        n = len(_toks(text))
+        if n == 0:
+            continue
+        s, e = cum, cum + n
+        cum = e
+        for q in range(s // L, (e - 1) // L + 1):
+            st = per.setdefault(q, {"d": 0, "st": 0, "f": 0})
+            st["d"] += 1
+            st["st"] += 1 if s >= q * L else 0
+            st["f"] += min(e, (q + 1) * L) - max(s, q * L)
+    assert set(got) == set(per)
+    for q, st in per.items():
+        r = got[q]
+        assert (r["n_docs"], r["n_starts"], r["fill_tokens"]) == (
+            st["d"],
+            st["st"],
+            st["f"],
+        )
+        assert r["pad_tokens"] == L - st["f"]
+        # only the final sequence may pad
+        if q != max(per):
+            assert r["pad_tokens"] == 0
+
+
+def test_embedding_decontam_q_matches_bruteforce(spark):
+    got = {
+        r["vec_id"]: r
+        for r in REGISTRY["embedding_decontam_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    vecs = _rows(
+        f"SELECT vec_id, label, embedding::DOUBLE[] FROM "
+        f"read_parquet('{SF_SMALL}/embeddings.parquet') ORDER BY vec_id"
+    )
+    ranked = sorted(vecs, key=lambda r: (_poly(f"dec:{r[0]}"), r[0]))
+    test_ids = {vid for vid, _l, _v in ranked[:32]}
+    test = [(vid, v) for vid, _l, v in vecs if vid in test_ids]
+    train = [
+        (vid, lab, v) for vid, lab, v in vecs if vid not in test_ids
+    ]
+    assert len(got) == len(train)
+
+    def cos(a, b):
+        dot = nx = ny = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            nx += x * x
+            ny += y * y
+        return dot / (nx**0.5 * ny**0.5)
+
+    for vid, lab, v in train:
+        best = min(
+            ((-round(cos(v, qv), 6), tid) for tid, qv in test),
+        )
+        r = got[vid]
+        assert r["label"] == lab
+        assert r["nn_test_id"] == best[1]
+        assert abs(r["max_cos"] - (-best[0])) < 2e-6
+        assert r["contaminated"] == (r["max_cos"] >= 0.40)

@@ -132,6 +132,11 @@ SENSITIVE = [
     "rouge_n_eval_q",          # per-source LEAD pairing + gram-key join
     "span_corruption_q",       # hash starts + island-merge windows
     "mahalanobis_outliers_q",  # decimal moments + quantized term sums
+    # round-12 batch (queries/p11.py)
+    "exact_substring_dedup_q",  # seed-run row_number islands + union
+    "quality_calibration_curve_q",  # decimal prob sums per bucket
+    "seq_packing_q",            # global_cumsum offsets + range explode
+    "embedding_decontam_q",     # rounded-cos row_number top-1
 ]
 
 
