@@ -90,6 +90,7 @@ _R12_WINDOW = [
     # scramble entry before seating: the queries/p11.py batch.
     "exact_substring_dedup_q", "quality_calibration_curve_q",
     "seq_packing_q", "embedding_decontam_q",
+    "exact_substring_decontam_q", "quality_threshold_sweep_q",
 ]
 
 _R11_WINDOW = [

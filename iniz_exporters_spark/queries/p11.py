@@ -1,10 +1,12 @@
-"""Registry chunk 11: round-12 LLM-pipeline batch (4 @register entries).
+"""Registry chunk 11: round-12 LLM-pipeline batch (6 @register entries).
 
-Exact-substring dedup at the suffix-array level (Lee et al. 2021 §4),
-quality-classifier calibration over the curation scores, GPT-style
-concatenate-and-chunk sequence-packing accounting, and embedding-level
-train/test decontamination. Registration order continues the registry;
-see queries/__init__.py for the chunk re-export contract.
+Exact-substring dedup and train→test decontamination at the
+suffix-array level (Lee et al. 2021 §4 / §6.2), quality-classifier
+calibration + keep-threshold operating characteristic over the
+curation scores, GPT-style concatenate-and-chunk sequence-packing
+accounting, and embedding-level train/test decontamination.
+Registration order continues the registry; see queries/__init__.py for
+the chunk re-export contract.
 """
 from iniz_exporters_spark.catalog import Catalog
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -512,4 +514,261 @@ def embedding_decontam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cos").alias("max_cos"),
             (F.col("cos") >= _DECON_TAU).alias("contaminated"),
         )
+    )
+
+
+# Exact-substring decontamination: fixed-size held-out suite (benchmark
+# docs do not grow with the corpus) and the flag threshold — any
+# verbatim train↔test overlap this long is leakage.
+_ESDC_K = 25
+_ESDC_FLAG = 40
+
+
+@register(
+    "exact_substring_decontam_q",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_TOKENS} AS ts,
+               {_SQL_POLY.format(s="'esd:' || doc_id::VARCHAR")} AS h
+        FROM documents
+    ),
+    suite AS (SELECT doc_id FROM t ORDER BY h, doc_id LIMIT {_ESDC_K}),
+    seeds AS (
+        SELECT doc_id, u.i AS pos,
+               array_to_string(ts[u.i:u.i+{_ESD_SEED - 1}], ' ') AS g
+        FROM t, UNNEST(range(1, greatest(len(ts)-{_ESD_SEED - 2}, 1))) u(i)
+        WHERE len(ts) >= {_ESD_SEED}
+    ),
+    m AS (
+        SELECT a.doc_id AS td, b.doc_id AS dd, a.pos AS pa,
+               a.pos - b.pos AS diag
+        FROM seeds a JOIN seeds b ON a.g = b.g
+        WHERE a.doc_id IN (SELECT doc_id FROM suite)
+          AND b.doc_id NOT IN (SELECT doc_id FROM suite)
+    ),
+    spans AS (
+        SELECT td, dd, diag, COUNT(*) + {_ESD_SEED - 1} AS sl
+        FROM (SELECT td, dd, diag, pa,
+                     pa - ROW_NUMBER() OVER (
+                         PARTITION BY td, dd, diag ORDER BY pa) AS rk
+              FROM m)
+        GROUP BY td, dd, diag, rk
+    ),
+    agg AS (
+        SELECT td, COUNT(DISTINCT dd) AS n_partners, COUNT(*) AS n_spans,
+               MAX(sl) AS mx
+        FROM spans GROUP BY td
+    )
+    SELECT t.doc_id,
+           CAST(len(t.ts) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(agg.n_partners, 0) AS BIGINT)
+               AS n_train_partners,
+           CAST(COALESCE(agg.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(agg.mx, 0) AS BIGINT) AS max_overlap_tokens,
+           COALESCE(agg.mx, 0) >= {_ESDC_FLAG} AS contaminated
+    FROM suite JOIN t ON suite.doc_id = t.doc_id
+    LEFT JOIN agg ON t.doc_id = agg.td
+    """,
+)
+def exact_substring_decontam_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train→test exact-substring decontamination (Lee et al. 2021 §6.2:
+    verbatim train/eval overlap inflates benchmark scores): for each doc
+    of a FIXED 25-doc held-out suite (smallest content hash), the
+    longest substring shared verbatim with ANY training doc, partner and
+    span counts, and a leakage flag at 40 tokens — the maximal-match
+    strengthening of the 13-gram-level `token_ngram_decontam_q`.
+
+    Scale shape: the suite's seed set is contamination-suite-sized and
+    BROADCASTS — the corpus-side seed stream joins against it with no
+    shuffle of corpus data at all (the run/span windows see matched
+    pairs only). Same seed-chain exactness argument as
+    `exact_substring_dedup_q`: every shared substring >= the 8-token
+    seed appears as one maximal diagonal run, so the 40-token flag has
+    5x headroom.
+    """
+    d = Catalog(spark, sf_dir).documents
+    t = (
+        _spread(d.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            tokens("text").alias("ts"),
+            poly_hash(
+                F.concat(F.lit("esd:"), F.col("doc_id").cast("string"))
+            ).alias("h"),
+        )
+        .localCheckpoint()
+    )
+    suite = t.orderBy("h", "doc_id").limit(_ESDC_K).select("doc_id")
+    seeds = (
+        t.filter(F.size("ts") >= _ESD_SEED)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - (_ESD_SEED - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.array_join(
+                            F.slice("ts", i, _ESD_SEED), " "
+                        ).alias("g"),
+                    ),
+                )
+            ).alias("__s"),
+        )
+        .select(
+            "doc_id",
+            F.col("__s.pos").alias("pos"),
+            F.col("__s.g").alias("g"),
+        )
+    )
+    test_seeds = seeds.join(F.broadcast(suite), "doc_id").select(
+        F.col("doc_id").alias("td"), F.col("pos").alias("pa"), "g"
+    )
+    train_seeds = seeds.join(F.broadcast(suite), "doc_id", "left_anti")
+    m = train_seeds.join(F.broadcast(test_seeds), "g").select(
+        "td",
+        F.col("doc_id").alias("dd"),
+        "pa",
+        (F.col("pa") - F.col("pos")).alias("diag"),
+    )
+    wrun = Window.partitionBy("td", "dd", "diag").orderBy("pa")
+    spans = (
+        m.withColumn("rk", F.col("pa") - F.row_number().over(wrun))
+        .groupBy("td", "dd", "diag", "rk")
+        .agg((F.count(F.lit(1)) + (_ESD_SEED - 1)).alias("sl"))
+    )
+    agg = spans.groupBy("td").agg(
+        F.count_distinct("dd").alias("n_partners"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.max("sl").alias("mx"),
+    )
+    z = F.lit(0)
+    return (
+        suite.join(t, "doc_id")
+        .join(agg, t.doc_id == F.col("td"), "left")
+        .select(
+            "doc_id",
+            F.size("ts").cast("long").alias("n_tokens"),
+            F.coalesce("n_partners", z)
+            .cast("long")
+            .alias("n_train_partners"),
+            F.coalesce("n_spans", z).cast("long").alias("n_spans"),
+            F.coalesce("mx", z).cast("long").alias("max_overlap_tokens"),
+            (F.coalesce("mx", z) >= _ESDC_FLAG).alias("contaminated"),
+        )
+    )
+
+
+# Threshold grid for the keep-threshold operating characteristic
+# (integer bin keys per DETERMINISM rule 3).
+_QTS_TAUS = list(range(1, 10))
+
+
+def _qts_case_sql() -> str:
+    cols = []
+    for tau in _QTS_TAUS:
+        t = f"0.{tau}"
+        cols.append(
+            f"SUM(CASE WHEN prob >= {t} THEN 1 ELSE 0 END) AS k{tau},"
+            f" SUM(CASE WHEN prob >= {t} AND gold = 1 THEN 1 ELSE 0 END)"
+            f" AS g{tau}"
+        )
+    return ", ".join(cols)
+
+
+@register(
+    "quality_threshold_sweep_q",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    r AS (SELECT doc_id, toks,
+                 CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE list_reduce(
+                          list_transform(toks, t -> {_SQL_QW}),
+                          (a, b) -> a + b)
+                 END AS raw
+          FROM t),
+    p AS (SELECT ROUND(CAST(1.0 / (1.0 + exp(-raw / 8.0))
+                       AS DECIMAL(28,12)), 4)::DOUBLE AS prob,
+                 CASE WHEN len(toks) >= 40
+                       AND 10 * len(list_distinct(toks)) >= 4 * len(toks)
+                      THEN 1 ELSE 0 END AS gold
+          FROM r),
+    agg AS (SELECT COUNT(*) AS n_total, SUM(gold) AS n_gold,
+                   {_qts_case_sql()}
+            FROM p)
+    """
+    + "\nUNION ALL\n".join(
+        f"""SELECT {tau} AS tau_x10,
+           CAST(k{tau} AS BIGINT) AS n_keep,
+           CAST(k{tau} AS DOUBLE) / n_total AS keep_rate,
+           CAST(g{tau} AS DOUBLE) / NULLIF(k{tau}, 0) AS precision_gold,
+           CAST(g{tau} AS DOUBLE) / NULLIF(n_gold, 0) AS recall_gold
+    FROM agg"""
+        for tau in _QTS_TAUS
+    ),
+)
+def quality_threshold_sweep_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Operating characteristic for the curation keep-threshold: at each
+    cut 0.1..0.9 over `linear_quality_score`, the kept fraction of the
+    corpus and the precision/recall against the same independent
+    rule-based gold as `quality_calibration_curve_q` — the table that
+    turns "the scores are calibrated" into "cut at 0.6". The whole grid
+    comes from ONE conditional aggregate over one scan (the
+    truncation_loss_q shape: adding a threshold adds a column, not a
+    pass), then the single agg row explodes to 9 rows — metadata-scale,
+    no re-aggregation, flat at any corpus size. Rates ship as raw
+    doubles of exact integer counts (rule 16).
+    """
+    d = Catalog(spark, sf_dir).documents
+    toks = tokens(F.col("text"))
+    gold = F.when(
+        (F.size(toks) >= 40)
+        & (10 * F.size(F.array_distinct(toks)) >= 4 * F.size(toks)),
+        1,
+    ).otherwise(0)
+    prob = linear_quality_score(F.col("text"), dim=64, scale=8.0, round_to=4)
+    p = d.select(prob.alias("prob"), gold.alias("gold"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("gold").alias("n_gold"),
+    ]
+    for tau in _QTS_TAUS:
+        keep = F.col("prob") >= tau / 10.0
+        aggs.append(F.sum(F.when(keep, 1).otherwise(0)).alias(f"k{tau}"))
+        aggs.append(
+            F.sum(
+                F.when(keep & (F.col("gold") == 1), 1).otherwise(0)
+            ).alias(f"g{tau}")
+        )
+    one = p.agg(*aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(tau).alias("tau_x10"),
+                    F.col(f"k{tau}").alias("k"),
+                    F.col(f"g{tau}").alias("g"),
+                )
+                for tau in _QTS_TAUS
+            ]
+        )
+    )
+    return one.select("n_total", "n_gold", rows.alias("r")).select(
+        F.col("r.tau_x10").alias("tau_x10"),
+        F.col("r.k").cast("long").alias("n_keep"),
+        (F.col("r.k").cast("double") / F.col("n_total")).alias(
+            "keep_rate"
+        ),
+        (
+            F.col("r.g").cast("double")
+            / F.nullif(F.col("r.k"), F.lit(0))
+        ).alias("precision_gold"),
+        (
+            F.col("r.g").cast("double")
+            / F.nullif(F.col("n_gold"), F.lit(0))
+        ).alias("recall_gold"),
     )

@@ -1158,3 +1158,92 @@ def test_embedding_decontam_q_matches_bruteforce(spark):
         assert r["nn_test_id"] == best[1]
         assert abs(r["max_cos"] - (-best[0])) < 2e-6
         assert r["contaminated"] == (r["max_cos"] >= 0.40)
+
+
+def test_exact_substring_decontam_q_matches_bruteforce(spark):
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["exact_substring_decontam_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    docs = {doc_id: _toks(text) for doc_id, text, _ in _docs()}
+    suite = set(
+        sorted(docs, key=lambda d: (_poly(f"esd:{d}"), d))[:25]
+    )
+    K = 8
+    seeds = {}
+    for doc_id, ts in docs.items():
+        for i in range(len(ts) - K + 1):
+            seeds.setdefault(" ".join(ts[i : i + K]), []).append(
+                (doc_id, i + 1)
+            )
+    pair_pos = {}  # (test_doc, train_doc, diag) -> set of test pos
+    for occ in seeds.values():
+        for td, pa in occ:
+            if td not in suite:
+                continue
+            for dd, pb in occ:
+                if dd in suite:
+                    continue
+                pair_pos.setdefault((td, dd, pa - pb), set()).add(pa)
+    per = {d: {"p": set(), "n": 0, "m": 0} for d in suite}
+    for (td, dd, _diag), pas in pair_pos.items():
+        run = []
+        for pa in sorted(pas) + [None]:
+            if run and (pa is None or pa != run[-1] + 1):
+                st = per[td]
+                st["p"].add(dd)
+                st["n"] += 1
+                st["m"] = max(st["m"], len(run) + K - 1)
+                run = []
+            if pa is not None:
+                run.append(pa)
+    assert set(got) == suite
+    for td in suite:
+        st, row = per[td], got[td]
+        assert row["n_tokens"] == len(docs[td])
+        assert row["n_train_partners"] == len(st["p"])
+        assert row["n_spans"] == st["n"]
+        assert row["max_overlap_tokens"] == st["m"]
+        assert row["contaminated"] == (st["m"] >= 40)
+
+
+def test_quality_threshold_sweep_q_matches_bruteforce(spark):
+    import math
+
+    got = {
+        r["tau_x10"]: r
+        for r in REGISTRY["quality_threshold_sweep_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = []
+    for _doc_id, text, _ in _docs():
+        ts = _toks(text)
+        raw = sum(
+            ((_poly(t) % 64 * 37 + 11) % 21 - 10) / 10.0 for t in ts
+        )
+        prob = float(
+            Decimal(repr(1.0 / (1.0 + math.exp(-raw / 8.0)))).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP
+            )
+        )
+        gold = 1 if len(ts) >= 40 and 10 * len(set(ts)) >= 4 * len(ts) else 0
+        rows.append((prob, gold))
+    n_total = len(rows)
+    n_gold = sum(g for _, g in rows)
+    assert set(got) == set(range(1, 10))
+    for tau in range(1, 10):
+        k = sum(1 for p, _ in rows if p >= tau / 10)
+        g = sum(1 for p, gl in rows if p >= tau / 10 and gl == 1)
+        r = got[tau]
+        assert r["n_keep"] == k
+        assert abs(r["keep_rate"] - k / n_total) < 1e-12
+        if k:
+            assert abs(r["precision_gold"] - g / k) < 1e-12
+        else:
+            assert r["precision_gold"] is None
+        assert abs(r["recall_gold"] - g / n_gold) < 1e-12

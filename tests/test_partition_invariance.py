@@ -137,6 +137,8 @@ SENSITIVE = [
     "quality_calibration_curve_q",  # decimal prob sums per bucket
     "seq_packing_q",            # global_cumsum offsets + range explode
     "embedding_decontam_q",     # rounded-cos row_number top-1
+    "exact_substring_decontam_q",  # hash-ranked suite + seed runs
+    "quality_threshold_sweep_q",   # one-row conditional agg explode
 ]
 
 
