@@ -192,7 +192,8 @@ from iniz_exporters_spark.queries.p10 import (
     wilcoxon_signed_rank_q,
 )
 from iniz_exporters_spark.queries.p11 import (
-    _DECON_K, _DECON_TAU, _ESD_SEED, _ESD_TRIM, _ESDC_FLAG, _ESDC_K,
+    _DECON_K, _DECON_TAU, _ESD_OCC_CAP, _ESD_SEED, _ESD_TRIM,
+    _ESDC_FLAG, _ESDC_K,
     _PACK_LEN, _QTS_TAUS, _qts_case_sql,
     embedding_decontam_q, exact_substring_decontam_q,
     exact_substring_dedup_q,

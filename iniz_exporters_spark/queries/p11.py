@@ -32,6 +32,16 @@ from iniz_exporters_spark.session import spread_for_kernel as _spread
 # threshold the relational plan reproduces the suffix-array answer).
 _ESD_SEED = 8
 _ESD_TRIM = 50
+# Seed-join fan-out bound, IN THE PLAN (not just documented): grams with
+# more than this many occurrences corpus-wide are excluded from the
+# self-join — each such gram would seed O(occ²) candidate pairs, the
+# quadratic blow-up class the ngram-Jaccard prefix machinery bounds with
+# df-ordering. Grams past the cap are boilerplate-scale duplication,
+# which the doc-level dedup family (bff/chunk/minhash) already owns; at
+# every gated scale the corpus-wide max occurrence is 3, so the cap is
+# value-invisible there (re-gated after adding it). Spelled identically
+# in both engines.
+_ESD_OCC_CAP = 1000
 
 # Sequence packing: fixed training context length (tokens).
 _PACK_LEN = 128
@@ -54,10 +64,17 @@ _DECON_TAU = 0.40
         FROM t, UNNEST(range(1, greatest(len(ts)-{_ESD_SEED - 2}, 1))) u(i)
         WHERE len(ts) >= {_ESD_SEED}
     ),
+    bounded AS (
+        SELECT doc_id, pos, g FROM (
+            SELECT doc_id, pos, g,
+                   COUNT(*) OVER (PARTITION BY g) AS occ
+            FROM seeds)
+        WHERE occ <= {_ESD_OCC_CAP}
+    ),
     pairs AS (
         SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa,
                a.pos - b.pos AS diag
-        FROM seeds a JOIN seeds b
+        FROM bounded a JOIN bounded b
           ON a.g = b.g AND a.doc_id < b.doc_id
     ),
     runs AS (
@@ -137,12 +154,15 @@ def exact_substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagonal), so a maximal shared substring of length T becomes one
     group with COUNT = T−7 — exact for every shared substring >= the
     seed size, which covers the 50-token trim threshold with 6×
-    headroom. Only (doc_id, pos, seed) rows shuffle; seed-join fan-out
-    is bounded by gram document frequency (cap / poly_hash swap for
-    100 TB documented at `operators/dedup.py`'s df-ordered prefixes —
-    same machinery family). Within-doc self-repeats are span_dedup's
-    surface (`operators/lm.py`); this operator is the cross-doc
-    maximal-match complement.
+    headroom. Only (doc_id, pos, seed) rows shuffle, and the seed
+    self-join's fan-out is bounded IN THE PLAN by the `_ESD_OCC_CAP`
+    per-gram occurrence cap (boilerplate-scale grams belong to the
+    doc-level dedup family; the cap window reuses the join's gram-key
+    exchange). At 100 TB additionally swap the gram string for its
+    poly_hash to shrink the exchange (collision odds documented at
+    dup_spans). Within-doc self-repeats are span_dedup's surface
+    (`operators/lm.py`); this operator is the cross-doc maximal-match
+    complement.
     """
     d = Catalog(spark, sf_dir).documents
     t = (
@@ -172,7 +192,16 @@ def exact_substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__s.g").alias("g"),
         )
     )
-    a, b = seeds.alias("a"), seeds.alias("b")
+    # occurrence cap per gram — bounds the self-join fan-out to
+    # O(cap²) per gram key (see _ESD_OCC_CAP); the count window shares
+    # the join's hashpartitioning(g) exchange.
+    wg = Window.partitionBy("g")
+    bounded = (
+        seeds.withColumn("occ", F.count(F.lit(1)).over(wg))
+        .filter(F.col("occ") <= _ESD_OCC_CAP)
+        .drop("occ")
+    )
+    a, b = bounded.alias("a"), bounded.alias("b")
     pairs = a.join(
         b,
         (F.col("a.g") == F.col("b.g"))
