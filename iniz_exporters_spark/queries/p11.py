@@ -17,7 +17,8 @@ from iniz_exporters_spark.operators.quality import linear_quality_score
 from iniz_exporters_spark.operators.indexing import global_cumsum
 from iniz_exporters_spark.operators.similarity import (
     _broadcast_guard,
-    cosine,
+    dot,
+    norm,
 )
 from iniz_exporters_spark.queries.p01 import _SQL_POLY, _SQL_TOKENS
 from iniz_exporters_spark.queries.p02 import _SQL_QW
@@ -465,27 +466,32 @@ def seq_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr AS (SELECT vec_id, label, v FROM e
            WHERE vec_id NOT IN (SELECT vec_id FROM q)),
     sc AS (
+        -- NULLIF on the norm product: a zero vector has no direction,
+        -- so its cosine is NULL (not a divide-by-zero error under
+        -- Spark ANSI); NULLS LAST is spelled explicitly because the
+        -- engines' DESC defaults differ (Spark last, DuckDB first).
         SELECT tr.vec_id, tr.label, q.vec_id AS test_id,
                ROUND(CAST(
                    list_reduce(list_transform(range(1, len(tr.v) + 1),
                        i -> tr.v[i] * q.v[i]), (a, b) -> a + b)
-                   / (sqrt(list_reduce(list_transform(tr.v, x -> x * x),
+                   / NULLIF(
+                      sqrt(list_reduce(list_transform(tr.v, x -> x * x),
                            (a, b) -> a + b))
                       * sqrt(list_reduce(list_transform(q.v, x -> x * x),
-                             (a, b) -> a + b)))
+                             (a, b) -> a + b)), 0.0)
                    AS DECIMAL(28,12)), 6)::DOUBLE AS cos
         FROM tr, q
     ),
     best AS (
         SELECT vec_id, label, test_id, cos,
                ROW_NUMBER() OVER (PARTITION BY vec_id
-                   ORDER BY cos DESC, test_id) AS rn
+                   ORDER BY cos DESC NULLS LAST, test_id) AS rn
         FROM sc
     )
     SELECT vec_id, label,
            test_id AS nn_test_id,
            cos AS max_cos,
-           cos >= {_DECON_TAU} AS contaminated
+           COALESCE(cos >= {_DECON_TAU}, FALSE) AS contaminated
     FROM best WHERE rn = 1
     """,
 )
@@ -524,14 +530,21 @@ def embedding_decontam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = e.join(
         q.select(F.col("test_id").alias("vec_id")), "vec_id", "left_anti"
     ).select("vec_id", "label", "v")
+    # NULLIF on the norm product: a zero vector has no direction, so its
+    # cosine is NULL — not a DIVIDE_BY_ZERO error under ANSI (edge found
+    # by the hostile-input probe, pinned in test_p11_edge_guards).
+    # nulls-last is spelled explicitly to match the oracle's NULLS LAST.
+    guarded_cos = dot(F.col("v"), F.col("qv")) / F.nullif(
+        norm(F.col("v")) * norm(F.col("qv")), F.lit(0.0)
+    )
     sc = tr.crossJoin(F.broadcast(q)).select(
         "vec_id",
         "label",
         "test_id",
-        F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
+        F.round(guarded_cos, 6).alias("cos"),
     )
     w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("test_id")
+        F.col("cos").desc_nulls_last(), F.col("test_id")
     )
     return (
         sc.withColumn("rn", F.row_number().over(w))
@@ -541,7 +554,9 @@ def embedding_decontam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             F.col("test_id").alias("nn_test_id"),
             F.col("cos").alias("max_cos"),
-            (F.col("cos") >= _DECON_TAU).alias("contaminated"),
+            F.coalesce(
+                F.col("cos") >= _DECON_TAU, F.lit(False)
+            ).alias("contaminated"),
         )
     )
 
