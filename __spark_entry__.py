@@ -91,6 +91,7 @@ _R12_WINDOW = [
     "exact_substring_dedup_q", "quality_calibration_curve_q",
     "seq_packing_q", "embedding_decontam_q",
     "exact_substring_decontam_q", "quality_threshold_sweep_q",
+    "data_constrained_epochs_q",
 ]
 
 _R11_WINDOW = [

@@ -195,6 +195,8 @@ from iniz_exporters_spark.queries.p11 import (
     _DECON_K, _DECON_TAU, _ESD_OCC_CAP, _ESD_SEED, _ESD_TRIM,
     _ESDC_FLAG, _ESDC_K,
     _PACK_LEN, _QTS_TAUS, _qts_case_sql,
+    _DCE_CHUNK, _DCE_DECAY, _DCE_EPOCHS, _DCE_RSTAR, _dce_grid_sql,
+    data_constrained_epochs_q,
     embedding_decontam_q, exact_substring_decontam_q,
     exact_substring_dedup_q,
     quality_calibration_curve_q, quality_threshold_sweep_q,

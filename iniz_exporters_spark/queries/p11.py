@@ -816,3 +816,154 @@ def quality_threshold_sweep_q(
             / F.nullif(F.col("n_gold"), F.lit(0))
         ).alias("recall_gold"),
     )
+
+
+# Data-constrained scaling (Muennighoff et al. 2023 "Scaling
+# Data-Constrained Language Models"): repeating deduplicated data for
+# R_D extra epochs is worth D' = U * (1 + RSTAR * (1 - exp(-R_D/RSTAR)))
+# effective unique tokens (their fitted R_D* ~= 15.4 for data). The
+# decay factors are PRECOMPUTED PYTHON LITERALS embedded in both
+# engines' plans — a per-row exp() would run each engine's libm
+# (DETERMINISM rule 16); a literal grid runs neither.
+_DCE_RSTAR = 15.4
+_DCE_EPOCHS = list(range(1, 9))
+_DCE_DECAY = {
+    e: repr(1.0 - __import__("math").exp(-(e - 1) / _DCE_RSTAR))
+    for e in _DCE_EPOCHS
+}
+_DCE_CHUNK = 20
+
+
+def _dce_grid_sql() -> str:
+    # the decay literal goes through a STRING → DOUBLE cast: a bare
+    # numeric literal would parse as DECIMAL(38,18) and its
+    # decimal→double conversion can land one ulp away from the strtod
+    # parse Spark/Python use for the same repr (observed at sf0.1)
+    rows = ", ".join(
+        f"({e}, '{_DCE_DECAY[e]}'::DOUBLE)" for e in _DCE_EPOCHS
+    )
+    return f"(VALUES {rows}) AS grid(epochs, decay)"
+
+
+@register(
+    "data_constrained_epochs_q",
+    f"""
+    WITH t AS (SELECT doc_id, source, {_SQL_TOKENS} AS ts
+               FROM documents),
+    c AS (
+        SELECT doc_id, source, ci,
+               list_aggregate(
+                   ts[{_DCE_CHUNK}*(ci-1)+1 : {_DCE_CHUNK}*ci],
+                   'string_agg', ' ') AS g,
+               least({_DCE_CHUNK},
+                     len(ts) - {_DCE_CHUNK}*(ci-1)) AS clen
+        FROM t, LATERAL (
+            SELECT unnest(range(1,
+                (len(ts) + {_DCE_CHUNK - 1}) // {_DCE_CHUNK} + 1)) AS ci)
+        WHERE len(ts) >= 1
+    ),
+    own AS (
+        SELECT source, clen,
+               ROW_NUMBER() OVER (PARTITION BY g
+                   ORDER BY doc_id, ci) AS rn
+        FROM c
+    ),
+    u AS (
+        SELECT source,
+               CAST(SUM(CASE WHEN rn = 1 THEN clen ELSE 0 END)
+                    AS BIGINT) AS uniq_tokens
+        FROM own GROUP BY source
+    )
+    SELECT u.source, CAST(grid.epochs AS INT) AS epochs,
+           u.uniq_tokens,
+           CAST(u.uniq_tokens * grid.epochs AS BIGINT) AS raw_tokens,
+           -- every factor is forced to DOUBLE: DuckDB parses the
+           -- decay/1.0/{_DCE_RSTAR} literals as DECIMAL and would keep
+           -- exact 18-digit arithmetic where Spark computes in double
+           u.uniq_tokens * (CAST(1.0 AS DOUBLE)
+               + CAST({_DCE_RSTAR} AS DOUBLE) * CAST(grid.decay AS DOUBLE))
+               AS effective_tokens,
+           u.uniq_tokens * (CAST(1.0 AS DOUBLE)
+               + CAST({_DCE_RSTAR} AS DOUBLE) * CAST(grid.decay AS DOUBLE))
+               / (u.uniq_tokens * grid.epochs) AS repeat_value
+    FROM u, {_dce_grid_sql()}
+    """,
+)
+def data_constrained_epochs_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Data-constrained epoch planning (Muennighoff et al. 2023): per
+    source, the unique-token budget after chunk-level exact dedup
+    (20-token chunks, global first-owner — the corpus's real duplicate
+    mass, not a modeled one) crossed with the paper's repeated-epoch
+    value curve D' = U*(1 + R*(1−e^(−(epochs−1)/R*))), R* = 15.4 — the
+    table a budget-constrained pretraining run reads to decide how many
+    epochs of repetition still buy effective data.
+
+    Scale shape: ONE gram-key window over (doc, chunk) rows (only
+    chunk-gram rows shuffle, the chunk_dedup_q machinery), one 20-key
+    aggregation, then a cross join of the metadata-sized per-source
+    table with an 8-row LITERAL grid — the exp decay factors are
+    Python-precomputed literals, identical doubles in both engines, so
+    no per-row libm runs anywhere (rule 16). All downstream doubles are
+    raw products/ratios of exact counts and those literals.
+    """
+    d = Catalog(spark, sf_dir).documents
+    t = _spread(d.select("doc_id", "source", "text")).select(
+        "doc_id", "source", tokens("text").alias("ts")
+    )
+    L = _DCE_CHUNK
+    c = (
+        t.filter(F.size("ts") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.expr(f"(size(ts) + {L - 1}) div {L}").cast("int"),
+                )
+            ).alias("ci"),
+            F.col("ts"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "ci",
+            F.array_join(
+                F.slice("ts", (F.col("ci") - 1) * L + 1, L), " "
+            ).alias("g"),
+            F.least(
+                F.lit(L), F.size("ts") - (F.col("ci") - 1) * L
+            ).alias("clen"),
+        )
+    )
+    wg = Window.partitionBy("g").orderBy("doc_id", "ci")
+    u = (
+        c.withColumn("rn", F.row_number().over(wg))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("rn") == 1, F.col("clen")).otherwise(0))
+            .cast("long")
+            .alias("uniq_tokens")
+        )
+    )
+    grid = spark.createDataFrame(
+        [(e, float(_DCE_DECAY[e])) for e in _DCE_EPOCHS],
+        "epochs int, decay double",
+    )
+    eff = F.col("uniq_tokens") * (
+        F.lit(1.0) + F.lit(_DCE_RSTAR) * F.col("decay")
+    )
+    return u.crossJoin(F.broadcast(grid)).select(
+        "source",
+        F.col("epochs").cast("int").alias("epochs"),
+        "uniq_tokens",
+        (F.col("uniq_tokens") * F.col("epochs"))
+        .cast("long")
+        .alias("raw_tokens"),
+        eff.alias("effective_tokens"),
+        (eff / (F.col("uniq_tokens") * F.col("epochs"))).alias(
+            "repeat_value"
+        ),
+    )

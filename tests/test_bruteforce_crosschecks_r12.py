@@ -1247,3 +1247,40 @@ def test_quality_threshold_sweep_q_matches_bruteforce(spark):
         else:
             assert r["precision_gold"] is None
         assert abs(r["recall_gold"] - g / n_gold) < 1e-12
+
+
+def test_data_constrained_epochs_q_matches_bruteforce(spark):
+    import math
+
+    got = {
+        (r["source"], r["epochs"]): r
+        for r in REGISTRY["data_constrained_epochs_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    owners = {}  # gram -> (doc_id, ci, source, clen)
+    per_doc = []
+    for doc_id, text, src in _docs():
+        ts = _toks(text)
+        for ci in range(1, (len(ts) + 19) // 20 + 1):
+            chunk = ts[20 * (ci - 1) : 20 * ci]
+            g = " ".join(chunk)
+            key = (doc_id, ci)
+            if g not in owners or key < owners[g][:2]:
+                owners[g] = (doc_id, ci, src, len(chunk))
+    uniq = {}
+    for _doc, _ci, src, clen in owners.values():
+        uniq[src] = uniq.get(src, 0) + clen
+    assert len(got) == len(uniq) * 8
+    for src, u in uniq.items():
+        for e in range(1, 9):
+            r = got[(src, e)]
+            d = 1.0 - math.exp(-(e - 1) / 15.4)
+            eff = u * (1.0 + 15.4 * d)
+            assert r["uniq_tokens"] == u
+            assert r["raw_tokens"] == u * e
+            assert abs(r["effective_tokens"] - eff) < 1e-6
+            assert abs(r["repeat_value"] - eff / (u * e)) < 1e-12
+    # conservation: one epoch is worth exactly the unique budget
+    for src, u in uniq.items():
+        assert got[(src, 1)]["effective_tokens"] == float(u)

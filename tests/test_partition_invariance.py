@@ -139,6 +139,7 @@ SENSITIVE = [
     "embedding_decontam_q",     # rounded-cos row_number top-1
     "exact_substring_decontam_q",  # hash-ranked suite + seed runs
     "quality_threshold_sweep_q",   # one-row conditional agg explode
+    "data_constrained_epochs_q",   # gram first-owner window + grid
 ]
 
 
