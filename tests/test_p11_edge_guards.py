@@ -153,6 +153,25 @@ def test_embedding_decontam_q_zero_suite_vector(spark, monkeypatch):
     assert all(r["max_cos"] is not None for r in rows)
 
 
+def test_data_constrained_epochs_q_zero_token_doc(spark, monkeypatch):
+    """A zero-token doc contributes no chunks: every source's unique
+    budget — and therefore the whole 160-row grid — is unchanged."""
+    baseline = {
+        (r["source"], r["epochs"]): tuple(r)
+        for r in REGISTRY["data_constrained_epochs_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    _with_hostile_doc(spark, monkeypatch)
+    hostile = {
+        (r["source"], r["epochs"]): tuple(r)
+        for r in REGISTRY["data_constrained_epochs_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert hostile == baseline
+
+
 def test_exact_substring_decontam_q_gramless_suite_doc(spark, monkeypatch):
     """The suite is hash-selected, so a hostile doc cannot be forced in
     cheaply — instead assert the query is total over the real suite and
