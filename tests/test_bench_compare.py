@@ -119,16 +119,48 @@ def test_tied_deltas_with_mixed_spread_availability_dont_crash(tmp_path):
     """Pinned regression (r9 review): two queries tying on delta while
     only one has a recorded spread used to TypeError under tuple sort
     (float vs None). Under the r10 median-shift rule a UNIFORM +50% with a
-    flat canary normalizes to 0 (noise) — and that canary/median
-    disagreement must trigger the loud global-shift warning, because it is
-    exactly the ambiguous pattern (load the canary missed, or a global
-    regression) the tool cannot adjudicate alone."""
+    flat canary is exactly the ambiguous pattern (load the canary missed,
+    or a global regression) the tool cannot adjudicate alone — since the
+    r13 discard rule that contradiction DISCARDS the window outright."""
     old = _artifact({q: 1.0 for q in _FIVE}, canary_post=0.2,
                     spread={"q_a": 5.0})
     new = _artifact({q: 1.5 for q in _FIVE}, canary_post=0.2)
     out = run_compare(tmp_path, old, new)
     assert "SIGNAL" not in out
-    assert "canary and median shift disagree" in out
+    assert "DISCARD" in out
+
+
+def test_contaminated_window_is_discarded_not_normalized(tmp_path):
+    """The r12 contaminated end-of-round window, as code (VERDICT r12 #2):
+    canary machine ratio 0.85 (faster!) while the query median reads 1.195
+    (slower) — host-level contention the guest's loadavg cannot see. The
+    tool must refuse to normalize: DISCARD banner, no shift-normalized
+    total, no SIGNAL verdicts, every row stamped DISCARDED-WINDOW."""
+    old = _artifact({q: 1.0 + i for i, q in enumerate(_FIVE)},
+                    canary_post=0.40, spread={q: 10.0 for q in _FIVE})
+    new = _artifact(
+        {q: (1.0 + i) * 1.195 for i, q in enumerate(_FIVE)},
+        canary_post=0.34,  # 0.34/0.40 = the r12 canary ratio 0.85
+        spread={q: 10.0 for q in _FIVE},
+    )
+    out = run_compare(tmp_path, old, new)
+    assert "DISCARD: canary and query-median machine-shift estimators" in out
+    assert "shift-normalized total delta" not in out
+    assert "SIGNAL" not in out
+    assert out.count("DISCARDED-WINDOW") == 5
+
+
+def test_agreeing_estimators_still_normalize(tmp_path):
+    """Discard is for CONTRADICTING estimators only: canary and median
+    agreeing on a uniform +50% must still produce the normalized table
+    (the r8 machine-shift situation, unchanged by the discard rule)."""
+    old = _artifact({q: 1.0 for q in _FIVE}, canary_post=0.2,
+                    spread={q: 10.0 for q in _FIVE})
+    new = _artifact({q: 1.5 for q in _FIVE}, canary_post=0.3,
+                    spread={q: 10.0 for q in _FIVE})
+    out = run_compare(tmp_path, old, new)
+    assert "DISCARD" not in out
+    assert "shift-normalized total delta" in out
 
 
 def test_small_overlap_compares_raw_only(tmp_path):

@@ -17,6 +17,11 @@ import pytest
 
 from iniz_exporters_spark.queries import REGISTRY
 
+# Historical-round replica (VERDICT r12 #7): covers code frozen since its
+# round; runs in the full close-gate suite but is excluded from the
+# mid-round fast path (pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
 SF_SMALL = "/root/testdata/sf0.001"
 
 

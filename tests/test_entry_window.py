@@ -57,10 +57,14 @@ def test_window_targets_never_driver_checked_queries():
     assert already == [], (
         f"[EXIT:ROTATION_DUE] window wastes slots on driver-checked names: "
         f"{already}. "
-        "REMEDY (the round-open convention): seat the next rotation — set "
-        "_WINDOW = _R{N+1}_WINDOW in __spark_entry__.py using the "
-        "precomputed queue in PERFORMANCE.md '\u00a7driver-window' (verify it "
-        "against the committed CORRECTNESS_r*.json first), then re-run."
+        "REMEDY (the post-drain round-open convention, PERFORMANCE.md "
+        "'\u00a7driver-window — r13 plan'): seat an EMPTY rotation — set "
+        "_WINDOW = _R{N+1}_WINDOW = [] in __spark_entry__.py (new "
+        "pre-swept registrations may ride it); _reseat_names() derives "
+        "every remaining first-50 slot from the committed "
+        "CORRECTNESS_r*.json artifacts — plan-changed names first "
+        "(extend _PLAN_CHANGED with the round's edits), then "
+        "oldest-green-first. Then re-run."
     )
 
 

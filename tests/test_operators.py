@@ -214,7 +214,7 @@ def test_knn_loo_query_routes_through_broadcast_guard(spark, monkeypatch):
 
     monkeypatch.setattr(similarity, "_broadcast_guard", sentinel)
     with pytest.raises(
-        RuntimeError, match="guard-sentinel:knn_loo_accuracy_q:100000"
+        RuntimeError, match="guard-sentinel:knn_loo_accuracy_q:20000"
     ):
         REGISTRY["knn_loo_accuracy_q"].fn(spark, "/root/testdata/sf0.001")
 

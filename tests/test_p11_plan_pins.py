@@ -10,8 +10,10 @@ refactor cannot silently regress them:
   * the exact-substring seed self-join is an equi-join on the gram
     (SortMergeJoin/ShuffledHashJoin), never a nested-loop over seeds.
 
-Plan-build only (no job execution) at sf0.001, so the whole file is
-cheap.
+Runs at sf0.001 so the whole file is cheap. Mostly plan-build only —
+but NOT job-free: exact_substring_dedup_q / exact_substring_decontam_q
+run an eager localCheckpoint() inside fn(), which executes their seed
+stage at plan-build time (ADVICE r12 docstring correction).
 """
 
 from iniz_exporters_spark.queries import REGISTRY
@@ -25,6 +27,10 @@ BATCH = [
     "embedding_decontam_q",
     "exact_substring_decontam_q",
     "quality_threshold_sweep_q",
+    # seventh round-12 registration (ADVICE r12): its
+    # crossJoin(broadcast(grid)) must stay a broadcast nested loop over
+    # the 8-row literal grid, covered by the no-CartesianProduct pin.
+    "data_constrained_epochs_q",
 ]
 
 

@@ -1,0 +1,74 @@
+"""Physical-plan pins for the round-13 batch (queries/p12.py).
+
+The scale claims in the docstrings are pinned structurally so a
+refactor cannot silently regress them:
+  * no p12 query plans a CartesianProduct — multimodal decontamination's
+    cross join must stay a BroadcastNestedLoopJoin over the fixed-size
+    image suite;
+  * multimodal_decontam_q BROADCASTS the suite side;
+  * eval_dirty_tokens_q's seed-match join is a BROADCAST hash join of
+    the suite's seeds (the corpus seed stream must never shuffle on the
+    gram key);
+  * tokenizer_parity_q stays a one-aggregation plan: its only exchanges
+    are the lang agg and the single-partition window spread (≤ 3 with
+    AQE reads), never a per-doc shuffle.
+
+Runs at sf0.001. Mostly plan-build only — but NOT job-free:
+eval_dirty_tokens_q runs an eager suite count via localCheckpoint
+machinery inside fn(), same as the p11 substring queries.
+"""
+
+from iniz_exporters_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+BATCH = [
+    "extractable_memorization_q",
+    "tokenizer_parity_q",
+    "multimodal_decontam_q",
+    "filter_agreement_q",
+    "eval_dirty_tokens_q",
+]
+
+
+def _plan(spark, name):
+    df = REGISTRY[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_cartesian_product_in_p12_batch(spark):
+    offenders = [
+        name for name in BATCH if "CartesianProduct" in _plan(spark, name)
+    ]
+    assert offenders == [], (
+        "p12 queries planning a CartesianProduct (a cross join lost its "
+        f"broadcast hint): {offenders}"
+    )
+
+
+def test_multimodal_decontam_broadcasts_the_suite(spark):
+    plan = _plan(spark, "multimodal_decontam_q")
+    assert "BroadcastExchange" in plan, (
+        "multimodal_decontam_q must broadcast the fixed-size image "
+        "suite; a shuffled cross join here is the corpus-scale failure "
+        "mode"
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_eval_dirty_tokens_seed_join_broadcasts(spark):
+    plan = _plan(spark, "eval_dirty_tokens_q")
+    assert "BroadcastHashJoin" in plan, (
+        "the suite-seed match join must broadcast the suite seeds; a "
+        "SortMergeJoin would shuffle the whole corpus seed stream on "
+        "the gram key"
+    )
+
+
+def test_tokenizer_parity_is_one_aggregation(spark):
+    plan = _plan(spark, "tokenizer_parity_q")
+    assert plan.count("Exchange") <= 3, (
+        "tokenizer_parity_q is documented as one lang aggregation plus "
+        "the bounded single-partition window spread but its plan "
+        f"contains {plan.count('Exchange')} Exchanges"
+    )

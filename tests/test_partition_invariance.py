@@ -140,6 +140,12 @@ SENSITIVE = [
     "exact_substring_decontam_q",  # hash-ranked suite + seed runs
     "quality_threshold_sweep_q",   # one-row conditional agg explode
     "data_constrained_epochs_q",   # gram first-owner window + grid
+    # round-13 batch (queries/p12.py)
+    "extractable_memorization_q",  # gram agg + raw-double rates
+    "tokenizer_parity_q",          # unpartitioned window baseline spread
+    "multimodal_decontam_q",       # min-hamming row_number tiebreak
+    "filter_agreement_q",          # composed filters + one-row kappa agg
+    "eval_dirty_tokens_q",         # hash-ranked suite + islands union
 ]
 
 

@@ -85,7 +85,7 @@ def test_reseat_tail_follows_spare_slot_policy():
     an INDEPENDENT re-derivation from the committed artifacts:
 
     spare slots = 49 − |live window|, occupied by
-      1. plan-changed names (``_R12_PLAN_CHANGED``, change order) whose
+      1. plan-changed names (``_PLAN_CHANGED``, change order) whose
          latest green row predates the plan edit, then
       2. every other driver-checked name, oldest-green-first (latest
          green CORRECTNESS round asc, registration order asc),
@@ -99,23 +99,32 @@ def test_reseat_tail_follows_spare_slot_policy():
     for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
         rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
         for name, row in json.load(open(path)).items():
-            if isinstance(row, dict) and not row.get("hash_match"):
-                continue
+            if not isinstance(row, dict) or not row.get("hash_match"):
+                continue  # malformed / err / mismatch: never verified
             latest[name] = max(latest.get(name, 0), rnd)
     live_window = [n for n in ENTRY._WINDOW if n in REGISTRY]
     spare = 49 - len(live_window)
     jumped = [
         n
-        for n in ENTRY._R12_PLAN_CHANGED
+        for n in ENTRY._PLAN_CHANGED
         if n in latest and n in REGISTRY and n not in live_window
     ]
     order = {n: i for i, n in enumerate(REGISTRY)}
     stale_first = sorted(
-        (n for n in latest if n in REGISTRY and n not in jumped),
+        (
+            n
+            for n in latest
+            if n in REGISTRY and n not in jumped and n not in live_window
+        ),
         key=lambda n: (latest[n], order[n]),
     )
     expected = (jumped + stale_first)[: max(spare, 0)]
     assert ENTRY._reseat_names() == expected
+
+    # Window and re-seat tail must never overlap (ADVICE r12): a window
+    # name always holds/acquires a green row, so a duplicate would
+    # double-count a first-50 slot.
+    assert not set(live_window) & set(expected)
 
     # The re-seat tail occupies the first-50 slice right after the window.
     head = list(ENTRY.queries())[: 1 + len(live_window) + len(expected)]

@@ -14,10 +14,13 @@ do not track sustained background load, but the median of 31 per-query
 ratios does, because most queries are unchanged between rounds and the
 median is robust to the handful that genuinely moved. The canary ratio is
 still printed as a cross-check; when it disagrees with the median shift
-by more than 10 points the tool warns loudly — that pattern is either
-heavy load the canary missed or a GLOBAL regression, and only a plan read
-or an idle re-run distinguishes the two (a uniform true regression is
-invisible to median normalization BY CONSTRUCTION).
+by more than 0.10 the tool DISCARDS the window (VERDICT r12 #2): it
+refuses to print any normalized number, stamps every row
+DISCARDED-WINDOW, and tells the caller to re-run idle — that pattern is
+either heavy load the canary missed or a GLOBAL regression, and only a
+plan read or an idle re-run distinguishes the two (a uniform true
+regression is invisible to median normalization BY CONSTRUCTION; a
+normalized table from a contaminated window is fiction either way).
 
 Usage:
     python tools/bench_compare.py OLD.json NEW.json
@@ -49,6 +52,15 @@ CROSS_RUN_FLOOR_PCT = 18.0
 # estimator; below this the tool compares RAW-ONLY (shift = 1.0) and says
 # so, instead of letting a tiny overlap's own ratios cancel themselves.
 MIN_SHARED_FOR_SHIFT = 5
+
+# Window-discard rule (VERDICT r12 #2, derived from the three contaminated
+# r12 end-of-round windows: 48.31 → 49.31 → 55.27 s with zero in-guest
+# load while canary read 0.85 and query-median 1.195): when the two
+# machine-shift estimators disagree by more than this, the window is
+# contaminated by host-level load the guest cannot see — REFUSE to
+# normalize (a normalized table from such a pair is fiction) and tell the
+# caller to re-run idle.
+ESTIMATOR_DISAGREE_DISCARD = 0.10
 
 
 def load(path: str) -> dict:
@@ -118,26 +130,38 @@ def main() -> None:
     print(f"shared queries: {len(shared)}")
     print(f"total: {total_o:.2f}s -> {total_n:.2f}s "
           f"({(total_n - total_o) / total_o:+.1%} raw)")
+
+    # Discard check BEFORE any normalized number is printed: contradicting
+    # estimators mean neither normalization can be trusted. Only meaningful
+    # when a median shift was actually estimated — in raw-only mode
+    # ``ratio`` is the 1.0 placeholder and comparing the canary against it
+    # would fabricate a disagreement (ADVICE r10).
+    discard = (
+        len(shared) >= MIN_SHARED_FOR_SHIFT
+        and canary_ratio is not None
+        and abs(canary_ratio - ratio) > ESTIMATOR_DISAGREE_DISCARD
+    )
     if len(shared) >= MIN_SHARED_FOR_SHIFT:
         print(f"median-of-ratios machine shift new/old: {ratio:.3f} "
               f"(over {len(shared)} shared queries)")
-        print(f"shift-normalized total delta: "
-              f"{(total_n / ratio - total_o) / total_o:+.1%}")
+        if not discard:
+            print(f"shift-normalized total delta: "
+                  f"{(total_n / ratio - total_o) / total_o:+.1%}")
     else:
         print(f"only {len(shared)} shared queries (<{MIN_SHARED_FOR_SHIFT}):"
               " machine shift NOT estimable — RAW deltas only")
     if canary_ratio:
         print(f"canary(post) machine ratio new/old: {canary_ratio:.3f} "
               f"({co:.3f}s -> {cn:.3f}s)")
-        # Only meaningful when a median shift was actually estimated —
-        # in raw-only mode ``ratio`` is the 1.0 placeholder and comparing
-        # the canary against it would fabricate a disagreement (ADVICE r10).
-        if len(shared) >= MIN_SHARED_FOR_SHIFT and abs(canary_ratio - ratio) > 0.10:
-            print("WARNING: canary and median shift disagree by "
-                  f"{abs(canary_ratio - ratio):.2f} — either sustained "
-                  "load the canary missed, or a GLOBAL regression/win the "
-                  "median is absorbing. Re-run idle or read the plans "
-                  "before trusting either normalization.")
+        if discard:
+            print("DISCARD: canary and query-median machine-shift "
+                  f"estimators disagree by {abs(canary_ratio - ratio):.2f} "
+                  f"(> {ESTIMATOR_DISAGREE_DISCARD:.2f}) — the window is "
+                  "contaminated by host-level load the guest cannot see "
+                  "(the r12 signature: three monotonically slower windows "
+                  "at zero in-guest loadavg). REFUSING to normalize; raw "
+                  "deltas below are for the record only. Re-run idle and "
+                  "do not commit a normalized table from this pair.")
     else:
         print("canary: absent in at least one artifact (pre-r9) — "
               + ("median shift is the only normalizer here"
@@ -155,7 +179,8 @@ def main() -> None:
         sp = spread.get(k)
         gate = max(sp if sp is not None else 25.0, CROSS_RUN_FLOOR_PCT)
         signal = (
-            abs(raw_d) * 100 > gate
+            not discard
+            and abs(raw_d) * 100 > gate
             and abs(norm_d) * 100 > gate
             and (norm_d > 0) == (raw_d > 0)
         )
@@ -166,6 +191,10 @@ def main() -> None:
     print(f"{'query':30s} {'raw':>8s} {'norm':>8s} {'spread%':>8s}  verdict")
     for raw_d, norm_d, sp, signal, k in rows:
         sps = f"{sp:.1f}" if sp is not None else "n/a"
+        if discard:
+            verdict = "DISCARDED-WINDOW"
+            print(f"{k:30s} {raw_d:+8.1%} {'n/a':>8s} {sps:>8s}  {verdict}")
+            continue
         verdict = "SIGNAL" if signal else "noise/machine"
         print(f"{k:30s} {raw_d:+8.1%} {norm_d:+8.1%} {sps:>8s}  {verdict}")
 

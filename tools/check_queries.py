@@ -74,19 +74,25 @@ def has_negzero(v) -> bool:
     return False
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("check-queries")
+def check(spark, sf_dir: str, only=None, quiet: bool = False) -> tuple[int, list[str]]:
+    """Run the registry (or ``only`` names) against DuckDB at ``sf_dir``.
+
+    Returns (checked_count, failures). ``quiet`` suppresses per-query PASS
+    lines (failures always print) — used by tools/full_sweep.py, the
+    standing three-scale close gate (VERDICT r12 #3).
+    """
+    only = set(only or ())
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     failures = []
+    checked = 0
     for name, spec in REGISTRY.items():
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir)
@@ -100,7 +106,7 @@ def main() -> int:
             if any(has_negzero(list(r)) for r in srows):
                 print(f"FAIL  {name}: lint: -0.0 cell in Spark output")
                 failures.append(name)
-            else:
+            elif not quiet:
                 print(f"ok?   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
@@ -132,8 +138,15 @@ def main() -> int:
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             failures.append(name)
-        else:
+        elif not quiet:
             print(f"PASS  {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+    return checked, failures
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("check-queries")
+    _, failures = check(spark, sf_dir, only=sys.argv[2:])
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
