@@ -243,6 +243,8 @@ _R13_WINDOW = [
     # queries/p12.py LLM-pipeline batch (VERDICT r12 #6).
     "extractable_memorization_q", "tokenizer_parity_q",
     "multimodal_decontam_q", "filter_agreement_q", "eval_dirty_tokens_q",
+    # second wave: cross-source duplication matrix + boilerplate share.
+    "cross_source_dup_matrix_q", "boilerplate_fraction_q",
 ]
 
 # Kept for provenance / test compatibility: the live window always binds to

@@ -203,7 +203,8 @@ from iniz_exporters_spark.queries.p11 import (
     seq_packing_q,
 )
 from iniz_exporters_spark.queries.p12 import (
-    _EM_PREFIX, _MMD_HAM, _MMD_K, _SQL_C4_FULL, _SQL_GOPHER_FULL,
+    _BP_DF, _EM_PREFIX, _MMD_HAM, _MMD_K, _SQL_C4_FULL, _SQL_GOPHER_FULL,
+    boilerplate_fraction_q, cross_source_dup_matrix_q,
     eval_dirty_tokens_q, extractable_memorization_q,
     filter_agreement_q, multimodal_decontam_q, tokenizer_parity_q,
 )

@@ -1,4 +1,4 @@
-"""Registry chunk 12: round-13 LLM-pipeline batch (5 @register entries).
+"""Registry chunk 12: round-13 LLM-pipeline batch (7 @register entries).
 
 Extractable-memorization audit over prefix duplication (Carlini et al.
 2023, "Quantifying Memorization Across Neural Language Models"),
@@ -8,8 +8,10 @@ multimodal (perceptual-hash) train→suite decontamination joining the
 image near-dup machinery to the doc spine, quality-filter agreement
 (Gopher × C4 keep decisions with Cohen's kappa), and the suite-side
 dirty-token share per eval document (the "contamination percentage"
-convention of public LLM eval reports). Registration order continues
-the registry; see queries/__init__.py for the chunk re-export contract.
+convention of public LLM eval reports); the second wave adds the
+cross-source duplication matrix and per-doc boilerplate fraction.
+Registration order continues the registry; see queries/__init__.py for
+the chunk re-export contract.
 """
 from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
@@ -625,5 +627,300 @@ def eval_dirty_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((10 * dirty >= nt) & (nt > 0)).alias(
                 "heavily_contaminated"
             ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. Cross-source duplication matrix
+# ---------------------------------------------------------------------------
+# Verbatim-content overlap between source pairs, at the 8-token gram
+# level (the public C4/Pile-style dataset-overlap matrices): which
+# feeds duplicate into which — the signal that sets dedup priorities
+# and mixture weights before training.
+@register(
+    "cross_source_dup_matrix_q",
+    f"""
+    WITH t AS (SELECT doc_id, source, {_SQL_TOKENS} AS ts FROM documents),
+    seeds AS (
+        SELECT DISTINCT source,
+               array_to_string(ts[u.i:u.i+{_ESD_SEED - 1}], ' ') AS g
+        FROM t, UNNEST(range(1, greatest(len(ts)-{_ESD_SEED - 2}, 1))) u(i)
+        WHERE len(ts) >= {_ESD_SEED}
+    ),
+    tot AS (SELECT source, COUNT(*) AS ng FROM seeds GROUP BY source),
+    srcs AS (
+        SELECT g, list_sort(list(DISTINCT source)) AS ss FROM seeds
+        GROUP BY g
+    ),
+    pair AS (
+        SELECT ss[u.i + 1] AS src_a, ss[v.j + 1] AS src_b,
+               COUNT(*) AS shared
+        FROM srcs,
+             UNNEST(range(0, len(ss))) u(i),
+             UNNEST(range(0, len(ss))) v(j)
+        WHERE u.i < v.j
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           CAST(ta.ng AS BIGINT) AS n_grams_a,
+           CAST(tb.ng AS BIGINT) AS n_grams_b,
+           CAST(shared AS BIGINT) AS n_shared,
+           CAST(shared AS DOUBLE) / (ta.ng + tb.ng - shared) AS jaccard,
+           CAST(shared AS DOUBLE) / ta.ng AS containment_a,
+           CAST(shared AS DOUBLE) / tb.ng AS containment_b
+    FROM pair
+    JOIN tot ta ON pair.src_a = ta.source
+    JOIN tot tb ON pair.src_b = tb.source
+    """,
+)
+def cross_source_dup_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair sharing at
+    least one distinct 8-token gram, the shared-gram count, Jaccard, and
+    per-side containment — which feeds copy from which (containment_a
+    near 1 with small jaccard = source A is mostly mirrored inside B).
+    Only pairs with n_shared > 0 are emitted; absent pairs are exact
+    zeros by construction.
+
+    Scale shape: distinct (source, gram) pairs aggregate on the gram key
+    (ONE corpus-scale exchange, map-side combine); the per-gram source
+    set is bounded by the source COUNT (feeds, not docs — tens, not
+    billions), so the pair explode fans out <= C(n_sources, 2) per gram
+    and the pair aggregate is matrix-sized. Per-source totals broadcast.
+    Overlap ratios are double divisions of exact BIGINTs.
+    """
+    d = Catalog(spark, sf_dir).documents
+    t = _spread(d.select("source", "text")).select(
+        "source", tokens("text").alias("ts")
+    )
+    seeds = (
+        t.filter(F.size("ts") >= _ESD_SEED)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - (_ESD_SEED - 1)),
+                    lambda i: F.array_join(
+                        F.slice("ts", i, _ESD_SEED), " "
+                    ),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    tot = seeds.groupBy("source").agg(F.count(F.lit(1)).alias("ng"))
+    srcs = seeds.groupBy("g").agg(
+        F.array_sort(F.collect_set("source")).alias("ss")
+    )
+    n = F.size("ss")
+    pairs = (
+        srcs.filter(n >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), n - 1),
+                        lambda i: F.transform(
+                            F.sequence(F.lit(0), n - 1),
+                            lambda j: F.struct(
+                                F.element_at("ss", i + 1).alias("src_a"),
+                                F.element_at("ss", j + 1).alias("src_b"),
+                                (i < j).alias("keep"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("__p")
+        )
+        .filter(F.col("__p.keep"))
+        .groupBy(
+            F.col("__p.src_a").alias("src_a"),
+            F.col("__p.src_b").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ta = tot.select(
+        F.col("source").alias("src_a"), F.col("ng").alias("ng_a")
+    )
+    tb = tot.select(
+        F.col("source").alias("src_b"), F.col("ng").alias("ng_b")
+    )
+    sh = F.col("shared").cast("double")
+    return (
+        pairs.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("ng_a").cast("long").alias("n_grams_a"),
+            F.col("ng_b").cast("long").alias("n_grams_b"),
+            F.col("shared").cast("long").alias("n_shared"),
+            (sh / (F.col("ng_a") + F.col("ng_b") - F.col("shared"))).alias(
+                "jaccard"
+            ),
+            (sh / F.col("ng_a")).alias("containment_a"),
+            (sh / F.col("ng_b")).alias("containment_b"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 7. Boilerplate fraction per document
+# ---------------------------------------------------------------------------
+# A gram is boilerplate when it recurs across >= _BP_DF distinct
+# documents (headers, footers, license blocks, templates — the
+# CCNet/RefinedWeb removal target). On the word-salad gate corpus the
+# df distribution tops out at 3, so the threshold sits at 2; real
+# corpora raise it with corpus size.
+_BP_DF = 2
+
+
+@register(
+    "boilerplate_fraction_q",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents),
+    seeds AS (
+        SELECT doc_id, u.i AS pos,
+               array_to_string(ts[u.i:u.i+{_ESD_SEED - 1}], ' ') AS g
+        FROM t, UNNEST(range(1, greatest(len(ts)-{_ESD_SEED - 2}, 1))) u(i)
+        WHERE len(ts) >= {_ESD_SEED}
+    ),
+    bp AS (
+        SELECT g FROM (
+            SELECT g, COUNT(DISTINCT doc_id) AS df FROM seeds GROUP BY g)
+        WHERE df >= {_BP_DF}
+    ),
+    hit AS (
+        SELECT seeds.doc_id, seeds.pos AS s,
+               seeds.pos + {_ESD_SEED - 1} AS e
+        FROM seeds JOIN bp ON seeds.g = bp.g
+    ),
+    iv AS (SELECT DISTINCT doc_id, s, e FROM hit),
+    isl AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS fresh
+        FROM iv
+    ),
+    isl2 AS (
+        SELECT doc_id, s, e,
+               SUM(fresh) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS UNBOUNDED PRECEDING) AS gid
+        FROM isl
+    ),
+    cov AS (
+        SELECT doc_id, SUM(mx - mn + 1) AS bp_tok FROM (
+            SELECT doc_id, gid, MIN(s) AS mn, MAX(e) AS mx
+            FROM isl2 GROUP BY doc_id, gid)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.ts) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(cov.bp_tok, 0) AS BIGINT) AS boilerplate_tokens,
+           CASE WHEN len(t.ts) = 0 THEN 0.0
+                ELSE CAST(COALESCE(cov.bp_tok, 0) AS DOUBLE) / len(t.ts)
+           END AS boilerplate_share,
+           2 * COALESCE(cov.bp_tok, 0) >= len(t.ts)
+               AND len(t.ts) > 0 AS mostly_boilerplate
+    FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
+    """,
+)
+def boilerplate_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate fraction: the share of a doc's token
+    positions covered by 8-token grams that recur across >= {_BP_DF}
+    distinct documents — the template/header/license mass a
+    CCNet/RefinedWeb-style cleaning pass strips before dedup. Interval
+    union over overlapping hits (a token inside two boilerplate grams
+    counts once); every doc is emitted (rule 11) with the >=50% flag
+    compared INTEGER-exactly (2*bp >= n_tokens).
+
+    Scale shape: seed explode is linear; the document-frequency
+    aggregate and the hit join both key on the gram and share one
+    hashpartitioning(g) exchange (the p11 occurrence-cap pattern); the
+    islands/coverage windows run per-doc on hit rows only. At 100 TB
+    the df table is vocabulary-scale and the threshold rises with
+    corpus size; swap gram strings for poly_hash to shrink the
+    exchange, as exact_substring_dedup_q documents.
+    """
+    d = Catalog(spark, sf_dir).documents
+    t = (
+        _spread(d.select("doc_id", "text"))
+        .select("doc_id", tokens("text").alias("ts"))
+        .localCheckpoint()
+    )
+    seeds = (
+        t.filter(F.size("ts") >= _ESD_SEED)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - (_ESD_SEED - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.array_join(
+                            F.slice("ts", i, _ESD_SEED), " "
+                        ).alias("g"),
+                    ),
+                )
+            ).alias("__s"),
+        )
+        .select(
+            "doc_id",
+            F.col("__s.pos").alias("pos"),
+            F.col("__s.g").alias("g"),
+        )
+    )
+    bp = (
+        seeds.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _BP_DF)
+        .select("g")
+    )
+    iv = (
+        seeds.join(bp, "g")
+        .select(
+            "doc_id",
+            F.col("pos").alias("s"),
+            (F.col("pos") + (_ESD_SEED - 1)).alias("e"),
+        )
+        .distinct()
+    )
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wcum = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fresh = F.when(
+        F.col("s") > F.coalesce(F.max("e").over(wprev), F.lit(-1)), 1
+    ).otherwise(0)
+    cov = (
+        iv.withColumn("fresh", fresh)
+        .withColumn("gid", F.sum("fresh").over(wcum))
+        .groupBy("doc_id", "gid")
+        .agg(F.min("s").alias("mn"), F.max("e").alias("mx"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("mx") - F.col("mn") + 1).alias("bp_tok"))
+    )
+    z = F.lit(0)
+    nt = F.size("ts")
+    bpt = F.coalesce("bp_tok", z)
+    return (
+        t.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            nt.cast("long").alias("n_tokens"),
+            bpt.cast("long").alias("boilerplate_tokens"),
+            F.when(nt == 0, F.lit(0.0))
+            .otherwise(bpt.cast("double") / nt)
+            .alias("boilerplate_share"),
+            ((2 * bpt >= nt) & (nt > 0)).alias("mostly_boilerplate"),
         )
     )

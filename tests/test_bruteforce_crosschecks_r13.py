@@ -252,3 +252,76 @@ def test_eval_dirty_tokens_matches_bruteforce(spark):
         flagged += r["heavily_contaminated"]
     # calibrated constant: flags must be MIXED at the gate scale
     assert 0 < flagged < _ESDC_K
+
+
+def test_cross_source_dup_matrix_matches_bruteforce(spark):
+    got = {
+        (r["src_a"], r["src_b"]): r
+        for r in REGISTRY["cross_source_dup_matrix_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    per_src = defaultdict(set)
+    rows = (
+        duckdb.connect()
+        .execute(
+            f"SELECT source, text FROM "
+            f"read_parquet('{SF_SMALL}/documents.parquet')"
+        )
+        .fetchall()
+    )
+    for source, text in rows:
+        ts = _toks(text)
+        for i in range(len(ts) - _ESD_SEED + 1):
+            per_src[source].add(" ".join(ts[i : i + _ESD_SEED]))
+    srcs = sorted(per_src)
+    expected = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            shared = len(per_src[a] & per_src[b])
+            if shared:
+                expected[(a, b)] = shared
+    assert set(got) == set(expected)
+    for (a, b), shared in expected.items():
+        r = got[(a, b)]
+        na, nb = len(per_src[a]), len(per_src[b])
+        assert r["n_grams_a"] == na and r["n_grams_b"] == nb
+        assert r["n_shared"] == shared
+        assert abs(r["jaccard"] - shared / (na + nb - shared)) < 1e-12
+        assert abs(r["containment_a"] - shared / na) < 1e-12
+        assert abs(r["containment_b"] - shared / nb) < 1e-12
+
+
+def test_boilerplate_fraction_matches_bruteforce(spark):
+    from iniz_exporters_spark.queries.p12 import _BP_DF
+
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["boilerplate_fraction_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    docs = {d: _toks(t) for d, t, _l in _docs()}
+    gram_docs = defaultdict(set)
+    for d, ts in docs.items():
+        for i in range(len(ts) - _ESD_SEED + 1):
+            gram_docs[" ".join(ts[i : i + _ESD_SEED])].add(d)
+    bp = {g for g, ds in gram_docs.items() if len(ds) >= _BP_DF}
+    assert set(got) == set(docs)
+    flagged = 0
+    for d, ts in docs.items():
+        # independent algorithm: per-seed coverage sets, no islands
+        cover = set()
+        for i in range(len(ts) - _ESD_SEED + 1):
+            if " ".join(ts[i : i + _ESD_SEED]) in bp:
+                cover.update(range(i, i + _ESD_SEED))
+        r = got[d]
+        assert r["n_tokens"] == len(ts)
+        assert r["boilerplate_tokens"] == len(cover)
+        share = len(cover) / len(ts) if ts else 0.0
+        assert abs(r["boilerplate_share"] - share) < 1e-12
+        assert r["mostly_boilerplate"] == (
+            len(ts) > 0 and 2 * len(cover) >= len(ts)
+        )
+        flagged += r["mostly_boilerplate"]
+    assert 0 < flagged < len(docs)  # calibrated: mixed flags

@@ -154,3 +154,37 @@ def test_eval_dirty_tokens_absorbs_zero_token_doc(spark, monkeypatch):
     for r in rows.values():
         assert 0 <= r["dirty_tokens"] <= max(r["n_tokens"], 0)
         assert 0.0 <= r["dirty_share"] <= 1.0
+
+
+def test_cross_source_matrix_ignores_zero_token_doc(spark, monkeypatch):
+    base = {
+        (r["src_a"], r["src_b"]): r["n_shared"]
+        for r in REGISTRY["cross_source_dup_matrix_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    _with_hostile_doc(spark, monkeypatch)
+    hostile = {
+        (r["src_a"], r["src_b"]): r["n_shared"]
+        for r in REGISTRY["cross_source_dup_matrix_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    # zero tokens -> zero grams: the matrix is unchanged
+    assert hostile == base
+
+
+def test_boilerplate_fraction_emits_zero_token_doc(spark, monkeypatch):
+    _with_hostile_doc(spark, monkeypatch)
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["boilerplate_fraction_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    # emit-every-doc rule: the hostile doc appears, all-zero, unflagged
+    r = rows[_HOSTILE_DOC[0]]
+    assert r["n_tokens"] == 0
+    assert r["boilerplate_tokens"] == 0
+    assert r["boilerplate_share"] == 0.0
+    assert r["mostly_boilerplate"] is False

@@ -28,6 +28,9 @@ BATCH = [
     "multimodal_decontam_q",
     "filter_agreement_q",
     "eval_dirty_tokens_q",
+    # second wave
+    "cross_source_dup_matrix_q",
+    "boilerplate_fraction_q",
 ]
 
 
@@ -71,4 +74,23 @@ def test_tokenizer_parity_is_one_aggregation(spark):
         "tokenizer_parity_q is documented as one lang aggregation plus "
         "the bounded single-partition window spread but its plan "
         f"contains {plan.count('Exchange')} Exchanges"
+    )
+
+
+def test_cross_source_pair_explode_never_joins_grams(spark):
+    """The pair stage must come from the per-gram collect_set explode,
+    bounded by the source count — a gram-key SELF-join here would fan
+    out quadratically on high-frequency grams."""
+    plan = _plan(spark, "cross_source_dup_matrix_q")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_boilerplate_df_join_shares_gram_exchange(spark):
+    """The df aggregate and the hit join both key on the gram; the plan
+    must hash/sort-merge on it, never nested-loop over seeds."""
+    plan = _plan(spark, "boilerplate_fraction_q")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
     )

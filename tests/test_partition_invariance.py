@@ -146,6 +146,8 @@ SENSITIVE = [
     "multimodal_decontam_q",       # min-hamming row_number tiebreak
     "filter_agreement_q",          # composed filters + one-row kappa agg
     "eval_dirty_tokens_q",         # hash-ranked suite + islands union
+    "cross_source_dup_matrix_q",   # collect_set pair explode + ratios
+    "boilerplate_fraction_q",      # df-gated seeds + islands union
 ]
 
 
