@@ -172,3 +172,18 @@ def test_small_overlap_compares_raw_only(tmp_path):
     out = run_compare(tmp_path, old, new)
     assert "machine shift NOT estimable" in out
     assert "SIGNAL" in out
+
+
+def test_flat_median_with_noisy_canary_is_not_discarded(tmp_path):
+    """Materiality gate (first real use of the discard rule, r13 close):
+    a FLAT query median (1.02) with the sub-second canary swinging -25%
+    on its own noise must NOT discard — normalizing by ~1.0 changes no
+    verdict, so the window stands with a NOTE."""
+    old = _artifact({q: 1.0 for q in _FIVE}, canary_post=0.40,
+                    spread={q: 10.0 for q in _FIVE})
+    new = _artifact({q: 1.02 for q in _FIVE}, canary_post=0.30,
+                    spread={q: 10.0 for q in _FIVE})
+    out = run_compare(tmp_path, old, new)
+    assert "DISCARD" not in out
+    assert "NOTE: canary disagrees with the (flat) query median" in out
+    assert "shift-normalized total delta" in out

@@ -62,6 +62,16 @@ MIN_SHARED_FOR_SHIFT = 5
 # caller to re-run idle.
 ESTIMATOR_DISAGREE_DISCARD = 0.10
 
+# ...but only when normalization would actually DO something. First real
+# use (r13 close) hit the other shape: median 1.019 (flat — dividing by
+# it changes no verdict) with the sub-second canary swinging −25% on its
+# own JIT/page-cache noise. Discarding there throws away a clean flat
+# window over an inert normalizer, so the rule adds a materiality gate:
+# the window is discarded only when the median shift itself is large
+# enough that normalizing by it would move verdicts. The r12
+# contaminated pair (median 1.195) stays discarded.
+MEDIAN_SHIFT_MATERIAL = 0.05
+
 
 def load(path: str) -> dict:
     raw = json.load(open(path))
@@ -140,6 +150,7 @@ def main() -> None:
         len(shared) >= MIN_SHARED_FOR_SHIFT
         and canary_ratio is not None
         and abs(canary_ratio - ratio) > ESTIMATOR_DISAGREE_DISCARD
+        and abs(ratio - 1.0) > MEDIAN_SHIFT_MATERIAL
     )
     if len(shared) >= MIN_SHARED_FOR_SHIFT:
         print(f"median-of-ratios machine shift new/old: {ratio:.3f} "
@@ -162,6 +173,15 @@ def main() -> None:
                   "at zero in-guest loadavg). REFUSING to normalize; raw "
                   "deltas below are for the record only. Re-run idle and "
                   "do not commit a normalized table from this pair.")
+        elif (
+            len(shared) >= MIN_SHARED_FOR_SHIFT
+            and abs(canary_ratio - ratio) > ESTIMATOR_DISAGREE_DISCARD
+        ):
+            print("NOTE: canary disagrees with the (flat) query median by "
+                  f"{abs(canary_ratio - ratio):.2f}, but the median shift "
+                  f"{ratio:.3f} is immaterial — normalizing by it changes "
+                  "no verdict, so the window stands; the canary swing is "
+                  "its own sub-second JIT/page-cache noise.")
     else:
         print("canary: absent in at least one artifact (pre-r9) — "
               + ("median shift is the only normalizer here"
