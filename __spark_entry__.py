@@ -245,6 +245,9 @@ _R13_WINDOW = [
     "multimodal_decontam_q", "filter_agreement_q", "eval_dirty_tokens_q",
     # second wave: cross-source duplication matrix + boilerplate share.
     "cross_source_dup_matrix_q", "boilerplate_fraction_q",
+    # third wave: knn_loo's 100 TB path made real, per-doc memorization
+    # risk, per-source quality-score PSI drift.
+    "knn_loo_ann_q", "doc_memorization_risk_q", "quality_psi_drift_q",
 ]
 
 # Kept for provenance / test compatibility: the live window always binds to

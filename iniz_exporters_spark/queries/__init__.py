@@ -203,8 +203,10 @@ from iniz_exporters_spark.queries.p11 import (
     seq_packing_q,
 )
 from iniz_exporters_spark.queries.p12 import (
-    _BP_DF, _EM_PREFIX, _MMD_HAM, _MMD_K, _SQL_C4_FULL, _SQL_GOPHER_FULL,
+    _ANN_TARGET_BUCKET, _BP_DF, _EM_PREFIX, _MMD_HAM, _MMD_K,
+    _PSI_SQL_PROB, _SQL_C4_FULL, _SQL_GOPHER_FULL,
     boilerplate_fraction_q, cross_source_dup_matrix_q,
-    eval_dirty_tokens_q, extractable_memorization_q,
-    filter_agreement_q, multimodal_decontam_q, tokenizer_parity_q,
+    doc_memorization_risk_q, eval_dirty_tokens_q,
+    extractable_memorization_q, filter_agreement_q, knn_loo_ann_q,
+    multimodal_decontam_q, quality_psi_drift_q, tokenizer_parity_q,
 )

@@ -1,4 +1,4 @@
-"""Registry chunk 12: round-13 LLM-pipeline batch (7 @register entries).
+"""Registry chunk 12: round-13 LLM-pipeline batch (10 @register entries).
 
 Extractable-memorization audit over prefix duplication (Carlini et al.
 2023, "Quantifying Memorization Across Neural Language Models"),
@@ -9,7 +9,10 @@ image near-dup machinery to the doc spine, quality-filter agreement
 (Gopher × C4 keep decisions with Cohen's kappa), and the suite-side
 dirty-token share per eval document (the "contamination percentage"
 convention of public LLM eval reports); the second wave adds the
-cross-source duplication matrix and per-doc boilerplate fraction.
+cross-source duplication matrix and per-doc boilerplate fraction;
+the third wave adds the sign-bucket ANN variant of LOO accuracy
+(knn_loo's documented 100 TB path, made real), per-document
+memorization risk, and per-source quality-score PSI drift.
 Registration order continues the registry; see queries/__init__.py for
 the chunk re-export contract.
 """
@@ -26,6 +29,8 @@ from iniz_exporters_spark.queries.p02 import _PHASH_BANDS_CTE, _phash_payload
 # REGISTERED oracles and builders filter_agreement_q composes verbatim
 from iniz_exporters_spark.queries.p09 import _GOPHER_STOPS  # noqa: F401
 from iniz_exporters_spark.queries.p10 import c4_rule_flags  # noqa: F401
+from iniz_exporters_spark.queries.p02 import _SQL_QW
+from iniz_exporters_spark.operators.quality import linear_quality_score
 from iniz_exporters_spark.queries.p11 import _ESD_SEED, _ESDC_K
 from iniz_exporters_spark.session import spread_for_kernel as _spread
 
@@ -923,4 +928,403 @@ def boilerplate_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("boilerplate_share"),
             ((2 * bpt >= nt) & (nt > 0)).alias("mostly_boilerplate"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8. LOO 5-NN accuracy over sign-bucket candidates — knn_loo's 100 TB path
+# ---------------------------------------------------------------------------
+# Adaptive-depth divisor: bits = 4 + integer-log2(n / this), so the
+# bucket COUNT scales as 16*n/this and MEAN occupancy stays constant
+# (~this/16 = ~31 vectors) at any corpus size — total candidate work
+# sum(n_b^2) ~ n * 31 = LINEAR in n. The first
+# cut used FIXED bits=4 and measured cross-scale slope 4.08 (bucket
+# sizes grow with n, so sum(n_b^2) is still quadratic) — the adaptive
+# depth is what makes this the genuine 100 TB path.
+_ANN_TARGET_BUCKET = 500
+@register(
+    "knn_loo_ann_q",
+    f"""
+    WITH cfg AS (
+        -- adaptive LSH depth: bits grows with the corpus so the MEAN
+        -- bucket holds ~{_ANN_TARGET_BUCKET} vectors at any scale; the
+        -- integer log2 comes from the binary-repr length (rule 6
+        -- corollary), never libm log2
+        SELECT 4 + GREATEST(0, length(printf('%b',
+                   GREATEST(COUNT(*) // {_ANN_TARGET_BUCKET}, 1))) - 1)
+               AS bits
+        FROM embeddings
+    ),
+    e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               list_reduce(list_transform(
+                   range(0, (SELECT bits FROM cfg)), d ->
+                   CASE WHEN embedding[d + 1] >= 0
+                        THEN power(2, d)::BIGINT ELSE 0::BIGINT END),
+                   (x, y) -> x + y) AS bucket
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS qid, q.label AS true_label,
+               c.label AS cand_label,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_reduce(
+                       list_transform(range(1, len(c.v)+1),
+                           i -> (c.v[i] - q.v[i]) * (c.v[i] - q.v[i])),
+                       (x, y) -> x + y), 6), c.vec_id) AS rn
+        FROM e q JOIN e c
+          ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+    ),
+    votes AS (
+        SELECT qid, true_label, cand_label, COUNT(*) AS nv
+        FROM scored WHERE rn <= 5
+        GROUP BY qid, true_label, cand_label
+    ),
+    pred AS (
+        SELECT qid, true_label, cand_label AS pred_label,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY nv DESC, cand_label) AS pr
+        FROM votes
+    )
+    SELECT true_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN pred_label = true_label
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(ROUND(CAST(SUM(CASE WHEN pred_label = true_label
+                THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+               AS DOUBLE) AS accuracy
+    FROM pred WHERE pr = 1
+    GROUP BY true_label
+    """,
+)
+def knn_loo_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOO 5-NN label accuracy over SIGN-BUCKET candidates — the
+    documented 100 TB path of `knn_loo_accuracy_q`, made real: instead
+    of broadcasting the whole corpus (quadratic, guard-capped at 20k),
+    candidates come from an EQUI-JOIN on the deterministic 4-bit
+    sign-bucket (fixed axis-aligned hyperplanes, `operators/similarity
+    .sign_bucket` — the same oracle-checkable LSH `ann_bucketed` uses).
+    The vote plan is IDENTICAL to the exact query; only candidate
+    generation changes, so the accuracy delta between the two IS the
+    ANN recall cost, measurable at any scale.
+
+    Scale shape: ONE shuffle on the bucket key; per-bucket work is
+    sum(n_b²) instead of n², and the LSH depth ADAPTS to the corpus
+    (bits = 4 + integer-log2(n/_ANN_TARGET_BUCKET), computed from the same count
+    in both engines) so mean occupancy stays ~31 vectors and total
+    candidate work is LINEAR in n — the first cut's fixed bits=4
+    measured slope 4.08 before this. No broadcast of corpus data ever
+    happens.
+    Vectors whose bucket holds no other vector drop out of the
+    accuracy denominator by construction (inner candidate join) — at
+    the gate scales every bucket is populated, so the denominators
+    match the exact query's.
+    """
+    from iniz_exporters_spark.operators.similarity import sign_bucket
+
+    base = Catalog(spark, sf_dir).embeddings
+    # adaptive LSH depth (driver-side, from the same corpus count the
+    # oracle's cfg CTE computes): bits = 4 + integer-log2(n / target),
+    # so the mean bucket stays ~_ANN_TARGET_BUCKET vectors and the
+    # per-bucket quadratic term sum(n_b^2) stays ~n * target = LINEAR.
+    n = base.count()
+    bits = 4 + max(0, (max(n // _ANN_TARGET_BUCKET, 1)).bit_length() - 1)
+    e = base.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        sign_bucket(F.col("embedding"), bits=bits).alias("bucket"),
+    )
+    q = e.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+        "bucket",
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        6,
+    )
+    scored = (
+        e.join(q, "bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "true_label",
+            F.col("label").alias("cand_label"),
+            F.col("vec_id").alias("cid"),
+            d2.alias("d2"),
+        )
+    )
+    wnn = Window.partitionBy("qid").orderBy("d2", "cid")
+    votes = (
+        scored.withColumn("rn", F.row_number().over(wnn))
+        .filter(F.col("rn") <= 5)
+        .groupBy("qid", "true_label", "cand_label")
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.col("nv").desc(), F.col("cand_label")
+    )
+    pred = votes.withColumn("pr", F.row_number().over(wv)).filter(
+        F.col("pr") == 1
+    )
+    hit = F.when(F.col("cand_label") == F.col("true_label"), 1).otherwise(
+        0
+    )
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(hit).cast("long").alias("n_correct"),
+        F.round(
+            F.sum(hit).cast("double") / F.count(F.lit(1)), 6
+        ).alias("accuracy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 9. Per-document memorization risk (Carlini 2023, per-example view)
+# ---------------------------------------------------------------------------
+@register(
+    "doc_memorization_risk_q",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents),
+    seeds AS (
+        SELECT doc_id,
+               array_to_string(ts[u.i:u.i+{_ESD_SEED - 1}], ' ') AS g,
+               ts[u.i+{_ESD_SEED}] AS cont
+        FROM t, UNNEST(range(1, greatest(len(ts)-{_ESD_SEED - 1}, 1))) u(i)
+        WHERE len(ts) >= {_ESD_SEED + 1}
+    ),
+    per AS (
+        SELECT g, COUNT(*) AS occ, COUNT(DISTINCT cont) AS nc
+        FROM seeds GROUP BY g
+    ),
+    d AS (
+        SELECT seeds.doc_id, COUNT(*) AS np,
+               SUM(CASE WHEN occ >= 2 AND nc = 1 THEN 1 ELSE 0 END) AS nr
+        FROM seeds JOIN per ON seeds.g = per.g
+        GROUP BY seeds.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(d.np, 0) AS BIGINT) AS n_prompts,
+           CAST(COALESCE(d.nr, 0) AS BIGINT) AS n_risky,
+           CASE WHEN COALESCE(d.np, 0) = 0 THEN 0.0
+                ELSE CAST(d.nr AS DOUBLE) / d.np END AS risk_share,
+           5 * COALESCE(d.nr, 0) >= COALESCE(d.np, 0)
+               AND COALESCE(d.np, 0) > 0 AS at_risk
+    FROM t LEFT JOIN d ON t.doc_id = d.doc_id
+    """,
+)
+def doc_memorization_risk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document memorization risk (the per-example view of
+    `extractable_memorization_q`, Carlini 2023's actionable output):
+    the share of a document's 8-token prompts that are corpus-
+    DUPLICATED (occurrence >= 2) with a DETERMINISTIC next token — the
+    documents a dedup/quarantine pass drops first because a greedy
+    decode could regurgitate them verbatim. The corpus curve uses
+    3-token prompts to populate high duplication levels on the gate
+    corpus; the per-doc ranking uses the 8-token (_ESD_SEED) prompt
+    length, which keeps the >= 20% flag (compared INTEGER-exactly as
+    5*n_risky >= n_prompts) mixed at every gate scale. Every doc is
+    emitted (rule 11).
+
+    Scale shape: seed explode is linear; the per-gram statistics
+    aggregate and the seeds-back join both key on the gram and share
+    one hashpartitioning(g) exchange (the boilerplate_fraction_q
+    pattern), then one doc_id aggregate. At 100 TB swap gram strings
+    for poly_hash to shrink the exchange.
+    """
+    d = Catalog(spark, sf_dir).documents
+    t = (
+        _spread(d.select("doc_id", "text"))
+        .select("doc_id", tokens("text").alias("ts"))
+        .localCheckpoint()
+    )
+    seeds = (
+        t.filter(F.size("ts") >= _ESD_SEED + 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - _ESD_SEED),
+                    lambda i: F.struct(
+                        F.array_join(
+                            F.slice("ts", i, _ESD_SEED), " "
+                        ).alias("g"),
+                        F.element_at("ts", i + _ESD_SEED).alias("cont"),
+                    ),
+                )
+            ).alias("__s"),
+        )
+        .select(
+            "doc_id",
+            F.col("__s.g").alias("g"),
+            F.col("__s.cont").alias("cont"),
+        )
+    )
+    per = seeds.groupBy("g").agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.count_distinct("cont").alias("nc"),
+    )
+    risky = F.when((F.col("occ") >= 2) & (F.col("nc") == 1), 1).otherwise(
+        0
+    )
+    dd = (
+        seeds.join(per, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("np"),
+            F.sum(risky).alias("nr"),
+        )
+    )
+    z = F.lit(0)
+    np_, nr = F.coalesce("np", z), F.coalesce("nr", z)
+    return (
+        t.select("doc_id")
+        .join(dd, "doc_id", "left")
+        .select(
+            "doc_id",
+            np_.cast("long").alias("n_prompts"),
+            nr.cast("long").alias("n_risky"),
+            F.when(np_ == 0, F.lit(0.0))
+            .otherwise(nr.cast("double") / np_)
+            .alias("risk_share"),
+            ((5 * nr >= np_) & (np_ > 0)).alias("at_risk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 10. Quality-score drift per source (Population Stability Index)
+# ---------------------------------------------------------------------------
+# PSI tiers at the industry-standard cuts (0.1 / 0.25). A boolean flag
+# would be constant-false at sf0.1 (PSI shrinks ~1/n with sample size),
+# so the operator ships the tier LABEL — truthful at every scale.
+_PSI_SQL_PROB = (
+    "ROUND(CAST(1.0 / (1.0 + exp(-raw / 8.0)) AS DECIMAL(28,12)), 4)"
+    "::DOUBLE"
+)
+
+
+@register(
+    "quality_psi_drift_q",
+    f"""
+    WITH t AS (SELECT doc_id, source, {_SQL_TOKENS} AS toks FROM documents),
+    r AS (SELECT doc_id, source,
+                 CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE list_reduce(
+                          list_transform(toks, t -> {_SQL_QW}),
+                          (a, b) -> a + b)
+                 END AS raw
+          FROM t),
+    p AS (SELECT source,
+                 LEAST(CAST(floor({_PSI_SQL_PROB} * 10) AS INT), 9)
+                     AS bucket
+          FROM r),
+    cs AS (SELECT source, bucket, COUNT(*) AS c FROM p
+           GROUP BY source, bucket),
+    tot AS (SELECT bucket, SUM(c) AS tc FROM cs GROUP BY bucket),
+    n AS (SELECT source, SUM(c) AS ns FROM cs GROUP BY source),
+    nt AS (SELECT SUM(tc) AS nt FROM tot),
+    grid AS (
+        SELECT n.source, b.i AS bucket, n.ns, nt.nt,
+               COALESCE(cs.c, 0) AS c, COALESCE(tot.tc, 0) AS tc
+        FROM n CROSS JOIN (SELECT UNNEST(range(0, 10)) AS i) b
+        CROSS JOIN nt
+        LEFT JOIN cs ON cs.source = n.source AND cs.bucket = b.i
+        LEFT JOIN tot ON tot.bucket = b.i
+    ),
+    terms AS (
+        SELECT source, ns,
+               CAST((((c + 0.5) / (ns + 5.0)) - ((tc + 0.5) / (nt + 5.0)))
+                    * ln(((c + 0.5) / (ns + 5.0))
+                         / ((tc + 0.5) / (nt + 5.0)))
+                    AS DECIMAL(28,12)) AS term
+        FROM grid
+    ),
+    psi AS (
+        SELECT source, CAST(MAX(ns) AS BIGINT) AS n_docs,
+               ROUND(CAST(SUM(term) AS DECIMAL(28,12)), 6)::DOUBLE AS psi
+        FROM terms GROUP BY source
+    )
+    SELECT source, n_docs, psi,
+           CASE WHEN psi >= 0.25 THEN 'shifted'
+                WHEN psi >= 0.1 THEN 'moderate'
+                ELSE 'stable' END AS tier
+    FROM psi
+    """,
+)
+def quality_psi_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the curation-score distribution,
+    per source vs the whole corpus — the standard filter-monitoring
+    check (PSI >= 0.1 moderate drift, >= 0.25 shifted: this source's
+    quality profile no longer matches what the filter thresholds were
+    calibrated on). Buckets are the SAME ten score deciles as
+    `quality_calibration_curve_q`; counts are Jeffreys-smoothed
+    (+0.5 per cell over the FIXED 0..9 grid) so empty deciles stay
+    defined without epsilon hacks.
+
+    Determinism: each PSI term is quantized to decimal(28,12) BEFORE
+    the sum, so the 10-term addition is order-independent (the
+    mahalanobis quantized-term-sum convention); ln agrees through the
+    6-dp output rounding (rule 6 — inputs are ratios of exact
+    integers+0.5, identical in both engines). Scale shape: one
+    codegen'd scan → a (source × 10)-key aggregate with map-side
+    combine → metadata-scale grid joins; flat at any corpus size.
+    """
+    d = Catalog(spark, sf_dir).documents
+    prob = linear_quality_score(F.col("text"), dim=64, scale=8.0, round_to=4)
+    p = d.select(
+        "source",
+        F.least(F.floor(prob * 10).cast("int"), F.lit(9)).alias("bucket"),
+    )
+    cs = p.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    tot = cs.groupBy("bucket").agg(F.sum("c").alias("tc"))
+    n = cs.groupBy("source").agg(F.sum("c").alias("ns"))
+    nt = tot.agg(F.sum("tc").alias("nt"))
+    grid_b = F.broadcast(
+        cs.sparkSession.range(0, 10).select(
+            F.col("id").cast("int").alias("bucket")
+        )
+    )
+    grid = (
+        n.crossJoin(grid_b)
+        .crossJoin(F.broadcast(nt))
+        .join(F.broadcast(cs), ["source", "bucket"], "left")
+        .join(F.broadcast(tot), ["bucket"], "left")
+        .select(
+            "source",
+            "ns",
+            "nt",
+            F.coalesce("c", F.lit(0)).alias("c"),
+            F.coalesce("tc", F.lit(0)).alias("tc"),
+        )
+    )
+    ps = (F.col("c") + 0.5) / (F.col("ns") + 5.0)
+    qs = (F.col("tc") + 0.5) / (F.col("nt") + 5.0)
+    term = ((ps - qs) * F.log(ps / qs)).cast("decimal(28,12)")
+    psi = (
+        grid.select("source", "ns", term.alias("term"))
+        .groupBy("source")
+        .agg(
+            F.max("ns").cast("long").alias("n_docs"),
+            F.round(F.sum("term").cast("decimal(28,12)"), 6)
+            .cast("double")
+            .alias("psi"),
+        )
+    )
+    return psi.select(
+        "source",
+        "n_docs",
+        "psi",
+        F.when(F.col("psi") >= 0.25, "shifted")
+        .when(F.col("psi") >= 0.1, "moderate")
+        .otherwise("stable")
+        .alias("tier"),
     )

@@ -325,3 +325,144 @@ def test_boilerplate_fraction_matches_bruteforce(spark):
         )
         flagged += r["mostly_boilerplate"]
     assert 0 < flagged < len(docs)  # calibrated: mixed flags
+
+
+def test_knn_loo_ann_matches_bruteforce(spark):
+    got = {
+        r["label"]: r
+        for r in REGISTRY["knn_loo_ann_q"].fn(spark, SF_SMALL).collect()
+    }
+    rows = (
+        duckdb.connect()
+        .execute(
+            f"SELECT vec_id, label, embedding FROM "
+            f"read_parquet('{SF_SMALL}/embeddings.parquet')"
+        )
+        .fetchall()
+    )
+    from iniz_exporters_spark.queries.p12 import _ANN_TARGET_BUCKET
+
+    vecs = [(vid, lab, [float(x) for x in v]) for vid, lab, v in rows]
+    bits = 4 + max(
+        0, max(len(vecs) // _ANN_TARGET_BUCKET, 1).bit_length() - 1
+    )
+    by_bucket = defaultdict(list)
+    for vid, lab, v in vecs:
+        b = sum(1 << d for d in range(bits) if v[d] >= 0)
+        by_bucket[b].append((vid, lab, v))
+    per_label = defaultdict(lambda: [0, 0])
+    for b, members in by_bucket.items():
+        for vid, lab, v in members:
+            cands = []
+            for cid, clab, cv in members:
+                if cid == vid:
+                    continue
+                d2 = round(sum((a - q) * (a - q) for a, q in zip(cv, v)), 6)
+                cands.append((d2, cid, clab))
+            if not cands:
+                continue
+            cands.sort()
+            votes = defaultdict(int)
+            for _d2, _cid, clab in cands[:5]:
+                votes[clab] += 1
+            pred = min(votes, key=lambda L: (-votes[L], L))
+            per_label[lab][0] += 1
+            per_label[lab][1] += 1 if pred == lab else 0
+    assert set(got) == set(per_label)
+    for lab, (nv, nc) in per_label.items():
+        r = got[lab]
+        assert r["n_vectors"] == nv
+        assert r["n_correct"] == nc
+        assert abs(r["accuracy"] - round(nc / nv, 6)) < 1e-9
+
+
+def test_doc_memorization_risk_matches_bruteforce(spark):
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["doc_memorization_risk_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    docs = {d: _toks(t) for d, t, _l in _docs()}
+    per = defaultdict(lambda: [0, set()])
+    for d, ts in docs.items():
+        for i in range(len(ts) - _ESD_SEED):
+            g = " ".join(ts[i : i + _ESD_SEED])
+            per[g][0] += 1
+            per[g][1].add(ts[i + _ESD_SEED])
+    assert set(got) == set(docs)
+    flagged = 0
+    for d, ts in docs.items():
+        np_ = max(len(ts) - _ESD_SEED, 0)
+        nr = sum(
+            1
+            for i in range(len(ts) - _ESD_SEED)
+            if per[" ".join(ts[i : i + _ESD_SEED])][0] >= 2
+            and len(per[" ".join(ts[i : i + _ESD_SEED])][1]) == 1
+        )
+        r = got[d]
+        assert r["n_prompts"] == np_
+        assert r["n_risky"] == nr
+        share = nr / np_ if np_ else 0.0
+        assert abs(r["risk_share"] - share) < 1e-12
+        assert r["at_risk"] == (np_ > 0 and 5 * nr >= np_)
+        flagged += r["at_risk"]
+    assert 0 < flagged < len(docs)  # calibrated: mixed flags
+
+
+def test_quality_psi_drift_matches_bruteforce(spark):
+    import math
+
+    got = {
+        r["source"]: r
+        for r in REGISTRY["quality_psi_drift_q"].fn(spark, SF_SMALL).collect()
+    }
+    rows = (
+        duckdb.connect()
+        .execute(
+            f"SELECT source, text FROM "
+            f"read_parquet('{SF_SMALL}/documents.parquet')"
+        )
+        .fetchall()
+    )
+
+    def prob(text):
+        raw = 0.0
+        for t in _toks(text):
+            idx = _poly(t) % 64
+            raw += ((idx * 37 + 11) % 21 - 10) / 10.0
+        p = 1.0 / (1.0 + math.exp(-raw / 8.0))
+        # decimal(28,12) quantize then 4-dp round, as both engines do
+        from decimal import Decimal, ROUND_HALF_UP
+
+        return float(
+            Decimal(repr(p))
+            .quantize(Decimal("1." + "0" * 12))
+            .quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        )
+
+    counts = defaultdict(lambda: [0] * 10)
+    for source, text in rows:
+        b = min(int(prob(text) * 10), 9)
+        counts[source][b] += 1
+    total = [0] * 10
+    for source in counts:
+        for b in range(10):
+            total[b] += counts[source][b]
+    nt = sum(total)
+    assert set(got) == set(counts)
+    for source, cs in counts.items():
+        ns = sum(cs)
+        psi = 0.0
+        for b in range(10):
+            ps = (cs[b] + 0.5) / (ns + 5.0)
+            qs = (total[b] + 0.5) / (nt + 5.0)
+            psi += (ps - qs) * math.log(ps / qs)
+        r = got[source]
+        assert r["n_docs"] == ns
+        assert abs(r["psi"] - psi) <= 5e-7  # 6-dp rounded output
+        expect_tier = (
+            "shifted" if r["psi"] >= 0.25
+            else "moderate" if r["psi"] >= 0.1 else "stable"
+        )
+        assert r["tier"] == expect_tier

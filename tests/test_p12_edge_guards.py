@@ -188,3 +188,74 @@ def test_boilerplate_fraction_emits_zero_token_doc(spark, monkeypatch):
     assert r["boilerplate_tokens"] == 0
     assert r["boilerplate_share"] == 0.0
     assert r["mostly_boilerplate"] is False
+
+
+_HOSTILE_VEC = (999_000_001, [0.0] * 64, 3)
+
+
+def _with_hostile_vec(spark, monkeypatch):
+    orig = Catalog._read_parquet
+
+    def patched(self, table):
+        df = orig(self, table)
+        if table == "embeddings":
+            extra = spark.createDataFrame(
+                [(_HOSTILE_VEC[0], [float(x) for x in _HOSTILE_VEC[1]],
+                  _HOSTILE_VEC[2])],
+                df.schema,
+            )
+            return df.unionByName(extra)
+        return df
+
+    monkeypatch.setattr(Catalog, "_read_parquet", patched)
+
+
+def test_knn_loo_ann_absorbs_zero_vector(spark, monkeypatch):
+    """A zero vector has sign-bucket 15 under >=0 hyperplanes (every
+    dimension counts as non-negative); it must join its bucket and
+    vote like any other row — no error, label counts shift by one."""
+    base = {
+        r["label"]: r["n_vectors"]
+        for r in REGISTRY["knn_loo_ann_q"].fn(spark, SF_SMALL).collect()
+    }
+    _with_hostile_vec(spark, monkeypatch)
+    hostile = {
+        r["label"]: r["n_vectors"]
+        for r in REGISTRY["knn_loo_ann_q"].fn(spark, SF_SMALL).collect()
+    }
+    assert sum(hostile.values()) == sum(base.values()) + 1
+    assert hostile[_HOSTILE_VEC[2]] == base.get(_HOSTILE_VEC[2], 0) + 1
+
+
+def test_doc_memorization_risk_emits_zero_token_doc(spark, monkeypatch):
+    _with_hostile_doc(spark, monkeypatch)
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["doc_memorization_risk_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    r = rows[_HOSTILE_DOC[0]]
+    assert r["n_prompts"] == 0
+    assert r["n_risky"] == 0
+    assert r["risk_share"] == 0.0
+    assert r["at_risk"] is False
+
+
+def test_quality_psi_counts_zero_token_doc(spark, monkeypatch):
+    """A zero-token doc scores sigmoid(0) = 0.5 -> bucket 5; PSI stays
+    finite (Jeffreys smoothing) and the source's n_docs increments."""
+    (base,) = [
+        r
+        for r in REGISTRY["quality_psi_drift_q"].fn(spark, SF_SMALL).collect()
+        if r["source"] == _HOSTILE_DOC[3]
+    ]
+    _with_hostile_doc(spark, monkeypatch)
+    (hostile,) = [
+        r
+        for r in REGISTRY["quality_psi_drift_q"].fn(spark, SF_SMALL).collect()
+        if r["source"] == _HOSTILE_DOC[3]
+    ]
+    assert hostile["n_docs"] == base["n_docs"] + 1
+    assert hostile["psi"] is not None
+    assert hostile["tier"] in ("stable", "moderate", "shifted")

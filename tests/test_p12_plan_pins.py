@@ -94,3 +94,31 @@ def test_boilerplate_df_join_shares_gram_exchange(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_knn_loo_ann_never_broadcasts_the_corpus(spark):
+    """The whole point of the ANN variant: candidates come from a
+    bucket EQUI-join (shuffle on the bucket key), never a broadcast of
+    corpus data into a nested-loop — that is the exact query's capped
+    plan, not this one's."""
+    plan = _plan(spark, "knn_loo_ann_q")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_doc_memorization_risk_gram_join_is_equi(spark):
+    plan = _plan(spark, "doc_memorization_risk_q")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_psi_grid_joins_broadcast(spark):
+    """The PSI grid joins are metadata-scale (sources x 10 buckets) and
+    must all broadcast — a shuffled join here would be planning the
+    per-doc scan into the grid stage."""
+    plan = _plan(spark, "quality_psi_drift_q")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan

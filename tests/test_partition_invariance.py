@@ -148,6 +148,9 @@ SENSITIVE = [
     "eval_dirty_tokens_q",         # hash-ranked suite + islands union
     "cross_source_dup_matrix_q",   # collect_set pair explode + ratios
     "boilerplate_fraction_q",      # df-gated seeds + islands union
+    "knn_loo_ann_q",               # bucket-join d2 row_number votes
+    "doc_memorization_risk_q",     # gram stats join + per-doc shares
+    "quality_psi_drift_q",         # decimal-quantized PSI term sums
 ]
 
 
