@@ -250,9 +250,22 @@ _R13_WINDOW = [
     "knn_loo_ann_q", "doc_memorization_risk_q", "quality_psi_drift_q",
 ]
 
+# Round-14 window (empty-window convention, PERFORMANCE.md
+# "§driver-window — r14 plan"): CORRECTNESS_r13 landed 50/50 green, all ten
+# r13 registrations now hold fresh green rows, and the cumulative ledger
+# covers all 486 registry names. New r14 registrations are appended here as
+# they pass the pre-seat checklist (oracle + replica + scramble + three
+# scales); every other first-50 slot is derived by ``_reseat_names()`` from
+# the committed CORRECTNESS_r*.json artifacts alone.
+_R14_WINDOW: list[str] = [
+    # round-14 registrations are appended here one-by-one as each passes
+    # the pre-seat checklist (queries/p13.py curation batch, VERDICT r13
+    # #5); empty at round open per the convention.
+]
+
 # Kept for provenance / test compatibility: the live window always binds to
 # the newest list.
-_WINDOW = _R13_WINDOW
+_WINDOW = _R14_WINDOW
 
 # ---------------------------------------------------------------------------
 # POST-DRAIN SPARE-SLOT POLICY (VERDICT r10 #2 / r11 #3 — now defined and
@@ -279,15 +292,12 @@ _WINDOW = _R13_WINDOW
 # entries span_dedup_trim / ngram_jaccard_pairs / containment_pairs_q /
 # knn_loo_accuracy_q all re-greened in CORRECTNESS_r12) it drops back to the
 # ordinary oldest-green-first pool.
-_PLAN_CHANGED = [
-    # queries/p11.py:544 cosine rounding routed through the repo's
-    # decimal(28,12) quantize convention (ADVICE r12 medium, fixed r13);
-    # last green r12 predates the edit.
-    "embedding_decontam_q",
-    # queries/p07.py broadcast-guard cap 100k → 20k (VERDICT r12 #5,
-    # after the r13 isolated slope re-measure read 2.45–2.80); value-
-    # invisible at gate scales but a guard-path edit — re-verify.
-    "knn_loo_accuracy_q",
+_PLAN_CHANGED: list[str] = [
+    # Empty at r14 open: the r13 entries embedding_decontam_q and
+    # knn_loo_accuracy_q both re-greened in CORRECTNESS_r13 (fresh rows
+    # postdate their plan edits), so they drop back to the ordinary
+    # oldest-green-first pool per the ledger rule above.  r14 plan edits
+    # are appended here as they happen.
 ]
 
 

@@ -8,15 +8,18 @@ Deliberately different algorithms where possible — e.g. the dirty-token
 replica marks per-seed coverage sets instead of replaying the
 gaps-and-islands interval union.
 
-NOT marked slow: this is the CURRENT round's replica file and must run
-on the mid-round fast path while p12 code is still moving; it joins the
-slow set when the round closes (the r14 builder marks it).
+Marked slow at r14 open (the scheduled hand-off): p12 code is frozen
+and driver-green, so this joins the historical replica set on the slow
+path alongside the r6-r12 files.
 """
 
 import re
 from collections import defaultdict
 
 import duckdb
+import pytest
+
+pytestmark = pytest.mark.slow
 
 from iniz_exporters_spark.queries import REGISTRY
 from iniz_exporters_spark.queries.p01 import BPE_ISH

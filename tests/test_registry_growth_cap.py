@@ -15,6 +15,7 @@ wait a round (or displace something from the queue deliberately).
 import glob
 import importlib.util
 import json
+import os
 
 SPEC = importlib.util.spec_from_file_location(
     "__spark_entry__", "/root/repo/__spark_entry__.py"
@@ -96,7 +97,11 @@ def test_reseat_tail_follows_spare_slot_policy():
     from iniz_exporters_spark.queries import REGISTRY
 
     latest: dict = {}
-    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+    # Resolve artifacts relative to the entry module, mirroring the
+    # production fix in _latest_green_rounds() (ADVICE r12/r13): on a
+    # relocated checkout a hardcoded path would compare an empty ledger.
+    here = os.path.dirname(os.path.abspath(ENTRY.__file__))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
         for name, row in json.load(open(path)).items():
             if not isinstance(row, dict) or not row.get("hash_match"):
