@@ -74,7 +74,14 @@ _SLOPE_EXTRA = [
     # distributed rank, LOO kNN, grid DBSCAN components, and per-source
     # quantile normalization.
     "collocation_llr_q", "wasserstein_q", "energy_distance_q",
-    "knn_loo_accuracy_q", "grid_dbscan_q", "quantile_normalize_q",
+    "grid_dbscan_q", "quantile_normalize_q",
+    # knn_loo_accuracy_q RETIRED from the radar at r14 (VERDICT r13 #7):
+    # it is quadratic-BY-SPEC (exact all-pairs LOO audit) under a hard 20k
+    # row guard — the book is closed (isolated 3-run 2.45-2.80, true-idle
+    # 5-run 2.49, PERFORMANCE.md §r13) and re-measuring it each round just
+    # re-reports the spec. Its 100 TB path, knn_loo_ann_q (adaptive
+    # sign-bucket LSH, slope 1.44), is HEADLINE-tracked since r14 and gets
+    # its slope measured in the headline loop above.
 ]
 
 

@@ -141,6 +141,9 @@ _DECON_TAU = 0.40
     LEFT JOIN agg ON t.doc_id = agg.doc_id
     LEFT JOIN cov ON t.doc_id = cov.doc_id
     """,
+    # r14 (VERDICT r13 #2): the heaviest p11 plan joins the headline bench
+    # set so its wall time is tracked round-over-round, not just by slope.
+    headline=True,
 )
 def exact_substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-array-level exact-substring dedup accounting (Lee et al.

@@ -78,6 +78,9 @@ _MMD_HAM = 10
                / COUNT(*) AS extractable_rate
     FROM per GROUP BY dup_level
     """,
+    # r14 (VERDICT r13 #2): headline-tracked — heaviest memorization-audit
+    # plan family, previously visible only to the slope radar.
+    headline=True,
 )
 def extractable_memorization_q(
     spark: SparkSession, sf_dir: str
@@ -832,6 +835,9 @@ _BP_DF = 2
                AND len(t.ts) > 0 AS mostly_boilerplate
     FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
     """,
+    # r14 (VERDICT r13 #2): headline-tracked — the shared-gram-exchange +
+    # interval-union pattern's heaviest instance.
+    headline=True,
 )
 def boilerplate_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document boilerplate fraction: the share of a doc's token
@@ -996,6 +1002,9 @@ _ANN_TARGET_BUCKET = 500
     FROM pred WHERE pr = 1
     GROUP BY true_label
     """,
+    # r14 (VERDICT r13 #2): headline-tracked — the ANN scale path whose
+    # wall time (not just slope) must be watched round-over-round.
+    headline=True,
 )
 def knn_loo_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOO 5-NN label accuracy over SIGN-BUCKET candidates — the
