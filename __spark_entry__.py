@@ -258,9 +258,12 @@ _R13_WINDOW = [
 # scales); every other first-50 slot is derived by ``_reseat_names()`` from
 # the committed CORRECTNESS_r*.json artifacts alone.
 _R14_WINDOW: list[str] = [
-    # round-14 registrations are appended here one-by-one as each passes
-    # the pre-seat checklist (queries/p13.py curation batch, VERDICT r13
-    # #5); empty at round open per the convention.
+    # round-14 registrations (each triple-scale oracle-green with a
+    # bruteforce replica, scramble entry, plan pins, edge guards, and a
+    # measured 3-run-min slope of 0.86-1.14 before seating): the
+    # queries/p13.py multimodal-curation batch (VERDICT r13 #5).
+    "imagetext_alignment_q", "audio_neardup_q", "crosslingual_decontam_q",
+    "audio_quality_filter_q", "crossmodal_hard_negatives_q",
 ]
 
 # Kept for provenance / test compatibility: the live window always binds to

@@ -835,3 +835,99 @@ def audio_features(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
     return spread_for_kernel(df.select(id_col, binary_col)).mapInPandas(
         batches, schema=f"{id_col} long, features array<double>"
     )
+
+
+def encode_wav_pcm8(data: bytes, rate: int = 8000) -> bytes:
+    """Minimal RIFF/WAVE writer: 8-bit unsigned mono linear PCM at
+    ``rate`` Hz with ``data`` as the raw sample bytes (the public
+    Microsoft/IBM WAVE container spec — the exact format
+    ``decode_wav_numpy`` round-trips). Used to synthesize deterministic
+    audio payloads from text bytes so the REAL decode path is exercised
+    end-to-end without codec libraries."""
+    import struct
+
+    n = len(data)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate, 1, 8)
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", n) + data + (b"\x00" if n & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+#: audio_fingerprint geometry: 64 energy windows x 4 samples = 256
+#: virtual samples (cyclic extension of the decoded signal), packed into
+#: four 16-bit bands so the fingerprint frame is drop-in compatible with
+#: ``phash_neardup``'s banded-LSH join.
+AUDIO_FP_WINDOWS = 64
+AUDIO_FP_SPW = 4
+
+
+def audio_fingerprint(
+    df: DataFrame, binary_col: str, id_col: str
+) -> DataFrame:
+    """(id, b0..b3) — 64-bit band-energy audio fingerprint per payload
+    via mapInPandas (the Haitsma–Kalker / Shazam-family shape: coarse
+    spectral/temporal energy pattern -> robust hash -> banded LSH).
+
+    Bit w is set when window w's energy exceeds the mean window energy
+    (64 * e_w > total, integer-exact under 8-bit PCM since every sample
+    is a dyadic rational k/128). Windows cover 256 VIRTUAL samples — the
+    decoded signal cyclically extended (sample q = x[q mod n]) — so
+    short payloads still produce a full-width fingerprint, mirroring
+    ``image_phash``'s pixel sampling. Decode order mirrors
+    ``audio_features``: the REAL RIFF/WAVE codec first, then a
+    deterministic fake (raw bytes as 8-bit PCM samples) for anything
+    else. Empty payloads yield an all-zero fingerprint.
+    """
+    nv = AUDIO_FP_WINDOWS * AUDIO_FP_SPW
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        idx = np.arange(nv)
+
+        def fp(x) -> list:
+            n = len(x)
+            if n == 0:
+                return [0, 0, 0, 0]
+            s = x[idx % n]
+            e = (s.reshape(AUDIO_FP_WINDOWS, AUDIO_FP_SPW) ** 2).sum(axis=1)
+            bits = AUDIO_FP_WINDOWS * e > e.sum()
+            out = []
+            for j in range(4):
+                v = 0
+                for k in range(16):
+                    if bits[16 * j + k]:
+                        v |= 1 << k
+                out.append(v)
+            return out
+
+        for pdf in it:
+            ids, b0, b1, b2, b3 = [], [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[binary_col]):
+                raw = bytes(payload) if payload is not None else b""
+                dec = decode_wav_numpy(raw)
+                if dec is not None:
+                    x = dec[2]
+                else:
+                    # DETERMINISTIC FAKE (mirrors audio_features): raw
+                    # bytes as 8-bit unsigned PCM samples
+                    x = (
+                        np.frombuffer(raw, np.uint8).astype(np.float64)
+                        - 128.0
+                    ) / 128.0
+                v = fp(x)
+                ids.append(i)
+                b0.append(v[0])
+                b1.append(v[1])
+                b2.append(v[2])
+                b3.append(v[3])
+            yield pd.DataFrame(
+                {id_col: ids, "b0": b0, "b1": b1, "b2": b2, "b3": b3}
+            )
+
+    return spread_for_kernel(df.select(id_col, binary_col)).mapInPandas(
+        batches, schema=f"{id_col} long, b0 int, b1 int, b2 int, b3 int"
+    )

@@ -210,3 +210,11 @@ from iniz_exporters_spark.queries.p12 import (
     extractable_memorization_q, filter_agreement_q, knn_loo_ann_q,
     multimodal_decontam_q, quality_psi_drift_q, tokenizer_parity_q,
 )
+from iniz_exporters_spark.queries.p13 import (
+    _ALIGN_GRID, _AQ_MAX_HIBAND, _AQ_MIN_DUR, _AQ_RMS_HI, _AQ_RMS_LO,
+    _AUD_HAM, _SQL_ALIGN_GRID, _SQL_AUDIO_FP_CTE, _SQL_WAV_SAMPLES_CTE,
+    _XL_MOD, _XL_TAU, _aud_band_sql, _wav_payload,
+    audio_neardup_q, audio_quality_filter_q,
+    crosslingual_decontam_q, crossmodal_hard_negatives_q,
+    imagetext_alignment_q,
+)

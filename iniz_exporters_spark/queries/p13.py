@@ -1,0 +1,660 @@
+"""Registry chunk 13: round-14 multimodal-curation batch (5 @register
+entries — VERDICT r13 #5).
+
+Completes the modality axis of the LLM-training-data surface: paired
+image–text alignment filtering with a keep-threshold sweep (the
+LAION-style CLIP-score curation step, Schuhmann et al. 2021/2022),
+audio near-duplicate fingerprinting over the REAL RIFF/WAVE decode
+path (band-energy hash -> banded LSH, the Haitsma–Kalker robust-hash
+family), cross-lingual eval-suite decontamination over sign-bucket ANN
+candidates (translated contamination that exact-substring matching
+misses — the multilingual-eval complement of `embedding_decontam_q`),
+an audio quality/keep filter from real signal features (duration /
+RMS / spectral-tilt gates, the speech-corpus curation convention of
+LibriLight-style pipelines), and cross-modal hard-negative mining
+(hardest in-bucket non-pair caption per image, the contrastive-
+training margin audit).
+
+All image/audio payloads are deterministic synthetics built from
+document text (`_phash_payload`'s '#' convention; `encode_wav_pcm8`
+8-bit PCM with text bytes as samples) so the REAL kernels
+(`image_phash`, `decode_wav_numpy`, `audio_features`,
+`audio_fingerprint`) are exercised end-to-end and every bit decision
+is replayable in the DuckDB oracle from the same bytes.
+
+Registration order continues the registry; see queries/__init__.py for
+the chunk re-export contract.
+"""
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from iniz_exporters_spark.catalog import Catalog
+from iniz_exporters_spark.functions.text import poly_hash
+from iniz_exporters_spark.multimodal.binary import (
+    audio_features,
+    audio_fingerprint,
+    encode_wav_pcm8,
+    image_phash,
+    phash_neardup,
+)
+from iniz_exporters_spark.operators.dedup import simhash_signatures
+from iniz_exporters_spark.operators.similarity import dot, norm, sign_bucket
+from iniz_exporters_spark.queries._base import register
+from iniz_exporters_spark.queries.p01 import _SQL_POLY, _SQL_SIMHASH_CTE
+from iniz_exporters_spark.queries.p02 import _PHASH_BANDS_CTE, _phash_payload
+from iniz_exporters_spark.queries.p12 import _ANN_TARGET_BUCKET
+from iniz_exporters_spark.session import spread_for_kernel
+
+
+def _wav_payload(d: DataFrame) -> DataFrame:
+    """Deterministic RIFF/WAVE payloads from document text: 8-bit mono
+    PCM at 8 kHz whose raw samples are exactly the UTF-8 text bytes, so
+    the REAL `decode_wav_numpy` path runs end-to-end and the oracle can
+    replay every sample as (byte - 128) from hex(encode(text))."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_wav_pcm8((t or "").encode("utf-8"))
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return spread_for_kernel(d.select("doc_id", "text")).mapInPandas(
+        batches, "doc_id long, payload binary"
+    )
+
+
+# The oracle-side sample list shared by the audio queries: per doc, the
+# signed 8-bit PCM samples (byte - 128) recovered from hex(encode(text)) —
+# bit-exact against decode_wav_numpy's (b - 128)/128 up to the uniform
+# 1/128 scale, which cancels in every comparison below.
+_SQL_WAV_SAMPLES_CTE = """
+    e AS (SELECT doc_id, hex(encode(text)) AS h,
+                 octet_length(encode(text)) AS n
+          FROM documents WHERE octet_length(encode(text)) > 0),
+    p AS (SELECT doc_id, n,
+                 list_transform(range(0, n),
+                     q -> ('0x' || substring(h, 2 * q + 1, 2))::BIGINT - 128
+                 ) AS s
+          FROM e)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 1. Paired image-text alignment filtering (CLIP-score-style sweep)
+# ---------------------------------------------------------------------------
+# Keep-threshold grid (all exact dyadic doubles, so >= comparisons are
+# identical in both engines): the LAION convention sweeps the CLIP-score
+# cutoff and reports retention per threshold before picking one.
+_ALIGN_GRID = (-0.5, -0.25, -0.125, 0.0, 0.125, 0.25, 0.5)
+_SQL_ALIGN_GRID = ", ".join(str(t) for t in _ALIGN_GRID)
+
+
+@register(
+    "imagetext_alignment_q",
+    f"""
+    WITH {_PHASH_BANDS_CTE}, {_SQL_SIMHASH_CTE},
+    al AS (
+        SELECT CAST(bit_count(xor(b.b0::BIGINT + b.b1::BIGINT * 65536,
+                                  sig.simhash)) AS INT) AS hd
+        FROM b JOIN sig ON b.doc_id = sig.doc_id
+    ),
+    hist AS (SELECT hd, COUNT(*) AS n FROM al GROUP BY hd),
+    sw AS (
+        SELECT hist.hd, hist.n, g.threshold
+        FROM hist,
+             (SELECT unnest([{_SQL_ALIGN_GRID}]::DOUBLE[]) AS threshold) g
+    ),
+    agg AS (
+        SELECT threshold, SUM(n) AS nt,
+               SUM(CASE WHEN (16 - hd) / 16.0 >= threshold
+                        THEN n END) AS nk,
+               SUM(CASE WHEN (16 - hd) / 16.0 >= threshold
+                        THEN n * (16 - hd) / 16.0 END) AS ck
+        FROM sw GROUP BY threshold
+    )
+    SELECT threshold,
+           CAST(nt AS BIGINT) AS n_total,
+           CAST(COALESCE(nk, 0) AS BIGINT) AS n_kept,
+           ROUND(CAST(COALESCE(nk, 0)::DOUBLE / nt AS DECIMAL(28,12)),
+                 6)::DOUBLE AS keep_share,
+           ROUND(CAST(ck / nk AS DECIMAL(28,12)), 6)::DOUBLE
+               AS mean_cos_kept
+    FROM agg
+    """,
+)
+def imagetext_alignment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired image-text alignment filtering with a keep-threshold
+    sweep — the LAION-400M/5B curation step (Schuhmann et al. 2021:
+    drop pairs whose image/text CLIP cosine falls below a cutoff,
+    sweeping the cutoff to pick retention): per (image, caption) pair,
+    the cosine between the image-side sign embedding (the 32 low bits
+    of the 64-bit perceptual hash as a ±1 vector) and the text-side
+    sign embedding (the 32-bit SimHash as a ±1 vector) — for ±1
+    vectors cosine is EXACTLY (16 - hamming)/16, so the whole sweep is
+    integer arithmetic. One row per threshold in the fixed grid:
+    retention count/share and the mean alignment of what survives.
+
+    Scale shape: both embeddings are per-row Arrow-kernel work
+    (`image_phash`, `simhash_signatures` — no shuffle); the pair join
+    is one doc_id co-partition; everything after collapses to a
+    <=33-row Hamming HISTOGRAM before the grid touches it, so the
+    threshold sweep costs O(33 x |grid|) regardless of corpus size —
+    the corpus is never exploded per threshold.
+    """
+    d = Catalog(spark, sf_dir).documents.filter(F.octet_length("text") > 0)
+    ph = image_phash(_phash_payload(d), "payload", "doc_id")
+    img32 = F.col("b0").cast("long") + F.col("b1").cast("long") * 65536
+    sig = simhash_signatures(d, "doc_id", "text", bits=32)
+    al = ph.join(sig, "doc_id").select(
+        F.bit_count(img32.bitwiseXOR(F.col("simhash")))
+        .cast("int")
+        .alias("hd")
+    )
+    hist = al.groupBy("hd").agg(F.count(F.lit(1)).alias("n"))
+    cos = (F.lit(16) - F.col("hd")).cast("double") / 16.0
+    kept = cos >= F.col("threshold")
+    sw = hist.select(
+        "hd",
+        "n",
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in _ALIGN_GRID])
+        ).alias("threshold"),
+    )
+    agg = sw.groupBy("threshold").agg(
+        F.sum("n").alias("nt"),
+        F.sum(F.when(kept, F.col("n"))).alias("nk"),
+        F.sum(F.when(kept, F.col("n") * cos)).alias("ck"),
+    )
+    return agg.select(
+        "threshold",
+        F.col("nt").cast("long").alias("n_total"),
+        F.coalesce(F.col("nk"), F.lit(0)).cast("long").alias("n_kept"),
+        F.round(
+            (
+                F.coalesce(F.col("nk"), F.lit(0)).cast("double")
+                / F.col("nt")
+            ).cast("decimal(28,12)"),
+            6,
+        )
+        .cast("double")
+        .alias("keep_share"),
+        F.round(
+            (F.col("ck") / F.col("nk")).cast("decimal(28,12)"), 6
+        )
+        .cast("double")
+        .alias("mean_cos_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Audio near-duplicate fingerprinting (band-energy hash -> banded LSH)
+# ---------------------------------------------------------------------------
+# Hamming radius for the banded verify: <= 3 is EXACT recall by pigeonhole
+# over the four 16-bit bands (the phash_neardup contract).
+_AUD_HAM = 3
+
+# Oracle-side fingerprint: 64 window energies over 256 virtual samples
+# (cyclic extension), bit w set when 64 * e_w > total — integer-exact, the
+# same decision audio_fingerprint's float path makes (every sample is a
+# dyadic rational k/128, so the float comparisons are exact).
+def _aud_band_sql(j: int) -> str:
+    lo = 16 * j
+    return (
+        f"CAST(list_sum(list_transform(range({lo}, {lo + 16}), "
+        f"k -> CASE WHEN 64 * en[k + 1] > total "
+        f"THEN 1 << (k - {lo}) ELSE 0 END)) AS INT) AS b{j}"
+    )
+
+
+_SQL_AUDIO_FP_CTE = f"""
+    {_SQL_WAV_SAMPLES_CTE},
+    v AS (SELECT doc_id,
+                 list_transform(range(0, 256), q -> s[(q % n) + 1]) AS sv
+          FROM p),
+    w AS (SELECT doc_id,
+                 list_transform(range(0, 64),
+                     w -> sv[4*w+1]*sv[4*w+1] + sv[4*w+2]*sv[4*w+2]
+                        + sv[4*w+3]*sv[4*w+3] + sv[4*w+4]*sv[4*w+4]
+                 ) AS en
+          FROM v),
+    t AS (SELECT doc_id, en, list_sum(en) AS total FROM w),
+    fp AS (SELECT doc_id, {_aud_band_sql(0)}, {_aud_band_sql(1)},
+                  {_aud_band_sql(2)}, {_aud_band_sql(3)}
+           FROM t)
+"""
+
+
+@register(
+    "audio_neardup_q",
+    f"""
+    WITH {_SQL_AUDIO_FP_CTE},
+    cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+               CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+                  + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+                    AS INT) AS hamming
+        FROM fp x JOIN fp y
+          ON x.doc_id < y.doc_id
+         AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+    )
+    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {_AUD_HAM}
+    """,
+)
+def audio_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs by banded Hamming distance over a
+    64-bit band-energy fingerprint — the Haitsma-Kalker (2002) robust-
+    audio-hash family, the audio complement of `phash_neardup` /
+    `simhash_neardup_q` (speech/music corpora are deduplicated on
+    perceptual fingerprints because re-encoded copies never match
+    byte-exactly). Payloads are deterministic 8-bit PCM WAVs from text
+    bytes; the REAL RIFF/WAVE decoder (`decode_wav_numpy`) runs inside
+    `audio_fingerprint`, and the oracle replays every window-energy bit
+    decision from the same bytes.
+
+    Scale shape: fingerprinting is per-row Arrow-kernel work (two
+    chained mapInPandas, NO shuffle between them); the pair stage is
+    `phash_neardup`'s banded LSH — only (id, band, 4 ints) rows ever
+    shuffle, candidates are band-collision-bounded, and the Hamming
+    verify is a codegen'd popcount. Recall at radius {_AUD_HAM} is
+    EXACT by pigeonhole over the four 16-bit bands.
+    """
+    d = Catalog(spark, sf_dir).documents.filter(F.octet_length("text") > 0)
+    fp = audio_fingerprint(_wav_payload(d), "payload", "doc_id")
+    return phash_neardup(fp, "doc_id", max_hamming=_AUD_HAM)
+
+
+# ---------------------------------------------------------------------------
+# 3. Cross-lingual eval-suite decontamination over sign-bucket ANN
+# ---------------------------------------------------------------------------
+# Suite membership: content-hash mod — the suite GROWS WITH THE CORPUS
+# (a multilingual eval pool), which is exactly why this query cannot use
+# embedding_decontam_q's broadcast pattern and must generate candidates
+# from the adaptive sign-bucket equi-join instead.
+_XL_MOD = 10
+# Flag threshold on rounded cosine: 0.25 sits at the ~15% tail of the
+# best-cross-label-match distribution at every gate scale (mixed flags).
+_XL_TAU = 0.25
+
+
+@register(
+    "crosslingual_decontam_q",
+    f"""
+    WITH cfg AS (
+        SELECT 4 + GREATEST(0, length(printf('%b',
+                   GREATEST(COUNT(*) // {_ANN_TARGET_BUCKET}, 1))) - 1)
+               AS bits
+        FROM embeddings
+    ),
+    e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               list_reduce(list_transform(
+                   range(0, (SELECT bits FROM cfg)), d ->
+                   CASE WHEN embedding[d + 1] >= 0
+                        THEN power(2, d)::BIGINT ELSE 0::BIGINT END),
+                   (x, y) -> x + y) AS bucket,
+               {_SQL_POLY.format(s="'xl:' || vec_id::VARCHAR")} AS hm
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS sid, label AS slabel, v AS sv, bucket
+          FROM e WHERE hm % {_XL_MOD} = 0),
+    tr AS (SELECT vec_id, label, v, bucket FROM e
+           WHERE hm % {_XL_MOD} <> 0),
+    sc AS (
+        SELECT tr.vec_id, tr.label, q.sid, q.slabel,
+               ROUND(CAST(
+                   list_reduce(list_transform(range(1, len(tr.v) + 1),
+                       i -> tr.v[i] * q.sv[i]), (a, b) -> a + b)
+                   / NULLIF(
+                      sqrt(list_reduce(list_transform(tr.v, x -> x * x),
+                           (a, b) -> a + b))
+                      * sqrt(list_reduce(list_transform(q.sv, x -> x * x),
+                             (a, b) -> a + b)), 0.0)
+                   AS DECIMAL(28,12)), 6)::DOUBLE AS cos
+        FROM tr JOIN q
+          ON tr.bucket = q.bucket AND tr.label <> q.slabel
+    ),
+    best AS (
+        SELECT vec_id, label, sid, slabel, cos,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC NULLS LAST, sid) AS rn
+        FROM sc
+    )
+    SELECT vec_id, label,
+           sid AS nn_suite_id, slabel AS nn_suite_label,
+           cos AS max_cos,
+           COALESCE(cos >= {_XL_TAU}, FALSE) AS contaminated
+    FROM best WHERE rn = 1
+    """,
+)
+def crosslingual_decontam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual eval decontamination: translated contamination
+    slips past exact-substring and token-n-gram matching (public
+    multilingual eval reports quarantine train docs whose EMBEDDING
+    matches a benchmark item in another language), so each training
+    vector is checked against suite vectors with a DIFFERENT label
+    (label = language proxy) in the SAME adaptive sign-bucket. Flagged
+    when best cross-label cosine >= {_XL_TAU}.
+
+    Scale shape: the suite is a content-hash mod-{_XL_MOD} split — it
+    GROWS with the corpus, so `embedding_decontam_q`'s constant-size
+    broadcast is the wrong plan here; candidates come from
+    `knn_loo_ann_q`'s adaptive sign-bucket equi-join (bits = 4 +
+    integer-log2(n/{_ANN_TARGET_BUCKET}), mean occupancy ~31 at any n
+    -> per-bucket suite x train work stays LINEAR in the corpus). One
+    shuffle on the bucket key; no broadcast of corpus data. Train
+    vectors whose bucket holds no cross-label suite vector drop out by
+    construction (the knn_loo_ann_q convention — their contamination
+    status is unknown at this LSH depth, the documented recall trade).
+    """
+    base = Catalog(spark, sf_dir).embeddings
+    n = base.count()
+    bits = 4 + max(0, (max(n // _ANN_TARGET_BUCKET, 1)).bit_length() - 1)
+    e = base.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        sign_bucket(F.col("embedding"), bits=bits).alias("bucket"),
+        (
+            poly_hash(
+                F.concat(F.lit("xl:"), F.col("vec_id").cast("string"))
+            )
+            % _XL_MOD
+        ).alias("hm"),
+    )
+    suite = e.filter(F.col("hm") == 0).select(
+        F.col("vec_id").alias("sid"),
+        F.col("label").alias("slabel"),
+        F.col("v").alias("sv"),
+        "bucket",
+    )
+    tr = e.filter(F.col("hm") != 0).select(
+        "vec_id", "label", "v", "bucket"
+    )
+    guarded_cos = dot(F.col("v"), F.col("sv")) / F.nullif(
+        norm(F.col("v")) * norm(F.col("sv")), F.lit(0.0)
+    )
+    sc = (
+        tr.join(suite, "bucket")
+        .filter(F.col("label") != F.col("slabel"))
+        .select(
+            "vec_id",
+            "label",
+            "sid",
+            "slabel",
+            F.round(guarded_cos.cast("decimal(28,12)"), 6)
+            .cast("double")
+            .alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc_nulls_last(), "sid"
+    )
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("sid").alias("nn_suite_id"),
+            F.col("slabel").alias("nn_suite_label"),
+            F.col("cos").alias("max_cos"),
+            F.coalesce(
+                F.col("cos") >= _XL_TAU, F.lit(False)
+            ).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Audio quality/keep filter from real signal features
+# ---------------------------------------------------------------------------
+# Keep gates (speech-curation convention: drop too-short, too-quiet/loud,
+# and spectrally-degenerate clips). Thresholds sit inside the observed
+# feature spread at every gate scale (~50% keep); every comparison is on
+# RAW feature doubles that both engines derive bit-identically from the
+# same dyadic-exact sample math.
+_AQ_MIN_DUR = 0.01
+_AQ_RMS_LO = 0.34
+_AQ_RMS_HI = 0.36
+_AQ_MAX_HIBAND = 1.10
+
+
+@register(
+    "audio_quality_filter_q",
+    f"""
+    WITH {_SQL_WAV_SAMPLES_CTE},
+    m AS (
+        SELECT doc_id, n,
+               list_sum(list_transform(s, v -> v * v)) AS e2,
+               list_sum(list_transform(s, v -> abs(v))) AS a1,
+               list_max(list_transform(s, v -> abs(v))) AS pk,
+               COALESCE(list_sum(list_transform(range(2, n + 1),
+                   i -> CASE WHEN (s[i] < 0) <> (s[i-1] < 0)
+                        THEN 1 ELSE 0 END)), 0) AS zc,
+               COALESCE(list_sum(list_transform(range(2, n + 1),
+                   i -> (s[i] - s[i-1]) * (s[i] - s[i-1]))), 0) AS d2
+        FROM p
+    ),
+    f AS (
+        SELECT doc_id,
+               n / 8000.0 AS dur,
+               sqrt((e2::DOUBLE / 16384.0) / n) AS rms,
+               (a1::DOUBLE / 128.0) / n AS mean_abs,
+               pk::DOUBLE / 128.0 AS peak,
+               zc::DOUBLE / n AS zcr,
+               CASE WHEN e2 = 0 THEN 0.0
+                    ELSE d2::DOUBLE / e2::DOUBLE END AS hiband
+        FROM m
+    )
+    SELECT doc_id,
+           ROUND(CAST(dur AS DECIMAL(28,12)), 6)::DOUBLE AS duration_sec,
+           ROUND(CAST(rms AS DECIMAL(28,12)), 6)::DOUBLE AS rms,
+           ROUND(CAST(mean_abs AS DECIMAL(28,12)), 6)::DOUBLE AS mean_abs,
+           ROUND(CAST(peak AS DECIMAL(28,12)), 6)::DOUBLE AS peak,
+           ROUND(CAST(zcr AS DECIMAL(28,12)), 6)::DOUBLE AS zcr,
+           ROUND(CAST(hiband AS DECIMAL(28,12)), 6)::DOUBLE AS hiband,
+           dur >= {_AQ_MIN_DUR} AND rms >= {_AQ_RMS_LO}
+               AND rms <= {_AQ_RMS_HI} AND hiband <= {_AQ_MAX_HIBAND}
+               AS kept
+    FROM f
+    """,
+)
+def audio_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio quality filtering from REAL signal features — the speech-
+    corpus curation step (LibriLight/VoxPopuli-style pipelines gate
+    clips on duration, level, and spectral shape before transcription):
+    per clip, duration / RMS / mean level / peak / zero-crossing rate /
+    high-band energy ratio from `audio_features`' real WAVE decode, and
+    a keep decision (duration >= {_AQ_MIN_DUR}s, RMS inside
+    [{_AQ_RMS_LO}, {_AQ_RMS_HI}], spectral-tilt proxy <=
+    {_AQ_MAX_HIBAND}).
+
+    Scale shape: two chained per-row Arrow kernels (WAV synthesis +
+    `audio_features`' real decode) with NO shuffle anywhere — the whole
+    query is a single codegen'd-adjacent map pipeline, linear and
+    embarrassingly parallel at any corpus size. The keep comparison
+    runs on raw feature doubles; both engines derive them from the same
+    dyadic-exact integer sample sums (8-bit PCM -> every sample is
+    k/128), so the gates cannot diverge on rounding.
+    """
+    d = Catalog(spark, sf_dir).documents.filter(F.octet_length("text") > 0)
+    feats = audio_features(_wav_payload(d), "payload", "doc_id")
+    f = feats.select(
+        "doc_id",
+        F.col("features")[0].alias("dur"),
+        F.col("features")[3].alias("rms"),
+        F.col("features")[4].alias("mean_abs"),
+        F.col("features")[5].alias("peak"),
+        F.col("features")[6].alias("zcr"),
+        F.col("features")[7].alias("hiband"),
+    )
+    kept = (
+        (F.col("dur") >= _AQ_MIN_DUR)
+        & (F.col("rms") >= _AQ_RMS_LO)
+        & (F.col("rms") <= _AQ_RMS_HI)
+        & (F.col("hiband") <= _AQ_MAX_HIBAND)
+    )
+
+    def _disp(c: str, out: str):
+        return (
+            F.round(F.col(c).cast("decimal(28,12)"), 6)
+            .cast("double")
+            .alias(out)
+        )
+
+    return f.select(
+        "doc_id",
+        _disp("dur", "duration_sec"),
+        _disp("rms", "rms"),
+        _disp("mean_abs", "mean_abs"),
+        _disp("peak", "peak"),
+        _disp("zcr", "zcr"),
+        _disp("hiband", "hiband"),
+        kept.alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Cross-modal hard-negative mining (contrastive-margin audit)
+# ---------------------------------------------------------------------------
+@register(
+    "crossmodal_hard_negatives_q",
+    f"""
+    WITH {_PHASH_BANDS_CTE}, {_SQL_SIMHASH_CTE},
+    cfg AS (
+        SELECT 4 + GREATEST(0, length(printf('%b',
+                   GREATEST(COUNT(*) // {_ANN_TARGET_BUCKET}, 1))) - 1)
+               AS bits
+        FROM e
+    ),
+    im AS (SELECT doc_id, b0::BIGINT + b1::BIGINT * 65536 AS img32 FROM b),
+    ts AS (SELECT sig.doc_id, sig.simhash
+           FROM sig JOIN e ON sig.doc_id = e.doc_id),
+    own AS (
+        SELECT im.doc_id, im.img32,
+               (16 - bit_count(xor(im.img32, ts.simhash)))::DOUBLE / 16.0
+                   AS oc
+        FROM im JOIN ts ON im.doc_id = ts.doc_id
+    ),
+    ib AS (SELECT doc_id, img32,
+                  img32 & ((1::BIGINT << (SELECT bits FROM cfg)) - 1)
+                      AS bucket
+           FROM im),
+    tb AS (SELECT doc_id AS neg_doc, simhash,
+                  simhash & ((1::BIGINT << (SELECT bits FROM cfg)) - 1)
+                      AS bucket
+           FROM ts),
+    cand AS (
+        SELECT ib.doc_id, tb.neg_doc,
+               CAST(bit_count(xor(ib.img32, tb.simhash)) AS INT) AS hd
+        FROM ib JOIN tb
+          ON ib.bucket = tb.bucket AND ib.doc_id <> tb.neg_doc
+    ),
+    best AS (
+        SELECT doc_id, neg_doc, hd,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY hd, neg_doc) AS rn
+        FROM cand
+    )
+    SELECT own.doc_id,
+           ROUND(CAST(own.oc AS DECIMAL(28,12)), 6)::DOUBLE AS own_cos,
+           best.neg_doc,
+           ROUND(CAST((16 - best.hd)::DOUBLE / 16.0 AS DECIMAL(28,12)),
+                 6)::DOUBLE AS neg_cos,
+           ROUND(CAST(own.oc - (16 - best.hd)::DOUBLE / 16.0
+                 AS DECIMAL(28,12)), 6)::DOUBLE AS margin
+    FROM own LEFT JOIN best
+      ON own.doc_id = best.doc_id AND best.rn = 1
+    """,
+)
+def crossmodal_hard_negatives_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-modal hard-negative mining — the contrastive-training
+    margin audit (CLIP-style training quality depends on hard
+    negatives; public retrieval pipelines mine the highest-scoring
+    NON-pair caption per image and track the own-vs-hardest-negative
+    margin): per image, the hardest negative caption inside its
+    deterministic hash bucket (highest sign-embedding cosine, tie to
+    the lowest doc id), the pair's own alignment, and the margin.
+    Images with no in-bucket negative keep NULL negative columns
+    (LEFT semantics — every pair is audited).
+
+    Scale shape: the candidate pool is an adaptive-depth hash-bucket
+    join (the `knn_loo_ann_q` pattern: bits = 4 + integer-log2(
+    n/{_ANN_TARGET_BUCKET}), mean pool ~31 candidates at any corpus
+    size -> total work LINEAR in n); one shuffle on the bucket key, one
+    doc_id co-partition for the own-pair score, no broadcast of corpus
+    data, no cartesian. Cosines between ±1 sign vectors are exact
+    integer arithmetic ((16 - hamming)/16), so margins are exact.
+    """
+    d = Catalog(spark, sf_dir).documents.filter(F.octet_length("text") > 0)
+    n = d.count()
+    bits = 4 + max(0, (max(n // _ANN_TARGET_BUCKET, 1)).bit_length() - 1)
+    mask = (1 << bits) - 1
+    ph = image_phash(_phash_payload(d), "payload", "doc_id")
+    im = ph.select(
+        "doc_id",
+        (F.col("b0").cast("long") + F.col("b1").cast("long") * 65536)
+        .alias("img32"),
+    )
+    ts = simhash_signatures(d, "doc_id", "text", bits=32)
+    own = im.join(ts, "doc_id").select(
+        "doc_id",
+        (
+            (
+                F.lit(16)
+                - F.bit_count(F.col("img32").bitwiseXOR(F.col("simhash")))
+            ).cast("double")
+            / 16.0
+        ).alias("oc"),
+    )
+    ib = im.select(
+        "doc_id", "img32", F.col("img32").bitwiseAND(mask).alias("bucket")
+    )
+    tb = ts.select(
+        F.col("doc_id").alias("neg_doc"),
+        "simhash",
+        F.col("simhash").bitwiseAND(mask).alias("bucket"),
+    )
+    cand = (
+        ib.join(tb, "bucket")
+        .filter(F.col("doc_id") != F.col("neg_doc"))
+        .select(
+            "doc_id",
+            "neg_doc",
+            F.bit_count(F.col("img32").bitwiseXOR(F.col("simhash")))
+            .cast("int")
+            .alias("hd"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("hd", "neg_doc")
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "neg_doc", "hd")
+    )
+    neg_cos = (F.lit(16) - F.col("hd")).cast("double") / 16.0
+    return own.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.round(F.col("oc").cast("decimal(28,12)"), 6)
+        .cast("double")
+        .alias("own_cos"),
+        "neg_doc",
+        F.round(neg_cos.cast("decimal(28,12)"), 6)
+        .cast("double")
+        .alias("neg_cos"),
+        F.round(
+            (F.col("oc") - neg_cos).cast("decimal(28,12)"), 6
+        )
+        .cast("double")
+        .alias("margin"),
+    )

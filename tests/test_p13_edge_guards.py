@@ -1,0 +1,147 @@
+"""Edge-input guards for the p13 batch (hostile-input probe, the same
+review discipline as test_p10/p11/p12_edge_guards): the synthetic
+corpus never produces empty or token-free documents nor zero vectors,
+so the oracle gate alone cannot regress-test them — hostile rows
+inject through the Catalog seam instead.
+
+Probe findings for this batch: no live defect — empty text is filtered
+symmetrically by the octet_length(text) > 0 gate in all four document
+queries (matching the oracle CTE's WHERE); a token-free doc gets
+SimHash 0 but still hashes on the image/audio side and flows through
+every per-doc output; a zero embedding vector lands in the all-signs
+bucket with NULL cosines, ranks NULLS LAST, and can never be flagged
+contaminated. These tests pin that behavior.
+"""
+
+import pyspark.sql.functions as F
+
+from iniz_exporters_spark.catalog import Catalog
+from iniz_exporters_spark.queries import REGISTRY
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+_HOSTILE_ID = 1_000_000_000
+# punctuation-only: zero regex tokens -> SimHash 0, nonzero bytes
+_TOKEN_FREE_DOC = (_HOSTILE_ID, "!!! ??? ...", "en", "src0", 11)
+_EMPTY_DOC = (_HOSTILE_ID, "", "en", "src0", 0)
+# poly('xl:1000000000') % 10 == 6 -> train side of the mod split
+_ZERO_VEC = (_HOSTILE_ID, [0.0] * 64, 3)
+
+_DOC_QUERIES = [
+    "imagetext_alignment_q",
+    "audio_neardup_q",
+    "audio_quality_filter_q",
+    "crossmodal_hard_negatives_q",
+]
+
+
+def _inject(spark, monkeypatch, table, row):
+    orig = Catalog._read_parquet
+
+    def patched(self, t):
+        df = orig(self, t)
+        if t == table:
+            extra = spark.createDataFrame([row], df.schema)
+            return df.unionByName(extra)
+        return df
+
+    monkeypatch.setattr(Catalog, "_read_parquet", patched)
+
+
+def test_empty_text_doc_is_filtered_everywhere(spark, monkeypatch):
+    base = {
+        name: REGISTRY[name].fn(spark, SF_SMALL).collect()
+        for name in _DOC_QUERIES
+    }
+    _inject(spark, monkeypatch, "documents", _EMPTY_DOC)
+    for name in _DOC_QUERIES:
+        got = REGISTRY[name].fn(spark, SF_SMALL).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, base[name])), (
+            f"{name}: an empty-text doc changed the result — the "
+            "octet_length gate must filter it exactly like the oracle"
+        )
+
+
+def test_alignment_counts_token_free_doc(spark, monkeypatch):
+    base = {
+        r["threshold"]: r["n_total"]
+        for r in REGISTRY["imagetext_alignment_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    _inject(spark, monkeypatch, "documents", _TOKEN_FREE_DOC)
+    got = {
+        r["threshold"]: r["n_total"]
+        for r in REGISTRY["imagetext_alignment_q"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert got == {t: n + 1 for t, n in base.items()}, (
+        "a token-free doc still has an image hash and a (zero) text "
+        "signature — it must join the alignment population"
+    )
+
+
+def test_audio_quality_emits_token_free_doc(spark, monkeypatch):
+    _inject(spark, monkeypatch, "documents", _TOKEN_FREE_DOC)
+    row = (
+        REGISTRY["audio_quality_filter_q"]
+        .fn(spark, SF_SMALL)
+        .filter(F.col("doc_id") == _HOSTILE_ID)
+        .collect()
+    )
+    assert len(row) == 1
+    r = row[0]
+    # 11 bytes at 8 kHz = 0.001375 s < the duration gate -> dropped
+    assert abs(r["duration_sec"] - 11 / 8000.0) < 1e-9
+    assert r["kept"] is False
+
+
+def test_audio_neardup_absorbs_token_free_doc(spark, monkeypatch):
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["audio_neardup_q"].fn(spark, SF_SMALL).collect()
+    }
+    _inject(spark, monkeypatch, "documents", _TOKEN_FREE_DOC)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["audio_neardup_q"].fn(spark, SF_SMALL).collect()
+    }
+    # the hostile payload fingerprints fine; existing pairs are stable
+    # (pair semantics are per-pair, not corpus-dependent)
+    assert base <= got
+    assert all(
+        _HOSTILE_ID in p for p in got - base
+    ), "injecting one doc must only ever ADD pairs involving it"
+
+
+def test_crossmodal_emits_token_free_doc(spark, monkeypatch):
+    _inject(spark, monkeypatch, "documents", _TOKEN_FREE_DOC)
+    row = (
+        REGISTRY["crossmodal_hard_negatives_q"]
+        .fn(spark, SF_SMALL)
+        .filter(F.col("doc_id") == _HOSTILE_ID)
+        .collect()
+    )
+    assert len(row) == 1
+    assert row[0]["own_cos"] is not None, (
+        "SimHash 0 is a valid (all -1) sign vector — the pair must "
+        "still score"
+    )
+
+
+def test_crosslingual_absorbs_zero_vector(spark, monkeypatch):
+    _inject(spark, monkeypatch, "embeddings", _ZERO_VEC)
+    got = (
+        REGISTRY["crosslingual_decontam_q"]
+        .fn(spark, SF_SMALL)
+        .filter(F.col("vec_id") == _HOSTILE_ID)
+        .collect()
+    )
+    # the zero vector is train-side (hash mod 6); it may or may not
+    # find cross-label suite candidates in the all-signs bucket, but if
+    # it does its cosines are NULL (no direction), rank NULLS LAST, and
+    # it must NEVER be flagged contaminated
+    for r in got:
+        assert r["max_cos"] is None
+        assert r["contaminated"] is False

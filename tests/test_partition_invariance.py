@@ -151,6 +151,12 @@ SENSITIVE = [
     "knn_loo_ann_q",               # bucket-join d2 row_number votes
     "doc_memorization_risk_q",     # gram stats join + per-doc shares
     "quality_psi_drift_q",         # decimal-quantized PSI term sums
+    # round-14 batch (queries/p13.py)
+    "imagetext_alignment_q",       # kernel-join histogram + grid sums
+    "audio_neardup_q",             # banded-LSH dropDuplicates pairs
+    "crosslingual_decontam_q",     # rounded-cos row_number top-1
+    "audio_quality_filter_q",      # chained kernels, raw-double gates
+    "crossmodal_hard_negatives_q", # bucket-join min-hd row_number
 ]
 
 
