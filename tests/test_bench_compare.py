@@ -9,8 +9,11 @@ Spark involved.
 """
 
 import json
+import os
 import subprocess
 import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_compare(tmp_path, old, new):
@@ -21,7 +24,7 @@ def run_compare(tmp_path, old, new):
         [sys.executable, "tools/bench_compare.py", str(a), str(b)],
         capture_output=True,
         text=True,
-        cwd="/root/repo",
+        cwd=REPO,
         timeout=60,
     )
     assert out.returncode == 0, out.stderr
@@ -109,7 +112,7 @@ def test_driver_and_self_artifact_shapes_load(tmp_path):
     b.write_text(json.dumps(selfrun))
     out = subprocess.run(
         [sys.executable, "tools/bench_compare.py", str(a), str(b)],
-        capture_output=True, text=True, cwd="/root/repo", timeout=60,
+        capture_output=True, text=True, cwd=REPO, timeout=60,
     )
     assert out.returncode == 0, out.stderr
     assert "shared queries: 1" in out.stdout

@@ -12,8 +12,12 @@ import importlib.util
 import json
 import os
 
+# Relocation-safe paths (same rule as test_registry_growth_cap, per
+# ADVICE r13 #2): everything derives from this file's location.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 SPEC = importlib.util.spec_from_file_location(
-    "__spark_entry__", "/root/repo/__spark_entry__.py"
+    "__spark_entry__", os.path.join(_REPO, "__spark_entry__.py")
 )
 ENTRY = importlib.util.module_from_spec(SPEC)
 SPEC.loader.exec_module(ENTRY)
@@ -43,7 +47,7 @@ def test_window_targets_never_driver_checked_queries():
     import glob
 
     prev: set = set()
-    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         for name, row in json.load(open(path)).items():
             if isinstance(row, dict) and not row.get("hash_match"):
                 continue  # err / mismatch row: never verified

@@ -17,8 +17,14 @@ import importlib.util
 import json
 import os
 
+# Repo root derived from this file's location (ADVICE r13 #2 made the
+# policy re-derivation relocation-safe; the SPEC load and the ledger
+# glob below follow the same rule so the whole file works from any
+# checkout path).
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 SPEC = importlib.util.spec_from_file_location(
-    "__spark_entry__", "/root/repo/__spark_entry__.py"
+    "__spark_entry__", os.path.join(_REPO, "__spark_entry__.py")
 )
 ENTRY = importlib.util.module_from_spec(SPEC)
 SPEC.loader.exec_module(ENTRY)
@@ -28,7 +34,7 @@ CAP = 49
 
 def _driver_checked() -> set:
     checked: set = set()
-    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         for name, row in json.load(open(path)).items():
             if isinstance(row, dict) and not row.get("hash_match"):
                 continue  # err / mismatch row: never verified

@@ -16,12 +16,15 @@ checklist.
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from iniz_exporters_spark.catalog import TESTDATA_TABLES
 from iniz_exporters_spark.queries import REGISTRY

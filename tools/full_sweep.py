@@ -22,10 +22,13 @@ round-close notes.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from tools.check_queries import check  # noqa: E402
 from iniz_exporters_spark.session import get_spark  # noqa: E402

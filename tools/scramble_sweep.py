@@ -22,10 +22,13 @@ Exit code 1 on any mismatch/error.
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from iniz_exporters_spark.catalog import Catalog  # noqa: E402
 from iniz_exporters_spark.queries import REGISTRY  # noqa: E402
