@@ -88,6 +88,14 @@ _SLOPE_EXTRA = [
 # Slope readings at or above this get one re-measurement at both scales
 # (min kept). 2.3 sits above the noise band of genuinely-linear entries
 # (~1-2.2) and below the sustained super-linear readings the radar hunts.
+#
+# Calibration (r14, PERFORMANCE.md §r14 slope re-read): RECHECKED ratios
+# run higher than the historical single-pass band because the recheck-min
+# deflates sf_small's overhead (r13 single-pass small reads were 3-8×
+# inflated; q1's sf_small 2.764 → 0.339 rechecked). Against rechecked
+# minimums, a 10× data step reads ratio ≈ 10 for linear work — scan-bound
+# headline entries land 3-3.6 and are comfortably sub-linear. Judge a
+# rechecked ratio against ~4, not the single-pass ~2.5 bar.
 SLOPE_RECHECK_THRESHOLD = 2.3
 
 
