@@ -11,12 +11,17 @@ only adapts the registry to the driver's calling convention.
 
 from __future__ import annotations
 
+import os
 import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, "/root/repo")
+# Package root derived from this file's location, NOT hardcoded: the tests
+# that exec this module from a derived path (test_entry_window,
+# test_registry_growth_cap) would otherwise have a stale /root/repo
+# shadow the relocated checkout's package in sys.modules.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from iniz_exporters_spark.queries import REGISTRY
 from iniz_exporters_spark.session import tune_for_session

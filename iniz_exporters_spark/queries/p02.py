@@ -297,13 +297,22 @@ from iniz_exporters_spark.multimodal.binary import (  # noqa: E402
 )
 
 
-def _phash_band_sql(j: int) -> str:
+def _band_sql(col: str, j: int) -> str:
+    """16-bit band packer shared by the phash oracle (col=px) and p13's
+    audio-fingerprint oracle (col=en): bit k of band j is set when
+    64 * <col>[k+1] > total. This defines the band geometry behind
+    phash_neardup's pigeonhole-recall contract — edit HERE so the two
+    oracles cannot diverge."""
     lo = 16 * j
     return (
         f"CAST(list_sum(list_transform(range({lo}, {lo + 16}), "
-        f"k -> CASE WHEN 64 * px[k + 1] > total "
+        f"k -> CASE WHEN 64 * {col}[k + 1] > total "
         f"THEN 1 << (k - {lo}) ELSE 0 END)) AS INT) AS b{j}"
     )
+
+
+def _phash_band_sql(j: int) -> str:
+    return _band_sql("px", j)
 
 
 _PHASH_BANDS_CTE = f"""

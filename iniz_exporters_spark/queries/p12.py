@@ -948,6 +948,28 @@ def boilerplate_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sizes grow with n, so sum(n_b^2) is still quadratic) — the adaptive
 # depth is what makes this the genuine 100 TB path.
 _ANN_TARGET_BUCKET = 500
+
+
+def _ann_bits(n: int) -> int:
+    """Adaptive sign-LSH depth: 4 + integer-log2(n / _ANN_TARGET_BUCKET).
+
+    Keeps the MEAN bucket at ~_ANN_TARGET_BUCKET vectors at any corpus
+    size, so the per-bucket quadratic term sum(n_b^2) stays ~n * target
+    = LINEAR in n. Shared by knn_loo_ann_q and the p13 queries built on
+    "the knn_loo_ann_q pattern" (crosslingual_decontam_q,
+    crossmodal_hard_negatives_q); their oracles embed _ANN_BITS_SQL,
+    the DuckDB twin of this expression — edit both HERE so the three
+    query pairs cannot desynchronize.
+    """
+    return 4 + max(0, (max(n // _ANN_TARGET_BUCKET, 1)).bit_length() - 1)
+
+
+# DuckDB twin of ``_ann_bits``: the integer log2 comes from the
+# binary-repr length (rule 6 corollary), never libm log2. The fragment
+# carries the continuation indent of the cfg CTEs that embed it so the
+# generated oracle text is unchanged by the hoist.
+_ANN_BITS_SQL = f"""4 + GREATEST(0, length(printf('%b',
+                   GREATEST(COUNT(*) // {_ANN_TARGET_BUCKET}, 1))) - 1)"""
 @register(
     "knn_loo_ann_q",
     f"""
@@ -956,8 +978,7 @@ _ANN_TARGET_BUCKET = 500
         -- bucket holds ~{_ANN_TARGET_BUCKET} vectors at any scale; the
         -- integer log2 comes from the binary-repr length (rule 6
         -- corollary), never libm log2
-        SELECT 4 + GREATEST(0, length(printf('%b',
-                   GREATEST(COUNT(*) // {_ANN_TARGET_BUCKET}, 1))) - 1)
+        SELECT {_ANN_BITS_SQL}
                AS bits
         FROM embeddings
     ),
@@ -1037,7 +1058,7 @@ def knn_loo_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the mean bucket stays ~_ANN_TARGET_BUCKET vectors and the
     # per-bucket quadratic term sum(n_b^2) stays ~n * target = LINEAR.
     n = base.count()
-    bits = 4 + max(0, (max(n // _ANN_TARGET_BUCKET, 1)).bit_length() - 1)
+    bits = _ann_bits(n)
     e = base.select(
         "vec_id",
         "label",

@@ -41,8 +41,16 @@ from iniz_exporters_spark.operators.dedup import simhash_signatures
 from iniz_exporters_spark.operators.similarity import dot, norm, sign_bucket
 from iniz_exporters_spark.queries._base import register
 from iniz_exporters_spark.queries.p01 import _SQL_POLY, _SQL_SIMHASH_CTE
-from iniz_exporters_spark.queries.p02 import _PHASH_BANDS_CTE, _phash_payload
-from iniz_exporters_spark.queries.p12 import _ANN_TARGET_BUCKET
+from iniz_exporters_spark.queries.p02 import (
+    _PHASH_BANDS_CTE,
+    _band_sql,
+    _phash_payload,
+)
+from iniz_exporters_spark.queries.p12 import (
+    _ANN_BITS_SQL,
+    _ANN_TARGET_BUCKET,
+    _ann_bits,
+)
 from iniz_exporters_spark.session import spread_for_kernel
 
 
@@ -204,14 +212,10 @@ _AUD_HAM = 3
 # Oracle-side fingerprint: 64 window energies over 256 virtual samples
 # (cyclic extension), bit w set when 64 * e_w > total — integer-exact, the
 # same decision audio_fingerprint's float path makes (every sample is a
-# dyadic rational k/128, so the float comparisons are exact).
+# dyadic rational k/128, so the float comparisons are exact). The band
+# packer is p02's — one definition of the 16-bit band geometry.
 def _aud_band_sql(j: int) -> str:
-    lo = 16 * j
-    return (
-        f"CAST(list_sum(list_transform(range({lo}, {lo + 16}), "
-        f"k -> CASE WHEN 64 * en[k + 1] > total "
-        f"THEN 1 << (k - {lo}) ELSE 0 END)) AS INT) AS b{j}"
-    )
+    return _band_sql("en", j)
 
 
 _SQL_AUDIO_FP_CTE = f"""
@@ -288,8 +292,7 @@ _XL_TAU = 0.25
     "crosslingual_decontam_q",
     f"""
     WITH cfg AS (
-        SELECT 4 + GREATEST(0, length(printf('%b',
-                   GREATEST(COUNT(*) // {_ANN_TARGET_BUCKET}, 1))) - 1)
+        SELECT {_ANN_BITS_SQL}
                AS bits
         FROM embeddings
     ),
@@ -356,7 +359,7 @@ def crosslingual_decontam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     base = Catalog(spark, sf_dir).embeddings
     n = base.count()
-    bits = 4 + max(0, (max(n // _ANN_TARGET_BUCKET, 1)).bit_length() - 1)
+    bits = _ann_bits(n)
     e = base.select(
         "vec_id",
         "label",
@@ -530,8 +533,7 @@ def audio_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_PHASH_BANDS_CTE}, {_SQL_SIMHASH_CTE},
     cfg AS (
-        SELECT 4 + GREATEST(0, length(printf('%b',
-                   GREATEST(COUNT(*) // {_ANN_TARGET_BUCKET}, 1))) - 1)
+        SELECT {_ANN_BITS_SQL}
                AS bits
         FROM e
     ),
@@ -598,15 +600,23 @@ def crossmodal_hard_negatives_q(
     """
     d = Catalog(spark, sf_dir).documents.filter(F.octet_length("text") > 0)
     n = d.count()
-    bits = 4 + max(0, (max(n // _ANN_TARGET_BUCKET, 1)).bit_length() - 1)
+    bits = _ann_bits(n)
     mask = (1 << bits) - 1
     ph = image_phash(_phash_payload(d), "payload", "doc_id")
+    # Both kernel outputs feed TWO plan branches (own-pair join + the
+    # bucketed candidate side); checkpoint so the payload-synthesis +
+    # phash / simhash Arrow kernels — the dominant cost — run once, not
+    # once per branch (the p01/p03 multi-consumer convention). Tiny
+    # frames (doc_id + one long per doc), so the materialization is
+    # negligible at any scale.
     im = ph.select(
         "doc_id",
         (F.col("b0").cast("long") + F.col("b1").cast("long") * 65536)
         .alias("img32"),
+    ).localCheckpoint(eager=False)
+    ts = simhash_signatures(d, "doc_id", "text", bits=32).localCheckpoint(
+        eager=False
     )
-    ts = simhash_signatures(d, "doc_id", "text", bits=32)
     own = im.join(ts, "doc_id").select(
         "doc_id",
         (
