@@ -104,3 +104,23 @@ def test_audio_neardup_shuffles_only_fingerprint_rows(spark):
         f"audio payloads reached an exchange: {offenders}"
     )
     assert "CartesianProduct" not in plan
+
+
+def test_crossmodal_kernels_evaluate_once(spark):
+    # im/ts each feed TWO plan branches (own-pair join + bucketed
+    # candidates); the localCheckpoint on each kernel output is what
+    # keeps the payload-synthesis + phash/simhash kernels single-
+    # evaluation. Pin: both branches read checkpointed RDD scans and
+    # the Arrow kernel stages (ArrowEvalPython / MapInArrow) appear in
+    # NEITHER consuming branch of the executed plan.
+    plan = _plan(spark, "crossmodal_hard_negatives_q")
+    scans = plan.count("Scan ExistingRDD")
+    assert scans >= 2, (
+        "expected both kernel outputs (im phash32, ts simhash) to be "
+        f"checkpointed (>=2 ExistingRDD scans), found {scans} — a "
+        "revert re-runs the kernels once per consuming branch"
+    )
+    assert "ArrowEvalPython" not in plan and "MapInArrow" not in plan, (
+        "an Arrow kernel stage survived INSIDE the consuming plan — "
+        "kernel work is no longer single-evaluation"
+    )
