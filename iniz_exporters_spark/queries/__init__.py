@@ -59,8 +59,8 @@ from iniz_exporters_spark.queries.p02 import (
     _BPE_MERGES, _GOPHER_STOP_SQL, _KM_DIST, _MIX_RATES,
     _MM_EVERY_N, _MM_FB, _PHASH_BANDS_CTE, _PII_SPIKE_SQL,
     _PR_STEP, _SQL_QW, _SQL_TOK_ROWS, _WS_CLASS,
-    _bpe_apply_sql, _bpe_learn_sql, _jl_sql, _negative_samples_sql,
-    _phash_band_sql, _phash_payload, _pii_redact_sql, _pq_subspace_sql,
+    _band_sql, _bpe_apply_sql, _bpe_learn_sql, _jl_sql,
+    _negative_samples_sql, _phash_band_sql, _phash_payload, _pii_redact_sql, _pq_subspace_sql,
     _synth_url, _zorder16, analyze_table_stats, anomaly_zscore,
     approx_quantile_check, array_set_ops, bigram_logprob_query, bm25_score_q,
     bm25_search_topk, bpe_apply_q, bpe_learn64, bpe_learn_q,
@@ -203,7 +203,8 @@ from iniz_exporters_spark.queries.p11 import (
     seq_packing_q,
 )
 from iniz_exporters_spark.queries.p12 import (
-    _ANN_TARGET_BUCKET, _BP_DF, _EM_PREFIX, _MMD_HAM, _MMD_K,
+    _ANN_BITS_SQL, _ANN_TARGET_BUCKET, _BP_DF, _EM_PREFIX, _MMD_HAM,
+    _MMD_K, _ann_bits,
     _PSI_SQL_PROB, _SQL_C4_FULL, _SQL_GOPHER_FULL,
     boilerplate_fraction_q, cross_source_dup_matrix_q,
     doc_memorization_risk_q, eval_dirty_tokens_q,
