@@ -306,6 +306,34 @@ _PLAN_CHANGED: list[str] = [
     # postdate their plan edits), so they drop back to the ordinary
     # oldest-green-first pool per the ledger rule above.  r14 plan edits
     # are appended here as they happen.
+    #
+    # r14 OPTIMIZATION round (OPTIMIZATION_r14.md): multi-consumer
+    # double-evaluation pins (localCheckpoint before self-joins /
+    # fan-out unions) and two shuffle-narrowing rewrites. Every entry
+    # re-verified vs the unchanged oracle at sf0.001/0.01/0.1 before
+    # seating; results are bit-identical, only the physical plans moved.
+    "exact_substring_dedup_q",   # spans pinned: seed-join subtree 4x -> 1x
+    "adamic_adar_q",             # capped baskets pinned: 3 scans -> 1
+    "boilerplate_fraction_q",    # coverage leg: islands -> lag identity
+    "ccnet_bucket_q",            # token counts pre-aggregated + pinned
+    "knn_loo_ann_q",             # bucketed frame pinned: 2 scans -> 1
+    "phash_neardup",             # fingerprint pinned: decode kernel 2x -> 1x
+    "canonical_longest_q",       # inherits the phash_neardup pin
+    "decontaminated_split_q",    # inherits the phash_neardup pin
+    "simhash_neardup_q",         # signatures pinned: kernel 2x -> 1x
+    "neardup_pairs",             # bucket frame pinned: band kernel 2x -> 1x
+    "pipeline_clean_corpus",     # inherits the neardup_pairs pin
+    "lsh_precision_eval_q",      # inherits the neardup_pairs pin
+    "pipeline_waterfall_q",      # inherits the neardup_pairs pin
+    "knn_bruteforce",            # HOF cosine -> vectorized matmul kernel
+    "ann_recall_check",          # inherits the knn_bruteforce kernel
+    "maxsim_q",                  # HOF cosine -> vectorized matmul kernel
+    # connected_components now pins the edge frame before symmetrizing
+    # (union branches re-evaluated the edge lineage once per branch):
+    "connected_components_q",
+    "star_components_q",
+    "component_density_q",
+    "grid_dbscan_q",
 ]
 
 

@@ -667,6 +667,13 @@ def phash_neardup(
     rows shuffle — never payloads; each band-value bucket joins within
     itself, and the verify step is a codegen'd popcount, not Python.
     """
+    # Pin the fingerprint frame before the band self-join: both join sides
+    # read it, and without the pin the upstream hashing kernel (a full
+    # payload decode for image/audio callers) is evaluated once PER SIDE —
+    # the multi-consumer double-evaluation the p01/p03 localCheckpoint
+    # convention exists for. Lazy (eager=False): materializes on first use
+    # inside the caller's own job, no extra construction-time job.
+    hashes = hashes.localCheckpoint(eager=False)
     bands = F.array(
         *[
             F.struct(

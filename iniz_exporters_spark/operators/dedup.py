@@ -326,8 +326,14 @@ def neardup_pairs(
     — bucketing and both verify-join sides read the pinned copy instead of
     re-hashing the corpus three times."""
     hs = shingle_sets(df, id_col, text_col, k).localCheckpoint(eager=False)
+    # The bucket frame is pinned too: candidate_pairs self-joins it, and
+    # without the pin the band-fold kernel runs once per join side (the
+    # pinned hs only deduplicates the SHINGLE pass, not the bucket pass).
     pairs = candidate_pairs(
-        buckets_from_shingle_sets(hs, id_col, num_perm, rows_per_band), id_col
+        buckets_from_shingle_sets(
+            hs, id_col, num_perm, rows_per_band
+        ).localCheckpoint(eager=False),
+        id_col,
     )
     ha = hs.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
     hb = hs.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
@@ -396,7 +402,12 @@ def simhash_neardup(
     """
     w = bits // n_bands
     mask = (1 << w) - 1
-    sig = simhash_signatures(df, id_col, text_col, bits=bits)
+    # Pinned before the band self-join: both sides read the signatures,
+    # and without the pin the Arrow SimHash kernel re-hashes the whole
+    # corpus once per side (multi-consumer double-evaluation).
+    sig = simhash_signatures(df, id_col, text_col, bits=bits).localCheckpoint(
+        eager=False
+    )
     bands = F.array(
         *[
             F.struct(

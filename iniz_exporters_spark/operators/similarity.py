@@ -82,6 +82,96 @@ def _broadcast_guard(
     return queries
 
 
+def scored_vs_fixed_queries(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    max_queries: int | None = DEFAULT_MAX_BROADCAST_QUERIES,
+    what: str = "scored_vs_fixed_queries",
+    corpus_out: str = "neighbor_id",
+    query_out: str = "query_id",
+) -> DataFrame:
+    """(corpus_out, query_out, cos) — the ROUNDED cosine of every corpus
+    row against every row of a FIXED (guarded, broadcast-sized) query
+    set, scored as one numpy matmul per Arrow batch.
+
+    This is the guide-§4.2 replacement for per-pair HOF folds
+    (zip_with + aggregate): the expression path re-walks both arrays
+    element-by-element PER PAIR — and recomputes each side's norm per
+    pair — where one BLAS matmul per batch scores the whole
+    batch × query-set block at once. Arithmetic is dot-then-divide +
+    round, exactly ``_topk_in_block``'s oracle-parity convention. The
+    query set is collected once (bounded by the same guard as the
+    broadcast-join path) and shipped per executor as a SparkContext
+    broadcast; the corpus streams through ``mapInPandas`` and never
+    shuffles.
+    """
+    import numpy as np
+
+    queries = _broadcast_guard(queries, max_queries, what)
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows])
+    if len(qrows):
+        q_mat = np.stack(
+            [np.asarray(r[1], dtype=np.float64) for r in qrows]
+        )
+        q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    else:
+        q_mat = np.zeros((0, 0))
+        q_norm = np.zeros(0)
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (q_ids, q_mat, q_norm)
+    )
+    id_type = dict(corpus.dtypes)[id_col]
+    out_schema = (
+        f"{corpus_out} {id_type}, {query_out} {id_type}, cos double"
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        qi, qm, qn = bc.value
+        nq = len(qi)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or nq == 0:
+                yield pd.DataFrame(
+                    {
+                        corpus_out: pdf[id_col].values[:0],
+                        query_out: pdf[id_col].values[:0],
+                        "cos": np.zeros(0),
+                    }
+                )
+                continue
+            ids = pdf[id_col].values
+            v = np.stack(
+                [
+                    np.asarray(x, dtype=np.float64)
+                    for x in pdf[vec_col].values
+                ]
+            )
+            v_norm = np.sqrt((v * v).sum(axis=1))
+            sims = np.round(
+                (v @ qm.T) / np.outer(v_norm, qn), round_to
+            )
+            yield pd.DataFrame(
+                {
+                    corpus_out: np.repeat(ids, nq),
+                    query_out: np.tile(qi, n),
+                    "cos": sims.ravel(),
+                }
+            )
+
+    from iniz_exporters_spark.session import spread_for_kernel
+
+    return spread_for_kernel(corpus.select(id_col, vec_col)).mapInPandas(
+        kernel, out_schema
+    )
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -94,22 +184,22 @@ def knn_bruteforce(
     """Exact top-k neighbors per query: (query_id, neighbor_id, cos, rn).
 
     Ranking uses the ROUNDED cosine with neighbor id as tiebreak so results
-    are stable across engines/architectures.
+    are stable across engines/architectures. Scoring runs through the
+    vectorized ``scored_vs_fixed_queries`` kernel (one matmul per Arrow
+    batch) — same rounded values as the old per-pair HOF expression, ~an
+    order of magnitude less per-task CPU; the corpus still never shuffles
+    for scoring, only (query_id, neighbor_id, cos) rows reach the top-k
+    window.
     """
-    queries = _broadcast_guard(queries, max_queries, "knn_bruteforce")
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cos", F.round(cosine(F.col("__qv"), F.col("__cv")), round_to)
-        )
-    )
+    scored = scored_vs_fixed_queries(
+        corpus,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_to=round_to,
+        max_queries=max_queries,
+        what="knn_bruteforce",
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )

@@ -336,7 +336,13 @@ def connected_components(
             "use 'propagation' (low-diameter cliques) or 'star' "
             "(high-diameter graphs, O(log n) rounds)"
         )
-    und = edges.select("src", "dst").unionByName(
+    # Pin the edge frame BEFORE symmetrizing: the union's two branches
+    # each re-evaluate the edge lineage, which for near-dup callers is a
+    # whole banded-LSH join (canonical_longest_q ran its pair pipeline
+    # twice before this pin). Lazy: a caller passing an already-cheap
+    # frame pays one cached copy, nothing more.
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     und = und.repartition("src").localCheckpoint()
@@ -405,6 +411,9 @@ def _star_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     propagation. Each round shuffles only the canonical (u, v) edge list;
     payload rows never enter the loop.
     """
+    # same pre-union pin as the propagation path: nodes reads edges
+    # twice and e a third time — pin once, read three projections
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))

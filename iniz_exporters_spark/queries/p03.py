@@ -2638,11 +2638,15 @@ def adamic_adar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (generic) ones. The common neighbor is always the ORDER node, whose
     degree is the order's distinct-part count (after the basket cap)."""
     li = Catalog(spark, sf_dir).lineitem
+    # Pinned: three consumers (osize + both self-join sides) read the
+    # capped baskets; unpinned, the scan + distinct + cap window ran three
+    # times (r14-opt plan audit: 3× Scan parquet, 7 Exchanges → 1×/4).
+    # Same shape as association_rules_q's eager pin of the identical frame.
     op = _capped_baskets(
         li.select(
             F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
         ).distinct()
-    )
+    ).localCheckpoint()
     osize = op.groupBy("o").agg(F.count("*").alias("n")).filter("n >= 2")
     a = op.select("o", F.col("p").alias("pa"))
     b = op.select("o", F.col("p").alias("pb"))
@@ -3227,25 +3231,39 @@ def attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def maxsim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from iniz_exporters_spark.operators.similarity import cosine
+    from iniz_exporters_spark.operators.similarity import (
+        scored_vs_fixed_queries,
+    )
 
     e = Catalog(spark, sf_dir).embeddings.select(
         "vec_id",
         (F.col("vec_id") / 10).cast("long").alias("pid"),
-        F.col("embedding").alias("v"),
+        F.col("embedding"),
     )
-    q = e.filter(F.col("pid") < 2).select(
-        F.col("pid").alias("qid"),
-        F.col("vec_id").alias("qtok"),
-        F.col("v").alias("qv"),
+    # The 20 query-token vectors are a FIXED query set; scoring runs
+    # through the vectorized matmul kernel (guide §4.2) instead of a
+    # per-pair HOF cosine — the broadcast-nested-loop shape's 40k
+    # zip_with/aggregate folds (each recomputing both norms) become one
+    # BLAS block per Arrow batch. Rounded values unchanged
+    # (dot-then-divide + round, the _topk_in_block parity convention);
+    # the corpus still never shuffles for scoring.
+    scored = scored_vs_fixed_queries(
+        e.filter(F.col("pid") >= 2),
+        e.filter(F.col("pid") < 2),
+        id_col="vec_id",
+        vec_col="embedding",
+        round_to=4,
+        what="maxsim_q",
+        corpus_out="cvid",
+        query_out="qtok",
     )
-    c = e.filter(F.col("pid") >= 2).select(F.col("pid").alias("did"), "v")
     cos = (
-        c.crossJoin(F.broadcast(q))
-        .groupBy("qid", "did", "qtok")
-        .agg(
-            F.max(F.round(cosine(F.col("qv"), F.col("v")), 4)).alias("best")
+        scored.groupBy(
+            (F.col("qtok") / 10).cast("long").alias("qid"),
+            (F.col("cvid") / 10).cast("long").alias("did"),
+            "qtok",
         )
+        .agg(F.max("cos").alias("best"))
     )
     scored = cos.groupBy("qid", "did").agg(
         F.round(_dsum(F.col("best")).cast("double"), 4).alias("maxsim")

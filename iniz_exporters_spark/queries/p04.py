@@ -3468,21 +3468,43 @@ def ccnet_bucket_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
     )
-    vocab = tok.groupBy("w").agg(F.count("*").alias("c"))
+    # Guide §2.3 "aggregate before you shuffle": collapse token
+    # OCCURRENCES to per-doc word COUNTS first and pin the result — the
+    # vocab aggregate and the per-doc scoring join both derive from it, so
+    # the corpus explode runs once (was twice) and the lp join + doc
+    # shuffle carry one row per (doc, word) instead of one per occurrence.
+    # Arithmetic parity: sum over c occurrences of logp == sum(logp · c)
+    # in EXACT decimal — logp ∈ (−100, 0] at 12 dp fits decimal(14,12),
+    # c < 1e9 fits decimal(9,0), the product type (24,12) and its sum
+    # (34,12) never saturate Spark's 38-digit cap, so no precision-loss
+    # rounding can reach the compared value (re-gated vs the unchanged
+    # oracle at all three scales).
+    tokc = (
+        tok.groupBy("doc_id", "source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = tokc.groupBy("w").agg(F.sum("c").alias("c"))
     tot = vocab.agg(F.sum("c").alias("n"))
     lp = vocab.crossJoin(F.broadcast(tot)).select(
         "w",
         F.round(F.log(F.col("c") / F.col("n").cast("double")), 12)
-        .cast("decimal(28,12)")
+        .cast("decimal(14,12)")
         .alias("logp"),
     )
     doc = (
-        tok.join(lp, "w")
+        tokc.join(lp, "w")
         .groupBy("doc_id", "source")
         .agg(
-            F.count("*").alias("n_tok"),
+            F.sum("c").alias("n_tok"),
             F.round(
-                F.exp(-F.sum("logp").cast("double") / F.count("*")), 6
+                F.exp(
+                    -F.sum(
+                        F.col("logp") * F.col("c").cast("decimal(9,0)")
+                    ).cast("double")
+                    / F.sum("c")
+                ),
+                6,
             ).alias("ppl"),
         )
     )

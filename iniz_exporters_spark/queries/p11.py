@@ -218,6 +218,11 @@ def exact_substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a.pos") - F.col("b.pos")).alias("diag"),
     )
     wrun = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    # Pinned: ``role`` below unions two projections of spans, and both
+    # ``agg`` and ``iv`` consume role — four evaluations of the whole
+    # seed-explode + cap-window + self-join + run-window pipeline without
+    # the pin (r14-opt plan audit: 17 Exchanges → 7, the heaviest
+    # headline plan). Lazy, per the multi-consumer convention.
     spans = (
         pairs.withColumn(
             "rk", F.col("pa") - F.row_number().over(wrun)
@@ -227,6 +232,7 @@ def exact_substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("pa").alias("sa"),
             (F.count(F.lit(1)) + (_ESD_SEED - 1)).alias("span_len"),
         )
+        .localCheckpoint(eager=False)
     )
     role = spans.select(
         F.col("da").alias("doc_id"),

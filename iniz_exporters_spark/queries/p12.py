@@ -890,35 +890,29 @@ def boilerplate_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") >= _BP_DF)
         .select("g")
     )
-    iv = (
-        seeds.join(bp, "g")
-        .select(
-            "doc_id",
-            F.col("pos").alias("s"),
-            (F.col("pos") + (_ESD_SEED - 1)).alias("e"),
-        )
-        .distinct()
+    # Coverage = |union of [pos, pos+7]| per doc, via span_dedup_counts'
+    # lag identity instead of the generic islands dance: every interval
+    # has ONE length (_ESD_SEED) and (doc_id, pos) is unique in seeds —
+    # the bp join keeps at most one row per position — so in pos order an
+    # occurrence adds exactly min(_ESD_SEED, pos − lag(pos)) fresh cells
+    # (the first adds _ESD_SEED). Integer-identical to the old
+    # distinct → running-max-window → island-group → sum pipeline
+    # (re-gated vs the unchanged oracle at all three scales), but one lag
+    # window + one groupBy on the key the window already partitioned by:
+    # the r14-opt plan audit counted 2 Exchanges + 2 window sorts + 4
+    # HashAggregates in this leg before, 1 Exchange + 1 window after.
+    occ = seeds.join(bp, "g").select("doc_id", "pos")
+    wlag = Window.partitionBy("doc_id").orderBy("pos")
+    fresh = F.least(
+        F.lit(_ESD_SEED), F.col("pos") - F.lag("pos", 1).over(wlag)
     )
-    wprev = (
-        Window.partitionBy("doc_id")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    wcum = (
-        Window.partitionBy("doc_id")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    fresh = F.when(
-        F.col("s") > F.coalesce(F.max("e").over(wprev), F.lit(-1)), 1
-    ).otherwise(0)
     cov = (
-        iv.withColumn("fresh", fresh)
-        .withColumn("gid", F.sum("fresh").over(wcum))
-        .groupBy("doc_id", "gid")
-        .agg(F.min("s").alias("mn"), F.max("e").alias("mx"))
+        occ.select(
+            "doc_id",
+            F.coalesce(fresh, F.lit(_ESD_SEED)).alias("__fresh"),
+        )
         .groupBy("doc_id")
-        .agg(F.sum(F.col("mx") - F.col("mn") + 1).alias("bp_tok"))
+        .agg(F.sum("__fresh").alias("bp_tok"))
     )
     z = F.lit(0)
     nt = F.size("ts")
@@ -1059,12 +1053,15 @@ def knn_loo_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-bucket quadratic term sum(n_b^2) stays ~n * target = LINEAR.
     n = base.count()
     bits = _ann_bits(n)
+    # Pinned: the bucket equi-join reads this frame as BOTH sides (e and
+    # q), so without the pin the scan + double-cast + sign-bucket fold run
+    # twice — at 100 TB that is two full corpus scans where one suffices.
     e = base.select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         sign_bucket(F.col("embedding"), bits=bits).alias("bucket"),
-    )
+    ).localCheckpoint(eager=False)
     q = e.select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("true_label"),

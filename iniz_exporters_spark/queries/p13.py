@@ -360,6 +360,9 @@ def crosslingual_decontam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = Catalog(spark, sf_dir).embeddings
     n = base.count()
     bits = _ann_bits(n)
+    # Pinned (knn_loo_ann_q convention): the suite/train split reads this
+    # frame twice — without the pin the scan + sign-bucket + membership
+    # poly-hash fold run once per side.
     e = base.select(
         "vec_id",
         "label",
@@ -371,7 +374,7 @@ def crosslingual_decontam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             % _XL_MOD
         ).alias("hm"),
-    )
+    ).localCheckpoint(eager=False)
     suite = e.filter(F.col("hm") == 0).select(
         F.col("vec_id").alias("sid"),
         F.col("label").alias("slabel"),

@@ -472,11 +472,24 @@ def test_aqe_skew_join_split_fires(spark):
 # ---------------------------------------------------------------------------
 
 
-def test_maxsim_broadcasts_query_tokens(spark):
-    """MaxSim must broadcast the (bounded) query-token side so the corpus
-    token table never shuffles for scoring."""
+def test_maxsim_scores_without_shuffling_the_corpus(spark):
+    """MaxSim scores the corpus against the (bounded, collected) query
+    tokens inside the vectorized kernel (r14-opt: the broadcast
+    nested-loop + per-pair HOF cosine became one matmul per Arrow
+    batch) — the corpus must still never shuffle for scoring: the first
+    exchange may only appear ABOVE the kernel, carrying scored
+    (ids, cos) rows, and no join may reappear below the aggregate."""
     plan = physical(run("maxsim_q", spark))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "MapInPandas" in plan, plan
+    # scoring itself is join-free now; a join here would mean the
+    # kernel regressed to pairing via the planner
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # below the kernel (deeper in the single-branch subtree = later
+    # lines) only the round-robin kernel spread may appear — a
+    # hashpartitioning exchange there would mean the corpus is being
+    # shuffled BEFORE scoring
+    below_kernel = plan[plan.rindex("MapInPandas"):]
+    assert "hashpartitioning" not in below_kernel, plan
 
 
 def test_adamic_adar_no_cartesian(spark):

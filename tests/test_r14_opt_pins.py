@@ -1,0 +1,124 @@
+"""Plan pins for the r14 OPTIMIZATION round (OPTIMIZATION_r14.md).
+
+Each pin guards one de-duplication of work: a multi-consumer frame that
+used to be re-evaluated once per consumer is now localCheckpoint-pinned,
+so the consuming plan must read ``Scan ExistingRDD`` and the expensive
+subtree (Arrow kernel / parquet scan / seed-join pipeline) must appear
+at most once — a revert silently reintroduces 2-4x the work at 100 TB.
+"""
+
+import pytest
+
+from iniz_exporters_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["phash_neardup", "audio_neardup_q", "simhash_neardup_q"],
+)
+def test_banded_neardup_kernel_evaluates_once(spark, name):
+    # the fingerprint/signature kernel is pinned before the band
+    # self-join: both sides must read the checkpointed RDD and no
+    # kernel stage may survive in the consuming plan
+    plan = _plan(spark, name)
+    assert "Scan ExistingRDD" in plan, plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, (
+        f"{name}: a kernel stage survived in the consuming plan — the "
+        "payload hash runs once per join side again:\n" + plan
+    )
+
+
+def test_neardup_pairs_bucket_kernel_evaluates_once(spark):
+    # hs AND the bucket frame are pinned: the candidate self-join must
+    # not re-run the band-fold kernel per side
+    plan = _plan(spark, "neardup_pairs")
+    assert plan.count("MapInPandas") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_adamic_adar_baskets_evaluate_once(spark):
+    # the capped-basket frame is pinned; without it the scan + distinct
+    # + cap window ran three times (osize + both self-join sides)
+    plan = _plan(spark, "adamic_adar_q")
+    assert "Scan parquet" not in plan, (
+        "adamic_adar_q re-reads lineitem inside the pair plan — the "
+        "basket pin is gone:\n" + plan
+    )
+
+
+def test_exact_substring_spans_evaluate_once(spark):
+    # spans is pinned; role = spans ∪ swapped(spans) feeds two
+    # consumers, so an unpinned tree holds FOUR copies of the
+    # seed-join pipeline (r14-opt audit: 17 Exchanges -> 7)
+    plan = _plan(spark, "exact_substring_dedup_q")
+    n_exchanges = plan.count("+- Exchange")
+    assert n_exchanges <= 9, (
+        f"exact_substring_dedup_q plan holds {n_exchanges} exchanges — "
+        "the spans pin is gone (expected <= 9):\n" + plan
+    )
+
+
+def test_knn_loo_ann_bucketed_frame_evaluates_once(spark):
+    plan = _plan(spark, "knn_loo_ann_q")
+    assert plan.count("Scan parquet") <= 1, (
+        "knn_loo_ann_q scans the embeddings twice — the bucketed-frame "
+        "pin is gone:\n" + plan
+    )
+
+
+def test_boilerplate_coverage_is_single_window(spark):
+    # the interval-union leg is the lag identity (one window, one
+    # groupBy); the generic islands dance would reintroduce a second
+    # window + distinct exchange
+    plan = _plan(spark, "boilerplate_fraction_q")
+    assert plan.count("(Window") + plan.count("- Window") <= 1, plan
+
+
+def test_scored_vs_fixed_queries_matches_hof_cosine(spark):
+    # the vectorized kernel must produce the exact rounded cosines the
+    # HOF expression path produced (dot-then-divide + round)
+    import pyspark.sql.functions as F
+
+    from iniz_exporters_spark.catalog import Catalog
+    from iniz_exporters_spark.operators.similarity import (
+        cosine,
+        scored_vs_fixed_queries,
+    )
+
+    e = Catalog(spark, SF).embeddings
+    q = e.filter(F.col("vec_id") < 5)
+    got = {
+        (r.neighbor_id, r.query_id): r.cos
+        for r in scored_vs_fixed_queries(e, q).collect()
+    }
+    expect = {
+        (r.neighbor_id, r.query_id): r.cos
+        for r in e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("__cv"),
+        )
+        .crossJoin(
+            F.broadcast(
+                q.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("__qv"),
+                )
+            )
+        )
+        .select(
+            "neighbor_id",
+            "query_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos"),
+        )
+        .collect()
+    }
+    assert got == expect

@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Per-stage time attribution for one or more registry queries.
+
+Usage: python tools/profile_query.py <sf_dir> <name> [name ...]
+
+Runs each query against the noop sink (guide §1.4) in a UI-enabled
+session and prints, per query, wall seconds plus the completed stages
+from the local REST endpoint sorted by executor run time — the
+empirical side of guide §1.1 without leaving the terminal. Profiling
+only: the bench keeps the UI off.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from iniz_exporters_spark.queries import REGISTRY
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    names = sys.argv[2:]
+    os.environ.setdefault("SPARK_GRAFT_UI", "true")
+    from iniz_exporters_spark.session import get_spark
+
+    spark = (
+        get_spark("profile-query")
+        if os.environ.get("SPARK_GRAFT_UI") != "true"
+        else _ui_session()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    app_id = spark.sparkContext.applicationId
+    base = "http://localhost:4040/api/v1/applications"
+    for name in names:
+        spec = REGISTRY[name]
+        # warm pass at the smallest scale so codegen/JIT is off the clock
+        spec.fn(spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        before = {
+            s["stageId"]
+            for s in _get(f"{base}/{app_id}/stages?status=complete", [])
+        }
+        spark.sparkContext.setJobDescription(f"profile:{name}")
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        wall = time.perf_counter() - t0
+        spark.sparkContext.setJobDescription(None)
+        stages = [
+            s
+            for s in _get(f"{base}/{app_id}/stages?status=complete", [])
+            if s["stageId"] not in before
+        ]
+        stages.sort(key=lambda s: -s.get("executorRunTime", 0))
+        print(f"\n=== {name}: wall {wall:.3f}s, {len(stages)} stages ===")
+        for s in stages[:14]:
+            print(
+                f"  stage {s['stageId']:>5} tasks={s['numCompleteTasks']:>3}"
+                f" run={s.get('executorRunTime', 0) / 1e3:7.2f}s"
+                f" cpu={s.get('executorCpuTime', 0) / 1e9:7.2f}s"
+                f" shRead={s.get('shuffleReadBytes', 0):>9}"
+                f" shWrite={s.get('shuffleWriteBytes', 0):>9}"
+                f"  {s.get('name', '')[:60]}"
+            )
+        for jrdd in list(
+            spark.sparkContext._jsc.getPersistentRDDs().values()
+        ):
+            jrdd.unpersist()
+        spark.catalog.clearCache()
+
+
+def _ui_session():
+    from pyspark.sql import SparkSession
+
+    from iniz_exporters_spark.session import DEFAULT_SHUFFLE_PARTITIONS
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    shuffle = os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS
+    )
+    return (
+        SparkSession.builder.appName("profile-query")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def _get(url: str, default):
+    try:
+        with urllib.request.urlopen(url, timeout=10) as r:
+            return json.load(r)
+    except Exception:
+        return default
+
+
+if __name__ == "__main__":
+    main()
