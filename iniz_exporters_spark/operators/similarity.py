@@ -390,6 +390,85 @@ def _make_topk_kernel(
     return kernel
 
 
+def bucket_loo_sqdist_pairs(
+    b: DataFrame,
+    bucket_col: str,
+    id_col: str,
+    label_col: str,
+    vec_col: str,
+    max_rows: int | None = DEFAULT_MAX_BUCKET_ROWS,
+    chunk_cells: int = DEFAULT_CHUNK_CELLS,
+    what: str = "bucket_loo_sqdist_pairs",
+) -> DataFrame:
+    """(qid, true_label, cand_label, cid, d2) — every ORDERED pair of
+    distinct rows sharing a bucket, with the UNROUNDED squared euclidean
+    distance.
+
+    The guide-§4.2 replacement for the bucket-equi-join + per-pair HOF
+    fold (``zip_with`` + ``aggregate``): the expression path is
+    interpreted per ELEMENT per PAIR (~bucket_size × dims evaluations
+    per row), where one numpy pass per bucket scores every pair at once.
+    Bitwise parity with the HOF fold is by CONSTRUCTION, not convention:
+    the kernel accumulates (x_j − y_j)² SEQUENTIALLY over dimensions
+    (vectorized across pairs, ordered across dims — the same single-
+    rounded IEEE op sequence as ``aggregate``'s left fold), and emits
+    the raw double so the caller applies the same ``F.round`` it always
+    did. One shuffle (groupBy bucket); pair rows never carry vector
+    payloads; per-task score memory is chunk-bounded like the rest of
+    the kernel family, with the loud ``max_rows`` guard."""
+    id_type = dict(b.dtypes)[id_col]
+    lab_type = dict(b.dtypes)[label_col]
+    out_schema = (
+        f"qid {id_type}, true_label {lab_type}, "
+        f"cand_label {lab_type}, cid {id_type}, d2 double"
+    )
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "qid": [], "true_label": [], "cand_label": [],
+                    "cid": [], "d2": [],
+                }
+            ).astype({"d2": "float64"})
+        _bucket_guard(n, max_rows, what)
+        ids = pdf[id_col].values
+        labs = pdf[label_col].values
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        d = V.shape[1]
+        chunk = max(1, chunk_cells // n)
+        qs, ts, cs, ns, ds = [], [], [], [], []
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            acc = np.zeros((e - s, n))
+            for j in range(d):
+                diff = V[s:e, j][:, None] - V[:, j][None, :]
+                acc += diff * diff
+            keep = np.ones((e - s, n), dtype=bool)
+            keep[np.arange(e - s), np.arange(s, e)] = False  # mask self
+            qi, ci = np.nonzero(keep)
+            qs.append(ids[qi + s])
+            ts.append(labs[qi + s])
+            cs.append(labs[ci])
+            ns.append(ids[ci])
+            ds.append(acc[qi, ci])
+        return pd.DataFrame(
+            {
+                "qid": np.concatenate(qs),
+                "true_label": np.concatenate(ts),
+                "cand_label": np.concatenate(cs),
+                "cid": np.concatenate(ns),
+                "d2": np.concatenate(ds),
+            }
+        )
+
+    return b.groupBy(bucket_col).applyInPandas(kernel, out_schema)
+
+
 def sign_bucket(vec: Column, bits: int = 4, offset: int = 0) -> Column:
     """Deterministic LSH bucket: bit d = sign of dimension ``offset + d``
     (fixed axis-aligned hyperplanes)."""

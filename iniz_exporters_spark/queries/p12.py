@@ -1044,7 +1044,10 @@ def knn_loo_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gate scales every bucket is populated, so the denominators
     match the exact query's.
     """
-    from iniz_exporters_spark.operators.similarity import sign_bucket
+    from iniz_exporters_spark.operators.similarity import (
+        bucket_loo_sqdist_pairs,
+        sign_bucket,
+    )
 
     base = Catalog(spark, sf_dir).embeddings
     # adaptive LSH depth (driver-side, from the same corpus count the
@@ -1053,42 +1056,22 @@ def knn_loo_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-bucket quadratic term sum(n_b^2) stays ~n * target = LINEAR.
     n = base.count()
     bits = _ann_bits(n)
-    # Pinned: the bucket equi-join reads this frame as BOTH sides (e and
-    # q), so without the pin the scan + double-cast + sign-bucket fold run
-    # twice — at 100 TB that is two full corpus scans where one suffices.
+    # r14-opt (guide §4.2 + §2.4): candidate generation moved from the
+    # self-equi-join + per-pair interpreted HOF d² fold to the family's
+    # per-bucket numpy kernel (the ann_bucketed shape): ONE exchange on
+    # the bucket key instead of two join sides of the same pinned frame,
+    # and the d² folds run vectorized (sequential over dims, so every
+    # emitted double is bit-identical to the HOF fold — F.round below is
+    # the same op on the same input). Pair rows never carry vectors.
     e = base.select(
         "vec_id",
         "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        F.col("embedding"),
         sign_bucket(F.col("embedding"), bits=bits).alias("bucket"),
-    ).localCheckpoint(eager=False)
-    q = e.select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("true_label"),
-        F.col("v").alias("qv"),
-        "bucket",
     )
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)
-            ),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        ),
-        6,
-    )
-    scored = (
-        e.join(q, "bucket")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "true_label",
-            F.col("label").alias("cand_label"),
-            F.col("vec_id").alias("cid"),
-            d2.alias("d2"),
-        )
-    )
+    scored = bucket_loo_sqdist_pairs(
+        e, "bucket", "vec_id", "label", "embedding", what="knn_loo_ann_q"
+    ).withColumn("d2", F.round("d2", 6))
     wnn = Window.partitionBy("qid").orderBy("d2", "cid")
     votes = (
         scored.withColumn("rn", F.row_number().over(wnn))

@@ -360,9 +360,14 @@ def crosslingual_decontam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = Catalog(spark, sf_dir).embeddings
     n = base.count()
     bits = _ann_bits(n)
-    # Pinned (knn_loo_ann_q convention): the suite/train split reads this
-    # frame twice — without the pin the scan + sign-bucket + membership
-    # poly-hash fold run once per side.
+    # Pinned (r14-opt): the suite/train split reads this frame twice —
+    # without the pin the scan + sign-bucket + membership poly-hash fold
+    # run once per side. NOTE (r14-opt, measured): the knn_loo_ann_q
+    # per-bucket kernel was ALSO tried here and REVERTED — the suite is
+    # only 1/_XL_MOD of each bucket, so the per-pair HOF work this join
+    # does is ~an order of magnitude smaller than knn_loo's all-pairs
+    # case and the kernel's fixed Arrow/pandas boundary cost dominates
+    # (isolated A/B med 1.17 s join+HOF vs 1.53 s kernel at sf0.1).
     e = base.select(
         "vec_id",
         "label",

@@ -97,15 +97,28 @@ def test_boilerplate_df_join_shares_gram_exchange(spark):
 
 
 def test_knn_loo_ann_never_broadcasts_the_corpus(spark):
-    """The whole point of the ANN variant: candidates come from a
-    bucket EQUI-join (shuffle on the bucket key), never a broadcast of
-    corpus data into a nested-loop — that is the exact query's capped
-    plan, not this one's."""
+    """The whole point of the ANN variant: candidates come from ONE
+    shuffle on the bucket key, never a broadcast of corpus data into a
+    nested-loop — that is the exact query's capped plan, not this one's.
+    r14-opt: the bucket self-equi-join became the family's per-bucket
+    kernel (groupBy bucket + applyInPandas, the ann_bucketed shape), so
+    the pin now asserts the grouped-kernel stage and that the ONLY
+    hash exchange keys on the bucket."""
     plan = _plan(spark, "knn_loo_ann_q")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
-        "BroadcastHashJoin" in plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    # below the kernel (later lines = deeper in the single-branch
+    # subtree) the only hash exchange must key on the bucket: corpus
+    # vectors shuffle exactly once, on the bucket id
+    below_kernel = plan[plan.rindex("FlatMapGroupsInPandas"):]
+    rogue = [
+        ln for ln in below_kernel.splitlines()
+        if "Exchange hashpartitioning" in ln and "bucket" not in ln
+    ]
+    assert rogue == [], (
+        "a non-bucket hash exchange appeared below the kernel — corpus "
+        f"vectors are shuffling on something else: {rogue}"
     )
 
 

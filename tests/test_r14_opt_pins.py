@@ -68,10 +68,19 @@ def test_exact_substring_spans_evaluate_once(spark):
 
 
 def test_knn_loo_ann_bucketed_frame_evaluates_once(spark):
+    # r14-opt: the bucket self-equi-join (which needed the pinned frame
+    # to avoid scanning the embeddings once per side) became the
+    # per-bucket kernel with a SINGLE consumer, so the plan now shows
+    # the one real parquet scan instead of a checkpointed RDD — count
+    # unique scan OPERATOR IDs (formatted explain lists each node twice:
+    # tree + details section).
+    import re
+
     plan = _plan(spark, "knn_loo_ann_q")
-    assert plan.count("Scan parquet") <= 1, (
-        "knn_loo_ann_q scans the embeddings twice — the bucketed-frame "
-        "pin is gone:\n" + plan
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_ids) <= 1, (
+        "knn_loo_ann_q scans the embeddings twice — the single-pass "
+        "bucket-kernel shape is gone:\n" + plan
     )
 
 
@@ -81,6 +90,61 @@ def test_boilerplate_coverage_is_single_window(spark):
     # window + distinct exchange
     plan = _plan(spark, "boilerplate_fraction_q")
     assert plan.count("(Window") + plan.count("- Window") <= 1, plan
+
+
+def test_bucket_loo_sqdist_matches_hof_fold(spark):
+    # the per-bucket kernel must reproduce the bucket-equi-join +
+    # zip_with/aggregate d2 fold BITWISE (it accumulates (x-y)^2
+    # sequentially over dims, the same single-rounded op sequence), so
+    # the caller's F.round and the downstream top-5 vote are unchanged
+    import pyspark.sql.functions as F
+
+    from iniz_exporters_spark.catalog import Catalog
+    from iniz_exporters_spark.operators.similarity import (
+        bucket_loo_sqdist_pairs,
+        sign_bucket,
+    )
+
+    e = Catalog(spark, SF).embeddings.select(
+        "vec_id",
+        "label",
+        F.col("embedding"),
+        sign_bucket(F.col("embedding"), bits=4).alias("bucket"),
+    )
+    got = {
+        (r.qid, r.cid): (r.true_label, r.cand_label, r.d2)
+        for r in bucket_loo_sqdist_pairs(
+            e, "bucket", "vec_id", "label", "embedding"
+        ).collect()
+    }
+    ed = e.withColumn(
+        "v", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = ed.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+        "bucket",
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    expect = {
+        (r.qid, r.cid): (r.true_label, r.cand_label, r.d2)
+        for r in ed.join(q, "bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "true_label",
+            F.col("label").alias("cand_label"),
+            F.col("vec_id").alias("cid"),
+            d2.alias("d2"),
+        )
+        .collect()
+    }
+    assert got == expect
 
 
 def test_scored_vs_fixed_queries_matches_hof_cosine(spark):
