@@ -334,6 +334,9 @@ _PLAN_CHANGED: list[str] = [
     "star_components_q",
     "component_density_q",
     "grid_dbscan_q",
+    # second r14-opt batch (same verification discipline):
+    "association_rules_q",       # per-part count agg pinned: 2 passes -> 1
+    "span_dedup_trim",           # tokenize pass pinned: 2 scans -> 1
 ]
 
 

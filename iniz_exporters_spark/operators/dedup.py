@@ -570,8 +570,9 @@ def ngram_jaccard_pairs(
     # both reads pipeline off the checkpointed gs through broadcast joins —
     # measured 3.2s vs 4.3s at sf0.01 WITH a checkpoint here (the
     # materialization barrier costs more than the duplicated agg+window over
-    # vocabulary-scale data). Re-measure before pinning if pref grows a
-    # heavier lineage.
+    # vocabulary-scale data). Re-measured r14-opt (isolated interleaved
+    # A/B at sf0.1, 5 alternating noop runs): unpinned med 3.84 s vs
+    # pinned 4.72 s (+23%) — the decision stands.
     pref = (
         ex.join(freq, "ph")
         .withColumn("pos", F.row_number().over(rank_w))

@@ -149,8 +149,16 @@ def span_dedup_counts(
     # same kernel-spread rationale as duplicate_spans: a single-split scan
     # serializes the shingle+hash fold onto one core (measured: 2.3 s of
     # the query's 3.1 s sf0.1 wall before the spread)
-    toks = spread_for_kernel(df.select(id_col, text_col)).select(
-        id_col, tokens(text_col).alias("__t")
+    toks = (
+        spread_for_kernel(df.select(id_col, text_col))
+        .select(id_col, tokens(text_col).alias("__t"))
+        # Pinned (r14-opt): TWO consumers — the spans pipeline below and
+        # the final n_tokens join leg — and without the pin the second
+        # consumer re-runs the scan + spread exchange + tokenize fold
+        # over the whole corpus (isolated interleaved A/B at sf0.1:
+        # med 2.13 → 1.97 s). Lazy: the eager spans checkpoint right
+        # below materializes it inside its own first job.
+        .localCheckpoint(eager=False)
     )
     spans = (
         toks.filter(F.size("__t") >= span)

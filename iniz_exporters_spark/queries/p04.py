@@ -370,7 +370,16 @@ def association_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).distinct()
     ).localCheckpoint()
     n = op.agg(F.countDistinct("o").alias("n_orders"))
-    cnt = op.groupBy("p").agg(F.count("*").alias("c"))
+    # Pinned (r14-opt): both lift-join sides read this per-part count, and
+    # without the pin the groupBy aggregate runs ONCE PER SIDE — a second
+    # full pass over the capped baskets at 100 TB (isolated interleaved
+    # A/B at sf0.1: med 3.51 → 3.30 s). Lazy: materializes inside the
+    # first consumer's job.
+    cnt = (
+        op.groupBy("p")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     a = op.select("o", F.col("p").alias("pa"))
     b = op.select("o", F.col("p").alias("pb"))
     pairs = (

@@ -67,6 +67,36 @@ def test_exact_substring_spans_evaluate_once(spark):
     )
 
 
+def test_association_rules_part_counts_evaluate_once(spark):
+    # cnt (per-part counts over the capped baskets) is pinned: both
+    # lift-join sides must read the checkpointed RDD — an unpinned tree
+    # runs the groupBy(p) aggregate once PER SIDE (a second full pass
+    # over the baskets at 100 TB), which reappears in the plan as a
+    # HashAggregate keyed on a `p#` column
+    import re
+
+    plan = _plan(spark, "association_rules_q")
+    p_aggs = [
+        m
+        for m in re.findall(r"Keys \[1\]: \[(\w+)#\d+", plan)
+        if m == "p"
+    ]
+    assert p_aggs == [], (
+        "association_rules_q re-aggregates per-part counts in-plan — "
+        "the cnt pin is gone:\n" + plan
+    )
+
+
+def test_span_dedup_tokenize_evaluates_once(spark):
+    # toks is pinned: the n_tokens leg must read the checkpointed RDD
+    # instead of re-running scan + spread + tokenize over the corpus
+    plan = _plan(spark, "span_dedup_trim")
+    assert "Scan parquet" not in plan, (
+        "span_dedup_trim re-reads documents inside the final plan — "
+        "the toks pin is gone:\n" + plan
+    )
+
+
 def test_knn_loo_ann_bucketed_frame_evaluates_once(spark):
     # r14-opt: the bucket self-equi-join (which needed the pinned frame
     # to avoid scanning the embeddings once per side) became the
