@@ -159,7 +159,7 @@ def doc_fingerprint(col: Column | str) -> Column:
     return poly_hash(normalized)
 
 
-def text_stats(df, id_col: str, text_col: str):
+def text_stats(df, id_col: str, text_col: str, carry_text: bool = False):
     """(id, quality_raw double, lang_pred string, n_tokens int) in ONE
     Arrow-batched pass — the vectorized fast path for the scoring HOFs
     above (``quality_score``/``predict_lang``/``whitespace_token_count``).
@@ -168,6 +168,15 @@ def text_stats(df, id_col: str, text_col: str):
     so the rounding semantics stay Spark's own (oracle-identical to the
     expression path — each arithmetic step is the same IEEE op in the same
     order, pinned by a parity test).
+
+    ``carry_text=True`` additionally emits the input text column,
+    UNTOUCHED, as a trailing column (r14-opt, guide §8's attach rule):
+    callers that need text beside the scores previously re-attached it
+    with a ``join(df, id_col)`` — locally AQE broadcasts the stats side,
+    but at 100 TB the stats frame is corpus-cardinality and that join
+    shuffles the full text payload by id. Passing text through the
+    kernel costs one extra Arrow column on the return leg and removes
+    the join (and its exchanges) entirely.
     """
     import re
     from typing import Iterator
@@ -179,6 +188,8 @@ def text_stats(df, id_col: str, text_col: str):
         f"{id_col} {id_type}, quality_raw double, lang_pred string, "
         "n_tokens int"
     )
+    if carry_text:
+        out_schema += f", {text_col} string"
     token_re = re.compile(TOKEN_RE)
     punct_re = re.compile("[a-z0-9 ]")
     ws_re = re.compile(r"\s+")
@@ -214,14 +225,15 @@ def text_stats(df, id_col: str, text_col: str):
                 quals.append(q)
                 langs.append(lang)
                 ntoks.append(len(ws_re.split(trimmed)) if trimmed else 0)
-            yield pd.DataFrame(
-                {
-                    id_col: ids,
-                    "quality_raw": quals,
-                    "lang_pred": langs,
-                    "n_tokens": ntoks,
-                }
-            )
+            out = {
+                id_col: ids,
+                "quality_raw": quals,
+                "lang_pred": langs,
+                "n_tokens": ntoks,
+            }
+            if carry_text:
+                out[text_col] = pdf[text_col].values
+            yield pd.DataFrame(out)
 
     return spread_for_kernel(df.select(id_col, text_col)).mapInPandas(
         kernel, out_schema

@@ -1777,9 +1777,14 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     # one Arrow pass for quality + language (bit-identical to the HOF
     # expression path — see text_stats parity test); round is applied
-    # Spark-side so rounding semantics match the single-op queries
-    stats = text_stats(d, "doc_id", "text").select(
+    # Spark-side so rounding semantics match the single-op queries.
+    # r14-opt: carry_text=True — text rides the kernel's return leg
+    # instead of being re-attached with a join(d, doc_id), which at
+    # 100 TB shuffles the text payload (guide §8's attach rule; locally
+    # AQE broadcast hid it).
+    scored = text_stats(d, "doc_id", "text", carry_text=True).select(
         "doc_id",
+        "text",
         # decimal-space round (see functions/text.quality_score): absorbs
         # cross-engine ulp noise at exact .xxxx5 boundaries before half-up
         F.round(F.col("quality_raw").cast("decimal(28,12)"), 4)
@@ -1787,10 +1792,16 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("quality"),
         "lang_pred",
     )
-    scored = d.select("doc_id", "text").join(stats, "doc_id")
-    filtered = scored.filter(
-        (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
-    ).select("doc_id", "text", "quality")
+    # Pinned (r14-opt): dedup_exact reads its input TWICE (keep-agg +
+    # semi-join), and this input's lineage is the Python kernel — the
+    # whole scoring pass ran once per read.
+    filtered = (
+        scored.filter(
+            (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
+        )
+        .select("doc_id", "text", "quality")
+        .localCheckpoint(eager=False)
+    )
     # materialize the scored+deduped set ONCE: the near-dup stage reads it
     # from three branches (buckets + both verify-join sides) and the final
     # anti-join from a fourth — without pinning, Spark recomputes the

@@ -1714,14 +1714,24 @@ def pipeline_waterfall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = Catalog(spark, sf_dir).documents
-    stats = text_stats(d, "doc_id", "text").select(
-        "doc_id",
-        F.round(F.col("quality_raw").cast("decimal(28,12)"), 4)
-        .cast("double")
-        .alias("quality"),
-        "lang_pred",
+    # r14-opt: carry_text=True removes the join(d, doc_id) text
+    # re-attach (guide §8's attach rule — at 100 TB that join shuffles
+    # the text payload), and the pin stops the kernel re-running once
+    # per consumer: scored feeds the counts aggregate AND dedup_exact's
+    # two reads (keep-agg + semi-join) — THREE kernel evaluations
+    # before this change.
+    scored = (
+        text_stats(d, "doc_id", "text", carry_text=True)
+        .select(
+            "doc_id",
+            "text",
+            F.round(F.col("quality_raw").cast("decimal(28,12)"), 4)
+            .cast("double")
+            .alias("quality"),
+            "lang_pred",
+        )
+        .localCheckpoint(eager=False)
     )
-    scored = d.select("doc_id", "text").join(stats, "doc_id")
     gate = (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
     counts = scored.agg(
         F.count(F.lit(1)).cast("long").alias("c0"),

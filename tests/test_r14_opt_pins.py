@@ -67,6 +67,50 @@ def test_exact_substring_spans_evaluate_once(spark):
     )
 
 
+def test_text_stats_carry_text_passthrough(spark):
+    # carry_text=True must emit the input text column UNTOUCHED beside
+    # the stats columns, and the stats values must be identical to the
+    # carry_text=False output (the r14-opt join-removal depends on both)
+    import pyspark.sql.functions as F
+
+    from iniz_exporters_spark.catalog import Catalog
+    from iniz_exporters_spark.functions.text import text_stats
+
+    d = Catalog(spark, SF).documents
+    carried = text_stats(d, "doc_id", "text", carry_text=True)
+    assert carried.columns == [
+        "doc_id", "quality_raw", "lang_pred", "n_tokens", "text",
+    ]
+    got_text = {
+        r.doc_id: r.text for r in carried.select("doc_id", "text").collect()
+    }
+    want_text = {
+        r.doc_id: r.text for r in d.select("doc_id", "text").collect()
+    }
+    assert got_text == want_text
+    got_stats = sorted(
+        map(str, carried.drop("text").collect())
+    )
+    want_stats = sorted(
+        map(str, text_stats(d, "doc_id", "text").collect())
+    )
+    assert got_stats == want_stats
+
+
+def test_pipeline_waterfall_kernel_evaluates_once(spark):
+    # scored (the text_stats kernel output) is pinned and text rides the
+    # kernel instead of a re-attach join: the final plan must hold NO
+    # surviving MapInPandas (an unpinned tree evaluated the kernel three
+    # times: counts agg + dedup_exact's keep-agg and semi-join) and no
+    # join back to the documents scan
+    plan = _plan(spark, "pipeline_waterfall_q")
+    assert plan.count("MapInPandas") == 0, plan
+    assert "Scan parquet" not in plan, (
+        "pipeline_waterfall_q re-reads documents — the carry_text "
+        "join-removal or the scored pin is gone:\n" + plan
+    )
+
+
 def test_association_rules_part_counts_evaluate_once(spark):
     # cnt (per-part counts over the capped baskets) is pinned: both
     # lift-join sides must read the checkpointed RDD — an unpinned tree
