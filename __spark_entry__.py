@@ -337,6 +337,10 @@ _PLAN_CHANGED: list[str] = [
     # second r14-opt batch (same verification discipline):
     "association_rules_q",       # per-part count agg pinned: 2 passes -> 1
     "span_dedup_trim",           # tokenize pass pinned: 2 scans -> 1
+    # pipeline_clean_corpus / pipeline_waterfall_q (already listed above)
+    # additionally got carry_text + the dedup_exact-input pin this round.
+    "minhash_estimate_q",        # bucket + signature kernels pinned
+    "lsh_scurve_q",              # bucket kernel pinned
 ]
 
 

@@ -1041,10 +1041,18 @@ def minhash_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = Catalog(spark, sf_dir).documents
     hs = shingle_sets(d, "doc_id", "text", 5).localCheckpoint(eager=False)
+    # r14-opt pins (the neardup_pairs #4 pattern): candidate_pairs
+    # self-joins the bucket frame (band kernel once per side unpinned),
+    # and sa/sb below read the minhash-signature kernel once per side.
     pairs = candidate_pairs(
-        buckets_from_shingle_sets(hs, "doc_id", 16, 4), "doc_id"
+        buckets_from_shingle_sets(hs, "doc_id", 16, 4).localCheckpoint(
+            eager=False
+        ),
+        "doc_id",
     )
-    sigs = mh_sigs(d, "doc_id", "text", num_perm=16, k=5)
+    sigs = mh_sigs(d, "doc_id", "text", num_perm=16, k=5).localCheckpoint(
+        eager=False
+    )
     sa = sigs.select(
         F.col("doc_id").alias("id_a"), "j", F.col("minhash").alias("m_a")
     )

@@ -2041,8 +2041,13 @@ def lsh_scurve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 10 == 0
     ).select("doc_id", "text")
     hs = shingle_sets(d, "doc_id", "text", 5).localCheckpoint(eager=False)
+    # r14-opt pin (the neardup_pairs #4 pattern): candidate_pairs
+    # self-joins the bucket frame — band kernel once per side unpinned
     cand = candidate_pairs(
-        buckets_from_shingle_sets(hs, "doc_id", 16, 4), "doc_id"
+        buckets_from_shingle_sets(hs, "doc_id", 16, 4).localCheckpoint(
+            eager=False
+        ),
+        "doc_id",
     ).withColumn("is_c", F.lit(1))
     ha = hs.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
     hb = hs.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))

@@ -67,6 +67,19 @@ def test_exact_substring_spans_evaluate_once(spark):
     )
 
 
+@pytest.mark.parametrize("name", ["minhash_estimate_q", "lsh_scurve_q"])
+def test_handrolled_lsh_kernels_evaluate_once(spark, name):
+    # the hand-rolled shingle->bucket->candidate compositions pin every
+    # kernel frame before its self-join / double-read (the neardup_pairs
+    # #4 pattern): no kernel stage may survive in the consuming plan
+    plan = _plan(spark, name)
+    assert plan.count("MapInPandas") == 0, (
+        f"{name}: a kernel stage survived — a signature/bucket pass "
+        "runs once per join side again:\n" + plan
+    )
+    assert "Scan ExistingRDD" in plan, plan
+
+
 def test_text_stats_carry_text_passthrough(spark):
     # carry_text=True must emit the input text column UNTOUCHED beside
     # the stats columns, and the stats values must be identical to the
