@@ -271,9 +271,17 @@ _R14_WINDOW: list[str] = [
     "audio_quality_filter_q", "crossmodal_hard_negatives_q",
 ]
 
+# Round-15 window (empty-window convention): CORRECTNESS_r14 landed 50/50
+# green including all five r14 registrations, so every first-50 slot is
+# derived by ``_reseat_names()`` from the committed artifacts alone —
+# plan-changed names first (the r15 ``_PLAN_CHANGED`` entries), then
+# oldest-green-first. r15 is an OPTIMIZATION round under a feature freeze:
+# no new registrations may ride this window.
+_R15_WINDOW: list[str] = []
+
 # Kept for provenance / test compatibility: the live window always binds to
 # the newest list.
-_WINDOW = _R14_WINDOW
+_WINDOW = _R15_WINDOW
 
 # ---------------------------------------------------------------------------
 # POST-DRAIN SPARE-SLOT POLICY (VERDICT r10 #2 / r11 #3 — now defined and
@@ -301,46 +309,17 @@ _WINDOW = _R14_WINDOW
 # knn_loo_accuracy_q all re-greened in CORRECTNESS_r12) it drops back to the
 # ordinary oldest-green-first pool.
 _PLAN_CHANGED: list[str] = [
-    # Empty at r14 open: the r13 entries embedding_decontam_q and
-    # knn_loo_accuracy_q both re-greened in CORRECTNESS_r13 (fresh rows
-    # postdate their plan edits), so they drop back to the ordinary
-    # oldest-green-first pool per the ledger rule above.  r14 plan edits
-    # are appended here as they happen.
-    #
-    # r14 OPTIMIZATION round (OPTIMIZATION_r14.md): multi-consumer
-    # double-evaluation pins (localCheckpoint before self-joins /
-    # fan-out unions) and two shuffle-narrowing rewrites. Every entry
-    # re-verified vs the unchanged oracle at sf0.001/0.01/0.1 before
-    # seating; results are bit-identical, only the physical plans moved.
-    "exact_substring_dedup_q",   # spans pinned: seed-join subtree 4x -> 1x
-    "adamic_adar_q",             # capped baskets pinned: 3 scans -> 1
-    "boilerplate_fraction_q",    # coverage leg: islands -> lag identity
-    "ccnet_bucket_q",            # token counts pre-aggregated + pinned
-    "knn_loo_ann_q",             # bucketed frame pinned: 2 scans -> 1
-    "phash_neardup",             # fingerprint pinned: decode kernel 2x -> 1x
-    "canonical_longest_q",       # inherits the phash_neardup pin
-    "decontaminated_split_q",    # inherits the phash_neardup pin
-    "simhash_neardup_q",         # signatures pinned: kernel 2x -> 1x
-    "neardup_pairs",             # bucket frame pinned: band kernel 2x -> 1x
-    "pipeline_clean_corpus",     # inherits the neardup_pairs pin
-    "lsh_precision_eval_q",      # inherits the neardup_pairs pin
-    "pipeline_waterfall_q",      # inherits the neardup_pairs pin
-    "knn_bruteforce",            # HOF cosine -> vectorized matmul kernel
-    "ann_recall_check",          # inherits the knn_bruteforce kernel
-    "maxsim_q",                  # HOF cosine -> vectorized matmul kernel
-    # connected_components now pins the edge frame before symmetrizing
-    # (union branches re-evaluated the edge lineage once per branch):
-    "connected_components_q",
-    "star_components_q",
-    "component_density_q",
-    "grid_dbscan_q",
-    # second r14-opt batch (same verification discipline):
-    "association_rules_q",       # per-part count agg pinned: 2 passes -> 1
-    "span_dedup_trim",           # tokenize pass pinned: 2 scans -> 1
-    # pipeline_clean_corpus / pipeline_waterfall_q (already listed above)
-    # additionally got carry_text + the dedup_exact-input pin this round.
-    "minhash_estimate_q",        # bucket + signature kernels pinned
-    "lsh_scurve_q",              # bucket kernel pinned
+    # r14's 24 entries all re-greened in CORRECTNESS_r14 (every one holds
+    # a fresh hash-verified row postdating its plan edit), so they drop
+    # back to the ordinary oldest-green-first pool per the ledger rule
+    # above.  r15 OPTIMIZATION-round plan edits are appended here as they
+    # happen. NOTE: the r15 pin() centralization (pinning.py) rewrote
+    # every `localCheckpoint(...)` site to `.transform(pin[, eager])`,
+    # which resolves to the IDENTICAL localCheckpoint call under the
+    # default strategy — no plan changes from that refactor.
+    "ccnet_bucket_q",  # per-(doc,word) count cast decimal(9,0)->(19,0)
+                       # (ADVICE r14 #2 overflow guard; product/sum stay
+                       # exact within the 38-digit cap)
 ]
 
 

@@ -99,6 +99,35 @@ _SLOPE_EXTRA = [
 SLOPE_RECHECK_THRESHOLD = 2.3
 
 
+# Fixed reference canary (VERDICT r14 #2): the pre/post-averaged probe
+# timings from the committed r15 round-open baseline artifact
+# (BENCH_SELF_r15_before.stdout: pre jvm 0.348 / scan 0.425, post jvm
+# 0.422 / scan 0.222 — idle 32-core window, loadavg 1.07). Dividing a
+# run's probes by these turns machine speed into a dimensionless index
+# (1.0 = that reference window by construction, since _canary_index
+# averages pre/post the same way; 2.0 = this box/window ran the fixed
+# probes 2× slower), so `normalized_total` in the final JSON is directly
+# comparable across rounds without hand arithmetic: a same-code A/A on a
+# fast and a loaded window should read ~flat normalized while the raw
+# totals differ by the machine shift.
+_CANARY_REF = {"jvm_range_sec": 0.385, "parquet_scan_sec": 0.324}
+
+
+def _canary_index(pre: dict, post: dict) -> float | None:
+    """Geometric mean over both probes of (measured / reference), with the
+    pre/post pair averaged per probe — one number for 'how slow was this
+    window relative to the committed reference'."""
+    import math
+
+    ratios = []
+    for k, ref in _CANARY_REF.items():
+        vals = [d[k] for d in (pre, post) if d.get(k)]
+        if not vals or not ref:
+            return None
+        ratios.append((sum(vals) / len(vals)) / ref)
+    return round(math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3)
+
+
 def _canary_scan_path(sf_dir: str) -> str:
     """The scan probe's fixed path: sf0.01 lineitem next to the configured
     SF dir (same bytes every round → comparable across rounds). When that
@@ -351,9 +380,16 @@ def main() -> None:
     # "canary" is ~120 bytes — small enough for the tail capture, and it
     # makes the committed BENCH_r{N}.json self-evidencing: divide two
     # rounds' canaries to separate machine drift from plan regressions.
+    # Canary-normalized verdict (VERDICT r14 #2, additions-only):
+    # `canary_index` is this window's speed relative to the committed
+    # reference window (_CANARY_REF); `normalized_total` divides the raw
+    # total by it, so round-over-round "regressed/improved" can be read
+    # off two artifacts directly instead of dividing canaries by hand.
+    idx = _canary_index(canary_pre, canary_post)
+    total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "headline_query_wall_seconds",
-        "value": round(sum(times.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf_val,
@@ -363,6 +399,10 @@ def main() -> None:
             "post": canary_post,
             "loadavg_1m": round(loadavg_pre[0], 2),
         },
+        "canary_index": idx,
+        "normalized_total": (
+            round(total / idx, 3) if idx else None
+        ),
     }))
 
 

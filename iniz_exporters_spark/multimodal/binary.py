@@ -24,6 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from iniz_exporters_spark.session import spread_for_kernel
+from iniz_exporters_spark.pinning import pin
 
 IMAGE_META_SCHEMA = (
     "width int, height int, format string, byte_len long, checksum bigint"
@@ -673,7 +674,7 @@ def phash_neardup(
     # the multi-consumer double-evaluation the p01/p03 localCheckpoint
     # convention exists for. Lazy (eager=False): materializes on first use
     # inside the caller's own job, no extra construction-time job.
-    hashes = hashes.localCheckpoint(eager=False)
+    hashes = hashes.transform(pin)
     bands = F.array(
         *[
             F.struct(

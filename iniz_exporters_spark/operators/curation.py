@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
+from iniz_exporters_spark.pinning import pin
 
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
@@ -162,7 +163,7 @@ def dsir_weights(
 
     pool_freq = (
         pool_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_pool"))
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     tgt_freq = tgt_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_tgt"))
 
     # joint vocab with add-1 smoothing: tokens unseen on one side get c=0
@@ -173,7 +174,7 @@ def dsir_weights(
             F.coalesce("c_pool", F.lit(0)).alias("c_pool"),
             F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"),
         )
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     totals = vocab.agg(
         F.sum("c_pool").cast("double").alias("n_pool"),
         F.sum("c_tgt").cast("double").alias("n_tgt"),

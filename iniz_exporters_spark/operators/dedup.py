@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 
 from iniz_exporters_spark.functions.text import MOD, char_shingles, poly_hash
 from iniz_exporters_spark.session import spread_for_kernel
+from iniz_exporters_spark.pinning import pin
 
 #: MinHash permutation parameters h_j(x) = (A_j·x + B_j) mod MOD with
 #: A_j = 1000003·j + 1 (nonzero mod the prime), B_j = 7919·j + 12345.
@@ -325,14 +326,14 @@ def neardup_pairs(
     The shingle-set pass is computed once and ``localCheckpoint``ed (lazily)
     — bucketing and both verify-join sides read the pinned copy instead of
     re-hashing the corpus three times."""
-    hs = shingle_sets(df, id_col, text_col, k).localCheckpoint(eager=False)
+    hs = shingle_sets(df, id_col, text_col, k).transform(pin)
     # The bucket frame is pinned too: candidate_pairs self-joins it, and
     # without the pin the band-fold kernel runs once per join side (the
     # pinned hs only deduplicates the SHINGLE pass, not the bucket pass).
     pairs = candidate_pairs(
         buckets_from_shingle_sets(
             hs, id_col, num_perm, rows_per_band
-        ).localCheckpoint(eager=False),
+        ).transform(pin),
         id_col,
     )
     ha = hs.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
@@ -405,9 +406,7 @@ def simhash_neardup(
     # Pinned before the band self-join: both sides read the signatures,
     # and without the pin the Arrow SimHash kernel re-hashes the whole
     # corpus once per side (multi-consumer double-evaluation).
-    sig = simhash_signatures(df, id_col, text_col, bits=bits).localCheckpoint(
-        eager=False
-    )
+    sig = simhash_signatures(df, id_col, text_col, bits=bits).transform(pin)
     bands = F.array(
         *[
             F.struct(
@@ -555,7 +554,7 @@ def ngram_jaccard_pairs(
     frac = Fraction(threshold).limit_denominator(10_000)
     num, den = frac.numerator, frac.denominator
 
-    gs = ngram_hash_sets(df, id_col, text_col, n).localCheckpoint(eager=False)
+    gs = ngram_hash_sets(df, id_col, text_col, n).transform(pin)
     # prefix length |S| - ceil(t·|S|) + 1, ceil done in exact integer math
     pref_cnt = F.col("sz") - F.floor((num * F.col("sz") + den - 1) / den).cast(
         "int"
@@ -688,12 +687,8 @@ def incremental_neardup(
     corpus snapshot and only the batch side is recomputed per increment —
     this function recomputes both so its contract is self-contained.
     """
-    hs_old = shingle_sets(corpus, id_col, text_col, k).localCheckpoint(
-        eager=False
-    )
-    hs_new = shingle_sets(batch, id_col, text_col, k).localCheckpoint(
-        eager=False
-    )
+    hs_old = shingle_sets(corpus, id_col, text_col, k).transform(pin)
+    hs_new = shingle_sets(batch, id_col, text_col, k).transform(pin)
     b_old = buckets_from_shingle_sets(
         hs_old, id_col, num_perm, rows_per_band
     ).select(F.col(id_col).alias("corpus_id"), "band", "bucket")

@@ -22,6 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from iniz_exporters_spark.functions.text import poly_hash
+from iniz_exporters_spark.pinning import pin
 
 
 def _ranked_with_total(df: DataFrame, sort_cols, idx_col: str):
@@ -38,7 +39,7 @@ def _ranked_with_total(df: DataFrame, sort_cols, idx_col: str):
         df.repartitionByRange(*sort_cols)
         .sortWithinPartitions(*sort_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     counts = sorted(
         (r["__pid"], r["cnt"])
@@ -93,7 +94,7 @@ def global_cumsum(
         df.repartitionByRange(*sort_cols)
         .sortWithinPartitions(*sort_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     partials = sorted(
         (r["__pid"], r["s"])
@@ -160,7 +161,7 @@ def _grouped_ranked(df: DataFrame, group_cols: list, sort_cols):
         df.repartitionByRange(*full_order)
         .sortWithinPartitions(*full_order)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     # Cardinality guard BEFORE any collect: a high-cardinality group key
     # must fail distributed-side, not OOM the driver while collecting the
@@ -469,7 +470,7 @@ def global_prefix(
         df.repartitionByRange(*sort_cols)
         .sortWithinPartitions(*sort_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     aggs = [F.count(F.lit(1)).alias("__cnt")] + [
         F.sum(src).alias(f"__s_{out}") for out, src in cum_cols.items()

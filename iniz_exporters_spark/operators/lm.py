@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 
 from iniz_exporters_spark.functions.text import poly_hash, tokens
 from iniz_exporters_spark.session import spread_for_kernel
+from iniz_exporters_spark.pinning import pin
 
 
 def doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -158,7 +159,7 @@ def span_dedup_counts(
         # over the whole corpus (isolated interleaved A/B at sf0.1:
         # med 2.13 → 1.97 s). Lazy: the eager spans checkpoint right
         # below materializes it inside its own first job.
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     spans = (
         toks.filter(F.size("__t") >= span)
@@ -180,7 +181,7 @@ def span_dedup_counts(
         # pinned once: both the flagged-hash aggregation and the coverage
         # join read this frame — without the checkpoint the token explode
         # and hash fold run twice (the unigram_logprob vocab pattern)
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     if min_docs == 2:
         # "appears in >= 2 distinct docs" needs no distinct count:
@@ -396,7 +397,7 @@ def bpe_learn(
         F.sequence(F.lit(1), F.length("w")),
         lambda i: F.substring(F.col("w"), i, 1),
     )
-    cur = vocab.select("w", "freq", syms_col.alias("syms")).localCheckpoint()
+    cur = vocab.select("w", "freq", syms_col.alias("syms")).transform(pin, eager=True)
     merges: list[tuple[str, str]] = []
     for r in range(k):
         pairs = F.transform(
@@ -421,7 +422,7 @@ def bpe_learn(
         merges.append((a, b))
         cur = cur.withColumn("syms", _apply_merge(F.col("syms"), a, b))
         if (r + 1) % checkpoint_every == 0:
-            cur = cur.localCheckpoint()
+            cur = cur.transform(pin, eager=True)
     return merges
 
 
@@ -536,10 +537,10 @@ def interpolated_perplexity(
     # pairs feeds THREE consumers (c12, c1, the scoring join) and the
     # token stream two (cu, totals) — pin each once so the corpus is
     # tokenized once, not five times (same pattern as span_dedup_counts)
-    pairs = doc_bigrams(df, id_col, text_col).localCheckpoint()
+    pairs = doc_bigrams(df, id_col, text_col).transform(pin, eager=True)
     c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    uni = df.select(F.explode(tokens(text_col)).alias("w")).localCheckpoint()
+    uni = df.select(F.explode(tokens(text_col)).alias("w")).transform(pin, eager=True)
     cu = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
     totals = uni.agg(
         F.count(F.lit(1)).alias("N"), F.count_distinct("w").alias("V")

@@ -20,6 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 from iniz_exporters_spark.functions.text import poly_hash
+from iniz_exporters_spark.pinning import pin
 
 
 def _as_double(vec: Column) -> Column:
@@ -69,7 +70,7 @@ def _broadcast_guard(
     from iniz_exporters_spark.session import _is_bare_scan
 
     if not _is_bare_scan(queries):
-        queries = queries.localCheckpoint(eager=False)
+        queries = queries.transform(pin)
     n = queries.limit(max_queries + 1).count()
     if n > max_queries:
         raise RuntimeError(
@@ -186,10 +187,12 @@ def knn_bruteforce(
     Ranking uses the ROUNDED cosine with neighbor id as tiebreak so results
     are stable across engines/architectures. Scoring runs through the
     vectorized ``scored_vs_fixed_queries`` kernel (one matmul per Arrow
-    batch) — same rounded values as the old per-pair HOF expression, ~an
-    order of magnitude less per-task CPU; the corpus still never shuffles
-    for scoring, only (query_id, neighbor_id, cos) rows reach the top-k
-    window.
+    batch) — dot-then-divide + round, the family's documented convention
+    (ADVICE r14: np.round is half-to-even and BLAS accumulation order
+    differs from the HOF fold, so parity with the old expression is
+    oracle-gated/empirical, not by construction) — ~an order of magnitude
+    less per-task CPU; the corpus still never shuffles for scoring, only
+    (query_id, neighbor_id, cos) rows reach the top-k window.
     """
     scored = scored_vs_fixed_queries(
         corpus,

@@ -30,6 +30,7 @@ from collections import deque
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from iniz_exporters_spark.pinning import pin
 
 
 class CycleError(Exception):
@@ -233,10 +234,10 @@ def distributed_reachable(
     truncate lineage, and the loop terminates when it is empty.
     """
     if broadcast_frontier:
-        edges = edges.localCheckpoint()
+        edges = edges.transform(pin, eager=True)
     else:
-        edges = edges.repartition("src").localCheckpoint()
-    seen = roots.select("node").distinct().localCheckpoint()
+        edges = edges.repartition("src").transform(pin, eager=True)
+    seen = roots.select("node").distinct().transform(pin, eager=True)
     frontier = seen
     for _ in range(max_iters):
         probe = F.broadcast(frontier) if broadcast_frontier else frontier
@@ -245,11 +246,11 @@ def distributed_reachable(
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(seen, on="node", how="left_anti")
-            .localCheckpoint()
+            .transform(pin, eager=True)
         )
         if nxt.isEmpty():
             break
-        seen = seen.unionByName(nxt).localCheckpoint()
+        seen = seen.unionByName(nxt).transform(pin, eager=True)
         frontier = nxt
     else:
         raise RuntimeError(
@@ -269,7 +270,7 @@ def distributed_topo_levels(edges: DataFrame, max_iters: int = 100) -> DataFrame
     graph depth ≤ ``max_iters`` (cycle guard). Edges are partitioned on
     ``src`` and materialized once, as in ``distributed_reachable``.
     """
-    edges = edges.repartition("src").localCheckpoint()
+    edges = edges.repartition("src").transform(pin, eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -280,7 +281,7 @@ def distributed_topo_levels(edges: DataFrame, max_iters: int = 100) -> DataFrame
         on="node",
         how="left_anti",
     ).withColumn("lvl", F.lit(0))
-    levels = sources.localCheckpoint()
+    levels = sources.transform(pin, eager=True)
     frontier = sources
     for _ in range(max_iters):
         nxt = (
@@ -288,7 +289,7 @@ def distributed_topo_levels(edges: DataFrame, max_iters: int = 100) -> DataFrame
             .select(F.col("dst").alias("node"), (F.col("lvl") + 1).alias("lvl"))
             .groupBy("node")
             .agg(F.max("lvl").alias("lvl"))
-            .localCheckpoint()
+            .transform(pin, eager=True)
         )
         if nxt.isEmpty():
             break
@@ -341,11 +342,11 @@ def connected_components(
     # whole banded-LSH join (canonical_longest_q ran its pair pipeline
     # twice before this pin). Lazy: a caller passing an already-cheap
     # frame pays one cached copy, nothing more.
-    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    edges = edges.select("src", "dst").transform(pin)
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    und = und.repartition("src").localCheckpoint()
+    und = und.repartition("src").transform(pin, eager=True)
     # Seed labels with min(self, direct neighbors) — one aggregation over
     # the (already symmetrized, already partitioned) edge list. This IS
     # what round 1 of the loop would compute from identity labels, so for
@@ -358,7 +359,7 @@ def connected_components(
         .select(
             "node", F.least(F.col("node"), F.col("__nbr")).alias("component")
         )
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     for _ in range(max_iters):
         neighbor_min = (
@@ -384,7 +385,7 @@ def connected_components(
                     F.col("nbr_min") < F.col("component"), F.lit(False)
                 ).alias("__chg"),
             )
-            .localCheckpoint()
+            .transform(pin, eager=True)
         )
         labels = updated.select("node", "component")
         if updated.filter("__chg").isEmpty():
@@ -413,12 +414,12 @@ def _star_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     """
     # same pre-union pin as the propagation path: nodes reads edges
     # twice and e a third time — pin once, read three projections
-    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    edges = edges.select("src", "dst").transform(pin)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     e = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
@@ -427,7 +428,7 @@ def _star_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
         .distinct()
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     n_e = e.count()
     for _ in range(max_iters):
@@ -460,7 +461,7 @@ def _star_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
                 F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
             )
             .distinct()
-            .localCheckpoint()
+            .transform(pin, eager=True)
         )
         # one count job per round (the edge count is tracked across
         # rounds, not recomputed); the exceptAll set-compare only runs
@@ -534,12 +535,12 @@ def pagerank(
     reaches the compared value).
     """
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    ed = edges.join(deg, "src").repartition("src").localCheckpoint()
+    ed = edges.join(deg, "src").repartition("src").transform(pin, eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(iters):
@@ -593,13 +594,13 @@ def triangle_stats(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
     """
     e = edges.select(
         F.col(a_col).alias("a"), F.col(b_col).alias("b")
-    ).localCheckpoint()
+    ).transform(pin, eager=True)
     deg = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     ed = (
         e.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
@@ -612,7 +613,7 @@ def triangle_stats(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
-    ).localCheckpoint()
+    ).transform(pin, eager=True)
     o1 = oriented.select("src", F.col("dst").alias("v"), F.col("dd").alias("dv"))
     o2 = oriented.select("src", F.col("dst").alias("w"), F.col("dd").alias("dw"))
     wedges = o1.join(o2, "src").filter(
@@ -679,7 +680,7 @@ def kcore_membership(
         .unionAll(
             edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     n_edges = und.count()
     for _ in range(rounds):
@@ -688,7 +689,7 @@ def kcore_membership(
         und = (
             und.join(alive, "src", "left_semi")
             .join(alive.withColumnRenamed("src", "dst"), "dst", "left_semi")
-            .localCheckpoint()
+            .transform(pin, eager=True)
         )
         nxt = und.count()
         if nxt == n_edges:

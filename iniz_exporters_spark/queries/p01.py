@@ -6,6 +6,7 @@ from iniz_exporters_spark.catalog import Catalog
 from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 from iniz_exporters_spark.queries._base import _dec, _money, register
+from iniz_exporters_spark.pinning import pin
 
 
 
@@ -1040,19 +1041,15 @@ def minhash_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = Catalog(spark, sf_dir).documents
-    hs = shingle_sets(d, "doc_id", "text", 5).localCheckpoint(eager=False)
+    hs = shingle_sets(d, "doc_id", "text", 5).transform(pin)
     # r14-opt pins (the neardup_pairs #4 pattern): candidate_pairs
     # self-joins the bucket frame (band kernel once per side unpinned),
     # and sa/sb below read the minhash-signature kernel once per side.
     pairs = candidate_pairs(
-        buckets_from_shingle_sets(hs, "doc_id", 16, 4).localCheckpoint(
-            eager=False
-        ),
+        buckets_from_shingle_sets(hs, "doc_id", 16, 4).transform(pin),
         "doc_id",
     )
-    sigs = mh_sigs(d, "doc_id", "text", num_perm=16, k=5).localCheckpoint(
-        eager=False
-    )
+    sigs = mh_sigs(d, "doc_id", "text", num_perm=16, k=5).transform(pin)
     sa = sigs.select(
         F.col("doc_id").alias("id_a"), "j", F.col("minhash").alias("m_a")
     )
@@ -1808,14 +1805,14 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
         )
         .select("doc_id", "text", "quality")
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     # materialize the scored+deduped set ONCE: the near-dup stage reads it
     # from three branches (buckets + both verify-join sides) and the final
     # anti-join from a fourth — without pinning, Spark recomputes the
     # interpreted scoring expressions 4×. At cluster scale this is a
     # .persist(DISK_AND_MEMORY); localCheckpoint is its local[*] analogue.
-    exact = dedup_exact(filtered, ["text"], "doc_id").localCheckpoint()
+    exact = dedup_exact(filtered, ["text"], "doc_id").transform(pin, eager=True)
     dropped = (
         neardup_pairs(exact, "doc_id", "text", threshold=0.7,
                       num_perm=16, rows_per_band=4)

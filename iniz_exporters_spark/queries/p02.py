@@ -9,6 +9,7 @@ from iniz_exporters_spark.queries._base import _dec, register
 from iniz_exporters_spark.operators.similarity import ivf_flat_topk
 from iniz_exporters_spark.functions.text import poly_hash
 from iniz_exporters_spark.queries.p01 import _EDGES_ORACLE, _SQL_POLY, _SQL_SHINGLE_SET, _SQL_TOKENS, _derived_edges
+from iniz_exporters_spark.pinning import pin
 
 
 
@@ -717,7 +718,7 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select("doc_id", F.explode(_tokens("text")).alias("tok"))
     # materialize the vocab ONCE (it feeds both the broadcast join and the
     # scalar total — without pinning, the corpus-wide count runs twice)
-    freq = t.groupBy("tok").agg(F.count("*").alias("c")).localCheckpoint()
+    freq = t.groupBy("tok").agg(F.count("*").alias("c")).transform(pin, eager=True)
     total = freq.agg(F.sum("c").cast("double").alias("n"))
     scored = t.join(F.broadcast(freq), "tok").crossJoin(F.broadcast(total))
     return scored.groupBy("doc_id").agg(
@@ -1987,7 +1988,7 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).events
     du = e.select(
         F.to_date("ts").alias("day"), "user_id"
-    ).distinct().localCheckpoint()
+    ).distinct().transform(pin, eager=True)
     days = du.select("day").distinct()
     dau = du.groupBy("day").agg(F.count("*").alias("dau"))
     # each (day, user) contributes to the 7 window-end days [day, day+6]:
@@ -2524,7 +2525,7 @@ def span_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spans = toks.select(
         "doc_id", F.explode(hashes).alias("h")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     df_ = spans.groupBy("h").agg(
         F.count_distinct("doc_id").alias("nd")
     )

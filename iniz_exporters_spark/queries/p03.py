@@ -57,6 +57,7 @@ from iniz_exporters_spark.operators.sketches import (  # noqa: E402
 # oracle replays the exact residue arithmetic. Counts per (split, lang)
 # prove both the range allocation and that appending data never moves rows.
 from iniz_exporters_spark.operators.sampling import hash_split  # noqa: E402
+from iniz_exporters_spark.pinning import pin
 
 
 @register(
@@ -983,7 +984,7 @@ def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pb = F.col("doc_id") % 25 == 11
     # both sides come from the same table: run the Arrow shingle kernel
     # ONCE, pin the sets, and split — halves the dominant cost
-    sets = shingle_sets(d, "doc_id", "text", k=5).localCheckpoint()
+    sets = shingle_sets(d, "doc_id", "text", k=5).transform(pin, eager=True)
     return containment_pairs_sets(
         sets.filter(~pb), sets.filter(pb), "doc_id", threshold=0.8
     )
@@ -2037,7 +2038,7 @@ def heaps_law_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(doc_id * 10) div nd").cast("long").alias("bucket"),
             F.explode(_tokens("text")).alias("tok"),
         )
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     per_bucket = t.groupBy("bucket").agg(F.count("*").alias("n_tokens"))
     new_types = (
@@ -2444,7 +2445,7 @@ def mi_feature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pres = (
         d.select("doc_id", F.explode(_tokens("text")).alias("tok"))
         .distinct()
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     top = (
         pres.groupBy("tok")
@@ -2646,7 +2647,7 @@ def adamic_adar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select(
             F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
         ).distinct()
-    ).localCheckpoint()
+    ).transform(pin, eager=True)
     osize = op.groupBy("o").agg(F.count("*").alias("n")).filter("n >= 2")
     a = op.select("o", F.col("p").alias("pa"))
     b = op.select("o", F.col("p").alias("pb"))
@@ -2747,14 +2748,14 @@ def clustering_coeff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     deg = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))
         .groupBy("n")
         .agg(F.count("*").alias("d"))
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     ed = e.join(
         deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a"
@@ -2766,7 +2767,7 @@ def clustering_coeff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(lt, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(lt, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(lt, F.col("db")).otherwise(F.col("da")).alias("dd"),
-    ).localCheckpoint()
+    ).transform(pin, eager=True)
     o1 = oriented.select(
         "src", F.col("dst").alias("y"), F.col("dd").alias("dy")
     )
@@ -3244,9 +3245,11 @@ def maxsim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through the vectorized matmul kernel (guide §4.2) instead of a
     # per-pair HOF cosine — the broadcast-nested-loop shape's 40k
     # zip_with/aggregate folds (each recomputing both norms) become one
-    # BLAS block per Arrow batch. Rounded values unchanged
-    # (dot-then-divide + round, the _topk_in_block parity convention);
-    # the corpus still never shuffles for scoring.
+    # BLAS block per Arrow batch. Scoring follows the family's documented
+    # convention (dot-then-divide + round, as _topk_in_block); parity with
+    # the old HOF expression is oracle-gated, not by construction (ADVICE
+    # r14: np.round half-to-even + BLAS accumulation order). The corpus
+    # still never shuffles for scoring.
     scored = scored_vs_fixed_queries(
         e.filter(F.col("pid") >= 2),
         e.filter(F.col("pid") < 2),
@@ -3424,14 +3427,14 @@ def degree_powerlaw_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     deg = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))
         .groupBy("n")
         .agg(F.count("*").alias("d"))
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     tail = deg.filter(F.col("d") >= 2)
@@ -3660,7 +3663,7 @@ def silhouette_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def calinski_harabasz_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).embeddings
     f, cents = _km_eval_frame(spark, sf_dir)
-    f = f.localCheckpoint()
+    f = f.transform(pin, eager=True)
     w = f.agg(
         F.count(F.lit(1)).alias("n"),
         _dsum(F.col("d2_own")).cast("double").alias("wss"),

@@ -14,6 +14,7 @@ from iniz_exporters_spark.operators.indexing import global_ntile, negative_sampl
 from iniz_exporters_spark.functions.text import poly_hash
 from iniz_exporters_spark.queries.p01 import _SQL_POLY, _SQL_TOKENS
 from iniz_exporters_spark.queries.p03 import _KM_PRELUDE, _capped_baskets, _dsum, _km_eval_frame
+from iniz_exporters_spark.pinning import pin
 
 
 
@@ -73,7 +74,7 @@ def cluster_nmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below works on its k x |labels| cells (no re-reads of the frame)
     cells = f.groupBy("cluster", "label").agg(
         F.count("*").alias("c")
-    ).localCheckpoint()
+    ).transform(pin, eager=True)
     n_tot = cells.agg(F.sum("c").alias("n"))
     wt = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -368,7 +369,7 @@ def association_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select(
             F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
         ).distinct()
-    ).localCheckpoint()
+    ).transform(pin, eager=True)
     n = op.agg(F.countDistinct("o").alias("n_orders"))
     # Pinned (r14-opt): both lift-join sides read this per-part count, and
     # without the pin the groupBy aggregate runs ONCE PER SIDE — a second
@@ -378,7 +379,7 @@ def association_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = (
         op.groupBy("p")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     a = op.select("o", F.col("p").alias("pa"))
     b = op.select("o", F.col("p").alias("pb"))
@@ -602,7 +603,7 @@ def hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).lineitem
     e = li.select(
         F.col("l_suppkey").alias("h"), F.col("l_partkey").alias("a")
-    ).distinct().localCheckpoint()
+    ).distinct().transform(pin, eager=True)
     a1r = e.groupBy("a").agg(F.count("*").alias("s"))
     a1n = a1r.agg(F.sum("s").alias("z"))
     a1 = a1r.crossJoin(F.broadcast(a1n)).select(
@@ -774,7 +775,7 @@ def cuped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("y"),
     ).select(
         (F.col("user_id") % 2).alias("arm"), "x", "y"
-    ).localCheckpoint()
+    ).transform(pin, eager=True)
     m = u.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
@@ -881,7 +882,7 @@ def modularity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    F.col("p_brand").alias("cb"))), "b"
         )
         .select("ca", "cb")
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     m = el.agg(F.count(F.lit(1)).alias("m"))
     intra = (
@@ -973,7 +974,7 @@ def assortativity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     deg = (
         e.select(F.col("a").alias("n"))
@@ -1365,7 +1366,7 @@ def source_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     level dedup decisions."""
     d = Catalog(spark, sf_dir).documents
     t = d.select("source", F.explode(_tokens("text")).alias("tok"))
-    t = t.localCheckpoint()
+    t = t.transform(pin, eager=True)
     top = (
         t.groupBy("tok")
         .agg(F.count("*").alias("tot"))
@@ -1376,7 +1377,7 @@ def source_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.join(F.broadcast(top.select("tok")), "tok")
         .groupBy("source", "tok")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     norms = prof.groupBy("source").agg(
         F.sum(F.col("c") * F.col("c")).alias("nn")
@@ -1629,7 +1630,7 @@ def label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ud = (
         e.select(F.col("a").alias("n"), F.col("b").alias("m"))
         .unionAll(e.select(F.col("b").alias("n"), F.col("a").alias("m")))
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
 
     def top_label(labeled):
@@ -1867,7 +1868,7 @@ def skipgram_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     per CENTER occurrence, uniform from poly_hash(doc:pos) — the
     deterministic stand-in for the trainer's RNG."""
     d = Catalog(spark, sf_dir).documents
-    toks = d.select("doc_id", _tokens("text").alias("t")).localCheckpoint()
+    toks = d.select("doc_id", _tokens("text").alias("t")).transform(pin, eager=True)
     n = toks.agg(F.sum(F.size("t")).alias("n_tokens"))
     freq = (
         toks.select(F.explode("t").alias("tok"))
@@ -1980,10 +1981,10 @@ def doc_cosine_sparse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(_tokens("text")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     nd = tf.select("doc_id").distinct().count()
-    df = tf.groupBy("tok").agg(F.count("*").alias("df")).localCheckpoint()
+    df = tf.groupBy("tok").agg(F.count("*").alias("df")).transform(pin, eager=True)
     w = (
         tf.join(df, "tok")
         .select(
@@ -1994,7 +1995,7 @@ def doc_cosine_sparse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.log(F.lit(float(nd)) / F.col("df"))
             ).alias("w"),
         )
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     norms = w.groupBy("doc_id").agg(
         _dsum(F.col("w") * F.col("w")).cast("double").alias("nn")
@@ -2310,7 +2311,7 @@ def flags_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def phrase_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
-    toks = d.select("doc_id", _tokens("text").alias("t")).localCheckpoint()
+    toks = d.select("doc_id", _tokens("text").alias("t")).transform(pin, eager=True)
     pos = toks.select(
         "doc_id", F.posexplode("t").alias("i0", "tok")
     ).select("doc_id", (F.col("i0") + 1).alias("i"), "tok")
@@ -2622,7 +2623,7 @@ def sorted_neighborhood_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("blk").orderBy("c_name", "c_custkey")
     ranked = c.select(
         "c_custkey", "c_name", blk.alias("blk")
-    ).withColumn("rk", F.row_number().over(w)).localCheckpoint()
+    ).withColumn("rk", F.row_number().over(w)).transform(pin, eager=True)
     a = ranked.select(
         "blk",
         F.col("c_custkey").alias("ka"),
@@ -2838,7 +2839,7 @@ def rich_club_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     deg = (
         e.select(F.col("a").alias("n"))
@@ -2851,7 +2852,7 @@ def rich_club_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     club = ks.crossJoin(deg).filter(F.col("d") > F.col("k")).select(
         "k", "n"
-    ).localCheckpoint()
+    ).transform(pin, eager=True)
     cnt = club.groupBy("k").agg(F.count("*").alias("nk"))
     ca = club.select(F.col("k"), F.col("n").alias("a"))
     cb = club.select(F.col("k").alias("k2"), F.col("n").alias("b2"))
@@ -3484,14 +3485,16 @@ def ccnet_bucket_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle carry one row per (doc, word) instead of one per occurrence.
     # Arithmetic parity: sum over c occurrences of logp == sum(logp · c)
     # in EXACT decimal — logp ∈ (−100, 0] at 12 dp fits decimal(14,12),
-    # c < 1e9 fits decimal(9,0), the product type (24,12) and its sum
-    # (34,12) never saturate Spark's 38-digit cap, so no precision-loss
-    # rounding can reach the compared value (re-gated vs the unchanged
-    # oracle at all three scales).
+    # c is a count cast to decimal(19,0) (ADVICE r14: decimal(9,0) would
+    # silently NULL-overflow on a ≥1e9-occurrence word at 100 TB under
+    # non-ANSI mode, dropping the term from Σlogp·c while Σc kept it); the
+    # product type (34,12) and its sum (38,12) never saturate Spark's
+    # 38-digit cap, so no precision-loss rounding can reach the compared
+    # value (re-gated vs the unchanged oracle at all three scales).
     tokc = (
         tok.groupBy("doc_id", "source", "w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     vocab = tokc.groupBy("w").agg(F.sum("c").alias("c"))
     tot = vocab.agg(F.sum("c").alias("n"))
@@ -3509,7 +3512,7 @@ def ccnet_bucket_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.exp(
                     -F.sum(
-                        F.col("logp") * F.col("c").cast("decimal(9,0)")
+                        F.col("logp") * F.col("c").cast("decimal(19,0)")
                     ).cast("double")
                     / F.sum("c")
                 ),

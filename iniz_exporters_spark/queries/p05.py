@@ -17,6 +17,7 @@ from iniz_exporters_spark.queries.p01 import BPE_ISH, _SQL_POLY, _SQL_TOKENS, _s
 from iniz_exporters_spark.queries.p02 import _SQL_QW
 from iniz_exporters_spark.queries.p03 import _dsum
 from iniz_exporters_spark.queries.p04 import _FIXTURES_ROOT
+from iniz_exporters_spark.pinning import pin
 
 
 
@@ -513,7 +514,7 @@ def lang_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cm = pred.groupBy("true_lang", "pred_lang").agg(
         F.count("*").alias("n")
-    ).localCheckpoint()
+    ).transform(pin, eager=True)
     tp = cm.groupBy(F.col("true_lang").alias("lang")).agg(
         F.sum("n").cast("long").alias("support"),
         F.sum(

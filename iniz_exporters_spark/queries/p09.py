@@ -6,6 +6,7 @@ from iniz_exporters_spark.catalog import Catalog
 from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 from iniz_exporters_spark.queries._base import _dec, register
+from iniz_exporters_spark.pinning import pin
 
 
 
@@ -1006,9 +1007,7 @@ def rep_ngram_fractions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``when(size >= n)`` matters: Spark's ``sequence(1, 0)`` DESCENDS
     rather than returning empty, so short docs must never reach it."""
     d = Catalog(spark, sf_dir).documents
-    t = d.select("doc_id", _tokens_r10("text").alias("ts")).localCheckpoint(
-        eager=False
-    )
+    t = d.select("doc_id", _tokens_r10("text").alias("ts")).transform(pin)
     empty = F.array().cast("array<string>")
 
     def grams(n: int):
@@ -1114,7 +1113,7 @@ def token_ngram_decontam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.filter(F.col("doc_id") % 50 == 0)
         .select(F.col("doc_id").alias("test_id"), "g")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     tr = g.filter(F.col("doc_id") % 50 != 0).select("g")
     hits = (
@@ -1193,7 +1192,7 @@ def split_doc_boundary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.array_join(F.slice("ts", 1, 3), " ").alias("pre_g"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     suf = sp.select("doc_id", F.col("suf_g").alias("g"))
     pre = sp.select("doc_id", F.col("pre_g").alias("g"))
@@ -1271,7 +1270,7 @@ def mixture_domain_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(_tokens_r10("text"))).alias("n_tokens"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     tot = t.agg(F.sum("n_tokens").cast("double").alias("total"))
     w = t.crossJoin(F.broadcast(tot)).select(
         "source",
@@ -2226,13 +2225,13 @@ def bloom_fpr_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_orderkey") % 2 == 1)
         .select(F.col("l_orderkey").alias("k"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     bits = (
         mem.select(h(F.col("k")).alias("b"))
         .unionAll(mem.select(h(F.col("k"), "#").alias("b")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     probed = prb.select("k", h(F.col("k")).alias("h1"), h(F.col("k"), "#").alias("h2"))
     fp = (

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 from iniz_exporters_spark.queries._base import _dec, register
 from iniz_exporters_spark.queries.p01 import _SQL_POLY
+from iniz_exporters_spark.pinning import pin
 
 
 # ---------------------------------------------------------------------------
@@ -586,7 +587,7 @@ def host_mirror_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # polynomial hash per consumer — pin once (persist analogue)
     fh = d.groupBy("fp", "host").agg(
         F.count(F.lit(1)).alias("n_fh")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     fstats = fh.groupBy("fp").agg(F.count(F.lit(1)).alias("n_hosts"))
     partners = (
         fh.select("fp", "host")
@@ -909,7 +910,7 @@ def mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= _MMR_K_CAND)
         .select("query_id", "cid", "qsim")
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     ev = e.select(F.col("vec_id").alias("cid"), "v")
     # broadcast the k*Q-row candidate side — ev is the CORPUS-scale
@@ -937,7 +938,7 @@ def mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "a_cid", "b_cid",
             F.round(cosine(F.col("va"), F.col("vb")), 4).alias("sim"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     sel = (
         cand.withColumn("rn", F.row_number().over(wq))
@@ -978,7 +979,7 @@ def mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # sel is read twice next iteration (penalty join + anti-join) and
         # its lineage otherwise re-runs every prior pick's window chain
-        sel = sel.unionByName(pick).localCheckpoint(eager=False)
+        sel = sel.unionByName(pick).transform(pin)
     return sel.select(
         "query_id",
         F.col("pick_order").cast("int").alias("pick_order"),
@@ -1076,7 +1077,7 @@ def wilcoxon_signed_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-customer aggregation over orders runs once
     d = per.select(
         (F.col("y") - F.col("x")).alias("diff")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     nz = d.filter(F.col("diff") == 0).agg(
         F.count(F.lit(1)).alias("n_zero")
     )
@@ -1533,7 +1534,7 @@ def unimax_alloc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         1 + F.substring("source", 4, 10).cast("long") % 3,
     ).withColumn(
         "cap_tokens", F.col("n_tokens") * F.col("epoch_cap")
-    ).localCheckpoint(eager=False)  # read by tot AND ranked: one
+    ).transform(pin)  # read by tot AND ranked: one
     # corpus-scale tokenize+agg, not two
     tot = src.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -1730,7 +1731,7 @@ def pipeline_waterfall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("quality"),
             "lang_pred",
         )
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     gate = (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
     counts = scored.agg(
@@ -1744,9 +1745,7 @@ def pipeline_waterfall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     filtered = scored.filter(gate).select("doc_id", "text", "quality")
-    exact = dedup_exact(filtered, ["text"], "doc_id").localCheckpoint(
-        eager=False
-    )
+    exact = dedup_exact(filtered, ["text"], "doc_id").transform(pin)
     nd = (
         neardup_pairs(
             exact, "doc_id", "text", threshold=0.7, num_perm=16,
@@ -1920,7 +1919,7 @@ def fairness_parity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("pred") == 1) & (F.col("label") == 0), 1)
             .otherwise(0)
         ).cast("long").alias("n_fp"),
-    ).localCheckpoint(eager=False)  # read again by the overall rollup
+    ).transform(pin)  # read again by the overall rollup
     ov = grp.agg(
         F.sum("n").cast("long").alias("o_n"),
         F.sum("n_pred").cast("long").alias("o_pred"),
@@ -2040,13 +2039,11 @@ def lsh_scurve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents.filter(
         F.col("doc_id") % 10 == 0
     ).select("doc_id", "text")
-    hs = shingle_sets(d, "doc_id", "text", 5).localCheckpoint(eager=False)
+    hs = shingle_sets(d, "doc_id", "text", 5).transform(pin)
     # r14-opt pin (the neardup_pairs #4 pattern): candidate_pairs
     # self-joins the bucket frame — band kernel once per side unpinned
     cand = candidate_pairs(
-        buckets_from_shingle_sets(hs, "doc_id", 16, 4).localCheckpoint(
-            eager=False
-        ),
+        buckets_from_shingle_sets(hs, "doc_id", 16, 4).transform(pin),
         "doc_id",
     ).withColumn("is_c", F.lit(1))
     ha = hs.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
@@ -2184,7 +2181,7 @@ def kcenter_coreset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.crossJoin(F.broadcast(c1))
         .filter(F.col("vec_id") != F.col("c_id"))
         .select("vec_id", "v", d2(F.col("v"), F.col("cv")).alias("mind"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     out = c1.select(
         F.lit(1).alias("pick_order"),
@@ -2213,7 +2210,7 @@ def kcenter_coreset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("mind"), d2(F.col("v"), F.col("cv"))
                     ).alias("mind"),
                 )
-                .localCheckpoint(eager=False)
+                .transform(pin)
             )
     return out.select(
         F.col("pick_order").cast("int").alias("pick_order"),
@@ -2484,7 +2481,7 @@ def rouge_n_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = Catalog(spark, sf_dir).documents.select(
         "doc_id", "source", tokens("text").alias("t")
-    ).localCheckpoint(eager=False)  # pairs, grams, totals all read it
+    ).transform(pin)  # pairs, grams, totals all read it
     wsrc = Window.partitionBy("source").orderBy("doc_id")
     pairs = toks.select(
         F.col("doc_id").alias("id_a"),
@@ -2501,7 +2498,7 @@ def rouge_n_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(bigrams).alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     gtot = grams.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias("n")
@@ -2718,7 +2715,7 @@ def span_corruption_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = Catalog(spark, sf_dir).documents.select(
         "doc_id", F.size(tokens("text")).alias("ntok")
-    ).localCheckpoint(eager=False)  # start-explode + final left join
+    ).transform(pin)  # start-explode + final left join
     pos_hash = poly_hash(
         F.concat(
             F.col("doc_id").cast("string"),

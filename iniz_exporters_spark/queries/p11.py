@@ -24,6 +24,7 @@ from iniz_exporters_spark.operators.similarity import (
 from iniz_exporters_spark.queries.p01 import _SQL_POLY, _SQL_TOKENS
 from iniz_exporters_spark.queries.p02 import _SQL_QW
 from iniz_exporters_spark.session import spread_for_kernel as _spread
+from iniz_exporters_spark.pinning import pin
 
 # Exact-substring dedup constants (Lee et al. 2021 §4: ExactSubstr
 # removes substrings >= 50 tokens shared between documents; the
@@ -173,7 +174,7 @@ def exact_substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = (
         _spread(d.select("doc_id", "text"))
         .select("doc_id", tokens("text").alias("ts"))
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     seeds = (
         t.filter(F.size("ts") >= _ESD_SEED)
@@ -232,7 +233,7 @@ def exact_substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("pa").alias("sa"),
             (F.count(F.lit(1)) + (_ESD_SEED - 1)).alias("span_len"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     role = spans.select(
         F.col("da").alias("doc_id"),
@@ -659,7 +660,7 @@ def exact_substring_decontam_q(
                 F.concat(F.lit("esd:"), F.col("doc_id").cast("string"))
             ).alias("h"),
         )
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     suite = t.orderBy("h", "doc_id").limit(_ESDC_K).select("doc_id")
     seeds = (

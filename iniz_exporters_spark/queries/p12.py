@@ -33,6 +33,7 @@ from iniz_exporters_spark.queries.p02 import _SQL_QW
 from iniz_exporters_spark.operators.quality import linear_quality_score
 from iniz_exporters_spark.queries.p11 import _ESD_SEED, _ESDC_K
 from iniz_exporters_spark.session import spread_for_kernel as _spread
+from iniz_exporters_spark.pinning import pin
 
 # Extractable-memorization prompt length (tokens). Carlini 2023 measures
 # extraction with ~50-token prompts on web-scale corpora; the synthetic
@@ -549,7 +550,7 @@ def eval_dirty_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit("esd:"), F.col("doc_id").cast("string"))
             ).alias("h"),
         )
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     suite = t.orderBy("h", "doc_id").limit(_ESDC_K).select("doc_id")
     seeds = (
@@ -860,7 +861,7 @@ def boilerplate_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = (
         _spread(d.select("doc_id", "text"))
         .select("doc_id", tokens("text").alias("ts"))
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     seeds = (
         t.filter(F.size("ts") >= _ESD_SEED)
@@ -1154,7 +1155,7 @@ def doc_memorization_risk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = (
         _spread(d.select("doc_id", "text"))
         .select("doc_id", tokens("text").alias("ts"))
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     seeds = (
         t.filter(F.size("ts") >= _ESD_SEED + 1)

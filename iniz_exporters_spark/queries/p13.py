@@ -52,6 +52,7 @@ from iniz_exporters_spark.queries.p12 import (
     _ann_bits,
 )
 from iniz_exporters_spark.session import spread_for_kernel
+from iniz_exporters_spark.pinning import pin
 
 
 def _wav_payload(d: DataFrame) -> DataFrame:
@@ -379,7 +380,7 @@ def crosslingual_decontam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             % _XL_MOD
         ).alias("hm"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     suite = e.filter(F.col("hm") == 0).select(
         F.col("vec_id").alias("sid"),
         F.col("label").alias("slabel"),
@@ -621,10 +622,8 @@ def crossmodal_hard_negatives_q(
         "doc_id",
         (F.col("b0").cast("long") + F.col("b1").cast("long") * 65536)
         .alias("img32"),
-    ).localCheckpoint(eager=False)
-    ts = simhash_signatures(d, "doc_id", "text", bits=32).localCheckpoint(
-        eager=False
-    )
+    ).transform(pin)
+    ts = simhash_signatures(d, "doc_id", "text", bits=32).transform(pin)
     own = im.join(ts, "doc_id").select(
         "doc_id",
         (

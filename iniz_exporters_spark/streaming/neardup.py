@@ -40,6 +40,7 @@ from iniz_exporters_spark.operators.dedup import (
     buckets_from_shingle_sets,
     shingle_sets,
 )
+from iniz_exporters_spark.pinning import pin
 
 
 def corpus_neardup_artifacts(
@@ -54,9 +55,7 @@ def corpus_neardup_artifacts(
     artifacts the stream joins against. Pin them (localCheckpoint, or
     persist to parquet between corpus refreshes) so every micro-batch
     reads the materialized copy instead of re-hashing the corpus."""
-    hs = shingle_sets(corpus, id_col, text_col, k).localCheckpoint(
-        eager=False
-    )
+    hs = shingle_sets(corpus, id_col, text_col, k).transform(pin)
     buckets = buckets_from_shingle_sets(
         hs, id_col, num_perm, rows_per_band
     ).select(F.col(id_col).alias("corpus_id"), "band", "bucket")

@@ -47,6 +47,10 @@ def test_concepts_cli(spark, concept_tables):  # noqa: F811
     assert weight["uuid"] == "uuid-weight"
 
 
+# slow (VERDICT r15 gate budget): a second full CLI subprocess (fresh
+# JVM); test_concepts_cli keeps the concepts-CLI path fast, this
+# flag-variant run moves to round close.
+@pytest.mark.slow
 def test_concepts_cli_set_and_exclude(spark, concept_tables):  # noqa: F811
     with tempfile.TemporaryDirectory() as d:
         _to_parquet(concept_tables, d)

@@ -22,29 +22,73 @@ SF = "/root/testdata/sf0.001"
 _COMPLEX = (T.ArrayType, T.MapType, T.StructType)
 
 
-def test_no_query_outputs_complex_types(spark):
+# The full 491-entry sweeps are slow-marked (VERDICT r15 gate budget):
+# building every query's frame triggers each builder's eager driver work
+# (Lloyd init collects, guard counts, …) — several minutes per sweep.
+# The fast path lints the driver-facing surface (headline + this round's
+# plan-changed names); the registry-wide sweep runs at round close via
+# --runslow. One query builder per entry either way, so the class stays
+# closed: a NEW query cannot register without riding _PLAN_CHANGED or
+# the rotation window into the fast scope or failing the close sweep.
+
+
+def _fast_scope():
+    import __spark_entry__ as entry
+
+    names = {n for n, s in REGISTRY.items() if s.headline}
+    names.update(n for n in entry._PLAN_CHANGED if n in REGISTRY)
+    names.update(n for n in entry._WINDOW if n in REGISTRY)
+    return names
+
+
+def _complex_offenders(spark, names):
     offenders = {}
-    for name, spec in REGISTRY.items():
-        df = spec.fn(spark, SF)
+    for name in sorted(names):
+        df = REGISTRY[name].fn(spark, SF)
         bad = [
             f.name for f in df.schema.fields if isinstance(f.dataType, _COMPLEX)
         ]
         if bad:
             offenders[name] = bad
+    return offenders
+
+
+def _dupe_offenders(spark, names):
+    offenders = {}
+    for name in sorted(names):
+        cols = REGISTRY[name].fn(spark, SF).columns
+        dupes = sorted({c for c in cols if cols.count(c) > 1})
+        if dupes:
+            offenders[name] = dupes
+    return offenders
+
+
+def test_no_driver_facing_query_outputs_complex_types(spark):
+    offenders = _complex_offenders(spark, _fast_scope())
+    assert offenders == {}, (
+        "driver-facing queries with pandas-unhashable output columns: "
+        f"{offenders}"
+    )
+
+
+def test_no_driver_facing_query_outputs_duplicate_column_names(spark):
+    offenders = _dupe_offenders(spark, _fast_scope())
+    assert offenders == {}, f"duplicate output column names: {offenders}"
+
+
+@pytest.mark.slow
+def test_no_query_outputs_complex_types(spark):
+    offenders = _complex_offenders(spark, set(REGISTRY))
     assert offenders == {}, (
         "queries with pandas-unhashable (complex-typed) output columns — the "
         f"driver canonicalizer will record them as err: {offenders}"
     )
 
 
+@pytest.mark.slow
 def test_no_query_outputs_duplicate_column_names(spark):
     """Duplicate output names break the sorted-by-name canonicalization."""
-    offenders = {}
-    for name, spec in REGISTRY.items():
-        cols = spec.fn(spark, SF).columns
-        dupes = sorted({c for c in cols if cols.count(c) > 1})
-        if dupes:
-            offenders[name] = dupes
+    offenders = _dupe_offenders(spark, set(REGISTRY))
     assert offenders == {}, f"duplicate output column names: {offenders}"
 
 
