@@ -319,7 +319,45 @@ _PLAN_CHANGED: list[str] = [
     # default strategy — no plan changes from that refactor.
     "ccnet_bucket_q",  # per-(doc,word) count cast decimal(9,0)->(19,0)
                        # (ADVICE r14 #2 overflow guard; product/sum stay
-                       # exact within the 38-digit cap)
+                       # exact within the 38-digit cap) + metadata_df
+    #
+    # r15 metadata_df rewrite (session.metadata_df): every driver-side
+    # list -> DataFrame now parallelizes into ONE slice instead of
+    # defaultParallelism pickle slices (a 3-row broadcast build cost 32
+    # Python-worker dispatches per job on local[32]; profiled stage
+    # task-run 8.05 s -> 0.21 s on pq_adc_topk). Same rows, same order,
+    # same types — only the input slicing changed; every name below
+    # re-verified vs its UNCHANGED oracle at sf0.01 (57/57 PASS; ccnet
+    # and pq additionally at sf0.001/sf0.1). Headline + slope-radar
+    # names first: the reseat policy truncates at 49 spare slots and
+    # these are the driver-visible surfaces.
+    "pq_adc_topk",
+    "bpe_learn64",
+    "grid_dbscan_q",
+    "quantile_normalize_q",
+    "wasserstein_q",
+    "energy_distance_q",
+    "mann_whitney_q",
+    "spearman_corr_q",
+    # non-headline consumers of the rewritten metadata frames, in
+    # operator-family order (indexing rank/ntile/cumsum/prefix machinery,
+    # BM25/band-join/PQ operators, exporters facet, direct query-local
+    # metadata frames):
+    "quantile_bins", "rfm_segment_q", "fair_interleave_q",
+    "stratified_split_q", "mann_kendall_q", "seq_rank", "seq_packing_q",
+    "exact_median_q", "trimmed_mean_q", "lorenz_curve_q", "abc_analysis_q",
+    "abc_xyz_q", "lift_gain_q", "knee_point_q", "enrichment_q",
+    "ipw_ate_q", "mantel_haenszel_q", "simpson_paradox_q", "sprt_q",
+    "brown_forsythe_q", "cliffs_delta_q", "dunn_test_q",
+    "kruskal_wallis_q", "xi_correlation_q", "wilcoxon_signed_rank_q",
+    "shift_function_q", "robust_shape_q", "negative_samples",
+    "band_lookup_prices", "bm25_search_topk", "rrf_fuse_q",
+    "retrieval_eval_q", "pq_codes", "concepts_export_q",
+    "graph_reachability", "bpe_learn_q", "cms_error_check",
+    "pca_project_check", "calinski_harabasz_q", "concept_set_q",
+    "ngram_coverage_q", "hurst_exponent_q", "boxcox_q",
+    "allan_variance_q", "box_counting_q", "host_blocklist_q",
+    "data_constrained_epochs_q", "rich_club_q",
 ]
 
 

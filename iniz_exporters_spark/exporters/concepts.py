@@ -35,6 +35,7 @@ from iniz_exporters_spark.functions.mysql import (
     strip_newlines,
 )
 from iniz_exporters_spark.plans import graph
+from iniz_exporters_spark.session import metadata_df
 
 NAME_TYPE_INIZ_NAMES = {"full": "Fully specified name", "short": "Short name"}
 NAME_TYPE_SQL_NAMES = {"full": "FULLY_SPECIFIED", "short": "SHORT"}
@@ -97,7 +98,7 @@ def _mappings_facet(
         base, _, dtype = cs.partition("|")
         specs.append((cs, base, dtype or None))
     spec_df = F.broadcast(
-        spark.createDataFrame(
+        metadata_df(spark,
             specs, "spec string, source_name string, dtype string"
         )
     )

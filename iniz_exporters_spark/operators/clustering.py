@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+from iniz_exporters_spark.session import metadata_df
 
 
 def _assign(
@@ -339,7 +340,7 @@ def pq_adc_topk(
             luts.append(lut)
         lut_rows.append((qid, *luts))
     spark = codes.sparkSession
-    luts_df = spark.createDataFrame(
+    luts_df = metadata_df(spark,
         lut_rows,
         "query_id long, "
         + ", ".join(f"lut_{j} array<double>" for j in range(m)),

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 
 from iniz_exporters_spark.functions.text import poly_hash
 from iniz_exporters_spark.pinning import pin
+from iniz_exporters_spark.session import metadata_df
 
 
 def _ranked_with_total(df: DataFrame, sort_cols, idx_col: str):
@@ -50,7 +51,7 @@ def _ranked_with_total(df: DataFrame, sort_cols, idx_col: str):
         offsets.append((pid, acc))
         acc += cnt
     spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, "__pid int, __offset long")
+    off_df = metadata_df(spark, offsets, "__pid int, __offset long")
     w = Window.partitionBy("__pid").orderBy(*sort_cols)
     ranked = (
         pinned.join(F.broadcast(off_df), "__pid")
@@ -107,7 +108,7 @@ def global_cumsum(
         offsets.append((pid, acc))
         acc += s if s is not None else 0
     spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, "__pid int, __csoff long")
+    off_df = metadata_df(spark, offsets, "__pid int, __csoff long")
     w = (
         Window.partitionBy("__pid")
         .orderBy(*sort_cols)
@@ -219,7 +220,7 @@ def _grouped_ranked(df: DataFrame, group_cols: list, sort_cols):
     for pid in sorted(pid_counts):
         pid_rows.append((pid, acc))
         acc += pid_counts[pid]
-    pid_off = spark.createDataFrame(pid_rows, "__pid int, __offset long")
+    pid_off = metadata_df(spark, pid_rows, "__pid int, __offset long")
     grp_rows, acc = [], 0
     for key in sorted(grp_counts):
         grp_rows.append((*key, acc, grp_counts[key]))
@@ -227,7 +228,7 @@ def _grouped_ranked(df: DataFrame, group_cols: list, sort_cols):
     schema_prefix = ", ".join(
         f"{c} {dict(df.dtypes)[c]}" for c in group_cols
     )
-    off_df = spark.createDataFrame(
+    off_df = metadata_df(spark,
         grp_rows, f"{schema_prefix}, __goff long, __gn long"
     )
     wlocal = Window.partitionBy("__pid").orderBy(*full_order)
@@ -493,7 +494,7 @@ def global_prefix(
     schema = "__pid int, __idxoff long, " + ", ".join(
         f"__off_{out} long" for out in cum_cols
     )
-    off_df = spark.createDataFrame(offsets, schema)
+    off_df = metadata_df(spark, offsets, schema)
     w = (
         Window.partitionBy("__pid")
         .orderBy(*sort_cols)

@@ -32,6 +32,7 @@ from typing import Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
+from iniz_exporters_spark.session import metadata_df
 
 
 def interval_join(
@@ -93,7 +94,7 @@ def band_lookup_join(
     spark = fact.sparkSession
     if granule is None:
         granule = min(hi - lo for _, lo, hi in bands)
-    bands_df = spark.createDataFrame(list(bands), band_schema)
+    bands_df = metadata_df(spark, list(bands), band_schema)
     granules = bands_df.withColumn(
         "_g",
         F.explode(

@@ -21,6 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from iniz_exporters_spark.functions.text import tokens
+from iniz_exporters_spark.session import metadata_df
 
 
 def _token_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -146,7 +147,7 @@ def bm25_multi_topk(
     from pyspark.sql import Window
 
     spark = docs.sparkSession
-    qt = spark.createDataFrame(
+    qt = metadata_df(spark,
         [(qid, t) for qid, terms in queries for t in terms],
         "query_id string, tok string",
     )

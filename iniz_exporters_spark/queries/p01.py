@@ -6,6 +6,7 @@ from iniz_exporters_spark.catalog import Catalog
 from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 from iniz_exporters_spark.queries._base import _dec, _money, register
+from iniz_exporters_spark.session import metadata_df
 from iniz_exporters_spark.pinning import pin
 
 
@@ -722,7 +723,7 @@ def _derived_edges(cat: Catalog) -> DataFrame:
 )
 def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
-    roots = spark.createDataFrame([("c:1",)], ["node"])
+    roots = metadata_df(spark, [("c:1",)], "node string")
     return distributed_reachable(_derived_edges(cat), roots)
 
 

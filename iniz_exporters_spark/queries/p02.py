@@ -6,6 +6,7 @@ from iniz_exporters_spark.catalog import Catalog
 from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 from iniz_exporters_spark.queries._base import _dec, register
+from iniz_exporters_spark.session import metadata_df
 from iniz_exporters_spark.operators.similarity import ivf_flat_topk
 from iniz_exporters_spark.functions.text import poly_hash
 from iniz_exporters_spark.queries.p01 import _EDGES_ORACLE, _SQL_POLY, _SQL_SHINGLE_SET, _SQL_TOKENS, _derived_edges
@@ -2679,7 +2680,7 @@ def bpe_learn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-row collect per round; the oracle replays every round in SQL."""
     d = Catalog(spark, sf_dir).documents
     merges = bpe_learn(d, "text", k=3)
-    return spark.createDataFrame(
+    return metadata_df(spark,
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, a string, b string",
     )
@@ -2697,7 +2698,7 @@ def bpe_learn64(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay (MATERIALIZED members keep it linear in depth)."""
     d = Catalog(spark, sf_dir).documents
     merges = bpe_learn(d, "text", k=64, checkpoint_every=8)
-    return spark.createDataFrame(
+    return metadata_df(spark,
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, a string, b string",
     )

@@ -6,6 +6,7 @@ from iniz_exporters_spark.catalog import Catalog
 from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 from iniz_exporters_spark.queries._base import _dec, register
+from iniz_exporters_spark.session import metadata_df
 from iniz_exporters_spark.functions.text import tokens as _tokens
 from iniz_exporters_spark.operators.similarity import ann_bucketed, knn_bruteforce
 from iniz_exporters_spark.multimodal.binary import image_phash, phash_neardup
@@ -189,7 +190,7 @@ def cms_error_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     eps = 0.001
     sketch = cms_heavy_hitters(toks, "tok", eps=eps, seed=42)
     total = sketch.totalCount()
-    est = spark.createDataFrame(
+    est = metadata_df(spark,
         [(t, int(sketch.estimateCount(t))) for t in top],
         "tok string, est long",
     )
@@ -469,7 +470,7 @@ def retrieval_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     topk = bm25_multi_topk(d, _BM25_QUERIES, "doc_id", "text", top_k=5)
 
-    qterms = spark.createDataFrame(
+    qterms = metadata_df(spark,
         [(qid, t) for qid, ts in _BM25_QUERIES for t in ts],
         "query_id string, tok string",
     )
@@ -787,7 +788,7 @@ def pca_project_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 eigsum_ok,
             )
         )
-    return spark.createDataFrame(
+    return metadata_df(spark,
         rows,
         "comp int, trace_r double, ordered_ok boolean, var_ok boolean,"
         " eigsum_ok boolean",
@@ -3686,7 +3687,7 @@ def calinski_harabasz_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, c in enumerate(cents):
         d2 = round(sum((a - b) * (a - b) for a, b in zip(c, g)), 6)
         bss_terms.append((i, d2))
-    bt = spark.createDataFrame(bss_terms, "cid int, d2 double")
+    bt = metadata_df(spark, bss_terms, "cid int, d2 double")
     b = (
         sizes.join(F.broadcast(bt), sizes.cluster == bt.cid)
         .agg(

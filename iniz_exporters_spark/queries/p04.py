@@ -15,6 +15,7 @@ from iniz_exporters_spark.functions.text import poly_hash
 from iniz_exporters_spark.queries.p01 import _SQL_POLY, _SQL_TOKENS
 from iniz_exporters_spark.queries.p03 import _KM_PRELUDE, _capped_baskets, _dsum, _km_eval_frame
 from iniz_exporters_spark.pinning import pin
+from iniz_exporters_spark.session import metadata_df
 
 
 
@@ -1499,7 +1500,7 @@ def exact_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — averaging them would reintroduce a .5-at-5th-dp rounding boundary
     lo_med = vals[0]
     hi_med = vals[-1]
-    return spark.createDataFrame(
+    return metadata_df(spark,
         [(int(n), lo_med, hi_med)],
         "n long, median_lo double, median_hi double",
     )
@@ -2847,7 +2848,7 @@ def rich_club_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n")
         .agg(F.count("*").alias("d"))
     )
-    ks = Catalog(spark, sf_dir).region.sparkSession.createDataFrame(
+    ks = metadata_df(Catalog(spark, sf_dir).region.sparkSession,
         [(2,), (4,), (8,)], "k int"
     )
     club = ks.crossJoin(deg).filter(F.col("d") > F.col("k")).select(
@@ -3365,7 +3366,7 @@ def concepts_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         fields.append(T.StructField(c, t, True))
     fields.append(T.StructField("topo_level", T.LongType(), False))
-    return spark.createDataFrame(out_rows, T.StructType(fields))
+    return metadata_df(spark, out_rows, T.StructType(fields))
 
 
 # ===========================================================================

@@ -18,6 +18,7 @@ from iniz_exporters_spark.queries.p02 import _SQL_QW
 from iniz_exporters_spark.queries.p03 import _dsum
 from iniz_exporters_spark.queries.p04 import _FIXTURES_ROOT
 from iniz_exporters_spark.pinning import pin
+from iniz_exporters_spark.session import metadata_df
 
 
 
@@ -411,7 +412,7 @@ def concept_set_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for k in fieldnames
     ]
-    return spark.createDataFrame(out, T.StructType(fields))
+    return metadata_df(spark, out, T.StructType(fields))
 
 
 # The fourth (mini) reference entry point as a driver row: the
@@ -786,7 +787,7 @@ def ngram_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(worder.rowsBetween(Window.unboundedPreceding, 0))
         .alias("cum_cnt"),
     )
-    ks = spark.createDataFrame([(10,), (50,), (100,), (500,)], "k int")
+    ks = metadata_df(spark, [(10,), (50,), (100,), (500,)], "k int")
     return (
         ks.crossJoin(F.broadcast(tot))
         .withColumn(
@@ -3362,7 +3363,7 @@ def hurst_exponent_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = daily.select(
         F.row_number().over(Window.orderBy("day")).alias("t"), "x"
     )
-    bns = spark.createDataFrame([(5,), (10,), (15,), (30,)], "bn int")
+    bns = metadata_df(spark, [(5,), (10,), (15,), (30,)], "bn int")
     blocks = idx.crossJoin(F.broadcast(bns)).select(
         "bn",
         F.floor((F.col("t") - 1) / F.col("bn")).alias("blk"),

@@ -10,6 +10,7 @@ from iniz_exporters_spark.functions.text import tokens as _tokens
 from iniz_exporters_spark.functions.text import poly_hash
 from iniz_exporters_spark.queries.p01 import _SQL_POLY, _SQL_TOKENS
 from iniz_exporters_spark.queries.p03 import _dsum
+from iniz_exporters_spark.session import metadata_df
 
 
 
@@ -1089,7 +1090,7 @@ def grid_dbscan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cy"),
     )
     cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("c"))
-    sh = spark.createDataFrame(
+    sh = metadata_df(spark,
         [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
         "dx int, dy int",
     )
@@ -2900,7 +2901,7 @@ def boxcox_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Catalog(spark, sf_dir).orders.select(
         F.col("o_totalprice").alias("v")
     )
-    lam = o.sparkSession.createDataFrame(
+    lam = metadata_df(o.sparkSession,
         [(-1.0,), (-0.5,), (0.0,), (0.5,), (1.0,)], "l double"
     )
     t = o.crossJoin(F.broadcast(lam)).select(

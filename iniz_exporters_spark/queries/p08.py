@@ -9,6 +9,7 @@ from iniz_exporters_spark.queries._base import _dec, register
 from iniz_exporters_spark.functions.text import tokens as _tokens
 from iniz_exporters_spark.queries.p01 import _SQL_TOKENS
 from iniz_exporters_spark.queries.p03 import _dsum
+from iniz_exporters_spark.session import metadata_df
 
 
 
@@ -208,7 +209,7 @@ def allan_variance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select((F.row_number().over(wday) - 1).alias("i"), "m")
     )
-    taus = daily.sparkSession.createDataFrame(
+    taus = metadata_df(daily.sparkSession,
         [(1,), (2,), (4,), (8,)], "tau int"
     )
     blocks = (
@@ -2740,7 +2741,7 @@ def box_counting_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     near 2 for space-filling clouds, lower for filamented/clustered
     structure (twonn_dim_q asks the same of the full 64-dim space)."""
     emb = Catalog(spark, sf_dir).embeddings
-    scales = emb.sparkSession.createDataFrame(
+    scales = metadata_df(emb.sparkSession,
         [(0.05,), (0.1,), (0.2,), (0.4,)], "s double"
     )
     key = (

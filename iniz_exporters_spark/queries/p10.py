@@ -9,6 +9,7 @@ from iniz_exporters_spark.catalog import Catalog
 from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 from iniz_exporters_spark.queries._base import _dec, register
+from iniz_exporters_spark.session import metadata_df
 from iniz_exporters_spark.queries.p01 import _SQL_POLY
 from iniz_exporters_spark.pinning import pin
 
@@ -472,8 +473,8 @@ def host_blocklist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     suffixes = hosts.select("doc_id", "host", sfx.alias("sfx"))
-    rules = spark.createDataFrame(
-        [(r,) for r in _BLOCK_RULES], ["rule"]
+    rules = metadata_df(spark,
+        [(r,) for r in _BLOCK_RULES], "rule string"
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.length("rule").desc(), F.col("rule")

@@ -25,6 +25,7 @@ from iniz_exporters_spark.queries.p01 import _SQL_POLY, _SQL_TOKENS
 from iniz_exporters_spark.queries.p02 import _SQL_QW
 from iniz_exporters_spark.session import spread_for_kernel as _spread
 from iniz_exporters_spark.pinning import pin
+from iniz_exporters_spark.session import metadata_df
 
 # Exact-substring dedup constants (Lee et al. 2021 §4: ExactSubstr
 # removes substrings >= 50 tokens shared between documents; the
@@ -966,7 +967,7 @@ def data_constrained_epochs_q(
             .alias("uniq_tokens")
         )
     )
-    grid = spark.createDataFrame(
+    grid = metadata_df(spark,
         [(e, float(_DCE_DECAY[e])) for e in _DCE_EPOCHS],
         "epochs int, decay double",
     )
