@@ -50,3 +50,37 @@ def test_shuffle_plan_spread_uses_physical_count(spark):
         out.rdd.getNumPartitions()
         >= spark.sparkContext.defaultParallelism
     )
+
+
+# --- r15: metadata_df (driver-list frames in ONE slice) ---------------------
+
+
+def test_metadata_df_single_partition_and_order(spark):
+    """Every driver-built metadata frame must plan as ONE input slice —
+    createDataFrame's default defaultParallelism slicing dispatched 32
+    Python-worker tasks per broadcast build on local[32] (r15 profile:
+    pq_adc_topk LUT stage 32 tasks/8.05 s summed -> 1 task/0.21 s)."""
+    from iniz_exporters_spark.session import metadata_df
+
+    rows = [(i, f"v{i}") for i in range(7)]
+    df = metadata_df(spark, rows, "k int, v string")
+    assert df.rdd.getNumPartitions() == 1
+    # same rows, same order as the input list (parallelize preserves it)
+    assert [(r["k"], r["v"]) for r in df.collect()] == rows
+
+
+def test_metadata_df_struct_type_schema(spark):
+    from pyspark.sql import types as T
+
+    from iniz_exporters_spark.session import metadata_df
+
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType(), False),
+            T.StructField("b", T.DoubleType(), True),
+        ]
+    )
+    df = metadata_df(spark, [(1, 2.5), (2, None)], schema)
+    assert df.schema == schema
+    assert df.rdd.getNumPartitions() == 1
+    assert df.count() == 2
