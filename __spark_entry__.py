@@ -339,6 +339,21 @@ _PLAN_CHANGED: list[str] = [
     "energy_distance_q",
     "mann_whitney_q",
     "spearman_corr_q",
+    #
+    # r15 graph-fixpoint fusion (plans/graph.py): every iterative loop
+    # (connected-components propagation + star, reachability, topo
+    # levels, k-core peel) now uses LAZY pins with a count()-based
+    # convergence check — one materializing job per round instead of an
+    # eager-pin job plus isEmpty's 1→4→… take-escalation jobs. Same
+    # joins, same convergence criterion, same labels; re-verified vs the
+    # unchanged oracles at sf0.01 (8/8 PASS incl. kcore_q/grid_dbscan_q
+    # above). Headline names first:
+    "connected_components_q",
+    "canonical_longest_q",
+    "star_components_q",
+    "component_density_q",
+    "graph_topo_levels",
+    "kcore_q",
     # non-headline consumers of the rewritten metadata frames, in
     # operator-family order (indexing rank/ntile/cumsum/prefix machinery,
     # BM25/band-join/PQ operators, exporters facet, direct query-local

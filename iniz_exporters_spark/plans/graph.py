@@ -233,11 +233,18 @@ def distributed_reachable(
     instead. Either way the new frontier is ``localCheckpoint``ed to
     truncate lineage, and the loop terminates when it is empty.
     """
+    # r15: every pin in the loop is LAZY and the convergence check is a
+    # count() over the pinned frontier — the count's job materializes the
+    # checkpoint blocks (all partitions computed → no separate checkpoint
+    # job) AND answers emptiness, so each round costs ONE job instead of
+    # three (eager-pin job + isEmpty job + eager union pin job). isEmpty's
+    # take(1) was strictly worse here: on the converged (empty) round it
+    # escalates through 1→4→… partition sub-jobs before concluding empty.
     if broadcast_frontier:
-        edges = edges.transform(pin, eager=True)
+        edges = edges.transform(pin)
     else:
-        edges = edges.repartition("src").transform(pin, eager=True)
-    seen = roots.select("node").distinct().transform(pin, eager=True)
+        edges = edges.repartition("src").transform(pin)
+    seen = roots.select("node").distinct().transform(pin)
     frontier = seen
     for _ in range(max_iters):
         probe = F.broadcast(frontier) if broadcast_frontier else frontier
@@ -246,11 +253,11 @@ def distributed_reachable(
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(seen, on="node", how="left_anti")
-            .transform(pin, eager=True)
+            .transform(pin)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
-        seen = seen.unionByName(nxt).transform(pin, eager=True)
+        seen = seen.unionByName(nxt).transform(pin)
         frontier = nxt
     else:
         raise RuntimeError(
@@ -270,7 +277,10 @@ def distributed_topo_levels(edges: DataFrame, max_iters: int = 100) -> DataFrame
     graph depth ≤ ``max_iters`` (cycle guard). Edges are partitioned on
     ``src`` and materialized once, as in ``distributed_reachable``.
     """
-    edges = edges.repartition("src").transform(pin, eager=True)
+    # r15: lazy pins + count-based convergence — one job per round (see
+    # distributed_reachable). frontier starts from the PINNED sources
+    # frame (the old code re-derived sources from scratch on round 1).
+    edges = edges.repartition("src").transform(pin)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -281,17 +291,17 @@ def distributed_topo_levels(edges: DataFrame, max_iters: int = 100) -> DataFrame
         on="node",
         how="left_anti",
     ).withColumn("lvl", F.lit(0))
-    levels = sources.transform(pin, eager=True)
-    frontier = sources
+    levels = sources.transform(pin)
+    frontier = levels
     for _ in range(max_iters):
         nxt = (
             frontier.join(edges, frontier.node == edges.src)
             .select(F.col("dst").alias("node"), (F.col("lvl") + 1).alias("lvl"))
             .groupBy("node")
             .agg(F.max("lvl").alias("lvl"))
-            .transform(pin, eager=True)
+            .transform(pin)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
         levels = levels.unionByName(nxt)
         frontier = nxt
@@ -346,7 +356,10 @@ def connected_components(
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    und = und.repartition("src").transform(pin, eager=True)
+    # Lazy (r15): the seed-label job below computes und's partitions as
+    # part of its own lineage, caching them then — a separate eager
+    # materialization job bought nothing.
+    und = und.repartition("src").transform(pin)
     # Seed labels with min(self, direct neighbors) — one aggregation over
     # the (already symmetrized, already partitioned) edge list. This IS
     # what round 1 of the loop would compute from identity labels, so for
@@ -359,7 +372,7 @@ def connected_components(
         .select(
             "node", F.least(F.col("node"), F.col("__nbr")).alias("component")
         )
-        .transform(pin, eager=True)
+        .transform(pin)
     )
     for _ in range(max_iters):
         neighbor_min = (
@@ -385,10 +398,15 @@ def connected_components(
                     F.col("nbr_min") < F.col("component"), F.lit(False)
                 ).alias("__chg"),
             )
-            .transform(pin, eager=True)
+            .transform(pin)
         )
         labels = updated.select("node", "component")
-        if updated.filter("__chg").isEmpty():
+        # r15: ONE job per round — the count computes every partition of
+        # the lazily-pinned frame (materializing its checkpoint blocks in
+        # the same job) and returns the convergence bit, where the old
+        # eager-pin + filter.isEmpty shape paid a materialization job plus
+        # take(1)'s 1→4→… partition escalation jobs on the stable round.
+        if updated.filter("__chg").count() == 0:
             break
     else:
         raise RuntimeError(
@@ -419,7 +437,7 @@ def _star_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .transform(pin, eager=True)
+        .transform(pin)
     )
     e = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
@@ -428,8 +446,11 @@ def _star_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
         .distinct()
-        .transform(pin, eager=True)
+        .transform(pin)
     )
+    # Lazy pins (r15): this count materializes e's checkpoint blocks in
+    # its own job (one job, not eager-pin + count); nodes materializes
+    # inside the final labels join.
     n_e = e.count()
     for _ in range(max_iters):
         if n_e == 0:
@@ -461,11 +482,12 @@ def _star_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
                 F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
             )
             .distinct()
-            .transform(pin, eager=True)
+            .transform(pin)
         )
         # one count job per round (the edge count is tracked across
-        # rounds, not recomputed); the exceptAll set-compare only runs
-        # when the sizes already match
+        # rounds, not recomputed) which also materializes the lazily
+        # pinned round frame; the exceptAll set-compare only runs when
+        # the sizes already match
         n_new = new_e.count()
         converged = n_new == n_e and new_e.exceptAll(e).isEmpty()
         e, n_e = new_e, n_new
@@ -680,8 +702,10 @@ def kcore_membership(
         .unionAll(
             edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
-        .transform(pin, eager=True)
+        .transform(pin)
     )
+    # Lazy pins + count (r15): each count job materializes that round's
+    # checkpoint blocks itself — one job per peel round, not two.
     n_edges = und.count()
     for _ in range(rounds):
         deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
@@ -689,7 +713,7 @@ def kcore_membership(
         und = (
             und.join(alive, "src", "left_semi")
             .join(alive.withColumnRenamed("src", "dst"), "dst", "left_semi")
-            .transform(pin, eager=True)
+            .transform(pin)
         )
         nxt = und.count()
         if nxt == n_edges:

@@ -31,6 +31,24 @@ except ImportError:  # Spark Connect images ship no py4j; the narrowed
 
 DEFAULT_SHUFFLE_PARTITIONS = "32"
 
+# AQE partition-coalescing floor (r15, guide §2.2/§2.5). With
+# ``parallelismFirst`` (Spark's default) AQE coalesces post-shuffle
+# partitions down to this byte floor, NOT to the advisory size — and the
+# stock 1 MB floor assumes byte-dense work. The engine's hot shuffle
+# consumers are COMPUTE-dense per byte (pair-explodes over capped baskets,
+# Python/Arrow kernels, window seats over narrow id+hash rows): a few MB
+# of shuffle bytes can carry minutes of CPU, and a byte-based floor
+# serializes that CPU onto a handful of cores. Measured r15 at sf0.1
+# (interleaved same-session A/B, order-reversed control): 16 KB vs 1 MB =
+# ngram_jaccard_pairs −29/−45 %, pipeline_clean_corpus −39 %,
+# association_rules_q −41 %, canonical_longest_q −29 %, session_window
+# −43 %, fast scan-bound queries neutral (−3 % within noise). At the
+# 100 TB design point the floor is inert: any real post-shuffle stage
+# carries ≫ cores × 16 KB, so coalescing is governed by the advisory
+# size exactly as before — the env override exists for clusters that
+# want the stock floor back.
+DEFAULT_AQE_MIN_PARTITION_SIZE = "16KB"
+
 
 def get_spark(app_name: str = "iniz-exporters-spark") -> SparkSession:
     """Build (or get) a SparkSession with the engine's defaults.
@@ -48,6 +66,13 @@ def get_spark(app_name: str = "iniz-exporters-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get(
+                "SPARK_GRAFT_AQE_MIN_PARTITION_SIZE",
+                DEFAULT_AQE_MIN_PARTITION_SIZE,
+            ),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # events.parquet carries timestamp[ns]; Spark has no nanos type, so
@@ -91,6 +116,13 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
     for k, v in (
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        (
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get(
+                "SPARK_GRAFT_AQE_MIN_PARTITION_SIZE",
+                DEFAULT_AQE_MIN_PARTITION_SIZE,
+            ),
+        ),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.session.timeZone", "UTC"),
     ):
