@@ -354,6 +354,23 @@ _PLAN_CHANGED: list[str] = [
     "component_density_q",
     "graph_topo_levels",
     "kcore_q",
+    #
+    # r15 fused LSH kernel (operators/dedup.py shingle_band_sets): the
+    # shingle-set, band-bucket, and (where consumed) minhash-signature
+    # kernels collapse into ONE Arrow pass per frame, each output
+    # bit-identical to its standalone kernel; bands/mins explode
+    # JVM-side (posexplode) off the single pinned frame. Interleaved
+    # process-alternating A/B at sf0.1: incremental_neardup_q −45 %,
+    # minhash_estimate_q −43 %, neardup_pairs −32 %,
+    # pipeline_clean_corpus −27 %, lsh_scurve_q −27 %; 7/7 oracle PASS
+    # at sf0.01. Headline names first:
+    "incremental_neardup_q",
+    "pipeline_clean_corpus",
+    "pipeline_waterfall_q",
+    "neardup_pairs",
+    "minhash_estimate_q",
+    "lsh_scurve_q",
+    "lsh_precision_eval_q",
     # non-headline consumers of the rewritten metadata frames, in
     # operator-family order (indexing rank/ntile/cumsum/prefix machinery,
     # BM25/band-join/PQ operators, exporters facet, direct query-local

@@ -246,6 +246,82 @@ def buckets_from_shingle_sets(
     )
 
 
+def shingle_band_sets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_perm: int = 16,
+    rows_per_band: int = 4,
+    with_minhash: bool = False,
+) -> DataFrame:
+    """(id, hs array<long>, bands array<long>) in ONE Arrow pass — the
+    fused form of ``shingle_sets`` + ``buckets_from_shingle_sets``.
+
+    ``bands[i]`` is band *i*'s bucket (the polynomial fold of its
+    signature rows), bit-identical to ``buckets_from_shingle_sets``;
+    recover its (id, band, bucket) rows JVM-side with ``posexplode``.
+    ``with_minhash=True`` appends the full MinHash vector as a trailing
+    ``mins array<long>`` column (``mins[j]`` = signature row *j*,
+    bit-identical to ``minhash_signatures`` — it is the same
+    ``_perm_mins`` result the band fold consumes), for callers that
+    would otherwise run the signature kernel as a third Arrow pass.
+
+    Why fused (r15, guide §4): every mapInPandas stage pays a fixed
+    Python-dispatch cost per task that dwarfs these kernels' compute
+    (profiled ~0.35-0.55 s/task dispatch vs ~0.05 s/task hashing at
+    sf0.1, and the same fixed cost exists per batch at cluster scale).
+    LSH callers always need BOTH the shingle sets (verify side) and the
+    band buckets (candidate side), so computing them in one pass halves
+    the engine's Python-boundary crossings — and the band explode
+    becomes a cheap codegen'd ``posexplode`` over the already-pinned
+    frame instead of a second kernel needing its own pin.
+    """
+    import pandas as pd
+
+    id_type = dict(df.dtypes)[id_col]
+    n_bands = num_perm // rows_per_band
+    out_schema = (
+        f"{id_col} {id_type}, hs array<long>, bands array<long>"
+    )
+    if with_minhash:
+        out_schema += ", mins array<long>"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            sets, bands, mins = [], [], []
+            for t in pdf[text_col].values:
+                hs = _np_shingle_hashes(t or "", k)
+                m = _perm_mins(hs, num_perm)
+                row_bands = []
+                for band in range(n_bands):
+                    acc = 0
+                    for v in m[band * rows_per_band : (band + 1) * rows_per_band]:
+                        acc = (acc * 31 + int(v)) % MOD
+                    row_bands.append(acc)
+                sets.append(hs.tolist())
+                bands.append(row_bands)
+                if with_minhash:
+                    mins.append(m.tolist())
+            out = {id_col: pdf[id_col].values, "hs": sets, "bands": bands}
+            if with_minhash:
+                out["mins"] = mins
+            yield pd.DataFrame(out)
+
+    return spread_for_kernel(df.select(id_col, text_col)).mapInPandas(
+        kernel, out_schema
+    )
+
+
+def band_rows(base: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, bucket) view over a ``shingle_band_sets`` frame."""
+    return base.select(
+        F.col(id_col), F.posexplode("bands").alias("band", "bucket")
+    )
+
+
 def lsh_buckets(
     df: DataFrame,
     id_col: str,
@@ -323,21 +399,18 @@ def neardup_pairs(
     corpora (measured 2.16M → 19k candidate pairs on the sf0.1 documents
     table, identical surviving pairs).
 
-    The shingle-set pass is computed once and ``localCheckpoint``ed (lazily)
-    — bucketing and both verify-join sides read the pinned copy instead of
-    re-hashing the corpus three times."""
-    hs = shingle_sets(df, id_col, text_col, k).transform(pin)
-    # The bucket frame is pinned too: candidate_pairs self-joins it, and
-    # without the pin the band-fold kernel runs once per join side (the
-    # pinned hs only deduplicates the SHINGLE pass, not the bucket pass).
-    pairs = candidate_pairs(
-        buckets_from_shingle_sets(
-            hs, id_col, num_perm, rows_per_band
-        ).transform(pin),
-        id_col,
-    )
-    ha = hs.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
-    hb = hs.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
+    The shingle+band pass is ONE fused Arrow kernel (r15,
+    ``shingle_band_sets``) computed once and ``localCheckpoint``ed
+    (lazily): bucketing (a codegen'd posexplode of the band array — both
+    self-join sides read the pinned frame, so no second pin is needed)
+    and both verify-join sides reuse that single hashing pass instead of
+    crossing the Python boundary twice."""
+    base = shingle_band_sets(
+        df, id_col, text_col, k, num_perm, rows_per_band
+    ).transform(pin)
+    pairs = candidate_pairs(band_rows(base, id_col), id_col)
+    ha = base.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
+    hb = base.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     union = F.size("hs_a") + F.size("hs_b") - inter
     return (
@@ -687,14 +760,36 @@ def incremental_neardup(
     corpus snapshot and only the batch side is recomputed per increment —
     this function recomputes both so its contract is self-contained.
     """
-    hs_old = shingle_sets(corpus, id_col, text_col, k).transform(pin)
-    hs_new = shingle_sets(batch, id_col, text_col, k).transform(pin)
-    b_old = buckets_from_shingle_sets(
-        hs_old, id_col, num_perm, rows_per_band
-    ).select(F.col(id_col).alias("corpus_id"), "band", "bucket")
-    b_new = buckets_from_shingle_sets(
-        hs_new, id_col, num_perm, rows_per_band
-    ).select(F.col(id_col).alias("batch_id"), "band", "bucket")
+    base_old = shingle_band_sets(
+        corpus, id_col, text_col, k, num_perm, rows_per_band
+    ).transform(pin)
+    base_new = shingle_band_sets(
+        batch, id_col, text_col, k, num_perm, rows_per_band
+    ).transform(pin)
+    return incremental_neardup_sets(
+        base_old, base_new, id_col, threshold, broadcast_batch
+    )
+
+
+def incremental_neardup_sets(
+    base_old: DataFrame,
+    base_new: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """``incremental_neardup`` over PRE-HASHED ``shingle_band_sets``
+    frames (id, hs, bands) — the entry point when corpus and batch derive
+    from the same table (run the fused kernel ONCE, pin, and split by
+    filter instead of crossing the Python boundary per side), or when the
+    corpus' hash artifacts are persisted between increments."""
+    hs_old, hs_new = base_old, base_new
+    b_old = band_rows(base_old, id_col).select(
+        F.col(id_col).alias("corpus_id"), "band", "bucket"
+    )
+    b_new = band_rows(base_new, id_col).select(
+        F.col(id_col).alias("batch_id"), "band", "bucket"
+    )
     if broadcast_batch:
         b_new = F.broadcast(b_new)
     cand = (

@@ -1035,22 +1035,25 @@ def neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iniz_exporters_spark.operators.dedup import (
-        buckets_from_shingle_sets,
+        band_rows,
         candidate_pairs,
-        minhash_signatures as mh_sigs,
-        shingle_sets,
+        shingle_band_sets,
     )
 
     d = Catalog(spark, sf_dir).documents
-    hs = shingle_sets(d, "doc_id", "text", 5).transform(pin)
-    # r14-opt pins (the neardup_pairs #4 pattern): candidate_pairs
-    # self-joins the bucket frame (band kernel once per side unpinned),
-    # and sa/sb below read the minhash-signature kernel once per side.
-    pairs = candidate_pairs(
-        buckets_from_shingle_sets(hs, "doc_id", 16, 4).transform(pin),
-        "doc_id",
+    # r15: ONE fused Arrow pass (shingle sets + band buckets + minhash
+    # vector, each bit-identical to its standalone kernel) replaces the
+    # three kernels this query ran (shingle_sets, band fold,
+    # minhash_signatures) — every downstream consumer reads the one
+    # pinned frame; bands/mins explode JVM-side.
+    base = shingle_band_sets(
+        d, "doc_id", "text", 5, 16, 4, with_minhash=True
+    ).transform(pin)
+    hs = base
+    pairs = candidate_pairs(band_rows(base, "doc_id"), "doc_id")
+    sigs = base.select(
+        "doc_id", F.posexplode("mins").alias("j", "minhash")
     )
-    sigs = mh_sigs(d, "doc_id", "text", num_perm=16, k=5).transform(pin)
     sa = sigs.select(
         F.col("doc_id").alias("id_a"), "j", F.col("minhash").alias("m_a")
     )

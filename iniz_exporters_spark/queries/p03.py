@@ -835,12 +835,24 @@ from iniz_exporters_spark.operators.dedup import incremental_neardup  # noqa: E4
     headline=True,
 )
 def incremental_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iniz_exporters_spark.operators.dedup import (
+        incremental_neardup_sets,
+        shingle_band_sets,
+    )
+
     d = Catalog(spark, sf_dir).documents
-    batch = d.filter(F.col("doc_id") % 20 == 7)
-    corpus = d.filter(F.col("doc_id") % 20 != 7)
-    return incremental_neardup(
-        corpus, batch, "doc_id", "text", threshold=0.6, num_perm=16,
-        rows_per_band=4, k=5,
+    # Corpus and batch are slices of ONE table here, so the fused
+    # shingle+band kernel runs ONCE over it (pinned) and the slices are
+    # filters — one Python-boundary crossing instead of four (r15; the
+    # self-contained two-table contract stays in incremental_neardup).
+    base = shingle_band_sets(
+        d, "doc_id", "text", k=5, num_perm=16, rows_per_band=4
+    ).transform(pin)
+    return incremental_neardup_sets(
+        base.filter(F.col("doc_id") % 20 != 7),
+        base.filter(F.col("doc_id") % 20 == 7),
+        "doc_id",
+        threshold=0.6,
     )
 
 

@@ -2032,21 +2032,21 @@ def lsh_scurve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplication in both engines, not libm pow-of-arbitrary-base.
     """
     from iniz_exporters_spark.operators.dedup import (
-        buckets_from_shingle_sets,
+        band_rows,
         candidate_pairs,
-        shingle_sets,
+        shingle_band_sets,
     )
 
     d = Catalog(spark, sf_dir).documents.filter(
         F.col("doc_id") % 10 == 0
     ).select("doc_id", "text")
-    hs = shingle_sets(d, "doc_id", "text", 5).transform(pin)
-    # r14-opt pin (the neardup_pairs #4 pattern): candidate_pairs
-    # self-joins the bucket frame — band kernel once per side unpinned
-    cand = candidate_pairs(
-        buckets_from_shingle_sets(hs, "doc_id", 16, 4).transform(pin),
-        "doc_id",
-    ).withColumn("is_c", F.lit(1))
+    # r15: one fused shingle+band Arrow pass (values bit-identical to the
+    # separate kernels); candidate_pairs self-joins the JVM-side band
+    # explode of the same pinned frame.
+    hs = shingle_band_sets(d, "doc_id", "text", 5, 16, 4).transform(pin)
+    cand = candidate_pairs(band_rows(hs, "doc_id"), "doc_id").withColumn(
+        "is_c", F.lit(1)
+    )
     ha = hs.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
     hb = hs.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))

@@ -266,6 +266,47 @@ def test_arrow_kernels_match_catalyst_spec(spark):
     )
 
 
+def test_shingle_band_sets_matches_standalone_kernels(spark):
+    """The fused shingle+band(+minhash) kernel must be bit-identical to
+    the three standalone kernels it replaces, per column, including the
+    empty / shorter-than-k / non-ASCII edge cases."""
+    from iniz_exporters_spark.operators.dedup import (
+        band_rows,
+        buckets_from_shingle_sets,
+        minhash_signatures,
+        shingle_band_sets,
+        shingle_sets,
+    )
+
+    rows = [
+        (1, ""),
+        (2, "ab"),
+        (3, "hello world hello"),
+        (4, "Café né 北京 test"),
+        (5, "xxxxyz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = shingle_band_sets(
+        df, "doc_id", "text", k=5, num_perm=16, rows_per_band=4,
+        with_minhash=True,
+    )
+    hs_ref = shingle_sets(df, "doc_id", "text", k=5)
+    assert sorted(
+        (r.doc_id, tuple(r.hs)) for r in base.select("doc_id", "hs").collect()
+    ) == sorted((r.doc_id, tuple(r.hs)) for r in hs_ref.collect())
+    bk_ref = buckets_from_shingle_sets(hs_ref, "doc_id", 16, 4)
+    assert sorted(
+        map(tuple, band_rows(base, "doc_id").collect())
+    ) == sorted(map(tuple, bk_ref.collect()))
+    mh_ref = minhash_signatures(df, "doc_id", "text", num_perm=16, k=5)
+    fused_mh = base.select(
+        "doc_id", F.posexplode("mins").alias("j", "minhash")
+    )
+    assert sorted(map(tuple, fused_mh.collect())) == sorted(
+        map(tuple, mh_ref.collect())
+    )
+
+
 def test_salted_join_matches_plain_join(spark):
     from iniz_exporters_spark.operators.skew import salted_join
 

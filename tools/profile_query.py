@@ -106,7 +106,10 @@ def main() -> None:
 def _ui_session():
     from pyspark.sql import SparkSession
 
-    from iniz_exporters_spark.session import DEFAULT_SHUFFLE_PARTITIONS
+    from iniz_exporters_spark.session import (
+        DEFAULT_AQE_MIN_PARTITION_SIZE,
+        DEFAULT_SHUFFLE_PARTITIONS,
+    )
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     shuffle = os.environ.get(
@@ -118,6 +121,13 @@ def _ui_session():
         .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get(
+                "SPARK_GRAFT_AQE_MIN_PARTITION_SIZE",
+                DEFAULT_AQE_MIN_PARTITION_SIZE,
+            ),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
