@@ -66,6 +66,13 @@ def pin(df: DataFrame, eager: bool = False) -> DataFrame:
     it when the pin must happen inside the current job boundary (e.g. a
     fixpoint round that is about to mutate its own input).
     """
+    # eager-vs-lazy is a measured decision, not a style choice (r15 A/B,
+    # OPTIMIZATION_r15.md): forcing every eager straight-line pin lazy
+    # read +11..+41 % on the pin-heavy headline queries — with the pin
+    # unmaterialized, AQE's concurrent stage-jobs race on the shared
+    # frame and serialize on block locks. Keep straight-line
+    # multi-consumer pins EAGER; iterative loops own their
+    # materialization via a count() per round (plans/graph.py).
     strategy = _strategy()
     if strategy == "persist":
         from pyspark import StorageLevel
