@@ -151,7 +151,7 @@ def test_tune_for_session_absorbs_immutable_key_only(spark, monkeypatch):
     monkeypatch.setattr(type(spark), "conf", property(lambda self: _Conf()))
     # every key attempted, none fatal
     assert tune_for_session(spark) is spark
-    assert len(calls) == 4
+    assert len(calls) == 5  # incl. the r15 AQE minPartitionSize floor
 
     class _ConfBug:
         def set(self, k, v):
