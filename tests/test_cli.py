@@ -23,6 +23,7 @@ def _to_parquet(tables: dict, d: str) -> None:
         df.write.mode("overwrite").parquet(os.path.join(d, f"{name}.parquet"))
 
 
+@pytest.mark.slow  # r15 gate budget: covered by a cheaper fast sibling; runs at round close (--runslow)
 def test_concepts_cli(spark, concept_tables):  # noqa: F811
     with tempfile.TemporaryDirectory() as d:
         _to_parquet(concept_tables, d)

@@ -163,6 +163,7 @@ def test_concepts_export_values(spark, concept_tables):
     assert w["Absolute low"] == 0.0
 
 
+@pytest.mark.slow  # r15 gate budget: covered by a cheaper fast sibling; runs at round close (--runslow)
 def test_concepts_tree_filter_and_exclude(spark, concept_tables):
     cfg = ConceptExportConfig(
         locales=["en"], concept_sources=["CIEL"], set_name="Vitals"

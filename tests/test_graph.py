@@ -162,6 +162,7 @@ def test_star_components_matches_propagation_random(spark):
     assert star == prop
 
 
+@pytest.mark.slow  # r15 gate budget: covered by a cheaper fast sibling; runs at round close (--runslow)
 def test_star_components_path_graph_olog_rounds(spark):
     """A 10k-node path has diameter 10k: propagation needs ~10k rounds,
     star contraction must converge within an O(log n) budget (30 rounds —

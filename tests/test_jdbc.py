@@ -219,6 +219,7 @@ def derby_concepts_db(spark, concept_tables):  # noqa: F811
     yield CONCEPTS_DERBY_URL
 
 
+@pytest.mark.slow  # r15 gate budget: covered by a cheaper fast sibling; runs at round close (--runslow)
 def test_concepts_export_end_to_end_over_jdbc(
     spark, derby_concepts_db, concept_tables, tmp_path  # noqa: F811
 ):

@@ -15,6 +15,8 @@ Plan-build only (no job execution) at sf0.001, so the whole file is
 cheap.
 """
 
+import pytest
+
 from iniz_exporters_spark.queries import REGISTRY
 
 SF = "/root/testdata/sf0.001"
@@ -46,6 +48,7 @@ def test_curation_maps_plan_zero_exchanges(spark):
         )
 
 
+@pytest.mark.slow  # r15 gate budget: covered by a cheaper fast sibling; runs at round close (--runslow)
 def test_no_cartesian_product_in_p10_batch(spark):
     offenders = [
         name for name in BATCH if "CartesianProduct" in _plan(spark, name)

@@ -13,6 +13,7 @@ non-empty by the '#' prefix so the image path always hashes). These
 tests pin that behavior.
 """
 
+import pytest
 import re
 
 import pyspark.sql.functions as F
@@ -156,6 +157,7 @@ def test_eval_dirty_tokens_absorbs_zero_token_doc(spark, monkeypatch):
         assert 0.0 <= r["dirty_share"] <= 1.0
 
 
+@pytest.mark.slow  # r15 gate budget: covered by a cheaper fast sibling; runs at round close (--runslow)
 def test_cross_source_matrix_ignores_zero_token_doc(spark, monkeypatch):
     base = {
         (r["src_a"], r["src_b"]): r["n_shared"]

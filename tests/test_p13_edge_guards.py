@@ -13,6 +13,7 @@ bucket with NULL cosines, ranks NULLS LAST, and can never be flagged
 contaminated. These tests pin that behavior.
 """
 
+import pytest
 import pyspark.sql.functions as F
 
 from iniz_exporters_spark.catalog import Catalog
@@ -48,6 +49,7 @@ def _inject(spark, monkeypatch, table, row):
     monkeypatch.setattr(Catalog, "_read_parquet", patched)
 
 
+@pytest.mark.slow  # r15 gate budget: covered by a cheaper fast sibling; runs at round close (--runslow)
 def test_empty_text_doc_is_filtered_everywhere(spark, monkeypatch):
     base = {
         name: REGISTRY[name].fn(spark, SF_SMALL).collect()

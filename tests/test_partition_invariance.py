@@ -177,8 +177,30 @@ def canon(df):
     return rows
 
 
+# Fast-path representatives (r15 gate budget, VERDICT r14 #1): one name
+# per determinism class — decimal aggregates, content-keyed global order,
+# sampling frontier, kernel+LSH candidates, phash→components, star
+# contraction, ntile machinery, midrank machinery, island windows,
+# ordered top-k ties, rollup quantiles, seed-join spans. The other ~105
+# SENSITIVE entries keep full coverage behind --runslow (round close);
+# the class itself cannot silently reopen because every NEW rank/order
+# query still lands in SENSITIVE (list-completeness is asserted below
+# either way).
+_FAST_REPS = {
+    "q1_pricing_summary", "shuffle_order_topk", "weighted_sample_q",
+    "minhash_estimate_q", "canonical_longest_q", "star_components_q",
+    "ccnet_bucket_q", "mann_whitney_q", "span_dedup_trim",
+    "association_rules_q", "dataset_card_q", "exact_substring_dedup_q",
+}
+
+
 @pytest.mark.parametrize(
-    "name", [n for n in SENSITIVE if n in REGISTRY]
+    "name",
+    [
+        n if n in _FAST_REPS else pytest.param(n, marks=pytest.mark.slow)
+        for n in SENSITIVE
+        if n in REGISTRY
+    ],
 )
 def test_query_is_partition_layout_invariant(spark, name, monkeypatch):
     baseline = canon(REGISTRY[name].fn(spark, SF_SMALL))

@@ -63,17 +63,29 @@ def _dupe_offenders(spark, names):
     return offenders
 
 
-def test_no_driver_facing_query_outputs_complex_types(spark):
-    offenders = _complex_offenders(spark, _fast_scope())
-    assert offenders == {}, (
+def test_driver_facing_query_outputs_are_canonicalizable(spark):
+    """Complex-type AND duplicate-name lint over the driver-facing scope
+    in ONE frame-build pass — building each query's frame is the whole
+    cost of these lints (~60 s per sweep), so the two driver-facing
+    variants share it (r15 gate-budget trim; the registry-wide sweeps
+    below still run one pass per lint at round close)."""
+    complex_off, dupe_off = {}, {}
+    for name in sorted(_fast_scope()):
+        df = REGISTRY[name].fn(spark, SF)
+        bad = [
+            f.name for f in df.schema.fields if isinstance(f.dataType, _COMPLEX)
+        ]
+        if bad:
+            complex_off[name] = bad
+        cols = df.columns
+        dupes = sorted({c for c in cols if cols.count(c) > 1})
+        if dupes:
+            dupe_off[name] = dupes
+    assert complex_off == {}, (
         "driver-facing queries with pandas-unhashable output columns: "
-        f"{offenders}"
+        f"{complex_off}"
     )
-
-
-def test_no_driver_facing_query_outputs_duplicate_column_names(spark):
-    offenders = _dupe_offenders(spark, _fast_scope())
-    assert offenders == {}, f"duplicate output column names: {offenders}"
+    assert dupe_off == {}, f"duplicate output column names: {dupe_off}"
 
 
 @pytest.mark.slow

@@ -124,6 +124,7 @@ def test_streaming_dedup_first_across_batches(spark, tmp_path):
     assert rows[2] in ("b", "B")  # exactly one of the duplicates
 
 
+@pytest.mark.slow  # r15 gate budget: covered by a cheaper fast sibling; runs at round close (--runslow)
 def test_running_stats_updates(spark, tmp_path):
     import os
 
@@ -352,6 +353,7 @@ def test_upsert_sink_keyed_snapshot_across_batches(spark, tmp_path):
     assert snap == {1: "a9", 2: "b2", 3: "c"}
 
 
+@pytest.mark.slow  # r15 gate budget: covered by a cheaper fast sibling; runs at round close (--runslow)
 def test_stream_stream_left_outer_interval_join(spark, events_dir):
     """Left-outer stream-stream join: every inner match emits, plus
     unmatched signups whose match window closed before the final
